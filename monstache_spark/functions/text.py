@@ -1,0 +1,89 @@
+"""Text-analysis functions for the training-data pipeline extensions.
+
+Beyond monstache parity (the reference defers all per-doc computation to
+user JS; our engine ships these as first-class, JVM-side operators):
+token counting, quality scoring, language ID heuristics, and document
+fingerprinting — all built-in-function compositions so they stay inside
+whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic; deterministic and oracle-expressible.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Mean token length in doubles (0.0 for empty docs)."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    return F.when(n > 0, total.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    """Number of tokens that are stopwords (lowercased match)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t)))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    n = token_count(text)
+    return F.when(n > 0, stopword_count(text, lang).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def non_alpha_ratio(text: Column) -> Column:
+    """Fraction of characters outside [a-zA-Z0-9 ] — a punctuation /
+    noise proxy for quality scoring."""
+    clean = F.regexp_replace(text, r"[a-zA-Z0-9 ]", "")
+    n = F.length(text)
+    return F.when(n > 0, F.length(clean).cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of the lowercase, whitespace-collapsed
+    text. Canonicalization makes trivially-reformatted copies collide."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(canon)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as strings — the MinHash/Jaccard input unit.
+
+    Built with sequence+transform over the token array (no UDF):
+    shingle i = tokens[i..i+k) joined by single spaces.
+    """
+    toks = tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingle_hash(shingle: Column, seed: int) -> Column:
+    """Deterministic 32-bit-ish hash of a shingle for MinHash, built
+    from md5 so the DuckDB oracle can reproduce it bit-for-bit:
+    first 8 hex chars of md5(seed || shingle) as a BIGINT."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), shingle)), 1, 8), 16, 10).cast("long")

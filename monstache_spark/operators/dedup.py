@@ -1,0 +1,227 @@
+"""Deduplication operators for the training-data pipeline extensions.
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all as
+declarative DataFrame plans:
+
+- Exact: canonicalizing fingerprint (md5) → groupBy — one shuffle on the
+  16-byte digest, map-side partial agg. At 100 TB this is the cheapest
+  possible formulation: the shuffle carries (digest, id), never the text.
+- MinHash: per-row signature via array expressions (shingle → md5-based
+  hash → array_min), so NO explode/shuffle is needed to build
+  signatures; only the candidate-pair band join shuffles, and it
+  shuffles band keys, not documents.
+- LSH banding: signatures split into bands; docs sharing any band bucket
+  become candidate pairs (self-equi-join on the band key); candidates
+  verified with exact shingle Jaccard.
+
+The md5-derived hash family (functions/text.py:shingle_hash) is chosen
+over xxhash64 deliberately: it is reproducible in any engine (the DuckDB
+oracle re-derives identical signatures), at the cost of some CPU — at
+scale you would swap in xxhash64 seeds via config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from monstache_spark.functions.text import fingerprint, shingle_hash, word_shingles
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Clusters of exact (canonicalized) duplicates: fingerprint,
+    member count, and the kept (minimum) id per cluster."""
+    return (
+        docs.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_members"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per fingerprint — the exact
+    dedup pass itself. Equivalent to dropDuplicates on the fingerprint
+    but deterministic about WHICH row survives."""
+    w_fp = fingerprint(F.col(text_col)).alias("fp")
+    keep = (
+        docs.select(w_fp, F.col(id_col).alias("__id"))
+        .groupBy("fp")
+        .agg(F.min("__id").alias(id_col))
+    )
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+# affine hash family over one base hash: h_i = (A_i * h + B_i) mod P.
+# One md5 per shingle instead of num_hashes of them; P prime > 2^32 keeps
+# the family pairwise-independent enough for banding, and the arithmetic
+# is exact BIGINT in any engine (A_i * max_h + B_i < 2^63).
+MINHASH_P = 4294967311
+
+
+def minhash_a(i: int) -> int:
+    return 1000003 * i + 12345
+
+
+def minhash_b(i: int) -> int:
+    return 7919 * i + 271
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """MinHash signature as an array<long> of length ``num_hashes``.
+
+    sig[i] = min over shingles of ((A_i * md5hash(shingle) + B_i) mod P).
+    Entirely per-row array math — no shuffle, no UDF, one md5 per
+    shingle.
+    """
+    sh = F.array_distinct(word_shingles(text, shingle_k))
+    base = F.transform(sh, lambda s: shingle_hash(s, 0))
+
+    def affine(i: int):
+        # single-arg lambda factory: extra lambda params would make
+        # PySpark treat this as an (element, index) HOF lambda
+        a, b = minhash_a(i), minhash_b(i)
+        return lambda h: (h * a + b) % MINHASH_P
+
+    return F.array(*[F.array_min(F.transform(base, affine(i))) for i in range(num_hashes)])
+
+
+def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band-key strings ``band_idx:h1_h2_.."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.concat_ws("_", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]),
+            )
+            for b in range(num_bands)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket, id_a < id_b.
+
+    Plan shape: signature (narrow, one md5 per shingle) → explode bands
+    → groupBy band key → generate in-bucket pairs from the collected id
+    list → distinct. One shuffle total; signatures are computed exactly
+    once (a self-join would recompute them per side). Degenerate buckets
+    (boilerplate-heavy corpora) are bounded by ``max_bucket``: oversize
+    buckets are dropped — the standard LSH safeguard at scale — set it
+    to None to keep everything.
+    """
+    rows_per_band = num_hashes // num_bands
+    # explode shingles to rows and hash each ONCE with fully codegen'd
+    # expressions, then build the signature as num_hashes min-aggregates
+    # (map-side partial agg). The array formulation (transform +
+    # array_min) is interpreted per element AND Catalyst's projection
+    # collapse re-inlines the md5 subtree into every hash column — 16x
+    # recompute. The exploded shape is also the right one at scale: no
+    # giant per-row arrays, shuffle volume = num_hashes longs per doc.
+    shingle_rows = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
+    )
+    hashed = shingle_rows.select(F.col(id_col), shingle_hash(F.col("s"), 0).alias("h"))
+    sig = hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.col("h") * minhash_a(i) + minhash_b(i)) % MINHASH_P).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.concat_ws("_", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]),
+        ).alias(f"band{b}")
+        for b in range(num_bands)
+    ]
+    banded = sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+    exploded = banded.select(id_col, F.explode("bands").alias("band"))
+    buckets = exploded.groupBy("band").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    buckets = buckets.filter(F.size("ids") > 1)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # pairs within a bucket: for index i, pair ids[i] with every later id
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))), lambda y: F.struct(
+                            x.alias("id_a"), y.alias("id_b")
+                        )
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard; keep
+    pairs with similarity ≥ threshold. Jaccard on array_distinct sets
+    via array_intersect/array_union — JVM-side."""
+    sh = docs.select(F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash(text: Column, bits: int = 32, shingle_k: int = 3) -> Column:
+    """SimHash: per-bit majority vote over shingle hashes, packed into a
+    long. bit_b(doc) = 1 iff sum over shingles of ±1 (sign of hash bit
+    b) is positive. Pure array aggregation — no UDF."""
+    sh = F.array_distinct(word_shingles(text, shingle_k))
+    hashes = F.transform(sh, lambda s: shingle_hash(s, 0))
+    # per-shingle ±1 bit vector (bit positions unrolled at plan-build
+    # time, so shift amounts are literals inside codegen)
+    bitvecs = F.transform(
+        hashes,
+        lambda h: F.array(
+            *[(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long") for b in range(bits)]
+        ),
+    )
+    # counters[b] = sum of ±1 across shingle hashes
+    counters = F.aggregate(
+        bitvecs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, bv: F.zip_with(acc, bv, lambda a, x: a + x),
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(F.element_at(counters, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return packed
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    return docs.select(F.col(id_col), simhash(F.col(text_col), bits, shingle_k).alias("simhash"))

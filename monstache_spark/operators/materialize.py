@@ -1,0 +1,69 @@
+"""Version-guarded last-state materialization (the sink semantics of
+SURVEY.md §2.6 K1-K5 expressed as a set operation).
+
+The reference never materializes state in-process — Elasticsearch does
+it, one bulk request per op, with external versions so stale replays
+lose (tsVersion monstache.go:4053-4063, conflict-ignore
+monstache.go:566-571, delete versioning monstache.go:4077-4080). The
+set-level equivalent, given a batch/window of ops, is: per (ns, id),
+keep the op with the greatest version; if that op is a delete the key
+is absent from the materialized table.
+
+Scale notes: ``groupBy(ns, id)`` + ``max_by`` aggregates map-side
+(partial aggregation) before the single shuffle on the key — strictly
+cheaper than a window/row_number formulation, which must shuffle ALL
+rows then sort each partition. At 100 TB the reduction happens before
+the exchange, so shuffle volume is ~|distinct keys|, not |ops|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from monstache_spark.envelope import OP_DELETE
+
+# Payload columns carried into the materialized row.
+_STATE_COLS = ("op", "ts", "ts_ord", "value", "k")
+
+
+def last_state(ops: DataFrame, payload_cols: tuple[str, ...] = _STATE_COLS) -> DataFrame:
+    """Compact an op batch to final per-key state (deletes applied).
+
+    ``max_by(col, version)`` is deterministic here because the envelope
+    guarantees version uniqueness per event (envelope.py).
+    """
+    aggs = [F.max_by(F.col(c), F.col("version")).alias(f"last_{c}") for c in payload_cols]
+    aggs.append(F.max("version").alias("version"))
+    compacted = ops.groupBy("ns", "id").agg(*aggs)
+    return (
+        compacted.filter(F.col("last_op") != OP_DELETE)
+        .drop("last_op")
+    )
+
+
+def merge_upsert(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """MERGE a compacted op batch into an existing state table
+    (emulated Delta MERGE per the reference's upsert semantics K1/K2 +
+    delete K3, guarded WHEN MATCHED AND src.version >= tgt.version).
+
+    Pure DataFrame formulation: union old state with new batch rows and
+    re-run the version-guarded compaction. Keys only present in
+    ``state`` pass through untouched; at scale this is the
+    anti-join + union + window "CDC/SCD2 emulation" — with Delta/Iceberg
+    on the classpath it becomes a real MERGE INTO.
+    """
+    as_ops = batch
+    old_as_ops = state.select(
+        F.lit("u").alias("op"),
+        "ns",
+        "id",
+        F.col("last_ts").alias("ts"),
+        F.col("last_ts_ord").alias("ts_ord"),
+        F.lit("state").alias("source"),
+        F.col("last_value").alias("value"),
+        F.col("last_k").alias("k"),
+        "version",
+    )
+    combined = old_as_ops.unionByName(as_ops.select(*old_as_ops.columns))
+    return last_state(combined)

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the scale plan:
+
+- Brute-force cosine top-k: broadcast the (small) query set against the
+  corpus — one pass over the corpus, no shuffle of the corpus at all;
+  per-query top-k via window. The corpus side streams through codegen'd
+  dot products. This is the exact baseline.
+- LSH-bucketed ANN (random hyperplanes): each vector gets a b-bit sign
+  sketch from fixed pseudo-random hyperplanes (deterministically derived
+  from md5, so results are reproducible anywhere); queries probe only
+  their bucket (+ optional multi-probe neighbors). At 100 TB the corpus
+  is hash-partitioned by bucket → a query touches 1/2^b of the data.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from monstache_spark.functions.vectors import as_double_array, cosine_rounded
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k per query. ``queries`` is broadcast; ties
+    break on corpus id for determinism."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+    scored = q.crossJoin(c).filter(F.col("query_id") != F.col("corpus_id")).select(
+        "query_id",
+        "corpus_id",
+        cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j of
+    plane p is derived from md5(p:j) mapped to [-1, 1). Pure Python at
+    plan-build time (tiny), shipped as a literal array — the Spark-side
+    computation stays JVM-only."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:8]
+        comps.append((int(h, 16) / float(0xFFFFFFFF)) * 2.0 - 1.0)
+    return comps
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Sign-sketch bucket id in [0, 2^bits): bit p = 1 iff v·plane_p > 0."""
+    acc = F.lit(0).cast("long")
+    v = as_double_array(vec)
+    for p in range(bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        acc = acc + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    bits: int = 6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket. Recall < 1 by
+    design; the bucketed equi-join replaces the cross join, so cost
+    scales with bucket size, not corpus size."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        )
+    )
+    scored = q.join(c, "bucket").filter(F.col("query_id") != F.col("corpus_id")).select(
+        "query_id", "corpus_id", cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,93 @@
+"""The end-to-end streaming sync pipeline (SURVEY.md §3.1 re-expressed).
+
+Reference lifecycle: gtm source → filter chain → relate → map →
+BulkProcessor with 10 s checkpoint ticks (monstache.go:5019-5098).
+Spark-first: ``readStream`` (CDC envelope) → the same DataFrame
+transform chain used in batch (the point of DataFrame parity) →
+``foreachBatch`` merging into the state table → checkpoint commit.
+Structured Streaming's offset log + foreachBatch ordering reproduces
+the reference's flush-before-save-timestamp contract exactly
+(monstache.go:5048-5056).
+
+``trigger(availableNow=True)`` drains a bounded source and stops — the
+test/backfill mode (the reference's exit-after-direct-reads,
+monstache.go:377). A real deployment runs processingTime triggers
+against a change-stream source; resume = restart with the same
+checkpointLocation (replaces saveTimestamp/saveTokens wholesale).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from monstache_spark.envelope import events_to_envelope, id_guard
+from monstache_spark.operators import filters as Flt
+from monstache_spark.sinks.merge import StateTable
+
+
+@dataclass
+class PipelineConfig:
+    """The TOML-ish config surface that matters (SURVEY.md §2.2)."""
+
+    namespace_regex: str | None = None          # F2 include
+    namespace_exclude_regex: str | None = None  # F3 exclude
+    dropped_databases: bool = True              # propagate drops (K6)
+    checkpoint_dir: str = "/tmp/monstache_spark/checkpoint"
+    state_dir: str = "/tmp/monstache_spark/state"
+    index_overrides: dict[str, str] = field(default_factory=dict)
+
+
+def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """The shared batch/stream transform chain: guards → include /
+    exclude → id guard. One codegen'd filter stage."""
+    out = Flt.system_guards(ops)
+    if cfg.namespace_regex:
+        out = Flt.include_namespaces(out, cfg.namespace_regex)
+    if cfg.namespace_exclude_regex:
+        out = Flt.exclude_namespaces(out, cfg.namespace_exclude_regex)
+    return id_guard(out)
+
+
+def run_stream(
+    spark: SparkSession,
+    events_path: str,
+    cfg: PipelineConfig,
+    events_schema=None,
+) -> StateTable:
+    """Stream the events parquet as a CDC source into the state table."""
+    if events_schema is None:
+        events_schema = spark.read.parquet(events_path).schema
+    # the file-stream source wants a directory; target one file via glob
+    base_dir, fname = os.path.split(events_path)
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base_dir)
+    )
+    from monstache_spark.sources.testdata import normalize_nanos
+
+    ops = transform(events_to_envelope(normalize_nanos(stream)), cfg)
+    state = StateTable(spark, cfg.state_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        state.merge_batch(batch_df)
+
+    q = (
+        ops.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
+def run_batch(spark: SparkSession, events: DataFrame, cfg: PipelineConfig) -> StateTable:
+    """Direct-read/backfill path (§3.2): same transform chain, batch."""
+    ops = transform(events_to_envelope(events), cfg)
+    state = StateTable(spark, cfg.state_dir)
+    state.merge_batch(ops)
+    return state

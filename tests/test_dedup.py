@@ -1,0 +1,72 @@
+"""Dedup operator semantics (extensions; SURVEY.md §7.2 step 9)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from monstache_spark.functions.text import shingle_hash, word_shingles
+from monstache_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The  quick   brown fox jumps over the lazy dog "),  # exact dup modulo ws/case
+    (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+    (4, "completely different text about spark engines and parquet files"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_canonicalizes(spark):
+    clusters = exact_duplicates(_docs(spark)).collect()
+    by_n = sorted(r["n_members"] for r in clusters)
+    assert by_n == [1, 1, 2]  # docs 1+2 collide
+    kept = {r["doc_id"] for r in dedup_exact(_docs(spark)).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_minhash_finds_near_dup(spark):
+    cands = minhash_candidate_pairs(_docs(spark), num_hashes=16, num_bands=8, shingle_k=1)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dups always collide
+    assert (1, 3) in pairs  # near dup shares most unigram shingles
+
+
+def test_jaccard_value_matches_python(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    out = ngram_jaccard_pairs(docs, pairs, shingle_k=1, threshold=0.0).collect()
+    s1 = set(DOCS[0][1].lower().split())
+    s3 = set(DOCS[2][1].lower().split())
+    expected = len(s1 & s3) / len(s1 | s3)
+    assert abs(out[0]["jaccard"] - expected) < 1e-6
+
+
+def test_shingle_hash_matches_python_md5(spark):
+    df = spark.createDataFrame([("abc def",)], "s string")
+    got = df.select(shingle_hash(F.col("s"), 3).alias("h")).collect()[0]["h"]
+    assert got == int(hashlib.md5(b"3:abc def").hexdigest()[:8], 16)
+
+
+def test_simhash_similar_docs_close(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs(spark), shingle_k=1).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sigs[1], sigs[2]) == 0  # canonical-equal docs
+    assert hamming(sigs[1], sigs[3]) < hamming(sigs[1], sigs[4])
+
+
+def test_word_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    got = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    assert got == ["one two"]  # shorter than k -> whole doc as one shingle

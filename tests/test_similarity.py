@@ -1,0 +1,52 @@
+"""Similarity search: brute-force exact vs numpy; LSH recall sanity."""
+
+from __future__ import annotations
+
+import math
+
+from monstache_spark.operators.similarity import brute_force_topk, lsh_topk
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0]),
+    (2, [0.0, 1.0, 0.0]),
+    (3, [0.0, 0.95, 0.05]),
+    (4, [0.5, 0.5, 0.0]),
+]
+
+
+def _emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def test_brute_force_matches_python(spark):
+    emb = _emb(spark)
+    out = brute_force_topk(emb, emb.filter("vec_id = 0"), k=2).collect()
+    got = [(r["corpus_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
+    scores = {i: _cos(VECS[0][1], v) for i, v in VECS if i != 0}
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    for (gi, gs), (ei, es) in zip(got, expected):
+        assert abs(gs - es) < 1e-5
+
+
+def test_lsh_bucket_join_subset_of_brute_force(spark):
+    """LSH results are a subset of exact results' candidate space and
+    scores agree where both return a pair."""
+    emb = _emb(spark)
+    exact = {
+        (r["query_id"], r["corpus_id"]): r["score"]
+        for r in brute_force_topk(emb, emb, k=4).collect()
+    }
+    approx = lsh_topk(emb, emb, dim=3, k=4, bits=2).collect()
+    for r in approx:
+        key = (r["query_id"], r["corpus_id"])
+        assert key in exact
+        assert abs(exact[key] - r["score"]) < 1e-9
