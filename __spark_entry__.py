@@ -356,6 +356,184 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (rank / lag with frames) — SURVEY.md §2.5:
+    native Spark capability exposed by the engine beyond parity."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    out = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+    )
+    return out.filter(F.col("rn") <= 3)
+
+
+def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over order status/priority."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def _q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order priorities into columns (sum of totalprice)."""
+    orders = load_table(spark, "orders", sf_dir)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+    )
+    renames = {p: f"p{i + 1}" for i, p in enumerate(prios)}
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out
+
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS) — customers with no urgent orders."""
+    customer = load_table(spark, "customer", sf_dir)
+    urgent = load_table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per group."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap starts a new session
+    (lag + cumulative sum — the batch twin of session_window)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    sess = ev.withColumn("sess_no", F.sum(new_sess).over(w).cast("long"))
+    return sess.groupBy("user_id", "sess_no").agg(
+        F.count("*").alias("n_events"),
+        ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(1_000_000))
+        .cast("long")
+        .alias("duration_sec"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the declared lang column."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    ratio = stopword_ratio(t)
+    guess = F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("other"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_stopword_ratio"),
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("agrees"),
+    )
+
+
+def _q_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of-style lookup: each event joined to the user's most recent
+    STRICTLY-earlier purchase event (last_value IGNORE NULLS over a
+    trailing frame — Spark has no native as-of join; this is the
+    window-composition form, guide §'As-of join')."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return ev.select("event_id", "user_id", prior.alias("prior_purchase_value"))
+
+
+def _q_udf_mapper_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1/M2 + F5/F6 + F8: per-namespace mapper (doc rewrite, falsy->
+    tombstone, skip flag) and predicate filter, compiled into one
+    codegen'd projection — then aggregated per (ns, op)."""
+    from monstache_spark.operators.udf import (
+        NamespaceFilter,
+        NamespaceMapper,
+        apply_filters,
+        apply_mappers,
+    )
+
+    env = _env(spark, sf_dir)
+    mappers = [
+        NamespaceMapper(
+            namespace="",  # global env runs first (monstache.go:1023-1036)
+            columns={"value_cat": lambda: F.when(F.col("value") >= 100, "high").otherwise("low")},
+        ),
+        NamespaceMapper(
+            namespace="test.users",
+            columns={"value": lambda: F.col("value") * 2},
+            drop_when=lambda: F.col("value") < 20,       # falsy mapper result -> tombstone
+            skip_when=lambda: F.col("k") % 10 == 0,      # MapperPluginOutput.Skip
+        ),
+    ]
+    filters = [NamespaceFilter("test.accounts", lambda: F.col("value") >= 5)]
+    out = apply_filters(apply_mappers(env, mappers), filters)
+    return out.groupBy("ns", "op").agg(
+        F.count("*").alias("n_ops"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.count(F.when(F.col("value_cat") == "high", 1)).alias("n_high"),
+    )
+
+
+def _q_file_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/K8: base64 file content with max-file-size omission gate."""
+    from monstache_spark.operators.files import add_file_content
+
+    part = load_table(spark, "part", sf_dir).select(
+        "p_partkey", F.col("p_name").cast("binary").alias("content")
+    )
+    return add_file_content(part, max_file_size=30).select("p_partkey", "file", "file_size")
+
+
+def _q_merge_patch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 change-history patches: per-key version-ordered typed patch
+    rows (lag-window formulation of json-merge-patches)."""
+    from monstache_spark.operators.patches import merge_patch_history
+
+    ops = Flt.system_guards(_env(spark, sf_dir))
+    return merge_patch_history(ops)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary media column -> Arrow-batched
+    feature extraction via mapInPandas (deterministic stub featurizer;
+    rows-only check — byte-level features aren't SQL-expressible)."""
+    from monstache_spark.operators.multimodal import fake_features
+
+    assets = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("asset_id"), F.col("p_name").cast("binary").alias("media")
+    )
+    return fake_features(assets)
+
+
 def _q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2E Structured Streaming pipeline: events parquet as a stream ->
     envelope -> filter chain -> foreachBatch version-guarded merge into
@@ -407,6 +585,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
+        "window_rank_lag": _q_window_rank_lag,
+        "rollup_orders": _q_rollup_orders,
+        "pivot_status_priority": _q_pivot_status_priority,
+        "customers_without_orders": _q_customers_without_orders,
+        "distinct_users_per_type": _q_distinct_users,
+        "sessionize_events": _q_sessionize,
+        "lang_id": _q_lang_id,
+        "asof_prior_purchase": _q_asof_prior_purchase,
+        "udf_mapper_pipeline": _q_udf_mapper_pipeline,
+        "file_enrichment": _q_file_enrichment,
+        "merge_patch_history": _q_merge_patch_history,
+        "multimodal_features": _q_multimodal_features,
         "cdc_stream_pipeline": _q_stream_pipeline,
     }
 
@@ -601,6 +791,120 @@ def oracle_sql() -> dict[str, str]:
             FROM q CROSS JOIN e WHERE query_id <> e.vec_id),
           r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank FROM s)
           SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "window_rank_lag": """
+          WITH w AS (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn,
+                   lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+            FROM orders)
+          SELECT * FROM w WHERE rn <= 3
+        """,
+        "rollup_orders": """
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "pivot_status_priority": """
+          SELECT o_orderstatus,
+                 CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1,
+                 CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p2,
+                 CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p3,
+                 CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4,
+                 CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5
+          FROM orders GROUP BY o_orderstatus
+        """,
+        "customers_without_orders": """
+          SELECT c_custkey, c_name FROM customer
+          WHERE NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """,
+        "distinct_users_per_type": """
+          SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+                 min(value) AS min_value, max(value) AS max_value
+          FROM events GROUP BY event_type
+        """,
+        "sessionize_events": """
+          WITH g AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          s AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+            FROM g)
+          SELECT user_id, sess_no, count(*) AS n_events,
+                 CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_sec,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM s GROUP BY user_id, sess_no
+        """,
+        "lang_id": f"""
+          WITH r AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter({_TOKS_LOWER}, t -> list_contains({_SW_LIST}, t))) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE) AS ratio
+            FROM documents)
+          SELECT doc_id, lang, round(ratio, 6) AS en_stopword_ratio,
+                 CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'other' END AS lang_guess,
+                 (CASE WHEN ratio >= 0.02 THEN 'en' ELSE 'other' END) = lang AS agrees
+          FROM r
+        """,
+        "asof_prior_purchase": """
+          SELECT event_id, user_id,
+                 last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_value
+          FROM events
+        """,
+        "udf_mapper_pipeline": f"""
+          WITH env AS ({_ENV}),
+          g AS (  -- global mapper
+            SELECT *, CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS value_cat FROM env),
+          m AS (  -- test.users mapper: doc rewrite, then tombstone-on-falsy
+            SELECT op, ns, id, k, value_cat,
+                   CASE WHEN ns = 'test.users' THEN value * 2 ELSE value END AS value
+            FROM g),
+          t AS (
+            SELECT CASE WHEN ns = 'test.users' AND value < 20 THEN 'd' ELSE op END AS op,
+                   ns, id, k, value, value_cat
+            FROM m),
+          sk AS (SELECT * FROM t WHERE NOT (ns = 'test.users' AND k % 10 = 0)),
+          f AS (  -- test.accounts predicate gates i/u only
+            SELECT * FROM sk
+            WHERE NOT (op IN ('i', 'u') AND ns = 'test.accounts') OR value >= 5)
+          SELECT ns, op, count(*) AS n_ops,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                 count(CASE WHEN value_cat = 'high' THEN 1 END) AS n_high
+          FROM f GROUP BY ns, op
+        """,
+        "file_enrichment": """
+          SELECT p_partkey,
+                 CASE WHEN octet_length(p_name::BLOB) <= 30 THEN to_base64(p_name::BLOB) END AS file,
+                 CAST(octet_length(p_name::BLOB) AS BIGINT) AS file_size
+          FROM part
+        """,
+        "merge_patch_history": f"""
+          WITH env AS ({_ENV}), guarded AS (SELECT * FROM env WHERE {_GUARDS}),
+          w AS (
+            SELECT ns, id, op, value, k, version,
+                   CAST(row_number() OVER win AS BIGINT) AS patch_v,
+                   lag(value) OVER win AS prev_value,
+                   lag(k) OVER win AS prev_k
+            FROM guarded
+            WINDOW win AS (PARTITION BY ns, id ORDER BY version ASC))
+          SELECT ns, id, patch_v, version, (op = 'd') AS is_tombstone,
+                 CASE WHEN op <> 'd' AND (patch_v = 1 OR prev_value IS DISTINCT FROM value)
+                      THEN value END AS patch_value,
+                 CASE WHEN op <> 'd' AND (patch_v = 1 OR prev_k IS DISTINCT FROM k)
+                      THEN k END AS patch_k
+          FROM w
         """,
         "cdc_stream_pipeline": f"""
           WITH env AS ({_ENV}),

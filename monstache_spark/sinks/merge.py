@@ -38,6 +38,28 @@ from monstache_spark.operators.filters import ns_database
 from monstache_spark.operators.materialize import last_state
 
 
+def protected_deletes(state: DataFrame, deletes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """K3 delete protection (doDelete monstache.go:4065-4147): when a
+    delete must be located by id across routed indexes, the reference
+    searches the delete-index-pattern and REFUSES the delete unless
+    exactly one document matches (monstache.go:4113-4139).
+
+    Set-level twin: join the tombstones against the state table by id
+    only; ids matching exactly one state row are applied, others
+    (0 or >1 matches) are refused. Returns (applied, refused)."""
+    matches = (
+        deletes.select(F.col("id"), F.col("version").alias("v_del"))
+        .join(state.select("ns", "id"), "id", "left")
+        .groupBy("id", "v_del")
+        .agg(F.count("ns").alias("n_hits"), F.min("ns").alias("target_ns"))
+    )
+    applied = matches.filter(F.col("n_hits") == 1).select(
+        F.col("target_ns").alias("ns"), "id", F.col("v_del").alias("version")
+    )
+    refused = matches.filter(F.col("n_hits") != 1).select("id", F.col("n_hits"))
+    return applied, refused
+
+
 class StateTable:
     """Parquet-backed keyed state table with version-guarded merges.
 

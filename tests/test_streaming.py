@@ -31,6 +31,27 @@ def test_stream_equals_batch(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_stats_listener_records_progress(spark, tmp_path):
+    """K9 stats surface: micro-batch progress recorded per batch."""
+    from monstache_spark.streaming.ops import StatsRecorder
+
+    rec = StatsRecorder(str(tmp_path / "stats" / "progress.jsonl"))
+    spark.streams.addListener(rec)
+    try:
+        run_stream(spark, os.path.join(SF_DIR, "events.parquet"), _cfg(tmp_path, "stats"))
+        import time
+
+        deadline = time.time() + 15
+        rows = rec.rows()
+        while time.time() < deadline and not any(r["event"] == "progress" and r.get("numInputRows", 0) > 0 for r in rows):
+            time.sleep(0.5)
+            rows = rec.rows()
+    finally:
+        spark.streams.removeListener(rec)
+    assert any(r["event"] == "started" for r in rows)
+    assert any(r["event"] == "progress" and r.get("numInputRows", 0) > 0 for r in rows)
+
+
 def test_stream_restart_is_idempotent(spark, tmp_path):
     cfg = _cfg(tmp_path, "r")
     s1 = run_stream(spark, os.path.join(SF_DIR, "events.parquet"), cfg)
