@@ -224,4 +224,22 @@ def simhash(text: Column, bits: int = 32, shingle_k: int = 3) -> Column:
 def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, shingle_k: int = 3
 ) -> DataFrame:
-    return docs.select(F.col(id_col), simhash(F.col(text_col), bits, shingle_k).alias("simhash"))
+    """Exploded-aggregate formulation (preferred at scale): one hash
+    per shingle row, then ``bits`` codegen'd sum-aggregates with
+    map-side partial aggregation — no interpreted array HOFs in the
+    hot path (cf. minhash_candidate_pairs rationale)."""
+    rows = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
+    )
+    hashed = rows.select(F.col(id_col), shingle_hash(F.col("s"), 0).alias("h"))
+    counters = hashed.groupBy(id_col).agg(
+        *[
+            F.sum((F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")).alias(f"c{b}")
+            for b in range(bits)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        packed = packed + F.when(F.col(f"c{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return counters.select(F.col(id_col), packed.alias("simhash"))
