@@ -470,6 +470,169 @@ def _q_asof_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", "user_id", prior.alias("prior_purchase_value"))
 
 
+def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (the scale path: bucket equi-join instead
+    of cross join; recall < 1 by design, deterministic hyperplanes)."""
+    from monstache_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = lsh_topk(emb, queries, dim=64, k=5, bits=6)
+    return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates verified
+    with exact cosine >= 0.4."""
+    from monstache_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dup_pairs(emb, dim=64, bits=6, threshold=0.4)
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash, window
+    minima — SIGMOD'03); fingerprint set serialized for comparison."""
+    from monstache_spark.operators.dedup import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = winnow_fingerprints(docs, k=8, w=4)
+    return out.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.concat_ws("_", F.transform(F.col("fps"), lambda x: x.cast("string"))).alias("fp_str"),
+    )
+
+
+def _q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens vs BPE-ish pre-tokenizer units
+    (letter runs / digits / punctuation runs)."""
+    from monstache_spark.functions.text import bpe_token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    n_bpe = bpe_token_count(t).cast("long")
+    n_ws = token_count(t).cast("long")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe.cast("double") / n_ws.cast("double"), 6).alias("bpe_per_word"),
+    )
+
+
+def _q_worker_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 consistent-hash worker partition (worker 1 of 3) over the op
+    stream; md5-derived hash for cross-engine reproducibility."""
+    from monstache_spark.functions.text import shingle_hash
+
+    shard = Flt.worker_partition(
+        _env(spark, sf_dir), worker=1, workers=3, hash_expr=lambda c: shingle_hash(c, 0)
+    )
+    return shard.groupBy("ns").agg(
+        F.count("*").alias("n_ops"), F.countDistinct("id").alias("n_ids")
+    )
+
+
+# drop-op version cutoffs for the K6 query (mid-stream control events)
+_DROP_ACC_V = 1705276800 * 4294967296   # 2024-01-15 test.accounts drop
+_DROP_SKIP_V = 1706140800 * 4294967296  # 2024-01-25 skipme dropDatabase
+
+
+def _q_drop_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 drop propagation: a mid-stream collection drop and database
+    drop erase earlier ops; later ops re-create state. Final per-ns
+    key counts after materialization."""
+    from monstache_spark.operators.materialize import apply_drops
+
+    env = _env(spark, sf_dir)
+    drops = spark.createDataFrame(
+        [
+            ("drop", "test.accounts", _DROP_ACC_V),
+            ("dropDatabase", "skipme", _DROP_SKIP_V),
+        ],
+        "op string, ns string, version long",
+    ).select(
+        "op",
+        "ns",
+        F.lit(None).cast("string").alias("id"),
+        F.timestamp_micros(F.lit(0)).alias("ts"),
+        F.lit(0).cast("long").alias("ts_ord"),
+        F.lit("oplog").alias("source"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("k"),
+        "version",
+    )
+    survived = apply_drops(env.unionByName(drops))
+    state = last_state(survived)
+    return state.groupBy("ns").agg(
+        F.count("*").alias("n_keys"), F.max("version").alias("max_version")
+    )
+
+
+def _q_delete_via_sink_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 relate-on-delete: the deleted doc's fields are recovered from
+    the sink state table (the reference searches ES: findDeletedSrcDoc
+    monstache.go:4015-4051)."""
+    from monstache_spark.operators.relate import delete_via_sink_lookup
+
+    env = _env(spark, sf_dir)
+    sink_state = last_state(env.filter(F.col("op") != "d"))
+    dels = env.filter((F.col("op") == "d") & (F.col("ns") == "test.users"))
+    rel = Relation("test.users", "test.users_archive", "id", "id")
+    out = delete_via_sink_lookup(dels, sink_state, rel)
+    return out.select("id", "version", "last_value", "last_k")
+
+
+def _q_direct_read_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 direct reads: discovered namespaces scanned and wrapped as
+    version-0 snapshot envelopes (stream-beats-snapshot precedence),
+    unioned into one op stream."""
+    from monstache_spark.sources.directreads import direct_read, snapshot_envelope
+
+    id_cols = {"customer": "c_custkey", "orders": "o_orderkey", "part": "p_partkey"}
+    frames = direct_read(
+        spark, sf_dir, include_regex=r"\.(customer|orders|part)$"
+    )
+    envs = [
+        snapshot_envelope(df, ns, id_cols[ns.split(".", 1)[1]])
+        for ns, df in sorted(frames.items())
+    ]
+    unioned = envs[0]
+    for e in envs[1:]:
+        unioned = unioned.unionByName(e)
+    return unioned.groupBy("ns", "source").agg(
+        F.count("*").alias("n_ops"),
+        F.countDistinct("id").alias("n_ids"),
+        F.max("version").alias("max_version"),
+    )
+
+
+def _q_stream_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling event-time windows w/ watermark
+    (availableNow drain); oracle = the batch tumbling rollup."""
+    from monstache_spark.streaming.windows import hourly_window_counts
+
+    return hourly_window_counts(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window streaming sessionization (30-min gap)."""
+    from monstache_spark.streaming.windows import session_windows
+
+    return session_windows(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark streaming dedup; the surviving key
+    set is the deterministic part."""
+    from monstache_spark.streaming.windows import stream_dedup_keys
+
+    return stream_dedup_keys(
+        spark, os.path.join(sf_dir, "events.parquet"), ["user_id", "event_type"]
+    )
+
+
 def _q_udf_mapper_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M2 + F5/F6 + F8: per-namespace mapper (doc rewrite, falsy->
     tombstone, skip flag) and predicate filter, compiled into one
@@ -593,12 +756,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "lang_id": _q_lang_id,
         "asof_prior_purchase": _q_asof_prior_purchase,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "bpe_token_stats": _q_bpe_token_stats,
+        "worker_shard": _q_worker_shard,
+        "drop_propagation": _q_drop_propagation,
+        "delete_via_sink_lookup": _q_delete_via_sink_lookup,
+        "direct_read_union": _q_direct_read_union,
+        "stream_hourly_windows": _q_stream_hourly_windows,
+        "stream_session_windows": _q_stream_session_windows,
+        "stream_dedup_keys": _q_stream_dedup,
         "udf_mapper_pipeline": _q_udf_mapper_pipeline,
         "file_enrichment": _q_file_enrichment,
         "merge_patch_history": _q_merge_patch_history,
         "multimodal_features": _q_multimodal_features,
         "cdc_stream_pipeline": _q_stream_pipeline,
     }
+
+
+def _bucket_ctes(dim: int = 64, bits: int = 6) -> str:
+    """Shared LSH-bucket CTEs: the md5-derived hyperplanes inlined as
+    literal DOUBLE[] rows so DuckDB reproduces similarity.lsh_bucket
+    bit-for-bit (same left-to-right double fold, same sign test)."""
+    from monstache_spark.operators.similarity import _hyperplane
+
+    rows = ", ".join(
+        f"({p}, [{', '.join(repr(c) for c in _hyperplane(dim, p))}]::DOUBLE[])"
+        for p in range(bits)
+    )
+    dotvp = _dot_sql("v", "pl")
+    return f"""planes(p, pl) AS (VALUES {rows}),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          bk AS (SELECT vec_id,
+                        CAST(sum(CASE WHEN {dotvp} > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+                 FROM e CROSS JOIN planes GROUP BY vec_id),
+          eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"CASE WHEN sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}) > 0 "
+        f"THEN round({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _lsh_topk_sql() -> str:
+    return f"""
+      WITH {_bucket_ctes()},
+      q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 20),
+      s AS (SELECT query_id, c.vec_id AS corpus_id, {_cos_sql('qv', 'c.v')} AS score
+            FROM q JOIN eb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+            FROM s)
+      SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
+    """
+
+
+def _near_dup_sql() -> str:
+    return f"""
+      WITH {_bucket_ctes()},
+      p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+            FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      s AS (SELECT id_a, id_b, {_cos_sql('va', 'vb')} AS cosine FROM p)
+      SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+    """
+
+
+def _winnow_sql(k: int = 8, w: int = 4) -> str:
+    gram_hash = _hash_sql(f"substr(canon, CAST(i AS INTEGER), {k})", 1)
+    return f"""
+      WITH c AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS canon
+                 FROM documents),
+      g AS (SELECT doc_id,
+                   list_transform(range(1, greatest(length(canon) - {k} + 1, 1) + 1),
+                                  i -> {gram_hash}) AS grams
+            FROM c),
+      m AS (SELECT doc_id,
+                   list_sort(list_distinct(
+                     list_transform(range(1, greatest(len(grams) - {w} + 1, 1) + 1),
+                                    j -> list_min(list_slice(grams, j, j + {w} - 1))))) AS fps
+            FROM g)
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps, array_to_string(fps, '_') AS fp_str
+      FROM m
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -862,6 +1104,79 @@ def oracle_sql() -> dict[str, str]:
                    OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_value
           FROM events
+        """,
+        "ann_lsh_topk": _lsh_topk_sql(),
+        "embedding_near_dup": _near_dup_sql(),
+        "winnow_fingerprints": _winnow_sql(),
+        "bpe_token_stats": r"""
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+                 len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+                 round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS DOUBLE)
+                       / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS bpe_per_word
+          FROM documents
+        """,
+        "worker_shard": f"""
+          WITH env AS ({_ENV})
+          SELECT ns, count(*) AS n_ops, count(DISTINCT id) AS n_ids
+          FROM env WHERE {_hash_sql('id', 0)} % 3 = 1
+          GROUP BY ns
+        """,
+        "drop_propagation": f"""
+          WITH env AS ({_ENV}),
+          kept AS (
+            SELECT * FROM env
+            WHERE NOT (ns = 'test.accounts' AND version < {_DROP_ACC_V})
+              AND NOT (split_part(ns, '.', 1) = 'skipme' AND version < {_DROP_SKIP_V})),
+          st AS (
+            SELECT ns, id, max(version) AS version
+            FROM kept GROUP BY ns, id
+            HAVING max_by(op, version) <> 'd')
+          SELECT ns, count(*) AS n_keys, max(version) AS max_version
+          FROM st GROUP BY ns
+        """,
+        "delete_via_sink_lookup": f"""
+          WITH env AS ({_ENV}),
+          st AS (
+            SELECT ns, id, max_by(value, version) AS last_value, max_by(k, version) AS last_k
+            FROM env WHERE op <> 'd' GROUP BY ns, id),
+          d AS (SELECT ns, id, version FROM env WHERE op = 'd' AND ns = 'test.users')
+          SELECT d.id, d.version, last_value, last_k
+          FROM d JOIN st USING (ns, id)
+        """,
+        "direct_read_union": """
+          SELECT 'testdata.customer' AS ns, 'direct' AS source, count(*) AS n_ops,
+                 count(DISTINCT c_custkey) AS n_ids, CAST(0 AS BIGINT) AS max_version FROM customer
+          UNION ALL
+          SELECT 'testdata.orders', 'direct', count(*), count(DISTINCT o_orderkey), 0 FROM orders
+          UNION ALL
+          SELECT 'testdata.part', 'direct', count(*), count(DISTINCT p_partkey), 0 FROM part
+        """,
+        "stream_hourly_windows": """
+          SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1, 2
+        """,
+        "stream_session_windows": """
+          WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          s AS (
+            SELECT user_id, ts, value,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+            FROM g)
+          SELECT user_id, min(epoch_us(ts)) AS session_start_us, count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          FROM s GROUP BY user_id, sess_no
+        """,
+        "stream_dedup_keys": """
+          SELECT DISTINCT user_id, event_type FROM events
         """,
         "udf_mapper_pipeline": f"""
           WITH env AS ({_ENV}),

@@ -82,6 +82,24 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+#: BPE-style pre-tokenization pattern (the GPT-2 pre-tokenizer shape,
+#: simplified to the subset whose semantics are identical in Java regex
+#: and DuckDB's RE2): letter runs, single digits, punctuation runs.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization: the units a byte-pair encoder would
+    merge from. A cheap-but-useful proxy for LLM token counts (letters
+    cluster, digits split, punctuation separates) that stays inside
+    whole-stage codegen — no tokenizer library in the hot path."""
+    return F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def shingle_hash(shingle: Column, seed: int) -> Column:
     """Deterministic 32-bit-ish hash of a shingle for MinHash, built
     from md5 so the DuckDB oracle can reproduce it bit-for-bit:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from monstache_spark.functions.text import fingerprint, shingle_hash, word_shingles
 
@@ -167,6 +168,94 @@ def minhash_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-char gram of the canonicalized text, keep
+    the minimum of each window of ``w`` consecutive gram hashes; the
+    distinct sorted minima are the fingerprint set. Every exact match
+    of length >= w+k-1 shares a fingerprint.
+
+    Exploded-row formulation on purpose: one row per gram position,
+    window-min over a ``w``-row frame, then collect per doc. An
+    array-HOF version (transform over sequence + slice) looks natural
+    but Catalyst's projection collapse re-inlines the gram array into
+    every window element — O(len^2) md5 calls per document, unusable
+    beyond toy docs. Here each gram hashes exactly once; the only
+    shuffle keys on (doc, position) for the window sort, and at corpus
+    scale the exploded rows are also the right input for
+    fingerprint-join dedup (hash-partition on the fingerprint)."""
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = docs.select(F.col(id_col), canon.alias("_canon"))
+    n = F.length(F.col("_canon"))
+    positions = base.select(
+        id_col,
+        "_canon",
+        F.explode(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))).alias("i"),
+    )
+    grams = positions.select(
+        id_col,
+        "i",
+        shingle_hash(F.col("_canon").substr(F.col("i"), F.lit(k)), 1).alias("h"),
+        (F.greatest(F.length("_canon") - F.lit(k) + 1, F.lit(1)) - w + 1).alias("_last_win"),
+    )
+    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    mins = grams.select(
+        id_col,
+        "i",
+        "_last_win",
+        F.min("h").over(win).alias("win_min"),
+    ).filter(F.col("i") <= F.greatest(F.col("_last_win"), F.lit(1)))
+    return mins.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("win_min")).alias("fps")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-dup: candidate pairs from a sign-sketch
+    LSH bucket self-join, verified with exact cosine >= threshold.
+
+    The bucket equi-join replaces the O(n^2) cross join — at corpus
+    scale, cost is sum of squared bucket sizes (~n^2 / 2^bits for
+    balanced buckets) and the shuffle key is the bucket id, so the
+    join co-locates without moving vectors twice. Sketches come from
+    fixed md5-derived hyperplanes (similarity.lsh_bucket), so the
+    result is deterministic and oracle-reproducible. Recall misses
+    pairs whose sketches differ; raise recall with fewer bits or
+    multi-probe — the standard LSH trade."""
+    from monstache_spark.functions.vectors import cosine_rounded
+    from monstache_spark.operators.similarity import lsh_bucket
+
+    sk = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+    )
+    a = sk.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+    )
+    b = sk.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", cosine_rounded(F.col("v_a"), F.col("v_b")).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 def ngram_jaccard_pairs(

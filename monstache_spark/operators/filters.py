@@ -68,8 +68,17 @@ def exclude_drop_namespaces(df: DataFrame, pattern: str, ns_col: str = "ns", op_
     return df.filter(~_is_drop(op_col) | ~F.col(ns_col).rlike(pattern))
 
 
-def worker_partition(df: DataFrame, worker: int, workers: int, id_col: str = "id") -> DataFrame:
+def worker_partition(
+    df: DataFrame,
+    worker: int,
+    workers: int,
+    id_col: str = "id",
+    hash_expr=None,
+) -> DataFrame:
     """F7 semantic twin: consistent-hash partition filter
     (monstache.go:4761-4769). Spark owns partitioning, so this exists
-    only for multi-pipeline sharding parity."""
-    return df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(workers)) == F.lit(worker))
+    only for multi-pipeline sharding parity. ``hash_expr`` swaps the
+    hash family (default xxhash64, the cheapest JVM-side choice; pass
+    the md5-derived shingle_hash for cross-engine reproducibility)."""
+    h = hash_expr(F.col(id_col)) if hash_expr is not None else F.xxhash64(F.col(id_col))
+    return df.filter(F.pmod(h, F.lit(workers)) == F.lit(worker))

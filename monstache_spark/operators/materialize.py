@@ -42,6 +42,41 @@ def last_state(ops: DataFrame, payload_cols: tuple[str, ...] = _STATE_COLS) -> D
     )
 
 
+def apply_drops(ops: DataFrame) -> DataFrame:
+    """K6 drop propagation as a set operation (doDrop
+    monstache.go:3056-3075): a ``drop`` op erases every event of its
+    namespace with a smaller version; ``dropDatabase`` erases every
+    namespace of its db (ns carries just the db name). Returns the
+    surviving non-drop ops.
+
+    The drop list is control-plane-tiny, so both joins broadcast — no
+    shuffle of the data stream at any scale."""
+    from monstache_spark.envelope import OP_DROP, OP_DROP_DB
+    from monstache_spark.operators.filters import ns_database
+
+    drops = ops.filter(F.col("op").isin(OP_DROP, OP_DROP_DB))
+    data = ops.filter(~F.col("op").isin(OP_DROP, OP_DROP_DB))
+    coll = (
+        drops.filter(F.col("op") == OP_DROP)
+        .groupBy(F.col("ns").alias("_drop_ns"))
+        .agg(F.max("version").alias("_drop_v"))
+    )
+    db = (
+        drops.filter(F.col("op") == OP_DROP_DB)
+        .groupBy(ns_database(F.col("ns")).alias("_drop_db"))
+        .agg(F.max("version").alias("_dbdrop_v"))
+    )
+    out = (
+        data.join(F.broadcast(coll), data["ns"] == coll["_drop_ns"], "left")
+        .join(F.broadcast(db), ns_database(data["ns"]) == db["_drop_db"], "left")
+        .filter(
+            (F.col("_drop_v").isNull() | (F.col("version") > F.col("_drop_v")))
+            & (F.col("_dbdrop_v").isNull() | (F.col("version") > F.col("_dbdrop_v")))
+        )
+    )
+    return out.drop("_drop_ns", "_drop_v", "_drop_db", "_dbdrop_v")
+
+
 def merge_upsert(state: DataFrame, batch: DataFrame) -> DataFrame:
     """MERGE a compacted op batch into an existing state table
     (emulated Delta MERGE per the reference's upsert semantics K1/K2 +

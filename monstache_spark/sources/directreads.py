@@ -77,6 +77,25 @@ class DirectReadManifest:
         return [ns for ns in namespaces if ns not in done]
 
 
+def snapshot_envelope(df: DataFrame, ns: str, id_col: str) -> DataFrame:
+    """Wrap a collection snapshot as CDC envelope rows: every row is an
+    insert op with ``source='direct'`` and version 0 — direct-read ops
+    carry synthetic timestamps in the reference (monstache.go:1288-1292)
+    and any concurrent stream op must win the version race (SURVEY.md
+    §7.3 'stream beats snapshot'), which version 0 guarantees."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.lit("i").alias("op"),
+        F.lit(ns).alias("ns"),
+        F.col(id_col).cast("string").alias("id"),
+        F.timestamp_micros(F.lit(0)).alias("ts"),
+        F.lit(0).cast("long").alias("ts_ord"),
+        F.lit("direct").alias("source"),
+        F.lit(0).cast("long").alias("version"),
+    )
+
+
 def direct_read(
     spark: SparkSession,
     sf_dir: str,

@@ -1,0 +1,104 @@
+"""Event-time windowed streaming operators (SURVEY.md §2.7).
+
+The reference has NO event-time aggregation — late data is handled only
+by the external version guard. These are the engine's extensions on the
+same envelope/source surface: tumbling-window aggregates, session
+windows, and watermark-scoped streaming dedup
+(``dropDuplicatesWithinWatermark``), each runnable with
+``trigger(availableNow)`` so tests/backfills drain the source and stop.
+
+Scale notes: windowed aggregation state is keyed (window, group) and
+partial-aggregates map-side before the single shuffle; watermarks bound
+the state store (without one, 100 TB of stream history would accumulate
+in the state store). Session windows merge in the state store keyed by
+user — skewed users are the hazard; cap session length in config if a
+key never goes idle.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    from monstache_spark.sources.testdata import ensure_session_confs, normalize_nanos
+
+    ensure_session_confs(spark)
+    schema = spark.read.parquet(events_path).schema
+    base_dir, fname = os.path.split(events_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base_dir)
+    )
+    return normalize_nanos(stream)
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    name = "mem_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def hourly_window_counts(
+    spark: SparkSession, events_path: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type. Watermark
+    bounds state; complete output emits every window when the bounded
+    source drains (the batch-parity mode for tests)."""
+    ev = _events_stream(spark, events_path).withWatermark("ts", watermark)
+    agg = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+    out = _run_to_memory(agg, spark, "complete")
+    return out.select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def session_windows(
+    spark: SparkSession, events_path: str, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session_window sessionization — the streaming twin of the
+    batch lag+cumsum formulation (operators: sessionize_events)."""
+    ev = _events_stream(spark, events_path).withWatermark("ts", watermark)
+    agg = ev.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    out = _run_to_memory(agg, spark, "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def stream_dedup_keys(
+    spark: SparkSession, events_path: str, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermark-scoped streaming dedup: at most one row per key while
+    the key is inside the watermark window; state auto-expires after it
+    (dropDuplicatesWithinWatermark). Returns the surviving key set —
+    WHICH duplicate survives is arrival-order-dependent, so only the
+    keys are deterministic."""
+    ev = _events_stream(spark, events_path).withWatermark("ts", watermark)
+    deduped = ev.dropDuplicatesWithinWatermark(keys)
+    out = _run_to_memory(deduped, spark, "append")
+    return out.select(*keys)

@@ -1,0 +1,105 @@
+"""Winnowing, embedding near-dup, BPE tokens, drops, snapshots,
+streaming windows (the round-1 coverage additions)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from monstache_spark.envelope import events_to_envelope
+from monstache_spark.functions.text import bpe_token_count, bpe_tokens
+from monstache_spark.operators.dedup import embedding_near_dup_pairs, winnow_fingerprints
+from monstache_spark.operators.filters import worker_partition
+from monstache_spark.operators.materialize import apply_drops, last_state
+from monstache_spark.sources.directreads import snapshot_envelope
+
+
+def _winnow_python(text: str, k: int = 8, w: int = 4) -> list[int]:
+    import re
+
+    canon = re.sub(r"\s+", " ", text.strip().lower())
+    n_pos = max(len(canon) - k + 1, 1)
+    grams = [
+        int(hashlib.md5(f"1:{canon[i:i + k]}".encode()).hexdigest()[:8], 16)
+        for i in range(n_pos)
+    ]
+    n_win = max(len(grams) - w + 1, 1)
+    mins = [min(grams[j:j + w]) for j in range(n_win)]
+    return sorted(set(mins))
+
+
+def test_winnow_matches_reference_python(spark):
+    docs = spark.createDataFrame(
+        [(1, "The quick  Brown fox jumps over the lazy dog"), (2, "tiny")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: list(r["fps"]) for r in winnow_fingerprints(docs).collect()}
+    assert got[1] == _winnow_python("The quick  Brown fox jumps over the lazy dog")
+    assert got[2] == _winnow_python("tiny")
+
+
+def test_winnow_shared_fingerprint_for_common_substring(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "PREFIX " + a + " SUFFIX"
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = {r["doc_id"]: set(r["fps"]) for r in winnow_fingerprints(docs).collect()}
+    assert got[1] & got[2]  # long shared substring must share >= 1 fingerprint
+
+
+def test_embedding_near_dup_finds_planted_pair(spark):
+    base = [1.0, 0.0, 0.5, 0.25]
+    near = [1.0, 0.01, 0.5, 0.25]
+    far = [-1.0, 0.5, -0.5, 2.0]
+    emb = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = embedding_near_dup_pairs(emb, dim=4, bits=2, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_bpe_tokens_shape(spark):
+    df = spark.createDataFrame([("Hello, world! v2.0 costs $45",)], "text string")
+    toks = df.select(bpe_tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == ["Hello", ",", "world", "!", "v", "2", ".", "0", "costs", "$", "4", "5"]
+    n = df.select(bpe_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    assert n == len(toks)
+
+
+def test_worker_partition_covers_everything(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(100)], "id string")
+    shards = [worker_partition(df, w, 3).count() for w in range(3)]
+    assert sum(shards) == 100
+    assert all(s > 0 for s in shards)
+
+
+def test_apply_drops_erases_then_revives(spark):
+    rows = [
+        ("i", "db.a", "1", 10),
+        ("u", "db.a", "1", 20),   # erased by the drop at v=25
+        ("drop", "db.a", None, 25),
+        ("i", "db.a", "1", 30),   # re-created after the drop
+        ("i", "db.b", "2", 15),   # other ns untouched by collection drop
+        ("dropDatabase", "other", None, 100),
+        ("i", "other.x", "3", 50),  # erased by the db drop
+    ]
+    ops = spark.createDataFrame(rows, "op string, ns string, id string, version long")
+    out = apply_drops(ops).select("ns", "id", "version").collect()
+    got = {(r["ns"], r["id"], r["version"]) for r in out}
+    assert got == {("db.a", "1", 30), ("db.b", "2", 15)}
+
+
+def test_snapshot_envelope_versions_lose_to_stream(spark):
+    snap = snapshot_envelope(
+        spark.createDataFrame([(7, "x")], "c_custkey long, c_name string"),
+        "test.customer",
+        "c_custkey",
+    )
+    stream = spark.createDataFrame(
+        [("u", "test.customer", "7", None, 5, "oplog", 99)],
+        "op string, ns string, id string, ts timestamp, ts_ord long, source string, version long",
+    ).withColumn("ts", F.timestamp_micros(F.lit(1000)))
+    merged = snap.unionByName(stream)
+    state = last_state(merged, payload_cols=("op", "source"))
+    row = state.collect()[0]
+    assert row["last_source"] == "oplog" and row["version"] == 99
