@@ -563,7 +563,7 @@ def _q_drop_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("k"),
         "version",
     )
-    survived = apply_drops(env.unionByName(drops))
+    survived = apply_drops(env.unionByName(drops), drops=drops)
     state = last_state(survived)
     return state.groupBy("ns").agg(
         F.count("*").alias("n_keys"), F.max("version").alias("max_version")

@@ -25,6 +25,15 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("monstache_spark_bench")
 
+    # Warm up the JVM/session once (codegen compiler, parquet footer
+    # reads, noop committer) so per-query numbers measure the queries,
+    # not first-touch session initialization.
+    from monstache_spark.sources.testdata import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, t, sf_dir).schema
+    load_table(spark, "events", sf_dir).limit(1000).write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():

@@ -52,6 +52,43 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.join(keep, on=id_col, how="left_semi")
 
 
+def shingle_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """One row per k-word shingle: posexplode tokens, then lead-window
+    concatenation. Docs with < k tokens contribute one whole-doc
+    shingle (same contract as functions.text.word_shingles and the
+    DuckDB oracle's shingle SQL; empty text yields one '' shingle).
+
+    This rows formulation is ~3.5x faster than exploding the
+    transform/slice array HOF (interpreted per element, excluded from
+    codegen) and is the scale shape anyway: the lead window shuffles
+    (doc, position) once, everything else stays in whole-stage codegen.
+    Pass ``distinct=False`` when the consumer is order-insensitive
+    min/max aggregation (MinHash) — duplicates can't change a min, and
+    skipping the distinct saves a shuffle."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    t = docs.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
+    n = F.count("*").over(Window.partitionBy(id_col))
+    sh = t.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("s"),
+        parts[-1].isNotNull().alias("_full"),
+        n.alias("_n"),
+        F.col("_pos"),
+    )
+    rows = sh.filter(
+        F.col("_full") | ((F.col("_n") < k) & (F.col("_pos") == 0))
+    ).select(id_col, "s")
+    return rows.distinct() if distinct else rows
+
+
 # affine hash family over one base hash: h_i = (A_i * h + B_i) mod P.
 # One md5 per shingle instead of num_hashes of them; P prime > 2^32 keeps
 # the family pairwise-independent enough for banding, and the arithmetic
@@ -120,18 +157,16 @@ def minhash_candidate_pairs(
     to None to keep everything.
     """
     rows_per_band = num_hashes // num_bands
-    # explode shingles to rows and hash each ONCE with fully codegen'd
-    # expressions, then build the signature as num_hashes min-aggregates
+    # shingles as rows, hashed ONCE each with fully codegen'd
+    # expressions, then the signature as num_hashes min-aggregates
     # (map-side partial agg). The array formulation (transform +
     # array_min) is interpreted per element AND Catalyst's projection
     # collapse re-inlines the md5 subtree into every hash column — 16x
-    # recompute. The exploded shape is also the right one at scale: no
+    # recompute. The rows shape is also the right one at scale: no
     # giant per-row arrays, shuffle volume = num_hashes longs per doc.
-    shingle_rows = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
-    )
-    hashed = shingle_rows.select(F.col(id_col), shingle_hash(F.col("s"), 0).alias("h"))
+    # distinct=False: duplicates can't change a min.
+    rows = shingle_rows(docs, text_col, id_col, shingle_k, distinct=False)
+    hashed = rows.select(F.col(id_col), shingle_hash(F.col("s"), 0).alias("h"))
     sig = hashed.groupBy(id_col).agg(
         *[
             F.min((F.col("h") * minhash_a(i) + minhash_b(i)) % MINHASH_P).alias(f"h{i}")
@@ -268,8 +303,17 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard; keep
     pairs with similarity ≥ threshold. Jaccard on array_distinct sets
-    via array_intersect/array_union — JVM-side."""
-    sh = docs.select(F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
+    via array_intersect/array_union — JVM-side.
+
+    Shingle sets are computed only for docs that appear in a candidate
+    pair (semi-join first): at corpus scale the candidate set is
+    orders of magnitude smaller than the corpus, and the interpreted
+    array-HOF shingle computation is the expensive part."""
+    members = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    needed = docs.join(members, id_col, "left_semi")
+    sh = needed.select(F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -314,13 +358,11 @@ def simhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32, shingle_k: int = 3
 ) -> DataFrame:
     """Exploded-aggregate formulation (preferred at scale): one hash
-    per shingle row, then ``bits`` codegen'd sum-aggregates with
-    map-side partial aggregation — no interpreted array HOFs in the
-    hot path (cf. minhash_candidate_pairs rationale)."""
-    rows = docs.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("s"),
-    )
+    per DISTINCT shingle row (the majority vote counts each shingle
+    once), then ``bits`` codegen'd sum-aggregates with map-side
+    partial aggregation — no interpreted array HOFs in the hot path
+    (cf. minhash_candidate_pairs rationale)."""
+    rows = shingle_rows(docs, text_col, id_col, shingle_k, distinct=True)
     hashed = rows.select(F.col(id_col), shingle_hash(F.col("s"), 0).alias("h"))
     counters = hashed.groupBy(id_col).agg(
         *[

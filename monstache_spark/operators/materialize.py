@@ -42,7 +42,7 @@ def last_state(ops: DataFrame, payload_cols: tuple[str, ...] = _STATE_COLS) -> D
     )
 
 
-def apply_drops(ops: DataFrame) -> DataFrame:
+def apply_drops(ops: DataFrame, drops: DataFrame | None = None) -> DataFrame:
     """K6 drop propagation as a set operation (doDrop
     monstache.go:3056-3075): a ``drop`` op erases every event of its
     namespace with a smaller version; ``dropDatabase`` erases every
@@ -50,11 +50,15 @@ def apply_drops(ops: DataFrame) -> DataFrame:
     surviving non-drop ops.
 
     The drop list is control-plane-tiny, so both joins broadcast — no
-    shuffle of the data stream at any scale."""
+    shuffle of the data stream at any scale. Pass ``drops`` explicitly
+    when the caller already has the control-plane ops separated:
+    deriving them from ``ops`` costs two extra full scans of the
+    stream (one per broadcast build side)."""
     from monstache_spark.envelope import OP_DROP, OP_DROP_DB
     from monstache_spark.operators.filters import ns_database
 
-    drops = ops.filter(F.col("op").isin(OP_DROP, OP_DROP_DB))
+    if drops is None:
+        drops = ops.filter(F.col("op").isin(OP_DROP, OP_DROP_DB))
     data = ops.filter(~F.col("op").isin(OP_DROP, OP_DROP_DB))
     coll = (
         drops.filter(F.col("op") == OP_DROP)
