@@ -633,6 +633,77 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stateful_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-namespace running op counters maintained in keyed state across
+    micro-batches."""
+    from monstache_spark.streaming.stateful import run_op_counts_stream
+
+    return run_op_counts_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus partitioned into centroid cells, queries probe
+    the 4 nearest of 16 cells (deterministic lowest-id centroids)."""
+    from monstache_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+def _q_json_dynamic_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-document mode (SURVEY.md §1.2 representation 1): the doc
+    payload handled as a JSON string via get_json_object — per-key
+    aggregation over a JSON-extracted field."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def _q_full_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end plan builder: config → guards → include regex →
+    per-namespace mappers (global + scoped, tombstone + skip) →
+    predicate filters → routing → version-guarded state — one Catalyst
+    plan from one config object (plans/builder.py)."""
+    from monstache_spark.operators.udf import NamespaceFilter, NamespaceMapper
+    from monstache_spark.plans.builder import EnginePlan, build_outputs
+
+    plan = EnginePlan(
+        namespace_regex=r"^(test|fs)\..+",
+        dropped_namespaces=False,
+        mappers=[
+            NamespaceMapper(
+                namespace="",
+                columns={"value_cat": lambda: F.when(F.col("value") >= 100, "high").otherwise("low")},
+            ),
+            NamespaceMapper(
+                namespace="test.users",
+                columns={"value": lambda: F.col("value") * 2},
+                drop_when=lambda: F.col("value") < 20,
+                skip_when=lambda: F.col("k") % 10 == 0,
+            ),
+        ],
+        filters=[NamespaceFilter("test.accounts", lambda: F.col("value") >= 5)],
+        index_overrides={"test.users": "users_v2"},
+    )
+    outputs = build_outputs(_env(spark, sf_dir), plan)
+    routed = outputs["ops"]
+    return routed.groupBy("_index", "op").agg(
+        F.count("*").alias("n_ops"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        F.count(F.when(F.col("value_cat") == "high", 1)).alias("n_high"),
+    )
+
+
 def _q_udf_mapper_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M2 + F5/F6 + F8: per-namespace mapper (doc rewrite, falsy->
     tombstone, skip flag) and predicate filter, compiled into one
@@ -767,6 +838,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_windows": _q_stream_hourly_windows,
         "stream_session_windows": _q_stream_session_windows,
         "stream_dedup_keys": _q_stream_dedup,
+        "stateful_op_counts": _q_stateful_op_counts,
+        "ivf_ann_topk": _q_ivf_topk,
+        "json_dynamic_doc": _q_json_dynamic_doc,
+        "full_plan_pipeline": _q_full_plan,
         "udf_mapper_pipeline": _q_udf_mapper_pipeline,
         "file_enrichment": _q_file_enrichment,
         "merge_patch_history": _q_merge_patch_history,
@@ -1177,6 +1252,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
           SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stateful_op_counts": f"""
+          WITH env AS ({_ENV})
+          SELECT ns,
+                 count(*) FILTER (op = 'i') AS n_i,
+                 count(*) FILTER (op = 'u') AS n_u,
+                 count(*) FILTER (op = 'd') AS n_d,
+                 count(*) AS n_total
+          FROM env GROUP BY ns
+        """,
+        "ivf_ann_topk": f"""
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+          ca AS (SELECT e.vec_id, cid, {_cos_sql('e.v', 'cv')} AS c_score FROM e CROSS JOIN cen),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cid ASC) AS r FROM ca),
+          cells AS (SELECT vec_id AS corpus_id, cid AS cell FROM ranked WHERE r = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+                     WHERE r <= 4 AND vec_id >= 20 AND vec_id < 40),
+          s AS (SELECT p.query_id, c.corpus_id, {_cos_sql('qe.v', 'ce.v')} AS score
+                FROM probes p
+                JOIN cells c ON p.cell = c.cell AND p.query_id <> c.corpus_id
+                JOIN e qe ON qe.vec_id = p.query_id
+                JOIN e ce ON ce.vec_id = c.corpus_id),
+          r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank FROM s)
+          SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "json_dynamic_doc": """
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+          FROM events GROUP BY 1
+        """,
+        "full_plan_pipeline": f"""
+          WITH env AS ({_ENV}),
+          base AS (SELECT * FROM env WHERE {_GUARDS}
+                   AND (op IN ('drop', 'dropDatabase') OR regexp_matches(ns, '^(test|fs)\\..+'))
+                   AND length(id) BETWEEN 1 AND 512),
+          g AS (SELECT *, CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS value_cat FROM base),
+          m AS (SELECT op, ns, id, k, value_cat,
+                       CASE WHEN ns = 'test.users' THEN value * 2 ELSE value END AS value
+                FROM g),
+          t AS (SELECT CASE WHEN ns = 'test.users' AND value < 20 THEN 'd' ELSE op END AS op,
+                       ns, id, k, value, value_cat
+                FROM m),
+          sk AS (SELECT * FROM t WHERE NOT (ns = 'test.users' AND k % 10 = 0)),
+          f AS (SELECT * FROM sk
+                WHERE NOT (op IN ('i', 'u') AND ns = 'test.accounts') OR value >= 5),
+          r AS (SELECT CASE WHEN ns = 'test.users' THEN 'users_v2' ELSE lower(ns) END AS "_index",
+                       op, value, value_cat
+                FROM f)
+          SELECT "_index", op, count(*) AS n_ops,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                 count(CASE WHEN value_cat = 'high' THEN 1 END) AS n_high
+          FROM r GROUP BY 1, 2
         """,
         "udf_mapper_pipeline": f"""
           WITH env AS ({_ENV}),

@@ -71,6 +71,69 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
     return acc
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rank_limit: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``rank_limit`` nearest centroids by
+    cosine (rank 1 = cell assignment; >1 = multi-probe list). The
+    centroid set broadcasts — it is index-metadata-sized (hundreds to
+    thousands of rows) at any corpus scale."""
+    c = F.broadcast(
+        centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(c).select(
+        id_col,
+        vec_col,
+        "cid",
+        cosine_rounded(F.col(vec_col), F.col("c_vec")).alias("c_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col("cid").asc())
+    return scored.withColumn("c_rank", F.row_number().over(w)).filter(
+        F.col("c_rank") <= rank_limit
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k: corpus partitioned into centroid
+    cells, queries probe only their ``n_probe`` nearest cells.
+
+    Centroids here are the ``n_centroids`` lowest-id vectors —
+    deterministic and oracle-reproducible; a production index would
+    k-means them (pyspark.ml.clustering.KMeans) without changing any
+    plan shape below. At scale the corpus is written partitioned by
+    ``cell`` so a query's probe list prunes partitions at the scan:
+    cost ~ (n_probe / n_centroids) of the corpus per query, and the
+    cell equi-join replaces the brute-force cross join."""
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"), F.col("cid").alias("cell")
+    )
+    probes = ivf_assign(queries, centroids, vec_col, id_col, rank_limit=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col("cid").alias("cell")
+    )
+    scored = probes.join(cells, "cell").filter(
+        F.col("query_id") != F.col("corpus_id")
+    ).select(
+        "query_id", "corpus_id", cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score")
+    )
+    # a corpus vector can surface via several probed cells only if
+    # duplicated — cell assignment is unique, so no dedup needed
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,0 +1,89 @@
+"""Config → logical-plan builder: the whole §3.1 lifecycle as ONE
+declarative DataFrame composition.
+
+The reference assembles its pipeline at config-load time into
+goroutine pools connected by channels (routeOp monstache.go:3479-3488,
+worker stages monstache.go:4471-4498, 5103-5131). Here the same config
+surface compiles into a single Catalyst plan per output: filters →
+drops → per-namespace mappers/filters → relate fan-out → routing →
+outputs (state merge, time machine, patch history). Stage boundaries
+become plan nodes inside one job instead of threads; Catalyst fuses
+the whole map/filter chain into one codegen stage, and the only
+shuffles are the ones the semantics require (relate joins, the state
+merge key shuffle).
+
+This module is the "per-namespace config routing" custom piece of
+SURVEY.md §7.3 — plain DataFrame code, zero custom Catalyst rules.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from monstache_spark.envelope import id_guard
+from monstache_spark.operators import filters as Flt
+from monstache_spark.operators.materialize import apply_drops, last_state
+from monstache_spark.operators.relate import Relation, relate_chain
+from monstache_spark.operators.routing import map_index
+from monstache_spark.operators.timemachine import time_machine_rows
+from monstache_spark.operators.udf import (
+    NamespaceFilter,
+    NamespaceMapper,
+    apply_filters,
+    apply_mappers,
+)
+
+
+@dataclass
+class EnginePlan:
+    """The config surface that shapes the DAG (TOML-name parity where
+    the reference has one)."""
+
+    namespace_regex: str | None = None            # F2  namespace-regex
+    namespace_exclude_regex: str | None = None    # F3  namespace-exclude-regex
+    dropped_namespaces: bool = True               # K6  dropped-databases/-collections
+    mappers: list[NamespaceMapper] = field(default_factory=list)     # M1/M2 script/plugin
+    filters: list[NamespaceFilter] = field(default_factory=list)     # F5/F6 filter
+    relations: list[Relation] = field(default_factory=list)          # J1 relate
+    index_overrides: dict[str, str] = field(default_factory=dict)    # M4 index-mapping
+    time_machine: bool = False                    # K7 index-oplog-time
+    history_overrides: dict[str, str] = field(default_factory=dict)
+
+
+def build_outputs(
+    ops: DataFrame,
+    plan: EnginePlan,
+    collections: dict[str, DataFrame] | None = None,
+) -> dict[str, DataFrame]:
+    """Compile the plan against an envelope stream/batch. Returns the
+    named output frames; nothing is executed until a sink pulls them
+    (the same frames serve foreachBatch bodies and batch backfills)."""
+    out = Flt.system_guards(ops)
+    if plan.namespace_regex:
+        out = Flt.include_namespaces(out, plan.namespace_regex)
+    if plan.namespace_exclude_regex:
+        out = Flt.exclude_namespaces(out, plan.namespace_exclude_regex)
+    out = id_guard(out)
+    if plan.dropped_namespaces:
+        out = apply_drops(out)
+    out = apply_mappers(out, plan.mappers)
+    out = apply_filters(out, plan.filters)
+
+    outputs: dict[str, DataFrame] = {}
+    if plan.relations and collections:
+        # relations fire only for ops in their source namespace
+        # (processRelated is keyed by op namespace, monstache.go:3419-3430)
+        start = out.filter(F.col("ns") == plan.relations[0].namespace)
+        hops = relate_chain(collections, start, plan.relations)
+        for i, hop in enumerate(hops):
+            outputs[f"relate_hop{i + 1}"] = hop
+
+    routed = map_index(out, plan.index_overrides)
+    outputs["ops"] = routed
+    outputs["state"] = last_state(routed.drop("_index"))
+    if plan.time_machine:
+        outputs["time_machine"] = time_machine_rows(out, plan.history_overrides)
+    return outputs
