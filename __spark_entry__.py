@@ -704,6 +704,47 @@ def _q_full_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_routing_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3/M5/F8: docs carrying _meta_monstache {index, routing, skip}
+    override routing; skipped rows vanish; body stamped with the
+    formatted oplog date (parseIndexMeta monstache.go:1377-1403,
+    prepareDataForIndexing monstache.go:1360-1375)."""
+    from monstache_spark.operators.routing import extract_meta, prepare_for_indexing
+
+    env = Flt.system_guards(_env(spark, sf_dir))
+    with_meta = env.withColumn(
+        "_meta_monstache",
+        F.struct(
+            F.when(F.col("k") % 3 == 0, F.lit("custom_idx")).alias("index"),
+            (F.col("k") % 8).cast("string").alias("routing"),
+            (F.col("k") % 13 == 0).alias("skip"),
+        ),
+    )
+    extracted = extract_meta(with_meta)
+    kept = extracted.filter(~F.col("_skip"))
+    routed = kept.withColumn("_index", F.coalesce(F.col("_index"), F.lower(F.col("ns"))))
+    stamped = prepare_for_indexing(routed, date_field="oplog_date")
+    return stamped.groupBy("_index", "_routing").agg(
+        F.count("*").alias("n_ops"), F.max("oplog_date").alias("max_oplog_date")
+    )
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY.md §2.5): intersect / except / union of
+    customer-key sets from two order segments."""
+    orders = load_table(spark, "orders", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    rows = [
+        urgent.intersect(finished).select(F.lit("intersect").alias("set_op"), "o_custkey"),
+        urgent.exceptAll(urgent.intersect(finished)).select(F.lit("except").alias("set_op"), "o_custkey"),
+    ]
+    both = rows[0].unionByName(rows[1])
+    return both.groupBy("set_op").agg(
+        F.count("*").alias("n_customers"), F.min("o_custkey").alias("min_key"), F.max("o_custkey").alias("max_key")
+    )
+
+
 def _q_udf_mapper_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1/M2 + F5/F6 + F8: per-namespace mapper (doc rewrite, falsy->
     tombstone, skip flag) and predicate filter, compiled into one
@@ -842,6 +883,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_topk,
         "json_dynamic_doc": _q_json_dynamic_doc,
         "full_plan_pipeline": _q_full_plan,
+        "routing_meta_extract": _q_routing_meta,
+        "set_ops_customers": _q_set_ops,
         "udf_mapper_pipeline": _q_udf_mapper_pipeline,
         "file_enrichment": _q_file_enrichment,
         "merge_patch_history": _q_merge_patch_history,
@@ -1306,6 +1349,34 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                  count(CASE WHEN value_cat = 'high' THEN 1 END) AS n_high
           FROM r GROUP BY 1, 2
+        """,
+        "routing_meta_extract": f"""
+          WITH env AS ({_ENV}), guarded AS (SELECT * FROM env WHERE {_GUARDS}),
+          m AS (
+            SELECT *,
+                   CASE WHEN k % 3 = 0 THEN 'custom_idx' END AS meta_index,
+                   CAST(k % 8 AS VARCHAR) AS meta_routing,
+                   (k % 13 = 0) AS meta_skip
+            FROM guarded),
+          kept AS (SELECT * FROM m WHERE NOT meta_skip),
+          r AS (SELECT coalesce(meta_index, lower(ns)) AS "_index",
+                       meta_routing AS "_routing",
+                       strftime(ts, '%Y/%m/%d %H:%M:%S') AS oplog_date
+                FROM kept)
+          SELECT "_index", "_routing", count(*) AS n_ops, max(oplog_date) AS max_oplog_date
+          FROM r GROUP BY 1, 2
+        """,
+        "set_ops_customers": """
+          WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+          finished AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+          i AS (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM finished),
+          x AS (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM i),
+          tagged AS (
+            SELECT 'intersect' AS set_op, o_custkey FROM i
+            UNION ALL
+            SELECT 'except', o_custkey FROM x)
+          SELECT set_op, count(*) AS n_customers, min(o_custkey) AS min_key, max(o_custkey) AS max_key
+          FROM tagged GROUP BY set_op
         """,
         "udf_mapper_pipeline": f"""
           WITH env AS ({_ENV}),

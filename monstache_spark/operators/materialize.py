@@ -27,19 +27,36 @@ from monstache_spark.envelope import OP_DELETE
 _STATE_COLS = ("op", "ts", "ts_ord", "value", "k")
 
 
+_OP_CODE = {"i": 0, "u": 1, "d": 2, "drop": 3, "dropDatabase": 4}
+
+
 def last_state(ops: DataFrame, payload_cols: tuple[str, ...] = _STATE_COLS) -> DataFrame:
     """Compact an op batch to final per-key state (deletes applied).
 
     ``max_by(col, version)`` is deterministic here because the envelope
     guarantees version uniqueness per event (envelope.py).
-    """
-    aggs = [F.max_by(F.col(c), F.col("version")).alias(f"last_{c}") for c in payload_cols]
+
+    The ``op`` payload is aggregated as a byte code, not a string:
+    HashAggregate requires every aggregation-buffer field to be a
+    mutable (fixed-width) type — one string in the buffer and the whole
+    aggregate silently degrades to SortAggregate, which SORTS the full
+    stream map-side before the partial agg. With all-primitive buffers
+    this is a real hash aggregate: map-side partial combine, one
+    exchange of ~|distinct keys|, no sort anywhere. (Grouping keys may
+    be strings either way — only the buffer must be fixed-width.)"""
+    op_code = F.lit(None).cast("tinyint")
+    for name, code in reversed(_OP_CODE.items()):
+        op_code = F.when(F.col("op") == name, F.lit(code).cast("tinyint")).otherwise(op_code)
+
+    aggs = []
+    for c in payload_cols:
+        src = op_code if c == "op" else F.col(c)
+        aggs.append(F.max_by(src, F.col("version")).alias(f"last_{c}"))
     aggs.append(F.max("version").alias("version"))
     compacted = ops.groupBy("ns", "id").agg(*aggs)
-    return (
-        compacted.filter(F.col("last_op") != OP_DELETE)
-        .drop("last_op")
-    )
+    if "op" in payload_cols:
+        compacted = compacted.filter(F.col("last_op") != _OP_CODE[OP_DELETE]).drop("last_op")
+    return compacted
 
 
 def apply_drops(ops: DataFrame, drops: DataFrame | None = None) -> DataFrame:

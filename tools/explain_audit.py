@@ -1,0 +1,108 @@
+"""Physical-plan audit: assert the plans have the shape they must have
+at 100 TB — filters pushed to the parquet scan, columns pruned,
+dimension joins broadcast, codegen in the hot path.
+
+    python tools/explain_audit.py [sf_dir]
+
+Prints PASS/FAIL per assertion and each audited plan on failure.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from monstache_spark.session import get_spark
+
+
+def plan_of(df) -> str:
+    # execute first so AQE finalizes; '*' node markers == codegen'd
+    df.collect()
+    full = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    # keep the final-plan tree + node details, drop the initial-plan tree
+    head, _, rest = full.partition("== Initial Plan ==")
+    details = rest.partition("\n\n")[2] if rest else ""
+    return head + details
+
+
+CHECKS = [
+    # (query, description, predicate over formatted plan text)
+    (
+        "q1_pricing_summary",
+        "shipdate filter pushed to lineitem scan",
+        lambda p: re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", p),
+    ),
+    (
+        "q1_pricing_summary",
+        "column pruning: scan reads only needed lineitem columns",
+        lambda p: "l_comment" not in p and "l_shipmode" not in p,
+    ),
+    (
+        "q3_top_orders",
+        "customer dim side broadcast",
+        lambda p: "BroadcastHashJoin" in p,
+    ),
+    (
+        "q3_top_orders",
+        "top-10 executes as TakeOrderedAndProject (no global sort)",
+        lambda p: "TakeOrderedAndProject" in p,
+    ),
+    (
+        "relate_orders_customer",
+        "relate join broadcasts the target collection",
+        lambda p: "BroadcastHashJoin" in p,
+    ),
+    (
+        "cdc_materialize",
+        "materialize is a codegen hash agg: partial+final, ONE exchange, no sort",
+        lambda p: p.count("Exchange (") == 1
+        and "* HashAggregate" in p
+        and "SortAggregate" not in p,
+    ),
+    (
+        "ns_include_filter",
+        "namespace filters fused into the scan stage as one codegen filter",
+        lambda p: "* Filter" in p and "SortAggregate" not in p,
+    ),
+    (
+        "customers_without_orders",
+        "anti join broadcasts when the build side is small",
+        lambda p: "BroadcastHashJoin" in p and "LeftAnti" in p,
+    ),
+    (
+        "dedup_exact_clusters",
+        "documents scan prunes to (doc_id, text)",
+        lambda p: "lang" not in p and "n_chars" not in p,
+    ),
+    (
+        "minhash_pairs",
+        "shingle pipeline is hash-agg/codegen throughout (no sort agg)",
+        lambda p: "* HashAggregate" in p and "SortAggregate" not in p,
+    ),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    qs = entrymod.queries()
+    failures = 0
+    plans: dict[str, str] = {}
+    for name, desc, pred in CHECKS:
+        if name not in plans:
+            plans[name] = plan_of(qs[name](spark, sf_dir))
+        ok = bool(pred(plans[name]))
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {desc}")
+        if not ok:
+            failures += 1
+            print(plans[name][:4000])
+    print(f"\n{failures} failures" if failures else "\nall plans clean")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
