@@ -386,6 +386,15 @@ def _q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over lineitem flags (all 4 combinations)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
 def _q_pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order priorities into columns (sum of totalprice)."""
     orders = load_table(spark, "orders", sf_dir)
@@ -862,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "window_rank_lag": _q_window_rank_lag,
         "rollup_orders": _q_rollup_orders,
+        "cube_lineitem_flags": _q_cube_lineitem,
         "pivot_status_priority": _q_pivot_status_priority,
         "customers_without_orders": _q_customers_without_orders,
         "distinct_users_per_type": _q_distinct_users,
@@ -1167,6 +1177,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
           FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "cube_lineitem_flags": """
+          SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "pivot_status_priority": """
           SELECT o_orderstatus,

@@ -80,14 +80,22 @@ def run_op_counts_stream(spark: SparkSession, events_path: str) -> DataFrame:
     ops = events_to_envelope(normalize_nanos(stream))
     out = running_op_counts(ops)
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store instances are allocated per shuffle partition and AQE
+    # cannot coalesce stateful exchanges — size the state partitioning
+    # to the key cardinality (namespaces), not the CPU count
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # totals only grow; max per key == last update
     return (
         spark.table(name)
