@@ -713,6 +713,60 @@ def _q_full_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language stopword scorer: per-language ratios + argmax
+    guess with deterministic tiebreak (functions/text.lang_guess)."""
+    from monstache_spark.functions.text import lang_guess
+
+    docs = load_table(spark, "documents", sf_dir)
+    ratios, guess = lang_guess(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[F.round(r, 6).alias(f"r_{lang}") for lang, r in ratios.items()],
+        guess.alias("lang_guess"),
+    )
+
+
+def _q_drop_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 drop-scoped include regex: only drops matching the pattern
+    survive; data ops are exempt (filterDropWithRegex
+    monstache.go:1464-1472)."""
+    env = _env(spark, sf_dir)
+    drops = spark.createDataFrame(
+        [("drop", "test.accounts"), ("drop", "skipme.audit"), ("dropDatabase", "other")],
+        "op string, ns string",
+    ).select(
+        "op", "ns",
+        F.lit(None).cast("string").alias("id"),
+        F.timestamp_micros(F.lit(0)).alias("ts"),
+        F.lit(0).cast("long").alias("ts_ord"),
+        F.lit("oplog").alias("source"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(None).cast("long").alias("k"),
+        F.lit(0).cast("long").alias("version"),
+    )
+    both = env.unionByName(drops)
+    kept = Flt.include_drop_namespaces(both, r"^test\.")
+    return kept.groupBy("op").agg(F.count("*").alias("n_ops"))
+
+
+def _q_protected_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 delete protection: deletes located by bare id against the
+    state table; applied only when exactly one state row matches
+    (monstache.go:4113-4139)."""
+    from monstache_spark.sinks.merge import protected_deletes
+
+    env = _env(spark, sf_dir)
+    state = last_state(env.filter(F.col("op") != "d"))
+    dels = env.filter(F.col("op") == "d").groupBy("id").agg(
+        F.max("version").alias("version")
+    )
+    applied, refused = protected_deletes(state, dels)
+    return applied.groupBy("ns").agg(
+        F.count("*").alias("n_applied"), F.max("version").alias("max_version")
+    )
+
+
 def _q_routing_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3/M5/F8: docs carrying _meta_monstache {index, routing, skip}
     override routing; skipped rows vanish; body stamped with the
@@ -895,12 +949,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_plan_pipeline": _q_full_plan,
         "routing_meta_extract": _q_routing_meta,
         "set_ops_customers": _q_set_ops,
+        "lang_scores": _q_lang_scores,
+        "drop_regex_filter": _q_drop_regex_filter,
+        "protected_delete_apply": _q_protected_delete,
         "udf_mapper_pipeline": _q_udf_mapper_pipeline,
         "file_enrichment": _q_file_enrichment,
         "merge_patch_history": _q_merge_patch_history,
         "multimodal_features": _q_multimodal_features,
         "cdc_stream_pipeline": _q_stream_pipeline,
     }
+
+
+def _lang_scores_sql(threshold: float = 0.02) -> str:
+    from monstache_spark.functions.text import LANG_ORDER
+
+    def sw_list(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    ratio_cols = ", ".join(
+        f"CAST(len(list_filter({_TOKS_LOWER}, t -> list_contains({sw_list(lang)}, t))) AS DOUBLE)"
+        f" / CAST(len({_TOKS}) AS DOUBLE) AS r_{lang}"
+        for lang in LANG_ORDER
+    )
+    branches = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [f"r_{lang} >= {threshold}"]
+        conds += [f"r_{lang} >= r_{later}" for later in LANG_ORDER[i + 1 :]]
+        conds += [f"r_{lang} > r_{earlier}" for earlier in LANG_ORDER[:i]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    guess = "CASE " + " ".join(branches) + " ELSE 'other' END"
+    rounded = ", ".join(f"round(r_{lang}, 6) AS r_{lang}" for lang in LANG_ORDER)
+    return f"""
+      WITH r AS (SELECT doc_id, {ratio_cols} FROM documents)
+      SELECT doc_id, {rounded}, {guess} AS lang_guess FROM r
+    """
 
 
 def _bucket_ctes(dim: int = 64, bits: int = 6) -> str:
@@ -1364,6 +1446,28 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                  count(CASE WHEN value_cat = 'high' THEN 1 END) AS n_high
           FROM r GROUP BY 1, 2
+        """,
+        "lang_scores": _lang_scores_sql(),
+        "drop_regex_filter": f"""
+          WITH env AS ({_ENV}),
+          all_ops AS (
+            SELECT op, ns FROM env
+            UNION ALL
+            SELECT * FROM (VALUES ('drop', 'test.accounts'), ('drop', 'skipme.audit'),
+                                  ('dropDatabase', 'other')) t(op, ns)),
+          kept AS (
+            SELECT * FROM all_ops
+            WHERE op NOT IN ('drop', 'dropDatabase') OR regexp_matches(ns, '^test\\.'))
+          SELECT op, count(*) AS n_ops FROM kept GROUP BY op
+        """,
+        "protected_delete_apply": f"""
+          WITH env AS ({_ENV}),
+          st AS (SELECT ns, id FROM env WHERE op <> 'd' GROUP BY ns, id),
+          dels AS (SELECT id, max(version) AS v_del FROM env WHERE op = 'd' GROUP BY id),
+          m AS (SELECT d.id, d.v_del, count(st.ns) AS n_hits, min(st.ns) AS target_ns
+                FROM dels d LEFT JOIN st ON st.id = d.id GROUP BY d.id, d.v_del),
+          a AS (SELECT target_ns AS ns, id, v_del AS version FROM m WHERE n_hits = 1)
+          SELECT ns, count(*) AS n_applied, max(version) AS max_version FROM a GROUP BY ns
         """,
         "routing_meta_extract": f"""
           WITH env AS ({_ENV}), guarded AS (SELECT * FROM env WHERE {_GUARDS}),

@@ -16,7 +16,33 @@ from pyspark.sql import functions as F
 # heuristic; deterministic and oracle-expressible.
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "it"),
+    "de": ("der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "im"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "une", "du"),
 }
+
+#: deterministic tiebreak order for the argmax language guess
+LANG_ORDER = ("en", "de", "es", "fr")
+
+
+def lang_guess(text: Column, threshold: float = 0.02) -> tuple[dict[str, Column], Column]:
+    """Multi-language stopword scorer: per-language stopword ratios and
+    an argmax guess (ties resolve to the earlier language in
+    LANG_ORDER; below-threshold best score → 'other'). A character
+    n-gram profile slots in the same shape for languages that don't
+    whitespace-tokenize."""
+    ratios = {lang: stopword_ratio(text, lang) for lang in LANG_ORDER}
+    guess = F.lit("other")
+    # build the chain back-to-front so earlier langs win ties
+    for i in range(len(LANG_ORDER) - 1, -1, -1):
+        lang = LANG_ORDER[i]
+        cond = ratios[lang] >= threshold
+        for later in LANG_ORDER[i + 1 :]:
+            cond = cond & (ratios[lang] >= ratios[later])
+        for earlier in LANG_ORDER[:i]:
+            cond = cond & (ratios[lang] > ratios[earlier])
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+    return ratios, guess
 
 
 def tokens(text: Column) -> Column:
