@@ -502,10 +502,13 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (rolling k-gram hash, window
     minima — SIGMOD'03); fingerprint set serialized for comparison."""
+    from monstache_spark.functions.text import shingle_hash
     from monstache_spark.operators.dedup import winnow_fingerprints
 
     docs = load_table(spark, "documents", sf_dir)
-    out = winnow_fingerprints(docs, k=8, w=4)
+    # md5 hash family so DuckDB reproduces the fingerprints bit-for-bit;
+    # production default is xxhash64 (~2x faster)
+    out = winnow_fingerprints(docs, k=8, w=4, hash_fn=lambda c: shingle_hash(c, 1))
     return out.select(
         "doc_id",
         F.size("fps").cast("long").alias("n_fps"),

@@ -211,6 +211,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 8,
     w: int = 4,
+    hash_fn=None,
 ) -> DataFrame:
     """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): hash every k-char gram of the canonicalized text, keep
@@ -226,7 +227,15 @@ def winnow_fingerprints(
     beyond toy docs. Here each gram hashes exactly once; the only
     shuffle keys on (doc, position) for the window sort, and at corpus
     scale the exploded rows are also the right input for
-    fingerprint-join dedup (hash-partition on the fingerprint)."""
+    fingerprint-join dedup (hash-partition on the fingerprint).
+
+    ``hash_fn`` picks the gram hash family. Default is ``xxhash64`` —
+    the production choice (one JVM hash per gram; the hash count is
+    the whole cost of winnowing, ~n_chars per doc). Pass the md5-based
+    ``shingle_hash`` family for cross-engine-reproducible output (the
+    DuckDB oracle does) at ~2x the runtime."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     base = docs.select(F.col(id_col), canon.alias("_canon"))
     n = F.length(F.col("_canon"))
@@ -238,7 +247,7 @@ def winnow_fingerprints(
     grams = positions.select(
         id_col,
         "i",
-        shingle_hash(F.col("_canon").substr(F.col("i"), F.lit(k)), 1).alias("h"),
+        hash_fn(F.col("_canon").substr(F.col("i"), F.lit(k))).alias("h"),
         (F.greatest(F.length("_canon") - F.lit(k) + 1, F.lit(1)) - w + 1).alias("_last_win"),
     )
     win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)

@@ -29,12 +29,21 @@ def _winnow_python(text: str, k: int = 8, w: int = 4) -> list[int]:
     return sorted(set(mins))
 
 
+def _md5_hash_fn(c):
+    from monstache_spark.functions.text import shingle_hash
+
+    return shingle_hash(c, 1)
+
+
 def test_winnow_matches_reference_python(spark):
     docs = spark.createDataFrame(
         [(1, "The quick  Brown fox jumps over the lazy dog"), (2, "tiny")],
         "doc_id long, text string",
     )
-    got = {r["doc_id"]: list(r["fps"]) for r in winnow_fingerprints(docs).collect()}
+    got = {
+        r["doc_id"]: list(r["fps"])
+        for r in winnow_fingerprints(docs, hash_fn=_md5_hash_fn).collect()
+    }
     assert got[1] == _winnow_python("The quick  Brown fox jumps over the lazy dog")
     assert got[2] == _winnow_python("tiny")
 

@@ -1,0 +1,90 @@
+"""Scale probe: run the heavy operators at N× the sf0.1 corpus and
+report the scaling exponent. A fixed-overhead-bound timing at sf0.1
+can hide quadratic behavior; this catches it before a cluster does.
+
+    python tools/scale_probe.py [multiplier] [sf_dir]
+
+Builds a multiplied corpus under /tmp (ids offset per copy so dedup
+doesn't collapse the copies into one cluster), times each probe at 1×
+and N×, and prints time ratios. A healthy operator scales ~linearly
+(ratio ≈ N on cold shuffles, usually much less on local[32] because 1×
+underuses the cores).
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from monstache_spark.session import get_spark
+from monstache_spark.sources.testdata import load_table
+
+
+def multiplied(df, times: int, id_col: str, id_span: int):
+    copies = df.crossJoin(
+        df.sparkSession.range(times).select(F.col("id").alias("_copy"))
+    )
+    return copies.withColumn(id_col, F.col(id_col) + F.col("_copy") * id_span).drop("_copy")
+
+
+def main() -> int:
+    times = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-probe")
+    base = tempfile.mkdtemp(prefix="scale_probe_")
+
+    docs1 = load_table(spark, "documents", sf_dir)
+    docsN = multiplied(docs1, times, "doc_id", 1_000_000)
+    docsN_path = f"{base}/docsN.parquet"
+    docsN.write.mode("overwrite").parquet(docsN_path)
+    docsN = spark.read.parquet(docsN_path)
+
+    ev1 = load_table(spark, "events", sf_dir)
+    evN = multiplied(ev1, times, "event_id", 100_000_000)
+    evN_path = f"{base}/evN.parquet"
+    evN.write.mode("overwrite").parquet(evN_path)
+    evN = spark.read.parquet(evN_path)
+
+    from monstache_spark.envelope import events_to_envelope
+    from monstache_spark.operators.dedup import (
+        exact_duplicates,
+        minhash_candidate_pairs,
+        simhash_signatures,
+        winnow_fingerprints,
+    )
+    from monstache_spark.operators.materialize import last_state
+
+    def t(fn):
+        t0 = time.time()
+        fn().write.mode("overwrite").format("noop").save()
+        return time.time() - t0
+
+    probes = {
+        "exact_dedup": lambda d: exact_duplicates(d),
+        "minhash_cands": lambda d: minhash_candidate_pairs(d, num_hashes=16, num_bands=4, shingle_k=2),
+        "simhash": lambda d: simhash_signatures(d, shingle_k=2),
+        "winnow": lambda d: winnow_fingerprints(d, k=8, w=4),
+    }
+    print(f"multiplier={times}  docs {docs1.count()} -> {docsN.count()}")
+    for name, fn in probes.items():
+        t1 = t(lambda: fn(docs1))
+        tN = t(lambda: fn(docsN))
+        print(f"{name:14s}  1x {t1:6.2f}s   {times}x {tN:7.2f}s   ratio {tN / t1:6.2f}")
+
+    e1 = t(lambda: last_state(events_to_envelope(ev1)))
+    eN = t(lambda: last_state(events_to_envelope(evN)))
+    print(f"{'materialize':14s}  1x {e1:6.2f}s   {times}x {eN:7.2f}s   ratio {eN / e1:6.2f}")
+
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
