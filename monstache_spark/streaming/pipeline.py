@@ -38,6 +38,7 @@ class PipelineConfig:
     checkpoint_dir: str = "/tmp/monstache_spark/checkpoint"
     state_dir: str = "/tmp/monstache_spark/state"
     index_overrides: dict[str, str] = field(default_factory=dict)
+    state_buckets: int = 0  # >0: hash-bucketed state (touched-bucket merges)
 
 
 def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -49,6 +50,14 @@ def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
     if cfg.namespace_exclude_regex:
         out = Flt.exclude_namespaces(out, cfg.namespace_exclude_regex)
     return id_guard(out)
+
+
+def _make_state(spark: SparkSession, cfg: PipelineConfig):
+    if cfg.state_buckets > 0:
+        from monstache_spark.sinks.bucketed import BucketedStateTable
+
+        return BucketedStateTable(spark, cfg.state_dir, n_buckets=cfg.state_buckets)
+    return StateTable(spark, cfg.state_dir)
 
 
 def run_stream(
@@ -70,7 +79,7 @@ def run_stream(
     from monstache_spark.sources.testdata import normalize_nanos
 
     ops = transform(events_to_envelope(normalize_nanos(stream)), cfg)
-    state = StateTable(spark, cfg.state_dir)
+    state = _make_state(spark, cfg)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         state.merge_batch(batch_df)
@@ -88,6 +97,6 @@ def run_stream(
 def run_batch(spark: SparkSession, events: DataFrame, cfg: PipelineConfig) -> StateTable:
     """Direct-read/backfill path (§3.2): same transform chain, batch."""
     ops = transform(events_to_envelope(events), cfg)
-    state = StateTable(spark, cfg.state_dir)
+    state = _make_state(spark, cfg)
     state.merge_batch(ops)
     return state
