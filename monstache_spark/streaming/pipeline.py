@@ -39,6 +39,10 @@ class PipelineConfig:
     state_dir: str = "/tmp/monstache_spark/state"
     index_overrides: dict[str, str] = field(default_factory=dict)
     state_buckets: int = 0  # >0: hash-bucketed state (touched-bucket merges)
+    # §2.7 explicit resume: drop ops strictly older than this event time
+    # (resume-from-timestamp, monstache.go:4679-4685). Checkpoint-based
+    # resume needs no config — this is the manual override only.
+    resume_from_ts: str | None = None
 
 
 def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -49,6 +53,10 @@ def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
         out = Flt.include_namespaces(out, cfg.namespace_regex)
     if cfg.namespace_exclude_regex:
         out = Flt.exclude_namespaces(out, cfg.namespace_exclude_regex)
+    if cfg.resume_from_ts:
+        from pyspark.sql import functions as F
+
+        out = out.filter(F.col("ts") >= F.lit(cfg.resume_from_ts).cast("timestamp"))
     return id_guard(out)
 
 

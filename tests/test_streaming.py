@@ -59,3 +59,46 @@ def test_stream_restart_is_idempotent(spark, tmp_path):
     # restart with same checkpoint: no new input -> state unchanged
     s2 = run_stream(spark, os.path.join(SF_DIR, "events.parquet"), cfg)
     assert _as_dict(s2.read()) == first
+
+
+def _single_file(df, target: str, scratch: str):
+    import shutil
+
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+    shutil.copyfile(os.path.join(scratch, part), target)
+
+
+def test_resume_processes_only_new_files(spark, tmp_path):
+    """§2.7 resume: a restart with the same checkpoint picks up files
+    added since the last run and merges them into existing state —
+    final state equals the batch materialization of everything."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    all_events = load_table(spark, "events", SF_DIR)
+    cut = 3000
+    _single_file(all_events.filter(F.col("event_id") < cut), str(src / "a.parquet"), str(tmp_path / "wa"))
+    cfg = _cfg(tmp_path, "inc")
+    glob_path = os.path.join(str(src), "*.parquet")
+    run_stream(spark, glob_path, cfg)
+    _single_file(all_events.filter(F.col("event_id") >= cut), str(src / "b.parquet"), str(tmp_path / "wb"))
+    s = run_stream(spark, glob_path, cfg)
+    batch = run_batch(spark, all_events, _cfg(tmp_path, "incb"))
+    assert _as_dict(s.read()) == _as_dict(batch.read())
+
+
+def test_resume_from_timestamp_skips_older_ops(spark, tmp_path):
+    """Explicit resume-from-timestamp: ops before the cut are ignored."""
+    from pyspark.sql import functions as F
+
+    cut_ts = "2024-01-15 00:00:00"
+    cfg = _cfg(tmp_path, "ts")
+    cfg.resume_from_ts = cut_ts
+    s = run_stream(spark, os.path.join(SF_DIR, "events.parquet"), cfg)
+    filtered = load_table(spark, "events", SF_DIR).filter(
+        F.col("ts") >= F.lit(cut_ts).cast("timestamp")
+    )
+    batch = run_batch(spark, filtered, _cfg(tmp_path, "tsb"))
+    assert _as_dict(s.read()) == _as_dict(batch.read())

@@ -82,6 +82,21 @@ CHECKS = [
         "shingle pipeline is hash-agg/codegen throughout (no sort agg)",
         lambda p: "* HashAggregate" in p and "SortAggregate" not in p,
     ),
+    (
+        "embedding_near_dup",
+        "near-dup candidates come from a bucket equi-join, not a cross join",
+        lambda p: "CartesianProduct" not in p and "HashJoin" in p,
+    ),
+    (
+        "ivf_ann_topk",
+        "IVF centroid assignment broadcasts the centroid set",
+        lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+    ),
+    (
+        "drop_propagation",
+        "drop list broadcasts; the stream never shuffles for the drop joins",
+        lambda p: "BroadcastHashJoin" in p,
+    ),
 ]
 
 
