@@ -285,6 +285,84 @@ def _q_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
 
 
+def _q_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: revenue per nation in ASIA where the
+    supplier and customer share a nation (broadcast dims, one big-side
+    shuffle join chain reordered by Catalyst)."""
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, "nation", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    one = F.lit(1).cast("decimal(3,2)")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(revenue).alias("_rev"), F.count("*").alias("n_lineitems"))
+        .select("n_name", F.col("_rev").cast("double").alias("revenue"), "n_lineitems")
+    )
+
+
+def _q_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-style HAVING-subquery: customers whose single order exceeds
+    a quantity threshold (semi join against an aggregated subquery)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    out = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+    return out
+
+
+def _q_backfill_plus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 combined backfill+tail: a direct-read snapshot of
+    test.users (version 0) unioned with the live op stream for the
+    same namespace; stream ops beat snapshot rows, snapshot fills keys
+    the stream never mentioned, stream deletes erase snapshot rows."""
+    from monstache_spark.sources.directreads import snapshot_envelope
+
+    env = _env(spark, sf_dir).filter(F.col("ns") == "test.users")
+    # snapshot: user ids 0..N-1 step 5 (the test.users keyspace)
+    snap_src = (
+        load_table(spark, "events", sf_dir)
+        .select((F.col("user_id") - F.col("user_id") % 5).alias("uid"))
+        .distinct()
+    )
+    # sentinel payloads (not NULL): max_by NULL-value semantics differ
+    # between engines, and a backfill would carry real doc fields anyway
+    snap = snapshot_envelope(snap_src, "test.users", "uid").withColumn(
+        "value", F.lit(-1.0)
+    ).withColumn("k", F.lit(-1).cast("long"))
+    merged = last_state(env.unionByName(snap))
+    return merged.select(
+        "ns", "id", "last_ts_ord", "last_value", "last_k", "version",
+        (F.col("version") == 0).alias("from_snapshot"),
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling rollup (streaming-agg shape, batch here)."""
     ev = load_table(spark, "events", sf_dir)
@@ -918,6 +996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize": _q_doc_normalize,
         "q1_pricing_summary": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
+        "q5_region_revenue": _q_q5_region_revenue,
+        "big_spender_orders": _q_big_spenders,
+        "backfill_plus_stream": _q_backfill_plus_stream,
         "events_hourly_rollup": _q_events_hourly,
         "top_users_by_value": _q_top_users,
         "dedup_exact_clusters": _q_dedup_exact_clusters,
@@ -1174,6 +1255,53 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_orderdate, o_orderpriority)
           SELECT o_orderkey, o_orderdate, o_orderpriority, CAST(_rev AS DOUBLE) AS revenue
           FROM a ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": """
+          SELECT n_name,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                 count(*) AS n_lineitems
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name
+        """,
+        "big_spender_orders": """
+          WITH big AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+          SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+          FROM orders
+          JOIN big ON o_orderkey = l_orderkey
+          JOIN customer ON o_custkey = c_custkey
+        """,
+        "backfill_plus_stream": f"""
+          WITH env AS ({_ENV}),
+          u AS (SELECT op, ns, id, ts_ord, value, k, version FROM env WHERE ns = 'test.users'),
+          snap AS (
+            SELECT DISTINCT 'i' AS op, 'test.users' AS ns,
+                   CAST(user_id - user_id % 5 AS VARCHAR) AS id,
+                   CAST(0 AS BIGINT) AS ts_ord, -1.0 AS value,
+                   CAST(-1 AS BIGINT) AS k, CAST(0 AS BIGINT) AS version
+            FROM events),
+          a AS (SELECT * FROM u UNION ALL SELECT * FROM snap),
+          st AS (
+            SELECT ns, id,
+                   max_by(ts_ord, version) AS last_ts_ord,
+                   max_by(value, version) AS last_value,
+                   max_by(k, version) AS last_k,
+                   max(version) AS version
+            FROM a GROUP BY ns, id
+            HAVING max_by(op, version) <> 'd')
+          SELECT ns, id, last_ts_ord, last_value, last_k, version,
+                 (version = 0) AS from_snapshot
+          FROM st
         """,
         "events_hourly_rollup": """
           SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,

@@ -97,6 +97,31 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Learned IVF centroids via pyspark.ml KMeans (the production
+    index-build path; deterministic for a fixed seed). Returns a
+    centroid frame shaped like a corpus (id_col, vec_col) so it plugs
+    straight into ivf_assign/ivf_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fea = corpus.select(
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(fea)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return corpus.sparkSession.createDataFrame(
+        rows, f"{id_col} bigint, {vec_col} array<double>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,18 +130,21 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN top-k: corpus partitioned into centroid
     cells, queries probe only their ``n_probe`` nearest cells.
 
-    Centroids here are the ``n_centroids`` lowest-id vectors —
-    deterministic and oracle-reproducible; a production index would
-    k-means them (pyspark.ml.clustering.KMeans) without changing any
-    plan shape below. At scale the corpus is written partitioned by
-    ``cell`` so a query's probe list prunes partitions at the scan:
-    cost ~ (n_probe / n_centroids) of the corpus per query, and the
-    cell equi-join replaces the brute-force cross join."""
-    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    Default centroids are the ``n_centroids`` lowest-id vectors —
+    deterministic and oracle-reproducible; pass
+    ``centroids=kmeans_centroids(corpus, n)`` for the learned
+    production index (same plan shape). At scale the corpus is written
+    partitioned by ``cell`` so a query's probe list prunes partitions
+    at the scan: cost ~ (n_probe / n_centroids) of the corpus per
+    query, and the cell equi-join replaces the brute-force cross
+    join."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
     cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"), F.col("cid").alias("cell")
     )

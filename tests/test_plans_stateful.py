@@ -86,6 +86,28 @@ def test_ivf_recall_vs_brute_force(spark):
     assert e == a
 
 
+def test_ivf_with_kmeans_centroids(spark):
+    import random
+
+    from monstache_spark.operators.similarity import kmeans_centroids
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    corpus = emb.filter(F.col("vec_id") < 50)
+    queries = emb.filter(F.col("vec_id") >= 50)
+    cen = kmeans_centroids(corpus, 6, seed=42)
+    exact = brute_force_topk(corpus, queries, k=3)
+    # probing all learned cells ⇒ exhaustive again
+    approx = ivf_topk(corpus, queries, k=3, n_probe=6, centroids=cen)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    assert e == a
+    # deterministic across runs with the same seed
+    cen2 = kmeans_centroids(corpus, 6, seed=42)
+    assert sorted(map(tuple, cen.collect())) == sorted(map(tuple, cen2.collect()))
+
+
 def test_stateful_op_counts_totals(spark):
     from monstache_spark.streaming.stateful import run_op_counts_stream
 
