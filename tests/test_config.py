@@ -1,0 +1,107 @@
+"""TOML config surface: reference key names drive the engine."""
+
+from __future__ import annotations
+
+import os
+
+from monstache_spark.config import load_config, to_engine_plan
+
+SAMPLE = """
+# connector-level keys: accepted, surfaced, not interpreted
+mongo-url = "mongodb://localhost:27017"
+elasticsearch-urls = ["http://localhost:9200"]
+elasticsearch-max-seconds = 5
+
+namespace-regex = '^test\\..+'
+namespace-exclude-regex = '\\.skip$'
+dropped-databases = true
+direct-read-namespaces = ["testdata.customer", "testdata.orders"]
+direct-read-split-max = 4
+direct-read-stateful = true
+resume-from-timestamp = 1705276800
+index-oplog-time = true
+oplog-date-field-format = "yyyy/MM/dd"
+time-machine-namespaces = ["test.users"]
+file-namespaces = ["fs.files"]
+max-file-size = 1048576
+patch-namespaces = ["test.users"]
+workers = ["w0", "w1", "w2"]
+worker = "w1"
+state-buckets = 8
+checkpoint-dir = "${CKPT_DIR}/ckpt"
+
+[[mapping]]
+namespace = "test.users"
+index = "users_v2"
+
+[[relate]]
+namespace = "test.orders"
+with-namespace = "test.customer"
+src-field = "custkey"
+match-field = "c_custkey"
+match-field-type = "long"
+keep-src = true
+max-depth = 2
+"""
+
+
+def _write(tmp_path):
+    p = tmp_path / "engine.toml"
+    p.write_text(SAMPLE)
+    return str(p)
+
+
+def test_load_config_maps_reference_keys(tmp_path, monkeypatch):
+    monkeypatch.setenv("CKPT_DIR", "/tmp/envtest")
+    cfg = load_config(_write(tmp_path))
+    p = cfg.pipeline
+    assert p.namespace_regex == r"^test\..+"
+    assert p.namespace_exclude_regex == r"\.skip$"
+    assert p.index_overrides == {"test.users": "users_v2"}
+    assert p.state_buckets == 8
+    assert p.checkpoint_dir == "/tmp/envtest/ckpt"  # ${VAR} expansion
+    assert p.resume_from_ts == "2024-01-15 00:00:00"  # epoch-seconds form
+    assert cfg.direct_read_namespaces == ["testdata.customer", "testdata.orders"]
+    assert cfg.direct_read_split_max == 4 and cfg.direct_read_stateful
+    assert cfg.workers == ["w0", "w1", "w2"] and cfg.worker == "w1"
+    assert cfg.trigger_seconds == 5
+    assert cfg.max_file_size == 1048576
+    assert "mongo-url" in cfg.extras and "elasticsearch-urls" in cfg.extras
+
+    (rel,) = cfg.relations
+    assert rel.namespace == "test.orders" and rel.with_namespace == "test.customer"
+    assert rel.src_field == "custkey" and rel.match_field == "c_custkey"
+    assert rel.match_field_type == "long" and rel.keep_src and rel.max_depth == 2
+
+    plan = to_engine_plan(cfg)
+    assert plan.namespace_regex == p.namespace_regex
+    assert plan.relations == cfg.relations
+    assert plan.time_machine
+
+
+def test_bson_timestamp_resume_form(tmp_path):
+    p = tmp_path / "t.toml"
+    # BSON ts: seconds 1705276800 << 32 (resume-from-timestamp int64 form)
+    p.write_text(f"resume-from-timestamp = {1705276800 << 32}")
+    cfg = load_config(str(p))
+    assert cfg.pipeline.resume_from_ts == "2024-01-15 00:00:00"
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    from monstache_spark.__main__ import main
+
+    cfg_file = tmp_path / "cli.toml"
+    cfg_file.write_text(
+        f"""
+namespace-regex = '^test\\..+'
+direct-read-namespaces = ["testdata.region"]
+checkpoint-dir = "{tmp_path}/ckpt"
+state-dir = "{tmp_path}/state"
+state-buckets = 4
+"""
+    )
+    rc = main(["--config", str(cfg_file), "--sf-dir", "/root/testdata/sf0.001", "--show", "2"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "direct read testdata.region" in out
+    assert "state rows:" in out
