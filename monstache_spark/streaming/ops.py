@@ -65,6 +65,68 @@ class StatsRecorder(StreamingQueryListener):
             return []
 
 
+class StatsServer:
+    """§3.4 observability sidecar (enable-http-server,
+    monstache.go:4188-4285): /healthz, /started, /stats, /instance
+    over a stdlib HTTP server on a daemon thread. Backed by a
+    StatsRecorder plus a status callback supplying live query state —
+    the Spark-side analogue of the reference's statusReqC handshake
+    (monstache.go:4225-4271)."""
+
+    def __init__(self, recorder: StatsRecorder, status_fn=None, addr: str = "127.0.0.1", port: int = 0):
+        import http.server
+        import threading
+
+        recorder_ref = recorder
+        status_ref = status_fn or (lambda: {})
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _reply(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler API
+                rows = recorder_ref.rows()
+                if self.path == "/healthz":
+                    self._reply(200, {"ok": True})
+                elif self.path == "/started":
+                    started = any(r["event"] == "started" for r in rows)
+                    self._reply(200 if started else 503, {"started": started})
+                elif self.path == "/stats":
+                    progress = [r for r in rows if r["event"] == "progress"]
+                    self._reply(
+                        200,
+                        {
+                            "batches": len(progress),
+                            "rows_processed": sum(r.get("numInputRows", 0) for r in progress),
+                            "last": progress[-1] if progress else None,
+                        },
+                    )
+                elif self.path == "/instance":
+                    self._reply(200, {"events": len(rows), **status_ref()})
+                else:
+                    self._reply(404, {"error": "not found"})
+
+        self._httpd = http.server.ThreadingHTTPServer((addr, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    def start(self) -> "StatsServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
 @dataclass
 class BackoffPolicy:
     """Bounded exponential retry for the sink body (K11).

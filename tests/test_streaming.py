@@ -102,3 +102,50 @@ def test_resume_from_timestamp_skips_older_ops(spark, tmp_path):
     )
     batch = run_batch(spark, filtered, _cfg(tmp_path, "tsb"))
     assert _as_dict(s.read()) == _as_dict(batch.read())
+
+
+def test_http_observability_endpoints(spark, tmp_path):
+    """§3.4 sidecar: /healthz /started /stats /instance."""
+    import json as _json
+    import urllib.request
+
+    from monstache_spark.streaming.ops import StatsRecorder, StatsServer
+
+    rec = StatsRecorder(str(tmp_path / "http_stats" / "progress.jsonl"))
+    srv = StatsServer(rec, status_fn=lambda: {"pipeline": "test"}).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+
+        def get(path, expect_error=False):
+            try:
+                with urllib.request.urlopen(base + path) as r:
+                    return r.status, _json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, _json.loads(e.read())
+
+        assert get("/healthz") == (200, {"ok": True})
+        code, body = get("/started")
+        assert code == 503 and body["started"] is False
+
+        spark.streams.addListener(rec)
+        try:
+            run_stream(spark, os.path.join(SF_DIR, "events.parquet"), _cfg(tmp_path, "http"))
+        finally:
+            spark.streams.removeListener(rec)
+
+        code, body = get("/started")
+        assert code == 200 and body["started"] is True
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            code, body = get("/stats")
+            if body["rows_processed"] > 0:
+                break
+            time.sleep(0.5)  # progress listener callbacks fire async
+        assert code == 200 and body["rows_processed"] > 0
+        code, body = get("/instance")
+        assert code == 200 and body["pipeline"] == "test" and body["events"] > 0
+        assert get("/nope")[0] == 404
+    finally:
+        srv.stop()
