@@ -43,6 +43,13 @@ class PipelineConfig:
     # (resume-from-timestamp, monstache.go:4679-4685). Checkpoint-based
     # resume needs no config — this is the manual override only.
     resume_from_ts: str | None = None
+    # source rate limiting (K10 batch shaping / maxOffsetsPerTrigger
+    # analogue for the file source): files per micro-batch
+    max_files_per_trigger: int | None = None
+    # K11 failure policy for the sink body (None = Spark's own
+    # micro-batch retry only)
+    fail_fast: bool = False
+    sink_max_retries: int = 0
 
 
 def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -79,18 +86,29 @@ def run_stream(
         events_schema = spark.read.parquet(events_path).schema
     # the file-stream source wants a directory; target one file via glob
     base_dir, fname = os.path.split(events_path)
-    stream = (
-        spark.readStream.schema(events_schema)
-        .option("pathGlobFilter", fname)
-        .parquet(base_dir)
-    )
+    reader = spark.readStream.schema(events_schema).option("pathGlobFilter", fname)
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
+    stream = reader.parquet(base_dir)
     from monstache_spark.sources.testdata import normalize_nanos
 
     ops = transform(events_to_envelope(normalize_nanos(stream)), cfg)
     state = _make_state(spark, cfg)
 
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        state.merge_batch(batch_df)
+    if cfg.sink_max_retries or cfg.fail_fast:
+        from monstache_spark.streaming.ops import BackoffPolicy
+
+        policy = BackoffPolicy(
+            base_seconds=1.0, max_retries=cfg.sink_max_retries, fail_fast=cfg.fail_fast
+        )
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            policy.run(lambda: state.merge_batch(batch_df))
+
+    else:
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            state.merge_batch(batch_df)
 
     q = (
         ops.writeStream.foreachBatch(sink)

@@ -149,3 +149,26 @@ def test_http_observability_endpoints(spark, tmp_path):
         assert get("/nope")[0] == 404
     finally:
         srv.stop()
+
+
+def test_multi_microbatch_stream_equals_batch(spark, tmp_path):
+    """maxFilesPerTrigger=1 over 3 source files: real multi-micro-batch
+    execution with cross-batch tombstones through the bucketed state
+    table must equal the single-shot batch materialization."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "mb_src"
+    src.mkdir()
+    all_events = load_table(spark, "events", SF_DIR)
+    for lo, hi, name in ((0, 2000, "a"), (2000, 4000, "b"), (4000, 10**9, "c")):
+        part = all_events.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+        scratch = str(tmp_path / f"mb_w{name}")
+        part.coalesce(1).write.mode("overwrite").parquet(scratch)
+        f = next(x for x in os.listdir(scratch) if x.endswith(".parquet"))
+        os.rename(os.path.join(scratch, f), str(src / f"{name}.parquet"))
+    cfg = _cfg(tmp_path, "mb")
+    cfg.max_files_per_trigger = 1
+    cfg.state_buckets = 4
+    s = run_stream(spark, os.path.join(str(src), "*.parquet"), cfg)
+    batch = run_batch(spark, all_events, _cfg(tmp_path, "mbb"))
+    assert _as_dict(s.read()) == _as_dict(batch.read())
