@@ -794,6 +794,61 @@ def _q_full_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: explode tokens → per-doc term
+    counts → document frequency → tf * ln(N/df), ties by term asc.
+    All codegen'd; one shuffle for tf, one broadcast-joined df map."""
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 3
+    )
+
+
+def _q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (the engine's
+    quantile surface; approx_percentile is the at-scale variant)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (width_bucket)."""
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.width_bucket(F.col("value"), F.lit(0.0), F.lit(200.0), F.lit(20))
+    return ev.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample: stable across runs, engines, and
+    partitionings (unlike TABLESAMPLE) — the reproducible-subset
+    primitive for training-data pipelines."""
+    from monstache_spark.functions.text import shingle_hash
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep = shingle_hash(F.col("doc_id").cast("string"), 7) % 10 == 0
+    return docs.filter(keep).select("doc_id", "lang", "n_chars")
+
+
 def _q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-language stopword scorer: per-language ratios + argmax
     guess with deterministic tiebreak (functions/text.lang_guess)."""
@@ -1033,6 +1088,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_plan_pipeline": _q_full_plan,
         "routing_meta_extract": _q_routing_meta,
         "set_ops_customers": _q_set_ops,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "value_percentiles": _q_value_percentiles,
+        "value_histogram": _q_value_histogram,
+        "hash_sample": _q_hash_sample,
         "lang_scores": _q_lang_scores,
         "drop_regex_filter": _q_drop_regex_filter,
         "protected_delete_apply": _q_protected_delete,
@@ -1577,6 +1636,39 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                  count(CASE WHEN value_cat = 'high' THEN 1 END) AS n_high
           FROM r GROUP BY 1, 2
+        """,
+        "tfidf_top_terms": r"""
+          WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+            FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+          n AS (SELECT count(*) AS n_docs FROM documents),
+          df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+          s AS (
+            SELECT doc_id, tf.term, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM s)
+          SELECT term, doc_id, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        "value_percentiles": """
+          SELECT event_type,
+                 round(quantile_cont(value, 0.5), 6) AS p50,
+                 round(quantile_cont(value, 0.9), 6) AS p90,
+                 round(quantile_cont(value, 0.99), 6) AS p99
+          FROM events GROUP BY event_type
+        """,
+        "value_histogram": """
+          SELECT CAST(CASE WHEN value < 0 THEN 0
+                           WHEN value >= 200 THEN 21
+                           ELSE floor(value / 10) + 1 END AS BIGINT) AS bucket,
+                 count(*) AS n_events,
+                 round(min(value), 6) AS min_value,
+                 round(max(value), 6) AS max_value
+          FROM events GROUP BY 1
+        """,
+        "hash_sample": f"""
+          SELECT doc_id, lang, n_chars FROM documents
+          WHERE {_hash_sql("CAST(doc_id AS VARCHAR)", 7)} % 10 = 0
         """,
         "lang_scores": _lang_scores_sql(),
         "drop_regex_filter": f"""
