@@ -40,14 +40,21 @@ def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
 def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     name = "mem_" + uuid.uuid4().hex[:12]
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # streaming state stores are allocated per shuffle partition and AQE
+    # cannot coalesce stateful exchanges; size to the (small) key space
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 
