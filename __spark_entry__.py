@@ -713,6 +713,14 @@ def _q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(spark, os.path.join(sf_dir, "events.parquet"))
 
 
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermark-bounded state: signups
+    matched to the user's purchases within the following hour."""
+    from monstache_spark.streaming.windows import stream_stream_join
+
+    return stream_stream_join(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark streaming dedup; the surviving key
     set is the deterministic part."""
@@ -1081,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_read_union": _q_direct_read_union,
         "stream_hourly_windows": _q_stream_hourly_windows,
         "stream_session_windows": _q_stream_session_windows,
+        "stream_stream_join": _q_stream_stream_join,
         "stream_dedup_keys": _q_stream_dedup,
         "stateful_op_counts": _q_stateful_op_counts,
         "ivf_ann_topk": _q_ivf_topk,
@@ -1582,6 +1591,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_keys": """
           SELECT DISTINCT user_id, event_type FROM events
+        """,
+        "stream_stream_join": """
+          SELECT s.user_id, s.event_id AS signup_event, p.event_id AS purchase_event,
+                 epoch_us(p.ts) AS purchase_ts_us, p.value AS purchase_value
+          FROM events s
+          JOIN events p ON s.user_id = p.user_id
+            AND s.event_type = 'signup' AND p.event_type = 'purchase'
+            AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
         """,
         "stateful_op_counts": f"""
           WITH env AS ({_ENV})

@@ -97,6 +97,55 @@ def session_windows(
     )
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each signup
+    joined to the same user's purchases within ``within`` afterwards.
+    Watermarks bound BOTH join-state buffers — without them the join
+    state grows with the stream. The time-range predicate lets Spark
+    evict: a buffered signup can be dropped once the purchase-side
+    watermark passes signup.ts + within."""
+    ev = _events_stream(spark, events_path)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_event"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    )
+    out = _run_to_memory(joined, spark, "append")
+    return out.select(
+        F.col("s_user").alias("user_id"),
+        "signup_event",
+        "purchase_event",
+        F.unix_micros(F.col("p_ts")).alias("purchase_ts_us"),
+        "purchase_value",
+    )
+
+
 def stream_dedup_keys(
     spark: SparkSession, events_path: str, keys: list[str], watermark: str = "2 hours"
 ) -> DataFrame:

@@ -172,3 +172,46 @@ def test_multi_microbatch_stream_equals_batch(spark, tmp_path):
     s = run_stream(spark, os.path.join(str(src), "*.parquet"), cfg)
     batch = run_batch(spark, all_events, _cfg(tmp_path, "mbb"))
     assert _as_dict(s.read()) == _as_dict(batch.read())
+
+
+def test_sharded_sources_union_into_one_pipeline(spark, tmp_path):
+    """S6 sharded-cluster shape: N independent stream sources union
+    into one op stream feeding one sink (gtm.StartMulti,
+    monstache.go:4912). Two disjoint 'shards' must materialize exactly
+    like the unsharded stream."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.envelope import events_to_envelope
+    from monstache_spark.sinks.merge import StateTable
+    from monstache_spark.sources.testdata import load_table, normalize_nanos
+    from monstache_spark.streaming.pipeline import transform
+
+    all_events = load_table(spark, "events", SF_DIR)
+    shard_dirs = []
+    for name, pred in (("s0", F.col("user_id") % 2 == 0), ("s1", F.col("user_id") % 2 == 1)):
+        d = tmp_path / name
+        d.mkdir()
+        _single_file(all_events.filter(pred), str(d / "events.parquet"), str(tmp_path / f"w{name}"))
+        shard_dirs.append(str(d))
+
+    schema = spark.read.parquet(str(tmp_path / "s0" / "events.parquet")).schema
+    streams = [
+        normalize_nanos(
+            spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet").parquet(d)
+        )
+        for d in shard_dirs
+    ]
+    unioned = streams[0].unionByName(streams[1])
+    cfg = _cfg(tmp_path, "shards")
+    ops = transform(events_to_envelope(unioned), cfg)
+    state = StateTable(spark, cfg.state_dir)
+    q = (
+        ops.writeStream.foreachBatch(lambda df, _e: state.merge_batch(df))
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = run_batch(spark, all_events, _cfg(tmp_path, "shardsb"))
+    assert _as_dict(state.read()) == _as_dict(batch.read())
