@@ -21,7 +21,7 @@ drop is an intentional divergence we do NOT replicate — SURVEY.md §7.3).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

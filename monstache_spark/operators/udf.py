@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from monstache_spark.envelope import OP_DELETE, OP_DROP, OP_DROP_DB, OP_INSERT, OP_UPDATE
+from monstache_spark.envelope import OP_DELETE, OP_INSERT, OP_UPDATE
 
 
 @dataclass

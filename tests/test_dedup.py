@@ -70,3 +70,27 @@ def test_word_shingles_short_doc(spark):
     df = spark.createDataFrame([("one two",)], "text string")
     got = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
     assert got == ["one two"]  # shorter than k -> whole doc as one shingle
+
+
+def test_shingle_pipeline_partition_invariant(spark):
+    """Dedup results must not depend on physical partitioning — the
+    lead-window shingle construction orders by explicit position, so
+    any repartitioning yields identical candidate pairs, signatures,
+    and fingerprints."""
+    from monstache_spark.operators.dedup import winnow_fingerprints
+
+    base = _docs(spark)
+    variants = [base.coalesce(1), base.repartition(7)]
+    pair_sets = []
+    sig_sets = []
+    fp_sets = []
+    for v in variants:
+        cands = minhash_candidate_pairs(v, num_hashes=16, num_bands=8, shingle_k=1)
+        pair_sets.append({(r["id_a"], r["id_b"]) for r in cands.collect()})
+        sigs = simhash_signatures(v, shingle_k=1)
+        sig_sets.append({(r["doc_id"], r["simhash"]) for r in sigs.collect()})
+        fps = winnow_fingerprints(v, k=4, w=2)
+        fp_sets.append({(r["doc_id"], tuple(r["fps"])) for r in fps.collect()})
+    assert pair_sets[0] == pair_sets[1]
+    assert sig_sets[0] == sig_sets[1]
+    assert fp_sets[0] == fp_sets[1]
