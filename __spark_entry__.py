@@ -751,6 +751,37 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_nested_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-schema document mode (SURVEY.md §1.2 representation 2):
+    nested struct docs, dotted-path extraction (extractData parity,
+    monstache.go:1112-1138), and recursive invalid-value pruning inside
+    arrays (fixPruneInvalidJSON array variant, monstache.go:878-950)."""
+    ev = load_table(spark, "events", sf_dir)
+    inf = F.lit(float("inf"))
+    doc = F.struct(
+        F.struct(
+            F.col("user_id").alias("id"), (F.col("user_id") % 3).alias("seg")
+        ).alias("user"),
+        F.array(
+            F.col("value"),
+            F.when(F.col("event_id") % 11 == 0, inf).otherwise(F.col("value") * 2),
+        ).alias("metrics"),
+    )
+    docs = ev.select(doc.alias("doc"))
+    pruned = F.filter(
+        F.col("doc.metrics"), lambda x: ~F.isnan(x) & (F.abs(x) != inf)
+    )
+    total = F.aggregate(pruned, F.lit(0.0), lambda a, x: a + x)
+    return (
+        docs.select(F.col("doc.user.seg").alias("seg"), total.alias("t"))
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum(F.col("t").cast("decimal(38,6)")).cast("double"), 6).alias("sum_metrics"),
+        )
+    )
+
+
 def _q_json_dynamic_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic-document mode (SURVEY.md §1.2 representation 1): the doc
     payload handled as a JSON string via get_json_object — per-key
@@ -1093,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_keys": _q_stream_dedup,
         "stateful_op_counts": _q_stateful_op_counts,
         "ivf_ann_topk": _q_ivf_topk,
+        "nested_doc_prune": _q_nested_doc,
         "json_dynamic_doc": _q_json_dynamic_doc,
         "full_plan_pipeline": _q_full_plan,
         "routing_meta_extract": _q_routing_meta,
@@ -1624,6 +1656,18 @@ def oracle_sql() -> dict[str, str]:
                 JOIN e ce ON ce.vec_id = c.corpus_id),
           r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank FROM s)
           SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "nested_doc_prune": """
+          WITH d AS (
+            SELECT CAST(user_id % 3 AS BIGINT) AS seg,
+                   list_filter([value, CASE WHEN event_id % 11 = 0 THEN 'inf'::DOUBLE
+                                            ELSE value * 2 END],
+                               x -> isfinite(x)) AS metrics
+            FROM events),
+          t AS (SELECT seg, list_reduce(list_prepend(0.0, metrics), (a, x) -> a + x) AS t FROM d)
+          SELECT seg, count(*) AS n_docs,
+                 round(CAST(sum(CAST(t AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_metrics
+          FROM t GROUP BY seg
         """,
         "json_dynamic_doc": """
           SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
