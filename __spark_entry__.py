@@ -410,6 +410,16 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship corpus cleaning: exact dedup then LSH-verified
+    near-dup removal (keep-lowest greedy); surviving doc ids."""
+    from monstache_spark.operators.dedup import dedup_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = dedup_corpus(docs, num_hashes=16, num_bands=4, shingle_k=2, threshold=0.5)
+    return out.select("doc_id")
+
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact shingle Jaccard
     (16 hashes, 4 bands x 4 rows, 2-word shingles)."""
@@ -1098,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_clusters": _q_dedup_exact_clusters,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "text_quality": _q_text_quality,
+        "dedup_corpus_pipeline": _q_dedup_corpus,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_signatures": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
@@ -1433,6 +1444,29 @@ def oracle_sql() -> dict[str, str]:
                  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
                        / CAST(length(text) AS DOUBLE), 6) AS non_alpha_ratio
           FROM documents
+        """,
+        "dedup_corpus_pipeline": f"""
+          WITH kept AS (
+            SELECT d.* FROM documents d
+            JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5({_CANON})) k
+            USING (doc_id)),
+          sh AS (SELECT doc_id, {sh2} AS sh FROM kept),
+          hs AS (SELECT doc_id, sh, list_transform(sh, s -> {_hash_sql('s', 0)}) AS hs FROM sh),
+          sig AS (SELECT doc_id, sh, {minhash_sig_cols} FROM hs),
+          bands AS (SELECT doc_id, sh, {band_exprs} FROM sig),
+          exploded AS (
+            SELECT doc_id, sh, unnest([band0, band1, band2, band3]) AS band FROM bands),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded a JOIN exploded b ON a.band = b.band AND a.doc_id < b.doc_id),
+          verified AS (
+            SELECT id_a, id_b,
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                   CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
+            FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+          dropped AS (SELECT DISTINCT id_b AS doc_id FROM verified WHERE j >= 0.5)
+          SELECT doc_id FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         """,
         "minhash_pairs": f"""
           WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),

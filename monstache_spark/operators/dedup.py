@@ -205,6 +205,35 @@ def minhash_candidate_pairs(
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus cleaning: exact dedup (keep min id per
+    canonical fingerprint), then near-dup removal (MinHash-LSH
+    candidates verified by shingle Jaccard >= threshold; the higher id
+    of each verified pair is dropped — the standard keep-lowest greedy,
+    deterministic, no transitive closure pass).
+
+    Plan shape: everything composes the operators above — the corpus
+    is scanned once for fingerprints, once for shingles of survivors;
+    joins key on digests/bands, never on text."""
+    kept_exact = dedup_exact(docs, text_col, id_col)
+    cands = minhash_candidate_pairs(
+        kept_exact, text_col, id_col, num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k
+    )
+    verified = ngram_jaccard_pairs(
+        kept_exact, cands, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    )
+    drop = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return kept_exact.join(drop, id_col, "left_anti")
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",
