@@ -94,3 +94,15 @@ def test_shingle_pipeline_partition_invariant(spark):
     assert pair_sets[0] == pair_sets[1]
     assert sig_sets[0] == sig_sets[1]
     assert fp_sets[0] == fp_sets[1]
+
+
+def test_dedup_corpus_removes_exact_and_near_dups(spark):
+    from monstache_spark.operators.dedup import dedup_corpus
+
+    out = dedup_corpus(
+        _docs(spark), num_hashes=16, num_bands=8, shingle_k=1, threshold=0.5
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # doc 2 is an exact dup of 1 (removed); doc 3 is a near dup of 1
+    # (unigram jaccard 8/11 ≈ 0.73 >= 0.5, higher id removed)
+    assert kept == [1, 4]
