@@ -363,6 +363,33 @@ def _q_backfill_plus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join: how many lineitems are in transit
+    (shipped within the preceding 30 days) on each probe date. The
+    tiny probe dim broadcasts, so the range predicate never shuffles
+    the fact side (BroadcastNestedLoopJoin on purpose — the right plan
+    for small-dim × range-predicate)."""
+    li = load_table(spark, "lineitem", sf_dir).withColumn(
+        "l_arrival", F.col("l_shipdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    probes = spark.createDataFrame(
+        [(f"199{y}-{m:02d}-01",) for y in (5, 6) for m in (1, 4, 7, 10)],
+        "probe_date string",
+    ).select(F.col("probe_date").cast("timestamp").alias("probe_ts"))
+    joined = li.join(
+        F.broadcast(probes),
+        (F.col("l_shipdate") <= F.col("probe_ts"))
+        & (F.col("l_arrival") > F.col("probe_ts")),
+        "inner",
+    )
+    return joined.groupBy(
+        F.date_format("probe_ts", "yyyy-MM-dd").alias("probe_date")
+    ).agg(
+        F.count("*").alias("n_in_transit"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
 def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling rollup (streaming-agg shape, batch here)."""
     ev = load_table(spark, "events", sf_dir)
@@ -1103,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _q_q5_region_revenue,
         "big_spender_orders": _q_big_spenders,
         "backfill_plus_stream": _q_backfill_plus_stream,
+        "interval_containment": _q_interval_containment,
         "events_hourly_rollup": _q_events_hourly,
         "top_users_by_value": _q_top_users,
         "dedup_exact_clusters": _q_dedup_exact_clusters,
@@ -1413,6 +1441,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT ns, id, last_ts_ord, last_value, last_k, version,
                  (version = 0) AS from_snapshot
           FROM st
+        """,
+        "interval_containment": """
+          WITH probes AS (
+            SELECT CAST(d AS TIMESTAMP) AS probe_ts
+            FROM (VALUES ('1995-01-01'), ('1995-04-01'), ('1995-07-01'), ('1995-10-01'),
+                         ('1996-01-01'), ('1996-04-01'), ('1996-07-01'), ('1996-10-01')) t(d))
+          SELECT strftime(probe_ts, '%Y-%m-%d') AS probe_date,
+                 count(*) AS n_in_transit,
+                 count(DISTINCT l_suppkey) AS n_suppliers
+          FROM lineitem JOIN probes
+            ON l_shipdate <= probe_ts AND l_shipdate + INTERVAL 30 DAY > probe_ts
+          GROUP BY 1
         """,
         "events_hourly_rollup": """
           SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch, event_type,
