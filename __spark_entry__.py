@@ -845,7 +845,8 @@ def _q_full_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     plan = EnginePlan(
         namespace_regex=r"^(test|fs)\..+",
-        dropped_namespaces=False,
+        dropped_databases=False,
+        dropped_collections=False,
         mappers=[
             NamespaceMapper(
                 namespace="",

@@ -111,9 +111,11 @@ def load_config(path: str) -> EngineConfig:
     pipeline = PipelineConfig(
         namespace_regex=raw.get("namespace-regex") or None,
         namespace_exclude_regex=raw.get("namespace-exclude-regex") or None,
-        dropped_databases=bool(
-            raw.get("dropped-databases", True) or raw.get("dropped-collections", True)
-        ),
+        # each drop type has its own independent toggle (configOptions
+        # monstache.go:318-426 keeps them as two booleans; merging them
+        # would make `dropped-databases = false` silently ineffective)
+        dropped_databases=bool(raw.get("dropped-databases", True)),
+        dropped_collections=bool(raw.get("dropped-collections", True)),
         checkpoint_dir=raw.get("checkpoint-dir", "/tmp/monstache_spark/checkpoint"),
         state_dir=raw.get("state-dir", "/tmp/monstache_spark/state"),
         state_buckets=int(raw.get("state-buckets", 0)),
@@ -185,7 +187,8 @@ def to_engine_plan(cfg: EngineConfig):
     return EnginePlan(
         namespace_regex=cfg.pipeline.namespace_regex,
         namespace_exclude_regex=cfg.pipeline.namespace_exclude_regex,
-        dropped_namespaces=cfg.pipeline.dropped_databases,
+        dropped_databases=cfg.pipeline.dropped_databases,
+        dropped_collections=cfg.pipeline.dropped_collections,
         relations=cfg.relations,
         index_overrides=cfg.pipeline.index_overrides,
         time_machine=bool(cfg.time_machine_namespaces),

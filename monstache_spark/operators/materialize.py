@@ -59,12 +59,23 @@ def last_state(ops: DataFrame, payload_cols: tuple[str, ...] = _STATE_COLS) -> D
     return compacted
 
 
-def apply_drops(ops: DataFrame, drops: DataFrame | None = None) -> DataFrame:
+def apply_drops(
+    ops: DataFrame,
+    drops: DataFrame | None = None,
+    databases: bool = True,
+    collections: bool = True,
+) -> DataFrame:
     """K6 drop propagation as a set operation (doDrop
     monstache.go:3056-3075): a ``drop`` op erases every event of its
-    namespace with a smaller version; ``dropDatabase`` erases every
-    namespace of its db (ns carries just the db name). Returns the
-    surviving non-drop ops.
+    namespace with a STRICTLY SMALLER version (ties survive — "drop
+    erases earlier ops"); ``dropDatabase`` erases every namespace of
+    its db (ns carries just the db name). Returns the surviving
+    non-drop ops.
+
+    ``databases`` / ``collections`` mirror the reference's independent
+    ``dropped-databases`` / ``dropped-collections`` toggles
+    (configOptions monstache.go:318-426) — each drop type can be
+    disabled separately.
 
     The drop list is control-plane-tiny, so both joins broadcast — no
     shuffle of the data stream at any scale. Pass ``drops`` explicitly
@@ -77,25 +88,30 @@ def apply_drops(ops: DataFrame, drops: DataFrame | None = None) -> DataFrame:
     if drops is None:
         drops = ops.filter(F.col("op").isin(OP_DROP, OP_DROP_DB))
     data = ops.filter(~F.col("op").isin(OP_DROP, OP_DROP_DB))
-    coll = (
-        drops.filter(F.col("op") == OP_DROP)
-        .groupBy(F.col("ns").alias("_drop_ns"))
-        .agg(F.max("version").alias("_drop_v"))
-    )
-    db = (
-        drops.filter(F.col("op") == OP_DROP_DB)
-        .groupBy(ns_database(F.col("ns")).alias("_drop_db"))
-        .agg(F.max("version").alias("_dbdrop_v"))
-    )
-    out = (
-        data.join(F.broadcast(coll), data["ns"] == coll["_drop_ns"], "left")
-        .join(F.broadcast(db), ns_database(data["ns"]) == db["_drop_db"], "left")
-        .filter(
-            (F.col("_drop_v").isNull() | (F.col("version") > F.col("_drop_v")))
-            & (F.col("_dbdrop_v").isNull() | (F.col("version") > F.col("_dbdrop_v")))
+    out = data
+    if collections:
+        coll = (
+            drops.filter(F.col("op") == OP_DROP)
+            .groupBy(F.col("ns").alias("_drop_ns"))
+            .agg(F.max("version").alias("_drop_v"))
         )
-    )
-    return out.drop("_drop_ns", "_drop_v", "_drop_db", "_dbdrop_v")
+        out = (
+            out.join(F.broadcast(coll), out["ns"] == coll["_drop_ns"], "left")
+            .filter(F.col("_drop_v").isNull() | (F.col("version") >= F.col("_drop_v")))
+            .drop("_drop_ns", "_drop_v")
+        )
+    if databases:
+        db = (
+            drops.filter(F.col("op") == OP_DROP_DB)
+            .groupBy(ns_database(F.col("ns")).alias("_drop_db"))
+            .agg(F.max("version").alias("_dbdrop_v"))
+        )
+        out = (
+            out.join(F.broadcast(db), ns_database(out["ns"]) == db["_drop_db"], "left")
+            .filter(F.col("_dbdrop_v").isNull() | (F.col("version") >= F.col("_dbdrop_v")))
+            .drop("_drop_db", "_dbdrop_v")
+        )
+    return out
 
 
 def merge_upsert(state: DataFrame, batch: DataFrame) -> DataFrame:

@@ -85,6 +85,7 @@ def relate_chain(
     start: DataFrame,
     relations: list[Relation],
     max_depth: int | None = None,
+    start_ns: str | None = None,
 ) -> list[DataFrame]:
     """Multi-hop BFS at plan-build time (monstache.go:1221-1358).
 
@@ -101,8 +102,11 @@ def relate_chain(
         by_ns.setdefault(r.namespace, []).append(r)
 
     results: list[DataFrame] = []
-    # frontier: (namespace, DataFrame of rows that just arrived there)
-    frontier: list[tuple[str, DataFrame]] = [(relations[0].namespace, start)] if relations else []
+    # frontier: (namespace, DataFrame of rows that just arrived there);
+    # start_ns says which namespace `start`'s rows live in (defaults to
+    # the first relation's source ns for back-compat)
+    root = start_ns if start_ns is not None else (relations[0].namespace if relations else None)
+    frontier: list[tuple[str, DataFrame]] = [(root, start)] if relations else []
     depth = 0
     while frontier:
         if max_depth is not None and depth >= max_depth:

@@ -44,7 +44,8 @@ class EnginePlan:
 
     namespace_regex: str | None = None            # F2  namespace-regex
     namespace_exclude_regex: str | None = None    # F3  namespace-exclude-regex
-    dropped_namespaces: bool = True               # K6  dropped-databases/-collections
+    dropped_databases: bool = True                # K6  dropped-databases
+    dropped_collections: bool = True              # K6  dropped-collections
     mappers: list[NamespaceMapper] = field(default_factory=list)     # M1/M2 script/plugin
     filters: list[NamespaceFilter] = field(default_factory=list)     # F5/F6 filter
     relations: list[Relation] = field(default_factory=list)          # J1 relate
@@ -67,19 +68,26 @@ def build_outputs(
     if plan.namespace_exclude_regex:
         out = Flt.exclude_namespaces(out, plan.namespace_exclude_regex)
     out = id_guard(out)
-    if plan.dropped_namespaces:
-        out = apply_drops(out)
+    if plan.dropped_databases or plan.dropped_collections:
+        out = apply_drops(
+            out, databases=plan.dropped_databases, collections=plan.dropped_collections
+        )
     out = apply_mappers(out, plan.mappers)
     out = apply_filters(out, plan.filters)
 
     outputs: dict[str, DataFrame] = {}
     if plan.relations and collections:
-        # relations fire only for ops in their source namespace
-        # (processRelated is keyed by op namespace, monstache.go:3419-3430)
-        start = out.filter(F.col("ns") == plan.relations[0].namespace)
-        hops = relate_chain(collections, start, plan.relations)
-        for i, hop in enumerate(hops):
-            outputs[f"relate_hop{i + 1}"] = hop
+        # relations fire for ops in THEIR source namespace (processRelated
+        # is keyed by op namespace, monstache.go:3419-3430) — one chain
+        # per distinct source ns, in config order, so a config relating
+        # two different source namespaces fires both.
+        src_namespaces = list(dict.fromkeys(r.namespace for r in plan.relations))
+        for ns in src_namespaces:
+            start = out.filter(F.col("ns") == ns)
+            hops = relate_chain(collections, start, plan.relations, start_ns=ns)
+            prefix = "relate" if len(src_namespaces) == 1 else f"relate_{ns}"
+            for i, hop in enumerate(hops):
+                outputs[f"{prefix}_hop{i + 1}"] = hop
 
     routed = map_index(out, plan.index_overrides)
     outputs["ops"] = routed

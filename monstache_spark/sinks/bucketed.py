@@ -32,8 +32,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from monstache_spark.envelope import OP_DELETE, OP_DROP, OP_DROP_DB
-from monstache_spark.operators.filters import ns_database
 from monstache_spark.operators.materialize import last_state
+from monstache_spark.sinks.merge import (
+    TOMB_COL,
+    _erase_dropped,
+    _merge_apply,
+    _prune_old_tombstones,
+)
 
 BUCKET_COL = "_bucket"
 
@@ -46,10 +51,17 @@ class BucketedStateTable:
     """Manifest-committed, hash-bucketed keyed state with version-
     guarded merges. API-compatible with StateTable (read/merge_batch)."""
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 16,
+        tombstone_retention: int | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        self.tombstone_retention = tombstone_retention
         os.makedirs(path, exist_ok=True)
 
     # -- manifest plumbing ------------------------------------------------
@@ -74,7 +86,9 @@ class BucketedStateTable:
 
     # -- read -------------------------------------------------------------
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame | None:
+    def read(
+        self, buckets: list[int] | None = None, include_tombstones: bool = False
+    ) -> DataFrame | None:
         """Full state, or only the given buckets (partition pruning:
         point-lookups/joins by key read 1/n_buckets of the data)."""
         dirs = self._bucket_dirs()
@@ -84,7 +98,10 @@ class BucketedStateTable:
             dirs = {b: d for b, d in dirs.items() if int(b) in set(buckets)}
             if not dirs:
                 return None
-        return self.spark.read.parquet(*dirs.values())
+        df = self.spark.read.parquet(*dirs.values())
+        if include_tombstones or TOMB_COL not in df.columns:
+            return df
+        return df.filter(~F.col(TOMB_COL)).drop(TOMB_COL)
 
     # -- merge ------------------------------------------------------------
 
@@ -97,7 +114,10 @@ class BucketedStateTable:
             .groupBy("ns", "id")
             .agg(F.max("version").alias("version"))
         )
-        drop_rows = [tuple(r) for r in drops.select("op", "ns").distinct().collect()]
+        drop_rows = [
+            tuple(r)
+            for r in drops.groupBy("op", "ns").agg(F.max("version").alias("v")).collect()
+        ]
 
         if drop_rows:
             touched = set(range(self.n_buckets))  # ns-wide: any bucket
@@ -112,14 +132,27 @@ class BucketedStateTable:
         if not touched and not drop_rows:
             return
 
-        current_touched = self.read(buckets=sorted(touched))
-        merged = self._apply(current_touched, compacted, tombs)
-        for op, ns in drop_rows:
-            if op == OP_DROP_DB:
-                merged = merged.filter(ns_database(F.col("ns")) != ns.split(".", 1)[0])
-            else:
-                merged = merged.filter(F.col("ns") != ns)
+        current_touched = self.read(buckets=sorted(touched), include_tombstones=True)
+        merged = _merge_apply(current_touched, compacted, tombs)
+        merged = _erase_dropped(merged, drop_rows)
+        if self.tombstone_retention is not None:
+            merged = _prune_old_tombstones(merged, data_ops, self.tombstone_retention)
+        self._commit_buckets(merged, touched)
 
+    def prune_tombstones(self, before_version: int) -> None:
+        """Explicit gc_deletes sweep — rewrites every bucket (rare,
+        maintenance-window operation)."""
+        cur = self.read(include_tombstones=True)
+        if cur is None:
+            return
+        if TOMB_COL not in cur.columns:
+            return
+        self._commit_buckets(
+            cur.filter(~(F.col(TOMB_COL) & (F.col("version") < F.lit(before_version)))),
+            set(range(self.n_buckets)),
+        )
+
+    def _commit_buckets(self, merged: DataFrame, touched: set[int]) -> None:
         v = self._current_version()
         commit_dir = os.path.join(self.path, f"commit_v{v + 1}")
         (
@@ -145,33 +178,6 @@ class BucketedStateTable:
         with open(self._current_file(), "w") as f:
             f.write(str(v + 1))
         self._gc(keep=(v, v + 1))
-
-    def _apply(self, current: DataFrame | None, upserts: DataFrame, tombs: DataFrame) -> DataFrame:
-        """Version-guarded MERGE emulation over the touched buckets
-        (same algebra as StateTable._apply)."""
-        up = upserts
-        if current is None:
-            base = up
-        else:
-            newer = up.select("ns", "id", F.col("version").alias("v_new"))
-            keep = (
-                current.join(newer, ["ns", "id"], "left")
-                .filter(F.col("v_new").isNull() | (F.col("version") > F.col("v_new")))
-                .drop("v_new")
-            )
-            cur_v = current.select("ns", "id", F.col("version").alias("v_cur"))
-            winning = (
-                up.join(cur_v, ["ns", "id"], "left")
-                .filter(F.col("v_cur").isNull() | (F.col("version") >= F.col("v_cur")))
-                .drop("v_cur")
-            )
-            base = keep.unionByName(winning)
-        t = tombs.select("ns", "id", F.col("version").alias("v_del"))
-        return (
-            base.join(t, ["ns", "id"], "left")
-            .filter(F.col("v_del").isNull() | (F.col("version") > F.col("v_del")))
-            .drop("v_del")
-        )
 
     def _gc(self, keep: tuple[int, ...]) -> None:
         """Remove commit dirs no manifest in ``keep`` references."""

@@ -20,9 +20,20 @@ via directory versioning. On a real lakehouse this maps 1:1 onto
 ``MERGE INTO`` (and the version guard rides along unchanged).
 
 Drop propagation (K6, doDrop monstache.go:3056-3075): ``drop``/
-``dropDatabase`` ops delete all state rows of the matching
-namespace(s) — a metadata-only predicate delete here, a partition drop
-on a partitioned state table at scale.
+``dropDatabase`` ops delete state rows of the matching namespace(s)
+whose version is OLDER than the drop — version-aware, so a micro-batch
+``[drop ns v=25, insert ns/id v=30]`` keeps the post-drop re-create
+regardless of batch boundaries (the same convention as
+``operators.materialize.apply_drops``). A metadata-only predicate
+delete here, a partition drop on a partitioned state table at scale.
+
+Delete tombstones PERSIST in the committed state (``_tomb=true`` rows,
+hidden from ``read()``): a stale insert arriving in a LATER batch
+(version < delete version) stays dead — the analogue of Elasticsearch
+external versioning + ``index.gc_deletes`` that makes the reference's
+at-least-once replay safe (monstache.go:4077-4080). Bound their growth
+with ``tombstone_retention`` (version units) or an explicit
+``prune_tombstones()``.
 """
 
 from __future__ import annotations
@@ -36,6 +47,99 @@ from pyspark.sql import functions as F
 from monstache_spark.envelope import OP_DELETE, OP_DROP, OP_DROP_DB
 from monstache_spark.operators.filters import ns_database
 from monstache_spark.operators.materialize import last_state
+
+# marker column for persisted delete tombstones (hidden from read())
+TOMB_COL = "_tomb"
+
+
+def _tomb_rows(tombs: DataFrame, like: DataFrame) -> DataFrame:
+    """Expand (ns, id, version) tombstones to ``like``'s schema with
+    typed-null payload columns and ``_tomb=true``."""
+    cols = []
+    for f in like.schema.fields:
+        if f.name in ("ns", "id", "version"):
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return tombs.select(*cols).withColumn(TOMB_COL, F.lit(True))
+
+
+def _merge_apply(
+    current: DataFrame | None, upserts: DataFrame, tombs: DataFrame
+) -> DataFrame:
+    """anti-join + union MERGE emulation with the version guard.
+
+    Tie conventions (documented, test-pinned): within a batch a delete
+    beats an upsert at the same version; across batches the batch row
+    beats the stored row at the same version (ES external versioning
+    accepts version >= stored for upserts, monstache.go:4053-4063).
+    Tombstones persist into the committed state so stale inserts in
+    LATER batches (version < delete version) stay dead."""
+    tv = tombs.select("ns", "id", F.col("version").alias("v_del"))
+    up_live = (
+        upserts.join(tv, ["ns", "id"], "left")
+        .filter(F.col("v_del").isNull() | (F.col("version") > F.col("v_del")))
+        .drop("v_del")
+        .withColumn(TOMB_COL, F.lit(False))
+    )
+    uv = upserts.groupBy("ns", "id").agg(F.max("version").alias("v_up"))
+    tomb_live = (
+        tombs.join(uv, ["ns", "id"], "left")
+        .filter(F.col("v_up").isNull() | (F.col("version") >= F.col("v_up")))
+        .drop("v_up")
+    )
+    new = up_live.unionByName(_tomb_rows(tomb_live, upserts))
+    if current is None:
+        return new
+    if TOMB_COL not in current.columns:  # table written before tombstone support
+        current = current.withColumn(TOMB_COL, F.lit(False))
+    nv = new.select("ns", "id", F.col("version").alias("v_new"))
+    keep = (
+        current.join(nv, ["ns", "id"], "left")
+        .filter(F.col("v_new").isNull() | (F.col("version") > F.col("v_new")))
+        .drop("v_new")
+    )
+    cv = current.select("ns", "id", F.col("version").alias("v_cur"))
+    win = (
+        new.join(cv, ["ns", "id"], "left")
+        .filter(F.col("v_cur").isNull() | (F.col("version") >= F.col("v_cur")))
+        .drop("v_cur")
+    )
+    return keep.unionByName(win)
+
+
+def _erase_dropped(state: DataFrame, drop_rows: list[tuple]) -> DataFrame:
+    """Version-aware K6 erase over materialized rows: a drop at version
+    v removes rows of its namespace(s) with version < v — ties and
+    post-drop re-creates survive regardless of micro-batch boundaries
+    (same convention as operators.materialize.apply_drops)."""
+    for op, ns, v in drop_rows:
+        if op == OP_DROP_DB:
+            hit = ns_database(F.col("ns")) == ns.split(".", 1)[0]
+        else:
+            hit = F.col("ns") == ns
+        state = state.filter(~(hit & (F.col("version") < F.lit(v))))
+    return state
+
+
+def _prune_old_tombstones(
+    state: DataFrame, batch_ops: DataFrame, retention: int
+) -> DataFrame:
+    """Retention sweep: drop tombstones more than ``retention`` version
+    units behind the batch high-water mark. The HWM rides along as a
+    broadcast cross join so the whole merge stays one lazy plan."""
+    hwm = batch_ops.agg(F.max("version").alias("_hwm"))
+    return (
+        state.crossJoin(F.broadcast(hwm))
+        .filter(
+            ~(
+                F.col(TOMB_COL)
+                & F.col("_hwm").isNotNull()
+                & (F.col("version") < F.col("_hwm") - F.lit(retention))
+            )
+        )
+        .drop("_hwm")
+    )
 
 
 def protected_deletes(state: DataFrame, deletes: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -69,9 +173,15 @@ class StateTable:
     wholesale at scale).
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, tombstone_retention: int | None = None
+    ):
         self.spark = spark
         self.path = path
+        # keep delete tombstones only while `batch_max_version - version
+        # <= retention` (version units — BSON-ts-like int64s here). None
+        # = keep forever; prune explicitly via prune_tombstones().
+        self.tombstone_retention = tombstone_retention
         os.makedirs(path, exist_ok=True)
 
     def _current_file(self) -> str:
@@ -84,11 +194,16 @@ class StateTable:
         except FileNotFoundError:
             return 0
 
-    def read(self) -> DataFrame | None:
+    def read(self, include_tombstones: bool = False) -> DataFrame | None:
         v = self._current_version()
         if v == 0:
             return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        df = self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        if TOMB_COL not in df.columns:  # table written before tombstone support
+            return df
+        if include_tombstones:
+            return df
+        return df.filter(~F.col(TOMB_COL)).drop(TOMB_COL)
 
     def _commit(self, df: DataFrame) -> None:
         v = self._current_version()
@@ -102,59 +217,34 @@ class StateTable:
 
     def merge_batch(self, ops: DataFrame) -> None:
         """Apply one micro-batch of envelope ops."""
-        # K6 drop propagation first (the reference flushes bulk then drops)
+        # drop ops are rare control-plane events; collecting the distinct
+        # (op, ns, max version) list to the driver is O(#drops), not O(data)
         drops = ops.filter(F.col("op").isin(OP_DROP, OP_DROP_DB))
         data_ops = ops.filter(~F.col("op").isin(OP_DROP, OP_DROP_DB))
-        compacted = last_state(data_ops.filter(F.col("op") != OP_DELETE)).withColumn(
-            "_tomb", F.lit(False)
-        )
+        drop_rows = [
+            tuple(r)
+            for r in drops.groupBy("op", "ns").agg(F.max("version").alias("v")).collect()
+        ]
+        compacted = last_state(data_ops.filter(F.col("op") != OP_DELETE))
         # deletes must survive compaction as tombstones to beat older upserts
         tombs = (
             data_ops.filter(F.col("op") == OP_DELETE)
             .groupBy("ns", "id")
             .agg(F.max("version").alias("version"))
-            .withColumn("_tomb", F.lit(True))
         )
-        current = self.read()
-        if current is None:
-            merged = self._apply(None, compacted, tombs)
-        else:
-            merged = self._apply(current, compacted, tombs)
-
-        # drop ops are rare control-plane events; collecting the distinct
-        # (op, ns) list to the driver is O(#drops), not O(data)
-        for r in drops.select("op", "ns").distinct().collect():
-            if r["op"] == OP_DROP_DB:
-                merged = merged.filter(ns_database(F.col("ns")) != r["ns"].split(".", 1)[0])
-            else:
-                merged = merged.filter(F.col("ns") != r["ns"])
+        merged = _merge_apply(self.read(include_tombstones=True), compacted, tombs)
+        merged = _erase_dropped(merged, drop_rows)
+        if self.tombstone_retention is not None:
+            merged = _prune_old_tombstones(merged, data_ops, self.tombstone_retention)
         self._commit(merged)
 
-    def _apply(self, current: DataFrame | None, upserts: DataFrame, tombs: DataFrame) -> DataFrame:
-        """anti-join + union MERGE emulation with the version guard."""
-        up = upserts.drop("_tomb")
-        if current is None:
-            base = up
-        else:
-            # keep current rows that are NOT overridden by a >= version upsert
-            newer = up.select("ns", "id", F.col("version").alias("v_new"))
-            keep = (
-                current.join(newer, ["ns", "id"], "left")
-                .filter(F.col("v_new").isNull() | (F.col("version") > F.col("v_new")))
-                .drop("v_new")
-            )
-            # upserts that actually win (not older than current row)
-            cur_v = current.select("ns", "id", F.col("version").alias("v_cur"))
-            winning = (
-                up.join(cur_v, ["ns", "id"], "left")
-                .filter(F.col("v_cur").isNull() | (F.col("version") >= F.col("v_cur")))
-                .drop("v_cur")
-            )
-            base = keep.unionByName(winning)
-        # apply tombstones: delete wins when its version >= row version
-        t = tombs.select("ns", "id", F.col("version").alias("v_del"))
-        return (
-            base.join(t, ["ns", "id"], "left")
-            .filter(F.col("v_del").isNull() | (F.col("version") > F.col("v_del")))
-            .drop("v_del")
+    def prune_tombstones(self, before_version: int) -> None:
+        """Drop persisted tombstones older than ``before_version`` —
+        the explicit gc_deletes sweep (safe once no source can replay
+        ops older than that version)."""
+        cur = self.read(include_tombstones=True)
+        if cur is None:
+            return
+        self._commit(
+            cur.filter(~(F.col(TOMB_COL) & (F.col("version") < F.lit(before_version))))
         )

@@ -34,7 +34,8 @@ class PipelineConfig:
 
     namespace_regex: str | None = None          # F2 include
     namespace_exclude_regex: str | None = None  # F3 exclude
-    dropped_databases: bool = True              # propagate drops (K6)
+    dropped_databases: bool = True              # propagate db drops (K6)
+    dropped_collections: bool = True            # propagate collection drops (K6)
     checkpoint_dir: str = "/tmp/monstache_spark/checkpoint"
     state_dir: str = "/tmp/monstache_spark/state"
     index_overrides: dict[str, str] = field(default_factory=dict)

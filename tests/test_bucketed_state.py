@@ -113,3 +113,21 @@ def test_bucket_pruned_read(spark, tmp_path):
     pruned = t.read(buckets=[int(b)])
     assert "5" in {r["id"] for r in pruned.collect()}
     assert pruned.count() < full.count()
+
+
+def test_bucketed_drop_mid_batch_and_tombstones(spark, tmp_path):
+    """Version-aware drops and persisted tombstones hold in the
+    bucketed sink too (shared _merge_apply/_erase_dropped algebra)."""
+    t = BucketedStateTable(spark, str(tmp_path / "vdrop"), n_buckets=4)
+    t.merge_batch(_ops_df(spark, [
+        ("i", "test.a", "1", 20, 1.0, 0),
+        ("drop", "test.a", None, 100, None, None),
+        ("i", "test.a", "2", 120, 2.0, 1),   # post-drop re-create survives
+    ]))
+    assert _canon(t.read()) == [("test.a", "2", 120)]
+    # delete then stale insert in a later batch: tombstone keeps it dead
+    t.merge_batch(_ops_df(spark, [("d", "test.a", "2", 200, None, None)]))
+    t.merge_batch(_ops_df(spark, [("i", "test.a", "2", 150, 5.0, 2)]))
+    assert _canon(t.read()) == []
+    t.merge_batch(_ops_df(spark, [("i", "test.a", "2", 300, 6.0, 3)]))
+    assert _canon(t.read()) == [("test.a", "2", 300)]

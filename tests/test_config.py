@@ -105,3 +105,22 @@ state-buckets = 4
     assert rc == 0
     assert "direct read testdata.region" in out
     assert "state rows:" in out
+
+
+def test_drop_toggles_parse_independently(tmp_path):
+    """dropped-databases and dropped-collections are two independent
+    reference toggles; setting one false must not be masked by the
+    other's default (ADVICE fix)."""
+    p = tmp_path / "drops.toml"
+    p.write_text("dropped-databases = false\n")
+    cfg = load_config(str(p))
+    assert cfg.pipeline.dropped_databases is False
+    assert cfg.pipeline.dropped_collections is True
+    plan = to_engine_plan(cfg)
+    assert plan.dropped_databases is False
+    assert plan.dropped_collections is True
+
+    p.write_text("dropped-collections = false\n")
+    cfg = load_config(str(p))
+    assert cfg.pipeline.dropped_databases is True
+    assert cfg.pipeline.dropped_collections is False

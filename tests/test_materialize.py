@@ -109,10 +109,53 @@ def test_cross_batch_delete_then_stale_insert(spark, state):
     _merge(spark, state, [_op("i", "1", 1, 1.0)])
     _merge(spark, state, [_op("d", "1", 3)])
     assert _state_dict(state.read()) == {}
-    # older insert replayed after the delete: must stay deleted...
-    # within the same table generation the tombstone is gone after
-    # commit, so this relies on version of replay < committed rows only.
-    # Reference behavior: ES external version rejects the stale insert.
+    # older insert replayed in a LATER batch: the persisted tombstone
+    # (ES external-versioning analogue) keeps it dead
+    _merge(spark, state, [_op("i", "1", 2, 2.0)])
+    assert _state_dict(state.read()) == {}
+    # a genuinely newer insert resurrects the key
+    _merge(spark, state, [_op("i", "1", 5, 5.0)])
+    assert _state_dict(state.read()) == {("test.test", "1"): 5.0}
+
+
+def test_tombstone_retention_prunes(spark, tmp_path):
+    state = StateTable(spark, str(tmp_path / "ret"), tombstone_retention=10)
+    _merge(spark, state, [_op("i", "1", 1, 1.0), _op("d", "1", 3)])
+    tombs = state.read(include_tombstones=True).filter("_tomb").collect()
+    assert [r["version"] for r in tombs] == [_op("d", "1", 3)[-1]]
+    # a batch far past the retention window sweeps the old tombstone
+    _merge(spark, state, [_op("i", "2", 100, 9.0)])
+    assert state.read(include_tombstones=True).filter("_tomb").count() == 0
+    assert _state_dict(state.read()) == {("test.test", "2"): 9.0}
+
+
+def test_prune_tombstones_explicit(spark, state):
+    _merge(spark, state, [_op("d", "1", 3), _op("d", "2", 50)])
+    assert state.read(include_tombstones=True).filter("_tomb").count() == 2
+    state.prune_tombstones(before_version=_op("d", "2", 50)[-1])
+    remaining = state.read(include_tombstones=True).filter("_tomb").collect()
+    assert [r["id"] for r in remaining] == ["2"]
+
+
+def test_drop_mid_batch_keeps_post_drop_recreate(spark, state):
+    """A micro-batch [insert v, drop v', insert v''] must materialize
+    exactly like the same ops split across batches: the drop erases only
+    rows with version < drop version (batch-boundary invariance for
+    drops)."""
+    drop_v = 25 * 4
+    ops = [
+        _op("i", "1", 5, 1.0),                                     # erased (v=20 < 100)
+        ("drop", "test.test", "", T0, 25, "oplog", 0.0, 0, drop_v),
+        _op("i", "2", 30, 2.0),                                    # post-drop: survives
+    ]
+    _merge(spark, state, ops)
+    assert _state_dict(state.read()) == {("test.test", "2"): 2.0}
+    # split across batches → identical state
+    split = StateTable(spark, str(state.path) + "_split")
+    _merge(spark, split, ops[:1])
+    _merge(spark, split, ops[1:2])
+    _merge(spark, split, ops[2:])
+    assert _state_dict(split.read()) == _state_dict(state.read())
 
 
 def test_drop_collection(spark, state):

@@ -34,7 +34,8 @@ def _env_df(spark):
 def test_build_outputs_end_to_end(spark):
     plan = EnginePlan(
         namespace_regex=r"^test\..+",
-        dropped_namespaces=False,
+        dropped_databases=False,
+        dropped_collections=False,
         mappers=[
             NamespaceMapper(
                 namespace="test.users", columns={"value": lambda: F.col("value") * 2}
@@ -68,6 +69,34 @@ def test_build_outputs_relate_scoped_to_source_ns(spark):
     hop = outputs["relate_hop1"].collect()
     # only test.users ops relate: ids 1 (twice: i+u); account id 3 must NOT
     assert sorted(r["c_name"] for r in hop) == ["c1", "c1"]
+
+
+def test_build_outputs_relations_on_two_source_namespaces(spark):
+    """ADVICE fix: relations whose source ns differs from the first
+    entry must still fire (one chain per distinct source ns)."""
+    from monstache_spark.operators.relate import Relation
+
+    customers = spark.createDataFrame([(1, "c1"), (3, "c3")], "c_key long, c_name string")
+    accounts = spark.createDataFrame([(2, "a2"), (3, "a3")], "a_key long, a_label string")
+    plan = EnginePlan(
+        relations=[
+            Relation("test.users", "dim.customers", "id", "c_key", "long"),
+            Relation("test.accounts", "dim.accounts", "id", "a_key", "long"),
+        ]
+    )
+    outputs = build_outputs(
+        _env_df(spark),
+        plan,
+        collections={"dim.customers": customers, "dim.accounts": accounts},
+    )
+    assert "relate_test.users_hop1" in outputs
+    assert "relate_test.accounts_hop1" in outputs
+    users_hop = outputs["relate_test.users_hop1"].collect()
+    assert sorted(r["c_name"] for r in users_hop) == ["c1", "c1"]
+    acct_hop = outputs["relate_test.accounts_hop1"].collect()
+    # accounts ns ops relate through the second relation
+    assert all(r["ns"] == "test.accounts" for r in acct_hop)
+    assert len(acct_hop) > 0
 
 
 def test_ivf_recall_vs_brute_force(spark):
