@@ -876,16 +876,23 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts → document frequency → tf * ln(N/df), ties by term asc.
     All codegen'd; one shuffle for tf, one broadcast-joined df map."""
     docs = load_table(spark, "documents", sf_dir)
-    n_docs = docs.count()
+    # N as a lazy one-row aggregate broadcast into the plan — NOT a
+    # driver-side docs.count(), which would add an eager extra scan of
+    # the corpus and break plan composability
+    n_docs = docs.agg(F.count("*").cast("double").alias("_n_docs"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
-        "doc_id",
-        "term",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(

@@ -89,6 +89,26 @@ def ivf_assign(
         "cid",
         cosine_rounded(F.col(vec_col), F.col("c_vec")).alias("c_score"),
     )
+    if rank_limit == 1:
+        # Cell assignment (the corpus-sized path) is an argmax per key:
+        # a hash aggregate with map-side partial combine collapses the
+        # |corpus| x |centroids| scored rows to one row per vector
+        # BEFORE the exchange — vs a row_number window, which shuffles
+        # and sorts every scored row. The aggregation buffer is all
+        # fixed-width (long + struct<double,long>), so this stays
+        # HashAggregate (one string/array in the buffer would degrade
+        # it to SortAggregate); the vector rides along as a grouping
+        # key, which has no such restriction.
+        order = F.struct(F.col("c_score").alias("s"), (-F.col("cid")).alias("nc"))
+        return (
+            scored.groupBy(id_col, vec_col)
+            .agg(
+                F.max_by("cid", order).alias("cid"),
+                F.max(order).getField("s").alias("c_score"),
+            )
+            .withColumn("c_rank", F.lit(1))
+        )
+    # multi-probe (query-side, small): the window sort is fine here
     w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col("cid").asc())
     return scored.withColumn("c_rank", F.row_number().over(w)).filter(
         F.col("c_rank") <= rank_limit
