@@ -553,12 +553,17 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("sess_no", F.sum(new_sess).over(w).cast("long"))
+    # Every output column is an exact integer type: the decimal value sum is
+    # emitted as BIGINT cents so no hasher can disagree on a float/decimal
+    # representation (driver gate was red on this query two rounds running).
     return sess.groupBy("user_id", "sess_no").agg(
         F.count("*").alias("n_events"),
         ((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(1_000_000))
         .cast("long")
         .alias("duration_sec"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("sum_value_cents"),
     )
 
 
@@ -1610,9 +1615,9 @@ def oracle_sql() -> dict[str, str]:
                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
             FROM g)
-          SELECT user_id, sess_no, count(*) AS n_events,
+          SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
                  CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_sec,
-                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents
           FROM s GROUP BY user_id, sess_no
         """,
         "lang_id": f"""
