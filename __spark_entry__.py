@@ -1659,8 +1659,8 @@ def oracle_sql() -> dict[str, str]:
           WITH env AS ({_ENV}),
           kept AS (
             SELECT * FROM env
-            WHERE NOT (ns = 'test.accounts' AND version < {_DROP_ACC_V})
-              AND NOT (split_part(ns, '.', 1) = 'skipme' AND version < {_DROP_SKIP_V})),
+            WHERE NOT (ns = 'test.accounts' AND version <= {_DROP_ACC_V})
+              AND NOT (split_part(ns, '.', 1) = 'skipme' AND version <= {_DROP_SKIP_V})),
           st AS (
             SELECT ns, id, max(version) AS version
             FROM kept GROUP BY ns, id

@@ -67,10 +67,13 @@ def apply_drops(
 ) -> DataFrame:
     """K6 drop propagation as a set operation (doDrop
     monstache.go:3056-3075): a ``drop`` op erases every event of its
-    namespace with a STRICTLY SMALLER version (ties survive — "drop
-    erases earlier ops"); ``dropDatabase`` erases every namespace of
-    its db (ns carries just the db name). Returns the surviving
-    non-drop ops.
+    namespace whose version is <= the drop's version — only STRICTLY
+    NEWER ops survive. The reference deletes the whole target index on
+    drop, and under its version scheme (tsVersion monstache.go:
+    4053-4063) an op tying the drop can only precede it in the oplog,
+    so ties are erased. ``dropDatabase`` erases every namespace of its
+    db (ns carries just the db name). Returns the surviving non-drop
+    ops.
 
     ``databases`` / ``collections`` mirror the reference's independent
     ``dropped-databases`` / ``dropped-collections`` toggles
@@ -97,7 +100,7 @@ def apply_drops(
         )
         out = (
             out.join(F.broadcast(coll), out["ns"] == coll["_drop_ns"], "left")
-            .filter(F.col("_drop_v").isNull() | (F.col("version") >= F.col("_drop_v")))
+            .filter(F.col("_drop_v").isNull() | (F.col("version") > F.col("_drop_v")))
             .drop("_drop_ns", "_drop_v")
         )
     if databases:
@@ -108,7 +111,7 @@ def apply_drops(
         )
         out = (
             out.join(F.broadcast(db), ns_database(out["ns"]) == db["_drop_db"], "left")
-            .filter(F.col("_dbdrop_v").isNull() | (F.col("version") >= F.col("_dbdrop_v")))
+            .filter(F.col("_dbdrop_v").isNull() | (F.col("version") > F.col("_dbdrop_v")))
             .drop("_drop_db", "_dbdrop_v")
         )
     return out

@@ -21,7 +21,7 @@ via directory versioning. On a real lakehouse this maps 1:1 onto
 
 Drop propagation (K6, doDrop monstache.go:3056-3075): ``drop``/
 ``dropDatabase`` ops delete state rows of the matching namespace(s)
-whose version is OLDER than the drop — version-aware, so a micro-batch
+whose version is <= the drop's — version-aware, so a micro-batch
 ``[drop ns v=25, insert ns/id v=30]`` keeps the post-drop re-create
 regardless of batch boundaries (the same convention as
 ``operators.materialize.apply_drops``). A metadata-only predicate
@@ -69,12 +69,16 @@ def _merge_apply(
 ) -> DataFrame:
     """anti-join + union MERGE emulation with the version guard.
 
-    Tie conventions (documented, test-pinned): within a batch a delete
-    beats an upsert at the same version; across batches the batch row
-    beats the stored row at the same version (ES external versioning
-    accepts version >= stored for upserts, monstache.go:4053-4063).
-    Tombstones persist into the committed state so stale inserts in
-    LATER batches (version < delete version) stay dead."""
+    Tie convention (documented, test-pinned, batch-boundary-invariant):
+    a delete beats an upsert at the same version, whether they meet
+    inside one batch OR across batches — so ``[delete v, insert v]``
+    stays dead no matter where the batch boundary falls. This matches
+    ES external versioning, where an index at version <= a stored
+    tombstone's version is rejected (monstache.go:4053-4063,
+    gc_deletes monstache.go:4077-4080). Between two non-delete rows
+    the batch row beats the stored row at the same version (ES accepts
+    version >= stored for upserts). Tombstones persist into the
+    committed state so stale inserts in LATER batches stay dead."""
     tv = tombs.select("ns", "id", F.col("version").alias("v_del"))
     up_live = (
         upserts.join(tv, ["ns", "id"], "left")
@@ -93,32 +97,48 @@ def _merge_apply(
         return new
     if TOMB_COL not in current.columns:  # table written before tombstone support
         current = current.withColumn(TOMB_COL, F.lit(False))
+    # At a version tie the stored row wins iff it is a tombstone (delete
+    # beats equal-version upsert across batches too); `keep` and `win`
+    # are exact complements, so every matched key lands exactly once.
     nv = new.select("ns", "id", F.col("version").alias("v_new"))
     keep = (
         current.join(nv, ["ns", "id"], "left")
-        .filter(F.col("v_new").isNull() | (F.col("version") > F.col("v_new")))
+        .filter(
+            F.col("v_new").isNull()
+            | (F.col("version") > F.col("v_new"))
+            | ((F.col("version") == F.col("v_new")) & F.col(TOMB_COL))
+        )
         .drop("v_new")
     )
-    cv = current.select("ns", "id", F.col("version").alias("v_cur"))
+    cv = current.select(
+        "ns", "id", F.col("version").alias("v_cur"), F.col(TOMB_COL).alias("_cur_tomb")
+    )
     win = (
         new.join(cv, ["ns", "id"], "left")
-        .filter(F.col("v_cur").isNull() | (F.col("version") >= F.col("v_cur")))
-        .drop("v_cur")
+        .filter(
+            F.col("v_cur").isNull()
+            | (F.col("version") > F.col("v_cur"))
+            | ((F.col("version") == F.col("v_cur")) & ~F.col("_cur_tomb"))
+        )
+        .drop("v_cur", "_cur_tomb")
     )
     return keep.unionByName(win)
 
 
 def _erase_dropped(state: DataFrame, drop_rows: list[tuple]) -> DataFrame:
     """Version-aware K6 erase over materialized rows: a drop at version
-    v removes rows of its namespace(s) with version < v — ties and
-    post-drop re-creates survive regardless of micro-batch boundaries
-    (same convention as operators.materialize.apply_drops)."""
+    v removes rows of its namespace(s) with version <= v — only
+    strictly-newer post-drop re-creates survive, regardless of
+    micro-batch boundaries (same convention as
+    operators.materialize.apply_drops; the reference deletes the whole
+    index on drop, and a tying op can only precede the drop in the
+    oplog)."""
     for op, ns, v in drop_rows:
         if op == OP_DROP_DB:
             hit = ns_database(F.col("ns")) == ns.split(".", 1)[0]
         else:
             hit = F.col("ns") == ns
-        state = state.filter(~(hit & (F.col("version") < F.lit(v))))
+        state = state.filter(~(hit & (F.col("version") <= F.lit(v))))
     return state
 
 
@@ -243,8 +263,8 @@ class StateTable:
         the explicit gc_deletes sweep (safe once no source can replay
         ops older than that version)."""
         cur = self.read(include_tombstones=True)
-        if cur is None:
-            return
+        if cur is None or TOMB_COL not in cur.columns:
+            return  # empty, or written before tombstone support: nothing to prune
         self._commit(
             cur.filter(~(F.col(TOMB_COL) & (F.col("version") < F.lit(before_version))))
         )

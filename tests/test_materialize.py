@@ -118,6 +118,58 @@ def test_cross_batch_delete_then_stale_insert(spark, state):
     assert _state_dict(state.read()) == {("test.test", "1"): 5.0}
 
 
+def test_same_version_delete_insert_batch_invariant(spark, tmp_path):
+    """[delete v, insert v] stays dead whether the two ops share a
+    micro-batch or are split across batches — the tombstone wins the
+    version tie in both paths (ES rejects index at version <= tombstone
+    version under external versioning, monstache.go:4053-4063)."""
+    # raw tuples: _op() encodes the op type into the version, so a true
+    # version tie between a delete and an insert needs hand-built rows
+    v = 28
+    del_op = ("d", "test.test", "1", T0, 7, "oplog", 0.0, 0, v)
+    ins_op = ("i", "test.test", "1", T0, 7, "oplog", 1.0, 0, v)
+    one = StateTable(spark, str(tmp_path / "one"))
+    _merge(spark, one, [del_op, ins_op])
+    assert _state_dict(one.read()) == {}
+    split = StateTable(spark, str(tmp_path / "split"))
+    _merge(spark, split, [del_op])
+    _merge(spark, split, [ins_op])
+    assert _state_dict(split.read()) == {}
+    # and the tombstone survives the tie, so a later same-version replay
+    # of the delete is still a no-op while a strictly newer insert wins
+    _merge(spark, split, [("i", "test.test", "1", T0, 8, "oplog", 2.0, 0, v + 1)])
+    assert _state_dict(split.read()) == {("test.test", "1"): 2.0}
+
+
+def test_drop_version_tie_is_erased(spark, state):
+    """An op tying the drop's version is erased (under the reference's
+    version scheme a tying op can only precede the drop in the oplog,
+    and the reference deletes the whole index)."""
+    drop_v = 40
+    _merge(spark, state, [
+        _op("i", "1", 5, 1.0),
+        ("drop", "test.test", "", T0, 10, "oplog", 0.0, 0, drop_v),
+        ("i", "test.test", "2", T0, 10, "oplog", 2.0, 0, drop_v),   # tie: erased
+        _op("i", "3", 30, 3.0),                                    # v=120 > 40: survives
+    ])
+    assert _state_dict(state.read()) == {("test.test", "3"): 3.0}
+
+
+def test_prune_tombstones_pre_tombstone_table(spark, tmp_path):
+    """prune_tombstones on a table written before tombstone support
+    (no _tomb column) is a safe no-op, matching the bucketed sink."""
+    import os
+
+    t = StateTable(spark, str(tmp_path / "old"))
+    df = spark.createDataFrame([_op("i", "1", 1, 1.0)], SCHEMA)
+    df.write.parquet(os.path.join(t.path, "v1"))
+    with open(os.path.join(t.path, "CURRENT"), "w") as f:
+        f.write("1")
+    t.prune_tombstones(before_version=10**9)  # must not raise
+    assert _state_dict(t.read().selectExpr(
+        "ns", "id", "value AS last_value")) == {("test.test", "1"): 1.0}
+
+
 def test_tombstone_retention_prunes(spark, tmp_path):
     state = StateTable(spark, str(tmp_path / "ret"), tombstone_retention=10)
     _merge(spark, state, [_op("i", "1", 1, 1.0), _op("d", "1", 3)])
