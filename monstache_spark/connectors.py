@@ -1,0 +1,290 @@
+"""Connector binding layer (S1/S2/K1): EngineConfig → option dicts for
+the MongoDB Spark Connector source and the elasticsearch-hadoop sink.
+
+The reference's entire job is Mongo→Elasticsearch: gtm options are
+assembled in ``buildGtmOptions`` (monstache.go:4852-4898 — change
+stream namespaces, resume timestamp, aggregation-pipeline pushdown,
+direct-read namespaces/splits) and every bulk request carries id,
+index, routing, pipeline and an EXTERNAL version (``doIndexing``
+monstache.go:3160-3245, ``doDelete`` + ``tsVersion``
+monstache.go:4053-4090).
+
+This module is the Spark-first equivalent: pure, unit-testable
+functions that translate a parsed monstache TOML (``EngineConfig``)
+into the option dictionaries those two public connectors document —
+
+* MongoDB Spark Connector v10+ (``format("mongodb")``): short-form
+  option keys (``connection.uri``, ``database``, ``collection``,
+  ``change.stream.*``, ``aggregation.pipeline``, ``partitioner.*``);
+* elasticsearch-hadoop / elasticsearch-spark (``format("es")``):
+  ``es.nodes``, ``es.mapping.id``, ``es.write.operation``,
+  ``es.mapping.version`` + ``es.mapping.version.type=external``,
+  ``es.mapping.routing``, ``es.batch.size.*``, ``es.ingest.pipeline``.
+
+Nothing here opens a connection — the sandbox has no Mongo/ES — but a
+real deployment does exactly:
+
+    for opts in mongo_stream_options(cfg):
+        src = spark.readStream.format("mongodb").options(**opts).load()
+    ...
+    df.write.format("es").options(**es_sink_options(cfg)).save(...)
+
+and the engine's envelope/transform chain runs unchanged in between
+(streams for multiple namespaces union into one envelope, the same
+N-source union shape as the sharded reader, streaming/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import json
+from urllib.parse import urlparse
+
+from monstache_spark.config import EngineConfig
+
+# connector option key prefixes are part of the two connectors' public
+# surfaces; kept here as constants so tests and callers share one spelling
+MONGO_FORMAT = "mongodb"
+ES_FORMAT = "es"
+
+
+def _extra(cfg: EngineConfig, key: str, default=None):
+    return cfg.extras.get(key, default)
+
+
+def change_stream_namespaces(cfg: EngineConfig) -> list[str]:
+    """Resolve the change-stream namespace list with the reference's
+    defaulting rules (monstache.go:2805-2809): with the oplog disabled
+    and no explicit list, watch the whole deployment (``[""]``); with
+    the oplog enabled the list is whatever the config names.
+
+    ``""`` = deployment-wide watch, ``"db"`` = database watch,
+    ``"db.coll"`` = collection watch — the same three scopes the
+    MongoDB change-stream API exposes.
+    """
+    ns = list(_extra(cfg, "change-stream-namespaces", []) or [])
+    enable_oplog = bool(_extra(cfg, "enable-oplog", False))
+    if not enable_oplog and not ns:
+        return [""]
+    return ns
+
+
+def _bson_ts_seconds(resume_from_ts) -> int | None:
+    """resume-from-timestamp (BSON int64 seconds<<32, or ISO string
+    already normalized by config.load_config) → epoch seconds."""
+    if resume_from_ts is None:
+        return None
+    if isinstance(resume_from_ts, int):
+        return resume_from_ts >> 32 if resume_from_ts > 1 << 32 else resume_from_ts
+    import datetime
+
+    return int(
+        datetime.datetime.fromisoformat(str(resume_from_ts))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+    )
+
+
+def namespace_match_pipeline(cfg: EngineConfig) -> list[dict] | None:
+    """Server-side $match pushdown for the change stream (S8): the
+    include/exclude namespace regexes become one aggregation stage the
+    server evaluates, so filtered ops never cross the network. The
+    reference achieves this with a user-supplied pipeline function
+    (buildPipe monstache.go:4336-4390); here the engine derives the
+    stage from the config's own regexes — same effect, declarative.
+
+    Change-stream events carry ``ns: {db, coll}``; the regex applies to
+    the joined ``db.coll`` form, matched via ``$expr`` + ``$concat``.
+    """
+    clauses: list[dict] = []
+    full_ns = {"$concat": ["$ns.db", ".", "$ns.coll"]}
+    if cfg.pipeline.namespace_regex:
+        clauses.append(
+            {"$expr": {"$regexMatch": {"input": full_ns, "regex": cfg.pipeline.namespace_regex}}}
+        )
+    if cfg.pipeline.namespace_exclude_regex:
+        clauses.append(
+            {
+                "$expr": {
+                    "$not": [
+                        {
+                            "$regexMatch": {
+                                "input": full_ns,
+                                "regex": cfg.pipeline.namespace_exclude_regex,
+                            }
+                        }
+                    ]
+                }
+            }
+        )
+    if not clauses:
+        return None
+    match = clauses[0] if len(clauses) == 1 else {"$and": clauses}
+    return [{"$match": match}]
+
+
+def mongo_stream_options(cfg: EngineConfig) -> list[dict[str, str]]:
+    """One option dict per change-stream namespace for
+    ``spark.readStream.format("mongodb")`` (S1/S2). Multiple
+    namespaces → multiple streams union'd into one envelope (the
+    engine's standard N-source union, streaming/pipeline.py) — the
+    reference multiplexes them inside one gtm listener instead
+    (buildGtmOptions monstache.go:4852-4898), but the resulting op
+    stream is the same.
+    """
+    uri = _extra(cfg, "mongo-url", "mongodb://localhost:27017")
+    base: dict[str, str] = {
+        "connection.uri": uri,
+        # full-document lookups so updates carry the post-image — the
+        # engine's envelope wants whole docs, like the reference's
+        # change-stream mode (gtm ChangeStreamNs + updateLookup)
+        "change.stream.lookup.full.document": "updateLookup",
+        "change.stream.publish.full.document.only": "false",
+    }
+    pipe = namespace_match_pipeline(cfg)
+    if pipe is not None:
+        base["aggregation.pipeline"] = json.dumps(pipe)
+    secs = _bson_ts_seconds(cfg.pipeline.resume_from_ts)
+    if secs is not None:
+        # resume-from-timestamp (monstache.go:4679-4685): start the
+        # change stream at an explicit operation time instead of "now"
+        base["change.stream.startup.mode"] = "timestamp"
+        base["change.stream.startup.mode.timestamp.start.at.operation.time"] = str(secs)
+    out = []
+    for ns in change_stream_namespaces(cfg):
+        opts = dict(base)
+        if ns:
+            db, _, coll = ns.partition(".")
+            opts["database"] = db
+            if coll:
+                opts["collection"] = coll
+        out.append(opts)
+    return out
+
+
+def mongo_direct_read_options(cfg: EngineConfig) -> list[dict[str, str]]:
+    """One batch-read option dict per direct-read namespace (S3).
+    ``direct-read-split-max`` (collection splitting,
+    monstache.go:4886) maps onto the connector's paginating
+    partitioner bound — the same "split one collection into N parallel
+    cursors" intent, expressed as a partitioner instead of splitVector
+    calls.
+    """
+    uri = _extra(cfg, "mongo-url", "mongodb://localhost:27017")
+    out = []
+    for ns in cfg.direct_read_namespaces:
+        db, _, coll = ns.partition(".")
+        opts: dict[str, str] = {
+            "connection.uri": uri,
+            "database": db,
+            "collection": coll,
+        }
+        if cfg.direct_read_split_max > 0:
+            opts["partitioner"] = (
+                "com.mongodb.spark.sql.connector.read.partitioner."
+                "PaginateIntoPartitionsPartitioner"
+            )
+            opts["partitioner.options.max.number.of.partitions"] = str(
+                cfg.direct_read_split_max
+            )
+        out.append(opts)
+    return out
+
+
+def _es_nodes(urls: list[str]) -> tuple[str, str | None, bool]:
+    """elasticsearch-urls → (es.nodes host list, es.port, any-ssl)."""
+    hosts, ports, ssl = [], set(), False
+    for u in urls:
+        p = urlparse(u)
+        hosts.append(p.hostname or u)
+        ports.add(p.port or (443 if p.scheme == "https" else 9200))
+        ssl = ssl or p.scheme == "https"
+    port = str(ports.pop()) if len(ports) == 1 else None
+    return ",".join(hosts), port, ssl
+
+
+def es_sink_options(cfg: EngineConfig, routed: bool = False) -> dict[str, str]:
+    """The Elasticsearch bulk-sink option dict (K1/K2) for
+    ``df.write.format("es")`` / ``writeStream.format("es")``.
+
+    Binds the engine's output columns to the same bulk-request fields
+    the reference sets per op (doIndexing monstache.go:3160-3245):
+
+    * ``es.mapping.id`` ← the envelope ``id`` column (req.Id);
+    * external versioning ← the envelope ``version`` column
+      (req.Version + VersionType("external"), tsVersion
+      monstache.go:4053-4063) — EXCEPT in index-as-update mode, which
+      the reference also exempts from versioning (doc-as-upsert,
+      monstache.go:3183-3207);
+    * ``es.write.operation`` upsert/index mirroring IndexAsUpdate;
+    * ``es.mapping.routing`` ← the ``_routing`` meta column when the
+      caller routes (parseIndexMeta routing, operators/routing.py);
+    * batch shaping ← elasticsearch-max-docs / -max-bytes
+      (BulkProcessor flush thresholds, monstache.go:2780-2795);
+    * ``es.ingest.pipeline`` ← the meta pipeline when one is set.
+
+    The index name itself is NOT an option: the engine's ``_index``
+    routing column is passed to ``.save()`` / the ``es.resource``
+    pattern ``{_index}`` so one frame fans out across indexes, like
+    the reference's per-op req.Index.
+    """
+    urls = list(_extra(cfg, "elasticsearch-urls", []) or ["http://localhost:9200"])
+    nodes, port, ssl = _es_nodes(urls)
+    opts: dict[str, str] = {
+        "es.nodes": nodes,
+        "es.nodes.wan.only": "true",
+        "es.mapping.id": "id",
+    }
+    if port:
+        opts["es.port"] = port
+    if ssl:
+        opts["es.net.ssl"] = "true"
+    index_as_update = bool(_extra(cfg, "index-as-update", False))
+    if index_as_update:
+        opts["es.write.operation"] = "upsert"
+    else:
+        opts["es.write.operation"] = "index"
+        opts["es.mapping.version"] = "version"
+        opts["es.mapping.version.type"] = "external"
+    if routed:
+        opts["es.mapping.routing"] = "_routing"
+    max_docs = int(_extra(cfg, "elasticsearch-max-docs", 0) or 0)
+    if max_docs > 0:
+        opts["es.batch.size.entries"] = str(max_docs)
+    max_bytes = int(_extra(cfg, "elasticsearch-max-bytes", 0) or 0)
+    if max_bytes > 0:
+        opts["es.batch.size.bytes"] = str(max_bytes)
+    pipeline = _extra(cfg, "elasticsearch-pipeline") or None
+    if pipeline:
+        opts["es.ingest.pipeline"] = str(pipeline)
+    user = _extra(cfg, "elasticsearch-user") or None
+    if user:
+        opts["es.net.http.auth.user"] = str(user)
+    password = _extra(cfg, "elasticsearch-password") or None
+    if password:
+        opts["es.net.http.auth.pass"] = str(password)
+    pem = _extra(cfg, "elasticsearch-pem-file") or None
+    if pem:
+        opts["es.net.ssl.cert.allow.self.signed"] = "true"
+        opts["es.net.ssl"] = "true"
+    # elasticsearch-retry is a bool in the reference (retry failed bulk
+    # requests, monstache.go:378); off → fail the batch immediately
+    opts["es.batch.write.retry.count"] = (
+        "3" if bool(_extra(cfg, "elasticsearch-retry", False)) else "0"
+    )
+    return opts
+
+
+def es_delete_options(cfg: EngineConfig) -> dict[str, str]:
+    """Delete-path options: the reference issues versioned bulk
+    deletes (doDelete monstache.go:4065-4090, external version =
+    tsVersion+2) unless index-as-update; stateless deletes can be
+    scoped by ``delete-index-pattern`` (monstache.go:1848,4113-4139).
+    elasticsearch-hadoop expresses deletes as
+    ``es.write.operation=delete`` keyed the same way.
+    """
+    opts = es_sink_options(cfg)
+    opts["es.write.operation"] = "delete"
+    pattern = _extra(cfg, "delete-index-pattern") or None
+    if pattern:
+        opts["es.resource"] = str(pattern)
+    return opts
