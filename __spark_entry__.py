@@ -455,6 +455,18 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cands, shingle_k=2, threshold=0.05)
 
 
+def _q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket census at a deliberately tiny cap (max_bucket=2):
+    candidate buckets, buckets the cap dropped, the largest bucket, and
+    the pair volume suppressed — the no-silent-truncation audit that
+    runs beside any capped minhash_candidate_pairs/dedup_corpus call
+    (operators/dedup.py:lsh_bucket_stats)."""
+    from monstache_spark.operators.dedup import lsh_bucket_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return lsh_bucket_stats(docs, num_hashes=16, num_bands=4, shingle_k=2, max_bucket=2)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures over 2-word shingles."""
     docs = load_table(spark, "documents", sf_dir)
@@ -1151,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "dedup_corpus_pipeline": _q_dedup_corpus,
         "minhash_pairs": _q_minhash_pairs,
+        "lsh_bucket_stats": _q_lsh_bucket_stats,
         "simhash_signatures": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
         "window_rank_lag": _q_window_rank_lag,
@@ -1537,6 +1550,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
             FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
           SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.05
+        """,
+        "lsh_bucket_stats": f"""
+          WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),
+          hs AS (SELECT doc_id, sh, list_transform(sh, s -> {_hash_sql('s', 0)}) AS hs FROM sh),
+          sig AS (SELECT doc_id, sh, {minhash_sig_cols} FROM hs),
+          bands AS (SELECT doc_id, sh, {band_exprs} FROM sig),
+          exploded AS (
+            SELECT doc_id, unnest([band0, band1, band2, band3]) AS band FROM bands),
+          b AS (SELECT band, count(*) AS n_ids FROM exploded GROUP BY band HAVING count(*) > 1)
+          SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                 CAST(sum(CASE WHEN n_ids > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 CAST(max(n_ids) AS BIGINT) AS max_bucket_size,
+                 CAST(sum(CASE WHEN n_ids > 2 THEN n_ids * (n_ids - 1) // 2 ELSE 0 END) AS BIGINT)
+                   AS pairs_suppressed
+          FROM b
         """,
         "simhash_signatures": f"""
           WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),

@@ -137,25 +137,32 @@ def minhash_bands(sig: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
-def minhash_candidate_pairs(
+# Default in-bucket cap: C(500,2) ≈ 125k pairs is the most one band
+# bucket may explode into. Unbounded is the classic LSH scale-killer —
+# one boilerplate mega-bucket at 100 TB serializes O(bucket²) pair
+# generation onto a single executor. Oversize buckets are near-useless
+# for dedup anyway (boilerplate), but they are never dropped SILENTLY:
+# use ``lsh_bucket_stats`` to observe how many buckets the cap removed.
+DEFAULT_MAX_BUCKET = 500
+
+
+def minhash_buckets(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
     num_bands: int = 4,
     shingle_k: int = 3,
-    max_bucket: int | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 band bucket, id_a < id_b.
+    """LSH band buckets: one row per band key with ≥2 members, carrying
+    the sorted member-id list and its size (``band``, ``ids``,
+    ``n_ids``). The shared first half of candidate generation and
+    bucket statistics.
 
-    Plan shape: signature (narrow, one md5 per shingle) → explode bands
-    → groupBy band key → generate in-bucket pairs from the collected id
-    list → distinct. One shuffle total; signatures are computed exactly
-    once (a self-join would recompute them per side). Degenerate buckets
-    (boilerplate-heavy corpora) are bounded by ``max_bucket``: oversize
-    buckets are dropped — the standard LSH safeguard at scale — set it
-    to None to keep everything.
-    """
+    Plan shape: signature (narrow, one md5 per shingle, num_hashes
+    min-aggregates with map-side partial combine) → explode bands →
+    groupBy band key. One shuffle on band keys; signatures are computed
+    exactly once (a self-join would recompute them per side)."""
     rows_per_band = num_hashes // num_bands
     # shingles as rows, hashed ONCE each with fully codegen'd
     # expressions, then the signature as num_hashes min-aggregates
@@ -184,9 +191,62 @@ def minhash_candidate_pairs(
     banded = sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
     exploded = banded.select(id_col, F.explode("bands").alias("band"))
     buckets = exploded.groupBy("band").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-    buckets = buckets.filter(F.size("ids") > 1)
+    return buckets.filter(F.size("ids") > 1).withColumn("n_ids", F.size("ids"))
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """One-row bucket census for the cap: candidate buckets, dropped
+    (oversize) buckets, the largest bucket, and the pair volume the cap
+    saved. This is how a pipeline REPORTS truncation instead of
+    silently losing recall — run it beside ``minhash_candidate_pairs``
+    with the same parameters (same single shuffle shape; the bucket
+    frame is recomputed, which at scale is the cheap half of the job).
+    """
+    b = minhash_buckets(docs, text_col, id_col, num_hashes, num_bands, shingle_k)
+    dropped = F.col("n_ids") > F.lit(max_bucket) if max_bucket is not None else F.lit(False)
+    pair_count = (F.col("n_ids").cast("long") * (F.col("n_ids") - 1) / 2).cast("long")
+    return b.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.max("n_ids").cast("long").alias("max_bucket_size"),
+        F.sum(F.when(dropped, pair_count).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pairs_suppressed"),
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band bucket, id_a < id_b.
+
+    Plan shape: ``minhash_buckets`` (one shuffle) → generate in-bucket
+    pairs from the collected id list → distinct. Degenerate buckets
+    (boilerplate-heavy corpora) are bounded by ``max_bucket``
+    (default ``DEFAULT_MAX_BUCKET``): oversize buckets are dropped —
+    the standard LSH safeguard; at 100 TB an unbounded bucket is an
+    O(bucket²) explosion on one executor. The drop is observable, not
+    silent: ``lsh_bucket_stats`` with the same parameters reports how
+    many buckets and pairs the cap suppressed. ``max_bucket=None``
+    keeps everything.
+    """
+    buckets = minhash_buckets(docs, text_col, id_col, num_hashes, num_bands, shingle_k)
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+        buckets = buckets.filter(F.col("n_ids") <= max_bucket)
     # pairs within a bucket: for index i, pair ids[i] with every later id
     pairs = buckets.select(
         F.explode(
@@ -213,6 +273,7 @@ def dedup_corpus(
     num_bands: int = 4,
     shingle_k: int = 2,
     threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """End-to-end corpus cleaning: exact dedup (keep min id per
     canonical fingerprint), then near-dup removal (MinHash-LSH
@@ -220,12 +281,22 @@ def dedup_corpus(
     of each verified pair is dropped — the standard keep-lowest greedy,
     deterministic, no transitive closure pass).
 
+    ``max_bucket`` bounds the LSH pair explosion exactly as in
+    ``minhash_candidate_pairs``; audit what it suppressed with
+    ``lsh_bucket_stats`` at the same parameters.
+
     Plan shape: everything composes the operators above — the corpus
     is scanned once for fingerprints, once for shingles of survivors;
     joins key on digests/bands, never on text."""
     kept_exact = dedup_exact(docs, text_col, id_col)
     cands = minhash_candidate_pairs(
-        kept_exact, text_col, id_col, num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k
+        kept_exact,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_k=shingle_k,
+        max_bucket=max_bucket,
     )
     verified = ngram_jaccard_pairs(
         kept_exact, cands, text_col, id_col, shingle_k=shingle_k, threshold=threshold

@@ -106,3 +106,38 @@ def test_dedup_corpus_removes_exact_and_near_dups(spark):
     # doc 2 is an exact dup of 1 (removed); doc 3 is a near dup of 1
     # (unigram jaccard 8/11 ≈ 0.73 >= 0.5, higher id removed)
     assert kept == [1, 4]
+
+
+def test_max_bucket_cap_and_stats(spark):
+    """An adversarial boilerplate corpus: 12 identical docs all land in
+    one bucket per band. The default-capped pair path drops oversize
+    buckets; lsh_bucket_stats reports exactly what was suppressed —
+    truncation is observable, never silent."""
+    from monstache_spark.operators.dedup import lsh_bucket_stats, minhash_buckets
+
+    boiler = [(i, "all rights reserved terms of service apply") for i in range(12)]
+    docs = spark.createDataFrame(boiler, "doc_id long, text string")
+    # identical docs share every band: 4 buckets of 12
+    buckets = minhash_buckets(docs, num_hashes=16, num_bands=4, shingle_k=2)
+    assert {r["n_ids"] for r in buckets.collect()} == {12}
+
+    capped = minhash_candidate_pairs(
+        docs, num_hashes=16, num_bands=4, shingle_k=2, max_bucket=8
+    )
+    assert capped.count() == 0  # every bucket oversize -> no pair explosion
+
+    stats = lsh_bucket_stats(
+        docs, num_hashes=16, num_bands=4, shingle_k=2, max_bucket=8
+    ).collect()[0]
+    assert stats["n_buckets"] == 4
+    assert stats["n_dropped"] == 4
+    assert stats["max_bucket_size"] == 12
+    assert stats["pairs_suppressed"] == 4 * (12 * 11 // 2)
+
+    # unbounded opt-in still works and the default cap keeps small buckets
+    assert minhash_candidate_pairs(
+        docs, num_hashes=16, num_bands=4, shingle_k=2, max_bucket=None
+    ).count() == 12 * 11 // 2
+    assert minhash_candidate_pairs(
+        docs, num_hashes=16, num_bands=4, shingle_k=2
+    ).count() == 12 * 11 // 2  # DEFAULT_MAX_BUCKET=500 >> 12

@@ -81,6 +81,35 @@ def main() -> int:
     eN = t(lambda: last_state(events_to_envelope(evN)))
     print(f"{'materialize':14s}  1x {e1:6.2f}s   {times}x {eN:7.2f}s   ratio {eN / e1:6.2f}")
 
+    # Adversarial duplicate-heavy corpus: every doc in one copy-set is
+    # the SAME boilerplate text, so unbounded LSH puts the whole set in
+    # one bucket per band — O(n²) pair explosion on one executor. The
+    # capped default must stay ~flat in pair volume while the stats
+    # report the suppression.
+    from monstache_spark.operators.dedup import lsh_bucket_stats
+
+    n_boiler = 20_000
+    boiler = spark.range(n_boiler).select(
+        F.col("id").alias("doc_id"),
+        F.lit("all rights reserved terms of service apply to this page").alias("text"),
+    )
+    boiler_path = f"{base}/boiler.parquet"
+    boiler.write.mode("overwrite").parquet(boiler_path)
+    boiler = spark.read.parquet(boiler_path)
+    tb = time.time()
+    capped_pairs = (
+        minhash_candidate_pairs(boiler, num_hashes=16, num_bands=4, shingle_k=2).count()
+    )
+    tb = time.time() - tb
+    stats = lsh_bucket_stats(boiler, num_hashes=16, num_bands=4, shingle_k=2).collect()[0]
+    print(
+        f"{'lsh_adversarial':14s}  {n_boiler} identical docs: capped pairs "
+        f"{capped_pairs} in {tb:5.2f}s; dropped {stats['n_dropped']} bucket(s), "
+        f"max bucket {stats['max_bucket_size']}, "
+        f"{stats['pairs_suppressed']} pairs suppressed "
+        f"(unbounded would explode {n_boiler * (n_boiler - 1) // 2} pairs on one executor)"
+    )
+
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
     return 0
