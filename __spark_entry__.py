@@ -852,6 +852,40 @@ def _q_json_dynamic_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_merge_patch_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9, dynamic-doc mode: real RFC-7386 merge patches between
+    consecutive JSON doc versions per user (v=1 = full doc), {ts, p, v}
+    per addPatch (monstache.go:3084-3158). Docs are built from event
+    columns with a conditionally-present key so patches exercise
+    add/change/remove; patch JSON is canonical (sorted keys, compact),
+    so the oracle reproduces it byte-for-byte."""
+    from monstache_spark.operators.patches import json_merge_patches
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 40)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    doc = F.to_json(
+        F.struct(
+            F.when(k % 3 != 0, k).alias("k"),  # omitted when k % 3 == 0
+            F.col("event_type").alias("type"),
+            F.col("user_id").alias("user_id"),
+        )
+    )
+    staged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long").alias("ts_s"),
+        doc.alias("doc"),
+    )
+    return json_merge_patches(
+        staged,
+        doc_col="doc",
+        key_cols=("user_id",),
+        order_cols=("ts", "event_id"),
+        ts_col="ts_s",
+    )
+
+
 def _q_full_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end plan builder: config → guards → include regex →
     per-namespace mappers (global + scoped, tombstone + skip) →
@@ -1204,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udf_mapper_pipeline": _q_udf_mapper_pipeline,
         "file_enrichment": _q_file_enrichment,
         "merge_patch_history": _q_merge_patch_history,
+        "merge_patch_json": _q_merge_patch_json,
         "multimodal_features": _q_multimodal_features,
         "cdc_stream_pipeline": _q_stream_pipeline,
     }
@@ -1938,6 +1973,40 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN op <> 'd' AND (patch_v = 1 OR prev_k IS DISTINCT FROM k)
                       THEN k END AS patch_k
           FROM w
+        """,
+        "merge_patch_json": """
+          WITH e AS (
+            SELECT user_id, event_id, ts,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+                   CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 3 <> 0
+                        THEN json_object('k', CAST(json_extract(props, '$.k') AS BIGINT),
+                                         'type', event_type, 'user_id', user_id)
+                        ELSE json_object('type', event_type, 'user_id', user_id)
+                   END AS doc
+            FROM events WHERE user_id < 40),
+          v AS (
+            SELECT user_id, ts_s, doc,
+                   CAST(row_number() OVER w AS BIGINT) AS v,
+                   lag(doc) OVER w AS old
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+          kv AS (
+            SELECT user_id, v, old, doc,
+                   unnest(list_distinct(list_concat(json_keys(old), json_keys(doc)))) AS key
+            FROM v WHERE old IS NOT NULL),
+          diffs AS (
+            SELECT user_id, v, key, json_extract(doc, '$.' || key) AS nv
+            FROM kv
+            WHERE json_extract(doc, '$.' || key)
+                  IS DISTINCT FROM json_extract(old, '$.' || key)),
+          patches AS (
+            SELECT user_id, v,
+                   '{' || string_agg('"' || key || '":' || COALESCE(CAST(nv AS VARCHAR), 'null'),
+                                     ',' ORDER BY key) || '}' AS p
+            FROM diffs GROUP BY user_id, v)
+          SELECT v.user_id, v.ts_s AS ts, v.v,
+                 CASE WHEN v.old IS NULL THEN CAST(v.doc AS VARCHAR)
+                      ELSE COALESCE(p.p, '{}') END AS p
+          FROM v LEFT JOIN patches p ON p.user_id = v.user_id AND p.v = v.v
         """,
         "cdc_stream_pipeline": f"""
           WITH env AS ({_ENV}),
