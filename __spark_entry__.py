@@ -1122,6 +1122,45 @@ def _q_file_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_file_content(part, max_file_size=30).select("p_partkey", "file", "file_size")
 
 
+def _q_file_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 real fetch: document texts are materialized as individual
+    files on disk (executor-side, once per sf_dir), then fetched back
+    by path through the partition-parallel thread-pooled mapInPandas
+    stage with the max-file-size gate (addFileContent
+    monstache.go:1405-1433). The oracle recomputes base64+size from
+    the text column, so the whole write→fetch→encode loop is
+    value-checked."""
+    from monstache_spark.operators.files import fetch_file_content
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = os.path.join(
+        "/tmp/monstache_spark_filestore", os.path.basename(os.path.normpath(sf_dir))
+    )
+    marker = os.path.join(base, "_WRITTEN")
+    if not os.path.exists(marker):
+        os.makedirs(base, exist_ok=True)
+
+        def write_part(rows):
+            for r in rows:
+                p = os.path.join(base, f"{r['doc_id']}.txt")
+                tmp = f"{p}.tmp"
+                with open(tmp, "wb") as f:
+                    f.write(r["text"].encode("utf-8"))
+                os.replace(tmp, p)  # atomic publish; re-runs are idempotent
+
+        docs.select("doc_id", "text").foreachPartition(write_part)
+        with open(marker, "w") as f:
+            f.write("ok")
+    paths = docs.select(
+        "doc_id",
+        F.concat(F.lit(base + "/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias(
+            "path"
+        ),
+    )
+    out = fetch_file_content(paths, path_col="path", max_file_size=800)
+    return out.select("doc_id", "file", "file_size")
+
+
 def _q_merge_patch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 change-history patches: per-key version-ordered typed patch
     rows (lag-window formulation of json-merge-patches)."""
@@ -1237,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "protected_delete_apply": _q_protected_delete,
         "udf_mapper_pipeline": _q_udf_mapper_pipeline,
         "file_enrichment": _q_file_enrichment,
+        "file_fetch": _q_file_fetch,
         "merge_patch_history": _q_merge_patch_history,
         "merge_patch_json": _q_merge_patch_json,
         "multimodal_features": _q_multimodal_features,
@@ -1957,6 +1997,12 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN octet_length(p_name::BLOB) <= 30 THEN to_base64(p_name::BLOB) END AS file,
                  CAST(octet_length(p_name::BLOB) AS BIGINT) AS file_size
           FROM part
+        """,
+        "file_fetch": """
+          SELECT doc_id,
+                 CASE WHEN octet_length(text::BLOB) <= 800 THEN to_base64(text::BLOB) END AS file,
+                 CAST(octet_length(text::BLOB) AS BIGINT) AS file_size
+          FROM documents
         """,
         "merge_patch_history": f"""
           WITH env AS ({_ENV}), guarded AS (SELECT * FROM env WHERE {_GUARDS}),

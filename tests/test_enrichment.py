@@ -122,3 +122,30 @@ def test_backoff_policy_fail_fast():
     p = BackoffPolicy(base_seconds=0.01, max_retries=5, fail_fast=True)
     with pytest.raises(RuntimeError):
         p.run(lambda: (_ for _ in ()).throw(RuntimeError("x")))
+
+
+def test_fetch_file_content_from_disk(spark, tmp_path):
+    """Real fetch stage: bytes pulled by path through the thread-pooled
+    mapInPandas pass; oversize keeps size but omits content
+    (monstache.go:1423-1427); missing file yields null content+size."""
+    import base64 as b64mod
+
+    from monstache_spark.operators.files import fetch_file_content
+
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"hello world")
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * 100)
+    rows = [
+        (1, str(small)),
+        (2, str(big)),
+        (3, str(tmp_path / "missing.bin")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, path string")
+    out = {
+        r["doc_id"]: (r["file"], r["file_size"])
+        for r in fetch_file_content(df, max_file_size=50, concurrency=4).collect()
+    }
+    assert out[1] == (b64mod.b64encode(b"hello world").decode(), 11)
+    assert out[2] == (None, 100)  # gated: metadata survives, content omitted
+    assert out[3] == (None, None)
