@@ -622,6 +622,18 @@ def _q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query probes its own bucket plus every
+    Hamming-1 neighbor (operators/similarity.py:lsh_topk hamming=1) —
+    the recall knob measured by tools/ann_recall.py."""
+    from monstache_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = lsh_topk(emb, queries, dim=64, k=5, bits=6, hamming=1)
+    return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucket candidates verified
     with exact cosine >= 0.4."""
@@ -1249,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "asof_prior_purchase": _q_asof_prior_purchase,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
         "embedding_near_dup": _q_embedding_near_dup,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "bpe_token_stats": _q_bpe_token_stats,
@@ -1340,6 +1353,22 @@ def _lsh_topk_sql() -> str:
     return f"""
       WITH {_bucket_ctes()},
       q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM eb WHERE vec_id < 20),
+      s AS (SELECT query_id, c.vec_id AS corpus_id, {_cos_sql('qv', 'c.v')} AS score
+            FROM q JOIN eb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
+            FROM s)
+      SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
+    """
+
+
+def _lsh_multiprobe_sql(bits: int = 6) -> str:
+    # probe set = own bucket + every Hamming-1 neighbor (one bit flipped)
+    return f"""
+      WITH {_bucket_ctes()},
+      q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0 FROM eb WHERE vec_id < 20),
+      q AS (SELECT query_id, qv,
+                   unnest([b0] || list_transform(range(0, {bits}), p -> xor(b0, 1 << CAST(p AS INTEGER)))) AS bucket
+            FROM q0),
       s AS (SELECT query_id, c.vec_id AS corpus_id, {_cos_sql('qv', 'c.v')} AS score
             FROM q JOIN eb c ON q.bucket = c.bucket AND q.query_id <> c.vec_id),
       r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank
@@ -1742,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
           FROM events
         """,
         "ann_lsh_topk": _lsh_topk_sql(),
+        "ann_lsh_multiprobe": _lsh_multiprobe_sql(),
         "embedding_near_dup": _near_dup_sql(),
         "winnow_fingerprints": _winnow_sql(),
         "bpe_token_stats": r"""

@@ -188,20 +188,37 @@ def lsh_topk(
     bits: int = 6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hamming: int = 0,
 ) -> DataFrame:
-    """ANN top-k restricted to the query's LSH bucket. Recall < 1 by
-    design; the bucketed equi-join replaces the cross join, so cost
-    scales with bucket size, not corpus size."""
+    """ANN top-k restricted to the query's LSH bucket(s). Recall < 1
+    by design; the bucketed equi-join replaces the cross join, so cost
+    scales with probed-bucket size, not corpus size.
+
+    ``hamming=1`` enables multi-probe: each query also probes every
+    Hamming-1 neighbor bucket (one sketch bit flipped — the buckets a
+    near-neighbor most likely fell into), trading ``bits + 1``× probe
+    volume for substantially higher recall. The corpus side is
+    untouched — each corpus vector still lives in exactly ONE bucket,
+    so multi-probe costs more QUERY fan-out, never a bigger index, and
+    no result can be double-counted (probe buckets are distinct).
+    Measured at sf0.1 (tools/ann_recall.py): recall@10 roughly triples
+    over single-probe at bits=6."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("c_vec"),
         lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
     )
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, bits).alias("b0"),
+    )
+    probe_cols = [F.col("b0")]
+    if hamming >= 1:
+        probe_cols += [F.col("b0").bitwiseXOR(F.lit(1 << p)) for p in range(bits)]
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
+        q0.select(
+            "query_id", "q_vec", F.explode(F.array(*probe_cols)).alias("bucket")
         )
     )
     scored = q.join(c, "bucket").filter(F.col("query_id") != F.col("corpus_id")).select(

@@ -50,3 +50,30 @@ def test_lsh_bucket_join_subset_of_brute_force(spark):
         key = (r["query_id"], r["corpus_id"])
         assert key in exact
         assert abs(exact[key] - r["score"]) < 1e-9
+
+
+def test_lsh_multiprobe_superset_and_recall(spark):
+    """Hamming-1 multi-probe: probes own + bits flipped buckets, so the
+    candidate pool is a superset of single-probe and recall vs exact
+    can only improve; no pair is double-counted."""
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 10")
+
+    def pairs(df):
+        return {(r["query_id"], r["corpus_id"]) for r in df.collect()}
+
+    single = pairs(lsh_topk(emb, queries, dim=dim, k=5, bits=4))
+    multi_df = lsh_topk(emb, queries, dim=dim, k=5, bits=4, hamming=1)
+    multi = pairs(multi_df)
+    exact = pairs(brute_force_topk(emb, queries, k=5))
+    # no duplicate (query, corpus) rows from overlapping probes
+    assert multi_df.count() == len(multi)
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
