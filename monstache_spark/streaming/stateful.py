@@ -18,7 +18,6 @@ function sees only its keys.
 from __future__ import annotations
 
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupStateTimeout
@@ -79,31 +78,17 @@ def run_op_counts_stream(spark: SparkSession, events_path: str) -> DataFrame:
     )
     ops = events_to_envelope(normalize_nanos(stream))
     out = running_op_counts(ops)
-    name = "mem_" + uuid.uuid4().hex[:12]
-    # state-store instances are allocated per shuffle partition and AQE
-    # cannot coalesce stateful exchanges — size the state partitioning
-    # to the key cardinality (namespaces), not the CPU count
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # foreachBatch parquet sink: update-mode re-emissions land as
+    # appended rows written executor-side (no driver-side collect, the
+    # memory sink's hazard); the state partitioning inside is sized to
+    # the key cardinality by the runner
+    from monstache_spark.streaming.windows import run_stream_to_parquet
+
+    emitted = run_stream_to_parquet(out, spark, "update")
     # totals only grow; max per key == last update
-    return (
-        spark.table(name)
-        .groupBy("ns")
-        .agg(
-            F.max("n_i").alias("n_i"),
-            F.max("n_u").alias("n_u"),
-            F.max("n_d").alias("n_d"),
-            F.max("n_total").alias("n_total"),
-        )
+    return emitted.groupBy("ns").agg(
+        F.max("n_i").alias("n_i"),
+        F.max("n_u").alias("n_u"),
+        F.max("n_d").alias("n_d"),
+        F.max("n_total").alias("n_total"),
     )

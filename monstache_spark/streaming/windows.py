@@ -18,7 +18,7 @@ key never goes idle.
 from __future__ import annotations
 
 import os
-import uuid
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,16 +38,34 @@ def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     return normalize_nanos(stream)
 
 
-def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
-    name = "mem_" + uuid.uuid4().hex[:12]
+def run_stream_to_parquet(
+    df: DataFrame, spark: SparkSession, mode: str, out_dir: str | None = None
+) -> DataFrame:
+    """Drain a (bounded) streaming frame through a ``foreachBatch``
+    parquet sink and read the result back — the scale-correct harness:
+    every micro-batch's rows are written executor-side, nothing ever
+    collects to the driver (``format("memory")``'s hazard — its sink IS
+    a driver-side collect, fine for unit probes, wrong at any scale).
+
+    Output-mode mapping inside the batch body: ``complete`` snapshots
+    overwrite the directory (each batch re-emits the full result, last
+    snapshot wins); ``append``/``update`` rows append — update-mode
+    re-emissions of a key are append rows the CALLER reconciles (e.g.
+    max per key for monotone counters), exactly as an idempotent
+    upsert sink would."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
+    write_mode = "overwrite" if mode == "complete" else "append"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode(write_mode).parquet(out_dir)
+
     # streaming state stores are allocated per shuffle partition and AQE
     # cannot coalesce stateful exchanges; size to the (small) key space
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         q = (
-            df.writeStream.format("memory")
-            .queryName(name)
+            df.writeStream.foreachBatch(sink)
             .outputMode(mode)
             .trigger(availableNow=True)
             .start()
@@ -55,7 +73,7 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    return spark.read.parquet(out_dir)
 
 
 def hourly_window_counts(
@@ -69,7 +87,7 @@ def hourly_window_counts(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
     )
-    out = _run_to_memory(agg, spark, "complete")
+    out = run_stream_to_parquet(agg, spark, "complete")
     return out.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "event_type",
@@ -88,7 +106,7 @@ def session_windows(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
-    out = _run_to_memory(agg, spark, "complete")
+    out = run_stream_to_parquet(agg, spark, "complete")
     return out.select(
         "user_id",
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
@@ -136,7 +154,7 @@ def stream_stream_join(
         & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
         "inner",
     )
-    out = _run_to_memory(joined, spark, "append")
+    out = run_stream_to_parquet(joined, spark, "append")
     return out.select(
         F.col("s_user").alias("user_id"),
         "signup_event",
@@ -156,5 +174,5 @@ def stream_dedup_keys(
     keys are deterministic."""
     ev = _events_stream(spark, events_path).withWatermark("ts", watermark)
     deduped = ev.dropDuplicatesWithinWatermark(keys)
-    out = _run_to_memory(deduped, spark, "append")
+    out = run_stream_to_parquet(deduped, spark, "append")
     return out.select(*keys)
