@@ -192,4 +192,8 @@ def to_engine_plan(cfg: EngineConfig):
         relations=cfg.relations,
         index_overrides=cfg.pipeline.index_overrides,
         time_machine=bool(cfg.time_machine_namespaces),
+        index_oplog_time=cfg.index_oplog_time,
+        oplog_ts_field=cfg.oplog_ts_field,
+        oplog_date_field=cfg.oplog_date_field,
+        oplog_date_format=cfg.oplog_date_format,
     )

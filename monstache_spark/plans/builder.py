@@ -50,8 +50,15 @@ class EnginePlan:
     filters: list[NamespaceFilter] = field(default_factory=list)     # F5/F6 filter
     relations: list[Relation] = field(default_factory=list)          # J1 relate
     index_overrides: dict[str, str] = field(default_factory=dict)    # M4 index-mapping
-    time_machine: bool = False                    # K7 index-oplog-time
+    time_machine: bool = False                    # K7 time-machine-namespaces
     history_overrides: dict[str, str] = field(default_factory=dict)
+    # M5 index-oplog-time + field-name/format keys (configOptions
+    # monstache.go:2888-2890): stamp each indexed body with the op's
+    # oplog timestamp and a formatted date string
+    index_oplog_time: bool = False                # index-oplog-time
+    oplog_ts_field: str = "oplog_ts"              # oplog-ts-field-name
+    oplog_date_field: str = "oplog_date"          # oplog-date-field-name
+    oplog_date_format: str = "yyyy/MM/dd HH:mm:ss"  # oplog-date-field-format
 
 
 def build_outputs(
@@ -74,6 +81,18 @@ def build_outputs(
         )
     out = apply_mappers(out, plan.mappers)
     out = apply_filters(out, plan.filters)
+    if plan.index_oplog_time:
+        # prepareDataForIndexing stamps right before the bulk request
+        # (monstache.go:2888-2890); here the stamp is a projection the
+        # whole downstream chain (relate, routing, state) sees
+        from monstache_spark.operators.routing import prepare_for_indexing
+
+        out = prepare_for_indexing(
+            out,
+            ts_field=plan.oplog_ts_field,
+            date_field=plan.oplog_date_field,
+            date_format=plan.oplog_date_format,
+        )
 
     outputs: dict[str, DataFrame] = {}
     if plan.relations and collections:

@@ -124,3 +124,39 @@ def test_drop_toggles_parse_independently(tmp_path):
     cfg = load_config(str(p))
     assert cfg.pipeline.dropped_databases is True
     assert cfg.pipeline.dropped_collections is False
+
+
+def test_oplog_time_keys_reach_the_plan(spark, tmp_path):
+    """index-oplog-time + field-name/format keys flow from TOML through
+    EnginePlan into the built outputs: the stamped date column uses the
+    CONFIGURED format, not the default (monstache.go:2888-2890)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from monstache_spark.plans.builder import build_outputs
+
+    p = tmp_path / "oplog.toml"
+    p.write_text(
+        "index-oplog-time = true\n"
+        'oplog-ts-field-name = "synced_ts"\n'
+        'oplog-date-field-name = "synced_on"\n'
+        'oplog-date-field-format = "yyyy-MM-dd"\n'
+    )
+    plan = to_engine_plan(load_config(str(p)))
+    assert plan.index_oplog_time and plan.oplog_date_format == "yyyy-MM-dd"
+
+    ops = spark.createDataFrame(
+        [("i", "test.users", "1", dt.datetime(2024, 3, 9, 12, 30), 1, "oplog", 1.0, 0, 4)],
+        "op string, ns string, id string, ts timestamp, ts_ord long, source string, "
+        "value double, k long, version long",
+    )
+    row = build_outputs(ops, plan)["ops"].collect()[0]
+    assert row["synced_on"] == "2024-03-09"
+    assert row["synced_ts"] == dt.datetime(2024, 3, 9, 12, 30)
+
+    # default plan (index-oplog-time unset) stamps nothing
+    p2 = tmp_path / "plain.toml"
+    p2.write_text('namespace-regex = "^test\\\\..+"\n')
+    cols = build_outputs(ops, to_engine_plan(load_config(str(p2))))["ops"].columns
+    assert "synced_on" not in cols and "oplog_date" not in cols
