@@ -97,6 +97,21 @@ CHECKS = [
         "drop list broadcasts; the stream never shuffles for the drop joins",
         lambda p: "BroadcastHashJoin" in p,
     ),
+    (
+        "merge_patch_json",
+        "RFC-7386 patches: ONE window exchange, the diff UDF is Arrow-batched",
+        lambda p: p.count("Exchange (") == 1 and "ArrowEvalPython" in p,
+    ),
+    (
+        "ann_lsh_multiprobe",
+        "multi-probe stays a broadcast bucket equi-join (no cross join)",
+        lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+    ),
+    (
+        "lsh_bucket_stats",
+        "bucket census is hash-agg end-to-end (no sort agg)",
+        lambda p: "* HashAggregate" in p and "SortAggregate" not in p,
+    ),
 ]
 
 
