@@ -25,6 +25,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--events", default=None, help="events parquet (default <sf-dir>/events.parquet)")
     ap.add_argument("--batch", action="store_true", help="batch mode (no streaming trigger)")
     ap.add_argument("--show", type=int, default=5, help="rows of state to print")
+    ap.add_argument(
+        "--print-connectors",
+        action="store_true",
+        help="print the Mongo source / ES sink option dicts this config binds "
+        "to (connectors.py) and exit — the cluster-deployment contract",
+    )
     args = ap.parse_args(argv)
 
     from monstache_spark.config import load_config
@@ -33,6 +39,24 @@ def main(argv: list[str] | None = None) -> int:
     from monstache_spark.streaming.pipeline import run_batch, run_stream
 
     cfg = load_config(args.config)
+    if args.print_connectors:
+        import json
+
+        from monstache_spark import connectors as C
+
+        print(
+            json.dumps(
+                {
+                    "mongo_streams": C.mongo_stream_options(cfg),
+                    "mongo_direct_reads": C.mongo_direct_read_options(cfg),
+                    "es_sink": C.es_sink_options(cfg),
+                    "es_deletes": C.es_delete_options(cfg),
+                },
+                indent=2,
+                sort_keys=True,
+            )
+        )
+        return 0
     if cfg.extras:
         print(f"deployment-layer keys (connector concern, not plan): {sorted(cfg.extras)}")
 

@@ -195,3 +195,18 @@ def test_delete_options(tmp_path):
     # deletes stay externally versioned (tsVersion+2,
     # monstache.go:4077-4080)
     assert opts["es.mapping.version.type"] == "external"
+
+
+def test_cli_print_connectors(tmp_path, capsys):
+    """--print-connectors surfaces the full deployment binding as JSON."""
+    import json as jsonmod
+
+    from monstache_spark.__main__ import main
+
+    p = tmp_path / "c.toml"
+    p.write_text(REFERENCE_TEST_TOML)
+    assert main(["--config", str(p), "--print-connectors"]) == 0
+    out = jsonmod.loads(capsys.readouterr().out)
+    assert out["mongo_streams"][0]["connection.uri"].startswith("mongodb://root-user")
+    assert out["es_sink"]["es.mapping.version.type"] == "external"
+    assert out["mongo_direct_reads"] == []
