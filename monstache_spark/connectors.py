@@ -39,6 +39,8 @@ from __future__ import annotations
 import json
 from urllib.parse import urlparse
 
+from pyspark.sql import functions as F
+
 from monstache_spark.config import EngineConfig
 
 # connector option key prefixes are part of the two connectors' public
@@ -272,6 +274,62 @@ def es_sink_options(cfg: EngineConfig, routed: bool = False) -> dict[str, str]:
         "3" if bool(_extra(cfg, "elasticsearch-retry", False)) else "0"
     )
     return opts
+
+
+def change_events_to_envelope(events, doc_col: str = "fullDocument"):
+    """Translate the MongoDB change-stream event shape (the schema the
+    connector's stream emits: ``operationType``, ``ns {db, coll}``,
+    ``documentKey``, ``clusterTime {t, i}``, ``fullDocument``) into the
+    engine's CDC envelope — the glue between ``mongo_stream_options``
+    and every downstream operator.
+
+    Mirrors the reference's op construction from change events
+    (gtm consumes the same five fields; op-type mapping and id
+    stringification per monstache.go:815-840, 1043-1044):
+
+    * insert → ``i``; update/replace → ``u`` (updateLookup gives the
+      post-image either way); delete → ``d``; drop/dropDatabase pass
+      through as control-plane ops; anything else (invalidate, rename)
+      is dropped here and handled by the supervisor.
+    * ``version`` = ``(clusterTime.t << 32) | clusterTime.i`` plus the
+      +1/+2 update/delete bump — EXACTLY tsVersion
+      (monstache.go:4053-4063), not the harness refinement, because a
+      real cluster time already makes (t, i) unique per op.
+    * the document rides as the JSON string in ``doc_col`` (dynamic-doc
+      mode); type it downstream with ``from_json`` + a user schema.
+
+    All JVM-side Column expressions — the translation fuses into the
+    same codegen stage as the guard/filter chain behind it.
+    """
+    op = (
+        F.when(F.col("operationType") == "insert", F.lit("i"))
+        .when(F.col("operationType").isin("update", "replace"), F.lit("u"))
+        .when(F.col("operationType") == "delete", F.lit("d"))
+        .when(F.col("operationType") == "drop", F.lit("drop"))
+        .when(F.col("operationType") == "dropDatabase", F.lit("dropDatabase"))
+    )
+    ns = F.when(
+        F.col("ns.coll").isNotNull(),
+        F.concat_ws(".", F.col("ns.db"), F.col("ns.coll")),
+    ).otherwise(F.col("ns.db"))
+    t = F.col("clusterTime.t").cast("long")
+    i = F.col("clusterTime.i").cast("long")
+    bump = (
+        F.when(F.col("operationType").isin("update", "replace"), F.lit(1))
+        .when(F.col("operationType") == "delete", F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    out = events.filter(op.isNotNull()).select(
+        op.alias("op"),
+        ns.alias("ns"),
+        F.get_json_object(F.col("documentKey"), "$._id").alias("id"),
+        F.timestamp_seconds(t).alias("ts"),
+        i.alias("ts_ord"),
+        F.lit("oplog").alias("source"),
+        F.col(doc_col).alias("doc"),
+        (t * F.lit(4294967296).cast("long") + i + bump).alias("version"),
+    )
+    return out
 
 
 def es_delete_options(cfg: EngineConfig) -> dict[str, str]:

@@ -210,3 +210,43 @@ def test_cli_print_connectors(tmp_path, capsys):
     assert out["mongo_streams"][0]["connection.uri"].startswith("mongodb://root-user")
     assert out["es_sink"]["es.mapping.version.type"] == "external"
     assert out["mongo_direct_reads"] == []
+
+
+def test_change_events_to_envelope(spark):
+    """Mongo change-event shape → engine envelope: op mapping, ns
+    joining, id stringification, exact tsVersion semantics (t<<32|i,
+    +1 update, +2 delete), and control-plane drops passing through."""
+    from monstache_spark.connectors import change_events_to_envelope
+    from monstache_spark.operators.materialize import last_state
+
+    schema = (
+        "operationType string, ns struct<db:string, coll:string>, "
+        "documentKey string, clusterTime struct<t:long, i:long>, "
+        "fullDocument string"
+    )
+    rows = [
+        ("insert", ("test", "users"), '{"_id": "u1"}', (100, 1), '{"name":"ann"}'),
+        ("update", ("test", "users"), '{"_id": "u1"}', (100, 2), '{"name":"ann2"}'),
+        ("delete", ("test", "users"), '{"_id": "u1"}', (100, 2), None),
+        ("replace", ("test", "users"), '{"_id": "u2"}', (101, 1), '{"name":"bob"}'),
+        ("drop", ("test", "users"), None, (102, 1), None),
+        ("dropDatabase", ("test", None), None, (102, 2), None),
+        ("invalidate", ("test", None), None, (102, 3), None),  # dropped
+    ]
+    env = change_events_to_envelope(spark.createDataFrame(rows, schema))
+    got = [tuple(r) for r in env.orderBy("version").collect()]
+    assert len(got) == 6  # invalidate filtered out
+    by_op = {(r["op"], r["ts_ord"], r["id"]): r for r in env.collect()}
+    ins = by_op[("i", 1, "u1")]
+    assert ins["ns"] == "test.users" and ins["doc"] == '{"name":"ann"}'
+    assert ins["version"] == (100 << 32) + 1
+    assert by_op[("u", 2, "u1")]["version"] == (100 << 32) + 2 + 1
+    # SAME clusterTime delete beats the update via the +2 bump
+    assert by_op[("d", 2, "u1")]["version"] == (100 << 32) + 2 + 2
+    assert by_op[("dropDatabase", 2, None)]["ns"] == "test"
+    # and the envelope feeds the standard materialize chain: u1 deleted
+    from pyspark.sql import functions as F
+
+    data = env.filter(~F.col("op").isin("drop", "dropDatabase"))
+    state = last_state(data, payload_cols=("op",))
+    assert {r["id"] for r in state.collect()} == {"u2"}
