@@ -864,6 +864,22 @@ def _q_json_dynamic_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_delete_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 delete-ignore strategy (monstache.go:4068-4070): deletes
+    never reach the sink, so each key materializes at its last
+    NON-delete op — configured via delete-strategy=2 through the
+    shared transform chain (streaming/pipeline.py)."""
+    from monstache_spark.operators.materialize import last_state
+    from monstache_spark.streaming.pipeline import PipelineConfig, transform
+
+    cfg = PipelineConfig(delete_strategy="ignore")
+    ops = transform(_env(spark, sf_dir), cfg)
+    st = last_state(ops)
+    return st.groupBy("ns").agg(
+        F.count("*").alias("n_keys"), F.max("version").alias("max_version")
+    )
+
+
 def _q_merge_patch_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9, dynamic-doc mode: real RFC-7386 merge patches between
     consecutive JSON doc versions per user (v=1 = full doc), {ts, p, v}
@@ -1292,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_fetch": _q_file_fetch,
         "merge_patch_history": _q_merge_patch_history,
         "merge_patch_json": _q_merge_patch_json,
+        "delete_ignore_state": _q_delete_ignore,
         "multimodal_features": _q_multimodal_features,
         "cdc_stream_pipeline": _q_stream_pipeline,
     }
@@ -2049,6 +2066,15 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN op <> 'd' AND (patch_v = 1 OR prev_k IS DISTINCT FROM k)
                       THEN k END AS patch_k
           FROM w
+        """,
+        "delete_ignore_state": f"""
+          WITH env AS ({_ENV}),
+          kept AS (
+            SELECT * FROM env
+            WHERE {_GUARDS} AND op <> 'd' AND length(id) BETWEEN 1 AND 512),
+          st AS (SELECT ns, id, max(version) AS version FROM kept GROUP BY ns, id)
+          SELECT ns, count(*) AS n_keys, max(version) AS max_version
+          FROM st GROUP BY ns
         """,
         "merge_patch_json": """
           WITH e AS (

@@ -50,6 +50,7 @@ _ENGINE_KEYS = {
     "merge-patch-attribute",
     "enable-patches",
     "disable-delete-protection",
+    "delete-strategy",
     "elasticsearch-max-seconds",
     "prune-invalid-json",
     "relate",
@@ -124,6 +125,11 @@ def load_config(path: str) -> EngineConfig:
             for m in raw.get("mapping", [])
             if "namespace" in m and "index" in m
         },
+        # delete-strategy int enum per the reference (monstache.go:
+        # 117-122): 0 stateless, 1 stateful, 2 ignore
+        delete_strategy={0: "stateless", 1: "stateful", 2: "ignore"}[
+            int(raw.get("delete-strategy", 0))
+        ],
     )
     rts = raw.get("resume-from-timestamp")
     if rts:

@@ -51,6 +51,10 @@ class PipelineConfig:
     # micro-batch retry only)
     fail_fast: bool = False
     sink_max_retries: int = 0
+    # K3/K4/K5 delete handling (deleteStrategy monstache.go:117-122,
+    # toml key delete-strategy: 0 stateless, 1 stateful, 2 ignore).
+    # "ignore" drops delete ops before they reach any sink.
+    delete_strategy: str = "stateless"
 
 
 def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -65,6 +69,14 @@ def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
         from pyspark.sql import functions as F
 
         out = out.filter(F.col("ts") >= F.lit(cfg.resume_from_ts).cast("timestamp"))
+    if cfg.delete_strategy == "ignore":
+        from pyspark.sql import functions as F
+
+        from monstache_spark.envelope import OP_DELETE
+
+        # K5 (monstache.go:4068-4070): deletes never reach the sink, so
+        # a key's state is its last non-delete op
+        out = out.filter(F.col("op") != OP_DELETE)
     return id_guard(out)
 
 

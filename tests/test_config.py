@@ -160,3 +160,31 @@ def test_oplog_time_keys_reach_the_plan(spark, tmp_path):
     p2.write_text('namespace-regex = "^test\\\\..+"\n')
     cols = build_outputs(ops, to_engine_plan(load_config(str(p2))))["ops"].columns
     assert "synced_on" not in cols and "oplog_date" not in cols
+
+
+def test_delete_strategy_parses_and_filters(spark, tmp_path):
+    """delete-strategy=2 (ignore, monstache.go:117-122) drops deletes
+    in the shared transform chain; default keeps them."""
+    import datetime as dt
+
+    from monstache_spark.streaming.pipeline import transform
+
+    p = tmp_path / "ds.toml"
+    p.write_text("delete-strategy = 2\n")
+    cfg = load_config(str(p))
+    assert cfg.pipeline.delete_strategy == "ignore"
+
+    ops = spark.createDataFrame(
+        [
+            ("i", "test.a", "1", dt.datetime(2024, 1, 1), 1, "oplog", 1.0, 0, 4),
+            ("d", "test.a", "1", dt.datetime(2024, 1, 2), 2, "oplog", 0.0, 0, 10),
+        ],
+        "op string, ns string, id string, ts timestamp, ts_ord long, source string, "
+        "value double, k long, version long",
+    )
+    assert [r["op"] for r in transform(ops, cfg.pipeline).collect()] == ["i"]
+    p2 = tmp_path / "ds0.toml"
+    p2.write_text("")
+    cfg0 = load_config(str(p2))
+    assert cfg0.pipeline.delete_strategy == "stateless"
+    assert transform(ops, cfg0.pipeline).count() == 2
