@@ -437,6 +437,62 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus-curation verdict per document — the decision a
+    training-data pipeline actually makes, from the engine's own
+    signals: exact-dup survivorship (keep-min fingerprint), token-count
+    bounds, English stopword heuristic, noise ratio. First failing rule
+    names the drop reason; everything is one codegen'd projection plus
+    the fingerprint keep-join (shuffles only the 16-byte digest)."""
+    from monstache_spark.functions.text import (
+        fingerprint,
+        non_alpha_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    fp = docs.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+    keepers = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    dup_flag = fp.join(keepers, "fp").select(
+        "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("_dup_keep")
+    )
+    d = docs.join(dup_flag, "doc_id")
+    t = F.col("text")
+    nt = token_count(t)
+    reason = (
+        F.when(~F.col("_dup_keep"), F.lit("dup"))
+        .when((nt < 5) | (nt > 5000), F.lit("len"))
+        .when(stopword_ratio(t) < 0.02, F.lit("lang"))
+        .when(non_alpha_ratio(t) > 0.3, F.lit("noise"))
+        .otherwise(F.lit("ok"))
+    )
+    return d.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated two-stage aggregation (operators/skew.py): the
+    hot-key sum spreads over 16 salted reducers then combines — the
+    result is salt-invariant, which is exactly what the oracle checks.
+    Values sum as exact decimals, emitted as BIGINT cents."""
+    from monstache_spark.operators.skew import salted_sum_count
+
+    ev = load_table(spark, "events", sf_dir)
+    out = salted_sum_count(
+        ev, ["event_type"], F.col("value").cast("decimal(18,2)"), n_salts=16
+    )
+    return out.select(
+        "event_type",
+        (F.col("sum_value") * 100).cast("long").alias("sum_value_cents"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship corpus cleaning: exact dedup then LSH-verified
     near-dup removal (keep-lowest greedy); surviving doc ids."""
@@ -1309,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_patch_history": _q_merge_patch_history,
         "merge_patch_json": _q_merge_patch_json,
         "delete_ignore_state": _q_delete_ignore,
+        "corpus_curation": _q_corpus_curation,
+        "salted_value_agg": _q_salted_agg,
         "multimodal_features": _q_multimodal_features,
         "cdc_stream_pipeline": _q_stream_pipeline,
     }
@@ -2066,6 +2124,34 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN op <> 'd' AND (patch_v = 1 OR prev_k IS DISTINCT FROM k)
                       THEN k END AS patch_k
           FROM w
+        """,
+        "corpus_curation": f"""
+          WITH k AS (SELECT doc_id, md5({_CANON}) AS fp FROM documents),
+          keep AS (SELECT fp, min(doc_id) AS keep_id FROM k GROUP BY fp),
+          s AS (
+            SELECT d.doc_id,
+                   CAST(len({_TOKS_LOWER}) AS BIGINT) AS n_tokens,
+                   (CAST(len(list_filter({_TOKS_LOWER}, t -> list_contains({_SW_LIST}, t))) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE)) AS sw,
+                   (CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                     / CAST(length(text) AS DOUBLE)) AS na,
+                   (d.doc_id = keep.keep_id) AS dup_keep
+            FROM documents d JOIN k ON k.doc_id = d.doc_id JOIN keep ON keep.fp = k.fp),
+          r AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN NOT dup_keep THEN 'dup'
+                        WHEN n_tokens < 5 OR n_tokens > 5000 THEN 'len'
+                        WHEN sw < 0.02 THEN 'lang'
+                        WHEN na > 0.3 THEN 'noise'
+                        ELSE 'ok' END AS reason
+            FROM s)
+          SELECT doc_id, n_tokens, reason, reason = 'ok' AS keep FROM r
+        """,
+        "salted_value_agg": """
+          SELECT event_type,
+                 CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_cents,
+                 count(*) AS n_rows
+          FROM events GROUP BY event_type
         """,
         "delete_ignore_state": f"""
           WITH env AS ({_ENV}),
