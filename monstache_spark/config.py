@@ -78,6 +78,7 @@ class EngineConfig:
     workers: list[str] = field(default_factory=list)
     worker: str | None = None
     time_machine_namespaces: list[str] = field(default_factory=list)
+    time_machine_index_prefix: str = "log"
     file_namespaces: list[str] = field(default_factory=list)
     max_file_size: int = 0
     patch_namespaces: list[str] = field(default_factory=list)
@@ -172,6 +173,7 @@ def load_config(path: str) -> EngineConfig:
         workers=list(raw.get("workers", [])),
         worker=raw.get("worker") or None,
         time_machine_namespaces=list(raw.get("time-machine-namespaces", [])),
+        time_machine_index_prefix=raw.get("time-machine-index-prefix") or "log",
         file_namespaces=list(raw.get("file-namespaces", [])),
         max_file_size=int(raw.get("max-file-size", 0)),
         patch_namespaces=list(raw.get("patch-namespaces", [])),
@@ -198,6 +200,7 @@ def to_engine_plan(cfg: EngineConfig):
         relations=cfg.relations,
         index_overrides=cfg.pipeline.index_overrides,
         time_machine=bool(cfg.time_machine_namespaces),
+        time_machine_index_prefix=cfg.time_machine_index_prefix,
         index_oplog_time=cfg.index_oplog_time,
         oplog_ts_field=cfg.oplog_ts_field,
         oplog_date_field=cfg.oplog_date_field,

@@ -19,13 +19,17 @@ from pyspark.sql import functions as F
 from monstache_spark.operators.routing import map_index
 
 
-def time_machine_rows(ops: DataFrame, overrides: dict[str, str] | None = None) -> DataFrame:
-    """Every non-drop op becomes a history row in its dated log index."""
+def time_machine_rows(
+    ops: DataFrame, overrides: dict[str, str] | None = None, prefix: str = "log"
+) -> DataFrame:
+    """Every non-drop op becomes a history row in its dated log index.
+    ``prefix`` is time-machine-index-prefix (default "log",
+    monstache.go:2861-2863)."""
     routed = map_index(ops, overrides)
     return routed.select(
-        F.concat(F.lit("log."), F.col("_index"), F.lit("."), F.date_format("ts", "yyyy-MM-dd")).alias(
-            "history_index"
-        ),
+        F.concat(
+            F.lit(prefix + "."), F.col("_index"), F.lit("."), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("history_index"),
         F.col("id").alias("_source_id"),
         "op",
         "ts",

@@ -52,6 +52,7 @@ class EnginePlan:
     index_overrides: dict[str, str] = field(default_factory=dict)    # M4 index-mapping
     time_machine: bool = False                    # K7 time-machine-namespaces
     history_overrides: dict[str, str] = field(default_factory=dict)
+    time_machine_index_prefix: str = "log"        # time-machine-index-prefix
     # M5 index-oplog-time + field-name/format keys (configOptions
     # monstache.go:2888-2890): stamp each indexed body with the op's
     # oplog timestamp and a formatted date string
@@ -112,5 +113,7 @@ def build_outputs(
     outputs["ops"] = routed
     outputs["state"] = last_state(routed.drop("_index"))
     if plan.time_machine:
-        outputs["time_machine"] = time_machine_rows(out, plan.history_overrides)
+        outputs["time_machine"] = time_machine_rows(
+            out, plan.history_overrides, prefix=plan.time_machine_index_prefix
+        )
     return outputs

@@ -188,3 +188,25 @@ def test_delete_strategy_parses_and_filters(spark, tmp_path):
     cfg0 = load_config(str(p2))
     assert cfg0.pipeline.delete_strategy == "stateless"
     assert transform(ops, cfg0.pipeline).count() == 2
+
+
+def test_time_machine_prefix_reaches_history_rows(spark, tmp_path):
+    """time-machine-index-prefix flows TOML → plan → history_index
+    (reference default "log", monstache.go:2861-2863)."""
+    import datetime as dt
+
+    from monstache_spark.plans.builder import build_outputs
+
+    p = tmp_path / "tm.toml"
+    p.write_text(
+        'time-machine-namespaces = ["test.a"]\n'
+        'time-machine-index-prefix = "audit"\n'
+    )
+    plan = to_engine_plan(load_config(str(p)))
+    ops = spark.createDataFrame(
+        [("i", "test.a", "1", dt.datetime(2024, 3, 9), 1, "oplog", 1.0, 0, 4)],
+        "op string, ns string, id string, ts timestamp, ts_ord long, source string, "
+        "value double, k long, version long",
+    )
+    row = build_outputs(ops, plan)["time_machine"].collect()[0]
+    assert row["history_index"] == "audit.test.a.2024-03-09"
