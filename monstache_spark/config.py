@@ -82,6 +82,8 @@ class EngineConfig:
     file_namespaces: list[str] = field(default_factory=list)
     max_file_size: int = 0
     patch_namespaces: list[str] = field(default_factory=list)
+    enable_patches: bool = False
+    merge_patch_attr: str = "json-merge-patches"
     index_oplog_time: bool = False
     oplog_ts_field: str = "oplog_ts"
     oplog_date_field: str = "oplog_date"
@@ -132,6 +134,7 @@ def load_config(path: str) -> EngineConfig:
             int(raw.get("delete-strategy", 0))
         ],
     )
+    pipeline.trigger_seconds = int(raw.get("elasticsearch-max-seconds", 1))
     rts = raw.get("resume-from-timestamp")
     if rts:
         # the reference takes a BSON ts int64 (seconds<<32); accept that
@@ -177,6 +180,8 @@ def load_config(path: str) -> EngineConfig:
         file_namespaces=list(raw.get("file-namespaces", [])),
         max_file_size=int(raw.get("max-file-size", 0)),
         patch_namespaces=list(raw.get("patch-namespaces", [])),
+        enable_patches=bool(raw.get("enable-patches", False)),
+        merge_patch_attr=raw.get("merge-patch-attribute") or "json-merge-patches",
         index_oplog_time=bool(raw.get("index-oplog-time", False)),
         oplog_ts_field=raw.get("oplog-ts-field-name", "oplog_ts"),
         oplog_date_field=raw.get("oplog-date-field-name", "oplog_date"),
@@ -205,4 +210,10 @@ def to_engine_plan(cfg: EngineConfig):
         oplog_ts_field=cfg.oplog_ts_field,
         oplog_date_field=cfg.oplog_date_field,
         oplog_date_format=cfg.oplog_date_format,
+        drop_include_regex=cfg.drop_include_regex,
+        drop_exclude_regex=cfg.drop_exclude_regex,
+        workers=cfg.workers,
+        worker=cfg.worker,
+        enable_patches=cfg.enable_patches,
+        patch_namespaces=cfg.patch_namespaces,
     )

@@ -137,5 +137,13 @@ def events_to_envelope(events: DataFrame) -> DataFrame:
 
 
 def id_guard(df: DataFrame) -> DataFrame:
-    """F9: reject empty ids and ids > 512 bytes (monstache.go:3167-3171)."""
-    return df.filter(F.length(F.col("id")).between(1, 512))
+    """F9: reject empty ids and ids > 512 bytes (monstache.go:3167-3171).
+
+    Control-plane drop ops are exempt: the reference's guard sits in
+    doIndexing, a path drops never take (doDrop handles them) — without
+    the exemption a drop with no document key would be erased BEFORE
+    drop propagation could apply it."""
+    ok = F.length(F.col("id")).between(1, 512)
+    if "op" in df.columns:
+        ok = F.col("op").isin(OP_DROP, OP_DROP_DB) | ok
+    return df.filter(ok)

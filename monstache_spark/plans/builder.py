@@ -60,6 +60,17 @@ class EnginePlan:
     oplog_ts_field: str = "oplog_ts"              # oplog-ts-field-name
     oplog_date_field: str = "oplog_date"          # oplog-date-field-name
     oplog_date_format: str = "yyyy/MM/dd HH:mm:ss"  # oplog-date-field-format
+    # F4 drop-scoped regexes (filterDropWithRegex monstache.go:1464-1472,
+    # inverse monstache.go:1541-1549)
+    drop_include_regex: str | None = None         # namespace-drop-regex
+    drop_exclude_regex: str | None = None         # namespace-drop-exclude-regex
+    # F7 worker sharding (consistent-hash filter monstache.go:4761-4769)
+    workers: list[str] = field(default_factory=list)  # workers
+    worker: str | None = None                     # worker
+    # M9 patch history (addPatch monstache.go:3084-3158): namespaces
+    # whose ops get a "patches" output
+    enable_patches: bool = False                  # enable-patches
+    patch_namespaces: list[str] = field(default_factory=list)  # patch-namespaces
 
 
 def build_outputs(
@@ -75,6 +86,21 @@ def build_outputs(
         out = Flt.include_namespaces(out, plan.namespace_regex)
     if plan.namespace_exclude_regex:
         out = Flt.exclude_namespaces(out, plan.namespace_exclude_regex)
+    if plan.drop_include_regex:
+        out = Flt.include_drop_namespaces(out, plan.drop_include_regex)
+    if plan.drop_exclude_regex:
+        out = Flt.exclude_drop_namespaces(out, plan.drop_exclude_regex)
+    if plan.worker and plan.workers:
+        # one engine instance keeps only its consistent-hash share of
+        # DATA ops (the reference's worker filter lives in the data-op
+        # filter array, monstache.go:4757-4769); drops are exempt so
+        # every worker still propagates them to its share of keys
+        w_idx, n_w = plan.workers.index(plan.worker), len(plan.workers)
+        from pyspark.sql import functions as _F
+
+        is_drop = _F.col("op").isin("drop", "dropDatabase")
+        shard = Flt.worker_partition(out.filter(~is_drop), w_idx, n_w)
+        out = shard.unionByName(out.filter(is_drop))
     out = id_guard(out)
     if plan.dropped_databases or plan.dropped_collections:
         out = apply_drops(
@@ -115,5 +141,13 @@ def build_outputs(
     if plan.time_machine:
         outputs["time_machine"] = time_machine_rows(
             out, plan.history_overrides, prefix=plan.time_machine_index_prefix
+        )
+    if plan.enable_patches and plan.patch_namespaces:
+        # M9: patch-namespaces get a version-ordered patch-history
+        # output (addPatch monstache.go:3084-3158)
+        from monstache_spark.operators.patches import merge_patch_history
+
+        outputs["patches"] = merge_patch_history(
+            out.filter(F.col("ns").isin(list(plan.patch_namespaces)))
         )
     return outputs

@@ -55,6 +55,21 @@ class PipelineConfig:
     # toml key delete-strategy: 0 stateless, 1 stateful, 2 ignore).
     # "ignore" drops delete ops before they reach any sink.
     delete_strategy: str = "stateless"
+    # K10 flush cadence: elasticsearch-max-seconds is the reference's
+    # bulk flush interval (monstache.go:2780-2795); in Spark terms it is
+    # the processingTime trigger of a continuous run. Bounded test/
+    # backfill runs drain with availableNow instead.
+    trigger_seconds: int = 1
+
+
+def build_trigger(cfg: PipelineConfig, drain: bool = True) -> dict:
+    """writeStream.trigger(**kwargs) for this config: availableNow for
+    bounded drains (tests/backfills, the reference's
+    exit-after-direct-reads), processingTime=<elasticsearch-max-seconds>
+    for a continuous deployment."""
+    if drain:
+        return {"availableNow": True}
+    return {"processingTime": f"{cfg.trigger_seconds} seconds"}
 
 
 def transform(ops: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -93,8 +108,12 @@ def run_stream(
     events_path: str,
     cfg: PipelineConfig,
     events_schema=None,
+    drain: bool = True,
 ) -> StateTable:
-    """Stream the events parquet as a CDC source into the state table."""
+    """Stream the events parquet as a CDC source into the state table.
+    ``drain=True`` (tests/backfills) drains with availableNow and
+    returns; ``drain=False`` runs continuously at the configured
+    elasticsearch-max-seconds cadence until externally stopped."""
     if events_schema is None:
         events_schema = spark.read.parquet(events_path).schema
     # the file-stream source wants a directory; target one file via glob
@@ -126,7 +145,7 @@ def run_stream(
     q = (
         ops.writeStream.foreachBatch(sink)
         .option("checkpointLocation", cfg.checkpoint_dir)
-        .trigger(availableNow=True)
+        .trigger(**build_trigger(cfg, drain))
         .start()
     )
     q.awaitTermination()

@@ -210,3 +210,63 @@ def test_time_machine_prefix_reaches_history_rows(spark, tmp_path):
     )
     row = build_outputs(ops, plan)["time_machine"].collect()[0]
     assert row["history_index"] == "audit.test.a.2024-03-09"
+
+
+def test_remaining_engine_keys_reach_the_plan(spark, tmp_path):
+    """The F4/F7/M9/K10 keys flow TOML → EnginePlan → built outputs:
+    drop-scoped regexes filter only drop ops, the worker keeps its
+    consistent-hash share of data ops while still seeing drops, patch
+    namespaces get a patches output, and elasticsearch-max-seconds
+    becomes the continuous trigger cadence."""
+    import datetime as dt
+
+    from monstache_spark.plans.builder import build_outputs
+    from monstache_spark.streaming.pipeline import build_trigger
+
+    p = tmp_path / "rest.toml"
+    p.write_text(
+        'namespace-drop-regex = "^test\\\\."\n'
+        'workers = ["w0", "w1", "w2"]\n'
+        'worker = "w1"\n'
+        "enable-patches = true\n"
+        'patch-namespaces = ["test.a"]\n'
+        "elasticsearch-max-seconds = 7\n"
+    )
+    cfg = load_config(str(p))
+    plan = to_engine_plan(cfg)
+    assert plan.drop_include_regex == r"^test\." and plan.worker == "w1"
+    assert plan.enable_patches and plan.patch_namespaces == ["test.a"]
+    assert build_trigger(cfg.pipeline, drain=False) == {"processingTime": "7 seconds"}
+    assert build_trigger(cfg.pipeline, drain=True) == {"availableNow": True}
+
+    sch = (
+        "op string, ns string, id string, ts timestamp, ts_ord long, source string, "
+        "value double, k long, version long"
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rows = (
+        [("i", "test.a", str(i), t0, i, "oplog", float(i), 0, i * 4) for i in range(30)]
+        + [("i", "other.b", str(i), t0, i, "oplog", float(i), 0, i * 4) for i in range(30)]
+        + [
+            # both drops are NEWER than every data op; F4 keeps only the
+            # ^test\. one, so test.a is erased and other.b survives
+            ("drop", "test.a", "", t0, 98, "oplog", 0.0, 0, 400),
+            ("drop", "other.b", "", t0, 99, "oplog", 0.0, 0, 404),
+        ]
+    )
+    outputs = build_outputs(spark.createDataFrame(rows, sch), plan)
+    ops = outputs["ops"].collect()
+    assert all(r["op"] != "drop" for r in ops)  # drops are applied, not emitted
+    by_ns = {}
+    for r in ops:
+        by_ns.setdefault(r["ns"], []).append(r)
+    # F4: the filtered-out other.b drop erases nothing; the kept test.a
+    # drop erases everything in test.a
+    assert "test.a" not in by_ns
+    # F7: this worker sees its strict consistent-hash subset of other.b
+    assert 0 < len(by_ns["other.b"]) < 30
+    # M9: patches output exists and covers only the patch namespace
+    # (empty here — every test.a op was erased by the drop — so check
+    # the plan wires the output and scopes it)
+    assert "patches" in outputs
+    assert outputs["patches"].filter("ns <> 'test.a'").count() == 0
