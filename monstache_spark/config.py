@@ -216,4 +216,7 @@ def to_engine_plan(cfg: EngineConfig):
         worker=cfg.worker,
         enable_patches=cfg.enable_patches,
         patch_namespaces=cfg.patch_namespaces,
+        file_namespaces=cfg.file_namespaces,
+        max_file_size=cfg.max_file_size,
+        prune_invalid_json=cfg.prune_invalid_json,
     )

@@ -71,6 +71,13 @@ class EnginePlan:
     # whose ops get a "patches" output
     enable_patches: bool = False                  # enable-patches
     patch_namespaces: list[str] = field(default_factory=list)  # patch-namespaces
+    # S7 file enrichment: namespaces routed through the fetch stage
+    # (addFileContent monstache.go:1405-1433) and its size gate
+    file_namespaces: list[str] = field(default_factory=list)   # file-namespaces
+    max_file_size: int = 0                        # max-file-size
+    # M7: null out NaN/Inf payloads that cannot serialize to JSON
+    # (fixPruneInvalidJSON monstache.go:878-950)
+    prune_invalid_json: bool = False              # prune-invalid-json
 
 
 def build_outputs(
@@ -108,6 +115,16 @@ def build_outputs(
         )
     out = apply_mappers(out, plan.mappers)
     out = apply_filters(out, plan.filters)
+    if plan.prune_invalid_json:
+        # M7 on the typed surface: NaN/±Inf can't serialize to JSON —
+        # null them (fixPruneInvalidJSON monstache.go:878-950); the
+        # nested/dynamic doc twin is functions.bson.normalize_doc
+        for f in out.schema.fields:
+            if f.dataType.simpleString() in ("double", "float"):
+                c = F.col(f.name)
+                out = out.withColumn(
+                    f.name, F.when(F.isnan(c) | c.isin(float("inf"), float("-inf")), None).otherwise(c)
+                )
     if plan.index_oplog_time:
         # prepareDataForIndexing stamps right before the bulk request
         # (monstache.go:2888-2890); here the stamp is a projection the
@@ -150,4 +167,11 @@ def build_outputs(
         outputs["patches"] = merge_patch_history(
             out.filter(F.col("ns").isin(list(plan.patch_namespaces)))
         )
+    if plan.file_namespaces:
+        # S7: ops in file namespaces route to the fetch/enrichment stage
+        # (operators.files.fetch_file_content / add_file_content bind a
+        # path/content column and apply plan.max_file_size); emitting
+        # the scoped frame mirrors the reference's separate fileC
+        # channel (monstache.go:4471-4484)
+        outputs["file_ops"] = out.filter(F.col("ns").isin(list(plan.file_namespaces)))
     return outputs

@@ -270,3 +270,36 @@ def test_remaining_engine_keys_reach_the_plan(spark, tmp_path):
     # the plan wires the output and scopes it)
     assert "patches" in outputs
     assert outputs["patches"].filter("ns <> 'test.a'").count() == 0
+
+
+def test_file_namespaces_and_prune_reach_the_plan(spark, tmp_path):
+    """file-namespaces scope a file_ops output with max-file-size on the
+    plan; prune-invalid-json nulls NaN/Inf payloads (M7)."""
+    import datetime as dt
+    import math
+
+    from monstache_spark.plans.builder import build_outputs
+
+    p = tmp_path / "fp.toml"
+    p.write_text(
+        'file-namespaces = ["fs.files"]\n'
+        "max-file-size = 1024\n"
+        "prune-invalid-json = true\n"
+    )
+    plan = to_engine_plan(load_config(str(p)))
+    assert plan.max_file_size == 1024 and plan.prune_invalid_json
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("i", "fs.files", "f1", t0, 1, "oplog", 1.5, 0, 4),
+        ("i", "test.a", "1", t0, 2, "oplog", math.nan, 0, 8),
+        ("i", "test.a", "2", t0, 3, "oplog", math.inf, 0, 12),
+    ]
+    sch = (
+        "op string, ns string, id string, ts timestamp, ts_ord long, source string, "
+        "value double, k long, version long"
+    )
+    outputs = build_outputs(spark.createDataFrame(rows, sch), plan)
+    assert [r["id"] for r in outputs["file_ops"].collect()] == ["f1"]
+    vals = {r["id"]: r["value"] for r in outputs["ops"].collect()}
+    assert vals["1"] is None and vals["2"] is None and vals["f1"] == 1.5
