@@ -100,6 +100,36 @@ def _shingles_sql(k: int) -> str:
     )
 
 
+# word shingles, k words, sliding / NON-distinct (text.word_shingles verbatim)
+def _shingles_all_sql(k: int) -> str:
+    toks = _TOKS_LOWER
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k} + 2), i -> array_to_string(list_slice({toks}, i, i + {k} - 1), ' ')) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+# deterministic PII injection (mirrors _pii_injected_text byte-for-byte)
+_PII_INJECT_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 2 THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+
+def _pii_re(name: str) -> str:
+    """Pattern text for a named PII kind (identical Java/RE2 subset)."""
+    from monstache_spark.operators.curation import PII_PATTERNS
+
+    return next(p for n, p, _ in PII_PATTERNS if n == name)
+
+
 # left-fold double dot product (functions/vectors.dot — bit-identical)
 def _dot_sql(a: str, b: str) -> str:
     return f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
@@ -1286,6 +1316,116 @@ def _q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus-curation extensions (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def _pii_injected_text() -> "F.Column":
+    """Deterministic PII-shaped suffixes derived from doc_id (the
+    testdata corpus carries no natural PII). Mirrored byte-for-byte by
+    _PII_INJECT_SQL in the oracle."""
+    d = F.col("doc_id")
+    s = d.cast("string")
+    email = F.when(d % 3 == 0, F.concat(F.lit(" contact u"), s, F.lit("@example.com"))).otherwise(F.lit(""))
+    phone_ip = F.when(
+        d % 3 == 1,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (d % 256).cast("string"),
+            F.lit(".0."),
+            ((d * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        d % 3 == 2,
+        F.concat(
+            F.lit(" ssn "),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone_ip, ssn)
+
+
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (curation.redact_pii): per-kind hit
+    counts and the redacted text, over deterministically PII-injected
+    documents. Pure regexp codegen — no shuffle, no Python."""
+    from monstache_spark.operators.curation import pii_counts, redact_pii
+
+    docs = load_table(spark, "documents", sf_dir)
+    injected = docs.select("doc_id", _pii_injected_text().alias("text"))
+    t = F.col("text")
+    counts = pii_counts(t)
+    return injected.select(
+        "doc_id",
+        *[counts[k].alias(f"n_{k}") for k in ("email", "ssn", "phone", "ipv4")],
+        redact_pii(t).alias("redacted"),
+    )
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate exposure (curation.boilerplate_stats):
+    distinct 3-grams appearing in >= 3 docs, per-doc basis points.
+    md5-derived gram hash so the oracle reproduces collisions exactly;
+    production default is xxhash64 (~2x faster, same plan)."""
+    from monstache_spark.functions.text import shingle_hash
+    from monstache_spark.operators.curation import boilerplate_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return boilerplate_stats(docs, n=3, min_docs=3, hasher=lambda c: shingle_hash(c, 21))
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (curation.decontaminate): src0 is the
+    held-out benchmark; every other doc is checked for 4-gram overlap
+    via a broadcast join on md5-derived gram hashes."""
+    from monstache_spark.functions.text import shingle_hash
+    from monstache_spark.operators.curation import decontaminate
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return decontaminate(train, bench, n=4, hasher=lambda c: shingle_hash(c, 33))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition (curation.repetition_stats): sliding
+    3-gram duplicate fraction in integer basis points."""
+    from monstache_spark.functions.text import shingle_hash
+    from monstache_spark.operators.curation import repetition_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return repetition_stats(docs, n=3, hasher=lambda c: shingle_hash(c, 17))
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (curation.stratified_sample):
+    keep 50% of English, 25% of Chinese, all of the tail — membership
+    is a pure function of (seed, doc_id)."""
+    from monstache_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(docs, rates={"en": 0.5, "zh": 0.25}, seed=11)
+
+
+def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (curation.pack_sequences):
+    greedy running-sum bins of 256 tokens within (lang, shard)."""
+    from monstache_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(docs, seq_len=256, n_shards=4, seed=13)
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -1369,6 +1509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_value_agg": _q_salted_agg,
         "multimodal_features": _q_multimodal_features,
         "cdc_stream_pipeline": _q_stream_pipeline,
+        "pii_redact": _q_pii_redact,
+        "boilerplate_ngrams": _q_boilerplate,
+        "decontaminate": _q_decontaminate,
+        "repetition_stats": _q_repetition,
+        "stratified_sample": _q_stratified_sample,
+        "sequence_packing": _q_sequence_packing,
     }
 
 
@@ -2205,5 +2351,66 @@ def oracle_sql() -> dict[str, str]:
               AND (op IN ('drop', 'dropDatabase') OR NOT regexp_matches(ns, '\\.accounts$'))
               AND length(id) BETWEEN 1 AND 512)
           {materialize_body}
+        """,
+        "pii_redact": f"""
+          WITH inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{_pii_re("email")}')) AS BIGINT) AS n_email,
+                 CAST(len(regexp_extract_all(text, '{_pii_re("ssn")}')) AS BIGINT) AS n_ssn,
+                 CAST(len(regexp_extract_all(text, '{_pii_re("phone")}')) AS BIGINT) AS n_phone,
+                 CAST(len(regexp_extract_all(text, '{_pii_re("ipv4")}')) AS BIGINT) AS n_ipv4,
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_pii_re("email")}', '[EMAIL]', 'g'),
+                   '{_pii_re("ssn")}', '[SSN]', 'g'),
+                   '{_pii_re("phone")}', '[PHONE]', 'g'),
+                   '{_pii_re("ipv4")}', '[IP]', 'g') AS redacted
+          FROM inj
+        """,
+        "boilerplate_ngrams": f"""
+          WITH sh AS (SELECT doc_id, unnest({_shingles_all_sql(3)}) AS g FROM documents),
+          gh AS (SELECT DISTINCT doc_id, {_hash_sql('g', 21)} AS gh FROM sh),
+          b AS (SELECT gh FROM gh GROUP BY gh HAVING count(*) >= 3)
+          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(count(b.gh) AS BIGINT) AS n_boiler,
+                 CAST(floor(count(b.gh) * 10000 / count(*)) AS BIGINT) AS boiler_bp
+          FROM gh g LEFT JOIN b ON g.gh = b.gh GROUP BY g.doc_id
+        """,
+        "decontaminate": f"""
+          WITH bg AS (
+            SELECT DISTINCT {_hash_sql('g', 33)} AS gh
+            FROM (SELECT unnest({_shingles_all_sql(4)}) AS g FROM documents WHERE source = 'src0')),
+          dg AS (
+            SELECT DISTINCT doc_id, {_hash_sql('g', 33)} AS gh
+            FROM (SELECT doc_id, unnest({_shingles_all_sql(4)}) AS g FROM documents WHERE source <> 'src0'))
+          SELECT d.doc_id, CAST(count(b.gh) AS BIGINT) AS n_hits,
+                 CAST((count(b.gh) > 0) AS BIGINT) AS contaminated
+          FROM dg d LEFT JOIN bg b ON d.gh = b.gh GROUP BY d.doc_id
+        """,
+        "repetition_stats": f"""
+          WITH sh AS (SELECT doc_id, unnest({_shingles_all_sql(3)}) AS g FROM documents),
+          gh AS (SELECT doc_id, {_hash_sql('g', 17)} AS gh FROM sh)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(count(DISTINCT gh) AS BIGINT) AS n_distinct,
+                 CAST(floor((count(*) - count(DISTINCT gh)) * 10000 / count(*)) AS BIGINT) AS dup_bp
+          FROM gh GROUP BY doc_id
+        """,
+        "stratified_sample": f"""
+          SELECT doc_id, lang,
+                 CAST({_hash_sql("CAST(doc_id AS VARCHAR)", 11)} % 10000 AS BIGINT) AS bucket
+          FROM documents
+          WHERE {_hash_sql("CAST(doc_id AS VARCHAR)", 11)} % 10000 <
+                CASE WHEN lang = 'zh' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END
+        """,
+        "sequence_packing": f"""
+          WITH t AS (
+            SELECT doc_id, lang,
+                   CAST({_hash_sql("CAST(doc_id AS VARCHAR)", 13)} % 4 AS BIGINT) AS shard,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+            FROM documents)
+          SELECT doc_id, lang, shard, n_tokens,
+                 CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) / 256) AS BIGINT) AS bin
+          FROM t
+          WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
     }

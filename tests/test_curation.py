@@ -1,0 +1,133 @@
+"""Unit tests for the corpus-curation operators (operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from monstache_spark.functions.text import shingle_hash
+from monstache_spark.operators.curation import (
+    boilerplate_stats,
+    decontaminate,
+    pack_sequences,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_pii_redaction_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.co.uk today"),
+            (2, "call 555-123-4567 or 555-000-1111"),
+            (3, "host 192.168.0.1 and ssn 123-45-6789"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    c = pii_counts(t)
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c[k].alias(k) for k in ("email", "ssn", "phone", "ipv4")],
+            redact_pii(t).alias("red"),
+        ).collect()
+    }
+    assert out[1]["email"] == 1 and "[EMAIL]" in out[1]["red"]
+    assert "@" not in out[1]["red"]
+    assert out[2]["phone"] == 2 and out[2]["red"].count("[PHONE]") == 2
+    assert out[3]["ipv4"] == 1 and out[3]["ssn"] == 1
+    assert "[IP]" in out[3]["red"] and "[SSN]" in out[3]["red"]
+    assert out[4]["red"] == "nothing sensitive here"
+    # an SSN is not double-matched by the phone pattern
+    assert out[3]["phone"] == 0
+
+
+def test_boilerplate_stats_flags_repeated_spans(spark):
+    footer = "all rights reserved by example corp"
+    rows = [(i, f"unique words {i} alpha beta {footer}", "en") for i in range(4)]
+    rows.append((9, "totally different content with no shared spans at all", "en"))
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_stats(df, n=3, min_docs=3, hasher=lambda c: shingle_hash(c, 21)).collect()
+    }
+    # the footer's 3-grams repeat across 4 docs -> boilerplate
+    assert out[0]["n_boiler"] >= 4
+    assert out[9]["n_boiler"] == 0 and out[9]["boiler_bp"] == 0
+    assert all(0 <= r["boiler_bp"] <= 10000 for r in out.values())
+
+
+def test_decontaminate_broadcast_overlap(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog", "en")])
+    train = _docs(
+        spark,
+        [
+            (1, "prefix words then the quick brown fox jumps here", "en"),
+            (2, "completely clean document with original phrasing", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate(train, bench, n=4).collect()}
+    assert out[1]["contaminated"] == 1 and out[1]["n_hits"] >= 1
+    assert out[2]["contaminated"] == 0 and out[2]["n_hits"] == 0
+
+
+def test_repetition_stats_degenerate_text(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam spam spam", "en"),
+            (2, "eight distinct tokens make zero repeated trigrams here", "en"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    assert out[1]["n_distinct"] == 1 and out[1]["dup_bp"] > 8000
+    assert out[2]["dup_bp"] == 0 and out[2]["n_grams"] == out[2]["n_distinct"]
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    rows = [(i, f"doc {i}", "en" if i % 2 == 0 else "fr") for i in range(400)]
+    df = _docs(spark, rows)
+    a = stratified_sample(df, rates={"en": 0.5}, seed=11)
+    b = stratified_sample(df, rates={"en": 0.5}, seed=11)
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    assert ids_a == ids_b  # pure function of (seed, id)
+    kept = a.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang["fr"] == 200  # default rate 1.0 keeps everything
+    assert 60 <= by_lang["en"] <= 140  # ~50% of 200
+    # different seed -> different membership
+    c = stratified_sample(df, rates={"en": 0.5}, seed=12)
+    assert sorted(r["doc_id"] for r in c.collect()) != ids_a
+
+
+def test_pack_sequences_bins_respect_budget(spark):
+    rows = [(i, " ".join(["w"] * 10), "en") for i in range(100)]
+    df = _docs(spark, rows)
+    out = pack_sequences(df, seq_len=50, n_shards=2, seed=13).collect()
+    assert all(r["n_tokens"] == 10 for r in out)
+    # within each (lang, shard, bin): at most 5 docs of 10 tokens fit a 50-token bin
+    from collections import Counter
+
+    sizes = Counter((r["shard"], r["bin"]) for r in out)
+    assert all(v <= 5 for v in sizes.values())
+    # bins are dense from 0 within each shard
+    for shard in {r["shard"] for r in out}:
+        bins = sorted({r["bin"] for r in out if r["shard"] == shard})
+        assert bins == list(range(len(bins)))
+
+
+def test_pack_sequences_long_doc_owns_bins(spark):
+    df = _docs(spark, [(1, " ".join(["w"] * 120), "en"), (2, " ".join(["x"] * 5), "en")])
+    out = {r["doc_id"]: r for r in pack_sequences(df, seq_len=50, n_shards=1).collect()}
+    # doc 1 (120 tokens) starts at bin 0; doc 2 starts after it at bin 2
+    assert out[1]["bin"] == 0
+    assert out[2]["bin"] == 120 // 50

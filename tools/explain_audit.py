@@ -112,6 +112,31 @@ CHECKS = [
         "bucket census is hash-agg end-to-end (no sort agg)",
         lambda p: "* HashAggregate" in p and "SortAggregate" not in p,
     ),
+    (
+        "pii_redact",
+        "PII redaction is one codegen'd projection: no shuffle, no Python",
+        lambda p: "Exchange (" not in p and "Python" not in p,
+    ),
+    (
+        "decontaminate",
+        "benchmark gram set broadcasts; the corpus side never shuffles for the join",
+        lambda p: "BroadcastHashJoin" in p,
+    ),
+    (
+        "boilerplate_ngrams",
+        "boilerplate census is hash-agg on fixed-width gram hashes (no sort agg)",
+        lambda p: "* HashAggregate" in p and "SortAggregate" not in p,
+    ),
+    (
+        "repetition_stats",
+        "per-doc repetition reduces map-side: partial hash agg before the exchange",
+        lambda p: "* HashAggregate" in p and "SortAggregate" not in p,
+    ),
+    (
+        "stratified_sample",
+        "stratified sampling is a pure narrow scan+filter (no shuffle at all)",
+        lambda p: "Exchange (" not in p,
+    ),
 ]
 
 
