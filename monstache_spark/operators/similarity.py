@@ -58,12 +58,17 @@ def _hyperplane(dim: int, plane: int) -> list[float]:
     return comps
 
 
-def lsh_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
-    """Sign-sketch bucket id in [0, 2^bits): bit p = 1 iff v·plane_p > 0."""
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
+    """Sign-sketch bucket id in [0, 2^bits): bit p = 1 iff v·plane_p > 0.
+
+    ``table`` selects a disjoint hyperplane family (plane indices
+    ``table*bits .. table*bits+bits-1``) so independent hash tables for
+    OR-amplified multi-table LSH share one implementation; table 0 is
+    the original family (oracle-pinned)."""
     acc = F.lit(0).cast("long")
     v = as_double_array(vec)
     for p in range(bits):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, table * bits + p)])
         d = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
         acc = acc + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return acc
@@ -189,40 +194,75 @@ def lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     hamming: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
     """ANN top-k restricted to the query's LSH bucket(s). Recall < 1
     by design; the bucketed equi-join replaces the cross join, so cost
     scales with probed-bucket size, not corpus size.
 
-    ``hamming=1`` enables multi-probe: each query also probes every
-    Hamming-1 neighbor bucket (one sketch bit flipped — the buckets a
-    near-neighbor most likely fell into), trading ``bits + 1``× probe
-    volume for substantially higher recall. The corpus side is
-    untouched — each corpus vector still lives in exactly ONE bucket,
-    so multi-probe costs more QUERY fan-out, never a bigger index, and
-    no result can be double-counted (probe buckets are distinct).
-    Measured at sf0.1 (tools/ann_recall.py): recall@10 roughly triples
-    over single-probe at bits=6."""
+    Two independent recall knobs, composable:
+
+    - ``hamming``: multi-probe — each query also probes every bucket
+      within Hamming distance 1 (one sketch bit flipped) or 2 (any two
+      bits) of its own. Query-side fan-out only: the index stays one
+      bucket per corpus vector, probe volume grows to
+      ``1 + bits (+ bits*(bits-1)/2)`` buckets.
+    - ``n_tables``: OR-amplification — L disjoint hyperplane families;
+      a candidate is probed if it shares a bucket in ANY table
+      (recall ≈ 1-(1-p^bits)^L). Index-side fan-out: the corpus emits
+      one row per table, so index size and build cost grow L×, while
+      each table's probe stays one bucket.
+
+    Candidates found via several probes/tables are deduped on
+    (query, corpus) before ranking, so no result is double-counted.
+    Measured at sf0.1 (tools/ann_recall.py, bits=6, recall@10):
+    single-probe .060 → H1 .257 → H2 .579; 4 tables .222, and
+    4 tables × H1 .735 — probe-volume-for-recall trades with the
+    index layout unchanged within each table."""
+    tables = list(range(n_tables))
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col(vec_col), dim, bits, table=t).alias("b"),
+                    )
+                    for t in tables
+                ]
+            )
+        ).alias("tb"),
+    ).select("corpus_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket"))
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, bits).alias("b0"),
+        *[lsh_bucket(F.col(vec_col), dim, bits, table=t).alias(f"b{t}") for t in tables],
     )
-    probe_cols = [F.col("b0")]
-    if hamming >= 1:
-        probe_cols += [F.col("b0").bitwiseXOR(F.lit(1 << p)) for p in range(bits)]
+    probe_structs = []
+    for t in tables:
+        b0 = F.col(f"b{t}")
+        probes = [b0]
+        if hamming >= 1:
+            probes += [b0.bitwiseXOR(F.lit(1 << p)) for p in range(bits)]
+        if hamming >= 2:
+            probes += [
+                b0.bitwiseXOR(F.lit((1 << p) | (1 << r)))
+                for p in range(bits)
+                for r in range(p + 1, bits)
+            ]
+        probe_structs += [F.struct(F.lit(t).alias("t"), b.alias("b")) for b in probes]
     q = F.broadcast(
-        q0.select(
-            "query_id", "q_vec", F.explode(F.array(*probe_cols)).alias("bucket")
+        q0.select("query_id", "q_vec", F.explode(F.array(*probe_structs)).alias("tb")).select(
+            "query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
         )
     )
-    scored = q.join(c, "bucket").filter(F.col("query_id") != F.col("corpus_id")).select(
+    cand = q.join(c, ["t", "bucket"]).filter(F.col("query_id") != F.col("corpus_id")).select(
         "query_id", "corpus_id", cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score")
     )
+    # same pair may surface from several tables (never within one);
+    # dedup carries only (ids, score) — vectors stay out of the shuffle
+    scored = cand.dropDuplicates(["query_id", "corpus_id"]) if n_tables > 1 else cand
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

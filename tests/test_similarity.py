@@ -77,3 +77,35 @@ def test_lsh_multiprobe_superset_and_recall(spark):
     assert multi_df.count() == len(multi)
     assert len(multi & exact) >= len(single & exact)
     assert len(multi) >= len(single)
+
+
+def test_lsh_hamming2_and_multitable_recall_monotone(spark):
+    """H2 probing and OR-amplified tables each widen the candidate
+    pool monotonically; candidates stay deduped on (query, corpus)."""
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(21)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 10")
+
+    def pairs(df):
+        return {(r["query_id"], r["corpus_id"]) for r in df.collect()}
+
+    exact = pairs(brute_force_topk(emb, queries, k=5))
+    h1 = pairs(lsh_topk(emb, queries, dim=dim, k=5, bits=4, hamming=1))
+    h2_df = lsh_topk(emb, queries, dim=dim, k=5, bits=4, hamming=2)
+    h2 = pairs(h2_df)
+    assert len(h2 & exact) >= len(h1 & exact)
+
+    t1 = pairs(lsh_topk(emb, queries, dim=dim, k=5, bits=4))
+    t4_df = lsh_topk(emb, queries, dim=dim, k=5, bits=4, n_tables=4)
+    t4 = pairs(t4_df)
+    # dedup across tables holds: row count == distinct pair count
+    assert t4_df.count() == len(t4)
+    assert len(t4 & exact) >= len(t1 & exact)
+    # single-table path is byte-identical to the pre-multitable layout
+    assert t1 == pairs(lsh_topk(emb, queries, dim=dim, k=5, bits=4, n_tables=1))

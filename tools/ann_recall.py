@@ -57,6 +57,18 @@ def main() -> int:
             lambda: lsh_topk(emb, queries, dim=64, k=k, bits=6, hamming=1),
         ),
         (
+            "lsh bits=6 multi-probe H2",
+            lambda: lsh_topk(emb, queries, dim=64, k=k, bits=6, hamming=2),
+        ),
+        (
+            "lsh bits=6 tables=4",
+            lambda: lsh_topk(emb, queries, dim=64, k=k, bits=6, n_tables=4),
+        ),
+        (
+            "lsh bits=6 tables=4 H1",
+            lambda: lsh_topk(emb, queries, dim=64, k=k, bits=6, n_tables=4, hamming=1),
+        ),
+        (
             "ivf 16 cells n_probe=1",
             lambda: ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=1),
         ),
@@ -65,8 +77,16 @@ def main() -> int:
             lambda: ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=4),
         ),
         (
+            "ivf 16 cells n_probe=8",
+            lambda: ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=8),
+        ),
+        (
             "ivf kmeans16 n_probe=4",
             lambda: ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=4, centroids=km),
+        ),
+        (
+            "ivf kmeans16 n_probe=8",
+            lambda: ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=8, centroids=km),
         ),
     ]
     for name, fn in configs:
