@@ -1425,6 +1425,66 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=256, n_shards=4, seed=13)
 
 
+def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus build — the flagship composition of
+    the curation operators, in the order a real pipeline runs them:
+
+    1. drop the held-out benchmark source (src0),
+    2. deterministic stratified sampling (en 50%, zh 25%),
+    3. exact dedup (keep-min canonical fingerprint),
+    4. repetition filter (dup 3-gram fraction <= 5%),
+    5. boilerplate filter (cross-doc 3-gram exposure <= 45%),
+    6. benchmark decontamination (zero 4-gram overlap with src0),
+    7. sequence packing into 256-token bins.
+
+    Every stage is a declarative DataFrame op; survivors flow through
+    doc_id semi-joins (the text column is never shuffled between
+    stages), and the output is the packed training manifest."""
+    from monstache_spark.functions.text import fingerprint, shingle_hash
+    from monstache_spark.operators.curation import (
+        boilerplate_stats,
+        decontaminate,
+        pack_sequences,
+        repetition_stats,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    sampled = stratified_sample(pool, rates={"en": 0.5, "zh": 0.25}, seed=11).select("doc_id")
+    s = pool.join(sampled, "doc_id", "left_semi")
+
+    keep = (
+        s.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    rep_ok = (
+        repetition_stats(s, n=3, hasher=lambda c: shingle_hash(c, 17))
+        .filter(F.col("dup_bp") <= 500)
+        .select("doc_id")
+    )
+    boil_ok = (
+        boilerplate_stats(s, n=3, min_docs=3, hasher=lambda c: shingle_hash(c, 21))
+        .filter(F.col("boiler_bp") <= 4500)
+        .select("doc_id")
+    )
+    dec_ok = (
+        decontaminate(s, bench, n=4, hasher=lambda c: shingle_hash(c, 33))
+        .filter(F.col("contaminated") == 0)
+        .select("doc_id")
+    )
+    surv = (
+        s.join(keep, "doc_id", "left_semi")
+        .join(rep_ok, "doc_id", "left_semi")
+        .join(boil_ok, "doc_id", "left_semi")
+        .join(dec_ok, "doc_id", "left_semi")
+    )
+    return pack_sequences(surv, seq_len=256, n_shards=4, seed=13)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1515,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "stratified_sample": _q_stratified_sample,
         "sequence_packing": _q_sequence_packing,
+        "training_pipeline": _q_training_pipeline,
     }
 
 
@@ -2407,6 +2468,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST({_hash_sql("CAST(doc_id AS VARCHAR)", 13)} % 4 AS BIGINT) AS shard,
                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
             FROM documents)
+          SELECT doc_id, lang, shard, n_tokens,
+                 CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) / 256) AS BIGINT) AS bin
+          FROM t
+          WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "training_pipeline": f"""
+          WITH s AS (
+            SELECT * FROM documents
+            WHERE source <> 'src0'
+              AND {_hash_sql("CAST(doc_id AS VARCHAR)", 11)} % 10000 <
+                  CASE WHEN lang = 'zh' THEN 2500 WHEN lang = 'en' THEN 5000 ELSE 10000 END),
+          keep AS (SELECT min(doc_id) AS doc_id FROM s GROUP BY md5({_CANON})),
+          rep_sh AS (SELECT doc_id, unnest({_shingles_all_sql(3)}) AS g FROM s),
+          rep_gh AS (SELECT doc_id, {_hash_sql('g', 17)} AS gh FROM rep_sh),
+          rep_ok AS (
+            SELECT doc_id FROM rep_gh GROUP BY doc_id
+            HAVING CAST(floor((count(*) - count(DISTINCT gh)) * 10000 / count(*)) AS BIGINT) <= 500),
+          boil_gh AS (
+            SELECT DISTINCT doc_id, {_hash_sql('g', 21)} AS gh
+            FROM (SELECT doc_id, unnest({_shingles_all_sql(3)}) AS g FROM s)),
+          boil_b AS (SELECT gh FROM boil_gh GROUP BY gh HAVING count(*) >= 3),
+          boil_ok AS (
+            SELECT g.doc_id FROM boil_gh g LEFT JOIN boil_b b ON g.gh = b.gh
+            GROUP BY g.doc_id
+            HAVING CAST(floor(count(b.gh) * 10000 / count(*)) AS BIGINT) <= 4500),
+          bench_gh AS (
+            SELECT DISTINCT {_hash_sql('g', 33)} AS gh
+            FROM (SELECT unnest({_shingles_all_sql(4)}) AS g FROM documents WHERE source = 'src0')),
+          doc_gh AS (
+            SELECT DISTINCT doc_id, {_hash_sql('g', 33)} AS gh
+            FROM (SELECT doc_id, unnest({_shingles_all_sql(4)}) AS g FROM s)),
+          dec_ok AS (
+            SELECT d.doc_id FROM doc_gh d LEFT JOIN bench_gh b ON d.gh = b.gh
+            GROUP BY d.doc_id HAVING count(b.gh) = 0),
+          surv AS (
+            SELECT s.* FROM s
+            JOIN keep USING (doc_id) JOIN rep_ok USING (doc_id)
+            JOIN boil_ok USING (doc_id) JOIN dec_ok USING (doc_id)),
+          t AS (
+            SELECT doc_id, lang,
+                   CAST({_hash_sql("CAST(doc_id AS VARCHAR)", 13)} % 4 AS BIGINT) AS shard,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+            FROM surv)
           SELECT doc_id, lang, shard, n_tokens,
                  CAST(floor((CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) / 256) AS BIGINT) AS bin
           FROM t
