@@ -1425,6 +1425,16 @@ def _q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, seq_len=256, n_shards=4, seed=13)
 
 
+def _q_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition for mixing weights (curation.mixture_stats):
+    docs/tokens/share-bp per (source, lang), total via a lazy
+    broadcast one-row aggregate."""
+    from monstache_spark.operators.curation import mixture_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mixture_stats(docs)
+
+
 def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus build — the flagship composition of
     the curation operators, in the order a real pipeline runs them:
@@ -1575,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition,
         "stratified_sample": _q_stratified_sample,
         "sequence_packing": _q_sequence_packing,
+        "mixture_stats": _q_mixture_stats,
         "training_pipeline": _q_training_pipeline,
     }
 
@@ -2473,6 +2484,20 @@ def oracle_sql() -> dict[str, str]:
           FROM t
           WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "mixture_stats": f"""
+          WITH t AS (
+            SELECT source, lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS nt
+            FROM documents),
+          a AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM t GROUP BY source, lang),
+          tot AS (SELECT CAST(sum(nt) AS BIGINT) AS _tot FROM t)
+          SELECT source, lang, n_docs, n_tokens,
+                 CAST(floor(n_tokens * 10000 / _tot) AS BIGINT) AS share_bp
+          FROM a, tot
         """,
         "training_pipeline": f"""
           WITH s AS (

@@ -256,6 +256,34 @@ def stratified_sample(
     )
 
 
+def mixture_stats(
+    docs: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(source, lang) corpus composition: document count, token
+    count, and token share in basis points — the inputs a data-mixing
+    stage needs to set sampling weights.
+
+    The corpus total is a lazy one-row aggregate cross-joined back in
+    (broadcast of a single row), so the whole statistic is one plan
+    with map-side partial aggregation — no driver-side ``.collect()``
+    and no second pass over the data.
+    """
+    toks = docs.select(*group_cols, token_count(F.col(text_col)).cast("long").alias("nt"))
+    agg = toks.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+    )
+    total = agg.agg(F.sum("n_tokens").cast("long").alias("_tot"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        F.floor(F.col("n_tokens") * 10000 / F.col("_tot")).cast("long").alias("share_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (token-budget binning for training batches)
 # ---------------------------------------------------------------------------

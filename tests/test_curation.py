@@ -131,3 +131,25 @@ def test_pack_sequences_long_doc_owns_bins(spark):
     # doc 1 (120 tokens) starts at bin 0; doc 2 starts after it at bin 2
     assert out[1]["bin"] == 0
     assert out[2]["bin"] == 120 // 50
+
+
+def test_mixture_stats_shares_sum_and_empty_docs(spark):
+    from monstache_spark.operators.curation import mixture_stats
+
+    rows = [
+        (1, "one two three four", "en", "web"),
+        (2, "cinq six", "fr", "web"),
+        (3, "sept huit neuf", "fr", "books"),
+        (4, "   ", "en", "web"),  # empty after trim -> 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = {(r["source"], r["lang"]): r for r in mixture_stats(df).collect()}
+    assert out[("web", "en")]["n_docs"] == 2
+    assert out[("web", "en")]["n_tokens"] == 4
+    assert out[("web", "fr")]["n_tokens"] == 2
+    assert out[("books", "fr")]["n_tokens"] == 3
+    # shares are floor(bp) of a 9-token corpus and never exceed 10000 total
+    assert out[("web", "en")]["share_bp"] == 4444
+    assert out[("web", "fr")]["share_bp"] == 2222
+    assert out[("books", "fr")]["share_bp"] == 3333
+    assert sum(r["share_bp"] for r in out.values()) <= 10000

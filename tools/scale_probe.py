@@ -65,11 +65,27 @@ def main() -> int:
         fn().write.mode("overwrite").format("noop").save()
         return time.time() - t0
 
+    from monstache_spark.operators.curation import (
+        boilerplate_stats,
+        decontaminate,
+        pack_sequences,
+        repetition_stats,
+    )
+
+    bench_docs = docs1.filter(F.col("source") == "src0")
+
     probes = {
         "exact_dedup": lambda d: exact_duplicates(d),
         "minhash_cands": lambda d: minhash_candidate_pairs(d, num_hashes=16, num_bands=4, shingle_k=2),
         "simhash": lambda d: simhash_signatures(d, shingle_k=2),
         "winnow": lambda d: winnow_fingerprints(d, k=8, w=4),
+        # curation ops on the production (xxhash64) hash path; the
+        # decontamination benchmark stays 1x while the corpus scales —
+        # the realistic shape (benchmarks don't grow with the crawl)
+        "boilerplate": lambda d: boilerplate_stats(d, n=3, min_docs=3),
+        "repetition": lambda d: repetition_stats(d, n=3),
+        "decontaminate": lambda d: decontaminate(d, bench_docs, n=4),
+        "seq_packing": lambda d: pack_sequences(d, seq_len=256, n_shards=32),
     }
     print(f"multiplier={times}  docs {docs1.count()} -> {docsN.count()}")
     for name, fn in probes.items():
