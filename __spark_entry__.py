@@ -1435,6 +1435,16 @@ def _q_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_stats(docs)
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-dedup rewrite (curation.dedup_spans): drop every
+    8-token chunk occurring >= 2 times corpus-wide except its
+    corpus-first occurrence, rebuild each document from the survivors."""
+    from monstache_spark.operators.curation import dedup_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup_spans(docs, w=8, min_count=2)
+
+
 def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-corpus build — the flagship composition of
     the curation operators, in the order a real pipeline runs them:
@@ -1586,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "sequence_packing": _q_sequence_packing,
         "mixture_stats": _q_mixture_stats,
+        "span_dedup_rewrite": _q_span_dedup,
         "training_pipeline": _q_training_pipeline,
     }
 
@@ -2498,6 +2509,43 @@ def oracle_sql() -> dict[str, str]:
           SELECT source, lang, n_docs, n_tokens,
                  CAST(floor(n_tokens * 10000 / _tot) AS BIGINT) AS share_bp
           FROM a, tot
+        """,
+        "span_dedup_rewrite": f"""
+          WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0
+                        THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS tk
+            FROM documents),
+          cl AS (
+            SELECT doc_id,
+                   list_transform(
+                     generate_series(0, CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1),
+                     i -> array_to_string(tk[i*8+1 : i*8+8], ' ')) AS chunks
+            FROM base),
+          rows_ AS (
+            SELECT doc_id,
+                   UNNEST(generate_series(0, len(chunks) - 1)) AS cpos,
+                   UNNEST(chunks) AS chunk
+            FROM cl),
+          marked AS (
+            SELECT doc_id, cpos, chunk,
+                   count(*) OVER (PARTITION BY chunk) AS n_occ,
+                   row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cpos) AS rn
+            FROM rows_),
+          kept AS (
+            SELECT doc_id, cpos, chunk FROM marked WHERE n_occ < 2 OR rn = 1),
+          reb AS (
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS text2,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id),
+          tot AS (SELECT doc_id, count(*) AS n_chunks FROM rows_ GROUP BY doc_id)
+          SELECT b.doc_id,
+                 coalesce(reb.text2, '') AS text,
+                 CAST(coalesce(tot.n_chunks, 0) AS BIGINT) AS n_chunks,
+                 CAST(coalesce(tot.n_chunks, 0) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_dropped
+          FROM base b
+          LEFT JOIN tot USING (doc_id)
+          LEFT JOIN reb USING (doc_id)
         """,
         "training_pipeline": f"""
           WITH s AS (

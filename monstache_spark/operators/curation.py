@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from monstache_spark.functions.text import shingle_hash, token_count
+from monstache_spark.functions.text import shingle_hash, token_count, tokens
 from monstache_spark.operators.dedup import shingle_rows
 
 def _gram_hash_rows(
@@ -219,6 +219,84 @@ def repetition_stats(
         F.floor((F.col("n_grams") - F.col("n_distinct")) * 10000 / F.col("n_grams"))
         .cast("long")
         .alias("dup_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup (the C4 rewrite rule)
+# ---------------------------------------------------------------------------
+
+
+def dedup_spans(
+    docs: DataFrame,
+    w: int = 16,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite documents by removing repeated spans — the C4 rule
+    ("discard all but one of any three-sentence span occurring more
+    than once") adapted to untyped text: each document splits into
+    consecutive ``w``-token chunks, every occurrence of a chunk that
+    appears ≥ ``min_count`` times corpus-wide is dropped EXCEPT the
+    corpus-first one (smallest ``(doc_id, chunk_pos)``), and the
+    document is rebuilt from its surviving chunks.
+
+    Unlike :func:`boilerplate_stats` (the measurement half), this is
+    the transform half: it returns the corpus itself, rewritten —
+    ``(doc_id, text, n_chunks, n_dropped)``, empty string for fully
+    deduplicated documents.
+
+    Scale: duplicate decisions travel as ``(ch, doc_id, cpos)`` rows —
+    the census groupBy and the decision join key on the 8-byte chunk
+    hash and never carry chunk text. Text shuffles exactly once, in the
+    final join of per-doc drop lists back onto the original documents
+    (keyed on ``id_col``, which parquet bucketing can co-locate). The
+    rebuild is a single indexed-lambda filter over the chunk array with
+    one consumer, so projection collapse cannot re-inline it anywhere
+    else.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("long")
+    chunk_arr = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, (i * w + 1).cast("int"), w), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+    # The corpus-first occurrence is min over (doc_id, cpos) — packed
+    # into ONE BIGINT (doc_id << 20 | cpos) because a struct in the
+    # aggregation buffer silently degrades the census to SortAggregate
+    # (full map-side sort). Order-preserving for non-negative ids and
+    # cpos < 2^20 (≈8M tokens/doc at w=8).
+    rows = docs.select(
+        F.col(id_col), F.posexplode(chunk_arr).alias("cpos", "chunk")
+    ).select(
+        id_col,
+        "cpos",
+        F.xxhash64("chunk").alias("ch"),
+        (F.col(id_col).cast("long") * (1 << 20) + F.col("cpos")).alias("pk"),
+    )
+    census = (
+        rows.groupBy("ch")
+        .agg(F.count("*").alias("n_occ"), F.min("pk").alias("keep"))
+        .filter(F.col("n_occ") >= min_count)
+        .select("ch", "keep")
+    )
+    drops = (
+        rows.join(census, "ch")
+        .filter(F.col("pk") != F.col("keep"))
+        .groupBy(id_col)
+        .agg(F.collect_set("cpos").alias("_dp"))
+    )
+    dp = F.col("_dp")
+    kept_arr = F.when(
+        dp.isNull(), chunk_arr
+    ).otherwise(F.filter(chunk_arr, lambda c, i: ~F.array_contains(dp, i.cast("int"))))
+    return docs.join(drops, id_col, "left").select(
+        id_col,
+        F.array_join(kept_arr, " ").alias(text_col),
+        n_chunks.alias("n_chunks"),
+        F.coalesce(F.size(dp).cast("long"), F.lit(0).cast("long")).alias("n_dropped"),
     )
 
 

@@ -153,3 +153,31 @@ def test_mixture_stats_shares_sum_and_empty_docs(spark):
     assert out[("web", "fr")]["share_bp"] == 2222
     assert out[("books", "fr")]["share_bp"] == 3333
     assert sum(r["share_bp"] for r in out.values()) <= 10000
+
+
+def test_dedup_spans_keeps_corpus_first_occurrence(spark):
+    from monstache_spark.operators.curation import dedup_spans
+
+    rows = [
+        (1, "a b c d e f g h"),   # owns the corpus-first "a b c d"
+        (2, "a b c d x y z w"),   # loses its copy
+        (3, "a b c d"),           # fully deduplicated -> empty text
+        (4, ""),                  # empty doc passes through
+        (5, "q r s"),             # unique partial chunk survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_spans(df, w=4).collect()}
+    assert out[1]["text"] == "a b c d e f g h" and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "x y z w" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "" and out[3]["n_chunks"] == 1 and out[3]["n_dropped"] == 1
+    assert out[4]["text"] == "" and out[4]["n_chunks"] == 0 and out[4]["n_dropped"] == 0
+    assert out[5]["text"] == "q r s" and out[5]["n_dropped"] == 0
+
+
+def test_dedup_spans_within_doc_repeat(spark):
+    from monstache_spark.operators.curation import dedup_spans
+
+    # the same chunk twice INSIDE one doc: first occurrence kept, second dropped
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    out = dedup_spans(df, w=2).collect()[0]
+    assert out["text"] == "a b" and out["n_chunks"] == 2 and out["n_dropped"] == 1

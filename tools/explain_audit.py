@@ -137,6 +137,11 @@ CHECKS = [
         "stratified sampling is a pure narrow scan+filter (no shuffle at all)",
         lambda p: "Exchange (" not in p,
     ),
+    (
+        "span_dedup_rewrite",
+        "span-dedup census is hash-agg on a packed BIGINT keeper (no sort agg)",
+        lambda p: "SortAggregate" not in p,
+    ),
 ]
 
 
