@@ -541,6 +541,19 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cands, shingle_k=2, threshold=0.05)
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labeling (dedup.near_dup_clusters): MinHash-LSH
+    candidates → Jaccard-verified pairs → connected components (min-label
+    propagation with pointer jumping); every doc gets the min doc_id of
+    its near-dup component. Same LSH parameters as `minhash_pairs`."""
+    from monstache_spark.operators.dedup import near_dup_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    return near_dup_clusters(
+        docs, num_hashes=16, num_bands=4, shingle_k=2, threshold=0.05
+    )
+
+
 def _q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket census at a deliberately tiny cap (max_bucket=2):
     candidate buckets, buckets the cap dropped, the largest bucket, and
@@ -1540,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "dedup_corpus_pipeline": _q_dedup_corpus,
         "minhash_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "simhash_signatures": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
@@ -1958,6 +1972,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
             FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
           SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.05
+        """,
+        "near_dup_clusters": f"""
+          WITH RECURSIVE sh AS (SELECT doc_id, {sh2} AS sh FROM documents),
+          hs AS (SELECT doc_id, sh, list_transform(sh, s -> {_hash_sql('s', 0)}) AS hs FROM sh),
+          sig AS (SELECT doc_id, sh, {minhash_sig_cols} FROM hs),
+          bands AS (SELECT doc_id, sh, {band_exprs} FROM sig),
+          exploded AS (
+            SELECT doc_id, sh, unnest([band0, band1, band2, band3]) AS band FROM bands),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded a JOIN exploded b ON a.band = b.band AND a.doc_id < b.doc_id),
+          verified AS (
+            SELECT id_a, id_b
+            FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+            WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.05),
+          e AS (SELECT id_a AS u, id_b AS v FROM verified
+                UNION ALL SELECT id_b, id_a FROM verified),
+          cc(id, lab) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM e)
+            UNION
+            SELECT e.u, cc.lab FROM e JOIN cc ON cc.id = e.v),
+          lab AS (SELECT id, min(lab) AS cluster_id FROM cc GROUP BY id)
+          SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+          FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
         """,
         "lsh_bucket_stats": f"""
           WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),

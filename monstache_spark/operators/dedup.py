@@ -305,6 +305,114 @@ def dedup_corpus(
     return kept_exact.join(drop, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph: one row per
+    node appearing in ``pairs``, labeled ``cluster_id`` = the minimum
+    id in its component. This is the step that turns pairwise near-dup
+    verdicts into dedup GROUPS (keep ``id == cluster_id``, drop the
+    rest) — pairwise keep-lowest alone under-deletes on transitive
+    chains (a~b, b~c, but a!~c leaves c alive).
+
+    Iterative min-label propagation with pointer jumping: each round a
+    node takes the min of its own label, its neighbors' labels, and its
+    label's label (the pointer jump — contracts chains in O(log n)
+    rounds instead of O(diameter)). Labels only decrease and stay
+    inside the component, so the fixpoint is exactly the component
+    minimum.
+
+    Scale: each round is two hash joins + a hash aggregate keyed on
+    node id; labels are ``localCheckpoint``-ed per round to truncate
+    lineage, and the ONLY driver-side action per round is a limit(1)
+    convergence probe (control-plane, one row). Near-dup graphs are
+    overwhelmingly small dense clusters, so rounds ≈ 3-4 in practice;
+    ``max_iter`` hard-bounds adversarial chains.
+    """
+    # Materialize the edge list ONCE: ``pairs`` is typically the tail
+    # of an expensive pipeline (LSH + verification) and every loop
+    # round below re-reads it — without this checkpoint each iteration
+    # would recompute the whole upstream plan.
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).localCheckpoint()
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct().withColumn("lab", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.id"))
+            .groupBy(F.col("e.u").alias("id"))
+            .agg(F.min("l.lab").alias("nlab"))
+        )
+        step = labels.join(nbr, "id", "left").select(
+            "id", F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab")
+        )
+        ptr = step.select(F.col("id").alias("pid"), F.col("lab").alias("plab"))
+        step = (
+            step.alias("s")
+            .join(ptr.alias("p"), F.col("s.lab") == F.col("p.pid"), "left")
+            .select(
+                F.col("s.id").alias("id"),
+                F.least(
+                    F.col("s.lab"), F.coalesce(F.col("p.plab"), F.col("s.lab"))
+                ).alias("lab"),
+            )
+        ).localCheckpoint()
+        changed = (
+            step.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = step
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every document with its near-dup cluster id: MinHash-LSH
+    candidates → exact Jaccard verification → connected components over
+    the verified pairs. Documents with no verified neighbor are their
+    own cluster. Output ``(id_col, cluster_id)``; dedup = keep
+    ``id_col == cluster_id``.
+    """
+    cands = minhash_candidate_pairs(
+        docs, text_col, id_col,
+        num_hashes=num_hashes, num_bands=num_bands, shingle_k=shingle_k,
+        max_bucket=max_bucket,
+    )
+    verified = ngram_jaccard_pairs(
+        docs, cands, text_col, id_col, shingle_k=shingle_k, threshold=threshold
+    )
+    labels = connected_components(verified, max_iter=max_iter)
+    return (
+        docs.alias("d")
+        .join(labels.alias("c"), F.col(f"d.{id_col}") == F.col("c.id"), "left")
+        .select(
+            F.col(f"d.{id_col}").alias(id_col),
+            F.coalesce(F.col("c.cluster_id"), F.col(f"d.{id_col}")).alias("cluster_id"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     text_col: str = "text",

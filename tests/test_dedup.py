@@ -141,3 +141,45 @@ def test_max_bucket_cap_and_stats(spark):
     assert minhash_candidate_pairs(
         docs, num_hashes=16, num_bands=4, shingle_k=2
     ).count() == 12 * 11 // 2  # DEFAULT_MAX_BUCKET=500 >> 12
+
+
+def test_connected_components_transitive_chain(spark):
+    from monstache_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 plus clique {10,11,12} plus isolated pair (20,21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert all(out[i] == 1 for i in (1, 2, 3, 4, 5))
+    assert all(out[i] == 10 for i in (10, 11, 12))
+    assert out[20] == 20 and out[21] == 21 - 1
+
+
+def test_connected_components_converges_under_max_iter(spark):
+    from monstache_spark.operators.dedup import connected_components
+
+    # a 17-node path: min-prop alone needs 16 rounds; pointer jumping
+    # must finish inside 6
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 17)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster_id"] for r in connected_components(pairs, max_iter=6).collect()}
+    assert all(out[i] == 1 for i in range(1, 18))
+
+
+def test_near_dup_clusters_labels_whole_corpus(spark):
+    from monstache_spark.operators.dedup import near_dup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1
+        (3, base + " extra more"),     # near-dup of 2 (transitively of 1)
+        (9, "totally different words nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(df, threshold=0.3).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[9] == 9  # untouched doc is its own cluster
