@@ -49,9 +49,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 
 def normalize_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long nanos under
-    spark.sql.legacy.parquet.nanosAsLong; convert to proper µs
-    timestamps (integer div — the values are µs-resolution)."""
+    """Normalize driver-testdata timestamp encodings to plain UTC
+    TIMESTAMP so the rest of the engine sees one type:
+
+    - TIMESTAMP(NANOS) parquet arrives as long nanos under
+      spark.sql.legacy.parquet.nanosAsLong → convert to µs timestamps
+      (integer div — the values are µs-resolution).
+    - Naive ``timestamp[us]`` parquet arrives as TIMESTAMP_NTZ →
+      reinterpret as UTC (session timezone is pinned to UTC, so the
+      wall-clock values are preserved and match the DuckDB oracle,
+      which also treats naive timestamps as-is).
+    """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -59,6 +67,8 @@ def normalize_nanos(df: DataFrame) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            out = out.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return out
 
 
