@@ -1518,6 +1518,39 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(surv, seq_len=256, n_shards=4, seed=13)
 
 
+def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (curation.cap_per_domain): at most 10
+    docs per source, chosen by deterministic md5 priority. Two-stage
+    salted rank — the worst task is O(domain/n_salts), so one
+    mega-domain cannot serialize the plan."""
+    from monstache_spark.operators.curation import cap_per_domain
+
+    docs = load_table(spark, "documents", sf_dir)
+    return cap_per_domain(docs, cap=10, domain_col="source", seed=17, n_salts=8)
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-linear quality classifier (curation.quality_score_hashed):
+    fasttext-shaped bag-of-words scoring via the hashing trick — no
+    vocabulary table, integer milli-unit scores, explode → groupBy with
+    map-side partial aggregation."""
+    from monstache_spark.operators.curation import quality_score_hashed
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_score_hashed(docs, n_buckets=4096, seed=23)
+
+
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact-dup keeper (dedup.dedup_keep_best): within
+    each canonical-fingerprint cluster keep the longest copy (ties →
+    min id); the arg-max travels as one packed BIGINT so the aggregate
+    stays a hash aggregate."""
+    from monstache_spark.operators.dedup import dedup_keep_best
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup_keep_best(docs, quality_col="n_chars")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1612,6 +1645,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_stats": _q_mixture_stats,
         "span_dedup_rewrite": _q_span_dedup,
         "training_pipeline": _q_training_pipeline,
+        "domain_cap": _q_domain_cap,
+        "quality_classifier": _q_quality_classifier,
+        "dedup_keep_best": _q_dedup_keep_best,
     }
 
 
@@ -2629,5 +2665,36 @@ def oracle_sql() -> dict[str, str]:
           FROM t
           WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "domain_cap": f"""
+          SELECT doc_id, source, priority, rk FROM (
+            SELECT doc_id, source, priority,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY priority, doc_id) AS BIGINT) AS rk
+            FROM (SELECT doc_id, source,
+                         CAST({_hash_sql("CAST(doc_id AS VARCHAR)", 17)} % 2147483648 AS BIGINT) AS priority
+                  FROM documents))
+          WHERE rk <= 10
+        """,
+        "quality_classifier": f"""
+          WITH toks AS (
+            SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+                                       THEN CAST([] AS VARCHAR[]) ELSE {_TOKS_LOWER} END) AS t
+            FROM documents),
+          w AS (
+            SELECT doc_id,
+                   (({_hash_sql('t', 23)} % 4096) * 1103515245 + 12345) % 2001 - 1000 AS wm
+            FROM toks)
+          SELECT d.doc_id,
+                 CAST(coalesce(sum(w.wm), 0) AS BIGINT) AS score_milli,
+                 CAST(count(w.wm) AS BIGINT) AS n_tokens,
+                 CAST((coalesce(sum(w.wm), 0) > 0) AS BIGINT) AS keep
+          FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+          GROUP BY d.doc_id
+        """,
+        "dedup_keep_best": f"""
+          SELECT md5({_CANON}) AS fp, count(*) AS n_members,
+                 CAST(arg_max(doc_id, n_chars * 4294967296 - doc_id) AS BIGINT) AS keep_id,
+                 CAST(max(n_chars) AS BIGINT) AS keep_quality
+          FROM documents GROUP BY 1
         """,
     }

@@ -363,6 +363,125 @@ def mixture_stats(
 
 
 # ---------------------------------------------------------------------------
+# Per-domain document caps (web-corpus domain balancing)
+# ---------------------------------------------------------------------------
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 17,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, chosen by a
+    deterministic per-document priority (md5-derived) with id
+    tie-break — the per-domain cap every web-scale corpus applies so
+    that a single mega-site cannot dominate the training mixture
+    (RefinedWeb/C4 both cap URL-host contributions).
+
+    Returns the surviving ``(id, domain, priority, rk)`` rows,
+    ``rk`` ∈ 1..cap within each domain.
+
+    Scale: a single ``row_number`` over the domain partition would
+    serialize a mega-domain (tens of millions of pages from one host)
+    through one task — exactly the worst skew case. Instead the rank
+    runs in two stages: documents first rank within
+    ``(domain, salt)`` — ``n_salts`` deterministic shards per domain —
+    and only per-salt survivors (≤ ``n_salts × cap`` rows per domain,
+    independent of domain size) enter the final per-domain rank. Both
+    stages are windows over bounded partitions; the plan's worst task
+    is O(domain_size / n_salts), tunable to the cluster.
+
+    The two stages are exact, not approximate: the global top-``cap``
+    of a domain contains at most ``cap`` members from any one salt
+    shard, so per-salt top-``cap`` survivors are a superset of the
+    final winners.
+    """
+    pr = F.pmod(shingle_hash(F.col(id_col).cast("string"), seed), F.lit(1 << 31))
+    base = docs.select(F.col(id_col), F.col(domain_col), pr.cast("long").alias("priority"))
+    base = base.withColumn("_salt", F.pmod(F.col("priority"), F.lit(n_salts)))
+    w_local = Window.partitionBy(domain_col, "_salt").orderBy("priority", id_col)
+    survivors = base.withColumn("_lrk", F.row_number().over(w_local)).filter(
+        F.col("_lrk") <= cap
+    )
+    w_dom = Window.partitionBy(domain_col).orderBy("priority", id_col)
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_dom).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select(id_col, domain_col, "priority", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear quality classifier (the fasttext-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def quality_score_hashed(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    seed: int = 23,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a hashed bag-of-words linear model — the
+    shape of the fasttext-style quality classifiers used to filter web
+    corpora (GPT-3's WebText-vs-CommonCrawl classifier, CCNet, DCLM):
+    token → hash bucket → weight, document score = Σ weights.
+
+    The weights here are a deterministic function of the bucket id
+    (a fixed LCG step mapped to −1000..+1000 milli-units) so the
+    operator is self-contained and oracle-reproducible; swapping in
+    trained weights is a broadcast join on ``bucket`` against a
+    ≤ ``n_buckets``-row weight table and changes nothing about the
+    plan shape.
+
+    Emits integer columns only (``score_milli``, ``n_tokens``,
+    ``keep`` 0/1) — representation-stable across engines.
+
+    Scale: the hashing trick means there is NO vocabulary table — the
+    model is a pure expression, so the plan is explode → hash →
+    groupBy(``id``) with map-side partial aggregation. The exchange
+    carries (id, partial-sum) pairs, never tokens; a trained-weight
+    variant adds one broadcast join before the same aggregate.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    rows = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+            .otherwise(toks)
+        ).alias("_tok"),
+    )
+    bucket = F.pmod(shingle_hash(F.col("_tok"), seed), F.lit(n_buckets))
+    w_milli = F.pmod(bucket * F.lit(1103515245) + F.lit(12345), F.lit(2001)) - F.lit(1000)
+    scored = (
+        rows.select(
+            F.col(id_col),
+            F.when(F.col("_tok").isNull(), F.lit(0).cast("long"))
+            .otherwise(w_milli.cast("long"))
+            .alias("_w"),
+            F.when(F.col("_tok").isNull(), F.lit(0).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+            .alias("_one"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_w").cast("long").alias("score_milli"),
+            F.sum("_one").cast("long").alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "score_milli",
+        "n_tokens",
+        (F.col("score_milli") > 0).cast("long").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (token-budget binning for training batches)
 # ---------------------------------------------------------------------------
 

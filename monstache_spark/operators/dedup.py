@@ -52,6 +52,42 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.join(keep, on=id_col, how="left_semi")
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dup clusters with a quality-aware keeper: within each
+    fingerprint cluster keep the document with the highest
+    ``quality_col`` (ties → smallest id) — the "keep the best copy"
+    policy real pipelines use instead of keep-min when duplicates
+    differ in extraction quality (e.g. one copy is truncated).
+
+    One row per cluster: ``(fp, n_members, keep_id, keep_quality)``.
+
+    Scale: same single digest-keyed shuffle as :func:`exact_duplicates`.
+    The arg-max travels as ONE packed BIGINT (quality << 32 − id) —
+    a struct in the aggregation buffer would silently degrade the
+    whole aggregate to SortAggregate (full map-side sort), so the
+    (quality, id) lexicographic order is encoded arithmetically
+    instead: valid for 0 ≤ quality < 2^31 and 0 ≤ id < 2^32.
+    """
+    q = F.col(quality_col).cast("long")
+    pk = q * F.lit(1 << 32).cast("long") - F.col(id_col).cast("long")
+    by_fp = docs.select(
+        fingerprint(F.col(text_col)).alias("fp"),
+        F.col(id_col).cast("long").alias("_id"),
+        pk.alias("_pk"),
+        q.alias("_q"),
+    )
+    return by_fp.groupBy("fp").agg(
+        F.count("*").alias("n_members"),
+        F.max_by("_id", "_pk").alias("keep_id"),
+        F.max("_q").alias("keep_quality"),
+    )
+
+
 def shingle_rows(
     docs: DataFrame,
     text_col: str = "text",

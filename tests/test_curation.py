@@ -181,3 +181,47 @@ def test_dedup_spans_within_doc_repeat(spark):
     df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
     out = dedup_spans(df, w=2).collect()[0]
     assert out["text"] == "a b" and out["n_chunks"] == 2 and out["n_dropped"] == 1
+
+
+def test_cap_per_domain_binds_and_is_deterministic(spark):
+    from monstache_spark.operators.curation import cap_per_domain
+
+    rows = [(i, "web" if i < 30 else "books") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_domain(df, cap=5, domain_col="source").collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r)
+    assert len(by_dom["web"]) == 5 and len(by_dom["books"]) == 5
+    # ranks are 1..cap and ordered by (priority, doc_id)
+    for dom, rs in by_dom.items():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == [1, 2, 3, 4, 5]
+        assert [
+            (r["priority"], r["doc_id"]) for r in rs
+        ] == sorted((r["priority"], r["doc_id"]) for r in rs)
+    # two-stage salted rank == single-stage rank (exactness of the rewrite)
+    single = cap_per_domain(df, cap=5, domain_col="source", n_salts=1).collect()
+    assert sorted((r["doc_id"], r["rk"]) for r in out) == sorted(
+        (r["doc_id"], r["rk"]) for r in single
+    )
+
+
+def test_quality_score_hashed_integer_contract(spark):
+    from monstache_spark.operators.curation import quality_score_hashed
+
+    rows = [(1, "alpha beta alpha"), (2, ""), (3, "   "), (4, "gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in quality_score_hashed(df).collect()}
+    assert set(out) == {1, 2, 3, 4}                     # empty docs not lost
+    assert out[2]["n_tokens"] == 0 and out[2]["score_milli"] == 0 and out[2]["keep"] == 0
+    assert out[3]["n_tokens"] == 0
+    assert out[1]["n_tokens"] == 3
+    # bag-of-words: repeated token counts twice; score is linear in tokens
+    single = {r["doc_id"]: r for r in quality_score_hashed(
+        spark.createDataFrame([(10, "alpha"), (11, "beta")], "doc_id long, text string")
+    ).collect()}
+    assert out[1]["score_milli"] == 2 * single[10]["score_milli"] + single[11]["score_milli"]
+    assert out[1]["keep"] == (1 if out[1]["score_milli"] > 0 else 0)
+    # weights bounded to milli-units
+    assert abs(single[10]["score_milli"]) <= 1000

@@ -183,3 +183,21 @@ def test_near_dup_clusters_labels_whole_corpus(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(df, threshold=0.3).collect()}
     assert out[1] == 1 and out[2] == 1 and out[3] == 1
     assert out[9] == 9  # untouched doc is its own cluster
+
+
+def test_dedup_keep_best_prefers_quality_then_min_id(spark):
+    from monstache_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (1, "Hello  World", 12),   # same canonical text as 2,3
+        (2, "hello world", 30),    # best quality -> keeper
+        (3, "HELLO WORLD", 30),    # ties 2 on quality -> larger id loses
+        (4, "unique", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {r["fp"]: r for r in dedup_keep_best(df).collect()}
+    assert len(out) == 2
+    clus = next(r for r in out.values() if r["n_members"] == 3)
+    assert clus["keep_id"] == 2 and clus["keep_quality"] == 30
+    solo = next(r for r in out.values() if r["n_members"] == 1)
+    assert solo["keep_id"] == 4 and solo["keep_quality"] == 5
