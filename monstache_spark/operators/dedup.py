@@ -88,6 +88,23 @@ def dedup_keep_best(
     )
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Hash-distribute documents across the full shuffle width BEFORE a
+    row-amplifying explode. Scan partitions are sized by INPUT bytes;
+    char/token explosion amplifies rows ~40-250x after the scan, so a
+    byte-balanced scan partition becomes a wildly oversized exploded
+    partition (and a single small file becomes a single task doing all
+    the hashing). The explicit width disables AQE partition coalescing,
+    which would shrink this exchange based on the small pre-explode
+    byte size. Because the exchange hashes on the id, the per-id window
+    that follows reuses the partitioning — the text shuffle REPLACES
+    the much larger post-explode exchange rather than adding one
+    (measured at 50x sf0.1: 117 s -> 60 s cold, one Exchange in the
+    plan instead of two)."""
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return docs.repartition(nparts, F.col(id_col))
+
+
 def shingle_rows(
     docs: DataFrame,
     text_col: str = "text",
@@ -108,7 +125,7 @@ def shingle_rows(
     min/max aggregation (MinHash) — duplicates can't change a min, and
     skipping the distinct saves a shuffle."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    t = docs.select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    t = _spread(docs, id_col).select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
     w = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
     n = F.count("*").over(Window.partitionBy(id_col))
@@ -469,8 +486,9 @@ def winnow_fingerprints(
     but Catalyst's projection collapse re-inlines the gram array into
     every window element — O(len^2) md5 calls per document, unusable
     beyond toy docs. Here each gram hashes exactly once; the only
-    shuffle keys on (doc, position) for the window sort, and at corpus
-    scale the exploded rows are also the right input for
+    exchange is the pre-explode text spread (see ``_spread``), which
+    the window sort then reuses — gram rows never shuffle, and at
+    corpus scale the exploded rows are also the right input for
     fingerprint-join dedup (hash-partition on the fingerprint).
 
     ``hash_fn`` picks the gram hash family. Default is ``xxhash64`` —
@@ -481,7 +499,7 @@ def winnow_fingerprints(
     if hash_fn is None:
         hash_fn = F.xxhash64
     canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    base = docs.select(F.col(id_col), canon.alias("_canon"))
+    base = _spread(docs, id_col).select(F.col(id_col), canon.alias("_canon"))
     n = F.length(F.col("_canon"))
     positions = base.select(
         id_col,

@@ -41,7 +41,10 @@ def frame_signature(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    # default to sf0.01 — the driver gate's scale (sf0.001 is a
+    # DIFFERENT 500-doc corpus, not a subset; green there does not
+    # imply green at the gate)
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
