@@ -142,6 +142,32 @@ CHECKS = [
         "span-dedup census is hash-agg on a packed BIGINT keeper (no sort agg)",
         lambda p: "SortAggregate" not in p,
     ),
+    (
+        "winnow_fingerprints",
+        "winnowing: the pre-explode text spread is the ONLY exchange "
+        "(the window reuses its partitioning; gram rows never shuffle)",
+        lambda p: p.count("Exchange (") == 1,
+    ),
+    (
+        "domain_cap",
+        "per-domain cap: both rank stages reuse ONE exchange (salted "
+        "window partitioning subsumes the domain window's)",
+        lambda p: p.count("Exchange (") <= 2 and "CartesianProduct" not in p,
+    ),
+    (
+        "quality_classifier",
+        "hashed-linear scoring is a hash aggregate with map-side "
+        "partial combine (no sort agg, no Python)",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "dedup_keep_best",
+        "quality keeper: packed-BIGINT arg-max keeps the whole "
+        "aggregate a hash aggregate (no sort agg)",
+        lambda p: "* HashAggregate" in p and "SortAggregate" not in p,
+    ),
 ]
 
 
