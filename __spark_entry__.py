@@ -1518,6 +1518,22 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(surv, seq_len=256, n_shards=4, seed=13)
 
 
+def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_adc_topk): the corpus
+    scanned in the compressed domain — 8 codebook indices per vector
+    (32x smaller than the floats), per-query distance = sum of 8
+    broadcast-LUT lookups in integer micro-units. Deterministic
+    lowest-id codebooks, same convention as IVF's default centroids."""
+    from monstache_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = pq_adc_topk(emb, queries, dim=64, k=5, m=8, k_sub=16)
+    return out.select(
+        "query_id", "corpus_id", "dist_micro", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (curation.cap_per_domain): at most 10
     docs per source, chosen by deterministic md5 priority. Two-stage
@@ -1645,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_stats": _q_mixture_stats,
         "span_dedup_rewrite": _q_span_dedup,
         "training_pipeline": _q_training_pipeline,
+        "pq_ann_topk": _q_pq_ann_topk,
         "domain_cap": _q_domain_cap,
         "quality_classifier": _q_quality_classifier,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2665,6 +2682,36 @@ def oracle_sql() -> dict[str, str]:
           FROM t
           WINDOW w AS (PARTITION BY lang, shard ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "pq_ann_topk": """
+          WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          subs AS (
+            SELECT vec_id, m,
+                   list_transform(embedding[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS sub
+            FROM embeddings, ms),
+          cb AS (SELECT m, vec_id AS code, sub FROM subs WHERE vec_id < 16),
+          dists AS (
+            SELECT s.vec_id, s.m, c.code,
+                   CAST(round(1000000.0 * list_reduce(
+                     list_transform(generate_series(1, 8),
+                                    i -> (s.sub[i] - c.sub[i]) * (s.sub[i] - c.sub[i])),
+                     (a, b) -> a + b)) AS BIGINT) AS d_micro
+            FROM subs s JOIN cb c USING (m)),
+          codes AS (
+            SELECT vec_id AS corpus_id, m, code FROM (
+              SELECT vec_id, m, code,
+                     row_number() OVER (PARTITION BY vec_id, m ORDER BY d_micro, code) AS rn
+              FROM dists) WHERE rn = 1),
+          lut AS (SELECT vec_id AS query_id, m, code, d_micro FROM dists WHERE vec_id < 20),
+          scored AS (
+            SELECT l.query_id, c.corpus_id, CAST(sum(l.d_micro) AS BIGINT) AS dist_micro
+            FROM codes c JOIN lut l USING (m, code)
+            GROUP BY l.query_id, c.corpus_id
+            HAVING l.query_id <> c.corpus_id)
+          SELECT query_id, corpus_id, dist_micro, rk AS rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY dist_micro ASC, corpus_id ASC) AS BIGINT) AS rk
+            FROM scored) WHERE rk <= 5
         """,
         "domain_cap": f"""
           SELECT doc_id, source, priority, rk FROM (

@@ -266,3 +266,147 @@ def lsh_topk(
     scored = cand.dropDuplicates(["query_id", "corpus_id"]) if n_tables > 1 else cand
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _subspace_rows(df: DataFrame, dim: int, m: int, vec_col: str, id_col: str) -> DataFrame:
+    """(id, m, sub) rows: the vector split into ``m`` contiguous
+    subvectors of dim/m doubles. One explode, no shuffle."""
+    d_sub = dim // m
+    v = as_double_array(F.col(vec_col))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).cast("long").alias("m"),
+                        F.slice(v, mi * d_sub + 1, d_sub).alias("sub"),
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("_s"),
+    ).select(id_col, F.col("_s.m").alias("m"), F.col("_s.sub").alias("sub"))
+
+
+def _sub_dist_micro(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two subvectors in integer
+    micro-units: round(1e6 * sum((a_i-b_i)^2)). The left-fold order
+    matches the DuckDB oracle's list_reduce, and the final integer is
+    representation-stable — ranking and hashing can never diverge on
+    float formatting."""
+    sq = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.round(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x) * F.lit(1000000.0)).cast(
+        "long"
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ codebooks as a frame of (m, code, sub): codeword ``c`` of
+    subspace ``mi`` is subvector ``mi`` of the corpus vector with id
+    ``c`` (the ``k_sub`` lowest ids) — the same deterministic,
+    oracle-reproducible convention as ``ivf_topk``'s default
+    centroids. A learned variant would run k-means per subspace and
+    produce the same (m, code, sub) shape; everything downstream is
+    unchanged. Codebooks are index metadata: m * k_sub rows (128 at
+    the defaults) — always broadcast."""
+    base = corpus.filter(F.col(id_col) < k_sub)
+    return _subspace_rows(base, dim, m, vec_col, id_col).select(
+        "m", F.col(id_col).cast("long").alias("code"), "sub"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as ``m`` codebook indices: code of subspace
+    ``mi`` = argmin squared-L2 codeword (ties -> lowest code). The
+    compressed index is (id, m, code) — 8 small ints instead of 64
+    floats at the defaults, the 32x memory cut that makes a
+    100 TB-corpus index fit an executor fleet.
+
+    Plan: explode subspaces, join the broadcast codebooks on ``m``,
+    and take the argmin as ``min(struct(dist, code))`` — a fixed-width
+    hash-aggregate buffer with map-side partial combine, so the
+    |corpus| x k_sub scored rows collapse before any exchange."""
+    subs = _subspace_rows(corpus, dim, m, vec_col, id_col)
+    cb = F.broadcast(codebooks.select("m", "code", F.col("sub").alias("c_sub")))
+    scored = subs.join(cb, "m").select(
+        id_col,
+        "m",
+        "code",
+        _sub_dist_micro(F.col("sub"), F.col("c_sub")).alias("d_micro"),
+    )
+    best = scored.groupBy(id_col, "m").agg(
+        F.min(F.struct(F.col("d_micro"), F.col("code"))).alias("_best")
+    )
+    return best.select(id_col, "m", F.col("_best.code").alias("code"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC,
+    Jegou/Douze/Schmid PAMI'11): the corpus is scanned in the
+    COMPRESSED domain — each query precomputes a lookup table of
+    squared-L2 distances to every codeword (m * k_sub entries), and a
+    corpus vector's approximate distance is the sum of ``m`` table
+    lookups on its codes. Returns (query_id, corpus_id, dist_micro,
+    rank), rank 1 = nearest, integer micro-unit distances.
+
+    Scale shape: the LUT is |queries| * m * k_sub rows — broadcast;
+    the corpus side touches only its (id, m, code) index rows (8
+    ints/vector), joins the LUT on (m, code), and collapses to one
+    distance per (query, vector) in a map-side-combined hash
+    aggregate. The raw vectors are read once at encode time and never
+    shuffled; full-precision re-ranking of the top candidates, or an
+    IVF cell restriction in front (join the probe list before the
+    LUT join), composes without changing this plan."""
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, dim, m, k_sub, vec_col, id_col)
+    codes = pq_encode(corpus, codebooks, dim, m, vec_col, id_col).select(
+        F.col(id_col).alias("corpus_id"), "m", "code"
+    )
+    q_subs = _subspace_rows(queries, dim, m, vec_col, id_col)
+    cb = F.broadcast(codebooks.select("m", "code", F.col("sub").alias("c_sub")))
+    lut = F.broadcast(
+        q_subs.join(cb, "m").select(
+            F.col(id_col).alias("query_id"),
+            "m",
+            "code",
+            _sub_dist_micro(F.col("sub"), F.col("c_sub")).alias("d_micro"),
+        )
+    )
+    scored = (
+        codes.join(lut, ["m", "code"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("d_micro").cast("long").alias("dist_micro"))
+        .filter(F.col("query_id") != F.col("corpus_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_micro").asc(), F.col("corpus_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -109,3 +109,45 @@ def test_lsh_hamming2_and_multitable_recall_monotone(spark):
     assert len(t4 & exact) >= len(t1 & exact)
     # single-table path is byte-identical to the pre-multitable layout
     assert t1 == pairs(lsh_topk(emb, queries, dim=dim, k=5, bits=4, n_tables=1))
+
+
+def test_pq_encode_codebook_vectors_self_code(spark):
+    from monstache_spark.operators.similarity import pq_codebooks, pq_encode
+
+    # 4 vectors, dim=4, m=2 subspaces of 2; codebooks from vec_id < 2
+    rows = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [5.0, 5.0, -3.0, -3.0]),
+        (2, [0.1, 0.1, 1.1, 0.9]),   # nearest codeword 0 in both subspaces
+        (3, [4.0, 6.0, -2.0, -4.0]), # nearest codeword 1 in both subspaces
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(emb, dim=4, m=2, k_sub=2)
+    assert cb.count() == 4  # 2 subspaces x 2 codewords
+    codes = {(r["vec_id"], r["m"]): r["code"] for r in pq_encode(emb, cb, dim=4, m=2).collect()}
+    # codebook vectors encode to themselves (distance 0)
+    assert codes[(0, 0)] == 0 and codes[(0, 1)] == 0
+    assert codes[(1, 0)] == 1 and codes[(1, 1)] == 1
+    # the others snap to their nearest codeword per subspace
+    assert codes[(2, 0)] == 0 and codes[(2, 1)] == 0
+    assert codes[(3, 0)] == 1 and codes[(3, 1)] == 1
+
+
+def test_pq_adc_ranks_exact_duplicate_first(spark):
+    import random
+
+    from monstache_spark.operators.similarity import pq_adc_topk
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(50)]
+    rows.append((100, list(rows[20][1])))  # exact duplicate of vec 20
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 100")
+    out = pq_adc_topk(emb, queries, dim=dim, k=3, m=4, k_sub=8).collect()
+    top = next(r for r in out if r["rank"] == 1)
+    # the duplicate shares every code, so its ADC distance is the
+    # query's own quantization residual — the minimum any corpus
+    # vector can achieve — and it ranks first (id tie-break)
+    assert top["corpus_id"] == 20
+    assert all(r["dist_micro"] >= top["dist_micro"] >= 0 for r in out)

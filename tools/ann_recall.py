@@ -95,6 +95,42 @@ def main() -> int:
         dt = time.time() - t0
         recall = len(approx & exact) / max(len(exact), 1)
         print(f"{name:28s} recall@{k} {recall:6.3f}   {dt:5.1f}s")
+
+    # PQ approximates L2, so it is measured against an exact-L2
+    # baseline (cosine and L2 rank differently unless norms are equal)
+    from pyspark.sql.window import Window
+
+    from monstache_spark.functions.vectors import as_double_array
+    from monstache_spark.operators.similarity import pq_adc_topk
+
+    q = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    )
+    c = emb.select(F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("c_vec"))
+    d2 = F.aggregate(
+        F.zip_with(
+            as_double_array(F.col("q_vec")),
+            as_double_array(F.col("c_vec")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("corpus_id").asc())
+    exact_l2 = _pairs(
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id", d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    for name, m, k_sub in [("pq m=8 k_sub=16", 8, 16), ("pq m=8 k_sub=64", 8, 64),
+                           ("pq m=16 k_sub=64", 16, 64)]:
+        t0 = time.time()
+        approx = _pairs(pq_adc_topk(emb, queries, dim=64, k=k, m=m, k_sub=k_sub))
+        dt = time.time() - t0
+        recall = len(approx & exact_l2) / max(len(exact_l2), 1)
+        print(f"{name:28s} recall@{k} {recall:6.3f}   {dt:5.1f}s  (vs exact-L2)")
     spark.stop()
     return 0
 
