@@ -1534,6 +1534,21 @@ def _q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine (similarity.ivfpq_adc_topk) — the
+    production ANN shape: probe 4 of 16 cells, scan candidates in the
+    compressed domain (8 codes/vector, broadcast LUT), re-rank the 20
+    best ADC candidates per query with exact cosine."""
+    from monstache_spark.operators.similarity import ivfpq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    out = ivfpq_adc_topk(
+        emb, queries, dim=64, k=5, n_centroids=16, n_probe=4, m=8, k_sub=16, rerank=20
+    )
+    return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (curation.cap_per_domain): at most 10
     docs per source, chosen by deterministic md5 priority. Two-stage
@@ -1662,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup_rewrite": _q_span_dedup,
         "training_pipeline": _q_training_pipeline,
         "pq_ann_topk": _q_pq_ann_topk,
+        "ivfpq_ann_topk": _q_ivfpq_ann_topk,
         "domain_cap": _q_domain_cap,
         "quality_classifier": _q_quality_classifier,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2712,6 +2728,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                            ORDER BY dist_micro ASC, corpus_id ASC) AS BIGINT) AS rk
             FROM scored) WHERE rk <= 5
+        """,
+        "ivfpq_ann_topk": f"""
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+          ca AS (SELECT e.vec_id, cid, {_cos_sql('e.v', 'cv')} AS c_score FROM e CROSS JOIN cen),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cid ASC) AS r FROM ca),
+          cells AS (SELECT vec_id AS corpus_id, cid AS cell FROM ranked WHERE r = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+                     WHERE r <= 4 AND vec_id >= 20 AND vec_id < 40),
+          cand AS (SELECT DISTINCT p.query_id, c.corpus_id
+                   FROM probes p JOIN cells c ON p.cell = c.cell AND p.query_id <> c.corpus_id),
+          ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          subs AS (
+            SELECT vec_id, m,
+                   list_transform(embedding[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS sub
+            FROM embeddings, ms),
+          cb AS (SELECT m, vec_id AS code, sub FROM subs WHERE vec_id < 16),
+          dists AS (
+            SELECT s.vec_id, s.m, c.code,
+                   CAST(round(1000000.0 * list_reduce(
+                     list_transform(generate_series(1, 8),
+                                    i -> (s.sub[i] - c.sub[i]) * (s.sub[i] - c.sub[i])),
+                     (a, b) -> a + b)) AS BIGINT) AS d_micro
+            FROM subs s JOIN cb c USING (m)),
+          codes AS (
+            SELECT vec_id AS corpus_id, m, code FROM (
+              SELECT vec_id, m, code,
+                     row_number() OVER (PARTITION BY vec_id, m ORDER BY d_micro, code) AS rn
+              FROM dists) WHERE rn = 1),
+          lut AS (SELECT vec_id AS query_id, m, code, d_micro FROM dists
+                  WHERE vec_id >= 20 AND vec_id < 40),
+          adc AS (
+            SELECT cd.query_id, cd.corpus_id, CAST(sum(l.d_micro) AS BIGINT) AS dist_micro
+            FROM cand cd JOIN codes co ON co.corpus_id = cd.corpus_id
+            JOIN lut l ON l.query_id = cd.query_id AND l.m = co.m AND l.code = co.code
+            GROUP BY cd.query_id, cd.corpus_id),
+          pool AS (
+            SELECT query_id, corpus_id FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY dist_micro ASC, corpus_id ASC) AS rr FROM adc)
+            WHERE rr <= 20),
+          refined AS (
+            SELECT p.query_id, p.corpus_id, {_cos_sql('qe.v', 'ce.v')} AS score
+            FROM pool p JOIN e qe ON qe.vec_id = p.query_id
+            JOIN e ce ON ce.vec_id = p.corpus_id)
+          SELECT query_id, corpus_id, score, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS rank
+            FROM refined) WHERE rank <= 5
         """,
         "domain_cap": f"""
           SELECT doc_id, source, priority, rk FROM (

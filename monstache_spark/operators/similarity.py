@@ -410,3 +410,99 @@ def pq_adc_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("dist_micro").asc(), F.col("corpus_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    rerank: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """The production ANN shape — IVF-PQ with exact re-ranking
+    (the FAISS IVFPQ+refine recipe, composed from this module's
+    operators):
+
+    1. IVF restriction: queries probe their ``n_probe`` nearest cells;
+       only corpus vectors in probed cells become candidates
+       (~ n_probe/n_centroids of the corpus per query).
+    2. Compressed-domain scan: candidates are scored by PQ ADC — the
+       (id, m, code) index joins a broadcast per-query LUT; raw
+       vectors are not touched.
+    3. Refine: the ``rerank`` best ADC candidates per query (ties →
+       lowest id; deterministic) are re-scored with exact cosine on
+       the raw vectors, and the final top-``k`` ranks by that.
+
+    Returns (query_id, corpus_id, score, rank) — score is the exact
+    cosine of the re-ranked survivors, so result quality is bounded
+    only by candidate recall, not by quantization error.
+
+    Scale: stage 2's join volume is |candidates| * m fixed-width rows
+    with a map-side-combined hash agg; stage 3 touches raw vectors for
+    only queries * rerank rows — at 100 TB the full-precision data is
+    read by id lookup (or carried on the cell-partitioned index),
+    never scanned."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, dim, m, k_sub, vec_col, id_col)
+
+    cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
+        F.col(id_col).alias("corpus_id"), F.col("cid").alias("cell")
+    )
+    probes = ivf_assign(queries, centroids, vec_col, id_col, rank_limit=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col("cid").alias("cell")
+    )
+    cand = (
+        probes.join(cells, "cell")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+    )
+
+    codes = pq_encode(corpus, codebooks, dim, m, vec_col, id_col).select(
+        F.col(id_col).alias("corpus_id"), "m", "code"
+    )
+    q_subs = _subspace_rows(queries, dim, m, vec_col, id_col)
+    cb = F.broadcast(codebooks.select("m", "code", F.col("sub").alias("c_sub")))
+    lut = F.broadcast(
+        q_subs.join(cb, "m").select(
+            F.col(id_col).alias("query_id"),
+            "m",
+            "code",
+            _sub_dist_micro(F.col("sub"), F.col("c_sub")).alias("d_micro"),
+        )
+    )
+    adc = (
+        cand.join(codes, "corpus_id")
+        .join(lut, ["query_id", "m", "code"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("d_micro").cast("long").alias("dist_micro"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("dist_micro").asc(), F.col("corpus_id").asc()
+    )
+    pool = adc.withColumn("_r", F.row_number().over(w_adc)).filter(F.col("_r") <= rerank)
+
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cv = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+    refined = (
+        pool.join(qv, "query_id")
+        .join(cv, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
+    return refined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -151,3 +151,25 @@ def test_pq_adc_ranks_exact_duplicate_first(spark):
     # vector can achieve — and it ranks first (id tie-break)
     assert top["corpus_id"] == 20
     assert all(r["dist_micro"] >= top["dist_micro"] >= 0 for r in out)
+
+
+def test_ivfpq_full_probe_wide_rerank_equals_brute_force(spark):
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, ivfpq_adc_topk
+
+    rng = random.Random(3)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 8")
+    # probe EVERY cell and re-rank a pool wider than the corpus: the
+    # approximation disappears and the refine stage must reproduce the
+    # exact cosine top-k, ranks included
+    approx = ivfpq_adc_topk(
+        emb, queries, dim=dim, k=5, n_centroids=4, n_probe=4, m=4, k_sub=8, rerank=100
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["corpus_id"], r["rank"]) for r in approx.collect()}
+    b = {(r["query_id"], r["corpus_id"], r["rank"]) for r in exact.collect()}
+    assert a == b

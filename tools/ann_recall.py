@@ -33,6 +33,7 @@ def main() -> int:
     from monstache_spark.operators.similarity import (
         brute_force_topk,
         ivf_topk,
+        ivfpq_adc_topk,
         kmeans_centroids,
         lsh_topk,
     )
@@ -87,6 +88,21 @@ def main() -> int:
         (
             "ivf kmeans16 n_probe=8",
             lambda: ivf_topk(emb, queries, k=k, n_centroids=16, n_probe=8, centroids=km),
+        ),
+        # IVF-PQ + exact refine: the compressed-domain scan feeds a
+        # cosine re-rank, so recall vs the cosine baseline is bounded
+        # by IVF candidate recall x ADC pool quality
+        (
+            "ivfpq 16c p=4 rr=50",
+            lambda: ivfpq_adc_topk(
+                emb, queries, dim=64, k=k, n_centroids=16, n_probe=4, m=8, k_sub=16, rerank=50
+            ),
+        ),
+        (
+            "ivfpq 16c p=8 rr=100",
+            lambda: ivfpq_adc_topk(
+                emb, queries, dim=64, k=k, n_centroids=16, n_probe=8, m=8, k_sub=16, rerank=100
+            ),
         ),
     ]
     for name, fn in configs:
