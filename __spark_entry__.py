@@ -1549,6 +1549,19 @@ def _q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (curation.fuzzy_decontaminate):
+    MinHash band collisions against the src0 benchmark — catches
+    paraphrased leaks that exact n-gram overlap misses. The benchmark
+    band-key set broadcasts; the corpus never joins itself."""
+    from monstache_spark.operators.curation import fuzzy_decontaminate
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return fuzzy_decontaminate(train, bench, num_hashes=16, num_bands=4, shingle_k=2)
+
+
 def _q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (curation.cap_per_domain): at most 10
     docs per source, chosen by deterministic md5 priority. Two-stage
@@ -1678,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": _q_training_pipeline,
         "pq_ann_topk": _q_pq_ann_topk,
         "ivfpq_ann_topk": _q_ivfpq_ann_topk,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "domain_cap": _q_domain_cap,
         "quality_classifier": _q_quality_classifier,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2777,6 +2791,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                            ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS rank
             FROM refined) WHERE rank <= 5
+        """,
+        "fuzzy_decontaminate": f"""
+          WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),
+          hs AS (SELECT doc_id, list_transform(sh, s -> {_hash_sql('s', 0)}) AS hs FROM sh),
+          sig AS (SELECT doc_id, {minhash_sig_cols} FROM hs),
+          bands AS (SELECT doc_id, {band_exprs} FROM sig),
+          exploded AS (
+            SELECT doc_id, unnest([band0, band1, band2, band3]) AS band FROM bands),
+          bb AS (SELECT DISTINCT band FROM exploded e JOIN documents d USING (doc_id)
+                 WHERE d.source = 'src0'),
+          tr AS (SELECT e.doc_id, e.band FROM exploded e JOIN documents d USING (doc_id)
+                 WHERE d.source <> 'src0')
+          SELECT doc_id, CAST(count(b.band) AS BIGINT) AS n_hit_bands,
+                 CAST((count(b.band) > 0) AS BIGINT) AS contaminated
+          FROM tr LEFT JOIN bb b USING (band) GROUP BY doc_id
         """,
         "domain_cap": f"""
           SELECT doc_id, source, priority, rk FROM (

@@ -182,6 +182,55 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that NEAR-duplicate any benchmark
+    document — MinHash band collision instead of exact n-gram overlap.
+    The fuzzy complement to :func:`decontaminate` (the Dolma/FineWeb
+    practice): a paraphrased or lightly perturbed benchmark leak
+    shares few exact 13-grams but still collides on MinHash bands,
+    which fire at roughly Jaccard ≥ (1/num_bands)^(num_bands/
+    num_hashes).
+
+    One row per ``docs`` document: ``n_hit_bands`` (how many of its
+    ``num_bands`` band keys appear anywhere in the benchmark, BIGINT)
+    and ``contaminated`` (0/1 BIGINT, any collision). Compose
+    ``dedup.ngram_jaccard_pairs`` downstream when a verified
+    similarity score is needed per (train, bench) pair.
+
+    Scale: the benchmark's band-key set is ``|benchmark| * num_bands``
+    strings — broadcast; the corpus side reduces to ``num_hashes``
+    longs per document before its only exchange (the signature
+    min-aggregate), then probes the broadcast set. The corpus text is
+    never shuffled and no corpus-corpus join exists."""
+    from monstache_spark.operators.dedup import minhash_band_rows
+
+    bench = F.broadcast(
+        minhash_band_rows(benchmark, text_col, id_col, num_hashes, num_bands, shingle_k)
+        .select("band")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = minhash_band_rows(docs, text_col, id_col, num_hashes, num_bands, shingle_k)
+    return (
+        train.join(bench, "band", "left")
+        .groupBy(id_col)
+        .agg(F.count("_hit").cast("long").alias("n_hit_bands"))
+        .select(
+            id_col,
+            "n_hit_bands",
+            (F.col("n_hit_bands") > 0).cast("long").alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Within-document repetition (quality signal)
 # ---------------------------------------------------------------------------

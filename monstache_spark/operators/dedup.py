@@ -216,15 +216,32 @@ def minhash_buckets(
     min-aggregates with map-side partial combine) → explode bands →
     groupBy band key. One shuffle on band keys; signatures are computed
     exactly once (a self-join would recompute them per side)."""
+    exploded = minhash_band_rows(docs, text_col, id_col, num_hashes, num_bands, shingle_k)
+    buckets = exploded.groupBy("band").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+    return buckets.filter(F.size("ids") > 1).withColumn("n_ids", F.size("ids"))
+
+
+def minhash_band_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band-key) rows — ``num_bands`` rows per document. The
+    shared signature/banding stage of bucket generation, bucket stats,
+    and fuzzy decontamination.
+
+    Shingles as rows, hashed ONCE each with fully codegen'd
+    expressions, then the signature as num_hashes min-aggregates
+    (map-side partial agg). The array formulation (transform +
+    array_min) is interpreted per element AND Catalyst's projection
+    collapse re-inlines the md5 subtree into every hash column — 16x
+    recompute. The rows shape is also the right one at scale: no
+    giant per-row arrays, shuffle volume = num_hashes longs per doc.
+    distinct=False: duplicates can't change a min."""
     rows_per_band = num_hashes // num_bands
-    # shingles as rows, hashed ONCE each with fully codegen'd
-    # expressions, then the signature as num_hashes min-aggregates
-    # (map-side partial agg). The array formulation (transform +
-    # array_min) is interpreted per element AND Catalyst's projection
-    # collapse re-inlines the md5 subtree into every hash column — 16x
-    # recompute. The rows shape is also the right one at scale: no
-    # giant per-row arrays, shuffle volume = num_hashes longs per doc.
-    # distinct=False: duplicates can't change a min.
     rows = shingle_rows(docs, text_col, id_col, shingle_k, distinct=False)
     hashed = rows.select(F.col(id_col), shingle_hash(F.col("s"), 0).alias("h"))
     sig = hashed.groupBy(id_col).agg(
@@ -242,9 +259,7 @@ def minhash_buckets(
         for b in range(num_bands)
     ]
     banded = sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
-    exploded = banded.select(id_col, F.explode("bands").alias("band"))
-    buckets = exploded.groupBy("band").agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-    return buckets.filter(F.size("ids") > 1).withColumn("n_ids", F.size("ids"))
+    return banded.select(id_col, F.explode("bands").alias("band"))
 
 
 def lsh_bucket_stats(

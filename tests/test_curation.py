@@ -225,3 +225,44 @@ def test_quality_score_hashed_integer_contract(spark):
     assert out[1]["keep"] == (1 if out[1]["score_milli"] > 0 else 0)
     # weights bounded to milli-units
     assert abs(single[10]["score_milli"]) <= 1000
+
+
+def test_fuzzy_decontaminate_catches_perturbed_copy(spark):
+    from monstache_spark.operators.curation import decontaminate, fuzzy_decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank today"
+    # paraphrase-style perturbation: a few tokens swapped, most shingles intact
+    leaked = "the quick brown fox jumps over the lazy cat near the river bank today"
+    clean = "completely unrelated text about spark partitions and shuffle exchanges"
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    docs = spark.createDataFrame([(1, leaked), (2, clean)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fuzzy_decontaminate(docs, bench, shingle_k=2).collect()}
+    assert out[1]["contaminated"] == 1 and out[1]["n_hit_bands"] >= 1
+    assert out[2]["contaminated"] == 0 and out[2]["n_hit_bands"] == 0
+    # every doc gets a row, collision or not
+    assert set(out) == {1, 2}
+
+
+def test_cap_per_domain_two_stage_exactness_property(spark):
+    """Property: for any (domain, id) layout, cap, and salt count, the
+    two-stage salted rank selects exactly the same winners (and ranks)
+    as the single-stage rank."""
+    import random
+
+    from monstache_spark.operators.curation import cap_per_domain
+
+    rng = random.Random(99)
+    for trial in range(4):
+        n_dom = rng.randint(1, 4)
+        rows = [
+            (i, f"d{rng.randint(0, n_dom - 1)}")
+            for i in range(rng.randint(1, 120))
+        ]
+        cap = rng.randint(1, 8)
+        n_salts = rng.choice([2, 3, 8, 16])
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        fast = cap_per_domain(df, cap=cap, domain_col="source", n_salts=n_salts).collect()
+        ref = cap_per_domain(df, cap=cap, domain_col="source", n_salts=1).collect()
+        assert sorted((r["doc_id"], r["source"], r["rk"]) for r in fast) == sorted(
+            (r["doc_id"], r["source"], r["rk"]) for r in ref
+        ), f"trial={trial} cap={cap} n_salts={n_salts}"
