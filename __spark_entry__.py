@@ -1549,6 +1549,16 @@ def _q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (curation.chunk_documents):
+    32-token windows at 16-token stride — the training-sample /
+    retrieval-passage split. Narrow per-row transform, no shuffle."""
+    from monstache_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, window=32, stride=16)
+
+
 def _q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy benchmark decontamination (curation.fuzzy_decontaminate):
     MinHash band collisions against the src0 benchmark — catches
@@ -1692,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": _q_pq_ann_topk,
         "ivfpq_ann_topk": _q_ivfpq_ann_topk,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
+        "chunk_documents": _q_chunk_documents,
         "domain_cap": _q_domain_cap,
         "quality_classifier": _q_quality_classifier,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2791,6 +2802,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                            ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS rank
             FROM refined) WHERE rank <= 5
+        """,
+        "chunk_documents": f"""
+          WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0
+                        THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS tk
+            FROM documents),
+          c AS (
+            SELECT doc_id, tk,
+                   CASE WHEN len(tk) = 0 THEN 0
+                        ELSE 1 + CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS BIGINT)
+                   END AS n_chunks
+            FROM base),
+          r AS (
+            SELECT doc_id, tk, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+            FROM c WHERE n_chunks > 0)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                 array_to_string(tk[chunk_id*16+1 : chunk_id*16+32], ' ') AS chunk,
+                 CAST(len(tk[chunk_id*16+1 : chunk_id*16+32]) AS BIGINT) AS n_tokens
+          FROM r
         """,
         "fuzzy_decontaminate": f"""
           WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),

@@ -412,6 +412,62 @@ def mixture_stats(
 
 
 # ---------------------------------------------------------------------------
+# Document chunking (overlapping token windows for training / retrieval)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping ``window``-token chunks at
+    ``stride``-token steps — the window-split that turns curated
+    documents into fixed-size training samples or retrieval passages
+    (stride < window gives the standard overlapping-context layout;
+    stride == window gives disjoint chunks).
+
+    Chunk ``i`` covers tokens [i*stride+1, i*stride+window];
+    ``n_chunks = 1 + ceil(max(n_tokens - window, 0) / stride)`` for
+    non-empty docs (the final chunk may be short), 0 for empty docs.
+    Output: (id, chunk_id, chunk, n_tokens).
+
+    Scale: a narrow per-row transform — no shuffle, no corpus-wide
+    state; parallelism is the scan's (with a single small input file,
+    repartition upstream — see dedup._spread for why byte-sized scan
+    partitions mis-size row-amplifying transforms). Each chunk string
+    is built exactly once: the struct array has one consumer
+    (posexplode), so Catalyst's projection collapse cannot re-inline
+    the slices into multiple evaluation sites."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n == 0, F.lit(0).cast("long")).otherwise(
+        F.lit(1).cast("long")
+        + F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)).cast("long")
+    )
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice(toks, (i * stride + 1).cast("int"), window), " ").alias("c"),
+            F.size(F.slice(toks, (i * stride + 1).cast("int"), window))
+            .cast("long")
+            .alias("nt"),
+        ),
+    )
+    rows = docs.filter(n_chunks > 0).select(
+        F.col(id_col), F.posexplode(chunk_structs).alias("chunk_id", "_ch")
+    )
+    return rows.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_ch.c").alias("chunk"),
+        F.col("_ch.nt").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-domain document caps (web-corpus domain balancing)
 # ---------------------------------------------------------------------------
 

@@ -266,3 +266,26 @@ def test_cap_per_domain_two_stage_exactness_property(spark):
         assert sorted((r["doc_id"], r["source"], r["rk"]) for r in fast) == sorted(
             (r["doc_id"], r["source"], r["rk"]) for r in ref
         ), f"trial={trial} cap={cap} n_salts={n_salts}"
+
+
+def test_chunk_documents_window_stride_contract(spark):
+    from monstache_spark.operators.curation import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g"),  # 7 tokens: w=4 s=2 -> chunks at 0,2,4 (ceil(3/2)=2 -> 3 chunks)
+        (2, "x y"),            # shorter than window -> one whole chunk
+        (3, ""),               # empty -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=4, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    assert 3 not in by_doc
+    c1 = by_doc[1]
+    assert [c1[i]["chunk"] for i in range(3)] == ["a b c d", "c d e f", "e f g"]
+    assert [c1[i]["n_tokens"] for i in range(3)] == [4, 4, 3]
+    assert by_doc[2][0]["chunk"] == "x y" and by_doc[2][0]["n_tokens"] == 2
+    # disjoint layout when stride == window
+    disj = chunk_documents(df.filter("doc_id = 1"), window=3, stride=3).collect()
+    assert sorted(r["chunk"] for r in disj) == ["a b c", "d e f", "g"]
