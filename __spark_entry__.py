@@ -1549,6 +1549,16 @@ def _q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (dedup.simhash_near_dup_pairs): band
+    buckets + exact Hamming verify, bit_count(xor) <= 3 — exact recall
+    over the signature space by pigeonhole (4 bands)."""
+    from monstache_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_near_dup_pairs(docs, shingle_k=2, max_hamming=3)
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (curation.chunk_documents):
     32-token windows at 16-token stride — the training-sample /
@@ -1703,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk": _q_ivfpq_ann_topk,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "chunk_documents": _q_chunk_documents,
+        "simhash_near_dup": _q_simhash_near_dup,
         "domain_cap": _q_domain_cap,
         "quality_classifier": _q_quality_classifier,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2802,6 +2813,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                            ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS rank
             FROM refined) WHERE rank <= 5
+        """,
+        "simhash_near_dup": f"""
+          WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+          hs AS (SELECT doc_id, {_hash_sql('s', 0)} AS h FROM ex),
+          bits AS (
+            SELECT doc_id, b.range AS b, sum(((h >> CAST(b.range AS INTEGER)) & 1) * 2 - 1) AS c
+            FROM hs, range(0, 32) b GROUP BY doc_id, b.range),
+          sig AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id),
+          keyed AS (
+            SELECT doc_id, simhash, b.range AS band,
+                   (simhash >> CAST(b.range * 8 AS INTEGER)) & 255 AS bv
+            FROM sig, range(0, 4) b),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.simhash AS sa, b2.simhash AS sb
+            FROM keyed a JOIN keyed b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+          SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(sa, sb)) <= 3
         """,
         "chunk_documents": f"""
           WITH base AS (

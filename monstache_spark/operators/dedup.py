@@ -445,6 +445,83 @@ def connected_components(
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_k: int = 3,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate pairs from SimHash signatures: the signature
+    splits into ``n_bands`` bit-bands; documents sharing any band value
+    become candidates, verified by exact Hamming distance
+    (``bit_count(xor)``) ≤ ``max_hamming``. By pigeonhole, any pair
+    within Hamming ``n_bands - 1`` shares at least one intact band, so
+    with the defaults (4 bands, max_hamming 3) recall over the
+    signature space is exact — unlike MinHash banding, which is
+    probabilistic.
+
+    Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Plan shape mirrors ``minhash_candidate_pairs``: one shuffle on the
+    band key, the signature rides in the bucket so verification needs
+    no second join, and degenerate buckets (all-boilerplate corpora
+    collapse to few signatures) are bounded by ``max_bucket`` — the
+    O(bucket²) guard; suppressed buckets are observable via the same
+    census pattern as LSH."""
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sig = simhash_signatures(docs, text_col, id_col, bits, shingle_k)
+    bands = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+    buckets = bands.groupBy("band").agg(
+        F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))).alias(
+            "members"
+        )
+    ).filter(F.size("members") > 1)
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                        lambda y: F.struct(
+                            x.getField("i").alias("id_a"),
+                            y.getField("i").alias("id_b"),
+                            F.bit_count(x.getField("s").bitwiseXOR(y.getField("s"))).alias(
+                                "hamming"
+                            ),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b", F.col("p.hamming").cast("long").alias("hamming"))
+    return pairs.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
+
+
 def near_dup_clusters(
     docs: DataFrame,
     text_col: str = "text",

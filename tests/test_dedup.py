@@ -201,3 +201,30 @@ def test_dedup_keep_best_prefers_quality_then_min_id(spark):
     assert clus["keep_id"] == 2 and clus["keep_quality"] == 30
     solo = next(r for r in out.values() if r["n_members"] == 1)
     assert solo["keep_id"] == 4 and solo["keep_quality"] == 5
+
+
+def test_simhash_near_dup_pigeonhole_recall(spark):
+    """Any pair within Hamming <= n_bands-1 over the signature space
+    MUST be found (a shared intact band is guaranteed by pigeonhole),
+    and reported Hamming distances are exact."""
+    from monstache_spark.operators.dedup import simhash_near_dup_pairs, simhash_signatures
+
+    rows = [
+        (1, "spark catalyst optimizer plans queries fast"),
+        (2, "spark catalyst optimizer plans queries fast"),   # exact copy: hamming 0
+        (3, "spark catalyst optimizer plans queries slowly"), # near copy
+        (4, "completely different words entirely unrelated here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df, shingle_k=2).collect()}
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           simhash_near_dup_pairs(df, shingle_k=2, max_hamming=31).collect()}
+    assert out[(1, 2)] == 0
+    for (a, b), h in out.items():
+        assert h == bin(sigs[a] ^ sigs[b]).count("1")
+    # exhaustive pigeonhole check: every pair within hamming 3 appears
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                assert (a, b) in out
