@@ -506,3 +506,34 @@ def ivfpq_adc_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
     return refined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Materialize the IVF index as a cell-partitioned parquet table —
+    the physical layout that makes ``n_probe`` real at scale: a query
+    reading ``cell IN (probe list)`` prunes to those directories at
+    the SCAN (Catalyst partition pruning), so probe cost is I/O-bounded
+    by n_probe/n_centroids of the corpus, not filter-after-read.
+    ``read_ivf_cells`` + ``tests/test_similarity.py`` assert the
+    pruned plan shape."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
+    cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
+        id_col, vec_col, F.col("cid").alias("cell")
+    )
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def read_ivf_cells(spark, path: str, probe_cells: list[int]) -> DataFrame:
+    """Read only the probed cells from a written IVF index. The IN
+    filter lands in the scan's PartitionFilters — directories outside
+    the probe list are never opened."""
+    df = spark.read.parquet(path)
+    return df.filter(F.col("cell").isin([int(c) for c in probe_cells]))

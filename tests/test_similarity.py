@@ -173,3 +173,40 @@ def test_ivfpq_full_probe_wide_rerank_equals_brute_force(spark):
     a = {(r["query_id"], r["corpus_id"], r["rank"]) for r in approx.collect()}
     b = {(r["query_id"], r["corpus_id"], r["rank"]) for r in exact.collect()}
     assert a == b
+
+
+def test_ivf_partitioned_index_prunes_at_scan(spark, tmp_path):
+    """The written IVF index must let a probe list prune PARTITIONS at
+    the parquet scan — the physical claim behind n_probe cost — and
+    probed-cell reads must reproduce the in-memory cell assignment."""
+    import random
+
+    from monstache_spark.operators.similarity import (
+        ivf_assign,
+        read_ivf_cells,
+        write_ivf_index,
+    )
+
+    rng = random.Random(5)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, path, n_centroids=4)
+
+    probed = read_ivf_cells(spark, path, [0, 2])
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the IN filter must land INSIDE PartitionFilters (not data filters):
+    # plans always print a PartitionFilters list, empty when not pruning
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1) and "IN (0,2)" in m.group(1)
+
+    mem = ivf_assign(emb, emb.filter("vec_id < 4")).select("vec_id", "cid")
+    expect = {r["vec_id"] for r in mem.collect() if r["cid"] in (0, 2)}
+    got = {r["vec_id"] for r in probed.collect()}
+    assert got == expect and len(got) > 0
+    # and the complement cells stay unread: union of both reads == corpus
+    rest = {r["vec_id"] for r in read_ivf_cells(spark, path, [1, 3]).collect()}
+    assert got | rest == {r[0] for r in rows} and got.isdisjoint(rest)
