@@ -1549,6 +1549,16 @@ def _q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality cut (curation.quality_top_fraction): keep the
+    top 30% of each language by hashed-classifier score — two-stage
+    salted rank with a data-dependent per-stratum quota."""
+    from monstache_spark.operators.curation import quality_top_fraction
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_top_fraction(docs, frac=0.3)
+
+
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (dedup.simhash_near_dup_pairs): band
     buckets + exact Hamming verify, bit_count(xor) <= 3 — exact recall
@@ -1714,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "chunk_documents": _q_chunk_documents,
         "simhash_near_dup": _q_simhash_near_dup,
+        "quality_top_fraction": _q_quality_top_fraction,
         "domain_cap": _q_domain_cap,
         "quality_classifier": _q_quality_classifier,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2813,6 +2824,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                            ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS rank
             FROM refined) WHERE rank <= 5
+        """,
+        "quality_top_fraction": f"""
+          WITH toks AS (
+            SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+                                       THEN CAST([] AS VARCHAR[]) ELSE {_TOKS_LOWER} END) AS t
+            FROM documents),
+          w AS (
+            SELECT doc_id,
+                   (({_hash_sql('t', 23)} % 4096) * 1103515245 + 12345) % 2001 - 1000 AS wm
+            FROM toks),
+          sc AS (
+            SELECT d.doc_id, d.lang, CAST(coalesce(sum(w.wm), 0) AS BIGINT) AS score_milli
+            FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+            GROUP BY d.doc_id, d.lang),
+          q AS (SELECT lang, CAST(ceil(count(*) * 0.3) AS BIGINT) AS k FROM sc GROUP BY lang)
+          SELECT doc_id, lang, score_milli, rk FROM (
+            SELECT sc.doc_id, sc.lang, sc.score_milli, q.k,
+                   CAST(row_number() OVER (PARTITION BY sc.lang
+                         ORDER BY sc.score_milli DESC, sc.doc_id ASC) AS BIGINT) AS rk
+            FROM sc JOIN q ON sc.lang = q.lang)
+          WHERE rk <= k
         """,
         "simhash_near_dup": f"""
           WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),

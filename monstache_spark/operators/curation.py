@@ -586,6 +586,61 @@ def quality_score_hashed(
     )
 
 
+def quality_top_fraction(
+    docs: DataFrame,
+    frac: float = 0.5,
+    stratum_col: str = "lang",
+    n_buckets: int = 4096,
+    seed: int = 23,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """Keep the top ``frac`` of documents per stratum by classifier
+    score — the relative quality cut (FineWeb-Edu keeps the top slice
+    by classifier score; a fixed threshold drifts as the corpus mix
+    changes, a per-stratum fraction does not). Scoring is
+    :func:`quality_score_hashed`; the cut keeps the ``ceil(frac * n)``
+    best (score desc, id asc) within each stratum.
+
+    Output: kept rows ``(id, stratum, score_milli, rk)``.
+
+    Scale: the per-stratum quota K = ceil(frac*n) is data-dependent,
+    so this generalizes :func:`cap_per_domain`'s two-stage salted
+    rank to a column-valued cap: stratum counts reduce to one row per
+    stratum (broadcast back), documents rank first within
+    (stratum, salt) keeping local rank ≤ K — at most n_salts*K rows
+    per stratum survive, bounded per task — then the final rank runs
+    over the survivors. Exact by the same pigeonhole argument: the
+    stratum's true top-K contains at most K members of any salt
+    shard."""
+    scored = quality_score_hashed(docs, n_buckets, seed, text_col, id_col).join(
+        docs.select(id_col, stratum_col), id_col
+    )
+    quota = F.broadcast(
+        scored.groupBy(stratum_col).agg(
+            F.ceil(F.count("*") * F.lit(frac)).cast("long").alias("_k")
+        )
+    )
+    base = scored.join(quota, stratum_col).withColumn(
+        "_salt", F.pmod(shingle_hash(F.col(id_col).cast("string"), seed + 1), F.lit(n_salts))
+    )
+    w_local = Window.partitionBy(stratum_col, "_salt").orderBy(
+        F.col("score_milli").desc(), F.col(id_col).asc()
+    )
+    survivors = base.withColumn("_lrk", F.row_number().over(w_local)).filter(
+        F.col("_lrk") <= F.col("_k")
+    )
+    w_str = Window.partitionBy(stratum_col).orderBy(
+        F.col("score_milli").desc(), F.col(id_col).asc()
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_str).cast("long"))
+        .filter(F.col("rk") <= F.col("_k"))
+        .select(id_col, stratum_col, "score_milli", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing (token-budget binning for training batches)
 # ---------------------------------------------------------------------------

@@ -289,3 +289,38 @@ def test_chunk_documents_window_stride_contract(spark):
     # disjoint layout when stride == window
     disj = chunk_documents(df.filter("doc_id = 1"), window=3, stride=3).collect()
     assert sorted(r["chunk"] for r in disj) == ["a b c", "d e f", "g"]
+
+
+def test_quality_top_fraction_quota_and_two_stage_exactness(spark):
+    import random
+
+    from monstache_spark.operators.curation import quality_top_fraction
+
+    rng = random.Random(41)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    rows = [
+        (i, " ".join(rng.choices(words, k=rng.randint(1, 12))),
+         "en" if i % 3 else "fr")
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = quality_top_fraction(df, frac=0.25).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    import math
+    n_en = sum(1 for _, _, l in rows if l == "en")
+    n_fr = sum(1 for _, _, l in rows if l == "fr")
+    assert len(by_lang["en"]) == math.ceil(0.25 * n_en)
+    assert len(by_lang["fr"]) == math.ceil(0.25 * n_fr)
+    # ranks are contiguous from 1 and ordered by (score desc, id asc)
+    for rs in by_lang.values():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r["score_milli"], r["doc_id"]) for r in rs]
+        assert keys == sorted(keys)
+    # two-stage salted rank with column-valued quota == single-stage
+    ref = quality_top_fraction(df, frac=0.25, n_salts=1).collect()
+    assert sorted((r["doc_id"], r["rk"]) for r in out) == sorted(
+        (r["doc_id"], r["rk"]) for r in ref
+    )
