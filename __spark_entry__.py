@@ -1549,6 +1549,35 @@ def _q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "corpus_id", "score", F.col("rank").cast("long").alias("rank"))
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (dedup.incremental_dedup_batch): five
+    arrival batches admitted in order against an append-only
+    fingerprint registry — the crawl-pipeline shape where each batch
+    dedups against ALL history. The surviving occupant per fingerprint
+    equals arg-min over (batch, id), which the oracle checks in one
+    aggregate. The loop is control-plane (batches are time, not
+    data); per batch only (digest, id) pairs shuffle."""
+    import tempfile
+
+    from monstache_spark.operators.dedup import FingerprintRegistry, incremental_dedup_batch
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = tempfile.mkdtemp(prefix="fp_registry_")
+    reg = FingerprintRegistry(spark, base + "/fps")
+    out_dir = base + "/kept"
+    for b in range(5):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == b)
+        surv = incremental_dedup_batch(reg, batch).select(
+            "doc_id", F.lit(b).cast("long").alias("batch")
+        )
+        # executor-side parquet append per batch — the write is the
+        # batch barrier (each admit must see prior registry state),
+        # exactly as in a real incremental pipeline; nothing collects
+        # to the driver
+        surv.write.mode("append").parquet(out_dir)
+    return spark.read.parquet(out_dir).select("doc_id", "batch")
+
+
 def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative quality cut (curation.quality_top_fraction): keep the
     top 30% of each language by hashed-classifier score — two-stage
@@ -1725,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "simhash_near_dup": _q_simhash_near_dup,
         "quality_top_fraction": _q_quality_top_fraction,
+        "incremental_dedup": _q_incremental_dedup,
         "domain_cap": _q_domain_cap,
         "quality_classifier": _q_quality_classifier,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2824,6 +2854,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                            ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS rank
             FROM refined) WHERE rank <= 5
+        """,
+        "incremental_dedup": f"""
+          WITH k AS (
+            SELECT md5({_CANON}) AS fp,
+                   arg_min(doc_id, (doc_id % 5) * 4294967296 + doc_id) AS doc_id
+            FROM documents GROUP BY 1)
+          SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS batch FROM k
         """,
         "quality_top_fraction": f"""
           WITH toks AS (

@@ -737,3 +737,67 @@ def simhash_signatures(
     for b in range(bits):
         packed = packed + F.when(F.col(f"c{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return counters.select(F.col(id_col), packed.alias("simhash"))
+
+
+class FingerprintRegistry:
+    """Append-only fingerprint registry for incremental corpus dedup —
+    the state a crawl pipeline keeps between batches so arriving
+    documents dedup against ALL history, not just their own batch.
+
+    Append-only is the at-scale choice: admitting a batch writes only
+    the batch's new fingerprints (no rewrite of history), and the
+    history side of the anti-join is a parquet scan that prunes to the
+    (fp, keeper) columns. On a cluster the registry directory would be
+    bucketed by fingerprint so the per-batch anti-join co-locates
+    without a shuffle of history; registered fingerprints never leave
+    their bucket."""
+
+    def __init__(self, spark, path: str):
+        self.spark = spark
+        self.path = path
+
+    def known(self) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self.path) or not any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        ):
+            return None
+        return self.spark.read.parquet(self.path)
+
+    def admit(self, fps: DataFrame) -> None:
+        fps.write.mode("append").parquet(self.path)
+
+
+def incremental_dedup_batch(
+    registry: FingerprintRegistry,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit one batch into an incrementally deduplicated corpus:
+    returns the batch rows that survive (canonical fingerprint unseen
+    in ALL prior batches; within the batch the min id wins) and
+    registers their fingerprints. Because batches are admitted in
+    order, the surviving occupant of every fingerprint across a run
+    equals the global keep-min dedup of the concatenated corpus —
+    the invariant the oracle checks.
+
+    Plan per batch: fingerprint (narrow) → within-batch keep-min
+    (one digest-keyed shuffle) → anti-join history on the digest.
+    Only (digest, id) pairs ever shuffle; history text is never read.
+    """
+    fp = fingerprint(F.col(text_col))
+    in_batch = (
+        batch_docs.select(fp.alias("fp"), F.col(id_col).alias("_id"))
+        .groupBy("fp")
+        .agg(F.min("_id").alias(id_col))
+    )
+    seen = registry.known()
+    fresh = in_batch if seen is None else in_batch.join(seen.select("fp"), "fp", "left_anti")
+    # one registry write per batch; the frame is tiny relative to the
+    # batch (one row per NEW fingerprint)
+    admitted = fresh.select("fp", id_col)
+    registry.admit(admitted)
+    keep_ids = admitted.select(id_col)
+    return batch_docs.join(keep_ids, id_col, "left_semi")

@@ -228,3 +228,29 @@ def test_simhash_near_dup_pigeonhole_recall(spark):
         for b in ids[i + 1:]:
             if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
                 assert (a, b) in out
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from monstache_spark.operators.dedup import FingerprintRegistry, incremental_dedup_batch
+
+    reg = FingerprintRegistry(spark, str(tmp_path / "fps"))
+    b0 = spark.createDataFrame(
+        [(1, "hello world"), (2, "HELLO   world"), (3, "unique one")],
+        "doc_id long, text string",
+    )
+    s0 = {r["doc_id"] for r in incremental_dedup_batch(reg, b0).collect()}
+    # within-batch: canonical duplicate 2 loses to min-id 1
+    assert s0 == {1, 3}
+    b1 = spark.createDataFrame(
+        [(10, "hello world"), (11, "fresh text"), (12, "fresh text")],
+        "doc_id long, text string",
+    )
+    s1 = {r["doc_id"] for r in incremental_dedup_batch(reg, b1).collect()}
+    # cross-batch: 10 collides with batch-0 history; 11 beats 12 in-batch
+    assert s1 == {11}
+    b2 = spark.createDataFrame([(20, "fresh text")], "doc_id long, text string")
+    s2 = {r["doc_id"] for r in incremental_dedup_batch(reg, b2).collect()}
+    assert s2 == set()
+    # registry holds exactly one keeper per fingerprint ever admitted
+    known = {(r["fp"], r["doc_id"]) for r in reg.known().collect()}
+    assert {d for _, d in known} == {1, 3, 11}
