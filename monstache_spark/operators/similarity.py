@@ -343,21 +343,26 @@ def pq_encode(
     100 TB-corpus index fit an executor fleet.
 
     Plan: explode subspaces, join the broadcast codebooks on ``m``,
-    and take the argmin as ``min(struct(dist, code))`` — a fixed-width
-    hash-aggregate buffer with map-side partial combine, so the
-    |corpus| x k_sub scored rows collapse before any exchange."""
+    and take the argmin as ``min(dist * 1024 + code)`` — the
+    (dist, code) lexicographic order packed into ONE BIGINT, because a
+    struct in the aggregation buffer silently degrades the aggregate
+    to SortAggregate (full map-side sort; tools/explain_audit.py
+    guards this). The packed min is a fixed-width hash-aggregate
+    buffer with map-side partial combine, so the |corpus| x k_sub
+    scored rows collapse before any exchange. Valid for k_sub <= 1024
+    and dist_micro < 2^53/1024 (distances here are bounded by the
+    subvector dimension x 4e6)."""
     subs = _subspace_rows(corpus, dim, m, vec_col, id_col)
     cb = F.broadcast(codebooks.select("m", "code", F.col("sub").alias("c_sub")))
     scored = subs.join(cb, "m").select(
         id_col,
         "m",
-        "code",
-        _sub_dist_micro(F.col("sub"), F.col("c_sub")).alias("d_micro"),
+        (_sub_dist_micro(F.col("sub"), F.col("c_sub")) * F.lit(1024) + F.col("code")).alias(
+            "_pk"
+        ),
     )
-    best = scored.groupBy(id_col, "m").agg(
-        F.min(F.struct(F.col("d_micro"), F.col("code"))).alias("_best")
-    )
-    return best.select(id_col, "m", F.col("_best.code").alias("code"))
+    best = scored.groupBy(id_col, "m").agg(F.min("_pk").alias("_pk"))
+    return best.select(id_col, "m", F.pmod(F.col("_pk"), F.lit(1024)).cast("long").alias("code"))
 
 
 def pq_adc_topk(

@@ -168,6 +168,40 @@ CHECKS = [
         "aggregate a hash aggregate (no sort agg)",
         lambda p: "* HashAggregate" in p and "SortAggregate" not in p,
     ),
+    (
+        "chunk_documents",
+        "chunking is a narrow per-row transform: no exchange, no Python",
+        lambda p: "Exchange (" not in p and "Python" not in p,
+    ),
+    (
+        "fuzzy_decontaminate",
+        "benchmark band-key set broadcasts; no sort agg anywhere",
+        lambda p: "BroadcastHashJoin" in p and "SortAggregate" not in p,
+    ),
+    (
+        "quality_top_fraction",
+        "per-stratum quota joins broadcast; no cartesian product",
+        lambda p: "BroadcastHashJoin" in p and "CartesianProduct" not in p,
+    ),
+    (
+        "pq_ann_topk",
+        "PQ: codebooks/LUT broadcast, codes join is an equi-join "
+        "(no cartesian), no sort agg",
+        lambda p: "CartesianProduct" not in p and "SortAggregate" not in p,
+    ),
+    (
+        "ivfpq_ann_topk",
+        "IVF-PQ refine: candidate restriction and LUT joins stay "
+        "equi/broadcast joins (no cartesian beyond the broadcast "
+        "centroid assignment)",
+        lambda p: "CartesianProduct" not in p,
+    ),
+    (
+        "simhash_near_dup",
+        "simhash pairing: one band-key shuffle, verification rides "
+        "in the bucket (no second join against signatures)",
+        lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p,
+    ),
 ]
 
 
