@@ -1598,6 +1598,16 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, shingle_k=2, max_hamming=3)
 
 
+def _q_simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-bucket census (dedup.simhash_bucket_stats) —
+    the truncation report beside simhash_near_dup: buckets, drops,
+    largest bucket, suppressed pair volume."""
+    from monstache_spark.operators.dedup import simhash_bucket_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_bucket_stats(docs, shingle_k=2)
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (curation.chunk_documents):
     32-token windows at 16-token stride — the training-sample /
@@ -1753,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "chunk_documents": _q_chunk_documents,
         "simhash_near_dup": _q_simhash_near_dup,
+        "simhash_bucket_stats": _q_simhash_bucket_stats,
         "quality_top_fraction": _q_quality_top_fraction,
         "incremental_dedup": _q_incremental_dedup,
         "domain_cap": _q_domain_cap,
@@ -2882,6 +2893,29 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY sc.score_milli DESC, sc.doc_id ASC) AS BIGINT) AS rk
             FROM sc JOIN q ON sc.lang = q.lang)
           WHERE rk <= k
+        """,
+        "simhash_bucket_stats": f"""
+          WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),
+          ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+          hs AS (SELECT doc_id, {_hash_sql('s', 0)} AS h FROM ex),
+          bits AS (
+            SELECT doc_id, b.range AS b, sum(((h >> CAST(b.range AS INTEGER)) & 1) * 2 - 1) AS c
+            FROM hs, range(0, 32) b GROUP BY doc_id, b.range),
+          sig AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id),
+          keyed AS (
+            SELECT doc_id, CAST(b.range AS VARCHAR) || ':' ||
+                   CAST((simhash >> CAST(b.range * 8 AS INTEGER)) & 255 AS VARCHAR) AS band
+            FROM sig, range(0, 4) b),
+          counts AS (
+            SELECT band, count(*) AS n_ids FROM keyed GROUP BY band HAVING count(*) > 1)
+          SELECT count(*) AS n_buckets,
+                 CAST(sum(CASE WHEN n_ids > 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 CAST(max(n_ids) AS BIGINT) AS max_bucket_size,
+                 CAST(sum(CASE WHEN n_ids > 500 THEN n_ids * (n_ids - 1) / 2 ELSE 0 END) AS BIGINT) AS pairs_suppressed
+          FROM counts
         """,
         "simhash_near_dup": f"""
           WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),

@@ -470,29 +470,9 @@ def simhash_near_dup_pairs(
     band key, the signature rides in the bucket so verification needs
     no second join, and degenerate buckets (all-boilerplate corpora
     collapse to few signatures) are bounded by ``max_bucket`` — the
-    O(bucket²) guard; suppressed buckets are observable via the same
-    census pattern as LSH."""
-    band_width = bits // n_bands
-    mask = (1 << band_width) - 1
-    sig = simhash_signatures(docs, text_col, id_col, bits, shingle_k)
-    bands = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(b)),
-                        F.shiftright(F.col("simhash"), b * band_width)
-                        .bitwiseAND(F.lit(mask))
-                        .cast("string"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    )
+    O(bucket²) guard; suppressed buckets are observable via
+    :func:`simhash_bucket_stats` with the same parameters."""
+    bands = simhash_band_rows(docs, text_col, id_col, bits, shingle_k, n_bands)
     buckets = bands.groupBy("band").agg(
         F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))).alias(
             "members"
@@ -520,6 +500,72 @@ def simhash_near_dup_pairs(
         ).alias("p")
     ).select("p.id_a", "p.id_b", F.col("p.hamming").cast("long").alias("hamming"))
     return pairs.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"])
+
+
+def simhash_band_rows(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_k: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """(id, simhash, band-key) rows — ``n_bands`` per document; the
+    shared banding stage of simhash pairing and its bucket census."""
+    band_width = bits // n_bands
+    mask = (1 << band_width) - 1
+    sig = simhash_signatures(docs, text_col, id_col, bits, shingle_k)
+    return sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    )
+
+
+def simhash_bucket_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    shingle_k: int = 3,
+    n_bands: int = 4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """One-row census of the simhash band buckets under the cap —
+    ``simhash_near_dup_pairs``'s truncation report, mirroring
+    :func:`lsh_bucket_stats`: candidate buckets (≥2 members), dropped
+    (oversize) buckets, the largest bucket, and the pair volume the
+    cap suppressed. Run it beside the pairing with the same
+    parameters so recall loss is reported, never silent."""
+    counts = (
+        simhash_band_rows(docs, text_col, id_col, bits, shingle_k, n_bands)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_ids"))
+        .filter(F.col("n_ids") > 1)
+    )
+    dropped = F.col("n_ids") > F.lit(max_bucket) if max_bucket is not None else F.lit(False)
+    pair_count = (F.col("n_ids").cast("long") * (F.col("n_ids") - 1) / 2).cast("long")
+    return counts.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(dropped, 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.max("n_ids").cast("long").alias("max_bucket_size"),
+        F.sum(F.when(dropped, pair_count).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("pairs_suppressed"),
+    )
 
 
 def near_dup_clusters(

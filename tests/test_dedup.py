@@ -254,3 +254,30 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # registry holds exactly one keeper per fingerprint ever admitted
     known = {(r["fp"], r["doc_id"]) for r in reg.known().collect()}
     assert {d for _, d in known} == {1, 3, 11}
+
+
+def test_incremental_dedup_equals_global_argmin_randomized(spark, tmp_path):
+    """Randomized invariance: sequential batch admission == one-shot
+    arg-min over (batch, id) per fingerprint."""
+    import random
+
+    from monstache_spark.operators.dedup import FingerprintRegistry, incremental_dedup_batch
+    from monstache_spark.functions.text import fingerprint as _fp  # noqa: F401
+
+    rng = random.Random(77)
+    texts = [f"text variant {rng.randint(0, 25)}" for _ in range(60)]
+    rows = [(i, texts[i]) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    reg = FingerprintRegistry(spark, str(tmp_path / "fps_rand"))
+    survived = set()
+    for b in range(3):
+        batch = docs.filter(f"doc_id % 3 = {b}")
+        survived |= {r["doc_id"] for r in incremental_dedup_batch(reg, batch).collect()}
+    # expected: per canonical text, keeper = min over (batch, id)
+    best = {}
+    for i, t in rows:
+        key = " ".join(t.lower().split())
+        cand = (i % 3, i)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    assert survived == {i for _, i in best.values()}
