@@ -1598,6 +1598,19 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, shingle_k=2, max_hamming=3)
 
 
+def _q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-bigram LM scoring (functions/text.py:
+    train_bigram_lm + bigram_lm_score) — the CCNet-style model-based
+    quality signal, trained and applied in one engine pass: model =
+    one hash aggregate broadcast back; score = mean bigram probability
+    in exact integer micro-units."""
+    from monstache_spark.functions.text import bigram_lm_score, train_bigram_lm
+
+    docs = load_table(spark, "documents", sf_dir)
+    model = train_bigram_lm(docs)
+    return bigram_lm_score(docs, model)
+
+
 def _q_simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash band-bucket census (dedup.simhash_bucket_stats) —
     the truncation report beside simhash_near_dup: buckets, drops,
@@ -1764,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "simhash_near_dup": _q_simhash_near_dup,
         "simhash_bucket_stats": _q_simhash_bucket_stats,
+        "bigram_lm_quality": _q_bigram_lm_quality,
         "quality_top_fraction": _q_quality_top_fraction,
         "incremental_dedup": _q_incremental_dedup,
         "domain_cap": _q_domain_cap,
@@ -2893,6 +2907,26 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY sc.score_milli DESC, sc.doc_id ASC) AS BIGINT) AS rk
             FROM sc JOIN q ON sc.lang = q.lang)
           WHERE rk <= k
+        """,
+        "bigram_lm_quality": """
+          WITH c AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents),
+          bg AS (
+            SELECT doc_id, substr(t, i, 2) AS bigram
+            FROM c, LATERAL unnest(generate_series(1, length(t) - 1)) AS u(i)
+            WHERE length(t) >= 2),
+          counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+          tot AS (SELECT sum(cnt) AS t FROM counts),
+          model AS (SELECT bigram, CAST(cnt * 1000000 // t AS BIGINT) AS p FROM counts, tot),
+          sc AS (
+            SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(coalesce(m.p, 0)) // count(*) AS BIGINT) AS avg_prob_micro
+            FROM bg LEFT JOIN model m USING (bigram) GROUP BY bg.doc_id)
+          SELECT d.doc_id,
+                 coalesce(sc.n_bigrams, 0) AS n_bigrams,
+                 coalesce(sc.avg_prob_micro, 0) AS avg_prob_micro
+          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         """,
         "simhash_bucket_stats": f"""
           WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),

@@ -131,3 +131,82 @@ def shingle_hash(shingle: Column, seed: int) -> Column:
     from md5 so the DuckDB oracle can reproduce it bit-for-bit:
     first 8 hex chars of md5(seed || shingle) as a BIGINT."""
     return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + ":"), shingle)), 1, 8), 16, 10).cast("long")
+
+
+def char_bigram_rows(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, bigram) rows over canonicalized text (lowercase, collapsed
+    whitespace) — the unit of the corpus-trained character LM. Docs
+    shorter than 2 chars contribute nothing. The pre-explode spread
+    (dedup._spread) parallelizes the ~len-per-doc amplification and
+    pre-partitions for the per-doc score aggregate."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.dedup import _spread
+
+    canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = _spread(docs, id_col).select(F.col(id_col), canon.alias("_c"))
+    n = F.length("_c")
+    return base.filter(n >= 2).select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), n - 1)).alias("_i"),
+        F.col("_c"),
+    ).select(id_col, F.col("_c").substr(F.col("_i"), F.lit(2)).alias("bigram"))
+
+
+def train_bigram_lm(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-trained character-bigram model: (bigram, prob_micro)
+    with prob_micro = floor(1e6 * count / total) — exact integer
+    arithmetic, so any engine reproduces the model bit-for-bit.
+
+    The model is index-metadata-sized (vocab² bigrams over the
+    observed alphabet — thousands of rows at any corpus scale) and is
+    always broadcast by consumers. Training is one hash aggregate on
+    the 2-char gram plus a one-row total cross-joined back — the
+    whole model build is a single DAG with no driver-side state, the
+    in-engine analogue of CCNet's LM step."""
+    from pyspark.sql import functions as F
+
+    rows = char_bigram_rows(docs, text_col, id_col)
+    counts = rows.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "bigram",
+        F.expr("cnt * 1000000 div _tot").cast("long").alias("prob_micro"),
+    )
+
+
+def bigram_lm_score(docs, model, text_col: str = "text", id_col: str = "doc_id"):
+    """Score documents under a bigram model: mean model probability of
+    the document's bigrams, in integer micro-units (unseen bigrams
+    count 0) — the fluency/quality signal of an LM filter, kept in
+    exact integers so ranking and oracle hashing never touch floats.
+    Documents with fewer than 2 characters score 0 over 0 bigrams.
+
+    Plan: explode bigrams → broadcast-join the model → per-doc sum
+    with map-side partial combine (the spread in char_bigram_rows
+    makes this aggregate exchange-free)."""
+    from pyspark.sql import functions as F
+
+    rows = char_bigram_rows(docs, text_col, id_col)
+    scored = (
+        rows.join(F.broadcast(model), "bigram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("prob_micro"), F.lit(0))).cast("long").alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("_s div n_bigrams").cast("long").alias("avg_prob_micro"),
+        )
+    )
+    ids = docs.select(id_col)
+    return (
+        ids.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("avg_prob_micro", F.lit(0).cast("long")).alias("avg_prob_micro"),
+        )
+    )

@@ -112,3 +112,33 @@ def test_snapshot_envelope_versions_lose_to_stream(spark):
     state = last_state(merged, payload_cols=("op", "source"))
     row = state.collect()[0]
     assert row["last_source"] == "oplog" and row["version"] == 99
+
+
+def test_bigram_lm_train_and_score_integer_contract(spark):
+    from monstache_spark.functions.text import bigram_lm_score, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "ab"), (3, "zz"), (4, "x"), (5, "")],
+        "doc_id long, text string",
+    )
+    model = {r["bigram"]: r["prob_micro"] for r in train_bigram_lm(docs).collect()}
+    # corpus bigrams: doc1 -> ab,ba,ab ; doc2 -> ab ; doc3 -> zz  (total 5)
+    assert model == {
+        "ab": 3 * 1000000 // 5,
+        "ba": 1 * 1000000 // 5,
+        "zz": 1 * 1000000 // 5,
+    }
+    out = {r["doc_id"]: r for r in bigram_lm_score(
+        docs, train_bigram_lm(docs)
+    ).collect()}
+    # doc1: (600000+200000+600000) div 3
+    assert out[1]["n_bigrams"] == 3 and out[1]["avg_prob_micro"] == 1400000 // 3
+    assert out[2]["avg_prob_micro"] == 600000
+    assert out[3]["avg_prob_micro"] == 200000
+    # sub-2-char docs: zero bigrams, zero score, still present
+    assert out[4]["n_bigrams"] == 0 and out[4]["avg_prob_micro"] == 0
+    assert out[5]["n_bigrams"] == 0
+    # scoring a foreign doc: unseen bigrams count zero
+    foreign = spark.createDataFrame([(9, "qq")], "doc_id long, text string")
+    f = bigram_lm_score(foreign, train_bigram_lm(docs)).collect()[0]
+    assert f["avg_prob_micro"] == 0 and f["n_bigrams"] == 1
