@@ -202,6 +202,14 @@ CHECKS = [
         "in the bucket (no second join against signatures)",
         lambda p: "CartesianProduct" not in p and "SortMergeJoin" not in p,
     ),
+    (
+        "bigram_lm_quality",
+        "bigram LM: model broadcasts back into scoring; hash aggs "
+        "throughout, no Python, no sort agg",
+        lambda p: "BroadcastHashJoin" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
 ]
 
 
