@@ -691,3 +691,30 @@ def pack_sequences(
         "n_tokens",
         F.floor(running / seq_len).cast("long").alias("bin"),
     )
+
+
+def write_training_shards(
+    packed: DataFrame,
+    path: str,
+    stratum_col: str = "lang",
+) -> None:
+    """Materialize a packed corpus manifest in the layout a training
+    data loader consumes: one directory per (stratum, shard), rows
+    sorted by (bin, id) within each file so a loader streams bins
+    sequentially without a sort. ``packed`` is
+    :func:`pack_sequences` output (or any frame carrying
+    ``shard``/``bin``).
+
+    Scale: partitionBy writes each (stratum, shard) directory from
+    the tasks that own it — sortWithinPartitions is a local sort, NO
+    global ordering exchange (a global orderBy would range-partition
+    the whole corpus through one barrier). Shard count is the
+    parallelism knob: loaders read shards independently, and
+    directory pruning serves stratum-scoped epochs for free."""
+    (
+        packed.repartition(F.col(stratum_col), F.col("shard"))
+        .sortWithinPartitions("bin", packed.columns[0])
+        .write.mode("overwrite")
+        .partitionBy(stratum_col, "shard")
+        .parquet(path)
+    )

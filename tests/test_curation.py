@@ -324,3 +324,36 @@ def test_quality_top_fraction_quota_and_two_stage_exactness(spark):
     assert sorted((r["doc_id"], r["rk"]) for r in out) == sorted(
         (r["doc_id"], r["rk"]) for r in ref
     )
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    import os
+
+    from monstache_spark.operators.curation import pack_sequences, write_training_shards
+
+    rows = [(i, " ".join(["tok"] * (5 + i % 7)), "en" if i % 2 else "fr") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    packed = pack_sequences(docs, seq_len=16, n_shards=2)
+    out = str(tmp_path / "shards")
+    write_training_shards(packed, out)
+    # hive layout: lang=<stratum>/shard=<s> directories
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs == {"lang=en", "lang=fr"}
+    shards = {d for d in os.listdir(os.path.join(out, "lang=en")) if d.startswith("shard=")}
+    assert shards == {"shard=0", "shard=1"}
+    # directory pruning serves a stratum-scoped read
+    en = spark.read.parquet(out).filter("lang = 'en' and shard = 0")
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1) and "shard" in m.group(1)
+    # within one physical file, rows stream in (bin, doc_id) order
+    part_dir = os.path.join(out, "lang=en", "shard=0")
+    pfiles = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    import pyarrow.parquet as pq
+    for f in pfiles:
+        t = pq.read_table(os.path.join(part_dir, f)).to_pydict()
+        keys = list(zip(t["bin"], t["doc_id"]))
+        assert keys == sorted(keys)
+    # round-trip: every packed row lands exactly once
+    assert spark.read.parquet(out).count() == packed.count()
