@@ -210,6 +210,12 @@ CHECKS = [
         and "SortAggregate" not in p
         and "Python" not in p,
     ),
+    (
+        "simhash_bucket_stats",
+        "simhash census: hash-agg count per band then a one-row "
+        "reduce (no sort agg, no Python)",
+        lambda p: "SortAggregate" not in p and "Python" not in p,
+    ),
 ]
 
 
