@@ -48,15 +48,39 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt if dt == dt else 0.0
 
+    payload = {
+        "metric": "total_wall_seconds_all_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    # The driver captures a bounded tail of stdout; r3's single long line
+    # overran it (BENCH_r03.json parsed:null). Three-way hedge: persist the
+    # full payload to BENCH.json on disk, print the full line first, and end
+    # stdout with a short line (slowest queries only) that always fits a
+    # bounded tail capture and parses on its own.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -(kv[1] if kv[1] == kv[1] else 0.0))[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_wall_seconds_all_queries",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "queries_truncated_to_slowest": 15,
+                "n_queries": len(timings),
+                "queries_full": "BENCH.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
