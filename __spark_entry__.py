@@ -1591,11 +1591,17 @@ def _q_quality_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (dedup.simhash_near_dup_pairs): band
     buckets + exact Hamming verify, bit_count(xor) <= 3 — exact recall
-    over the signature space by pigeonhole (4 bands)."""
+    over the signature space by pigeonhole (4 bands).
+
+    max_bucket=None here so the checked query matches the checked SQL
+    exactly (the oracle has no bucket cap; on the gate corpus the
+    default cap can never fire, but a degenerate band bucket elsewhere
+    would silently diverge). The bounded path's parity is covered by
+    simhash_bucket_stats, whose oracle mirrors the suppression."""
     from monstache_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = load_table(spark, "documents", sf_dir)
-    return simhash_near_dup_pairs(docs, shingle_k=2, max_hamming=3)
+    return simhash_near_dup_pairs(docs, shingle_k=2, max_hamming=3, max_bucket=None)
 
 
 def _q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

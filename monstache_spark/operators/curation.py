@@ -697,6 +697,7 @@ def write_training_shards(
     packed: DataFrame,
     path: str,
     stratum_col: str = "lang",
+    id_col: str = "doc_id",
 ) -> None:
     """Materialize a packed corpus manifest in the layout a training
     data loader consumes: one directory per (stratum, shard), rows
@@ -708,12 +709,17 @@ def write_training_shards(
     Scale: partitionBy writes each (stratum, shard) directory from
     the tasks that own it — sortWithinPartitions is a local sort, NO
     global ordering exchange (a global orderBy would range-partition
-    the whole corpus through one barrier). Shard count is the
-    parallelism knob: loaders read shards independently, and
-    directory pruning serves stratum-scoped epochs for free."""
+    the whole corpus through one barrier). The local sort LEADS with
+    the partitionBy columns: Spark's V1 write path requires rows
+    clustered by partition columns and would otherwise insert its own
+    sort, and the advertised per-file (bin, id) order would then only
+    survive if that inserted sort were stable — which Spark does not
+    guarantee. Shard count is the parallelism knob: loaders read
+    shards independently, and directory pruning serves stratum-scoped
+    epochs for free."""
     (
         packed.repartition(F.col(stratum_col), F.col("shard"))
-        .sortWithinPartitions("bin", packed.columns[0])
+        .sortWithinPartitions(stratum_col, "shard", "bin", id_col)
         .write.mode("overwrite")
         .partitionBy(stratum_col, "shard")
         .parquet(path)

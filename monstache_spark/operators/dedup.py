@@ -71,10 +71,26 @@ def dedup_keep_best(
     a struct in the aggregation buffer would silently degrade the
     whole aggregate to SortAggregate (full map-side sort), so the
     (quality, id) lexicographic order is encoded arithmetically
-    instead: valid for 0 ≤ quality < 2^31 and 0 ≤ id < 2^32.
+    instead: valid for 0 ≤ quality < 2^31 and 0 ≤ id < 2^32 — enforced
+    with a per-row raise_error guard so an out-of-range value fails
+    loudly instead of silently electing the wrong keeper.
     """
     q = F.col(quality_col).cast("long")
-    pk = q * F.lit(1 << 32).cast("long") - F.col(id_col).cast("long")
+    idl = F.col(id_col).cast("long")
+    bad = (q.isNotNull() & ((q < 0) | (q >= F.lit(1 << 31).cast("long")))) | (
+        idl.isNotNull() & ((idl < 0) | (idl >= F.lit(1 << 32).cast("long")))
+    )
+    pk = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("dedup_keep_best: packed argmax out of range (need 0<=quality<2^31, 0<=id<2^32): quality="),
+                q.cast("string"),
+                F.lit(" id="),
+                idl.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(q * F.lit(1 << 32).cast("long") - idl)
     by_fp = docs.select(
         fingerprint(F.col(text_col)).alias("fp"),
         F.col(id_col).cast("long").alias("_id"),
@@ -803,13 +819,18 @@ class FingerprintRegistry:
         self.path = path
 
     def known(self) -> DataFrame | None:
-        import os
+        # Probe through Spark itself (not os.listdir) so any Hadoop
+        # filesystem the session can read (hdfs://, s3a://, file:)
+        # works: a missing path or an empty directory raises
+        # AnalysisException, which IS the "no history yet" signal.
+        from pyspark.errors import AnalysisException
 
-        if not os.path.isdir(self.path) or not any(
-            f.endswith(".parquet") for f in os.listdir(self.path)
-        ):
+        try:
+            df = self.spark.read.parquet(self.path)
+            df.schema  # force analysis so empty/missing paths fail here
+            return df
+        except AnalysisException:
             return None
-        return self.spark.read.parquet(self.path)
 
     def admit(self, fps: DataFrame) -> None:
         fps.write.mode("append").parquet(self.path)
@@ -841,9 +862,14 @@ def incremental_dedup_batch(
     )
     seen = registry.known()
     fresh = in_batch if seen is None else in_batch.join(seen.select("fp"), "fp", "left_anti")
-    # one registry write per batch; the frame is tiny relative to the
-    # batch (one row per NEW fingerprint)
-    admitted = fresh.select("fp", id_col)
+    # Materialize the survivors BEFORE admitting them: admit() appends
+    # to the very path the anti-join above reads, so a lazy `fresh`
+    # re-evaluated after the write (file-index refresh, cache
+    # invalidation, plan re-resolution) would anti-join away its own
+    # just-admitted fingerprints and silently return an empty frame.
+    # localCheckpoint(eager=True) pins the survivor set — O(batch new
+    # fingerprints), tiny relative to the batch text.
+    admitted = fresh.select("fp", id_col).localCheckpoint(eager=True)
     registry.admit(admitted)
     keep_ids = admitted.select(id_col)
     return batch_docs.join(keep_ids, id_col, "left_semi")

@@ -203,6 +203,26 @@ def test_dedup_keep_best_prefers_quality_then_min_id(spark):
     assert solo["keep_id"] == 4 and solo["keep_quality"] == 5
 
 
+def test_dedup_keep_best_out_of_range_raises(spark):
+    """The packed argmax is only valid for 0 <= quality < 2^31 and
+    0 <= id < 2^32; violations must fail loudly, not elect a wrong
+    keeper."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from monstache_spark.operators.dedup import dedup_keep_best
+
+    bad_quality = spark.createDataFrame(
+        [(1, "a", -5), (2, "a", 3)], "doc_id long, text string, n_chars long"
+    )
+    with pytest.raises(SparkRuntimeException, match="packed argmax out of range"):
+        dedup_keep_best(bad_quality).collect()
+    bad_id = spark.createDataFrame(
+        [(1 << 33, "a", 3)], "doc_id long, text string, n_chars long"
+    )
+    with pytest.raises(SparkRuntimeException, match="packed argmax out of range"):
+        dedup_keep_best(bad_id).collect()
+
+
 def test_simhash_near_dup_pigeonhole_recall(spark):
     """Any pair within Hamming <= n_bands-1 over the signature space
     MUST be found (a shared intact band is guaranteed by pigeonhole),
@@ -254,6 +274,25 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # registry holds exactly one keeper per fingerprint ever admitted
     known = {(r["fp"], r["doc_id"]) for r in reg.known().collect()}
     assert {d for _, d in known} == {1, 3, 11}
+
+
+def test_incremental_dedup_survivors_stable_after_path_refresh(spark, tmp_path):
+    """The returned survivor frame must NOT depend on re-reading the
+    registry path it just appended to: after a file-index refresh the
+    batch's own fingerprints would anti-join away its survivors."""
+    from monstache_spark.operators.dedup import FingerprintRegistry, incremental_dedup_batch
+
+    reg = FingerprintRegistry(spark, str(tmp_path / "fps"))
+    b0 = spark.createDataFrame([(1, "seed text")], "doc_id long, text string")
+    incremental_dedup_batch(reg, b0).collect()
+    b1 = spark.createDataFrame(
+        [(10, "brand new"), (11, "seed text")], "doc_id long, text string"
+    )
+    out = incremental_dedup_batch(reg, b1)
+    # simulate a plan re-resolution between admit() and the caller's
+    # action: invalidate the cached file listing for the registry path
+    spark.catalog.refreshByPath(reg.path)
+    assert {r["doc_id"] for r in out.collect()} == {10}
 
 
 def test_incremental_dedup_equals_global_argmin_randomized(spark, tmp_path):
