@@ -542,3 +542,150 @@ def read_ivf_cells(spark, path: str, probe_cells: list[int]) -> DataFrame:
     the probe list are never opened."""
     df = spark.read.parquet(path)
     return df.filter(F.col("cell").isin([int(c) for c in probe_cells]))
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> None:
+    """Materialize the full IVF-PQ index — the build-once artifact that
+    removes every corpus pass from query time (round-3's
+    ``ivfpq_adc_topk`` re-trained and re-encoded the index inside each
+    query: 5 corpus scans per execution).
+
+    Layout under ``path``:
+
+    - ``cells/``      cell-partitioned parquet of (id, vec, codes):
+      the PQ codes ride WITH the raw vector in the cell directory, so
+      one partition-pruned scan serves both the compressed ADC pass
+      and the full-precision refine (the FAISS IVFPQ+refine storage
+      recipe).
+    - ``centroids/``  corpus-shaped (id, vec) centroid table — index
+      metadata, broadcast at query time for probe assignment.
+    - ``codebooks/``  (m, code, sub) PQ codebook sidecar — broadcast
+      at query time to build each query's ADC lookup table.
+
+    Build cost is the one place the corpus is scanned (assign + encode
+    + write); queries against the result touch only probed cell
+    directories. collect_list here is index-BUILD-time only and
+    collapses to exactly ``m`` elements per vector."""
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
+    if codebooks is None:
+        codebooks = pq_codebooks(corpus, dim, m, k_sub, vec_col, id_col)
+    cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
+        id_col, F.col("cid").alias("cell")
+    )
+    codes = pq_encode(corpus, codebooks, dim, m, vec_col, id_col)
+    packed = codes.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("code")))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+    (
+        corpus.select(id_col, vec_col)
+        .join(cells, id_col)
+        .join(packed, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/cells")
+    )
+    centroids.select(id_col, vec_col).write.mode("overwrite").parquet(path + "/centroids")
+    codebooks.write.mode("overwrite").parquet(path + "/codebooks")
+
+
+def ivfpq_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_probe: int = 4,
+    m: int = 8,
+    rerank: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ + exact refine over a materialized index
+    (:func:`write_ivfpq_index`) — identical results to
+    :func:`ivfpq_adc_topk` built from the same corpus/centroids/
+    codebooks, but query cost is bounded by the probed cells, not the
+    corpus:
+
+    1. Probe: queries assign to their ``n_probe`` nearest centroids
+       (broadcast metadata); the union of probed cells becomes a
+       LITERAL IN-list (collected driver-side — O(queries * n_probe)
+       control-plane rows), so the cells scan prunes at the SOURCE
+       (PartitionFilters, asserted in tests).
+    2. ADC: candidate codes posexplode to (m, code) and join the
+       broadcast per-query LUT; map-side-combined hash agg sums the
+       ``m`` lookups.
+    3. Refine: the ``rerank`` best ADC candidates per query re-score
+       with exact cosine on the raw vectors read from the SAME pruned
+       cell scan (broadcast pool join — no second corpus pass).
+    """
+    cells_all = spark.read.parquet(path + "/cells")
+    centroids = spark.read.parquet(path + "/centroids")
+    codebooks = spark.read.parquet(path + "/codebooks")
+
+    probes = ivf_assign(queries, centroids, vec_col, id_col, rank_limit=n_probe).select(
+        F.col(id_col).alias("query_id"), F.col("cid").alias("cell")
+    )
+    probe_cells = sorted({int(r["cell"]) for r in probes.select("cell").distinct().collect()})
+    pruned = cells_all.filter(F.col("cell").isin(probe_cells))
+
+    cand = (
+        F.broadcast(probes)
+        .join(pruned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", F.col(id_col).alias("corpus_id"), "codes")
+    )
+
+    q_subs = _subspace_rows(queries, dim, m, vec_col, id_col)
+    cb = F.broadcast(codebooks.select("m", "code", F.col("sub").alias("c_sub")))
+    lut = F.broadcast(
+        q_subs.join(cb, "m").select(
+            F.col(id_col).alias("query_id"),
+            "m",
+            "code",
+            _sub_dist_micro(F.col("sub"), F.col("c_sub")).alias("d_micro"),
+        )
+    )
+    adc = (
+        cand.select(
+            "query_id", "corpus_id", F.posexplode("codes").alias("m", "code")
+        )
+        .join(lut, ["query_id", "m", "code"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("d_micro").cast("long").alias("dist_micro"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("dist_micro").asc(), F.col("corpus_id").asc()
+    )
+    pool = adc.withColumn("_r", F.row_number().over(w_adc)).filter(F.col("_r") <= rerank)
+
+    qv = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cv = pruned.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+    refined = (
+        F.broadcast(pool.select("query_id", "corpus_id"))
+        .join(cv, "corpus_id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
+    return refined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

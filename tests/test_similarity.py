@@ -210,3 +210,43 @@ def test_ivf_partitioned_index_prunes_at_scan(spark, tmp_path):
     # and the complement cells stay unread: union of both reads == corpus
     rest = {r["vec_id"] for r in read_ivf_cells(spark, path, [1, 3]).collect()}
     assert got | rest == {r[0] for r in rows} and got.isdisjoint(rest)
+
+
+def test_ivfpq_indexed_matches_in_query_build_and_prunes(spark, tmp_path):
+    """Querying the materialized IVF-PQ index must reproduce the
+    in-query index build exactly (same deterministic centroids and
+    codebooks), and the cells scan must prune to the probed cells."""
+    import random
+    import re
+
+    from monstache_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_topk_indexed,
+        write_ivfpq_index,
+    )
+
+    rng = random.Random(11)
+    dim = 8
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id >= 20 and vec_id < 24")
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(emb, path, dim=dim, n_centroids=8, m=4, k_sub=8)
+
+    indexed = ivfpq_topk_indexed(
+        spark, path, queries, dim=dim, k=5, n_probe=2, m=4, rerank=10
+    )
+    inquery = ivfpq_adc_topk(
+        emb, queries, dim=dim, k=5, n_centroids=8, n_probe=2, m=4, k_sub=8, rerank=10
+    )
+    a = {(r["query_id"], r["corpus_id"], r["rank"], r["score"]) for r in indexed.collect()}
+    b = {(r["query_id"], r["corpus_id"], r["rank"], r["score"]) for r in inquery.collect()}
+    assert a == b and len(a) > 0
+
+    # with 2 probes of 8 cells the probe union is a strict subset →
+    # the executed cells scans must carry a non-empty cell INSET
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    filt = [g for g in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if "cell" in g]
+    assert filt, "cells scan lost its partition filter"
+    insets = [g for g in filt if "INSET" in g or "IN (" in g]
+    assert insets, f"no INSET on cells scan: {filt}"
