@@ -332,6 +332,85 @@ def change_events_to_envelope(events, doc_col: str = "fullDocument"):
     return out
 
 
+def parse_raw_change_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse RECORDED change-stream events — raw MongoDB extended-JSON
+    lines exactly as ``collection.watch()`` emits them (one event per
+    row in ``value_col``; see tests/fixtures/change_stream_events.jsonl
+    and docker/test/record_fixtures.py) — into the canonical event
+    frame ``change_events_to_envelope`` consumes.
+
+    Extended-JSON normalization mirrors the reference's id handling
+    (opIDToString, monstache.go:815-840):
+
+    * ``{"$oid": h}`` document keys collapse to the hex string;
+    * ``{"$numberLong"/"$numberInt": n}`` collapse to the digits;
+    * ``{"$numberDouble": x}`` with integral x collapses to the
+      integer repr (floats that are integral print as ints,
+      monstache.go:823-835);
+    * unquoted integral JSON doubles (``4.0``) collapse the same way —
+      quoted "4.0" stays a string (detected from the raw
+      ``documentKey`` bytes, where the quotes still exist);
+    * the resume token (``_id._data``, saveTokens
+      monstache.go:1658-1687) rides along as ``resume_token``.
+
+    Everything is get_json_object/coalesce Column work — the parse
+    fuses into one codegen stage with the envelope translation and
+    filter chain behind it.
+    """
+    v = F.col(value_col)
+
+    def g(path: str):
+        return F.get_json_object(v, path)
+
+    dk_raw = g("$.documentKey")
+    quoted_id = dk_raw.rlike(r'"_id"\s*:\s*"')
+    dbl = g("$.documentKey._id['$numberDouble']")
+    dbl_d = dbl.cast("double")
+    dbl_str = F.when(
+        dbl_d.isNotNull() & (dbl_d == F.floor(dbl_d)), dbl_d.cast("long").cast("string")
+    ).otherwise(dbl)
+    plain = g("$.documentKey._id")
+    plain_d = plain.cast("double")
+    plain_str = F.when(
+        ~quoted_id & plain_d.isNotNull() & (plain_d == F.floor(plain_d)) & plain.contains("."),
+        plain_d.cast("long").cast("string"),
+    ).otherwise(plain)
+    id_str = F.coalesce(
+        g("$.documentKey._id['$oid']"),
+        g("$.documentKey._id['$numberLong']"),
+        g("$.documentKey._id['$numberInt']"),
+        dbl_str,
+        plain_str,
+    )
+    return raw.select(
+        g("$._id._data").alias("resume_token"),
+        g("$.operationType").alias("operationType"),
+        F.struct(g("$.ns.db").alias("db"), g("$.ns.coll").alias("coll")).alias("ns"),
+        F.when(id_str.isNotNull(), F.to_json(F.struct(id_str.alias("_id")))).alias(
+            "documentKey"
+        ),
+        F.struct(
+            g("$.clusterTime['$timestamp'].t").cast("long").alias("t"),
+            g("$.clusterTime['$timestamp'].i").cast("long").alias("i"),
+        ).alias("clusterTime"),
+        g("$.fullDocument").alias("fullDocument"),
+        g("$.updateDescription").alias("updateDescription"),
+    )
+
+
+def resume_after_token(events: DataFrame, token: str | None) -> DataFrame:
+    """Resume a recorded/replayed event frame strictly AFTER ``token``
+    — the replay analogue of passing a saved resume token back to
+    ``watch()`` (resumeAfter; token save/restore per saveTokens /
+    readResumeTokens, monstache.go:1658-1687, 2204-2231). MongoDB
+    resume tokens are KeyString-encoded, so byte (here: hex-string)
+    order equals cluster-time order and a plain > comparison is the
+    correct replay filter. ``None`` replays everything (cold start)."""
+    if token is None:
+        return events
+    return events.filter(F.col("resume_token") > F.lit(token))
+
+
 def es_delete_options(cfg: EngineConfig) -> dict[str, str]:
     """Delete-path options: the reference issues versioned bulk
     deletes (doDelete monstache.go:4065-4090, external version =

@@ -194,7 +194,11 @@ class StateTable:
     """
 
     def __init__(
-        self, spark: SparkSession, path: str, tombstone_retention: int | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        tombstone_retention: int | None = None,
+        payload_cols: tuple[str, ...] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -202,6 +206,14 @@ class StateTable:
         # <= retention` (version units — BSON-ts-like int64s here). None
         # = keep forever; prune explicitly via prune_tombstones().
         self.tombstone_retention = tombstone_retention
+        # payload carried per key into the materialized row; None = the
+        # testdata envelope default (operators.materialize._STATE_COLS).
+        # Dynamic-doc pipelines pass e.g. ("op","ts","ts_ord","doc") —
+        # note a STRING payload (doc) puts a string in the max_by
+        # aggregation buffer, degrading that compaction to
+        # SortAggregate; inherent when the payload is the document
+        # itself (the reference ships the doc per op too).
+        self.payload_cols = payload_cols
         os.makedirs(path, exist_ok=True)
 
     def _current_file(self) -> str:
@@ -245,7 +257,12 @@ class StateTable:
             tuple(r)
             for r in drops.groupBy("op", "ns").agg(F.max("version").alias("v")).collect()
         ]
-        compacted = last_state(data_ops.filter(F.col("op") != OP_DELETE))
+        if self.payload_cols is None:
+            compacted = last_state(data_ops.filter(F.col("op") != OP_DELETE))
+        else:
+            compacted = last_state(
+                data_ops.filter(F.col("op") != OP_DELETE), payload_cols=self.payload_cols
+            )
         # deletes must survive compaction as tombstones to beat older upserts
         tombs = (
             data_ops.filter(F.col("op") == OP_DELETE)
