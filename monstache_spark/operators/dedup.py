@@ -809,16 +809,36 @@ class FingerprintRegistry:
     Append-only is the at-scale choice: admitting a batch writes only
     the batch's new fingerprints (no rewrite of history), and the
     history side of the anti-join is a parquet scan that prunes to the
-    (fp, keeper) columns. On a cluster the registry directory would be
-    bucketed by fingerprint so the per-batch anti-join co-locates
-    without a shuffle of history; registered fingerprints never leave
-    their bucket."""
+    (fp, keeper) columns.
 
-    def __init__(self, spark, path: str):
+    ``n_buckets > 0`` adds the 100 TB layout: the registry partitions
+    by a digest-prefix bucket (first 3 hex chars of the md5, folded to
+    ``n_buckets`` directories), and a batch's membership probe prunes
+    the history scan to the buckets the batch actually touches
+    (PartitionFilters at the source). Admission cost then scales with
+    ``min(batch buckets, n_buckets)/n_buckets`` of history — i.e. with
+    BATCH size while batches are smaller than the bucket count — not
+    with total history; size ``n_buckets`` a few times the typical
+    batch fingerprint count (tools/registry_probe.py measures this).
+    ``n_buckets = 0`` keeps the flat single-directory layout."""
+
+    def __init__(self, spark, path: str, n_buckets: int = 0):
         self.spark = spark
         self.path = path
+        self.n_buckets = n_buckets
 
-    def known(self) -> DataFrame | None:
+    def _bucket(self, col: Column) -> Column:
+        # digest prefix, not a rehash: human-inspectable directories
+        # (bucket=0x000..0xfff folded) and any engine can recompute it
+        return F.pmod(
+            F.conv(F.substring(col, 1, 3), 16, 10).cast("long"), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def known(self, touching: DataFrame | None = None) -> DataFrame | None:
+        """History fingerprints; with ``touching`` (a frame carrying a
+        ``fp`` column — the current batch), a bucketed registry prunes
+        the scan to the batch's buckets. The bucket list collect is
+        O(min(batch, n_buckets)) control-plane rows."""
         # Probe through Spark itself (not os.listdir) so any Hadoop
         # filesystem the session can read (hdfs://, s3a://, file:)
         # works: a missing path or an empty directory raises
@@ -828,12 +848,35 @@ class FingerprintRegistry:
         try:
             df = self.spark.read.parquet(self.path)
             df.schema  # force analysis so empty/missing paths fail here
-            return df
         except AnalysisException:
             return None
+        if self.n_buckets and touching is not None:
+            buckets = [
+                r[0]
+                for r in touching.select(self._bucket(F.col("fp")).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            df = df.filter(F.col("bucket").isin(buckets))
+        return df
 
     def admit(self, fps: DataFrame) -> None:
-        fps.write.mode("append").parquet(self.path)
+        if self.n_buckets:
+            # repartition on the bucket BEFORE partitionBy: without it
+            # every write task emits a file into every bucket directory
+            # it sees (tasks x buckets small files per admission); with
+            # it each bucket lands in exactly one task -> one file per
+            # bucket per batch, and the directory count stays the
+            # file-listing bound instead of growing per task
+            (
+                fps.withColumn("bucket", self._bucket(F.col("fp")))
+                .repartition(F.col("bucket"))
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(self.path)
+            )
+        else:
+            fps.write.mode("append").parquet(self.path)
 
 
 def incremental_dedup_batch(
@@ -860,7 +903,7 @@ def incremental_dedup_batch(
         .groupBy("fp")
         .agg(F.min("_id").alias(id_col))
     )
-    seen = registry.known()
+    seen = registry.known(touching=in_batch)
     fresh = in_batch if seen is None else in_batch.join(seen.select("fp"), "fp", "left_anti")
     # Materialize the survivors BEFORE admitting them: admit() appends
     # to the very path the anti-join above reads, so a lazy `fresh`

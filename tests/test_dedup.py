@@ -276,6 +276,38 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     assert {d for _, d in known} == {1, 3, 11}
 
 
+def test_bucketed_registry_equals_flat_and_prunes(spark, tmp_path):
+    """A digest-prefix-bucketed registry must admit exactly the same
+    survivors as the flat layout, and a membership probe must prune
+    the history scan to the batch's buckets (PartitionFilters)."""
+    import re
+
+    from monstache_spark.operators.dedup import FingerprintRegistry, incremental_dedup_batch
+
+    flat = FingerprintRegistry(spark, str(tmp_path / "flat"))
+    buck = FingerprintRegistry(spark, str(tmp_path / "buck"), n_buckets=8)
+    batches = [
+        [(i, f"text number {i % 7}") for i in range(10)],
+        [(100 + i, f"text number {i % 11}") for i in range(12)],
+        [(200 + i, f"fresh {i}") for i in range(5)],
+    ]
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = {r["doc_id"] for r in incremental_dedup_batch(flat, df).collect()}
+        b = {r["doc_id"] for r in incremental_dedup_batch(buck, df).collect()}
+        assert a == b
+    # registries agree on the admitted fingerprint set
+    fa = {(r["fp"], r["doc_id"]) for r in flat.known().collect()}
+    fb = {(r["fp"], r["doc_id"]) for r in buck.known().select("fp", "doc_id").collect()}
+    assert fa == fb
+    # a probe scoped to one batch prunes the scan to that batch's buckets
+    probe = spark.createDataFrame([("00ab" + "0" * 28,)], "fp string")
+    pruned = buck.known(touching=probe)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+
+
 def test_incremental_dedup_survivors_stable_after_path_refresh(spark, tmp_path):
     """The returned survivor frame must NOT depend on re-reading the
     registry path it just appended to: after a file-index refresh the
