@@ -93,18 +93,48 @@ def fetch_file_content(
     return df.mapInPandas(run, schema)
 
 
-def extract_content(df: DataFrame, content_col: str = "content", text_col: str = "extracted_text") -> DataFrame:
-    """K8 attachment extraction stage — mapInPandas plumbing with a
-    deterministic stub extractor (real Tika/textract is not in this
-    image; swap ``_stub_extract`` for a real parser in deployment)."""
+def resolve_extractor() -> tuple[str, "callable"]:
+    """Optional-dependency extraction hook (K8, ensureFileMapping +
+    attachment pipeline, monstache.go:775-793, 3239-3241): use Apache
+    Tika if the ``tika`` client is importable in THIS interpreter,
+    otherwise the deterministic stub. Returns ``(name, fn)`` so tests
+    and operators can observe which path dispatched. A real deployment
+    gets content extraction for free by shipping tika on the executor
+    image — no code change."""
+    try:
+        from tika import parser as _tika_parser  # optional dep, absent here
+
+        def _tika_extract(content: bytes | None) -> str | None:
+            if content is None:
+                return None
+            parsed = _tika_parser.from_buffer(bytes(content))
+            return (parsed or {}).get("content")
+
+        return "tika", _tika_extract
+    except ImportError:
+        return "stub", _stub_extract
+
+
+def extract_content(
+    df: DataFrame,
+    content_col: str = "content",
+    text_col: str = "extracted_text",
+    extractor=None,
+) -> DataFrame:
+    """K8 attachment extraction stage. The extractor resolves on the
+    EXECUTOR (inside the Arrow batch loop) via :func:`resolve_extractor`
+    unless one is injected: the worker environment, not the driver,
+    decides whether real Tika is available. The stub keeps the oracle
+    deterministic in environments without Tika."""
     import pandas as pd
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {text_col} string"
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        fn = extractor if extractor is not None else resolve_extractor()[1]
         for pdf in batches:
-            pdf[text_col] = pdf[content_col].map(_stub_extract)
+            pdf[text_col] = pdf[content_col].map(fn)
             yield pdf
 
     return df.mapInPandas(run, schema)

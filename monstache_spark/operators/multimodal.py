@@ -40,13 +40,60 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by contract
-    """Real image decode (PIL/opencv) plugs in here."""
+def resolve_image_decoder() -> tuple[str, "callable"]:
+    """Optional-dependency hook: PIL if importable in this interpreter,
+    else the contract stub (raises). Returns (name, fn) so callers and
+    tests observe the dispatch. Resolve inside mapInPandas closures so
+    the EXECUTOR environment decides."""
+    try:
+        from PIL import Image  # optional dep, absent in this image
+
+        def _pil_decode(content: bytes):
+            from io import BytesIO
+
+            im = Image.open(BytesIO(content))
+            im.load()
+            return im
+
+        return "pil", _pil_decode
+    except ImportError:
+        return "stub", _stub_decode_image
+
+
+def resolve_audio_decoder() -> tuple[str, "callable"]:
+    """Optional-dependency hook: soundfile if importable, else the
+    contract stub (raises)."""
+    try:
+        import soundfile  # optional dep, absent in this image
+
+        def _sf_decode(content: bytes):
+            from io import BytesIO
+
+            data, rate = soundfile.read(BytesIO(content))
+            return data, rate
+
+        return "soundfile", _sf_decode
+    except ImportError:
+        return "stub", _stub_decode_audio
+
+
+def _stub_decode_image(content: bytes):  # pragma: no cover - stub by contract
     raise NotImplementedError("image decode requires PIL/opencv — not in this image")
 
 
-def decode_audio(content: bytes):  # pragma: no cover - stub by contract
+def _stub_decode_audio(content: bytes):  # pragma: no cover - stub by contract
     raise NotImplementedError("audio decode requires ffmpeg/soundfile — not in this image")
+
+
+def decode_image(content: bytes):
+    """Real image decode when PIL is present; NotImplementedError
+    otherwise (contract stub — the plumbing around it is tested with
+    fake_features)."""
+    return resolve_image_decoder()[1](content)
+
+
+def decode_audio(content: bytes):
+    return resolve_audio_decoder()[1](content)
 
 
 FEATURE_FIELDS = "asset_id long, n_bytes long, head_u64 long, byte_sum long, byte_mean double"

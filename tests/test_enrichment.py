@@ -149,3 +149,80 @@ def test_fetch_file_content_from_disk(spark, tmp_path):
     assert out[1] == (b64mod.b64encode(b"hello world").decode(), 11)
     assert out[2] == (None, 100)  # gated: metadata survives, content omitted
     assert out[3] == (None, None)
+
+
+def test_extractor_hook_dispatch_both_ways(monkeypatch):
+    """resolve_extractor picks the stub in this image (no tika) and the
+    real client when a tika module is importable."""
+    import sys
+    import types
+
+    from monstache_spark.operators import files as files_mod
+
+    name, fn = files_mod.resolve_extractor()
+    assert name == "stub"
+    assert fn(b"abc") == "[3b] abc"
+
+    fake_parser = types.SimpleNamespace(
+        from_buffer=lambda b: {"content": f"tika:{len(b)}"}
+    )
+    fake_tika = types.ModuleType("tika")
+    fake_tika.parser = fake_parser
+    monkeypatch.setitem(sys.modules, "tika", fake_tika)
+    monkeypatch.setitem(sys.modules, "tika.parser", fake_parser)
+    name, fn = files_mod.resolve_extractor()
+    assert name == "tika"
+    assert fn(b"abcd") == "tika:4"
+    assert fn(None) is None
+
+
+def test_extract_content_injected_extractor(spark):
+    """The mapInPandas stage accepts an injected extractor — the seam a
+    deployment uses for a custom parser."""
+    from monstache_spark.operators.files import extract_content
+
+    df = spark.createDataFrame([(1, bytearray(b"hello"))], "doc_id long, content binary")
+    out = extract_content(df, extractor=lambda b: f"custom:{len(b)}").collect()
+    assert out[0]["extracted_text"] == "custom:5"
+
+
+def test_media_decoder_hook_dispatch_both_ways(monkeypatch):
+    """Image/audio decode: contract stub without PIL/soundfile, real
+    decode when the modules are importable."""
+    import sys
+    import types
+
+    import pytest
+
+    from monstache_spark.operators import multimodal as mm
+
+    name, fn = mm.resolve_image_decoder()
+    assert name == "stub"
+    with pytest.raises(NotImplementedError):
+        fn(b"\x89PNG")
+    name, _fn = mm.resolve_audio_decoder()
+    assert name == "stub"
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"RIFF")
+
+    class _FakeImage:
+        def __init__(self, b):
+            self.size = (1, len(b))
+        def load(self):
+            return self
+
+    fake_image_mod = types.SimpleNamespace(open=lambda bio: _FakeImage(bio.read()))
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    name, fn = mm.resolve_image_decoder()
+    assert name == "pil"
+    assert fn(b"\x89PNG").size == (1, 4)
+
+    fake_sf = types.ModuleType("soundfile")
+    fake_sf.read = lambda bio: ([0.0, 0.1], 16000)
+    monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+    name, fn = mm.resolve_audio_decoder()
+    assert name == "soundfile"
+    assert mm.decode_audio(b"RIFF") == ([0.0, 0.1], 16000)
