@@ -64,6 +64,29 @@ def _tomb_rows(tombs: DataFrame, like: DataFrame) -> DataFrame:
     return tombs.select(*cols).withColumn(TOMB_COL, F.lit(True))
 
 
+def _stage_batch(upserts: DataFrame, tombs: DataFrame) -> DataFrame:
+    """Compact one batch to a single row per key with the WITHIN-batch
+    tie rules applied (delete beats upsert at the same version):
+    surviving upserts carry ``_tomb = False``, surviving deletes become
+    tombstone rows. Shared by every state backend — the cross-batch
+    guard differs per backend (anti-join here, MERGE predicate in the
+    Delta variant), the batch staging must not."""
+    tv = tombs.select("ns", "id", F.col("version").alias("v_del"))
+    up_live = (
+        upserts.join(tv, ["ns", "id"], "left")
+        .filter(F.col("v_del").isNull() | (F.col("version") > F.col("v_del")))
+        .drop("v_del")
+        .withColumn(TOMB_COL, F.lit(False))
+    )
+    uv = upserts.groupBy("ns", "id").agg(F.max("version").alias("v_up"))
+    tomb_live = (
+        tombs.join(uv, ["ns", "id"], "left")
+        .filter(F.col("v_up").isNull() | (F.col("version") >= F.col("v_up")))
+        .drop("v_up")
+    )
+    return up_live.unionByName(_tomb_rows(tomb_live, upserts))
+
+
 def _merge_apply(
     current: DataFrame | None, upserts: DataFrame, tombs: DataFrame
 ) -> DataFrame:
@@ -79,20 +102,7 @@ def _merge_apply(
     the batch row beats the stored row at the same version (ES accepts
     version >= stored for upserts). Tombstones persist into the
     committed state so stale inserts in LATER batches stay dead."""
-    tv = tombs.select("ns", "id", F.col("version").alias("v_del"))
-    up_live = (
-        upserts.join(tv, ["ns", "id"], "left")
-        .filter(F.col("v_del").isNull() | (F.col("version") > F.col("v_del")))
-        .drop("v_del")
-        .withColumn(TOMB_COL, F.lit(False))
-    )
-    uv = upserts.groupBy("ns", "id").agg(F.max("version").alias("v_up"))
-    tomb_live = (
-        tombs.join(uv, ["ns", "id"], "left")
-        .filter(F.col("v_up").isNull() | (F.col("version") >= F.col("v_up")))
-        .drop("v_up")
-    )
-    new = up_live.unionByName(_tomb_rows(tomb_live, upserts))
+    new = _stage_batch(upserts, tombs)
     if current is None:
         return new
     if TOMB_COL not in current.columns:  # table written before tombstone support
