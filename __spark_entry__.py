@@ -742,6 +742,17 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, dim=64, bits=6, threshold=0.4)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (arXiv:2303.09540): cluster the
+    embedding space into 16 cells (deterministic lowest-id centroids),
+    drop every vector with a smaller-id near-duplicate (cosine >= 0.4)
+    in its cell, keep the lowest-id member per duplicate group."""
+    from monstache_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semantic_dedup(emb, tau=0.4, n_centroids=16)
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (rolling k-gram hash, window
     minima — SIGMOD'03); fingerprint set serialized for comparison."""
@@ -1729,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     TPC-H-style and filter queries cede slots and run after the window."""
     return {
         # --- driver correctness window: newest operators first ---
+        "semantic_dedup": _q_semantic_dedup,
         "training_pipeline": _q_training_pipeline,
         "pii_redact": _q_pii_redact,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1767,7 +1779,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "value_percentiles": _q_value_percentiles,
         "value_histogram": _q_value_histogram,
-        "hash_sample": _q_hash_sample,
         "lang_scores": _q_lang_scores,
         "drop_regex_filter": _q_drop_regex_filter,
         "protected_delete_apply": _q_protected_delete,
@@ -1781,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "stateful_op_counts": _q_stateful_op_counts,
         # --- end of driver window (50) — stable queries below ---
+        "hash_sample": _q_hash_sample,
         "ns_include_filter": _q_ns_include,
         "ns_exclude_filter": _q_ns_exclude,
         "system_guards": _q_system_guards,
@@ -2416,6 +2428,20 @@ def oracle_sql() -> dict[str, str]:
                  count(*) FILTER (op = 'd') AS n_d,
                  count(*) AS n_total
           FROM env GROUP BY ns
+        """,
+        "semantic_dedup": f"""
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+          ca AS (SELECT e.vec_id, e.v, cid, {_cos_sql('e.v', 'cv')} AS c_score FROM e CROSS JOIN cen),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cid ASC) AS r FROM ca),
+          cells AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE r = 1),
+          sz AS (SELECT cell, count(*) AS cell_size FROM cells GROUP BY cell),
+          losers AS (SELECT DISTINCT b.vec_id
+                     FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                     WHERE {_cos_sql('a.v', 'b.v')} >= 0.4)
+          SELECT c.vec_id, c.cell, sz.cell_size
+          FROM cells c JOIN sz USING (cell)
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)
         """,
         "ivf_ann_topk": f"""
           WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -689,3 +689,64 @@ def ivfpq_topk_indexed(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
     return refined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540) as a pure DataFrame plan: cluster the embedding
+    space, then inside each cluster remove every vector that has a
+    semantic near-duplicate (cosine >= ``tau``) with a smaller id —
+    the surviving lowest-id member is each duplicate group's keeper.
+
+    Plan shape (the scale story):
+
+    - Cell assignment is :func:`ivf_assign` — centroids broadcast, the
+      corpus never shuffles for the assignment (map-side argmax).
+    - The near-dup pair search is an EQUI-join on ``cell`` with
+      ``a.id < b.id`` — pair cost is sum(|cell| choose 2), never the
+      all-pairs corpus square. At 100 TB the production call passes
+      ``centroids=kmeans_centroids(corpus, n)`` with n sized so cells
+      stay bounded (the paper's setting: n ~ sqrt(|corpus|)), and
+      ``max_cell`` caps degenerate cells the same way the LSH buckets
+      are capped (suppressed cells are observable via the returned
+      ``cell_size`` — a suppressed cell keeps ALL its members rather
+      than silently guessing which to drop).
+    - Survivors = corpus anti-join losers (losers shuffle as bare ids).
+
+    Default centroids are the ``n_centroids`` lowest-id vectors —
+    deterministic and oracle-reproducible in ANSI SQL.
+
+    Returns (id_col, cell, cell_size) for each surviving vector.
+    """
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
+    cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
+        F.col(id_col), F.col(vec_col), F.col("cid").alias("cell")
+    )
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("cell_size"))
+    cells = cells.join(F.broadcast(sizes), "cell")
+    eligible = (
+        cells if max_cell is None else cells.filter(F.col("cell_size") <= max_cell)
+    )
+    a = eligible.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = eligible.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    losers = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine_rounded(F.col("v_a"), F.col("v_b")) >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return cells.join(losers, id_col, "left_anti").select(id_col, "cell", "cell_size")

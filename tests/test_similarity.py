@@ -250,3 +250,31 @@ def test_ivfpq_indexed_matches_in_query_build_and_prunes(spark, tmp_path):
     assert filt, "cells scan lost its partition filter"
     insets = [g for g in filt if "INSET" in g or "IN (" in g]
     assert insets, f"no INSET on cells scan: {filt}"
+
+
+def test_semantic_dedup_keeps_lowest_id_per_group(spark):
+    """Within a cell, any vector with a smaller-id near-dup (cosine >=
+    tau) is dropped; group keepers and singletons survive."""
+    from monstache_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark)
+    # centroids = vec_id < 2: cell0 = {0}, cell1 = {1,2,3,4} (each
+    # vector joins its nearest centroid by cosine; 1 IS centroid 1)
+    out = semantic_dedup(emb, tau=0.9, n_centroids=2)
+    rows = {r["vec_id"]: (r["cell"], r["cell_size"]) for r in out.collect()}
+    # in cell1 only (2,3) clear tau (cos≈0.9986) → 3 dropped, 2 kept
+    assert set(rows) == {0, 1, 2, 4}
+    # 1 survives despite cos(0,1)≈0.994: pairing is cell-scoped and 0
+    # sits alone in cell0 (the SemDeDup approximation, by design)
+    assert rows[0] == (0, 1)
+    assert rows[1][1] == 4 and rows[2][1] == 4 and rows[4][1] == 4
+
+
+def test_semantic_dedup_max_cell_suppression_keeps_members(spark):
+    """A cell over max_cell is suppressed from pairing — all its
+    members survive (observable via cell_size), never silently pruned."""
+    from monstache_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark)
+    out = semantic_dedup(emb, tau=0.9, n_centroids=2, max_cell=1)
+    assert out.count() == 5
