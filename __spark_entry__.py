@@ -742,6 +742,15 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, dim=64, bits=6, threshold=0.4)
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText composite quality rules (arXiv:2112.11446
+    §A.1.1) as exact-integer signals + pass verdict per document."""
+    from monstache_spark.operators.curation import gopher_quality_signals
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gopher_quality_signals(docs)
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (arXiv:2303.09540): cluster the
     embedding space into 16 cells (deterministic lowest-id centroids),
@@ -1741,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window: newest operators first ---
         "semantic_dedup": _q_semantic_dedup,
+        "gopher_quality": _q_gopher_quality,
         "training_pipeline": _q_training_pipeline,
         "pii_redact": _q_pii_redact,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1778,7 +1788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": _q_set_ops,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "value_percentiles": _q_value_percentiles,
-        "value_histogram": _q_value_histogram,
         "lang_scores": _q_lang_scores,
         "drop_regex_filter": _q_drop_regex_filter,
         "protected_delete_apply": _q_protected_delete,
@@ -1792,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "stateful_op_counts": _q_stateful_op_counts,
         # --- end of driver window (50) — stable queries below ---
+        "value_histogram": _q_value_histogram,
         "hash_sample": _q_hash_sample,
         "ns_include_filter": _q_ns_include,
         "ns_exclude_filter": _q_ns_exclude,
@@ -2428,6 +2438,41 @@ def oracle_sql() -> dict[str, str]:
                  count(*) FILTER (op = 'd') AS n_d,
                  count(*) AS n_total
           FROM env GROUP BY ns
+        """,
+        "gopher_quality": f"""
+          WITH w AS (
+            SELECT doc_id, text, {_TOKS} AS toks,
+                   string_split_regex(text, '\\n') AS lines
+            FROM documents),
+          s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   greatest(CAST(len(toks) AS BIGINT), 1) AS safe_n,
+                   CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS word_chars,
+                   CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS n_hash,
+                   CAST(floor((length(text) - length(replace(text, '...', ''))) / 3.0) AS BIGINT) AS n_ell,
+                   greatest(CAST(len(lines) AS BIGINT), 1) AS n_lines,
+                   CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•‣◦]'))) AS BIGINT) AS bullet_lines,
+                   CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS BIGINT) AS ellipsis_lines,
+                   CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+                   CAST(len(list_intersect(list_distinct(list_transform(toks, t -> lower(t))),
+                        ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop
+            FROM w),
+          b AS (
+            SELECT doc_id, n_words,
+                   CAST(floor(word_chars * 10000.0 / safe_n) AS BIGINT) AS mean_word_len_bp,
+                   CAST(floor((n_hash + n_ell) * 10000.0 / safe_n) AS BIGINT) AS symbol_word_bp,
+                   CAST(floor(bullet_lines * 10000.0 / n_lines) AS BIGINT) AS bullet_line_bp,
+                   CAST(floor(ellipsis_lines * 10000.0 / n_lines) AS BIGINT) AS ellipsis_line_bp,
+                   CAST(floor(alpha_words * 10000.0 / safe_n) AS BIGINT) AS alpha_word_bp,
+                   n_stop AS n_stopwords_present
+            FROM s)
+          SELECT *,
+                 (n_words BETWEEN 50 AND 100000 AND mean_word_len_bp BETWEEN 30000 AND 100000
+                  AND symbol_word_bp <= 1000 AND bullet_line_bp <= 9000
+                  AND ellipsis_line_bp <= 3000 AND alpha_word_bp >= 8000
+                  AND n_stopwords_present >= 2) AS passes
+          FROM b
         """,
         "semantic_dedup": f"""
           WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -724,3 +724,103 @@ def write_training_shards(
         .partitionBy(stratum_col, "shard")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite document quality filter
+# ---------------------------------------------------------------------------
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_signal_cols(text_col: str) -> dict[str, Column]:
+    """The Gopher signal expressions over ``text_col`` as named
+    Columns — shared by the signals projection and the filter so the
+    filter stays a row-local WHERE (no join, no shuffle)."""
+    text = F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.size(words).cast("long")
+    safe_n = F.greatest(n_words, F.lit(1).cast("long"))
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w).cast("long")
+    )
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))).cast("long")
+    n_ell = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.split(text, r"\n")
+    n_lines = F.greatest(F.size(lines).cast("long"), F.lit(1).cast("long"))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*\u2022\u2023\u25e6]"))
+    ).cast("long")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|\u2026)$"))
+    ).cast("long")
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    ).cast("long")
+
+    def bp(num: Column) -> Column:
+        return F.floor(num * 10000 / safe_n).cast("long")
+
+    sig = {
+        "n_words": n_words,
+        "mean_word_len_bp": bp(word_chars),
+        "symbol_word_bp": bp(n_hash + n_ell),
+        "bullet_line_bp": F.floor(bullet_lines * 10000 / n_lines).cast("long"),
+        "ellipsis_line_bp": F.floor(ellipsis_lines * 10000 / n_lines).cast("long"),
+        "alpha_word_bp": bp(alpha_words),
+        "n_stopwords_present": n_stop,
+    }
+    sig["passes"] = (
+        (sig["n_words"] >= 50)
+        & (sig["n_words"] <= 100000)
+        & (sig["mean_word_len_bp"] >= 30000)
+        & (sig["mean_word_len_bp"] <= 100000)
+        & (sig["symbol_word_bp"] <= 1000)
+        & (sig["bullet_line_bp"] <= 9000)
+        & (sig["ellipsis_line_bp"] <= 3000)
+        & (sig["alpha_word_bp"] >= 8000)
+        & (sig["n_stopwords_present"] >= 2)
+    )
+    return sig
+
+
+def gopher_quality_signals(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The MassiveText/Gopher document-quality rule set (Rae et al.
+    2021, arXiv:2112.11446 \u00a7A.1.1) as one codegen projection \u2014 no
+    shuffle, no UDF, every signal an exact integer (counts, or
+    basis-point floors) so the filter is reproducible bit-for-bit on
+    any engine.
+
+    Per document: ``n_words``; ``mean_word_len_bp`` (10^-4 chars);
+    ``symbol_word_bp`` (# and ... occurrences per word);
+    ``bullet_line_bp`` / ``ellipsis_line_bp`` (lines starting with a
+    bullet / ending in an ellipsis); ``alpha_word_bp`` (words with at
+    least one letter); ``n_stopwords_present`` (of the 8 required
+    Gopher stopwords); and ``passes`` \u2014 the conjunction of the paper's
+    bounds (50 <= words <= 100k, 3 <= mean len <= 10, symbol ratio
+    <= 0.1, bullets <= 90%, ellipses <= 30%, alpha words >= 80%,
+    >= 2 required stopwords).
+
+    Scale: a pure narrow projection over the text column \u2014 pipelined
+    into whatever scan/filter surrounds it; cost is one pass over the
+    bytes per document, shuffle volume zero."""
+    sig = _gopher_signal_cols(text_col)
+    return docs.select(id_col, *[c.alias(n) for n, c in sig.items()])
+
+
+def gopher_quality_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Documents surviving the Gopher rules. The predicate is
+    row-local, so this is a plain WHERE over the input \u2014 no join, no
+    shuffle; Catalyst pushes it toward the scan and rejected documents
+    never reach downstream operators."""
+    return docs.filter(_gopher_signal_cols(text_col)["passes"])

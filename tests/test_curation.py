@@ -357,3 +357,30 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         assert keys == sorted(keys)
     # round-trip: every packed row lands exactly once
     assert spark.read.parquet(out).count() == packed.count()
+
+
+def test_gopher_signals_and_filter(spark):
+    from monstache_spark.operators.curation import (
+        gopher_quality_filter,
+        gopher_quality_signals,
+    )
+
+    good = (
+        "the quick brown fox jumps to be of and that have with more words " * 5
+    ).strip()
+    rows = [
+        (0, good),                                   # passes every rule
+        (1, "short text the be"),                    # < 50 words
+        (2, ("### " * 60 + "the be of and").strip()),  # symbol ratio + alpha
+        (3, "\n".join(["- bullet the be of"] * 60)),   # 100% bullet lines
+        (4, ("xx " * 60 + "the be").strip()),        # mean word len < 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["doc_id"]: r.asDict() for r in gopher_quality_signals(docs).collect()}
+    assert sig[0]["passes"] and sig[0]["n_stopwords_present"] >= 2
+    assert not sig[1]["passes"] and sig[1]["n_words"] < 50
+    assert not sig[2]["passes"] and sig[2]["symbol_word_bp"] > 1000
+    assert not sig[3]["passes"] and sig[3]["bullet_line_bp"] == 10000
+    assert not sig[4]["passes"] and sig[4]["mean_word_len_bp"] < 30000
+    kept = [r["doc_id"] for r in gopher_quality_filter(docs).collect()]
+    assert kept == [0]
