@@ -742,6 +742,25 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, dim=64, bits=6, threshold=0.4)
 
 
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (arXiv:2302.03169): hashed-bigram
+    target/raw bucket models (target = lang='en'), per-doc log
+    importance weights, deterministic Gumbel top-100 resample."""
+    from monstache_spark.functions.text import shingle_hash
+    from monstache_spark.operators.curation import (
+        dsir_bucket_model,
+        dsir_gumbel_sample,
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    hasher = lambda c: shingle_hash(c, 1)  # noqa: E731 — md5 family for oracle parity
+    model = dsir_bucket_model(docs, target, n_buckets=256, k=2, hasher=hasher)
+    wts = dsir_importance_weights(docs, model, n_buckets=256, k=2, hasher=hasher)
+    return dsir_gumbel_sample(wts, k_sample=100)
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText composite quality rules (arXiv:2112.11446
     §A.1.1) as exact-integer signals + pass verdict per document."""
@@ -1751,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver correctness window: newest operators first ---
         "semantic_dedup": _q_semantic_dedup,
         "gopher_quality": _q_gopher_quality,
+        "dsir_importance": _q_dsir_importance,
         "training_pipeline": _q_training_pipeline,
         "pii_redact": _q_pii_redact,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1787,7 +1807,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_meta_extract": _q_routing_meta,
         "set_ops_customers": _q_set_ops,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "value_percentiles": _q_value_percentiles,
         "lang_scores": _q_lang_scores,
         "drop_regex_filter": _q_drop_regex_filter,
         "protected_delete_apply": _q_protected_delete,
@@ -1801,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "stateful_op_counts": _q_stateful_op_counts,
         # --- end of driver window (50) — stable queries below ---
+        "value_percentiles": _q_value_percentiles,
         "value_histogram": _q_value_histogram,
         "hash_sample": _q_hash_sample,
         "ns_include_filter": _q_ns_include,
@@ -2438,6 +2458,33 @@ def oracle_sql() -> dict[str, str]:
                  count(*) FILTER (op = 'd') AS n_d,
                  count(*) AS n_total
           FROM env GROUP BY ns
+        """,
+        "dsir_importance": f"""
+          WITH g AS (SELECT doc_id, unnest({_shingles_all_sql(2)}) AS s FROM documents),
+          gb AS (SELECT doc_id, {_hash_sql('s', 1)} % 256 AS bucket FROM g),
+          tgt AS (SELECT bucket, count(*) AS c_target
+                  FROM gb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket),
+          raw AS (SELECT bucket, count(*) AS c_raw FROM gb GROUP BY bucket),
+          m0 AS (SELECT coalesce(t.bucket, r.bucket) AS bucket,
+                        coalesce(c_target, 0) AS c_target, coalesce(c_raw, 0) AS c_raw
+                 FROM tgt t FULL OUTER JOIN raw r ON t.bucket = r.bucket),
+          tot AS (SELECT sum(c_target) AS n_target, sum(c_raw) AS n_raw FROM m0),
+          model AS (SELECT bucket,
+                           CAST(round(ln((c_target + 1.0) / (n_target + 256.0))
+                                    - ln((c_raw + 1.0) / (n_raw + 256.0)), 6) AS DECIMAL(18,6)) AS w
+                    FROM m0 CROSS JOIN tot),
+          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                        CAST(CAST(sum(w) AS DECIMAL(38,6)) AS DOUBLE) AS score
+                 FROM gb JOIN model USING (bucket) GROUP BY doc_id),
+          gk AS (SELECT doc_id, n_grams, score,
+                        CAST(CAST(CAST(score AS DECIMAL(28,6))
+                             + CAST(round(-ln(-ln((({_hash_sql("'gumbel:' || CAST(doc_id AS VARCHAR)", 7)} % 1048576) + 0.5) / 1048576.0)), 6) AS DECIMAL(18,6))
+                             AS DECIMAL(28,6)) AS DOUBLE) AS gumbel_key
+                 FROM sc),
+          r AS (SELECT *, row_number() OVER (ORDER BY gumbel_key DESC, doc_id ASC) AS rank FROM gk)
+          SELECT doc_id, n_grams, score, gumbel_key, CAST(rank AS BIGINT) AS rank,
+                 rank <= 100 AS sampled
+          FROM r
         """,
         "gopher_quality": f"""
           WITH w AS (

@@ -824,3 +824,128 @@ def gopher_quality_filter(
     shuffle; Catalyst pushes it toward the scan and rejected documents
     never reach downstream operators."""
     return docs.filter(_gopher_signal_cols(text_col)["passes"])
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al. 2023,
+# arXiv:2302.03169) — hashed n-gram bigram models + Gumbel top-k
+# ---------------------------------------------------------------------------
+
+
+def dsir_bucket_model(
+    corpus: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """The DSIR importance model: word k-grams hashed into
+    ``n_buckets`` buckets, one add-one-smoothed unigram-over-buckets
+    model for the target distribution and one for the raw corpus.
+    Returns the ``n_buckets``-row weight table
+    ``(bucket, c_target, c_raw, w)`` with
+    ``w = round(ln p_target(b) - ln p_raw(b), 6)`` as DECIMAL(18,6) —
+    rounded per bucket BEFORE any summation so document scores are
+    exact decimal sums, reproducible on any engine.
+
+    Scale: both count passes are map-side-combined hash aggregates
+    over 16-byte (bucket) rows; the model is index-metadata-sized
+    (``n_buckets`` rows) at any corpus scale and broadcasts into the
+    scoring join."""
+
+    def bucket_counts(df: DataFrame, name: str) -> DataFrame:
+        g = _gram_hash_rows(df, k, text_col, id_col, hasher, distinct=False)
+        return (
+            g.select(F.pmod(F.col("gh"), F.lit(n_buckets)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(name))
+        )
+
+    joined = (
+        bucket_counts(target, "c_target")
+        .join(bucket_counts(corpus, "c_raw"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("c_target", F.lit(0)).cast("long").alias("c_target"),
+            F.coalesce("c_raw", F.lit(0)).cast("long").alias("c_raw"),
+        )
+    )
+    totals = F.broadcast(
+        joined.agg(
+            F.sum("c_target").alias("n_target"), F.sum("c_raw").alias("n_raw")
+        )
+    )
+    b = F.lit(float(n_buckets))
+    return joined.crossJoin(totals).select(
+        "bucket",
+        "c_target",
+        "c_raw",
+        F.round(
+            F.log((F.col("c_target") + 1.0) / (F.col("n_target") + b))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + b)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+
+
+def dsir_importance_weights(
+    corpus: DataFrame,
+    model: DataFrame,
+    n_buckets: int = 1024,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Per-document DSIR log importance weight: the sum of its hashed
+    k-gram bucket weights (with multiplicity, per the paper). Returns
+    ``(id, n_grams, score)`` — score an exact decimal sum cast to
+    double.
+
+    Scale: gram rows join the BROADCAST model on bucket (no corpus
+    shuffle for the join), then reduce by document — map-side partial
+    aggregation collapses each doc's grams before the exchange."""
+    g = _gram_hash_rows(corpus, k, text_col, id_col, hasher, distinct=False)
+    scored = g.select(
+        F.col(id_col), F.pmod(F.col("gh"), F.lit(n_buckets)).alias("bucket")
+    ).join(F.broadcast(model.select("bucket", "w")), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum("w").cast("decimal(38,6)").cast("double").alias("score"),
+    )
+
+
+def dsir_gumbel_sample(
+    weights: DataFrame,
+    k_sample: int,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    seed: int = 7,
+    noise_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Gumbel top-k resampling over DSIR log weights: sampling without
+    replacement with probability proportional to the importance weight
+    reduces to ranking ``score + Gumbel noise`` (Vieira 2014). The
+    noise is derived deterministically per id from the md5 hash family
+    (u = (h % M + 0.5) / M; g = -ln(-ln u)), so the sample is
+    reproducible on any engine. Adds ``gumbel_key``, ``rank`` and
+    ``sampled``.
+
+    The global rank is a single window sort here; at corpus scale the
+    production form is the salted two-stage top-k used by
+    ``quality_top_fraction`` (same key, same result set)."""
+    h = shingle_hash(F.concat(F.lit("gumbel:"), F.col(id_col).cast("string")), seed)
+    u = (F.pmod(h, F.lit(noise_buckets)) + 0.5) / float(noise_buckets)
+    g = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+    keyed = weights.withColumn(
+        "gumbel_key",
+        (F.col(score_col).cast("decimal(28,6)") + g).cast("decimal(28,6)").cast("double"),
+    )
+    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+    return keyed.withColumn("rank", F.row_number().over(w).cast("long")).withColumn(
+        "sampled", F.col("rank") <= k_sample
+    )

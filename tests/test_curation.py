@@ -384,3 +384,28 @@ def test_gopher_signals_and_filter(spark):
     assert not sig[4]["passes"] and sig[4]["mean_word_len_bp"] < 30000
     kept = [r["doc_id"] for r in gopher_quality_filter(docs).collect()]
     assert kept == [0]
+
+
+def test_dsir_upweights_target_like_documents(spark):
+    """Docs resembling the target distribution score higher; Gumbel
+    resample is deterministic and ranks every doc exactly once."""
+    from monstache_spark.operators.curation import (
+        dsir_bucket_model,
+        dsir_gumbel_sample,
+        dsir_importance_weights,
+    )
+
+    target_like = "the cat sat on the mat and the dog sat too"
+    off_dist = "zzz qqq vvv kkk jjj xxx www yyy uuu ttt"
+    rows = [(i, target_like) for i in range(10)] + [(i, off_dist) for i in range(10, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id < 5")  # target distribution = target_like docs
+    model = dsir_bucket_model(docs, target, n_buckets=64, k=2)
+    wts = dsir_importance_weights(docs, model, n_buckets=64, k=2)
+    by_id = {r["doc_id"]: r["score"] for r in wts.collect()}
+    assert len(by_id) == 20
+    assert min(by_id[i] for i in range(10)) > max(by_id[i] for i in range(10, 20))
+    s1 = dsir_gumbel_sample(wts, k_sample=5).collect()
+    s2 = dsir_gumbel_sample(wts, k_sample=5).collect()
+    assert sorted(r["rank"] for r in s1) == list(range(1, 21))
+    assert {r["doc_id"] for r in s1 if r["sampled"]} == {r["doc_id"] for r in s2 if r["sampled"]}
