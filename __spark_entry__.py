@@ -772,13 +772,14 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (arXiv:2303.09540): cluster the
-    embedding space into 16 cells (deterministic lowest-id centroids),
-    drop every vector with a smaller-id near-duplicate (cosine >= 0.4)
-    in its cell, keep the lowest-id member per duplicate group."""
+    embedding space into 32 cells (deterministic lowest-id centroids;
+    ~sqrt(N) per the paper so pair volume stays near-linear), drop
+    every vector with a smaller-id near-duplicate (cosine >= 0.4) in
+    its cell, keep the lowest-id member per duplicate group."""
     from monstache_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return semantic_dedup(emb, tau=0.4, n_centroids=16)
+    return semantic_dedup(emb, tau=0.4, n_centroids=32)
 
 
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2523,7 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup": f"""
           WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+          cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 32),
           ca AS (SELECT e.vec_id, e.v, cid, {_cos_sql('e.v', 'cv')} AS c_score FROM e CROSS JOIN cen),
           ranked AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, cid ASC) AS r FROM ca),
           cells AS (SELECT vec_id, v, cid AS cell FROM ranked WHERE r = 1),

@@ -85,15 +85,37 @@ def ivf_assign(
     cosine (rank 1 = cell assignment; >1 = multi-probe list). The
     centroid set broadcasts — it is index-metadata-sized (hundreds to
     thousands of rows) at any corpus scale."""
+    from monstache_spark.functions.vectors import dot, norm
+
     c = F.broadcast(
-        centroids.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+        centroids.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("c_vec"),
+            # centroid norms computed once at broadcast build, not per
+            # (vector, centroid) pair
+            norm(F.col(vec_col)).alias("_nc"),
+        )
     )
-    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(c).select(
-        id_col,
-        vec_col,
-        "cid",
-        cosine_rounded(F.col(vec_col), F.col("c_vec")).alias("c_score"),
+    # Two interpreted-HOF cost levers: (1) the corpus usually arrives
+    # as one small-bytes scan partition while the crossJoin output is
+    # |corpus| x |centroids| interpreted cosines — an explicit-width
+    # exchange spreads that work (AQE would coalesce it back on input
+    # bytes); (2) the corpus-side norm is computed once per VECTOR
+    # before the join instead of once per pair, leaving one
+    # interpreted dot per pair. sqrt(a*a)*sqrt(b*b) keeps the exact op
+    # order of functions.vectors.cosine, so scores stay bit-identical.
+    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .repartition(nparts, F.col(id_col))
+        .withColumn("_na", norm(F.col(vec_col)))
     )
+    den = F.col("_na") * F.col("_nc")
+    score = F.round(
+        F.when(den > 0, dot(F.col(vec_col), F.col("c_vec")) / den).otherwise(F.lit(0.0)),
+        6,
+    )
+    scored = base.crossJoin(c).select(id_col, vec_col, "cid", score.alias("c_score"))
     if rank_limit == 1:
         # Cell assignment (the corpus-sized path) is an argmax per key:
         # a hash aggregate with map-side partial combine collapses the
@@ -726,6 +748,8 @@ def semantic_dedup(
 
     Returns (id_col, cell, cell_size) for each surviving vector.
     """
+    from monstache_spark.functions.vectors import dot, norm
+
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids)
     cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
@@ -736,16 +760,42 @@ def semantic_dedup(
     eligible = (
         cells if max_cell is None else cells.filter(F.col("cell_size") <= max_cell)
     )
-    a = eligible.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    # Precompute each vector's norm BEFORE the pair join: the
+    # zip_with/aggregate dot product is interpreted (outside codegen),
+    # so evaluating 3 of them per PAIR (a·b, a·a, b·b) is the cost
+    # center — norms are per-VECTOR and the cell exchange materializes
+    # them as data, leaving one interpreted aggregate per pair.
+    # sqrt(a·a)*sqrt(b·b) is evaluated in the same op order as
+    # functions.vectors.cosine, so rounding is bit-identical.
+    # Explicit-width exchange on cell: pair volume is quadratic in cell
+    # size while the PRE-join bytes are tiny, so AQE would coalesce the
+    # join down to one task sized by input bytes (the explode-
+    # parallelism trap); the explicit width pins one task per cell hash
+    # and both join sides inherit the partitioning (single exchange).
+    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sided = eligible.repartition(nparts, F.col("cell")).select(
+        "cell", F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
     )
-    b = eligible.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    a = sided.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("_nrm").alias("n_a"),
+    )
+    b = sided.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("_nrm").alias("n_b"),
+    )
+    den = F.col("n_a") * F.col("n_b")
+    cos = F.round(
+        F.when(den > 0, dot(F.col("v_a"), F.col("v_b")) / den).otherwise(F.lit(0.0)), 6
     )
     losers = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine_rounded(F.col("v_a"), F.col("v_b")) >= tau)
+        .filter(cos >= tau)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

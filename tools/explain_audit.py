@@ -216,6 +216,31 @@ CHECKS = [
         "reduce (no sort agg, no Python)",
         lambda p: "SortAggregate" not in p and "Python" not in p,
     ),
+    (
+        "semantic_dedup",
+        "semantic dedup: no cartesian (nested-loop joins are all the "
+        "broadcast centroid cross), losers anti-join, and the repeated "
+        "cell-assignment branches execute ONCE via ReusedExchange",
+        lambda p: "LeftAnti" in p
+        and "CartesianProduct" not in p
+        and "ReusedExchange" in p,
+    ),
+    (
+        "gopher_quality",
+        "Gopher signals: one narrow codegen projection — no exchange, "
+        "no Python, no aggregate",
+        lambda p: "Exchange" not in p
+        and "Python" not in p
+        and "Aggregate" not in p,
+    ),
+    (
+        "dsir_importance",
+        "DSIR: bucket models are map-side-combined hash aggs, the "
+        "scoring join broadcasts the model (no sort agg, no Python)",
+        lambda p: "SortAggregate" not in p
+        and "Python" not in p
+        and "BroadcastHashJoin" in p,
+    ),
 ]
 
 
