@@ -742,6 +742,22 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, dim=64, bits=6, threshold=0.4)
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (arXiv:1508.07909): 20 merges
+    over the documents vocabulary; one corpus pass for word counts,
+    then vocab-sized iterations. Data-dependent driver iteration is
+    not SQL-expressible — rows-only checked here; bit-exactness vs a
+    pure-Python reference is pinned by tests/test_tokenizer.py
+    (including a hypothesis property test)."""
+    from monstache_spark.operators.tokenizer import bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = bpe_train(docs, n_merges=20)
+    return spark.createDataFrame(
+        merges, "merge_rank long, left string, right string, pair_count long"
+    )
+
+
 def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (arXiv:2302.03169): hashed-bigram
     target/raw bucket models (target = lang='en'), per-doc log
@@ -1772,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "gopher_quality": _q_gopher_quality,
         "dsir_importance": _q_dsir_importance,
+        "bpe_train_merges": _q_bpe_train,
         "training_pipeline": _q_training_pipeline,
         "pii_redact": _q_pii_redact,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1808,7 +1825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_meta_extract": _q_routing_meta,
         "set_ops_customers": _q_set_ops,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "lang_scores": _q_lang_scores,
         "drop_regex_filter": _q_drop_regex_filter,
         "protected_delete_apply": _q_protected_delete,
         "udf_mapper_pipeline": _q_udf_mapper_pipeline,
@@ -1821,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "stateful_op_counts": _q_stateful_op_counts,
         # --- end of driver window (50) — stable queries below ---
+        "lang_scores": _q_lang_scores,
         "value_percentiles": _q_value_percentiles,
         "value_histogram": _q_value_histogram,
         "hash_sample": _q_hash_sample,

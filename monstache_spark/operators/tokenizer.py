@@ -1,0 +1,186 @@
+"""Distributed BPE tokenizer training and application.
+
+Byte-pair-encoding merge learning (Sennrich et al. 2016,
+arXiv:1508.07909) re-expressed for Spark's execution model:
+
+- ONE corpus-sized pass: word counting (map-side-combined hash agg).
+  Everything after operates on the DISTINCT-WORD table weighted by
+  count — at 100 TB of text the vocabulary is millions of rows, not
+  petabytes, so the per-merge iteration cost is bounded by |vocab|.
+- Each merge iteration counts adjacent symbol pairs over the vocab
+  (posexplode + lead window — the same exploded-row shape as
+  dedup.shingle_rows), picks the arg-max pair with a deterministic
+  tie-break (count desc, left asc, right asc), and applies the merge
+  as a codegen string replace on the space-joined symbol string.
+- The driver loop carries only the merge table (one row per
+  iteration — control plane, like the drop/bucket lists elsewhere);
+  the vocab stays distributed. Lineage is cut with a persist every
+  ``checkpoint_every`` merges so iteration N does not replay N string
+  replaces from scratch.
+
+No SQL oracle can express the data-dependent iteration, so the entry
+query for this operator is rows-only checked; correctness is pinned
+instead by unit + property tests against a pure-Python reference
+implementation (tests/test_tokenizer.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: End-of-word marker, per the original BPE formulation. Kept to one
+#: character so symbol strings stay compact in shuffle buffers.
+EOW = "▁"  # ▁ (lower one-eighth block, as used by sentencepiece)
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(word, n) over lowercased whitespace words — the single
+    corpus-sized pass; map-side partial aggregation collapses repeats
+    before the exchange."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Space-joined character symbols with the end-of-word marker:
+    'low' -> 'l o w ▁'."""
+    chars = F.split(word, "")
+    return F.concat(F.array_join(chars, " "), F.lit(" " + EOW))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, c) adjacent-symbol-pair counts over the vocab,
+    weighted by word count.
+
+    Pairs are formed with array ops on the symbol string (adjacent
+    (i, i+1) structs), NOT the posexplode+lead-window shape used for
+    corpus shingling: the vocab is small, the loop runs every merge
+    iteration, and skipping the per-word window saves one exchange +
+    stage barrier per iteration — the iteration cost is dominated by
+    stage scheduling, not compute."""
+    arr = F.split(F.col("syms"), " ")
+    idx = F.when(F.size(arr) >= 2, F.sequence(F.lit(0), F.size(arr) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(arr, i + 1).alias("left"),
+            F.element_at(arr, i + 2).alias("right"),
+        ),
+    )
+    exploded = vocab.select("n", F.explode(pairs).alias("p"))
+    return exploded.groupBy("p.left", "p.right").agg(
+        F.sum("n").cast("long").alias("c")
+    )
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Merge every adjacent (left, right) in a space-joined symbol
+    string. Non-overlapping left-to-right replacement is exactly the
+    simultaneous-merge convention of the reference algorithm; edge
+    anchoring via the surrounding spaces avoids partial-symbol hits."""
+    padded = F.concat(F.lit(" "), syms, F.lit(" "))
+    target = F.lit(f" {left} {right} ")
+    merged = F.lit(f" {left}{right} ")
+    # one replace pass can miss back-to-back occurrences sharing a
+    # space (e.g. 'a b a b' -> the 2nd 'a b' starts at the space the
+    # 1st consumed) — a second pass is sufficient because the miss
+    # pattern cannot recur after re-padding.
+    once = F.replace(padded, target, merged)
+    twice = F.replace(once, target, merged)
+    return F.trim(twice)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    ``[(rank, left, right, pair_count), ...]`` in merge order.
+
+    The driver receives ONE row per iteration (the arg-max pair); the
+    vocabulary table never leaves the cluster. Stops early when no
+    pair reaches ``min_pair_count``."""
+    vocab = word_counts(docs, text_col, id_col).select(
+        "word", "n", _initial_symbols(F.col("word")).alias("syms")
+    )
+    cached = vocab.persist()
+    cached.count()
+    vocab = cached
+    merges: list[tuple[int, str, str, int]] = []
+    since_checkpoint = 0
+    try:
+        for rank in range(n_merges):
+            top = (
+                _pair_counts(vocab)
+                .orderBy(F.col("c").desc(), F.col("left").asc(), F.col("right").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] < min_pair_count:
+                break
+            left, right, c = top[0]["left"], top[0]["right"], int(top[0]["c"])
+            merges.append((rank, left, right, c))
+            vocab = vocab.select(
+                "word", "n", _apply_merge(F.col("syms"), left, right).alias("syms")
+            )
+            since_checkpoint += 1
+            if since_checkpoint >= checkpoint_every:
+                # cut lineage: persist + materialize the new frame, then
+                # drop the previous cache so memory holds one vocab copy
+                nxt = vocab.persist()
+                nxt.count()
+                cached.unpersist()
+                cached = nxt
+                vocab = nxt
+                since_checkpoint = 0
+    finally:
+        cached.unpersist()
+    return merges
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table to a corpus: per document, the BPE
+    token count and mean token length. The merge chain compiles to a
+    static sequence of codegen string replaces — a narrow projection,
+    no shuffle, no Python; the merge table is plan metadata (it came
+    from :func:`bpe_train`'s control-plane rows).
+
+    Output: (id, n_tokens, n_words) — token inflation vs whitespace
+    words is the tokenizer-fertility signal used to compare merge
+    tables."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    words = F.filter(toks, lambda w: w != F.lit(""))
+    # per-word symbol string, then fold the merge chain over it
+    def segment_word(w: Column) -> Column:
+        syms = F.concat(F.array_join(F.split(w, ""), " "), F.lit(" " + EOW))
+        for _, left, right, _c in merges:
+            syms = _apply_merge(syms, left, right)
+        return F.size(F.split(syms, " "))
+
+    per_word = F.transform(words, segment_word)
+    n_tokens = F.aggregate(per_word, F.lit(0), lambda a, x: a + x).cast("long")
+    return docs.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        F.size(words).cast("long").alias("n_words"),
+    )
