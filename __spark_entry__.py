@@ -758,6 +758,49 @@ def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed BPE merge table for the oracle-checked APPLY path: the first 10
+# merges bpe_train learns on the sf0.001 documents corpus (deterministic
+# — count desc, pair asc tie-break). Frozen as a literal so the segment
+# query is a static transform both engines can express; training itself
+# is the data-dependent rows-only query above.
+FIXED_BPE_MERGES: list[tuple[int, str, str, int]] = [
+    (0, "e", "r", 4650), (1, "e", "▁", 4644), (2, "n", "▁", 2898),
+    (3, "o", "r", 2880), (4, "t", "▁", 2850), (5, "er", "▁", 2781),
+    (6, "o", "w", 2763), (7, "ow", "▁", 2763), (8, "l", "u", 1928),
+    (9, "i", "n", 1922),
+]
+
+
+def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application with a FROZEN merge table (tokenizer.bpe_segment):
+    per-doc token count under the merges vs whitespace words — the
+    tokenizer-fertility signal. Static replace chain, so fully
+    oracle-expressible."""
+    from monstache_spark.operators.tokenizer import bpe_segment
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_segment(docs, FIXED_BPE_MERGES)
+
+
+def _bpe_segment_sql() -> str:
+    """DuckDB mirror of tokenizer.bpe_segment under FIXED_BPE_MERGES:
+    same initial char-symbol string, same padded two-pass replace per
+    merge, same trailing-token count."""
+    expr = "' ' || array_to_string(string_split(w, ''), ' ') || ' ▁ '"
+    for _, left, right, _c in FIXED_BPE_MERGES:
+        t, m = f"' {left} {right} '", f"' {left}{right} '"
+        expr = f"replace(replace({expr}, {t}, {m}), {t}, {m})"
+        expr = f"' ' || trim({expr}) || ' '"
+    per_word = f"len(string_split(trim({expr}), ' '))"
+    return f"""
+      WITH t AS (SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS ws FROM documents)
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(ws, w -> {per_word})), 0) AS BIGINT) AS n_tokens,
+             CAST(len(ws) AS BIGINT) AS n_words
+      FROM t
+    """
+
+
 def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (arXiv:2302.03169): hashed-bigram
     target/raw bucket models (target = lang='en'), per-doc log
@@ -1789,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "dsir_importance": _q_dsir_importance,
         "bpe_train_merges": _q_bpe_train,
+        "bpe_segment_fertility": _q_bpe_segment,
         "training_pipeline": _q_training_pipeline,
         "pii_redact": _q_pii_redact,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1825,7 +1869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_meta_extract": _q_routing_meta,
         "set_ops_customers": _q_set_ops,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "drop_regex_filter": _q_drop_regex_filter,
         "protected_delete_apply": _q_protected_delete,
         "udf_mapper_pipeline": _q_udf_mapper_pipeline,
         "delete_ignore_state": _q_delete_ignore,
@@ -1837,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize,
         "stateful_op_counts": _q_stateful_op_counts,
         # --- end of driver window (50) — stable queries below ---
+        "drop_regex_filter": _q_drop_regex_filter,
         "lang_scores": _q_lang_scores,
         "value_percentiles": _q_value_percentiles,
         "value_histogram": _q_value_histogram,
@@ -2477,6 +2521,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*) AS n_total
           FROM env GROUP BY ns
         """,
+        "bpe_segment_fertility": _bpe_segment_sql(),
         "dsir_importance": f"""
           WITH g AS (SELECT doc_id, unnest({_shingles_all_sql(2)}) AS s FROM documents),
           gb AS (SELECT doc_id, {_hash_sql('s', 1)} % 256 AS bucket FROM g),
