@@ -935,9 +935,12 @@ def dsir_gumbel_sample(
     reproducible on any engine. Adds ``gumbel_key``, ``rank`` and
     ``sampled``.
 
-    The global rank is a single window sort here; at corpus scale the
-    production form is the salted two-stage top-k used by
-    ``quality_top_fraction`` (same key, same result set)."""
+    The global rank is computed by ``skew.range_bucketed_rank``
+    (quantile range buckets + per-bucket row_number + literal
+    offsets), NOT a single-partition ``Window.orderBy`` — the ranked
+    frame stays parallel at corpus scale."""
+    from monstache_spark.operators.skew import range_bucketed_rank
+
     h = shingle_hash(F.concat(F.lit("gumbel:"), F.col(id_col).cast("string")), seed)
     u = (F.pmod(h, F.lit(noise_buckets)) + 0.5) / float(noise_buckets)
     g = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
@@ -945,7 +948,10 @@ def dsir_gumbel_sample(
         "gumbel_key",
         (F.col(score_col).cast("decimal(28,6)") + g).cast("decimal(28,6)").cast("double"),
     )
-    w = Window.orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
-    return keyed.withColumn("rank", F.row_number().over(w).cast("long")).withColumn(
-        "sampled", F.col("rank") <= k_sample
-    )
+    # the ranker needs two extra passes (quantile bounds, bucket
+    # counts); checkpoint the per-doc weight rows — O(#docs), tiny
+    # next to the gram pipeline that produced them — so those passes
+    # do not recompute the corpus scan
+    keyed = keyed.localCheckpoint(eager=True)
+    ranked = range_bucketed_rank(keyed, "gumbel_key", id_col, rank_col="rank")
+    return ranked.withColumn("sampled", F.col("rank") <= k_sample)

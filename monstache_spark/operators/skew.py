@@ -19,6 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SALT_COL = "_salt"
 
@@ -84,4 +85,73 @@ def salted_sum_count(
     )
     return partial.groupBy(*keys).agg(
         F.sum("_psum").alias("sum_value"), F.sum("_pcnt").alias("n_rows")
+    )
+
+
+def range_bucketed_rank(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rank_col: str = "rank",
+    n_buckets: int = 64,
+    quantile_error: float = 0.001,
+) -> DataFrame:
+    """Dense global ``row_number`` over ``(key DESC, id ASC)`` without
+    a single-partition window.
+
+    ``Window.orderBy(...)`` with no partition key moves every row to
+    one task — the classic scale-killer Spark itself warns about
+    (``WindowExec: No Partition Defined``). This computes the same
+    total-order rank in three bounded steps:
+
+    1. ``approxQuantile`` of ``key_col`` picks ``n_buckets-1`` range
+       bounds (one driver-side pass; bounds become plan literals, so
+       the rest of the plan is deterministic regardless of how the
+       sketch merged).
+    2. Each row's bucket = number of bounds strictly greater than its
+       key (descending buckets; equal keys always share a bucket, so
+       the ``id`` tie-break stays inside one window partition).
+    3. ``row_number`` within each bucket (parallel window, one hash
+       exchange on the bucket id) plus the cumulative count of all
+       higher buckets (an O(n_buckets) driver-side literal — the same
+       control-plane budget as the drop/bucket lists elsewhere).
+
+    The two extra driver actions (quantiles, bucket counts) each scan
+    ``df``; at 100 TB persist/checkpoint ``df`` first so the scan
+    happens once. Skew caveat: a single key value held by a huge
+    fraction of rows collapses into one bucket — acceptable for
+    continuous score keys (Gumbel-perturbed weights, quality scores),
+    not for categorical keys.
+    """
+    bounds = df.stat.approxQuantile(
+        key_col, [i / n_buckets for i in range(1, n_buckets)], quantile_error
+    )
+    bounds = sorted(set(bounds))
+    key = F.col(key_col)
+    if bounds:
+        bucket = F.aggregate(
+            F.lit(bounds),
+            F.lit(0),
+            lambda acc, b: acc + F.when(key < b, F.lit(1)).otherwise(F.lit(0)),
+        ).alias("_rb_bucket")
+    else:  # empty or single-valued frame: one bucket
+        bucket = F.lit(0).alias("_rb_bucket")
+    bucketed = df.withColumn("_rb_bucket", bucket)
+    counts = {
+        r["_rb_bucket"]: r["n"]
+        for r in bucketed.groupBy("_rb_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, cum = [], 0
+    for b in range(len(bounds) + 1):
+        offsets.append(cum)
+        cum += counts.get(b, 0)
+    off = F.element_at(
+        F.lit(offsets).cast("array<long>"), F.col("_rb_bucket") + 1
+    )
+    w = Window.partitionBy("_rb_bucket").orderBy(
+        F.col(key_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        bucketed.withColumn(rank_col, (F.row_number().over(w) + off).cast("long"))
+        .drop("_rb_bucket")
     )

@@ -46,3 +46,40 @@ def test_salted_sum_count_matches_plain_agg(spark):
         for r in salted_sum_count(df, ["g"], F.col("v"), n_salts=8).collect()
     }
     assert plain == salted
+
+
+def test_range_bucketed_rank_matches_global_window(spark):
+    from pyspark.sql.window import Window
+
+    from monstache_spark.operators.skew import range_bucketed_rank
+
+    # keys with heavy ties (key = id % 7) so tie-break order and
+    # bucket-boundary tie handling are both exercised
+    df = spark.range(3000).select(
+        F.col("id").cast("long").alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("key"),
+    )
+    w = Window.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+    naive = {
+        r["doc_id"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long")).collect()
+    }
+    fast = {
+        r["doc_id"]: r["rank"]
+        for r in range_bucketed_rank(df, "key", "doc_id", n_buckets=16).collect()
+    }
+    assert fast == naive
+
+
+def test_range_bucketed_rank_plan_has_no_global_window(spark):
+    from monstache_spark.operators.skew import range_bucketed_rank
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.rand(seed=3).alias("key")
+    )
+    out = range_bucketed_rank(df, "key", "doc_id", n_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the window must be partitioned (hash exchange on the bucket),
+    # never SinglePartition
+    assert "Window" in plan
+    assert "SinglePartition" not in plan

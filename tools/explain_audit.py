@@ -235,13 +235,42 @@ CHECKS = [
     ),
     (
         "dsir_importance",
-        "DSIR: bucket models are map-side-combined hash aggs, the "
-        "scoring join broadcasts the model (no sort agg, no Python)",
+        "DSIR: final rank is a range-bucketed parallel window — no "
+        "single-partition window, no sort agg, no Python",
+        lambda p: "SortAggregate" not in p
+        and "Python" not in p
+        and "SinglePartition" not in p,
+    ),
+]
+
+
+def extra_checks(spark, sf_dir):
+    """Audits over intermediate frames that the entry queries
+    checkpoint away (the checkpoint cuts the visible plan)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as e
+    from monstache_spark.operators.curation import (
+        dsir_bucket_model,
+        dsir_importance_weights,
+    )
+
+    from monstache_spark.functions.text import shingle_hash
+
+    docs = e.load_table(spark, "documents", sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    hasher = lambda c: shingle_hash(c, 1)  # noqa: E731 — mirrors the entry query
+    model = dsir_bucket_model(docs, target, n_buckets=256, k=2, hasher=hasher)
+    wts = dsir_importance_weights(docs, model, n_buckets=256, k=2, hasher=hasher)
+    yield (
+        "dsir_importance[weights stage]",
+        "DSIR weights: bucket model hash-agg'd and BROADCAST into the "
+        "scoring join (no sort agg, no Python)",
         lambda p: "SortAggregate" not in p
         and "Python" not in p
         and "BroadcastHashJoin" in p,
-    ),
-]
+        wts,
+    )
 
 
 def main() -> int:
@@ -258,6 +287,13 @@ def main() -> int:
         if not ok:
             failures += 1
             print(plans[name][:4000])
+    for name, desc, pred, frame in extra_checks(spark, sf_dir):
+        p = plan_of(frame)
+        ok = bool(pred(p))
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {desc}")
+        if not ok:
+            failures += 1
+            print(p[:4000])
     print(f"\n{failures} failures" if failures else "\nall plans clean")
     spark.stop()
     return 1 if failures else 0
