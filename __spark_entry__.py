@@ -1148,6 +1148,55 @@ def _q_full_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (search.bm25_topk) — the scoring the
+    reference's Elasticsearch sink exists to enable
+    (monstache.go:1475-1529), served natively: query terms filter the
+    exploded token frame EARLY, tf/df/doclen are hash aggs, per-term
+    idf and the one-row (N, avgdl) stats broadcast into the scoring
+    join, and top-k executes as TakeOrderedAndProject."""
+    from monstache_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, ["vector", "merge", "window"], k=20)
+
+
+def _q_es_bool_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool-query DSL compiled to ONE Catalyst predicate
+    (search.compile_bool_query): must/range + must_not/term +
+    should/minimum_should_match over orders; simple leaves reach the
+    parquet scan as PushedFilters (plan-audited)."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    orders = load_table(spark, "orders", sf_dir)
+    q = {
+        "bool": {
+            "must": [{"range": {"o_totalprice": {"gte": 50000.0, "lt": 150000.0}}}],
+            "must_not": [{"term": {"o_orderstatus": "P"}}],
+            "should": [
+                {"term": {"o_orderpriority": "1-URGENT"}},
+                {"term": {"o_orderpriority": "2-HIGH"}},
+                {"prefix": {"o_orderpriority": "3"}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+    return bool_query_filter(orders, q).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more-like-this (search.more_like_this): doc 0's top-5
+    TF-IDF terms (≥4 chars, ties by term asc) BM25-rank the rest of
+    the corpus; the chosen terms re-enter the plan as literals so the
+    corpus side keeps its early selective filter."""
+    from monstache_spark.operators.search import more_like_this
+
+    docs = load_table(spark, "documents", sf_dir)
+    return more_like_this(docs, 0, k=10, max_query_terms=5, min_term_len=4)
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document: explode tokens → per-doc term
     counts → document frequency → tf * ln(N/df), ties by term asc.
@@ -1828,6 +1877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     TPC-H-style and filter queries cede slots and run after the window."""
     return {
         # --- driver correctness window: newest operators first ---
+        "bm25_search": _q_bm25_search,
+        "es_bool_filter": _q_es_bool_filter,
+        "more_like_this": _q_more_like_this,
         "semantic_dedup": _q_semantic_dedup,
         "gopher_quality": _q_gopher_quality,
         "dsir_importance": _q_dsir_importance,
@@ -2069,7 +2121,81 @@ def oracle_sql() -> dict[str, str]:
         % (b, 4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3, b)
         for b in range(4)
     )
+    # BM25 over a doc frame named `corpus` (so more_like_this can reuse
+    # it with the source doc excluded); terms arrive as an IN-list.
+    def bm25_sql(terms_pred: str, k: int) -> str:
+        return f"""
+          toks AS (
+            SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM corpus
+          ),
+          dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+          qt AS (SELECT * FROM toks WHERE {terms_pred}),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY doc_id, term),
+          dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY term),
+          idf AS (
+            SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+            FROM dfr, stats
+          ),
+          contrib AS (
+            SELECT tf.doc_id,
+                   CAST(round(idf * (tf * 2.2)
+                              / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+                        AS DECIMAL(38,6)) AS w
+            FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+          ),
+          scored AS (
+            SELECT doc_id, CAST(CAST(sum(w) AS DECIMAL(38,6)) AS DOUBLE) AS score
+            FROM contrib GROUP BY doc_id
+          ),
+          ranked AS (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM scored
+          )
+          SELECT doc_id, score, rank FROM ranked WHERE rank <= {k}
+        """
+
     return {
+        "bm25_search": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "es_bool_filter": """
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+          FROM orders
+          WHERE o_totalprice >= 50000.0 AND o_totalprice < 150000.0
+            AND NOT (o_orderstatus = 'P')
+            AND (CAST(o_orderpriority = '1-URGENT' AS INT)
+                 + CAST(o_orderpriority = '2-HIGH' AS INT)
+                 + CAST(o_orderpriority LIKE '3%' AS INT)) >= 1
+        """,
+        "more_like_this": f"""
+          WITH all_toks AS (
+            SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents
+          ),
+          src AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS tf FROM all_toks
+            WHERE doc_id = 0 AND length(term) >= 4 GROUP BY term
+          ),
+          ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          srcdf AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM all_toks
+            WHERE term IN (SELECT term FROM src) GROUP BY term
+          ),
+          scored_terms AS (
+            SELECT s.term, round(s.tf * ln(n_docs / df), 6) AS tfidf
+            FROM src s JOIN srcdf USING (term), ndocs
+          ),
+          top_terms AS (
+            SELECT term FROM (
+              SELECT term, row_number() OVER (ORDER BY tfidf DESC, term ASC) AS r
+              FROM scored_terms
+            ) WHERE r <= 5
+          ),
+          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
+          {bm25_sql("term IN (SELECT term FROM top_terms)", 10)}
+        """,
         "cdc_materialize": f"""
           WITH env AS ({_ENV}), guarded AS (SELECT * FROM env WHERE {_GUARDS})
           {materialize_body}

@@ -1,0 +1,328 @@
+"""Native search over the engine's tables: ES-style bool-query
+compilation, BM25 ranked retrieval, and more-like-this.
+
+The reference engine exists to FEED a search engine — every pipeline
+ends in Elasticsearch bulk indexing (monstache.go:1475-1529 builds the
+index request; monstache.go:3443-3490 routes ops into the bulk
+processor) precisely so users can run term/bool/relevance queries on
+the other side. A Spark-native replacement has to close that loop, or
+"switch to your repo" still requires operating an ES cluster for the
+read path. This module serves the common ES query shapes directly on
+the DataFrame the pipeline already maintains:
+
+* :func:`compile_bool_query` — the `bool` query DSL subset
+  (must/should/must_not/filter, term/terms/range/exists/prefix/
+  wildcard/match/match_phrase) compiled to ONE Catalyst ``Column``
+  predicate, so Catalyst pushes eligible leaves into the parquet scan
+  (PushedFilters) exactly where ES would use its inverted index.
+* :func:`bm25_topk` — Lucene-flavored BM25 ranked retrieval
+  (the scoring ES runs for `match` queries) as a declarative plan:
+  explode → filter to query terms EARLY (the per-term frames are
+  tiny) → hash-agg tf/df → broadcast the O(#terms) stats — the corpus
+  text itself never shuffles.
+* :func:`more_like_this` — ES's more-like-this: select the source
+  doc's top TF-IDF terms, then BM25-rank the rest of the corpus on
+  them.
+
+Scale notes (100 TB): every join on the corpus side is either a
+broadcast (per-term df/idf rows, one-row corpus stats) or an equi-join
+on the query's term set after an early selective filter; final top-k
+is ``orderBy().limit(k)`` which executes as TakeOrderedAndProject
+(per-partition heap + driver merge), never a global sort. Scores are
+summed in exact decimal micro-units of rounded per-term
+contributions, so results hash-match any engine that follows the same
+formula (the DuckDB oracles do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ---------------------------------------------------------------------------
+# bool-query DSL → Column
+# ---------------------------------------------------------------------------
+
+
+def _match_any_token(field: str, text: str) -> Column:
+    """ES `match` (OR of analyzed terms): true if ANY whitespace
+    token of ``text`` equals a whitespace token of the field,
+    case-insensitively — the simple-analyzer contract shared with the
+    oracle SQL."""
+    toks = [t for t in text.lower().split() if t]
+    hay = F.split(F.trim(F.lower(F.col(field))), r"\s+")
+    cond = F.lit(False)
+    for t in toks:
+        cond = cond | F.array_contains(hay, t)
+    return cond
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    """ES wildcard (`*` any run, `?` one char) → SQL LIKE, escaping
+    LIKE's own metacharacters."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_RANGE_OPS = {
+    "gte": lambda c, v: c >= F.lit(v),
+    "gt": lambda c, v: c > F.lit(v),
+    "lte": lambda c, v: c <= F.lit(v),
+    "lt": lambda c, v: c < F.lit(v),
+}
+
+
+def _compile_leaf(kind: str, body: dict) -> Column:
+    if kind == "bool":
+        return compile_bool_query({"bool": body})
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "range":
+        ((field, spec),) = body.items()
+        cond = F.lit(True)
+        for op, v in spec.items():
+            if op not in _RANGE_OPS:
+                raise ValueError(f"unsupported range operator: {op}")
+            cond = cond & _RANGE_OPS[op](F.col(field), v)
+        return cond
+    ((field, value),) = body.items()
+    if kind == "term":
+        return F.col(field) == F.lit(value)
+    if kind == "terms":
+        return F.col(field).isin(list(value))
+    if kind == "prefix":
+        return F.col(field).startswith(str(value))
+    if kind == "wildcard":
+        return F.col(field).like(_wildcard_to_like(str(value)))
+    if kind == "match":
+        return _match_any_token(field, str(value))
+    if kind == "match_phrase":
+        return F.contains(F.lower(F.col(field)), F.lit(str(value).lower()))
+    raise ValueError(f"unsupported query clause: {kind}")
+
+
+def compile_bool_query(query: dict) -> Column:
+    """Compile an Elasticsearch bool-query dict (the subset above) to
+    a single Catalyst predicate ``Column``.
+
+    Semantics follow ES: ``must`` and ``filter`` clauses AND (filter
+    is scoring-free in ES; with no scorer here they are identical),
+    ``must_not`` clauses are negated ANDs, and ``should`` requires at
+    least ``minimum_should_match`` matches — defaulting to 1 when the
+    bool has no must/filter context and 0 otherwise
+    (www.elastic.co bool-query contract). Nested ``bool`` clauses
+    recurse. Because the output is one ``Column``, simple leaves
+    (term/range on scan columns) reach the parquet reader as
+    PushedFilters — the audit asserts this.
+    """
+    if set(query.keys()) == {"bool"}:
+        body = query["bool"]
+    elif len(query) == 1:
+        ((kind, b),) = query.items()
+        return _compile_leaf(kind, b)
+    else:
+        raise ValueError("query must be a single clause or {'bool': {...}}")
+
+    def leaves(key: str) -> list[Column]:
+        out = []
+        for clause in body.get(key, []):
+            ((kind, b),) = clause.items()
+            out.append(_compile_leaf(kind, b))
+        return out
+
+    cond = F.lit(True)
+    for c in leaves("must") + leaves("filter"):
+        cond = cond & c
+    for c in leaves("must_not"):
+        cond = cond & ~c
+    should = leaves("should")
+    if should:
+        msm = body.get(
+            "minimum_should_match",
+            1 if not (body.get("must") or body.get("filter")) else 0,
+        )
+        if msm > 0:
+            n_matched = None
+            for c in should:
+                term = F.when(c, F.lit(1)).otherwise(F.lit(0))
+                n_matched = term if n_matched is None else n_matched + term
+            cond = cond & (n_matched >= F.lit(msm))
+    return cond
+
+
+def bool_query_filter(df: DataFrame, query: dict) -> DataFrame:
+    """Rows of ``df`` matching the compiled bool query."""
+    return df.filter(compile_bool_query(query))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def _term_rows(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, term) per token occurrence, simple-analyzed (lowercase +
+    whitespace split) — the same analyzer the oracle SQL applies."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 for a bag of query terms.
+
+    Formula (Lucene/ES practical BM25): per matched term,
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` and
+    ``w = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``; the doc
+    score is the sum over query terms. Per-term contributions are
+    rounded to 6 decimals and summed as exact ``decimal(38,6)`` so
+    the total is independent of summation order (engine-portable).
+
+    Plan shape: one corpus pass explodes tokens; doc lengths are a
+    hash agg of that same exploded frame; the per-term tf frame is
+    filtered to the query's terms BEFORE its agg (tiny from there on);
+    df/idf (O(#query terms) rows) and the one-row (N, avgdl) stats
+    broadcast into the scoring join. Final top-k is
+    TakeOrderedAndProject. Returns ``(id, score, rank)``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    toks = _term_rows(docs, text_col, id_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("term").isin(terms))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = (
+        qtoks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "avgdl",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("w"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("w").cast("decimal(38,6)").cast("double").alias("score")
+    )
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    # rank via a window over the ALREADY-limited frame: ≤ k rows, so
+    # the unpartitioned window is control-plane-sized by construction
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def more_like_this(
+    docs: DataFrame,
+    like_id,
+    k: int = 10,
+    max_query_terms: int = 10,
+    min_term_len: int = 4,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES more-like-this: take the source document's
+    ``max_query_terms`` best terms by TF-IDF (terms shorter than
+    ``min_term_len`` are skipped, ES's ``min_word_length`` analog;
+    ties break by term asc) and BM25-rank every OTHER document on
+    them.
+
+    The source doc's term selection is O(1 doc) but must see corpus
+    df — the df frame restricted to the source's own terms is tiny
+    and hash-agg'd; the chosen terms are collected (≤
+    ``max_query_terms`` rows, control-plane) and re-enter the plan as
+    literals so the corpus-side BM25 keeps its early selective
+    filter. Returns ``(id, score, rank)`` without the source doc.
+    """
+    src = docs.filter(F.col(id_col) == F.lit(like_id))
+    src_toks = _term_rows(src, text_col, id_col).filter(
+        F.length("term") >= min_term_len
+    )
+    src_tf = src_toks.groupBy("term").agg(F.count("*").cast("long").alias("tf"))
+    all_toks = _term_rows(docs, text_col, id_col)
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    src_df = (
+        all_toks.join(F.broadcast(src_tf.select("term")), "term")
+        .select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    scored_terms = (
+        src_tf.join(src_df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    top = scored_terms.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= max_query_terms
+    )
+    terms = [r["term"] for r in top.select("term").collect()]
+    if not terms:
+        return (
+            docs.select(F.col(id_col))
+            .filter(F.lit(False))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(0).cast("long"))
+        )
+    others = docs.filter(F.col(id_col) != F.lit(like_id))
+    return bm25_topk(
+        others, terms, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col
+    )

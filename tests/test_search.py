@@ -1,0 +1,167 @@
+"""Bool-query compilation, BM25 retrieval, more-like-this."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from monstache_spark.operators.search import (
+    bm25_topk,
+    bool_query_filter,
+    compile_bool_query,
+    more_like_this,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "spark streams data fast", "en"),
+        (1, "slow batch job", "en"),
+        (2, "spark spark spark tuning", "en"),
+        (3, "data lake table scan", "de"),
+        (4, "the quick brown fox", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_term_terms_range_exists(spark):
+    df = _docs(spark).withColumn(
+        "score", F.when(F.col("doc_id") < 3, F.col("doc_id") * 10.0)
+    )
+    got = {r["doc_id"] for r in bool_query_filter(df, {"term": {"lang": "de"}}).collect()}
+    assert got == {3}
+    got = {
+        r["doc_id"]
+        for r in bool_query_filter(df, {"terms": {"doc_id": [1, 4]}}).collect()
+    }
+    assert got == {1, 4}
+    got = {
+        r["doc_id"]
+        for r in bool_query_filter(
+            df, {"range": {"doc_id": {"gte": 1, "lt": 4}}}
+        ).collect()
+    }
+    assert got == {1, 2, 3}
+    got = {
+        r["doc_id"] for r in bool_query_filter(df, {"exists": {"field": "score"}}).collect()
+    }
+    assert got == {0, 1, 2}
+
+
+def test_prefix_wildcard_match_phrase(spark):
+    df = _docs(spark)
+    assert {
+        r["doc_id"] for r in bool_query_filter(df, {"prefix": {"text": "spark"}}).collect()
+    } == {0, 2}
+    assert {
+        r["doc_id"]
+        for r in bool_query_filter(df, {"wildcard": {"text": "*quick*fox"}}).collect()
+    } == {4}
+    # match is OR over analyzed tokens, case-insensitive
+    assert {
+        r["doc_id"]
+        for r in bool_query_filter(df, {"match": {"text": "SPARK fox"}}).collect()
+    } == {0, 2, 4}
+    assert {
+        r["doc_id"]
+        for r in bool_query_filter(df, {"match_phrase": {"text": "data lake"}}).collect()
+    } == {3}
+
+
+def test_bool_nesting_and_minimum_should_match(spark):
+    df = _docs(spark)
+    q = {
+        "bool": {
+            "must": [{"term": {"lang": "en"}}],
+            "must_not": [{"match": {"text": "batch"}}],
+            "should": [
+                {"match": {"text": "spark"}},
+                {"match": {"text": "fox"}},
+                {"match": {"text": "data"}},
+            ],
+            "minimum_should_match": 1,
+        }
+    }
+    assert {r["doc_id"] for r in bool_query_filter(df, q).collect()} == {0, 2, 4}
+    # bare should (no must): at least one must match by default
+    q2 = {"bool": {"should": [{"term": {"doc_id": 1}}, {"term": {"doc_id": 3}}]}}
+    assert {r["doc_id"] for r in bool_query_filter(df, q2).collect()} == {1, 3}
+    # nested bool inside must
+    q3 = {
+        "bool": {
+            "must": [
+                {
+                    "bool": {
+                        "should": [
+                            {"term": {"lang": "de"}},
+                            {"match": {"text": "tuning"}},
+                        ]
+                    }
+                }
+            ]
+        }
+    }
+    assert {r["doc_id"] for r in bool_query_filter(df, q3).collect()} == {2, 3}
+
+
+def test_bool_query_predicate_pushdown(spark, tmp_path):
+    _docs(spark).write.parquet(str(tmp_path / "d"))
+    df = spark.read.parquet(str(tmp_path / "d"))
+    out = bool_query_filter(
+        df, {"bool": {"must": [{"term": {"lang": "en"}}, {"range": {"doc_id": {"gte": 2}}}]}}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(lang,en)" in plan
+
+
+def test_bm25_formula_matches_reference_computation(spark):
+    df = _docs(spark)
+    out = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["spark", "data"], k=5).collect()}
+    # reference computation on the same 5-doc corpus
+    corpus = {
+        0: "spark streams data fast",
+        1: "slow batch job",
+        2: "spark spark spark tuning",
+        3: "data lake table scan",
+        4: "the quick brown fox",
+    }
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    k1, b = 1.2, 0.75
+    expect = {}
+    for term in ["spark", "data"]:
+        dfreq = sum(1 for v in toks.values() if term in v)
+        idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                w = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                expect[i] = expect.get(i, 0.0) + round(w, 6)
+    for i, s in out.items():
+        assert abs(s - expect[i]) < 1e-6, (i, s, expect.get(i))
+    # doc 2 (3x spark) must outrank doc 0 (1x spark + 1x data)? check order agrees
+    ranked = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+    got_ranked = [
+        r["doc_id"]
+        for r in bm25_topk(df, ["spark", "data"], k=5).orderBy("rank").collect()
+    ]
+    assert got_ranked == [i for i, _ in ranked]
+
+
+def test_bm25_topk_plan_is_take_ordered(spark):
+    df = _docs(spark)
+    out = bm25_topk(df, ["spark"], k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_more_like_this_excludes_source_and_is_deterministic(spark):
+    df = _docs(spark)
+    a = [(r["doc_id"], r["score"]) for r in more_like_this(df, 0, k=3, min_term_len=4).collect()]
+    b = [(r["doc_id"], r["score"]) for r in more_like_this(df, 0, k=3, min_term_len=4).collect()]
+    assert a == b
+    assert 0 not in {i for i, _ in a}
+    assert len(a) > 0

@@ -234,6 +234,22 @@ CHECKS = [
         and "Aggregate" not in p,
     ),
     (
+        "bm25_search",
+        "BM25: top-k is TakeOrderedAndProject, stats broadcast, no "
+        "sort agg, no Python",
+        lambda p: "TakeOrderedAndProject" in p
+        and "BroadcastHashJoin" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_bool_filter",
+        "bool query: compiled predicate reaches the parquet scan "
+        "(price range + status pushed)",
+        lambda p: re.search(r"PushedFilters: \[.*o_totalprice", p)
+        and "Exchange" not in p,
+    ),
+    (
         "dsir_importance",
         "DSIR: final rank is a range-bucketed parallel window — no "
         "single-partition window, no sort agg, no Python",
