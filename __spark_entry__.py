@@ -1858,6 +1858,107 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(docs, quality_col="n_chars")
 
 
+def _q_es_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation with metric sub-aggs (aggs.compile_aggs):
+    top-3 event types by doc count (ES default ordering: count desc,
+    key asc) with exact-decimal avg and exact cardinality — one hash
+    aggregation, O(#buckets) truncation window."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {
+                    "avg_value": {"avg": {"field": "value"}},
+                    "users": {"cardinality": {"field": "user_id"}},
+                },
+            }
+        },
+    )
+
+
+def _q_es_date_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ES bucket aggs (aggs.compile_aggs): terms(event_type,
+    size=2) → date_histogram(day) → sum(value); the whole tree is ONE
+    flattened groupBy, size truncation ranks on the terms bucket's
+    TOTAL count over its daily leaves."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 2},
+                "aggs": {
+                    "daily": {
+                        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                        "aggs": {"sum_value": {"sum": {"field": "value"}}},
+                    }
+                },
+            }
+        },
+    )
+
+
+def _q_es_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation (aggs.compile_aggs): half-open [from, to)
+    price bands that OVERLAP — a doc lands in every matching band, as
+    in ES (multi-membership via one bounded explode) — with a stats
+    sub-agg in exact decimal accumulation."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    orders = load_table(spark, "orders", sf_dir)
+    return compile_aggs(
+        orders,
+        {
+            "price_band": {
+                "range": {
+                    "field": "o_totalprice",
+                    "ranges": [
+                        {"key": "low", "to": 100000.0},
+                        {"key": "mid", "from": 50000.0, "to": 200000.0},
+                        {"key": "high", "from": 150000.0},
+                    ],
+                },
+                "aggs": {"price": {"stats": {"field": "o_totalprice"}}},
+            }
+        },
+    )
+
+
+def _q_es_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation (aggs.compile_composite_agg):
+    (event_type, histogram(user_id, 100)) sources, key-ordered page of
+    25 resuming strictly after ('error', 400.0) — the cursor contract
+    that makes ES composite pagination deterministic — with
+    value_count and exact-interpolated p50 metrics."""
+    from monstache_spark.operators.aggs import compile_composite_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_composite_agg(
+        ev,
+        "page",
+        {
+            "composite": {
+                "sources": [
+                    {"by_type": {"terms": {"field": "event_type"}}},
+                    {"by_user": {"histogram": {"field": "user_id", "interval": 100}}},
+                ],
+                "size": 25,
+                "after": {"by_type": "error", "by_user": 400.0},
+            },
+            "aggs": {
+                "n": {"value_count": {"field": "value"}},
+                "p50": {"percentiles": {"field": "value", "percents": [50.0]}},
+            },
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1877,6 +1978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     TPC-H-style and filter queries cede slots and run after the window."""
     return {
         # --- driver correctness window: newest operators first ---
+        "es_terms_agg": _q_es_terms_agg,
+        "es_date_histogram_agg": _q_es_date_histogram_agg,
+        "es_range_agg": _q_es_range_agg,
+        "es_composite_agg": _q_es_composite_agg,
         "bm25_search": _q_bm25_search,
         "es_bool_filter": _q_es_bool_filter,
         "more_like_this": _q_more_like_this,
@@ -2157,6 +2262,67 @@ def oracle_sql() -> dict[str, str]:
         """
 
     return {
+        "es_terms_agg": """
+          WITH g AS (
+            SELECT CAST(event_type AS VARCHAR) AS by_type,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(count(value) AS DOUBLE) AS avg_value,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS users
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1
+          )
+          SELECT by_type, doc_count, avg_value, users FROM g
+          QUALIFY dense_rank() OVER (ORDER BY doc_count DESC, by_type ASC) <= 3
+        """,
+        "es_date_histogram_agg": """
+          WITH leaf AS (
+            SELECT CAST(event_type AS VARCHAR) AS by_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+            FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+          ), tot AS (
+            SELECT *, sum(doc_count) OVER (PARTITION BY by_type) AS bt FROM leaf
+          )
+          SELECT by_type, daily, doc_count, sum_value FROM tot
+          QUALIFY dense_rank() OVER (ORDER BY bt DESC, by_type ASC) <= 2
+        """,
+        "es_range_agg": """
+          WITH b AS (
+            SELECT 'low' AS price_band, o_totalprice FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_totalprice < 100000.0
+            UNION ALL
+            SELECT 'mid', o_totalprice FROM orders
+              WHERE o_totalprice >= 50000.0 AND o_totalprice < 200000.0
+            UNION ALL
+            SELECT 'high', o_totalprice FROM orders WHERE o_totalprice >= 150000.0
+          )
+          SELECT price_band,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(count(o_totalprice) AS BIGINT) AS price_count,
+                 CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+                 CAST(max(o_totalprice) AS DOUBLE) AS price_max,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(o_totalprice) AS DOUBLE) AS price_avg,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS price_sum
+          FROM b GROUP BY 1
+        """,
+        "es_composite_agg": """
+          WITH g AS (
+            SELECT CAST(event_type AS VARCHAR) AS by_type,
+                   CAST(floor(CAST(user_id AS DOUBLE) / 100.0) * 100.0 AS DOUBLE) AS by_user,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(count(value) AS BIGINT) AS n,
+                   round(quantile_cont(value, 0.5), 6) AS p50_p50
+            FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+          )
+          SELECT by_type, by_user, doc_count, n, p50_p50 FROM g
+          WHERE (by_type > 'error') OR (by_type = 'error' AND by_user > 400.0)
+          ORDER BY by_type ASC, by_user ASC LIMIT 25
+        """,
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}

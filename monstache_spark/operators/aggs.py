@@ -1,0 +1,354 @@
+"""ES aggregations DSL compiled to one Spark hash-aggregation plan.
+
+The reference feeds Elasticsearch so users can run the *other* half of
+the ES read path: the aggregations DSL (terms facets, date histograms,
+range buckets, stats/percentiles metrics — the queries Kibana issues).
+The reference itself never aggregates (SURVEY.md §2.5: aggregation
+over sink data is "Elasticsearch query DSL, out of scope of the
+daemon"); a Spark-native replacement serves them directly on the
+maintained table.  This module compiles the common ES ``aggs`` subset
+to a single flattened DataFrame plan:
+
+* bucket aggs: ``terms`` (``size``, ``min_doc_count``, count-desc
+  ordering), ``histogram`` (numeric ``interval``),
+  ``date_histogram`` (``calendar_interval`` hour/day/week/month),
+  ``range`` (half-open ``[from, to)`` ranges; a doc lands in every
+  range it matches, as in ES), ``filters`` (named bool-query
+  predicates, multi-membership like ES).
+* metric aggs: ``avg``, ``sum``, ``min``, ``max``, ``value_count``,
+  ``cardinality`` (exact by default; ``precision_threshold`` switches
+  to ``approx_count_distinct`` — documented divergence from the
+  oracle), ``stats`` (count/min/max/avg/sum columns), ``percentiles``
+  (exact interpolated percentiles where ES uses t-digest — documented
+  divergence, exactness is the *stronger* contract).
+* ``composite``: multi-source grouping with key-ordered ``size``
+  truncation.
+
+ES returns nested bucket JSON; a DataFrame engine flattens: one row
+per leaf bucket combination carrying every ancestor bucket key, the
+leaf ``doc_count``, and the leaf metrics.  That shape is exactly
+``GROUP BY <key chain>`` — so the whole tree, however deep, compiles
+to ONE hash aggregation (partial + final from Catalyst, no shuffle
+per level).  ``terms.size`` truncation happens AFTER the agg on the
+already-bucket-sized frame via a window rank over ancestor keys —
+O(#buckets), never a second corpus pass.
+
+Scale notes (100 TB): the input is touched exactly once; bucket key
+assignment is a codegen projection (`date_trunc`, `floor`, CASE);
+only ``range``/``filters`` explode, with amplification bounded by the
+number of ranges (user-written, single digits); everything after the
+groupBy is bucket-cardinality-sized.  No driver-side collection.
+
+Reference parity evidence: monstache routes every indexed doc into ES
+precisely so these aggregations work there (bulk request construction
+monstache.go:3160-3245); the DSL semantics follow the public ES
+aggregations contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from monstache_spark.operators.search import compile_bool_query
+
+_METRIC_KINDS = {
+    "avg",
+    "sum",
+    "min",
+    "max",
+    "value_count",
+    "cardinality",
+    "stats",
+    "percentiles",
+}
+
+_BUCKET_KINDS = {"terms", "histogram", "date_histogram", "range", "filters"}
+
+_CALENDAR_TRUNC = {
+    "hour": "hour",
+    "day": "day",
+    "week": "week",
+    "month": "month",
+    "quarter": "quarter",
+    "year": "year",
+}
+
+
+def _one(d: dict) -> tuple[str, dict]:
+    body = {k: v for k, v in d.items() if k != "aggs"}
+    if len(body) != 1:
+        raise ValueError(f"aggregation must have exactly one kind: {sorted(body)}")
+    ((kind, spec),) = body.items()
+    return kind, spec
+
+
+def _bucket_key_col(kind: str, spec: dict) -> Column:
+    """Key expression for single-membership bucket kinds."""
+    field = F.col(spec["field"])
+    if kind == "terms":
+        return field.cast("string")
+    if kind == "histogram":
+        interval = float(spec["interval"])
+        return (
+            F.floor(field.cast("double") / F.lit(interval)) * F.lit(interval)
+        ).cast("double")
+    if kind == "date_histogram":
+        iv = spec.get("calendar_interval") or spec.get("fixed_interval")
+        if iv not in _CALENDAR_TRUNC:
+            raise ValueError(f"unsupported date_histogram interval: {iv}")
+        return F.date_trunc(_CALENDAR_TRUNC[iv], field)
+    raise ValueError(kind)
+
+
+def _multi_membership_keys(kind: str, spec: dict) -> Column:
+    """Array of bucket keys a row belongs to (range / filters).
+
+    ES range buckets are half-open ``[from, to)`` and may overlap — a
+    doc can land in several; ``filters`` likewise.  The array is built
+    in one codegen projection and exploded; amplification is bounded
+    by the (small, user-written) bucket count.
+    """
+    if kind == "range":
+        field = F.col(spec["field"]).cast("double")
+        keys = []
+        for r in spec["ranges"]:
+            lo, hi = r.get("from"), r.get("to")
+            name = r.get("key") or f"{lo if lo is not None else '*'}-{hi if hi is not None else '*'}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (field >= F.lit(float(lo)))
+            if hi is not None:
+                cond = cond & (field < F.lit(float(hi)))
+            keys.append(F.when(cond & field.isNotNull(), F.lit(name)))
+        return F.array_compact(F.array(*keys))
+    if kind == "filters":
+        keys = [
+            F.when(compile_bool_query(q), F.lit(name))
+            for name, q in sorted(spec["filters"].items())
+        ]
+        return F.array_compact(F.array(*keys))
+    raise ValueError(kind)
+
+
+def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
+    """Aggregate expressions for one metric agg, aliased ``name`` (or
+    ``name_<stat>`` for the multi-column kinds).
+
+    sum/avg/stats accumulate in exact ``decimal(38,6)`` and cast the
+    result to double — order-independent, so totals are identical on
+    any engine and any partitioning (float summation order is not).
+    """
+    field = F.col(spec["field"])
+    dec = field.cast("decimal(38,6)")
+    exact_sum = F.sum(dec).cast("double")
+    exact_avg = F.sum(dec).cast("double") / F.count(field).cast("double")
+    if kind == "avg":
+        return [exact_avg.alias(name)]
+    if kind == "sum":
+        return [exact_sum.alias(name)]
+    if kind == "min":
+        return [F.min(field).alias(name)]
+    if kind == "max":
+        return [F.max(field).alias(name)]
+    if kind == "value_count":
+        return [F.count(field).cast("long").alias(name)]
+    if kind == "cardinality":
+        if "precision_threshold" in spec:
+            # ES cardinality is HLL-approximate; expose the same
+            # behavior behind the explicit knob.  Default stays exact
+            # (stronger than ES, and oracle-checkable).
+            return [
+                F.approx_count_distinct(field, 0.02).cast("long").alias(name)
+            ]
+        return [F.countDistinct(field).cast("long").alias(name)]
+    if kind == "stats":
+        return [
+            F.count(field).cast("long").alias(f"{name}_count"),
+            F.min(field.cast("double")).alias(f"{name}_min"),
+            F.max(field.cast("double")).alias(f"{name}_max"),
+            exact_avg.alias(f"{name}_avg"),
+            exact_sum.alias(f"{name}_sum"),
+        ]
+    if kind == "percentiles":
+        pcts = spec.get("percents", [25.0, 50.0, 75.0])
+        return [
+            F.round(F.percentile(field.cast("double"), F.lit(p / 100.0)), 6).alias(
+                f"{name}_p{str(p).replace('.0', '').replace('.', '_')}"
+            )
+            for p in pcts
+        ]
+    raise ValueError(f"unsupported metric aggregation: {kind}")
+
+
+def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
+    """Compile an ES ``aggs`` tree over ``df`` to one flattened plan.
+
+    ``aggs`` is the ES request subset documented in the module
+    docstring: a dict of ``name -> {kind: spec, "aggs": {...}}``.  At
+    most one *bucket* agg is allowed per level (ES allows sibling
+    bucket aggs — run :func:`compile_aggs` once per sibling; each is
+    its own single-pass plan); metric siblings are unlimited.
+
+    Returns one row per leaf bucket combination: a ``<name>`` key
+    column per bucket level (string for terms/range/filters, double
+    for histogram, timestamp for date_histogram), ``doc_count``
+    (leaf), and the metric columns.  Rows whose bucket key is null
+    (missing field) are dropped, as in ES.  ``terms`` ordering is
+    ES's default — doc_count desc, key asc — applied *within* the
+    parent bucket when truncating to ``size``.
+    """
+    key_names: list[str] = []
+    # (name, size, min_doc_count) per terms level, applied post-agg
+    truncations: list[tuple[str, int | None, int]] = []
+    metrics: list[Column] = []
+    out = df
+
+    node = aggs
+    while node:
+        bucket_items = []
+        for name, body in node.items():
+            kind, spec = _one(body)
+            if kind in _METRIC_KINDS:
+                metrics.extend(_metric_exprs(name, kind, spec))
+            elif kind in _BUCKET_KINDS:
+                bucket_items.append((name, kind, spec, body.get("aggs") or {}))
+            elif kind == "composite":
+                raise ValueError("composite must be the only, top-level agg")
+            else:
+                raise ValueError(f"unsupported aggregation kind: {kind}")
+        if len(bucket_items) > 1:
+            raise ValueError(
+                "one bucket agg per level; run compile_aggs per sibling"
+            )
+        if not bucket_items:
+            break
+        name, kind, spec, child = bucket_items[0]
+        if kind in ("range", "filters"):
+            out = out.withColumn(
+                name, F.explode(_multi_membership_keys(kind, spec))
+            )
+        else:
+            out = out.withColumn(name, _bucket_key_col(kind, spec))
+            if kind == "terms":
+                truncations.append(
+                    (name, spec.get("size"), int(spec.get("min_doc_count", 1)))
+                )
+        key_names.append(name)
+        node = child
+
+    if not key_names:
+        raise ValueError("aggs tree has no bucket aggregation")
+
+    cond = F.lit(True)
+    for k in key_names:
+        cond = cond & F.col(k).isNotNull()
+    grouped = (
+        out.filter(cond)
+        .groupBy(*key_names)
+        .agg(F.count("*").cast("long").alias("doc_count"), *metrics)
+    )
+
+    # terms size / min_doc_count: rank buckets by their TOTAL doc
+    # count (sum over descendant leaves) within the parent bucket —
+    # O(#buckets) work on the already-aggregated frame.  A LEAF terms
+    # level needs no bucket-total window (total == doc_count), and a
+    # leaf with no ancestors top-sizes as orderBy().limit() —
+    # TakeOrderedAndProject, no single-partition window even when the
+    # bucket cardinality is large.
+    for name, size, min_dc in truncations:
+        ancestors = key_names[: key_names.index(name)]
+        is_leaf = name == key_names[-1]
+        if is_leaf:
+            total = F.col("doc_count")
+        else:
+            bucket_w = Window.partitionBy(*ancestors, name)
+            grouped = grouped.withColumn(
+                "_bucket_total", F.sum("doc_count").over(bucket_w)
+            )
+            total = F.col("_bucket_total")
+        if min_dc > 1:
+            grouped = grouped.filter(total >= F.lit(min_dc))
+        if size is not None:
+            if is_leaf and not ancestors:
+                grouped = grouped.orderBy(
+                    total.desc(), F.col(name).asc()
+                ).limit(int(size))
+            else:
+                part = (
+                    Window.partitionBy(*ancestors)
+                    if ancestors
+                    else Window.partitionBy()
+                )
+                rank_w = part.orderBy(total.desc(), F.col(name).asc())
+                grouped = (
+                    grouped.withColumn("_r", F.dense_rank().over(rank_w))
+                    .filter(F.col("_r") <= F.lit(int(size)))
+                    .drop("_r")
+                )
+        if not is_leaf:
+            grouped = grouped.drop("_bucket_total")
+    return grouped
+
+
+def compile_composite_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
+    """ES ``composite`` aggregation: multi-source grouping with
+    key-ordered pagination.
+
+    ``body`` is ``{"composite": {"sources": [{name: {terms|histogram|
+    date_histogram: spec}}, ...], "size": N, "after": {name: key}},
+    "aggs": {metrics...}}``.  Sources become one composite group-by
+    key; buckets order by the key tuple ascending (the composite
+    contract — that is what makes ``after`` cursors work); ``after``
+    resumes strictly after the given key tuple; ``size`` caps the
+    page.  Returns ``(source cols..., doc_count, metrics...)``.
+
+    One hash agg + TakeOrderedAndProject for the page — the input is
+    read once regardless of page position; ``after`` prunes buckets
+    post-agg (bucket-cardinality work, and for leading ``terms``
+    sources a matching pre-agg filter would push into the scan — add
+    it when pages go deep).
+    """
+    spec = body["composite"]
+    metrics: list[Column] = []
+    for mname, mbody in (body.get("aggs") or {}).items():
+        kind, mspec = _one(mbody)
+        if kind not in _METRIC_KINDS:
+            raise ValueError("composite sub-aggs must be metrics")
+        metrics.extend(_metric_exprs(mname, kind, mspec))
+
+    key_names: list[str] = []
+    out = df
+    for src in spec["sources"]:
+        ((sname, sbody),) = src.items()
+        kind, sspec = _one(sbody)
+        if kind not in ("terms", "histogram", "date_histogram"):
+            raise ValueError(f"unsupported composite source: {kind}")
+        out = out.withColumn(sname, _bucket_key_col(kind, sspec))
+        key_names.append(sname)
+
+    cond = F.lit(True)
+    for k in key_names:
+        cond = cond & F.col(k).isNotNull()
+    grouped = (
+        out.filter(cond)
+        .groupBy(*key_names)
+        .agg(F.count("*").cast("long").alias("doc_count"), *metrics)
+    )
+
+    after = spec.get("after")
+    if after:
+        # strictly-after in the lexicographic key order: build the
+        # row-comparison predicate (k1 > a1) OR (k1 = a1 AND k2 > a2)…
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for k in key_names:
+            a = F.lit(after[k])
+            cond = cond | (eq & (F.col(k) > a))
+            eq = eq & (F.col(k) == a)
+        grouped = grouped.filter(cond)
+
+    ordered = grouped.orderBy(*[F.col(k).asc() for k in key_names])
+    size = spec.get("size")
+    return ordered.limit(int(size)) if size is not None else ordered

@@ -1,0 +1,208 @@
+"""ES aggregations DSL (operators/aggs.py) unit tests: the paths the
+oracle-checked entry queries don't exercise — filters buckets,
+min_doc_count, per-parent size truncation, multi-membership range
+edges, composite cursor semantics, and rejection of unsupported
+shapes."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from monstache_spark.operators.aggs import compile_aggs, compile_composite_agg
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        # (id, kind, region, val, ts)
+        (1, "click", "eu", 10.0, datetime.datetime(2024, 1, 1, 5)),
+        (2, "click", "eu", 20.0, datetime.datetime(2024, 1, 1, 9)),
+        (3, "click", "us", 30.0, datetime.datetime(2024, 1, 2, 1)),
+        (4, "view", "eu", 40.0, datetime.datetime(2024, 1, 1, 2)),
+        (5, "view", "us", 50.0, datetime.datetime(2024, 1, 2, 3)),
+        (6, "buy", "us", 60.0, datetime.datetime(2024, 1, 2, 4)),
+        (7, "buy", None, None, datetime.datetime(2024, 1, 3, 0)),
+        (8, None, "eu", 80.0, datetime.datetime(2024, 1, 3, 1)),
+    ]
+    return spark.createDataFrame(rows, "id long, kind string, region string, val double, ts timestamp")
+
+
+def test_terms_drops_null_keys_and_orders(ev):
+    out = compile_aggs(ev, {"k": {"terms": {"field": "kind"}}})
+    got = {r["k"]: r["doc_count"] for r in out.collect()}
+    # the null-kind row (id 8) is dropped, as in ES
+    assert got == {"click": 3, "view": 2, "buy": 2}
+
+
+def test_terms_size_ties_break_by_key_asc(ev):
+    out = compile_aggs(ev, {"k": {"terms": {"field": "kind", "size": 2}}})
+    got = sorted(r["k"] for r in out.collect())
+    # click(3) first, then buy(2) beats view(2) on key asc
+    assert got == ["buy", "click"]
+
+
+def test_min_doc_count_filters_buckets(ev):
+    out = compile_aggs(ev, {"k": {"terms": {"field": "kind", "min_doc_count": 3}}})
+    assert [r["k"] for r in out.collect()] == ["click"]
+
+
+def test_nested_size_truncates_within_parent(ev):
+    # per region, keep only the top-1 kind: truncation must rank the
+    # kind bucket total WITHIN its parent region bucket
+    out = compile_aggs(
+        ev,
+        {
+            "region": {
+                "terms": {"field": "region"},
+                "aggs": {"k": {"terms": {"field": "kind", "size": 1}}},
+            }
+        },
+    )
+    got = {(r["region"], r["k"]): r["doc_count"] for r in out.collect()}
+    # eu: click=2 beats view=1; us: buy/click/view all 1 → key asc → buy
+    assert got == {("eu", "click"): 2, ("us", "buy"): 1}
+
+
+def test_filters_agg_multi_membership(ev):
+    out = compile_aggs(
+        ev,
+        {
+            "f": {
+                "filters": {
+                    "filters": {
+                        "cheap": {"range": {"val": {"lt": 40.0}}},
+                        "eu": {"term": {"region": "eu"}},
+                    }
+                },
+                "aggs": {"total": {"sum": {"field": "val"}}},
+            }
+        },
+    )
+    got = {r["f"]: (r["doc_count"], r["total"]) for r in out.collect()}
+    # rows 1,2 match both buckets; row 8 (val=80, eu) only eu
+    assert got == {"cheap": (3, 60.0), "eu": (4, 150.0)}
+
+
+def test_range_boundaries_half_open(ev):
+    out = compile_aggs(
+        ev,
+        {
+            "band": {
+                "range": {
+                    "field": "val",
+                    "ranges": [
+                        {"key": "lo", "to": 30.0},
+                        {"key": "hi", "from": 30.0},
+                    ],
+                }
+            }
+        },
+    )
+    got = {r["band"]: r["doc_count"] for r in out.collect()}
+    # val=30 lands in hi only ([from, to)); null val drops
+    assert got == {"lo": 2, "hi": 5}
+
+
+def test_date_histogram_hour(ev):
+    out = compile_aggs(
+        ev, {"h": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}}
+    )
+    got = {r["h"].date(): r["doc_count"] for r in out.collect()}
+    assert got == {
+        datetime.date(2024, 1, 1): 3,
+        datetime.date(2024, 1, 2): 3,
+        datetime.date(2024, 1, 3): 2,
+    }
+
+
+def test_histogram_negative_values(spark):
+    df = spark.createDataFrame(
+        [(1, -15.0), (2, -5.0), (3, 5.0)], "id long, v double"
+    )
+    out = compile_aggs(df, {"b": {"histogram": {"field": "v", "interval": 10.0}}})
+    got = {r["b"]: r["doc_count"] for r in out.collect()}
+    # floor semantics: -15 → -20, -5 → -10 (ES histogram contract)
+    assert got == {-20.0: 1, -10.0: 1, 0.0: 1}
+
+
+def test_cardinality_precision_threshold_is_approx(ev):
+    exact = compile_aggs(
+        ev, {"k": {"terms": {"field": "region"}, "aggs": {"c": {"cardinality": {"field": "kind"}}}}}
+    )
+    approx = compile_aggs(
+        ev,
+        {
+            "k": {
+                "terms": {"field": "region"},
+                "aggs": {"c": {"cardinality": {"field": "kind", "precision_threshold": 100}}},
+            }
+        },
+    )
+    # at this cardinality the HLL answer equals the exact one; the
+    # assertion pins that the knob switches plans without changing
+    # small-cardinality results
+    assert {tuple(r) for r in exact.collect()} == {tuple(r) for r in approx.collect()}
+
+
+def test_composite_after_cursor_strictly_after(ev):
+    body = {
+        "composite": {
+            "sources": [
+                {"k": {"terms": {"field": "kind"}}},
+                {"r": {"terms": {"field": "region"}}},
+            ],
+            "size": 2,
+            "after": {"k": "buy", "r": "us"},
+        }
+    }
+    out = compile_composite_agg(ev, "page", body)
+    got = [(r["k"], r["r"]) for r in out.collect()]
+    # key-asc order resumes strictly after (buy, us): the (buy, us)
+    # bucket itself is excluded
+    assert got == [("click", "eu"), ("click", "us")]
+
+
+def test_composite_page_then_next_page_covers_all(ev):
+    base = {
+        "composite": {
+            "sources": [{"k": {"terms": {"field": "kind"}}}],
+            "size": 2,
+        },
+        "aggs": {"n": {"value_count": {"field": "val"}}},
+    }
+    p1 = compile_composite_agg(ev, "page", base).collect()
+    after = {"k": p1[-1]["k"]}
+    base2 = {**base, "composite": {**base["composite"], "after": after}}
+    p2 = compile_composite_agg(ev, "page", base2).collect()
+    assert [r["k"] for r in p1] + [r["k"] for r in p2] == ["buy", "click", "view"]
+
+
+def test_rejects_sibling_bucket_aggs(ev):
+    with pytest.raises(ValueError, match="one bucket agg per level"):
+        compile_aggs(
+            ev,
+            {
+                "a": {"terms": {"field": "kind"}},
+                "b": {"terms": {"field": "region"}},
+            },
+        )
+
+
+def test_rejects_metrics_only_tree(ev):
+    with pytest.raises(ValueError, match="no bucket aggregation"):
+        compile_aggs(ev, {"m": {"avg": {"field": "val"}}})
+
+
+def test_rejects_bucket_sub_agg_in_composite(ev):
+    with pytest.raises(ValueError, match="metrics"):
+        compile_composite_agg(
+            ev,
+            "page",
+            {
+                "composite": {"sources": [{"k": {"terms": {"field": "kind"}}}]},
+                "aggs": {"sub": {"terms": {"field": "region"}}},
+            },
+        )

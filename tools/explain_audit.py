@@ -257,6 +257,41 @@ CHECKS = [
         and "Python" not in p
         and "SinglePartition" not in p,
     ),
+    (
+        "es_terms_agg",
+        "ES terms agg: codegen hash agg (2 exchanges: group + distinct "
+        "cardinality), size via TakeOrderedAndProject, no window, no Python",
+        lambda p: p.count("Exchange hashpartitioning") <= 2
+        and "TakeOrderedAndProject" in p
+        and "Window" not in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_date_histogram_agg",
+        "nested ES bucket tree flattens to ONE grouping exchange — no "
+        "per-level shuffle",
+        lambda p: p.count("Exchange hashpartitioning") <= 2  # agg + window rank
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_range_agg",
+        "ES range agg: scan reads only the range field (column pruning "
+        "through the explode), hash agg, no Python",
+        lambda p: "o_comment" not in p
+        and "o_orderdate" not in p
+        and "HashAggregate" in p
+        and "Python" not in p,
+    ),
+    (
+        "es_composite_agg",
+        "ES composite page: hash agg + TakeOrderedAndProject (no global "
+        "sort for the page), no Python",
+        lambda p: "TakeOrderedAndProject" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
 ]
 
 
