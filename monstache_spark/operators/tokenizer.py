@@ -101,6 +101,75 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     return F.trim(twice)
 
 
+def _driver_merge_loop(
+    words: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact greedy BPE over an already-collected (word, count) vocab.
+
+    Semantically identical to the distributed loop (same tie-break:
+    count desc, left asc, right asc; same simultaneous non-overlapping
+    left-to-right merge) — pinned against it by
+    tests/test_tokenizer.py.  Pair counts are maintained
+    INCREMENTALLY: each merge re-counts only the words that contain
+    the merged pair, so the loop is O(affected words) per iteration.
+    """
+    from collections import Counter
+
+    def pairs_of(syms: tuple[str, ...]) -> list[tuple[str, str]]:
+        return list(zip(syms, syms[1:]))
+
+    vocab: list[list] = [
+        [tuple(word) + (EOW,), int(n)] for word, n in words
+    ]
+    counts: Counter = Counter()
+    # pair -> set of vocab indexes containing it (occurrence index)
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, (syms, n) in enumerate(vocab):
+        for p in pairs_of(syms):
+            counts[p] += n
+            where.setdefault(p, set()).add(i)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        if not counts:
+            break
+        (left, right), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_pair_count:
+            break
+        merges.append((rank, left, right, int(c)))
+        merged = left + right
+        for i in sorted(where.get((left, right), ())):
+            syms, n = vocab[i]
+            # retract this word's old pair contributions
+            for p in pairs_of(syms):
+                counts[p] -= n
+                if counts[p] <= 0:
+                    del counts[p]
+                ws = where.get(p)
+                if ws is not None:
+                    ws.discard(i)
+                    if not ws:
+                        del where[p]
+            # simultaneous non-overlapping left-to-right merge
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_syms = tuple(out)
+            vocab[i][0] = new_syms
+            for p in pairs_of(new_syms):
+                counts[p] += n
+                where.setdefault(p, set()).add(i)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 30,
@@ -108,14 +177,36 @@ def bpe_train(
     id_col: str = "doc_id",
     min_pair_count: int = 2,
     checkpoint_every: int = 8,
+    driver_vocab_budget: int | None = 200_000,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     ``[(rank, left, right, pair_count), ...]`` in merge order.
 
-    The driver receives ONE row per iteration (the arg-max pair); the
-    vocabulary table never leaves the cluster. Stops early when no
-    pair reaches ``min_pair_count``."""
-    vocab = word_counts(docs, text_col, id_col).select(
+    Two-level execution, like Spark's own broadcast-threshold choice:
+    the corpus-sized work (word counting) is always ONE distributed
+    hash-agg pass; what remains operates on the distinct-word table,
+    which Heaps' law keeps orders of magnitude smaller than the
+    corpus.  When that vocab fits ``driver_vocab_budget`` rows it is
+    collected once and the merge loop runs driver-side with
+    incremental pair-count maintenance — zero per-iteration Spark
+    jobs, exactly the regime where a 20-iteration distributed loop is
+    pure stage-scheduling overhead.  Vocabs over the budget (100 TB
+    corpora with long-tail tokens) stay on the distributed loop, where
+    the driver receives ONE row per iteration (the arg-max pair) and
+    the vocabulary table never leaves the cluster.  Both paths are
+    bit-identical (same tie-break, same simultaneous merge) and pinned
+    to one pure-Python reference by tests/test_tokenizer.py.
+
+    Stops early when no pair reaches ``min_pair_count``.
+    ``driver_vocab_budget=None`` forces the distributed loop."""
+    wc = word_counts(docs, text_col, id_col)
+    if driver_vocab_budget is not None:
+        head = wc.take(driver_vocab_budget + 1)
+        if len(head) <= driver_vocab_budget:
+            return _driver_merge_loop(
+                [(r["word"], r["n"]) for r in head], n_merges, min_pair_count
+            )
+    vocab = wc.select(
         "word", "n", _initial_symbols(F.col("word")).alias("syms")
     )
     cached = vocab.persist()

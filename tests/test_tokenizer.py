@@ -102,6 +102,17 @@ def test_bpe_train_matches_reference(spark):
     assert len(got) > 3  # corpus supports several merges
 
 
+def test_bpe_train_distributed_path_matches_driver_path(spark):
+    # driver_vocab_budget=None forces the distributed merge loop;
+    # budget=0-sized vocab impossible here, so default takes the
+    # driver fast path — both must be bit-identical to the reference
+    dist = bpe_train(
+        _docs(spark), n_merges=12, checkpoint_every=4, driver_vocab_budget=None
+    )
+    fast = bpe_train(_docs(spark), n_merges=12)
+    assert dist == fast == _ref_bpe_train(TEXTS, 12)
+
+
 def test_bpe_segment_matches_reference(spark):
     merges = bpe_train(_docs(spark), n_merges=8)
     out = {r["doc_id"]: (r["n_tokens"], r["n_words"]) for r in
