@@ -1959,6 +1959,18 @@ def _q_es_composite_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination matrix (curation.corpus_overlap):
+    pairwise 4-gram overlap between the documents table's sources —
+    Jaccard + both directed containments in basis points. Membership
+    arrays per gram hash replace the grams⋈grams self-join."""
+    from monstache_spark.functions.text import shingle_hash
+    from monstache_spark.operators.curation import corpus_overlap
+
+    docs = load_table(spark, "documents", sf_dir)
+    return corpus_overlap(docs, n=4, hasher=lambda c: shingle_hash(c, 29))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1978,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     TPC-H-style and filter queries cede slots and run after the window."""
     return {
         # --- driver correctness window: newest operators first ---
+        "corpus_overlap": _q_corpus_overlap,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
@@ -2262,6 +2275,21 @@ def oracle_sql() -> dict[str, str]:
         """
 
     return {
+        "corpus_overlap": f"""
+          WITH sh AS (SELECT source, unnest({_shingles_all_sql(4)}) AS g FROM documents),
+          gg AS (SELECT DISTINCT source AS grp, {_hash_sql('g', 29)} AS gh FROM sh),
+          sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM gg GROUP BY grp),
+          pairs AS (
+            SELECT a.grp AS src_a, b.grp AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM gg a JOIN gg b ON a.gh = b.gh AND a.grp < b.grp
+            GROUP BY 1, 2
+          )
+          SELECT src_a, src_b, sa.n AS n_grams_a, sb.n AS n_grams_b, n_shared,
+                 CAST(floor(n_shared * 10000 / (sa.n + sb.n - n_shared)) AS BIGINT) AS jaccard_bp,
+                 CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
+                 CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
+          FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
         "es_terms_agg": """
           WITH g AS (
             SELECT CAST(event_type AS VARCHAR) AS by_type,

@@ -955,3 +955,88 @@ def dsir_gumbel_sample(
     keyed = keyed.localCheckpoint(eager=True)
     ranked = range_bucketed_rank(keyed, "gumbel_key", id_col, rank_col="rank")
     return ranked.withColumn("sampled", F.col("rank") <= k_sample)
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus overlap audit
+# ---------------------------------------------------------------------------
+
+
+def corpus_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus groups (sources /
+    datasets / dumps) — the contamination-audit matrix run before
+    mixing datasets into a training corpus: how much of dataset A's
+    n-gram inventory already exists in dataset B.
+
+    For every unordered group pair that shares at least one distinct
+    word ``n``-gram, emits ``(src_a, src_b, n_grams_a, n_grams_b,
+    n_shared, jaccard_bp, contain_a_bp, contain_b_bp)`` — Jaccard and
+    both directed containments (|A∩B|/|A|, |A∩B|/|B|) in integer
+    basis points, so the frame is hash-exact on any engine.  Pairs
+    with zero shared grams are omitted (at corpus scale most of the
+    quadratic pair space is empty; emit-on-evidence keeps the output
+    proportional to real overlap).
+
+    Scale shape: ONE corpus pass explodes shingles (per-document
+    ``_spread`` + lead window, as everywhere else); gram strings hash
+    to 8-byte ints BEFORE the distinct, so the (group, gram-hash)
+    dedup exchange carries fixed-width rows; group membership per gram
+    comes from a hash agg on the gram hash; the pair explosion is
+    bounded by C(#groups-per-gram, 2) with #groups a handful; group
+    gram totals broadcast into the final join.  No corpus self-join —
+    the membership-array formulation replaces the (grams ⋈ grams)
+    equi-join with a per-gram combination explode.
+    """
+    h = hasher if hasher is not None else F.xxhash64
+    sep = "\x1f"
+    tagged = docs.withColumn(
+        "_gid",
+        F.concat_ws(sep, F.col(group_col).cast("string"), F.col(id_col).cast("string")),
+    )
+    rows = shingle_rows(tagged, text_col, "_gid", k=n, distinct=False)
+    grams = (
+        rows.select(
+            F.split_part(F.col("_gid"), F.lit(sep), F.lit(1)).alias("grp"),
+            h(F.col("s")).alias("gh"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("grp").agg(F.count("*").cast("long").alias("n_grams"))
+    memb = grams.groupBy("gh").agg(F.array_sort(F.collect_set("grp")).alias("gs"))
+    combos = memb.filter(F.size("gs") >= 2).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "gs",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("gs"), i + F.lit(2), F.size("gs")),
+                        lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    shared = combos.groupBy("p.src_a", "p.src_b").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )
+    sa = F.broadcast(sizes.select(F.col("grp").alias("src_a"), F.col("n_grams").alias("n_grams_a")))
+    sb = F.broadcast(sizes.select(F.col("grp").alias("src_b"), F.col("n_grams").alias("n_grams_b")))
+    out = shared.join(sa, "src_a").join(sb, "src_b")
+    union = F.col("n_grams_a") + F.col("n_grams_b") - F.col("n_shared")
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_grams_a",
+        "n_grams_b",
+        "n_shared",
+        F.floor(F.col("n_shared") * 10000 / union).cast("long").alias("jaccard_bp"),
+        F.floor(F.col("n_shared") * 10000 / F.col("n_grams_a")).cast("long").alias("contain_a_bp"),
+        F.floor(F.col("n_shared") * 10000 / F.col("n_grams_b")).cast("long").alias("contain_b_bp"),
+    )

@@ -409,3 +409,23 @@ def test_dsir_upweights_target_like_documents(spark):
     s2 = dsir_gumbel_sample(wts, k_sample=5).collect()
     assert sorted(r["rank"] for r in s1) == list(range(1, 21))
     assert {r["doc_id"] for r in s1 if r["sampled"]} == {r["doc_id"] for r in s2 if r["sampled"]}
+
+
+def test_corpus_overlap_counts_and_omits_disjoint(spark):
+    from monstache_spark.operators.curation import corpus_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "a b c e", "s2"),   # shares 2-gram "a b", "b c" with s1
+            (3, "x y z w", "s3"),   # disjoint from both
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["src_a"], r["src_b"]): (r["n_shared"], r["jaccard_bp"], r["contain_a_bp"])
+        for r in corpus_overlap(docs, n=2).collect()
+    }
+    # s1 grams: {a b, b c, c d}; s2: {a b, b c, c e} -> shared 2,
+    # union 4 -> jaccard 5000 bp, containment 2/3 -> 6666 bp
+    assert out == {("s1", "s2"): (2, 5000, 6666)}

@@ -292,6 +292,16 @@ CHECKS = [
         and "SortAggregate" not in p
         and "Python" not in p,
     ),
+    (
+        "corpus_overlap",
+        "corpus overlap: membership arrays replace a grams self-join "
+        "(no SortMergeJoin on gram rows), group totals broadcast, no "
+        "cartesian, no Python",
+        lambda p: "SortMergeJoin" not in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
 ]
 
 
