@@ -1971,6 +1971,22 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_overlap(docs, n=4, hasher=lambda c: shingle_hash(c, 29))
 
 
+def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (unigram.unigram_train, Kudo
+    2018): substring seed → Viterbi-EM rounds with pruning toward the
+    target vocab. Data-dependent iterative EM is not SQL-expressible —
+    rows-only checked; the distributed E-step is pinned bit-exact to
+    the driver reference by tests/test_unigram.py."""
+    from monstache_spark.operators.unigram import unigram_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    pieces = unigram_train(docs, vocab_size=400, seed_size=1500, n_em=3)
+    return spark.createDataFrame(
+        [(i, p, lp, c) for i, (p, lp, c) in enumerate(pieces)],
+        "rank long, piece string, logprob_micro long, count long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1991,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver correctness window: newest operators first ---
         "corpus_overlap": _q_corpus_overlap,
+        "unigram_train_pieces": _q_unigram_train,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
