@@ -1971,6 +1971,18 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_overlap(docs, n=4, hasher=lambda c: shingle_hash(c, 29))
 
 
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-style highlighting (search.highlight_fragments): first-match
+    fragment with term occurrences tagged — locate/substring/regexp
+    arithmetic in ONE codegen projection, no shuffle, no Python."""
+    from monstache_spark.operators.search import highlight_fragments
+
+    docs = load_table(spark, "documents", sf_dir)
+    return highlight_fragments(
+        docs, ["table", "spark"], fragment_size=60, context=10
+    )
+
+
 def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (unigram.unigram_train, Kudo
     2018): substring seed → Viterbi-EM rounds with pruning toward the
@@ -2008,6 +2020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver correctness window: newest operators first ---
         "corpus_overlap": _q_corpus_overlap,
         "unigram_train_pieces": _q_unigram_train,
+        "search_highlight": _q_highlight,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
@@ -2306,6 +2319,26 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "search_highlight": """
+          WITH m AS (
+            SELECT doc_id, text,
+                   least(
+                     CASE WHEN strpos(lower(text), 'spark') > 0
+                          THEN strpos(lower(text), 'spark') ELSE 1073741824 END,
+                     CASE WHEN strpos(lower(text), 'table') > 0
+                          THEN strpos(lower(text), 'table') ELSE 1073741824 END
+                   ) AS first_pos
+            FROM documents
+          ), f AS (
+            SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+                   substr(text, CAST(greatest(1, first_pos - 10) AS INTEGER), 60) AS frag
+            FROM m WHERE first_pos < 1073741824
+          )
+          SELECT doc_id, first_pos,
+                 regexp_replace(frag, '(?i)\\b(spark|table)\\b', '<em>\\1</em>', 'g') AS fragment,
+                 CAST(len(regexp_extract_all(frag, '(?i)\\b(spark|table)\\b')) AS BIGINT) AS n_hits
+          FROM f
         """,
         "es_terms_agg": """
           WITH g AS (

@@ -108,7 +108,17 @@ def _compile_leaf(kind: str, body: dict) -> Column:
     if kind == "match":
         return _match_any_token(field, str(value))
     if kind == "match_phrase":
-        return F.contains(F.lower(F.col(field)), F.lit(str(value).lower()))
+        # positional phrase: the analyzed token sequence must appear
+        # consecutively — token-boundary-exact via the padded
+        # space-joined token string (' a b c ' contains ' q1 q2 '),
+        # not substring containment ('cat' must not hit 'concatenate')
+        phrase = " ".join(t for t in str(value).lower().split() if t)
+        hay = F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.trim(F.lower(F.col(field))), r"\s+"), " "),
+            F.lit(" "),
+        )
+        return F.contains(hay, F.lit(f" {phrase} "))
     raise ValueError(f"unsupported query clause: {kind}")
 
 
@@ -326,3 +336,70 @@ def more_like_this(
     return bm25_topk(
         others, terms, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# highlighting
+# ---------------------------------------------------------------------------
+
+
+def highlight_fragments(
+    docs: DataFrame,
+    query_terms: list[str],
+    fragment_size: int = 80,
+    context: int = 20,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES-style highlighting: for every document matching ANY query
+    term (simple analyzer: lowercase, token-boundary), emit one
+    fragment of ``fragment_size`` chars starting ``context`` chars
+    before the first match, with every term occurrence wrapped in
+    ``pre_tag``/``post_tag``.
+
+    Everything is integer/locate/regexp arithmetic in one codegen
+    projection — no explode, no shuffle, no Python — and every step
+    is deterministic, so the DuckDB oracle hash-matches.  Non-matching
+    documents are dropped (ES returns no highlight for them).
+
+    Returns ``(id, first_pos, fragment, n_hits)`` with ``first_pos``
+    the 1-based char position of the earliest term match.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    low = F.lower(F.col(text_col))
+    # earliest 1-based position over the terms (0 = absent)
+    sentinel = F.lit(1 << 30)
+    positions = [
+        F.when(F.locate(t, low) > 0, F.locate(t, low)).otherwise(sentinel)
+        for t in terms
+    ]
+    first = positions[0]
+    for p in positions[1:]:
+        first = F.least(first, p)
+    alt = "|".join(_regex_escape(t) for t in terms)
+    pattern = f"(?i)\\b({alt})\\b"
+    start = F.greatest(F.lit(1), first - F.lit(context))
+    frag = F.substring(F.col(text_col), start.cast("int"), fragment_size)
+    out = (
+        docs.filter(first < sentinel)
+        .select(
+            F.col(id_col),
+            first.cast("long").alias("first_pos"),
+            F.regexp_replace(frag, pattern, f"{pre_tag}$1{post_tag}").alias(
+                "fragment"
+            ),
+            F.regexp_count(frag, F.lit(pattern)).cast("long").alias("n_hits"),
+        )
+    )
+    return out
+
+
+def _regex_escape(term: str) -> str:
+    """Escape a literal term for use inside the highlight alternation
+    (Java regex and RE2 share this metacharacter set)."""
+    specials = set("\\^$.|?*+()[]{}")
+    return "".join("\\" + ch if ch in specials else ch for ch in term)

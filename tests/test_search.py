@@ -165,3 +165,48 @@ def test_more_like_this_excludes_source_and_is_deterministic(spark):
     assert a == b
     assert 0 not in {i for i, _ in a}
     assert len(a) > 0
+
+
+def test_match_phrase_is_token_boundary_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "concatenate the results"), (3, "a cat")],
+        "id long, text string",
+    )
+    got = sorted(
+        r["id"]
+        for r in bool_query_filter(df, {"match_phrase": {"text": "cat"}}).collect()
+    )
+    assert got == [1, 3]  # 'concatenate' must not hit
+
+
+def test_highlight_fragments_tags_and_drops_nonmatches(spark):
+    from monstache_spark.operators.search import highlight_fragments
+
+    df = spark.createDataFrame(
+        [(1, "alpha table beta"), (2, "no hits here"), (3, "Table at start")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           highlight_fragments(df, ["table"], fragment_size=30, context=3).collect()}
+    assert set(out) == {1, 3}  # doc 2 dropped
+    assert out[1]["first_pos"] == 7
+    # fragment starts context=3 before the match
+    assert out[1]["fragment"].startswith("ha <em>table</em>")
+    assert out[1]["n_hits"] == 1
+    # case-insensitive tagging preserves original case
+    assert out[3]["fragment"].startswith("<em>Table</em>")
+
+
+def test_highlight_escapes_regex_metacharacters(spark):
+    from monstache_spark.operators.search import highlight_fragments
+
+    df = spark.createDataFrame(
+        [(1, "cost is 3.14 total"), (2, "cost is 3x14 total")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fragment"] for r in
+           highlight_fragments(df, ["3.14"], fragment_size=40, context=0).collect()}
+    # the dot is literal in both locate() and the tagging regexp:
+    # doc 1 tags, doc 2 ('3x14') matches neither and is dropped
+    assert "<em>3.14</em>" in out[1]
+    assert 2 not in out
