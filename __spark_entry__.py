@@ -1971,6 +1971,33 @@ def _q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_overlap(docs, n=4, hasher=lambda c: shingle_hash(c, 29))
 
 
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms (search.significant_terms): terms unusually
+    common in lang='en' documents vs the whole corpus, JLH-scored.
+    One corpus pass with the foreground predicate riding as a flag;
+    totals broadcast; top-k is TakeOrderedAndProject."""
+    from monstache_spark.operators.search import significant_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return significant_terms(
+        docs,
+        {"term": {"lang": "en"}},
+        size=10,
+        min_doc_count=5,
+        min_term_len=3,
+    )
+
+
+def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing (search.collapse_topk): BM25 retrieval
+    collapsed to the best hit per source with inner-hit counts —
+    collapse happens BEFORE truncation, as in ES."""
+    from monstache_spark.operators.search import collapse_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
+
+
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES-style highlighting (search.highlight_fragments): first-match
     fragment with term occurrences tagged — locate/substring/regexp
@@ -2021,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": _q_corpus_overlap,
         "unigram_train_pieces": _q_unigram_train,
         "search_highlight": _q_highlight,
+        "significant_terms": _q_significant_terms,
+        "collapse_topk": _q_collapse_topk,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
@@ -2271,7 +2300,9 @@ def oracle_sql() -> dict[str, str]:
     )
     # BM25 over a doc frame named `corpus` (so more_like_this can reuse
     # it with the source doc excluded); terms arrive as an IN-list.
-    def bm25_sql(terms_pred: str, k: int) -> str:
+    def bm25_scored_sql(terms_pred: str) -> str:
+        """CTE chain up to `scored` (doc_id, score) — shared by the
+        ranked bm25 queries and the field-collapse query."""
         return f"""
           toks AS (
             SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM corpus
@@ -2295,7 +2326,12 @@ def oracle_sql() -> dict[str, str]:
           scored AS (
             SELECT doc_id, CAST(CAST(sum(w) AS DECIMAL(38,6)) AS DOUBLE) AS score
             FROM contrib GROUP BY doc_id
-          ),
+          )
+        """
+
+    def bm25_sql(terms_pred: str, k: int) -> str:
+        return f"""
+          {bm25_scored_sql(terms_pred)},
           ranked AS (
             SELECT doc_id, score,
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
@@ -2319,6 +2355,43 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "significant_terms": f"""
+          WITH base AS (
+            SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS fg, text
+            FROM documents
+          ),
+          t AS (SELECT doc_id, fg, unnest(list_distinct({_TOKS_LOWER})) AS term FROM base),
+          tt AS (
+            SELECT term, CAST(sum(fg) AS BIGINT) AS fg_count,
+                   CAST(count(*) AS BIGINT) AS bg_count
+            FROM t WHERE length(term) >= 3 GROUP BY term
+          ),
+          tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS fgt, CAST(count(*) AS DOUBLE) AS bgt FROM base),
+          s AS (
+            SELECT term, fg_count, bg_count,
+                   round((fg_count / fgt - bg_count / bgt)
+                         * ((fg_count / fgt) / (bg_count / bgt)), 6) AS score
+            FROM tt, tot WHERE fg_count >= 5
+          )
+          SELECT term, fg_count, bg_count, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "collapse_topk": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          meta AS (
+            SELECT s.doc_id, s.score, d.source,
+                   row_number() OVER (PARTITION BY d.source
+                                      ORDER BY s.score DESC, s.doc_id ASC) AS r,
+                   CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS inner_hits
+            FROM scored s JOIN documents d USING (doc_id)
+          ),
+          best AS (SELECT source, doc_id, score, inner_hits FROM meta WHERE r = 1)
+          SELECT source, doc_id, score, inner_hits,
+                 CAST(row_number() OVER (ORDER BY score DESC, source ASC) AS BIGINT) AS rank
+          FROM best ORDER BY score DESC, source ASC LIMIT 10
         """,
         "search_highlight": """
           WITH m AS (

@@ -219,6 +219,26 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col)
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    # rank via a window over the ALREADY-limited frame: ≤ k rows, so
+    # the unpartitioned window is control-plane-sized by construction
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def _bm25_scored(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float,
+    b: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, score) for every document matching ≥1 query term — the
+    unranked scoring frame shared by :func:`bm25_topk` and
+    :func:`collapse_topk` (the latter must collapse BEFORE any
+    truncation, so it cannot reuse the top-k path)."""
     terms = sorted({t.lower() for t in query_terms})
     toks = _term_rows(docs, text_col, id_col)
     dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
@@ -262,14 +282,9 @@ def bm25_topk(
             .alias("w"),
         )
     )
-    scored = contrib.groupBy(id_col).agg(
+    return contrib.groupBy(id_col).agg(
         F.sum("w").cast("decimal(38,6)").cast("double").alias("score")
     )
-    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
-    # rank via a window over the ALREADY-limited frame: ≤ k rows, so
-    # the unpartitioned window is control-plane-sized by construction
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def more_like_this(
@@ -403,3 +418,120 @@ def _regex_escape(term: str) -> str:
     (Java regex and RE2 share this metacharacter set)."""
     specials = set("\\^$.|?*+()[]{}")
     return "".join("\\" + ch if ch in specials else ch for ch in term)
+
+
+# ---------------------------------------------------------------------------
+# significant terms / field collapse
+# ---------------------------------------------------------------------------
+
+
+def significant_terms(
+    docs: DataFrame,
+    foreground: dict,
+    size: int = 10,
+    min_doc_count: int = 3,
+    min_term_len: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``significant_terms``: which terms are unusually common in
+    the documents matching ``foreground`` (a bool-query dict) versus
+    the whole corpus, scored with ES's JLH heuristic
+    ``(fg% - bg%) * (fg% / bg%)`` (rounded to 6 decimals with an
+    identical expression tree on every engine).
+
+    Plan shape: ONE corpus pass explodes distinct (doc, term) rows
+    with the compiled foreground predicate riding along as a 0/1
+    flag, so fg/bg doc counts per term come from a single hash agg;
+    the one-row (fg_total, bg_total) frame broadcasts into the
+    scoring projection; top-``size`` is TakeOrderedAndProject.
+    Returns ``(term, fg_count, bg_count, score, rank)``.
+    """
+    flag = F.when(compile_bool_query(foreground), F.lit(1)).otherwise(F.lit(0))
+    base = docs.withColumn("_fg", flag)
+    terms = base.select(
+        F.col(id_col),
+        F.col("_fg"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    counts = terms.groupBy("term").agg(
+        F.sum("_fg").cast("long").alias("fg_count"),
+        F.count("*").cast("long").alias("bg_count"),
+    )
+    totals = base.agg(
+        F.sum("_fg").cast("double").alias("fg_total"),
+        F.count("*").cast("double").alias("bg_total"),
+    )
+    scored = (
+        counts.filter(
+            (F.col("fg_count") >= min_doc_count) & (F.col("fg_count") > 0)
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "fg_count",
+            "bg_count",
+            F.round(
+                (
+                    F.col("fg_count") / F.col("fg_total")
+                    - F.col("bg_count") / F.col("bg_total")
+                )
+                * (
+                    (F.col("fg_count") / F.col("fg_total"))
+                    / (F.col("bg_count") / F.col("bg_total"))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    ranked = scored.orderBy(F.col("score").desc(), F.col("term").asc()).limit(size)
+    w = Window.orderBy(F.col("score").desc(), F.col("term").asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def collapse_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    collapse_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES field collapsing over BM25 retrieval: rank the corpus with
+    :func:`bm25_topk`'s scoring, then keep only the BEST hit per
+    ``collapse_col`` group (dedup-by-field in search results) with the
+    group's total hit count as ``inner_hits``.
+
+    The collapse window partitions by the collapse field over the
+    ALREADY-SCORED frame — scoring never ranks more than the matched
+    docs, and the final top-k is TakeOrderedAndProject.  Returns
+    ``(collapse_col, id, score, inner_hits, rank)``.
+    """
+    # score every matching doc (no pre-limit: collapsing after a
+    # truncated top-k would under-count groups — ES collapses first)
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col)
+    meta = docs.select(F.col(id_col), F.col(collapse_col))
+    joined = scored.join(meta, id_col)
+    gw = Window.partitionBy(collapse_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    best = (
+        joined.withColumn("_r", F.row_number().over(gw))
+        .withColumn(
+            "inner_hits",
+            F.count("*").over(Window.partitionBy(collapse_col)).cast("long"),
+        )
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    ranked = best.orderBy(F.col("score").desc(), F.col(collapse_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(collapse_col).asc())
+    return ranked.select(
+        collapse_col, id_col, "score", "inner_hits",
+    ).withColumn("rank", F.row_number().over(w).cast("long"))

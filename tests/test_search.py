@@ -210,3 +210,35 @@ def test_highlight_escapes_regex_metacharacters(spark):
     # doc 1 tags, doc 2 ('3x14') matches neither and is dropped
     assert "<em>3.14</em>" in out[1]
     assert 2 not in out
+
+
+def test_significant_terms_scores_foreground_skew(spark):
+    from monstache_spark.operators.search import significant_terms
+
+    rows = [(i, "common special" if i < 4 else "common plain", "en" if i < 4 else "de")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["term"]: r for r in significant_terms(
+        df, {"term": {"lang": "en"}}, size=5, min_doc_count=1, min_term_len=1
+    ).collect()}
+    # 'special' appears ONLY in the foreground -> top score;
+    # 'common' is everywhere -> JLH score 0
+    assert out["special"]["rank"] == 1
+    assert out["special"]["fg_count"] == 4 and out["special"]["bg_count"] == 4
+    assert out["common"]["score"] == 0.0
+    assert "plain" not in out  # fg_count = 0 excluded
+
+
+def test_collapse_topk_keeps_best_per_group(spark):
+    from monstache_spark.operators.search import collapse_topk
+
+    rows = [
+        (1, "query query query", "s1"),   # strongest in s1
+        (2, "query filler words", "s1"),
+        (3, "query other stuff", "s2"),
+        (4, "nothing relevant here", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in collapse_topk(df, ["query"], "source", k=5).collect()}
+    assert out["s1"]["doc_id"] == 1 and out["s1"]["inner_hits"] == 2
+    assert out["s2"]["doc_id"] == 3 and out["s2"]["inner_hits"] == 1

@@ -293,6 +293,32 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "search_highlight",
+        "highlighting is one codegen projection over the scan: no "
+        "exchange, no Python, no aggregate",
+        lambda p: "Exchange" not in p
+        and "Python" not in p
+        and "Aggregate" not in p,
+    ),
+    (
+        "significant_terms",
+        "significant terms: one corpus pass (fg flag rides the explode), "
+        "totals broadcast, top-k via TakeOrderedAndProject, no sort agg",
+        lambda p: "TakeOrderedAndProject" in p
+        and "BroadcastNestedLoopJoin" in p  # one-row totals broadcast
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "collapse_topk",
+        "field collapse: scored frame joins doc meta as equi-join, "
+        "per-group window partitioned by collapse field (parallel), "
+        "final top-k TakeOrderedAndProject",
+        lambda p: "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
         "corpus_overlap",
         "corpus overlap: membership arrays replace a grams self-join "
         "(no SortMergeJoin on gram rows), group totals broadcast, no "
