@@ -1998,6 +1998,16 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester (search.fuzzy_suggest): SymSpell deletion-
+    neighborhood candidate join + exact levenshtein verify — no
+    all-pairs edit-distance cross join; query keys broadcast."""
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return fuzzy_suggest(docs, ["spak", "tabl", "windoww"], top_n=3)
+
+
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES-style highlighting (search.highlight_fragments): first-match
     fragment with term occurrences tagged — locate/substring/regexp
@@ -2050,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": _q_highlight,
         "significant_terms": _q_significant_terms,
         "collapse_topk": _q_collapse_topk,
+        "fuzzy_suggest": _q_fuzzy_suggest,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
@@ -2355,6 +2366,37 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "fuzzy_suggest": f"""
+          WITH v AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS count
+            FROM (SELECT unnest({_TOKS_LOWER}) AS term FROM documents)
+            WHERE term <> '' GROUP BY term
+          ),
+          q AS (SELECT unnest(['spak', 'tabl', 'windoww']) AS query),
+          qk AS (
+            SELECT query, unnest(list_distinct(list_prepend(query,
+                     list_transform(range(1, length(query) + 1),
+                       i -> substr(query, 1, CAST(i - 1 AS INTEGER)) || substr(query, CAST(i + 1 AS INTEGER)))))) AS dk
+            FROM q
+          ),
+          vk AS (
+            SELECT term, count, unnest(list_distinct(list_prepend(term,
+                     list_transform(range(1, length(term) + 1),
+                       i -> substr(term, 1, CAST(i - 1 AS INTEGER)) || substr(term, CAST(i + 1 AS INTEGER)))))) AS dk
+            FROM v
+          ),
+          cand AS (SELECT DISTINCT query, term, count FROM vk JOIN qk USING (dk)),
+          d AS (
+            SELECT query, term, count, CAST(levenshtein(query, term) AS BIGINT) AS distance
+            FROM cand WHERE levenshtein(query, term) <= 1
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query
+                       ORDER BY distance ASC, count DESC, term ASC) AS BIGINT) AS rank
+            FROM d
+          )
+          SELECT query, term AS suggestion, count, distance, rank FROM r WHERE rank <= 3
         """,
         "significant_terms": f"""
           WITH base AS (

@@ -535,3 +535,86 @@ def collapse_topk(
     return ranked.select(
         collapse_col, id_col, "score", "inner_hits",
     ).withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# fuzzy suggestion (ES term suggester / fuzzy query)
+# ---------------------------------------------------------------------------
+
+
+def _deletion_keys(term: Column) -> Column:
+    """The deletion neighborhood of a term for edit distance 1: the
+    term itself plus every single-character deletion (SymSpell's
+    candidate-generation key set — two strings within edit distance 1
+    always share at least one key)."""
+    n = F.length(term)
+    dels = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            F.substring(term, F.lit(1), (i - 1).cast("int")),
+            term.substr(i + 1, n),
+        ),
+    )
+    return F.array_distinct(F.concat(F.array(term), dels))
+
+
+def fuzzy_suggest(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_n: int = 3,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES term-suggester / fuzzy matching: for each (possibly
+    misspelled) query term, the ``top_n`` corpus vocabulary terms
+    within edit distance 1, ranked by (distance asc, term frequency
+    desc, term asc).
+
+    SymSpell candidate generation (Garbe's deletion-neighborhood
+    algorithm, re-derived as a DataFrame plan): the corpus vocabulary
+    — ONE hash-agg pass, Heaps-law-small — explodes to its deletion
+    keys (≤ len+1 per term); the query terms' keys BROADCAST into an
+    equi-join on the key; candidates dedupe and verify with the exact
+    ``levenshtein`` builtin.  No corpus scan ever compares against
+    every query (the equi-join replaces the all-pairs edit-distance
+    cross join), and the final per-query rank window partitions by
+    query over candidate-sized rows.
+
+    Returns ``(query, suggestion, count, distance, rank)``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+                "term"
+            )
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    qdf = spark.createDataFrame(
+        [(q.lower(),) for q in sorted(set(query_terms))], "query string"
+    ).select("query", F.explode(_deletion_keys(F.col("query"))).alias("dk"))
+    vkeys = vocab.select(
+        "term", "count", F.explode(_deletion_keys(F.col("term"))).alias("dk")
+    )
+    cand = (
+        vkeys.join(F.broadcast(qdf), "dk")
+        .select("query", "term", "count")
+        .distinct()
+        .withColumn("distance", F.levenshtein("query", "term").cast("long"))
+        .filter(F.col("distance") <= 1)
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("distance").asc(), F.col("count").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("query", F.col("term").alias("suggestion"), "count", "distance", "rank")
+    )

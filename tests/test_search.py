@@ -242,3 +242,25 @@ def test_collapse_topk_keeps_best_per_group(spark):
     out = {r["source"]: r for r in collapse_topk(df, ["query"], "source", k=5).collect()}
     assert out["s1"]["doc_id"] == 1 and out["s1"]["inner_hits"] == 2
     assert out["s2"]["doc_id"] == 3 and out["s2"]["inner_hits"] == 1
+
+
+def test_fuzzy_suggest_edit1_kinds_and_ranking(spark):
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    df = spark.createDataFrame(
+        [(1, "spark spark sparks park stark"), (2, "spark table")],
+        "doc_id long, text string",
+    )
+    out = [(r["suggestion"], r["count"], r["distance"]) for r in
+           fuzzy_suggest(df, ["spark"], top_n=5).orderBy("rank").collect()]
+    # exact match ranks first (distance 0), then edit-1 of all three
+    # kinds: deletion (park), insertion (sparks), substitution (stark)
+    assert out[0] == ("spark", 3, 0)
+    assert set(out[1:]) == {("park", 1, 1), ("sparks", 1, 1), ("stark", 1, 1)}
+
+
+def test_fuzzy_suggest_no_match_yields_nothing(spark):
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    assert fuzzy_suggest(df, ["zzzzz"]).count() == 0
