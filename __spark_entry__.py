@@ -1998,6 +1998,20 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25+vector retrieval with reciprocal-rank fusion
+    (search.hybrid_rrf_topk): top-20 lexical and top-20 cosine lists
+    fused by sum of 1/(60+rank) — the standard RAG retrieval pattern;
+    fusion operates on 2x20 already-truncated rows."""
+    from monstache_spark.operators.search import hybrid_rrf_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hybrid_rrf_topk(
+        docs, emb, ["merge", "vector", "window"], 0, k=10, n_each=20
+    )
+
+
 def _q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES term suggester (search.fuzzy_suggest): SymSpell deletion-
     neighborhood candidate join + exact levenshtein verify — no
@@ -2061,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "collapse_topk": _q_collapse_topk,
         "fuzzy_suggest": _q_fuzzy_suggest,
+        "hybrid_rrf_topk": _q_hybrid_rrf,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
@@ -2366,6 +2381,39 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "hybrid_rrf_topk": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          lex AS (
+            SELECT doc_id AS lid,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS bm25_rank
+            FROM scored QUALIFY bm25_rank <= 20
+          ),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+          cs AS (
+            SELECT e.vec_id AS corpus_id,
+                   CASE WHEN sqrt({_dot_sql('q', 'q')}) * sqrt({_dot_sql('e.v', 'e.v')}) > 0
+                        THEN round({_dot_sql('q', 'e.v')} /
+                             (sqrt({_dot_sql('q', 'q')}) * sqrt({_dot_sql('e.v', 'e.v')})), 6)
+                        ELSE 0.0 END AS score
+            FROM qv CROSS JOIN e WHERE e.vec_id <> 0
+          ),
+          sem AS (
+            SELECT corpus_id AS sid,
+                   CAST(row_number() OVER (ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS cos_rank
+            FROM cs QUALIFY cos_rank <= 20
+          ),
+          f AS (
+            SELECT COALESCE(lid, sid) AS doc_id, bm25_rank, cos_rank,
+                   round(COALESCE(1.0 / (60 + bm25_rank), 0.0)
+                         + COALESCE(1.0 / (60 + cos_rank), 0.0), 9) AS rrf_score
+            FROM lex FULL OUTER JOIN sem ON lid = sid
+          )
+          SELECT doc_id, bm25_rank, cos_rank, rrf_score,
+                 CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM f ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
         """,
         "fuzzy_suggest": f"""
           WITH v AS (

@@ -618,3 +618,63 @@ def fuzzy_suggest(
         .filter(F.col("rank") <= top_n)
         .select("query", F.col("term").alias("suggestion"), "count", "distance", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval (BM25 + vector, reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id,
+    k: int = 10,
+    n_each: int = 50,
+    rrf_k: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009): take the top ``n_each`` BM25 hits for
+    ``query_terms`` and the top ``n_each`` cosine neighbors of
+    ``query_vec_id``, fuse by ``Σ 1/(rrf_k + rank)`` over the lists a
+    document appears in, and return the top ``k`` — the standard RAG
+    retrieval pattern, served on the engine's own tables.
+
+    Both candidate lists arrive ALREADY truncated (TakeOrdered for
+    BM25, broadcast cross + per-query window for cosine), so the
+    fusion join and final ordering operate on 2·n_each rows —
+    control-plane-sized regardless of corpus scale.  The RRF score is
+    rounded to 9 decimals (identical expression both engines).
+    Returns ``(id, bm25_rank, cos_rank, rrf_score, rank)`` with null
+    ranks for list misses.
+    """
+    from monstache_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_topk(
+        docs, query_terms, k=n_each, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("_id"), F.col("rank").alias("bm25_rank"))
+    q = embeddings.filter(F.col(vec_id_col) == F.lit(query_vec_id))
+    sem = brute_force_topk(
+        embeddings, q, k=n_each, vec_col=vec_col, id_col=vec_id_col
+    ).select(
+        F.col("corpus_id").cast("long").alias("_id"),
+        F.col("rank").cast("long").alias("cos_rank"),
+    )
+    fused = lex.join(sem, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("cos_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf_score"),
+    )
+    ranked = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

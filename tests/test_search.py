@@ -264,3 +264,25 @@ def test_fuzzy_suggest_no_match_yields_nothing(spark):
 
     df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
     assert fuzzy_suggest(df, ["zzzzz"]).count() == 0
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from monstache_spark.operators.search import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [(0, "query text here"), (1, "query query match"), (2, "unrelated words"),
+         (3, "query appears once")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [1.0, 0.05]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["doc_id"]: r for r in
+           hybrid_rrf_topk(docs, emb, ["query"], 0, k=4, n_each=3).collect()}
+    # doc 1: in both lists -> two RRF terms; doc 2: cosine-only; doc 3: both
+    assert out[1]["bm25_rank"] is not None and out[1]["cos_rank"] is not None
+    assert out[2]["bm25_rank"] is None and out[2]["cos_rank"] is not None
+    # a doc present in both lists outranks one present in one list at
+    # comparable positions
+    assert out[1]["rrf_score"] > out[2]["rrf_score"]
