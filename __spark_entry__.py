@@ -1998,6 +1998,16 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN kNN join (similarity.knn_join): top-5 cosine
+    neighbors of EVERY vector via LSH co-bucket candidates — the
+    all-corpus neighbor map, never the O(N^2) cross join."""
+    from monstache_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_join(emb, k=5, dim=64, bits=6, n_tables=1)
+
+
 def _q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid BM25+vector retrieval with reciprocal-rank fusion
     (search.hybrid_rrf_topk): top-20 lexical and top-20 cosine lists
@@ -2076,6 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_topk": _q_collapse_topk,
         "fuzzy_suggest": _q_fuzzy_suggest,
         "hybrid_rrf_topk": _q_hybrid_rrf,
+        "knn_join": _q_knn_join,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
@@ -2381,6 +2392,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "knn_join": f"""
+          WITH {_bucket_ctes()},
+          p AS (SELECT a.vec_id AS id_q, b.vec_id AS id_n, a.v AS va, b.v AS vb
+                FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          s AS (SELECT id_q, id_n, {_cos_sql('va', 'vb')} AS score FROM p),
+          r AS (SELECT id_q, id_n, score,
+                       CAST(row_number() OVER (PARTITION BY id_q
+                            ORDER BY score DESC, id_n ASC) AS BIGINT) AS rank
+                FROM s)
+          SELECT id_q, id_n, score, rank FROM r WHERE rank <= 5
         """,
         "hybrid_rrf_topk": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),

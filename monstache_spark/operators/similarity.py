@@ -800,3 +800,55 @@ def semantic_dedup(
         .distinct()
     )
     return cells.join(losers, id_col, "left_anti").select(id_col, "cell", "cell_size")
+
+
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    bits: int = 6,
+    n_tables: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ANN: the top-``k`` cosine neighbors of EVERY vector (the
+    all-corpus kNN join behind semantic dedup maps, embedding-space
+    visualization, and graph construction) — approximate via LSH
+    co-bucketing, never the O(N²) cross join.
+
+    Each vector lands in one sign-sketch bucket per hash table
+    (disjoint hyperplane families, OR-amplified recall as in
+    :func:`lsh_topk`); candidates are co-bucket pairs via a self
+    equi-join on (table, bucket); scores dedupe across tables with ONE
+    hash agg (identical per table, so ``max`` is exact); per-vector
+    top-k is a window over candidate rows partitioned by the query id.
+    At 100 TB raise ``bits`` so buckets stay executor-sized — the
+    bucket census tooling in dedup applies here unchanged.
+
+    Returns ``(id_q, id_n, score, rank)``.
+    """
+    frames = []
+    for t in range(n_tables):
+        frames.append(
+            emb.select(
+                F.col(id_col).alias("id"),
+                as_double_array(F.col(vec_col)).alias("v"),
+                lsh_bucket(F.col(vec_col), dim, bits, t).alias("bucket"),
+                F.lit(t).alias("tbl"),
+            )
+        )
+    b = frames[0]
+    for f in frames[1:]:
+        b = b.unionByName(f)
+    a = b.select(F.col("tbl"), F.col("bucket"), F.col("id").alias("id_q"), F.col("v").alias("vq"))
+    c = b.select(F.col("tbl"), F.col("bucket"), F.col("id").alias("id_n"), F.col("v").alias("vn"))
+    pairs = a.join(c, ["tbl", "bucket"]).filter(F.col("id_q") != F.col("id_n"))
+    scored = pairs.select(
+        "id_q", "id_n", cosine_rounded(F.col("vq"), F.col("vn")).alias("score")
+    )
+    dedup = scored.groupBy("id_q", "id_n").agg(F.max("score").alias("score"))
+    w = Window.partitionBy("id_q").orderBy(F.col("score").desc(), F.col("id_n").asc())
+    return (
+        dedup.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

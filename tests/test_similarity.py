@@ -278,3 +278,26 @@ def test_semantic_dedup_max_cell_suppression_keeps_members(spark):
     emb = _emb(spark)
     out = semantic_dedup(emb, tau=0.9, n_centroids=2, max_cell=1)
     assert out.count() == 5
+
+
+def test_knn_join_multi_table_dedups_and_ranks(spark):
+    from monstache_spark.operators.similarity import knn_join
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.5]) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    out = knn_join(emb, k=3, dim=4, bits=4, n_tables=3)
+    rows = out.collect()
+    # every (id_q, id_n) appears once despite 3 tables
+    pairs = [(r["id_q"], r["id_n"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    # ranks are 1..k' consecutive per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["id_q"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # identical-direction vectors (same i%3 class) score 1.0 at rank 1
+    top = {r["id_q"]: r for r in rows if r["rank"] == 1}
+    assert all(v["score"] == 1.0 for v in top.values())
