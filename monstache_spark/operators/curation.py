@@ -1001,15 +1001,21 @@ def corpus_overlap(
         F.concat_ws(sep, F.col(group_col).cast("string"), F.col(id_col).cast("string")),
     )
     rows = shingle_rows(tagged, text_col, "_gid", k=n, distinct=False)
-    grams = (
-        rows.select(
-            F.split_part(F.col("_gid"), F.lit(sep), F.lit(1)).alias("grp"),
-            h(F.col("s")).alias("gh"),
-        )
-        .distinct()
+    grams = rows.select(
+        F.split_part(F.col("_gid"), F.lit(sep), F.lit(1)).alias("grp"),
+        h(F.col("s")).alias("gh"),
     )
-    sizes = grams.groupBy("grp").agg(F.count("*").cast("long").alias("n_grams"))
+    # collect_set dedups (grp, gh) DURING the membership agg with
+    # map-side partial merging — one gram-row shuffle instead of a
+    # distinct exchange followed by a second groupBy exchange
     memb = grams.groupBy("gh").agg(F.array_sort(F.collect_set("grp")).alias("gs"))
+    # distinct grams per group == buckets containing the group; the
+    # explode here is over gram-BUCKET rows, not raw gram rows
+    sizes = (
+        memb.select(F.explode("gs").alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").cast("long").alias("n_grams"))
+    )
     combos = memb.filter(F.size("gs") >= 2).select(
         F.explode(
             F.flatten(
