@@ -1998,6 +1998,19 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_quality_decile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-decile corpus map (curation.score_decile_map over
+    the bigram-LM score): exact interpolated decile boundaries from
+    ONE aggregate row broadcast back, bucket assignment as a codegen
+    comparison sum — no global sort, no ntile window."""
+    from monstache_spark.functions.text import bigram_lm_score, train_bigram_lm
+    from monstache_spark.operators.curation import score_decile_map
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = bigram_lm_score(docs, train_bigram_lm(docs))
+    return score_decile_map(scored, "avg_prob_micro", n_buckets=10)
+
+
 def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN kNN join (similarity.knn_join): top-5 cosine
     neighbors of EVERY vector via LSH co-bucket candidates — the
@@ -2087,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_suggest": _q_fuzzy_suggest,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "knn_join": _q_knn_join,
+        "quality_decile_map": _q_quality_decile_map,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
@@ -2392,6 +2406,33 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "quality_decile_map": """
+          WITH c AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents),
+          bg AS (
+            SELECT doc_id, substr(t, i, 2) AS bigram
+            FROM c, LATERAL unnest(generate_series(1, length(t) - 1)) AS u(i)
+            WHERE length(t) >= 2),
+          counts AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+          tot AS (SELECT sum(cnt) AS t FROM counts),
+          model AS (SELECT bigram, CAST(cnt * 1000000 // t AS BIGINT) AS p FROM counts, tot),
+          sc AS (
+            SELECT bg.doc_id,
+                   CAST(sum(coalesce(m.p, 0)) // count(*) AS BIGINT) AS avg_prob_micro
+            FROM bg LEFT JOIN model m USING (bigram) GROUP BY bg.doc_id),
+          f AS (
+            SELECT d.doc_id, coalesce(sc.avg_prob_micro, 0) AS score
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+          bnd AS (SELECT quantile_cont(score, 0.1) AS b1, quantile_cont(score, 0.2) AS b2, quantile_cont(score, 0.3) AS b3, quantile_cont(score, 0.4) AS b4, quantile_cont(score, 0.5) AS b5, quantile_cont(score, 0.6) AS b6, quantile_cont(score, 0.7) AS b7, quantile_cont(score, 0.8) AS b8, quantile_cont(score, 0.9) AS b9 FROM f),
+          dd AS (SELECT score, 1 + CAST(score > b1 AS INT) + CAST(score > b2 AS INT) + CAST(score > b3 AS INT) + CAST(score > b4 AS INT) + CAST(score > b5 AS INT) + CAST(score > b6 AS INT) + CAST(score > b7 AS INT) + CAST(score > b8 AS INT) + CAST(score > b9 AS INT) AS decile FROM f, bnd)
+          SELECT CAST(decile AS BIGINT) AS decile,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(min(score) AS BIGINT) AS min_score,
+                 CAST(max(score) AS BIGINT) AS max_score,
+                 CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_score
+          FROM dd GROUP BY 1
         """,
         "knn_join": f"""
           WITH {_bucket_ctes()},

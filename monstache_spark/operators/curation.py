@@ -1046,3 +1046,53 @@ def corpus_overlap(
         F.floor(F.col("n_shared") * 10000 / F.col("n_grams_a")).cast("long").alias("contain_a_bp"),
         F.floor(F.col("n_shared") * 10000 / F.col("n_grams_b")).cast("long").alias("contain_b_bp"),
     )
+
+
+def score_decile_map(
+    scored: DataFrame,
+    score_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Corpus quality map: bucket documents into score deciles (or
+    ``n_buckets``-iles) and report per-bucket membership and score
+    stats — the distribution view used to pick perplexity/quality
+    cutoffs before filtering (CCNet buckets its corpus by LM
+    perplexity exactly this way).
+
+    The bucket boundaries are exact interpolated percentiles computed
+    in ONE aggregate row and broadcast back; bucket assignment is a
+    codegen sum of boundary comparisons — no global sort, no ntile
+    window (an ntile over the corpus would be a single-partition
+    window).  With integer scores the boundary comparisons are
+    engine-exact even though the interpolated boundaries are doubles:
+    no integer can sit between two engines' last-bit-different
+    boundary values unless it equals the boundary, which happens only
+    when the percentile lands ON a data point (frac = 0) and is then
+    integer-exact on both.
+
+    Returns ``(decile, n_docs, min_score, max_score, mean_score)``.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = scored.agg(
+        F.percentile(
+            F.col(score_col), F.array(*[F.lit(q) for q in qs])
+        ).alias("bs")
+    )
+    b = scored.crossJoin(F.broadcast(bounds))
+    dec = F.lit(1)
+    for i in range(len(qs)):
+        dec = dec + F.when(
+            F.col(score_col) > F.element_at(F.col("bs"), i + 1), F.lit(1)
+        ).otherwise(F.lit(0))
+    return (
+        b.withColumn("decile", dec.cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(score_col).cast("long").alias("min_score"),
+            F.max(score_col).cast("long").alias("max_score"),
+            (
+                F.sum(score_col).cast("double") / F.count("*").cast("double")
+            ).alias("mean_score"),
+        )
+    )

@@ -429,3 +429,18 @@ def test_corpus_overlap_counts_and_omits_disjoint(spark):
     # s1 grams: {a b, b c, c d}; s2: {a b, b c, c e} -> shared 2,
     # union 4 -> jaccard 5000 bp, containment 2/3 -> 6666 bp
     assert out == {("s1", "s2"): (2, 5000, 6666)}
+
+
+def test_score_decile_map_buckets_uniform_scores(spark):
+    from monstache_spark.operators.curation import score_decile_map
+
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "doc_id long, s long"
+    )
+    out = {r["decile"]: r for r in score_decile_map(df, "s", n_buckets=10).collect()}
+    assert set(out) == set(range(1, 11))
+    assert all(r["n_docs"] == 10 for r in out.values())
+    # buckets are ordered and contiguous in score space
+    assert out[1]["min_score"] == 0 and out[10]["max_score"] == 990
+    for d in range(1, 10):
+        assert out[d]["max_score"] < out[d + 1]["min_score"]
