@@ -1998,6 +1998,62 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolation (search.percolate): a registry of stored bool
+    queries evaluated against every order in ONE codegen projection +
+    bounded explode — the saved-search/alerting primitive (the
+    reference's namespace-routing rules are the same shape)."""
+    from monstache_spark.operators.search import percolate
+
+    orders = load_table(spark, "orders", sf_dir)
+    stored = {
+        "urgent_big": {
+            "bool": {
+                "must": [
+                    {"term": {"o_orderpriority": "1-URGENT"}},
+                    {"range": {"o_totalprice": {"gte": 150000.0}}},
+                ]
+            }
+        },
+        "open_small": {
+            "bool": {
+                "must": [
+                    {"term": {"o_orderstatus": "O"}},
+                    {"range": {"o_totalprice": {"lt": 50000.0}}},
+                ]
+            }
+        },
+        "high_prio": {"prefix": {"o_orderpriority": "2"}},
+    }
+    return percolate(orders, stored, id_col="o_orderkey")
+
+
+def _q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval (search.rank_eval over search.bm25_multi):
+    precision@10 / MRR / NDCG@10 for three rated queries retrieved in
+    ONE corpus pass (shared tf/df/idf, broadcast (query, term) map).
+    Judgments derive deterministically from the documents table."""
+    from monstache_spark.operators.search import rank_eval
+
+    docs = load_table(spark, "documents", sf_dir)
+    qids = spark.createDataFrame(
+        [("q1",), ("q2",), ("q3",)], "query_id string"
+    )
+    judgments = (
+        docs.filter(F.col("doc_id") % 7 < 2)
+        .select(
+            "doc_id", (1 + F.col("doc_id") % 3).cast("double").alias("grade")
+        )
+        .crossJoin(F.broadcast(qids))
+    )
+    return rank_eval(
+        docs,
+        {"q1": ["merge", "vector"], "q2": ["window", "scan"], "q3": ["table"]},
+        judgments,
+        k=10,
+    )
+
+
 def _q_quality_decile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-decile corpus map (curation.score_decile_map over
     the bigram-LM score): exact interpolated decile boundaries from
@@ -2101,6 +2157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
+        "percolate": _q_percolate,
+        "rank_eval": _q_rank_eval,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
         "es_range_agg": _q_es_range_agg,
@@ -2406,6 +2464,79 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "percolate": """
+          SELECT o_orderkey, query_name FROM (
+            SELECT o_orderkey, 'high_prio' AS query_name FROM orders
+              WHERE o_orderpriority LIKE '2%'
+            UNION ALL
+            SELECT o_orderkey, 'open_small' FROM orders
+              WHERE o_orderstatus = 'O' AND o_totalprice < 50000.0
+            UNION ALL
+            SELECT o_orderkey, 'urgent_big' FROM orders
+              WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000.0
+          )
+        """,
+        "rank_eval": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          q AS (SELECT unnest(['q1', 'q2', 'q3']) AS query_id),
+          jd AS (
+            SELECT query_id, doc_id, CAST(1 + doc_id % 3 AS DOUBLE) AS grade
+            FROM documents, q WHERE doc_id % 7 < 2
+          ),
+          qt(query_id, term) AS (VALUES
+            ('q1', 'merge'), ('q1', 'vector'),
+            ('q2', 'scan'), ('q2', 'window'),
+            ('q3', 'table')),
+          toks AS (SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM corpus),
+          dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+          qtoks AS (SELECT * FROM toks WHERE term IN ('merge', 'scan', 'table', 'vector', 'window')),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM qtoks GROUP BY doc_id, term),
+          dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qtoks GROUP BY term),
+          idf AS (
+            SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+            FROM dfr, stats
+          ),
+          contrib AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(round(idf * (tf * 2.2)
+                              / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+                        AS DECIMAL(38,6)) AS w
+            FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+          ),
+          scored AS (
+            SELECT query_id, doc_id, CAST(CAST(sum(w) AS DECIMAL(38,6)) AS DOUBLE) AS score
+            FROM contrib JOIN qt USING (term) GROUP BY 1, 2
+          ),
+          ranked AS (
+            SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored QUALIFY rank <= 10
+          ),
+          h AS (
+            SELECT r.query_id, r.doc_id, r.rank, coalesce(jd.grade, 0) AS grade
+            FROM ranked r LEFT JOIN jd ON r.query_id = jd.query_id AND r.doc_id = jd.doc_id
+          ),
+          perq AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_results,
+                   CAST(sum(CAST(grade > 0 AS INT)) AS BIGINT) AS n_relevant_at_k,
+                   min(CASE WHEN grade > 0 THEN rank END) AS fr,
+                   round(sum(grade / log2(rank + 1.0)), 6) AS dcg
+            FROM h GROUP BY 1
+          ),
+          idl AS (
+            SELECT query_id, round(sum(grade / log2(r + 1.0)), 6) AS idcg FROM (
+              SELECT query_id, grade, doc_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY grade DESC, doc_id ASC) AS r
+              FROM jd WHERE grade > 0
+            ) WHERE r <= 10 GROUP BY 1
+          )
+          SELECT p.query_id, n_results, n_relevant_at_k,
+                 CAST(floor(n_relevant_at_k * 10000 / 10) AS BIGINT) AS precision_bp,
+                 round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+                 round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+          FROM perq p LEFT JOIN idl USING (query_id)
         """,
         "quality_decile_map": """
           WITH c AS (

@@ -678,3 +678,204 @@ def hybrid_rrf_topk(
     ranked = fused.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# percolation (stored queries matched against documents)
+# ---------------------------------------------------------------------------
+
+
+def percolate(
+    df: DataFrame,
+    queries: dict[str, dict],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES percolate: given a registry of stored bool queries, report
+    which queries each document matches — the alerting/routing
+    primitive (saved searches firing on incoming docs; the reference's
+    namespace-routing rules are the same shape, monstache.go
+    1893-1906).
+
+    Every stored query compiles to a Catalyst predicate; one codegen
+    projection evaluates ALL of them per row and emits the matching
+    names via a bounded array explode (amplification ≤ #queries).
+    One corpus pass for any number of stored queries — never a pass
+    per query.  Returns ``(id, query_name)`` match pairs.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    cols = [
+        F.when(compile_bool_query(q), F.lit(name))
+        for name, q in sorted(queries.items())
+    ]
+    matches = F.array_compact(F.array(*cols))
+    return df.select(
+        F.col(id_col), F.explode(matches).alias("query_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-query BM25 + rank evaluation (ES _rank_eval)
+# ---------------------------------------------------------------------------
+
+
+def bm25_multi(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` BM25 hits for MANY queries in ONE corpus pass.
+
+    tf, df, idf and per-(doc, term) contributions are computed once
+    over the union of all query term sets; a broadcast (query_id,
+    term) map then attributes contributions to queries and the
+    per-query score is one hash agg on (query_id, doc).  Ranking
+    partitions by query over candidate rows.  The multi-query plan
+    costs the same corpus work as ONE query — the per-query marginal
+    cost is candidate-sized.
+
+    Returns ``(query_id, id, score, rank)`` with rank ≤ k.
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = docs.sparkSession
+    pairs = sorted(
+        {(qid, t.lower()) for qid, ts in queries.items() for t in ts}
+    )
+    all_terms = sorted({t for _, t in pairs})
+    qt = F.broadcast(
+        spark.createDataFrame(pairs, "query_id string, term string")
+    )
+    toks = _term_rows(docs, text_col, id_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qtoks = toks.filter(F.col("term").isin(all_terms))
+    tf = qtoks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    df_ = (
+        qtoks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "avgdl",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("w"),
+        )
+    )
+    scored = (
+        contrib.join(qt, "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("w").cast("decimal(38,6)").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rank_eval(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    judgments: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``_rank_eval``: retrieval-quality metrics for a set of rated
+    queries — precision@k (integer basis points), MRR, and NDCG@k
+    (rounded to 6 decimals, identical expression both engines).
+
+    ``judgments`` is ``(query_id, id, grade)`` with grade > 0 marking
+    relevance.  Retrieval is :func:`bm25_multi` (one corpus pass for
+    all queries); every metric then operates on result- or
+    judgment-sized frames — windows partition by query id.  IDCG uses
+    the ideal ordering of that query's judged grades truncated to k.
+
+    Returns ``(query_id, n_results, n_relevant_at_k, precision_bp,
+    mrr, ndcg)``.
+    """
+    ranked = bm25_multi(
+        docs, queries, k=k, text_col=text_col, id_col=id_col
+    )
+    j = judgments.select(
+        "query_id", F.col(id_col), F.col("grade").cast("double").alias("grade")
+    )
+    hits = ranked.join(j, ["query_id", id_col], "left").withColumn(
+        "grade", F.coalesce(F.col("grade"), F.lit(0.0))
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_results"),
+        F.sum((F.col("grade") > 0).cast("long")).cast("long").alias("n_relevant_at_k"),
+        F.min(F.when(F.col("grade") > 0, F.col("rank"))).alias("_first_rel"),
+        F.round(
+            F.sum(F.col("grade") / F.log2(F.col("rank") + F.lit(1.0))), 6
+        ).alias("_dcg"),
+    )
+    # ideal DCG: this query's judged grades in desc order, top k
+    jw = Window.partitionBy("query_id").orderBy(
+        F.col("grade").desc(), F.col(id_col).asc()
+    )
+    idcg = (
+        j.filter(F.col("grade") > 0)
+        .withColumn("_r", F.row_number().over(jw))
+        .filter(F.col("_r") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.col("grade") / F.log2(F.col("_r") + F.lit(1.0))), 6
+            ).alias("_idcg")
+        )
+    )
+    out = per_q.join(F.broadcast(idcg), "query_id", "left").select(
+        "query_id",
+        "n_results",
+        "n_relevant_at_k",
+        F.floor(F.col("n_relevant_at_k") * 10000 / F.lit(k)).cast("long").alias(
+            "precision_bp"
+        ),
+        F.round(
+            F.coalesce(1.0 / F.col("_first_rel"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(
+            F.when(
+                F.col("_idcg").isNotNull() & (F.col("_idcg") > 0),
+                F.col("_dcg") / F.col("_idcg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg"),
+    )
+    return out

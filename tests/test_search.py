@@ -286,3 +286,41 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     # a doc present in both lists outranks one present in one list at
     # comparable positions
     assert out[1]["rrf_score"] > out[2]["rrf_score"]
+
+
+def test_percolate_multi_match_and_none(spark):
+    from monstache_spark.operators.search import percolate
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "a", 99.0)],
+        "doc_id long, kind string, v double",
+    )
+    stored = {
+        "is_a": {"term": {"kind": "a"}},
+        "big": {"range": {"v": {"gte": 50.0}}},
+    }
+    got = sorted((r["doc_id"], r["query_name"]) for r in percolate(df, stored).collect())
+    # doc 3 matches both stored queries; doc 1 one; doc 2 one
+    assert got == [(1, "is_a"), (2, "big"), (3, "big"), (3, "is_a")]
+
+
+def test_rank_eval_perfect_and_zero_retrieval(spark):
+    from monstache_spark.operators.search import rank_eval
+
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, "apple tart"), (3, "banana bread")],
+        "doc_id long, text string",
+    )
+    judgments = spark.createDataFrame(
+        [("qa", 1, 1.0), ("qa", 2, 1.0), ("qb", 3, 1.0)],
+        "query_id string, doc_id long, grade double",
+    )
+    out = {r["query_id"]: r for r in rank_eval(
+        docs, {"qa": ["apple"], "qb": ["apple"]}, judgments, k=2
+    ).collect()}
+    # qa: both retrieved docs relevant -> precision 10000bp, mrr 1, ndcg 1
+    assert out["qa"]["precision_bp"] == 10000
+    assert out["qa"]["mrr"] == 1.0 and out["qa"]["ndcg"] == 1.0
+    # qb: 'apple' never retrieves doc 3 -> zero metrics
+    assert out["qb"]["n_relevant_at_k"] == 0
+    assert out["qb"]["mrr"] == 0.0 and out["qb"]["ndcg"] == 0.0
