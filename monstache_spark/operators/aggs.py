@@ -320,13 +320,31 @@ def compile_composite_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
 
     key_names: list[str] = []
     out = df
+    first_source: tuple[str, str, dict] | None = None
     for src in spec["sources"]:
         ((sname, sbody),) = src.items()
         kind, sspec = _one(sbody)
         if kind not in ("terms", "histogram", "date_histogram"):
             raise ValueError(f"unsupported composite source: {kind}")
+        if first_source is None:
+            first_source = (sname, kind, sspec)
         out = out.withColumn(sname, _bucket_key_col(kind, sspec))
         key_names.append(sname)
+
+    after = spec.get("after")
+    if after and first_source is not None:
+        # deep-page pruning: rows whose LEADING source key is below the
+        # cursor cannot appear in any later page, and for a `terms`
+        # first source the raw column equals the key, so the >= bound
+        # reaches the scan as a PushedFilter — the input shrinks BEFORE
+        # the aggregation, not after
+        sname, kind, sspec = first_source
+        if kind == "terms":
+            out = out.filter(
+                F.col(sspec["field"]).cast("string") >= F.lit(after[sname])
+            )
+        else:
+            out = out.filter(F.col(sname) >= F.lit(after[sname]))
 
     cond = F.lit(True)
     for k in key_names:
@@ -336,8 +354,6 @@ def compile_composite_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
         .groupBy(*key_names)
         .agg(F.count("*").cast("long").alias("doc_count"), *metrics)
     )
-
-    after = spec.get("after")
     if after:
         # strictly-after in the lexicographic key order: build the
         # row-comparison predicate (k1 > a1) OR (k1 = a1 AND k2 > a2)…

@@ -286,11 +286,13 @@ CHECKS = [
     ),
     (
         "es_composite_agg",
-        "ES composite page: hash agg + TakeOrderedAndProject (no global "
-        "sort for the page), no Python",
+        "ES composite page: hash agg + TakeOrderedAndProject, and the "
+        "after-cursor's leading-key bound reaches the scan as a "
+        "PushedFilter (deep pages shrink BEFORE the agg)",
         lambda p: "TakeOrderedAndProject" in p
         and "SortAggregate" not in p
-        and "Python" not in p,
+        and "Python" not in p
+        and re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(event_type", p),
     ),
     (
         "search_highlight",
@@ -316,6 +318,38 @@ CHECKS = [
         "final top-k TakeOrderedAndProject",
         lambda p: "TakeOrderedAndProject" in p
         and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "percolate",
+        "percolation: every stored query evaluates in one projection + "
+        "bounded explode — no exchange, no join, no Python",
+        lambda p: "Exchange" not in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
+        "fuzzy_suggest",
+        "fuzzy suggest: query deletion keys broadcast into the vocab "
+        "key equi-join — no cartesian, no all-pairs levenshtein, no Python",
+        lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "hybrid_rrf_topk",
+        "hybrid RRF: both lists truncated before fusion; final top-k "
+        "TakeOrderedAndProject; no Python",
+        lambda p: "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "rank_eval",
+        "rank eval: one corpus token pass shared across queries "
+        "(broadcast (query,term) attribution), no sort agg, no Python",
+        lambda p: "BroadcastHashJoin" in p
+        and "SortAggregate" not in p
         and "Python" not in p,
     ),
     (

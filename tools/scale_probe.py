@@ -97,6 +97,33 @@ def main() -> int:
     eN = t(lambda: last_state(events_to_envelope(evN)))
     print(f"{'materialize':14s}  1x {e1:6.2f}s   {times}x {eN:7.2f}s   ratio {eN / e1:6.2f}")
 
+    from monstache_spark.operators.curation import corpus_overlap
+
+    c1 = t(lambda: corpus_overlap(docs1, n=3))
+    cN = t(lambda: corpus_overlap(docsN, n=3))
+    print(f"{'corpus_overlap':14s}  1x {c1:6.2f}s   {times}x {cN:7.2f}s   ratio {cN / c1:6.2f}")
+
+    # knn_join: bucket width must scale with the corpus (the documented
+    # contract — fixed bits at N× would quadratically inflate co-bucket
+    # pairs). bits=6 at 1x (2k vecs -> ~31/bucket); +log2(N) bits at Nx
+    # keeps the per-bucket occupancy, so a healthy ratio is ~N.
+    import math
+
+    from monstache_spark.operators.similarity import knn_join
+
+    emb1 = load_table(spark, "embeddings", sf_dir)
+    embN = multiplied(emb1, times, "vec_id", 10_000_000)
+    embN_path = f"{base}/embN.parquet"
+    embN.write.mode("overwrite").parquet(embN_path)
+    embN = spark.read.parquet(embN_path)
+    extra_bits = max(0, round(math.log2(times)))
+    k1_ = t(lambda: knn_join(emb1, k=5, dim=64, bits=6))
+    kN = t(lambda: knn_join(embN, k=5, dim=64, bits=6 + extra_bits))
+    print(
+        f"{'knn_join':14s}  1x {k1_:6.2f}s   {times}x {kN:7.2f}s   "
+        f"ratio {kN / k1_:6.2f}  (bits 6 -> {6 + extra_bits})"
+    )
+
     # Adversarial duplicate-heavy corpus: every doc in one copy-set is
     # the SAME boilerplate text, so unbounded LSH puts the whole set in
     # one bucket per band — O(n²) pair explosion on one executor. The
