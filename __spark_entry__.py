@@ -2036,8 +2036,8 @@ def _q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from monstache_spark.operators.search import rank_eval
 
     docs = load_table(spark, "documents", sf_dir)
-    qids = spark.createDataFrame(
-        [("q1",), ("q2",), ("q3",)], "query_id string"
+    qids = spark.range(1).select(
+        F.explode(F.array(F.lit("q1"), F.lit("q2"), F.lit("q3"))).alias("query_id")
     )
     judgments = (
         docs.filter(F.col("doc_id") % 7 < 2)

@@ -597,9 +597,17 @@ def fuzzy_suggest(
         .agg(F.count("*").cast("long").alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    qdf = spark.createDataFrame(
-        [(q.lower(),) for q in sorted(set(query_terms))], "query string"
-    ).select("query", F.explode(_deletion_keys(F.col("query"))).alias("dk"))
+    # the query list enters as a literal-array explode (LocalRelation),
+    # not createDataFrame — keeps the whole plan JVM-side
+    qdf = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(q.lower()) for q in sorted(set(query_terms))])
+            ).alias("query")
+        )
+        .select("query", F.explode(_deletion_keys(F.col("query"))).alias("dk"))
+    )
     vkeys = vocab.select(
         "term", "count", F.explode(_deletion_keys(F.col("term"))).alias("dk")
     )
@@ -747,8 +755,22 @@ def bm25_multi(
         {(qid, t.lower()) for qid, ts in queries.items() for t in ts}
     )
     all_terms = sorted({t for _, t in pairs})
+    # literal-array explode (LocalRelation) keeps the plan JVM-side
     qt = F.broadcast(
-        spark.createDataFrame(pairs, "query_id string, term string")
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("query_id"), F.lit(t).alias("term")
+                        )
+                        for q, t in pairs
+                    ]
+                )
+            ).alias("_p")
+        )
+        .select("_p.query_id", "_p.term")
     )
     toks = _term_rows(docs, text_col, id_col)
     dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
