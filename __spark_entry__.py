@@ -1998,6 +1998,37 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percolation alerts (streaming/windows.percolate_alerts):
+    stored bool queries fire per event through the micro-batch drain —
+    stateless projection, no watermark, exactly-once appends; oracle =
+    the same registry evaluated in batch."""
+    from monstache_spark.streaming.windows import percolate_alerts
+
+    stored = {
+        "big_purchase": {
+            "bool": {
+                "must": [
+                    {"term": {"event_type": "purchase"}},
+                    {"range": {"value": {"gte": 100.0}}},
+                ]
+            }
+        },
+        "error_event": {"term": {"event_type": "error"}},
+        "vip_click": {
+            "bool": {
+                "must": [
+                    {"term": {"event_type": "click"}},
+                    {"range": {"user_id": {"lt": 100}}},
+                ]
+            }
+        },
+    }
+    return percolate_alerts(
+        spark, os.path.join(sf_dir, "events.parquet"), stored
+    )
+
+
 def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percolation (search.percolate): a registry of stored bool
     queries evaluated against every order in ONE codegen projection +
@@ -2158,6 +2189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
         "percolate": _q_percolate,
+        "stream_percolate_alerts": _q_stream_percolate,
         "rank_eval": _q_rank_eval,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
@@ -2464,6 +2496,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "stream_percolate_alerts": """
+          SELECT event_id, query_name FROM (
+            SELECT event_id, 'big_purchase' AS query_name FROM events
+              WHERE event_type = 'purchase' AND value >= 100.0
+            UNION ALL
+            SELECT event_id, 'error_event' FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT event_id, 'vip_click' FROM events
+              WHERE event_type = 'click' AND user_id < 100
+          )
         """,
         "percolate": """
           SELECT o_orderkey, query_name FROM (

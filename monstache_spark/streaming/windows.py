@@ -176,3 +176,29 @@ def stream_dedup_keys(
     deduped = ev.dropDuplicatesWithinWatermark(keys)
     out = run_stream_to_parquet(deduped, spark, "append")
     return out.select(*keys)
+
+
+def percolate_alerts(
+    spark: SparkSession,
+    events_path: str,
+    stored: dict,
+    id_col: str = "event_id",
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Streaming percolation: evaluate a registry of stored bool
+    queries against every event of the stream and append one alert
+    row per (event, matching query) — the saved-search/alerting loop
+    a monstache+ES deployment runs with the percolate API, served
+    in-engine.
+
+    The percolation stage is stateless (one codegen projection +
+    bounded explode per micro-batch, search.percolate), so the stream
+    needs no watermark and no state store; alerts append exactly-once
+    under the foreachBatch parquet sink.  Returns the drained alert
+    frame ``(id, query_name)``.
+    """
+    from monstache_spark.operators.search import percolate
+
+    stream = _events_stream(spark, events_path)
+    alerts = percolate(stream, stored, id_col=id_col)
+    return run_stream_to_parquet(alerts, spark, "append", out_dir)

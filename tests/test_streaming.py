@@ -215,3 +215,41 @@ def test_sharded_sources_union_into_one_pipeline(spark, tmp_path):
 
     batch = run_batch(spark, all_events, _cfg(tmp_path, "shardsb"))
     assert _as_dict(state.read()) == _as_dict(batch.read())
+
+
+def test_percolate_alerts_matches_batch_registry(spark, tmp_path):
+    import datetime
+
+    from monstache_spark.operators.search import percolate
+    from monstache_spark.streaming.windows import percolate_alerts
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 1), 5, "purchase", 150.0, "{}"),
+        (2, datetime.datetime(2024, 1, 1, 2), 6, "error", 1.0, "{}"),
+        (3, datetime.datetime(2024, 1, 1, 3), 7, "view", 9.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    # the harness path contract is a single parquet FILE (like the
+    # driver testdata), not a directory
+    import glob as _glob
+    import shutil
+
+    staged = str(tmp_path / "staged")
+    df.coalesce(1).write.parquet(staged)
+    path = str(tmp_path / "events.parquet")
+    shutil.copy(_glob.glob(f"{staged}/part-*.parquet")[0], path)
+    stored = {
+        "buy": {"term": {"event_type": "purchase"}},
+        "err": {"term": {"event_type": "error"}},
+    }
+    streamed = {
+        (r["event_id"], r["query_name"])
+        for r in percolate_alerts(spark, path, stored).collect()
+    }
+    batch = {
+        (r["event_id"], r["query_name"])
+        for r in percolate(spark.read.parquet(path), stored, id_col="event_id").collect()
+    }
+    assert streamed == batch == {(1, "buy"), (2, "err")}

@@ -147,6 +147,25 @@ def main() -> int:
         dt = time.time() - t0
         recall = len(approx & exact_l2) / max(len(exact_l2), 1)
         print(f"{name:28s} recall@{k} {recall:6.3f}   {dt:5.1f}s  (vs exact-L2)")
+
+    # knn_join recall: the all-corpus neighbor map, restricted to the
+    # same query set for comparability against the exact baseline
+    from monstache_spark.operators.similarity import knn_join
+
+    for name, bits, tables in [
+        ("knn_join b=6 t=1", 6, 1),
+        ("knn_join b=6 t=2", 6, 2),
+        ("knn_join b=6 t=4", 6, 4),
+    ]:
+        t0 = time.time()
+        full = knn_join(emb, k=k, dim=64, bits=bits, n_tables=tables)
+        approx = {
+            (r["id_q"], r["id_n"])
+            for r in full.filter(F.col("id_q") < n_q).collect()
+        }
+        dt = time.time() - t0
+        recall = len(approx & exact) / max(len(exact), 1)
+        print(f"{name:28s} recall@{k} {recall:6.3f}   {dt:5.1f}s  (full corpus map)")
     spark.stop()
     return 0
 
