@@ -808,6 +808,7 @@ def knn_join(
     dim: int = 64,
     bits: int = 6,
     n_tables: int = 1,
+    max_bucket: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -822,17 +823,34 @@ def knn_join(
     equi-join on (table, bucket); scores dedupe across tables with ONE
     hash agg (identical per table, so ``max`` is exact); per-vector
     top-k is a window over candidate rows partitioned by the query id.
-    At 100 TB raise ``bits`` so buckets stay executor-sized — the
-    bucket census tooling in dedup applies here unchanged.
+
+    Scale guards, in the same spirit as dedup's bounded LSH: vector
+    norms are computed ONCE per bucket row, so per-pair work is a
+    single dot product (same arithmetic and rounding as
+    ``cosine_rounded`` — norms just move before the join); and
+    ``max_bucket``, when set, drops co-bucket lists larger than the
+    cap (clustered corpora skew sign buckets — measured: a 50x corpus
+    at +log2(50) bits still produced a 651-member bucket).  Dropped
+    buckets lose those vectors' candidates, exactly like an IVF probe
+    bound; raise ``bits`` or ``max_bucket`` to trade cost for recall.
 
     Returns ``(id_q, id_n, score, rank)``.
     """
     frames = []
     for t in range(n_tables):
+        v = as_double_array(F.col(vec_col))
+        nv = F.sqrt(
+            F.aggregate(
+                F.zip_with(v, v, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
         frames.append(
             emb.select(
                 F.col(id_col).alias("id"),
-                as_double_array(F.col(vec_col)).alias("v"),
+                v.alias("v"),
+                nv.alias("nv"),
                 lsh_bucket(F.col(vec_col), dim, bits, t).alias("bucket"),
                 F.lit(t).alias("tbl"),
             )
@@ -840,11 +858,35 @@ def knn_join(
     b = frames[0]
     for f in frames[1:]:
         b = b.unionByName(f)
-    a = b.select(F.col("tbl"), F.col("bucket"), F.col("id").alias("id_q"), F.col("v").alias("vq"))
-    c = b.select(F.col("tbl"), F.col("bucket"), F.col("id").alias("id_n"), F.col("v").alias("vn"))
+    if max_bucket is not None:
+        keep = (
+            b.groupBy("tbl", "bucket")
+            .agg(F.count("*").alias("_m"))
+            .filter(F.col("_m") <= max_bucket)
+            .select("tbl", "bucket")
+        )
+        b = b.join(F.broadcast(keep), ["tbl", "bucket"])
+    a = b.select(
+        F.col("tbl"), F.col("bucket"),
+        F.col("id").alias("id_q"), F.col("v").alias("vq"), F.col("nv").alias("nq"),
+    )
+    c = b.select(
+        F.col("tbl"), F.col("bucket"),
+        F.col("id").alias("id_n"), F.col("v").alias("vn"), F.col("nv").alias("nn"),
+    )
     pairs = a.join(c, ["tbl", "bucket"]).filter(F.col("id_q") != F.col("id_n"))
+    d = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vn"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("nq") * F.col("nn")
     scored = pairs.select(
-        "id_q", "id_n", cosine_rounded(F.col("vq"), F.col("vn")).alias("score")
+        "id_q",
+        "id_n",
+        F.round(
+            F.when(denom > 0, d / denom).otherwise(F.lit(0.0)), 6
+        ).alias("score"),
     )
     dedup = scored.groupBy("id_q", "id_n").agg(F.max("score").alias("score"))
     w = Window.partitionBy("id_q").orderBy(F.col("score").desc(), F.col("id_n").asc())

@@ -112,16 +112,32 @@ def main() -> int:
     from monstache_spark.operators.similarity import knn_join
 
     emb1 = load_table(spark, "embeddings", sf_dir)
-    embN = multiplied(emb1, times, "vec_id", 10_000_000)
+    # perturb each copy deterministically: 50 EXACT clones of every
+    # vector share all bucket bits, which degenerates the probe into a
+    # quadratic clone-pair count no real embedding corpus has — the
+    # perturbation spreads copies across sign buckets like fresh data
+    copies = emb1.crossJoin(
+        spark.range(times).select(F.col("id").alias("_copy"))
+    )
+    embN = copies.select(
+        (F.col("vec_id") + F.col("_copy") * 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, j: (
+                x + ((F.col("_copy") * 31 + j) % 7 - 3).cast("float") * F.lit(0.05)
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
     embN_path = f"{base}/embN.parquet"
     embN.write.mode("overwrite").parquet(embN_path)
     embN = spark.read.parquet(embN_path)
     extra_bits = max(0, round(math.log2(times)))
     k1_ = t(lambda: knn_join(emb1, k=5, dim=64, bits=6))
-    kN = t(lambda: knn_join(embN, k=5, dim=64, bits=6 + extra_bits))
+    kN = t(lambda: knn_join(embN, k=5, dim=64, bits=6 + extra_bits, max_bucket=500))
     print(
         f"{'knn_join':14s}  1x {k1_:6.2f}s   {times}x {kN:7.2f}s   "
-        f"ratio {kN / k1_:6.2f}  (bits 6 -> {6 + extra_bits})"
+        f"ratio {kN / k1_:6.2f}  (bits 6 -> {6 + extra_bits}, cap 500)"
     )
 
     # Adversarial duplicate-heavy corpus: every doc in one copy-set is
