@@ -1998,6 +1998,28 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension view of the CDC stream (timemachine.
+    scd2_intervals): one [valid_from, valid_to) interval per document
+    version, closed by the next op (update OR delete), is_current on
+    open intervals — one lead window per key, no state."""
+    from monstache_spark.operators.timemachine import scd2_intervals
+
+    return scd2_intervals(Flt.system_guards(_env(spark, sf_dir)))
+
+
+def _q_plan_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planner (curation.plan_mixture): target
+    weights in basis points -> per-source sampling fraction and
+    expected token yield, all exact integer arithmetic; under-weight
+    domains cap at keep-everything and report the shortfall."""
+    from monstache_spark.operators.curation import plan_mixture
+
+    docs = load_table(spark, "documents", sf_dir)
+    weights = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+    return plan_mixture(docs, weights, token_budget=200_000)
+
+
 def _q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming percolation alerts (streaming/windows.percolate_alerts):
     stored bool queries fire per event through the micro-batch drain —
@@ -2189,6 +2211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
         "percolate": _q_percolate,
+        "scd2_intervals": _q_scd2_intervals,
+        "plan_mixture": _q_plan_mixture,
         "stream_percolate_alerts": _q_stream_percolate,
         "rank_eval": _q_rank_eval,
         "es_terms_agg": _q_es_terms_agg,
@@ -2496,6 +2520,41 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "scd2_intervals": f"""
+          WITH env AS ({_ENV}), g AS (SELECT * FROM env WHERE {_GUARDS}),
+          w AS (
+            SELECT ns, id, op, value, k, version,
+                   lead(version) OVER (PARTITION BY ns, id ORDER BY version) AS valid_to
+            FROM g)
+          SELECT ns, id, value, k, version AS valid_from, valid_to,
+                 CAST(valid_to IS NULL AS BIGINT) AS is_current
+          FROM w WHERE op <> 'd'
+        """,
+        "plan_mixture": f"""
+          WITH t AS (
+            SELECT source,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS nt
+            FROM documents),
+          a AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens
+            FROM t GROUP BY source),
+          wgt AS (
+            SELECT *, CAST(CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 3000
+                                       WHEN 'src2' THEN 2000 WHEN 'src3' THEN 1000
+                                       ELSE 0 END AS BIGINT) AS weight_bp
+            FROM a),
+          tgt AS (
+            SELECT *, CAST(floor(200000 * weight_bp / 10000) AS BIGINT) AS target_tokens
+            FROM wgt),
+          frc AS (
+            SELECT *, least(CAST(10000 AS BIGINT),
+                            CAST(floor(target_tokens * 10000 / total_tokens) AS BIGINT)) AS sample_bp
+            FROM tgt)
+          SELECT source, n_docs, total_tokens, weight_bp, target_tokens, sample_bp,
+                 CAST(floor(total_tokens * sample_bp / 10000) AS BIGINT) AS expected_tokens
+          FROM frc
         """,
         "stream_percolate_alerts": """
           SELECT event_id, query_name FROM (

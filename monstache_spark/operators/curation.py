@@ -1096,3 +1096,46 @@ def score_decile_map(
             ).alias("mean_score"),
         )
     )
+
+
+def plan_mixture(
+    docs: DataFrame,
+    weights_bp: dict[str, int],
+    token_budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget mixture planner: given target mixture weights (in
+    basis points) and a total token budget, compute each domain's
+    sampling fraction and expected token yield — the arithmetic
+    behind every data-mixing recipe (e.g. The Pile / Dolma weight
+    tables), kept in exact integers so any engine agrees.
+
+    Per group: ``n_docs``, ``total_tokens`` (whitespace tokens, one
+    hash agg), ``target_tokens = floor(budget * weight / 10000)``,
+    ``sample_bp = min(10000, floor(target * 10000 / total))`` (a
+    domain smaller than its target caps at keep-everything — the
+    planner reports the shortfall rather than inventing upsampling),
+    and ``expected_tokens = floor(total * sample_bp / 10000)``.
+    Groups without a weight get weight 0.  One aggregation pass; the
+    weight table is a literal CASE expression (plan metadata).
+    """
+    w = F.lit(0).cast("long")
+    for grp, bp in sorted(weights_bp.items()):
+        w = F.when(F.col(group_col) == F.lit(grp), F.lit(int(bp)).cast("long")).otherwise(w)
+    agg = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("total_tokens"),
+    )
+    out = agg.withColumn("weight_bp", w)
+    target = F.floor(F.lit(int(token_budget)) * F.col("weight_bp") / 10000).cast("long")
+    out = out.withColumn("target_tokens", target)
+    frac = F.least(
+        F.lit(10000).cast("long"),
+        F.floor(F.col("target_tokens") * 10000 / F.col("total_tokens")).cast("long"),
+    )
+    out = out.withColumn("sample_bp", frac)
+    return out.withColumn(
+        "expected_tokens",
+        F.floor(F.col("total_tokens") * F.col("sample_bp") / 10000).cast("long"),
+    )

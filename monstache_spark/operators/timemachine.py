@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from monstache_spark.operators.routing import map_index
 
@@ -36,4 +37,35 @@ def time_machine_rows(
         "version",
         "value",
         "k",
+    )
+
+
+def scd2_intervals(ops: DataFrame) -> DataFrame:
+    """SCD-type-2 dimension view of the CDC envelope: one validity
+    interval per document version, ``[valid_from, valid_to)`` in
+    version order, closed by the NEXT op on the key (update or
+    delete), open (``is_current``) otherwise.
+
+    The time-machine sink (K7) answers "what did the doc look like at
+    t" by append-log scan; this derives the lakehouse-standard
+    interval table instead — a point-in-time join becomes
+    ``BETWEEN valid_from AND valid_to``.  One lead window per key
+    (the exchange hashes on (ns, id) — the same partitioning every
+    other per-key stage uses), no state, no Python.
+
+    Reference semantics evidence: versions are the oplog-derived
+    total order of monstache.go:4053-4063 (tsVersion); a delete
+    closes its predecessor's interval exactly as the versioned ES
+    delete supersedes the doc.
+    """
+    w = Window.partitionBy("ns", "id").orderBy("version")
+    closed = ops.withColumn("_valid_to", F.lead("version").over(w))
+    return closed.filter(F.col("op") != "d").select(
+        "ns",
+        "id",
+        "value",
+        "k",
+        F.col("version").alias("valid_from"),
+        F.col("_valid_to").alias("valid_to"),
+        F.col("_valid_to").isNull().cast("long").alias("is_current"),
     )

@@ -220,3 +220,42 @@ def test_drop_database(spark, state):
     _merge(spark, state, [_op("i", "1", 1, 1.0), _op("i", "2", 2, 2.0, ns="other.t")])
     _merge(spark, state, [("dropDatabase", "test", "", T0, 10, "oplog", 0.0, 0, 40)])
     assert _state_dict(state.read()) == {("other.t", "2"): 2.0}
+
+
+def test_scd2_intervals_close_on_update_and_delete(spark):
+    from monstache_spark.operators.timemachine import scd2_intervals
+
+    ops = spark.createDataFrame(
+        [
+            ("u", "db.c", "a", 10, "v1", "k1"),
+            ("u", "db.c", "a", 20, "v2", "k1"),
+            ("d", "db.c", "a", 30, None, None),
+            ("u", "db.c", "b", 15, "w1", "k2"),
+        ],
+        "op string, ns string, id string, version long, value string, k string",
+    )
+    out = {(r["id"], r["valid_from"]): r for r in scd2_intervals(ops).collect()}
+    # a@10 closed by a@20; a@20 closed by the DELETE at 30 (no row for
+    # the delete itself); b@15 open/current
+    assert out[("a", 10)]["valid_to"] == 20 and out[("a", 10)]["is_current"] == 0
+    assert out[("a", 20)]["valid_to"] == 30 and out[("a", 20)]["is_current"] == 0
+    assert out[("b", 15)]["valid_to"] is None and out[("b", 15)]["is_current"] == 1
+    assert len(out) == 3
+
+
+def test_plan_mixture_caps_at_keep_everything(spark):
+    from monstache_spark.operators.curation import plan_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four", "big"), (2, "five six seven eight", "big"),
+         (3, "tiny doc", "small")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in
+           plan_mixture(docs, {"big": 5000, "small": 5000}, token_budget=100).collect()}
+    # big: 8 tokens, target 50 -> capped at 10000bp, expected 8
+    assert out["big"]["sample_bp"] == 10000 and out["big"]["expected_tokens"] == 8
+    # small: 2 tokens, target 50 -> also capped (shortfall visible via
+    # target_tokens >> expected_tokens)
+    assert out["small"]["target_tokens"] == 50
+    assert out["small"]["expected_tokens"] == 2
