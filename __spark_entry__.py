@@ -1998,6 +1998,38 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_es_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregations (aggs.pipeline_aggs): derivative,
+    cumulative sum and 3-bucket moving average of the daily event rate
+    per event type — ONE window pass over the already-bucketed frame
+    (Kibana's time-series post-processing)."""
+    from monstache_spark.operators.aggs import compile_aggs, pipeline_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = compile_aggs(
+        ev,
+        {
+            "by_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "daily": {
+                        "date_histogram": {"field": "ts", "calendar_interval": "day"}
+                    }
+                },
+            }
+        },
+    )
+    return pipeline_aggs(
+        daily,
+        sort_col="daily",
+        value_col="doc_count",
+        parent_cols=["by_type"],
+        derivative=True,
+        cumulative=True,
+        moving_avg=3,
+    )
+
+
 def _q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension view of the CDC stream (timemachine.
     scd2_intervals): one [valid_from, valid_to) interval per document
@@ -2211,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
         "percolate": _q_percolate,
+        "es_pipeline_aggs": _q_es_pipeline_aggs,
         "scd2_intervals": _q_scd2_intervals,
         "plan_mixture": _q_plan_mixture,
         "stream_percolate_alerts": _q_stream_percolate,
@@ -2520,6 +2553,24 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "es_pipeline_aggs": """
+          WITH leaf AS (
+            SELECT CAST(event_type AS VARCHAR) AS by_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily,
+                   CAST(count(*) AS BIGINT) AS doc_count
+            FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2)
+          SELECT by_type, daily, doc_count,
+                 doc_count - lag(doc_count) OVER w AS doc_count_deriv,
+                 CAST(sum(doc_count) OVER (PARTITION BY by_type ORDER BY daily ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS doc_count_cumsum,
+                 round(CAST(sum(doc_count) OVER w3 AS DOUBLE)
+                       / CAST(count(doc_count) OVER w3 AS DOUBLE), 6) AS doc_count_mavg
+          FROM leaf
+          WINDOW w AS (PARTITION BY by_type ORDER BY daily ASC),
+                 w3 AS (PARTITION BY by_type ORDER BY daily ASC
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "scd2_intervals": f"""
           WITH env AS ({_ENV}), g AS (SELECT * FROM env WHERE {_GUARDS}),

@@ -368,3 +368,57 @@ def compile_composite_agg(df: DataFrame, name: str, body: dict) -> DataFrame:
     ordered = grouped.orderBy(*[F.col(k).asc() for k in key_names])
     size = spec.get("size")
     return ordered.limit(int(size)) if size is not None else ordered
+
+
+def pipeline_aggs(
+    buckets: DataFrame,
+    sort_col: str,
+    value_col: str,
+    parent_cols: list[str] | None = None,
+    derivative: bool = False,
+    cumulative: bool = False,
+    moving_avg: int | None = None,
+) -> DataFrame:
+    """ES pipeline aggregations over an already-bucketed frame (the
+    output of :func:`compile_aggs`): ``derivative``,
+    ``cumulative_sum`` and ``moving_avg`` of ``value_col`` along
+    ``sort_col`` order, per parent bucket — the Kibana time-series
+    post-processing (rate of change, running totals, smoothing).
+
+    All three are ONE window pass over bucket-cardinality rows (the
+    corpus was already reduced by the bucket agg); the window
+    partitions by the parent bucket keys, so it parallelizes across
+    parents and is control-plane-sized within each.  ``moving_avg``
+    is the trailing simple average over the last ``moving_avg``
+    buckets (ES ``moving_fn`` with ``MovingFunctions.unweightedAvg``),
+    computed in exact decimal accumulation and rounded to 6 decimals.
+    Derivative of the first bucket is null, as in ES.
+    """
+    part = (
+        Window.partitionBy(*parent_cols) if parent_cols else Window.partitionBy()
+    )
+    w = part.orderBy(F.col(sort_col).asc())
+    out = buckets
+    v = F.col(value_col)
+    if derivative:
+        out = out.withColumn(
+            f"{value_col}_deriv", v - F.lag(v).over(w)
+        )
+    if cumulative:
+        out = out.withColumn(
+            f"{value_col}_cumsum",
+            F.sum(v.cast("decimal(38,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"),
+        )
+    if moving_avg is not None:
+        frame = w.rowsBetween(-(moving_avg - 1), 0)
+        out = out.withColumn(
+            f"{value_col}_mavg",
+            F.round(
+                F.sum(v.cast("decimal(38,6)")).over(frame).cast("double")
+                / F.count(v).over(frame).cast("double"),
+                6,
+            ),
+        )
+    return out

@@ -206,3 +206,24 @@ def test_rejects_bucket_sub_agg_in_composite(ev):
                 "aggs": {"sub": {"terms": {"field": "region"}}},
             },
         )
+
+
+def test_pipeline_aggs_derivative_cumsum_mavg(spark):
+    from monstache_spark.operators.aggs import pipeline_aggs
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 1, 5)],
+        "g string, t long, doc_count long",
+    )
+    out = {(r["g"], r["t"]): r for r in pipeline_aggs(
+        df, "t", "doc_count", parent_cols=["g"],
+        derivative=True, cumulative=True, moving_avg=2,
+    ).collect()}
+    assert out[("a", 1)]["doc_count_deriv"] is None      # first bucket, as in ES
+    assert out[("a", 2)]["doc_count_deriv"] == 20
+    assert out[("a", 3)]["doc_count_deriv"] == -10
+    assert out[("a", 3)]["doc_count_cumsum"] == 60.0
+    assert out[("a", 3)]["doc_count_mavg"] == 25.0       # (30+20)/2 trailing
+    # parent isolation: b's window never sees a's buckets
+    assert out[("b", 1)]["doc_count_deriv"] is None
+    assert out[("b", 1)]["doc_count_cumsum"] == 5.0
