@@ -1073,6 +1073,11 @@ def score_decile_map(
     Returns ``(decile, n_docs, min_score, max_score, mean_score)``.
     """
     qs = [i / n_buckets for i in range(1, n_buckets)]
+    # the scored frame is consumed twice (boundary agg + bucket
+    # assignment); checkpoint the per-doc rows — O(#docs), tiny next
+    # to whatever scoring pipeline produced them — so that pipeline
+    # executes once (same pattern as the DSIR gumbel ranker)
+    scored = scored.localCheckpoint(eager=True)
     bounds = scored.agg(
         F.percentile(
             F.col(score_col), F.array(*[F.lit(q) for q in qs])
