@@ -1998,6 +1998,42 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-aggregation (aggs.top_hits_agg): the 2
+    highest-value events per type — one parallel window with
+    WindowGroupLimit pushing the cutoff into the per-bucket sort."""
+    from monstache_spark.operators.aggs import top_hits_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    return top_hits_agg(ev, "event_type", "value", n=2, id_col="event_id")
+
+
+def _q_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold alerting (aggs.anomaly_flags): z-score > 2σ flags on
+    the daily event-rate series per type, computed entirely in exact
+    cross-multiplied decimals (no sqrt, no float rounding) — the
+    Kibana/Watcher alert shape, engine-exact."""
+    from monstache_spark.operators.aggs import anomaly_flags, compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = compile_aggs(
+        ev,
+        {
+            "by_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "daily": {
+                        "date_histogram": {"field": "ts", "calendar_interval": "day"}
+                    }
+                },
+            }
+        },
+    )
+    return anomaly_flags(
+        daily, "doc_count", parent_cols=["by_type"], threshold_sigma=2.0
+    )
+
+
 def _q_es_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES pipeline aggregations (aggs.pipeline_aggs): derivative,
     cumulative sum and 3-bucket moving average of the daily event rate
@@ -2243,6 +2279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
         "percolate": _q_percolate,
+        "top_hits_per_type": _q_top_hits,
+        "anomaly_flags_daily": _q_anomaly_flags,
         "es_pipeline_aggs": _q_es_pipeline_aggs,
         "scd2_intervals": _q_scd2_intervals,
         "plan_mixture": _q_plan_mixture,
@@ -2553,6 +2591,32 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "top_hits_per_type": """
+          SELECT * FROM (
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                        ORDER BY value DESC, event_id ASC) AS BIGINT) AS hit_rank
+            FROM events WHERE event_type IS NOT NULL
+          ) WHERE hit_rank <= 2
+        """,
+        "anomaly_flags_daily": """
+          WITH leaf AS (
+            SELECT CAST(event_type AS VARCHAR) AS by_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily,
+                   CAST(count(*) AS BIGINT) AS doc_count
+            FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2),
+          st AS (
+            SELECT by_type, count(*) AS n, sum(doc_count) AS sx,
+                   sum(doc_count * doc_count) AS sxx
+            FROM leaf GROUP BY 1)
+          SELECT by_type, daily, doc_count,
+                 CAST((n * doc_count - sx) * (n * doc_count - sx) AS DOUBLE) AS dev2_scaled,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS var_scaled,
+                 CAST(CAST((n * doc_count - sx) * (n * doc_count - sx) AS DOUBLE)
+                      > 4.0 * CAST(n * sxx - sx * sx AS DOUBLE) AS BIGINT) AS is_anomaly
+          FROM leaf JOIN st USING (by_type)
         """,
         "es_pipeline_aggs": """
           WITH leaf AS (

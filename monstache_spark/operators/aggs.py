@@ -422,3 +422,81 @@ def pipeline_aggs(
             ),
         )
     return out
+
+
+def top_hits_agg(
+    df: DataFrame,
+    bucket_col: str,
+    sort_col: str,
+    n: int = 3,
+    ascending: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation: the ``n`` best documents per
+    bucket by ``sort_col`` (ties break on ``id_col`` asc) — "show me
+    examples per group", the most-used ES sub-agg Kibana tables are
+    built on.
+
+    One window rank partitioned by the bucket — parallel across
+    buckets, WindowGroupLimit pushes the n-cutoff into the sort, so
+    per-bucket work is a bounded heap, not a full sort.  Null bucket
+    keys drop, as in ES.  Returns the input columns plus ``hit_rank``.
+    """
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.col(sort_col).asc() if ascending else F.col(sort_col).desc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        df.filter(F.col(bucket_col).isNotNull())
+        .withColumn("hit_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("hit_rank") <= n)
+    )
+
+
+def anomaly_flags(
+    buckets: DataFrame,
+    value_col: str,
+    parent_cols: list[str] | None = None,
+    threshold_sigma: float = 3.0,
+) -> DataFrame:
+    """Static z-score anomaly flags over a bucketed metric series (the
+    shape of Kibana/Watcher threshold alerts): flag buckets where
+    ``(x - mean)² > threshold² · variance`` within the parent bucket.
+
+    All arithmetic is EXACT: mean and population variance enter as
+    decimal sums (Σx, Σx², n) and the flag compares
+    ``(n·x − Σx)² > threshold²·(n·Σx² − (Σx)²)`` — the z² > t² test
+    cross-multiplied by n², no square roots, no float rounding, so
+    every engine flags identical rows.  One aggregate over
+    bucket-cardinality rows broadcast back.  Emits ``is_anomaly``
+    (0/1) plus the ``dev2_scaled``/``var_scaled`` evidence columns.
+    """
+    parent_cols = parent_cols or []
+    dec = F.col(value_col).cast("decimal(38,6)")
+    stats = (
+        buckets.groupBy(*parent_cols).agg(
+            F.count("*").cast("decimal(38,0)").alias("_n"),
+            F.sum(dec).cast("decimal(38,6)").alias("_sx"),
+            F.sum((dec * dec).cast("decimal(38,6)")).cast("decimal(38,6)").alias("_sxx"),
+        )
+    )
+    joined = (
+        buckets.join(F.broadcast(stats), parent_cols)
+        if parent_cols
+        else buckets.crossJoin(F.broadcast(stats))
+    )
+    # z² > t²  ⇔  (x−μ)² > t²σ²  ⇔  (n·x − Σx)² > t²·(n·Σx² − (Σx)²)
+    # after multiplying through by n² — both sides exact decimals
+    lhs = (joined["_n"] * dec - F.col("_sx")).cast("decimal(38,6)")
+    dev2 = (lhs * lhs).cast("decimal(38,6)")
+    varn = (
+        joined["_n"] * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    ).cast("decimal(38,6)")
+    t2 = F.lit(threshold_sigma * threshold_sigma).cast("decimal(18,6)")
+    flag = dev2 > (t2 * varn).cast("decimal(38,6)")
+    return (
+        joined.withColumn("dev2_scaled", dev2.cast("double"))
+        .withColumn("var_scaled", varn.cast("double"))
+        .withColumn("is_anomaly", flag.cast("long"))
+        .drop("_n", "_sx", "_sxx")
+    )

@@ -227,3 +227,32 @@ def test_pipeline_aggs_derivative_cumsum_mavg(spark):
     # parent isolation: b's window never sees a's buckets
     assert out[("b", 1)]["doc_count_deriv"] is None
     assert out[("b", 1)]["doc_count_cumsum"] == 5.0
+
+
+def test_top_hits_per_bucket_and_null_drop(spark):
+    from monstache_spark.operators.aggs import top_hits_agg
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0), (4, None, 99.0), (5, "b", 1.0)],
+        "doc_id long, g string, v double",
+    )
+    out = [(r["g"], r["doc_id"], r["hit_rank"]) for r in
+           top_hits_agg(df, "g", "v", n=2).orderBy("g", "hit_rank").collect()]
+    assert out == [("a", 2, 1), ("a", 3, 2), ("b", 5, 1)]
+
+
+def test_anomaly_flags_exact_zscore(spark):
+    from monstache_spark.operators.aggs import anomaly_flags
+
+    # series 10,10,10,10,100: mean=28, popvar=1296, sigma=36;
+    # z(100)=2 exactly -> NOT flagged at t=2 (strict >), flagged at 1.9
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate([10, 10, 10, 10, 100])],
+        "g string, t long, doc_count long",
+    )
+    at2 = {r["t"]: r["is_anomaly"] for r in
+           anomaly_flags(df, "doc_count", ["g"], threshold_sigma=2.0).collect()}
+    assert at2 == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0}  # z == t is not > t
+    at19 = {r["t"]: r["is_anomaly"] for r in
+            anomaly_flags(df, "doc_count", ["g"], threshold_sigma=1.9).collect()}
+    assert at19 == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1}
