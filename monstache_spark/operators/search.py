@@ -200,6 +200,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    search_after: tuple | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 for a bag of query terms.
 
@@ -216,10 +217,21 @@ def bm25_topk(
     df/idf (O(#query terms) rows) and the one-row (N, avgdl) stats
     broadcast into the scoring join. Final top-k is
     TakeOrderedAndProject. Returns ``(id, score, rank)``.
+
+    ``search_after=(score, id)`` resumes strictly after that sort key
+    — ES's deep-pagination cursor.  The filter lands BEFORE the top-k,
+    so every page costs one TakeOrderedAndProject over the remaining
+    candidates; page ``rank`` restarts at 1, as in ES.
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col)
+    if search_after is not None:
+        s_a, id_a = search_after
+        scored = scored.filter(
+            (F.col("score") < F.lit(s_a))
+            | ((F.col("score") == F.lit(s_a)) & (F.col(id_col) > F.lit(id_a)))
+        )
     ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     # rank via a window over the ALREADY-limited frame: ≤ k rows, so
     # the unpartitioned window is control-plane-sized by construction

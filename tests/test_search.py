@@ -324,3 +324,15 @@ def test_rank_eval_perfect_and_zero_retrieval(spark):
     # qb: 'apple' never retrieves doc 3 -> zero metrics
     assert out["qb"]["n_relevant_at_k"] == 0
     assert out["qb"]["mrr"] == 0.0 and out["qb"]["ndcg"] == 0.0
+
+
+def test_bm25_search_after_pages_cover_all_without_overlap(spark):
+    df = _docs(spark)
+    p1 = bm25_topk(df, ["spark", "data"], k=2).orderBy("rank").collect()
+    cursor = (p1[-1]["score"], p1[-1]["doc_id"])
+    p2 = bm25_topk(df, ["spark", "data"], k=10, search_after=cursor).orderBy("rank").collect()
+    ids1 = [r["doc_id"] for r in p1]
+    ids2 = [r["doc_id"] for r in p2]
+    full = [r["doc_id"] for r in bm25_topk(df, ["spark", "data"], k=10).orderBy("rank").collect()]
+    assert ids1 + ids2 == full          # pages concatenate to the full ranking
+    assert p2[0]["rank"] == 1            # page rank restarts, as in ES
