@@ -173,6 +173,18 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
         ]
     if kind == "percentiles":
         pcts = spec.get("percents", [25.0, 50.0, 75.0])
+        if spec.get("approx"):
+            # the 100 TB path: ES itself is t-digest-approximate here;
+            # approx_percentile is a mergeable sketch (no global sort,
+            # no exact-percentile buffer). Not oracle-hashable — the
+            # default stays exact.
+            acc = int(spec.get("accuracy", 10000))
+            return [
+                F.approx_percentile(
+                    field.cast("double"), F.lit(p / 100.0), F.lit(acc)
+                ).alias(f"{name}_p{str(p).replace('.0', '').replace('.', '_')}")
+                for p in pcts
+            ]
         return [
             F.round(F.percentile(field.cast("double"), F.lit(p / 100.0)), 6).alias(
                 f"{name}_p{str(p).replace('.0', '').replace('.', '_')}"

