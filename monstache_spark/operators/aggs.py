@@ -85,10 +85,16 @@ def _one(d: dict) -> tuple[str, dict]:
 
 
 def _bucket_key_col(kind: str, spec: dict) -> Column:
-    """Key expression for single-membership bucket kinds."""
+    """Key expression for single-membership bucket kinds.  ES's
+    ``missing`` parameter maps null keys to the given bucket value
+    instead of dropping the docs (terms only here — the numeric kinds
+    keep ES's default drop)."""
     field = F.col(spec["field"])
     if kind == "terms":
-        return field.cast("string")
+        key = field.cast("string")
+        if "missing" in spec:
+            key = F.coalesce(key, F.lit(str(spec["missing"])))
+        return key
     if kind == "histogram":
         interval = float(spec["interval"])
         return (

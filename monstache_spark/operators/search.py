@@ -88,6 +88,18 @@ def _compile_leaf(kind: str, body: dict) -> Column:
         return compile_bool_query({"bool": body})
     if kind == "exists":
         return F.col(body["field"]).isNotNull()
+    if kind == "ids":
+        # ES ids query: {"ids": {"values": [...], "field": "doc_id"}}
+        # (the field name is explicit here — there is no implicit _id)
+        return F.col(body.get("field", "id")).isin(list(body["values"]))
+    if kind == "multi_match":
+        # OR of the match over each listed field (ES best_fields
+        # without scoring — with no scorer the operator reduces to
+        # "any field matches")
+        cond = F.lit(False)
+        for fld in body["fields"]:
+            cond = cond | _match_any_token(fld, str(body["query"]))
+        return cond
     if kind == "range":
         ((field, spec),) = body.items()
         cond = F.lit(True)

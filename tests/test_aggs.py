@@ -274,3 +274,12 @@ def test_percentiles_approx_knob(ev):
     assert set(ex) == set(ap)
     for k in ap:
         assert ap[k] is not None
+
+
+def test_terms_missing_bucket(ev):
+    out = compile_aggs(
+        ev, {"k": {"terms": {"field": "kind", "missing": "N/A"}}}
+    )
+    got = {r["k"]: r["doc_count"] for r in out.collect()}
+    # the null-kind doc lands in the named bucket instead of dropping
+    assert got == {"click": 3, "view": 2, "buy": 2, "N/A": 1}

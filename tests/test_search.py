@@ -336,3 +336,18 @@ def test_bm25_search_after_pages_cover_all_without_overlap(spark):
     full = [r["doc_id"] for r in bm25_topk(df, ["spark", "data"], k=10).orderBy("rank").collect()]
     assert ids1 + ids2 == full          # pages concatenate to the full ranking
     assert p2[0]["rank"] == 1            # page rank restarts, as in ES
+
+
+def test_ids_and_multi_match_leaves(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "x y"), (2, "gamma", "alpha z"), (3, "none", "here")],
+        "doc_id long, title string, body string",
+    )
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"ids": {"values": [1, 3], "field": "doc_id"}}
+    ).collect()}
+    assert got == {1, 3}
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"multi_match": {"query": "ALPHA", "fields": ["title", "body"]}}
+    ).collect()}
+    assert got == {1, 2}  # matches in either field, case-insensitive
