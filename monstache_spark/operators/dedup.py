@@ -860,6 +860,46 @@ class FingerprintRegistry:
             df = df.filter(F.col("bucket").isin(buckets))
         return df
 
+    def compact(self) -> int:
+        """Rewrite the registry so every bucket holds ONE file.
+
+        Each admission appends one file per touched bucket, so after B
+        batches a bucket lists B files — compaction bounds the
+        file-listing cost of ``known()`` between crawls.  The rewrite
+        goes to a sibling directory and swaps in via two Hadoop
+        FileSystem renames (works on any scheme the session can
+        write).  Single-writer, like admission itself: run it between
+        batches, never concurrently with one — and a crash between
+        the two renames leaves the data under ``<path>__old`` for
+        manual recovery (the transactional answer at 100 TB is the
+        Delta-backed state table, sinks/delta_state.py).  Returns the
+        pre-compaction file count."""
+        df = self.known()
+        if df is None:
+            return 0
+        n_before = len(df.inputFiles())
+        tmp = self.path.rstrip("/") + "__compacting"
+        if self.n_buckets:
+            (
+                df.repartition(F.col("bucket"))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(tmp)
+            )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(self.path).getFileSystem(conf)
+        old = HPath(self.path.rstrip("/") + "__old")
+        if fs.exists(old):
+            fs.delete(old, True)
+        fs.rename(HPath(self.path), old)
+        fs.rename(HPath(tmp), HPath(self.path))
+        fs.delete(old, True)
+        return n_before
+
     def admit(self, fps: DataFrame) -> None:
         if self.n_buckets:
             # repartition on the bucket BEFORE partitionBy: without it

@@ -352,3 +352,28 @@ def test_incremental_dedup_equals_global_argmin_randomized(spark, tmp_path):
         if key not in best or cand < best[key]:
             best[key] = cand
     assert survived == {i for _, i in best.values()}
+
+
+def test_registry_compaction_preserves_contents(spark, tmp_path):
+    from monstache_spark.operators.dedup import FingerprintRegistry
+
+    reg = FingerprintRegistry(spark, str(tmp_path / "reg"), n_buckets=8)
+    for i in range(3):
+        fps = spark.createDataFrame(
+            [(f"{j:03x}fp{i}_{j}", i * 100 + j) for j in range(20)],
+            "fp string, doc_id long",
+        )
+        reg.admit(fps)
+    before = {(r["fp"], r["doc_id"]) for r in reg.known().select("fp", "doc_id").collect()}
+    n_files = reg.compact()
+    assert n_files > 8  # 3 admissions x touched buckets
+    after_df = reg.known()
+    after = {(r["fp"], r["doc_id"]) for r in after_df.select("fp", "doc_id").collect()}
+    assert after == before
+    # one file per bucket now
+    assert len(after_df.inputFiles()) <= 8
+    # registry still admits after compaction
+    reg.admit(spark.createDataFrame([("fffpost", 999)], "fp string, doc_id long"))
+    assert ("fffpost", 999) in {
+        (r["fp"], r["doc_id"]) for r in reg.known().select("fp", "doc_id").collect()
+    }
