@@ -1998,6 +1998,17 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet (curation.data_card): one-row corpus summary —
+    volume, composition, dominant language, exact-dup and PII exposure
+    in exact integers/basis points. One corpus pass + two one-row
+    broadcast joins."""
+    from monstache_spark.operators.curation import data_card
+
+    docs = load_table(spark, "documents", sf_dir)
+    return data_card(docs)
+
+
 def _q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES top_hits sub-aggregation (aggs.top_hits_agg): the 2
     highest-value events per type — one parallel window with
@@ -2279,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
         "percolate": _q_percolate,
+        "data_card": _q_data_card,
         "top_hits_per_type": _q_top_hits,
         "anomaly_flags_daily": _q_anomaly_flags,
         "es_pipeline_aggs": _q_es_pipeline_aggs,
@@ -2591,6 +2603,36 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "data_card": f"""
+          WITH t AS (
+            SELECT doc_id, text, lang, source,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END AS BIGINT) AS nt,
+                   md5({_CANON}) AS fp,
+                   CAST(len(regexp_extract_all(text, '{_pii_re("email")}'))
+                      + len(regexp_extract_all(text, '{_pii_re("ssn")}'))
+                      + len(regexp_extract_all(text, '{_pii_re("phone")}'))
+                      + len(regexp_extract_all(text, '{_pii_re("ipv4")}')) > 0 AS BIGINT) AS has_pii
+            FROM documents),
+          base AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                   CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+                   CAST(sum(has_pii) AS BIGINT) AS pii_docs
+            FROM t),
+          tl AS (
+            SELECT lang AS top_lang, CAST(count(*) AS BIGINT) AS top_lang_docs
+            FROM documents GROUP BY lang
+            ORDER BY top_lang_docs DESC, lang ASC LIMIT 1)
+          SELECT n_docs, total_tokens, total_chars, n_langs, n_sources,
+                 top_lang, top_lang_docs,
+                 CAST(floor((n_docs - n_unique_fp) * 10000 / n_docs) AS BIGINT) AS dup_docs_bp,
+                 CAST(floor(pii_docs * 10000 / n_docs) AS BIGINT) AS pii_docs_bp,
+                 CAST(floor(total_tokens * 100 / n_docs) AS BIGINT) AS mean_tokens_centi
+          FROM base, tl
         """,
         "top_hits_per_type": """
           SELECT * FROM (

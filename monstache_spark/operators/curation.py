@@ -1144,3 +1144,69 @@ def plan_mixture(
         "expected_tokens",
         F.floor(F.col("total_tokens") * F.col("sample_bp") / 10000).cast("long"),
     )
+
+
+def data_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row dataset datasheet — the "data card" summary attached to
+    a training corpus release: volume (docs/tokens/chars), composition
+    (languages, sources, dominant language), exact-duplicate exposure
+    and PII exposure, all in exact integers / basis points so the card
+    is reproducible bit-for-bit on any engine.
+
+    One corpus pass computes every global aggregate (count-distincts
+    share the scan); the dominant-language argmax is a
+    language-cardinality frame reduced to one row; the three one-row
+    frames broadcast-join into the final card.  No driver-side
+    collection, no floats.
+    """
+    from monstache_spark.functions.text import fingerprint, token_count
+
+    text = F.col(text_col)
+    base = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(text)).cast("long").alias("total_tokens"),
+        F.sum(F.length(text)).cast("long").alias("total_chars"),
+        F.countDistinct(F.col(lang_col)).cast("long").alias("n_langs"),
+        F.countDistinct(F.col(source_col)).cast("long").alias("n_sources"),
+        F.countDistinct(fingerprint(text)).cast("long").alias("n_unique_fp"),
+    )
+    counts = pii_counts(text)
+    any_pii = (
+        sum(list(counts.values()), F.lit(0).cast("long")) > 0
+    ).cast("long")
+    pii = docs.agg(F.sum(any_pii).cast("long").alias("pii_docs"))
+    top_lang = (
+        docs.groupBy(lang_col)
+        .agg(F.count("*").cast("long").alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col(lang_col).asc())
+        .limit(1)
+        .select(F.col(lang_col).alias("top_lang"), F.col("_c").alias("top_lang_docs"))
+    )
+    return (
+        base.crossJoin(F.broadcast(pii))
+        .crossJoin(F.broadcast(top_lang))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "n_langs",
+            "n_sources",
+            "top_lang",
+            "top_lang_docs",
+            F.floor((F.col("n_docs") - F.col("n_unique_fp")) * 10000 / F.col("n_docs"))
+            .cast("long")
+            .alias("dup_docs_bp"),
+            F.floor(F.col("pii_docs") * 10000 / F.col("n_docs"))
+            .cast("long")
+            .alias("pii_docs_bp"),
+            F.floor(F.col("total_tokens") * 100 / F.col("n_docs"))
+            .cast("long")
+            .alias("mean_tokens_centi"),
+        )
+    )

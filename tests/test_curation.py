@@ -444,3 +444,24 @@ def test_score_decile_map_buckets_uniform_scores(spark):
     assert out[1]["min_score"] == 0 and out[10]["max_score"] == 990
     for d in range(1, 10):
         assert out[d]["max_score"] < out[d + 1]["min_score"]
+
+
+def test_data_card_summary_arithmetic(spark):
+    from monstache_spark.operators.curation import data_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "en", "a"),
+            (2, "hello world", "en", "a"),      # exact dup of 1
+            (3, "mail me at x@y.com now", "en", "b"),
+            (4, "autre texte ici", "fr", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = data_card(docs).collect()[0]
+    assert card["n_docs"] == 4
+    assert card["n_langs"] == 2 and card["n_sources"] == 2
+    assert card["top_lang"] == "en" and card["top_lang_docs"] == 3
+    assert card["dup_docs_bp"] == 2500       # 1 of 4 docs is a dup
+    assert card["pii_docs_bp"] == 2500       # doc 3 has an email
+    assert card["total_tokens"] == 2 + 2 + 5 + 3
