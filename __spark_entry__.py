@@ -1998,6 +1998,33 @@ def _q_collapse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collapse_topk(docs, ["merge", "vector", "window"], "source", k=10)
 
 
+def _q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dedup (dedup.incremental_near_dup_batch): three
+    arrival batches against an append-only band-claim registry —
+    first-writer-claims-the-band. Across ordered batches a doc
+    survives iff it is the admission-order arg-min holder of every
+    band it carries, which the oracle checks in one aggregate without
+    replaying batches."""
+    import tempfile
+
+    from monstache_spark.operators.dedup import (
+        FingerprintRegistry,
+        incremental_near_dup_batch,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    base = tempfile.mkdtemp(prefix="band_registry_")
+    reg = FingerprintRegistry(spark, base + "/bands")
+    out_dir = base + "/kept"
+    for b in range(3):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
+        surv = incremental_near_dup_batch(reg, batch, shingle_k=2).select(
+            "doc_id", F.lit(b).cast("long").alias("batch")
+        )
+        surv.write.mode("append").parquet(out_dir)
+    return spark.read.parquet(out_dir).select("doc_id", "batch")
+
+
 def _q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset datasheet (curation.data_card): one-row corpus summary —
     volume, composition, dominant language, exact-dup and PII exposure
@@ -2290,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
         "percolate": _q_percolate,
+        "incremental_near_dup": _q_incremental_near_dup,
         "data_card": _q_data_card,
         "top_hits_per_type": _q_top_hits,
         "anomaly_flags_daily": _q_anomaly_flags,
@@ -2603,6 +2631,23 @@ def oracle_sql() -> dict[str, str]:
                  CAST(floor(n_shared * 10000 / sa.n) AS BIGINT) AS contain_a_bp,
                  CAST(floor(n_shared * 10000 / sb.n) AS BIGINT) AS contain_b_bp
           FROM pairs JOIN sizes sa ON pairs.src_a = sa.grp JOIN sizes sb ON pairs.src_b = sb.grp
+        """,
+        "incremental_near_dup": f"""
+          WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),
+          hs AS (SELECT doc_id, sh, list_transform(sh, s -> {_hash_sql('s', 0)}) AS hs FROM sh),
+          sig AS (SELECT doc_id, sh, {minhash_sig_cols} FROM hs),
+          bands AS (SELECT doc_id, sh, {band_exprs} FROM sig),
+          exploded AS (
+            SELECT doc_id, unnest([band0, band1, band2, band3]) AS band FROM bands),
+          claims AS (
+            SELECT band, arg_min(doc_id, (doc_id % 3) * 4294967296 + doc_id) AS holder
+            FROM exploded GROUP BY band),
+          losers AS (
+            SELECT DISTINCT e.doc_id FROM exploded e JOIN claims c USING (band)
+            WHERE e.doc_id <> c.holder)
+          SELECT d.doc_id, CAST(d.doc_id % 3 AS BIGINT) AS batch
+          FROM documents d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
         """,
         "data_card": f"""
           WITH t AS (

@@ -956,3 +956,63 @@ def incremental_dedup_batch(
     registry.admit(admitted)
     keep_ids = admitted.select(id_col)
     return batch_docs.join(keep_ids, id_col, "left_semi")
+
+
+def incremental_near_dup_batch(
+    registry: FingerprintRegistry,
+    batch_docs: DataFrame,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit one batch into an incrementally NEAR-deduplicated corpus:
+    first-writer-claims-the-band, the parallel-safe crawl rule.
+
+    A batch document survives iff every one of its MinHash band keys
+    is unclaimed — absent from the registry (claimed by no earlier
+    batch) and held by no smaller id within the batch.  ALL fresh
+    band claims are admitted (claims, not survivor fingerprints), so
+    across ordered batches a document survives iff it is the
+    admission-order arg-min holder of every band it carries over the
+    whole corpus — a closed-form invariant the oracle checks without
+    replaying batches.  This is deliberately PESSIMISTIC versus
+    chain-transitive near-dup clustering (a doc can lose to a claimant
+    that itself lost) — deterministic, one pass per batch, no
+    iteration; the batch-mode :func:`near_dup_clusters` is the
+    transitive answer when the corpus is static.
+
+    Plan per batch: signature/banding (the shared
+    :func:`minhash_band_rows` stage) → registry anti-join on the band
+    key → within-batch min-id claim (one band-key shuffle).  Only
+    (band-key, id) pairs shuffle; history text is never read.
+    """
+    bands = minhash_band_rows(
+        batch_docs, text_col, id_col, num_hashes, num_bands, shingle_k
+    ).select(F.col("band").alias("fp"), F.col(id_col))
+    seen = registry.known(touching=bands)
+    claims = bands.groupBy("fp").agg(F.min(id_col).alias("_claim"))
+    losers_batch = (
+        bands.join(claims, "fp")
+        .filter(F.col("_claim") != F.col(id_col))
+        .select(id_col)
+    )
+    if seen is None:
+        losers = losers_batch.distinct()
+        fresh_claims = claims
+    else:
+        prior = seen.select("fp").distinct()
+        losers_prior = bands.join(prior, "fp", "left_semi").select(id_col)
+        losers = losers_batch.unionByName(losers_prior).distinct()
+        fresh_claims = claims.join(prior, "fp", "left_anti")
+    # pin survivors BEFORE admit: the anti-joins above read the very
+    # path admit() appends to (same re-read hazard as
+    # incremental_dedup_batch)
+    keep = (
+        batch_docs.select(id_col)
+        .join(losers, id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    registry.admit(fresh_claims.select("fp", F.col("_claim").alias(id_col)))
+    return batch_docs.join(keep, id_col, "left_semi")

@@ -377,3 +377,45 @@ def test_registry_compaction_preserves_contents(spark, tmp_path):
     assert ("fffpost", 999) in {
         (r["fp"], r["doc_id"]) for r in reg.known().select("fp", "doc_id").collect()
     }
+
+
+def test_incremental_near_dup_invariant_and_batch_split_independence(spark, tmp_path):
+    from monstache_spark.operators.dedup import (
+        FingerprintRegistry,
+        incremental_near_dup_batch,
+        minhash_band_rows,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content about spark plans"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "unrelated text that shares nothing with others"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def run(n_batches):
+        reg = FingerprintRegistry(spark, str(tmp_path / f"reg{n_batches}"))
+        kept = set()
+        for b in range(n_batches):
+            batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+            kept |= {r["doc_id"] for r in
+                     incremental_near_dup_batch(reg, batch, shingle_k=2).collect()}
+        return kept
+
+    # closed-form invariant: survive iff arg-min holder of EVERY band
+    # under the admission order (batch asc, id asc)
+    def expected(n_batches):
+        bands = minhash_band_rows(docs, shingle_k=2).collect()
+        holder = {}
+        for r in sorted(bands, key=lambda r: (r["doc_id"] % n_batches, r["doc_id"])):
+            holder.setdefault(r["band"], r["doc_id"])
+        losers = {r["doc_id"] for r in bands if holder[r["band"]] != r["doc_id"]}
+        return {i for i, _ in texts} - losers
+
+    assert run(2) == expected(2)
+    assert run(5) == expected(5)
+    # doc 3 (exact dup, later admission order) must never survive
+    assert 3 not in run(2)
