@@ -251,7 +251,12 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             out = out.withColumn(name, _bucket_key_col(kind, spec))
             if kind == "terms":
                 truncations.append(
-                    (name, spec.get("size"), int(spec.get("min_doc_count", 1)))
+                    (
+                        name,
+                        spec.get("size"),
+                        int(spec.get("min_doc_count", 1)),
+                        spec.get("order"),
+                    )
                 )
         key_names.append(name)
         node = child
@@ -275,7 +280,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     # leaf with no ancestors top-sizes as orderBy().limit() —
     # TakeOrderedAndProject, no single-partition window even when the
     # bucket cardinality is large.
-    for name, size, min_dc in truncations:
+    for name, size, min_dc, order in truncations:
         ancestors = key_names[: key_names.index(name)]
         is_leaf = name == key_names[-1]
         if is_leaf:
@@ -286,20 +291,41 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 "_bucket_total", F.sum("doc_count").over(bucket_w)
             )
             total = F.col("_bucket_total")
+        if order:
+            # ES `order`: rank buckets by a metric sub-agg (or _count /
+            # _key) instead of the default count-desc. Metric columns
+            # exist only on leaf rows, so metric ordering is a
+            # LEAF-level feature (ES itself restricts deep ordering).
+            ((okey, odir),) = order.items()
+            if okey == "_count":
+                ocol = total
+            elif okey == "_key":
+                ocol = F.col(name)
+            elif is_leaf:
+                ocol = F.col(okey)
+            else:
+                raise ValueError(
+                    "metric `order` is only supported on the leaf terms level"
+                )
+            order_exprs = [
+                ocol.asc() if odir == "asc" else ocol.desc(),
+                F.col(name).asc(),
+            ]
+        else:
+            order_exprs = [total.desc(), F.col(name).asc()]
         if min_dc > 1:
             grouped = grouped.filter(total >= F.lit(min_dc))
         if size is not None:
+            exprs = order_exprs or [total.desc(), F.col(name).asc()]
             if is_leaf and not ancestors:
-                grouped = grouped.orderBy(
-                    total.desc(), F.col(name).asc()
-                ).limit(int(size))
+                grouped = grouped.orderBy(*exprs).limit(int(size))
             else:
                 part = (
                     Window.partitionBy(*ancestors)
                     if ancestors
                     else Window.partitionBy()
                 )
-                rank_w = part.orderBy(total.desc(), F.col(name).asc())
+                rank_w = part.orderBy(*exprs)
                 grouped = (
                     grouped.withColumn("_r", F.dense_rank().over(rank_w))
                     .filter(F.col("_r") <= F.lit(int(size)))

@@ -283,3 +283,44 @@ def test_terms_missing_bucket(ev):
     got = {r["k"]: r["doc_count"] for r in out.collect()}
     # the null-kind doc lands in the named bucket instead of dropping
     assert got == {"click": 3, "view": 2, "buy": 2, "N/A": 1}
+
+
+def test_terms_order_by_metric(ev):
+    out = compile_aggs(
+        ev,
+        {
+            "k": {
+                "terms": {"field": "kind", "size": 2, "order": {"avg_val": "desc"}},
+                "aggs": {"avg_val": {"avg": {"field": "val"}}},
+            }
+        },
+    )
+    got = [r["k"] for r in out.collect()]
+    # avg: buy=60 (one non-null val), view=45, click=20 -> top-2 by metric
+    assert sorted(got) == ["buy", "view"]
+    # ascending order keeps the lowest-metric buckets instead
+    out_asc = compile_aggs(
+        ev,
+        {
+            "k": {
+                "terms": {"field": "kind", "size": 2, "order": {"avg_val": "asc"}},
+                "aggs": {"avg_val": {"avg": {"field": "val"}}},
+            }
+        },
+    )
+    assert sorted(r["k"] for r in out_asc.collect()) == ["click", "view"]
+
+
+def test_terms_order_metric_rejected_on_non_leaf(ev):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="leaf terms level"):
+        compile_aggs(
+            ev,
+            {
+                "k": {
+                    "terms": {"field": "kind", "size": 1, "order": {"m": "desc"}},
+                    "aggs": {"r": {"terms": {"field": "region"}}},
+                }
+            },
+        ).collect()
