@@ -2751,8 +2751,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(floor(200000 * weight_bp / 10000) AS BIGINT) AS target_tokens
             FROM wgt),
           frc AS (
-            SELECT *, least(CAST(10000 AS BIGINT),
-                            CAST(floor(target_tokens * 10000 / total_tokens) AS BIGINT)) AS sample_bp
+            SELECT *, CASE WHEN total_tokens > 0
+                           THEN least(CAST(10000 AS BIGINT),
+                                      CAST(floor(target_tokens * 10000 / total_tokens) AS BIGINT))
+                           ELSE CAST(10000 AS BIGINT) END AS sample_bp
             FROM tgt)
           SELECT source, n_docs, total_tokens, weight_bp, target_tokens, sample_bp,
                  CAST(floor(total_tokens * sample_bp / 10000) AS BIGINT) AS expected_tokens
@@ -2982,15 +2984,19 @@ def oracle_sql() -> dict[str, str]:
           FROM best ORDER BY score DESC, source ASC LIMIT 10
         """,
         "search_highlight": """
-          WITH m AS (
+          WITH p AS (
+            SELECT doc_id, text,
+                   ' ' || regexp_replace(lower(text), '[^a-z0-9_]', ' ', 'g') || ' ' AS padded
+            FROM documents
+          ), m AS (
             SELECT doc_id, text,
                    least(
-                     CASE WHEN strpos(lower(text), 'spark') > 0
-                          THEN strpos(lower(text), 'spark') ELSE 1073741824 END,
-                     CASE WHEN strpos(lower(text), 'table') > 0
-                          THEN strpos(lower(text), 'table') ELSE 1073741824 END
+                     CASE WHEN strpos(padded, ' spark ') > 0
+                          THEN strpos(padded, ' spark ') ELSE 1073741824 END,
+                     CASE WHEN strpos(padded, ' table ') > 0
+                          THEN strpos(padded, ' table ') ELSE 1073741824 END
                    ) AS first_pos
-            FROM documents
+            FROM p
           ), f AS (
             SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
                    substr(text, CAST(greatest(1, first_pos - 10) AS INTEGER), 60) AS frag

@@ -76,6 +76,14 @@ _CALENDAR_TRUNC = {
 }
 
 
+def _pct_suffix(p: float) -> str:
+    """Lossless, collision-free column suffix for a percentile value:
+    50.0 -> '50', 99.9 -> '99_9', 10.05 -> '10_05'.  (A naive
+    str(p).replace('.0','') corrupts interior '.0' — 10.05 -> '105' —
+    and can collide: 1.05 and 15.0 both -> '15'.)"""
+    return f"{p:g}".replace(".", "_")
+
+
 def _one(d: dict) -> tuple[str, dict]:
     body = {k: v for k, v in d.items() if k != "aggs"}
     if len(body) != 1:
@@ -188,12 +196,12 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
             return [
                 F.approx_percentile(
                     field.cast("double"), F.lit(p / 100.0), F.lit(acc)
-                ).alias(f"{name}_p{str(p).replace('.0', '').replace('.', '_')}")
+                ).alias(f"{name}_p{_pct_suffix(p)}")
                 for p in pcts
             ]
         return [
             F.round(F.percentile(field.cast("double"), F.lit(p / 100.0)), 6).alias(
-                f"{name}_p{str(p).replace('.0', '').replace('.', '_')}"
+                f"{name}_p{_pct_suffix(p)}"
             )
             for p in pcts
         ]
@@ -218,9 +226,15 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     parent bucket when truncating to ``size``.
     """
     key_names: list[str] = []
-    # (name, size, min_doc_count) per terms level, applied post-agg
-    truncations: list[tuple[str, int | None, int]] = []
+    # (name, size, min_doc_count, order) per terms level, applied post-agg
+    truncations: list[tuple[str, int | None, int, dict | None]] = []
     metrics: list[Column] = []
+    # frame snapshot taken right after each terms level's key column is
+    # assigned — BEFORE any child level's explode / null-drop — so a
+    # non-leaf terms bucket's total doc count matches ES's parent
+    # doc_count (children with a missing key still count toward the
+    # parent; multi-membership children don't double-count it)
+    level_frames: dict[str, DataFrame] = {}
     out = df
 
     node = aggs
@@ -258,6 +272,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                         spec.get("order"),
                     )
                 )
+                level_frames[name] = out
         key_names.append(name)
         node = child
 
@@ -274,21 +289,34 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     )
 
     # terms size / min_doc_count: rank buckets by their TOTAL doc
-    # count (sum over descendant leaves) within the parent bucket —
-    # O(#buckets) work on the already-aggregated frame.  A LEAF terms
-    # level needs no bucket-total window (total == doc_count), and a
-    # leaf with no ancestors top-sizes as orderBy().limit() —
-    # TakeOrderedAndProject, no single-partition window even when the
-    # bucket cardinality is large.
+    # count within the parent bucket.  A LEAF terms level needs no
+    # bucket-total (total == doc_count), and a leaf with no ancestors
+    # top-sizes as orderBy().limit() — TakeOrderedAndProject, no
+    # single-partition window even when the bucket cardinality is
+    # large.  A NON-leaf terms level's total is computed as its own
+    # aggregate over the frame snapshot taken before the child level
+    # was assigned — summing leaf doc_counts would undercount parents
+    # whose children have missing keys (dropped rows) and double-count
+    # under multi-membership children (range/filters explode), either
+    # of which can change which top-size parents survive vs ES.  The
+    # totals frame is O(#buckets), so the join broadcasts.
     for name, size, min_dc, order in truncations:
         ancestors = key_names[: key_names.index(name)]
         is_leaf = name == key_names[-1]
         if is_leaf:
             total = F.col("doc_count")
         else:
-            bucket_w = Window.partitionBy(*ancestors, name)
-            grouped = grouped.withColumn(
-                "_bucket_total", F.sum("doc_count").over(bucket_w)
+            base = level_frames[name]
+            tot_cond = F.lit(True)
+            for k in [*ancestors, name]:
+                tot_cond = tot_cond & F.col(k).isNotNull()
+            totals = (
+                base.filter(tot_cond)
+                .groupBy(*ancestors, name)
+                .agg(F.count("*").cast("long").alias("_bucket_total"))
+            )
+            grouped = grouped.join(
+                F.broadcast(totals), [*ancestors, name], "left"
             )
             total = F.col("_bucket_total")
         if order:

@@ -1135,10 +1135,19 @@ def plan_mixture(
     out = agg.withColumn("weight_bp", w)
     target = F.floor(F.lit(int(token_budget)) * F.col("weight_bp") / 10000).cast("long")
     out = out.withColumn("target_tokens", target)
-    frac = F.least(
-        F.lit(10000).cast("long"),
-        F.floor(F.col("target_tokens") * 10000 / F.col("total_tokens")).cast("long"),
-    )
+    # total_tokens == 0 (a group whose documents are all empty text)
+    # means "nothing to sample": keep-everything (10000 bp) yields the
+    # correct expected_tokens of 0, and avoids a null from the
+    # division silently propagating into the plan.
+    frac = F.when(
+        F.col("total_tokens") > 0,
+        F.least(
+            F.lit(10000).cast("long"),
+            F.floor(
+                F.col("target_tokens") * 10000 / F.col("total_tokens")
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(10000).cast("long"))
     out = out.withColumn("sample_bp", frac)
     return out.withColumn(
         "expected_tokens",

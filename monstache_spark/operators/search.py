@@ -409,11 +409,25 @@ def highlight_fragments(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() for t in query_terms})
-    low = F.lower(F.col(text_col))
-    # earliest 1-based position over the terms (0 = absent)
+    # Boundary-aware earliest match: regexp_instr with the SAME
+    # \b-bounded pattern used for tagging below, so first_pos is by
+    # construction the position of a match the tagger will tag
+    # ('tables' never matches term 'table', and a doc whose only
+    # occurrence is mid-word is dropped, as ES drops non-matching
+    # docs from highlight results).  Still one codegen projection.
     sentinel = F.lit(1 << 30)
     positions = [
-        F.when(F.locate(t, low) > 0, F.locate(t, low)).otherwise(sentinel)
+        F.when(
+            F.regexp_instr(
+                F.col(text_col),
+                F.lit(f"(?i)\\b{_regex_escape(t)}\\b"),
+            )
+            > 0,
+            F.regexp_instr(
+                F.col(text_col),
+                F.lit(f"(?i)\\b{_regex_escape(t)}\\b"),
+            ),
+        ).otherwise(sentinel)
         for t in terms
     ]
     first = positions[0]

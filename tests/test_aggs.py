@@ -66,6 +66,56 @@ def test_nested_size_truncates_within_parent(ev):
     assert got == {("eu", "click"): 2, ("us", "buy"): 1}
 
 
+def test_parent_total_counts_null_key_children(ev):
+    """A non-leaf terms bucket's size ranking must use the PARENT's
+    doc count (ES semantics) — children with a missing sub-key still
+    count.  kind=buy has 2 docs but one (id 7) has region NULL: with
+    leaf-sum totals buy would tie view at 1 and lose size=2 selection
+    ordering; with parent totals buy keeps its true total of 2."""
+    out = compile_aggs(
+        ev,
+        {
+            "k": {
+                "terms": {"field": "kind", "size": 2},
+                "aggs": {"region": {"terms": {"field": "region"}}},
+            }
+        },
+    )
+    parents = sorted({r["k"] for r in out.collect()})
+    # click(3) then buy(2, counting the null-region doc) — view(2)
+    # loses the tie on key asc; a leaf-sum total would undercount buy
+    # to 1 and emit view instead
+    assert parents == ["buy", "click"]
+
+
+def test_parent_total_not_inflated_by_multi_membership_children(ev):
+    """A multi-membership child (filters explode) must not
+    double-count the parent's total when ranking parent buckets."""
+    out = compile_aggs(
+        ev,
+        {
+            "k": {
+                "terms": {"field": "kind", "size": 1, "min_doc_count": 3},
+                "aggs": {
+                    "f": {
+                        "filters": {
+                            "filters": {
+                                "all": {"range": {"val": {"gte": 0.0}}},
+                                "eu": {"term": {"region": "eu"}},
+                            }
+                        }
+                    }
+                },
+            }
+        },
+    )
+    rows = out.collect()
+    # min_doc_count=3 on PARENT totals: only click (3 docs) survives —
+    # view/buy have 2 parent docs even though explode produces more
+    # leaf rows
+    assert {r["k"] for r in rows} == {"click"}
+
+
 def test_filters_agg_multi_membership(ev):
     out = compile_aggs(
         ev,
@@ -274,6 +324,18 @@ def test_percentiles_approx_knob(ev):
     assert set(ex) == set(ap)
     for k in ap:
         assert ap[k] is not None
+
+
+def test_percentile_suffix_lossless_no_collisions(ev):
+    out = compile_aggs(
+        ev,
+        {"k": {"terms": {"field": "region"},
+               "aggs": {"p": {"percentiles": {"field": "val",
+                                              "percents": [1.05, 15.0, 10.05, 99.9]}}}}},
+    )
+    cols = set(out.columns)
+    # 1.05 and 15.0 must NOT collide; 10.05 must not mangle to p105
+    assert {"p_p1_05", "p_p15", "p_p10_05", "p_p99_9"} <= cols
 
 
 def test_terms_missing_bucket(ev):

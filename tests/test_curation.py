@@ -155,6 +155,25 @@ def test_mixture_stats_shares_sum_and_empty_docs(spark):
     assert sum(r["share_bp"] for r in out.values()) <= 10000
 
 
+def test_plan_mixture_zero_token_group_yields_zero_not_null(spark):
+    from monstache_spark.operators.curation import plan_mixture
+
+    rows = [
+        (1, "alpha beta gamma", "web"),
+        (2, "", "empty_src"),      # all-empty group: total_tokens == 0
+        (3, "   ", "empty_src"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in plan_mixture(
+        df, {"web": 5000, "empty_src": 5000}, token_budget=1000
+    ).collect()}
+    e = out["empty_src"]
+    # keep-everything of nothing: no nulls leak into the plan
+    assert e["total_tokens"] == 0
+    assert e["sample_bp"] == 10000
+    assert e["expected_tokens"] == 0
+
+
 def test_dedup_spans_keeps_corpus_first_occurrence(spark):
     from monstache_spark.operators.curation import dedup_spans
 

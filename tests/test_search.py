@@ -206,10 +206,32 @@ def test_highlight_escapes_regex_metacharacters(spark):
     )
     out = {r["doc_id"]: r["fragment"] for r in
            highlight_fragments(df, ["3.14"], fragment_size=40, context=0).collect()}
-    # the dot is literal in both locate() and the tagging regexp:
-    # doc 1 tags, doc 2 ('3x14') matches neither and is dropped
+    # the dot is literal in both the position regexp and the tagging
+    # regexp: doc 1 tags, doc 2 ('3x14') matches neither and is dropped
     assert "<em>3.14</em>" in out[1]
     assert 2 not in out
+
+
+def test_highlight_first_pos_is_boundary_aware(spark):
+    """A doc whose only occurrence is INSIDE another word ('tables'
+    for term 'table') must be dropped, not emitted with n_hits=0; and
+    first_pos must anchor on the boundary match, skipping an earlier
+    mid-word substring."""
+    from monstache_spark.operators.search import highlight_fragments
+
+    df = spark.createDataFrame(
+        [
+            (1, "the tables are long"),            # substring only -> drop
+            (2, "stables first, then a table here"),  # skip 'stables'
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           highlight_fragments(df, ["table"], fragment_size=30, context=0).collect()}
+    assert set(out) == {2}
+    assert out[2]["first_pos"] == 23  # 'table' in '... then a table here'
+    assert out[2]["fragment"].startswith("<em>table</em>")
+    assert out[2]["n_hits"] == 1
 
 
 def test_significant_terms_scores_foreground_skew(spark):
