@@ -745,10 +745,12 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (arXiv:1508.07909): 20 merges
     over the documents vocabulary; one corpus pass for word counts,
-    then vocab-sized iterations. Data-dependent driver iteration is
-    not SQL-expressible — rows-only checked here; bit-exactness vs a
-    pure-Python reference is pinned by tests/test_tokenizer.py
-    (including a hypothesis property test)."""
+    then vocab-sized iterations. The training loop is data-dependent
+    (not SQL-expressible), but its output at a fixed corpus is
+    deterministic — the sf0.01 result is frozen as a literal VALUES
+    oracle (_BPE_TRAIN_ORACLE_SF0_01) so the gate hash-checks it;
+    bit-exactness vs a pure-Python reference is pinned by
+    tests/test_tokenizer.py (including a hypothesis property test)."""
     from monstache_spark.operators.tokenizer import bpe_train
 
     docs = load_table(spark, "documents", sf_dir)
@@ -799,6 +801,107 @@ def _bpe_segment_sql() -> str:
              CAST(len(ws) AS BIGINT) AS n_words
       FROM t
     """
+
+
+
+
+# Frozen expected outputs of the two tokenizer TRAINING queries on the
+# /root/testdata/sf0.01 corpus (the driver gate's scale).  Both
+# trainers are deterministic at a fixed corpus (count-desc / pair-asc
+# and logprob tie-breaks; run-to-run stability re-verified before
+# freezing, and bit-exactness vs a pure-Python reference is pinned by
+# tests/test_tokenizer.py / tests/test_unigram.py).  Freezing the
+# result as a literal VALUES oracle gives the driver gate a hashable
+# answer for a data-dependent training loop — same pattern as
+# FIXED_BPE_MERGES above.  NOTE: valid at sf0.01 ONLY (sf0.001 is a
+# different 500-doc corpus); tools/check_oracle.py runs at sf0.01.
+_BPE_TRAIN_ORACLE_SF0_01 = """
+  SELECT CAST(merge_rank AS BIGINT) AS merge_rank, "left", "right",
+         CAST(pair_count AS BIGINT) AS pair_count
+  FROM (VALUES
+    (0, 'e', 'r', 4568),
+    (1, 'e', '▁', 4473),
+    (2, 'n', '▁', 2834),
+    (3, 'er', '▁', 2779),
+    (4, 'o', 'w', 2747),
+    (5, 'ow', '▁', 2747),
+    (6, 'o', 'r', 2696),
+    (7, 's', 't', 2676),
+    (8, 'h', '▁', 1884),
+    (9, 'a', 't', 1845),
+    (10, 'l', 'u', 1831),
+    (11, 'i', 'n', 1796),
+    (12, 'a', '▁', 1788),
+    (13, 'g', '▁', 1777),
+    (14, 'y', '▁', 1767),
+    (15, 'a', 'r', 1758),
+    (16, 'p', 'ar', 1758),
+    (17, 't', '▁', 1750),
+    (18, 'i', 'n▁', 964),
+    (19, 'j', 'o', 964)
+  ) AS t(merge_rank, "left", "right", pair_count)
+"""
+
+_UNIGRAM_TRAIN_ORACLE_SF0_01 = """
+  SELECT CAST(rank AS BIGINT) AS rank, piece,
+         CAST(logprob_micro AS BIGINT) AS logprob_micro, CAST(count AS BIGINT) AS count
+  FROM (VALUES
+    (0, 'join', -3339440, 964),
+    (1, 'hash', -3357232, 947),
+    (2, 'row', -3361465, 943),
+    (3, 'batch', -3367848, 937),
+    (4, 'scan', -3368916, 936),
+    (5, 'column', -3371055, 934),
+    (6, 'customer', -3371055, 934),
+    (7, 'filter', -3372126, 933),
+    (8, 'small', -3377499, 928),
+    (9, 'merge', -3388334, 918),
+    (10, 'slow', -3388334, 918),
+    (11, 'order', -3394891, 912),
+    (12, 'vector', -3394891, 912),
+    (13, 'line', -3397086, 910),
+    (14, 'data', -3399287, 908),
+    (15, 'table', -3399287, 908),
+    (16, 'agg', -3407026, 901),
+    (17, 'value', -3411475, 897),
+    (18, 'key', -3412591, 896),
+    (19, 'stream', -3421559, 888),
+    (20, 'window', -3423814, 886),
+    (21, 'a', -3430609, 880),
+    (22, 'spark', -3430609, 880),
+    (23, 'group', -3432884, 878),
+    (24, 'part', -3432884, 878),
+    (25, 'big', -3435165, 876),
+    (26, 'sort', -3439742, 872),
+    (27, 'query', -3440889, 871),
+    (28, 'fast', -3460600, 854),
+    (29, 'the', -3477129, 840),
+    (30, 'dup', -6952434, 26),
+    (31, 'b', -10210531, 1),
+    (32, 'c', -10210531, 1),
+    (33, 'd', -10210531, 1),
+    (34, 'e', -10210531, 1),
+    (35, 'f', -10210531, 1),
+    (36, 'g', -10210531, 1),
+    (37, 'h', -10210531, 1),
+    (38, 'i', -10210531, 1),
+    (39, 'j', -10210531, 1),
+    (40, 'k', -10210531, 1),
+    (41, 'l', -10210531, 1),
+    (42, 'm', -10210531, 1),
+    (43, 'n', -10210531, 1),
+    (44, 'o', -10210531, 1),
+    (45, 'p', -10210531, 1),
+    (46, 'q', -10210531, 1),
+    (47, 'r', -10210531, 1),
+    (48, 's', -10210531, 1),
+    (49, 't', -10210531, 1),
+    (50, 'u', -10210531, 1),
+    (51, 'v', -10210531, 1),
+    (52, 'w', -10210531, 1),
+    (53, 'y', -10210531, 1)
+  ) AS t(rank, piece, logprob_micro, count)
+"""
 
 
 def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2275,9 +2378,12 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (unigram.unigram_train, Kudo
     2018): substring seed → Viterbi-EM rounds with pruning toward the
-    target vocab. Data-dependent iterative EM is not SQL-expressible —
-    rows-only checked; the distributed E-step is pinned bit-exact to
-    the driver reference by tests/test_unigram.py."""
+    target vocab. The EM loop is data-dependent (not SQL-expressible),
+    but its output at a fixed corpus is deterministic — the sf0.01
+    result is frozen as a literal VALUES oracle
+    (_UNIGRAM_TRAIN_ORACLE_SF0_01) so the gate hash-checks it; the
+    distributed E-step is pinned bit-exact to the driver reference by
+    tests/test_unigram.py."""
     from monstache_spark.operators.unigram import unigram_train
 
     docs = load_table(spark, "documents", sf_dir)
@@ -3559,6 +3665,8 @@ def oracle_sql() -> dict[str, str]:
           FROM env GROUP BY ns
         """,
         "bpe_segment_fertility": _bpe_segment_sql(),
+        "bpe_train_merges": _BPE_TRAIN_ORACLE_SF0_01,
+        "unigram_train_pieces": _UNIGRAM_TRAIN_ORACLE_SF0_01,
         "dsir_importance": f"""
           WITH g AS (SELECT doc_id, unnest({_shingles_all_sql(2)}) AS s FROM documents),
           gb AS (SELECT doc_id, {_hash_sql('s', 1)} % 256 AS bucket FROM g),
