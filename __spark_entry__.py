@@ -2007,6 +2007,31 @@ def _q_es_date_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_sibling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling bucket aggregations in ONE ES request body
+    (aggs.compile_sibling_aggs): a terms facet next to a daily
+    date_histogram — the Kibana dashboard shape. Each sibling is its
+    own single-pass hash agg with its own column pruning; the union
+    is long-format (agg, key, doc_count, metrics) with
+    sibling-foreign metrics null."""
+    from monstache_spark.operators.aggs import compile_sibling_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_sibling_aggs(
+        ev,
+        {
+            "by_type": {
+                "terms": {"field": "event_type", "size": 3},
+                "aggs": {"avg_value": {"avg": {"field": "value"}}},
+            },
+            "daily": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"total_value": {"sum": {"field": "value"}}},
+            },
+        },
+    )
+
+
 def _q_es_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES range aggregation (aggs.compile_aggs): half-open [from, to)
     price bands that OVERLAP — a doc lands in every matching band, as
@@ -2434,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
+        "es_sibling_aggs": _q_es_sibling_aggs,
         "es_range_agg": _q_es_range_agg,
         "es_composite_agg": _q_es_composite_agg,
         "bm25_search": _q_bm25_search,
@@ -3139,6 +3165,26 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT by_type, daily, doc_count, sum_value FROM tot
           QUALIFY dense_rank() OVER (ORDER BY bt DESC, by_type ASC) <= 2
+        """,
+        "es_sibling_aggs": """
+          WITH t AS (
+            SELECT CAST(event_type AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(count(value) AS DOUBLE) AS avg_value
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3
+          ), d AS (
+            SELECT strftime(CAST(date_trunc('day', ts) AS TIMESTAMP),
+                            '%Y-%m-%d %H:%M:%S') AS key,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+          )
+          SELECT 'by_type' AS agg, key, doc_count, avg_value,
+                 CAST(NULL AS DOUBLE) AS total_value FROM t
+          UNION ALL
+          SELECT 'daily', key, doc_count, CAST(NULL AS DOUBLE), total_value FROM d
         """,
         "es_range_agg": """
           WITH b AS (

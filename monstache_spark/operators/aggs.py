@@ -214,8 +214,9 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     ``aggs`` is the ES request subset documented in the module
     docstring: a dict of ``name -> {kind: spec, "aggs": {...}}``.  At
     most one *bucket* agg is allowed per level (ES allows sibling
-    bucket aggs — run :func:`compile_aggs` once per sibling; each is
-    its own single-pass plan); metric siblings are unlimited.
+    bucket aggs — :func:`compile_sibling_aggs` compiles those into a
+    union of independent single-pass plans); metric siblings are
+    unlimited.
 
     Returns one row per leaf bucket combination: a ``<name>`` key
     column per bucket level (string for terms/range/filters, double
@@ -252,7 +253,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 raise ValueError(f"unsupported aggregation kind: {kind}")
         if len(bucket_items) > 1:
             raise ValueError(
-                "one bucket agg per level; run compile_aggs per sibling"
+                "one bucket agg per level; use compile_sibling_aggs for "
+                "sibling bucket aggs"
             )
         if not bucket_items:
             break
@@ -362,6 +364,62 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         if not is_leaf:
             grouped = grouped.drop("_bucket_total")
     return grouped
+
+
+def compile_sibling_aggs(
+    df: DataFrame,
+    aggs: dict,
+    agg_col: str = "agg",
+    key_col: str = "key",
+) -> DataFrame:
+    """ES request with SIBLING bucket aggregations at one level — the
+    shape real ES requests routinely carry (a ``terms`` facet next to
+    a ``date_histogram`` in one body, as Kibana dashboards issue).
+
+    Each sibling compiles through :func:`compile_aggs` into its own
+    independent single-pass plan; the bucket frames are unioned into
+    one LONG-format result: ``(agg, key, doc_count, <union of metric
+    columns>)``, with ``agg`` the sibling's name, ``key`` the bucket
+    key chain rendered as a string (nested levels joined with ``/``,
+    timestamps as ``yyyy-MM-dd HH:mm:ss``), and metric columns a
+    sibling doesn't compute left null — the DataFrame flattening of
+    ES's named sibling results.
+
+    Scale notes (100 TB): the union is a plan-level union of N
+    independent hash aggregations — no barrier, no extra shuffle.
+    Each branch scans the source with ITS OWN column pruning (a terms
+    sibling on ``event_type`` reads one column, not the histogram's
+    timestamp), which at wide-table scale beats caching full rows to
+    "share" one scan; if the siblings genuinely read the same narrow
+    columns, persist the projected input before calling.
+    """
+    if not aggs:
+        raise ValueError("sibling aggs body must be non-empty")
+    frames: list[DataFrame] = []
+    for name, body in aggs.items():
+        sub = compile_aggs(df, {name: body})
+        cols = sub.columns
+        dc = cols.index("doc_count")
+        key_names, metric_names = cols[:dc], cols[dc + 1 :]
+        key_parts = []
+        for k in key_names:
+            dt = sub.schema[k].dataType.simpleString()
+            c = F.col(k)
+            if dt.startswith("timestamp"):
+                key_parts.append(F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+            else:
+                key_parts.append(c.cast("string"))
+        sel = [
+            F.lit(name).alias(agg_col),
+            F.concat_ws("/", *key_parts).alias(key_col),
+            F.col("doc_count"),
+            *[F.col(m) for m in metric_names],
+        ]
+        frames.append(sub.select(*sel))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def compile_composite_agg(df: DataFrame, name: str, body: dict) -> DataFrame:

@@ -230,6 +230,42 @@ def test_composite_page_then_next_page_covers_all(ev):
     assert [r["k"] for r in p1] + [r["k"] for r in p2] == ["buy", "click", "view"]
 
 
+def test_sibling_aggs_long_format_union(ev):
+    from monstache_spark.operators.aggs import compile_sibling_aggs
+
+    out = compile_sibling_aggs(
+        ev,
+        {
+            "k": {"terms": {"field": "kind"},
+                  "aggs": {"avg_val": {"avg": {"field": "val"}}}},
+            "r": {"terms": {"field": "region"},
+                  "aggs": {"total": {"sum": {"field": "val"}}}},
+        },
+    )
+    assert out.columns == ["agg", "key", "doc_count", "avg_val", "total"]
+    rows = {(r["agg"], r["key"]): r for r in out.collect()}
+    assert rows[("k", "click")]["doc_count"] == 3
+    assert rows[("k", "click")]["avg_val"] == 20.0
+    assert rows[("k", "click")]["total"] is None       # foreign metric null
+    assert rows[("r", "eu")]["doc_count"] == 4
+    assert rows[("r", "eu")]["avg_val"] is None
+    assert rows[("r", "eu")]["total"] == 150.0
+
+
+def test_sibling_aggs_nested_key_chain_joined(ev):
+    from monstache_spark.operators.aggs import compile_sibling_aggs
+
+    out = compile_sibling_aggs(
+        ev,
+        {
+            "rk": {"terms": {"field": "region"},
+                   "aggs": {"k": {"terms": {"field": "kind"}}}},
+        },
+    )
+    keys = {r["key"] for r in out.collect()}
+    assert "eu/click" in keys and "us/buy" in keys
+
+
 def test_rejects_sibling_bucket_aggs(ev):
     with pytest.raises(ValueError, match="one bucket agg per level"):
         compile_aggs(
