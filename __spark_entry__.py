@@ -2007,6 +2007,22 @@ def _q_es_date_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_match_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase query (search._match_phrase_slop): 'hash join'
+    with slop=2 — in-order occurrences with at most 2 intervening
+    tokens, via nested array-position exists, entirely JVM-side (a
+    plain Column predicate; no explode, no shuffle). The exact-phrase
+    and slop hit counts differ, so the oracle pins the positional
+    arithmetic, not just containment."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs, {"match_phrase": {"text": {"query": "hash join", "slop": 2}}}
+    )
+    return out.select("doc_id")
+
+
 def _q_es_sibling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sibling bucket aggregations in ONE ES request body
     (aggs.compile_sibling_aggs): a terms facet next to a daily
@@ -2459,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
+        "match_phrase_slop": _q_match_phrase_slop,
         "es_sibling_aggs": _q_es_sibling_aggs,
         "es_range_agg": _q_es_range_agg,
         "es_composite_agg": _q_es_composite_agg,
@@ -3165,6 +3182,20 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT by_type, daily, doc_count, sum_value FROM tot
           QUALIFY dense_rank() OVER (ORDER BY bt DESC, by_type ASC) <= 2
+        """,
+        "match_phrase_slop": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS p0,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS p1
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(p0,
+                  a -> len(list_filter(p1, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
         """,
         "es_sibling_aggs": """
           WITH t AS (

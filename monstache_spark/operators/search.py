@@ -120,11 +120,19 @@ def _compile_leaf(kind: str, body: dict) -> Column:
     if kind == "match":
         return _match_any_token(field, str(value))
     if kind == "match_phrase":
+        # {"match_phrase": {field: "a b"}} or
+        # {"match_phrase": {field: {"query": "a b", "slop": 2}}}
+        if isinstance(value, dict):
+            phrase_text, slop = str(value["query"]), int(value.get("slop", 0))
+        else:
+            phrase_text, slop = str(value), 0
+        if slop > 0:
+            return _match_phrase_slop(field, phrase_text, slop)
         # positional phrase: the analyzed token sequence must appear
         # consecutively — token-boundary-exact via the padded
         # space-joined token string (' a b c ' contains ' q1 q2 '),
         # not substring containment ('cat' must not hit 'concatenate')
-        phrase = " ".join(t for t in str(value).lower().split() if t)
+        phrase = " ".join(t for t in phrase_text.lower().split() if t)
         hay = F.concat(
             F.lit(" "),
             F.array_join(F.split(F.trim(F.lower(F.col(field))), r"\s+"), " "),
@@ -132,6 +140,56 @@ def _compile_leaf(kind: str, body: dict) -> Column:
         )
         return F.contains(hay, F.lit(f" {phrase} "))
     raise ValueError(f"unsupported query clause: {kind}")
+
+
+def _match_phrase_slop(field: str, text: str, slop: int) -> Column:
+    """Sloppy phrase: the phrase tokens must appear IN ORDER with at
+    most ``slop`` total intervening tokens — for strictly increasing
+    positions the gap sum telescopes to ``p_last - p_first - (n-1)``,
+    so the predicate is a nested array-exists over each term's
+    position list, entirely JVM-side (no explode, no shuffle — a
+    Column usable anywhere in a bool query).
+
+    Divergence from Lucene's SloppyPhraseQuery (DIVERGENCES.md S2):
+    Lucene's edit-distance slop also admits out-of-order terms
+    (a swap costs 2); this contract is in-order-only — the common
+    "words near each other, phrase order preserved" reading.  A doc
+    matching here always matches Lucene at the same slop; not
+    vice-versa.
+    """
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return F.lit(False)
+    arr = F.split(F.trim(F.lower(F.col(field))), r"\s+")
+    if len(toks) == 1:
+        return F.array_contains(arr, toks[0])
+
+    def positions_of(term: str) -> Column:
+        # index list of `term` in the token array (closure factory —
+        # the two-arg F.transform lambda is (element, index))
+        return F.filter(
+            F.transform(
+                arr,
+                lambda x, i: F.when(x == F.lit(term), i).otherwise(F.lit(-1)),
+            ),
+            lambda p: p >= 0,
+        )
+
+    pos = [positions_of(t) for t in toks]
+    n = len(toks)
+
+    def nest(i: int, prev: Column, first: Column) -> Column:
+        # exists p in pos[i]: p > prev, and at the last term the
+        # telescoped gap bound p - first - (n-1) <= slop
+        def body(p: Column) -> Column:
+            c = p > prev
+            if i == n - 1:
+                return c & (p - first - F.lit(n - 1) <= F.lit(slop))
+            return c & nest(i + 1, p, first)
+
+        return F.exists(pos[i], body)
+
+    return F.exists(pos[0], lambda p0: nest(1, p0, p0))
 
 
 def compile_bool_query(query: dict) -> Column:

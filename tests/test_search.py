@@ -179,6 +179,57 @@ def test_match_phrase_is_token_boundary_exact(spark):
     assert got == [1, 3]  # 'concatenate' must not hit
 
 
+def test_match_phrase_slop_in_order_gap_budget(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "quick brown fox"),      # 1 gap
+            (2, "quick fox"),            # exact
+            (3, "fox quick"),            # out of order -> never (divergence S2)
+            (4, "quick x y fox"),        # 2 gaps
+            (5, "quick x y z fox"),      # 3 gaps
+            (6, "the quickest fox"),     # no substring hit
+        ],
+        "id long, text string",
+    )
+
+    def ids(slop):
+        return sorted(r["id"] for r in bool_query_filter(
+            df, {"match_phrase": {"text": {"query": "quick fox", "slop": slop}}}
+        ).collect())
+
+    assert ids(0) == [2]
+    assert ids(1) == [1, 2]
+    assert ids(2) == [1, 2, 4]
+    assert ids(3) == [1, 2, 4, 5]
+
+
+def test_match_phrase_slop_three_terms_telescoped(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),         # exact
+            (2, "a x b c"),       # total gap 1
+            (3, "a x b y c"),     # total gap 2
+            (4, "a c b"),         # order broken
+            (5, "b a x c"),       # order broken
+        ],
+        "id long, text string",
+    )
+    got = sorted(r["id"] for r in bool_query_filter(
+        df, {"match_phrase": {"text": {"query": "a b c", "slop": 2}}}
+    ).collect())
+    assert got == [1, 2, 3]
+
+
+def test_match_phrase_dict_form_without_slop_is_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "cat x sat")], "id long, text string"
+    )
+    got = sorted(r["id"] for r in bool_query_filter(
+        df, {"match_phrase": {"text": {"query": "cat sat"}}}
+    ).collect())
+    assert got == [1]
+
+
 def test_highlight_fragments_tags_and_drops_nonmatches(spark):
     from monstache_spark.operators.search import highlight_fragments
 
