@@ -2404,6 +2404,20 @@ def _q_fuzzy_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_suggest(docs, ["spak", "tabl", "windoww"], top_n=3)
 
 
+def _q_fuzzy_suggest_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester with Damerau-Levenshtein distance
+    (search.fuzzy_suggest damerau=True): adjacent transpositions
+    ('tabel' for 'table', 'psark' for 'spark') count as ONE edit —
+    ES's default fuzzy_transpositions. Same SymSpell deletion-key
+    candidate join; only the verify expression changes."""
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return fuzzy_suggest(
+        docs, ["tabel", "psark", "windwo"], top_n=3, damerau=True
+    )
+
+
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES-style highlighting (search.highlight_fragments): first-match
     fragment with term occurrences tagged — locate/substring/regexp
@@ -2460,6 +2474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": _q_significant_terms,
         "collapse_topk": _q_collapse_topk,
         "fuzzy_suggest": _q_fuzzy_suggest,
+        "fuzzy_suggest_dl": _q_fuzzy_suggest_dl,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
@@ -3087,6 +3102,38 @@ def oracle_sql() -> dict[str, str]:
           d AS (
             SELECT query, term, count, CAST(levenshtein(query, term) AS BIGINT) AS distance
             FROM cand WHERE levenshtein(query, term) <= 1
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query
+                       ORDER BY distance ASC, count DESC, term ASC) AS BIGINT) AS rank
+            FROM d
+          )
+          SELECT query, term AS suggestion, count, distance, rank FROM r WHERE rank <= 3
+        """,
+        "fuzzy_suggest_dl": f"""
+          WITH v AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS count
+            FROM (SELECT unnest({_TOKS_LOWER}) AS term FROM documents)
+            WHERE term <> '' GROUP BY term
+          ),
+          q AS (SELECT unnest(['psark', 'tabel', 'windwo']) AS query),
+          qk AS (
+            SELECT query, unnest(list_distinct(list_prepend(query,
+                     list_transform(range(1, length(query) + 1),
+                       i -> substr(query, 1, CAST(i - 1 AS INTEGER)) || substr(query, CAST(i + 1 AS INTEGER)))))) AS dk
+            FROM q
+          ),
+          vk AS (
+            SELECT term, count, unnest(list_distinct(list_prepend(term,
+                     list_transform(range(1, length(term) + 1),
+                       i -> substr(term, 1, CAST(i - 1 AS INTEGER)) || substr(term, CAST(i + 1 AS INTEGER)))))) AS dk
+            FROM v
+          ),
+          cand AS (SELECT DISTINCT query, term, count FROM vk JOIN qk USING (dk)),
+          d AS (
+            SELECT query, term, count,
+                   CAST(damerau_levenshtein(query, term) AS BIGINT) AS distance
+            FROM cand WHERE damerau_levenshtein(query, term) <= 1
           ),
           r AS (
             SELECT *, CAST(row_number() OVER (PARTITION BY query

@@ -659,6 +659,7 @@ def fuzzy_suggest(
     query_terms: list[str],
     top_n: int = 3,
     min_count: int = 1,
+    damerau: bool = False,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -666,6 +667,16 @@ def fuzzy_suggest(
     misspelled) query term, the ``top_n`` corpus vocabulary terms
     within edit distance 1, ranked by (distance asc, term frequency
     desc, term asc).
+
+    ``damerau=True`` uses Damerau-Levenshtein distance — an adjacent
+    transposition ('tabel' for 'table') counts as ONE edit, matching
+    ES's default ``fuzzy_transpositions: true``.  The deletion-key
+    candidate join already surfaces transposition candidates (the two
+    strings share both single-deletion keys), so the flag only swaps
+    the verify expression: at threshold 1, DL(q,t) == 1 iff
+    levenshtein == 1 OR (equal length AND levenshtein == 2 AND some
+    single adjacent swap of q equals t) — a small per-candidate
+    expression over candidate-sized rows, no UDF.
 
     SymSpell candidate generation (Garbe's deletion-neighborhood
     algorithm, re-derived as a DataFrame plan): the corpus vocabulary
@@ -707,11 +718,39 @@ def fuzzy_suggest(
     vkeys = vocab.select(
         "term", "count", F.explode(_deletion_keys(F.col("term"))).alias("dk")
     )
+    lev = F.levenshtein("query", "term")
+    if damerau:
+        q, t = F.col("query"), F.col("term")
+        # q with the adjacent pair at (i, i+1) swapped, 1-based i
+        def swap_at(i: Column) -> Column:
+            return F.concat(
+                F.substring(q, F.lit(1), (i - 1).cast("int")),
+                F.substring(q, (i + 1).cast("int"), F.lit(1)),
+                F.substring(q, i.cast("int"), F.lit(1)),
+                F.substring(q, (i + 2).cast("int"), F.length(q)),
+            )
+
+        is_swap = (
+            (F.length(q) == F.length(t))
+            & (F.length(q) >= 2)
+            & F.exists(
+                F.sequence(F.lit(1), F.length(q) - 1),
+                lambda i: swap_at(i) == t,
+            )
+        )
+        dist = (
+            F.when(q == t, F.lit(0))
+            .when(lev == 1, F.lit(1))
+            .when((lev == 2) & is_swap, F.lit(1))
+            .otherwise(lev)
+        )
+    else:
+        dist = lev
     cand = (
         vkeys.join(F.broadcast(qdf), "dk")
         .select("query", "term", "count")
         .distinct()
-        .withColumn("distance", F.levenshtein("query", "term").cast("long"))
+        .withColumn("distance", dist.cast("long"))
         .filter(F.col("distance") <= 1)
     )
     w = Window.partitionBy("query").orderBy(

@@ -332,6 +332,23 @@ def test_fuzzy_suggest_edit1_kinds_and_ranking(spark):
     assert set(out[1:]) == {("park", 1, 1), ("sparks", 1, 1), ("stark", 1, 1)}
 
 
+def test_fuzzy_suggest_damerau_counts_transposition_as_one(spark):
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    df = spark.createDataFrame(
+        [(1, "table cable fable")], "doc_id long, text string"
+    )
+    # 'tabel' is an adjacent transposition of 'table': levenshtein 2,
+    # Damerau-Levenshtein 1
+    plain = fuzzy_suggest(df, ["tabel"], top_n=5).collect()
+    assert plain == []
+    dl = [(r["suggestion"], r["distance"]) for r in
+          fuzzy_suggest(df, ["tabel"], top_n=5, damerau=True).collect()]
+    assert dl == [("table", 1)]
+    # a NON-adjacent rearrangement ('elbat') stays out at threshold 1
+    assert fuzzy_suggest(df, ["elbat"], top_n=5, damerau=True).collect() == []
+
+
 def test_fuzzy_suggest_no_match_yields_nothing(spark):
     from monstache_spark.operators.search import fuzzy_suggest
 
