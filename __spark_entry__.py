@@ -2301,6 +2301,39 @@ def _q_stream_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-scale percolation (search.percolate_indexed): stored
+    queries prefiltered per doc by an anchor-term equi-join (ES's
+    percolator query-term index) before the full predicates run;
+    anchor-less queries fall back to verify-all, as ES's
+    verification-required candidates. Output identical to plain
+    percolate — the prefilter is semantics-free."""
+    from monstache_spark.operators.search import percolate_indexed
+
+    docs = load_table(spark, "documents", sf_dir)
+    stored = {
+        "spark_tables": {
+            "bool": {
+                "must": [
+                    {"match": {"text": "spark"}},
+                    {"match": {"text": "table"}},
+                ]
+            }
+        },
+        "hash_or_merge": {
+            "bool": {
+                "should": [
+                    {"match": {"text": "hash"}},
+                    {"match": {"text": "merge"}},
+                ]
+            }
+        },
+        "fast_join_phrase": {"match_phrase": {"text": "fast join"}},
+        "long_en": {"bool": {"must": [{"term": {"lang": "en"}}]}},
+    }
+    return percolate_indexed(docs, stored, group_size=2)
+
+
 def _q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percolation (search.percolate): a registry of stored bool
     queries evaluated against every order in ONE codegen projection +
@@ -2479,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
         "percolate": _q_percolate,
+        "percolate_indexed": _q_percolate_indexed,
         "incremental_near_dup": _q_incremental_near_dup,
         "data_card": _q_data_card,
         "top_hits_per_type": _q_top_hits,
@@ -2945,6 +2979,24 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, 'urgent_big' FROM orders
               WHERE o_orderpriority = '1-URGENT' AND o_totalprice >= 150000.0
+          )
+        """,
+        "percolate_indexed": f"""
+          WITH t AS (
+            SELECT doc_id, lang, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          )
+          SELECT doc_id, query_name FROM (
+            SELECT doc_id, 'fast_join_phrase' AS query_name FROM t
+              WHERE contains(' ' || array_to_string(toks, ' ') || ' ', ' fast join ')
+            UNION ALL
+            SELECT doc_id, 'hash_or_merge' FROM t
+              WHERE list_contains(toks, 'hash') OR list_contains(toks, 'merge')
+            UNION ALL
+            SELECT doc_id, 'long_en' FROM t WHERE lang = 'en'
+            UNION ALL
+            SELECT doc_id, 'spark_tables' FROM t
+              WHERE list_contains(toks, 'spark') AND list_contains(toks, 'table')
           )
         """,
         "rank_eval": f"""

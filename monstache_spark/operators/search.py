@@ -857,6 +857,160 @@ def percolate(
     )
 
 
+def _anchor_terms(query: dict, text_col: str) -> set[str] | None:
+    """Extract a NECESSARY-condition token set for a stored query: a
+    doc matching the query must contain at least one of the returned
+    tokens in ``text_col`` — the same idea as ES's percolator
+    query-term extraction (the percolator indexes extracted terms and
+    only runs candidate queries whose terms the doc contains).
+
+    Returns ``None`` when no such set can be derived (range-only
+    queries, must_not-only, etc.) — those queries must be evaluated
+    against every document, as ES marks verification-required
+    ("match_all") percolator candidates.
+
+    Derivation rules (conservative — a superset of matching docs is
+    always returned):
+    * ``match`` on ``text_col``: its token set (doc must contain ≥1).
+    * ``match_phrase`` on ``text_col``: the first phrase token (doc
+      must contain all of them, so any single one is necessary).
+    * ``bool.must`` / ``bool.filter``: the FIRST conjunct that yields
+      an anchor (any conjunct's necessary condition is necessary for
+      the conjunction).
+    * ``bool.should`` with no must/filter (min_should_match 1): the
+      UNION of every child's anchors — and only if every child yields
+      one (one anchor-less disjunct poisons the disjunction).
+    """
+    ((kind, body),) = query.items()
+    if kind == "bool":
+        must = list(body.get("must", [])) + list(body.get("filter", []))
+        for clause in must:
+            s = _anchor_terms(clause, text_col)
+            if s:
+                return s
+        if not must:
+            shoulds = list(body.get("should", []))
+            if shoulds and int(body.get("minimum_should_match", 1)) >= 1:
+                out: set[str] = set()
+                for clause in shoulds:
+                    s = _anchor_terms(clause, text_col)
+                    if not s:
+                        return None
+                    out |= s
+                return out or None
+        return None
+    if kind == "match":
+        ((field, value),) = body.items()
+        if field == text_col:
+            toks = {t for t in str(value).lower().split() if t}
+            return toks or None
+        return None
+    if kind == "match_phrase":
+        ((field, value),) = body.items()
+        if field == text_col:
+            text = value["query"] if isinstance(value, dict) else value
+            toks = [t for t in str(text).lower().split() if t]
+            return {toks[0]} if toks else None
+        return None
+    return None
+
+
+def percolate_indexed(
+    df: DataFrame,
+    queries: dict[str, dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_size: int = 128,
+) -> DataFrame:
+    """:func:`percolate` for REGISTRY-scale stored-query sets (10⁵+),
+    mirroring ES's percolator query-term index: stored queries are
+    prefiltered per document by an anchor-term equi-join before any
+    full predicate runs, so each doc evaluates only the queries whose
+    necessary terms it contains — not the whole registry.
+
+    Plan shape: (1) the anchor index ``(term, group)`` enters as a
+    literal-array frame and BROADCASTs into an equi-join against the
+    docs' distinct exploded tokens — candidate (doc, query-group)
+    pairs; (2) each group of ≤ ``group_size`` queries evaluates its
+    compiled predicates in ONE codegen projection over ONLY its
+    candidate docs (left-semi join on the id); (3) anchor-less
+    queries (range-only, must_not…) form a verify-all group over the
+    full input, exactly as ES falls back to verification-required
+    candidates.  Output is identical to :func:`percolate` — the
+    prefilter is semantics-free.
+
+    At 10⁵ stored queries with group_size 128 that is ~800 candidate
+    projections, each over the small slice of docs sharing anchor
+    terms with that group — corpus work scales with match density,
+    not registry size.  (If the anchor index outgrows broadcast size,
+    flip the join hint — it stays an equi-join.)
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = df.sparkSession
+    anchored: list[tuple[str, dict, set[str]]] = []
+    verify_all: dict[str, dict] = {}
+    for name, q in sorted(queries.items()):
+        s = _anchor_terms(q, text_col)
+        if s:
+            anchored.append((name, q, s))
+        else:
+            verify_all[name] = q
+
+    frames: list[DataFrame] = []
+    groups = [
+        anchored[i : i + group_size]
+        for i in range(0, len(anchored), group_size)
+    ]
+    if groups:
+        # (term, group_idx) anchor index — literal array, JVM-side
+        entries = sorted(
+            {
+                (t, gi)
+                for gi, grp in enumerate(groups)
+                for _, _, s in grp
+                for t in s
+            }
+        )
+        idx = spark.range(1).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"), F.lit(gi).alias("grp")
+                        )
+                        for t, gi in entries
+                    ]
+                )
+            ).alias("e")
+        ).select("e.term", "e.grp")
+        doc_terms = df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                )
+            ).alias("term"),
+        )
+        cand = (
+            doc_terms.join(F.broadcast(idx), "term")
+            .select(id_col, "grp")
+            .distinct()
+        )
+        for gi, grp in enumerate(groups):
+            ids = cand.filter(F.col("grp") == gi).select(id_col)
+            sub = df.join(ids, id_col, "left_semi")
+            frames.append(
+                percolate(sub, {n: q for n, q, _ in grp}, id_col=id_col)
+            )
+    if verify_all:
+        frames.append(percolate(df, verify_all, id_col=id_col))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # multi-query BM25 + rank evaluation (ES _rank_eval)
 # ---------------------------------------------------------------------------

@@ -394,6 +394,61 @@ def test_percolate_multi_match_and_none(spark):
     assert got == [(1, "is_a"), (2, "big"), (3, "big"), (3, "is_a")]
 
 
+def test_anchor_terms_extraction_rules():
+    from monstache_spark.operators.search import _anchor_terms
+
+    # match on text: its token set
+    assert _anchor_terms({"match": {"text": "big fast"}}, "text") == {"big", "fast"}
+    # match_phrase: first token is the necessary one
+    assert _anchor_terms({"match_phrase": {"text": "fast join"}}, "text") == {"fast"}
+    # must: first conjunct that yields an anchor
+    assert _anchor_terms(
+        {"bool": {"must": [{"range": {"v": {"gte": 1}}},
+                           {"match": {"text": "spark"}}]}}, "text"
+    ) == {"spark"}
+    # should-only: union of children, poisoned by an anchor-less child
+    assert _anchor_terms(
+        {"bool": {"should": [{"match": {"text": "a"}},
+                             {"match": {"text": "b"}}]}}, "text"
+    ) == {"a", "b"}
+    assert _anchor_terms(
+        {"bool": {"should": [{"match": {"text": "a"}},
+                             {"range": {"v": {"gte": 1}}}]}}, "text"
+    ) is None
+    # non-text fields / must_not: no anchor
+    assert _anchor_terms({"match": {"title": "x"}}, "text") is None
+    assert _anchor_terms({"bool": {"must_not": [{"match": {"text": "x"}}]}}, "text") is None
+
+
+def test_percolate_indexed_equals_plain_percolate(spark):
+    from monstache_spark.operators.search import percolate, percolate_indexed
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark table join", "en", 10.0),
+            (2, "hash merge scan", "de", 99.0),
+            (3, "fast join here", "en", 50.0),
+            (4, "nothing relevant", "fr", 99.0),
+        ],
+        "doc_id long, text string, lang string, v double",
+    )
+    stored = {
+        "st": {"bool": {"must": [{"match": {"text": "spark"}},
+                                 {"match": {"text": "table"}}]}},
+        "hm": {"bool": {"should": [{"match": {"text": "hash"}},
+                                   {"match": {"text": "merge"}}]}},
+        "fj": {"match_phrase": {"text": "fast join"}},
+        "big": {"range": {"v": {"gte": 60.0}}},   # anchor-less -> verify-all
+    }
+    plain = sorted((r["doc_id"], r["query_name"])
+                   for r in percolate(df, stored).collect())
+    for gs in (1, 2, 16):
+        idx = sorted((r["doc_id"], r["query_name"])
+                     for r in percolate_indexed(df, stored, group_size=gs).collect())
+        assert idx == plain
+    assert (1, "st") in plain and (4, "big") in plain
+
+
 def test_rank_eval_perfect_and_zero_retrieval(spark):
     from monstache_spark.operators.search import rank_eval
 
