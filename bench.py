@@ -3,7 +3,12 @@
 one JSON line with per-query wall seconds.
 
 Each query is forced through the full plan with a noop-format write
-(no driver-side collection, no result pruning)."""
+(no driver-side collection, no result pruning).  Every query runs
+$SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the BEST wall
+time plus the run spread — single-run numbers inside a 125-query
+session carry GC/run-order noise that reads as phantom regressions
+(adjudicated in round 4: chunk_documents "4.7x" was 2.0 s standalone).
+"""
 
 from __future__ import annotations
 
@@ -21,6 +26,7 @@ from monstache_spark.session import get_spark
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("monstache_spark_bench")
@@ -35,24 +41,36 @@ def main() -> None:
     load_table(spark, "events", sf_dir).limit(1000).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-        except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
-            print(f"bench: {name} failed: {e}", file=sys.stderr)
-            dt = float("nan")
-        timings[name] = round(dt, 3)
-        total += dt if dt == dt else 0.0
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                runs.append(time.time() - t0)
+            except Exception as e:  # noqa: BLE001 — a failed query must not kill the bench
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                runs = []
+                break
+        if runs:
+            best = min(runs)
+            timings[name] = round(best, 3)
+            spreads[name] = round(max(runs) - best, 3)
+            total += best
+        else:
+            timings[name] = float("nan")
+            spreads[name] = float("nan")
 
     payload = {
         "metric": "total_wall_seconds_all_queries",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "runs_per_query": n_runs,
         "sf": sf,
     }
     line = json.dumps(payload, separators=(",", ":"))
@@ -75,8 +93,10 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": slowest,
+                "spread": {k: spreads[k] for k in slowest},
                 "queries_truncated_to_slowest": 15,
                 "n_queries": len(timings),
+                "runs_per_query": n_runs,
                 "queries_full": "BENCH.json",
                 "sf": sf,
             },

@@ -13,6 +13,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def state_store_provider(state_store: str | None = None) -> str | None:
+    """Resolve the streaming state-store backend: explicit argument
+    first, else ``$SPARK_GRAFT_STATE_STORE``.  ``"rocksdb"`` returns
+    the RocksDB provider class — the 100×-streaming-state lever: keyed
+    state lives off-heap/on-disk per executor with incremental
+    checkpointing, instead of the default in-memory HDFS-backed map
+    that must FIT in executor memory.  ``"hdfs"``/unset returns None
+    (Spark default provider).
+    """
+    choice = (state_store or os.environ.get("SPARK_GRAFT_STATE_STORE", "")).lower()
+    if choice in ("", "hdfs", "default"):
+        return None
+    if choice == "rocksdb":
+        return ROCKSDB_PROVIDER
+    # allow a fully-qualified provider class for custom backends
+    if "." in choice:
+        return state_store or os.environ["SPARK_GRAFT_STATE_STORE"]
+    raise ValueError(f"unknown state store backend: {choice!r}")
+
+
 def get_spark(app_name: str = "monstache_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

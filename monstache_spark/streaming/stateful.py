@@ -59,10 +59,18 @@ def running_op_counts(ops_stream: DataFrame) -> DataFrame:
     )
 
 
-def run_op_counts_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def run_op_counts_stream(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+    state_store: str | None = None,
+) -> DataFrame:
     """Drive the stateful counter over the events file as a stream
     (availableNow); returns final totals per namespace (last emitted
-    row per key, in case the source split into multiple batches)."""
+    row per key, in case the source split into multiple batches).
+    With ``checkpoint_dir``, a later call resumes: counters continue
+    from the checkpointed state store over only the new files."""
     from pyspark.sql import functions as F
 
     from monstache_spark.envelope import events_to_envelope
@@ -84,7 +92,9 @@ def run_op_counts_stream(spark: SparkSession, events_path: str) -> DataFrame:
     # the key cardinality by the runner
     from monstache_spark.streaming.windows import run_stream_to_parquet
 
-    emitted = run_stream_to_parquet(out, spark, "update")
+    emitted = run_stream_to_parquet(
+        out, spark, "update", out_dir, checkpoint_dir, state_store
+    )
     # totals only grow; max per key == last update
     return emitted.groupBy("ns").agg(
         F.max("n_i").alias("n_i"),

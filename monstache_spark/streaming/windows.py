@@ -39,7 +39,12 @@ def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
 
 def run_stream_to_parquet(
-    df: DataFrame, spark: SparkSession, mode: str, out_dir: str | None = None
+    df: DataFrame,
+    spark: SparkSession,
+    mode: str,
+    out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drain a (bounded) streaming frame through a ``foreachBatch``
     parquet sink and read the result back — the scale-correct harness:
@@ -52,7 +57,17 @@ def run_stream_to_parquet(
     snapshot wins); ``append``/``update`` rows append — update-mode
     re-emissions of a key are append rows the CALLER reconciles (e.g.
     max per key for monotone counters), exactly as an idempotent
-    upsert sink would."""
+    upsert sink would.
+
+    ``checkpoint_dir`` pins the query checkpoint so a later call with
+    the SAME checkpoint resumes: already-processed source files are
+    skipped and keyed state (windows, join buffers, counters)
+    continues from the store — the §2.7 resume contract under state,
+    not just offsets.  ``state_store`` (or $SPARK_GRAFT_STATE_STORE)
+    selects the state-store backend; ``"rocksdb"`` switches to the
+    RocksDB provider for state that outgrows executor memory."""
+    from monstache_spark.session import _PROVIDER_CONF, state_store_provider
+
     out_dir = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
     write_mode = "overwrite" if mode == "complete" else "append"
 
@@ -62,22 +77,38 @@ def run_stream_to_parquet(
     # streaming state stores are allocated per shuffle partition and AQE
     # cannot coalesce stateful exchanges; size to the (small) key space
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    provider = state_store_provider(state_store)
+    prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    if provider:
+        spark.conf.set(_PROVIDER_CONF, provider)
     try:
-        q = (
+        writer = (
             df.writeStream.foreachBatch(sink)
             .outputMode(mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if provider:
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_CONF)
+            else:
+                spark.conf.set(_PROVIDER_CONF, prev_provider)
     return spark.read.parquet(out_dir)
 
 
 def hourly_window_counts(
-    spark: SparkSession, events_path: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Tumbling 1-hour event-time windows per event type. Watermark
     bounds state; complete output emits every window when the bounded
@@ -87,7 +118,9 @@ def hourly_window_counts(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
     )
-    out = run_stream_to_parquet(agg, spark, "complete")
+    out = run_stream_to_parquet(
+        agg, spark, "complete", out_dir, checkpoint_dir, state_store
+    )
     return out.select(
         F.unix_micros(F.col("window.start")).alias("window_start_us"),
         "event_type",
@@ -97,7 +130,13 @@ def hourly_window_counts(
 
 
 def session_windows(
-    spark: SparkSession, events_path: str, gap: str = "30 minutes", watermark: str = "2 hours"
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Native session_window sessionization — the streaming twin of the
     batch lag+cumsum formulation (operators: sessionize_events)."""
@@ -106,7 +145,9 @@ def session_windows(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
-    out = run_stream_to_parquet(agg, spark, "complete")
+    out = run_stream_to_parquet(
+        agg, spark, "complete", out_dir, checkpoint_dir, state_store
+    )
     return out.select(
         "user_id",
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
@@ -120,6 +161,9 @@ def stream_stream_join(
     events_path: str,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Stream-stream inner join with event-time bounds: each signup
     joined to the same user's purchases within ``within`` afterwards.
@@ -154,7 +198,9 @@ def stream_stream_join(
         & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {within}")),
         "inner",
     )
-    out = run_stream_to_parquet(joined, spark, "append")
+    out = run_stream_to_parquet(
+        joined, spark, "append", out_dir, checkpoint_dir, state_store
+    )
     return out.select(
         F.col("s_user").alias("user_id"),
         "signup_event",
@@ -165,7 +211,13 @@ def stream_stream_join(
 
 
 def stream_dedup_keys(
-    spark: SparkSession, events_path: str, keys: list[str], watermark: str = "2 hours"
+    spark: SparkSession,
+    events_path: str,
+    keys: list[str],
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+    out_dir: str | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Watermark-scoped streaming dedup: at most one row per key while
     the key is inside the watermark window; state auto-expires after it
@@ -174,7 +226,9 @@ def stream_dedup_keys(
     keys are deterministic."""
     ev = _events_stream(spark, events_path).withWatermark("ts", watermark)
     deduped = ev.dropDuplicatesWithinWatermark(keys)
-    out = run_stream_to_parquet(deduped, spark, "append")
+    out = run_stream_to_parquet(
+        deduped, spark, "append", out_dir, checkpoint_dir, state_store
+    )
     return out.select(*keys)
 
 
@@ -184,6 +238,7 @@ def percolate_alerts(
     stored: dict,
     id_col: str = "event_id",
     out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Streaming percolation: evaluate a registry of stored bool
     queries against every event of the stream and append one alert
@@ -201,4 +256,4 @@ def percolate_alerts(
 
     stream = _events_stream(spark, events_path)
     alerts = percolate(stream, stored, id_col=id_col)
-    return run_stream_to_parquet(alerts, spark, "append", out_dir)
+    return run_stream_to_parquet(alerts, spark, "append", out_dir, checkpoint_dir)
