@@ -1550,8 +1550,10 @@ def _q_merge_patch_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary media column -> Arrow-batched
-    feature extraction via mapInPandas (deterministic stub featurizer;
-    rows-only check — byte-level features aren't SQL-expressible)."""
+    feature extraction via mapInPandas (deterministic stub featurizer).
+    The fake features are pure byte arithmetic, so for ASCII media the
+    DuckDB oracle reproduces them bit-for-bit via codepoint sums —
+    the mapInPandas dataflow is hash-checked, not just rows-counted."""
     from monstache_spark.operators.multimodal import fake_features
 
     assets = load_table(spark, "part", sf_dir).select(
@@ -2048,6 +2050,93 @@ def _q_es_sibling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation (aggs.compile_aggs): the long-tail
+    complement of terms — customers with at most ONE order, with an
+    exact-decimal spend metric. Post-agg filter on bucket totals; one
+    hash aggregation."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    orders = load_table(spark, "orders", sf_dir)
+    return compile_aggs(
+        orders,
+        {
+            "rare_cust": {
+                "rare_terms": {"field": "o_custkey", "max_doc_count": 1},
+                "aggs": {"spend": {"sum": {"field": "o_totalprice"}}},
+            }
+        },
+    )
+
+
+def _q_es_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation (aggs.compile_aggs): compound
+    (status, priority) bucket key rendered as one '|'-joined string,
+    top-5 by count with ES ordering (count desc, key asc) and an
+    exact-decimal avg metric."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    orders = load_table(spark, "orders", sf_dir)
+    return compile_aggs(
+        orders,
+        {
+            "status_prio": {
+                "multi_terms": {
+                    "terms": [
+                        {"field": "o_orderstatus"},
+                        {"field": "o_orderpriority"},
+                    ],
+                    "size": 5,
+                },
+                "aggs": {"avg_price": {"avg": {"field": "o_totalprice"}}},
+            }
+        },
+    )
+
+
+def _q_es_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script + bucket_selector pipeline aggs
+    (aggs.bucket_script/bucket_selector): per-day value-per-event
+    ratio computed from sibling metrics, then a 'having' filter on
+    bucket size — the Kibana math-on-series panel. Both are
+    bucket-cardinality projections after ONE corpus aggregation."""
+    from monstache_spark.operators.aggs import (
+        bucket_script,
+        bucket_selector,
+        compile_aggs,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = compile_aggs(
+        ev,
+        {
+            "day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"total_value": {"sum": {"field": "value"}}},
+            }
+        },
+    )
+    ratio = bucket_script(
+        daily, "value_per_event", "total_value / doc_count"
+    )
+    return bucket_selector(ratio, "doc_count >= 10").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "doc_count",
+        "total_value",
+        "value_per_event",
+    )
+
+
+def _q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester (search.completion_suggest):
+    search-as-you-type — top-3 vocabulary completions per prefix by
+    corpus frequency. One vocab hash agg; prefixes broadcast."""
+    from monstache_spark.operators.search import completion_suggest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return completion_suggest(docs, ["sp", "ta", "wi"], top_n=3)
+
+
 def _q_es_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES range aggregation (aggs.compile_aggs): half-open [from, to)
     price bands that OVERLAP — a doc lands in every matching band, as
@@ -2493,26 +2582,83 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the driver's 50-query correctness window (the first 50
-    entries, insertion order) covers the newest / riskiest operators: the
-    round-3 curation suite, PQ/IVF-PQ ANN, incremental dedup, RFC-7386
-    patches, file fetch, simhash near-dup, plus the riskiest long-standing
-    plans (bounded LSH, connected components, stateful streaming). Stable
-    TPC-H-style and filter queries cede slots and run after the window."""
+    """Ordered so the driver's 50-query correctness window (the first
+    50 entries, insertion order) rotates coverage each round (VERDICT
+    r4 #2): this round it holds (a) the four round-5 operators
+    (match_phrase slop, sibling aggs, DL fuzzy suggest, indexed
+    percolate), (b) the two tokenizer trainers now carrying frozen
+    sf0.01 VALUES oracles, (c) every query that had NEVER been inside
+    a driver window (26, including multimodal_features which gained a
+    byte-arithmetic oracle this round), and (d) the stalest previously
+    gated queries (last green in r2/r3).  Round-4-gated queries cede
+    their slots and run after the window."""
+
     return {
-        # --- driver correctness window: newest operators first ---
-        "corpus_overlap": _q_corpus_overlap,
+        # --- driver correctness window (50): new + never-gated + stalest ---
+        "match_phrase_slop": _q_match_phrase_slop,
+        "es_sibling_aggs": _q_es_sibling_aggs,
+        "fuzzy_suggest_dl": _q_fuzzy_suggest_dl,
+        "percolate_indexed": _q_percolate_indexed,
+        "bpe_train_merges": _q_bpe_train,
         "unigram_train_pieces": _q_unigram_train,
+        "pq_ann_topk": _q_pq_ann_topk,
+        "ivfpq_ann_topk": _q_ivfpq_ann_topk,
+        "merge_patch_json": _q_merge_patch_json,
+        "merge_patch_history": _q_merge_patch_history,
+        "file_fetch": _q_file_fetch,
+        "file_enrichment": _q_file_enrichment,
+        "corpus_curation": _q_corpus_curation,
+        "salted_value_agg": _q_salted_agg,
+        "multimodal_features": _q_multimodal_features,
+        "cdc_stream_pipeline": _q_stream_pipeline,
+        "full_plan_pipeline": _q_full_plan,
+        "routing_meta_extract": _q_routing_meta,
+        "set_ops_customers": _q_set_ops,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "protected_delete_apply": _q_protected_delete,
+        "udf_mapper_pipeline": _q_udf_mapper_pipeline,
+        "delete_ignore_state": _q_delete_ignore,
+        "drop_regex_filter": _q_drop_regex_filter,
+        "lang_scores": _q_lang_scores,
+        "value_percentiles": _q_value_percentiles,
+        "value_histogram": _q_value_histogram,
+        "hash_sample": _q_hash_sample,
+        "ivf_ann_topk": _q_ivf_topk,
+        "json_dynamic_doc": _q_json_dynamic_doc,
+        "nested_doc_prune": _q_nested_doc,
+        "cdc_materialize": _q_cdc_materialize,
+        "minhash_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "sessionize_events": _q_sessionize,
+        "stateful_op_counts": _q_stateful_op_counts,
+        "dedup_corpus_pipeline": _q_dedup_corpus,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lsh_bucket_stats": _q_lsh_bucket_stats,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
+        "q1_pricing_summary": _q_q1_pricing,
+        "q3_top_orders": _q_q3_top_orders,
+        "relate_orders_customer": _q_relate_orders_customer,
+        "relate_two_hop": _q_relate_two_hop,
+        "es_rare_terms": _q_es_rare_terms,
+        "es_multi_terms": _q_es_multi_terms,
+        "es_bucket_script": _q_es_bucket_script,
+        "drop_propagation": _q_drop_propagation,
+        "completion_suggest": _q_completion_suggest,
+        # --- end of driver window — recently-gated stable queries below ---
+        "stream_hourly_windows": _q_stream_hourly_windows,
+        "stream_stream_join": _q_stream_stream_join,
+        "time_machine": _q_time_machine,
+        "asof_prior_purchase": _q_asof_prior_purchase,
+        "corpus_overlap": _q_corpus_overlap,
         "search_highlight": _q_highlight,
         "significant_terms": _q_significant_terms,
         "collapse_topk": _q_collapse_topk,
         "fuzzy_suggest": _q_fuzzy_suggest,
-        "fuzzy_suggest_dl": _q_fuzzy_suggest_dl,
         "hybrid_rrf_topk": _q_hybrid_rrf,
         "knn_join": _q_knn_join,
         "quality_decile_map": _q_quality_decile_map,
         "percolate": _q_percolate,
-        "percolate_indexed": _q_percolate_indexed,
         "incremental_near_dup": _q_incremental_near_dup,
         "data_card": _q_data_card,
         "top_hits_per_type": _q_top_hits,
@@ -2524,8 +2670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": _q_rank_eval,
         "es_terms_agg": _q_es_terms_agg,
         "es_date_histogram_agg": _q_es_date_histogram_agg,
-        "match_phrase_slop": _q_match_phrase_slop,
-        "es_sibling_aggs": _q_es_sibling_aggs,
         "es_range_agg": _q_es_range_agg,
         "es_composite_agg": _q_es_composite_agg,
         "bm25_search": _q_bm25_search,
@@ -2534,7 +2678,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "gopher_quality": _q_gopher_quality,
         "dsir_importance": _q_dsir_importance,
-        "bpe_train_merges": _q_bpe_train,
         "bpe_segment_fertility": _q_bpe_segment,
         "training_pipeline": _q_training_pipeline,
         "pii_redact": _q_pii_redact,
@@ -2555,50 +2698,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "simhash_near_dup": _q_simhash_near_dup,
         "simhash_bucket_stats": _q_simhash_bucket_stats,
-        "pq_ann_topk": _q_pq_ann_topk,
-        "ivfpq_ann_topk": _q_ivfpq_ann_topk,
-        "ivf_ann_topk": _q_ivf_topk,
-        "merge_patch_json": _q_merge_patch_json,
-        "merge_patch_history": _q_merge_patch_history,
-        "file_fetch": _q_file_fetch,
-        "file_enrichment": _q_file_enrichment,
-        "corpus_curation": _q_corpus_curation,
-        "salted_value_agg": _q_salted_agg,
-        "multimodal_features": _q_multimodal_features,
-        "cdc_stream_pipeline": _q_stream_pipeline,
-        "nested_doc_prune": _q_nested_doc,
-        "json_dynamic_doc": _q_json_dynamic_doc,
-        "full_plan_pipeline": _q_full_plan,
-        "routing_meta_extract": _q_routing_meta,
-        "set_ops_customers": _q_set_ops,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "protected_delete_apply": _q_protected_delete,
-        "udf_mapper_pipeline": _q_udf_mapper_pipeline,
-        "delete_ignore_state": _q_delete_ignore,
-        # riskiest long-standing plans keep window slots
-        "cdc_materialize": _q_cdc_materialize,
-        "minhash_pairs": _q_minhash_pairs,
-        "near_dup_clusters": _q_near_dup_clusters,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "sessionize_events": _q_sessionize,
-        "stateful_op_counts": _q_stateful_op_counts,
-        # --- end of driver window (50) — stable queries below ---
-        "drop_regex_filter": _q_drop_regex_filter,
-        "lang_scores": _q_lang_scores,
-        "value_percentiles": _q_value_percentiles,
-        "value_histogram": _q_value_histogram,
-        "hash_sample": _q_hash_sample,
         "ns_include_filter": _q_ns_include,
         "ns_exclude_filter": _q_ns_exclude,
         "system_guards": _q_system_guards,
-        "relate_orders_customer": _q_relate_orders_customer,
-        "relate_two_hop": _q_relate_two_hop,
         "relate_identity_delete": _q_relate_identity_delete,
         "index_routing": _q_index_routing,
-        "time_machine": _q_time_machine,
         "doc_normalize": _q_doc_normalize,
-        "q1_pricing_summary": _q_q1_pricing,
-        "q3_top_orders": _q_q3_top_orders,
         "q5_region_revenue": _q_q5_region_revenue,
         "big_spender_orders": _q_big_spenders,
         "backfill_plus_stream": _q_backfill_plus_stream,
@@ -2608,8 +2713,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_clusters": _q_dedup_exact_clusters,
         "dedup_exact_keep": _q_dedup_exact_keep,
         "text_quality": _q_text_quality,
-        "dedup_corpus_pipeline": _q_dedup_corpus,
-        "lsh_bucket_stats": _q_lsh_bucket_stats,
         "simhash_signatures": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
         "window_rank_lag": _q_window_rank_lag,
@@ -2619,18 +2722,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": _q_customers_without_orders,
         "distinct_users_per_type": _q_distinct_users,
         "lang_id": _q_lang_id,
-        "asof_prior_purchase": _q_asof_prior_purchase,
         "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
-        "embedding_near_dup": _q_embedding_near_dup,
         "bpe_token_stats": _q_bpe_token_stats,
         "worker_shard": _q_worker_shard,
-        "drop_propagation": _q_drop_propagation,
         "delete_via_sink_lookup": _q_delete_via_sink_lookup,
         "direct_read_union": _q_direct_read_union,
-        "stream_hourly_windows": _q_stream_hourly_windows,
         "stream_session_windows": _q_stream_session_windows,
-        "stream_stream_join": _q_stream_stream_join,
         "stream_dedup_keys": _q_stream_dedup,
     }
 
@@ -3316,6 +3413,54 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 'daily', key, doc_count, CAST(NULL AS DOUBLE), total_value FROM d
         """,
+        "es_rare_terms": """
+          SELECT CAST(o_custkey AS VARCHAR) AS rare_cust,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+          FROM orders WHERE o_custkey IS NOT NULL
+          GROUP BY 1 HAVING count(*) <= 1
+        """,
+        "es_multi_terms": """
+          WITH g AS (
+            SELECT CAST(o_orderstatus AS VARCHAR) || '|' || CAST(o_orderpriority AS VARCHAR) AS status_prio,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(count(o_totalprice) AS DOUBLE) AS avg_price
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+            GROUP BY 1
+          )
+          SELECT status_prio, doc_count, avg_price FROM g
+          ORDER BY doc_count DESC, status_prio ASC LIMIT 5
+        """,
+        "es_bucket_script": """
+          WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+          )
+          SELECT strftime(day, '%Y-%m-%d') AS day, doc_count, total_value,
+                 round(total_value / doc_count, 6) AS value_per_event
+          FROM d WHERE doc_count >= 10
+        """,
+        "completion_suggest": f"""
+          WITH v AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS weight
+            FROM (SELECT unnest({_TOKS_LOWER}) AS term FROM documents)
+            WHERE term <> '' GROUP BY term
+          ),
+          p AS (SELECT unnest(['sp', 'ta', 'wi']) AS prefix),
+          c AS (
+            SELECT prefix, term, weight FROM v JOIN p ON starts_with(term, prefix)
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY prefix
+                       ORDER BY weight DESC, term ASC) AS BIGINT) AS rank
+            FROM c
+          )
+          SELECT prefix, term AS suggestion, weight, rank FROM r WHERE rank <= 3
+        """,
         "es_range_agg": """
           WITH b AS (
             SELECT 'low' AS price_band, o_totalprice FROM orders
@@ -3934,6 +4079,33 @@ def oracle_sql() -> dict[str, str]:
                 JOIN e ce ON ce.vec_id = c.corpus_id),
           r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id ASC) AS rank FROM s)
           SELECT query_id, corpus_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "multimodal_features": """
+          WITH b AS (
+            SELECT p_partkey AS asset_id, p_name AS s,
+                   CAST(length(p_name) AS BIGINT) AS n
+            FROM part
+          ), x AS (
+            SELECT asset_id, n AS n_bytes,
+                   CAST(list_sum(list_transform(range(1, CAST(n AS INTEGER) + 1),
+                          i -> ord(substr(s, CAST(i AS INTEGER), 1)))) AS BIGINT) AS byte_sum,
+                   CAST((
+                       (CASE WHEN n >= 1 THEN ord(substr(s, 1, 1)) ELSE 0 END) * CAST(72057594037927936 AS HUGEINT)
+                     + (CASE WHEN n >= 2 THEN ord(substr(s, 2, 1)) ELSE 0 END) * 281474976710656
+                     + (CASE WHEN n >= 3 THEN ord(substr(s, 3, 1)) ELSE 0 END) * 1099511627776
+                     + (CASE WHEN n >= 4 THEN ord(substr(s, 4, 1)) ELSE 0 END) * 4294967296
+                     + (CASE WHEN n >= 5 THEN ord(substr(s, 5, 1)) ELSE 0 END) * 16777216
+                     + (CASE WHEN n >= 6 THEN ord(substr(s, 6, 1)) ELSE 0 END) * 65536
+                     + (CASE WHEN n >= 7 THEN ord(substr(s, 7, 1)) ELSE 0 END) * 256
+                     + (CASE WHEN n >= 8 THEN ord(substr(s, 8, 1)) ELSE 0 END)
+                   ) // 2 AS BIGINT) AS head_u64
+            FROM b
+          )
+          SELECT asset_id, n_bytes, head_u64, byte_sum,
+                 CASE WHEN n_bytes > 0
+                      THEN CAST(byte_sum AS DOUBLE) / CAST(n_bytes AS DOUBLE)
+                      ELSE 0.0 END AS byte_mean
+          FROM x
         """,
         "nested_doc_prune": """
           WITH d AS (

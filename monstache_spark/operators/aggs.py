@@ -10,11 +10,13 @@ maintained table.  This module compiles the common ES ``aggs`` subset
 to a single flattened DataFrame plan:
 
 * bucket aggs: ``terms`` (``size``, ``min_doc_count``, count-desc
-  ordering), ``histogram`` (numeric ``interval``),
-  ``date_histogram`` (``calendar_interval`` hour/day/week/month),
-  ``range`` (half-open ``[from, to)`` ranges; a doc lands in every
-  range it matches, as in ES), ``filters`` (named bool-query
-  predicates, multi-membership like ES).
+  ordering), ``multi_terms`` (compound field-tuple key, rendered as
+  one '|'-joined string), ``rare_terms`` (the long-tail complement:
+  buckets with total count ≤ ``max_doc_count``), ``histogram``
+  (numeric ``interval``), ``date_histogram`` (``calendar_interval``
+  hour/day/week/month), ``range`` (half-open ``[from, to)`` ranges; a
+  doc lands in every range it matches, as in ES), ``filters`` (named
+  bool-query predicates, multi-membership like ES).
 * metric aggs: ``avg``, ``sum``, ``min``, ``max``, ``value_count``,
   ``cardinality`` (exact by default; ``precision_threshold`` switches
   to ``approx_count_distinct`` — documented divergence from the
@@ -64,7 +66,15 @@ _METRIC_KINDS = {
     "percentiles",
 }
 
-_BUCKET_KINDS = {"terms", "histogram", "date_histogram", "range", "filters"}
+_BUCKET_KINDS = {
+    "terms",
+    "multi_terms",
+    "rare_terms",
+    "histogram",
+    "date_histogram",
+    "range",
+    "filters",
+}
 
 _CALENDAR_TRUNC = {
     "hour": "hour",
@@ -97,8 +107,19 @@ def _bucket_key_col(kind: str, spec: dict) -> Column:
     ``missing`` parameter maps null keys to the given bucket value
     instead of dropping the docs (terms only here — the numeric kinds
     keep ES's default drop)."""
+    if kind == "multi_terms":
+        # ES multi_terms: the key is the field TUPLE; docs missing any
+        # field drop (ES contract).  A DataFrame flattening renders the
+        # tuple as one '|'-joined string key.
+        fields = [F.col(t["field"]) for t in spec["terms"]]
+        all_present = F.lit(True)
+        for f in fields:
+            all_present = all_present & f.isNotNull()
+        return F.when(
+            all_present, F.concat_ws("|", *[f.cast("string") for f in fields])
+        )
     field = F.col(spec["field"])
-    if kind == "terms":
+    if kind in ("terms", "rare_terms"):
         key = field.cast("string")
         if "missing" in spec:
             key = F.coalesce(key, F.lit(str(spec["missing"])))
@@ -229,6 +250,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     key_names: list[str] = []
     # (name, size, min_doc_count, order) per terms level, applied post-agg
     truncations: list[tuple[str, int | None, int, dict | None]] = []
+    # (name, max_doc_count) per rare_terms level, applied post-agg
+    rare_filters: list[tuple[str, int]] = []
     metrics: list[Column] = []
     # frame snapshot taken right after each terms level's key column is
     # assigned — BEFORE any child level's explode / null-drop — so a
@@ -265,7 +288,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             )
         else:
             out = out.withColumn(name, _bucket_key_col(kind, spec))
-            if kind == "terms":
+            if kind in ("terms", "multi_terms"):
                 truncations.append(
                     (
                         name,
@@ -273,6 +296,14 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                         int(spec.get("min_doc_count", 1)),
                         spec.get("order"),
                     )
+                )
+                level_frames[name] = out
+            elif kind == "rare_terms":
+                # ES rare_terms: buckets whose TOTAL doc count is at
+                # most max_doc_count (the long-tail complement of
+                # terms) — a post-agg filter, no size truncation
+                rare_filters.append(
+                    (name, int(spec.get("max_doc_count", 1)))
                 )
                 level_frames[name] = out
         key_names.append(name)
@@ -363,6 +394,28 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 )
         if not is_leaf:
             grouped = grouped.drop("_bucket_total")
+
+    # rare_terms: keep only buckets whose TOTAL doc count is at most
+    # max_doc_count — same leaf/non-leaf total derivation as terms
+    for name, max_dc in rare_filters:
+        ancestors = key_names[: key_names.index(name)]
+        if name == key_names[-1]:
+            grouped = grouped.filter(F.col("doc_count") <= F.lit(max_dc))
+        else:
+            base = level_frames[name]
+            tot_cond = F.lit(True)
+            for k in [*ancestors, name]:
+                tot_cond = tot_cond & F.col(k).isNotNull()
+            totals = (
+                base.filter(tot_cond)
+                .groupBy(*ancestors, name)
+                .agg(F.count("*").cast("long").alias("_rare_total"))
+            )
+            grouped = (
+                grouped.join(F.broadcast(totals), [*ancestors, name], "left")
+                .filter(F.col("_rare_total") <= F.lit(max_dc))
+                .drop("_rare_total")
+            )
     return grouped
 
 
@@ -552,6 +605,35 @@ def pipeline_aggs(
             ),
         )
     return out
+
+
+def bucket_script(
+    buckets: DataFrame, name: str, expr: str, round_to: int | None = 6
+) -> DataFrame:
+    """ES ``bucket_script`` pipeline agg: compute a new per-bucket
+    metric from the bucket's existing metric columns (the Kibana
+    "math on series" panel — ratios, percentages, deltas of sibling
+    metrics).  ``expr`` is a SQL expression over the bucket frame's
+    columns — exactly ES's ``buckets_path``-bound script, with column
+    names instead of path bindings.
+
+    One codegen projection over bucket-cardinality rows; no shuffle,
+    no corpus access.  Rounded to ``round_to`` decimals so any engine
+    agrees (pass None to skip).
+    """
+    col = F.expr(expr)
+    if round_to is not None:
+        col = F.round(col.cast("double"), round_to)
+    return buckets.withColumn(name, col)
+
+
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """ES ``bucket_selector`` pipeline agg: keep only buckets whose
+    metrics satisfy ``predicate`` (a SQL boolean expression over the
+    bucket frame's columns) — the "having" clause of the aggs DSL.
+    A narrow filter over bucket-cardinality rows.
+    """
+    return buckets.filter(F.expr(predicate))
 
 
 def top_hits_agg(

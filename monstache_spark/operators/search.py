@@ -857,6 +857,59 @@ def percolate(
     )
 
 
+def completion_suggest(
+    docs: DataFrame,
+    prefixes: list[str],
+    top_n: int = 5,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES completion suggester (search-as-you-type): for each query
+    prefix, the ``top_n`` corpus vocabulary terms starting with it,
+    ranked by weight — here term frequency — desc, term asc (ES ranks
+    completion entries by their indexed ``weight``; corpus frequency
+    is the standard weight a monstache-fed completion field carries).
+
+    The vocabulary is ONE hash-agg pass (Heaps-law-small); the prefix
+    list enters as a literal-array explode and the prefix test is a
+    ``startswith`` predicate evaluated on vocab-sized rows — at 10⁵+
+    vocabulary a prefix-key equi-join (term's first k chars) would
+    replace the broadcast-filter, same shape as fuzzy_suggest's
+    deletion keys.  Returns ``(prefix, suggestion, weight, rank)``.
+    """
+    if not prefixes:
+        raise ValueError("prefixes must be non-empty")
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+                "term"
+            )
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .filter(F.col("weight") >= min_count)
+    )
+    pdf = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p.lower()) for p in sorted(set(prefixes))])
+        ).alias("prefix")
+    )
+    cand = vocab.join(
+        F.broadcast(pdf), F.col("term").startswith(F.col("prefix"))
+    )
+    w = Window.partitionBy("prefix").orderBy(
+        F.col("weight").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+        .select("prefix", F.col("term").alias("suggestion"), "weight", "rank")
+    )
+
+
 def _anchor_terms(query: dict, text_col: str) -> set[str] | None:
     """Extract a NECESSARY-condition token set for a stored query: a
     doc matching the query must contain at least one of the returned

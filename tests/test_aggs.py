@@ -230,6 +230,65 @@ def test_composite_page_then_next_page_covers_all(ev):
     assert [r["k"] for r in p1] + [r["k"] for r in p2] == ["buy", "click", "view"]
 
 
+def test_rare_terms_keeps_only_long_tail(ev):
+    out = compile_aggs(
+        ev, {"k": {"rare_terms": {"field": "kind", "max_doc_count": 2}}}
+    )
+    got = {r["k"]: r["doc_count"] for r in out.collect()}
+    # click(3) is too common; view(2)/buy(2) are rare; null kind drops
+    assert got == {"view": 2, "buy": 2}
+
+
+def test_rare_terms_non_leaf_uses_parent_totals(ev):
+    out = compile_aggs(
+        ev,
+        {
+            "k": {
+                "rare_terms": {"field": "kind", "max_doc_count": 2},
+                "aggs": {"region": {"terms": {"field": "region"}}},
+            }
+        },
+    )
+    # buy has 2 docs TOTAL (one with null region): parent total 2 <= 2
+    # keeps it even though only 1 leaf row remains after the null drop
+    parents = {r["k"] for r in out.collect()}
+    assert parents == {"view", "buy"}
+
+
+def test_multi_terms_compound_key_and_size(ev):
+    out = compile_aggs(
+        ev,
+        {
+            "kr": {
+                "multi_terms": {
+                    "terms": [{"field": "kind"}, {"field": "region"}],
+                    "size": 2,
+                },
+                "aggs": {"total": {"sum": {"field": "val"}}},
+            }
+        },
+    )
+    got = {r["kr"]: (r["doc_count"], r["total"]) for r in out.collect()}
+    # click|eu has 2 docs; the five 1-doc pairs tie -> buy|us on key asc;
+    # docs missing either field (ids 7, 8) drop
+    assert got == {"click|eu": (2, 30.0), "buy|us": (1, 60.0)}
+
+
+def test_bucket_script_and_selector(ev):
+    from monstache_spark.operators.aggs import bucket_script, bucket_selector
+
+    daily = compile_aggs(
+        ev,
+        {"k": {"terms": {"field": "kind"},
+               "aggs": {"total": {"sum": {"field": "val"}}}}},
+    )
+    scripted = bucket_script(daily, "per_doc", "total / doc_count")
+    got = {r["k"]: r["per_doc"] for r in scripted.collect()}
+    assert got["click"] == 20.0 and got["view"] == 45.0
+    kept = {r["k"] for r in bucket_selector(scripted, "doc_count >= 3").collect()}
+    assert kept == {"click"}
+
+
 def test_sibling_aggs_long_format_union(ev):
     from monstache_spark.operators.aggs import compile_sibling_aggs
 

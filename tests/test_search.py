@@ -349,6 +349,21 @@ def test_fuzzy_suggest_damerau_counts_transposition_as_one(spark):
     assert fuzzy_suggest(df, ["elbat"], top_n=5, damerau=True).collect() == []
 
 
+def test_completion_suggest_prefix_rank_by_weight(spark):
+    from monstache_spark.operators.search import completion_suggest
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spam spot table")], "doc_id long, text string"
+    )
+    out = [(r["suggestion"], r["weight"], r["rank"]) for r in
+           completion_suggest(df, ["sp"], top_n=2).orderBy("rank").collect()]
+    # weight desc (spark 2) then term asc (spam before spot); top_n cuts spot
+    assert out == [("spark", 2, 1), ("spam", 1, 2)]
+    # non-matching prefix yields nothing
+    from monstache_spark.operators.search import completion_suggest as cs
+    assert cs(df, ["zz"]).count() == 0
+
+
 def test_fuzzy_suggest_no_match_yields_nothing(spark):
     from monstache_spark.operators.search import fuzzy_suggest
 

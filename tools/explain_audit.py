@@ -353,6 +353,74 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "match_phrase_slop",
+        "sloppy phrase: nested array-exists predicate is a narrow "
+        "filter over the scan — no exchange, no join, no Python",
+        lambda p: "Exchange" not in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_sibling_aggs",
+        "sibling aggs: union of independent hash-agg branches (each "
+        "with its own pruned scan), terms size via TakeOrdered, no "
+        "sort agg, no Python",
+        lambda p: "Union" in p
+        and "TakeOrderedAndProject" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "fuzzy_suggest_dl",
+        "DL fuzzy suggest: swap-exists verify stays a per-candidate "
+        "expression on the broadcast equi-join — no cartesian, no Python",
+        lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "percolate_indexed",
+        "indexed percolation: anchor-term index BROADCASTs into the "
+        "candidate equi-join, groups verify over left-semi-restricted "
+        "docs — no cartesian, no Python",
+        lambda p: "BroadcastHashJoin" in p
+        and "LeftSemi" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_rare_terms",
+        "rare_terms: one hash agg + post-agg filter on bucket totals "
+        "— no second corpus pass, no sort agg, no Python",
+        lambda p: "HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_multi_terms",
+        "multi_terms: compound key is a codegen projection; size via "
+        "TakeOrderedAndProject, no sort agg, no Python",
+        lambda p: "TakeOrderedAndProject" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_bucket_script",
+        "bucket_script/selector: bucket-cardinality projections after "
+        "ONE corpus aggregation (one grouping exchange, no Python)",
+        lambda p: p.count("Exchange hashpartitioning") <= 1
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "completion_suggest",
+        "completion suggester: vocab hash agg, prefixes broadcast "
+        "(no cartesian fallback to shuffle), no Python",
+        lambda p: ("BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p)
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
         "corpus_overlap",
         "corpus overlap: membership arrays replace a grams self-join "
         "(no SortMergeJoin on gram rows), group totals broadcast, no "
