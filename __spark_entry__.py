@@ -2050,6 +2050,38 @@ def _q_es_sibling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_date_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with min_doc_count=0 (aggs.compile_aggs gap
+    filling): hourly buckets over a sparse filtered stream emit EMPTY
+    buckets for every hour between first and last — the Kibana
+    timeline contract. The timeline generates from the aggregated
+    frame's own bounds (bucket-cardinality work) and left-joins."""
+    from monstache_spark.operators.aggs import compile_aggs
+    from monstache_spark.operators.search import bool_query_filter
+
+    ev = load_table(spark, "events", sf_dir)
+    sparse = bool_query_filter(
+        ev,
+        {"bool": {"must": [
+            {"term": {"event_type": "purchase"}},
+            {"range": {"value": {"gt": 120.0}}},
+        ]}},
+    )
+    return compile_aggs(
+        sparse,
+        {
+            "hourly": {
+                "date_histogram": {
+                    "field": "ts",
+                    "calendar_interval": "hour",
+                    "min_doc_count": 0,
+                },
+                "aggs": {"total_value": {"sum": {"field": "value"}}},
+            }
+        },
+    )
+
+
 def _q_es_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rare_terms aggregation (aggs.compile_aggs): the long-tail
     complement of terms — customers with at most ONE order, with an
@@ -2636,16 +2668,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "lsh_bucket_stats": _q_lsh_bucket_stats,
         "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
-        "q1_pricing_summary": _q_q1_pricing,
         "q3_top_orders": _q_q3_top_orders,
         "relate_orders_customer": _q_relate_orders_customer,
         "relate_two_hop": _q_relate_two_hop,
+        "es_date_histogram_filled": _q_es_date_histogram_filled,
         "es_rare_terms": _q_es_rare_terms,
         "es_multi_terms": _q_es_multi_terms,
         "es_bucket_script": _q_es_bucket_script,
         "drop_propagation": _q_drop_propagation,
         "completion_suggest": _q_completion_suggest,
         # --- end of driver window — recently-gated stable queries below ---
+        "q1_pricing_summary": _q_q1_pricing,
         "stream_hourly_windows": _q_stream_hourly_windows,
         "stream_stream_join": _q_stream_stream_join,
         "time_machine": _q_time_machine,
@@ -3412,6 +3445,24 @@ def oracle_sql() -> dict[str, str]:
                  CAST(NULL AS DOUBLE) AS total_value FROM t
           UNION ALL
           SELECT 'daily', key, doc_count, CAST(NULL AS DOUBLE), total_value FROM d
+        """,
+        "es_date_histogram_filled": """
+          WITH s AS (
+            SELECT ts, value FROM events
+            WHERE event_type = 'purchase' AND value > 120.0 AND ts IS NOT NULL
+          ), g AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hourly,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM s GROUP BY 1
+          ), tl AS (
+            SELECT unnest(generate_series(
+                     (SELECT min(hourly) FROM g),
+                     (SELECT max(hourly) FROM g),
+                     INTERVAL 1 HOUR)) AS hourly
+          )
+          SELECT tl.hourly, coalesce(g.doc_count, 0) AS doc_count, g.total_value
+          FROM tl LEFT JOIN g USING (hourly)
         """,
         "es_rare_terms": """
           SELECT CAST(o_custkey AS VARCHAR) AS rare_cust,

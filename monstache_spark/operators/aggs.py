@@ -252,6 +252,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     truncations: list[tuple[str, int | None, int, dict | None]] = []
     # (name, max_doc_count) per rare_terms level, applied post-agg
     rare_filters: list[tuple[str, int]] = []
+    # (name, spec) when a date_histogram asks for min_doc_count=0
+    date_fill: tuple[str, dict] | None = None
     metrics: list[Column] = []
     # frame snapshot taken right after each terms level's key column is
     # assigned — BEFORE any child level's explode / null-drop — so a
@@ -282,6 +284,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         if not bucket_items:
             break
         name, kind, spec, child = bucket_items[0]
+        if kind == "date_histogram" and int(spec.get("min_doc_count", 1)) == 0:
+            date_fill = (name, spec)
         if kind in ("range", "filters"):
             out = out.withColumn(
                 name, F.explode(_multi_membership_keys(kind, spec))
@@ -416,6 +420,55 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 .filter(F.col("_rare_total") <= F.lit(max_dc))
                 .drop("_rare_total")
             )
+
+    if date_fill is not None:
+        # ES min_doc_count=0 gap filling: emit EMPTY buckets for every
+        # interval between the first and last bucket (or the literal
+        # extended_bounds) — the Kibana timeline contract (a chart
+        # with missing days lies).  The timeline generates from the
+        # aggregated frame's own min/max (bucket-cardinality work, one
+        # sequence explode) and LEFT-joins the buckets: doc_count
+        # coalesces to 0, metric columns stay null for empty buckets
+        # (ES reports null avg/min/max there too; its sum reports 0.0
+        # — coalesce downstream if that distinction matters).
+        # Single-level trees only: nested gap filling would need a
+        # per-parent timeline cross join.
+        name, spec = date_fill
+        if len(key_names) != 1:
+            raise ValueError(
+                "min_doc_count=0 gap filling requires date_histogram "
+                "to be the only bucket level"
+            )
+        unit = _CALENDAR_TRUNC[
+            spec.get("calendar_interval") or spec.get("fixed_interval")
+        ]
+        step = {
+            "hour": "INTERVAL 1 HOUR",
+            "day": "INTERVAL 1 DAY",
+            "week": "INTERVAL 7 DAY",
+            "month": "INTERVAL 1 MONTH",
+            "quarter": "INTERVAL 3 MONTH",
+            "year": "INTERVAL 1 YEAR",
+        }[unit]
+        eb = spec.get("extended_bounds")
+        if eb:
+            bounds = grouped.sparkSession.range(1).select(
+                F.date_trunc(unit, F.lit(eb["min"]).cast("timestamp")).alias("_lo"),
+                F.date_trunc(unit, F.lit(eb["max"]).cast("timestamp")).alias("_hi"),
+            )
+        else:
+            bounds = grouped.agg(
+                F.min(name).alias("_lo"), F.max(name).alias("_hi")
+            )
+        timeline = bounds.select(
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.expr(step))
+            ).alias(name)
+        )
+        grouped = (
+            timeline.join(grouped, name, "left")
+            .withColumn("doc_count", F.coalesce("doc_count", F.lit(0).cast("long")))
+        )
     return grouped
 
 

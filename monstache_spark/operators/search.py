@@ -862,6 +862,7 @@ def completion_suggest(
     prefixes: list[str],
     top_n: int = 5,
     min_count: int = 1,
+    vocab: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -877,21 +878,26 @@ def completion_suggest(
     vocabulary a prefix-key equi-join (term's first k chars) would
     replace the broadcast-filter, same shape as fuzzy_suggest's
     deletion keys.  Returns ``(prefix, suggestion, weight, rank)``.
+
+    Pass ``vocab`` — a ``(term, weight)`` frame — to rank by custom
+    weights (ES's indexed completion ``weight``) instead of corpus
+    frequency.
     """
     if not prefixes:
         raise ValueError("prefixes must be non-empty")
     spark = docs.sparkSession
-    vocab = (
-        docs.select(
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-                "term"
+    if vocab is None:
+        vocab = (
+            docs.select(
+                F.explode(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+                ).alias("term")
             )
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("weight"))
+            .filter(F.col("weight") >= min_count)
         )
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("weight"))
-        .filter(F.col("weight") >= min_count)
-    )
     pdf = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(p.lower()) for p in sorted(set(prefixes))])

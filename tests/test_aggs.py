@@ -168,6 +168,65 @@ def test_date_histogram_hour(ev):
     }
 
 
+def test_date_histogram_min_doc_count_zero_fills_gaps(ev):
+    out = compile_aggs(
+        ev,
+        {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day",
+                                  "min_doc_count": 0},
+               "aggs": {"total": {"sum": {"field": "val"}}}}},
+    )
+    rows = {r["d"].day: (r["doc_count"], r["total"]) for r in out.collect()}
+    # Jan 1..3 continuous; all three days have data here, so add a
+    # variant with a real gap below
+    assert set(rows) == {1, 2, 3}
+
+
+def test_date_histogram_fill_emits_empty_buckets(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 5.0),
+         (2, datetime.datetime(2024, 1, 4), 7.0)],
+        "id long, ts timestamp, val double",
+    )
+    out = compile_aggs(
+        df,
+        {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day",
+                                  "min_doc_count": 0},
+               "aggs": {"total": {"sum": {"field": "val"}}}}},
+    )
+    rows = {r["d"].day: (r["doc_count"], r["total"]) for r in out.collect()}
+    # Jan 2 and 3 are EMPTY buckets: doc_count 0, metrics null
+    assert rows == {1: (1, 5.0), 2: (0, None), 3: (0, None), 4: (1, 7.0)}
+
+
+def test_date_histogram_extended_bounds(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 2), 5.0)],
+        "id long, ts timestamp, val double",
+    )
+    out = compile_aggs(
+        df,
+        {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day", "min_doc_count": 0,
+            "extended_bounds": {"min": "2024-01-01", "max": "2024-01-04"}}}},
+    )
+    days = sorted(r["d"].day for r in out.collect())
+    assert days == [1, 2, 3, 4]
+
+
+def test_date_histogram_fill_rejected_on_nested_tree(ev):
+    with pytest.raises(ValueError, match="only bucket level"):
+        compile_aggs(
+            ev,
+            {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day",
+                                      "min_doc_count": 0},
+                   "aggs": {"k": {"terms": {"field": "kind"}}}}},
+        )
+
+
 def test_histogram_negative_values(spark):
     df = spark.createDataFrame(
         [(1, -15.0), (2, -5.0), (3, 5.0)], "id long, v double"

@@ -360,8 +360,15 @@ def test_completion_suggest_prefix_rank_by_weight(spark):
     # weight desc (spark 2) then term asc (spam before spot); top_n cuts spot
     assert out == [("spark", 2, 1), ("spam", 1, 2)]
     # non-matching prefix yields nothing
-    from monstache_spark.operators.search import completion_suggest as cs
-    assert cs(df, ["zz"]).count() == 0
+    assert completion_suggest(df, ["zz"]).count() == 0
+    # custom weights override corpus frequency (S10 escape hatch)
+    vocab = spark.createDataFrame(
+        [("spot", 100), ("spark", 1)], "term string, weight long"
+    )
+    custom = [(r["suggestion"], r["rank"]) for r in
+              completion_suggest(df, ["sp"], top_n=2, vocab=vocab)
+              .orderBy("rank").collect()]
+    assert custom == [("spot", 1), ("spark", 2)]
 
 
 def test_fuzzy_suggest_no_match_yields_nothing(spark):
