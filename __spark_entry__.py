@@ -2050,6 +2050,109 @@ def _q_es_sibling_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation (aggs.adjacency_matrix): doc
+    counts for named segments and their pairwise intersections, keyed
+    'a' / 'a&b' as ES keys them — one projection + bounded explode +
+    one hash agg, corpus touched once."""
+    from monstache_spark.operators.aggs import adjacency_matrix
+
+    ev = load_table(spark, "events", sf_dir)
+    return adjacency_matrix(
+        ev,
+        {
+            "big": {"range": {"value": {"gte": 100.0}}},
+            "purchase": {"term": {"event_type": "purchase"}},
+            "early": {"range": {"user_id": {"lt": 500}}},
+        },
+        id_col="event_id",
+    )
+
+
+def _q_es_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff pipeline agg (aggs.pipeline_aggs serial_diff):
+    7-day seasonal differencing of the daily event rate — one window
+    pass over bucket-cardinality rows."""
+    from monstache_spark.operators.aggs import compile_aggs, pipeline_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = compile_aggs(
+        ev,
+        {"day": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+    )
+    out = pipeline_aggs(
+        daily, sort_col="day", value_col="doc_count", serial_diff=7
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "doc_count",
+        "doc_count_sdiff",
+    )
+
+
+def _q_es_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket sibling pipeline agg (aggs.stats_bucket):
+    per-event-type summary of the DAILY bucket counts ('average daily
+    volume by type') — one hash agg over bucket-cardinality rows."""
+    from monstache_spark.operators.aggs import compile_aggs, stats_bucket
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = compile_aggs(
+        ev,
+        {
+            "by_type": {
+                "terms": {"field": "event_type"},
+                "aggs": {
+                    "daily": {
+                        "date_histogram": {"field": "ts", "calendar_interval": "day"}
+                    }
+                },
+            }
+        },
+    )
+    return stats_bucket(daily, "doc_count", parent_cols=["by_type"])
+
+
+def _q_es_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics aggregation (aggs.top_metrics): per event type,
+    the value carried by the LATEST event (ties broken on event_id) —
+    max_by hash agg, no window, no top_hits row materialization."""
+    from monstache_spark.operators.aggs import top_metrics
+
+    ev = load_table(spark, "events", sf_dir)
+    out = top_metrics(
+        ev, "event_type", "ts", ["value", "user_id"], id_col="event_id"
+    )
+    return out.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("last_ts_us"),
+        "value",
+        "user_id",
+    )
+
+
+def _q_es_terms_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation with include/exclude (aggs.compile_aggs):
+    a full-match regex restricts which keys become buckets; excluded
+    docs drop rather than landing elsewhere."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {
+            "by_type": {
+                "terms": {
+                    "field": "event_type",
+                    "include": "p.*|c.*|e.*",
+                    "exclude": ["error"],
+                },
+                "aggs": {"users": {"cardinality": {"field": "user_id"}}},
+            }
+        },
+    )
+
+
 def _q_es_date_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_histogram with min_doc_count=0 (aggs.compile_aggs gap
     filling): hourly buckets over a sparse filtered stream emit EMPTY
@@ -2666,11 +2769,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_op_counts": _q_stateful_op_counts,
         "dedup_corpus_pipeline": _q_dedup_corpus,
         "embedding_near_dup": _q_embedding_near_dup,
-        "lsh_bucket_stats": _q_lsh_bucket_stats,
-        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
-        "q3_top_orders": _q_q3_top_orders,
-        "relate_orders_customer": _q_relate_orders_customer,
-        "relate_two_hop": _q_relate_two_hop,
+        "es_terms_filtered": _q_es_terms_filtered,
+        "es_top_metrics": _q_es_top_metrics,
+        "es_adjacency_matrix": _q_es_adjacency_matrix,
+        "es_serial_diff": _q_es_serial_diff,
+        "es_stats_bucket": _q_es_stats_bucket,
         "es_date_histogram_filled": _q_es_date_histogram_filled,
         "es_rare_terms": _q_es_rare_terms,
         "es_multi_terms": _q_es_multi_terms,
@@ -2678,6 +2781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_propagation": _q_drop_propagation,
         "completion_suggest": _q_completion_suggest,
         # --- end of driver window — recently-gated stable queries below ---
+        "q3_top_orders": _q_q3_top_orders,
+        "relate_orders_customer": _q_relate_orders_customer,
+        "relate_two_hop": _q_relate_two_hop,
+        "ann_lsh_multiprobe": _q_ann_lsh_multiprobe,
+        "lsh_bucket_stats": _q_lsh_bucket_stats,
         "q1_pricing_summary": _q_q1_pricing,
         "stream_hourly_windows": _q_stream_hourly_windows,
         "stream_stream_join": _q_stream_stream_join,
@@ -3445,6 +3553,66 @@ def oracle_sql() -> dict[str, str]:
                  CAST(NULL AS DOUBLE) AS total_value FROM t
           UNION ALL
           SELECT 'daily', key, doc_count, CAST(NULL AS DOUBLE), total_value FROM d
+        """,
+        "es_adjacency_matrix": """
+          SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM (
+            SELECT 'big' AS key FROM events WHERE value >= 100.0
+            UNION ALL
+            SELECT 'early' FROM events WHERE user_id < 500
+            UNION ALL
+            SELECT 'purchase' FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT 'big&early' FROM events WHERE value >= 100.0 AND user_id < 500
+            UNION ALL
+            SELECT 'big&purchase' FROM events WHERE value >= 100.0 AND event_type = 'purchase'
+            UNION ALL
+            SELECT 'early&purchase' FROM events WHERE user_id < 500 AND event_type = 'purchase'
+          ) GROUP BY key
+        """,
+        "es_serial_diff": """
+          WITH d AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS doc_count
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+          )
+          SELECT strftime(day, '%Y-%m-%d') AS day, doc_count,
+                 doc_count - lag(doc_count, 7) OVER (ORDER BY day ASC) AS doc_count_sdiff
+          FROM d
+        """,
+        "es_stats_bucket": """
+          WITH leaf AS (
+            SELECT CAST(event_type AS VARCHAR) AS by_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily,
+                   CAST(count(*) AS BIGINT) AS doc_count
+            FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+            GROUP BY 1, 2
+          )
+          SELECT by_type,
+                 CAST(count(doc_count) AS BIGINT) AS doc_count_bucket_count,
+                 CAST(min(doc_count) AS DOUBLE) AS doc_count_bucket_min,
+                 CAST(max(doc_count) AS DOUBLE) AS doc_count_bucket_max,
+                 CAST(sum(CAST(doc_count AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(doc_count) AS DOUBLE) AS doc_count_bucket_avg,
+                 CAST(sum(CAST(doc_count AS DECIMAL(38,6))) AS DOUBLE) AS doc_count_bucket_sum
+          FROM leaf GROUP BY by_type
+        """,
+        "es_top_metrics": """
+          SELECT event_type,
+                 epoch_us(max(ts)) AS last_ts_us,
+                 max_by(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id) AS value,
+                 max_by(user_id, CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id) AS user_id
+          FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY event_type
+        """,
+        "es_terms_filtered": """
+          SELECT CAST(event_type AS VARCHAR) AS by_type,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS users
+          FROM events
+          WHERE event_type IS NOT NULL
+            AND regexp_full_match(event_type, '(?:p.*|c.*|e.*)')
+            AND event_type <> 'error'
+          GROUP BY 1
         """,
         "es_date_histogram_filled": """
           WITH s AS (

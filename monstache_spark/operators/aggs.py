@@ -123,6 +123,26 @@ def _bucket_key_col(kind: str, spec: dict) -> Column:
         key = field.cast("string")
         if "missing" in spec:
             key = F.coalesce(key, F.lit(str(spec["missing"])))
+        # ES include/exclude: a full-match regex or a literal value
+        # list restricting which terms become buckets (docs whose key
+        # is excluded drop, they don't land in other buckets) — a
+        # codegen predicate on the key, evaluated before the agg
+        keep = F.lit(True)
+        inc, exc = spec.get("include"), spec.get("exclude")
+        if inc is not None:
+            keep = keep & (
+                key.isin(list(inc))
+                if isinstance(inc, (list, tuple))
+                else key.rlike(f"^(?:{inc})$")
+            )
+        if exc is not None:
+            keep = keep & ~(
+                key.isin(list(exc))
+                if isinstance(exc, (list, tuple))
+                else key.rlike(f"^(?:{exc})$")
+            )
+        if inc is not None or exc is not None:
+            key = F.when(keep, key)
         return key
     if kind == "histogram":
         interval = float(spec["interval"])
@@ -614,12 +634,14 @@ def pipeline_aggs(
     derivative: bool = False,
     cumulative: bool = False,
     moving_avg: int | None = None,
+    serial_diff: int | None = None,
 ) -> DataFrame:
     """ES pipeline aggregations over an already-bucketed frame (the
     output of :func:`compile_aggs`): ``derivative``,
-    ``cumulative_sum`` and ``moving_avg`` of ``value_col`` along
-    ``sort_col`` order, per parent bucket — the Kibana time-series
-    post-processing (rate of change, running totals, smoothing).
+    ``cumulative_sum``, ``moving_avg`` and ``serial_diff`` of
+    ``value_col`` along ``sort_col`` order, per parent bucket — the
+    Kibana time-series post-processing (rate of change, running
+    totals, smoothing, seasonal differencing).
 
     All three are ONE window pass over bucket-cardinality rows (the
     corpus was already reduced by the bucket agg); the window
@@ -657,6 +679,14 @@ def pipeline_aggs(
                 6,
             ),
         )
+    if serial_diff is not None:
+        # ES serial_diff: value minus the value `lag` buckets back —
+        # seasonal differencing (lag=1 equals derivative; lag=24 on
+        # hourly buckets removes the daily cycle). Null for the first
+        # `lag` buckets, as in ES.
+        out = out.withColumn(
+            f"{value_col}_sdiff", v - F.lag(v, int(serial_diff)).over(w)
+        )
     return out
 
 
@@ -687,6 +717,96 @@ def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
     A narrow filter over bucket-cardinality rows.
     """
     return buckets.filter(F.expr(predicate))
+
+
+def stats_bucket(
+    buckets: DataFrame,
+    value_col: str,
+    parent_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES sibling pipeline aggs ``stats_bucket`` (and its projections
+    ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` / ``max_bucket``):
+    one summary row (per parent bucket) over a metric ACROSS the
+    sibling buckets — "average of the daily sums".  One hash agg over
+    bucket-cardinality rows; sums/avgs in exact decimal.  Returns
+    ``<value_col>_bucket_{count,min,max,avg,sum}``.
+    """
+    v = F.col(value_col)
+    dec = v.cast("decimal(38,6)")
+    aggs = [
+        F.count(v).cast("long").alias(f"{value_col}_bucket_count"),
+        F.min(v.cast("double")).alias(f"{value_col}_bucket_min"),
+        F.max(v.cast("double")).alias(f"{value_col}_bucket_max"),
+        (F.sum(dec).cast("double") / F.count(v).cast("double")).alias(
+            f"{value_col}_bucket_avg"
+        ),
+        F.sum(dec).cast("double").alias(f"{value_col}_bucket_sum"),
+    ]
+    g = buckets.groupBy(*parent_cols) if parent_cols else buckets.groupBy()
+    return g.agg(*aggs)
+
+
+def adjacency_matrix(
+    df: DataFrame, filters: dict[str, dict], id_col: str = "doc_id"
+) -> DataFrame:
+    """ES ``adjacency_matrix`` aggregation: doc counts for every named
+    filter and every pairwise intersection, keyed ``"a"`` and
+    ``"a&b"`` exactly as ES keys them — co-occurrence matrices over
+    saved segments.
+
+    One codegen projection builds each row's membership key array
+    (singles + ordered pairs, bounded by ``k + k·(k-1)/2`` for k
+    user-written filters), one bounded explode, one hash agg.  The
+    corpus is touched once regardless of filter count.
+    """
+    if not filters:
+        raise ValueError("filters must be non-empty")
+    names = sorted(filters)
+    singles = [
+        F.when(compile_bool_query(filters[n]), F.lit(n)) for n in names
+    ]
+    pairs = [
+        F.when(
+            compile_bool_query(filters[a]) & compile_bool_query(filters[b]),
+            F.lit(f"{a}&{b}"),
+        )
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+    ]
+    keys = F.array_compact(F.array(*singles, *pairs))
+    return (
+        df.select(F.explode(keys).alias("key"))
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+    )
+
+
+def top_metrics(
+    df: DataFrame,
+    bucket_col: str,
+    sort_col: str,
+    metric_cols: list[str],
+    ascending: bool = False,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ES ``top_metrics`` aggregation: per bucket, the metric values
+    carried by the row with the max (or min) ``sort_col`` — "the
+    price at the latest timestamp", cheaper than top_hits when only
+    scalar metrics are wanted.
+
+    One hash aggregation using ``max_by``/``min_by``; keep
+    ``metric_cols`` numeric — a string payload in the aggregation
+    buffer silently degrades Spark to SortAggregate (the plan audit
+    guards this class of regression).
+    """
+    pick = F.min_by if ascending else F.max_by
+    ext = F.min(sort_col) if ascending else F.max(sort_col)
+    # ties on sort_col break on id_col so any engine picks the same row
+    key = F.struct(F.col(sort_col), F.col(id_col))
+    return df.filter(F.col(sort_col).isNotNull()).groupBy(bucket_col).agg(
+        ext.alias(sort_col),
+        *[pick(m, key).alias(m) for m in metric_cols],
+    )
 
 
 def top_hits_agg(

@@ -289,6 +289,78 @@ def test_composite_page_then_next_page_covers_all(ev):
     assert [r["k"] for r in p1] + [r["k"] for r in p2] == ["buy", "click", "view"]
 
 
+def test_terms_include_exclude(ev):
+    out = compile_aggs(
+        ev, {"k": {"terms": {"field": "kind", "include": "c.*|v.*",
+                             "exclude": ["view"]}}}
+    )
+    got = {r["k"]: r["doc_count"] for r in out.collect()}
+    # include admits click/view; exclude then drops view; buy never matches
+    assert got == {"click": 3}
+
+
+def test_adjacency_matrix_singles_and_pairs(ev):
+    from monstache_spark.operators.aggs import adjacency_matrix
+
+    out = adjacency_matrix(
+        ev,
+        {"eu": {"term": {"region": "eu"}},
+         "cheap": {"range": {"val": {"lt": 40.0}}}},
+        id_col="id",
+    )
+    got = {r["key"]: r["doc_count"] for r in out.collect()}
+    # rows 1,2 are eu AND cheap; row 3 cheap only; rows 4,8 eu only
+    assert got == {"eu": 4, "cheap": 3, "cheap&eu": 2}
+
+
+def test_serial_diff_lags_n_buckets(ev):
+    from monstache_spark.operators.aggs import pipeline_aggs
+
+    daily = compile_aggs(
+        ev, {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}}
+    )
+    out = {r["d"].day: r["doc_count_sdiff"] for r in pipeline_aggs(
+        daily, sort_col="d", value_col="doc_count", serial_diff=2
+    ).collect()}
+    # days 1,2,3 have 3,3,2 docs; lag-2: day3 = 2 - 3 = -1, days 1-2 null
+    assert out[1] is None and out[2] is None and out[3] == -1
+
+
+def test_stats_bucket_summarizes_sibling_buckets(ev):
+    from monstache_spark.operators.aggs import stats_bucket
+
+    daily = compile_aggs(
+        ev,
+        {"k": {"terms": {"field": "kind"},
+               "aggs": {"d": {"date_histogram": {"field": "ts",
+                                                 "calendar_interval": "day"}}}}},
+    )
+    out = {r["k"]: r for r in stats_bucket(
+        daily, "doc_count", parent_cols=["k"]
+    ).collect()}
+    # click: days 1 (2 docs) and 2 (1 doc)
+    c = out["click"]
+    assert (c["doc_count_bucket_count"], c["doc_count_bucket_min"],
+            c["doc_count_bucket_max"], c["doc_count_bucket_sum"]) == (2, 1.0, 2.0, 3.0)
+
+
+def test_top_metrics_latest_row_ties_on_id(spark):
+    import datetime
+
+    from monstache_spark.operators.aggs import top_metrics
+
+    t = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "a", t, 10.0), (2, "a", t, 20.0), (3, "b", datetime.datetime(2024, 1, 2), 5.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    out = {r["event_type"]: r["value"] for r in top_metrics(
+        df, "event_type", "ts", ["value"], id_col="event_id"
+    ).collect()}
+    # tie on ts within 'a' breaks to the larger event_id (2 -> 20.0)
+    assert out == {"a": 20.0, "b": 5.0}
+
+
 def test_rare_terms_keeps_only_long_tail(ev):
     out = compile_aggs(
         ev, {"k": {"rare_terms": {"field": "kind", "max_doc_count": 2}}}
