@@ -797,12 +797,26 @@ def top_metrics(
     One hash aggregation using ``max_by``/``min_by``; keep
     ``metric_cols`` numeric — a string payload in the aggregation
     buffer silently degrades Spark to SortAggregate (the plan audit
-    guards this class of regression).
+    guards this class of regression).  Ties on ``sort_col`` break on
+    ``id_col`` so any engine picks the same row; for a timestamp sort
+    the (ts, id) pair packs into ONE exact decimal
+    (``unix_micros·10⁹ + id``) because a struct ordering key ALSO
+    degrades the aggregate to SortAggregate — same buffer trap.
     """
     pick = F.min_by if ascending else F.max_by
     ext = F.min(sort_col) if ascending else F.max(sort_col)
-    # ties on sort_col break on id_col so any engine picks the same row
-    key = F.struct(F.col(sort_col), F.col(id_col))
+    dt = df.schema[sort_col].dataType.simpleString()
+    if dt.startswith("timestamp"):
+        key = (
+            F.unix_micros(F.col(sort_col)).cast("decimal(38,0)")
+            * F.lit(1_000_000_000)
+            + F.col(id_col)
+        )
+    else:
+        # generic fallback: struct ordering is correct but plans as a
+        # SortAggregate — fine for bucket-cardinality inputs, wrong
+        # for corpus-sized ones; pack your own scalar key there
+        key = F.struct(F.col(sort_col), F.col(id_col))
     return df.filter(F.col(sort_col).isNotNull()).groupBy(bucket_col).agg(
         ext.alias(sort_col),
         *[pick(m, key).alias(m) for m in metric_cols],

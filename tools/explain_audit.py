@@ -421,6 +421,52 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_adjacency_matrix",
+        "adjacency matrix: one projection + bounded explode + one "
+        "hash agg — corpus touched once for all filter pairs",
+        lambda p: p.count("Exchange hashpartitioning") <= 1
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_serial_diff",
+        "serial_diff: one grouping exchange + one bucket-cardinality "
+        "window — no Python, no sort agg",
+        lambda p: "SortAggregate" not in p and "Python" not in p,
+    ),
+    (
+        "es_stats_bucket",
+        "stats_bucket: hash aggs end-to-end (sibling summary is an "
+        "agg over bucket rows, not a window), no Python",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Window" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_top_metrics",
+        "top_metrics: ONE max_by hash agg over numeric payloads — no "
+        "sort agg (string payload would degrade), no window, no Python",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Window" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_terms_filtered",
+        "terms include/exclude: the key predicate is a codegen filter "
+        "before the agg (excluded rows never shuffle), no Python",
+        lambda p: "* Filter" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_date_histogram_filled",
+        "gap filling: timeline generates from bucket-cardinality "
+        "bounds (no second corpus scan), left join, no Python",
+        lambda p: "Python" not in p and "SortAggregate" not in p,
+    ),
+    (
         "corpus_overlap",
         "corpus overlap: membership arrays replace a grams self-join "
         "(no SortMergeJoin on gram rows), group totals broadcast, no "
