@@ -987,22 +987,31 @@ def percolate_indexed(
     full predicate runs, so each doc evaluates only the queries whose
     necessary terms it contains — not the whole registry.
 
-    Plan shape: (1) the anchor index ``(term, group)`` enters as a
+    Plan shape: (1) the anchor index ``(term, query)`` enters as a
     literal-array frame and BROADCASTs into an equi-join against the
-    docs' distinct exploded tokens — candidate (doc, query-group)
-    pairs; (2) each group of ≤ ``group_size`` queries evaluates its
-    compiled predicates in ONE codegen projection over ONLY its
-    candidate docs (left-semi join on the id); (3) anchor-less
+    docs' distinct exploded tokens; ONE control-plane action collects
+    the ACTIVE query names (≥ 1 candidate doc) — bounded by registry
+    size, never by corpus size.  Inactive queries are never compiled:
+    a registry where most saved searches currently match nothing (the
+    normal alerting shape) costs almost nothing, where the naive
+    one-projection path pays codegen + evaluation for every stored
+    query on every doc.  (2) Active queries evaluate in groups of
+    ≤ ``group_size`` compiled predicates, each group over ONLY the
+    docs sharing its anchor terms (semi-join).  (3) Anchor-less
     queries (range-only, must_not…) form a verify-all group over the
     full input, exactly as ES falls back to verification-required
     candidates.  Output is identical to :func:`percolate` — the
     prefilter is semantics-free.
 
-    At 10⁵ stored queries with group_size 128 that is ~800 candidate
-    projections, each over the small slice of docs sharing anchor
-    terms with that group — corpus work scales with match density,
-    not registry size.  (If the anchor index outgrows broadcast size,
-    flip the join hint — it stays an equi-join.)
+    Measured (tools/percolate_probe.py, sf0.01): at 5000 stored
+    queries with 5% currently-matching, naive 106 s vs indexed 30 s
+    (the residual cost is evaluating the active 5%; inactive queries
+    cost nothing) — the win grows with registry size and sparsity.
+    In the degenerate all-queries-match regime the prefilter cannot
+    shrink anything and adds ~10% overhead — use plain
+    :func:`percolate` when the registry is small and dense.  (If the
+    anchor index outgrows broadcast size, flip the join hint — it
+    stays an equi-join.)
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -1017,32 +1026,7 @@ def percolate_indexed(
             verify_all[name] = q
 
     frames: list[DataFrame] = []
-    groups = [
-        anchored[i : i + group_size]
-        for i in range(0, len(anchored), group_size)
-    ]
-    if groups:
-        # (term, group_idx) anchor index — literal array, JVM-side
-        entries = sorted(
-            {
-                (t, gi)
-                for gi, grp in enumerate(groups)
-                for _, _, s in grp
-                for t in s
-            }
-        )
-        idx = spark.range(1).select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("term"), F.lit(gi).alias("grp")
-                        )
-                        for t, gi in entries
-                    ]
-                )
-            ).alias("e")
-        ).select("e.term", "e.grp")
+    if anchored:
         doc_terms = df.select(
             F.col(id_col),
             F.explode(
@@ -1051,19 +1035,56 @@ def percolate_indexed(
                 )
             ).alias("term"),
         )
-        cand = (
-            doc_terms.join(F.broadcast(idx), "term")
-            .select(id_col, "grp")
-            .distinct()
+
+        def term_index(entries: list[tuple[str, str]]) -> DataFrame:
+            return spark.range(1).select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(t).alias("term"),
+                                F.lit(n).alias("qname"),
+                            )
+                            for t, n in entries
+                        ]
+                    )
+                ).alias("e")
+            ).select("e.term", "e.qname")
+
+        idx = term_index(
+            sorted({(t, n) for n, _, s in anchored for t in s})
         )
-        for gi, grp in enumerate(groups):
-            ids = cand.filter(F.col("grp") == gi).select(id_col)
+        # control-plane action: which stored queries have ANY candidate
+        # doc right now — O(registry) rows to the driver, not O(corpus)
+        active = {
+            r["qname"]
+            for r in doc_terms.join(F.broadcast(idx), "term")
+            .select("qname")
+            .distinct()
+            .collect()
+        }
+        live = [(n, q, s) for n, q, s in anchored if n in active]
+        for i in range(0, len(live), group_size):
+            grp = live[i : i + group_size]
+            gidx = term_index(
+                sorted({(t, n) for n, _, s in grp for t in s})
+            )
+            ids = (
+                doc_terms.join(F.broadcast(gidx), "term")
+                .select(id_col)
+                .distinct()
+            )
             sub = df.join(ids, id_col, "left_semi")
             frames.append(
                 percolate(sub, {n: q for n, q, _ in grp}, id_col=id_col)
             )
     if verify_all:
         frames.append(percolate(df, verify_all, id_col=id_col))
+    if not frames:
+        # every anchored query is inactive and nothing needs verify-all
+        return df.select(
+            F.col(id_col), F.lit(None).cast("string").alias("query_name")
+        ).filter(F.lit(False))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
