@@ -2719,14 +2719,18 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window (the first
     50 entries, insertion order) rotates coverage each round (VERDICT
-    r4 #2): this round it holds (a) the four round-5 operators
+    r4 #2): this round it holds (a) every round-5 operator
     (match_phrase slop, sibling aggs, DL fuzzy suggest, indexed
-    percolate), (b) the two tokenizer trainers now carrying frozen
+    percolate, completion suggester, rare/multi terms,
+    include/exclude, bucket_script/selector, gap-filled
+    date_histogram, adjacency_matrix, serial_diff, stats_bucket,
+    top_metrics), (b) the two tokenizer trainers now carrying frozen
     sf0.01 VALUES oracles, (c) every query that had NEVER been inside
-    a driver window (26, including multimodal_features which gained a
-    byte-arithmetic oracle this round), and (d) the stalest previously
-    gated queries (last green in r2/r3).  Round-4-gated queries cede
-    their slots and run after the window."""
+    a driver window (including multimodal_features, which gained a
+    byte-arithmetic oracle this round), and (d) the stalest
+    previously gated queries (last green in r2/r3).  Recently gated
+    stable queries cede their slots and run after the window; every
+    one of the 139 queries now has a hash-checkable oracle."""
 
     return {
         # --- driver correctness window (50): new + never-gated + stalest ---
