@@ -1251,6 +1251,23 @@ def _q_full_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score / field_value_factor
+    (search.function_score_topk): BM25 matches boosted by document
+    length (factor·n_chars, multiply) BEFORE the top-k — the standard
+    relevance-tuning pattern, one extra equi-join on the id."""
+    from monstache_spark.operators.search import function_score_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return function_score_topk(
+        docs,
+        ["vector", "merge", "window"],
+        factor_col="n_chars",
+        factor=0.001,
+        k=10,
+    )
+
+
 def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (search.bm25_topk) — the scoring the
     reference's Elasticsearch sink exists to enable
@@ -2765,7 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": _q_ivf_topk,
         "json_dynamic_doc": _q_json_dynamic_doc,
         "nested_doc_prune": _q_nested_doc,
-        "cdc_materialize": _q_cdc_materialize,
+        "function_score_boost": _q_function_score,
         "minhash_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -2785,6 +2802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drop_propagation": _q_drop_propagation,
         "completion_suggest": _q_completion_suggest,
         # --- end of driver window — recently-gated stable queries below ---
+        "cdc_materialize": _q_cdc_materialize,
         "q3_top_orders": _q_q3_top_orders,
         "relate_orders_customer": _q_relate_orders_customer,
         "relate_two_hop": _q_relate_two_hop,
@@ -3721,6 +3739,26 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "function_score_boost": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          boosted AS (
+            SELECT s.doc_id, s.score AS bm25_score,
+                   round(0.001 * CAST(d.n_chars AS DOUBLE), 6) AS func_value
+            FROM scored s JOIN documents d USING (doc_id)
+          ),
+          final AS (
+            SELECT doc_id, bm25_score, func_value,
+                   round(bm25_score * func_value, 6) AS score
+            FROM boosted
+          ),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM final
+          )
+          SELECT doc_id, bm25_score, func_value, score, rank
+          FROM ranked WHERE rank <= 10
         """,
         "es_bool_filter": """
           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

@@ -369,6 +369,64 @@ def _bm25_scored(
     )
 
 
+def function_score_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    factor_col: str,
+    k: int = 10,
+    factor: float = 1.0,
+    modifier: str = "none",
+    boost_mode: str = "multiply",
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``function_score`` with ``field_value_factor``: re-rank BM25
+    matches by a document field — "boost by popularity/length/recency",
+    the standard ES relevance-tuning pattern.  The function value is
+    ``factor · field`` (``modifier="none"``) or
+    ``1/(factor · field + 1)`` (``"reciprocal"``), combined with the
+    BM25 score per ``boost_mode`` (``multiply`` / ``sum`` /
+    ``replace``).  ES's ``log1p``/``sqrt`` modifiers are deliberately
+    unsupported: libm transcendentals differ in the last bit across
+    engines, which would break hash-exact verification — DIVERGENCES
+    S11.
+
+    The function applies to EVERY match before the top-k (applying it
+    to a pre-truncated top-k would miss boosted tail docs); the extra
+    cost over plain BM25 is one join against the (id, field) column —
+    pruned scan, equi-join on the id.  Top-k remains
+    TakeOrderedAndProject.  Returns
+    ``(id, bm25_score, func_value, score, rank)``.
+    """
+    if modifier not in ("none", "reciprocal"):
+        raise ValueError(f"unsupported modifier: {modifier}")
+    if boost_mode not in ("multiply", "sum", "replace"):
+        raise ValueError(f"unsupported boost_mode: {boost_mode}")
+    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col)
+    meta = docs.select(F.col(id_col), F.col(factor_col).cast("double").alias("_fv"))
+    fv = F.lit(float(factor)) * F.col("_fv")
+    if modifier == "reciprocal":
+        fv = F.lit(1.0) / (fv + F.lit(1.0))
+    func = F.round(fv, 6)
+    joined = scored.join(meta, id_col).select(
+        F.col(id_col),
+        F.col("score").alias("bm25_score"),
+        func.alias("func_value"),
+    )
+    if boost_mode == "multiply":
+        new = F.round(F.col("bm25_score") * F.col("func_value"), 6)
+    elif boost_mode == "sum":
+        new = F.round(F.col("bm25_score") + F.col("func_value"), 6)
+    else:
+        new = F.col("func_value")
+    out = joined.withColumn("score", new)
+    ranked = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def more_like_this(
     docs: DataFrame,
     like_id,

@@ -349,6 +349,35 @@ def test_fuzzy_suggest_damerau_counts_transposition_as_one(spark):
     assert fuzzy_suggest(df, ["elbat"], top_n=5, damerau=True).collect() == []
 
 
+def test_function_score_boost_reorders_matches(spark):
+    from monstache_spark.operators.search import function_score_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple apple", 1.0),   # highest BM25, tiny factor
+            (2, "apple pie", 100.0),         # low BM25, huge factor
+            (3, "banana bread", 50.0),       # no match
+        ],
+        "doc_id long, text string, pop double",
+    )
+    out = [(r["doc_id"], r["rank"]) for r in function_score_topk(
+        df, ["apple"], factor_col="pop", factor=1.0, k=5
+    ).orderBy("rank").collect()]
+    # multiply mode: doc 2's popularity beats doc 1's tf; doc 3 absent
+    assert out[0][0] == 2 and {d for d, _ in out} == {1, 2}
+    # replace mode ignores BM25 entirely
+    rep = [(r["doc_id"], r["score"]) for r in function_score_topk(
+        df, ["apple"], factor_col="pop", boost_mode="replace", k=5
+    ).orderBy("rank").collect()]
+    assert rep[0] == (2, 100.0)
+    # reciprocal modifier inverts the factor ordering
+    rec = [r["doc_id"] for r in function_score_topk(
+        df, ["apple"], factor_col="pop", modifier="reciprocal",
+        boost_mode="replace", k=5
+    ).orderBy("rank").collect()]
+    assert rec[0] == 1
+
+
 def test_completion_suggest_prefix_rank_by_weight(spark):
     from monstache_spark.operators.search import completion_suggest
 

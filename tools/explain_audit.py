@@ -467,6 +467,14 @@ CHECKS = [
         lambda p: "Python" not in p and "SortAggregate" not in p,
     ),
     (
+        "function_score_boost",
+        "function_score: field factor joins on the id (equi-join, no "
+        "cartesian), top-k TakeOrderedAndProject, no Python",
+        lambda p: "TakeOrderedAndProject" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
         "corpus_overlap",
         "corpus overlap: membership arrays replace a grams self-join "
         "(no SortMergeJoin on gram rows), group totals broadcast, no "
