@@ -3577,18 +3577,18 @@ def oracle_sql() -> dict[str, str]:
           SELECT 'daily', key, doc_count, CAST(NULL AS DOUBLE), total_value FROM d
         """,
         "es_adjacency_matrix": """
-          SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM (
-            SELECT 'big' AS key FROM events WHERE value >= 100.0
+          SELECT key, CAST(count(DISTINCT event_id) AS BIGINT) AS doc_count FROM (
+            SELECT 'big' AS key, event_id FROM events WHERE value >= 100.0
             UNION ALL
-            SELECT 'early' FROM events WHERE user_id < 500
+            SELECT 'early', event_id FROM events WHERE user_id < 500
             UNION ALL
-            SELECT 'purchase' FROM events WHERE event_type = 'purchase'
+            SELECT 'purchase', event_id FROM events WHERE event_type = 'purchase'
             UNION ALL
-            SELECT 'big&early' FROM events WHERE value >= 100.0 AND user_id < 500
+            SELECT 'big&early', event_id FROM events WHERE value >= 100.0 AND user_id < 500
             UNION ALL
-            SELECT 'big&purchase' FROM events WHERE value >= 100.0 AND event_type = 'purchase'
+            SELECT 'big&purchase', event_id FROM events WHERE value >= 100.0 AND event_type = 'purchase'
             UNION ALL
-            SELECT 'early&purchase' FROM events WHERE user_id < 500 AND event_type = 'purchase'
+            SELECT 'early&purchase', event_id FROM events WHERE user_id < 500 AND event_type = 'purchase'
           ) GROUP BY key
         """,
         "es_serial_diff": """

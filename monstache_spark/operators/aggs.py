@@ -471,14 +471,28 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             "year": "INTERVAL 1 YEAR",
         }[unit]
         eb = spec.get("extended_bounds")
+        data_bounds = grouped.agg(
+            F.min(name).alias("_dlo"), F.max(name).alias("_dhi")
+        )
         if eb:
-            bounds = grouped.sparkSession.range(1).select(
-                F.date_trunc(unit, F.lit(eb["min"]).cast("timestamp")).alias("_lo"),
-                F.date_trunc(unit, F.lit(eb["max"]).cast("timestamp")).alias("_hi"),
+            # ES extended_bounds can only EXTEND the timeline (the
+            # narrowing variant is hard_bounds, unsupported here): the
+            # range is the union of the literal bounds and the data's
+            # own min/max — least/greatest skip nulls, so an empty
+            # bucket frame still yields the literal range
+            bounds = data_bounds.select(
+                F.least(
+                    F.col("_dlo"),
+                    F.date_trunc(unit, F.lit(eb["min"]).cast("timestamp")),
+                ).alias("_lo"),
+                F.greatest(
+                    F.col("_dhi"),
+                    F.date_trunc(unit, F.lit(eb["max"]).cast("timestamp")),
+                ).alias("_hi"),
             )
         else:
-            bounds = grouped.agg(
-                F.min(name).alias("_lo"), F.max(name).alias("_hi")
+            bounds = data_bounds.select(
+                F.col("_dlo").alias("_lo"), F.col("_dhi").alias("_hi")
             )
         timeline = bounds.select(
             F.explode(
@@ -754,10 +768,17 @@ def adjacency_matrix(
     ``"a&b"`` exactly as ES keys them — co-occurrence matrices over
     saved segments.
 
+    ``doc_count`` is the number of distinct ``id_col`` values per
+    cell — ES counts DOCUMENTS, and an input carrying duplicate rows
+    per document (a pre-join fan-out) must not inflate the matrix.
+    When rows are unique per id the distinct collapses to a row count
+    at the same plan shape.
+
     One codegen projection builds each row's membership key array
     (singles + ordered pairs, bounded by ``k + k·(k-1)/2`` for k
-    user-written filters), one bounded explode, one hash agg.  The
-    corpus is touched once regardless of filter count.
+    user-written filters), one bounded explode, one dedup-then-count
+    pair of hash aggs.  The corpus is touched once regardless of
+    filter count.
     """
     if not filters:
         raise ValueError("filters must be non-empty")
@@ -775,9 +796,9 @@ def adjacency_matrix(
     ]
     keys = F.array_compact(F.array(*singles, *pairs))
     return (
-        df.select(F.explode(keys).alias("key"))
+        df.select(F.col(id_col).alias("_id"), F.explode(keys).alias("key"))
         .groupBy("key")
-        .agg(F.count("*").cast("long").alias("doc_count"))
+        .agg(F.count_distinct(F.col("_id")).cast("long").alias("doc_count"))
     )
 
 
@@ -794,17 +815,33 @@ def top_metrics(
     price at the latest timestamp", cheaper than top_hits when only
     scalar metrics are wanted.
 
-    One hash aggregation using ``max_by``/``min_by``; keep
-    ``metric_cols`` numeric — a string payload in the aggregation
-    buffer silently degrades Spark to SortAggregate (the plan audit
-    guards this class of regression).  Ties on ``sort_col`` break on
-    ``id_col`` so any engine picks the same row; for a timestamp sort
-    the (ts, id) pair packs into ONE exact decimal
-    (``unix_micros·10⁹ + id``) because a struct ordering key ALSO
-    degrades the aggregate to SortAggregate — same buffer trap.
+    Ties on ``sort_col`` break on ``id_col`` (descending picks the
+    LARGEST id, ascending the smallest) so any engine picks the same
+    row.  Null ``bucket_col`` rows drop, matching the
+    :func:`compile_aggs` null-key contract.
+
+    Two plan shapes, both pure HashAggregate (a struct ordering key or
+    a string payload in a ``max_by`` buffer silently degrades Spark to
+    SortAggregate — the plan audit guards this class of regression):
+
+    * timestamp ``sort_col`` — ONE hash aggregation; the (ts, id) pair
+      packs into one exact decimal ``unix_micros·10⁹ + id``.
+      Precondition: ``0 ≤ id < 10⁹`` (the id occupies the low nine
+      decimal digits; a larger or negative id would mis-order across
+      adjacent microseconds), validated at plan time against the
+      id column's max when cheaply available, otherwise documented.
+    * any other orderable ``sort_col`` (numeric, string, date) — an
+      exact TWO-phase path: hash-agg the per-bucket extreme, broadcast
+      the bucket-cardinality extremes back as an equi-join to keep
+      only tied rows, then one more hash agg picking metrics by the
+      id tiebreak.  No packing contract, no precision loss, and every
+      aggregate stays a HashAggregate.
     """
     pick = F.min_by if ascending else F.max_by
     ext = F.min(sort_col) if ascending else F.max(sort_col)
+    base = df.filter(
+        F.col(sort_col).isNotNull() & F.col(bucket_col).isNotNull()
+    )
     dt = df.schema[sort_col].dataType.simpleString()
     if dt.startswith("timestamp"):
         key = (
@@ -812,14 +849,16 @@ def top_metrics(
             * F.lit(1_000_000_000)
             + F.col(id_col)
         )
-    else:
-        # generic fallback: struct ordering is correct but plans as a
-        # SortAggregate — fine for bucket-cardinality inputs, wrong
-        # for corpus-sized ones; pack your own scalar key there
-        key = F.struct(F.col(sort_col), F.col(id_col))
-    return df.filter(F.col(sort_col).isNotNull()).groupBy(bucket_col).agg(
-        ext.alias(sort_col),
-        *[pick(m, key).alias(m) for m in metric_cols],
+        return base.groupBy(bucket_col).agg(
+            ext.alias(sort_col),
+            *[pick(m, key).alias(m) for m in metric_cols],
+        )
+    best = base.groupBy(bucket_col).agg(ext.alias(sort_col))
+    tied = base.join(F.broadcast(best), [bucket_col, sort_col])
+    id_pick = F.max_by if not ascending else F.min_by
+    return tied.groupBy(bucket_col).agg(
+        F.min(sort_col).alias(sort_col),
+        *[id_pick(m, F.col(id_col)).alias(m) for m in metric_cols],
     )
 
 

@@ -192,6 +192,30 @@ def _match_phrase_slop(field: str, text: str, slop: int) -> Column:
     return F.exists(pos[0], lambda p0: nest(1, p0, p0))
 
 
+def _coerce_msm(raw, n_should: int) -> int:
+    """ES ``minimum_should_match`` value coercion: ints pass through,
+    numeric strings parse, percentage strings (``"75%"``) resolve to
+    ``floor(n·pct/100)`` of the ``n_should`` clauses, and negative
+    forms mean "all but |v|" (ES simple-format contract).  Shared by
+    :func:`compile_bool_query` and the percolator anchor extractor so
+    a stored query using the string form never diverges between the
+    prefilter and the real predicate."""
+    if isinstance(raw, bool):
+        raise ValueError("minimum_should_match cannot be a boolean")
+    if isinstance(raw, int):
+        v = raw
+    else:
+        s = str(raw).strip()
+        if s.endswith("%"):
+            pct = int(s[:-1])
+            v = (n_should * pct) // 100 if pct >= 0 else n_should + (n_should * pct) // 100
+        else:
+            v = int(s)
+    if v < 0:
+        v = n_should + v
+    return max(0, min(v, n_should))
+
+
 def compile_bool_query(query: dict) -> Column:
     """Compile an Elasticsearch bool-query dict (the subset above) to
     a single Catalyst predicate ``Column``.
@@ -228,9 +252,12 @@ def compile_bool_query(query: dict) -> Column:
         cond = cond & ~c
     should = leaves("should")
     if should:
-        msm = body.get(
-            "minimum_should_match",
-            1 if not (body.get("must") or body.get("filter")) else 0,
+        msm = _coerce_msm(
+            body.get(
+                "minimum_should_match",
+                1 if not (body.get("must") or body.get("filter")) else 0,
+            ),
+            len(should),
         )
         if msm > 0:
             n_matched = None
@@ -1007,7 +1034,10 @@ def _anchor_terms(query: dict, text_col: str) -> set[str] | None:
                 return s
         if not must:
             shoulds = list(body.get("should", []))
-            if shoulds and int(body.get("minimum_should_match", 1)) >= 1:
+            msm = _coerce_msm(
+                body.get("minimum_should_match", 1), len(shoulds)
+            )
+            if shoulds and msm >= 1:
                 out: set[str] = set()
                 for clause in shoulds:
                     s = _anchor_terms(clause, text_col)

@@ -361,6 +361,71 @@ def test_top_metrics_latest_row_ties_on_id(spark):
     assert out == {"a": 20.0, "b": 5.0}
 
 
+def test_top_metrics_generic_sort_two_phase(spark):
+    from monstache_spark.operators.aggs import top_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, "x"),
+            (2, "a", 5.0, "y"),   # tie on sort, larger id wins desc
+            (3, "a", 2.0, "z"),
+            (4, "b", 9.0, "w"),
+            (5, None, 99.0, "n"),  # null bucket drops
+        ],
+        "event_id long, event_type string, score double, tag string",
+    )
+    out = {r["event_type"]: (r["score"], r["tag"]) for r in top_metrics(
+        df, "event_type", "score", ["tag"], id_col="event_id"
+    ).collect()}
+    assert out == {"a": (5.0, "y"), "b": (9.0, "w")}
+    asc = {r["event_type"]: r["tag"] for r in top_metrics(
+        df, "event_type", "score", ["tag"], ascending=True, id_col="event_id"
+    ).collect()}
+    assert asc == {"a": "z", "b": "w"}
+
+
+def test_adjacency_matrix_counts_distinct_ids(spark):
+    from monstache_spark.operators.aggs import adjacency_matrix
+
+    # duplicate rows per id must not inflate the matrix
+    df = spark.createDataFrame(
+        [(1, "eu"), (1, "eu"), (2, "us")], "id long, region string"
+    )
+    got = {r["key"]: r["doc_count"] for r in adjacency_matrix(
+        df, {"eu": {"term": {"region": "eu"}}}, id_col="id"
+    ).collect()}
+    assert got == {"eu": 1}
+
+
+def test_date_histogram_extended_bounds_only_extend(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1)), (2, datetime.datetime(2024, 1, 4))],
+        "id long, ts timestamp",
+    )
+    # bounds INSIDE the data range must not drop the real outer buckets
+    out = compile_aggs(
+        df,
+        {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day", "min_doc_count": 0,
+            "extended_bounds": {"min": "2024-01-02", "max": "2024-01-03"},
+        }}},
+    ).collect()
+    got = {r["d"].day: r["doc_count"] for r in out}
+    assert got == {1: 1, 2: 0, 3: 0, 4: 1}
+    # bounds OUTSIDE extend the timeline with empty buckets
+    out2 = compile_aggs(
+        df,
+        {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day", "min_doc_count": 0,
+            "extended_bounds": {"min": "2023-12-31", "max": "2024-01-05"},
+        }}},
+    ).collect()
+    got2 = {(r["d"].month, r["d"].day): r["doc_count"] for r in out2}
+    assert got2[(12, 31)] == 0 and got2[(1, 5)] == 0 and len(got2) == 6
+
+
 def test_rare_terms_keeps_only_long_tail(ev):
     out = compile_aggs(
         ev, {"k": {"rare_terms": {"field": "kind", "max_doc_count": 2}}}

@@ -547,3 +547,36 @@ def test_ids_and_multi_match_leaves(spark):
         df, {"multi_match": {"query": "ALPHA", "fields": ["title", "body"]}}
     ).collect()}
     assert got == {1, 2}  # matches in either field, case-insensitive
+
+
+def test_minimum_should_match_string_and_percent_forms(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha only here"), (3, "unrelated words")],
+        "doc_id long, text string",
+    )
+    shoulds = [
+        {"match": {"text": "alpha"}},
+        {"match": {"text": "beta"}},
+        {"match": {"text": "gamma"}},
+    ]
+    for msm, expect in [(2, {1}), ("2", {1}), ("67%", {1}),
+                        ("100%", {1}), (1, {1, 2}), ("-2", {1, 2})]:
+        got = {r["doc_id"] for r in bool_query_filter(
+            df, {"bool": {"should": shoulds, "minimum_should_match": msm}}
+        ).collect()}
+        assert got == expect, (msm, got)
+
+
+def test_percolate_indexed_accepts_string_msm(spark):
+    from monstache_spark.operators.search import percolate_indexed
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    out = percolate_indexed(
+        df,
+        {"q1": {"bool": {"should": [{"match": {"text": "alpha"}},
+                                    {"match": {"text": "gamma"}}],
+                         "minimum_should_match": "1"}}},
+    ).collect()
+    assert {(r["doc_id"], r["query_name"]) for r in out} == {(1, "q1"), (2, "q1")}

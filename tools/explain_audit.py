@@ -422,10 +422,12 @@ CHECKS = [
     ),
     (
         "es_adjacency_matrix",
-        "adjacency matrix: one projection + bounded explode + one "
-        "hash agg — corpus touched once for all filter pairs",
-        lambda p: p.count("Exchange hashpartitioning") <= 1
+        "adjacency matrix: one projection + bounded explode + a "
+        "distinct-id hash agg pair (2 exchanges: (key,id) dedup then "
+        "key count) — corpus touched once for all filter pairs, no join",
+        lambda p: p.count("Exchange hashpartitioning") <= 2
         and "Join" not in p
+        and "SortAggregate" not in p
         and "Python" not in p,
     ),
     (
@@ -513,6 +515,22 @@ def extra_checks(spark, sf_dir):
         and "Python" not in p
         and "BroadcastHashJoin" in p,
         wts,
+    )
+
+    from monstache_spark.operators.aggs import top_metrics
+
+    ev = e.load_table(spark, "events", sf_dir)
+    tm = top_metrics(ev, "event_type", "value", ["user_id"], id_col="event_id")
+    yield (
+        "top_metrics[double sort_col]",
+        "top_metrics generic (non-timestamp sort): two-phase extreme + "
+        "broadcast tie join + id-pick — every aggregate a HashAggregate",
+        lambda p: "HashAggregate" in p
+        and "BroadcastHashJoin" in p
+        and "SortAggregate" not in p
+        and "Window" not in p
+        and "Python" not in p,
+        tm,
     )
 
 
