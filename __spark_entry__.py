@@ -2029,9 +2029,10 @@ def _q_es_date_histogram_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_match_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase query (search._match_phrase_slop): 'hash join'
     with slop=2 — in-order occurrences with at most 2 intervening
-    tokens, via nested array-position exists, entirely JVM-side (a
-    plain Column predicate; no explode, no shuffle). The exact-phrase
-    and slop hit counts differ, so the oracle pins the positional
+    tokens PLUS the transposed adjacent pair at Lucene's swap cost of
+    2, via nested array-position exists, entirely JVM-side (a plain
+    Column predicate; no explode, no shuffle). The exact-phrase and
+    slop hit counts differ, so the oracle pins the positional
     arithmetic, not just containment."""
     from monstache_spark.operators.search import bool_query_filter
 
@@ -2723,6 +2724,137 @@ def _q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nested_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders carrying their lineitems as an array-of-struct `items`
+    column — the nested-document shape the reference faithfully syncs
+    (monstachemap/encoding.go:84-138 recursively converts nested docs
+    and arrays; empty arrays preserved per monstache_test.go:108-122).
+    One collect_list hash agg + one equi-join on the order key; at
+    100 TB both sides shuffle once on l_orderkey/o_orderkey and the
+    nested column is exactly the document layout a Mongo `orders`
+    collection with embedded line items would sync."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                F.col("l_quantity").alias("qty"),
+                F.col("l_returnflag").alias("flag"),
+                F.col("l_extendedprice").alias("price"),
+            )
+        ).alias("items")
+    )
+    return orders.join(
+        items, orders.o_orderkey == items.l_orderkey, "inner"
+    ).drop("l_orderkey")
+
+
+def _q_es_nested_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` query (search._compile_leaf 'nested'): per-element
+    scope — ONE line item must carry BOTH qty >= 45 and flag 'R'.
+    Flattened-field semantics would also admit orders where different
+    items carry the two values; the oracle's correlated EXISTS has
+    per-row conjunction, so a hash match proves the per-element
+    contract. Compiled as F.exists over the array — a plain Column
+    predicate composed under a parent-level term filter."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    nested = _nested_orders(spark, sf_dir)
+    q = {"bool": {"must": [
+        {"term": {"o_orderstatus": "F"}},
+        {"nested": {"path": "items", "query": {"bool": {"must": [
+            {"range": {"items.qty": {"gte": 45.0}}},
+            {"term": {"items.flag": "R"}},
+        ]}}}},
+    ]}}
+    return bool_query_filter(nested, q).select("o_orderkey", "o_totalprice")
+
+
+def _q_es_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `nested` aggregation (aggs.nested_aggs): the agg context
+    re-scopes to array ELEMENTS — doc_count counts line items, not
+    orders, and metrics read element fields; the parent bool filter
+    applies before the explode (pushdown-eligible)."""
+    from monstache_spark.operators.aggs import nested_aggs
+
+    nested = _nested_orders(spark, sf_dir)
+    return nested_aggs(
+        nested,
+        "items",
+        {"by_flag": {
+            "terms": {"field": "items.flag"},
+            "aggs": {
+                "total_qty": {"sum": {"field": "items.qty"}},
+                "avg_price": {"avg": {"field": "items.price"}},
+            },
+        }},
+        parent_filter={"term": {"o_orderstatus": "F"}},
+    )
+
+
+def _q_match_phrase_slop_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-token sloppy phrase with TRANSPOSITION (search.
+    _match_phrase_slop n=2 branch): 'join hash'~2 admits the swapped
+    adjacent 'hash join' at Lucene's transposition cost of 2
+    (SloppyPhraseQuery), plus in-order occurrences with ≤ 2
+    intervening tokens — the round-6 closure of DIVERGENCES S2 for
+    the common 2-token case."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs, {"match_phrase": {"text": {"query": "join hash", "slop": 2}}}
+    )
+    return out.select("doc_id")
+
+
+def _q_es_regexp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `regexp` query leaf (search._compile_leaf 'regexp'): Lucene
+    regexps are implicitly anchored to the WHOLE field value, so
+    'src1.' matches src10–src19 but not src1 — the compiled rlike
+    wraps the pattern in ^(?:...)$ to keep that contract."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"bool": {"must": [
+            {"regexp": {"source": "src1."}},
+            {"term": {"lang": "en"}},
+        ]}},
+    )
+    return out.select("doc_id", "source").orderBy(F.col("doc_id").asc())
+
+
+def _q_es_date_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram gap filling with extended_bounds that only
+    EXTEND (aggs.compile_aggs): the literal bounds straddle the data
+    range — min inside it, max beyond it — and the timeline is the
+    UNION of bounds and data min/max, so real early buckets survive
+    and empty trailing days appear. The hard-bounds bug this guards:
+    a timeline built solely from the literals would silently drop
+    every day before Jan 10."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {"daily": {
+            "date_histogram": {
+                "field": "ts",
+                "calendar_interval": "day",
+                "min_doc_count": 0,
+                "extended_bounds": {"min": "2024-01-10", "max": "2024-02-05"},
+            },
+            "aggs": {"total_value": {"sum": {"field": "value"}}},
+        }},
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2751,6 +2883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # --- driver correctness window (50): new + never-gated + stalest ---
+        "es_nested_query": _q_es_nested_query,
+        "es_nested_agg": _q_es_nested_agg,
+        "match_phrase_slop_swap": _q_match_phrase_slop_swap,
+        "es_regexp_query": _q_es_regexp_query,
+        "es_date_histogram_bounds": _q_es_date_histogram_bounds,
         "match_phrase_slop": _q_match_phrase_slop,
         "es_sibling_aggs": _q_es_sibling_aggs,
         "fuzzy_suggest_dl": _q_fuzzy_suggest_dl,
@@ -3542,6 +3679,61 @@ def oracle_sql() -> dict[str, str]:
           SELECT by_type, daily, doc_count, sum_value FROM tot
           QUALIFY dense_rank() OVER (ORDER BY bt DESC, by_type ASC) <= 2
         """,
+        "es_nested_query": """
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders o
+          WHERE o.o_orderstatus = 'F'
+            AND EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_quantity >= 45.0
+                          AND l.l_returnflag = 'R')
+        """,
+        "es_nested_agg": """
+          SELECT CAST(l.l_returnflag AS VARCHAR) AS by_flag,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+                 CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(l.l_extendedprice) AS DOUBLE) AS avg_price
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+          GROUP BY 1
+        """,
+        "match_phrase_slop_swap": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS p0,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS p1
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(p0,
+                  a -> len(list_filter(p1, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
+             OR len(list_filter(p1,
+                  b -> len(list_filter(p0, a -> a > b AND a - b <= 1)) > 0)) > 0
+        """,
+        "es_regexp_query": """
+          SELECT doc_id, source FROM documents
+          WHERE regexp_full_match(source, 'src1.') AND lang = 'en'
+        """,
+        "es_date_histogram_bounds": """
+          WITH s AS (SELECT ts, value FROM events WHERE ts IS NOT NULL),
+          g AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM s GROUP BY 1
+          ), tl AS (
+            SELECT unnest(generate_series(
+                     least((SELECT min(daily) FROM g), TIMESTAMP '2024-01-10'),
+                     greatest((SELECT max(daily) FROM g), TIMESTAMP '2024-02-05'),
+                     INTERVAL 1 DAY)) AS daily
+          )
+          SELECT tl.daily, coalesce(g.doc_count, 0) AS doc_count, g.total_value
+          FROM tl LEFT JOIN g USING (daily)
+        """,
         "match_phrase_slop": f"""
           WITH t AS (
             SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
@@ -3555,6 +3747,8 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id FROM p
           WHERE len(list_filter(p0,
                   a -> len(list_filter(p1, b -> b > a AND b - a - 1 <= 2)) > 0)) > 0
+             OR len(list_filter(p1,
+                  b -> len(list_filter(p0, a -> a > b AND a - b <= 1)) > 0)) > 0
         """,
         "es_sibling_aggs": """
           WITH t AS (

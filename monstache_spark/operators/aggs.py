@@ -506,6 +506,55 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     return grouped
 
 
+def nested_aggs(
+    df: DataFrame,
+    path: str,
+    aggs: dict,
+    parent_filter: dict | None = None,
+) -> DataFrame:
+    """ES ``nested`` aggregation: re-scope the aggregation context
+    from parent documents to the ELEMENTS of the array-of-struct at
+    ``path`` — ``doc_count`` counts nested docs, bucket keys and
+    metrics read element fields.  ``{"n": {"nested": {"path":
+    "items"}, "aggs": {...}}}`` in ES terms; ``aggs`` here is the
+    inner body, with fields written either bare or ``path.field``
+    (both resolve to the element, as ES accepts).
+
+    ``parent_filter`` optionally applies a bool query to the PARENT
+    docs first (the standard query-then-nested-agg request shape) —
+    compiled as a plain predicate so it pushes into the scan before
+    the explode.
+
+    Plan shape: parent filter (pushdown-eligible) → one explode of
+    the nested array (amplification = avg array length, the same
+    factor ES pays storing nested docs as separate Lucene docs) →
+    the inner tree through :func:`compile_aggs` (one hash agg).
+    Parents with empty/null arrays contribute nothing, as in ES.
+
+    Reference grounding: the engine faithfully syncs nested documents
+    and arrays (monstachemap/encoding.go:84-138; empty-array test
+    monstache_test.go:108-122) — consumers of a synced index
+    aggregate them with `nested`.
+    """
+    out = df
+    if parent_filter is not None:
+        out = out.filter(compile_bool_query(parent_filter))
+    elem = out.select(F.explode(F.col(path)).alias("_e")).select("_e.*")
+    prefix = path + "."
+
+    def strip(node: dict) -> dict:
+        fixed: dict = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                v = strip(v)
+            if k == "field" and isinstance(v, str) and v.startswith(prefix):
+                v = v[len(prefix):]
+            fixed[k] = v
+        return fixed
+
+    return compile_aggs(elem, strip(aggs))
+
+
 def compile_sibling_aggs(
     df: DataFrame,
     aggs: dict,

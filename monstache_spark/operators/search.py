@@ -46,13 +46,21 @@ from pyspark.sql.window import Window
 # ---------------------------------------------------------------------------
 
 
-def _match_any_token(field: str, text: str) -> Column:
+def _field(field: str, resolver=None) -> Column:
+    """Resolve a query field name to a Column.  ``resolver`` is how
+    ``nested`` clauses re-scope inner fields to ONE array element (the
+    lambda variable of an ``F.exists``) instead of the top-level row —
+    ``None`` means top-level ``F.col``."""
+    return resolver(field) if resolver is not None else F.col(field)
+
+
+def _match_any_token(field: str, text: str, resolver=None) -> Column:
     """ES `match` (OR of analyzed terms): true if ANY whitespace
     token of ``text`` equals a whitespace token of the field,
     case-insensitively — the simple-analyzer contract shared with the
     oracle SQL."""
     toks = [t for t in text.lower().split() if t]
-    hay = F.split(F.trim(F.lower(F.col(field))), r"\s+")
+    hay = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
     cond = F.lit(False)
     for t in toks:
         cond = cond | F.array_contains(hay, t)
@@ -83,42 +91,76 @@ _RANGE_OPS = {
 }
 
 
-def _compile_leaf(kind: str, body: dict) -> Column:
+def _compile_leaf(kind: str, body: dict, resolver=None) -> Column:
     if kind == "bool":
-        return compile_bool_query({"bool": body})
+        return compile_bool_query({"bool": body}, resolver=resolver)
+    if kind == "nested":
+        # ES nested query: {"nested": {"path": "items", "query": {...}}}
+        # — true when at least ONE element of the array-of-struct at
+        # `path` satisfies the inner query AS A UNIT (per-element
+        # scope).  This is the semantics flattened fields cannot give:
+        # {"items.qty">=5} AND {"items.flag"="R"} over flattened arrays
+        # matches a doc where DIFFERENT elements carry the two values;
+        # nested requires one element to carry both.  Compiled as an
+        # F.exists over the array with inner fields resolved against
+        # the lambda element — pure JVM predicate, no explode, no
+        # shuffle, usable anywhere in a bool tree (mirrors the
+        # reference's faithful nested-document sync,
+        # monstachemap/encoding.go:84-138 — consumers of a synced
+        # index query these arrays with `nested`).
+        path, inner = body["path"], body["query"]
+
+        def elem_resolver(x: Column):
+            def r(f: str) -> Column:
+                name = f[len(path) + 1 :] if f.startswith(path + ".") else f
+                return x[name]
+
+            return r
+
+        return F.exists(
+            _field(path, resolver),
+            lambda x: compile_bool_query(inner, resolver=elem_resolver(x)),
+        )
     if kind == "exists":
-        return F.col(body["field"]).isNotNull()
+        return _field(body["field"], resolver).isNotNull()
     if kind == "ids":
         # ES ids query: {"ids": {"values": [...], "field": "doc_id"}}
         # (the field name is explicit here — there is no implicit _id)
-        return F.col(body.get("field", "id")).isin(list(body["values"]))
+        return _field(body.get("field", "id"), resolver).isin(list(body["values"]))
     if kind == "multi_match":
         # OR of the match over each listed field (ES best_fields
         # without scoring — with no scorer the operator reduces to
         # "any field matches")
         cond = F.lit(False)
         for fld in body["fields"]:
-            cond = cond | _match_any_token(fld, str(body["query"]))
+            cond = cond | _match_any_token(fld, str(body["query"]), resolver)
         return cond
+    if kind == "regexp":
+        # ES regexp query: Lucene regexps are implicitly ANCHORED to
+        # the whole field value; Spark's rlike is search-anywhere, so
+        # wrap in ^(?:...)$ to keep the Lucene contract
+        ((field, value),) = body.items()
+        pattern = value["value"] if isinstance(value, dict) else value
+        return _field(field, resolver).rlike(f"^(?:{pattern})$")
     if kind == "range":
         ((field, spec),) = body.items()
         cond = F.lit(True)
         for op, v in spec.items():
             if op not in _RANGE_OPS:
                 raise ValueError(f"unsupported range operator: {op}")
-            cond = cond & _RANGE_OPS[op](F.col(field), v)
+            cond = cond & _RANGE_OPS[op](_field(field, resolver), v)
         return cond
     ((field, value),) = body.items()
     if kind == "term":
-        return F.col(field) == F.lit(value)
+        return _field(field, resolver) == F.lit(value)
     if kind == "terms":
-        return F.col(field).isin(list(value))
+        return _field(field, resolver).isin(list(value))
     if kind == "prefix":
-        return F.col(field).startswith(str(value))
+        return _field(field, resolver).startswith(str(value))
     if kind == "wildcard":
-        return F.col(field).like(_wildcard_to_like(str(value)))
+        return _field(field, resolver).like(_wildcard_to_like(str(value)))
     if kind == "match":
-        return _match_any_token(field, str(value))
+        return _match_any_token(field, str(value), resolver)
     if kind == "match_phrase":
         # {"match_phrase": {field: "a b"}} or
         # {"match_phrase": {field: {"query": "a b", "slop": 2}}}
@@ -127,7 +169,7 @@ def _compile_leaf(kind: str, body: dict) -> Column:
         else:
             phrase_text, slop = str(value), 0
         if slop > 0:
-            return _match_phrase_slop(field, phrase_text, slop)
+            return _match_phrase_slop(field, phrase_text, slop, resolver)
         # positional phrase: the analyzed token sequence must appear
         # consecutively — token-boundary-exact via the padded
         # space-joined token string (' a b c ' contains ' q1 q2 '),
@@ -135,32 +177,37 @@ def _compile_leaf(kind: str, body: dict) -> Column:
         phrase = " ".join(t for t in phrase_text.lower().split() if t)
         hay = F.concat(
             F.lit(" "),
-            F.array_join(F.split(F.trim(F.lower(F.col(field))), r"\s+"), " "),
+            F.array_join(
+                F.split(F.trim(F.lower(_field(field, resolver))), r"\s+"), " "
+            ),
             F.lit(" "),
         )
         return F.contains(hay, F.lit(f" {phrase} "))
     raise ValueError(f"unsupported query clause: {kind}")
 
 
-def _match_phrase_slop(field: str, text: str, slop: int) -> Column:
-    """Sloppy phrase: the phrase tokens must appear IN ORDER with at
-    most ``slop`` total intervening tokens — for strictly increasing
-    positions the gap sum telescopes to ``p_last - p_first - (n-1)``,
-    so the predicate is a nested array-exists over each term's
-    position list, entirely JVM-side (no explode, no shuffle — a
-    Column usable anywhere in a bool query).
+def _match_phrase_slop(field: str, text: str, slop: int, resolver=None) -> Column:
+    """Sloppy phrase: the phrase tokens must appear with at most
+    ``slop`` total movement cost — for strictly increasing positions
+    the gap sum telescopes to ``p_last - p_first - (n-1)``, so the
+    predicate is a nested array-exists over each term's position
+    list, entirely JVM-side (no explode, no shuffle — a Column usable
+    anywhere in a bool query).
 
-    Divergence from Lucene's SloppyPhraseQuery (DIVERGENCES.md S2):
-    Lucene's edit-distance slop also admits out-of-order terms
-    (a swap costs 2); this contract is in-order-only — the common
-    "words near each other, phrase order preserved" reading.  A doc
-    matching here always matches Lucene at the same slop; not
-    vice-versa.
+    Out-of-order matches: for TWO-token phrases the swapped ordering
+    is admitted at Lucene's transposition cost — query ``a b`` against
+    positions ``p_b < p_a`` costs ``(p_a − p_b) + 1`` (an adjacent
+    swap costs 2, per SloppyPhraseQuery), so ``"fox quick"~2`` now
+    matches "quick fox" exactly as ES does.  For n ≥ 3 tokens the
+    contract remains in-order-only (DIVERGENCES.md S2): Lucene's full
+    edit-distance slop over k! orderings is not worth k! predicate
+    branches — a doc matching here always matches Lucene at the same
+    slop; not vice-versa, only for n ≥ 3 out-of-order arrangements.
     """
     toks = [t for t in text.lower().split() if t]
     if not toks:
         return F.lit(False)
-    arr = F.split(F.trim(F.lower(F.col(field))), r"\s+")
+    arr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
     if len(toks) == 1:
         return F.array_contains(arr, toks[0])
 
@@ -189,7 +236,19 @@ def _match_phrase_slop(field: str, text: str, slop: int) -> Column:
 
         return F.exists(pos[i], body)
 
-    return F.exists(pos[0], lambda p0: nest(1, p0, p0))
+    in_order = F.exists(pos[0], lambda p0: nest(1, p0, p0))
+    if n == 2 and slop >= 2:
+        # transposed pair: query (a, b) found as (b, a) — Lucene
+        # charges (p_a − p_b) + 1 (an adjacent swap costs 2,
+        # SloppyPhraseQuery), so the spread must be ≤ slop − 1
+        swapped = F.exists(
+            pos[1],
+            lambda pb: F.exists(
+                pos[0], lambda pa: (pa > pb) & (pa - pb <= F.lit(slop - 1))
+            ),
+        )
+        return in_order | swapped
+    return in_order
 
 
 def _coerce_msm(raw, n_should: int) -> int:
@@ -216,7 +275,7 @@ def _coerce_msm(raw, n_should: int) -> int:
     return max(0, min(v, n_should))
 
 
-def compile_bool_query(query: dict) -> Column:
+def compile_bool_query(query: dict, resolver=None) -> Column:
     """Compile an Elasticsearch bool-query dict (the subset above) to
     a single Catalyst predicate ``Column``.
 
@@ -234,7 +293,7 @@ def compile_bool_query(query: dict) -> Column:
         body = query["bool"]
     elif len(query) == 1:
         ((kind, b),) = query.items()
-        return _compile_leaf(kind, b)
+        return _compile_leaf(kind, b, resolver)
     else:
         raise ValueError("query must be a single clause or {'bool': {...}}")
 
@@ -242,7 +301,7 @@ def compile_bool_query(query: dict) -> Column:
         out = []
         for clause in body.get(key, []):
             ((kind, b),) = clause.items()
-            out.append(_compile_leaf(kind, b))
+            out.append(_compile_leaf(kind, b, resolver))
         return out
 
     cond = F.lit(True)

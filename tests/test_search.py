@@ -184,7 +184,7 @@ def test_match_phrase_slop_in_order_gap_budget(spark):
         [
             (1, "quick brown fox"),      # 1 gap
             (2, "quick fox"),            # exact
-            (3, "fox quick"),            # out of order -> never (divergence S2)
+            (3, "fox quick"),            # adjacent swap: Lucene cost 2
             (4, "quick x y fox"),        # 2 gaps
             (5, "quick x y z fox"),      # 3 gaps
             (6, "the quickest fox"),     # no substring hit
@@ -199,8 +199,8 @@ def test_match_phrase_slop_in_order_gap_budget(spark):
 
     assert ids(0) == [2]
     assert ids(1) == [1, 2]
-    assert ids(2) == [1, 2, 4]
-    assert ids(3) == [1, 2, 4, 5]
+    assert ids(2) == [1, 2, 3, 4]    # the swap is admitted at its cost of 2
+    assert ids(3) == [1, 2, 3, 4, 5]
 
 
 def test_match_phrase_slop_three_terms_telescoped(spark):
@@ -580,3 +580,99 @@ def test_percolate_indexed_accepts_string_msm(spark):
                          "minimum_should_match": "1"}}},
     ).collect()
     assert {(r["doc_id"], r["query_name"]) for r in out} == {(1, "q1"), (2, "q1")}
+
+
+def test_nested_query_per_element_scope(spark):
+    # per-element conjunction: doc 2 has qty>=5 and flag='R' on
+    # DIFFERENT elements — flattened semantics would match it, nested
+    # must not
+    df = spark.createDataFrame(
+        [
+            (1, "F", [(5, "R"), (1, "N")]),
+            (2, "F", [(9, "N"), (1, "R")]),
+            (3, "O", [(7, "R")]),
+            (4, "F", []),
+            (5, "F", None),
+        ],
+        "doc_id long, status string, items array<struct<qty:long,flag:string>>",
+    )
+    q = {"nested": {"path": "items", "query": {"bool": {"must": [
+        {"range": {"items.qty": {"gte": 5}}},
+        {"term": {"items.flag": "R"}},
+    ]}}}}
+    got = {r["doc_id"] for r in bool_query_filter(df, q).collect()}
+    assert got == {1, 3}
+    # composes inside a bool tree with parent-level predicates
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"bool": {"must": [{"term": {"status": "F"}}, q]}}
+    ).collect()}
+    assert got == {1}
+
+
+def test_nested_aggs_counts_elements(spark):
+    from monstache_spark.operators.aggs import nested_aggs
+
+    df = spark.createDataFrame(
+        [
+            (1, "F", [(5, "R"), (1, "R")]),
+            (2, "O", [(9, "N")]),
+            (3, "F", []),
+        ],
+        "doc_id long, status string, items array<struct<qty:long,flag:string>>",
+    )
+    out = {r["by_flag"]: (r["doc_count"], r["total_qty"]) for r in nested_aggs(
+        df, "items",
+        {"by_flag": {"terms": {"field": "items.flag"},
+                     "aggs": {"total_qty": {"sum": {"field": "items.qty"}}}}},
+    ).collect()}
+    assert out == {"R": (2, 6.0), "N": (1, 9.0)}
+    filtered = nested_aggs(
+        df, "items",
+        {"by_flag": {"terms": {"field": "flag"}}},
+        parent_filter={"term": {"status": "F"}},
+    ).collect()
+    assert {r["by_flag"]: r["doc_count"] for r in filtered} == {"R": 2}
+
+
+def test_match_phrase_slop_two_token_transposition(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),      # in-order, gap 1
+            (2, "fox quick"),                # adjacent swap: cost 2
+            (3, "fox jumped over quick"),    # swap spread 3: cost 4
+            (4, "quick fox"),                # exact
+            (5, "no animals here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def hits(slop):
+        return {r["doc_id"] for r in bool_query_filter(
+            df, {"match_phrase": {"text": {"query": "quick fox", "slop": slop}}}
+        ).collect()}
+
+    assert hits(0) == {4}
+    assert hits(1) == {1, 4}          # swap costs 2, still out at slop 1
+    assert hits(2) == {1, 2, 4}       # adjacent swap admitted at 2
+    assert hits(4) == {1, 2, 3, 4}    # spread-3 swap costs 4
+    # n>=3 stays in-order-only (documented divergence)
+    got = {r["doc_id"] for r in bool_query_filter(
+        spark.createDataFrame([(1, "c b a")], "doc_id long, text string"),
+        {"match_phrase": {"text": {"query": "a b c", "slop": 6}}},
+    ).collect()}
+    assert got == set()
+
+
+def test_regexp_query_is_anchored(spark):
+    df = spark.createDataFrame(
+        [(1, "purchase"), (2, "purchases"), (3, "refund"), (4, "pur")],
+        "doc_id long, kind string",
+    )
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"regexp": {"kind": "pur.*se"}}
+    ).collect()}
+    assert got == {1}  # anchored: 'purchases' has a trailing 's'
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"regexp": {"kind": {"value": "pur(chase)?s?"}}}
+    ).collect()}
+    assert got == {1, 2, 4}

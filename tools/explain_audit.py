@@ -431,6 +431,32 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_nested_query",
+        "nested query: per-element exists is a plain predicate Filter "
+        "(no explode of the array, no Python); the status term pushes "
+        "to the orders scan",
+        lambda p: re.search(r"PushedFilters: \[.*EqualTo\(o_orderstatus", p)
+        and "Generate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_nested_agg",
+        "nested agg: parent filter BEFORE the explode (the generate "
+        "sees filtered rows only), then one hash agg — no sort agg, "
+        "no Python",
+        lambda p: re.search(r"PushedFilters: \[.*EqualTo\(o_orderstatus", p)
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "match_phrase_slop_swap",
+        "transposed slop: still ONE Column predicate — no explode, no "
+        "join, no Python",
+        lambda p: "Generate" not in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
         "es_serial_diff",
         "serial_diff: one grouping exchange + one bucket-cardinality "
         "window — no Python, no sort agg",
