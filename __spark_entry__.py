@@ -81,6 +81,17 @@ _TOKS = r"string_split_regex(trim(text), '\s+')"
 _TOKS_LOWER = r"string_split_regex(trim(lower(text)), '\s+')"
 _SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 
+# configured English analyzer (functions/analyzer.py) — the oracle
+# inlines the IDENTICAL chain so the hash can only match if Spark and
+# DuckDB analyze verbatim alike
+from monstache_spark.functions.analyzer import ENGLISH as _ENGLISH_AN  # noqa: E402
+
+
+def _an_terms(text: str) -> str:
+    """Query text through the English analyzer, rendered as a SQL IN
+    list — mirrors bm25_topk/_match_any_token's query-side analysis."""
+    return ", ".join(f"'{t}'" for t in sorted(set(_ENGLISH_AN.analyze(text))))
+
 # md5-based 32-bit hash of a string expression (functions/text.shingle_hash)
 def _hash_sql(expr: str, seed: int) -> str:
     return (
@@ -2855,6 +2866,41 @@ def _q_es_date_histogram_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_match_stopword_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`match` under a CONFIGURED analyzer (functions.analyzer.ENGLISH:
+    Lucene English stop set + light suffix-strip stemmer): the query
+    'the joins' analyzes to the single term 'join' — the stop word
+    contributes nothing and the plural stems — and the document side
+    passes through the SAME chain, so docs saying 'joined'/'joining'
+    match too. Closes DIVERGENCES S1: the analyzer is config, not a
+    hardcoded lowercase+whitespace, and the oracle inlines the
+    IDENTICAL chain via Analyzer.sql_tokens."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bool_query_filter(
+        docs, {"match": {"text": "the joins"}}, analyzer=ENGLISH
+    ).select("doc_id")
+
+
+def _q_bm25_search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under the ENGLISH analyzer (search.bm25_topk analyzer
+    path): tf/df/doclen all computed over the ANALYZED token stream —
+    stop words vanish from doc lengths, inflected forms merge into
+    one stemmed term ('windowing'→'window', 'joins'→'join') — exactly
+    how ES scores an `analyzer: english` text field. Same plan shape
+    as plain bm25_search; the analyzer is one extra codegen
+    projection on the exploded tokens."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(
+        docs, ["the", "vectors", "windowing", "joins"], k=20, analyzer=ENGLISH
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2885,6 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver correctness window (50): new + never-gated + stalest ---
         "es_nested_query": _q_es_nested_query,
         "es_nested_agg": _q_es_nested_agg,
+        "match_stopword_analyzed": _q_match_stopword_analyzed,
+        "bm25_search_analyzed": _q_bm25_search_analyzed,
         "match_phrase_slop_swap": _q_match_phrase_slop_swap,
         "es_regexp_query": _q_es_regexp_query,
         "es_date_histogram_bounds": _q_es_date_histogram_bounds,
@@ -3171,12 +3219,14 @@ def oracle_sql() -> dict[str, str]:
     )
     # BM25 over a doc frame named `corpus` (so more_like_this can reuse
     # it with the source doc excluded); terms arrive as an IN-list.
-    def bm25_scored_sql(terms_pred: str) -> str:
+    def bm25_scored_sql(terms_pred: str, toks_expr: str = _TOKS_LOWER) -> str:
         """CTE chain up to `scored` (doc_id, score) — shared by the
-        ranked bm25 queries and the field-collapse query."""
+        ranked bm25 queries and the field-collapse query.
+        ``toks_expr`` swaps in a configured analyzer chain
+        (Analyzer.sql_tokens) for the analyzed-search oracles."""
         return f"""
           toks AS (
-            SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM corpus
+            SELECT doc_id, unnest({toks_expr}) AS term FROM corpus
           ),
           dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
           stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -3200,9 +3250,9 @@ def oracle_sql() -> dict[str, str]:
           )
         """
 
-    def bm25_sql(terms_pred: str, k: int) -> str:
+    def bm25_sql(terms_pred: str, k: int, toks_expr: str = _TOKS_LOWER) -> str:
         return f"""
-          {bm25_scored_sql(terms_pred)},
+          {bm25_scored_sql(terms_pred, toks_expr)},
           ranked AS (
             SELECT doc_id, score,
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
@@ -3933,6 +3983,15 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "match_stopword_analyzed": f"""
+          SELECT doc_id FROM documents
+          WHERE len(list_filter({_ENGLISH_AN.sql_tokens("text")},
+                                t -> t IN ({_an_terms("the joins")}))) > 0
+        """,
+        "bm25_search_analyzed": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_sql(f"term IN ({_an_terms('the vectors windowing joins')})", 20, _ENGLISH_AN.sql_tokens("text"))}
         """,
         "function_score_boost": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),

@@ -1,0 +1,145 @@
+"""Configurable text analyzer shared by the native search read path
+and its verification oracles.
+
+The reference feeds Elasticsearch, whose mappings attach an ANALYZER
+to every text field — the default `standard` analyzer lowercases,
+language analyzers add stop-word removal and stemming, and every
+query, aggregation, and suggester over analyzed text shifts with that
+choice (the query text is analyzed with the same chain at search
+time).  The engine's read path previously hardcoded one
+lowercase+whitespace "simple analyzer" (DIVERGENCES.md S1); this
+module makes the token pipeline a declared configuration:
+
+    lowercase → whitespace split → drop empties
+              → stop-word removal → suffix-strip stemming
+
+``Analyzer`` renders the SAME pipeline three ways so results stay
+hash-exact across engines:
+
+* :meth:`tokens` — a Catalyst ``Column`` producing ``array<string>``
+  (split / filter / transform — pure codegen-eligible builtins, no
+  UDF) for document-side analysis inside Spark plans;
+* :meth:`analyze` — a Python mirror for QUERY-side text (query terms
+  must pass through the same chain, as ES does at search time);
+* :meth:`sql_tokens` — a DuckDB expression mirror for the oracle SQL,
+  generated from the same config so the oracle can never drift from
+  the Spark plan.
+
+The stemmer is deliberately "stemmer-lite": an ordered suffix-strip
+list (first matching suffix strips, subject to a minimum remaining
+stem length), the shape of Lucene's ``english_minimal`` /
+``light_english`` filters — deterministic, exact, and expressible
+identically in all three renderings.  Porter's full rule cascade is
+out of scope; a user needing it plugs a custom suffix list or maps
+tokens upstream.
+
+Scale notes: the analyzer only ever appears inside a projection over
+the corpus (one pass, no shuffle of its own); the stop list and
+suffix list are compile-time literals folded into the plan, never a
+join side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# the ES `_english_` stop set (Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET)
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+)
+
+# light English suffix-strip rules, longest-first (the order IS the
+# contract: 'ies' must strip before 'es' before 's')
+LIGHT_ENGLISH_SUFFIXES: tuple[str, ...] = ("ies", "ing", "ed", "es", "s")
+
+
+@dataclass(frozen=True)
+class Analyzer:
+    """One analyzer configuration, rendered identically for Spark,
+    Python, and DuckDB.  The default config (lowercase only) is
+    exactly the engine's historical simple analyzer — passing
+    ``Analyzer()`` anywhere is behavior-neutral."""
+
+    lowercase: bool = True
+    stopwords: tuple[str, ...] = ()
+    stem_suffixes: tuple[str, ...] = ()
+    min_stem: int = 3
+
+    # -- Spark rendering ----------------------------------------------------
+
+    def tokens(self, c: Column) -> Column:
+        """``array<string>`` of analyzed tokens for a text Column."""
+        base = F.trim(c)
+        if self.lowercase:
+            base = F.lower(base)
+        arr = F.filter(F.split(base, r"\s+"), lambda t: t != F.lit(""))
+        if self.stopwords:
+            stops = F.array(*[F.lit(s) for s in self.stopwords])
+            arr = F.filter(arr, lambda t: ~F.array_contains(stops, t))
+        if self.stem_suffixes:
+            arr = F.transform(arr, self._stem_col)
+        return arr
+
+    def _stem_col(self, t: Column) -> Column:
+        out = t
+        # build the CASE bottom-up so the FIRST matching suffix wins
+        for suf in reversed(self.stem_suffixes):
+            n = len(suf)
+            out = F.when(
+                t.endswith(suf) & (F.length(t) - n >= self.min_stem),
+                t.substr(F.lit(1), F.length(t) - n),
+            ).otherwise(out)
+        return out
+
+    # -- Python rendering (query-side) --------------------------------------
+
+    def analyze(self, text: str) -> list[str]:
+        toks = (text.lower() if self.lowercase else text).split()
+        out = []
+        for t in toks:
+            if not t or t in self.stopwords:
+                continue
+            for suf in self.stem_suffixes:
+                if t.endswith(suf) and len(t) - len(suf) >= self.min_stem:
+                    t = t[: -len(suf)]
+                    break
+            out.append(t)
+        return out
+
+    # -- DuckDB rendering (oracle-side) -------------------------------------
+
+    def sql_tokens(self, expr: str = "text") -> str:
+        """A DuckDB list expression producing the same token array the
+        Spark :meth:`tokens` Column produces — inline this in oracle
+        SQL so both engines share one verbatim analyzer."""
+        base = f"trim({expr})"
+        if self.lowercase:
+            base = f"trim(lower({expr}))"
+        out = f"list_filter(string_split_regex({base}, '\\s+'), t -> t <> '')"
+        if self.stopwords:
+            lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
+            out = f"list_filter({out}, t -> NOT list_contains({lst}, t))"
+        if self.stem_suffixes:
+            branches = []
+            for suf in self.stem_suffixes:
+                n = len(suf)
+                branches.append(
+                    f"WHEN ends_with(t, '{suf}') AND length(t) - {n} >= "
+                    f"{self.min_stem} THEN substr(t, 1, length(t) - {n})"
+                )
+            case = "CASE " + " ".join(branches) + " ELSE t END"
+            out = f"list_transform({out}, t -> {case})"
+        return out
+
+
+# the ready-made "analyzed English" config mirroring an ES text field
+# with `analyzer: english` in spirit: standard stop set + light stems
+ENGLISH = Analyzer(
+    stopwords=ENGLISH_STOPWORDS, stem_suffixes=LIGHT_ENGLISH_SUFFIXES
+)

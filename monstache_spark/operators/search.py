@@ -54,13 +54,21 @@ def _field(field: str, resolver=None) -> Column:
     return resolver(field) if resolver is not None else F.col(field)
 
 
-def _match_any_token(field: str, text: str, resolver=None) -> Column:
-    """ES `match` (OR of analyzed terms): true if ANY whitespace
-    token of ``text`` equals a whitespace token of the field,
-    case-insensitively — the simple-analyzer contract shared with the
-    oracle SQL."""
-    toks = [t for t in text.lower().split() if t]
-    hay = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+def _match_any_token(field: str, text: str, resolver=None, analyzer=None) -> Column:
+    """ES `match` (OR of analyzed terms): true if ANY analyzed token
+    of ``text`` equals an analyzed token of the field.  With no
+    ``analyzer`` this is the historical simple-analyzer contract
+    (lowercase + whitespace); with one, BOTH the query text and the
+    field pass through the same configured chain (stop words,
+    stemming) exactly as ES analyzes query and document with the
+    field's analyzer.  A query whose tokens are ALL stop words
+    matches nothing, as in ES."""
+    if analyzer is not None:
+        toks = analyzer.analyze(text)
+        hay = analyzer.tokens(_field(field, resolver))
+    else:
+        toks = [t for t in text.lower().split() if t]
+        hay = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
     cond = F.lit(False)
     for t in toks:
         cond = cond | F.array_contains(hay, t)
@@ -91,9 +99,9 @@ _RANGE_OPS = {
 }
 
 
-def _compile_leaf(kind: str, body: dict, resolver=None) -> Column:
+def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column:
     if kind == "bool":
-        return compile_bool_query({"bool": body}, resolver=resolver)
+        return compile_bool_query({"bool": body}, resolver=resolver, analyzer=analyzer)
     if kind == "nested":
         # ES nested query: {"nested": {"path": "items", "query": {...}}}
         # — true when at least ONE element of the array-of-struct at
@@ -119,7 +127,9 @@ def _compile_leaf(kind: str, body: dict, resolver=None) -> Column:
 
         return F.exists(
             _field(path, resolver),
-            lambda x: compile_bool_query(inner, resolver=elem_resolver(x)),
+            lambda x: compile_bool_query(
+                inner, resolver=elem_resolver(x), analyzer=analyzer
+            ),
         )
     if kind == "exists":
         return _field(body["field"], resolver).isNotNull()
@@ -133,7 +143,9 @@ def _compile_leaf(kind: str, body: dict, resolver=None) -> Column:
         # "any field matches")
         cond = F.lit(False)
         for fld in body["fields"]:
-            cond = cond | _match_any_token(fld, str(body["query"]), resolver)
+            cond = cond | _match_any_token(
+                fld, str(body["query"]), resolver, analyzer
+            )
         return cond
     if kind == "regexp":
         # ES regexp query: Lucene regexps are implicitly ANCHORED to
@@ -160,7 +172,7 @@ def _compile_leaf(kind: str, body: dict, resolver=None) -> Column:
     if kind == "wildcard":
         return _field(field, resolver).like(_wildcard_to_like(str(value)))
     if kind == "match":
-        return _match_any_token(field, str(value), resolver)
+        return _match_any_token(field, str(value), resolver, analyzer)
     if kind == "match_phrase":
         # {"match_phrase": {field: "a b"}} or
         # {"match_phrase": {field: {"query": "a b", "slop": 2}}}
@@ -275,7 +287,7 @@ def _coerce_msm(raw, n_should: int) -> int:
     return max(0, min(v, n_should))
 
 
-def compile_bool_query(query: dict, resolver=None) -> Column:
+def compile_bool_query(query: dict, resolver=None, analyzer=None) -> Column:
     """Compile an Elasticsearch bool-query dict (the subset above) to
     a single Catalyst predicate ``Column``.
 
@@ -293,7 +305,7 @@ def compile_bool_query(query: dict, resolver=None) -> Column:
         body = query["bool"]
     elif len(query) == 1:
         ((kind, b),) = query.items()
-        return _compile_leaf(kind, b, resolver)
+        return _compile_leaf(kind, b, resolver, analyzer)
     else:
         raise ValueError("query must be a single clause or {'bool': {...}}")
 
@@ -301,7 +313,7 @@ def compile_bool_query(query: dict, resolver=None) -> Column:
         out = []
         for clause in body.get(key, []):
             ((kind, b),) = clause.items()
-            out.append(_compile_leaf(kind, b, resolver))
+            out.append(_compile_leaf(kind, b, resolver, analyzer))
         return out
 
     cond = F.lit(True)
@@ -327,9 +339,14 @@ def compile_bool_query(query: dict, resolver=None) -> Column:
     return cond
 
 
-def bool_query_filter(df: DataFrame, query: dict) -> DataFrame:
-    """Rows of ``df`` matching the compiled bool query."""
-    return df.filter(compile_bool_query(query))
+def bool_query_filter(df: DataFrame, query: dict, analyzer=None) -> DataFrame:
+    """Rows of ``df`` matching the compiled bool query.  ``analyzer``
+    configures the token chain for `match`/`multi_match` leaves
+    (functions.analyzer.Analyzer); phrase leaves keep the simple
+    analyzer — stop-word removal shifts Lucene position increments in
+    ways a position-list predicate can't mirror exactly, so analyzed
+    phrase queries are out of scope (DIVERGENCES.md S1)."""
+    return df.filter(compile_bool_query(query, analyzer=analyzer))
 
 
 # ---------------------------------------------------------------------------
@@ -338,14 +355,17 @@ def bool_query_filter(df: DataFrame, query: dict) -> DataFrame:
 
 
 def _term_rows(
-    docs: DataFrame, text_col: str, id_col: str
+    docs: DataFrame, text_col: str, id_col: str, analyzer=None
 ) -> DataFrame:
-    """(id, term) per token occurrence, simple-analyzed (lowercase +
-    whitespace split) — the same analyzer the oracle SQL applies."""
-    return docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
-    )
+    """(id, term) per token occurrence — simple-analyzed (lowercase +
+    whitespace split) by default, or through a configured
+    functions.analyzer.Analyzer chain; either way the SAME chain the
+    oracle SQL applies (Analyzer.sql_tokens generates the mirror)."""
+    if analyzer is not None:
+        toks = analyzer.tokens(F.col(text_col))
+    else:
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    return docs.select(F.col(id_col), F.explode(toks).alias("term"))
 
 
 def bm25_topk(
@@ -357,6 +377,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     search_after: tuple | None = None,
+    analyzer=None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 for a bag of query terms.
 
@@ -381,7 +402,7 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col)
+    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col, analyzer)
     if search_after is not None:
         s_a, id_a = search_after
         scored = scored.filter(
@@ -402,13 +423,21 @@ def _bm25_scored(
     b: float,
     text_col: str,
     id_col: str,
+    analyzer=None,
 ) -> DataFrame:
     """(id, score) for every document matching ≥1 query term — the
     unranked scoring frame shared by :func:`bm25_topk` and
     :func:`collapse_topk` (the latter must collapse BEFORE any
     truncation, so it cannot reuse the top-k path)."""
-    terms = sorted({t.lower() for t in query_terms})
-    toks = _term_rows(docs, text_col, id_col)
+    if analyzer is not None:
+        # the query passes through the same chain as the documents,
+        # exactly as ES analyzes query text with the field's analyzer
+        # (stop-word query terms contribute nothing; inflected terms
+        # meet their stemmed document forms)
+        terms = sorted({t for q in query_terms for t in analyzer.analyze(q)})
+    else:
+        terms = sorted({t.lower() for t in query_terms})
+    toks = _term_rows(docs, text_col, id_col, analyzer)
     dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -740,6 +769,7 @@ def collapse_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer=None,
 ) -> DataFrame:
     """ES field collapsing over BM25 retrieval: rank the corpus with
     :func:`bm25_topk`'s scoring, then keep only the BEST hit per
@@ -755,7 +785,7 @@ def collapse_topk(
     # truncated top-k would under-count groups — ES collapses first)
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col)
+    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col, analyzer)
     meta = docs.select(F.col(id_col), F.col(collapse_col))
     joined = scored.join(meta, id_col)
     gw = Window.partitionBy(collapse_col).orderBy(

@@ -457,6 +457,15 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "bm25_search_analyzed",
+        "analyzed BM25: the analyzer chain is a codegen projection on "
+        "the exploded tokens (no Python UDF), stats still broadcast, "
+        "top-k still TakeOrderedAndProject",
+        lambda p: "Python" not in p
+        and "TakeOrderedAndProject" in p
+        and "BroadcastHashJoin" in p,
+    ),
+    (
         "es_serial_diff",
         "serial_diff: one grouping exchange + one bucket-cardinality "
         "window — no Python, no sort agg",
