@@ -92,6 +92,12 @@ def _an_terms(text: str) -> str:
     list — mirrors bm25_topk/_match_any_token's query-side analysis."""
     return ", ".join(f"'{t}'" for t in sorted(set(_ENGLISH_AN.analyze(text))))
 
+
+def _geo_hav_sql(lat: str, lon: str, olat: str, olon: str) -> str:
+    from monstache_spark.operators.geo import haversine_m_sql
+
+    return haversine_m_sql(lat, lon, olat, olon)
+
 # md5-based 32-bit hash of a string expression (functions/text.shingle_hash)
 def _hash_sql(expr: str, seed: int) -> str:
     return (
@@ -2901,6 +2907,59 @@ def _q_bm25_search_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _geo_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with synthesized geo_point coordinates derived from
+    the integer key by EXACT arithmetic (int modulo then one double
+    divide — bit-identical on any engine), standing in for the lat/lon
+    fields a synced collection would carry."""
+    from pyspark.sql import functions as F
+
+    c = load_table(spark, "customer", sf_dir)
+    lat = ((F.col("c_custkey") * 37) % 17000).cast("double") / 100.0 - 85.0
+    lon = ((F.col("c_custkey") * 91) % 36000).cast("double") / 100.0 - 180.0
+    return c.withColumn("lat", lat).withColumn("lon", lon).withColumn(
+        "loc", F.struct("lat", "lon")
+    )
+
+
+_GEO_LAT_SQL = "CAST((c_custkey*37) % 17000 AS DOUBLE)/100.0 - 85.0"
+_GEO_LON_SQL = "CAST((c_custkey*91) % 36000 AS DOUBLE)/100.0 - 180.0"
+
+
+def _q_geo_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_bounding_box` query (geo.bbox_predicate via the
+    compiled leaf): four EXACT comparisons over the point's lat/lon —
+    fully pushdown-eligible arithmetic, no transcendentals, no
+    rounding contract needed."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    c = _geo_customers(spark, sf_dir)
+    out = bool_query_filter(
+        c,
+        {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 40.0, "lon": -60.0},
+            "bottom_right": {"lat": -10.0, "lon": 60.0},
+        }}},
+    )
+    return out.select("c_custkey", "lat", "lon")
+
+
+def _q_geo_distance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `geo_distance` ring aggregation (geo.geo_distance_buckets):
+    [from, to) rings from an origin under the ROUNDED-HAVERSINE
+    contract (whole meters, R = 6371000 — operators/geo.py module
+    docstring): both engines round the distance before every bucket
+    decision, so ring membership is identical. One codegen distance
+    projection + CASE + one hash agg."""
+    from monstache_spark.operators.geo import geo_distance_buckets
+
+    c = _geo_customers(spark, sf_dir)
+    return geo_distance_buckets(
+        c, "lat", "lon", {"lat": 0.0, "lon": 0.0}, [3000.0, 7000.0],
+        metrics={"avg_bal": {"avg": {"field": "c_acctbal"}}},
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2933,6 +2992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_nested_agg": _q_es_nested_agg,
         "match_stopword_analyzed": _q_match_stopword_analyzed,
         "bm25_search_analyzed": _q_bm25_search_analyzed,
+        "geo_bbox_filter": _q_geo_bbox_filter,
+        "geo_distance_buckets": _q_geo_distance_buckets,
         "match_phrase_slop_swap": _q_match_phrase_slop_swap,
         "es_regexp_query": _q_es_regexp_query,
         "es_date_histogram_bounds": _q_es_date_histogram_bounds,
@@ -3983,6 +4044,28 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "geo_bbox_filter": f"""
+          WITH c AS (SELECT c_custkey, {_GEO_LAT_SQL} AS lat,
+                            {_GEO_LON_SQL} AS lon FROM customer)
+          SELECT c_custkey, lat, lon FROM c
+          WHERE lat <= 40.0 AND lat >= -10.0 AND lon >= -60.0 AND lon <= 60.0
+        """,
+        "geo_distance_buckets": f"""
+          WITH c AS (SELECT c_custkey, c_acctbal, {_GEO_LAT_SQL} AS lat,
+                            {_GEO_LON_SQL} AS lon FROM customer),
+          d AS (SELECT c_custkey, c_acctbal,
+                       {_geo_hav_sql("lat", "lon", "0.0", "0.0")} AS dist
+                FROM c),
+          r AS (SELECT CASE WHEN dist < 3000000.0 THEN '*-3000.0'
+                            WHEN dist < 7000000.0 THEN '3000.0-7000.0'
+                            ELSE '7000.0-*' END AS ring,
+                       c_acctbal
+                FROM d)
+          SELECT ring, CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(c_acctbal) AS DOUBLE) AS avg_bal
+          FROM r GROUP BY ring
         """,
         "match_stopword_analyzed": f"""
           SELECT doc_id FROM documents

@@ -1,0 +1,158 @@
+"""Geo queries and aggregations over synced geo_point fields.
+
+Monstache deployments routinely sync documents carrying geo fields
+(the engine's BSON→JSON pass forwards any nested {lat, lon} shape
+untouched — monstachemap/encoding.go:113-138 — and real ES mappings
+type them `geo_point`); the consumers then run `geo_bounding_box` /
+`geo_distance` queries and `geo_distance` ring aggregations.  This
+module serves those shapes natively:
+
+* :func:`bbox_predicate` — exact arithmetic (four comparisons, fully
+  pushdown-eligible when lat/lon are scan columns).
+* :func:`haversine_m` — great-circle distance in METERS, rounded to
+  whole meters.  The rounding is the documented cross-engine
+  contract: sin/cos/asin come from each engine's libm and can differ
+  in the last bit; comparing ROUNDED meters makes every downstream
+  predicate/bucket decision identical across engines except for
+  points within ~1e-9 relative of an exact 0.5 m boundary —
+  vanishingly rare and the same class of contract ES itself accepts
+  with its distance calculations.  Earth radius: 6,371,000 m (the
+  mean-radius constant, as Lucene's SloppyMath/haversin family).
+* :func:`geo_distance_buckets` — the ES `geo_distance` aggregation:
+  ring buckets ``[from, to)`` in km from an origin, each doc in the
+  single ring containing it, rings with no docs omitted (ES keyed
+  rings report zero; use a left join against a literal ring frame if
+  the zero rows matter).
+
+Scale notes (100 TB): bbox is four scan-pushable comparisons; the
+distance column is one codegen projection (no UDF, no shuffle); ring
+assignment is a CASE over the projected distance followed by one hash
+aggregation.  Nothing geo-specific ever joins or collects.
+
+Dateline-crossing bounding boxes (left lon > right lon) are split
+into the two half-boxes — same result, still exact arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_000.0
+
+
+def haversine_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in whole meters (rounded contract — see
+    module docstring)."""
+    dphi = F.radians(lat2 - lat1)
+    dlmb = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dphi / F.lit(2.0)) * F.sin(dphi / F.lit(2.0))
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlmb / F.lit(2.0))
+        * F.sin(dlmb / F.lit(2.0))
+    )
+    d = F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    return F.round(d, 0)
+
+
+def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """The DuckDB rendering of :func:`haversine_m` — same formula,
+    same constant, same rounding, so oracle hashes can only match if
+    both engines agree on every rounded meter."""
+    dphi = f"radians(({lat2}) - ({lat1}))"
+    dlmb = f"radians(({lon2}) - ({lon1}))"
+    a = (
+        f"sin({dphi}/2)*sin({dphi}/2) + cos(radians({lat1}))*cos(radians({lat2}))"
+        f"*sin({dlmb}/2)*sin({dlmb}/2)"
+    )
+    return f"round(2 * {EARTH_RADIUS_M} * asin(sqrt({a})), 0)"
+
+
+def _ll(point) -> tuple[float, float]:
+    if isinstance(point, dict):
+        return float(point["lat"]), float(point["lon"])
+    lat, lon = point
+    return float(lat), float(lon)
+
+
+def parse_distance_m(dist) -> float:
+    """ES distance-unit strings ('200km', '500m', '10mi') → meters."""
+    if isinstance(dist, (int, float)):
+        return float(dist)
+    s = str(dist).strip().lower()
+    for suf, mult in (("km", 1000.0), ("mi", 1609.344), ("m", 1.0)):
+        if s.endswith(suf):
+            return float(s[: -len(suf)]) * mult
+    return float(s)
+
+
+def bbox_predicate(lat: Column, lon: Column, top_left, bottom_right) -> Column:
+    """ES ``geo_bounding_box``: exact comparisons, dateline-aware."""
+    t_lat, l_lon = _ll(top_left)
+    b_lat, r_lon = _ll(bottom_right)
+    lat_ok = (lat <= F.lit(t_lat)) & (lat >= F.lit(b_lat))
+    if l_lon <= r_lon:
+        lon_ok = (lon >= F.lit(l_lon)) & (lon <= F.lit(r_lon))
+    else:
+        # box crosses the antimeridian: two half-boxes
+        lon_ok = (lon >= F.lit(l_lon)) | (lon <= F.lit(r_lon))
+    return lat_ok & lon_ok
+
+
+def distance_predicate(lat: Column, lon: Column, origin, distance) -> Column:
+    """ES ``geo_distance`` query: rounded haversine ≤ the limit."""
+    o_lat, o_lon = _ll(origin)
+    return haversine_m(lat, lon, F.lit(o_lat), F.lit(o_lon)) <= F.lit(
+        parse_distance_m(distance)
+    )
+
+
+def geo_distance_buckets(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    origin,
+    edges_km: list[float],
+    metrics: dict | None = None,
+) -> DataFrame:
+    """ES ``geo_distance`` aggregation: ring buckets ``[from, to)``
+    from ``origin`` with edges in km (``edges_km=[100, 300]`` gives
+    rings ``*-100.0``, ``100.0-300.0``, ``300.0-*`` keyed exactly as
+    ES keys them).  ``metrics`` is the usual metric-agg body compiled
+    by :mod:`.aggs` (e.g. ``{"avg_bal": {"avg": {"field": ...}}}``).
+
+    One distance projection + CASE ring key + one hash agg; rows with
+    null coordinates drop (ES ignores docs missing the geo field).
+    """
+    from monstache_spark.operators.aggs import _metric_exprs, _one
+
+    o_lat, o_lon = _ll(origin)
+    dist = haversine_m(
+        F.col(lat_col), F.col(lon_col), F.lit(o_lat), F.lit(o_lon)
+    )
+    edges_m = [e * 1000.0 for e in edges_km]
+    key: Column = F.lit(f"{edges_km[-1]:.1f}-*")
+    for lo, hi in zip([None, *edges_m[:-1]], edges_m):
+        label = (
+            f"*-{hi / 1000.0:.1f}"
+            if lo is None
+            else f"{lo / 1000.0:.1f}-{hi / 1000.0:.1f}"
+        )
+        cond = dist < F.lit(hi) if lo is None else (
+            (dist >= F.lit(lo)) & (dist < F.lit(hi))
+        )
+        key = F.when(cond, F.lit(label)).otherwise(key)
+    aggs = [F.count("*").cast("long").alias("doc_count")]
+    for name, body in (metrics or {}).items():
+        kind, spec = _one(body)
+        aggs.extend(_metric_exprs(name, kind, spec))
+    return (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .withColumn("ring", key)
+        .groupBy("ring")
+        .agg(*aggs)
+    )

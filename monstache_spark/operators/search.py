@@ -147,6 +147,27 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
                 fld, str(body["query"]), resolver, analyzer
             )
         return cond
+    if kind == "geo_bounding_box":
+        # {"geo_bounding_box": {loc_field: {"top_left": {...},
+        #  "bottom_right": {...}}}} — loc_field is a struct<lat,lon>
+        from monstache_spark.operators.geo import bbox_predicate
+
+        ((field, spec),) = body.items()
+        loc = _field(field, resolver)
+        return bbox_predicate(
+            loc["lat"], loc["lon"], spec["top_left"], spec["bottom_right"]
+        )
+    if kind == "geo_distance":
+        # {"geo_distance": {"distance": "200km", loc_field: {"lat":..,
+        #  "lon":..}}} — rounded-haversine contract (operators/geo.py)
+        from monstache_spark.operators.geo import distance_predicate
+
+        distance = body["distance"]
+        ((field, origin),) = {
+            k: v for k, v in body.items() if k not in ("distance", "distance_type")
+        }.items()
+        loc = _field(field, resolver)
+        return distance_predicate(loc["lat"], loc["lon"], origin, distance)
     if kind == "regexp":
         # ES regexp query: Lucene regexps are implicitly ANCHORED to
         # the whole field value; Spark's rlike is search-anywhere, so

@@ -1,0 +1,96 @@
+"""Geo read path (operators/geo.py): bbox exactness, rounded-haversine
+cross-engine agreement, ring aggregation semantics."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from monstache_spark.operators.geo import (
+    geo_distance_buckets,
+    haversine_m_sql,
+    parse_distance_m,
+)
+from monstache_spark.operators.search import bool_query_filter
+
+
+def _pts(spark):
+    rows = [
+        (1, 0.0, 0.0),
+        (2, 0.5, 0.5),      # ~78.6 km from origin
+        (3, 2.0, 2.0),      # ~314 km
+        (4, 10.0, 10.0),    # ~1565 km
+        (5, 52.52, 13.405),   # Berlin
+        (6, 48.8566, 2.3522), # Paris (~878 km from Berlin)
+        (7, None, None),
+    ]
+    return spark.createDataFrame(rows, "id long, lat double, lon double").withColumn(
+        "loc", F.struct("lat", "lon")
+    )
+
+
+def test_parse_distance_units():
+    assert parse_distance_m("200km") == 200000.0
+    assert parse_distance_m("500m") == 500.0
+    assert parse_distance_m(1234) == 1234.0
+    assert abs(parse_distance_m("1mi") - 1609.344) < 1e-9
+
+
+def test_geo_bbox_filter_and_dateline(spark):
+    df = _pts(spark)
+    got = {r["id"] for r in bool_query_filter(
+        df, {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 3.0, "lon": -1.0},
+            "bottom_right": {"lat": -1.0, "lon": 3.0}}}}
+    ).collect()}
+    assert got == {1, 2, 3}
+    # antimeridian-crossing box: left lon 170 > right lon -170
+    df2 = spark.createDataFrame(
+        [(1, 0.0, 175.0), (2, 0.0, -175.0), (3, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    ).withColumn("loc", F.struct("lat", "lon"))
+    got = {r["id"] for r in bool_query_filter(
+        df2, {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": 1.0, "lon": 170.0},
+            "bottom_right": {"lat": -1.0, "lon": -170.0}}}}
+    ).collect()}
+    assert got == {1, 2}
+
+
+def test_geo_distance_query_matches_duckdb_rounding(spark):
+    df = _pts(spark)
+    got = {r["id"] for r in bool_query_filter(
+        df, {"geo_distance": {"distance": "100km",
+                              "loc": {"lat": 0.0, "lon": 0.0}}}
+    ).collect()}
+    assert got == {1, 2}
+    # cross-engine: rounded meters agree row by row
+    spark_d = {
+        r["id"]: r["d"]
+        for r in df.filter(F.col("lat").isNotNull()).select(
+            "id",
+            __import__("monstache_spark.operators.geo", fromlist=["haversine_m"])
+            .haversine_m(F.col("lat"), F.col("lon"), F.lit(52.52), F.lit(13.405))
+            .alias("d"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = haversine_m_sql("lat", "lon", "52.52", "13.405")
+    duck_d = {
+        i: d
+        for i, d in con.execute(
+            "SELECT id, " + expr + " FROM (VALUES (1, 0.0, 0.0), (2, 0.5, 0.5),"
+            " (3, 2.0, 2.0), (4, 10.0, 10.0), (5, 52.52, 13.405),"
+            " (6, 48.8566, 2.3522)) AS t(id, lat, lon)"
+        ).fetchall()
+    }
+    assert spark_d == duck_d
+    assert abs(duck_d[6] - 878000) < 10000  # Berlin-Paris sanity
+
+
+def test_geo_distance_buckets_rings(spark):
+    df = _pts(spark)
+    out = {r["ring"]: (r["doc_count"], r["n"]) for r in geo_distance_buckets(
+        df, "lat", "lon", {"lat": 0.0, "lon": 0.0}, [100.0, 500.0],
+        metrics={"n": {"value_count": {"field": "id"}}},
+    ).collect()}
+    # null coords drop; rings are [from, to)
+    assert out == {"*-100.0": (2, 2), "100.0-500.0": (1, 1), "500.0-*": (3, 3)}

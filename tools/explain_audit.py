@@ -466,6 +466,22 @@ CHECKS = [
         and "BroadcastHashJoin" in p,
     ),
     (
+        "geo_bbox_filter",
+        "geo bbox: four exact comparisons as a codegen Filter — no "
+        "Python, no join, no shuffle",
+        lambda p: "Python" not in p
+        and "Join" not in p
+        and "Exchange" not in p,
+    ),
+    (
+        "geo_distance_buckets",
+        "geo rings: one haversine projection + CASE + ONE hash agg — "
+        "no Python, no sort agg, single grouping exchange",
+        lambda p: "Python" not in p
+        and "SortAggregate" not in p
+        and p.count("Exchange hashpartitioning") <= 1,
+    ),
+    (
         "es_serial_diff",
         "serial_diff: one grouping exchange + one bucket-cardinality "
         "window — no Python, no sort agg",
