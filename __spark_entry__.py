@@ -2960,6 +2960,77 @@ def _q_geo_distance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_suggest_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester (search.phrase_suggest): 'tabl hask' →
+    candidate corrections per token via the SymSpell deletion-key
+    join, candidate PAIRS rescored by corpus bigram frequency — the
+    did-you-mean shape, exact integer scoring (no log-prob
+    transcendentals) so any engine ranks identically."""
+    from monstache_spark.operators.search import phrase_suggest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return phrase_suggest(docs, "tabl hask", top_n=3)
+
+
+def _q_es_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks metric (aggs._metric_exprs): per event
+    type, the percent of values ≤ 50 / ≤ 200 — the EXACT empirical
+    CDF (ES is t-digest-approximate; exactness is the stronger,
+    oracle-checkable contract, same stance as the percentiles
+    metric). Integer counts → one rounded division, one hash agg."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {"by_type": {
+            "terms": {"field": "event_type"},
+            "aggs": {"pr": {"percentile_ranks": {
+                "field": "value", "values": [50.0, 200.0]}}},
+        }},
+    )
+
+
+def _q_significant_text_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_text (search.significant_terms with the ENGLISH
+    analyzer): the JLH statistic over ANALYZED tokens — stop words
+    can never surface as 'significant', inflections collapse to one
+    stem; the oracle inlines the identical analyzer chain."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import significant_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return significant_terms(
+        docs,
+        {"term": {"lang": "en"}},
+        size=10,
+        min_doc_count=5,
+        min_term_len=3,
+        analyzer=ENGLISH,
+    )
+
+
+def _q_function_score_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score field_value_factor with the log1p modifier
+    (search.function_score_topk) under the ROUNDED contract
+    (DIVERGENCES S11): func = round(log10(0.001·n_chars + 1), 4) on
+    BOTH engines before combining — libm transcendentals differ in
+    the last bit, the 4-decimal round makes every downstream
+    comparison identical."""
+    from monstache_spark.operators.search import function_score_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return function_score_topk(
+        docs,
+        ["merge", "vector", "window"],
+        "n_chars",
+        k=10,
+        factor=0.001,
+        modifier="log1p",
+        boost_mode="multiply",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -2994,6 +3065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_analyzed": _q_bm25_search_analyzed,
         "geo_bbox_filter": _q_geo_bbox_filter,
         "geo_distance_buckets": _q_geo_distance_buckets,
+        "phrase_suggest_lm": _q_phrase_suggest_lm,
+        "es_percentile_ranks": _q_es_percentile_ranks,
+        "significant_text_en": _q_significant_text_en,
+        "function_score_log1p": _q_function_score_log1p,
         "match_phrase_slop_swap": _q_match_phrase_slop_swap,
         "es_regexp_query": _q_es_regexp_query,
         "es_date_histogram_bounds": _q_es_date_histogram_bounds,
@@ -4044,6 +4119,111 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "phrase_suggest_lm": f"""
+          WITH toksrc AS (
+            SELECT list_filter({_TOKS_LOWER}, w -> w <> '') AS toks FROM documents
+          ),
+          v AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS count
+            FROM (SELECT unnest(toks) AS term FROM toksrc) GROUP BY term
+          ),
+          bg AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS bigram_count FROM (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM toksrc, unnest(range(1, len(toks))) AS u(i)
+            ) GROUP BY w1, w2
+          ),
+          vk AS (
+            SELECT term, unnest(list_distinct(list_prepend(term,
+                     list_transform(range(1, length(term) + 1),
+                       i -> substr(term, 1, CAST(i - 1 AS INTEGER)) || substr(term, CAST(i + 1 AS INTEGER)))))) AS dk
+            FROM v
+          ),
+          q1k AS (
+            SELECT unnest(list_distinct(list_prepend('tabl',
+                     list_transform(range(1, length('tabl') + 1),
+                       i -> substr('tabl', 1, CAST(i - 1 AS INTEGER)) || substr('tabl', CAST(i + 1 AS INTEGER)))))) AS dk
+          ),
+          q2k AS (
+            SELECT unnest(list_distinct(list_prepend('hask',
+                     list_transform(range(1, length('hask') + 1),
+                       i -> substr('hask', 1, CAST(i - 1 AS INTEGER)) || substr('hask', CAST(i + 1 AS INTEGER)))))) AS dk
+          ),
+          c1 AS (
+            SELECT DISTINCT term AS w1, CAST(levenshtein('tabl', term) AS BIGINT) AS d1
+            FROM vk JOIN q1k USING (dk) WHERE levenshtein('tabl', term) <= 1
+          ),
+          c2 AS (
+            SELECT DISTINCT term AS w2, CAST(levenshtein('hask', term) AS BIGINT) AS d2
+            FROM vk JOIN q2k USING (dk) WHERE levenshtein('hask', term) <= 1
+          ),
+          paired AS (
+            SELECT bg.w1 || ' ' || bg.w2 AS suggestion, bg.w1, bg.w2,
+                   bg.bigram_count, c1.d1, c2.d2
+            FROM bg JOIN c1 ON bg.w1 = c1.w1 JOIN c2 ON bg.w2 = c2.w2
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (
+                     ORDER BY bigram_count DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+            FROM paired
+          )
+          SELECT suggestion, w1, w2, bigram_count, d1, d2, rank
+          FROM r WHERE rank <= 3
+        """,
+        "es_percentile_ranks": """
+          SELECT CAST(event_type AS VARCHAR) AS by_type,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 round(CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(value) AS DOUBLE) * 100.0, 6) AS pr_rank_50,
+                 round(CAST(sum(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(value) AS DOUBLE) * 100.0, 6) AS pr_rank_200
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY 1
+        """,
+        "significant_text_en": f"""
+          WITH base AS (
+            SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS fg, text
+            FROM documents
+          ),
+          t AS (SELECT doc_id, fg,
+                       unnest(list_distinct({_ENGLISH_AN.sql_tokens("text")})) AS term
+                FROM base),
+          tt AS (
+            SELECT term, CAST(sum(fg) AS BIGINT) AS fg_count,
+                   CAST(count(*) AS BIGINT) AS bg_count
+            FROM t WHERE length(term) >= 3 GROUP BY term
+          ),
+          tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS fgt, CAST(count(*) AS DOUBLE) AS bgt FROM base),
+          s AS (
+            SELECT term, fg_count, bg_count,
+                   round((fg_count / fgt - bg_count / bgt)
+                         * ((fg_count / fgt) / (bg_count / bgt)), 6) AS score
+            FROM tt, tot WHERE fg_count >= 5
+          )
+          SELECT term, fg_count, bg_count, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "function_score_log1p": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          boosted AS (
+            SELECT s.doc_id, s.score AS bm25_score,
+                   round(log10(0.001 * CAST(d.n_chars AS DOUBLE) + 1.0), 4) AS func_value
+            FROM scored s JOIN documents d USING (doc_id)
+          ),
+          final AS (
+            SELECT doc_id, bm25_score, func_value,
+                   round(bm25_score * func_value, 6) AS score
+            FROM boosted
+          ),
+          ranked AS (
+            SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM final
+          )
+          SELECT doc_id, bm25_score, func_value, score, rank
+          FROM ranked WHERE rank <= 10
         """,
         "geo_bbox_filter": f"""
           WITH c AS (SELECT c_custkey, {_GEO_LAT_SQL} AS lat,

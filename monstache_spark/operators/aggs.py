@@ -64,6 +64,7 @@ _METRIC_KINDS = {
     "cardinality",
     "stats",
     "percentiles",
+    "percentile_ranks",
 }
 
 _BUCKET_KINDS = {
@@ -245,6 +246,24 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
                 f"{name}_p{_pct_suffix(p)}"
             )
             for p in pcts
+        ]
+    if kind == "percentile_ranks":
+        # ES percentile_ranks: for each requested value, the percent
+        # of field values ≤ it.  ES interpolates on a t-digest sketch;
+        # this is the EXACT empirical CDF — 100·|{x ≤ v}| / N, the
+        # stronger contract (same stance as the exact percentiles
+        # above), rounded to 6 decimals from integer counts so every
+        # engine agrees bit-for-bit.
+        return [
+            F.round(
+                F.sum(
+                    F.when(field <= F.lit(v), F.lit(1)).otherwise(F.lit(0))
+                ).cast("double")
+                / F.count(field).cast("double")
+                * F.lit(100.0),
+                6,
+            ).alias(f"{name}_rank_{_pct_suffix(float(v))}")
+            for v in spec["values"]
         ]
     raise ValueError(f"unsupported metric aggregation: {kind}")
 

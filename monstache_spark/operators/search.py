@@ -524,10 +524,18 @@ def function_score_topk(
     ``factor · field`` (``modifier="none"``) or
     ``1/(factor · field + 1)`` (``"reciprocal"``), combined with the
     BM25 score per ``boost_mode`` (``multiply`` / ``sum`` /
-    ``replace``).  ES's ``log1p``/``sqrt`` modifiers are deliberately
-    unsupported: libm transcendentals differ in the last bit across
-    engines, which would break hash-exact verification — DIVERGENCES
-    S11.
+    ``replace``).
+
+    The TRANSCENDENTAL ES modifiers — ``log`` (log₁₀ v), ``log1p``,
+    ``log2p``, ``ln``, ``ln1p``, ``ln2p``, ``sqrt``, ``square`` — are
+    supported under a documented ROUNDED contract (DIVERGENCES S11):
+    the function value rounds to 4 decimals before combining, because
+    libm transcendentals can differ in the last bit across engines;
+    after rounding, both engines agree except for values within one
+    ulp of a 0.00005 boundary (vanishingly rare, and the same class
+    of contract as the geo haversine rounding).  ``none`` and
+    ``reciprocal`` remain exact IEEE ops rounded at 6 decimals as
+    before.
 
     The function applies to EVERY match before the top-k (applying it
     to a pre-truncated top-k would miss boosted tail docs); the extra
@@ -536,7 +544,17 @@ def function_score_topk(
     TakeOrderedAndProject.  Returns
     ``(id, bm25_score, func_value, score, rank)``.
     """
-    if modifier not in ("none", "reciprocal"):
+    _TRANSCENDENTAL = {
+        "log": lambda v: F.log10(v),
+        "log1p": lambda v: F.log10(v + F.lit(1.0)),
+        "log2p": lambda v: F.log10(v + F.lit(2.0)),
+        "ln": lambda v: F.log(v),
+        "ln1p": lambda v: F.log(v + F.lit(1.0)),
+        "ln2p": lambda v: F.log(v + F.lit(2.0)),
+        "sqrt": lambda v: F.sqrt(v),
+        "square": lambda v: v * v,
+    }
+    if modifier not in ("none", "reciprocal", *_TRANSCENDENTAL):
         raise ValueError(f"unsupported modifier: {modifier}")
     if boost_mode not in ("multiply", "sum", "replace"):
         raise ValueError(f"unsupported boost_mode: {boost_mode}")
@@ -545,7 +563,12 @@ def function_score_topk(
     fv = F.lit(float(factor)) * F.col("_fv")
     if modifier == "reciprocal":
         fv = F.lit(1.0) / (fv + F.lit(1.0))
-    func = F.round(fv, 6)
+        func = F.round(fv, 6)
+    elif modifier in _TRANSCENDENTAL:
+        # the rounded contract: 4 decimals BEFORE combining
+        func = F.round(_TRANSCENDENTAL[modifier](fv), 4)
+    else:
+        func = F.round(fv, 6)
     joined = scored.join(meta, id_col).select(
         F.col(id_col),
         F.col("score").alias("bm25_score"),
@@ -723,12 +746,22 @@ def significant_terms(
     min_term_len: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer=None,
 ) -> DataFrame:
     """ES ``significant_terms``: which terms are unusually common in
     the documents matching ``foreground`` (a bool-query dict) versus
     the whole corpus, scored with ES's JLH heuristic
     ``(fg% - bg%) * (fg% / bg%)`` (rounded to 6 decimals with an
     identical expression tree on every engine).
+
+    With ``analyzer`` set this is ES's ``significant_text``: the
+    statistic runs over the ANALYZED token stream of a text field
+    (stop words never surface as "significant", inflections collapse
+    to their stems) instead of raw whitespace tokens — the only
+    difference ES draws between the two aggregations that matters to
+    a DataFrame engine (its re-analysis/dedup machinery exists
+    because Lucene lacks the token stream at agg time; here the
+    tokens are computed in the same projection either way).
 
     Plan shape: ONE corpus pass explodes distinct (doc, term) rows
     with the compiled foreground predicate riding along as a 0/1
@@ -739,12 +772,14 @@ def significant_terms(
     """
     flag = F.when(compile_bool_query(foreground), F.lit(1)).otherwise(F.lit(0))
     base = docs.withColumn("_fg", flag)
+    if analyzer is not None:
+        tok_arr = analyzer.tokens(F.col(text_col))
+    else:
+        tok_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     terms = base.select(
         F.col(id_col),
         F.col("_fg"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-        ).alias("term"),
+        F.explode(F.array_distinct(tok_arr)).alias("term"),
     ).filter(F.length("term") >= min_term_len)
     counts = terms.groupBy("term").agg(
         F.sum("_fg").cast("long").alias("fg_count"),
@@ -956,6 +991,116 @@ def fuzzy_suggest(
         .filter(F.col("rank") <= top_n)
         .select("query", F.col("term").alias("suggestion"), "count", "distance", "rank")
     )
+
+
+def phrase_suggest(
+    docs: DataFrame,
+    phrase: str,
+    top_n: int = 3,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES phrase suggester ("did you mean") for a TWO-token input:
+    candidate corrections for each token come from the same
+    deletion-neighborhood machinery as :func:`fuzzy_suggest` (each
+    token's corpus-vocabulary terms within edit distance ≤ 1,
+    including itself), and candidate PAIRS are rescored by the corpus
+    bigram frequency — the language-model rescoring that makes the
+    phrase suggester smarter than per-term suggestion ("grean
+    hose" → "green house", because that bigram actually occurs).
+    Only pairs attested as adjacent corpus bigrams rank (the ES
+    ``collate`` idea: prune suggestions that would match nothing);
+    ordering is bigram count desc, then the pair lexicographically —
+    exact integer scoring, no log-probability transcendentals, so any
+    engine ranks identically.
+
+    Two-token inputs cover the dominant "did you mean" shape; longer
+    inputs would need a Viterbi chain over the bigram frame
+    (documented out of scope).
+
+    Plan shape: vocabulary and bigram counts are each ONE hash agg
+    over the exploded corpus; the two candidate sets are
+    deletion-key equi-joins with the broadcast query keys; the final
+    join binds candidates to the bigram frame on its two key columns
+    (equi-join, no cross product — the bigram frame is the join
+    spine).  Returns ``(suggestion, w1, w2, bigram_count, d1, d2,
+    rank)``.
+    """
+    toks = [t for t in phrase.lower().split() if t]
+    if len(toks) != 2:
+        raise ValueError("phrase_suggest handles two-token phrases")
+    spark = docs.sparkSession
+    arr = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    toks_df = docs.select(arr.alias("toks"))
+    vocab = (
+        toks_df.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    # adjacent bigrams: zip the token array with its own tail
+    bigrams = (
+        toks_df.select(
+            F.explode(
+                F.zip_with(
+                    F.col("toks"),
+                    F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(1))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("bigram_count"))
+    )
+
+    def candidates(token: str, out_col: str) -> DataFrame:
+        qk = (
+            spark.range(1)
+            .select(F.lit(token).alias("query"))
+            .select("query", F.explode(_deletion_keys(F.col("query"))).alias("dk"))
+        )
+        vk = vocab.select(
+            "term", F.explode(_deletion_keys(F.col("term"))).alias("dk")
+        )
+        return (
+            vk.join(F.broadcast(qk), "dk")
+            .select("term", "query")
+            .distinct()
+            .withColumn("_d", F.levenshtein("query", "term").cast("long"))
+            .filter(F.col("_d") <= 1)
+            .select(
+                F.col("term").alias(out_col),
+                F.col("_d").alias(f"d{out_col[-1]}"),
+            )
+        )
+
+    c1 = candidates(toks[0], "w1")
+    c2 = candidates(toks[1], "w2")
+    paired = (
+        bigrams.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("suggestion"),
+            "w1",
+            "w2",
+            "bigram_count",
+            "d1",
+            "d2",
+        )
+    )
+    w = Window.orderBy(
+        F.col("bigram_count").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    ranked = paired.orderBy(
+        F.col("bigram_count").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_n)
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # ---------------------------------------------------------------------------

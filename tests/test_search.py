@@ -676,3 +676,79 @@ def test_regexp_query_is_anchored(spark):
         df, {"regexp": {"kind": {"value": "pur(chase)?s?"}}}
     ).collect()}
     assert got == {1, 2, 4}
+
+
+def test_phrase_suggest_bigram_rescoring(spark):
+    from monstache_spark.operators.search import phrase_suggest
+
+    df = spark.createDataFrame(
+        [(1, "green house effect"), (2, "green house gas"), (3, "green horse"),
+         (4, "grain house"), (5, "the green house")],
+        "doc_id long, text string",
+    )
+    out = phrase_suggest(df, "grean hose", top_n=3).collect()
+    assert out[0]["suggestion"] == "green house"   # bigram count 3 wins
+    assert out[0]["bigram_count"] == 3 and out[0]["rank"] == 1
+    sugg = {r["suggestion"] for r in out}
+    assert "green horse" in sugg                   # attested bigram, 1 occurrence
+    assert "grain house" not in sugg               # 'grain' is 2 edits from 'grean'
+    assert all(r["d1"] <= 1 and r["d2"] <= 1 for r in out)
+
+
+def test_percentile_ranks_exact_cdf(spark):
+    from monstache_spark.operators.aggs import compile_aggs
+
+    df = spark.createDataFrame(
+        [(i, "a", float(v)) for i, v in enumerate([10, 20, 30, 40])],
+        "id long, k string, v double",
+    )
+    out = compile_aggs(
+        df,
+        {"k": {"terms": {"field": "k"},
+               "aggs": {"pr": {"percentile_ranks": {"field": "v",
+                                                    "values": [25.0, 40.0]}}}}},
+    ).collect()[0]
+    assert out["pr_rank_25"] == 50.0     # 2 of 4 values <= 25
+    assert out["pr_rank_40"] == 100.0
+
+
+def test_significant_text_analyzer_hides_stopwords(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import significant_terms
+
+    df = spark.createDataFrame(
+        [(1, "en", "the spark joins the data"), (2, "en", "the spark joined data"),
+         (3, "en", "the spark engine"),
+         (4, "de", "the oven"), (5, "de", "the oven"), (6, "de", "the oven")],
+        "doc_id long, lang string, text string",
+    )
+    fg = {"term": {"lang": "en"}}
+    plain = {r["term"] for r in significant_terms(
+        df, fg, size=20, min_doc_count=2
+    ).collect()}
+    assert "the" in plain                # raw tokens: 'the' surfaces
+    analyzed = {r["term"] for r in significant_terms(
+        df, fg, size=20, min_doc_count=2, analyzer=ENGLISH
+    ).collect()}
+    assert "the" not in analyzed         # stopword gone
+    assert "join" in analyzed            # joins/joined collapse to one stem
+
+
+def test_function_score_transcendental_modifiers(spark):
+    import math
+
+    from monstache_spark.operators.search import function_score_topk
+
+    df = spark.createDataFrame(
+        [(1, "spark data", 99.0), (2, "spark engine", 9.0), (3, "other", 0.0)],
+        "doc_id long, text string, pop double",
+    )
+    out = {r["doc_id"]: r["func_value"] for r in function_score_topk(
+        df, ["spark"], "pop", modifier="log1p", boost_mode="replace", k=5
+    ).collect()}
+    assert out[1] == round(math.log10(100.0), 4) == 2.0
+    assert out[2] == 1.0
+    sq = {r["doc_id"]: r["func_value"] for r in function_score_topk(
+        df, ["spark"], "pop", modifier="sqrt", boost_mode="replace", k=5
+    ).collect()}
+    assert sq[1] == round(math.sqrt(99.0), 4)
