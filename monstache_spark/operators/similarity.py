@@ -15,6 +15,8 @@ Two tiers, per the scale plan:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -800,6 +802,416 @@ def semantic_dedup(
         .distinct()
     )
     return cells.join(losers, id_col, "left_anti").select(id_col, "cell", "cell_size")
+
+
+def _norm_col(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+
+
+def knn_join_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    n_fine: int | None = None,
+    max_cell: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Batch ANN via IVF cells — the SCALE path for the all-corpus kNN
+    join (:func:`knn_join` is the LSH co-bucket variant).
+
+    Why IVF beats sign-sketch co-bucketing for the batch join: LSH
+    sign buckets are data-oblivious — clustered corpora (the normal
+    embedding shape) pile into a few buckets, and the co-bucket
+    self-join inflates quadratically inside them (the 100× probe
+    measured ~60 s with the cap engaged).  IVF cells follow the data:
+    centroids land where the mass is, cells stay near-balanced, and
+    candidate volume is ``n_probe · N · avg_cell``.
+
+    Flat mode (``n_fine=None``) assigns against ``n_centroids``
+    broadcast centroids — right when ``n_centroids`` is small.  But a
+    balanced cell size needs ``n_centroids ∝ N``, and flat assignment
+    costs ``N · n_centroids`` dot products — quadratic in N.  The
+    scale path is TWO-LEVEL (``n_fine`` set, the IMI idea): assign to
+    ``n_centroids`` coarse cells, then to one of ``n_fine`` fine
+    centroids chosen WITHIN each coarse cell (its lowest-id members —
+    deterministic, index-free), giving ``n_centroids · n_fine``
+    effective cells at ``N · (n_centroids + n_fine)`` assignment cost
+    — linear in N with cell count scaling multiplicatively.  Probing
+    covers the ``n_probe`` nearest FINE cells within the query's own
+    coarse cell (recall loss at coarse boundaries is the documented
+    trade; raise ``n_centroids``/``n_probe`` to buy it back —
+    measured in tools/scale_probe.py).
+
+    Norms are computed ONCE per row before the candidate join so
+    per-pair work is a single dot; the candidate join is a plain
+    equi-join on the cell id; per-vector top-k is a window over
+    candidate rows.  ``max_cell`` drops over-full cells (same
+    explicit-loss contract as ``knn_join``'s ``max_bucket``).
+    ``centroids`` defaults to the ``n_centroids`` lowest-id vectors
+    (deterministic, oracle-reproducible); pass
+    ``kmeans_centroids(...)`` for the learned production index.
+
+    Returns ``(id_q, id_n, score, rank)``.
+    """
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) < n_centroids)
+    coarse = ivf_assign(emb, centroids, vec_col, id_col, rank_limit=1).select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        F.col("cid").alias("ccell"),
+    ).withColumn("nrm", _norm_col(F.col("v")))
+
+    if n_fine is None:
+        cells = coarse.select(
+            F.col("id").alias("id_n"), F.col("v").alias("vn"),
+            F.col("nrm").alias("nn"), F.col("ccell").alias("cell"),
+        )
+        probes = ivf_assign(
+            emb, centroids, vec_col, id_col, rank_limit=n_probe
+        ).select(
+            F.col(id_col).alias("id_q"),
+            as_double_array(F.col(vec_col)).alias("vq"),
+            F.col("cid").alias("cell"),
+        ).withColumn("nq", _norm_col(F.col("vq")))
+    else:
+        # fine centroids: the n_fine lowest-id members of each coarse
+        # cell — a bounded window over the assigned frame, then a
+        # BROADCAST join back on the coarse cell (n_centroids·n_fine
+        # rows total: index-metadata-sized at any corpus scale)
+        wf = Window.partitionBy("ccell").orderBy(F.col("id").asc())
+        fine_c = (
+            coarse.withColumn("_fr", F.row_number().over(wf))
+            .filter(F.col("_fr") <= n_fine)
+            .select(
+                "ccell",
+                F.col("_fr").alias("fcell"),
+                F.col("v").alias("fv"),
+                F.col("nrm").alias("fn"),
+            )
+        )
+        fd = F.aggregate(
+            F.zip_with(F.col("v"), F.col("fv"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        fden = F.col("nrm") * F.col("fn")
+        fscored = coarse.join(F.broadcast(fine_c), "ccell").select(
+            "id", "v", "nrm", "ccell", "fcell",
+            F.round(
+                F.when(fden > 0, fd / fden).otherwise(F.lit(0.0)), 6
+            ).alias("fs"),
+        )
+        # argmax per vector stays a HashAggregate (fixed-width buffer,
+        # same pattern as ivf_assign's rank-1 path)
+        order = F.struct(F.col("fs").alias("s"), (-F.col("fcell")).alias("nf"))
+        assign = fscored.groupBy("id", "v", "nrm", "ccell").agg(
+            F.max_by("fcell", order).alias("fcell")
+        )
+        cells = assign.select(
+            F.col("id").alias("id_n"), F.col("v").alias("vn"),
+            F.col("nrm").alias("nn"),
+            F.col("ccell"), F.col("fcell"),
+        )
+        wp = Window.partitionBy("id").orderBy(
+            F.col("fs").desc(), F.col("fcell").asc()
+        )
+        probes = (
+            fscored.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= n_probe)
+            .select(
+                F.col("id").alias("id_q"), F.col("v").alias("vq"),
+                F.col("nrm").alias("nq"),
+                F.col("ccell"), F.col("fcell"),
+            )
+        )
+
+    join_keys = ["cell"] if n_fine is None else ["ccell", "fcell"]
+    if max_cell is not None:
+        keep = (
+            cells.groupBy(*join_keys)
+            .agg(F.count("*").alias("_m"))
+            .filter(F.col("_m") <= max_cell)
+            .select(*join_keys)
+        )
+        cells = cells.join(F.broadcast(keep), join_keys)
+    pairs = probes.join(cells, join_keys).filter(F.col("id_q") != F.col("id_n"))
+    d = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vn"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("nq") * F.col("nn")
+    scored = pairs.select(
+        "id_q",
+        "id_n",
+        F.round(F.when(denom > 0, d / denom).otherwise(F.lit(0.0)), 6).alias("score"),
+    )
+    # a corpus vector lives in exactly one cell, so a neighbor can
+    # surface at most once per query — no dedup agg needed
+    w = Window.partitionBy("id_q").orderBy(F.col("score").desc(), F.col("id_n").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_join_pq(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 32,
+    n_fine: int = 32,
+    n_probe: int = 2,
+    m: int = 8,
+    k_sub: int = 16,
+    rerank: int | None = None,
+    max_cell: int | None = None,
+    sub_codes: int = 0,
+    code_probes: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """The SCALE path for the all-corpus kNN join: two-level IVF
+    candidate cells + PQ symmetric-distance (SDC) candidate ranking +
+    bounded exact re-rank.
+
+    Why this shape wins at 100 TB: the LSH co-bucket join
+    (:func:`knn_join`) and the raw IVF join (:func:`knn_join_ivf`)
+    both pay a full-width dot product per candidate PAIR — the
+    dominant cost, since pairs outnumber vectors by orders of
+    magnitude, and every pair row carries two raw vectors through the
+    shuffle.  Here candidate pairs are scored in the COMPRESSED
+    domain (Jegou/Douze/Schmid PAMI'11, symmetric variant): each
+    vector's ``m`` PQ codes pack into ONE long, the ``m · k_sub²``
+    codeword-pair distance table enters the plan as literal arrays
+    (index metadata — 2 KB at the defaults), and a pair's approximate
+    distance is ``m`` codegen bit-extracts + array lookups.  No
+    interpreted HOF per pair, no vectors in the pair shuffle (16
+    bytes/row instead of ~1 KB).  Only the top-``rerank`` SDC
+    candidates per query (default ``4k``) are re-scored with the
+    exact cosine — ``N · rerank`` full-width dots instead of
+    ``N · avg_cell · n_probe``.
+
+    Candidate cells are the two-level IVF assignment of
+    :func:`knn_join_ivf` (coarse broadcast centroids, fine lowest-id
+    members per coarse cell): ``N · (n_centroids + n_fine)``
+    assignment dots, ``n_centroids · n_fine`` effective cells.  The
+    codebooks/centroids frames are the same ones
+    :func:`write_ivfpq_index` materializes — a maintained IVF-PQ
+    index feeds this join for free.  The one driver-side collect is
+    the codebook (``m · k_sub`` rows — index metadata, never
+    corpus-sized).
+
+    ``sub_codes > 0`` arms the CODE SUB-SPLIT for corpora whose
+    natural clusters overwhelm geometric cells (IVF cells can only be
+    as fine as the centroid set; a tight million-vector cluster stays
+    one giant cell and the co-cell pair count goes quadratic).  The
+    first ``sub_codes`` PQ codes extend the cell key — cells split
+    ``k_sub^sub_codes`` ways ALONG THE DATA's own quantization — and
+    a query probes, per split code, only the ``code_probes`` nearest
+    codewords to its own (nearness read off the SDC table
+    driver-side: index metadata, zero extra passes).  Pair volume
+    shrinks ~``(code_probes/k_sub)^sub_codes`` while close neighbors
+    — whose codes agree or are adjacent by construction — stay
+    co-probed; the recall trade is explicit and measured
+    (tools/scale_probe.py).
+
+    Returns ``(id_q, id_n, score, rank)`` — same contract as
+    :func:`knn_join` (cosine, rounded 6, ties on id).
+    """
+    rerank = rerank or 4 * k
+    bits = max(1, (k_sub - 1).bit_length())
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) < n_centroids)
+    if codebooks is None:
+        codebooks = pq_codebooks(emb, dim, m, k_sub, vec_col, id_col)
+
+    # SDC table: squared-L2 micro-distance between every codeword pair
+    # per subspace — m * k_sub^2 ints, literal arrays in the plan.
+    # Built from ONE control-plane collect of the codebook frame.
+    cb = {}
+    for r in codebooks.collect():
+        cb[(int(r["m"]), int(r["code"]))] = list(r["sub"])
+    sdc: list[list[int]] = []
+    for mi in range(m):
+        flat = []
+        for c1 in range(k_sub):
+            for c2 in range(k_sub):
+                a = cb.get((mi, c1))
+                b = cb.get((mi, c2))
+                if a is None or b is None:
+                    flat.append(0)
+                    continue
+                acc = 0.0
+                for x, y in zip(a, b):
+                    acc += (x - y) * (x - y)
+                # floor(x+0.5), not Python round(): banker's rounding
+                # would diverge from Spark/DuckDB half-up on exact .5
+                flat.append(int(math.floor(acc * 1_000_000.0 + 0.5)))
+        sdc.append(flat)
+
+    # two-level cell assignment — vectors NEVER enter a shuffle here:
+    # the argmax groups by (id, ccell) with a fixed-width buffer, and
+    # probes window over (id, ccell, fcell, fs) scalar rows
+    coarse = ivf_assign(emb, centroids, vec_col, id_col, rank_limit=1).select(
+        F.col(id_col).alias("id"),
+        as_double_array(F.col(vec_col)).alias("v"),
+        F.col("cid").alias("ccell"),
+    ).withColumn("nrm", _norm_col(F.col("v")))
+    wf = Window.partitionBy("ccell").orderBy(F.col("id").asc())
+    fine_c = (
+        coarse.withColumn("_fr", F.row_number().over(wf))
+        .filter(F.col("_fr") <= n_fine)
+        .select(
+            "ccell", F.col("_fr").alias("fcell"),
+            F.col("v").alias("fv"), F.col("nrm").alias("fn"),
+        )
+    )
+    fd = F.aggregate(
+        F.zip_with(F.col("v"), F.col("fv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    fden = F.col("nrm") * F.col("fn")
+    fscored = coarse.join(F.broadcast(fine_c), "ccell").select(
+        "id", "ccell", "fcell",
+        F.round(F.when(fden > 0, fd / fden).otherwise(F.lit(0.0)), 6).alias("fs"),
+    )
+    order = F.struct(F.col("fs").alias("s"), (-F.col("fcell")).alias("nf"))
+    cells = fscored.groupBy("id", "ccell").agg(
+        F.max_by("fcell", order).alias("fcell")
+    )
+    wp = Window.partitionBy("id").orderBy(F.col("fs").desc(), F.col("fcell").asc())
+    probes = (
+        fscored.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("id", "ccell", "fcell")
+    )
+
+    # packed PQ codes: one long per vector (bits per code, m codes).
+    # The explicit-width repartition before the subspace explode is
+    # load-bearing: the encode join amplifies rows m·k_sub× and a
+    # small-bytes input scan would otherwise run it on 2 tasks
+    # (the _spread lesson — AQE sizes on pre-explode bytes).
+    nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    codes = pq_encode(
+        emb.repartition(nparts, F.col(id_col)), codebooks, dim, m, vec_col, id_col
+    )
+    packed = codes.groupBy(id_col).agg(
+        F.sum(
+            (F.col("code") * F.pow(F.lit(2.0), F.col("m") * bits)).cast("long")
+        ).alias("pk")
+    ).select(F.col(id_col).alias("id"), "pk")
+
+    cells_c = cells.join(packed, "id").select(
+        F.col("id").alias("id_n"), "ccell", "fcell", F.col("pk").alias("pk_n")
+    )
+    probes_c = probes.join(packed, "id").select(
+        F.col("id").alias("id_q"), "ccell", "fcell", F.col("pk").alias("pk_q")
+    )
+    if max_cell is not None:
+        keep = (
+            cells_c.groupBy("ccell", "fcell")
+            .agg(F.count("*").alias("_m"))
+            .filter(F.col("_m") <= max_cell)
+            .select("ccell", "fcell")
+        )
+        cells_c = cells_c.join(F.broadcast(keep), ["ccell", "fcell"])
+
+    join_keys = ["ccell", "fcell"]
+    if sub_codes > 0:
+        mask_i = (1 << bits) - 1
+        probe_side = probes_c
+        for ci in range(sub_codes):
+            # per-code probe lists: the code_probes nearest codewords
+            # to each codeword of subspace ci, by the SDC table —
+            # driver-side index metadata rendered as one literal
+            # array-of-arrays
+            near = []
+            for c1 in range(k_sub):
+                ranked = sorted(
+                    range(k_sub), key=lambda c2: (sdc[ci][c1 * k_sub + c2], c2)
+                )
+                near.append(ranked[:code_probes])
+            probe_map = F.array(
+                *[F.array(*[F.lit(c) for c in row]) for row in near]
+            )
+            cq = F.shiftright(F.col("pk_n"), bits * ci).bitwiseAND(F.lit(mask_i))
+            cells_c = cells_c.withColumn(f"sc{ci}", cq.cast("int"))
+            pq_code = F.shiftright(F.col("pk_q"), bits * ci).bitwiseAND(
+                F.lit(mask_i)
+            )
+            probe_side = probe_side.withColumn(
+                f"sc{ci}",
+                F.explode(F.element_at(probe_map, pq_code.cast("int") + F.lit(1))),
+            )
+            join_keys.append(f"sc{ci}")
+        probes_c = probe_side
+
+    # the packed cell index is ~16 bytes/vector — BROADCAST it, so
+    # pair generation is map-side over the id-partitioned probe side:
+    # no shuffle, no skew hotspot however fat a cell is, and the
+    # downstream shortlist window finds each query's pairs already
+    # co-partitioned by id_q (its partial group-limit then cuts the
+    # window shuffle to ≤ rerank rows per query).  At corpora where
+    # 16·N outgrows the broadcast budget, drop the hint: the same
+    # equi-join shuffles on the cell key instead.
+    pairs = probes_c.repartition(nparts, F.col("id_q")).join(
+        F.broadcast(cells_c), join_keys
+    ).filter(F.col("id_q") != F.col("id_n"))
+    mask = F.lit((1 << bits) - 1)
+    d_micro: Column = F.lit(0).cast("long")
+    for mi in range(m):
+        cq = F.shiftright(F.col("pk_q"), bits * mi).bitwiseAND(mask)
+        cn = F.shiftright(F.col("pk_n"), bits * mi).bitwiseAND(mask)
+        tbl = F.array(*[F.lit(x) for x in sdc[mi]])
+        d_micro = d_micro + F.element_at(tbl, (cq * k_sub + cn + 1).cast("int"))
+    cand = pairs.select("id_q", "id_n", d_micro.alias("d_micro"))
+    wc = Window.partitionBy("id_q").orderBy(
+        F.col("d_micro").asc(), F.col("id_n").asc()
+    )
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= rerank)
+        .select("id_q", "id_n")
+    )
+
+    # exact re-rank of the bounded shortlist (N·rerank full-width dots)
+    vecs = emb.select(
+        F.col(id_col).alias("id"), as_double_array(F.col(vec_col)).alias("v")
+    ).withColumn("nrm", _norm_col(F.col("v")))
+    qside = vecs.select(
+        F.col("id").alias("id_q"), F.col("v").alias("vq"), F.col("nrm").alias("nq")
+    )
+    nside = vecs.select(
+        F.col("id").alias("id_n"), F.col("v").alias("vn"), F.col("nrm").alias("nn")
+    )
+    joined = shortlist.join(qside, "id_q").join(nside, "id_n")
+    dd = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("vn"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.col("nq") * F.col("nn")
+    scored = joined.select(
+        "id_q",
+        "id_n",
+        F.round(F.when(denom > 0, dd / denom).otherwise(F.lit(0.0)), 6).alias("score"),
+    )
+    w = Window.partitionBy("id_q").orderBy(F.col("score").desc(), F.col("id_n").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def knn_join(

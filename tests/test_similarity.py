@@ -301,3 +301,155 @@ def test_knn_join_multi_table_dedups_and_ranks(spark):
     # identical-direction vectors (same i%3 class) score 1.0 at rank 1
     top = {r["id_q"]: r for r in rows if r["rank"] == 1}
     assert all(v["score"] == 1.0 for v in top.values())
+
+
+def test_knn_join_ivf_full_probe_is_exact(spark):
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, knn_join_ivf
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # probing EVERY cell makes IVF exhaustive -> must equal brute force
+    got = {
+        (r["id_q"], r["rank"]): r["id_n"]
+        for r in knn_join_ivf(emb, k=3, n_centroids=4, n_probe=4).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in brute_force_topk(emb, emb, k=3).collect()
+    }
+    assert got == want
+
+
+def test_knn_join_ivf_partial_probe_recall(spark):
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, knn_join_ivf
+
+    random.seed(11)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = knn_join_ivf(emb, k=3, n_centroids=6, n_probe=2).collect()
+    exact = brute_force_topk(emb, emb, k=3).collect()
+    got = {(r["id_q"], r["id_n"]) for r in approx}
+    want = {(r["query_id"], r["corpus_id"]) for r in exact}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5          # partial probe keeps useful recall
+    # every query still gets k answers (cells are non-empty)
+    from collections import Counter
+    per_q = Counter(r["id_q"] for r in approx)
+    assert all(v == 3 for v in per_q.values())
+
+
+def test_knn_join_ivf_max_cell_drops_fat_cells(spark):
+    from monstache_spark.operators.similarity import knn_join_ivf
+
+    # 10 identical vectors land in one cell; cap 5 drops that cell
+    rows = [(i, [1.0, 0.0]) for i in range(10)] + [(10 + i, [0.0, 1.0]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = knn_join_ivf(emb, k=2, n_centroids=2, n_probe=1, max_cell=5).collect()
+    # neighbors only come from the small surviving cell
+    assert all(r["id_n"] >= 10 for r in out)
+
+
+def test_knn_join_ivf_two_level_exhaustive_single_coarse(spark):
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, knn_join_ivf
+
+    random.seed(3)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # one coarse cell + probing every fine cell => exhaustive => exact
+    got = {
+        (r["id_q"], r["rank"]): r["id_n"]
+        for r in knn_join_ivf(
+            emb, k=3, n_centroids=1, n_fine=5, n_probe=5
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in brute_force_topk(emb, emb, k=3).collect()
+    }
+    assert got == want
+
+
+def test_knn_join_ivf_two_level_recall(spark):
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, knn_join_ivf
+
+    random.seed(19)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = knn_join_ivf(emb, k=3, n_centroids=3, n_fine=4, n_probe=2).collect()
+    exact = brute_force_topk(emb, emb, k=3).collect()
+    got = {(r["id_q"], r["id_n"]) for r in approx}
+    want = {(r["query_id"], r["corpus_id"]) for r in exact}
+    assert len(got & want) / len(want) >= 0.35  # bounded probe, useful recall
+
+
+def test_knn_join_pq_recall_and_contract(spark):
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, knn_join_pq
+
+    random.seed(23)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = knn_join_pq(
+        emb, dim=16, k=3, n_centroids=2, n_fine=4, n_probe=4,
+        m=4, k_sub=8, rerank=20,
+    ).collect()
+    exact = brute_force_topk(emb, emb, k=3).collect()
+    got = {(r["id_q"], r["id_n"]) for r in approx}
+    want = {(r["query_id"], r["corpus_id"]) for r in exact}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5
+    # rerank scores are EXACT cosine: every returned pair's score
+    # matches the brute-force score for that pair
+    exact_scores = {
+        (r["query_id"], r["corpus_id"]): r["score"] for r in exact
+    }
+    for r in approx:
+        key = (r["id_q"], r["id_n"])
+        if key in exact_scores:
+            assert r["score"] == exact_scores[key]
+    assert all(1 <= r["rank"] <= 3 for r in approx)
+
+
+def test_knn_join_pq_code_subsplit_keeps_close_pairs(spark):
+    import random
+
+    from monstache_spark.operators.similarity import brute_force_topk, knn_join_pq
+
+    random.seed(29)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    approx = knn_join_pq(
+        emb, dim=16, k=3, n_centroids=2, n_fine=4, n_probe=4,
+        m=4, k_sub=8, rerank=20, sub_codes=1, code_probes=8,
+    ).collect()
+    # probing ALL codewords of the split code == no sub-split at all
+    full = knn_join_pq(
+        emb, dim=16, k=3, n_centroids=2, n_fine=4, n_probe=4,
+        m=4, k_sub=8, rerank=20,
+    ).collect()
+    assert {(r["id_q"], r["id_n"], r["rank"]) for r in approx} == {
+        (r["id_q"], r["id_n"], r["rank"]) for r in full
+    }
+    # a narrow probe still finds the exact clones
+    emb2 = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_join_pq(
+        emb2, dim=4, k=2, n_centroids=2, n_fine=2, n_probe=2,
+        m=2, k_sub=4, rerank=10, sub_codes=1, code_probes=1,
+    ).collect()
+    exact = brute_force_topk(emb2, emb2, k=2).collect()
+    got = {(r["id_q"], r["id_n"]) for r in out}
+    want = {(r["query_id"], r["corpus_id"]) for r in exact}
+    assert len(got & want) / len(want) >= 0.9
