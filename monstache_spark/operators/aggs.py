@@ -63,6 +63,8 @@ _METRIC_KINDS = {
     "value_count",
     "cardinality",
     "stats",
+    "extended_stats",
+    "weighted_avg",
     "percentiles",
     "percentile_ranks",
 }
@@ -75,6 +77,7 @@ _BUCKET_KINDS = {
     "date_histogram",
     "range",
     "filters",
+    "missing",
 }
 
 _CALENDAR_TRUNC = {
@@ -155,6 +158,11 @@ def _bucket_key_col(kind: str, spec: dict) -> Column:
         if iv not in _CALENDAR_TRUNC:
             raise ValueError(f"unsupported date_histogram interval: {iv}")
         return F.date_trunc(_CALENDAR_TRUNC[iv], field)
+    if kind == "missing":
+        # ES missing agg: ONE bucket counting docs where the field is
+        # null/absent — inverted null handling (null keys normally
+        # drop), expressed as a constant key on exactly those rows
+        return F.when(field.isNull(), F.lit("missing"))
     raise ValueError(kind)
 
 
@@ -196,6 +204,15 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
     result to double — order-independent, so totals are identical on
     any engine and any partitioning (float summation order is not).
     """
+    if kind == "weighted_avg":
+        # ES weighted_avg: Σ(value·weight)/Σ(weight), both sums exact
+        # decimal so the quotient's inputs are engine-identical
+        v = F.col(spec["value"]["field"]).cast("decimal(38,6)")
+        wt = F.col(spec["weight"]["field"]).cast("decimal(38,6)")
+        both = v.isNotNull() & wt.isNotNull()
+        num = F.sum(F.when(both, (v * wt).cast("decimal(38,6)"))).cast("double")
+        den = F.sum(F.when(both, wt)).cast("double")
+        return [(num / den).alias(name)]
     field = F.col(spec["field"])
     dec = field.cast("decimal(38,6)")
     exact_sum = F.sum(dec).cast("double")
@@ -246,6 +263,27 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
                 f"{name}_p{_pct_suffix(p)}"
             )
             for p in pcts
+        ]
+    if kind == "extended_stats":
+        # ES extended_stats: stats + sum_of_squares / variance /
+        # std_deviation.  Sums accumulate exact decimal; variance =
+        # sos/n − mean² computed from those identical doubles, and
+        # std = sqrt(variance) — IEEE-754 sqrt is correctly rounded,
+        # so even the square root is engine-exact (no libm contract
+        # needed).  Population variance, as ES reports.
+        sos = F.sum((dec * dec).cast("decimal(38,6)")).cast("double")
+        n = F.count(field).cast("double")
+        mean = exact_sum / n
+        variance = sos / n - mean * mean
+        return [
+            F.count(field).cast("long").alias(f"{name}_count"),
+            F.min(field.cast("double")).alias(f"{name}_min"),
+            F.max(field.cast("double")).alias(f"{name}_max"),
+            exact_avg.alias(f"{name}_avg"),
+            exact_sum.alias(f"{name}_sum"),
+            sos.alias(f"{name}_sum_of_squares"),
+            F.round(variance, 6).alias(f"{name}_variance"),
+            F.round(F.sqrt(variance), 6).alias(f"{name}_std_deviation"),
         ]
     if kind == "percentile_ranks":
         # ES percentile_ranks: for each requested value, the percent
@@ -525,11 +563,49 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     return grouped
 
 
+def sampler_agg(
+    df: DataFrame,
+    shard_size: int,
+    id_col: str = "doc_id",
+    dedup_field: str | None = None,
+    max_docs_per_value: int = 1,
+) -> DataFrame:
+    """ES ``sampler`` / ``diversified_sampler`` aggregation: restrict
+    any sub-aggregation to a bounded, deterministic sample of the
+    input — "aggregate over the best 100 matches, not the whole
+    index".  ES samples the top-scoring docs per shard; with no
+    scorer in the agg path the engine's documented deterministic
+    stand-in is the ``shard_size`` LOWEST-id docs (pass a pre-ranked
+    frame to sample by any other criterion — the operator only needs
+    a total order).
+
+    ``dedup_field`` arms the diversified variant: at most
+    ``max_docs_per_value`` docs per distinct value of the field enter
+    the sample (the "don't let one author dominate" contract), via a
+    bounded per-value window BEFORE the global cut.
+
+    Returns the SAMPLE as a frame — compose any agg over it (exactly
+    how ES nests sub-aggs under the sampler).  Plan: optional window
+    (WindowGroupLimit pushes the per-value cutoff into the sort) +
+    TakeOrderedAndProject for the global cut — never a full sort.
+    """
+    out = df
+    if dedup_field is not None:
+        w = Window.partitionBy(dedup_field).orderBy(F.col(id_col).asc())
+        out = (
+            out.withColumn("_dr", F.row_number().over(w))
+            .filter(F.col("_dr") <= max_docs_per_value)
+            .drop("_dr")
+        )
+    return out.orderBy(F.col(id_col).asc()).limit(shard_size)
+
+
 def nested_aggs(
     df: DataFrame,
     path: str,
     aggs: dict,
     parent_filter: dict | None = None,
+    parent_id_col: str | None = None,
 ) -> DataFrame:
     """ES ``nested`` aggregation: re-scope the aggregation context
     from parent documents to the ELEMENTS of the array-of-struct at
@@ -543,6 +619,15 @@ def nested_aggs(
     docs first (the standard query-then-nested-agg request shape) —
     compiled as a plain predicate so it pushes into the scan before
     the explode.
+
+    ``parent_id_col`` arms ES's ``reverse_nested``: each bucket also
+    reports ``parent_doc_count`` — how many PARENT documents
+    contribute at least one element to the bucket ("how many orders
+    contain a returned item", not "how many returned items").  The
+    parent id rides through the explode and a distinct-count per
+    top-level bucket key joins back onto the bucket frame
+    (bucket-cardinality broadcast join).  Single-bucket-level trees
+    only — a nested reverse_nested would need the full key chain.
 
     Plan shape: parent filter (pushdown-eligible) → one explode of
     the nested array (amplification = avg array length, the same
@@ -558,7 +643,6 @@ def nested_aggs(
     out = df
     if parent_filter is not None:
         out = out.filter(compile_bool_query(parent_filter))
-    elem = out.select(F.explode(F.col(path)).alias("_e")).select("_e.*")
     prefix = path + "."
 
     def strip(node: dict) -> dict:
@@ -571,7 +655,28 @@ def nested_aggs(
             fixed[k] = v
         return fixed
 
-    return compile_aggs(elem, strip(aggs))
+    stripped = strip(aggs)
+    if parent_id_col is None:
+        elem = out.select(F.explode(F.col(path)).alias("_e")).select("_e.*")
+        return compile_aggs(elem, stripped)
+
+    if len(stripped) != 1:
+        raise ValueError("reverse_nested requires a single top-level bucket agg")
+    ((name, body),) = stripped.items()
+    kind, spec = _one(body)
+    if kind not in _BUCKET_KINDS:
+        raise ValueError("reverse_nested requires a bucket agg at the top level")
+    elem = out.select(
+        F.col(parent_id_col).alias("_pid"), F.explode(F.col(path)).alias("_e")
+    ).select("_pid", "_e.*")
+    buckets = compile_aggs(elem.drop("_pid"), stripped)
+    parents = (
+        elem.withColumn(name, _bucket_key_col(kind, spec))
+        .filter(F.col(name).isNotNull())
+        .groupBy(name)
+        .agg(F.count_distinct(F.col("_pid")).cast("long").alias("parent_doc_count"))
+    )
+    return buckets.join(F.broadcast(parents), name, "left")
 
 
 def compile_sibling_aggs(

@@ -111,6 +111,104 @@ def distance_predicate(lat: Column, lon: Column, origin, distance) -> Column:
     )
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bits(precision: int) -> tuple[int, int]:
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    return lon_bits, lat_bits
+
+
+def geohash_cell(lat: Column, lon: Column, precision: int = 5) -> Column:
+    """Geohash cell string at ``precision`` chars — EXACT arithmetic:
+    quantize lon/lat to ``ceil(5p/2)``/``floor(5p/2)`` bits with one
+    IEEE multiply + floor (deterministic on every engine), interleave
+    the bits MSB-first starting with longitude, and base32-encode 5
+    bits per character.  No transcendentals, so geohash bucket
+    membership is hash-exact cross-engine — unlike ES's geotile_grid,
+    whose Mercator ``ln·tan`` would need a rounding contract."""
+    lon_bits, lat_bits = _geohash_bits(precision)
+    lon_idx = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    lat_idx = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+    chars = []
+    for j in range(precision):
+        code: Column = F.lit(0)
+        for i in range(5):
+            k = 5 * j + i  # global bit index from the MSB
+            if k % 2 == 0:
+                pos = lon_bits - 1 - k // 2
+                bit = F.shiftright(lon_idx, pos).bitwiseAND(F.lit(1))
+            else:
+                pos = lat_bits - 1 - (k - 1) // 2
+                bit = F.shiftright(lat_idx, pos).bitwiseAND(F.lit(1))
+            code = code + bit * F.lit(1 << (4 - i))
+        chars.append(F.lit(_GEOHASH32).substr(code + F.lit(1), F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_sql(lat: str, lon: str, precision: int = 5) -> str:
+    """DuckDB rendering of :func:`geohash_cell` — same quantization,
+    same interleave, same alphabet, exact hash parity."""
+    lon_bits, lat_bits = _geohash_bits(precision)
+    lon_idx = (
+        f"least(CAST(floor((({lon}) + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT), "
+        f"{(1 << lon_bits) - 1})"
+    )
+    lat_idx = (
+        f"least(CAST(floor((({lat}) + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT), "
+        f"{(1 << lat_bits) - 1})"
+    )
+    parts = []
+    for j in range(precision):
+        terms = []
+        for i in range(5):
+            k = 5 * j + i
+            if k % 2 == 0:
+                pos = lon_bits - 1 - k // 2
+                terms.append(f"(({lon_idx} >> {pos}) & 1) * {1 << (4 - i)}")
+            else:
+                pos = lat_bits - 1 - (k - 1) // 2
+                terms.append(f"(({lat_idx} >> {pos}) & 1) * {1 << (4 - i)}")
+        code = " + ".join(terms)
+        parts.append(f"substr('{_GEOHASH32}', CAST({code} AS INTEGER) + 1, 1)")
+    return " || ".join(parts)
+
+
+def geohash_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 5,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``geohash_grid`` aggregation: doc counts per geohash cell at
+    ``precision``, count-desc (ties on the cell key) truncated to
+    ``size`` — the map-clustering agg every geo dashboard issues.
+    One codegen cell projection + one hash agg +
+    TakeOrderedAndProject; null coordinates drop as in ES."""
+    out = (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .select(
+            geohash_cell(F.col(lat_col), F.col(lon_col), precision).alias("geohash")
+        )
+        .groupBy("geohash")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+    )
+    if size is not None:
+        out = out.orderBy(
+            F.col("doc_count").desc(), F.col("geohash").asc()
+        ).limit(size)
+    return out
+
+
 def geo_distance_buckets(
     df: DataFrame,
     lat_col: str,

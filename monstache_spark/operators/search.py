@@ -884,12 +884,48 @@ def _deletion_keys(term: Column) -> Column:
     return F.array_distinct(F.concat(F.array(term), dels))
 
 
+def _deletion_keys2(term: Column) -> Column:
+    """Deletion neighborhood for edit distance 2: every string
+    reachable by deleting ≤ 2 characters (1 + L + L(L−1)/2 keys per
+    term — SymSpell's guarantee extends: two strings within
+    Damerau-Levenshtein distance 2 share at least one such key).
+    Vocabulary-side cost is Heaps-law-bounded; the keys never touch
+    corpus-sized rows."""
+    one = _deletion_keys(term)
+    return F.array_distinct(
+        F.flatten(F.transform(one, lambda d: _deletion_keys(d)))
+    )
+
+
+def _swap_at(s: Column, i: Column) -> Column:
+    """``s`` with the adjacent pair at 1-based positions (i, i+1)
+    transposed."""
+    return F.concat(
+        F.substring(s, F.lit(1), (i - 1).cast("int")),
+        F.substring(s, (i + 1).cast("int"), F.lit(1)),
+        F.substring(s, i.cast("int"), F.lit(1)),
+        F.substring(s, (i + 2).cast("int"), F.length(s)),
+    )
+
+
+def _is_swap(a: Column, b: Column) -> Column:
+    """True iff ``b`` is ``a`` with ONE adjacent transposition."""
+    return (
+        (F.length(a) == F.length(b))
+        & (F.length(a) >= 2)
+        & F.exists(
+            F.sequence(F.lit(1), F.length(a) - 1), lambda i: _swap_at(a, i) == b
+        )
+    )
+
+
 def fuzzy_suggest(
     docs: DataFrame,
     query_terms: list[str],
     top_n: int = 3,
     min_count: int = 1,
     damerau: bool = False,
+    max_edits: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -907,6 +943,19 @@ def fuzzy_suggest(
     levenshtein == 1 OR (equal length AND levenshtein == 2 AND some
     single adjacent swap of q equals t) — a small per-candidate
     expression over candidate-sized rows, no UDF.
+
+    ``max_edits=2`` widens the search to Damerau-Levenshtein ≤ 2 (ES
+    ``fuzziness: 2``): candidates come from the ≤2-deletion key set
+    (:func:`_deletion_keys2`), and UNRESTRICTED DL at threshold 2 is
+    decided exactly without a DP by case decomposition over the two
+    operations — ``lev ≤ 2`` (two pure edits, or one transposition
+    whose lev is 2), swap+edit in either order (a single adjacent
+    transposition enumerated on EITHER string brings the pair within
+    lev 1 — enumerating only one side would miss edit-then-swap), or
+    a double transposition (two swap enumerations nested).  This is
+    true DL, not OSA: 'ca'→'abc' is distance 2 here, matching
+    DuckDB's damerau_levenshtein and Lucene's transposition-aware
+    automaton, where optimal-string-alignment would say 3.
 
     SymSpell candidate generation (Garbe's deletion-neighborhood
     algorithm, re-derived as a DataFrame plan): the corpus vocabulary
@@ -936,6 +985,7 @@ def fuzzy_suggest(
     )
     # the query list enters as a literal-array explode (LocalRelation),
     # not createDataFrame — keeps the whole plan JVM-side
+    keys_fn = _deletion_keys2 if max_edits >= 2 else _deletion_keys
     qdf = (
         spark.range(1)
         .select(
@@ -943,37 +993,37 @@ def fuzzy_suggest(
                 F.array(*[F.lit(q.lower()) for q in sorted(set(query_terms))])
             ).alias("query")
         )
-        .select("query", F.explode(_deletion_keys(F.col("query"))).alias("dk"))
+        .select("query", F.explode(keys_fn(F.col("query"))).alias("dk"))
     )
     vkeys = vocab.select(
-        "term", "count", F.explode(_deletion_keys(F.col("term"))).alias("dk")
+        "term", "count", F.explode(keys_fn(F.col("term"))).alias("dk")
     )
     lev = F.levenshtein("query", "term")
-    if damerau:
-        q, t = F.col("query"), F.col("term")
-        # q with the adjacent pair at (i, i+1) swapped, 1-based i
-        def swap_at(i: Column) -> Column:
-            return F.concat(
-                F.substring(q, F.lit(1), (i - 1).cast("int")),
-                F.substring(q, (i + 1).cast("int"), F.lit(1)),
-                F.substring(q, i.cast("int"), F.lit(1)),
-                F.substring(q, (i + 2).cast("int"), F.length(q)),
-            )
-
-        is_swap = (
-            (F.length(q) == F.length(t))
-            & (F.length(q) >= 2)
-            & F.exists(
-                F.sequence(F.lit(1), F.length(q) - 1),
-                lambda i: swap_at(i) == t,
-            )
-        )
+    q, t = F.col("query"), F.col("term")
+    if damerau or max_edits >= 2:
+        is_swap = _is_swap(q, t)
         dist = (
             F.when(q == t, F.lit(0))
             .when(lev == 1, F.lit(1))
             .when((lev == 2) & is_swap, F.lit(1))
-            .otherwise(lev)
         )
+        if max_edits >= 2:
+            # unrestricted DL = 2 tiers: two pure edits; one swap (on
+            # either string) + one edit; two swaps
+            swaps_q = F.sequence(F.lit(1), F.greatest(F.length(q) - 1, F.lit(1)))
+            swaps_t = F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1)))
+            two = (
+                (lev <= 2)
+                | F.exists(
+                    swaps_q,
+                    lambda i: (F.levenshtein(_swap_at(q, i), t) <= 1)
+                    | _is_swap(_swap_at(q, i), t),
+                )
+                | F.exists(swaps_t, lambda j: F.levenshtein(q, _swap_at(t, j)) <= 1)
+            )
+            dist = dist.when(two, F.lit(2))  # else NULL → filtered
+        else:
+            dist = dist.otherwise(lev)
     else:
         dist = lev
     cand = (
@@ -981,7 +1031,7 @@ def fuzzy_suggest(
         .select("query", "term", "count")
         .distinct()
         .withColumn("distance", dist.cast("long"))
-        .filter(F.col("distance") <= 1)
+        .filter(F.col("distance").isNotNull() & (F.col("distance") <= max_edits))
     )
     w = Window.partitionBy("query").orderBy(
         F.col("distance").asc(), F.col("count").desc(), F.col("term").asc()

@@ -677,3 +677,79 @@ def test_terms_order_metric_rejected_on_non_leaf(ev):
                 }
             },
         ).collect()
+
+
+def test_nested_aggs_reverse_nested_parent_counts(spark):
+    from monstache_spark.operators.aggs import nested_aggs
+
+    df = spark.createDataFrame(
+        [
+            (1, [("R",), ("R",), ("N",)]),
+            (2, [("R",)]),
+            (3, [("N",)]),
+        ],
+        "doc_id long, items array<struct<flag:string>>",
+    )
+    out = {r["by_flag"]: (r["doc_count"], r["parent_doc_count"]) for r in nested_aggs(
+        df, "items", {"by_flag": {"terms": {"field": "items.flag"}}},
+        parent_id_col="doc_id",
+    ).collect()}
+    # R: 3 elements from 2 parents; N: 2 elements from 2 parents
+    assert out == {"R": (3, 2), "N": (2, 2)}
+
+
+def test_weighted_avg_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0, 1.0), (2, "a", 20.0, 3.0), (3, "a", None, 5.0),
+         (4, "a", 30.0, None)],
+        "id long, k string, v double, w double",
+    )
+    out = compile_aggs(
+        df, {"k": {"terms": {"field": "k"},
+                   "aggs": {"wa": {"weighted_avg": {"value": {"field": "v"},
+                                                    "weight": {"field": "w"}}}}}}
+    ).collect()[0]
+    # only rows with BOTH value and weight count: (10*1 + 20*3)/(1+3)
+    assert out["wa"] == 17.5
+
+
+def test_extended_stats_variance_and_std(spark):
+    df = spark.createDataFrame(
+        [(i, "a", float(v)) for i, v in enumerate([2, 4, 4, 4, 5, 5, 7, 9])],
+        "id long, k string, v double",
+    )
+    out = compile_aggs(
+        df, {"k": {"terms": {"field": "k"},
+                   "aggs": {"es": {"extended_stats": {"field": "v"}}}}}
+    ).collect()[0]
+    # classic example: mean 5, population variance 4, std 2
+    assert out["es_avg"] == 5.0
+    assert out["es_variance"] == 4.0
+    assert out["es_std_deviation"] == 2.0
+    assert out["es_sum_of_squares"] == 232.0
+
+
+def test_missing_bucket_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (2, None, 2.0), (3, None, None), (4, "y", 4.0)],
+        "id long, k string, v double",
+    )
+    out = compile_aggs(
+        df, {"no_k": {"missing": {"field": "k"},
+                      "aggs": {"total": {"sum": {"field": "v"}}}}}
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["no_k"], out[0]["doc_count"], out[0]["total"]) == ("missing", 2, 2.0)
+
+
+def test_sampler_and_diversified(spark):
+    from monstache_spark.operators.aggs import sampler_agg
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 2}", float(i)) for i in range(10)],
+        "doc_id long, src string, v double",
+    )
+    plain = sampler_agg(df, 4).collect()
+    assert sorted(r["doc_id"] for r in plain) == [0, 1, 2, 3]
+    div = sampler_agg(df, 4, dedup_field="src", max_docs_per_value=1).collect()
+    assert sorted(r["doc_id"] for r in div) == [0, 1]  # one per src

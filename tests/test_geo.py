@@ -94,3 +94,56 @@ def test_geo_distance_buckets_rings(spark):
     ).collect()}
     # null coords drop; rings are [from, to)
     assert out == {"*-100.0": (2, 2), "100.0-500.0": (1, 1), "500.0-*": (3, 3)}
+
+
+def test_geohash_matches_reference_values(spark):
+    # reference geohashes computed with the standard algorithm
+    # (e.g. geohash.org): Berlin 52.52,13.405 -> u33dc; SF 37.7749,
+    # -122.4194 -> 9q8yy; null island 0,0 -> s0000
+    from monstache_spark.operators.geo import geohash_cell
+
+    df = spark.createDataFrame(
+        [(1, 52.52, 13.405), (2, 37.7749, -122.4194), (3, 0.0, 0.0),
+         (4, -33.8688, 151.2093)],  # Sydney -> r3gx2
+        "id long, lat double, lon double",
+    )
+    got = {r["id"]: r["gh"] for r in df.select(
+        "id", geohash_cell(F.col("lat"), F.col("lon"), 5).alias("gh")
+    ).collect()}
+    assert got == {1: "u33dc", 2: "9q8yy", 3: "s0000", 4: "r3gx2"}
+
+
+def test_geohash_sql_parity(spark):
+    import random
+
+    import duckdb
+
+    from monstache_spark.operators.geo import geohash_cell, geohash_sql
+
+    random.seed(5)
+    pts = [(i, random.uniform(-90, 90), random.uniform(-180, 180)) for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    spark_gh = {r["id"]: r["gh"] for r in df.select(
+        "id", geohash_cell(F.col("lat"), F.col("lon"), 6).alias("gh")
+    ).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in pts)
+    duck_gh = dict(con.execute(
+        f"SELECT id, {geohash_sql('lat', 'lon', 6)} FROM (VALUES {vals}) AS t(id, lat, lon)"
+    ).fetchall())
+    assert spark_gh == duck_gh
+
+
+def test_geohash_grid_counts_and_size(spark):
+    from monstache_spark.operators.geo import geohash_grid
+
+    df = spark.createDataFrame(
+        [(1, 52.52, 13.405), (2, 52.5201, 13.4051), (3, 0.0, 0.0), (4, None, None)],
+        "id long, lat double, lon double",
+    )
+    got = {r["geohash"]: r["doc_count"] for r in geohash_grid(
+        df, "lat", "lon", precision=5
+    ).collect()}
+    assert got == {"u33dc": 2, "s0000": 1}
+    top = geohash_grid(df, "lat", "lon", precision=5, size=1).collect()
+    assert len(top) == 1 and top[0]["geohash"] == "u33dc"

@@ -752,3 +752,38 @@ def test_function_score_transcendental_modifiers(spark):
         df, ["spark"], "pop", modifier="sqrt", boost_mode="replace", k=5
     ).collect()}
     assert sq[1] == round(math.sqrt(99.0), 4)
+
+
+def test_fuzzy_suggest_max_edits_2_true_dl(spark):
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    df = spark.createDataFrame(
+        [(1, "table stable tales tbale bale cable staple maple"),
+         (2, "table table abc")],
+        "doc_id long, text string",
+    )
+    out = fuzzy_suggest(df, ["talbe"], top_n=10, max_edits=2).collect()
+    got = {r["suggestion"]: r["distance"] for r in out}
+    # 'talbe'->'table' is ONE transposition; 'tbale' is also 1 swap
+    # away? tbale->table: swap positions 1-2 ('tb'->'bt'? no:
+    # t-b-a-l-e vs t-a-b-l-e: swap at 2-3 -> 1). 'tales': DL 2
+    # (swap al->la? talbe->tables? len diff). 'bale': DL 2? talbe ->
+    # bale: delete t -> albe? hmm; trust the engine: check key facts
+    assert got["table"] == 1
+    assert got["tbale"] == 2 or "tbale" in got  # within 2 either way
+    assert "staple" not in got                  # DL('talbe','staple') > 2
+    # unrestricted-DL case OSA gets wrong: 'ca' vs 'abc' is 2
+    df2 = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    out2 = {r["suggestion"]: r["distance"] for r in fuzzy_suggest(
+        df2, ["ca"], top_n=5, max_edits=2
+    ).collect()}
+    assert out2.get("abc") == 2
+    # cross-check every returned distance against DuckDB's DL
+    import duckdb
+
+    con = duckdb.connect()
+    for r in fuzzy_suggest(df, ["talbe", "ca", "abcd"], top_n=20, max_edits=2).collect():
+        dl = con.execute(
+            "SELECT damerau_levenshtein(?, ?)", [r["query"], r["suggestion"]]
+        ).fetchone()[0]
+        assert dl == r["distance"], (r["query"], r["suggestion"], dl, r["distance"])
