@@ -3184,6 +3184,93 @@ def _q_es_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_hard_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram hard_bounds (the NARROWING variant of
+    extended_bounds): daily buckets strictly inside [Jan 5, Jan 20] —
+    data outside drops even though it exists, empty days inside fill
+    (min_doc_count 0). Key-nulling keeps it one hash agg."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {"daily": {
+            "date_histogram": {
+                "field": "ts", "calendar_interval": "day",
+                "min_doc_count": 0,
+                "hard_bounds": {"min": "2024-01-05", "max": "2024-01-20"},
+            },
+            "aggs": {"total_value": {"sum": {"field": "value"}}},
+        }},
+    )
+
+
+def _q_es_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram (aggs.auto_date_histogram): the engine
+    picks the smallest ladder interval fitting the 10-bucket target
+    from the data's span (a one-row control-plane collect) — the
+    month of events resolves to weekly buckets; the chosen interval
+    rides along as a column, as ES returns it in agg metadata. The
+    oracle re-derives the interval from the same ladder in SQL, so
+    the hash checks the DECISION as well as the buckets."""
+    from monstache_spark.operators.aggs import auto_date_histogram
+
+    ev = load_table(spark, "events", sf_dir)
+    return auto_date_histogram(
+        ev, "ts", buckets=10,
+        aggs={"total_value": {"sum": {"field": "value"}}},
+        name="bucket",
+    )
+
+
+def _q_es_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: match when at least `need` of the listed
+    terms appear in the analyzed text, where `need` is a PER-DOCUMENT
+    field (derived doc_id%3+1 here, standing in for the synced
+    'required_matches' field) — the dynamic-minimum query shape."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "need", (F.col("doc_id") % 3 + 1).cast("long")
+    )
+    out = bool_query_filter(
+        docs,
+        {"terms_set": {"text": {
+            "terms": ["hash", "join", "merge", "sort"],
+            "minimum_should_match_field": "need",
+        }}},
+    )
+    return out.select("doc_id", "need")
+
+
+def _q_es_query_shorthands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max / constant_score / boosting composed in one bool
+    tree: membership semantics only (dis_max = any subquery;
+    constant_score = its filter; boosting = the positive clause —
+    the negative only demotes scores, never excludes)."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"bool": {"must": [
+            {"dis_max": {"queries": [
+                {"match": {"text": "vector"}},
+                {"match": {"text": "window"}},
+            ]}},
+            {"constant_score": {"filter": {"term": {"lang": "en"}}}},
+            {"boosting": {
+                "positive": {"range": {"n_chars": {"gte": 100}}},
+                "negative": {"term": {"source": "src0"}},
+                "negative_boost": 0.3,
+            }},
+        ]}},
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3224,6 +3311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_geohash_grid": _q_geo_geohash_grid,
         "es_reverse_nested": _q_es_reverse_nested,
         "fuzzy_suggest_dl2": _q_fuzzy_suggest_dl2,
+        "es_hard_bounds": _q_es_hard_bounds,
+        "es_auto_date_histogram": _q_es_auto_date_histogram,
+        "es_terms_set": _q_es_terms_set,
+        "es_query_shorthands": _q_es_query_shorthands,
         "es_weighted_avg": _q_es_weighted_avg,
         "es_extended_stats": _q_es_extended_stats,
         "es_missing_agg": _q_es_missing_agg,
@@ -4283,6 +4374,63 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "es_hard_bounds": """
+          WITH s AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS daily, value
+            FROM events WHERE ts IS NOT NULL
+          ),
+          g AS (
+            SELECT daily, CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+            FROM s
+            WHERE daily >= TIMESTAMP '2024-01-05' AND daily <= TIMESTAMP '2024-01-20'
+            GROUP BY 1
+          ), tl AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-05',
+                                          TIMESTAMP '2024-01-20',
+                                          INTERVAL 1 DAY)) AS daily
+          )
+          SELECT tl.daily, coalesce(g.doc_count, 0) AS doc_count, g.total_value
+          FROM tl LEFT JOIN g USING (daily)
+        """,
+        "es_auto_date_histogram": """
+          WITH sp AS (
+            SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS span
+            FROM events
+          ),
+          u AS (
+            SELECT CASE
+              WHEN span / 3600.0 <= 9 THEN 'hour'
+              WHEN span / 86400.0 <= 9 THEN 'day'
+              WHEN span / 604800.0 <= 9 THEN 'week'
+              WHEN span / 2592000.0 <= 9 THEN 'month'
+              WHEN span / 7776000.0 <= 9 THEN 'quarter'
+              ELSE 'year' END AS iv
+            FROM sp
+          )
+          SELECT CAST(date_trunc(u.iv, ts) AS TIMESTAMP) AS bucket,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+                 u.iv AS interval
+          FROM events, u WHERE ts IS NOT NULL
+          GROUP BY 1, 4
+        """,
+        "es_terms_set": f"""
+          WITH t AS (
+            SELECT doc_id, CAST(doc_id % 3 + 1 AS BIGINT) AS need,
+                   list_distinct({_TOKS_LOWER}) AS toks
+            FROM documents
+          )
+          SELECT doc_id, need FROM t
+          WHERE len(list_filter(toks,
+                  w -> list_contains(['hash', 'join', 'merge', 'sort'], w))) >= need
+        """,
+        "es_query_shorthands": f"""
+          SELECT doc_id, lang, source FROM documents
+          WHERE (list_contains({_TOKS_LOWER}, 'vector')
+                 OR list_contains({_TOKS_LOWER}, 'window'))
+            AND lang = 'en' AND n_chars >= 100
         """,
         "fuzzy_suggest_dl2": f"""
           WITH v AS (

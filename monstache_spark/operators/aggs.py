@@ -157,7 +157,21 @@ def _bucket_key_col(kind: str, spec: dict) -> Column:
         iv = spec.get("calendar_interval") or spec.get("fixed_interval")
         if iv not in _CALENDAR_TRUNC:
             raise ValueError(f"unsupported date_histogram interval: {iv}")
-        return F.date_trunc(_CALENDAR_TRUNC[iv], field)
+        key = F.date_trunc(_CALENDAR_TRUNC[iv], field)
+        hb = spec.get("hard_bounds")
+        if hb:
+            # ES hard_bounds: the NARROWING variant (extended_bounds
+            # only extends) — buckets strictly outside [min, max] are
+            # dropped even when they hold data, via key nulling (null
+            # keys drop in every downstream path)
+            lo = F.date_trunc(
+                _CALENDAR_TRUNC[iv], F.lit(hb["min"]).cast("timestamp")
+            )
+            hi = F.date_trunc(
+                _CALENDAR_TRUNC[iv], F.lit(hb["max"]).cast("timestamp")
+            )
+            key = F.when((key >= lo) & (key <= hi), key)
+        return key
     if kind == "missing":
         # ES missing agg: ONE bucket counting docs where the field is
         # null/absent — inverted null handling (null keys normally
@@ -528,10 +542,18 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             "year": "INTERVAL 1 YEAR",
         }[unit]
         eb = spec.get("extended_bounds")
+        hb = spec.get("hard_bounds")
         data_bounds = grouped.agg(
             F.min(name).alias("_dlo"), F.max(name).alias("_dhi")
         )
-        if eb:
+        if hb:
+            # hard_bounds + min_doc_count=0: the timeline IS the hard
+            # range (data outside was already key-nulled away)
+            bounds = grouped.sparkSession.range(1).select(
+                F.date_trunc(unit, F.lit(hb["min"]).cast("timestamp")).alias("_lo"),
+                F.date_trunc(unit, F.lit(hb["max"]).cast("timestamp")).alias("_hi"),
+            )
+        elif eb:
             # ES extended_bounds can only EXTEND the timeline (the
             # narrowing variant is hard_bounds, unsupported here): the
             # range is the union of the literal bounds and the data's
@@ -561,6 +583,59 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             .withColumn("doc_count", F.coalesce("doc_count", F.lit(0).cast("long")))
         )
     return grouped
+
+
+# the auto_date_histogram interval ladder, smallest first, with the
+# approximate bucket width in seconds used to estimate counts — the
+# same shared ladder renders the oracle's CASE
+AUTO_INTERVAL_LADDER: list[tuple[str, int]] = [
+    ("hour", 3600),
+    ("day", 86400),
+    ("week", 604800),
+    ("month", 2592000),
+    ("quarter", 7776000),
+    ("year", 31536000),
+]
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    field: str,
+    buckets: int = 10,
+    aggs: dict | None = None,
+    name: str = "auto",
+) -> DataFrame:
+    """ES ``auto_date_histogram``: pick the smallest calendar interval
+    from the ladder whose estimated bucket count fits the ``buckets``
+    target, then run the ordinary date_histogram at that interval.
+    The chosen interval is emitted as a literal ``interval`` column
+    (ES returns it in the agg metadata).
+
+    The interval decision needs the data's time span — ONE
+    control-plane aggregate collected to the driver (a single
+    min/max row, never corpus-sized), the same class of plan-time
+    decision as the percolator's active-query collect.  Estimation is
+    ``ceil(span_seconds / width) ≤ buckets`` on the shared ladder, so
+    any engine reading the same span picks the same interval.
+    """
+    lo, hi = (
+        df.agg(F.min(field).alias("lo"), F.max(field).alias("hi"))
+        .collect()[0]
+    )
+    interval = AUTO_INTERVAL_LADDER[-1][0]
+    if lo is not None and hi is not None:
+        span = (hi - lo).total_seconds()
+        for unit, width in AUTO_INTERVAL_LADDER:
+            if span / width <= buckets - 1:
+                interval = unit
+                break
+    body: dict = {
+        "date_histogram": {"field": field, "calendar_interval": interval}
+    }
+    if aggs:
+        body["aggs"] = aggs
+    out = compile_aggs(df, {name: body})
+    return out.withColumn("interval", F.lit(interval))
 
 
 def sampler_agg(

@@ -168,6 +168,40 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         }.items()
         loc = _field(field, resolver)
         return distance_predicate(loc["lat"], loc["lon"], origin, distance)
+    if kind == "dis_max":
+        # ES dis_max: best-of scoring over subqueries; with no scorer
+        # in the filter path it reduces to "any subquery matches"
+        cond = F.lit(False)
+        for clause in body["queries"]:
+            ((k2, b2),) = clause.items()
+            cond = cond | _compile_leaf(k2, b2, resolver, analyzer)
+        return cond
+    if kind == "constant_score":
+        # ES constant_score: wraps a filter and pins the score — the
+        # membership IS the filter
+        ((k2, b2),) = body["filter"].items()
+        return _compile_leaf(k2, b2, resolver, analyzer)
+    if kind == "boosting":
+        # ES boosting: positive query gates membership; the negative
+        # query only DEMOTES scores (negative_boost), never excludes —
+        # so membership = the positive clause alone
+        ((k2, b2),) = body["positive"].items()
+        return _compile_leaf(k2, b2, resolver, analyzer)
+    if kind == "terms_set":
+        # ES terms_set: match when at least `minimum_should_match_field`
+        # of the listed terms appear in the (array or analyzed-text)
+        # field — per-DOC dynamic minimum, the "required skills" query
+        ((field, spec),) = body.items()
+        terms = F.array(*[F.lit(str(t).lower()) for t in spec["terms"]])
+        col = _field(field, resolver)
+        hay = F.array_distinct(F.split(F.trim(F.lower(col)), r"\s+"))
+        n_matched = F.size(F.array_intersect(hay, terms))
+        msm_field = spec.get("minimum_should_match_field")
+        if msm_field is not None:
+            need = _field(msm_field, resolver).cast("int")
+        else:
+            need = F.lit(int(spec.get("minimum_should_match", len(spec["terms"]))))
+        return n_matched >= need
     if kind == "regexp":
         # ES regexp query: Lucene regexps are implicitly ANCHORED to
         # the whole field value; Spark's rlike is search-anywhere, so

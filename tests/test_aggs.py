@@ -753,3 +753,81 @@ def test_sampler_and_diversified(spark):
     assert sorted(r["doc_id"] for r in plain) == [0, 1, 2, 3]
     div = sampler_agg(df, 4, dedup_field="src", max_docs_per_value=1).collect()
     assert sorted(r["doc_id"] for r in div) == [0, 1]  # one per src
+
+
+def test_date_histogram_hard_bounds_narrow(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1)), (2, datetime.datetime(2024, 1, 3)),
+         (3, datetime.datetime(2024, 1, 6))],
+        "id long, ts timestamp",
+    )
+    out = compile_aggs(
+        df,
+        {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day", "min_doc_count": 0,
+            "hard_bounds": {"min": "2024-01-02", "max": "2024-01-04"},
+        }}},
+    ).collect()
+    got = {r["d"].day: r["doc_count"] for r in out}
+    # Jan 1 and Jan 6 DROP despite data; Jan 2/4 empty-fill
+    assert got == {2: 0, 3: 1, 4: 0}
+    # without gap filling, hard_bounds still drops outside buckets
+    out2 = compile_aggs(
+        df,
+        {"d": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day",
+            "hard_bounds": {"min": "2024-01-02", "max": "2024-01-04"},
+        }}},
+    ).collect()
+    assert {r["d"].day for r in out2} == {3}
+
+
+def test_auto_date_histogram_picks_interval(spark):
+    from monstache_spark.operators.aggs import auto_date_histogram
+
+    # 3-day span, 10-bucket target -> day buckets
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 5)), (2, datetime.datetime(2024, 1, 3, 9))],
+        "id long, ts timestamp",
+    )
+    out = auto_date_histogram(df, "ts", buckets=10).collect()
+    assert out[0]["interval"] == "day"
+    # 3-hour span -> hour buckets
+    df2 = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 5)), (2, datetime.datetime(2024, 1, 1, 8))],
+        "id long, ts timestamp",
+    )
+    assert auto_date_histogram(df2, "ts", buckets=10).collect()[0]["interval"] == "hour"
+
+
+def test_dis_max_constant_score_boosting_terms_set(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "spark sql join", "en", 2), (2, "pandas numpy", "en", 1),
+         (3, "spark streaming", "de", 3)],
+        "doc_id long, text string, lang string, need long",
+    )
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"dis_max": {"queries": [{"match": {"text": "pandas"}},
+                                     {"term": {"lang": "de"}}]}}
+    ).collect()}
+    assert got == {2, 3}
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"constant_score": {"filter": {"match": {"text": "spark"}}}}
+    ).collect()}
+    assert got == {1, 3}
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"boosting": {"positive": {"match": {"text": "spark"}},
+                          "negative": {"term": {"lang": "de"}},
+                          "negative_boost": 0.2}}
+    ).collect()}
+    assert got == {1, 3}  # negative demotes, never excludes
+    # terms_set with per-doc minimum field
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"terms_set": {"text": {
+            "terms": ["spark", "sql", "join", "numpy"],
+            "minimum_should_match_field": "need"}}}
+    ).collect()}
+    # doc1 matches 3 >= 2; doc2 matches 1 >= 1; doc3 matches 1 < 3
+    assert got == {1, 2}
