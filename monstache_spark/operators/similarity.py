@@ -76,6 +76,15 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
     return acc
 
 
+def _pack_score_id(score6: Column, idx: Column) -> Column:
+    """(score, idx) lexicographic argmax key as ONE long: score must
+    already be rounded to 6 decimals (score·10⁶ exact), idx in
+    [0, 2²¹) occupies the low bits INVERTED so the max pack breaks
+    score ties toward the LOWEST idx."""
+    micro = F.round(score6 * F.lit(1_000_000.0)).cast("long")
+    return micro * F.lit(1 << 21) + (F.lit((1 << 21) - 1) - idx)
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -123,20 +132,27 @@ def ivf_assign(
         # a hash aggregate with map-side partial combine collapses the
         # |corpus| x |centroids| scored rows to one row per vector
         # BEFORE the exchange — vs a row_number window, which shuffles
-        # and sorts every scored row. The aggregation buffer is all
-        # fixed-width (long + struct<double,long>), so this stays
-        # HashAggregate (one string/array in the buffer would degrade
-        # it to SortAggregate); the vector rides along as a grouping
-        # key, which has no such restriction.
-        order = F.struct(F.col("c_score").alias("s"), (-F.col("cid")).alias("nc"))
-        return (
-            scored.groupBy(id_col, vec_col)
-            .agg(
-                F.max_by("cid", order).alias("cid"),
-                F.max(order).getField("s").alias("c_score"),
-            )
-            .withColumn("c_rank", F.lit(1))
-        )
+        # and sorts every scored row.  The (score, cid) lexicographic
+        # order packs into ONE long — a struct ordering key in the
+        # max_by buffer silently degrades the aggregate to
+        # SortAggregate (UnsafeRow buffers only mutate primitives; the
+        # plan audit now guards this).  c_score is already rounded to
+        # 6 decimals, so score·10⁶ is an exact integer; cid occupies
+        # the low 21 bits inverted (max pack ⇒ max score, then MIN
+        # cid).  Precondition: 0 ≤ cid < 2²¹ — centroid ids are index
+        # metadata (hundreds to thousands), never near the bound.
+        pack = _pack_score_id(F.col("c_score"), F.col("cid"))
+        best = scored.groupBy(id_col, vec_col).agg(F.max(pack).alias("_pk"))
+        r = F.pmod(F.col("_pk"), F.lit(1 << 21))
+        return best.select(
+            id_col,
+            vec_col,
+            (F.lit((1 << 21) - 1) - r).cast("long").alias("cid"),
+            (
+                ((F.col("_pk") - r) / F.lit(1 << 21)).cast("long")
+                / F.lit(1_000_000.0)
+            ).alias("c_score"),
+        ).withColumn("c_rank", F.lit(1))
     # multi-probe (query-side, small): the window sort is fine here
     w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col("cid").asc())
     return scored.withColumn("c_rank", F.row_number().over(w)).filter(
@@ -908,11 +924,17 @@ def knn_join_ivf(
                 F.when(fden > 0, fd / fden).otherwise(F.lit(0.0)), 6
             ).alias("fs"),
         )
-        # argmax per vector stays a HashAggregate (fixed-width buffer,
-        # same pattern as ivf_assign's rank-1 path)
-        order = F.struct(F.col("fs").alias("s"), (-F.col("fcell")).alias("nf"))
+        # argmax per vector stays a HashAggregate: the (fs, fcell)
+        # order packs into one long (same pattern as ivf_assign's
+        # rank-1 path — a struct ordering key would degrade to
+        # SortAggregate)
+        fpack = _pack_score_id(F.col("fs"), F.col("fcell"))
         assign = fscored.groupBy("id", "v", "nrm", "ccell").agg(
-            F.max_by("fcell", order).alias("fcell")
+            F.max(fpack).alias("_fpk")
+        ).select(
+            "id", "v", "nrm", "ccell",
+            (F.lit((1 << 21) - 1) - F.pmod(F.col("_fpk"), F.lit(1 << 21)))
+            .cast("int").alias("fcell"),
         )
         cells = assign.select(
             F.col("id").alias("id_n"), F.col("v").alias("vn"),
@@ -1086,9 +1108,16 @@ def knn_join_pq(
         "id", "ccell", "fcell",
         F.round(F.when(fden > 0, fd / fden).otherwise(F.lit(0.0)), 6).alias("fs"),
     )
-    order = F.struct(F.col("fs").alias("s"), (-F.col("fcell")).alias("nf"))
+    # packed-scalar argmax — struct ordering keys degrade to
+    # SortAggregate (plan audit guards this)
+    fpack = _pack_score_id(F.col("fs"), F.col("fcell"))
     cells = fscored.groupBy("id", "ccell").agg(
-        F.max_by("fcell", order).alias("fcell")
+        F.max(fpack).alias("_fpk")
+    ).select(
+        "id",
+        "ccell",
+        (F.lit((1 << 21) - 1) - F.pmod(F.col("_fpk"), F.lit(1 << 21)))
+        .cast("int").alias("fcell"),
     )
     wp = Window.partitionBy("id").orderBy(F.col("fs").desc(), F.col("fcell").asc())
     probes = (

@@ -482,6 +482,33 @@ CHECKS = [
         and p.count("Exchange hashpartitioning") <= 1,
     ),
     (
+        "geo_geohash_grid",
+        "geohash grid: codegen cell projection + ONE hash agg + "
+        "TakeOrderedAndProject — no Python, no join",
+        lambda p: "TakeOrderedAndProject" in p
+        and "SortAggregate" not in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
+        "knn_join_pq",
+        "kNN join scale path: packed-code SDC pairs via BROADCAST "
+        "cell index (no shuffle-side skew), every aggregate hash, no "
+        "Python, no cartesian",
+        lambda p: "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_diversified_sampler",
+        "diversified sampler: per-value window with group limit + "
+        "TakeOrderedAndProject global cut — no full sort, no Python",
+        lambda p: "WindowGroupLimit" in p
+        and "TakeOrderedAndProject" in p
+        and "Python" not in p,
+    ),
+    (
         "es_serial_diff",
         "serial_diff: one grouping exchange + one bucket-cardinality "
         "window — no Python, no sort agg",
