@@ -3271,6 +3271,53 @@ def _q_es_query_shorthands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source")
 
 
+def _q_es_normalize_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline agg (aggs.normalize_agg percent_of_sum):
+    each event type's share of total volume — the Kibana percent-mode
+    chart. Exact-decimal denominator broadcast back over
+    bucket-cardinality rows."""
+    from monstache_spark.operators.aggs import compile_aggs, normalize_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    buckets = compile_aggs(ev, {"by_type": {"terms": {"field": "event_type"}}})
+    return normalize_agg(buckets, "doc_count")
+
+
+def _q_es_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_sort pipeline agg (aggs.bucket_sort_agg): page 2 of
+    customer-spend buckets ordered by total spend desc — sort,
+    from, size over the bucket frame, rank carried as _rank."""
+    from monstache_spark.operators.aggs import bucket_sort_agg, compile_aggs
+
+    orders = load_table(spark, "orders", sf_dir)
+    buckets = compile_aggs(
+        orders,
+        {"cust": {"terms": {"field": "o_custkey"},
+                  "aggs": {"spend": {"sum": {"field": "o_totalprice"}}}}},
+    )
+    return bucket_sort_agg(
+        buckets, [("spend", "desc"), ("cust", "asc")], size=10, from_=5
+    )
+
+
+def _q_es_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_cardinality (aggs.cumulative_cardinality):
+    distinct users seen up to each day plus the per-day new-user
+    count — first-appearance hash agg collapses the corpus to
+    |distinct users| rows before the bucket window."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.aggs import cumulative_cardinality
+
+    ev = load_table(spark, "events", sf_dir)
+    return cumulative_cardinality(
+        ev.filter(F.col("ts").isNotNull()),
+        F.date_trunc("day", F.col("ts")),
+        "user_id",
+        name="day",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3312,6 +3359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_reverse_nested": _q_es_reverse_nested,
         "fuzzy_suggest_dl2": _q_fuzzy_suggest_dl2,
         "es_hard_bounds": _q_es_hard_bounds,
+        "es_normalize_percent": _q_es_normalize_percent,
+        "es_bucket_sort": _q_es_bucket_sort,
+        "es_cumulative_cardinality": _q_es_cumulative_cardinality,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4374,6 +4424,46 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "es_normalize_percent": """
+          WITH b AS (
+            SELECT CAST(event_type AS VARCHAR) AS by_type,
+                   CAST(count(*) AS BIGINT) AS doc_count
+            FROM events WHERE event_type IS NOT NULL GROUP BY 1
+          ),
+          t AS (SELECT CAST(sum(CAST(doc_count AS DECIMAL(38,6))) AS DOUBLE) AS tot FROM b)
+          SELECT by_type, doc_count,
+                 round(CAST(doc_count AS DOUBLE) / tot * 100.0, 6) AS doc_count_norm
+          FROM b, t
+        """,
+        "es_bucket_sort": """
+          WITH b AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS cust,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (ORDER BY spend DESC, cust ASC) AS BIGINT) AS _rank
+            FROM b
+          )
+          SELECT cust, doc_count, spend, _rank FROM r
+          WHERE _rank > 5 AND _rank <= 15
+        """,
+        "es_cumulative_cardinality": """
+          WITH f AS (
+            SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS day
+            FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id
+          ),
+          pb AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS new_values FROM f GROUP BY day
+          )
+          SELECT day, new_values,
+                 CAST(sum(new_values) OVER (ORDER BY day ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cumulative_cardinality
+          FROM pb
         """,
         "es_hard_bounds": """
           WITH s AS (

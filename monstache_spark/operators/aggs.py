@@ -952,6 +952,107 @@ def pipeline_aggs(
     return out
 
 
+def normalize_agg(
+    buckets: DataFrame,
+    value_col: str,
+    method: str = "percent_of_sum",
+    parent_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES ``normalize`` pipeline aggregation: rescale a bucket metric
+    within its parent — ``percent_of_sum`` (share of the total, the
+    Kibana percent-mode bar chart), ``rescale_0_1`` (min-max), or
+    ``mean`` (value − mean).  One aggregate over bucket-cardinality
+    rows broadcast back; sums accumulate exact decimal so every
+    engine derives the same denominators; results round to 6
+    decimals.  Adds ``<value_col>_norm``.
+    """
+    parent_cols = parent_cols or []
+    v = F.col(value_col)
+    stats = buckets.groupBy(*parent_cols).agg(
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("_tot"),
+        F.min(v.cast("double")).alias("_mn"),
+        F.max(v.cast("double")).alias("_mx"),
+        F.count(v).cast("double").alias("_n"),
+    )
+    joined = (
+        buckets.join(F.broadcast(stats), parent_cols)
+        if parent_cols
+        else buckets.crossJoin(F.broadcast(stats))
+    )
+    if method == "percent_of_sum":
+        norm = v.cast("double") / F.col("_tot") * F.lit(100.0)
+    elif method == "rescale_0_1":
+        rng = F.col("_mx") - F.col("_mn")
+        norm = F.when(rng > 0, (v.cast("double") - F.col("_mn")) / rng).otherwise(
+            F.lit(0.0)
+        )
+    elif method == "mean":
+        norm = v.cast("double") - F.col("_tot") / F.col("_n")
+    else:
+        raise ValueError(f"unsupported normalize method: {method}")
+    return joined.withColumn(
+        f"{value_col}_norm", F.round(norm, 6)
+    ).drop("_tot", "_mn", "_mx", "_n")
+
+
+def bucket_sort_agg(
+    buckets: DataFrame,
+    sort: list[tuple[str, str]],
+    size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """ES ``bucket_sort`` pipeline aggregation: reorder/truncate the
+    parent's buckets by metric values — "top 5 buckets by revenue".
+    ``sort`` is ``[(column, "asc"|"desc"), ...]``.  Emits a ``_rank``
+    column carrying the sort position (a DataFrame has no implicit
+    order; the rank IS the result).  TakeOrderedAndProject when only
+    ``size`` truncates from rank 1; window-ranked otherwise."""
+    exprs = [
+        (F.col(c).asc() if d == "asc" else F.col(c).desc()) for c, d in sort
+    ]
+    w = Window.orderBy(*exprs)
+    out = buckets.withColumn("_rank", F.row_number().over(w).cast("long"))
+    if from_:
+        out = out.filter(F.col("_rank") > from_)
+    if size is not None:
+        out = out.filter(F.col("_rank") <= from_ + size)
+    return out
+
+
+def cumulative_cardinality(
+    df: DataFrame,
+    bucket_col: Column,
+    value_col: str,
+    name: str = "bucket",
+) -> DataFrame:
+    """ES ``cumulative_cardinality``: per time bucket, how many
+    DISTINCT values have been seen up to and including it — "new
+    unique visitors per day" when differenced.  Not derivable from
+    bucket frames (distinct doesn't sum), but it collapses to two
+    hash aggs + one bucket-cardinality cumulative window: each
+    value's FIRST bucket (min over buckets — map-side combined),
+    count of first-appearances per bucket, then a running sum.  Also
+    emits that per-bucket ``new_values`` count (the differenced
+    series ES users actually chart).  At 100 TB the corpus reduces to
+    |distinct values| rows in pass one; nothing corpus-sized reaches
+    the window."""
+    firsts = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(bucket_col.alias(name), F.col(value_col).alias("_v"))
+        .groupBy("_v")
+        .agg(F.min(name).alias(name))
+    )
+    per_bucket = firsts.groupBy(name).agg(
+        F.count("*").cast("long").alias("new_values")
+    )
+    w = Window.orderBy(F.col(name).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_bucket.withColumn(
+        "cumulative_cardinality", F.sum("new_values").over(w).cast("long")
+    )
+
+
 def bucket_script(
     buckets: DataFrame, name: str, expr: str, round_to: int | None = 6
 ) -> DataFrame:

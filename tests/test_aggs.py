@@ -831,3 +831,46 @@ def test_dis_max_constant_score_boosting_terms_set(spark):
     ).collect()}
     # doc1 matches 3 >= 2; doc2 matches 1 >= 1; doc3 matches 1 < 3
     assert got == {1, 2}
+
+
+def test_normalize_agg_methods(spark):
+    from monstache_spark.operators.aggs import normalize_agg
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 30.0), ("c", 60.0)], "k string, v double"
+    )
+    pct = {r["k"]: r["v_norm"] for r in normalize_agg(df, "v").collect()}
+    assert pct == {"a": 10.0, "b": 30.0, "c": 60.0}
+    r01 = {r["k"]: r["v_norm"] for r in normalize_agg(
+        df, "v", method="rescale_0_1"
+    ).collect()}
+    assert r01 == {"a": 0.0, "b": 0.4, "c": 1.0}
+    mn = {r["k"]: round(r["v_norm"], 4) for r in normalize_agg(
+        df, "v", method="mean"
+    ).collect()}
+    assert mn == {"a": -23.3333, "b": -3.3333, "c": 26.6667}
+
+
+def test_bucket_sort_rank_and_page(spark):
+    from monstache_spark.operators.aggs import bucket_sort_agg
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 40), ("c", 30), ("d", 20)], "k string, n long"
+    )
+    top2 = bucket_sort_agg(df, [("n", "desc")], size=2).collect()
+    assert {(r["k"], r["_rank"]) for r in top2} == {("b", 1), ("c", 2)}
+    page = bucket_sort_agg(df, [("n", "desc")], size=2, from_=2).collect()
+    assert {(r["k"], r["_rank"]) for r in page} == {("d", 3), ("a", 4)}
+
+
+def test_cumulative_cardinality_first_appearance(spark):
+    from monstache_spark.operators.aggs import cumulative_cardinality
+
+    df = spark.createDataFrame(
+        [(1, "u1"), (1, "u2"), (2, "u1"), (2, "u3"), (3, "u3"), (3, None)],
+        "day long, user string",
+    )
+    out = {r["bucket"]: (r["new_values"], r["cumulative_cardinality"])
+           for r in cumulative_cardinality(df, F.col("day"), "user").collect()}
+    # day1: u1,u2 new; day2: u3 new; day3: nothing new (null drops)
+    assert out == {1: (2, 2), 2: (1, 3)}
