@@ -3318,6 +3318,38 @@ def _q_es_cumulative_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geo-fence alerts (streaming/windows.percolate_alerts
+    with a derive stage + geo_distance stored queries): each event
+    gains a geo_point struct in a stateless enrichment projection
+    (coordinates derived from user_id by exact arithmetic, standing
+    in for the synced device-location field), then two distance
+    fences and one bounding-box fence fire per micro-batch under the
+    rounded-haversine contract. Oracle = the same fences evaluated in
+    batch SQL."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.streaming.windows import percolate_alerts
+
+    lat = ((F.col("user_id") * 37) % 17000).cast("double") / 100.0 - 85.0
+    lon = ((F.col("user_id") * 91) % 36000).cast("double") / 100.0 - 180.0
+    fences = {
+        "near_origin": {"geo_distance": {
+            "distance": "2000km", "loc": {"lat": 0.0, "lon": 0.0}}},
+        "near_berlin": {"geo_distance": {
+            "distance": "1500km", "loc": {"lat": 52.52, "lon": 13.405}}},
+        "south_box": {"geo_bounding_box": {"loc": {
+            "top_left": {"lat": -60.0, "lon": -120.0},
+            "bottom_right": {"lat": -80.0, "lon": 60.0}}}},
+    }
+    return percolate_alerts(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        fences,
+        derive={"loc": F.struct(lat.alias("lat"), lon.alias("lon"))},
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3362,6 +3394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_normalize_percent": _q_es_normalize_percent,
         "es_bucket_sort": _q_es_bucket_sort,
         "es_cumulative_cardinality": _q_es_cumulative_cardinality,
+        "stream_geofence_alerts": _q_stream_geofence,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4424,6 +4457,22 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "stream_geofence_alerts": f"""
+          WITH c AS (
+            SELECT event_id,
+                   CAST((user_id*37) % 17000 AS DOUBLE)/100.0 - 85.0 AS lat,
+                   CAST((user_id*91) % 36000 AS DOUBLE)/100.0 - 180.0 AS lon
+            FROM events
+          )
+          SELECT event_id, 'near_origin' AS query_name FROM c
+          WHERE {_geo_hav_sql("lat", "lon", "0.0", "0.0")} <= 2000000.0
+          UNION ALL
+          SELECT event_id, 'near_berlin' FROM c
+          WHERE {_geo_hav_sql("lat", "lon", "52.52", "13.405")} <= 1500000.0
+          UNION ALL
+          SELECT event_id, 'south_box' FROM c
+          WHERE lat <= -60.0 AND lat >= -80.0 AND lon >= -120.0 AND lon <= 60.0
         """,
         "es_normalize_percent": """
           WITH b AS (

@@ -239,6 +239,7 @@ def percolate_alerts(
     id_col: str = "event_id",
     out_dir: str | None = None,
     checkpoint_dir: str | None = None,
+    derive: dict | None = None,
 ) -> DataFrame:
     """Streaming percolation: evaluate a registry of stored bool
     queries against every event of the stream and append one alert
@@ -251,9 +252,17 @@ def percolate_alerts(
     needs no watermark and no state store; alerts append exactly-once
     under the foreachBatch parquet sink.  Returns the drained alert
     frame ``(id, query_name)``.
+
+    ``derive`` optionally adds computed columns to the stream before
+    percolation (name → Column) — the stateless enrichment stage a
+    real pipeline runs (e.g. assembling a geo_point struct for
+    geo-fence stored queries); it stays a codegen projection, so the
+    stream remains watermark-free.
     """
     from monstache_spark.operators.search import percolate
 
     stream = _events_stream(spark, events_path)
+    for cname, cexpr in (derive or {}).items():
+        stream = stream.withColumn(cname, cexpr)
     alerts = percolate(stream, stored, id_col=id_col)
     return run_stream_to_parquet(alerts, spark, "append", out_dir, checkpoint_dir)
