@@ -3363,17 +3363,22 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window (the first
     50 entries, insertion order) rotates coverage each round: this
-    round it holds (a) the 14 round-6 operators (nested query/agg,
-    analyzed match + BM25, geo bbox/rings, knn_join_pq, phrase
-    suggester, percentile_ranks, significant_text, function_score
-    log1p, transposed slop, regexp, extended_bounds union), (b) the 3
-    queries whose semantics or oracles changed this round and must
-    re-gate (match_phrase_slop now admits the transposition,
-    es_adjacency_matrix counts distinct ids, es_top_metrics drops
-    null buckets), and (c) the 33 stalest queries — the cohort last
-    gated in round 3.  The 9 remaining r3 queries head the post-window
-    ordering and rotate in next round; every one of the 154 queries
-    has a hash-checkable oracle."""
+    round it holds (a) the 29 round-6 operators (nested query/agg +
+    reverse_nested, analyzed match/BM25/significant_text, geo
+    bbox/rings/geohash + streaming geo-fences, knn_join_pq, phrase
+    suggester, DL-2 fuzzy, percentile_ranks, weighted_avg,
+    extended_stats, missing, diversified sampler, hard_bounds,
+    auto_date_histogram, normalize, bucket_sort,
+    cumulative_cardinality, terms_set + dis_max/constant_score/
+    boosting, function_score log1p, transposed slop, regexp,
+    extended_bounds union), (b) the 3 queries whose semantics or
+    oracles changed this round and must re-gate (match_phrase_slop
+    now admits the transposition, es_adjacency_matrix counts distinct
+    ids, es_top_metrics drops null buckets), and (c) the stalest
+    previously-gated queries — the cohort last gated in round 3.  The
+    remaining r3 queries head the post-window ordering and rotate in
+    next round; every one of the 169 queries has a hash-checkable
+    oracle."""
 
     return {
         # --- driver correctness window (50): the 14 round-6 operators,
