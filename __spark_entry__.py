@@ -3350,6 +3350,42 @@ def _q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_match_and_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match operator=and + multi_match cross_fields (search):
+    cross_fields with operator=and requires each TERM in at least one
+    of the fields (fields act as one combined field) — 'src3 join'
+    finds docs FROM src3 that mention join, which best_fields+and
+    (one field holds all terms) never could."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"multi_match": {"query": "src3 join", "fields": ["text", "source"],
+                         "type": "cross_fields", "operator": "and"}},
+    )
+    return out.select("doc_id", "source")
+
+
+def _q_es_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple_query_string (search._compile_leaf): the Kibana search
+    bar grammar — '+join \"hash join\" -vector' = must contain join,
+    must not contain vector, and (should, min 1) contain the exact
+    phrase 'hash join'; quoted phrases compile to match_phrase,
+    prefixes to must/must_not."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"simple_query_string": {
+            "query": '+join "hash join" -vector',
+            "fields": ["text"],
+        }},
+    )
+    return out.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3400,6 +3436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bucket_sort": _q_es_bucket_sort,
         "es_cumulative_cardinality": _q_es_cumulative_cardinality,
         "stream_geofence_alerts": _q_stream_geofence,
+        "es_match_and_cross": _q_es_match_and_cross,
+        "es_simple_query_string": _q_es_simple_query_string,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4462,6 +4500,24 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "es_match_and_cross": f"""
+          SELECT doc_id, source FROM documents
+          WHERE (list_contains({_TOKS_LOWER}, 'src3')
+                 OR list_contains(string_split_regex(trim(lower(source)), '\\s+'), 'src3'))
+            AND (list_contains({_TOKS_LOWER}, 'join')
+                 OR list_contains(string_split_regex(trim(lower(source)), '\\s+'), 'join'))
+        """,
+        "es_simple_query_string": f"""
+          WITH t AS (
+            SELECT doc_id,
+                   list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          )
+          SELECT doc_id FROM t
+          WHERE list_contains(toks, 'join')
+            AND NOT list_contains(toks, 'vector')
+            AND strpos(' ' || array_to_string(toks, ' ') || ' ', ' hash join ') > 0
         """,
         "stream_geofence_alerts": f"""
           WITH c AS (

@@ -54,21 +54,30 @@ def _field(field: str, resolver=None) -> Column:
     return resolver(field) if resolver is not None else F.col(field)
 
 
-def _match_any_token(field: str, text: str, resolver=None, analyzer=None) -> Column:
-    """ES `match` (OR of analyzed terms): true if ANY analyzed token
-    of ``text`` equals an analyzed token of the field.  With no
-    ``analyzer`` this is the historical simple-analyzer contract
-    (lowercase + whitespace); with one, BOTH the query text and the
-    field pass through the same configured chain (stop words,
-    stemming) exactly as ES analyzes query and document with the
-    field's analyzer.  A query whose tokens are ALL stop words
-    matches nothing, as in ES."""
+def _match_any_token(
+    field: str, text: str, resolver=None, analyzer=None, operator: str = "or"
+) -> Column:
+    """ES `match`: true if ANY analyzed token of ``text`` equals an
+    analyzed token of the field (``operator="or"``, the default), or
+    EVERY token does (``operator="and"``).  With no ``analyzer`` this
+    is the historical simple-analyzer contract (lowercase +
+    whitespace); with one, BOTH the query text and the field pass
+    through the same configured chain (stop words, stemming) exactly
+    as ES analyzes query and document with the field's analyzer.  An
+    OR query whose tokens are ALL stop words matches nothing, as in
+    ES (an AND query with no tokens matches everything — the vacuous
+    conjunction, also ES's behavior)."""
     if analyzer is not None:
         toks = analyzer.analyze(text)
         hay = analyzer.tokens(_field(field, resolver))
     else:
         toks = [t for t in text.lower().split() if t]
         hay = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+    if operator == "and":
+        cond = F.lit(True)
+        for t in toks:
+            cond = cond & F.array_contains(hay, t)
+        return cond
     cond = F.lit(False)
     for t in toks:
         cond = cond | F.array_contains(hay, t)
@@ -138,13 +147,31 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         # (the field name is explicit here — there is no implicit _id)
         return _field(body.get("field", "id"), resolver).isin(list(body["values"]))
     if kind == "multi_match":
-        # OR of the match over each listed field (ES best_fields
-        # without scoring — with no scorer the operator reduces to
-        # "any field matches")
+        # best_fields (default): any field matches the match query.
+        # cross_fields + operator=and: every TERM must appear in at
+        # least one of the fields (fields act as one combined field) —
+        # the semantics best_fields+and cannot give ("John Smith"
+        # across first_name/last_name, the canonical ES example).
+        mm_type = body.get("type", "best_fields")
+        mm_op = body.get("operator", "or")
+        if mm_type == "cross_fields" and mm_op == "and":
+            if analyzer is not None:
+                toks = analyzer.analyze(str(body["query"]))
+            else:
+                toks = [t for t in str(body["query"]).lower().split() if t]
+            cond = F.lit(True)
+            for tok in toks:
+                any_field = F.lit(False)
+                for fld in body["fields"]:
+                    any_field = any_field | _match_any_token(
+                        fld, tok, resolver, analyzer
+                    )
+                cond = cond & any_field
+            return cond
         cond = F.lit(False)
         for fld in body["fields"]:
             cond = cond | _match_any_token(
-                fld, str(body["query"]), resolver, analyzer
+                fld, str(body["query"]), resolver, analyzer, mm_op
             )
         return cond
     if kind == "geo_bounding_box":
@@ -168,6 +195,64 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         }.items()
         loc = _field(field, resolver)
         return distance_predicate(loc["lat"], loc["lon"], origin, distance)
+    if kind == "simple_query_string":
+        # ES simple_query_string, restricted grammar: whitespace-split
+        # clauses; "quoted phrase" → match_phrase; +term → must;
+        # -term → must_not; bare terms → default_operator (or = at
+        # least one, and = all).  Each clause ORs across `fields`.
+        # The + and - prefixes and quotes are the syntax users
+        # actually type into a Kibana search bar; the fancier
+        # | & ( ) ~N operators are out of scope (documented).
+        import re as _re
+
+        fields = body["fields"]
+        default_and = body.get("default_operator", "or").lower() == "and"
+
+        def over_fields(make) -> Column:
+            c = F.lit(False)
+            for fld in fields:
+                c = c | make(fld)
+            return c
+
+        must: list[Column] = []
+        must_not: list[Column] = []
+        should: list[Column] = []
+        for m in _re.finditer(r'([+-]?)"([^"]*)"|([+-]?)(\S+)', str(body["query"])):
+            if m.group(2) is not None:
+                prefix, text_part = m.group(1), m.group(2)
+                clause = over_fields(
+                    lambda fld: _compile_leaf(
+                        "match_phrase", {fld: text_part}, resolver, analyzer
+                    )
+                )
+            else:
+                prefix, text_part = m.group(3), m.group(4)
+                clause = over_fields(
+                    lambda fld: _match_any_token(
+                        fld, text_part, resolver, analyzer
+                    )
+                )
+            if prefix == "+":
+                must.append(clause)
+            elif prefix == "-":
+                must_not.append(clause)
+            else:
+                should.append(clause)
+        cond = F.lit(True)
+        for c in must:
+            cond = cond & c
+        for c in must_not:
+            cond = cond & ~c
+        if should:
+            if default_and:
+                for c in should:
+                    cond = cond & c
+            else:
+                any_c = F.lit(False)
+                for c in should:
+                    any_c = any_c | c
+                cond = cond & any_c
+        return cond
     if kind == "dis_max":
         # ES dis_max: best-of scoring over subqueries; with no scorer
         # in the filter path it reduces to "any subquery matches"
@@ -227,6 +312,16 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
     if kind == "wildcard":
         return _field(field, resolver).like(_wildcard_to_like(str(value)))
     if kind == "match":
+        # {"match": {f: "text"}} or {"match": {f: {"query": "text",
+        #  "operator": "and"}}}
+        if isinstance(value, dict):
+            return _match_any_token(
+                field,
+                str(value["query"]),
+                resolver,
+                analyzer,
+                value.get("operator", "or"),
+            )
         return _match_any_token(field, str(value), resolver, analyzer)
     if kind == "match_phrase":
         # {"match_phrase": {field: "a b"}} or

@@ -787,3 +787,47 @@ def test_fuzzy_suggest_max_edits_2_true_dl(spark):
             "SELECT damerau_levenshtein(?, ?)", [r["query"], r["suggestion"]]
         ).fetchone()[0]
         assert dl == r["distance"], (r["query"], r["suggestion"], dl, r["distance"])
+
+
+def test_match_operator_and_and_cross_fields(spark):
+    df = spark.createDataFrame(
+        [(1, "john", "smith"), (2, "john", "doe"), (3, "jane", "smith"),
+         (4, "john smith", "x")],
+        "doc_id long, first string, last string",
+    )
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"match": {"first": {"query": "john smith", "operator": "and"}}}
+    ).collect()}
+    assert got == {4}  # both tokens must be in ONE field
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"multi_match": {"query": "john smith",
+                             "fields": ["first", "last"],
+                             "type": "cross_fields", "operator": "and"}}
+    ).collect()}
+    assert got == {1, 4}  # each term in at least one field
+    # best_fields + and: one field must hold all terms
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"multi_match": {"query": "john smith",
+                             "fields": ["first", "last"], "operator": "and"}}
+    ).collect()}
+    assert got == {4}
+
+
+def test_simple_query_string_grammar(spark):
+    df = spark.createDataFrame(
+        [(1, "quick brown fox jumps"), (2, "quick fox"), (3, "brown bear"),
+         (4, "quick brown cat"), (5, "lazy dog")],
+        "doc_id long, text string",
+    )
+
+    def run(q, **kw):
+        body = {"query": q, "fields": ["text"], **kw}
+        return {r["doc_id"] for r in bool_query_filter(
+            df, {"simple_query_string": body}
+        ).collect()}
+
+    assert run("quick brown") == {1, 2, 3, 4}          # OR default
+    assert run("quick brown", default_operator="and") == {1, 4}
+    assert run('+quick -fox') == {4}                    # must + must_not... 2 has fox; 1 has fox
+    assert run('"quick brown" -cat') == {1}             # phrase + exclusion
+    assert run('+brown "quick fox"') == set()           # phrase must co-occur? no doc has both
