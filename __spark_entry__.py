@@ -3386,6 +3386,33 @@ def _q_es_simple_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_es_fuzzy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy query leaf (keyword-field semantics): source within
+    Damerau-Levenshtein 1 of the typo'd literal 'srcc7' — one
+    codegen predicate (levenshtein builtin + the swap-exists
+    decomposition), no vocabulary join needed for a row predicate."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs, {"fuzzy": {"source": {"value": "srcc7", "fuzziness": 1}}}
+    )
+    return out.select("doc_id", "source")
+
+
+def _q_es_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (search-as-you-type): 'hash jo' — 'hash'
+    as a full token AND any token starting with 'jo'; one codegen
+    predicate, the autocomplete query shape."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs, {"match_bool_prefix": {"text": "hash jo"}}
+    )
+    return out.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3438,6 +3465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_geofence_alerts": _q_stream_geofence,
         "es_match_and_cross": _q_es_match_and_cross,
         "es_simple_query_string": _q_es_simple_query_string,
+        "es_fuzzy_query": _q_es_fuzzy_query,
+        "es_match_bool_prefix": _q_es_match_bool_prefix,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4500,6 +4529,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "es_fuzzy_query": """
+          SELECT doc_id, source FROM documents
+          WHERE damerau_levenshtein(lower(source), 'srcc7') <= 1
+        """,
+        "es_match_bool_prefix": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          )
+          SELECT doc_id FROM t
+          WHERE list_contains(toks, 'hash')
+            AND len(list_filter(toks, w -> starts_with(w, 'jo'))) > 0
         """,
         "es_match_and_cross": f"""
           SELECT doc_id, source FROM documents

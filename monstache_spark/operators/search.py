@@ -195,6 +195,53 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         }.items()
         loc = _field(field, resolver)
         return distance_predicate(loc["lat"], loc["lon"], origin, distance)
+    if kind == "fuzzy":
+        # ES fuzzy query: the FIELD VALUE within edit distance
+        # `fuzziness` of the literal (keyword-field semantics — for
+        # fuzzy matching of analyzed text tokens use fuzzy_suggest's
+        # vocabulary machinery).  transpositions=true (ES default)
+        # charges adjacent swaps 1 via the same unrestricted-DL
+        # decomposition as fuzzy_suggest max_edits=2.
+        ((field, spec),) = body.items()
+        if isinstance(spec, dict):
+            value = str(spec["value"]).lower()
+            fuzz = int(spec.get("fuzziness", 2))
+            transpositions = bool(spec.get("transpositions", True))
+        else:
+            value, fuzz, transpositions = str(spec).lower(), 2, True
+        col = F.lower(_field(field, resolver))
+        q = F.lit(value)
+        lev = F.levenshtein(col, q)
+        if not transpositions:
+            return lev <= F.lit(fuzz)
+        if fuzz <= 1:
+            return (lev <= 1) | ((lev == 2) & _is_swap(col, q))
+        swaps_c = F.sequence(F.lit(1), F.greatest(F.length(col) - 1, F.lit(1)))
+        swaps_q = F.sequence(F.lit(1), F.greatest(F.length(q) - 1, F.lit(1)))
+        return (
+            (lev <= 2)
+            | F.exists(
+                swaps_c,
+                lambda i: (F.levenshtein(_swap_at(col, i), q) <= 1)
+                | _is_swap(_swap_at(col, i), q),
+            )
+            | F.exists(swaps_q, lambda j: F.levenshtein(col, _swap_at(q, j)) <= 1)
+        )
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix (search-as-you-type): every token but
+        # the last matches as a term; the LAST token matches as a
+        # PREFIX of any token in the field
+        ((field, value),) = body.items()
+        text = value["query"] if isinstance(value, dict) else value
+        toks = [t for t in str(text).lower().split() if t]
+        if not toks:
+            return F.lit(False)
+        hay = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+        cond = F.lit(True)
+        for t in toks[:-1]:
+            cond = cond & F.array_contains(hay, t)
+        last = toks[-1]
+        return cond & F.exists(hay, lambda w: w.startswith(last))
     if kind == "simple_query_string":
         # ES simple_query_string, restricted grammar: whitespace-split
         # clauses; "quoted phrase" → match_phrase; +term → must;

@@ -831,3 +831,36 @@ def test_simple_query_string_grammar(spark):
     assert run('+quick -fox') == {4}                    # must + must_not... 2 has fox; 1 has fox
     assert run('"quick brown" -cat') == {1}             # phrase + exclusion
     assert run('+brown "quick fox"') == set()           # phrase must co-occur? no doc has both
+
+
+def test_fuzzy_query_leaf_with_transpositions(spark):
+    df = spark.createDataFrame(
+        [(1, "table"), (2, "tabel"), (3, "cable"), (4, "chairs"), (5, "tbl")],
+        "doc_id long, kind string",
+    )
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"fuzzy": {"kind": {"value": "table", "fuzziness": 1}}}
+    ).collect()}
+    assert got == {1, 2, 3}      # tabel = one swap; cable = one sub
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"fuzzy": {"kind": {"value": "table", "fuzziness": 1,
+                                "transpositions": False}}}
+    ).collect()}
+    assert got == {1, 3}          # swap costs 2 without transpositions
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"fuzzy": {"kind": "table"}}   # default fuzziness 2
+    ).collect()}
+    assert got == {1, 2, 3, 5}    # tbl = two deletions
+
+
+def test_match_bool_prefix_search_as_you_type(spark):
+    df = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick brother"), (3, "brown quick"),
+         (4, "quicksand brow")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"match_bool_prefix": {"text": "quick bro"}}
+    ).collect()}
+    # 'quick' must be a full token; 'bro' a prefix of any token
+    assert got == {1, 2, 3}
