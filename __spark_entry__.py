@@ -3413,6 +3413,24 @@ def _q_es_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_match_phrase_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzed phrase with Lucene position-increment semantics
+    (search._match_phrase_analyzed): 'hash the join' under the
+    ENGLISH analyzer becomes hash@0, join@2 — the removed stop word
+    leaves a positional GAP the document must reproduce (any filler
+    token at i+1), exactly how ES phrase-queries an analyzed field.
+    Closes the S1 phrase residual for slop=0; the oracle re-derives
+    positions with Analyzer.sql_tokens_pos."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs, {"match_phrase": {"text": "hash the join"}}, analyzer=ENGLISH
+    )
+    return out.select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3467,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_simple_query_string": _q_es_simple_query_string,
         "es_fuzzy_query": _q_es_fuzzy_query,
         "es_match_bool_prefix": _q_es_match_bool_prefix,
+        "match_phrase_analyzed": _q_match_phrase_analyzed,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4529,6 +4548,18 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "match_phrase_analyzed": f"""
+          WITH t AS (
+            SELECT doc_id, {_ENGLISH_AN.sql_tokens_pos("text")} AS tp
+            FROM documents
+          )
+          SELECT doc_id FROM t
+          WHERE len(list_filter(
+                  list_transform(list_filter(tp, e -> e.t = 'hash'), e -> e.p),
+                  p0 -> list_contains(
+                    list_transform(list_filter(tp, e -> e.t = 'join'), e -> e.p),
+                    p0 + 2))) > 0
         """,
         "es_fuzzy_query": """
           SELECT doc_id, source FROM documents

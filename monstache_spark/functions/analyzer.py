@@ -97,7 +97,48 @@ class Analyzer:
             ).otherwise(out)
         return out
 
+    def tokens_pos(self, c: Column) -> Column:
+        """``array<struct<t,p>>`` of analyzed tokens WITH POSITIONS —
+        Lucene's position-increment semantics: positions are assigned
+        in the raw token sequence BEFORE stop-word removal, so
+        removing a stop word leaves a GAP (the reason
+        ``"quick fox"`` must not phrase-match ``"quick the fox"``).
+        Stemming rewrites the token, never the position."""
+        base = F.trim(c)
+        if self.lowercase:
+            base = F.lower(base)
+        raw = F.filter(F.split(base, r"\s+"), lambda t: t != F.lit(""))
+        pos = F.transform(
+            raw, lambda t, i: F.struct(t.alias("t"), i.alias("p"))
+        )
+        if self.stopwords:
+            stops = F.array(*[F.lit(s) for s in self.stopwords])
+            pos = F.filter(pos, lambda e: ~F.array_contains(stops, e["t"]))
+        if self.stem_suffixes:
+            pos = F.transform(
+                pos,
+                lambda e: F.struct(
+                    self._stem_col(e["t"]).alias("t"), e["p"].alias("p")
+                ),
+            )
+        return pos
+
     # -- Python rendering (query-side) --------------------------------------
+
+    def analyze_pos(self, text: str) -> list[tuple[str, int]]:
+        """Python mirror of :meth:`tokens_pos` for query-side phrase
+        analysis."""
+        toks = (text.lower() if self.lowercase else text).split()
+        out: list[tuple[str, int]] = []
+        for i, t in enumerate([t for t in toks if t]):
+            if t in self.stopwords:
+                continue
+            for suf in self.stem_suffixes:
+                if t.endswith(suf) and len(t) - len(suf) >= self.min_stem:
+                    t = t[: -len(suf)]
+                    break
+            out.append((t, i))
+        return out
 
     def analyze(self, text: str) -> list[str]:
         toks = (text.lower() if self.lowercase else text).split()
@@ -135,6 +176,33 @@ class Analyzer:
                 )
             case = "CASE " + " ".join(branches) + " ELSE t END"
             out = f"list_transform({out}, t -> {case})"
+        return out
+
+
+    def sql_tokens_pos(self, expr: str = "text") -> str:
+        """DuckDB rendering of :meth:`tokens_pos`: list of
+        ``{t, p}`` structs with pre-stop-removal positions."""
+        base = f"trim({expr})"
+        if self.lowercase:
+            base = f"trim(lower({expr}))"
+        raw = f"list_filter(string_split_regex({base}, '\\s+'), t -> t <> '')"
+        out = (
+            f"list_transform(range(1, len({raw}) + 1), "
+            f"i -> {{'t': ({raw})[i], 'p': i - 1}})"
+        )
+        if self.stopwords:
+            lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
+            out = f"list_filter({out}, e -> NOT list_contains({lst}, e.t))"
+        if self.stem_suffixes:
+            branches = []
+            for suf in self.stem_suffixes:
+                n = len(suf)
+                branches.append(
+                    f"WHEN ends_with(e.t, '{suf}') AND length(e.t) - {n} >= "
+                    f"{self.min_stem} THEN substr(e.t, 1, length(e.t) - {n})"
+                )
+            case = "CASE " + " ".join(branches) + " ELSE e.t END"
+            out = f"list_transform({out}, e -> {{'t': {case}, 'p': e.p}})"
         return out
 
 

@@ -377,6 +377,8 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
             phrase_text, slop = str(value["query"]), int(value.get("slop", 0))
         else:
             phrase_text, slop = str(value), 0
+        if analyzer is not None and slop == 0:
+            return _match_phrase_analyzed(field, phrase_text, analyzer, resolver)
         if slop > 0:
             return _match_phrase_slop(field, phrase_text, slop, resolver)
         # positional phrase: the analyzed token sequence must appear
@@ -393,6 +395,41 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         )
         return F.contains(hay, F.lit(f" {phrase} "))
     raise ValueError(f"unsupported query clause: {kind}")
+
+
+def _match_phrase_analyzed(
+    field: str, text: str, analyzer, resolver=None
+) -> Column:
+    """Analyzed exact phrase with Lucene POSITION-INCREMENT
+    semantics: positions are assigned before stop-word removal, so a
+    removed stop word leaves a gap that the document must reproduce —
+    query ``"hash the join"`` under a stop-word analyzer becomes
+    ``hash@0, join@2`` and matches any doc with ``hash`` at ``i`` and
+    ``join`` at ``i+2`` (whatever token fills ``i+1``), while
+    ``"hash join"`` (``hash@0, join@1``) requires adjacency.  This is
+    exactly how ES phrase-queries an analyzed field; closing the S1
+    residual for slop = 0.  One ``F.exists`` with fixed position
+    deltas — still a plain Column, no explode."""
+    q = analyzer.analyze_pos(text)
+    if not q:
+        return F.lit(False)
+    arr = analyzer.tokens_pos(_field(field, resolver))
+
+    def positions_of(term: str) -> Column:
+        return F.transform(
+            F.filter(arr, lambda e: e["t"] == F.lit(term)), lambda e: e["p"]
+        )
+
+    t0, p0q = q[0]
+    rest = [(t, p - p0q) for t, p in q[1:]]
+
+    def body(p0: Column) -> Column:
+        c = F.lit(True)
+        for t, delta in rest:
+            c = c & F.array_contains(positions_of(t), p0 + F.lit(delta))
+        return c
+
+    return F.exists(positions_of(t0), body)
 
 
 def _match_phrase_slop(field: str, text: str, slop: int, resolver=None) -> Column:

@@ -91,3 +91,56 @@ def test_bm25_analyzer_changes_df_and_matches(spark):
                           stem_suffixes=("ning", "ing", "s")),
     ).collect()}
     assert stemmed == {1, 2}      # 'cats'->'cat' meets 'cat' and 'cats'->'cat'
+
+
+def test_analyzed_phrase_position_increments(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "hash join plan"), (2, "hash the join"), (3, "hash outer join"),
+         (4, "join hash"), (5, "hash distributed merge join")],
+        "doc_id long, text string",
+    )
+    # "hash join" analyzed: hash@0, join@1 -> adjacency required
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"match_phrase": {"text": "hash join"}}, analyzer=ENGLISH
+    ).collect()}
+    assert got == {1}
+    # "hash the join": the@1 removed -> hash@0, join@2 -> one-token gap
+    # required (ANY filler token, as in Lucene position matching)
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"match_phrase": {"text": "hash the join"}}, analyzer=ENGLISH
+    ).collect()}
+    assert got == {2, 3}
+    # stemming applies inside the phrase: 'joins' -> 'join'
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"match_phrase": {"text": "hash joins"}}, analyzer=ENGLISH
+    ).collect()}
+    assert got == {1}
+    # all-stopword phrase matches nothing
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"match_phrase": {"text": "the a"}}, analyzer=ENGLISH
+    ).collect()}
+    assert got == set()
+
+
+def test_tokens_pos_three_renderings_agree(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    samples = ["The quick joins RAN", "", "the a to", "one  two   three"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "id long, text string")
+    spark_out = {
+        r["id"]: [(e["t"], e["p"]) for e in r["tp"]]
+        for r in df.select("id", ENGLISH.tokens_pos(F.col("text")).alias("tp")).collect()
+    }
+    py_out = {i: ENGLISH.analyze_pos(s) for i, s in enumerate(samples)}
+    con = duckdb.connect()
+    sql_out = {}
+    for i, s in enumerate(samples):
+        rows = con.execute(
+            "SELECT " + ENGLISH.sql_tokens_pos("t") + " FROM (SELECT ? AS t)", [s]
+        ).fetchone()[0]
+        sql_out[i] = [(e["t"], e["p"]) for e in rows]
+    assert spark_out == py_out == sql_out
