@@ -3431,6 +3431,23 @@ def _q_match_phrase_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_index_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based index rollover routing (routing.map_index_rollover):
+    every event routes to its period's index (db.events-2024.01.05) —
+    the index-per-day retention layout ES operators run; per-row
+    derivation from event time keeps backfill time-correct. Output =
+    per-index doc counts (the shard-size report an operator reads)."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.routing import map_index_rollover
+
+    ev = load_table(spark, "events", sf_dir).withColumn("ns", F.lit("DB.Events"))
+    routed = map_index_rollover(ev, "day", ts_col="ts")
+    return routed.groupBy("_index").agg(
+        F.count("*").cast("long").alias("doc_count")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3486,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_fuzzy_query": _q_es_fuzzy_query,
         "es_match_bool_prefix": _q_es_match_bool_prefix,
         "match_phrase_analyzed": _q_match_phrase_analyzed,
+        "index_rollover": _q_index_rollover,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4548,6 +4566,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "index_rollover": """
+          SELECT CASE WHEN ts IS NOT NULL
+                      THEN 'db.events-' || strftime(date_trunc('day', ts), '%Y.%m.%d')
+                      ELSE 'db.events' END AS _index,
+                 CAST(count(*) AS BIGINT) AS doc_count
+          FROM events GROUP BY 1
         """,
         "match_phrase_analyzed": f"""
           WITH t AS (

@@ -34,6 +34,50 @@ def map_index(df: DataFrame, overrides: dict[str, str] | None = None, ns_col: st
     return df.withColumn("_index", idx)
 
 
+_ROLLOVER_FMT = {
+    "hour": "yyyy.MM.dd.HH",
+    "day": "yyyy.MM.dd",
+    "week": "yyyy.MM.dd",  # truncated to the week start, labeled by it
+    "month": "yyyy.MM",
+    "year": "yyyy",
+}
+
+
+def map_index_rollover(
+    df: DataFrame,
+    interval: str = "day",
+    ts_col: str = "ts",
+    overrides: dict[str, str] | None = None,
+    ns_col: str = "ns",
+) -> DataFrame:
+    """M4 extension — time-based index ROLLOVER: ``_index`` becomes
+    ``<base>-<date label>`` (``logs-2024.01.05``), the index-per-period
+    layout ES operators use for retention (delete old indices instead
+    of delete-by-query) and that monstache deployments configure with
+    date-math index names.  The label is the event time truncated to
+    ``interval`` (hour/day/week/month/year) and formatted with the
+    standard ES date pattern for that interval.
+
+    One codegen projection on top of :func:`map_index` — the rollover
+    name is derived per ROW from event time, so backfill and live
+    events land in their own periods' indexes (time-correct
+    re-ingestion), and downstream per-index operations (drop, merge)
+    stay partition-pruned when the sink partitions by ``_index``.
+    """
+    if interval not in _ROLLOVER_FMT:
+        raise ValueError(f"unsupported rollover interval: {interval}")
+    out = map_index(df, overrides, ns_col)
+    label = F.date_format(
+        F.date_trunc(interval, F.col(ts_col)), _ROLLOVER_FMT[interval]
+    )
+    return out.withColumn(
+        "_index",
+        F.when(
+            F.col(ts_col).isNotNull(), F.concat_ws("-", F.col("_index"), label)
+        ).otherwise(F.col("_index")),
+    )
+
+
 def extract_meta(df: DataFrame, meta_col: str = "_meta_monstache") -> DataFrame:
     """M3: pop routing metadata out of the doc into dedicated columns
     and drop it from the body. Expects ``meta_col`` to be a struct

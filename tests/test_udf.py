@@ -74,3 +74,28 @@ def test_pandas_mapper_escape_hatch(spark):
     out = pandas_mapper(df, fn, SCHEMA)
     got = {r["id"]: r["value"] for r in out.collect()}
     assert got["1"] == 20.0 and got["2"] == 200.0
+
+
+def test_map_index_rollover_periods(spark):
+    import datetime
+
+    from monstache_spark.operators.routing import map_index_rollover
+
+    df = spark.createDataFrame(
+        [("DB.Logs", datetime.datetime(2024, 1, 5, 13)),
+         ("DB.Logs", datetime.datetime(2024, 2, 1, 0)),
+         ("DB.Logs", None)],
+        "ns string, ts timestamp",
+    )
+    daily = {(r["ns"], r["ts"]): r["_index"] for r in map_index_rollover(
+        df, "day"
+    ).collect()}
+    vals = set(daily.values())
+    assert "db.logs-2024.01.05" in vals and "db.logs-2024.02.01" in vals
+    assert "db.logs" in vals          # null ts falls back to the base name
+    monthly = {r["_index"] for r in map_index_rollover(df, "month").collect()}
+    assert "db.logs-2024.01" in monthly and "db.logs-2024.02" in monthly
+    hourly = {r["_index"] for r in map_index_rollover(
+        df, "hour", overrides={"DB.Logs": "applogs"}
+    ).collect()}
+    assert "applogs-2024.01.05.13" in hourly
