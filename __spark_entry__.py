@@ -3448,6 +3448,39 @@ def _q_index_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_filter_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES singular `filter` aggregation: one bucket scoping sub-aggs
+    to the docs matching a bool query — 'metrics over purchases only'
+    without a WHERE that would change the request shape."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {"purchases": {
+            "filter": {"bool": {"must": [
+                {"term": {"event_type": "purchase"}},
+                {"range": {"value": {"gte": 50.0}}},
+            ]}},
+            "aggs": {"total": {"sum": {"field": "value"}},
+                     "users": {"cardinality": {"field": "user_id"}}},
+        }},
+    )
+
+
+def _q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES collapse with inner_hits (search.collapse_inner_hits): the
+    top-5 sources by best BM25 member, each expanded to its 3 best
+    docs — collapse-before-truncate, per-group WindowGroupLimit,
+    group frame broadcast back."""
+    from monstache_spark.operators.search import collapse_inner_hits
+
+    docs = load_table(spark, "documents", sf_dir)
+    return collapse_inner_hits(
+        docs, ["merge", "vector", "window"], "source", k=5, inner_size=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3504,6 +3537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match_bool_prefix": _q_es_match_bool_prefix,
         "match_phrase_analyzed": _q_match_phrase_analyzed,
         "index_rollover": _q_index_rollover,
+        "es_filter_bucket": _q_es_filter_bucket,
+        "collapse_inner_hits": _q_collapse_inner_hits,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4566,6 +4601,40 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "es_filter_bucket": """
+          SELECT 'filter' AS purchases,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS users
+          FROM events
+          WHERE event_type = 'purchase' AND value >= 50.0
+        """,
+        "collapse_inner_hits": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          joined AS (
+            SELECT s.doc_id, s.score, d.source
+            FROM scored s JOIN documents d USING (doc_id)
+          ),
+          members AS (
+            SELECT source, doc_id, score,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS hit_rank
+            FROM joined
+          ),
+          best AS (
+            SELECT source, max(score) AS _best FROM joined GROUP BY source
+          ),
+          top_groups AS (
+            SELECT source,
+                   CAST(row_number() OVER (ORDER BY _best DESC, source ASC) AS BIGINT)
+                     AS group_rank
+            FROM best QUALIFY group_rank <= 5
+          )
+          SELECT m.source, g.group_rank, m.doc_id, m.score, m.hit_rank
+          FROM members m JOIN top_groups g USING (source)
+          WHERE m.hit_rank <= 3
         """,
         "index_rollover": """
           SELECT CASE WHEN ts IS NOT NULL

@@ -76,6 +76,7 @@ _BUCKET_KINDS = {
     "histogram",
     "date_histogram",
     "range",
+    "filter",
     "filters",
     "missing",
 }
@@ -178,6 +179,13 @@ def _bucket_key_col(kind: str, spec: dict) -> Column:
         # drop), expressed as a constant key on exactly those rows
         return F.when(field.isNull(), F.lit("missing"))
     raise ValueError(kind)
+
+
+def _filter_bucket_key(spec: dict) -> Column:
+    """ES singular ``filter`` agg: ONE bucket holding the docs
+    matching a bool query — a constant key on matching rows (null
+    elsewhere → dropped), so sub-aggs scope to the filtered set."""
+    return F.when(compile_bool_query(spec), F.lit("filter"))
 
 
 def _multi_membership_keys(kind: str, spec: dict) -> Column:
@@ -381,6 +389,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             out = out.withColumn(
                 name, F.explode(_multi_membership_keys(kind, spec))
             )
+        elif kind == "filter":
+            out = out.withColumn(name, _filter_bucket_key(spec))
         else:
             out = out.withColumn(name, _bucket_key_col(kind, spec))
             if kind in ("terms", "multi_terms"):

@@ -1081,6 +1081,55 @@ def collapse_topk(
 # ---------------------------------------------------------------------------
 
 
+def collapse_inner_hits(
+    docs: DataFrame,
+    query_terms: list[str],
+    collapse_col: str,
+    k: int = 10,
+    inner_size: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer=None,
+) -> DataFrame:
+    """ES field collapsing WITH ``inner_hits``: the top-``k`` groups
+    (ranked by their best member's BM25 score) each expanded to their
+    ``inner_size`` best members — "top sellers per brand" in one
+    response, the collapse shape ES users actually render.
+
+    Two windows over the already-scored frame (collapse before any
+    truncation, as :func:`collapse_topk`): a per-group member rank
+    (WindowGroupLimit bounds it) and a group rank over the
+    group-cardinality best-score frame.  Returns ``(collapse_col,
+    group_rank, id, score, hit_rank)``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col, analyzer)
+    meta = docs.select(F.col(id_col), F.col(collapse_col))
+    joined = scored.join(meta, id_col)
+    gw = Window.partitionBy(collapse_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    members = joined.withColumn(
+        "hit_rank", F.row_number().over(gw).cast("long")
+    ).filter(F.col("hit_rank") <= inner_size)
+    best = (
+        joined.groupBy(collapse_col)
+        .agg(F.max("score").alias("_best"))
+    )
+    rw = Window.orderBy(F.col("_best").desc(), F.col(collapse_col).asc())
+    top_groups = (
+        best.withColumn("group_rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("group_rank") <= k)
+        .select(collapse_col, "group_rank")
+    )
+    return members.join(F.broadcast(top_groups), collapse_col).select(
+        collapse_col, "group_rank", id_col, "score", "hit_rank"
+    )
+
+
 def _deletion_keys(term: Column) -> Column:
     """The deletion neighborhood of a term for edit distance 1: the
     term itself plus every single-character deletion (SymSpell's

@@ -874,3 +874,14 @@ def test_cumulative_cardinality_first_appearance(spark):
            for r in cumulative_cardinality(df, F.col("day"), "user").collect()}
     # day1: u1,u2 new; day2: u3 new; day3: nothing new (null drops)
     assert out == {1: (2, 2), 2: (1, 3)}
+
+
+def test_singular_filter_bucket_scopes_subaggs(ev):
+    out = compile_aggs(
+        ev,
+        {"eu_only": {"filter": {"term": {"region": "eu"}},
+                     "aggs": {"total": {"sum": {"field": "val"}}}}},
+    ).collect()
+    assert len(out) == 1
+    # eu rows: ids 1,2,4,8 -> vals 10+20+40+80
+    assert (out[0]["eu_only"], out[0]["doc_count"], out[0]["total"]) == ("filter", 4, 150.0)

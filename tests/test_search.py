@@ -864,3 +864,21 @@ def test_match_bool_prefix_search_as_you_type(spark):
     ).collect()}
     # 'quick' must be a full token; 'bro' a prefix of any token
     assert got == {1, 2, 3}
+
+
+def test_collapse_inner_hits_groups_and_members(spark):
+    from monstache_spark.operators.search import collapse_inner_hits
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark", "a"), (2, "spark spark", "a"),
+         (3, "spark", "a"), (4, "spark spark", "b"), (5, "nothing", "b"),
+         (6, "spark", "c")],
+        "doc_id long, text string, src string",
+    )
+    out = collapse_inner_hits(df, ["spark"], "src", k=2, inner_size=2).collect()
+    groups = {r["src"]: r["group_rank"] for r in out}
+    assert groups == {"a": 1, "b": 2}          # c's best is weakest -> cut
+    a_members = sorted((r["hit_rank"], r["doc_id"]) for r in out if r["src"] == "a")
+    assert a_members == [(1, 1), (2, 2)]        # top-2 members only
+    b_members = [(r["hit_rank"], r["doc_id"]) for r in out if r["src"] == "b"]
+    assert b_members == [(1, 4)]                # doc 5 doesn't match at all
