@@ -104,6 +104,12 @@ def _geo_geohash_sql(lat: str, lon: str, precision: int) -> str:
 
     return geohash_sql(lat, lon, precision)
 
+
+def _geo_poly_sql(lat: str, lon: str) -> str:
+    from monstache_spark.operators.geo import polygon_sql
+
+    return polygon_sql(lat, lon, _GEO_POLY)
+
 # md5-based 32-bit hash of a string expression (functions/text.shingle_hash)
 def _hash_sql(expr: str, seed: int) -> str:
     return (
@@ -3481,6 +3487,41 @@ def _q_collapse_inner_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEO_POLY = [
+    {"lat": -30.0, "lon": -100.0}, {"lat": 45.0, "lon": -80.0},
+    {"lat": 60.0, "lon": 20.0}, {"lat": 10.0, "lon": 60.0},
+    {"lat": -50.0, "lon": 10.0},
+]
+
+
+def _q_geo_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_polygon query (geo.polygon_predicate): point-in-polygon
+    by the crossing rule over a concave 5-vertex polygon — EXACT
+    IEEE arithmetic on an identical expression tree in both engines,
+    so membership needs no rounding contract."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    c = _geo_customers(spark, sf_dir)
+    out = bool_query_filter(
+        c, {"geo_polygon": {"loc": {"points": _GEO_POLY}}}
+    )
+    return out.select("c_custkey", "lat", "lon")
+
+
+def _q_geo_centroid_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_centroid under a geohash_grid bucketing (geo.geo_centroid
+    + geohash_cell): the mean point per precision-2 cell — exact
+    decimal lat/lon sums, one hash agg."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.geo import geo_centroid, geohash_cell
+
+    c = _geo_customers(spark, sf_dir).withColumn(
+        "cell", geohash_cell(F.col("lat"), F.col("lon"), 2)
+    )
+    return geo_centroid(c, "lat", "lon", bucket_col="cell")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3539,6 +3580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_rollover": _q_index_rollover,
         "es_filter_bucket": _q_es_filter_bucket,
         "collapse_inner_hits": _q_collapse_inner_hits,
+        "geo_polygon_filter": _q_geo_polygon_filter,
+        "geo_centroid_by_cell": _q_geo_centroid_by_cell,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4601,6 +4644,23 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "geo_polygon_filter": f"""
+          WITH c AS (SELECT c_custkey, {_GEO_LAT_SQL} AS lat,
+                            {_GEO_LON_SQL} AS lon FROM customer)
+          SELECT c_custkey, lat, lon FROM c
+          WHERE {_geo_poly_sql("lat", "lon")}
+        """,
+        "geo_centroid_by_cell": f"""
+          WITH c AS (SELECT {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+                     FROM customer),
+          g AS (SELECT lat, lon, {_geo_geohash_sql("lat", "lon", 2)} AS cell FROM c)
+          SELECT cell, CAST(count(*) AS BIGINT) AS doc_count,
+                 round(CAST(sum(CAST(lat AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(count(lat) AS DOUBLE), 6) AS centroid_lat,
+                 round(CAST(sum(CAST(lon AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(count(lon) AS DOUBLE), 6) AS centroid_lon
+          FROM g GROUP BY cell
         """,
         "es_filter_bucket": """
           SELECT 'filter' AS purchases,

@@ -209,6 +209,94 @@ def geohash_grid(
     return out
 
 
+def polygon_predicate(lat: Column, lon: Column, points) -> Column:
+    """ES ``geo_polygon`` query: point-in-polygon by the crossing
+    (even-odd) rule — for each edge whose latitude span straddles the
+    point, test whether the edge's longitude at the point's latitude
+    lies east of the point; an odd crossing count means inside.
+
+    EXACT-arithmetic contract: every term is IEEE multiply/divide/
+    compare on the same expression tree in both engines (the crossing
+    test is written multiplication-free of transcendentals), so
+    membership is hash-exact with no rounding contract — boundary
+    points resolve identically everywhere because both engines
+    evaluate the identical float expression.  ``points`` is the
+    vertex list (closed implicitly); edges are compile-time literals,
+    so the whole predicate is one codegen expression bounded by the
+    vertex count.
+    """
+    pts = [_ll(p) for p in points]
+    crossings = F.lit(0)
+    n = len(pts)
+    for i in range(n):
+        y1, x1 = pts[i]
+        y2, x2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never straddles strictly
+        straddles = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        x_at = (
+            F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        )
+        crossings = crossings + F.when(
+            straddles & (lon < x_at), F.lit(1)
+        ).otherwise(F.lit(0))
+    return crossings % F.lit(2) == F.lit(1)
+
+
+def polygon_sql(lat: str, lon: str, points) -> str:
+    """DuckDB rendering of :func:`polygon_predicate` — identical
+    expression tree, term for term."""
+    pts = [_ll(p) for p in points]
+    terms = []
+    n = len(pts)
+    for i in range(n):
+        y1, x1 = pts[i]
+        y2, x2 = pts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CAST(({y1!r} > ({lat})) AS INT) <> CAST(({y2!r} > ({lat})) AS INT)"
+            f" AND ({lon}) < {x2 - x1!r} * (({lat}) - {y1!r}) / {y2 - y1!r} + {x1!r})"
+        )
+    if not terms:
+        return "FALSE"
+    # XOR chain == odd crossing count
+    return "(" + " + ".join(f"CAST({t} AS INT)" for t in terms) + ") % 2 = 1"
+
+
+def geo_centroid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """ES ``geo_centroid`` aggregation: the arithmetic mean point of
+    the bucket's coordinates — EXACT decimal sums over lat/lon so
+    both means are engine-identical, rounded to 6 decimals (~11 cm)
+    for presentation.  (ES computes the same arithmetic centroid; for
+    small regions this matches the spherical centroid to far below
+    the rounding grain.)  One hash agg; null coordinates drop."""
+    base = df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    aggs = [
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(
+            F.sum(F.col(lat_col).cast("decimal(38,6)")).cast("double")
+            / F.count(lat_col).cast("double"),
+            6,
+        ).alias("centroid_lat"),
+        F.round(
+            F.sum(F.col(lon_col).cast("decimal(38,6)")).cast("double")
+            / F.count(lon_col).cast("double"),
+            6,
+        ).alias("centroid_lon"),
+    ]
+    if bucket_col is not None:
+        return base.filter(F.col(bucket_col).isNotNull()).groupBy(
+            bucket_col
+        ).agg(*aggs)
+    return base.agg(*aggs)
+
+
 def geo_distance_buckets(
     df: DataFrame,
     lat_col: str,

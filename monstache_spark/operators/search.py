@@ -184,6 +184,14 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         return bbox_predicate(
             loc["lat"], loc["lon"], spec["top_left"], spec["bottom_right"]
         )
+    if kind == "geo_polygon":
+        # {"geo_polygon": {loc_field: {"points": [{lat, lon}, ...]}}}
+        # — point-in-polygon by the crossing rule, exact arithmetic
+        from monstache_spark.operators.geo import polygon_predicate
+
+        ((field, spec),) = body.items()
+        loc = _field(field, resolver)
+        return polygon_predicate(loc["lat"], loc["lon"], spec["points"])
     if kind == "geo_distance":
         # {"geo_distance": {"distance": "200km", loc_field: {"lat":..,
         #  "lon":..}}} — rounded-haversine contract (operators/geo.py)

@@ -147,3 +147,68 @@ def test_geohash_grid_counts_and_size(spark):
     assert got == {"u33dc": 2, "s0000": 1}
     top = geohash_grid(df, "lat", "lon", precision=5, size=1).collect()
     assert len(top) == 1 and top[0]["geohash"] == "u33dc"
+
+
+def test_geo_polygon_crossing_rule(spark):
+    # triangle (0,0) (10,0) (0,10)
+    tri = [{"lat": 0.0, "lon": 0.0}, {"lat": 10.0, "lon": 0.0},
+           {"lat": 0.0, "lon": 10.0}]
+    df = spark.createDataFrame(
+        [(1, 2.0, 2.0), (2, 6.0, 6.0), (3, 5.0, 1.0), (4, -1.0, 5.0),
+         (5, 11.0, 1.0)],
+        "id long, lat double, lon double",
+    ).withColumn("loc", F.struct("lat", "lon"))
+    got = {r["id"] for r in bool_query_filter(
+        df, {"geo_polygon": {"loc": {"points": tri}}}
+    ).collect()}
+    assert got == {1, 3}    # (6,6) is outside the hypotenuse
+    # concave polygon: an L-shape excludes its notch
+    ell = [{"lat": 0.0, "lon": 0.0}, {"lat": 10.0, "lon": 0.0},
+           {"lat": 10.0, "lon": 4.0}, {"lat": 4.0, "lon": 4.0},
+           {"lat": 4.0, "lon": 10.0}, {"lat": 0.0, "lon": 10.0}]
+    df2 = spark.createDataFrame(
+        [(1, 2.0, 8.0), (2, 8.0, 8.0), (3, 8.0, 2.0)],
+        "id long, lat double, lon double",
+    ).withColumn("loc", F.struct("lat", "lon"))
+    got = {r["id"] for r in bool_query_filter(
+        df2, {"geo_polygon": {"loc": {"points": ell}}}
+    ).collect()}
+    assert got == {1, 3}    # (8,8) sits in the notch
+
+
+def test_geo_polygon_sql_parity(spark):
+    import random
+
+    import duckdb
+
+    from monstache_spark.operators.geo import polygon_predicate, polygon_sql
+
+    poly = [{"lat": -3.0, "lon": -2.0}, {"lat": 7.5, "lon": -1.0},
+            {"lat": 9.0, "lon": 6.0}, {"lat": 1.0, "lon": 8.0},
+            {"lat": -5.0, "lon": 3.0}]
+    random.seed(13)
+    pts = [(i, random.uniform(-10, 12), random.uniform(-6, 11)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    spark_in = {r["id"] for r in df.filter(
+        polygon_predicate(F.col("lat"), F.col("lon"), poly)
+    ).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in pts)
+    duck_in = {r[0] for r in con.execute(
+        f"SELECT id FROM (VALUES {vals}) AS t(id, lat, lon) WHERE "
+        + polygon_sql("lat", "lon", poly)
+    ).fetchall()}
+    assert spark_in == duck_in and len(spark_in) > 10
+
+
+def test_geo_centroid_exact(spark):
+    from monstache_spark.operators.geo import geo_centroid
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 20.0), ("a", 20.0, 40.0), ("b", -5.0, 0.0),
+         ("a", None, None)],
+        "k string, lat double, lon double",
+    )
+    out = {r["k"]: (r["doc_count"], r["centroid_lat"], r["centroid_lon"])
+           for r in geo_centroid(df, "lat", "lon", bucket_col="k").collect()}
+    assert out == {"a": (2, 15.0, 30.0), "b": (1, -5.0, 0.0)}
