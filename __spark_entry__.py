@@ -3494,6 +3494,64 @@ _GEO_POLY = [
 ]
 
 
+def _q_es_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram gap filling (compile_aggs min_doc_count=0):
+    empty value bands emitted between the data's min and max bucket
+    with extended_bounds union — the same timeline contract as the
+    date variant, keys as exact interval multiples."""
+    from monstache_spark.operators.aggs import compile_aggs
+    from monstache_spark.operators.search import bool_query_filter
+
+    ev = load_table(spark, "events", sf_dir)
+    sparse = bool_query_filter(
+        ev, {"bool": {"must": [{"term": {"event_type": "purchase"}}]}}
+    )
+    return compile_aggs(
+        sparse,
+        {"band": {
+            "histogram": {"field": "value", "interval": 50.0,
+                          "min_doc_count": 0,
+                          "extended_bounds": {"min": -100.0, "max": 600.0}},
+            "aggs": {"total": {"sum": {"field": "value"}}},
+        }},
+    )
+
+
+def _q_es_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot metric: min/max + EXACT interpolated quartiles per
+    event type (ES is t-digest-approximate; exactness is the
+    stronger, hash-checkable contract)."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {"by_type": {"terms": {"field": "event_type"},
+                     "aggs": {"v": {"boxplot": {"field": "value"}}}}},
+    )
+
+
+def _q_es_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation, EXACT: median of |x − median|
+    per event type — two percentile aggs with the per-bucket median
+    broadcast back between them."""
+    from monstache_spark.operators.aggs import median_absolute_deviation
+
+    ev = load_table(spark, "events", sf_dir)
+    return median_absolute_deviation(ev, "event_type", "value")
+
+
+def _q_es_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats per language: exact length stats + char-level
+    Shannon entropy under the rounded-decimal accumulation contract
+    (per-char contributions rounded at 10 dp, decimal-summed — float
+    summation order never leaks into the hash)."""
+    from monstache_spark.operators.aggs import string_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return string_stats(docs, "lang", "text")
+
+
 def _q_geo_polygon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geo_polygon query (geo.polygon_predicate): point-in-polygon
     by the crossing rule over a concave 5-vertex polygon — EXACT
@@ -3582,6 +3640,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_inner_hits": _q_collapse_inner_hits,
         "geo_polygon_filter": _q_geo_polygon_filter,
         "geo_centroid_by_cell": _q_geo_centroid_by_cell,
+        "es_histogram_filled": _q_es_histogram_filled,
+        "es_boxplot": _q_es_boxplot,
+        "es_mad": _q_es_mad,
+        "es_string_stats": _q_es_string_stats,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
@@ -4644,6 +4706,82 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "es_histogram_filled": """
+          WITH s AS (SELECT value FROM events WHERE event_type = 'purchase'),
+          g AS (
+            SELECT CAST(floor(value / 50.0) * 50.0 AS DOUBLE) AS band,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM s WHERE value IS NOT NULL GROUP BY 1
+          ),
+          b AS (
+            SELECT least((SELECT min(band) FROM g), -100.0) AS lo,
+                   greatest((SELECT max(band) FROM g), 600.0) AS hi
+          ),
+          tl AS (
+            SELECT unnest(list_transform(
+                     range(0, CAST((hi - lo) / 50.0 AS INTEGER) + 1),
+                     i -> lo + CAST(i AS DOUBLE) * 50.0)) AS band
+            FROM b
+          )
+          SELECT tl.band, coalesce(g.doc_count, 0) AS doc_count, g.total
+          FROM tl LEFT JOIN g USING (band)
+        """,
+        "es_boxplot": """
+          SELECT CAST(event_type AS VARCHAR) AS by_type,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(min(value) AS DOUBLE) AS v_min,
+                 CAST(max(value) AS DOUBLE) AS v_max,
+                 round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS v_q1,
+                 round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS v_q2,
+                 round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS v_q3
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY 1
+        """,
+        "es_mad": """
+          WITH med AS (
+            SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+            FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY event_type
+          )
+          SELECT e.event_type,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 round(quantile_cont(abs(CAST(e.value AS DOUBLE) - med.m), 0.5), 6) AS mad
+          FROM events e JOIN med USING (event_type)
+          WHERE e.value IS NOT NULL
+          GROUP BY e.event_type
+        """,
+        "es_string_stats": """
+          WITH base AS (
+            SELECT lang, text FROM documents
+            WHERE lang IS NOT NULL AND text IS NOT NULL
+          ),
+          lens AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS doc_count,
+                   CAST(min(length(text)) AS BIGINT) AS min_length,
+                   CAST(max(length(text)) AS BIGINT) AS max_length,
+                   CAST(sum(CAST(length(text) AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(count(text) AS DOUBLE) AS avg_length
+            FROM base GROUP BY lang
+          ),
+          ch AS (
+            SELECT lang, unnest(string_split(text, '')) AS c FROM base
+          ),
+          freq AS (
+            SELECT lang, c, CAST(count(*) AS DOUBLE) AS n
+            FROM ch WHERE c <> '' GROUP BY lang, c
+          ),
+          tot AS (SELECT lang, sum(n) AS t FROM freq GROUP BY lang),
+          ent AS (
+            SELECT f.lang,
+                   round(CAST(-sum(CAST(round((f.n / tot.t) * log2(f.n / tot.t), 10)
+                                        AS DECIMAL(38,10))) AS DOUBLE), 6) AS entropy
+            FROM freq f JOIN tot USING (lang) GROUP BY f.lang
+          )
+          SELECT l.lang, l.doc_count, l.min_length, l.max_length, l.avg_length,
+                 e.entropy
+          FROM lens l JOIN ent e USING (lang)
         """,
         "geo_polygon_filter": f"""
           WITH c AS (SELECT c_custkey, {_GEO_LAT_SQL} AS lat,

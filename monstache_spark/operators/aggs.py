@@ -49,6 +49,8 @@ aggregations contract.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -67,6 +69,7 @@ _METRIC_KINDS = {
     "weighted_avg",
     "percentiles",
     "percentile_ranks",
+    "boxplot",
 }
 
 _BUCKET_KINDS = {
@@ -307,6 +310,23 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
             F.round(variance, 6).alias(f"{name}_variance"),
             F.round(F.sqrt(variance), 6).alias(f"{name}_std_deviation"),
         ]
+    if kind == "boxplot":
+        # ES boxplot: min/max/q1/q2/q3 — exact interpolated quartiles
+        # (ES is t-digest; exactness is the stronger contract, as with
+        # percentiles), rounded 6 dp
+        return [
+            F.min(field.cast("double")).alias(f"{name}_min"),
+            F.max(field.cast("double")).alias(f"{name}_max"),
+            F.round(F.percentile(field.cast("double"), F.lit(0.25)), 6).alias(
+                f"{name}_q1"
+            ),
+            F.round(F.percentile(field.cast("double"), F.lit(0.5)), 6).alias(
+                f"{name}_q2"
+            ),
+            F.round(F.percentile(field.cast("double"), F.lit(0.75)), 6).alias(
+                f"{name}_q3"
+            ),
+        ]
     if kind == "percentile_ranks":
         # ES percentile_ranks: for each requested value, the percent
         # of field values ≤ it.  ES interpolates on a t-digest sketch;
@@ -353,6 +373,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
     rare_filters: list[tuple[str, int]] = []
     # (name, spec) when a date_histogram asks for min_doc_count=0
     date_fill: tuple[str, dict] | None = None
+    # (name, spec) when a numeric histogram asks for min_doc_count=0
+    hist_fill: tuple[str, dict] | None = None
     metrics: list[Column] = []
     # frame snapshot taken right after each terms level's key column is
     # assigned — BEFORE any child level's explode / null-drop — so a
@@ -385,6 +407,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
         name, kind, spec, child = bucket_items[0]
         if kind == "date_histogram" and int(spec.get("min_doc_count", 1)) == 0:
             date_fill = (name, spec)
+        if kind == "histogram" and int(spec.get("min_doc_count", 1)) == 0:
+            hist_fill = (name, spec)
         if kind in ("range", "filters"):
             out = out.withColumn(
                 name, F.explode(_multi_membership_keys(kind, spec))
@@ -522,6 +546,47 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 .drop("_rare_total")
             )
 
+    if hist_fill is not None:
+        # numeric histogram gap filling (min_doc_count=0): same
+        # timeline contract as the date variant — empty buckets for
+        # every interval between the data's min and max bucket (or
+        # the union with extended_bounds), metrics null there.  The
+        # bucket keys are exact interval multiples, so both engines
+        # generate identical timelines from lo + i·interval.
+        name, spec = hist_fill
+        if len(key_names) != 1:
+            raise ValueError(
+                "min_doc_count=0 gap filling requires histogram "
+                "to be the only bucket level"
+            )
+        interval = float(spec["interval"])
+        data_bounds = grouped.agg(
+            F.min(name).alias("_dlo"), F.max(name).alias("_dhi")
+        )
+        eb = spec.get("extended_bounds")
+        if eb:
+            qlo = math.floor(float(eb["min"]) / interval) * interval
+            qhi = math.floor(float(eb["max"]) / interval) * interval
+            bounds = data_bounds.select(
+                F.least(F.col("_dlo"), F.lit(qlo)).alias("_lo"),
+                F.greatest(F.col("_dhi"), F.lit(qhi)).alias("_hi"),
+            )
+        else:
+            bounds = data_bounds.select(
+                F.col("_dlo").alias("_lo"), F.col("_dhi").alias("_hi")
+            )
+        n_steps = ((F.col("_hi") - F.col("_lo")) / F.lit(interval)).cast("int")
+        timeline = bounds.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_steps),
+                    lambda i: F.col("_lo") + i.cast("double") * F.lit(interval),
+                )
+            ).alias(name)
+        )
+        grouped = timeline.join(grouped, name, "left").withColumn(
+            "doc_count", F.coalesce("doc_count", F.lit(0).cast("long"))
+        )
     if date_fill is not None:
         # ES min_doc_count=0 gap filling: emit EMPTY buckets for every
         # interval between the first and last bucket (or the literal
@@ -646,6 +711,84 @@ def auto_date_histogram(
         body["aggs"] = aggs
     out = compile_aggs(df, {name: body})
     return out.withColumn("interval", F.lit(interval))
+
+
+def median_absolute_deviation(
+    df: DataFrame,
+    bucket_col: str,
+    field: str,
+    name: str = "mad",
+) -> DataFrame:
+    """ES ``median_absolute_deviation``: median of |x − median(x)| per
+    bucket — the robust dispersion metric.  ES approximates on
+    t-digest; this is EXACT: two percentile aggregations with the
+    per-bucket median broadcast back between them (bucket-cardinality
+    join), results rounded 6 dp.  Returns ``(bucket, doc_count,
+    <name>)``."""
+    base = df.filter(
+        F.col(bucket_col).isNotNull() & F.col(field).isNotNull()
+    )
+    med = base.groupBy(bucket_col).agg(
+        F.percentile(F.col(field).cast("double"), F.lit(0.5)).alias("_med")
+    )
+    joined = base.join(F.broadcast(med), bucket_col)
+    dev = F.abs(F.col(field).cast("double") - F.col("_med"))
+    return joined.groupBy(bucket_col).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(F.percentile(dev, F.lit(0.5)), 6).alias(name),
+    )
+
+
+def string_stats(
+    df: DataFrame,
+    bucket_col: str,
+    field: str,
+) -> DataFrame:
+    """ES ``string_stats``: per bucket, the count / min / max / avg
+    LENGTH of a string field plus the character-level Shannon entropy
+    of the bucket's concatenated text.  Lengths are exact (decimal
+    avg); entropy is Σ −p·log₂p over per-character frequencies,
+    ROUNDED to 6 dp (log₂ is libm — same rounded contract as the
+    transcendental function_score modifiers).  Two hash aggs: one
+    over rows for lengths, one over exploded characters for the
+    distribution (amplification = avg string length, the same factor
+    any tokenizer pass pays), joined at bucket cardinality."""
+    base = df.filter(
+        F.col(bucket_col).isNotNull() & F.col(field).isNotNull()
+    )
+    lens = base.groupBy(bucket_col).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.min(F.length(field)).cast("long").alias("min_length"),
+        F.max(F.length(field)).cast("long").alias("max_length"),
+        (
+            F.sum(F.length(field).cast("decimal(38,6)")).cast("double")
+            / F.count(field).cast("double")
+        ).alias("avg_length"),
+    )
+    chars = base.select(
+        F.col(bucket_col),
+        F.explode(F.split(F.col(field), "")).alias("_ch"),
+    ).filter(F.col("_ch") != "")
+    freq = chars.groupBy(bucket_col, "_ch").agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    tot = freq.groupBy(bucket_col).agg(F.sum("_n").alias("_tot"))
+    # per-character contributions round at 10 dp and sum as exact
+    # decimal — a float sum's result depends on partition order; the
+    # rounded-decimal accumulation is the same order-independence
+    # pattern BM25 scoring uses
+    contrib = F.round(
+        F.col("_p") * F.log2("_p"), 10
+    ).cast("decimal(38,10)")
+    ent = (
+        freq.join(F.broadcast(tot), bucket_col)
+        .withColumn("_p", F.col("_n") / F.col("_tot"))
+        .groupBy(bucket_col)
+        .agg(
+            F.round((-F.sum(contrib)).cast("double"), 6).alias("entropy")
+        )
+    )
+    return lens.join(F.broadcast(ent), bucket_col)
 
 
 def sampler_agg(

@@ -885,3 +885,63 @@ def test_singular_filter_bucket_scopes_subaggs(ev):
     assert len(out) == 1
     # eu rows: ids 1,2,4,8 -> vals 10+20+40+80
     assert (out[0]["eu_only"], out[0]["doc_count"], out[0]["total"]) == ("filter", 4, 150.0)
+
+
+def test_histogram_gap_fill_and_extended_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 15.0), (3, 45.0)], "id long, v double"
+    )
+    out = compile_aggs(
+        df, {"h": {"histogram": {"field": "v", "interval": 10.0,
+                                 "min_doc_count": 0}}}
+    ).collect()
+    got = {r["h"]: r["doc_count"] for r in out}
+    assert got == {10.0: 2, 20.0: 0, 30.0: 0, 40.0: 1}
+    out2 = compile_aggs(
+        df, {"h": {"histogram": {"field": "v", "interval": 10.0,
+                                 "min_doc_count": 0,
+                                 "extended_bounds": {"min": 0.0, "max": 60.0}}}}
+    ).collect()
+    got2 = {r["h"]: r["doc_count"] for r in out2}
+    assert got2 == {0.0: 0, 10.0: 2, 20.0: 0, 30.0: 0, 40.0: 1, 50.0: 0, 60.0: 0}
+
+
+def test_boxplot_exact_quartiles(spark):
+    df = spark.createDataFrame(
+        [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8])],
+        "id long, k string, v double",
+    )
+    out = compile_aggs(
+        df, {"k": {"terms": {"field": "k"},
+                   "aggs": {"b": {"boxplot": {"field": "v"}}}}}
+    ).collect()[0]
+    assert (out["b_min"], out["b_max"]) == (1.0, 8.0)
+    assert (out["b_q1"], out["b_q2"], out["b_q3"]) == (2.75, 4.5, 6.25)
+
+
+def test_median_absolute_deviation_exact(spark):
+    from monstache_spark.operators.aggs import median_absolute_deviation
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 1, 2, 2, 4, 6, 9]], "k string, v double"
+    )
+    out = median_absolute_deviation(df, "k", "v").collect()[0]
+    # median 2; deviations [1,1,0,0,2,4,7] -> median 1
+    assert (out["doc_count"], out["mad"]) == (7, 1.0)
+
+
+def test_string_stats_lengths_and_entropy(spark):
+    import math
+
+    from monstache_spark.operators.aggs import string_stats
+
+    df = spark.createDataFrame(
+        [("a", "aab"), ("a", "b"), ("b", "xyzw")], "k string, s string"
+    )
+    out = {r["k"]: r for r in string_stats(df, "k", "s").collect()}
+    a = out["a"]
+    assert (a["doc_count"], a["min_length"], a["max_length"], a["avg_length"]) == (2, 1, 3, 2.0)
+    # chars a:2, b:2 over 4 -> entropy 1 bit
+    assert a["entropy"] == 1.0
+    b = out["b"]
+    assert b["entropy"] == 2.0   # 4 distinct chars uniform
