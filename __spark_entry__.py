@@ -5040,10 +5040,10 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT by_type, doc_count, v_count, v_min, v_max,
                  v_sum / CAST(v_count AS DOUBLE) AS v_avg, v_sum, v_sum_of_squares,
-                 round(v_sum_of_squares / v_count
-                       - (v_sum / v_count) * (v_sum / v_count), 6) AS v_variance,
-                 round(sqrt(v_sum_of_squares / v_count
-                            - (v_sum / v_count) * (v_sum / v_count)), 6) AS v_std_deviation
+                 round(greatest(v_sum_of_squares / v_count
+                       - (v_sum / v_count) * (v_sum / v_count), 0.0), 6) AS v_variance,
+                 round(sqrt(greatest(v_sum_of_squares / v_count
+                            - (v_sum / v_count) * (v_sum / v_count), 0.0)), 6) AS v_std_deviation
           FROM g
         """,
         "es_missing_agg": """

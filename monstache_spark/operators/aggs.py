@@ -299,7 +299,10 @@ def _metric_exprs(name: str, kind: str, spec: dict) -> list[Column]:
         sos = F.sum((dec * dec).cast("decimal(38,6)")).cast("double")
         n = F.count(field).cast("double")
         mean = exact_sum / n
-        variance = sos / n - mean * mean
+        # clamp: sos/n − mean² can cancel to a tiny NEGATIVE double
+        # for constant/near-constant buckets; sqrt would yield NaN
+        # where ES reports 0
+        variance = F.greatest(sos / n - mean * mean, F.lit(0.0))
         return [
             F.count(field).cast("long").alias(f"{name}_count"),
             F.min(field.cast("double")).alias(f"{name}_min"),
@@ -575,15 +578,19 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             bounds = data_bounds.select(
                 F.col("_dlo").alias("_lo"), F.col("_dhi").alias("_hi")
             )
-        n_steps = ((F.col("_hi") - F.col("_lo")) / F.lit(interval)).cast("int")
+        # _lo/_hi are themselves bucket keys (i·interval for integer
+        # i), so recover the INTEGER indices (round, not floor — float
+        # division of i·interval by a fractional interval can land a
+        # hair under i) and regenerate each timeline key through the
+        # IDENTICAL long·double expression the histogram key uses
+        # (aggs.py:158).  Generating keys as _lo + i·interval instead
+        # accumulates float drift for fractional intervals and the
+        # left join then silently drops non-empty data buckets.
+        lo_idx = F.round(F.col("_lo") / F.lit(interval)).cast("long")
+        hi_idx = F.round(F.col("_hi") / F.lit(interval)).cast("long")
         timeline = bounds.select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_steps),
-                    lambda i: F.col("_lo") + i.cast("double") * F.lit(interval),
-                )
-            ).alias(name)
-        )
+            F.explode(F.sequence(lo_idx, hi_idx)).alias("_i")
+        ).select((F.col("_i") * F.lit(interval)).cast("double").alias(name))
         grouped = timeline.join(grouped, name, "left").withColumn(
             "doc_count", F.coalesce("doc_count", F.lit(0).cast("long"))
         )
@@ -1140,7 +1147,13 @@ def normalize_agg(
             F.lit(0.0)
         )
     elif method == "mean":
-        norm = v.cast("double") - F.col("_tot") / F.col("_n")
+        # ES 'mean' method: (value − mean) / (max − min) — mean-shift
+        # scaled by the range, 0 when the range collapses
+        rng = F.col("_mx") - F.col("_mn")
+        norm = F.when(
+            rng > 0,
+            (v.cast("double") - F.col("_tot") / F.col("_n")) / rng,
+        ).otherwise(F.lit(0.0))
     else:
         raise ValueError(f"unsupported normalize method: {method}")
     return joined.withColumn(

@@ -155,17 +155,30 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         mm_type = body.get("type", "best_fields")
         mm_op = body.get("operator", "or")
         if mm_type == "cross_fields" and mm_op == "and":
+            # Analyze the query ONCE, then membership-test each
+            # already-analyzed token directly against the analyzed
+            # field tokens — re-invoking the analyzer on its own
+            # output would stem twice ('crossing'→'cross'→'cros')
+            # and miss documents whose tokens were stemmed once.
             if analyzer is not None:
                 toks = analyzer.analyze(str(body["query"]))
+                hays = {
+                    fld: analyzer.tokens(_field(fld, resolver))
+                    for fld in body["fields"]
+                }
             else:
                 toks = [t for t in str(body["query"]).lower().split() if t]
+                hays = {
+                    fld: F.split(
+                        F.trim(F.lower(_field(fld, resolver))), r"\s+"
+                    )
+                    for fld in body["fields"]
+                }
             cond = F.lit(True)
             for tok in toks:
                 any_field = F.lit(False)
                 for fld in body["fields"]:
-                    any_field = any_field | _match_any_token(
-                        fld, tok, resolver, analyzer
-                    )
+                    any_field = any_field | F.array_contains(hays[fld], tok)
                 cond = cond & any_field
             return cond
         cond = F.lit(False)
@@ -220,6 +233,10 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         col = F.lower(_field(field, resolver))
         q = F.lit(value)
         lev = F.levenshtein(col, q)
+        if fuzz <= 0:
+            # fuzziness:0 is an exact-match request regardless of
+            # transposition setting — 1-edit neighbors must NOT match
+            return col == q
         if not transpositions:
             return lev <= F.lit(fuzz)
         if fuzz <= 1:

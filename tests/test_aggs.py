@@ -845,10 +845,17 @@ def test_normalize_agg_methods(spark):
         df, "v", method="rescale_0_1"
     ).collect()}
     assert r01 == {"a": 0.0, "b": 0.4, "c": 1.0}
+    # ES 'mean' method is (value − mean) / (max − min)
     mn = {r["k"]: round(r["v_norm"], 4) for r in normalize_agg(
         df, "v", method="mean"
     ).collect()}
-    assert mn == {"a": -23.3333, "b": -3.3333, "c": 26.6667}
+    assert mn == {"a": -0.4667, "b": -0.0667, "c": 0.5333}
+    # collapsed range → 0, not NaN/div-by-zero
+    one = spark.createDataFrame([("a", 5.0), ("b", 5.0)], "k string, v double")
+    flat = {r["k"]: r["v_norm"] for r in normalize_agg(
+        one, "v", method="mean"
+    ).collect()}
+    assert flat == {"a": 0.0, "b": 0.0}
 
 
 def test_bucket_sort_rank_and_page(spark):
@@ -904,6 +911,39 @@ def test_histogram_gap_fill_and_extended_bounds(spark):
     ).collect()
     got2 = {r["h"]: r["doc_count"] for r in out2}
     assert got2 == {0.0: 0, 10.0: 2, 20.0: 0, 30.0: 0, 40.0: 1, 50.0: 0, 60.0: 0}
+
+
+def test_histogram_gap_fill_fractional_interval(spark):
+    # fractional interval: timeline keys must round-trip the SAME
+    # floor(v/interval)·interval expression as the bucket keys —
+    # generating lo + i·interval drifted for interval=0.1 and the
+    # left join silently dropped non-empty buckets
+    df = spark.createDataFrame(
+        [(1, 0.05), (2, 0.31), (3, 0.35), (4, 0.72)], "id long, v double"
+    )
+    out = compile_aggs(
+        df, {"h": {"histogram": {"field": "v", "interval": 0.1,
+                                 "min_doc_count": 0}}}
+    ).collect()
+    got = {round(r["h"], 10): r["doc_count"] for r in out}
+    # every data bucket present (0.0:1, 0.3:2, 0.7:1) and 8 buckets total
+    assert got[0.0] == 1 and got[0.3] == 2 and got[0.7] == 1
+    assert len(got) == 8 and sum(got.values()) == 4
+
+
+def test_extended_stats_constant_bucket_zero_std(spark):
+    # constant values: sos/n − mean² can cancel slightly negative;
+    # std must be 0.0, never NaN
+    df = spark.createDataFrame(
+        [("a", 7.3), ("a", 7.3), ("a", 7.3)], "k string, v double"
+    )
+    out = compile_aggs(
+        df,
+        {"k": {"terms": {"field": "k"},
+               "aggs": {"v": {"extended_stats": {"field": "v"}}}}},
+    ).collect()
+    assert out[0]["v_variance"] == 0.0
+    assert out[0]["v_std_deviation"] == 0.0
 
 
 def test_boxplot_exact_quartiles(spark):

@@ -853,6 +853,42 @@ def test_fuzzy_query_leaf_with_transpositions(spark):
     assert got == {1, 2, 3, 5}    # tbl = two deletions
 
 
+def test_fuzzy_query_fuzziness_zero_is_exact(spark):
+    # fuzziness:0 means exact match — 1-edit neighbors (incl. the
+    # adjacent swap) must NOT match even with transpositions=true
+    df = spark.createDataFrame(
+        [(1, "table"), (2, "tabel"), (3, "cable"), (4, "tables")],
+        "doc_id long, kind string",
+    )
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"fuzzy": {"kind": {"value": "table", "fuzziness": 0}}}
+    ).collect()}
+    assert got == {1}
+
+
+def test_cross_fields_analyzer_stems_once(spark):
+    # cross_fields + and with an analyzer: query tokens are analyzed
+    # ONCE — double application would stem 'crossing'→'cross'→'cros'
+    # and miss the doc whose stored token stemmed once to 'cross'
+    from monstache_spark.functions.analyzer import ENGLISH
+
+    df = spark.createDataFrame(
+        [(1, "crossing", "guard"), (2, "cross", "roads"),
+         (3, "crossed", "wires"), (4, "cats", "dogs")],
+        "doc_id long, a string, b string",
+    )
+    got = {r["doc_id"] for r in bool_query_filter(
+        df, {"multi_match": {"query": "crossing", "fields": ["a", "b"],
+                             "type": "cross_fields", "operator": "and"}},
+        analyzer=ENGLISH,
+    ).collect()}
+    # query 'crossing'→'cross' (ONE stem).  Stored: doc1 'crossing'→
+    # 'cross', doc3 'crossed'→'cross' (match); doc2 'cross'→'cros'
+    # (s-rule, symmetric on both sides, as ES would).  A double-stemmed
+    # query ('cros') would instead match ONLY doc2 — the old bug.
+    assert got == {1, 3}
+
+
 def test_match_bool_prefix_search_as_you_type(spark):
     df = spark.createDataFrame(
         [(1, "quick brown fox"), (2, "quick brother"), (3, "brown quick"),
