@@ -3437,6 +3437,42 @@ def _q_match_phrase_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_match_phrase_slop3_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token sloppy phrase with OUT-OF-ORDER arrangements
+    (search._match_phrase_slop, n<=3 unordered branch): min-total-
+    movement cost max(p_i − i) − min(p_i − i) over one position pick
+    per term — 'merge join sort'~3 admits permuted occurrences at
+    their movement cost, as Lucene's SloppyPhraseMatcher does
+    (closes DIVERGENCES.md S2 for n = 3)."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"match_phrase": {"text": {"query": "merge join sort", "slop": 3}}},
+    )
+    return out.select("doc_id")
+
+
+def _q_match_phrase_slop_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzed SLOPPY phrase (search._match_phrase_slop with an
+    analyzer): 'hash the join'~1 under ENGLISH keeps the stop word's
+    position increment — the pattern is hash@0, join@2 and slop
+    budgets movement from that GAPPED pattern (|p_join − 2 − p_hash|
+    ≤ 1), exactly ES's analyzed-field sloppy phrase.  Closes the S1
+    residual for slop > 0."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"match_phrase": {"text": {"query": "hash the join", "slop": 1}}},
+        analyzer=ENGLISH,
+    )
+    return out.select("doc_id")
+
+
 def _q_index_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based index rollover routing (routing.map_index_rollover):
     every event routes to its period's index (db.events-2024.01.05) —
@@ -3635,6 +3671,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_fuzzy_query": _q_es_fuzzy_query,
         "es_match_bool_prefix": _q_es_match_bool_prefix,
         "match_phrase_analyzed": _q_match_phrase_analyzed,
+        "match_phrase_slop3_perm": _q_match_phrase_slop3_perm,
+        "match_phrase_slop_analyzed": _q_match_phrase_slop_analyzed,
         "index_rollover": _q_index_rollover,
         "es_filter_bucket": _q_es_filter_bucket,
         "collapse_inner_hits": _q_collapse_inner_hits,
@@ -4852,6 +4890,36 @@ def oracle_sql() -> dict[str, str]:
                   p0 -> list_contains(
                     list_transform(list_filter(tp, e -> e.t = 'join'), e -> e.p),
                     p0 + 2))) > 0
+        """,
+        "match_phrase_slop3_perm": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS p0,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS p1,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'sort') AS p2
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(p0, a ->
+                  len(list_filter(p1, b ->
+                    len(list_filter(p2, c ->
+                      greatest(a, b - 1, c - 2) - least(a, b - 1, c - 2) <= 3
+                    )) > 0)) > 0)) > 0
+        """,
+        "match_phrase_slop_analyzed": f"""
+          WITH t AS (
+            SELECT doc_id, {_ENGLISH_AN.sql_tokens_pos("text")} AS tp
+            FROM documents
+          )
+          SELECT doc_id FROM t
+          WHERE len(list_filter(
+                  list_transform(list_filter(tp, e -> e.t = 'hash'), e -> e.p),
+                  p0 -> len(list_filter(
+                    list_transform(list_filter(tp, e -> e.t = 'join'), e -> e.p),
+                    p1 -> abs(p0 - (p1 - 2)) <= 1)) > 0)) > 0
         """,
         "es_fuzzy_query": """
           SELECT doc_id, source FROM documents

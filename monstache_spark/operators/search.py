@@ -405,7 +405,7 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         if analyzer is not None and slop == 0:
             return _match_phrase_analyzed(field, phrase_text, analyzer, resolver)
         if slop > 0:
-            return _match_phrase_slop(field, phrase_text, slop, resolver)
+            return _match_phrase_slop(field, phrase_text, slop, resolver, analyzer)
         # positional phrase: the analyzed token sequence must appear
         # consecutively — token-boundary-exact via the padded
         # space-joined token string (' a b c ' contains ' q1 q2 '),
@@ -457,69 +457,89 @@ def _match_phrase_analyzed(
     return F.exists(positions_of(t0), body)
 
 
-def _match_phrase_slop(field: str, text: str, slop: int, resolver=None) -> Column:
-    """Sloppy phrase: the phrase tokens must appear with at most
-    ``slop`` total movement cost — for strictly increasing positions
-    the gap sum telescopes to ``p_last - p_first - (n-1)``, so the
-    predicate is a nested array-exists over each term's position
-    list, entirely JVM-side (no explode, no shuffle — a Column usable
-    anywhere in a bool query).
+def _match_phrase_slop(
+    field: str, text: str, slop: int, resolver=None, analyzer=None
+) -> Column:
+    """Sloppy phrase under the MINIMUM-TOTAL-MOVEMENT contract
+    (Lucene's documented slop definition: "the number of times you
+    need to move a term to make the query match the document").  With
+    query position deltas ``qd_i`` (0,1,2,… for the simple analyzer;
+    position-increment gaps when an ``analyzer`` with stop words is
+    configured — positions assign BEFORE stop removal, exactly as
+    :func:`_match_phrase_analyzed` does for slop 0) and chosen doc
+    positions ``p_i``, the displacement of term i from a common
+    anchor s is ``|p_i − qd_i − s|``; minimizing the total over s
+    gives the movement cost.  For n ≤ 3 that minimum equals
+    ``max(x) − min(x)`` with ``x_i = p_i − qd_i`` (sum of absolute
+    deviations from the median), so the predicate is a nested
+    array-exists carrying a running min/max — entirely JVM-side, no
+    explode, no shuffle, usable anywhere in a bool tree.
 
-    Out-of-order matches: for TWO-token phrases the swapped ordering
-    is admitted at Lucene's transposition cost — query ``a b`` against
-    positions ``p_b < p_a`` costs ``(p_a − p_b) + 1`` (an adjacent
-    swap costs 2, per SloppyPhraseQuery), so ``"fox quick"~2`` now
-    matches "quick fox" exactly as ES does.  For n ≥ 3 tokens the
-    contract remains in-order-only (DIVERGENCES.md S2): Lucene's full
-    edit-distance slop over k! orderings is not worth k! predicate
-    branches — a doc matching here always matches Lucene at the same
-    slop; not vice-versa, only for n ≥ 3 out-of-order arrangements.
+    Orderings: for n ≤ 3 DISTINCT terms every arrangement is
+    admitted at its movement cost (the adjacent pair swap costs 2,
+    per SloppyPhraseQuery; a full 3-token reversal costs 4) — this
+    closes DIVERGENCES.md S2 for n ≤ 3.  For n ≥ 4, or when the
+    query repeats a term (position lists would need a distinctness
+    constraint), the contract is in-order-only with the same
+    min/max cost — a doc matching here always matches Lucene at the
+    same slop, not vice-versa, only for those arrangements.
     """
-    toks = [t for t in text.lower().split() if t]
-    if not toks:
-        return F.lit(False)
-    arr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+    if analyzer is not None:
+        q = analyzer.analyze_pos(text)
+        if not q:
+            return F.lit(False)
+        toks = [t for t, _ in q]
+        qd = [p - q[0][1] for _, p in q]
+        arr_pos = analyzer.tokens_pos(_field(field, resolver))
+
+        def positions_of(term: str) -> Column:
+            return F.transform(
+                F.filter(arr_pos, lambda e: e["t"] == F.lit(term)),
+                lambda e: e["p"],
+            )
+
+    else:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return F.lit(False)
+        qd = list(range(len(toks)))
+        arr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+
+        def positions_of(term: str) -> Column:
+            # index list of `term` in the token array (closure factory
+            # — the two-arg F.transform lambda is (element, index))
+            return F.filter(
+                F.transform(
+                    arr,
+                    lambda x, i: F.when(x == F.lit(term), i).otherwise(
+                        F.lit(-1)
+                    ),
+                ),
+                lambda p: p >= 0,
+            )
+
     if len(toks) == 1:
-        return F.array_contains(arr, toks[0])
-
-    def positions_of(term: str) -> Column:
-        # index list of `term` in the token array (closure factory —
-        # the two-arg F.transform lambda is (element, index))
-        return F.filter(
-            F.transform(
-                arr,
-                lambda x, i: F.when(x == F.lit(term), i).otherwise(F.lit(-1)),
-            ),
-            lambda p: p >= 0,
-        )
-
+        return F.size(positions_of(toks[0])) > 0
     pos = [positions_of(t) for t in toks]
     n = len(toks)
+    unordered = n <= 3 and len(set(toks)) == n
 
-    def nest(i: int, prev: Column, first: Column) -> Column:
-        # exists p in pos[i]: p > prev, and at the last term the
-        # telescoped gap bound p - first - (n-1) <= slop
+    def nest(i: int, prev: Column | None, mn: Column, mx: Column) -> Column:
         def body(p: Column) -> Column:
-            c = p > prev
+            x = p - F.lit(qd[i])
+            nmn, nmx = F.least(mn, x), F.greatest(mx, x)
+            c = F.lit(True) if prev is None else (p > prev)
             if i == n - 1:
-                return c & (p - first - F.lit(n - 1) <= F.lit(slop))
-            return c & nest(i + 1, p, first)
+                return c & (nmx - nmn <= F.lit(slop))
+            return c & nest(i + 1, None if prev is None else p, nmn, nmx)
 
         return F.exists(pos[i], body)
 
-    in_order = F.exists(pos[0], lambda p0: nest(1, p0, p0))
-    if n == 2 and slop >= 2:
-        # transposed pair: query (a, b) found as (b, a) — Lucene
-        # charges (p_a − p_b) + 1 (an adjacent swap costs 2,
-        # SloppyPhraseQuery), so the spread must be ≤ slop − 1
-        swapped = F.exists(
-            pos[1],
-            lambda pb: F.exists(
-                pos[0], lambda pa: (pa > pb) & (pa - pb <= F.lit(slop - 1))
-            ),
-        )
-        return in_order | swapped
-    return in_order
+    def start(p0: Column) -> Column:
+        x0 = p0 - F.lit(qd[0])
+        return nest(1, None if unordered else p0, x0, x0)
+
+    return F.exists(pos[0], start)
 
 
 def _coerce_msm(raw, n_should: int) -> int:
@@ -600,11 +620,11 @@ def compile_bool_query(query: dict, resolver=None, analyzer=None) -> Column:
 
 def bool_query_filter(df: DataFrame, query: dict, analyzer=None) -> DataFrame:
     """Rows of ``df`` matching the compiled bool query.  ``analyzer``
-    configures the token chain for `match`/`multi_match` leaves
-    (functions.analyzer.Analyzer); phrase leaves keep the simple
-    analyzer — stop-word removal shifts Lucene position increments in
-    ways a position-list predicate can't mirror exactly, so analyzed
-    phrase queries are out of scope (DIVERGENCES.md S1)."""
+    configures the token chain (functions.analyzer.Analyzer) for
+    `match`/`multi_match` leaves AND phrase leaves — exact phrases
+    via :func:`_match_phrase_analyzed` and sloppy phrases via
+    :func:`_match_phrase_slop`, both with Lucene position-increment
+    semantics (positions assigned before stop-word removal)."""
     return df.filter(compile_bool_query(query, analyzer=analyzer))
 
 

@@ -203,21 +203,74 @@ def test_match_phrase_slop_in_order_gap_budget(spark):
     assert ids(3) == [1, 2, 3, 4, 5]
 
 
-def test_match_phrase_slop_three_terms_telescoped(spark):
+def test_match_phrase_slop_three_terms_movement_cost(spark):
+    # min-total-movement contract: x_i = p_i − i, cost = max(x)−min(x)
     df = spark.createDataFrame(
         [
-            (1, "a b c"),         # exact
-            (2, "a x b c"),       # total gap 1
-            (3, "a x b y c"),     # total gap 2
-            (4, "a c b"),         # order broken
-            (5, "b a x c"),       # order broken
+            (1, "a b c"),         # exact, cost 0
+            (2, "a x b c"),       # x=(0,1,1) cost 1
+            (3, "a x b y c"),     # x=(0,1,2) cost 2
+            (4, "a c b"),         # adjacent pair swap: x=(0,1,-1) cost 2
+            (5, "b a x c"),       # x=(1,-1,1) cost 2
+            (6, "c b a"),         # full reversal: x=(2,0,-2) cost 4
+            (7, "c x x a b"),     # x=(3,3,-2) cost 5
         ],
         "id long, text string",
     )
+
+    def ids(slop):
+        return sorted(r["id"] for r in bool_query_filter(
+            df, {"match_phrase": {"text": {"query": "a b c", "slop": slop}}}
+        ).collect())
+
+    assert ids(0) == [1]
+    assert ids(1) == [1, 2]
+    assert ids(2) == [1, 2, 3, 4, 5]   # 3-token out-of-order now admitted
+    assert ids(4) == [1, 2, 3, 4, 5, 6]
+
+
+def test_match_phrase_slop_four_terms_stays_in_order(spark):
+    # n ≥ 4 keeps the conservative in-order contract
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a x b c d"), (3, "a b d c")],
+        "id long, text string",
+    )
     got = sorted(r["id"] for r in bool_query_filter(
-        df, {"match_phrase": {"text": {"query": "a b c", "slop": 2}}}
+        df, {"match_phrase": {"text": {"query": "a b c d", "slop": 2}}}
     ).collect())
-    assert got == [1, 2, 3]
+    assert got == [1, 2]
+
+
+def test_match_phrase_slop_analyzed_position_gaps(spark):
+    # analyzed sloppy phrase: stop-word removal leaves position GAPS
+    # — query 'hash the join'~0 becomes hash@0, join@2 and needs a
+    # one-token gap in the doc; slop then budgets movement from that
+    # gapped pattern
+    from monstache_spark.functions.analyzer import ENGLISH
+
+    df = spark.createDataFrame(
+        [
+            (1, "hash the join"),       # hash@0, join@2: exact gap match
+            (2, "hash join"),           # join@1: one move
+            (3, "hash x y join"),       # join@3: one move
+            (4, "hash x y z join"),     # join@4: two moves
+            (5, "join by hash"),        # swapped, spread 2: cost 2+2=4? x=(2,0)
+        ],
+        "id long, text string",
+    )
+
+    def ids(slop):
+        return sorted(r["id"] for r in bool_query_filter(
+            df,
+            {"match_phrase": {"text": {"query": "hash the join", "slop": slop}}},
+            analyzer=ENGLISH,
+        ).collect())
+
+    assert ids(0) == [1]
+    assert ids(1) == [1, 2, 3]
+    assert ids(2) == [1, 2, 3, 4]
+    # doc 5: hash@2, join@0 -> x=(2, -2) cost 4
+    assert ids(4) == [1, 2, 3, 4, 5]
 
 
 def test_match_phrase_dict_form_without_slop_is_exact(spark):
@@ -655,10 +708,14 @@ def test_match_phrase_slop_two_token_transposition(spark):
     assert hits(1) == {1, 4}          # swap costs 2, still out at slop 1
     assert hits(2) == {1, 2, 4}       # adjacent swap admitted at 2
     assert hits(4) == {1, 2, 3, 4}    # spread-3 swap costs 4
-    # n>=3 stays in-order-only (documented divergence)
+    # n=3 reversal now admitted at its movement cost (4)
+    rev = spark.createDataFrame([(1, "c b a")], "doc_id long, text string")
     got = {r["doc_id"] for r in bool_query_filter(
-        spark.createDataFrame([(1, "c b a")], "doc_id long, text string"),
-        {"match_phrase": {"text": {"query": "a b c", "slop": 6}}},
+        rev, {"match_phrase": {"text": {"query": "a b c", "slop": 6}}},
+    ).collect()}
+    assert got == {1}
+    got = {r["doc_id"] for r in bool_query_filter(
+        rev, {"match_phrase": {"text": {"query": "a b c", "slop": 3}}},
     ).collect()}
     assert got == set()
 
