@@ -3473,6 +3473,69 @@ def _q_match_phrase_slop_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.select("doc_id")
 
 
+def _q_fuzzy_suggest_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester over an ANALYZED field (search.fuzzy_suggest
+    with analyzer): the vocabulary is the analyzed token stream (stop
+    words absent) and each suggest term passes the same chain before
+    the edit-distance search — 'tabels'→'tabel' then DL1→'table',
+    'joinning'→'joinn' then DL1→'join', exactly how ES analyzes
+    suggest text with the field's analyzer.  Oracle brute-forces
+    damerau_levenshtein over the analyzed DuckDB vocabulary."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return fuzzy_suggest(
+        docs, ["tabels", "joinning"], damerau=True, analyzer=ENGLISH
+    )
+
+
+def _q_mlt_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzed more-like-this (search.more_like_this with analyzer):
+    TF-IDF term selection and the BM25 rescoring both run over the
+    analyzed stream, and the selected terms re-enter BM25 WITHOUT
+    re-analysis (analyze_query=False — double-stemming would miss
+    every singly-stemmed document form).  Doc lengths exclude stop
+    words, shifting every BM25 norm vs the simple-analyzed variant."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import more_like_this
+
+    docs = load_table(spark, "documents", sf_dir)
+    return more_like_this(
+        docs, 0, k=10, max_query_terms=5, min_term_len=4, analyzer=ENGLISH
+    )
+
+
+def _q_highlight_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzed highlighting (search.highlight_fragments with
+    analyzer): query 'joins' stems to 'join' and every SURFACE FORM
+    the stemmer maps to that stem is tagged in the original text —
+    the document shows its own inflections, as ES highlighters do.
+    The surface set enumerates as stem+suffix candidates verified
+    through the analyzer (search._surface_forms)."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import highlight_fragments
+
+    docs = load_table(spark, "documents", sf_dir)
+    return highlight_fragments(
+        docs, ["joins"], fragment_size=60, context=10, analyzer=ENGLISH
+    )
+
+
+def _q_phrase_suggest_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzed phrase suggester (search.phrase_suggest with
+    analyzer): the input 'tabl the joih' analyzes to the two tokens
+    ('tabl', 'joih') — the stop word vanishes from the INPUT too —
+    and the bigram frame counts adjacency in the ANALYZED stream, so
+    'table a join' in a document still attests the (table, join)
+    bigram.  Did-you-mean over analyzed fields, the ES shape."""
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import phrase_suggest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return phrase_suggest(docs, "tabl the joih", top_n=3, analyzer=ENGLISH)
+
+
 def _q_index_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based index rollover routing (routing.map_index_rollover):
     every event routes to its period's index (db.events-2024.01.05) —
@@ -3673,6 +3736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_analyzed": _q_match_phrase_analyzed,
         "match_phrase_slop3_perm": _q_match_phrase_slop3_perm,
         "match_phrase_slop_analyzed": _q_match_phrase_slop_analyzed,
+        "fuzzy_suggest_analyzed": _q_fuzzy_suggest_analyzed,
+        "mlt_analyzed": _q_mlt_analyzed,
+        "highlight_analyzed": _q_highlight_analyzed,
+        "phrase_suggest_analyzed": _q_phrase_suggest_analyzed,
         "index_rollover": _q_index_rollover,
         "es_filter_bucket": _q_es_filter_bucket,
         "collapse_inner_hits": _q_collapse_inner_hits,
@@ -5410,6 +5477,138 @@ def oracle_sql() -> dict[str, str]:
           ),
           corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
           {bm25_sql("term IN (SELECT term FROM top_terms)", 10)}
+        """,
+        "mlt_analyzed": f"""
+          WITH all_toks AS (
+            SELECT doc_id, unnest({_ENGLISH_AN.sql_tokens("text")}) AS term
+            FROM documents
+          ),
+          src AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS tf FROM all_toks
+            WHERE doc_id = 0 AND length(term) >= 4 GROUP BY term
+          ),
+          ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          srcdf AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM all_toks
+            WHERE term IN (SELECT term FROM src) GROUP BY term
+          ),
+          scored_terms AS (
+            SELECT s.term, round(s.tf * ln(n_docs / df), 6) AS tfidf
+            FROM src s JOIN srcdf USING (term), ndocs
+          ),
+          top_terms AS (
+            SELECT term FROM (
+              SELECT term, row_number() OVER (ORDER BY tfidf DESC, term ASC) AS r
+              FROM scored_terms
+            ) WHERE r <= 5
+          ),
+          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id <> 0),
+          {bm25_sql("term IN (SELECT term FROM top_terms)", 10, _ENGLISH_AN.sql_tokens("text"))}
+        """,
+        "fuzzy_suggest_analyzed": f"""
+          WITH v AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS count
+            FROM (SELECT unnest({_ENGLISH_AN.sql_tokens("text")}) AS term
+                  FROM documents)
+            WHERE term <> '' GROUP BY term
+          ),
+          q AS (SELECT unnest(['joinn', 'tabel']) AS query),
+          d AS (
+            SELECT query, term, count,
+                   CAST(damerau_levenshtein(query, term) AS BIGINT) AS distance
+            FROM q, v WHERE damerau_levenshtein(query, term) <= 1
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY query
+                       ORDER BY distance ASC, count DESC, term ASC) AS BIGINT) AS rank
+            FROM d
+          )
+          SELECT query, term AS suggestion, count, distance, rank FROM r WHERE rank <= 3
+        """,
+        "highlight_analyzed": """
+          WITH p AS (
+            SELECT doc_id, text,
+                   ' ' || regexp_replace(lower(text), '[^a-z0-9_]', ' ', 'g') || ' ' AS padded
+            FROM documents
+          ), m AS (
+            SELECT doc_id, text,
+                   least(
+                     CASE WHEN strpos(padded, ' join ') > 0
+                          THEN strpos(padded, ' join ') ELSE 1073741824 END,
+                     CASE WHEN strpos(padded, ' joined ') > 0
+                          THEN strpos(padded, ' joined ') ELSE 1073741824 END,
+                     CASE WHEN strpos(padded, ' joines ') > 0
+                          THEN strpos(padded, ' joines ') ELSE 1073741824 END,
+                     CASE WHEN strpos(padded, ' joinies ') > 0
+                          THEN strpos(padded, ' joinies ') ELSE 1073741824 END,
+                     CASE WHEN strpos(padded, ' joining ') > 0
+                          THEN strpos(padded, ' joining ') ELSE 1073741824 END,
+                     CASE WHEN strpos(padded, ' joins ') > 0
+                          THEN strpos(padded, ' joins ') ELSE 1073741824 END
+                   ) AS first_pos
+            FROM p
+          ), f AS (
+            SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+                   substr(text, CAST(greatest(1, first_pos - 10) AS INTEGER), 60) AS frag
+            FROM m WHERE first_pos < 1073741824
+          )
+          SELECT doc_id, first_pos,
+                 regexp_replace(frag, '(?i)\\b(join|joined|joines|joinies|joining|joins)\\b',
+                                '<em>\\1</em>', 'g') AS fragment,
+                 CAST(len(regexp_extract_all(frag,
+                      '(?i)\\b(join|joined|joines|joinies|joining|joins)\\b')) AS BIGINT) AS n_hits
+          FROM f
+        """,
+        "phrase_suggest_analyzed": f"""
+          WITH toksrc AS (
+            SELECT {_ENGLISH_AN.sql_tokens("text")} AS toks FROM documents
+          ),
+          v AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS count
+            FROM (SELECT unnest(toks) AS term FROM toksrc) GROUP BY term
+          ),
+          bg AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS bigram_count FROM (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM toksrc, unnest(range(1, len(toks))) AS u(i)
+            ) GROUP BY w1, w2
+          ),
+          vk AS (
+            SELECT term, unnest(list_distinct(list_prepend(term,
+                     list_transform(range(1, length(term) + 1),
+                       i -> substr(term, 1, CAST(i - 1 AS INTEGER)) || substr(term, CAST(i + 1 AS INTEGER)))))) AS dk
+            FROM v
+          ),
+          q1k AS (
+            SELECT unnest(list_distinct(list_prepend('tabl',
+                     list_transform(range(1, length('tabl') + 1),
+                       i -> substr('tabl', 1, CAST(i - 1 AS INTEGER)) || substr('tabl', CAST(i + 1 AS INTEGER)))))) AS dk
+          ),
+          q2k AS (
+            SELECT unnest(list_distinct(list_prepend('joih',
+                     list_transform(range(1, length('joih') + 1),
+                       i -> substr('joih', 1, CAST(i - 1 AS INTEGER)) || substr('joih', CAST(i + 1 AS INTEGER)))))) AS dk
+          ),
+          c1 AS (
+            SELECT DISTINCT term AS w1, CAST(levenshtein('tabl', term) AS BIGINT) AS d1
+            FROM vk JOIN q1k USING (dk) WHERE levenshtein('tabl', term) <= 1
+          ),
+          c2 AS (
+            SELECT DISTINCT term AS w2, CAST(levenshtein('joih', term) AS BIGINT) AS d2
+            FROM vk JOIN q2k USING (dk) WHERE levenshtein('joih', term) <= 1
+          ),
+          paired AS (
+            SELECT bg.w1 || ' ' || bg.w2 AS suggestion, bg.w1, bg.w2,
+                   bg.bigram_count, c1.d1, c2.d2
+            FROM bg JOIN c1 ON bg.w1 = c1.w1 JOIN c2 ON bg.w2 = c2.w2
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (
+                     ORDER BY bigram_count DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank
+            FROM paired
+          )
+          SELECT suggestion, w1, w2, bigram_count, d1, d2, rank
+          FROM r WHERE rank <= 3
         """,
         "cdc_materialize": f"""
           WITH env AS ({_ENV}), guarded AS (SELECT * FROM env WHERE {_GUARDS})

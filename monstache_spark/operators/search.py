@@ -657,6 +657,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     search_after: tuple | None = None,
     analyzer=None,
+    analyze_query: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 for a bag of query terms.
 
@@ -681,7 +682,9 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col, analyzer)
+    scored = _bm25_scored(
+        docs, query_terms, k1, b, text_col, id_col, analyzer, analyze_query
+    )
     if search_after is not None:
         s_a, id_a = search_after
         scored = scored.filter(
@@ -703,12 +706,18 @@ def _bm25_scored(
     text_col: str,
     id_col: str,
     analyzer=None,
+    analyze_query: bool = True,
 ) -> DataFrame:
     """(id, score) for every document matching ≥1 query term — the
     unranked scoring frame shared by :func:`bm25_topk` and
     :func:`collapse_topk` (the latter must collapse BEFORE any
-    truncation, so it cannot reuse the top-k path)."""
-    if analyzer is not None:
+    truncation, so it cannot reuse the top-k path).
+    ``analyze_query=False`` takes ``query_terms`` as ALREADY-analyzed
+    tokens (callers like more_like_this draw them from the analyzed
+    stream — re-analysis would stem twice)."""
+    if analyzer is not None and not analyze_query:
+        terms = sorted(set(query_terms))
+    elif analyzer is not None:
         # the query passes through the same chain as the documents,
         # exactly as ES analyzes query text with the field's analyzer
         # (stop-word query terms contribute nothing; inflected terms
@@ -854,6 +863,7 @@ def more_like_this(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer=None,
 ) -> DataFrame:
     """ES more-like-this: take the source document's
     ``max_query_terms`` best terms by TF-IDF (terms shorter than
@@ -869,11 +879,11 @@ def more_like_this(
     filter. Returns ``(id, score, rank)`` without the source doc.
     """
     src = docs.filter(F.col(id_col) == F.lit(like_id))
-    src_toks = _term_rows(src, text_col, id_col).filter(
+    src_toks = _term_rows(src, text_col, id_col, analyzer).filter(
         F.length("term") >= min_term_len
     )
     src_tf = src_toks.groupBy("term").agg(F.count("*").cast("long").alias("tf"))
-    all_toks = _term_rows(docs, text_col, id_col)
+    all_toks = _term_rows(docs, text_col, id_col, analyzer)
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     src_df = (
         all_toks.join(F.broadcast(src_tf.select("term")), "term")
@@ -906,7 +916,8 @@ def more_like_this(
         )
     others = docs.filter(F.col(id_col) != F.lit(like_id))
     return bm25_topk(
-        others, terms, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col
+        others, terms, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col,
+        analyzer=analyzer, analyze_query=False,
     )
 
 
@@ -924,12 +935,24 @@ def highlight_fragments(
     post_tag: str = "</em>",
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer=None,
 ) -> DataFrame:
     """ES-style highlighting: for every document matching ANY query
     term (simple analyzer: lowercase, token-boundary), emit one
     fragment of ``fragment_size`` chars starting ``context`` chars
     before the first match, with every term occurrence wrapped in
     ``pre_tag``/``post_tag``.
+
+    With ``analyzer`` set, highlighting works on SURFACE FORMS the
+    way ES does with a stemming analyzer: each query term analyzes to
+    its stem, and every raw word whose analysis equals that stem is
+    tagged — query ``crossing`` highlights ``crossed`` and
+    ``crossing`` in the original text (the document shows its own
+    inflections, not the stem).  The surface set is enumerable
+    because the stemmer is suffix-strip: candidates are
+    ``stem + suffix`` for each configured suffix (plus the stem
+    itself), verified through :meth:`Analyzer.analyze` — query-side
+    only, the corpus-side regex machinery is unchanged.
 
     Everything is integer/locate/regexp arithmetic in one codegen
     projection — no explode, no shuffle, no Python — and every step
@@ -941,7 +964,15 @@ def highlight_fragments(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    terms = sorted({t.lower() for t in query_terms})
+    if analyzer is not None:
+        stems = sorted({t for q in query_terms for t in analyzer.analyze(q)})
+        terms = sorted(
+            {s for stem in stems for s in _surface_forms(stem, analyzer)}
+        )
+        if not terms:
+            raise ValueError("query_terms analyze to nothing highlightable")
+    else:
+        terms = sorted({t.lower() for t in query_terms})
     # Boundary-aware earliest match: regexp_instr with the SAME
     # \b-bounded pattern used for tagging below, so first_pos is by
     # construction the position of a match the tagger will tag
@@ -982,6 +1013,16 @@ def highlight_fragments(
         )
     )
     return out
+
+
+def _surface_forms(stem: str, analyzer) -> list[str]:
+    """Every raw word the suffix-strip stemmer maps to ``stem``:
+    candidates are the stem itself plus ``stem + suffix`` for each
+    configured suffix, kept iff the full analyzer chain round-trips
+    them to exactly ``[stem]`` (first-matching-suffix rule and stop
+    words are honored by construction)."""
+    cands = [stem] + [stem + suf for suf in analyzer.stem_suffixes]
+    return [c for c in cands if analyzer.analyze(c) == [stem]]
 
 
 def _regex_escape(term: str) -> str:
@@ -1084,6 +1125,7 @@ def collapse_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer=None,
+    analyze_query: bool = True,
 ) -> DataFrame:
     """ES field collapsing over BM25 retrieval: rank the corpus with
     :func:`bm25_topk`'s scoring, then keep only the BEST hit per
@@ -1099,7 +1141,9 @@ def collapse_topk(
     # truncated top-k would under-count groups — ES collapses first)
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col, analyzer)
+    scored = _bm25_scored(
+        docs, query_terms, k1, b, text_col, id_col, analyzer, analyze_query
+    )
     meta = docs.select(F.col(id_col), F.col(collapse_col))
     joined = scored.join(meta, id_col)
     gw = Window.partitionBy(collapse_col).orderBy(
@@ -1137,6 +1181,7 @@ def collapse_inner_hits(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer=None,
+    analyze_query: bool = True,
 ) -> DataFrame:
     """ES field collapsing WITH ``inner_hits``: the top-``k`` groups
     (ranked by their best member's BM25 score) each expanded to their
@@ -1151,7 +1196,9 @@ def collapse_inner_hits(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    scored = _bm25_scored(docs, query_terms, k1, b, text_col, id_col, analyzer)
+    scored = _bm25_scored(
+        docs, query_terms, k1, b, text_col, id_col, analyzer, analyze_query
+    )
     meta = docs.select(F.col(id_col), F.col(collapse_col))
     joined = scored.join(meta, id_col)
     gw = Window.partitionBy(collapse_col).orderBy(
@@ -1235,6 +1282,7 @@ def fuzzy_suggest(
     max_edits: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer=None,
 ) -> DataFrame:
     """ES term-suggester / fuzzy matching: for each (possibly
     misspelled) query term, the ``top_n`` corpus vocabulary terms
@@ -1279,26 +1327,40 @@ def fuzzy_suggest(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     spark = docs.sparkSession
-    vocab = (
-        docs.select(
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
-                "term"
-            )
+    if analyzer is not None:
+        # ES analyzes the suggest text with the field's analyzer: the
+        # VOCABULARY is the analyzed token stream (stemmed terms,
+        # stop words absent) and each query term passes the same
+        # chain — a stop-word query yields no suggestions
+        tok_arr = analyzer.tokens(F.col(text_col))
+        queries = sorted(
+            {t for q in query_terms for t in analyzer.analyze(q)}
         )
+    else:
+        tok_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        queries = sorted({q.lower() for q in query_terms})
+    vocab = (
+        docs.select(F.explode(tok_arr).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count("*").cast("long").alias("count"))
         .filter(F.col("count") >= min_count)
     )
+    if not queries:
+        return spark.range(0).select(
+            F.lit("").alias("query"),
+            F.lit("").alias("suggestion"),
+            F.lit(0).cast("long").alias("count"),
+            F.lit(0).cast("long").alias("distance"),
+            F.lit(0).cast("long").alias("rank"),
+        )
     # the query list enters as a literal-array explode (LocalRelation),
     # not createDataFrame — keeps the whole plan JVM-side
     keys_fn = _deletion_keys2 if max_edits >= 2 else _deletion_keys
     qdf = (
         spark.range(1)
         .select(
-            F.explode(
-                F.array(*[F.lit(q.lower()) for q in sorted(set(query_terms))])
-            ).alias("query")
+            F.explode(F.array(*[F.lit(q) for q in queries])).alias("query")
         )
         .select("query", F.explode(keys_fn(F.col("query"))).alias("dk"))
     )
@@ -1357,6 +1419,7 @@ def phrase_suggest(
     min_count: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    analyzer=None,
 ) -> DataFrame:
     """ES phrase suggester ("did you mean") for a TWO-token input:
     candidate corrections for each token come from the same
@@ -1384,14 +1447,18 @@ def phrase_suggest(
     spine).  Returns ``(suggestion, w1, w2, bigram_count, d1, d2,
     rank)``.
     """
-    toks = [t for t in phrase.lower().split() if t]
+    if analyzer is not None:
+        toks = analyzer.analyze(phrase)
+        arr = analyzer.tokens(F.col(text_col))
+    else:
+        toks = [t for t in phrase.lower().split() if t]
+        arr = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        )
     if len(toks) != 2:
         raise ValueError("phrase_suggest handles two-token phrases")
     spark = docs.sparkSession
-    arr = F.filter(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-        lambda t: t != F.lit(""),
-    )
     toks_df = docs.select(arr.alias("toks"))
     vocab = (
         toks_df.select(F.explode("toks").alias("term"))

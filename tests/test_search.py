@@ -975,3 +975,86 @@ def test_collapse_inner_hits_groups_and_members(spark):
     assert a_members == [(1, 1), (2, 2)]        # top-2 members only
     b_members = [(r["hit_rank"], r["doc_id"]) for r in out if r["src"] == "b"]
     assert b_members == [(1, 4)]                # doc 5 doesn't match at all
+
+
+def test_fuzzy_suggest_analyzed_vocab_and_query(spark):
+    # analyzer threading: the vocabulary is the ANALYZED stream
+    # ('tables'->'table'... actually 'table'+'s' stems), and query
+    # terms pass the same chain; a stop-word query yields nothing
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    df = spark.createDataFrame(
+        [(1, "the tables are joining"), (2, "tables joined"),
+         (3, "cable")],
+        "doc_id long, text string",
+    )
+    # vocab: tables->tabl (x2, es-rule), joining->join, are(stop)->x,
+    # joined->join, cable->cabl
+    out = fuzzy_suggest(
+        df, ["tabel"], damerau=True, analyzer=ENGLISH
+    ).collect()
+    got = [(r["query"], r["suggestion"], r["count"], r["distance"])
+           for r in out]
+    # query 'tabel' analyzes to 'tabel' (no suffix), DL1 from 'tabl'
+    assert got[0] == ("tabel", "tabl", 2, 1)
+    # all-stop-word query: empty result, stable schema
+    empty = fuzzy_suggest(df, ["the"], analyzer=ENGLISH)
+    assert empty.count() == 0
+    assert empty.columns == ["query", "suggestion", "count", "distance", "rank"]
+
+
+def test_more_like_this_analyzed_no_double_stem(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import more_like_this
+
+    df = spark.createDataFrame(
+        [(1, "crossing wires quickly"), (2, "crossed wires found"),
+         (3, "nothing shared here"), (4, "wires everywhere")],
+        "doc_id long, text string",
+    )
+    out = more_like_this(
+        df, 1, k=3, min_term_len=4, analyzer=ENGLISH
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    # doc1 analyzes to cross/wir/quickly; min_term_len drops 'wir',
+    # so the MLT terms are cross+quickly — doc2 shares 'cross'
+    # (single stemming on both sides; a double-stemmed query 'cros'
+    # would match nothing), docs 3/4 share nothing
+    assert ids == [2]
+
+
+def test_highlight_analyzed_tags_surface_forms(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import highlight_fragments
+
+    df = spark.createDataFrame(
+        [(1, "they crossed the road"), (2, "a crossing guard"),
+         (3, "cross purposes"), (4, "crossword puzzles")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["fragment"] for r in highlight_fragments(
+        df, ["crossing"], analyzer=ENGLISH
+    ).collect()}
+    # stem 'cross': surface forms crossed/crossing (and 'crosses');
+    # 'cross' itself analyzes to 'cros' so it is NOT a hit, nor is
+    # the mid-word 'crossword'
+    assert "<em>crossed</em>" in out[1]
+    assert "<em>crossing</em>" in out[2]
+    assert 3 not in out and 4 not in out
+
+
+def test_phrase_suggest_analyzed_stream(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import phrase_suggest
+
+    df = spark.createDataFrame(
+        [(1, "green house effect"), (2, "the green house"),
+         (3, "green horse racing"), (4, "grease house")],
+        "doc_id long, text string",
+    )
+    # analyzed stream drops 'the', so 'green house' is adjacent in
+    # doc 2 as well; 'grean hose' corrects via bigram rescoring
+    out = phrase_suggest(df, "grean hose", analyzer=ENGLISH).collect()
+    assert out[0]["suggestion"] == "green house"
+    assert out[0]["bigram_count"] == 2
