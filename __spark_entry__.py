@@ -3536,6 +3536,21 @@ def _q_phrase_suggest_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_suggest(docs, "tabl the joih", top_n=3, analyzer=ENGLISH)
 
 
+def _q_es_fuzzy_query_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query over an analyzed TOKEN field on the scale path
+    (search.fuzzy_token_search): edit-distance work lands on the
+    distinct-token VOCABULARY (SymSpell deletion-key join + exact DL
+    verify, O(vocab)), and matching terms broadcast-semi-join back
+    through the corpus — the term-dictionary shape ES itself uses,
+    replacing the per-row O(len)·corpus levenshtein scan of the
+    keyword-field fuzzy leaf."""
+    from monstache_spark.operators.search import fuzzy_token_search
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = fuzzy_token_search(docs, "tabel", fuzziness=1)
+    return out.select("doc_id", "source")
+
+
 def _q_index_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based index rollover routing (routing.map_index_rollover):
     every event routes to its period's index (db.events-2024.01.05) —
@@ -3737,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_slop3_perm": _q_match_phrase_slop3_perm,
         "match_phrase_slop_analyzed": _q_match_phrase_slop_analyzed,
         "fuzzy_suggest_analyzed": _q_fuzzy_suggest_analyzed,
+        "es_fuzzy_query_tokens": _q_es_fuzzy_query_tokens,
         "mlt_analyzed": _q_mlt_analyzed,
         "highlight_analyzed": _q_highlight_analyzed,
         "phrase_suggest_analyzed": _q_phrase_suggest_analyzed,
@@ -4991,6 +5007,11 @@ def oracle_sql() -> dict[str, str]:
         "es_fuzzy_query": """
           SELECT doc_id, source FROM documents
           WHERE damerau_levenshtein(lower(source), 'srcc7') <= 1
+        """,
+        "es_fuzzy_query_tokens": f"""
+          SELECT doc_id, source FROM documents
+          WHERE len(list_filter(list_filter({_TOKS_LOWER}, w -> w <> ''),
+                  t -> damerau_levenshtein(t, 'tabel') <= 1)) > 0
         """,
         "es_match_bool_prefix": f"""
           WITH t AS (

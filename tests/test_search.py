@@ -1058,3 +1058,53 @@ def test_phrase_suggest_analyzed_stream(spark):
     out = phrase_suggest(df, "grean hose", analyzer=ENGLISH).collect()
     assert out[0]["suggestion"] == "green house"
     assert out[0]["bigram_count"] == 2
+
+
+def test_fuzzy_token_search_vocab_semijoin(spark):
+    from monstache_spark.operators.search import fuzzy_token_search
+
+    df = spark.createDataFrame(
+        [(1, "the table is big"), (2, "tabel layout"), (3, "cable tv"),
+         (4, "nothing here"), (5, "vegetable soup")],
+        "doc_id long, text string",
+    )
+    # DL1 of 'table': table, tabel (swap), cable (sub); not vegetable
+    got = {r["doc_id"] for r in fuzzy_token_search(
+        df, "table", fuzziness=1
+    ).collect()}
+    assert got == {1, 2, 3}
+    # fuzziness 0: exact token only
+    got = {r["doc_id"] for r in fuzzy_token_search(
+        df, "table", fuzziness=0
+    ).collect()}
+    assert got == {1}
+    # no transpositions: the swap costs 2, out at fuzziness 1
+    got = {r["doc_id"] for r in fuzzy_token_search(
+        df, "table", fuzziness=1, transpositions=False
+    ).collect()}
+    assert got == {1, 3}
+    # DL2 widens to two edits
+    got = {r["doc_id"] for r in fuzzy_token_search(
+        df, "tble", fuzziness=2
+    ).collect()}
+    assert 1 in got and 3 in got
+    # plan: edit work on vocab rows; corpus side is a semi-join chain
+    plan = fuzzy_token_search(df, "table", fuzziness=1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "LeftSemi" in plan and "levenshtein" in plan
+
+
+def test_fuzzy_token_search_analyzed(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import fuzzy_token_search
+
+    df = spark.createDataFrame(
+        [(1, "joining tables"), (2, "joint account"), (3, "nothing")],
+        "doc_id long, text string",
+    )
+    # query 'joins' analyzes to 'join'; doc1's 'joining'->'join' (DL0),
+    # doc2's 'joint' is DL1 from 'join'
+    got = {r["doc_id"] for r in fuzzy_token_search(
+        df, "joins", fuzziness=1, analyzer=ENGLISH
+    ).collect()}
+    assert got == {1, 2}

@@ -501,6 +501,18 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_fuzzy_query_tokens",
+        "fuzzy over token field: edit work on the distinct-token vocab "
+        "(hash agg) behind a deletion-key BroadcastHashJoin; corpus "
+        "re-enters via LeftSemi joins — no per-row corpus levenshtein "
+        "Filter, no Python, no cartesian",
+        lambda p: "BroadcastHashJoin" in p
+        and "LeftSemi" in p
+        and "HashAggregate" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
         "es_diversified_sampler",
         "diversified sampler: per-value window with group limit + "
         "TakeOrderedAndProject global cut — no full sort, no Python",
