@@ -570,6 +570,21 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, cands, shingle_k=2, threshold=0.05)
 
 
+def _q_minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone-collapsed LSH candidates
+    (dedup.minhash_candidate_pairs_collapsed): documents grouped by
+    FULL MinHash signature emit star edges to their class
+    representative; banding/pair enumeration runs on representatives
+    only — pair volume linear in the clone count, connectivity
+    identical (the 100 TB shape for duplicate-heavy corpora)."""
+    from monstache_spark.operators.dedup import minhash_candidate_pairs_collapsed
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_candidate_pairs_collapsed(
+        docs, num_hashes=16, num_bands=4, shingle_k=2
+    )
+
+
 def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster labeling (dedup.near_dup_clusters): MinHash-LSH
     candidates → Jaccard-verified pairs → connected components (min-label
@@ -3849,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_doc_prune": _q_nested_doc,
         "function_score_boost": _q_function_score,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_collapsed": _q_minhash_pairs_collapsed,
         "near_dup_clusters": _q_near_dup_clusters,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "sessionize_events": _q_sessionize,
@@ -5850,6 +5866,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS j
             FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
           SELECT id_a, id_b, round(j, 6) AS jaccard FROM verified WHERE j >= 0.05
+        """,
+        "minhash_pairs_collapsed": f"""
+          WITH sh AS (SELECT doc_id, {sh2} AS sh FROM documents),
+          hs AS (SELECT doc_id, sh, list_transform(sh, s -> {_hash_sql('s', 0)}) AS hs FROM sh),
+          sig AS (SELECT doc_id, {minhash_sig_cols} FROM hs),
+          classes AS (
+            SELECT {', '.join(f'h{i}' for i in range(16))},
+                   min(doc_id) AS rep
+            FROM sig GROUP BY ALL
+          ),
+          star AS (
+            SELECT c.rep AS id_a, s.doc_id AS id_b
+            FROM sig s JOIN classes c USING ({', '.join(f'h{i}' for i in range(16))})
+            WHERE s.doc_id <> c.rep
+          ),
+          reps AS (SELECT rep AS doc_id, * EXCLUDE (rep) FROM classes),
+          bands AS (SELECT doc_id, {band_exprs} FROM reps),
+          exploded AS (
+            SELECT doc_id, unnest([band0, band1, band2, band3]) AS band FROM bands),
+          rep_pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM exploded a JOIN exploded b ON a.band = b.band AND a.doc_id < b.doc_id)
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b FROM star UNION ALL SELECT id_a, id_b FROM rep_pairs)
         """,
         "near_dup_clusters": f"""
           WITH RECURSIVE sh AS (SELECT doc_id, {sh2} AS sh FROM documents),

@@ -257,16 +257,36 @@ def minhash_band_rows(
     recompute. The rows shape is also the right one at scale: no
     giant per-row arrays, shuffle volume = num_hashes longs per doc.
     distinct=False: duplicates can't change a min."""
-    rows_per_band = num_hashes // num_bands
+    sig = minhash_sig_frame(docs, text_col, id_col, num_hashes, shingle_k)
+    band_cols = _sig_band_cols(num_hashes, num_bands)
+    banded = sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
+    return banded.select(id_col, F.explode("bands").alias("band"))
+
+
+def minhash_sig_frame(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}) — the MinHash signature as COLUMNS via
+    num_hashes min-aggregates over hashed shingle rows (map-side
+    partial combine; one md5 per shingle).  The shared signature
+    stage of banding and clone collapsing."""
     rows = shingle_rows(docs, text_col, id_col, shingle_k, distinct=False)
     hashed = rows.select(F.col(id_col), shingle_hash(F.col("s"), 0).alias("h"))
-    sig = hashed.groupBy(id_col).agg(
+    return hashed.groupBy(id_col).agg(
         *[
             F.min((F.col("h") * minhash_a(i) + minhash_b(i)) % MINHASH_P).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    band_cols = [
+
+
+def _sig_band_cols(num_hashes: int, num_bands: int) -> list[Column]:
+    rows_per_band = num_hashes // num_bands
+    return [
         F.concat_ws(
             ":",
             F.lit(str(b)),
@@ -274,8 +294,6 @@ def minhash_band_rows(
         ).alias(f"band{b}")
         for b in range(num_bands)
     ]
-    banded = sig.select(F.col(id_col), F.array(*band_cols).alias("bands"))
-    return banded.select(id_col, F.explode("bands").alias("band"))
 
 
 def lsh_bucket_stats(
@@ -347,6 +365,94 @@ def minhash_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def minhash_candidate_pairs_collapsed(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Clone-collapsed LSH candidates — the 100 TB shape for
+    duplicate-heavy corpora.
+
+    ``minhash_candidate_pairs`` enumerates C(n,2) pairs inside every
+    band bucket; a corpus with k-fold duplicated documents (mirrors,
+    reposts, crawler re-fetches — the COMMON case at web scale) puts
+    each clone set in one bucket per band and pays O(k²) pairs per
+    set.  Those pairs carry no information beyond "these are clones":
+    for dedup/connectivity purposes a STAR over the clone class is
+    equivalent.  So, applying the knn_join_pq lesson (split/collapse
+    candidates along the data's own quantization):
+
+    1. group documents by their FULL MinHash signature (h0..h{n-1}) —
+       one hash agg; identical texts (and k-shingle-identical texts)
+       land in one class;
+    2. emit star edges (class representative = min id → each member):
+       |class|−1 edges instead of C(|class|,2);
+    3. run banding/bucketing on the REPRESENTATIVES ONLY (one row per
+       class) and enumerate pairs there — cross-class candidates at
+       clone-free volume, with the same ``max_bucket`` cap.
+
+    The pair set is a CONNECTIVITY-EQUIVALENT cover of the full
+    enumeration: every clone reaches its representative in one hop,
+    clones share every band with their representative, so each
+    cross-class co-bucket pair maps to a rep pair in the same bucket,
+    and ``connected_components`` over these pairs yields EXACTLY the
+    clusters the full pair set yields — when the bucket cap does not
+    bind.  When it does, the collapsed variant keeps strictly MORE
+    connectivity: the cap now counts clone CLASSES, so a bucket the
+    full enumeration dropped as "500 clones + 2 neighbors" survives
+    here as 3 representatives.  Pair volume drops from
+    Σ C(k_i,2) to Σ (k_i−1) + cross-pairs — linear in the clone
+    count.  Not a drop-in replacement where the consumer needs every
+    co-bucket pair individually (e.g. per-pair Jaccard reporting);
+    use the uncollapsed variant there.
+
+    Returns (id_a, id_b) with id_a < id_b.
+    """
+    sig = minhash_sig_frame(docs, text_col, id_col, num_hashes, shingle_k)
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    # clone classes: same full signature → same class; the groupBy and
+    # the membership join share the h0..h15 partitioning (exchange
+    # reuse), and no per-class array is ever materialized (a 100k-clone
+    # class stays k rows, never one giant collect_list row)
+    classes = sig.groupBy(*hcols).agg(F.min(id_col).alias("_rep"))
+    star = (
+        sig.join(classes, hcols)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    reps = classes.select(F.col("_rep").alias(id_col), *hcols)
+    band_cols = _sig_band_cols(num_hashes, num_bands)
+    rep_rows = reps.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    )
+    buckets = (
+        rep_rows.groupBy("band")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("n_ids", F.size("ids"))
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.col("n_ids") <= max_bucket)
+    rep_pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return star.unionByName(rep_pairs).distinct()
 
 
 def dedup_corpus(

@@ -419,3 +419,39 @@ def test_incremental_near_dup_invariant_and_batch_split_independence(spark, tmp_
     assert run(5) == expected(5)
     # doc 3 (exact dup, later admission order) must never survive
     assert 3 not in run(2)
+
+
+def test_minhash_collapsed_connectivity_equivalent(spark):
+    from monstache_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+        minhash_candidate_pairs_collapsed,
+    )
+
+    # 3 clone families (8 copies each) + near-dup variants + singletons
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red green blue yellow purple orange",
+    ]
+    rows = []
+    did = 0
+    for fam in base:
+        for _ in range(8):
+            rows.append((did, fam)); did += 1
+        rows.append((did, fam + " extra")); did += 1   # near-dup variant
+    rows.append((did, "totally unrelated text here")); did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = minhash_candidate_pairs(df, shingle_k=2)
+    coll = minhash_candidate_pairs_collapsed(df, shingle_k=2)
+    n_full, n_coll = full.count(), coll.count()
+    # clone cliques C(8,2)=28 collapse to 7 star edges per family
+    assert n_coll < n_full
+    cc_full = {(r["id"], r["cluster_id"])
+               for r in connected_components(full).collect()}
+    cc_coll = {(r["id"], r["cluster_id"])
+               for r in connected_components(coll).collect()}
+    assert cc_full == cc_coll
+    # id ordering invariant
+    assert coll.filter("id_a >= id_b").count() == 0
