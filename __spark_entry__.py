@@ -580,8 +580,11 @@ def _q_minhash_pairs_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from monstache_spark.operators.dedup import minhash_candidate_pairs_collapsed
 
     docs = load_table(spark, "documents", sf_dir)
+    # max_bucket=None matches the uncapped DuckDB oracle — the gate
+    # contract is the FULL representative pair set (the cap is an
+    # operational knob audited separately by lsh_bucket_stats)
     return minhash_candidate_pairs_collapsed(
-        docs, num_hashes=16, num_bands=4, shingle_k=2
+        docs, num_hashes=16, num_bands=4, shingle_k=2, max_bucket=None
     )
 
 
@@ -3494,7 +3497,9 @@ def _q_fuzzy_suggest_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     words absent) and each suggest term passes the same chain before
     the edit-distance search — 'tabels'→'tabel' then DL1→'table',
     'joinning'→'joinn' then DL1→'join', exactly how ES analyzes
-    suggest text with the field's analyzer.  Oracle brute-forces
+    suggest text with the field's analyzer.  Output rows are keyed by
+    the caller's ORIGINAL terms ('joinning', 'tabels'), as the ES term
+    suggester keys entries by the suggest text.  Oracle brute-forces
     damerau_levenshtein over the analyzed DuckDB vocabulary."""
     from monstache_spark.functions.analyzer import ENGLISH
     from monstache_spark.operators.search import fuzzy_suggest
@@ -5549,11 +5554,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE term <> '' GROUP BY term
           ),
-          q AS (SELECT unnest(['joinn', 'tabel']) AS query),
+          q(query, aterm) AS (VALUES ('joinning', 'joinn'), ('tabels', 'tabel')),
           d AS (
             SELECT query, term, count,
-                   CAST(damerau_levenshtein(query, term) AS BIGINT) AS distance
-            FROM q, v WHERE damerau_levenshtein(query, term) <= 1
+                   CAST(damerau_levenshtein(aterm, term) AS BIGINT) AS distance
+            FROM q, v WHERE damerau_levenshtein(aterm, term) <= 1
           ),
           r AS (
             SELECT *, CAST(row_number() OVER (PARTITION BY query

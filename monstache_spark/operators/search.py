@@ -1331,14 +1331,18 @@ def fuzzy_suggest(
         # ES analyzes the suggest text with the field's analyzer: the
         # VOCABULARY is the analyzed token stream (stemmed terms,
         # stop words absent) and each query term passes the same
-        # chain — a stop-word query yields no suggestions
+        # chain — a stop-word query yields no suggestions.  Output
+        # rows are keyed by the caller's ORIGINAL term (ES term
+        # suggester keys entries by the suggest text, not its
+        # analyzed form); the edit-distance search runs on the
+        # analyzed form carried alongside.
         tok_arr = analyzer.tokens(F.col(text_col))
-        queries = sorted(
-            {t for q in query_terms for t in analyzer.analyze(q)}
+        pairs = sorted(
+            {(q, t) for q in query_terms for t in analyzer.analyze(q)}
         )
     else:
         tok_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        queries = sorted({q.lower() for q in query_terms})
+        pairs = sorted({(q.lower(), q.lower()) for q in query_terms})
     vocab = (
         docs.select(F.explode(tok_arr).alias("term"))
         .filter(F.col("term") != "")
@@ -1346,7 +1350,7 @@ def fuzzy_suggest(
         .agg(F.count("*").cast("long").alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    if not queries:
+    if not pairs:
         return spark.range(0).select(
             F.lit("").alias("query"),
             F.lit("").alias("suggestion"),
@@ -1360,15 +1364,30 @@ def fuzzy_suggest(
     qdf = (
         spark.range(1)
         .select(
-            F.explode(F.array(*[F.lit(q) for q in queries])).alias("query")
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(o).alias("query"), F.lit(a).alias("aterm")
+                        )
+                        for o, a in pairs
+                    ]
+                )
+            ).alias("qa")
         )
-        .select("query", F.explode(keys_fn(F.col("query"))).alias("dk"))
+        .select(
+            F.col("qa.query").alias("query"),
+            F.col("qa.aterm").alias("aterm"),
+        )
+        .select(
+            "query", "aterm", F.explode(keys_fn(F.col("aterm"))).alias("dk")
+        )
     )
     vkeys = vocab.select(
         "term", "count", F.explode(keys_fn(F.col("term"))).alias("dk")
     )
-    lev = F.levenshtein("query", "term")
-    q, t = F.col("query"), F.col("term")
+    lev = F.levenshtein("aterm", "term")
+    q, t = F.col("aterm"), F.col("term")
     if damerau or max_edits >= 2:
         is_swap = _is_swap(q, t)
         dist = (
@@ -1397,10 +1416,14 @@ def fuzzy_suggest(
         dist = lev
     cand = (
         vkeys.join(F.broadcast(qdf), "dk")
-        .select("query", "term", "count")
+        .select("query", "aterm", "term", "count")
         .distinct()
         .withColumn("distance", dist.cast("long"))
         .filter(F.col("distance").isNotNull() & (F.col("distance") <= max_edits))
+        # one original term can analyze to several tokens; keep the
+        # best (minimum) distance per (original, vocabulary term)
+        .groupBy("query", "term", "count")
+        .agg(F.min("distance").alias("distance"))
     )
     w = Window.partitionBy("query").orderBy(
         F.col("distance").asc(), F.col("count").desc(), F.col("term").asc()
@@ -1448,17 +1471,35 @@ def fuzzy_token_search(
     O(len)·corpus ``levenshtein`` calls under F.exists don't belong
     on 100 TB of long strings).
 
+    ``fuzziness`` is capped at 2, as in ES itself (Lucene's automaton
+    supports at most 2 edits): the deletion-key candidate set and the
+    swap-decomposition verify only cover DL ≤ 2, so a larger value
+    would silently under-match — it raises instead.
+
+    When ``analyzer`` rewrites ``value`` into MORE than one token
+    (multi-word input, or a suffix-splitting chain), the results are
+    the UNION over all analyzed tokens (documents fuzzy-matching ANY
+    of them).  This diverges from ES, whose ``fuzzy`` query is
+    term-level and does NOT analyze its value at all — we analyze so
+    the query term lives in the same (stemmed) vocabulary as the
+    indexed tokens, and OR-ing is the only non-lossy composition for
+    the multi-token case.
+
     Returns the matching rows of ``docs`` (all columns).
     """
+    if fuzziness > 2:
+        raise ValueError(
+            "fuzzy_token_search supports fuzziness <= 2 (the ES/Lucene cap); "
+            f"got {fuzziness} — candidates beyond DL 2 would be silently missed"
+        )
     spark = docs.sparkSession
     if analyzer is not None:
         tok_arr = analyzer.tokens(F.col(text_col))
-        queries = analyzer.analyze(value)
-        q = queries[0] if queries else None
+        queries = sorted(set(analyzer.analyze(value)))
     else:
         tok_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        q = value.lower() or None
-    if q is None:
+        queries = [value.lower()] if value.lower() else []
+    if not queries:
         return docs.filter(F.lit(False))
     toks = docs.select(F.col(id_col), F.explode(tok_arr).alias("term")).filter(
         F.col("term") != ""
@@ -1467,7 +1508,7 @@ def fuzzy_token_search(
     keys_fn = _deletion_keys2 if fuzziness >= 2 else _deletion_keys
     qdf = (
         spark.range(1)
-        .select(F.lit(q).alias("query"))
+        .select(F.explode(F.array(*[F.lit(q) for q in queries])).alias("query"))
         .select("query", F.explode(keys_fn(F.col("query"))).alias("dk"))
     )
     vkeys = vocab.select("term", F.explode(keys_fn(F.col("term"))).alias("dk"))

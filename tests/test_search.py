@@ -1108,3 +1108,49 @@ def test_fuzzy_token_search_analyzed(spark):
         df, "joins", fuzziness=1, analyzer=ENGLISH
     ).collect()}
     assert got == {1, 2}
+
+
+def test_fuzzy_token_search_rejects_fuzziness_over_two(spark):
+    import pytest
+
+    from monstache_spark.operators.search import fuzzy_token_search
+
+    df = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    # ES caps fuzziness at 2; >2 would silently under-match (the
+    # 2-deletion candidate keys don't cover distance-3 pairs)
+    with pytest.raises(ValueError, match="fuzziness"):
+        fuzzy_token_search(df, "alpha", fuzziness=3)
+
+
+def test_fuzzy_token_search_multi_token_value_unions(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import fuzzy_token_search
+
+    df = spark.createDataFrame(
+        [(1, "joining things"), (2, "tables everywhere"), (3, "nothing")],
+        "doc_id long, text string",
+    )
+    # a multi-word value analyzes to ('join', 'tabl'); matches are the
+    # UNION over the analyzed tokens (doc1 via join, doc2 via tabl)
+    got = {r["doc_id"] for r in fuzzy_token_search(
+        df, "joins tables", fuzziness=1, analyzer=ENGLISH
+    ).collect()}
+    assert got == {1, 2}
+
+
+def test_fuzzy_suggest_analyzed_keys_by_original_term(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+    from monstache_spark.operators.search import fuzzy_suggest
+
+    df = spark.createDataFrame(
+        [(1, "table join table"), (2, "join the table")],
+        "doc_id long, text string",
+    )
+    rows = fuzzy_suggest(
+        df, ["joinning"], damerau=True, analyzer=ENGLISH
+    ).collect()
+    # the stemmer rewrites 'joinning'->'joinn'; output must still be
+    # keyed by the caller's original term, as ES keys suggester
+    # entries by the suggest text
+    assert rows and all(r["query"] == "joinning" for r in rows)
+    assert rows[0]["suggestion"] == "join"
