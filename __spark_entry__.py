@@ -3571,6 +3571,27 @@ def _q_es_fuzzy_query_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_es_fuzzy_query_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A user-level `{"fuzzy": ...}` leaf reaching the vocabulary scale
+    path THROUGH the bool compiler: bool_query_filter's per-field
+    `mappings` registry (the ES index mapping) routes fuzzy leaves on
+    text-mapped fields through fuzzy_term_expansions — term-dictionary
+    expansion capped at max_expansions (ES default 50), compiled to a
+    token-overlap predicate — exactly how ES/Lucene rewrite FuzzyQuery
+    per field type.  Keyword fields keep the field-value edit
+    distance.  Same oracle contract as the direct-call
+    es_fuzzy_query_tokens."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"fuzzy": {"text": {"value": "tabel", "fuzziness": 1}}},
+        mappings={"text": {"type": "text"}},
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_index_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based index rollover routing (routing.map_index_rollover):
     every event routes to its period's index (db.events-2024.01.05) —
@@ -3773,6 +3794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_slop_analyzed": _q_match_phrase_slop_analyzed,
         "fuzzy_suggest_analyzed": _q_fuzzy_suggest_analyzed,
         "es_fuzzy_query_tokens": _q_es_fuzzy_query_tokens,
+        "es_fuzzy_query_routed": _q_es_fuzzy_query_routed,
         "mlt_analyzed": _q_mlt_analyzed,
         "highlight_analyzed": _q_highlight_analyzed,
         "phrase_suggest_analyzed": _q_phrase_suggest_analyzed,
@@ -5030,6 +5052,11 @@ def oracle_sql() -> dict[str, str]:
           WHERE damerau_levenshtein(lower(source), 'srcc7') <= 1
         """,
         "es_fuzzy_query_tokens": f"""
+          SELECT doc_id, source FROM documents
+          WHERE len(list_filter(list_filter({_TOKS_LOWER}, w -> w <> ''),
+                  t -> damerau_levenshtein(t, 'tabel') <= 1)) > 0
+        """,
+        "es_fuzzy_query_routed": f"""
           SELECT doc_id, source FROM documents
           WHERE len(list_filter(list_filter({_TOKS_LOWER}, w -> w <> ''),
                   t -> damerau_levenshtein(t, 'tabel') <= 1)) > 0

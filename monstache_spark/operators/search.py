@@ -216,6 +216,23 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         }.items()
         loc = _field(field, resolver)
         return distance_predicate(loc["lat"], loc["lon"], origin, distance)
+    if kind == "__terms_overlap__":
+        # INTERNAL leaf, emitted by bool_query_filter's mappings
+        # routing: the term-expansion rewrite of a fuzzy leaf over an
+        # analyzed text field — true when the field's analyzed token
+        # set intersects the (driver-computed, O(max_expansions))
+        # expanded term list.  A pure Column, so it composes under
+        # must_not / should-counting like any other leaf.
+        ((field, spec),) = body.items()
+        terms = spec["terms"]
+        if not terms:
+            return F.lit(False)
+        an = spec.get("analyzer")
+        if an is not None:
+            hay = an.tokens(_field(field, resolver))
+        else:
+            hay = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+        return F.arrays_overlap(hay, F.array(*[F.lit(t) for t in terms]))
     if kind == "fuzzy":
         # ES fuzzy query: the FIELD VALUE within edit distance
         # `fuzziness` of the literal (keyword-field semantics — for
@@ -223,6 +240,10 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         # vocabulary machinery).  transpositions=true (ES default)
         # charges adjacent swaps 1 via the same unrestricted-DL
         # decomposition as fuzzy_suggest max_edits=2.
+        # NOTE: over a TEXT-mapped field this per-row path is the
+        # wrong asymptotic shape — bool_query_filter's `mappings`
+        # routes such leaves through fuzzy_term_expansions (the
+        # vocabulary scale path) before compilation ever sees them.
         ((field, spec),) = body.items()
         if isinstance(spec, dict):
             value = str(spec["value"]).lower()
@@ -618,14 +639,83 @@ def compile_bool_query(query: dict, resolver=None, analyzer=None) -> Column:
     return cond
 
 
-def bool_query_filter(df: DataFrame, query: dict, analyzer=None) -> DataFrame:
+def bool_query_filter(
+    df: DataFrame, query: dict, analyzer=None, mappings=None
+) -> DataFrame:
     """Rows of ``df`` matching the compiled bool query.  ``analyzer``
     configures the token chain (functions.analyzer.Analyzer) for
     `match`/`multi_match` leaves AND phrase leaves — exact phrases
     via :func:`_match_phrase_analyzed` and sloppy phrases via
     :func:`_match_phrase_slop`, both with Lucene position-increment
-    semantics (positions assigned before stop-word removal)."""
+    semantics (positions assigned before stop-word removal).
+
+    ``mappings`` is the per-field type registry (the ES index
+    mapping): ``{"text": {"type": "text", "analyzer": ENGLISH},
+    "source": {"type": "keyword"}}``.  When present, a ``fuzzy`` leaf
+    over a ``text``-mapped field is REWRITTEN before compilation into
+    the vocabulary scale path — :func:`fuzzy_term_expansions` resolves
+    the value against the field's term dictionary (O(vocab) edit
+    work, never O(corpus)) and the leaf becomes a token-set-overlap
+    Column over the ≤ ``max_expansions`` expanded terms, exactly how
+    ES/Lucene rewrite FuzzyQuery against the per-field term
+    dictionary.  Keyword-mapped (or unmapped) fields keep the per-row
+    field-value predicate, which is the correct unit of comparison
+    there.  A field mapping's ``analyzer`` overrides the global
+    ``analyzer`` for that field's expansion and overlap test.
+
+    The rewrite makes this call EAGER for routed fuzzy leaves (one
+    vocabulary job collects ≤ max_expansions terms, as Lucene's
+    rewrite walks the FST eagerly); everything else stays lazy.
+    """
+    if mappings:
+        query = _route_text_fuzzy(df, query, mappings, analyzer)
     return df.filter(compile_bool_query(query, analyzer=analyzer))
+
+
+def _route_text_fuzzy(df: DataFrame, query: dict, mappings: dict, analyzer):
+    """Recursive bool-tree rewrite: every ``fuzzy`` leaf whose field is
+    ``text``-mapped becomes an ``__terms_overlap__`` leaf over its
+    term-dictionary expansion.  ``nested`` subtrees are left untouched
+    (per-element scope keeps the per-row path)."""
+    ((kind, body),) = query.items()
+    route = lambda q: _route_text_fuzzy(df, q, mappings, analyzer)  # noqa: E731
+    if kind == "bool":
+        new_body = dict(body)
+        for key in ("must", "filter", "should", "must_not"):
+            if key in body:
+                new_body[key] = [route(c) for c in body[key]]
+        return {"bool": new_body}
+    if kind == "dis_max":
+        return {"dis_max": {**body, "queries": [route(q) for q in body["queries"]]}}
+    if kind == "constant_score":
+        return {"constant_score": {**body, "filter": route(body["filter"])}}
+    if kind == "boosting":
+        return {"boosting": {**body, "positive": route(body["positive"])}}
+    if kind != "fuzzy":
+        return query
+    ((field, spec),) = body.items()
+    m = mappings.get(field)
+    if not m or m.get("type") != "text":
+        return query
+    field_an = m.get("analyzer", analyzer)
+    if isinstance(spec, dict):
+        value = str(spec["value"])
+        fuzz = int(spec.get("fuzziness", 2))
+        transpositions = bool(spec.get("transpositions", True))
+        max_exp = int(spec.get("max_expansions", 50))
+    else:
+        value, fuzz, transpositions, max_exp = str(spec), 2, True, 50
+    terms = fuzzy_term_expansions(
+        df,
+        value,
+        fuzziness=fuzz,
+        transpositions=transpositions,
+        text_col=field,
+        id_col="doc_id" if "doc_id" in df.columns else None,
+        analyzer=field_an,
+        max_expansions=max_exp,
+    )
+    return {"__terms_overlap__": {field: {"terms": terms, "analyzer": field_an}}}
 
 
 # ---------------------------------------------------------------------------
@@ -1505,43 +1595,136 @@ def fuzzy_token_search(
         F.col("term") != ""
     )
     vocab = toks.select("term").distinct()
+    matched = (
+        _fuzzy_matched_vocab(vocab, queries, fuzziness, transpositions)
+        .select("term")
+        .distinct()
+    )
+    hit_ids = toks.join(F.broadcast(matched), "term").select(id_col).distinct()
+    return docs.join(hit_ids, id_col, "left_semi")
+
+
+def _fuzzy_matched_vocab(
+    vocab: DataFrame,
+    queries: list[str],
+    fuzziness: int,
+    transpositions: bool,
+) -> DataFrame:
+    """Vocabulary rows within Damerau-Levenshtein ``fuzziness`` of any
+    of ``queries`` — the shared term-dictionary probe behind
+    :func:`fuzzy_token_search` and :func:`fuzzy_term_expansions`.
+
+    ``vocab`` must carry a ``term`` column; extra columns (e.g. a doc
+    frequency) pass through.  SymSpell deletion keys surface the
+    candidates via a BroadcastHashJoin on the query's key set; the
+    exact swap-decomposition DL expression assigns each candidate its
+    ``distance`` (NULL → beyond ``fuzziness``, filtered).  All edit
+    work lands on vocab-sized rows.  Returns
+    ``(query, term, *extra, distance)``.
+    """
+    spark = vocab.sparkSession
+    extra = [c for c in vocab.columns if c != "term"]
     keys_fn = _deletion_keys2 if fuzziness >= 2 else _deletion_keys
     qdf = (
         spark.range(1)
         .select(F.explode(F.array(*[F.lit(q) for q in queries])).alias("query"))
         .select("query", F.explode(keys_fn(F.col("query"))).alias("dk"))
     )
-    vkeys = vocab.select("term", F.explode(keys_fn(F.col("term"))).alias("dk"))
+    vkeys = vocab.select("term", *extra, F.explode(keys_fn(F.col("term"))).alias("dk"))
     qc, t = F.col("query"), F.col("term")
     lev = F.levenshtein(qc, t)
     if fuzziness <= 0:
-        within = qc == t
+        dist = F.when(qc == t, F.lit(0))
     elif not transpositions:
-        within = lev <= F.lit(fuzziness)
-    elif fuzziness == 1:
-        within = (lev <= 1) | ((lev == 2) & _is_swap(qc, t))
+        dist = F.when(lev <= F.lit(fuzziness), lev)
     else:
-        swaps_q = F.sequence(F.lit(1), F.greatest(F.length(qc) - 1, F.lit(1)))
-        swaps_t = F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1)))
-        within = (
-            (lev <= 2)
-            | F.exists(
-                swaps_q,
-                lambda i: (F.levenshtein(_swap_at(qc, i), t) <= 1)
-                | _is_swap(_swap_at(qc, i), t),
-            )
-            | F.exists(swaps_t, lambda j: F.levenshtein(qc, _swap_at(t, j)) <= 1)
+        dist = (
+            F.when(qc == t, F.lit(0))
+            .when(lev == 1, F.lit(1))
+            .when((lev == 2) & _is_swap(qc, t), F.lit(1))
         )
-    matched = (
+        if fuzziness >= 2:
+            swaps_q = F.sequence(F.lit(1), F.greatest(F.length(qc) - 1, F.lit(1)))
+            swaps_t = F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1)))
+            two = (
+                (lev <= 2)
+                | F.exists(
+                    swaps_q,
+                    lambda i: (F.levenshtein(_swap_at(qc, i), t) <= 1)
+                    | _is_swap(_swap_at(qc, i), t),
+                )
+                | F.exists(swaps_t, lambda j: F.levenshtein(qc, _swap_at(t, j)) <= 1)
+            )
+            dist = dist.when(two, F.lit(2))
+    return (
         vkeys.join(F.broadcast(qdf), "dk")
-        .select("query", "term")
+        .select("query", "term", *extra)
         .distinct()
-        .filter(within)
-        .select("term")
-        .distinct()
+        .withColumn("distance", dist.cast("long"))
+        .filter(F.col("distance").isNotNull())
     )
-    hit_ids = toks.join(F.broadcast(matched), "term").select(id_col).distinct()
-    return docs.join(hit_ids, id_col, "left_semi")
+
+
+def fuzzy_term_expansions(
+    docs: DataFrame,
+    value: str,
+    fuzziness: int = 2,
+    transpositions: bool = True,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    analyzer=None,
+    max_expansions: int = 50,
+) -> list[str]:
+    """Lucene's fuzzy-query REWRITE, as ES executes it on a text
+    field: expand the value against the field's term dictionary into
+    the top ``max_expansions`` terms within edit distance
+    ``fuzziness``, ranked (distance asc, doc frequency desc, term
+    asc) — the ``top_terms_blended_freqs_N`` expansion order.  The
+    returned list is O(max_expansions) (ES default 50) — the ONLY
+    data that ever reaches the driver; all edit-distance work runs on
+    the Heaps-law-small vocabulary via :func:`_fuzzy_matched_vocab`.
+
+    The expansion is what lets a fuzzy leaf compose under ANY bool
+    context (must_not, should-counting, nested wrappers): the leaf
+    rewrites to a pure token-set-overlap Column over these terms,
+    exactly as Lucene rewrites FuzzyQuery into a blended TermQuery
+    set before scoring.
+    """
+    if fuzziness > 2:
+        raise ValueError(
+            "fuzzy_term_expansions supports fuzziness <= 2 (the ES/Lucene "
+            f"cap); got {fuzziness}"
+        )
+    if analyzer is not None:
+        tok_arr = analyzer.tokens(F.col(text_col))
+        queries = sorted(set(analyzer.analyze(value)))
+    else:
+        tok_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        queries = [value.lower()] if value.lower() else []
+    if not queries:
+        return []
+    # doc frequency (Lucene's blended-freqs rank key) when the frame
+    # has a row identity; total term frequency otherwise — either way
+    # one hash agg over the exploded tokens
+    if id_col is not None and id_col in docs.columns:
+        term_rows = docs.select(
+            F.col(id_col), F.explode(tok_arr).alias("term")
+        ).filter(F.col("term") != "").distinct()
+    else:
+        term_rows = docs.select(F.explode(tok_arr).alias("term")).filter(
+            F.col("term") != ""
+        )
+    vocab = term_rows.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    matched = (
+        _fuzzy_matched_vocab(vocab, queries, fuzziness, transpositions)
+        .groupBy("term", "df")
+        .agg(F.min("distance").alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(max_expansions)
+    )
+    return [r["term"] for r in matched.collect()]
 
 
 def phrase_suggest(

@@ -1154,3 +1154,72 @@ def test_fuzzy_suggest_analyzed_keys_by_original_term(spark):
     # entries by the suggest text
     assert rows and all(r["query"] == "joinning" for r in rows)
     assert rows[0]["suggestion"] == "join"
+
+
+def test_fuzzy_leaf_routes_to_vocab_path_with_text_mapping(spark):
+    from monstache_spark.operators.search import (
+        bool_query_filter,
+        fuzzy_token_search,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "tabel scan", "a"), (2, "table join", "a"), (3, "nothing", "b"),
+         (4, "tuble here", "b")],
+        "doc_id long, text string, source string",
+    )
+    q = {"fuzzy": {"text": {"value": "table", "fuzziness": 1}}}
+    routed = bool_query_filter(df, q, mappings={"text": {"type": "text"}})
+    direct = fuzzy_token_search(df, "table", fuzziness=1)
+    assert ({r["doc_id"] for r in routed.collect()}
+            == {r["doc_id"] for r in direct.collect()} == {1, 2, 4})
+    # the routed plan is a pure predicate — no per-row levenshtein scan
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "levenshtein" not in plan
+
+
+def test_fuzzy_leaf_keyword_or_unmapped_keeps_field_value_path(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "tabel"), (2, "tabel scan"), (3, "nothing")],
+        "doc_id long, source string",
+    )
+    q = {"fuzzy": {"source": {"value": "table", "fuzziness": 1}}}
+    # keyword mapping: the FIELD VALUE is the unit — 'tabel scan' is
+    # NOT within 1 edit of 'table' as a whole value
+    for mappings in ({"source": {"type": "keyword"}}, None, {}):
+        got = {r["doc_id"] for r in
+               bool_query_filter(df, q, mappings=mappings).collect()}
+        assert got == {1}
+
+
+def test_fuzzy_leaf_routed_composes_under_bool_contexts(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "tabel scan", "x"), (2, "table join", "y"), (3, "nothing", "x")],
+        "doc_id long, text string, source string",
+    )
+    mp = {"text": {"type": "text"}}
+    q = {"bool": {"must_not": [{"fuzzy": {"text": {"value": "table",
+                                                   "fuzziness": 1}}}]}}
+    got = {r["doc_id"] for r in bool_query_filter(df, q, mappings=mp).collect()}
+    assert got == {3}
+    q2 = {"bool": {"must": [{"term": {"source": "x"}}],
+                   "filter": [{"fuzzy": {"text": "table"}}]}}
+    got2 = {r["doc_id"] for r in bool_query_filter(df, q2, mappings=mp).collect()}
+    assert got2 == {1}
+
+
+def test_fuzzy_term_expansions_rank_and_cap(spark):
+    from monstache_spark.operators.search import fuzzy_term_expansions
+
+    df = spark.createDataFrame(
+        [(1, "table cable"), (2, "table fable"), (3, "table gable")],
+        "doc_id long, text string",
+    )
+    # distance 0 first, then df desc, term asc; cap truncates
+    terms = fuzzy_term_expansions(df, "table", fuzziness=1)
+    assert terms[0] == "table" and set(terms) == {"table", "cable", "fable", "gable"}
+    assert fuzzy_term_expansions(df, "table", fuzziness=1, max_expansions=2) == [
+        "table", "cable"]

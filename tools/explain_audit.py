@@ -513,6 +513,17 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_fuzzy_query_routed",
+        "fuzzy leaf routed via mappings: the corpus plan is ONE codegen "
+        "filter over the pre-expanded term overlap — no levenshtein, no "
+        "join, no Python anywhere in the scan stage",
+        lambda p: "* Filter" in p
+        and "arrays_overlap" in p
+        and "levenshtein" not in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
         "es_diversified_sampler",
         "diversified sampler: per-value window with group limit + "
         "TakeOrderedAndProject global cut — no full sort, no Python",
