@@ -2196,6 +2196,22 @@ def _q_es_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_top_metrics_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics with a STRING sort field (aggs.top_metrics string
+    path): per event type, the metrics of the row carrying the
+    lexicographically greatest props value.  A string in any aggregate
+    buffer degrades Spark to SortAggregate (full map-side corpus
+    sort), so the extremes come from a hash-agg'd DISTINCT
+    (bucket, key) frame + one bounded window, broadcast back as an
+    equi-join — the corpus itself never sorts (plan-audited)."""
+    from monstache_spark.operators.aggs import top_metrics
+
+    ev = load_table(spark, "events", sf_dir)
+    return top_metrics(
+        ev, "event_type", "props", ["value", "user_id"], id_col="event_id"
+    )
+
+
 def _q_es_terms_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms aggregation with include/exclude (aggs.compile_aggs):
     a full-match regex restricts which keys become buckets; excluded
@@ -3824,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_slop": _q_match_phrase_slop,
         "es_adjacency_matrix": _q_es_adjacency_matrix,
         "es_top_metrics": _q_es_top_metrics,
+        "es_top_metrics_string": _q_es_top_metrics_string,
         "cdc_materialize": _q_cdc_materialize,
         "q3_top_orders": _q_q3_top_orders,
         "relate_orders_customer": _q_relate_orders_customer,
@@ -4756,6 +4773,20 @@ def oracle_sql() -> dict[str, str]:
                  max_by(user_id, CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id) AS user_id
           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
           GROUP BY event_type
+        """,
+        "es_top_metrics_string": """
+          WITH f AS (
+            SELECT * FROM events
+            WHERE props IS NOT NULL AND event_type IS NOT NULL
+          ),
+          best AS (
+            SELECT event_type, max(props) AS props FROM f GROUP BY event_type
+          ),
+          tied AS (SELECT f.* FROM f JOIN best USING (event_type, props))
+          SELECT event_type, props,
+                 max_by(value, event_id) AS value,
+                 max_by(user_id, event_id) AS user_id
+          FROM tied GROUP BY event_type, props
         """,
         "es_terms_filtered": """
           SELECT CAST(event_type AS VARCHAR) AS by_type,

@@ -1335,9 +1335,10 @@ def top_metrics(
     row.  Null ``bucket_col`` rows drop, matching the
     :func:`compile_aggs` null-key contract.
 
-    Two plan shapes, both pure HashAggregate (a struct ordering key or
-    a string payload in a ``max_by`` buffer silently degrades Spark to
-    SortAggregate — the plan audit guards this class of regression):
+    Three plan shapes — NONE ever sort-aggregates or sorts the corpus
+    (a string in ANY aggregate buffer — ``max(s)``, ``max_by(m, s)``,
+    even ``first(s)`` — silently degrades the whole aggregate to
+    SortAggregate; the plan audit guards this class of regression):
 
     * timestamp ``sort_col`` — ONE hash aggregation; the (ts, id) pair
       packs into one exact decimal ``unix_micros·10⁹ + id``.
@@ -1345,12 +1346,20 @@ def top_metrics(
       decimal digits; a larger or negative id would mis-order across
       adjacent microseconds), validated at plan time against the
       id column's max when cheaply available, otherwise documented.
-    * any other orderable ``sort_col`` (numeric, string, date) — an
-      exact TWO-phase path: hash-agg the per-bucket extreme, broadcast
-      the bucket-cardinality extremes back as an equi-join to keep
-      only tied rows, then one more hash agg picking metrics by the
-      id tiebreak.  No packing contract, no precision loss, and every
-      aggregate stays a HashAggregate.
+    * numeric / date ``sort_col`` — an exact TWO-phase path: hash-agg
+      the per-bucket extreme, broadcast the bucket-cardinality
+      extremes back as an equi-join to keep only tied rows, then one
+      more hash agg picking metrics by the id tiebreak.  No packing
+      contract, no precision loss, every aggregate a HashAggregate.
+    * string ``sort_col`` — strings are fine as GROUP KEYS, just not
+      in buffers, so the extremes come from a DISTINCT-pairs phase:
+      hash-agg the distinct (bucket, key) pairs (bounded by
+      buckets × key cardinality, not corpus rows), pick each bucket's
+      extreme with one row_number window over that small frame,
+      broadcast the extremes back, and the final agg groups by
+      (bucket, key) so only numeric metrics and the id enter buffers.
+      The only Sort in the plan orders the post-agg distinct frame —
+      the corpus itself never sorts.
     """
     pick = F.min_by if ascending else F.max_by
     ext = F.min(sort_col) if ascending else F.max(sort_col)
@@ -1368,9 +1377,22 @@ def top_metrics(
             ext.alias(sort_col),
             *[pick(m, key).alias(m) for m in metric_cols],
         )
+    id_pick = F.max_by if not ascending else F.min_by
+    if dt in ("string", "binary"):
+        pairs = base.select(bucket_col, sort_col).distinct()
+        order = F.col(sort_col).asc() if ascending else F.col(sort_col).desc()
+        w = Window.partitionBy(bucket_col).orderBy(order)
+        best = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        tied = base.join(F.broadcast(best), [bucket_col, sort_col])
+        return tied.groupBy(bucket_col, sort_col).agg(
+            *[id_pick(m, F.col(id_col)).alias(m) for m in metric_cols]
+        )
     best = base.groupBy(bucket_col).agg(ext.alias(sort_col))
     tied = base.join(F.broadcast(best), [bucket_col, sort_col])
-    id_pick = F.max_by if not ascending else F.min_by
     return tied.groupBy(bucket_col).agg(
         F.min(sort_col).alias(sort_col),
         *[id_pick(m, F.col(id_col)).alias(m) for m in metric_cols],

@@ -384,6 +384,36 @@ def test_top_metrics_generic_sort_two_phase(spark):
     assert asc == {"a": "z", "b": "w"}
 
 
+def test_top_metrics_string_sort_no_sort_aggregate(spark):
+    from monstache_spark.operators.aggs import top_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "s1", 10.0),
+            (2, "a", "s9", 20.0),
+            (3, "a", "s9", 30.0),   # tie on 's9', larger id wins desc
+            (4, "b", "s0", 5.0),
+            (5, None, "zz", 99.0),  # null bucket drops
+            (6, "b", None, 77.0),   # null sort key drops
+        ],
+        "event_id long, event_type string, skey string, value double",
+    )
+    out = {r["event_type"]: (r["skey"], r["value"]) for r in top_metrics(
+        df, "event_type", "skey", ["value"], id_col="event_id"
+    ).collect()}
+    assert out == {"a": ("s9", 30.0), "b": ("s0", 5.0)}
+    asc = {r["event_type"]: (r["skey"], r["value"]) for r in top_metrics(
+        df, "event_type", "skey", ["value"], ascending=True, id_col="event_id"
+    ).collect()}
+    assert asc == {"a": ("s1", 10.0), "b": ("s0", 5.0)}
+    # the whole point: a string sort key must NOT sort-aggregate the
+    # corpus (a string in an agg buffer degrades to SortAggregate)
+    res = top_metrics(df, "event_type", "skey", ["value"], id_col="event_id")
+    res.collect()
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+
+
 def test_adjacency_matrix_counts_distinct_ids(spark):
     from monstache_spark.operators.aggs import adjacency_matrix
 

@@ -556,6 +556,18 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_top_metrics_string",
+        "top_metrics string sort: extremes from the hash-agg'd distinct "
+        "(bucket, key) frame + bounded window, broadcast tie join, final "
+        "hash agg keyed on (bucket, key) — NO SortAggregate, the corpus "
+        "never sorts (the one Sort orders the post-agg distinct frame)",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "BroadcastHashJoin" in p
+        and "WindowGroupLimit" in p
+        and "Python" not in p,
+    ),
+    (
         "es_terms_filtered",
         "terms include/exclude: the key predicate is a codegen filter "
         "before the agg (excluded rows never shuffle), no Python",
