@@ -105,6 +105,12 @@ def _geo_geohash_sql(lat: str, lon: str, precision: int) -> str:
     return geohash_sql(lat, lon, precision)
 
 
+def _geo_geotile_sql(lat: str, lon: str, zoom: int) -> str:
+    from monstache_spark.operators.geo import geotile_sql
+
+    return geotile_sql(lat, lon, zoom)
+
+
 def _geo_poly_sql(lat: str, lon: str) -> str:
     from monstache_spark.operators.geo import polygon_sql
 
@@ -3106,6 +3112,20 @@ def _q_geo_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geohash_grid(c, "lat", "lon", precision=3, size=15)
 
 
+def _q_geo_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation (geo.geotile_grid): Web-Mercator
+    z/x/y tile counts — the scheme Kibana maps default to.  The x
+    axis is exact arithmetic; the y axis carries the rounded-Mercator
+    contract (projected fraction rounded to 12 decimals before the
+    floor, mirroring geo.geotile_sql in the oracle) so cell
+    membership is engine-identical.  One codegen projection + hash
+    agg + TakeOrderedAndProject, the geohash_grid plan."""
+    from monstache_spark.operators.geo import geotile_grid
+
+    c = _geo_customers(spark, sf_dir)
+    return geotile_grid(c, "lat", "lon", zoom=6, size=15)
+
+
 def _q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES reverse_nested inside a nested aggregation
     (aggs.nested_aggs parent_id_col): per line-item flag bucket, the
@@ -3794,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance_buckets": _q_geo_distance_buckets,
         "knn_join_pq": _q_knn_join_pq,
         "geo_geohash_grid": _q_geo_geohash_grid,
+        "geo_geotile_grid": _q_geo_geotile_grid,
         "es_reverse_nested": _q_es_reverse_nested,
         "fuzzy_suggest_dl2": _q_fuzzy_suggest_dl2,
         "es_hard_bounds": _q_es_hard_bounds,
@@ -5307,6 +5328,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM g GROUP BY geohash)
           SELECT geohash, doc_count FROM a
           ORDER BY doc_count DESC, geohash ASC LIMIT 15
+        """,
+        "geo_geotile_grid": f"""
+          WITH c AS (SELECT {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM customer),
+          g AS (SELECT {_geo_geotile_sql("lat", "lon", 6)} AS geotile FROM c),
+          a AS (SELECT geotile, CAST(count(*) AS BIGINT) AS doc_count
+                FROM g GROUP BY geotile)
+          SELECT geotile, doc_count FROM a
+          ORDER BY doc_count DESC, geotile ASC LIMIT 15
         """,
         "es_reverse_nested": """
           WITH f AS (

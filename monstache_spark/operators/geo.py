@@ -35,6 +35,8 @@ into the two half-boxes — same result, still exact arithmetic.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -127,8 +129,9 @@ def geohash_cell(lat: Column, lon: Column, precision: int = 5) -> Column:
     IEEE multiply + floor (deterministic on every engine), interleave
     the bits MSB-first starting with longitude, and base32-encode 5
     bits per character.  No transcendentals, so geohash bucket
-    membership is hash-exact cross-engine — unlike ES's geotile_grid,
-    whose Mercator ``ln·tan`` would need a rounding contract."""
+    membership is hash-exact cross-engine with no rounding contract
+    (:func:`geotile_cell` is the Mercator scheme, which carries
+    one)."""
     lon_bits, lat_bits = _geohash_bits(precision)
     lon_idx = F.least(
         F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
@@ -205,6 +208,106 @@ def geohash_grid(
     if size is not None:
         out = out.orderBy(
             F.col("doc_count").desc(), F.col("geohash").asc()
+        ).limit(size)
+    return out
+
+
+# Web-Mercator latitude limit (ES/OSM tile scheme): tan/ln diverge at
+# the poles, so geotile clamps latitude here — poles land in the
+# top/bottom tile row, exactly as ES's GeoTileUtils does
+MERCATOR_LAT_MAX = 85.05112877980659
+
+
+def geotile_cell(lat: Column, lon: Column, zoom: int = 7) -> Column:
+    """ES ``geotile_grid`` cell key ``"z/x/y"`` — Web-Mercator tiles,
+    the scheme Kibana maps default to (zoom/x/y, y growing southward).
+
+    Reference formula (Lucene GeoTileUtils / the OSM slippy-map
+    contract): ``x = ⌊(lon+180)/360·2^z⌋`` and
+    ``y = ⌊(0.5 − ln((1+sin φ)/(1−sin φ))/4π)·2^z⌋`` with latitude
+    clamped to ±85.0511287798° and both indices clamped to
+    ``[0, 2^z−1]``.
+
+    The x axis is EXACT arithmetic (one multiply + floor, the geohash
+    contract).  The y axis needs ``sin``/``ln`` — transcendentals
+    whose last bits differ across libms — so membership carries the
+    same ROUNDED contract as :func:`haversine_m`: the projected y
+    fraction rounds to 12 decimals before the floor.  Multiplying by
+    ``2^z`` is IEEE-exact, so the rounding grain is the documented
+    cross-engine boundary: points within ~1e-12 of a tile edge may
+    differ from an unrounded engine, the same contract class ES
+    accepts for its distance buckets.  :func:`geotile_sql` renders the
+    identical expression tree for DuckDB.
+    """
+    n = float(1 << zoom)
+    max_idx = (1 << zoom) - 1
+    x = F.least(
+        F.greatest(
+            F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit(max_idx),
+    )
+    lat_c = F.greatest(F.least(lat, F.lit(MERCATOR_LAT_MAX)), F.lit(-MERCATOR_LAT_MAX))
+    sinp = F.sin(F.radians(lat_c))
+    yfrac = F.lit(0.5) - F.log(
+        (F.lit(1.0) + sinp) / (F.lit(1.0) - sinp)
+    ) / F.lit(4.0 * math.pi)
+    y = F.least(
+        F.greatest(
+            F.floor(F.round(yfrac, 12) * F.lit(n)).cast("long"), F.lit(0)
+        ),
+        F.lit(max_idx),
+    )
+    return F.concat_ws(
+        "/", F.lit(str(zoom)), x.cast("string"), y.cast("string")
+    )
+
+
+def geotile_sql(lat: str, lon: str, zoom: int = 7) -> str:
+    """DuckDB rendering of :func:`geotile_cell` — same clamp, same
+    formula, same 12-decimal rounded-Mercator contract, exact hash
+    parity on every cell key."""
+    n = float(1 << zoom)
+    max_idx = (1 << zoom) - 1
+    x = (
+        f"least(greatest(CAST(floor((({lon}) + 180.0) / 360.0 * {n}) AS BIGINT), 0), "
+        f"{max_idx})"
+    )
+    lat_c = f"greatest(least({lat}, {MERCATOR_LAT_MAX}), {-MERCATOR_LAT_MAX})"
+    sinp = f"sin(radians({lat_c}))"
+    yfrac = f"(0.5 - ln((1.0 + {sinp}) / (1.0 - {sinp})) / {4.0 * math.pi!r})"
+    y = (
+        f"least(greatest(CAST(floor(round({yfrac}, 12) * {n}) AS BIGINT), 0), "
+        f"{max_idx})"
+    )
+    return f"('{zoom}' || '/' || CAST({x} AS VARCHAR) || '/' || CAST({y} AS VARCHAR))"
+
+
+def geotile_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    zoom: int = 7,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``geotile_grid`` aggregation: doc counts per Web-Mercator
+    tile at ``zoom``, count-desc (ties on the tile key) truncated to
+    ``size`` — what Kibana maps actually issue (geohash_grid is the
+    legacy scheme).  Same plan as :func:`geohash_grid`: one codegen
+    cell projection + one hash agg + TakeOrderedAndProject; null
+    coordinates drop as in ES."""
+    out = (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .select(
+            geotile_cell(F.col(lat_col), F.col(lon_col), zoom).alias("geotile")
+        )
+        .groupBy("geotile")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+    )
+    if size is not None:
+        out = out.orderBy(
+            F.col("doc_count").desc(), F.col("geotile").asc()
         ).limit(size)
     return out
 

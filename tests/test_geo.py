@@ -212,3 +212,71 @@ def test_geo_centroid_exact(spark):
     out = {r["k"]: (r["doc_count"], r["centroid_lat"], r["centroid_lon"])
            for r in geo_centroid(df, "lat", "lon", bucket_col="k").collect()}
     assert out == {"a": (2, 15.0, 30.0), "b": (1, -5.0, 0.0)}
+
+
+def test_geotile_matches_slippy_reference_values(spark):
+    # reference z/x/y tiles from the OSM slippy-map scheme (the
+    # formula ES GeoTileUtils implements): Berlin z10 -> 10/550/335,
+    # SF z12 -> 12/655/1583; poles clamp into the edge rows
+    from monstache_spark.operators.geo import geotile_cell
+
+    df = spark.createDataFrame(
+        [(1, 52.52, 13.405), (2, 37.7749, -122.4194), (3, 89.9, 10.0),
+         (4, -89.9, 10.0), (5, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    g10 = {r["id"]: r["t"] for r in df.select(
+        "id", geotile_cell(F.col("lat"), F.col("lon"), 10).alias("t")
+    ).collect()}
+    assert g10[1] == "10/550/335"
+    g12 = {r["id"]: r["t"] for r in df.select(
+        "id", geotile_cell(F.col("lat"), F.col("lon"), 12).alias("t")
+    ).collect()}
+    assert g12[2] == "12/655/1583"
+    g4 = {r["id"]: r["t"] for r in df.select(
+        "id", geotile_cell(F.col("lat"), F.col("lon"), 4).alias("t")
+    ).collect()}
+    assert g4[3] == "4/8/0" and g4[4] == "4/8/15"
+    g1 = {r["id"]: r["t"] for r in df.select(
+        "id", geotile_cell(F.col("lat"), F.col("lon"), 1).alias("t")
+    ).collect()}
+    assert g1[5] == "1/1/1"
+
+
+def test_geotile_sql_parity(spark):
+    import random
+
+    import duckdb
+
+    from monstache_spark.operators.geo import geotile_cell, geotile_sql
+
+    random.seed(7)
+    pts = [(i, random.uniform(-90, 90), random.uniform(-180, 180))
+           for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    spark_t = {r["id"]: r["t"] for r in df.select(
+        "id", geotile_cell(F.col("lat"), F.col("lon"), 9).alias("t")
+    ).collect()}
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {la!r}, {lo!r})" for i, la, lo in pts)
+    duck_t = {r[0]: r[1] for r in con.execute(
+        f"SELECT id, {geotile_sql('lat', 'lon', 9)} "
+        f"FROM (VALUES {vals}) AS t(id, lat, lon)"
+    ).fetchall()}
+    assert spark_t == duck_t
+
+
+def test_geotile_grid_counts_and_truncation(spark):
+    from monstache_spark.operators.geo import geotile_grid
+
+    df = spark.createDataFrame(
+        [(1, 52.52, 13.405), (2, 52.53, 13.41), (3, 37.77, -122.42),
+         (4, None, 1.0)],
+        "id long, lat double, lon double",
+    )
+    out = {r["geotile"]: r["doc_count"]
+           for r in geotile_grid(df, "lat", "lon", zoom=10).collect()}
+    # both Berlin points share a z10 tile; null coords drop
+    assert out == {"10/550/335": 2, "10/163/395": 1}
+    top1 = geotile_grid(df, "lat", "lon", zoom=10, size=1).collect()
+    assert [(r["geotile"], r["doc_count"]) for r in top1] == [("10/550/335", 2)]
