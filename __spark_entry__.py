@@ -3283,6 +3283,28 @@ def _q_es_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_auto_date_histogram_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_date_histogram over MINUTE-scale data: a 90-minute slice
+    of events makes the ladder descend below hour into the ES
+    1/5/10/30 second/minute rungs (RoundingInfo multiples) — the
+    multiples are fixed intervals bucketed by exact epoch-micros
+    pmod flooring (no float division, engine-exact edges).  The
+    oracle re-derives both the rung DECISION and the epoch-floor
+    buckets from the same span, so the hash checks the whole
+    contract."""
+    from monstache_spark.operators.aggs import auto_date_histogram
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-05 01:30:00").cast("timestamp"))
+    )
+    return auto_date_histogram(
+        ev, "ts", buckets=10,
+        aggs={"total_value": {"sum": {"field": "value"}}},
+        name="bucket",
+    )
+
+
 def _q_es_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms_set query: match when at least `need` of the listed
     terms appear in the analyzed text, where `need` is a PER-DOCUMENT
@@ -3845,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_mad": _q_es_mad,
         "es_string_stats": _q_es_string_stats,
         "es_auto_date_histogram": _q_es_auto_date_histogram,
+        "es_auto_date_histogram_minutes": _q_es_auto_date_histogram_minutes,
         "es_terms_set": _q_es_terms_set,
         "es_query_shorthands": _q_es_query_shorthands,
         "es_weighted_avg": _q_es_weighted_avg,
@@ -5235,6 +5258,48 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
                  u.iv AS interval
           FROM events, u WHERE ts IS NOT NULL
+          GROUP BY 1, 4
+        """,
+        "es_auto_date_histogram_minutes": """
+          WITH w AS (
+            SELECT ts, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-05 01:30:00'
+              AND ts IS NOT NULL
+          ),
+          sp AS (
+            SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0 AS span
+            FROM w
+          ),
+          u AS (
+            SELECT CASE
+              WHEN span <= 9 THEN 'second'
+              WHEN span / 5.0 <= 9 THEN '5s'
+              WHEN span / 10.0 <= 9 THEN '10s'
+              WHEN span / 30.0 <= 9 THEN '30s'
+              WHEN span / 60.0 <= 9 THEN 'minute'
+              WHEN span / 300.0 <= 9 THEN '5m'
+              WHEN span / 600.0 <= 9 THEN '10m'
+              WHEN span / 1800.0 <= 9 THEN '30m'
+              ELSE 'hour' END AS iv,
+            CAST(CASE
+              WHEN span <= 9 THEN 1
+              WHEN span / 5.0 <= 9 THEN 5
+              WHEN span / 10.0 <= 9 THEN 10
+              WHEN span / 30.0 <= 9 THEN 30
+              WHEN span / 60.0 <= 9 THEN 60
+              WHEN span / 300.0 <= 9 THEN 300
+              WHEN span / 600.0 <= 9 THEN 600
+              WHEN span / 1800.0 <= 9 THEN 1800
+              ELSE 3600 END * 1000000 AS BIGINT) AS w_us
+            FROM sp
+          )
+          SELECT make_timestamp(epoch_us(ts)
+                   - ((epoch_us(ts) % w_us + w_us) % w_us)) AS bucket,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+                 u.iv AS interval
+          FROM w, u
           GROUP BY 1, 4
         """,
         "es_terms_set": f"""

@@ -50,6 +50,7 @@ aggregations contract.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -85,6 +86,8 @@ _BUCKET_KINDS = {
 }
 
 _CALENDAR_TRUNC = {
+    "second": "second",
+    "minute": "minute",
     "hour": "hour",
     "day": "day",
     "week": "week",
@@ -92,6 +95,52 @@ _CALENDAR_TRUNC = {
     "quarter": "quarter",
     "year": "year",
 }
+
+# sequence step per calendar unit for min_doc_count=0 gap filling
+_CALENDAR_STEP = {
+    "second": "INTERVAL 1 SECOND",
+    "minute": "INTERVAL 1 MINUTE",
+    "hour": "INTERVAL 1 HOUR",
+    "day": "INTERVAL 1 DAY",
+    "week": "INTERVAL 7 DAY",
+    "month": "INTERVAL 1 MONTH",
+    "quarter": "INTERVAL 3 MONTH",
+    "year": "INTERVAL 1 YEAR",
+}
+
+_FIXED_INTERVAL_RE = re.compile(r"^(\d+)(s|m|h|d)$")
+_FIXED_UNIT_S = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def fixed_interval_seconds(iv) -> int | None:
+    """ES ``fixed_interval`` string (``30s``, ``10m``, ``3h``, ``7d``)
+    → width in seconds, or None if ``iv`` isn't a fixed interval."""
+    m = _FIXED_INTERVAL_RE.match(str(iv)) if iv is not None else None
+    if not m:
+        return None
+    return int(m.group(1)) * _FIXED_UNIT_S[m.group(2)]
+
+
+def _dh_trunc(iv):
+    """(trunc callable, gap-fill step SQL) for a date_histogram
+    interval.  Calendar names truncate via ``date_trunc``; ES
+    ``fixed_interval`` strings (``30s``, ``10m``, …) floor exact epoch
+    MICROS with integer ``pmod`` arithmetic — no float division, so
+    bucket edges are engine-exact (UTC/epoch-aligned, the fixed-
+    interval contract; the session pins UTC)."""
+    if iv in _CALENDAR_TRUNC:
+        unit = _CALENDAR_TRUNC[iv]
+        return (lambda c: F.date_trunc(unit, c)), _CALENDAR_STEP[unit]
+    w = fixed_interval_seconds(iv)
+    if w is None:
+        raise ValueError(f"unsupported date_histogram interval: {iv}")
+    w_us = w * 1_000_000
+
+    def trunc(c):
+        us = F.unix_micros(c)
+        return F.timestamp_micros(us - F.pmod(us, F.lit(w_us)))
+
+    return trunc, f"INTERVAL {w} SECOND"
 
 
 def _pct_suffix(p: float) -> str:
@@ -159,21 +208,16 @@ def _bucket_key_col(kind: str, spec: dict) -> Column:
         ).cast("double")
     if kind == "date_histogram":
         iv = spec.get("calendar_interval") or spec.get("fixed_interval")
-        if iv not in _CALENDAR_TRUNC:
-            raise ValueError(f"unsupported date_histogram interval: {iv}")
-        key = F.date_trunc(_CALENDAR_TRUNC[iv], field)
+        trunc, _ = _dh_trunc(iv)
+        key = trunc(field)
         hb = spec.get("hard_bounds")
         if hb:
             # ES hard_bounds: the NARROWING variant (extended_bounds
             # only extends) — buckets strictly outside [min, max] are
             # dropped even when they hold data, via key nulling (null
             # keys drop in every downstream path)
-            lo = F.date_trunc(
-                _CALENDAR_TRUNC[iv], F.lit(hb["min"]).cast("timestamp")
-            )
-            hi = F.date_trunc(
-                _CALENDAR_TRUNC[iv], F.lit(hb["max"]).cast("timestamp")
-            )
+            lo = trunc(F.lit(hb["min"]).cast("timestamp"))
+            hi = trunc(F.lit(hb["max"]).cast("timestamp"))
             key = F.when((key >= lo) & (key <= hi), key)
         return key
     if kind == "missing":
@@ -612,17 +656,9 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
                 "min_doc_count=0 gap filling requires date_histogram "
                 "to be the only bucket level"
             )
-        unit = _CALENDAR_TRUNC[
+        trunc, step = _dh_trunc(
             spec.get("calendar_interval") or spec.get("fixed_interval")
-        ]
-        step = {
-            "hour": "INTERVAL 1 HOUR",
-            "day": "INTERVAL 1 DAY",
-            "week": "INTERVAL 7 DAY",
-            "month": "INTERVAL 1 MONTH",
-            "quarter": "INTERVAL 3 MONTH",
-            "year": "INTERVAL 1 YEAR",
-        }[unit]
+        )
         eb = spec.get("extended_bounds")
         hb = spec.get("hard_bounds")
         data_bounds = grouped.agg(
@@ -632,8 +668,8 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             # hard_bounds + min_doc_count=0: the timeline IS the hard
             # range (data outside was already key-nulled away)
             bounds = grouped.sparkSession.range(1).select(
-                F.date_trunc(unit, F.lit(hb["min"]).cast("timestamp")).alias("_lo"),
-                F.date_trunc(unit, F.lit(hb["max"]).cast("timestamp")).alias("_hi"),
+                trunc(F.lit(hb["min"]).cast("timestamp")).alias("_lo"),
+                trunc(F.lit(hb["max"]).cast("timestamp")).alias("_hi"),
             )
         elif eb:
             # ES extended_bounds can only EXTEND the timeline (the
@@ -644,11 +680,11 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             bounds = data_bounds.select(
                 F.least(
                     F.col("_dlo"),
-                    F.date_trunc(unit, F.lit(eb["min"]).cast("timestamp")),
+                    trunc(F.lit(eb["min"]).cast("timestamp")),
                 ).alias("_lo"),
                 F.greatest(
                     F.col("_dhi"),
-                    F.date_trunc(unit, F.lit(eb["max"]).cast("timestamp")),
+                    trunc(F.lit(eb["max"]).cast("timestamp")),
                 ).alias("_hi"),
             )
         else:
@@ -669,8 +705,19 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
 
 # the auto_date_histogram interval ladder, smallest first, with the
 # approximate bucket width in seconds used to estimate counts — the
-# same shared ladder renders the oracle's CASE
+# same shared ladder renders the oracle's CASE.  Sub-hour rungs use
+# ES's 1/5/10/30 second/minute multiples (the RoundingInfo ladder);
+# multiples are fixed intervals (exact epoch-floor buckets), the
+# plain units calendar intervals.
 AUTO_INTERVAL_LADDER: list[tuple[str, int]] = [
+    ("second", 1),
+    ("5s", 5),
+    ("10s", 10),
+    ("30s", 30),
+    ("minute", 60),
+    ("5m", 300),
+    ("10m", 600),
+    ("30m", 1800),
     ("hour", 3600),
     ("day", 86400),
     ("week", 604800),
@@ -711,9 +758,10 @@ def auto_date_histogram(
             if span / width <= buckets - 1:
                 interval = unit
                 break
-    body: dict = {
-        "date_histogram": {"field": field, "calendar_interval": interval}
-    }
+    iv_key = (
+        "calendar_interval" if interval in _CALENDAR_TRUNC else "fixed_interval"
+    )
+    body: dict = {"date_histogram": {"field": field, iv_key: interval}}
     if aggs:
         body["aggs"] = aggs
     out = compile_aggs(df, {name: body})

@@ -822,12 +822,18 @@ def test_auto_date_histogram_picks_interval(spark):
     )
     out = auto_date_histogram(df, "ts", buckets=10).collect()
     assert out[0]["interval"] == "day"
-    # 3-hour span -> hour buckets
+    # 3-hour span now descends into the sub-hour rungs -> 30m
     df2 = spark.createDataFrame(
         [(1, datetime.datetime(2024, 1, 1, 5)), (2, datetime.datetime(2024, 1, 1, 8))],
         "id long, ts timestamp",
     )
-    assert auto_date_histogram(df2, "ts", buckets=10).collect()[0]["interval"] == "hour"
+    assert auto_date_histogram(df2, "ts", buckets=10).collect()[0]["interval"] == "30m"
+    # 8-hour span -> hour buckets (span/1800 > 9, span/3600 <= 9)
+    df3 = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0)), (2, datetime.datetime(2024, 1, 1, 8))],
+        "id long, ts timestamp",
+    )
+    assert auto_date_histogram(df3, "ts", buckets=10).collect()[0]["interval"] == "hour"
 
 
 def test_dis_max_constant_score_boosting_terms_set(spark):
@@ -1015,3 +1021,49 @@ def test_string_stats_lengths_and_entropy(spark):
     assert a["entropy"] == 1.0
     b = out["b"]
     assert b["entropy"] == 2.0   # 4 distinct chars uniform
+
+
+def test_auto_date_histogram_minute_second_rungs(spark):
+    import datetime
+
+    from monstache_spark.operators.aggs import auto_date_histogram
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    # 80 minutes of data -> 10m fixed rung (span/600 <= 9)
+    rows = [(i, t0 + datetime.timedelta(minutes=8 * i), 1.0) for i in range(11)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = auto_date_histogram(df, "ts", buckets=10, name="bucket").collect()
+    assert all(r["interval"] == "10m" for r in out)
+    # epoch-floor edges: all bucket minutes are multiples of 10
+    assert all(r["bucket"].minute % 10 == 0 and r["bucket"].second == 0
+               for r in out)
+    assert sum(r["doc_count"] for r in out) == 11
+    # 40 seconds of data -> 5s rung
+    rows = [(i, t0 + datetime.timedelta(seconds=4 * i), 1.0) for i in range(11)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = auto_date_histogram(df, "ts", buckets=10, name="bucket").collect()
+    assert all(r["interval"] == "5s" for r in out)
+    assert all(r["bucket"].second % 5 == 0 for r in out)
+    # 8 minutes -> calendar 'minute' rung
+    rows = [(i, t0 + datetime.timedelta(seconds=48 * i), 1.0) for i in range(11)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = auto_date_histogram(df, "ts", buckets=10, name="bucket").collect()
+    assert all(r["interval"] == "minute" for r in out)
+
+
+def test_date_histogram_fixed_interval_epoch_floor(spark):
+    import datetime
+
+    from monstache_spark.operators.aggs import compile_aggs
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0, 29), 1.0),
+         (2, datetime.datetime(2024, 1, 1, 0, 0, 31), 2.0),
+         (3, datetime.datetime(2024, 1, 1, 0, 1, 1), 3.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    out = {r["b"].isoformat(): r["doc_count"] for r in compile_aggs(
+        df, {"b": {"date_histogram": {"field": "ts", "fixed_interval": "30s"}}}
+    ).collect()}
+    assert out == {"2024-01-01T00:00:00": 1, "2024-01-01T00:00:30": 1,
+                   "2024-01-01T00:01:00": 1}
