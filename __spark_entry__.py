@@ -3024,6 +3024,20 @@ def _q_phrase_suggest_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_suggest(docs, "tabl hask", top_n=3)
 
 
+def _q_phrase_suggest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester for 3+-token inputs (search.phrase_suggest
+    chain path): 'slw hash batc' corrects through an exact n-best
+    VITERBI over the corpus bigram frame — chains score the SUM of
+    adjacent bigram counts, every adjacency must be attested
+    (generalized collate pruning), and the per-state top_n prune is
+    exact list-Viterbi.  Integer scoring; the oracle brute-forces all
+    candidate chains and must rank identically."""
+    from monstache_spark.operators.search import phrase_suggest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return phrase_suggest(docs, "slw hash batc", top_n=3)
+
+
 def _q_es_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentile_ranks metric (aggs._metric_exprs): per event
     type, the percent of values ≤ 50 / ≤ 200 — the EXACT empirical
@@ -3875,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_missing_agg": _q_es_missing_agg,
         "es_diversified_sampler": _q_es_diversified_sampler,
         "phrase_suggest_lm": _q_phrase_suggest_lm,
+        "phrase_suggest_chain": _q_phrase_suggest_chain,
         "es_percentile_ranks": _q_es_percentile_ranks,
         "significant_text_en": _q_significant_text_en,
         "function_score_log1p": _q_function_score_log1p,
@@ -5480,6 +5495,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(row_number() OVER (PARTITION BY id_q
                            ORDER BY score DESC, id_n ASC) AS BIGINT) AS rank
             FROM refined) WHERE rank <= 5
+        """,
+        "phrase_suggest_chain": f"""
+          WITH toksrc AS (
+            SELECT list_filter({_TOKS_LOWER}, w -> w <> '') AS toks FROM documents
+          ),
+          v AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS count
+            FROM (SELECT unnest(toks) AS term FROM toksrc) GROUP BY term
+          ),
+          bg AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM (
+              SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM toksrc, unnest(range(1, len(toks))) AS u(i)
+            ) GROUP BY w1, w2
+          ),
+          c1 AS (SELECT term FROM v WHERE levenshtein(term, 'slw') <= 1),
+          c2 AS (SELECT term FROM v WHERE levenshtein(term, 'hash') <= 1),
+          c3 AS (SELECT term FROM v WHERE levenshtein(term, 'batc') <= 1),
+          chains AS (
+            SELECT (b1.w1 || ' ' || b1.w2 || ' ' || b2.w2) AS suggestion,
+                   b1.c + b2.c AS score
+            FROM bg b1 JOIN bg b2 ON b1.w2 = b2.w1
+            JOIN c1 ON b1.w1 = c1.term
+            JOIN c2 ON b1.w2 = c2.term
+            JOIN c3 ON b2.w2 = c3.term
+          ),
+          r AS (
+            SELECT suggestion, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, suggestion ASC) AS BIGINT) AS rank
+            FROM chains
+          )
+          SELECT suggestion, score, rank FROM r WHERE rank <= 3
         """,
         "phrase_suggest_lm": f"""
           WITH toksrc AS (

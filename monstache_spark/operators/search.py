@@ -1750,17 +1750,27 @@ def phrase_suggest(
     exact integer scoring, no log-probability transcendentals, so any
     engine ranks identically.
 
-    Two-token inputs cover the dominant "did you mean" shape; longer
-    inputs would need a Viterbi chain over the bigram frame
-    (documented out of scope).
+    Inputs of THREE or more tokens run an exact n-best VITERBI chain
+    over the same bigram frame: a correction chain scores the SUM of
+    its adjacent bigram counts (every adjacency must be attested —
+    collate pruning generalized), and after each extension only the
+    ``top_n`` partial chains per end state survive (score desc, chain
+    asc).  That prune is EXACT for the global top ``top_n``: step
+    scores are nonnegative and any winning chain's prefix must itself
+    rank top-``top_n`` into its end state — standard list-Viterbi.
+    The loop is driver-side plan construction bounded by the query
+    length; each step joins the (corpus-agg'd) bigram spine against
+    broadcast candidate-sized frames.
 
     Plan shape: vocabulary and bigram counts are each ONE hash agg
-    over the exploded corpus; the two candidate sets are
-    deletion-key equi-joins with the broadcast query keys; the final
-    join binds candidates to the bigram frame on its two key columns
+    over the exploded corpus; the candidate sets are deletion-key
+    equi-joins with the broadcast query keys; every chain/pair join
+    binds candidates to the bigram frame on its two key columns
     (equi-join, no cross product — the bigram frame is the join
-    spine).  Returns ``(suggestion, w1, w2, bigram_count, d1, d2,
-    rank)``.
+    spine).  Two-token returns ``(suggestion, w1, w2, bigram_count,
+    d1, d2, rank)``; longer inputs return ``(suggestion, score,
+    rank)`` (per-token distance columns don't generalize across
+    lengths).
     """
     if analyzer is not None:
         toks = analyzer.analyze(phrase)
@@ -1771,8 +1781,8 @@ def phrase_suggest(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
             lambda t: t != F.lit(""),
         )
-    if len(toks) != 2:
-        raise ValueError("phrase_suggest handles two-token phrases")
+    if len(toks) < 2:
+        raise ValueError("phrase_suggest needs at least two tokens")
     spark = docs.sparkSession
     toks_df = docs.select(arr.alias("toks"))
     vocab = (
@@ -1819,27 +1829,80 @@ def phrase_suggest(
             )
         )
 
-    c1 = candidates(toks[0], "w1")
-    c2 = candidates(toks[1], "w2")
-    paired = (
-        bigrams.join(F.broadcast(c1), "w1")
-        .join(F.broadcast(c2), "w2")
-        .select(
-            F.concat_ws(" ", "w1", "w2").alias("suggestion"),
-            "w1",
-            "w2",
-            "bigram_count",
-            "d1",
-            "d2",
+    if len(toks) == 2:
+        c1 = candidates(toks[0], "w1")
+        c2 = candidates(toks[1], "w2")
+        paired = (
+            bigrams.join(F.broadcast(c1), "w1")
+            .join(F.broadcast(c2), "w2")
+            .select(
+                F.concat_ws(" ", "w1", "w2").alias("suggestion"),
+                "w1",
+                "w2",
+                "bigram_count",
+                "d1",
+                "d2",
+            )
         )
-    )
-    w = Window.orderBy(
-        F.col("bigram_count").desc(), F.col("w1").asc(), F.col("w2").asc()
-    )
-    ranked = paired.orderBy(
-        F.col("bigram_count").desc(), F.col("w1").asc(), F.col("w2").asc()
+        w = Window.orderBy(
+            F.col("bigram_count").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        ranked = paired.orderBy(
+            F.col("bigram_count").desc(), F.col("w1").asc(), F.col("w2").asc()
+        ).limit(top_n)
+        return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+    # n >= 3: exact n-best Viterbi chain over the bigram frame
+    cands = [
+        candidates(t, "w1").select(F.col("w1").alias("term")) for t in toks
+    ]
+    paths = None
+    for i in range(len(toks) - 1):
+        edge = (
+            bigrams.join(
+                F.broadcast(cands[i].select(F.col("term").alias("w1"))), "w1"
+            )
+            .join(
+                F.broadcast(cands[i + 1].select(F.col("term").alias("w2"))),
+                "w2",
+            )
+            .select("w1", "w2", "bigram_count")
+        )
+        if paths is None:
+            paths = edge.select(
+                F.concat_ws(" ", "w1", "w2").alias("suggestion"),
+                F.col("w2").alias("_last"),
+                F.col("bigram_count").alias("score"),
+            )
+        else:
+            paths = paths.join(
+                F.broadcast(edge.withColumnRenamed("w1", "_last")), "_last"
+            ).select(
+                F.concat_ws(" ", "suggestion", "w2").alias("suggestion"),
+                F.col("w2").alias("_last"),
+                (F.col("score") + F.col("bigram_count")).alias("score"),
+            )
+        # list-Viterbi prune: the top_n partial chains per end state
+        # (score desc, chain asc) preserve every possible global
+        # top_n completion — step scores are nonnegative and a
+        # winning chain's prefix must itself rank top_n to its state
+        wst = Window.partitionBy("_last").orderBy(
+            F.col("score").desc(), F.col("suggestion").asc()
+        )
+        paths = (
+            paths.withColumn("_rn", F.row_number().over(wst))
+            .filter(F.col("_rn") <= top_n)
+            .drop("_rn")
+        )
+    wg = Window.orderBy(F.col("score").desc(), F.col("suggestion").asc())
+    ranked = paths.orderBy(
+        F.col("score").desc(), F.col("suggestion").asc()
     ).limit(top_n)
-    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+    return ranked.select(
+        "suggestion",
+        "score",
+        F.row_number().over(wg).cast("long").alias("rank"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1223,3 +1223,33 @@ def test_fuzzy_term_expansions_rank_and_cap(spark):
     assert terms[0] == "table" and set(terms) == {"table", "cable", "fable", "gable"}
     assert fuzzy_term_expansions(df, "table", fuzziness=1, max_expansions=2) == [
         "table", "cable"]
+
+
+def test_phrase_suggest_chain_three_tokens_viterbi(spark):
+    from monstache_spark.operators.search import phrase_suggest
+
+    df = spark.createDataFrame(
+        [(1, "green house effect"), (2, "green house effect"),
+         (3, "grean horse racing"), (4, "house effect studies")],
+        "doc_id long, text string",
+    )
+    rows = phrase_suggest(df, "grean hose efect", top_n=3).collect()
+    # 'green house' (2) + 'house effect' (3) = 5; the 'grean horse'
+    # chain dies because no 'horse <efect-candidate>' bigram exists
+    assert rows[0]["suggestion"] == "green house effect"
+    assert rows[0]["score"] == 5 and rows[0]["rank"] == 1
+
+
+def test_phrase_suggest_chain_four_tokens_and_prune_exactness(spark):
+    from monstache_spark.operators.search import phrase_suggest
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d"), (3, "a x c d"), (4, "a x c y")],
+        "doc_id long, text string",
+    )
+    rows = phrase_suggest(df, "a b c d", top_n=3).collect()
+    got = [(r["suggestion"], r["score"]) for r in rows]
+    # chains: a-b-c-d = 2+2+3 = 7; a-x-c-d = 2+2+3 = 7 (x within 1
+    # edit of b? lev('b','x')=1 yes); tie breaks lexicographically
+    assert got[0] == ("a b c d", 7)
+    assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))
