@@ -2879,6 +2879,23 @@ def _q_match_phrase_slop_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_match_phrase_slop_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase with a REPEATED query term ('hash join hash'~4):
+    the unordered min-movement branch enforces pairwise-distinct
+    document positions for equal terms (Lucene SloppyPhraseQuery
+    repeats handling — two query occurrences never land on one
+    position), so a doc with a single 'hash' can't satisfy both.
+    Closes the repeated-term residual of DIVERGENCES S2 for n ≤ 3."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"match_phrase": {"text": {"query": "hash join hash", "slop": 4}}},
+    )
+    return out.select("doc_id")
+
+
 def _q_es_regexp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `regexp` query leaf (search._compile_leaf 'regexp'): Lucene
     regexps are implicitly anchored to the WHOLE field value, so
@@ -3894,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_text_en": _q_significant_text_en,
         "function_score_log1p": _q_function_score_log1p,
         "match_phrase_slop_swap": _q_match_phrase_slop_swap,
+        "match_phrase_slop_repeat": _q_match_phrase_slop_repeat,
         "es_regexp_query": _q_es_regexp_query,
         "es_date_histogram_bounds": _q_es_date_histogram_bounds,
         "match_phrase_slop": _q_match_phrase_slop,
@@ -5123,6 +5141,23 @@ def oracle_sql() -> dict[str, str]:
                   len(list_filter(p1, b ->
                     len(list_filter(p2, c ->
                       greatest(a, b - 1, c - 2) - least(a, b - 1, c - 2) <= 3
+                    )) > 0)) > 0)) > 0
+        """,
+        "match_phrase_slop_repeat": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(ph, a ->
+                  len(list_filter(pj, b ->
+                    len(list_filter(ph, c ->
+                      c <> a AND greatest(a, b - 1, c - 2) - least(a, b - 1, c - 2) <= 4
                     )) > 0)) > 0)) > 0
         """,
         "match_phrase_slop_analyzed": f"""

@@ -496,14 +496,18 @@ def _match_phrase_slop(
     array-exists carrying a running min/max — entirely JVM-side, no
     explode, no shuffle, usable anywhere in a bool tree.
 
-    Orderings: for n ≤ 3 DISTINCT terms every arrangement is
-    admitted at its movement cost (the adjacent pair swap costs 2,
-    per SloppyPhraseQuery; a full 3-token reversal costs 4) — this
-    closes DIVERGENCES.md S2 for n ≤ 3.  For n ≥ 4, or when the
-    query repeats a term (position lists would need a distinctness
-    constraint), the contract is in-order-only with the same
-    min/max cost — a doc matching here always matches Lucene at the
-    same slop, not vice-versa, only for those arrangements.
+    Orderings: for n ≤ 3 every arrangement is admitted at its
+    movement cost (the adjacent pair swap costs 2, per
+    SloppyPhraseQuery; a full 3-token reversal costs 4) — this
+    closes DIVERGENCES.md S2 for n ≤ 3.  REPEATED query terms share
+    one position list, so the unordered picks carry explicit
+    pairwise ``p_i ≠ p_j`` constraints for equal terms (Lucene's
+    SloppyPhraseQuery "repeats" handling — two query occurrences may
+    never land on the same document position); pairwise ≠ over ≤ 3
+    lists stays a bounded JVM expression.  For n ≥ 4 the contract is
+    in-order-only with the same min/max cost — a doc matching here
+    always matches Lucene at the same slop, not vice-versa, only for
+    those arrangements.
     """
     if analyzer is not None:
         q = analyzer.analyze_pos(text)
@@ -543,22 +547,33 @@ def _match_phrase_slop(
         return F.size(positions_of(toks[0])) > 0
     pos = [positions_of(t) for t in toks]
     n = len(toks)
-    unordered = n <= 3 and len(set(toks)) == n
+    unordered = n <= 3
 
-    def nest(i: int, prev: Column | None, mn: Column, mx: Column) -> Column:
+    def nest(
+        i: int, prev: Column | None, picked: list[Column], mn: Column, mx: Column
+    ) -> Column:
         def body(p: Column) -> Column:
             x = p - F.lit(qd[i])
             nmn, nmx = F.least(mn, x), F.greatest(mx, x)
             c = F.lit(True) if prev is None else (p > prev)
+            if prev is None:
+                # unordered picks: repeated query terms share one
+                # position list — equal terms must land on DISTINCT
+                # document positions (Lucene repeats handling)
+                for j, pj in enumerate(picked):
+                    if toks[j] == toks[i]:
+                        c = c & (p != pj)
             if i == n - 1:
                 return c & (nmx - nmn <= F.lit(slop))
-            return c & nest(i + 1, None if prev is None else p, nmn, nmx)
+            return c & nest(
+                i + 1, None if prev is None else p, picked + [p], nmn, nmx
+            )
 
         return F.exists(pos[i], body)
 
     def start(p0: Column) -> Column:
         x0 = p0 - F.lit(qd[0])
-        return nest(1, None if unordered else p0, x0, x0)
+        return nest(1, None if unordered else p0, [p0], x0, x0)
 
     return F.exists(pos[0], start)
 

@@ -1253,3 +1253,47 @@ def test_phrase_suggest_chain_four_tokens_and_prune_exactness(spark):
     # edit of b? lev('b','x')=1 yes); tie breaks lexicographically
     assert got[0] == ("a b c d", 7)
     assert all(got[i][1] >= got[i + 1][1] for i in range(len(got) - 1))
+
+
+def test_match_phrase_slop_repeated_terms_distinct_positions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hash join hash"),    # exact: cost 0
+            (2, "hash join"),         # only ONE hash — must NOT match
+            (3, "join hash hash"),    # unordered arrangement, cost 2
+            (4, "hash x join y hash"),# gaps: x=(0,1,2) cost 2
+            (5, "nothing here"),
+        ],
+        "id long, text string",
+    )
+
+    def ids(slop):
+        return sorted(r["id"] for r in bool_query_filter(
+            df, {"match_phrase": {"text": {"query": "hash join hash",
+                                           "slop": slop}}}
+        ).collect())
+
+    assert ids(0) == [1]
+    # doc 2 must never match: both query 'hash' occurrences would
+    # need the SAME document position (the distinctness constraint)
+    assert ids(2) == [1, 3, 4]
+    assert 2 not in set(ids(6))
+
+
+def test_match_phrase_slop_repeated_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "to be to"), (2, "to be"), (3, "be to be to")],
+        "id long, text string",
+    )
+
+    def ids(slop):
+        return sorted(r["id"] for r in bool_query_filter(
+            df, {"match_phrase": {"text": {"query": "to to", "slop": slop}}}
+        ).collect())
+
+    # 'to to' needs TWO distinct 'to' positions: doc1 has to@1,to@3
+    # (x spread 2-0... qd=(0,1): picks (1,3) -> x=(1,2) cost 1);
+    # doc2 has only one 'to'; doc3 to@2,to@4 -> cost 1
+    assert ids(0) == []
+    assert ids(1) == [1, 3]
+    assert 2 not in set(ids(5))
