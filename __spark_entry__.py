@@ -1651,6 +1651,74 @@ def _q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("last_ts_us", F.unix_micros(F.col("last_ts"))).drop("last_ts")
 
 
+def _q_ann_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance under CDC
+    (sinks/annindex.IvfPqIndexTable): quantizers train once and
+    freeze (the FAISS IVF add() contract); three streamed micro-
+    batches — a 300-vector backfill @v10, re-embeds (reversed
+    vectors) for id%7==0 plus deletes for id%11==0 @v20, and a STALE
+    replay (negated vectors) @v5 that must lose to the version guard
+    (the document sink's own merge rules: sinks/merge._merge_apply).
+    Final state must hash-match the oracle's from-scratch encode of
+    the surviving rows — restatement equality, which also makes the
+    merge arrival-order independent.  Real Structured Streaming run:
+    file source, maxFilesPerTrigger=1, foreachBatch → merge_batch."""
+    import shutil
+
+    from monstache_spark.sinks.annindex import IvfPqIndexTable
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = tempfile.mkdtemp(prefix="monstache_annidx_")
+    table = IvfPqIndexTable(spark, os.path.join(base, "index"), dim=64)
+    table.bootstrap(emb)
+
+    work = emb.filter(F.col("vec_id") < 300)
+
+    def env(df, op, version, vec):
+        return df.select(
+            F.lit(op).alias("op"),
+            F.lit("db.vec").alias("ns"),
+            F.col("vec_id").cast("string").alias("id"),
+            F.lit(version).cast("long").alias("version"),
+            vec.alias("embedding"),
+        )
+
+    b1 = env(work, "i", 10, F.col("embedding"))
+    b2 = env(
+        work.filter(F.col("vec_id") % 7 == 0), "u", 20,
+        F.reverse(F.col("embedding")),
+    ).unionByName(
+        env(work.filter(F.col("vec_id") % 11 == 0), "d", 20, F.col("embedding"))
+    )
+    b3 = env(  # stale replay: must lose everywhere
+        work.filter(F.col("vec_id") % 3 == 0), "i", 5,
+        F.transform(F.col("embedding"), lambda x: -x),
+    )
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i, b in enumerate((b1, b2, b3), start=1):
+        scratch = os.path.join(base, f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        shutil.copyfile(os.path.join(scratch, part), os.path.join(src, f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda df, _eid: table.merge_batch(df))
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read().select(
+        F.col("id").cast("long").alias("vec_id"), "version", "cell", "codes"
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-curation extensions (operators/curation.py)
 # ---------------------------------------------------------------------------
@@ -3968,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_value_agg": _q_salted_agg,
         "multimodal_features": _q_multimodal_features,
         "cdc_stream_pipeline": _q_stream_pipeline,
+        "ann_index_cdc": _q_ann_index_cdc,
         "full_plan_pipeline": _q_full_plan,
         "routing_meta_extract": _q_routing_meta,
         "set_ops_customers": _q_set_ops,
@@ -6922,6 +6991,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                            ORDER BY dist_micro ASC, corpus_id ASC) AS BIGINT) AS rk
             FROM scored) WHERE rk <= 5
+        """,
+        "ann_index_cdc": f"""
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          surv AS (
+            SELECT vec_id,
+                   CAST(CASE WHEN vec_id % 7 = 0 THEN 20 ELSE 10 END AS BIGINT) AS version
+            FROM e WHERE vec_id < 300 AND vec_id % 11 <> 0
+          ),
+          vecs AS (
+            SELECT s.vec_id, s.version,
+                   CASE WHEN s.vec_id % 7 = 0 THEN list_reverse(e.v) ELSE e.v END AS v
+            FROM surv s JOIN e ON e.vec_id = s.vec_id
+          ),
+          cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+          ca AS (SELECT vecs.vec_id, cid, {_cos_sql('vecs.v', 'cv')} AS c_score
+                 FROM vecs CROSS JOIN cen),
+          cells AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY c_score DESC, cid ASC) AS r FROM ca)
+            WHERE r = 1
+          ),
+          ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+          subs AS (SELECT vec_id, m, v[m*8+1 : m*8+8] AS sub FROM vecs, ms),
+          cb AS (SELECT m, vec_id AS code,
+                        list_transform(embedding[m*8+1 : m*8+8], x -> CAST(x AS DOUBLE)) AS sub
+                 FROM embeddings, ms WHERE vec_id < 16),
+          dists AS (
+            SELECT s.vec_id, s.m, c.code,
+                   CAST(round(1000000.0 * list_reduce(
+                     list_transform(generate_series(1, 8),
+                                    i -> (s.sub[i] - c.sub[i]) * (s.sub[i] - c.sub[i])),
+                     (a, b) -> a + b)) AS BIGINT) AS d_micro
+            FROM subs s JOIN cb c USING (m)),
+          codes AS (
+            SELECT vec_id, m, code FROM (
+              SELECT vec_id, m, code,
+                     row_number() OVER (PARTITION BY vec_id, m ORDER BY d_micro, code) AS rn
+              FROM dists) WHERE rn = 1),
+          packed AS (
+            SELECT vec_id, CAST(sum(code::BIGINT << (8 * m)) AS BIGINT) AS codes
+            FROM codes GROUP BY vec_id)
+          SELECT s.vec_id, s.version, c.cell, p.codes
+          FROM surv s JOIN cells c USING (vec_id) JOIN packed p USING (vec_id)
         """,
         "ivfpq_ann_topk": f"""
           WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
