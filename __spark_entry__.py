@@ -3904,25 +3904,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window (the first
-    50 entries, insertion order) rotates coverage each round: this
-    round it holds (a) the 29 round-6 operators (nested query/agg +
-    reverse_nested, analyzed match/BM25/significant_text, geo
-    bbox/rings/geohash + streaming geo-fences, knn_join_pq, phrase
-    suggester, DL-2 fuzzy, percentile_ranks, weighted_avg,
-    extended_stats, missing, diversified sampler, hard_bounds,
-    auto_date_histogram, normalize, bucket_sort,
-    cumulative_cardinality, terms_set + dis_max/constant_score/
-    boosting, function_score log1p, transposed slop, regexp,
-    extended_bounds union), (b) the 3 queries whose semantics or
-    oracles changed this round and must re-gate (match_phrase_slop
-    now admits the transposition, es_adjacency_matrix counts distinct
-    ids, es_top_metrics drops null buckets), and (c) the stalest
-    previously-gated queries — the cohort last gated in round 3.  The
-    remaining r3 queries head the post-window ordering and rotate in
-    next round; every one of the 169 queries has a hash-checkable
-    oracle."""
+    50 entries, insertion order) rotates coverage each round.  The
+    round-8 window (see ``_GATE_WINDOW``) holds (a)
+    ``minhash_pairs_collapsed`` at the HEAD — the one registry query
+    that had never appeared in a driver gate window (VERDICT r7
+    "What's wrong" #1); (b) the 7 queries NEW this round
+    (fuzzy-leaf routing, string-sort top_metrics, geotile_grid,
+    minute-rung auto_date_histogram, Viterbi phrase chains,
+    repeated-term slop, CDC-maintained ANN index); (c) every query
+    whose implementation or oracle changed this round and must
+    re-gate (the fuzzy/suggest family after the original-term-keying
+    and shared-vocab-probe refactors, the slop family after the
+    repeated-term distinctness change, the date-histogram family
+    after the fixed-interval/gap-fill refactor, es_auto_date_histogram
+    after the ladder extension); and (d) the stalest previously-gated
+    queries — the remaining round-3 cohort.  Every query has a
+    hash-checkable oracle."""
 
-    return {
+    all_q = {
         # --- driver correctness window (50): the 14 round-6 operators,
         # the 3 whose semantics/oracles changed this round (transposed
         # slop, distinct-id adjacency, null-bucket top_metrics), and the
@@ -4128,6 +4127,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_windows": _q_stream_session_windows,
         "stream_dedup_keys": _q_stream_dedup,
     }
+    ordered = {n: all_q[n] for n in _GATE_WINDOW}
+    ordered.update({n: f for n, f in all_q.items() if n not in ordered})
+    return ordered
+
+
+# the driver's 50-query correctness window, head first — see the
+# queries() docstring for this round's composition rationale
+_GATE_WINDOW = [
+    # (a) the one never-gated query, at the head
+    "minhash_pairs_collapsed",
+    # (b) new in round 8
+    "es_fuzzy_query_routed",
+    "es_top_metrics_string",
+    "geo_geotile_grid",
+    "es_auto_date_histogram_minutes",
+    "phrase_suggest_chain",
+    "match_phrase_slop_repeat",
+    "ann_index_cdc",
+    # (c) implementation/oracle changed in round 8 — re-gate
+    "fuzzy_suggest_analyzed",
+    "es_fuzzy_query_tokens",
+    "fuzzy_suggest",
+    "fuzzy_suggest_dl",
+    "fuzzy_suggest_dl2",
+    "phrase_suggest_lm",
+    "phrase_suggest_analyzed",
+    "match_phrase_slop",
+    "match_phrase_slop_swap",
+    "match_phrase_slop3_perm",
+    "match_phrase_slop_analyzed",
+    "es_auto_date_histogram",
+    "es_date_histogram_agg",
+    "es_date_histogram_filled",
+    "es_date_histogram_bounds",
+    "es_hard_bounds",
+    "es_top_metrics",
+    # (d) stalest previously-gated cohort (last gated round 3)
+    "es_sibling_aggs",
+    "percolate_indexed",
+    "bpe_train_merges",
+    "unigram_train_pieces",
+    "pq_ann_topk",
+    "ivfpq_ann_topk",
+    "merge_patch_json",
+    "merge_patch_history",
+    "file_fetch",
+    "file_enrichment",
+    "corpus_curation",
+    "salted_value_agg",
+    "multimodal_features",
+    "cdc_stream_pipeline",
+    "full_plan_pipeline",
+    "routing_meta_extract",
+    "set_ops_customers",
+    "tfidf_top_terms",
+    "protected_delete_apply",
+    "udf_mapper_pipeline",
+    "delete_ignore_state",
+    "drop_regex_filter",
+    "lang_scores",
+    "value_percentiles",
+    "value_histogram",
+]
 
 
 def _lang_scores_sql(threshold: float = 0.02) -> str:

@@ -55,6 +55,7 @@ def main() -> int:
     from monstache_spark.operators.dedup import (
         exact_duplicates,
         minhash_candidate_pairs,
+        minhash_candidate_pairs_collapsed,
         simhash_signatures,
         winnow_fingerprints,
     )
@@ -77,6 +78,11 @@ def main() -> int:
     probes = {
         "exact_dedup": lambda d: exact_duplicates(d),
         "minhash_cands": lambda d: minhash_candidate_pairs(d, num_hashes=16, num_bands=4, shingle_k=2),
+        # clone-collapsed variant: the N×-replicated corpus is exactly
+        # the duplicate-heavy shape it targets — star edges per clone
+        # class + banding on representatives only; connectivity-
+        # equivalent output at linear (not quadratic) pair volume
+        "minhash_cands_collapsed": lambda d: minhash_candidate_pairs_collapsed(d, num_hashes=16, num_bands=4, shingle_k=2),
         "simhash": lambda d: simhash_signatures(d, shingle_k=2),
         "winnow": lambda d: winnow_fingerprints(d, k=8, w=4),
         # curation ops on the production (xxhash64) hash path; the
