@@ -1334,6 +1334,24 @@ def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["vector", "merge", "window"], k=20)
 
 
+def _q_es_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore window (search.rescore_topk): the top-30 BM25 hits
+    for ('vector','merge') re-rank by adding 2x the BM25 score of the
+    rescore query ('hash join'-ish terms) — score_mode=total with
+    query_weight 1 / rescore_query_weight 2, ES's documented
+    combination.  Window docs not matching the rescore query keep
+    their primary score (rescoring never filters).  Combination runs
+    in DECIMAL(38,6) over the 6-dp engine scores, so the oracle
+    hashes the exact totals."""
+    from monstache_spark.operators.search import rescore_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return rescore_topk(
+        docs, ["vector", "merge"], ["hash", "join"],
+        window_size=30, k=10, rescore_query_weight=2,
+    )
+
+
 def _q_es_bool_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES bool-query DSL compiled to ONE Catalyst predicate
     (search.compile_bool_query): must/range + must_not/term +
@@ -4092,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_range_agg": _q_es_range_agg,
         "es_composite_agg": _q_es_composite_agg,
         "bm25_search": _q_bm25_search,
+        "es_rescore": _q_es_rescore,
         "es_bool_filter": _q_es_bool_filter,
         "more_like_this": _q_more_like_this,
         "semantic_dedup": _q_semantic_dedup,
@@ -4331,34 +4350,39 @@ def oracle_sql() -> dict[str, str]:
     )
     # BM25 over a doc frame named `corpus` (so more_like_this can reuse
     # it with the source doc excluded); terms arrive as an IN-list.
-    def bm25_scored_sql(terms_pred: str, toks_expr: str = _TOKS_LOWER) -> str:
-        """CTE chain up to `scored` (doc_id, score) — shared by the
-        ranked bm25 queries and the field-collapse query.
+    def bm25_scored_sql(
+        terms_pred: str, toks_expr: str = _TOKS_LOWER, prefix: str = ""
+    ) -> str:
+        """CTE chain up to `{prefix}scored` (doc_id, score) — shared by
+        the ranked bm25 queries and the field-collapse query.
         ``toks_expr`` swaps in a configured analyzer chain
-        (Analyzer.sql_tokens) for the analyzed-search oracles."""
+        (Analyzer.sql_tokens) for the analyzed-search oracles;
+        ``prefix`` disambiguates CTE names when TWO chains live in one
+        statement (the rescore oracle scores primary and secondary)."""
+        p = prefix
         return f"""
-          toks AS (
+          {p}toks AS (
             SELECT doc_id, unnest({toks_expr}) AS term FROM corpus
           ),
-          dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
-          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
-          qt AS (SELECT * FROM toks WHERE {terms_pred}),
-          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY doc_id, term),
-          dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY term),
-          idf AS (
+          {p}dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM {p}toks GROUP BY doc_id),
+          {p}stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM {p}dl),
+          {p}qt AS (SELECT * FROM {p}toks WHERE {terms_pred}),
+          {p}tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM {p}qt GROUP BY doc_id, term),
+          {p}dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM {p}qt GROUP BY term),
+          {p}idf AS (
             SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
-            FROM dfr, stats
+            FROM {p}dfr, {p}stats
           ),
-          contrib AS (
-            SELECT tf.doc_id,
+          {p}contrib AS (
+            SELECT {p}tf.doc_id,
                    CAST(round(idf * (tf * 2.2)
                               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
                         AS DECIMAL(38,6)) AS w
-            FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+            FROM {p}tf JOIN {p}dl USING (doc_id) JOIN {p}idf USING (term)
           ),
-          scored AS (
+          {p}scored AS (
             SELECT doc_id, CAST(CAST(sum(w) AS DECIMAL(38,6)) AS DOUBLE) AS score
-            FROM contrib GROUP BY doc_id
+            FROM {p}contrib GROUP BY doc_id
           )
         """
 
@@ -5109,6 +5133,31 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge', 'vector', 'window')", 20)}
+        """,
+        "es_rescore": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector')")},
+          pranked AS (
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored
+          ),
+          win AS (SELECT doc_id, score AS primary_score FROM pranked WHERE rank <= 30),
+          {bm25_scored_sql("term IN ('hash', 'join')", prefix="r_")},
+          comb AS (
+            SELECT w.doc_id,
+                   CAST(CAST(w.primary_score AS DECIMAL(38,6))
+                        + 2 * coalesce(CAST(s.score AS DECIMAL(38,6)),
+                                       CAST(0 AS DECIMAL(38,6)))
+                        AS DOUBLE) AS score
+            FROM win w LEFT JOIN r_scored s ON s.doc_id = w.doc_id
+          ),
+          final AS (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM comb
+          )
+          SELECT doc_id, score, rank FROM final WHERE rank <= 10
         """,
         "es_histogram_filled": """
           WITH s AS (SELECT value FROM events WHERE event_type = 'purchase'),

@@ -1220,6 +1220,80 @@ def significant_terms(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def rescore_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    rescore_terms: list[str],
+    window_size: int = 50,
+    k: int = 10,
+    query_weight=1,
+    rescore_query_weight=1,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer=None,
+) -> DataFrame:
+    """ES ``rescore``: re-rank the top ``window_size`` hits of the
+    primary query with a secondary query, combining
+    ``total = query_weight·primary + rescore_query_weight·secondary``
+    (ES ``score_mode: total``, the default).  Window docs that don't
+    match the rescore query keep ``query_weight·primary`` — they are
+    NOT dropped (the ES contract; rescoring reorders, never filters).
+    Docs outside the window are never rescored; the returned top-``k``
+    comes from the window, so ``k ≤ window_size`` is required (as in
+    practice on ES, where ``window_size ≥ from + size`` is the
+    documented expectation).
+
+    Exactness: both scores are the engine's 6-dp-rounded BM25 sums;
+    the combination runs in DECIMAL(38,6) with the weights applied as
+    exact decimal literals (pass ``0.7`` as the string ``"0.7"`` or a
+    round float — it is stringified through ``Decimal`` semantics), so
+    the combined score is identical on any engine with no float-
+    rounding contract.
+
+    Plan shape: one TakeOrderedAndProject window for the primary; the
+    secondary scoring frame semi-joins down to the window ids
+    (broadcast — ``window_size`` rows) before the outer join, so
+    beyond the two corpus scoring passes every join is broadcast at
+    window cardinality.
+    """
+    if k > window_size:
+        raise ValueError("k must be <= window_size (ES window contract)")
+    primary = bm25_topk(
+        docs, query_terms, k=window_size, k1=k1, b=b,
+        text_col=text_col, id_col=id_col, analyzer=analyzer,
+    ).select(id_col, F.col("score").alias("primary_score"))
+    sec = _bm25_scored(
+        docs, rescore_terms, k1, b, text_col, id_col, analyzer
+    ).select(id_col, F.col("score").alias("rescore_score"))
+    sec_w = sec.join(F.broadcast(primary.select(id_col)), id_col, "left_semi")
+    qw = F.expr(f"CAST('{query_weight}' AS DECIMAL(38,6))")
+    rqw = F.expr(f"CAST('{rescore_query_weight}' AS DECIMAL(38,6))")
+    combined = (
+        primary.join(F.broadcast(sec_w), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(
+                qw * F.col("primary_score").cast("decimal(38,6)")
+                + rqw
+                * F.coalesce(
+                    F.col("rescore_score").cast("decimal(38,6)"),
+                    F.lit(0).cast("decimal(38,6)"),
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    ranked = combined.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def collapse_topk(
     docs: DataFrame,
     query_terms: list[str],

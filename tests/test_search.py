@@ -1297,3 +1297,35 @@ def test_match_phrase_slop_repeated_pair(spark):
     assert ids(0) == []
     assert ids(1) == [1, 3]
     assert 2 not in set(ids(5))
+
+
+def test_rescore_topk_combines_and_keeps_nonmatching(spark):
+    import pytest
+
+    from monstache_spark.operators.search import bm25_topk, rescore_topk
+
+    df = spark.createDataFrame(
+        [(0, "spark streams data fast"), (1, "slow batch job"),
+         (2, "spark spark spark tuning"), (3, "data lake table scan"),
+         (4, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    prim = {r["doc_id"]: r["score"]
+            for r in bm25_topk(df, ["spark", "data"], k=4).collect()}
+    sec_full = {r["doc_id"]: r["score"]
+                for r in bm25_topk(df, ["tuning"], k=5).collect()}
+    out = {r["doc_id"]: r["score"] for r in rescore_topk(
+        df, ["spark", "data"], ["tuning"], window_size=4, k=4,
+        rescore_query_weight=2,
+    ).collect()}
+    # every primary-window doc survives; rescore adds 2x secondary
+    assert set(out) == set(prim)
+    for i, s in out.items():
+        expect = round(prim[i] + 2 * sec_full.get(i, 0.0), 6)
+        assert abs(s - expect) < 1e-9, (i, s, expect)
+    # doc 2 (the only 'tuning' doc) must be promoted to rank 1
+    top = rescore_topk(df, ["spark", "data"], ["tuning"],
+                       window_size=4, k=1).collect()[0]
+    assert top["doc_id"] == 2 and top["rank"] == 1
+    with pytest.raises(ValueError):
+        rescore_topk(df, ["spark"], ["x"], window_size=3, k=5)
