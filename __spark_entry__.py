@@ -2965,6 +2965,51 @@ def _q_match_phrase_slop_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_es_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_near (search._compile_span): ordered spans with the sum
+    of inter-span gaps <= slop (Lucene's 'intervening unmatched
+    positions' contract) — 'hash' then 'join' within 2 intervening
+    tokens.  The span tree compiles to one per-row HOF expression (no
+    explode, no shuffle) and drops into the bool compiler as a leaf."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}},
+        {"span_term": {"text": "join"}},
+    ], "slop": 2, "in_order": True}})
+    return out.select("doc_id")
+
+
+def _q_es_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_first: the match span must END at position <= end —
+    'hash' within the first 3 token positions, the field-prefix
+    constraint span_first exists for."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"span_first": {
+        "match": {"span_term": {"text": "hash"}}, "end": 3}})
+    return out.select("doc_id")
+
+
+def _q_es_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_not: include spans ('hash'..'join' within slop 3) that
+    overlap NO exclude span ('merge' must not fall inside the matched
+    window) — the negative-context span query."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": {"text": "hash"}},
+            {"span_term": {"text": "join"}},
+        ], "slop": 3, "in_order": True}},
+        "exclude": {"span_term": {"text": "merge"}},
+    }})
+    return out.select("doc_id")
+
+
 def _q_match_phrase_slop_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase with a REPEATED query term ('hash join hash'~4):
     the unordered min-movement branch enforces pairwise-distinct
@@ -3997,6 +4042,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_log1p": _q_function_score_log1p,
         "match_phrase_slop_swap": _q_match_phrase_slop_swap,
         "match_phrase_slop_repeat": _q_match_phrase_slop_repeat,
+        "es_span_near": _q_es_span_near,
+        "es_span_first": _q_es_span_first,
+        "es_span_not": _q_es_span_not,
         "es_regexp_query": _q_es_regexp_query,
         "es_date_histogram_bounds": _q_es_date_histogram_bounds,
         "match_phrase_slop": _q_match_phrase_slop,
@@ -5322,6 +5370,45 @@ def oracle_sql() -> dict[str, str]:
                     len(list_filter(p2, c ->
                       greatest(a, b - 1, c - 2) - least(a, b - 1, c - 2) <= 3
                     )) > 0)) > 0)) > 0
+        """,
+        "es_span_near": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(ph, a ->
+                  len(list_filter(pj, b -> b >= a + 1 AND b - a - 1 <= 2)) > 0)) > 0
+        """,
+        "es_span_first": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          )
+          SELECT doc_id FROM t
+          WHERE len(list_filter(range(1, len(toks) + 1),
+                  i -> toks[i] = 'hash' AND i <= 3)) > 0
+        """,
+        "es_span_not": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pm
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(ph, a ->
+                  len(list_filter(pj, b -> b >= a + 1 AND b - a - 1 <= 3
+                    AND NOT len(list_filter(pm, m -> m >= a AND m <= b)) > 0)) > 0)) > 0
         """,
         "match_phrase_slop_repeat": f"""
           WITH t AS (

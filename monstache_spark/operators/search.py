@@ -216,6 +216,14 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         }.items()
         loc = _field(field, resolver)
         return distance_predicate(loc["lat"], loc["lon"], origin, distance)
+    if kind in _SPAN_KINDS:
+        # ES span family: the span tree compiles to a per-row span
+        # ARRAY (_compile_span); as a bool leaf, membership is "at
+        # least one span survives" — usable in any must/should/
+        # must_not context like every other leaf
+        field = _span_field({kind: body})
+        pos_fn = _span_positions_fn(field, resolver, analyzer)
+        return F.size(_compile_span({kind: body}, pos_fn)) > 0
     if kind == "__terms_overlap__":
         # INTERNAL leaf, emitted by bool_query_filter's mappings
         # routing: the term-expansion rewrite of a fuzzy leaf over an
@@ -441,6 +449,190 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         )
         return F.contains(hay, F.lit(f" {phrase} "))
     raise ValueError(f"unsupported query clause: {kind}")
+
+
+_SPAN_KINDS = ("span_term", "span_near", "span_first", "span_or", "span_not")
+
+
+def _span_field(body: dict) -> str:
+    """The (single) field a span tree runs over — ES requires every
+    clause of a span query to target one field; the first span_term
+    reached names it."""
+    ((kind, b),) = body.items()
+    if kind == "span_term":
+        ((field, _),) = b.items()
+        return field
+    if kind == "span_near":
+        return _span_field(b["clauses"][0])
+    if kind == "span_or":
+        return _span_field(b["clauses"][0])
+    if kind == "span_first":
+        return _span_field(b["match"])
+    if kind == "span_not":
+        return _span_field(b["include"])
+    raise ValueError(f"not a span query: {kind}")
+
+
+def _compile_span(body: dict, positions_of) -> Column:
+    """Compile a span-query tree to a per-row ARRAY of spans
+    ``struct<s:int, e:int>`` (start inclusive, end exclusive — Lucene's
+    Spans contract), built entirely from higher-order functions over
+    the document's token-position lists.  Combinators:
+
+    * ``span_term`` — ``[(p, p+1)]`` per occurrence;
+    * ``span_or`` — clause-span union (concat);
+    * ``span_near`` — joint composite spans over ≤ 3 clauses:
+      ``in_order: true`` requires non-overlapping clause spans in
+      clause order with the SUM OF INTER-SPAN GAPS ≤ slop (Lucene's
+      "maximum number of intervening unmatched positions");
+      ``in_order: false`` admits any clause permutation under the same
+      rule.  Composite span = (min start, max end), so nears nest.
+      Clause counts > 3 raise (the joint product is enumerated in the
+      expression, the same bound as the sloppy-phrase machinery);
+    * ``span_first`` — match spans ending at position ≤ ``end``;
+    * ``span_not`` — include spans that OVERLAP no exclude span,
+      with the exclude window optionally widened by ``pre``/``post``
+      positions (the ES dis-allowance window).
+
+    Everything is one codegen'd Column per document — no explode, no
+    shuffle; span predicates drop into any bool context via the
+    ``size(spans) > 0`` wrapper in :func:`_compile_leaf`.
+    """
+    ((kind, b),) = body.items()
+    if kind == "span_term":
+        ((_field, value),) = b.items()
+        term = str(value["value"] if isinstance(value, dict) else value).lower()
+        return F.transform(
+            positions_of(term),
+            lambda p: F.struct(p.alias("s"), (p + F.lit(1)).alias("e")),
+        )
+    if kind == "span_or":
+        arrs = [_compile_span(c, positions_of) for c in b["clauses"]]
+        out = arrs[0]
+        for a in arrs[1:]:
+            out = F.concat(out, a)
+        return out
+    if kind == "span_first":
+        end = int(b["end"])
+        match = _compile_span(b["match"], positions_of)
+        return F.filter(match, lambda sp: sp["e"] <= F.lit(end))
+    if kind == "span_not":
+        inc = _compile_span(b["include"], positions_of)
+        exc = _compile_span(b["exclude"], positions_of)
+        pre = int(b.get("pre", b.get("dist", 0)))
+        post = int(b.get("post", b.get("dist", 0)))
+        return F.filter(
+            inc,
+            lambda si: ~F.exists(
+                exc,
+                lambda se: (se["s"] < si["e"] + F.lit(post))
+                & (si["s"] - F.lit(pre) < se["e"]),
+            ),
+        )
+    if kind == "span_near":
+        clauses = [_compile_span(c, positions_of) for c in b["clauses"]]
+        slop = int(b.get("slop", 0))
+        in_order = bool(b.get("in_order", True))
+        if len(clauses) == 1:
+            return clauses[0]
+        if len(clauses) > 3:
+            raise ValueError(
+                "span_near supports at most 3 clauses (joint gap "
+                "enumeration; nest span_near clauses for longer chains)"
+            )
+
+        def ordered2(sa, sb):
+            # non-overlapping, in order, gap = sb.s - sa.e
+            return (sb["s"] >= sa["e"]) & (sb["s"] - sa["e"] <= F.lit(slop))
+
+        def comp(*sp):
+            s = sp[0]["s"]
+            e = sp[0]["e"]
+            for x in sp[1:]:
+                s, e = F.least(s, x["s"]), F.greatest(e, x["e"])
+            return F.struct(s.alias("s"), e.alias("e"))
+
+        import itertools
+
+        if len(clauses) == 2:
+            a, c = clauses
+            orders = [(0, 1)] if in_order else [(0, 1), (1, 0)]
+
+            def pairs(sa):
+                def from_b(sb):
+                    sp = [sa, sb]
+                    cond = F.lit(False)
+                    for o in orders:
+                        cond = cond | ordered2(sp[o[0]], sp[o[1]])
+                    return cond
+
+                return F.transform(
+                    F.filter(c, from_b), lambda sb: comp(sa, sb)
+                )
+
+            return F.flatten(F.transform(a, pairs))
+
+        a, c, d = clauses
+        orders = (
+            [(0, 1, 2)] if in_order else list(itertools.permutations((0, 1, 2)))
+        )
+
+        def triples(sa):
+            def with_b(sb):
+                def ok(sd):
+                    sp = [sa, sb, sd]
+                    cond = F.lit(False)
+                    for o in orders:
+                        x, y, z = sp[o[0]], sp[o[1]], sp[o[2]]
+                        cond = cond | (
+                            (y["s"] >= x["e"])
+                            & (z["s"] >= y["e"])
+                            & (
+                                (y["s"] - x["e"]) + (z["s"] - y["e"])
+                                <= F.lit(slop)
+                            )
+                        )
+                    return cond
+
+                return F.transform(
+                    F.filter(d, ok), lambda sd: comp(sa, sb, sd)
+                )
+
+            return F.flatten(F.transform(c, with_b))
+
+        return F.flatten(F.transform(a, triples))
+    raise ValueError(f"unsupported span clause: {kind}")
+
+
+def _span_positions_fn(field: str, resolver=None, analyzer=None):
+    """positions_of(term) factory for span compilation — 0-based token
+    indices for the simple analyzer, Lucene position increments (gaps
+    at removed stop words) when an analyzer is configured, exactly as
+    the sloppy-phrase machinery assigns them."""
+    if analyzer is not None:
+        arr_pos = analyzer.tokens_pos(_field(field, resolver))
+
+        def positions_of(term: str) -> Column:
+            return F.transform(
+                F.filter(arr_pos, lambda e: e["t"] == F.lit(term)),
+                lambda e: e["p"],
+            )
+
+    else:
+        arr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+
+        def positions_of(term: str) -> Column:
+            return F.filter(
+                F.transform(
+                    arr,
+                    lambda x, i: F.when(x == F.lit(term), i).otherwise(
+                        F.lit(-1)
+                    ),
+                ),
+                lambda p: p >= 0,
+            )
+
+    return positions_of
 
 
 def _match_phrase_analyzed(

@@ -1329,3 +1329,112 @@ def test_rescore_topk_combines_and_keeps_nonmatching(spark):
     assert top["doc_id"] == 2 and top["rank"] == 1
     with pytest.raises(ValueError):
         rescore_topk(df, ["spark"], ["x"], window_size=3, k=5)
+
+
+def test_span_term_first_and_or(spark):
+    df = spark.createDataFrame(
+        [(1, "spark makes data fast"), (2, "the spark engine"),
+         (3, "data then spark late here"), (4, "nothing")],
+        "id long, text string",
+    )
+
+    def ids(q):
+        return sorted(r["id"] for r in bool_query_filter(df, q).collect())
+
+    assert ids({"span_term": {"text": "spark"}}) == [1, 2, 3]
+    # span_first end=2: span must END at position <= 2 (0-based
+    # starts) -> spark@0 (doc1, e=1), spark@1 (doc2, e=2); doc3's
+    # spark@2 has e=3, out
+    assert ids({"span_first": {"match": {"span_term": {"text": "spark"}},
+                               "end": 2}}) == [1, 2]
+    assert ids({"span_or": {"clauses": [
+        {"span_term": {"text": "engine"}},
+        {"span_term": {"text": "nothing"}}]}}) == [2, 4]
+
+
+def test_span_near_ordered_gaps_and_unordered(spark):
+    df = spark.createDataFrame(
+        [(1, "hash join now"),          # gap 0
+         (2, "hash x join"),            # gap 1
+         (3, "hash x y z join"),        # gap 3
+         (4, "join hash"),              # reversed
+         (5, "hash only")],
+        "id long, text string",
+    )
+
+    def near(slop, in_order):
+        return sorted(r["id"] for r in bool_query_filter(df, {
+            "span_near": {"clauses": [
+                {"span_term": {"text": "hash"}},
+                {"span_term": {"text": "join"}},
+            ], "slop": slop, "in_order": in_order}
+        }).collect())
+
+    assert near(0, True) == [1]
+    assert near(1, True) == [1, 2]
+    assert near(3, True) == [1, 2, 3]
+    # unordered admits the reversal at its own gap (0 here)
+    assert near(0, False) == [1, 4]
+
+
+def test_span_near_three_clauses_joint_gap(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"),        # gaps 0+0
+         (2, "a x b c"),      # gaps 1+0
+         (3, "a x b y c"),    # gaps 1+1
+         (4, "c b a")],       # reversed
+        "id long, text string",
+    )
+    q = lambda slop, o: {"span_near": {"clauses": [  # noqa: E731
+        {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}},
+        {"span_term": {"text": "c"}}], "slop": slop, "in_order": o}}
+
+    def ids(slop, o):
+        return sorted(r["id"] for r in bool_query_filter(df, q(slop, o)).collect())
+
+    assert ids(0, True) == [1]
+    assert ids(1, True) == [1, 2]
+    assert ids(2, True) == [1, 2, 3]
+    assert ids(0, False) == [1, 4]
+
+
+def test_span_not_excludes_overlaps_and_composes(spark):
+    df = spark.createDataFrame(
+        [(1, "hash a join"),        # near-span [0,3) contains no merge
+         (2, "hash merge join"),    # merge INSIDE the span -> excluded
+         (3, "merge hash a join")], # merge outside the span -> kept
+        "id long, text string",
+    )
+    q = {"span_not": {
+        "include": {"span_near": {"clauses": [
+            {"span_term": {"text": "hash"}},
+            {"span_term": {"text": "join"}}], "slop": 1, "in_order": True}},
+        "exclude": {"span_term": {"text": "merge"}},
+    }}
+    got = sorted(r["id"] for r in bool_query_filter(df, q).collect())
+    assert got == [1, 3]
+    # pre widening: doc3's merge sits 1 position before the span
+    q2 = {**q}
+    q2["span_not"] = {**q["span_not"], "pre": 1}
+    got2 = sorted(r["id"] for r in bool_query_filter(df, q2).collect())
+    assert got2 == [1]
+
+
+def test_span_in_bool_context_and_analyzer(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+
+    df = spark.createDataFrame(
+        [(1, "joining the tables"), (2, "tables everywhere"), (3, "joining x")],
+        "id long, text string",
+    )
+    # analyzed span_term: 'joining'->'join' with positions BEFORE stop
+    # removal; span_near join(0)..tabl(2) has gap 1 (the stop word)
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "join"}},
+        {"span_term": {"text": "tabl"}}], "slop": 1, "in_order": True}}
+    got = sorted(r["id"] for r in bool_query_filter(df, q, analyzer=ENGLISH).collect())
+    assert got == [1]
+    # must_not composition
+    q2 = {"bool": {"must": [{"span_term": {"text": "tables"}}],
+                   "must_not": [{"span_term": {"text": "joining"}}]}}
+    assert sorted(r["id"] for r in bool_query_filter(df, q2).collect()) == [2]
