@@ -2965,6 +2965,31 @@ def _q_match_phrase_slop_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search templates (operators/templates.py): a STORED mustache
+    template renders with params at query time — {{#toJson}} array
+    injection, scalar {{var}} slots, and an {{^var}} default — then
+    compiles through the ordinary bool path.  The oracle is the
+    statically-rendered query, so the hash checks the rendering."""
+    from monstache_spark.operators.templates import TemplateRegistry
+
+    reg = TemplateRegistry()
+    reg.put(
+        "docs_by_source",
+        '{"bool": {"must": ['
+        '{"terms": {"source": {{#toJson}}sources{{/toJson}}}},'
+        '{"match": {"text": "{{term}}"}},'
+        '{"range": {"doc_id": {"lt": {{cutoff}}{{^cutoff}}1000000{{/cutoff}}}}}'
+        ']}}',
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    out = reg.search(
+        docs, "docs_by_source",
+        {"sources": ["src0", "src1", "src2"], "term": "join", "cutoff": 400},
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_es_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES span_near (search._compile_span): ordered spans with the sum
     of inter-span gaps <= slop (Lucene's 'intervening unmatched
@@ -4042,6 +4067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_log1p": _q_function_score_log1p,
         "match_phrase_slop_swap": _q_match_phrase_slop_swap,
         "match_phrase_slop_repeat": _q_match_phrase_slop_repeat,
+        "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
         "es_span_not": _q_es_span_not,
@@ -5370,6 +5396,12 @@ def oracle_sql() -> dict[str, str]:
                     len(list_filter(p2, c ->
                       greatest(a, b - 1, c - 2) - least(a, b - 1, c - 2) <= 3
                     )) > 0)) > 0)) > 0
+        """,
+        "es_search_template": f"""
+          SELECT doc_id, source FROM documents
+          WHERE source IN ('src0', 'src1', 'src2')
+            AND list_contains(list_filter({_TOKS_LOWER}, w -> w <> ''), 'join')
+            AND doc_id < 400
         """,
         "es_span_near": f"""
           WITH t AS (
