@@ -2965,6 +2965,26 @@ def _q_match_phrase_slop_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_es_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match with `fuzziness` (bool_query_filter mappings routing):
+    'tabel scann' analyzes to two tokens, EACH expands against the
+    term dictionary in ONE vocabulary job
+    (search.fuzzy_term_expansions_multi), and the per-token overlap
+    leaves compose under operator=and — how ES builds the fuzzy
+    BooleanQuery per analyzed term.  Without the mappings registry the
+    leaf refuses rather than silently under-matching."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"match": {"text": {"query": "tabel scann", "fuzziness": 1,
+                            "operator": "and"}}},
+        mappings={"text": {"type": "text"}},
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4067,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_log1p": _q_function_score_log1p,
         "match_phrase_slop_swap": _q_match_phrase_slop_swap,
         "match_phrase_slop_repeat": _q_match_phrase_slop_repeat,
+        "es_match_fuzzy": _q_es_match_fuzzy,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5396,6 +5417,16 @@ def oracle_sql() -> dict[str, str]:
                     len(list_filter(p2, c ->
                       greatest(a, b - 1, c - 2) - least(a, b - 1, c - 2) <= 3
                     )) > 0)) > 0)) > 0
+        """,
+        "es_match_fuzzy": f"""
+          WITH t AS (
+            SELECT doc_id, source,
+                   list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          )
+          SELECT doc_id, source FROM t
+          WHERE len(list_filter(toks, w -> damerau_levenshtein(w, 'tabel') <= 1)) > 0
+            AND len(list_filter(toks, w -> damerau_levenshtein(w, 'scann') <= 1)) > 0
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

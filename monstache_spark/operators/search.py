@@ -416,6 +416,16 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         # {"match": {f: "text"}} or {"match": {f: {"query": "text",
         #  "operator": "and"}}}
         if isinstance(value, dict):
+            if "fuzziness" in value:
+                # silently ignoring fuzziness would under-match; the
+                # scale path needs the DataFrame (term-dictionary
+                # expansion), which only bool_query_filter's mappings
+                # routing has
+                raise ValueError(
+                    "match with fuzziness requires bool_query_filter's "
+                    "`mappings` registry (text-mapped field) so the "
+                    "tokens expand against the term dictionary"
+                )
             return _match_any_token(
                 field,
                 str(value["query"]),
@@ -898,6 +908,48 @@ def _route_text_fuzzy(df: DataFrame, query: dict, mappings: dict, analyzer):
         return {"constant_score": {**body, "filter": route(body["filter"])}}
     if kind == "boosting":
         return {"boosting": {**body, "positive": route(body["positive"])}}
+    if kind == "match":
+        # ES match with `fuzziness`: analyze the text, expand EACH
+        # token against the term dictionary (one vocabulary job for
+        # the whole token set), then compose the per-token overlap
+        # leaves under the match operator (or = should/msm 1,
+        # and = must) — exactly how ES builds the fuzzy BooleanQuery
+        # per analyzed term
+        ((field, spec),) = body.items()
+        if not (isinstance(spec, dict) and "fuzziness" in spec):
+            return query
+        m = mappings.get(field)
+        if not m or m.get("type") != "text":
+            return query
+        field_an = m.get("analyzer", analyzer)
+        text = str(spec["query"])
+        if field_an is not None:
+            toks = field_an.analyze(text)
+        else:
+            toks = [t for t in text.lower().split() if t]
+        expansions = fuzzy_term_expansions_multi(
+            df,
+            toks,
+            fuzziness=int(spec["fuzziness"]),
+            transpositions=bool(spec.get("transpositions", True)),
+            text_col=field,
+            id_col="doc_id" if "doc_id" in df.columns else None,
+            analyzer=field_an,
+            max_expansions=int(spec.get("max_expansions", 50)),
+        )
+        clauses = [
+            {"__terms_overlap__": {field: {"terms": expansions.get(t, []),
+                                           "analyzer": field_an}}}
+            for t in sorted(set(toks))
+        ]
+        if spec.get("operator", "or").lower() == "and":
+            # vacuous conjunction when analysis removes every token —
+            # ES's behavior for AND-match with no tokens
+            return {"bool": {"must": clauses}}
+        if not clauses:
+            return {"__terms_overlap__": {field: {"terms": [],
+                                                  "analyzer": field_an}}}
+        return {"bool": {"should": clauses, "minimum_should_match": 1}}
     if kind != "fuzzy":
         return query
     ((field, spec),) = body.items()
@@ -1984,20 +2036,7 @@ def fuzzy_term_expansions(
         queries = [value.lower()] if value.lower() else []
     if not queries:
         return []
-    # doc frequency (Lucene's blended-freqs rank key) when the frame
-    # has a row identity; total term frequency otherwise — either way
-    # one hash agg over the exploded tokens
-    if id_col is not None and id_col in docs.columns:
-        term_rows = docs.select(
-            F.col(id_col), F.explode(tok_arr).alias("term")
-        ).filter(F.col("term") != "").distinct()
-    else:
-        term_rows = docs.select(F.explode(tok_arr).alias("term")).filter(
-            F.col("term") != ""
-        )
-    vocab = term_rows.groupBy("term").agg(
-        F.count("*").cast("long").alias("df")
-    )
+    vocab = _df_vocab(docs, tok_arr, id_col)
     matched = (
         _fuzzy_matched_vocab(vocab, queries, fuzziness, transpositions)
         .groupBy("term", "df")
@@ -2006,6 +2045,71 @@ def fuzzy_term_expansions(
         .limit(max_expansions)
     )
     return [r["term"] for r in matched.collect()]
+
+
+def _df_vocab(docs: DataFrame, tok_arr: Column, id_col: str | None) -> DataFrame:
+    """(term, df) vocabulary — doc frequency (Lucene's blended-freqs
+    rank key) when the frame has a row identity, total term frequency
+    otherwise; either way one hash agg over the exploded tokens."""
+    if id_col is not None and id_col in docs.columns:
+        term_rows = docs.select(
+            F.col(id_col), F.explode(tok_arr).alias("term")
+        ).filter(F.col("term") != "").distinct()
+    else:
+        term_rows = docs.select(F.explode(tok_arr).alias("term")).filter(
+            F.col("term") != ""
+        )
+    return term_rows.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+
+
+def fuzzy_term_expansions_multi(
+    docs: DataFrame,
+    queries: list[str],
+    fuzziness: int = 2,
+    transpositions: bool = True,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+    analyzer=None,
+    max_expansions: int = 50,
+) -> dict[str, list[str]]:
+    """PER-QUERY term-dictionary expansions for many already-analyzed
+    query tokens in ONE vocabulary job — the rewrite a multi-token
+    ``match`` with ``fuzziness`` needs (each token expands
+    independently; tokens then compose under the match operator).
+    Rank per query is (distance asc, doc freq desc, term asc) capped
+    at ``max_expansions`` — identical to :func:`fuzzy_term_expansions`
+    per token, but the vocabulary aggregation and the deletion-key
+    join run once for the whole token set.  Driver data is
+    O(#queries × max_expansions)."""
+    if fuzziness > 2:
+        raise ValueError(
+            "fuzzy expansions support fuzziness <= 2 (the ES/Lucene cap); "
+            f"got {fuzziness}"
+        )
+    qs = sorted({q for q in queries if q})
+    if not qs:
+        return {}
+    if analyzer is not None:
+        tok_arr = analyzer.tokens(F.col(text_col))
+    else:
+        tok_arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    vocab = _df_vocab(docs, tok_arr, id_col)
+    w = Window.partitionBy("query").orderBy(
+        F.col("distance").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    rows = (
+        _fuzzy_matched_vocab(vocab, qs, fuzziness, transpositions)
+        .groupBy("query", "term", "df")
+        .agg(F.min("distance").alias("distance"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_expansions)
+        .orderBy("query", "_rn")
+        .collect()
+    )
+    out: dict[str, list[str]] = {q: [] for q in qs}
+    for r in rows:
+        out[r["query"]].append(r["term"])
+    return out
 
 
 def phrase_suggest(

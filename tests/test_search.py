@@ -1438,3 +1438,43 @@ def test_span_in_bool_context_and_analyzer(spark):
     q2 = {"bool": {"must": [{"span_term": {"text": "tables"}}],
                    "must_not": [{"span_term": {"text": "joining"}}]}}
     assert sorted(r["id"] for r in bool_query_filter(df, q2).collect()) == [2]
+
+
+def test_match_fuzziness_routes_per_token_expansion(spark):
+    import pytest
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "tabel scan fast"), (2, "table join"), (3, "scanning here"),
+         (4, "nothing"), (5, "scan table")],
+        "doc_id long, text string",
+    )
+    mp = {"text": {"type": "text"}}
+    q_or = {"match": {"text": {"query": "table scan", "fuzziness": 1}}}
+    got = {r["doc_id"] for r in bool_query_filter(df, q_or, mappings=mp).collect()}
+    # 'table'~1 -> {tabel, table}; 'scan'~1 -> {scan}; OR
+    assert got == {1, 2, 5}
+    q_and = {"match": {"text": {"query": "table scan", "fuzziness": 1,
+                                "operator": "and"}}}
+    got2 = {r["doc_id"] for r in bool_query_filter(df, q_and, mappings=mp).collect()}
+    assert got2 == {1, 5}
+    # unrouted match+fuzziness must refuse, not silently under-match
+    with pytest.raises(ValueError, match="mappings"):
+        bool_query_filter(df, q_or)
+
+
+def test_fuzzy_term_expansions_multi_one_job_per_token_ranks(spark):
+    from monstache_spark.operators.search import (
+        fuzzy_term_expansions,
+        fuzzy_term_expansions_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "table cable table"), (2, "scan span table")],
+        "doc_id long, text string",
+    )
+    multi = fuzzy_term_expansions_multi(df, ["table", "scan"], fuzziness=1)
+    assert multi["table"] == fuzzy_term_expansions(df, "table", fuzziness=1)
+    assert multi["scan"] == fuzzy_term_expansions(df, "scan", fuzziness=1)
+    assert multi["table"][0] == "table" and multi["scan"][0] == "scan"
