@@ -2985,6 +2985,44 @@ def _q_es_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_es_range_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date math in range bounds (search.resolve_date_math):
+    'now-7d/d'..'now/d' against an EXPLICIT now anchor — round/offset
+    applied left-to-right, no hidden wall-clock read, so the resolved
+    literals (and this oracle hash) are deterministic."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    ev = load_table(spark, "events", sf_dir)
+    out = bool_query_filter(
+        ev,
+        {"range": {"ts": {"gte": "now-7d/d", "lt": "now/d"}}},
+        now="2024-01-20 13:30:00",
+    )
+    return out.select("event_id", "event_type")
+
+
+def _q_es_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms lookup (bool_query_filter `lookups`): the terms list
+    comes from ONE stored document's array field — customers whose
+    nation appears in region 1's stored nation-key list.  The fetch is
+    an O(1) driver collect (the GET ES issues), and the leaf compiles
+    to a plain IN list."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    nation = load_table(spark, "nation", sf_dir)
+    lkp = nation.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_nationkey")).alias("nations")
+    )
+    cust = load_table(spark, "customer", sf_dir)
+    out = bool_query_filter(
+        cust,
+        {"terms": {"c_nationkey": {"index": "nations_by_region", "id": 1,
+                                   "path": "nations"}}},
+        lookups={"nations_by_region": (lkp, "n_regionkey")},
+    )
+    return out.select("c_custkey", "c_nationkey")
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4088,6 +4126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_phrase_slop_swap": _q_match_phrase_slop_swap,
         "match_phrase_slop_repeat": _q_match_phrase_slop_repeat,
         "es_match_fuzzy": _q_es_match_fuzzy,
+        "es_range_date_math": _q_es_range_date_math,
+        "es_terms_lookup": _q_es_terms_lookup,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5427,6 +5467,16 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, source FROM t
           WHERE len(list_filter(toks, w -> damerau_levenshtein(w, 'tabel') <= 1)) > 0
             AND len(list_filter(toks, w -> damerau_levenshtein(w, 'scann') <= 1)) > 0
+        """,
+        "es_range_date_math": """
+          SELECT event_id, event_type FROM events
+          WHERE ts >= TIMESTAMP '2024-01-13 00:00:00'
+            AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        """,
+        "es_terms_lookup": """
+          SELECT c_custkey, c_nationkey FROM customer
+          WHERE c_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

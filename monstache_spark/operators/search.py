@@ -36,6 +36,8 @@ formula (the DuckDB oracles do).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -407,7 +409,15 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
     if kind == "term":
         return _field(field, resolver) == F.lit(value)
     if kind == "terms":
-        return _field(field, resolver).isin(list(value))
+        if isinstance(value, dict):
+            # a lookup spec reaching compilation means the rewrite
+            # never ran — refuse rather than silently matching nothing
+            raise ValueError(
+                "terms lookup requires bool_query_filter's `lookups` registry"
+            )
+        # an empty list (e.g. a terms lookup whose stored document is
+        # missing) matches nothing, as in ES
+        return _field(field, resolver).isin(list(value)) if value else F.lit(False)
     if kind == "prefix":
         return _field(field, resolver).startswith(str(value))
     if kind == "wildcard":
@@ -459,6 +469,89 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         )
         return F.contains(hay, F.lit(f" {phrase} "))
     raise ValueError(f"unsupported query clause: {kind}")
+
+
+_DATE_MATH_OP_RE = re.compile(r"([+-]\d+)([yMwdhHms])|/([yMwdhHms])")
+
+
+def resolve_date_math(expr: str, now) -> str:
+    """ES date-math string → literal timestamp string.
+
+    Grammar (the documented ES form): anchor ``now`` or
+    ``<date>||``, then any run of ``+N<unit>`` / ``-N<unit>``
+    arithmetic and ``/<unit>`` floor-rounding, applied LEFT TO RIGHT
+    (``now-7d/d`` ≠ ``now/d-7d`` when now has a time-of-day).  Units:
+    ``y M w d h H m s`` (``M`` months, ``m`` minutes — the case
+    matters, as in ES); ``/w`` floors to Monday (ISO week start, the
+    ES rounding).  Month arithmetic clamps the day to the target
+    month's length (Jan 31 + 1M = Feb 28/29), matching ES.
+
+    ``now`` is an EXPLICIT anchor (datetime or ISO string) — no
+    wall-clock read, so the resolved literal (and any oracle hash
+    built on it) is deterministic.  Returns
+    ``YYYY-MM-DD HH:MM:SS[.ffffff]``, castable by both engines.
+    """
+    import calendar
+    import datetime as _dt
+
+    if expr.startswith("now"):
+        base = (
+            _dt.datetime.fromisoformat(now) if isinstance(now, str) else now
+        )
+        rest = expr[3:]
+    elif "||" in expr:
+        anchor, rest = expr.split("||", 1)
+        base = _dt.datetime.fromisoformat(anchor)
+    else:
+        return expr
+    pos = 0
+    for m in _DATE_MATH_OP_RE.finditer(rest):
+        if m.start() != pos:
+            raise ValueError(f"bad date math expression: {expr!r}")
+        pos = m.end()
+        if m.group(3):  # /unit rounding — floor
+            u = m.group(3)
+            if u == "y":
+                base = base.replace(month=1, day=1, hour=0, minute=0,
+                                    second=0, microsecond=0)
+            elif u == "M":
+                base = base.replace(day=1, hour=0, minute=0, second=0,
+                                    microsecond=0)
+            elif u == "w":
+                base = base.replace(hour=0, minute=0, second=0, microsecond=0)
+                base -= _dt.timedelta(days=base.weekday())
+            elif u == "d":
+                base = base.replace(hour=0, minute=0, second=0, microsecond=0)
+            elif u in ("h", "H"):
+                base = base.replace(minute=0, second=0, microsecond=0)
+            elif u == "m":
+                base = base.replace(second=0, microsecond=0)
+            else:  # s
+                base = base.replace(microsecond=0)
+            continue
+        n, u = int(m.group(1)), m.group(2)
+        if u == "y":
+            base = base.replace(year=base.year + n)
+        elif u == "M":
+            total = base.year * 12 + (base.month - 1) + n
+            y, mo = divmod(total, 12)
+            day = min(base.day, calendar.monthrange(y, mo + 1)[1])
+            base = base.replace(year=y, month=mo + 1, day=day)
+        elif u == "w":
+            base += _dt.timedelta(weeks=n)
+        elif u == "d":
+            base += _dt.timedelta(days=n)
+        elif u in ("h", "H"):
+            base += _dt.timedelta(hours=n)
+        elif u == "m":
+            base += _dt.timedelta(minutes=n)
+        else:
+            base += _dt.timedelta(seconds=n)
+    if pos != len(rest):
+        raise ValueError(f"bad date math expression: {expr!r}")
+    return base.strftime(
+        "%Y-%m-%d %H:%M:%S.%f" if base.microsecond else "%Y-%m-%d %H:%M:%S"
+    )
 
 
 _SPAN_KINDS = ("span_term", "span_near", "span_first", "span_or", "span_not")
@@ -857,7 +950,12 @@ def compile_bool_query(query: dict, resolver=None, analyzer=None) -> Column:
 
 
 def bool_query_filter(
-    df: DataFrame, query: dict, analyzer=None, mappings=None
+    df: DataFrame,
+    query: dict,
+    analyzer=None,
+    mappings=None,
+    lookups=None,
+    now=None,
 ) -> DataFrame:
     """Rows of ``df`` matching the compiled bool query.  ``analyzer``
     configures the token chain (functions.analyzer.Analyzer) for
@@ -880,22 +978,41 @@ def bool_query_filter(
     there.  A field mapping's ``analyzer`` overrides the global
     ``analyzer`` for that field's expansion and overlap test.
 
+    ``lookups`` maps a lookup index name to ``(DataFrame, id_col)``
+    for ES *terms lookup* — ``{"terms": {f: {"index": ..., "id": ...,
+    "path": ...}}}`` fetches ONE stored document's array field
+    (an O(1) driver collect, exactly the GET ES issues) and the leaf
+    becomes a plain terms list; a missing document matches nothing,
+    the ES contract.
+
+    ``now`` anchors ES *date math* in range leaves (``now-7d/d``,
+    ``"2024-01-05||+1M/w"``): strings resolve to literal timestamps at
+    rewrite time.  ``now`` is an explicit parameter — there is no
+    hidden wall-clock read, so compiled plans (and their oracle
+    hashes) are deterministic.
+
     The rewrite makes this call EAGER for routed fuzzy leaves (one
     vocabulary job collects ≤ max_expansions terms, as Lucene's
-    rewrite walks the FST eagerly); everything else stays lazy.
+    rewrite walks the FST eagerly) and for terms lookups (one stored
+    doc); everything else stays lazy.
     """
-    if mappings:
-        query = _route_text_fuzzy(df, query, mappings, analyzer)
+    if mappings or lookups or now is not None:
+        query = _route_query(df, query, mappings or {}, analyzer, lookups, now)
     return df.filter(compile_bool_query(query, analyzer=analyzer))
 
 
-def _route_text_fuzzy(df: DataFrame, query: dict, mappings: dict, analyzer):
-    """Recursive bool-tree rewrite: every ``fuzzy`` leaf whose field is
-    ``text``-mapped becomes an ``__terms_overlap__`` leaf over its
-    term-dictionary expansion.  ``nested`` subtrees are left untouched
-    (per-element scope keeps the per-row path)."""
+def _route_query(
+    df: DataFrame, query: dict, mappings: dict, analyzer, lookups=None, now=None
+):
+    """Recursive bool-tree rewrite ahead of compilation: ``fuzzy`` and
+    fuzzy ``match`` leaves on ``text``-mapped fields become
+    ``__terms_overlap__`` leaves over their term-dictionary
+    expansions; ``terms`` lookups fetch their stored document;
+    date-math range bounds resolve against ``now``.  ``nested``
+    subtrees are left untouched (per-element scope keeps the per-row
+    path)."""
     ((kind, body),) = query.items()
-    route = lambda q: _route_text_fuzzy(df, q, mappings, analyzer)  # noqa: E731
+    route = lambda q: _route_query(df, q, mappings, analyzer, lookups, now)  # noqa: E731
     if kind == "bool":
         new_body = dict(body)
         for key in ("must", "filter", "should", "must_not"):
@@ -908,6 +1025,44 @@ def _route_text_fuzzy(df: DataFrame, query: dict, mappings: dict, analyzer):
         return {"constant_score": {**body, "filter": route(body["filter"])}}
     if kind == "boosting":
         return {"boosting": {**body, "positive": route(body["positive"])}}
+    if kind == "terms":
+        # ES terms LOOKUP: fetch one stored document's array field and
+        # use it as the terms list — the registry GET, O(1) driver rows
+        ((field, spec),) = body.items()
+        if not (isinstance(spec, dict) and "index" in spec):
+            return query
+        if not lookups or spec["index"] not in lookups:
+            raise ValueError(
+                f"terms lookup needs a frame for index {spec['index']!r} "
+                "in bool_query_filter's `lookups`"
+            )
+        ldf, lid = lookups[spec["index"]]
+        rows = (
+            ldf.filter(F.col(lid) == F.lit(spec["id"]))
+            .select(spec["path"])
+            .limit(1)
+            .collect()
+        )
+        vals: list = []
+        for r in rows:
+            v = r[0]
+            if v is None:
+                continue
+            vals.extend(v if isinstance(v, (list, tuple)) else [v])
+        # missing doc / empty path matches nothing (the ES contract);
+        # the terms compile handles the empty list
+        return {"terms": {field: sorted(set(vals))}}
+    if kind == "range" and now is not None:
+        ((field, spec),) = body.items()
+        resolved = {
+            op: (
+                resolve_date_math(v, now)
+                if isinstance(v, str) and ("now" in v or "||" in v)
+                else v
+            )
+            for op, v in spec.items()
+        }
+        return {"range": {field: resolved}}
     if kind == "match":
         # ES match with `fuzziness`: analyze the text, expand EACH
         # token against the term dictionary (one vocabulary job for

@@ -1478,3 +1478,63 @@ def test_fuzzy_term_expansions_multi_one_job_per_token_ranks(spark):
     assert multi["table"] == fuzzy_term_expansions(df, "table", fuzziness=1)
     assert multi["scan"] == fuzzy_term_expansions(df, "scan", fuzziness=1)
     assert multi["table"][0] == "table" and multi["scan"][0] == "scan"
+
+
+def test_resolve_date_math():
+    from monstache_spark.operators.search import resolve_date_math
+
+    now = "2024-01-15 17:45:30"
+    assert resolve_date_math("now-7d/d", now) == "2024-01-08 00:00:00"
+    assert resolve_date_math("now/d", now) == "2024-01-15 00:00:00"
+    # left-to-right: round first, then subtract
+    assert resolve_date_math("now/d-7d", now) == "2024-01-08 00:00:00"
+    assert resolve_date_math("now-7d", now) == "2024-01-08 17:45:30"
+    # /w floors to Monday (2024-01-15 IS a Monday)
+    assert resolve_date_math("now/w", now) == "2024-01-15 00:00:00"
+    assert resolve_date_math("now-1d/w", now) == "2024-01-08 00:00:00"
+    # anchored date + month clamp (Jan 31 + 1M = Feb 29 in 2024)
+    assert resolve_date_math("2024-01-31||+1M", now) == "2024-02-29 00:00:00"
+    assert resolve_date_math("2024-01-05||+1y/M", now) == "2025-01-01 00:00:00"
+    # minutes vs Months case sensitivity
+    assert resolve_date_math("now+2m", now) == "2024-01-15 17:47:30"
+    assert resolve_date_math("now+2M", now) == "2024-03-15 17:45:30"
+    import pytest
+
+    with pytest.raises(ValueError):
+        resolve_date_math("now-7q", now)
+
+
+def test_range_date_math_and_terms_lookup(spark):
+    import datetime
+
+    import pytest
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i, 12), f"u{i % 3}")
+         for i in range(20)],
+        "id long, ts timestamp, owner string",
+    )
+    q = {"range": {"ts": {"gte": "now-7d/d", "lt": "now/d"}}}
+    got = {r["id"] for r in bool_query_filter(
+        df, q, now="2024-01-15 17:45:00").collect()}
+    # [2024-01-08 00:00, 2024-01-15 00:00): days 8..14 -> ids 7..13
+    assert got == set(range(7, 14))
+
+    # terms lookup: one stored doc's array becomes the terms list
+    reg = spark.createDataFrame(
+        [("fav", ["u0", "u2"]), ("empty", [])],
+        "key string, owners array<string>",
+    )
+    lk = {"registry": (reg, "key")}
+    q2 = {"terms": {"owner": {"index": "registry", "id": "fav",
+                              "path": "owners"}}}
+    got2 = {r["owner"] for r in bool_query_filter(df, q2, lookups=lk).collect()}
+    assert got2 == {"u0", "u2"}
+    # missing doc -> matches nothing
+    q3 = {"terms": {"owner": {"index": "registry", "id": "nope",
+                              "path": "owners"}}}
+    assert bool_query_filter(df, q3, lookups=lk).count() == 0
+    with pytest.raises(ValueError, match="lookups"):
+        bool_query_filter(df, q2)
