@@ -3023,6 +3023,28 @@ def _q_es_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_nationkey")
 
 
+def _q_es_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals query (search._intervals_to_span): all_of over
+    [match 'merge', any_of(match 'sort', prefix 'vec')] with
+    max_gaps 3, unordered — the interval algebra translates onto the
+    span combinators (match→near, any_of→or, prefix→prefix spans) and
+    compiles to one per-row HOF expression."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"intervals": {"text": {"all_of": {
+        "intervals": [
+            {"match": {"query": "merge"}},
+            {"any_of": {"intervals": [
+                {"match": {"query": "sort"}},
+                {"prefix": {"prefix": "vec"}},
+            ]}},
+        ],
+        "max_gaps": 3,
+    }}}})
+    return out.select("doc_id")
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4128,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match_fuzzy": _q_es_match_fuzzy,
         "es_range_date_math": _q_es_range_date_math,
         "es_terms_lookup": _q_es_terms_lookup,
+        "es_intervals": _q_es_intervals,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5477,6 +5500,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT c_custkey, c_nationkey FROM customer
           WHERE c_nationkey IN (
             SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        """,
+        "es_intervals": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pm,
+                   list_filter(range(1, len(toks) + 1),
+                               i -> toks[i] = 'sort' OR starts_with(toks[i], 'vec')) AS po
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(pm, a ->
+                  len(list_filter(po, b ->
+                    (b >= a + 1 AND b - a - 1 <= 3)
+                    OR (a >= b + 1 AND a - b - 1 <= 3))) > 0)) > 0
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

@@ -226,6 +226,20 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         field = _span_field({kind: body})
         pos_fn = _span_positions_fn(field, resolver, analyzer)
         return F.size(_compile_span({kind: body}, pos_fn)) > 0
+    if kind == "intervals":
+        # ES intervals query: the interval rules (match / any_of /
+        # all_of / prefix) are an algebra over the same position
+        # structure as spans — each rule TRANSLATES to the span
+        # combinators (match → span_near over its analyzed terms with
+        # slop = max_gaps, any_of → span_or, all_of → span_near over
+        # sub-intervals, prefix → prefix-position spans) and compiles
+        # through _compile_span.  max_gaps is the documented "maximum
+        # number of positions between the matching terms" — exactly
+        # the span gap sum; -1 (the default) means unlimited.
+        ((field, rule),) = body.items()
+        span = _intervals_to_span(rule, analyzer)
+        pos_fn = _span_positions_fn(field, resolver, analyzer)
+        return F.size(_compile_span(span, pos_fn)) > 0
     if kind == "__terms_overlap__":
         # INTERNAL leaf, emitted by bool_query_filter's mappings
         # routing: the term-expansion rewrite of a fuzzy leaf over an
@@ -609,6 +623,14 @@ def _compile_span(body: dict, positions_of) -> Column:
             positions_of(term),
             lambda p: F.struct(p.alias("s"), (p + F.lit(1)).alias("e")),
         )
+    if kind == "span_prefix":
+        # internal (intervals `prefix` rule): spans of every token
+        # starting with the prefix
+        ((_field, value),) = b.items()
+        return F.transform(
+            positions_of(("prefix", str(value).lower())),
+            lambda p: F.struct(p.alias("s"), (p + F.lit(1)).alias("e")),
+        )
     if kind == "span_or":
         arrs = [_compile_span(c, positions_of) for c in b["clauses"]]
         out = arrs[0]
@@ -707,32 +729,98 @@ def _compile_span(body: dict, positions_of) -> Column:
     raise ValueError(f"unsupported span clause: {kind}")
 
 
+_INTERVALS_UNLIMITED = 1_000_000_000
+
+
+def _intervals_to_span(rule: dict, analyzer=None) -> dict:
+    """Translate an ES ``intervals`` rule tree to the span algebra.
+
+    * ``match`` — analyze the query text (the field's analyzer, as ES
+      does); one token → ``span_term``, several → ``span_near`` with
+      ``slop = max_gaps`` (default -1 = unlimited) and ``in_order =
+      ordered`` (default false).  ≤ 3 tokens per match (the joint-gap
+      bound of ``span_near``; nest ``all_of`` for longer chains).
+    * ``any_of`` — ``span_or`` over the translated sub-intervals.
+    * ``all_of`` — ``span_near`` over the translated sub-intervals
+      with its own ``max_gaps`` / ``ordered``.
+    * ``prefix`` — prefix-position spans (``span_prefix``).
+    """
+    ((kind, b),) = rule.items()
+    if kind == "match":
+        text = str(b["query"])
+        if analyzer is not None:
+            toks = analyzer.analyze(text)
+        else:
+            toks = [t for t in text.lower().split() if t]
+        if not toks:
+            raise ValueError("intervals match analyzed to no tokens")
+        if len(toks) == 1:
+            return {"span_term": {"_": toks[0]}}
+        max_gaps = int(b.get("max_gaps", -1))
+        return {
+            "span_near": {
+                "clauses": [{"span_term": {"_": t}} for t in toks],
+                "slop": max_gaps if max_gaps >= 0 else _INTERVALS_UNLIMITED,
+                "in_order": bool(b.get("ordered", False)),
+            }
+        }
+    if kind == "any_of":
+        return {
+            "span_or": {
+                "clauses": [
+                    _intervals_to_span(r, analyzer) for r in b["intervals"]
+                ]
+            }
+        }
+    if kind == "all_of":
+        max_gaps = int(b.get("max_gaps", -1))
+        return {
+            "span_near": {
+                "clauses": [
+                    _intervals_to_span(r, analyzer) for r in b["intervals"]
+                ],
+                "slop": max_gaps if max_gaps >= 0 else _INTERVALS_UNLIMITED,
+                "in_order": bool(b.get("ordered", False)),
+            }
+        }
+    if kind == "prefix":
+        return {"span_prefix": {"_": str(b["prefix"] if isinstance(b, dict) else b)}}
+    raise ValueError(f"unsupported intervals rule: {kind}")
+
+
 def _span_positions_fn(field: str, resolver=None, analyzer=None):
     """positions_of(term) factory for span compilation — 0-based token
     indices for the simple analyzer, Lucene position increments (gaps
     at removed stop words) when an analyzer is configured, exactly as
-    the sloppy-phrase machinery assigns them."""
+    the sloppy-phrase machinery assigns them.  The returned callable
+    also accepts ``("prefix", p)`` for prefix-matched positions (the
+    ``intervals`` prefix rule)."""
     if analyzer is not None:
         arr_pos = analyzer.tokens_pos(_field(field, resolver))
 
-        def positions_of(term: str) -> Column:
-            return F.transform(
-                F.filter(arr_pos, lambda e: e["t"] == F.lit(term)),
-                lambda e: e["p"],
-            )
+        def positions_of(term) -> Column:
+            if isinstance(term, tuple) and term[0] == "prefix":
+                p = term[1]
+                pred = lambda e: e["t"].startswith(p)  # noqa: E731
+            else:
+                pred = lambda e: e["t"] == F.lit(term)  # noqa: E731
+            return F.transform(F.filter(arr_pos, pred), lambda e: e["p"])
 
     else:
         arr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
 
-        def positions_of(term: str) -> Column:
+        def positions_of(term) -> Column:
+            if isinstance(term, tuple) and term[0] == "prefix":
+                p = term[1]
+                pred = lambda x: x.startswith(p)  # noqa: E731
+            else:
+                pred = lambda x: x == F.lit(term)  # noqa: E731
             return F.filter(
                 F.transform(
                     arr,
-                    lambda x, i: F.when(x == F.lit(term), i).otherwise(
-                        F.lit(-1)
-                    ),
+                    lambda x, i: F.when(pred(x), i).otherwise(F.lit(-1)),
                 ),
-                lambda p: p >= 0,
+                lambda q: q >= 0,
             )
 
     return positions_of

@@ -1538,3 +1538,51 @@ def test_range_date_math_and_terms_lookup(spark):
     assert bool_query_filter(df, q3, lookups=lk).count() == 0
     with pytest.raises(ValueError, match="lookups"):
         bool_query_filter(df, q2)
+
+
+def test_intervals_match_and_composition(spark):
+    df = spark.createDataFrame(
+        [(1, "hash x join"), (2, "join hash"), (3, "hash a b c join"),
+         (4, "merge vector here"), (5, "merge sort close"), (6, "sort far x y z merge")],
+        "id long, text string",
+    )
+
+    def ids(q):
+        return sorted(r["id"] for r in bool_query_filter(df, q).collect())
+
+    # match, unordered by default, max_gaps bounds the gap sum
+    q = {"intervals": {"text": {"match": {"query": "hash join",
+                                          "max_gaps": 1}}}}
+    assert ids(q) == [1, 2]   # doc3 gap is 3
+    q2 = {"intervals": {"text": {"match": {"query": "hash join",
+                                           "max_gaps": 1, "ordered": True}}}}
+    assert ids(q2) == [1]     # reversal out under ordered
+    # default max_gaps -1 = unlimited
+    q3 = {"intervals": {"text": {"match": {"query": "hash join"}}}}
+    assert ids(q3) == [1, 2, 3]
+    # all_of over [match merge, any_of(match sort, prefix vec)]
+    q4 = {"intervals": {"text": {"all_of": {
+        "intervals": [
+            {"match": {"query": "merge"}},
+            {"any_of": {"intervals": [
+                {"match": {"query": "sort"}},
+                {"prefix": {"prefix": "vec"}},
+            ]}},
+        ],
+        "max_gaps": 1,
+    }}}}
+    assert ids(q4) == [4, 5]  # doc6's sort..merge gap is 4
+
+
+def test_intervals_analyzed(spark):
+    from monstache_spark.functions.analyzer import ENGLISH
+
+    df = spark.createDataFrame(
+        [(1, "joining the tables"), (2, "tables joined"), (3, "joining x")],
+        "id long, text string",
+    )
+    # analyzed: join@0 .. tabl@2 (stop-word gap of 1)
+    q = {"intervals": {"text": {"match": {"query": "joins tables",
+                                          "max_gaps": 1, "ordered": True}}}}
+    got = sorted(r["id"] for r in bool_query_filter(df, q, analyzer=ENGLISH).collect())
+    assert got == [1]
