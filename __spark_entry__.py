@@ -3045,6 +3045,22 @@ def _q_es_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_es_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES query_string — the full Lucene grammar users type into a
+    Kibana search bar (operators/querystring.py): field prefixes,
+    AND/OR with - prohibition, token-level wildcards, half-open
+    ranges, and a quoted phrase, parsed by recursive descent into the
+    ordinary bool tree and compiled to ONE Catalyst predicate."""
+    from monstache_spark.operators.querystring import query_string_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = query_string_filter(
+        docs,
+        '(hash OR merg*) AND source:src1 AND doc_id:[0 TO 400} -"slow batch"',
+    )
+    return out.select("doc_id", "source")
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4151,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_range_date_math": _q_es_range_date_math,
         "es_terms_lookup": _q_es_terms_lookup,
         "es_intervals": _q_es_intervals,
+        "es_query_string": _q_es_query_string,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5517,6 +5534,21 @@ def oracle_sql() -> dict[str, str]:
                   len(list_filter(po, b ->
                     (b >= a + 1 AND b - a - 1 <= 3)
                     OR (a >= b + 1 AND a - b - 1 <= 3))) > 0)) > 0
+        """,
+        "es_query_string": f"""
+          WITH t AS (
+            SELECT doc_id, source, text,
+                   list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          )
+          SELECT doc_id, source FROM t
+          WHERE (list_contains(toks, 'hash')
+                 OR len(list_filter(toks, w -> w LIKE 'merg%')) > 0)
+            AND list_contains(string_split_regex(trim(lower(source)), '\\s+'), 'src1')
+            AND doc_id >= 0 AND doc_id < 400
+            AND NOT strpos(' ' || array_to_string(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'), w -> true), ' ') || ' ',
+                  ' slow batch ') > 0
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

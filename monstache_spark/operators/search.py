@@ -240,6 +240,18 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         span = _intervals_to_span(rule, analyzer)
         pos_fn = _span_positions_fn(field, resolver, analyzer)
         return F.size(_compile_span(span, pos_fn)) > 0
+    if kind == "__token_wildcard__":
+        # internal (query_string wildcards over analyzed fields): a
+        # wildcard TERM matches any analyzed token, the Lucene
+        # term-dictionary expansion semantics — the public `wildcard`
+        # leaf keeps its keyword field-value contract
+        ((field, pattern),) = body.items()
+        if analyzer is not None:
+            hay = analyzer.tokens(_field(field, resolver))
+        else:
+            hay = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+        like = _wildcard_to_like(str(pattern))
+        return F.exists(hay, lambda t: t.like(like))
     if kind == "__terms_overlap__":
         # INTERNAL leaf, emitted by bool_query_filter's mappings
         # routing: the term-expansion rewrite of a fuzzy leaf over an
