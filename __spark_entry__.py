@@ -4339,6 +4339,16 @@ _GATE_WINDOW = [
     "phrase_suggest_chain",
     "match_phrase_slop_repeat",
     "ann_index_cdc",
+    "es_rescore",
+    "es_span_near",
+    "es_span_first",
+    "es_span_not",
+    "es_intervals",
+    "es_search_template",
+    "es_match_fuzzy",
+    "es_range_date_math",
+    "es_terms_lookup",
+    "es_query_string",
     # (c) implementation/oracle changed in round 8 — re-gate
     "fuzzy_suggest_analyzed",
     "es_fuzzy_query_tokens",
@@ -4373,16 +4383,6 @@ _GATE_WINDOW = [
     "multimodal_features",
     "cdc_stream_pipeline",
     "full_plan_pipeline",
-    "routing_meta_extract",
-    "set_ops_customers",
-    "tfidf_top_terms",
-    "protected_delete_apply",
-    "udf_mapper_pipeline",
-    "delete_ignore_state",
-    "drop_regex_filter",
-    "lang_scores",
-    "value_percentiles",
-    "value_histogram",
 ]
 
 
