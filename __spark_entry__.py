@@ -3061,6 +3061,19 @@ def _q_es_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced sampling over learned strata
+    (curation.cluster_balanced_sample): embeddings assign to their
+    nearest centroid cell and each cell keeps at most 20 members in
+    deterministic md5-hash order — cluster-proportional flattening,
+    the embedding-space domain_cap (DataComp/SemDeDup recipe).  One
+    broadcast argmax + one WindowGroupLimit window."""
+    from monstache_spark.operators.curation import cluster_balanced_sample
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cluster_balanced_sample(emb, per_cluster_cap=20, n_centroids=16)
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4168,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_terms_lookup": _q_es_terms_lookup,
         "es_intervals": _q_es_intervals,
         "es_query_string": _q_es_query_string,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5549,6 +5563,26 @@ def oracle_sql() -> dict[str, str]:
             AND NOT strpos(' ' || array_to_string(list_filter(
                   string_split_regex(trim(lower(text)), '\\s+'), w -> true), ' ') || ' ',
                   ' slow batch ') > 0
+        """,
+        "cluster_balanced_sample": f"""
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cen AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+          ca AS (SELECT e.vec_id, cid, {_cos_sql('e.v', 'cv')} AS c_score
+                 FROM e CROSS JOIN cen),
+          cells AS (
+            SELECT vec_id, cid AS cell FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY c_score DESC, cid ASC) AS r FROM ca)
+            WHERE r = 1
+          ),
+          ranked AS (
+            SELECT vec_id, cell,
+                   CAST(row_number() OVER (PARTITION BY cell
+                        ORDER BY {_hash_sql("CAST(vec_id AS VARCHAR)", 13)} ASC,
+                                 vec_id ASC) AS BIGINT) AS pick_rank
+            FROM cells
+          )
+          SELECT vec_id, cell, pick_rank FROM ranked WHERE pick_rank <= 20
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

@@ -383,6 +383,55 @@ def stratified_sample(
     )
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster_cap: int,
+    n_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Topic-balanced sampling over LEARNED strata — the DataComp /
+    SemDeDup-style recipe: assign each embedding to its nearest
+    centroid cell (rounded-cosine argmax) and keep at most
+    ``per_cluster_cap`` members per cell, chosen by a deterministic
+    md5-hash order.  A dominant topic cluster (the crawl's boilerplate
+    mass) is capped while tail clusters survive whole —
+    cluster-proportional flattening, the embedding-space analogue of
+    :func:`domain_cap`.
+
+    Membership depends only on (seed, id) and the frozen centroid set
+    — never on partitioning, row order, or cluster size — so the
+    sample is reproducible and incrementally stable (a re-run over a
+    grown corpus keeps every previously-picked id whose hash rank
+    still clears the cap).
+
+    Default centroids are the ``n_centroids`` lowest-id vectors (the
+    deterministic oracle-reproducible convention shared with
+    ``ivf_topk``); pass ``kmeans_centroids(...)`` for learned
+    production cells — same plan shape either way.
+
+    Plan: ONE broadcast-centroid assignment argmax (hash agg with
+    map-side combine) + one per-cell window whose cap pushes into the
+    sort as WindowGroupLimit.  Returns ``(id, cell, pick_rank)``.
+    """
+    from monstache_spark.operators.similarity import ivf_assign
+
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) < n_centroids)
+    cells = ivf_assign(emb, centroids, vec_col, id_col, rank_limit=1).select(
+        id_col, F.col("cid").alias("cell")
+    )
+    h = shingle_hash(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy("cell").orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        cells.withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick_rank") <= per_cluster_cap)
+        .select(id_col, "cell", "pick_rank")
+    )
+
+
 def mixture_stats(
     docs: DataFrame,
     group_cols: tuple[str, ...] = ("source", "lang"),

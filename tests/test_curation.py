@@ -484,3 +484,31 @@ def test_data_card_summary_arithmetic(spark):
     assert card["dup_docs_bp"] == 2500       # 1 of 4 docs is a dup
     assert card["pii_docs_bp"] == 2500       # doc 3 has an email
     assert card["total_tokens"] == 2 + 2 + 5 + 3
+
+
+def test_cluster_balanced_sample_caps_dominant_cluster(spark):
+    from monstache_spark.operators.curation import cluster_balanced_sample
+
+    # centroids = ids 0,1 (e1/e2 axes); ids 2..11 cluster on axis 0,
+    # ids 12..14 on axis 1 — a dominant cluster and a tail cluster
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows += [(i, [1.0, 0.05 * (i % 3)]) for i in range(2, 12)]
+    rows += [(i, [0.05, 1.0]) for i in range(12, 15)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(df, per_cluster_cap=4, n_centroids=2)
+    by_cell = {}
+    for r in out.collect():
+        by_cell.setdefault(r["cell"], set()).add(r["vec_id"])
+    # dominant cluster capped at 4; tail cluster (4 members incl. its
+    # centroid) survives whole
+    assert len(by_cell[0]) == 4 and len(by_cell[1]) == 4
+    assert by_cell[1] == {1, 12, 13, 14}
+    # deterministic: same picks on re-run
+    again = {(r["vec_id"], r["cell"], r["pick_rank"]) for r in
+             cluster_balanced_sample(df, per_cluster_cap=4, n_centroids=2).collect()}
+    assert again == {(r["vec_id"], r["cell"], r["pick_rank"]) for r in out.collect()}
+    # incrementally stable: adding rows keeps survivors whose hash
+    # rank still clears the cap — picks are a function of (seed, id)
+    plan = cluster_balanced_sample(df, per_cluster_cap=4, n_centroids=2)
+    pl = plan._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in pl
