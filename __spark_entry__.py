@@ -3074,6 +3074,41 @@ def _q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_balanced_sample(emb, per_cluster_cap=20, n_centroids=16)
 
 
+def _q_sft_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-sample rendering (curation.render_chat): deterministic
+    conversations derived from documents (system=source tag,
+    user=first 60 chars, assistant=next 120) render to ChatML text
+    plus the LOSS-MASK spans over assistant content — the char-exact
+    intervals supervised fine-tuning trains on.  One F.aggregate fold
+    per row; the oracle rebuilds text and offsets with prefix sums."""
+    from monstache_spark.operators.curation import render_chat
+
+    docs = load_table(spark, "documents", sf_dir)
+    conv = docs.select(
+        "doc_id",
+        F.array(
+            F.struct(F.lit("system").alias("role"),
+                     F.concat(F.lit("doc from "), F.col("source")).alias("content")),
+            F.struct(F.lit("user").alias("role"),
+                     F.substring(F.col("text"), 1, 60).alias("content")),
+            F.struct(F.lit("assistant").alias("role"),
+                     F.substring(F.col("text"), 61, 120).alias("content")),
+        ).alias("messages"),
+    )
+    out = render_chat(conv)
+    return out.select(
+        "doc_id",
+        "text",
+        F.concat_ws(",", F.transform(
+            "assistant_spans",
+            lambda sp: F.concat_ws("-", sp["s"].cast("string"),
+                                   sp["e"].cast("string")),
+        )).alias("spans"),
+        "n_turns",
+        "assistant_chars",
+    )
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4182,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_intervals": _q_es_intervals,
         "es_query_string": _q_es_query_string,
         "cluster_balanced_sample": _q_cluster_balanced_sample,
+        "sft_render_chat": _q_sft_render_chat,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5583,6 +5619,31 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
           )
           SELECT vec_id, cell, pick_rank FROM ranked WHERE pick_rank <= 20
+        """,
+        "sft_render_chat": """
+          WITH m AS (
+            SELECT doc_id,
+                   'doc from ' || source AS sys_c,
+                   substr(text, 1, 60) AS usr_c,
+                   substr(text, 61, 120) AS asst_c
+            FROM documents
+          ), r AS (
+            SELECT doc_id,
+                   '<|im_start|>system' || chr(10) || sys_c || '<|im_end|>' || chr(10)
+                   || '<|im_start|>user' || chr(10) || usr_c || '<|im_end|>' || chr(10)
+                   || '<|im_start|>assistant' || chr(10) || asst_c || '<|im_end|>' || chr(10)
+                     AS text,
+                   (12 + 6 + 1 + length(sys_c) + 11)
+                   + (12 + 4 + 1 + length(usr_c) + 11)
+                   + 12 + 9 + 1 AS s_start,
+                   length(asst_c) AS asst_len
+            FROM m
+          )
+          SELECT doc_id, text,
+                 CAST(s_start AS VARCHAR) || '-' || CAST(s_start + asst_len AS VARCHAR) AS spans,
+                 CAST(3 AS BIGINT) AS n_turns,
+                 CAST(asst_len AS BIGINT) AS assistant_chars
+          FROM r
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

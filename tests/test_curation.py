@@ -512,3 +512,30 @@ def test_cluster_balanced_sample_caps_dominant_cluster(spark):
     plan = cluster_balanced_sample(df, per_cluster_cap=4, n_centroids=2)
     pl = plan._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in pl
+
+
+def test_render_chat_text_and_loss_mask_spans(spark):
+    from monstache_spark.operators.curation import render_chat
+
+    df = spark.createDataFrame(
+        [(1, [("system", "be brief"), ("user", "hi"),
+              ("assistant", "hello"), ("user", "more"),
+              ("assistant", "ok")])],
+        "doc_id long, messages array<struct<role string, content string>>",
+    )
+    r = render_chat(df).collect()[0]
+    expect = ("<|im_start|>system\nbe brief<|im_end|>\n"
+              "<|im_start|>user\nhi<|im_end|>\n"
+              "<|im_start|>assistant\nhello<|im_end|>\n"
+              "<|im_start|>user\nmore<|im_end|>\n"
+              "<|im_start|>assistant\nok<|im_end|>\n")
+    assert r["text"] == expect
+    # every span slices exactly the assistant content
+    slices = [r["text"][sp["s"]:sp["e"]] for sp in r["assistant_spans"]]
+    assert slices == ["hello", "ok"]
+    assert r["n_turns"] == 5 and r["assistant_chars"] == 7
+    # empty conversation
+    df2 = spark.createDataFrame(
+        [(2, [])], "doc_id long, messages array<struct<role string, content string>>")
+    r2 = render_chat(df2).collect()[0]
+    assert r2["text"] == "" and r2["assistant_spans"] == [] and r2["assistant_chars"] == 0
