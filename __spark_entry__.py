@@ -3109,6 +3109,21 @@ def _q_sft_render_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature beside BM25 (search.distance_feature_topk):
+    matches gain boost*pivot/(pivot+|n_chars-300|) — the hyperbolic
+    proximity booster (recency/geo at a CDC-synced index; numeric here
+    since documents carry no timestamp).  Feature rounds 6 dp and adds
+    to BM25 in DECIMAL(38,6), so totals hash engine-exact."""
+    from monstache_spark.operators.search import distance_feature_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return distance_feature_topk(
+        docs, ["merge", "vector"], field="n_chars", origin=300.0,
+        pivot=100.0, k=15,
+    )
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4218,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_query_string": _q_es_query_string,
         "cluster_balanced_sample": _q_cluster_balanced_sample,
         "sft_render_chat": _q_sft_render_chat,
+        "es_distance_feature": _q_es_distance_feature,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5644,6 +5660,30 @@ def oracle_sql() -> dict[str, str]:
                  CAST(3 AS BIGINT) AS n_turns,
                  CAST(asst_len AS BIGINT) AS assistant_chars
           FROM r
+        """,
+        "es_distance_feature": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector')")},
+          meta AS (
+            SELECT doc_id, abs(CAST(n_chars AS DOUBLE) - 300.0) AS dist
+            FROM documents
+          ),
+          j AS (
+            SELECT s.doc_id, s.score AS bm25_score,
+                   round(1.0 * 100.0 / (100.0 + m.dist), 6) AS feature
+            FROM scored s JOIN meta m USING (doc_id)
+          ),
+          c AS (
+            SELECT doc_id, bm25_score, feature,
+                   CAST(CAST(bm25_score AS DECIMAL(38,6))
+                        + CAST(feature AS DECIMAL(38,6)) AS DOUBLE) AS score
+            FROM j
+          ),
+          fin AS (
+            SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM c
+          )
+          SELECT doc_id, bm25_score, feature, score, rank FROM fin WHERE rank <= 15
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

@@ -1457,6 +1457,107 @@ def function_score_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def distance_feature_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    field: str | None = None,
+    origin=None,
+    pivot=None,
+    boost: float = 1.0,
+    k: int = 10,
+    lat_col: str | None = None,
+    lon_col: str | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer=None,
+) -> DataFrame:
+    """ES ``distance_feature`` as a scoring should-clause beside BM25:
+    every match gains ``boost · pivot / (pivot + dist)`` — 1·boost at
+    the origin, boost/2 at the pivot, decaying hyperbolically.  The
+    canonical recency/proximity booster for CDC-synced log and geo
+    indexes ("recent documents rank higher", "closer stores first").
+
+    Three distance modes, all under exact or established contracts:
+
+    * DATE (``field`` is a timestamp): ``dist`` = |field − origin| in
+      exact integer MICROSECONDS; ``pivot`` is an ES duration string
+      (``7d``, ``3h`` — :func:`aggs.fixed_interval_seconds` grammar).
+      The ratio is one IEEE division of exact integers — identical on
+      any engine.
+    * GEO (``lat_col``/``lon_col`` given): ``dist`` = rounded-meter
+      haversine (the :func:`geo.haversine_m` contract); ``pivot`` is
+      an ES distance string (``100km``).
+    * NUMERIC: ``dist`` = |field − origin|, exact arithmetic.
+
+    The feature rounds to 6 dp and adds to the BM25 score in
+    DECIMAL(38,6) (the rescore combination discipline), so totals are
+    engine-exact.  Plan: the BM25 scoring frame equi-joins the pruned
+    (id, feature-inputs) projection on the id; top-k stays
+    TakeOrderedAndProject.  Returns ``(id, bm25_score, feature,
+    score, rank)``.
+    """
+    scored = _bm25_scored(
+        docs, query_terms, k1, b, text_col, id_col, analyzer
+    )
+    if lat_col is not None and lon_col is not None:
+        from monstache_spark.operators.geo import (
+            haversine_m,
+            parse_distance_m,
+            _ll,
+        )
+
+        o_lat, o_lon = _ll(origin)
+        piv = float(parse_distance_m(pivot))
+        meta = docs.select(
+            F.col(id_col),
+            haversine_m(
+                F.col(lat_col), F.col(lon_col), F.lit(o_lat), F.lit(o_lon)
+            ).alias("_dist"),
+        )
+    else:
+        dt = docs.schema[field].dataType.simpleString()
+        if dt.startswith("timestamp"):
+            from monstache_spark.operators.aggs import fixed_interval_seconds
+
+            piv_s = fixed_interval_seconds(pivot)
+            if piv_s is None:
+                raise ValueError(f"bad date pivot: {pivot!r}")
+            piv = float(piv_s) * 1e6
+            o_us = F.unix_micros(F.lit(str(origin)).cast("timestamp"))
+            meta = docs.select(
+                F.col(id_col),
+                F.abs(F.unix_micros(F.col(field)) - o_us)
+                .cast("double")
+                .alias("_dist"),
+            )
+        else:
+            piv = float(pivot)
+            meta = docs.select(
+                F.col(id_col),
+                F.abs(F.col(field).cast("double") - F.lit(float(origin))).alias(
+                    "_dist"
+                ),
+            )
+    feature = F.round(
+        F.lit(float(boost)) * F.lit(piv) / (F.lit(piv) + F.col("_dist")), 6
+    )
+    joined = scored.join(meta, id_col).select(
+        F.col(id_col),
+        F.col("score").alias("bm25_score"),
+        feature.alias("feature"),
+    )
+    total = (
+        F.col("bm25_score").cast("decimal(38,6)")
+        + F.col("feature").cast("decimal(38,6)")
+    ).cast("double")
+    out = joined.withColumn("score", total)
+    ranked = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def more_like_this(
     docs: DataFrame,
     like_id,

@@ -1586,3 +1586,35 @@ def test_intervals_analyzed(spark):
                                           "max_gaps": 1, "ordered": True}}}}
     got = sorted(r["id"] for r in bool_query_filter(df, q, analyzer=ENGLISH).collect())
     assert got == [1]
+
+
+def test_distance_feature_numeric_date_geo(spark):
+    import datetime
+
+    from monstache_spark.operators.search import distance_feature_topk
+
+    df = spark.createDataFrame(
+        [(1, "spark engine", 100.0, datetime.datetime(2024, 1, 10), 52.52, 13.405),
+         (2, "spark engine", 300.0, datetime.datetime(2024, 1, 1), 48.85, 2.35),
+         (3, "other stuff", 300.0, datetime.datetime(2024, 1, 10), 52.52, 13.405)],
+        "doc_id long, text string, size double, ts timestamp, lat double, lon double",
+    )
+    # numeric: doc2 sits AT the origin -> feature = boost/1... pivot/(pivot+0)=1
+    out = {r["doc_id"]: r for r in distance_feature_topk(
+        df, ["spark"], field="size", origin=300.0, pivot=100.0, k=5
+    ).collect()}
+    assert set(out) == {1, 2}   # doc3 doesn't match the query
+    assert out[2]["feature"] == 1.0
+    assert abs(out[1]["feature"] - 100.0 / 300.0) < 1e-6
+    assert out[2]["score"] > out[1]["score"]
+    # date: pivot 7d; doc1 at the origin
+    out2 = {r["doc_id"]: r["feature"] for r in distance_feature_topk(
+        df, ["spark"], field="ts", origin="2024-01-10 00:00:00", pivot="7d", k=5
+    ).collect()}
+    assert out2[1] == 1.0 and 0.4 < out2[2] < 0.5  # 9d vs 7d pivot
+    # geo: pivot 100km around Berlin
+    out3 = {r["doc_id"]: r["feature"] for r in distance_feature_topk(
+        df, ["spark"], origin={"lat": 52.52, "lon": 13.405}, pivot="100km",
+        lat_col="lat", lon_col="lon", k=5
+    ).collect()}
+    assert out3[1] == 1.0 and out3[2] < 0.15  # Paris ~880 km away
