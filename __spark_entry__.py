@@ -3124,6 +3124,18 @@ def _q_es_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query (search.pinned_topk): curated ids rank first in
+    the given order regardless of relevance (pinned docs need not
+    match; absent ids skip; no duplicates), organic BM25 follows —
+    the promotions feature.  One broadcast literal pin list + anti-
+    join + TakeOrderedAndProject."""
+    from monstache_spark.operators.search import pinned_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pinned_topk(docs, [42, 7, 400], ["merge", "vector"], k=12)
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4234,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_balanced_sample": _q_cluster_balanced_sample,
         "sft_render_chat": _q_sft_render_chat,
         "es_distance_feature": _q_es_distance_feature,
+        "es_pinned": _q_es_pinned,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5684,6 +5697,30 @@ def oracle_sql() -> dict[str, str]:
             FROM c
           )
           SELECT doc_id, bm25_score, feature, score, rank FROM fin WHERE rank <= 15
+        """,
+        "es_pinned": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector')")},
+          pins(pos, pid) AS (VALUES (0, 42), (1, 7), (2, 400)),
+          p AS (
+            SELECT d.doc_id, TRUE AS pinned, CAST(NULL AS DOUBLE) AS score,
+                   pins.pos AS sort_pos
+            FROM documents d JOIN pins ON d.doc_id = pins.pid
+          ),
+          o AS (
+            SELECT s.doc_id, FALSE AS pinned, s.score,
+                   CAST(NULL AS INTEGER) AS sort_pos
+            FROM scored s WHERE s.doc_id NOT IN (SELECT pid FROM pins)
+          ),
+          u AS (SELECT * FROM p UNION ALL SELECT * FROM o),
+          fin AS (
+            SELECT doc_id, pinned, score,
+                   CAST(row_number() OVER (
+                     ORDER BY pinned DESC, sort_pos ASC NULLS LAST,
+                              score DESC NULLS LAST, doc_id ASC) AS BIGINT) AS rank
+            FROM u
+          )
+          SELECT doc_id, pinned, score, rank FROM fin WHERE rank <= 12
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

@@ -1457,6 +1457,72 @@ def function_score_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def pinned_topk(
+    docs: DataFrame,
+    pinned_ids: list,
+    organic_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer=None,
+) -> DataFrame:
+    """ES ``pinned`` query: the listed ids rank FIRST, in the given
+    order and regardless of relevance (the curated-results /
+    promotions feature); organic BM25 matches follow by score; a
+    pinned document never appears twice.  Pinned ids absent from the
+    corpus are skipped, and pinned docs need not match the organic
+    query — both ES behaviors.
+
+    Plan: the pin list enters as a broadcast literal-array explode
+    (LocalRelation); organic matches anti-join it (broadcast, O(#pins)
+    build side); the union sorts on (pinned-first, pin position,
+    score desc, id) as one TakeOrderedAndProject.  Returns
+    ``(id, pinned, score, rank)`` — ``score`` is null on pinned rows
+    (ES reports a synthetic sentinel there; null is the honest
+    column)."""
+    spark = docs.sparkSession
+    pins = spark.range(1).select(
+        F.posexplode(
+            F.array(*[F.lit(i) for i in pinned_ids])
+        ).alias("_pos", "_pid")
+    )
+    pinned_rows = (
+        docs.join(
+            F.broadcast(pins), docs[id_col] == pins["_pid"]
+        )
+        .select(
+            F.col(id_col),
+            F.lit(True).alias("pinned"),
+            F.lit(None).cast("double").alias("score"),
+            F.col("_pos").alias("_sort_pos"),
+        )
+    )
+    organic = (
+        _bm25_scored(docs, organic_terms, k1, b, text_col, id_col, analyzer)
+        .join(F.broadcast(pins), F.col(id_col) == pins["_pid"], "left_anti")
+        .select(
+            F.col(id_col),
+            F.lit(False).alias("pinned"),
+            F.col("score"),
+            F.lit(None).cast("long").alias("_sort_pos"),
+        )
+    )
+    allrows = pinned_rows.unionByName(organic)
+    order = [
+        F.col("pinned").desc(),
+        F.col("_sort_pos").asc_nulls_last(),
+        F.col("score").desc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
+    ranked = allrows.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long")).drop(
+        "_sort_pos"
+    )
+
+
 def distance_feature_topk(
     docs: DataFrame,
     query_terms: list[str],

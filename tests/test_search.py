@@ -1618,3 +1618,21 @@ def test_distance_feature_numeric_date_geo(spark):
         lat_col="lat", lon_col="lon", k=5
     ).collect()}
     assert out3[1] == 1.0 and out3[2] < 0.15  # Paris ~880 km away
+
+
+def test_pinned_topk_order_and_dedup(spark):
+    from monstache_spark.operators.search import pinned_topk
+
+    df = spark.createDataFrame(
+        [(0, "spark streams data"), (1, "slow batch"), (2, "spark spark"),
+         (3, "data lake"), (4, "quick fox")],
+        "doc_id long, text string",
+    )
+    rows = pinned_topk(df, [4, 2, 99], ["spark", "data"], k=5).collect()
+    ids = [r["doc_id"] for r in rows]
+    # pins first in GIVEN order (99 absent -> skipped; 4 doesn't match
+    # the query but still pins); organic follows by BM25, doc2 deduped
+    assert ids[:2] == [4, 2]
+    assert rows[0]["pinned"] and rows[0]["score"] is None
+    assert set(ids[2:]) == {0, 3} and all(not r["pinned"] for r in rows[2:])
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4]
