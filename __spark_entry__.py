@@ -3136,6 +3136,22 @@ def _q_es_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pinned_topk(docs, [42, 7, 400], ["merge", "vector"], k=12)
 
 
+def _q_es_mlt_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-document more-like-this with a negative example
+    (search.more_like_this like=[0,1], unlike=[2]): term frequencies
+    aggregate across the like docs so SHARED vocabulary dominates the
+    TF-IDF selection, and every term occurring in the unlike doc is
+    excluded — ES's like/unlike contract.  Both like docs drop from
+    the ranked results."""
+    from monstache_spark.operators.search import more_like_this
+
+    docs = load_table(spark, "documents", sf_dir)
+    return more_like_this(
+        docs, [0, 1], k=10, max_query_terms=5, min_term_len=4,
+        unlike_ids=[2],
+    )
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4247,6 +4263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_render_chat": _q_sft_render_chat,
         "es_distance_feature": _q_es_distance_feature,
         "es_pinned": _q_es_pinned,
+        "es_mlt_multi": _q_es_mlt_multi,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5721,6 +5738,37 @@ def oracle_sql() -> dict[str, str]:
             FROM u
           )
           SELECT doc_id, pinned, score, rank FROM fin WHERE rank <= 12
+        """,
+        "es_mlt_multi": f"""
+          WITH all_toks AS (
+            SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents
+          ),
+          banned AS (
+            SELECT DISTINCT term FROM all_toks WHERE doc_id = 2
+          ),
+          src AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS tf FROM all_toks
+            WHERE doc_id IN (0, 1) AND length(term) >= 4
+              AND term NOT IN (SELECT term FROM banned)
+            GROUP BY term
+          ),
+          ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          srcdf AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM all_toks
+            WHERE term IN (SELECT term FROM src) GROUP BY term
+          ),
+          scored_terms AS (
+            SELECT s.term, round(s.tf * ln(n_docs / df), 6) AS tfidf
+            FROM src s JOIN srcdf USING (term), ndocs
+          ),
+          top_terms AS (
+            SELECT term FROM (
+              SELECT term, row_number() OVER (ORDER BY tfidf DESC, term ASC) AS r
+              FROM scored_terms
+            ) WHERE r <= 5
+          ),
+          corpus AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 1)),
+          {bm25_sql("term IN (SELECT term FROM top_terms)", 10)}
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

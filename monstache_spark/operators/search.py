@@ -1635,24 +1635,45 @@ def more_like_this(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer=None,
+    unlike_ids=None,
 ) -> DataFrame:
-    """ES more-like-this: take the source document's
+    """ES more-like-this: take the source document(s)'
     ``max_query_terms`` best terms by TF-IDF (terms shorter than
     ``min_term_len`` are skipped, ES's ``min_word_length`` analog;
     ties break by term asc) and BM25-rank every OTHER document on
     them.
 
-    The source doc's term selection is O(1 doc) but must see corpus
-    df — the df frame restricted to the source's own terms is tiny
-    and hash-agg'd; the chosen terms are collected (≤
+    ``like_id`` may be a single id or a LIST (the ES multi-``like``
+    form: term frequencies aggregate across the example documents, so
+    shared vocabulary dominates the selection).  ``unlike_ids`` gives
+    negative examples, ES's ``unlike``: any term occurring in an
+    unlike document is EXCLUDED from selection — "like these two
+    articles but not that press release".
+
+    The source-side term selection is O(#like + #unlike docs) but
+    must see corpus df — the df frame restricted to the sources' own
+    terms is tiny and hash-agg'd; the chosen terms are collected (≤
     ``max_query_terms`` rows, control-plane) and re-enter the plan as
     literals so the corpus-side BM25 keeps its early selective
-    filter. Returns ``(id, score, rank)`` without the source doc.
+    filter. Returns ``(id, score, rank)`` without the source docs.
     """
-    src = docs.filter(F.col(id_col) == F.lit(like_id))
+    like_ids = list(like_id) if isinstance(like_id, (list, tuple, set)) else [like_id]
+    src = docs.filter(F.col(id_col).isin(like_ids))
     src_toks = _term_rows(src, text_col, id_col, analyzer).filter(
         F.length("term") >= min_term_len
     )
+    if unlike_ids:
+        bad = (
+            _term_rows(
+                docs.filter(F.col(id_col).isin(list(unlike_ids))),
+                text_col,
+                id_col,
+                analyzer,
+            )
+            .select("term")
+            .distinct()
+        )
+        src_toks = src_toks.join(F.broadcast(bad), "term", "left_anti")
     src_tf = src_toks.groupBy("term").agg(F.count("*").cast("long").alias("tf"))
     all_toks = _term_rows(docs, text_col, id_col, analyzer)
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
@@ -1685,7 +1706,7 @@ def more_like_this(
             .withColumn("score", F.lit(0.0))
             .withColumn("rank", F.lit(0).cast("long"))
         )
-    others = docs.filter(F.col(id_col) != F.lit(like_id))
+    others = docs.filter(~F.col(id_col).isin(like_ids))
     return bm25_topk(
         others, terms, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col,
         analyzer=analyzer, analyze_query=False,

@@ -1636,3 +1636,30 @@ def test_pinned_topk_order_and_dedup(spark):
     assert rows[0]["pinned"] and rows[0]["score"] is None
     assert set(ids[2:]) == {0, 3} and all(not r["pinned"] for r in rows[2:])
     assert [r["rank"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_more_like_this_multi_like_and_unlike(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"),
+         (1, "alpha beta echo foxtrot"),
+         (2, "alpha beta gamma echo"),
+         (3, "zulu yankee xray whiskey"),
+         (4, "gamma delta echo foxtrot")],
+        "doc_id long, text string",
+    )
+    # multi-like [0,1]: shared terms (alpha, beta) dominate selection
+    out = {r["doc_id"] for r in more_like_this(
+        df, [0, 1], k=5, max_query_terms=2, min_term_len=4).collect()}
+    assert 2 in out and 3 not in out
+    assert out.isdisjoint({0, 1})  # like docs excluded from results
+    # unlike doc 4 bans gamma/delta/echo/foxtrot from selection
+    out2 = [r["doc_id"] for r in more_like_this(
+        df, [0, 1], k=5, max_query_terms=4, min_term_len=4,
+        unlike_ids=[4]).collect()]
+    assert 2 in out2 and 4 not in out2
+    # scalar like_id keeps its historical behavior
+    a = [(r["doc_id"], r["score"]) for r in
+         more_like_this(df, 0, k=3, min_term_len=4).collect()]
+    b = [(r["doc_id"], r["score"]) for r in
+         more_like_this(df, [0], k=3, min_term_len=4).collect()]
+    assert a == b
