@@ -85,6 +85,7 @@ _SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 # inlines the IDENTICAL chain so the hash can only match if Spark and
 # DuckDB analyze verbatim alike
 from monstache_spark.functions.analyzer import ENGLISH as _ENGLISH_AN  # noqa: E402
+from monstache_spark.functions.analyzer import ENGLISH_PORTER as _PORTER_AN  # noqa: E402
 
 
 def _an_terms(text: str) -> str:
@@ -3152,6 +3153,41 @@ def _q_es_mlt_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_search_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under the FULL `english` analyzer — stop set + the Porter
+    algorithm (functions/porter.py, the Lucene PorterStemFilter):
+    'relations', 'windowing', 'merges' stem through the 5-step
+    cascade and meet their document forms; scoring runs over the
+    Porter token stream on BOTH engines (the oracle inlines the
+    identical SQL rendering of the same expression tree) — closing
+    the DIVERGENCES S1 Porter residual."""
+    from monstache_spark.functions.analyzer import ENGLISH_PORTER
+    from monstache_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(
+        docs, ["relations", "windowing", "merges"], k=20,
+        analyzer=ENGLISH_PORTER,
+    )
+
+
+def _q_match_phrase_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase under the Porter analyzer: query and documents
+    stem through the full cascade with Lucene position increments
+    (positions assigned before stop removal), so 'hashing joins'~1
+    matches 'hash ... join' surface forms at their positions."""
+    from monstache_spark.functions.analyzer import ENGLISH_PORTER
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"match_phrase": {"text": {"query": "hashing joins", "slop": 1}}},
+        analyzer=ENGLISH_PORTER,
+    )
+    return out.select("doc_id")
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4264,6 +4300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_distance_feature": _q_es_distance_feature,
         "es_pinned": _q_es_pinned,
         "es_mlt_multi": _q_es_mlt_multi,
+        "bm25_search_porter": _q_bm25_search_porter,
+        "match_phrase_porter": _q_match_phrase_porter,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5769,6 +5807,22 @@ def oracle_sql() -> dict[str, str]:
           ),
           corpus AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN (0, 1)),
           {bm25_sql("term IN (SELECT term FROM top_terms)", 10)}
+        """,
+        "bm25_search_porter": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_sql("term IN ('merg', 'relat', 'window')", 20, _PORTER_AN.sql_tokens("text"))}
+        """,
+        "match_phrase_porter": f"""
+          WITH t AS (
+            SELECT doc_id, {_PORTER_AN.sql_tokens_pos("text")} AS tp
+            FROM documents
+          )
+          SELECT doc_id FROM t
+          WHERE len(list_filter(
+                  list_transform(list_filter(tp, e -> e.t = 'hash'), e -> e.p),
+                  p0 -> len(list_filter(
+                    list_transform(list_filter(tp, e -> e.t = 'join'), e -> e.p),
+                    p1 -> abs(p0 - (p1 - 1)) <= 1)) > 0)) > 0
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

@@ -70,6 +70,10 @@ class Analyzer:
     stopwords: tuple[str, ...] = ()
     stem_suffixes: tuple[str, ...] = ()
     min_stem: int = 3
+    # full Porter algorithm (functions/porter.py) — the Lucene
+    # PorterStemFilter the ES `english` analyzer runs; mutually
+    # exclusive with the light suffix list
+    porter: bool = False
 
     # -- Spark rendering ----------------------------------------------------
 
@@ -82,9 +86,20 @@ class Analyzer:
         if self.stopwords:
             stops = F.array(*[F.lit(s) for s in self.stopwords])
             arr = F.filter(arr, lambda t: ~F.array_contains(stops, t))
-        if self.stem_suffixes:
+        if self.porter:
+            from monstache_spark.functions.porter import porter_tokens_col
+
+            self._check_stemmers()
+            arr = porter_tokens_col(arr)
+        elif self.stem_suffixes:
             arr = F.transform(arr, self._stem_col)
         return arr
+
+    def _check_stemmers(self) -> None:
+        if self.porter and self.stem_suffixes:
+            raise ValueError(
+                "configure either porter=True or stem_suffixes, not both"
+            )
 
     def _stem_col(self, t: Column) -> Column:
         out = t
@@ -114,7 +129,16 @@ class Analyzer:
         if self.stopwords:
             stops = F.array(*[F.lit(s) for s in self.stopwords])
             pos = F.filter(pos, lambda e: ~F.array_contains(stops, e["t"]))
-        if self.stem_suffixes:
+        if self.porter:
+            from monstache_spark.functions.porter import porter_tokens_col
+
+            self._check_stemmers()
+            ts = porter_tokens_col(F.transform(pos, lambda e: e["t"]))
+            pos = F.zip_with(
+                ts, pos,
+                lambda t, e: F.struct(t.alias("t"), e["p"].alias("p")),
+            )
+        elif self.stem_suffixes:
             pos = F.transform(
                 pos,
                 lambda e: F.struct(
@@ -133,12 +157,19 @@ class Analyzer:
         for i, t in enumerate([t for t in toks if t]):
             if t in self.stopwords:
                 continue
-            for suf in self.stem_suffixes:
-                if t.endswith(suf) and len(t) - len(suf) >= self.min_stem:
-                    t = t[: -len(suf)]
-                    break
-            out.append((t, i))
+            out.append((self._stem_py(t), i))
         return out
+
+    def _stem_py(self, t: str) -> str:
+        if self.porter:
+            from monstache_spark.functions.porter import porter_stem_py
+
+            self._check_stemmers()
+            return porter_stem_py(t)
+        for suf in self.stem_suffixes:
+            if t.endswith(suf) and len(t) - len(suf) >= self.min_stem:
+                return t[: -len(suf)]
+        return t
 
     def analyze(self, text: str) -> list[str]:
         toks = (text.lower() if self.lowercase else text).split()
@@ -146,11 +177,7 @@ class Analyzer:
         for t in toks:
             if not t or t in self.stopwords:
                 continue
-            for suf in self.stem_suffixes:
-                if t.endswith(suf) and len(t) - len(suf) >= self.min_stem:
-                    t = t[: -len(suf)]
-                    break
-            out.append(t)
+            out.append(self._stem_py(t))
         return out
 
     # -- DuckDB rendering (oracle-side) -------------------------------------
@@ -166,7 +193,12 @@ class Analyzer:
         if self.stopwords:
             lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
             out = f"list_filter({out}, t -> NOT list_contains({lst}, t))"
-        if self.stem_suffixes:
+        if self.porter:
+            from monstache_spark.functions.porter import porter_tokens_sql
+
+            self._check_stemmers()
+            out = porter_tokens_sql(out)
+        elif self.stem_suffixes:
             branches = []
             for suf in self.stem_suffixes:
                 n = len(suf)
@@ -193,7 +225,16 @@ class Analyzer:
         if self.stopwords:
             lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
             out = f"list_filter({out}, e -> NOT list_contains({lst}, e.t))"
-        if self.stem_suffixes:
+        if self.porter:
+            from monstache_spark.functions.porter import porter_tokens_sql
+
+            self._check_stemmers()
+            ts = porter_tokens_sql(f"list_transform({out}, e -> e.t)")
+            out = (
+                f"list_transform(range(1, len({out}) + 1), "
+                f"i -> {{'t': ({ts})[i], 'p': ({out})[i].p}})"
+            )
+        elif self.stem_suffixes:
             branches = []
             for suf in self.stem_suffixes:
                 n = len(suf)
@@ -211,3 +252,9 @@ class Analyzer:
 ENGLISH = Analyzer(
     stopwords=ENGLISH_STOPWORDS, stem_suffixes=LIGHT_ENGLISH_SUFFIXES
 )
+
+# the FULL `english` analyzer: standard stop set + the Porter
+# algorithm Lucene's PorterStemFilter runs — closes the DIVERGENCES S1
+# Porter residual (functions/porter.py; all three renderings are one
+# expression tree, parity-tested over the corpus vocabulary)
+ENGLISH_PORTER = Analyzer(stopwords=ENGLISH_STOPWORDS, porter=True)
