@@ -3188,6 +3188,21 @@ def _q_match_phrase_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_es_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES combined_fields (search.combined_fields_topk): term-centric
+    BM25 across text (x1) and source (x2) as ONE combined field —
+    weighted tf sums, weighted doc length, df over any-field
+    containment, one shared saturation curve (the BM25F
+    simplification ES implements, vs multi_match's field-centric
+    best-of)."""
+    from monstache_spark.operators.search import combined_fields_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return combined_fields_topk(
+        docs, ["src3", "join"], {"text": 1.0, "source": 2.0}, k=20,
+    )
+
+
 def _q_es_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES search templates (operators/templates.py): a STORED mustache
     template renders with params at query time — {{#toJson}} array
@@ -4302,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_mlt_multi": _q_es_mlt_multi,
         "bm25_search_porter": _q_bm25_search_porter,
         "match_phrase_porter": _q_match_phrase_porter,
+        "es_combined_fields": _q_es_combined_fields,
         "es_search_template": _q_es_search_template,
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
@@ -5823,6 +5839,45 @@ def oracle_sql() -> dict[str, str]:
                   p0 -> len(list_filter(
                     list_transform(list_filter(tp, e -> e.t = 'join'), e -> e.p),
                     p1 -> abs(p0 - (p1 - 1)) <= 1)) > 0)) > 0
+        """,
+        "es_combined_fields": f"""
+          WITH rows_ AS (
+            SELECT doc_id, unnest(list_filter({_TOKS_LOWER}, w -> w <> '')) AS term,
+                   1.0 AS wt
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(trim(lower(source)), '\\s+'),
+                                      w -> w <> '')) AS term,
+                   2.0 AS wt
+            FROM documents
+          ),
+          dl AS (SELECT doc_id, sum(wt) AS dl FROM rows_ GROUP BY doc_id),
+          stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+          qt AS (SELECT * FROM rows_ WHERE term IN ('join', 'src3')),
+          tf AS (SELECT doc_id, term, sum(wt) AS tf FROM qt GROUP BY doc_id, term),
+          dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY term),
+          idf AS (
+            SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+            FROM dfr, stats
+          ),
+          contrib AS (
+            SELECT tf.doc_id,
+                   CAST(round(idf * (tf * 2.2)
+                              / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+                        AS DECIMAL(38,6)) AS w
+            FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)
+          ),
+          scored AS (
+            SELECT doc_id, CAST(CAST(sum(w) AS DECIMAL(38,6)) AS DOUBLE) AS score
+            FROM contrib GROUP BY doc_id
+          ),
+          fin AS (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM scored
+          )
+          SELECT doc_id, score, rank FROM fin WHERE rank <= 20
         """,
         "es_search_template": f"""
           SELECT doc_id, source FROM documents

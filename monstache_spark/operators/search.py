@@ -1457,6 +1457,104 @@ def function_score_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def combined_fields_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    fields: dict[str, float],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    analyzer=None,
+) -> DataFrame:
+    """ES ``combined_fields``: TERM-CENTRIC scoring across several
+    text fields as if they were one combined field (the BM25F
+    simplification ES implements) — unlike ``multi_match``'s
+    field-centric best-of, a term matching in ANY field contributes to
+    one shared saturation curve, so documents spreading the query
+    terms across fields aren't over-rewarded.
+
+    Per ES's model: ``tf̃(t,d) = Σ_f w_f·tf_f(t,d)`` (field weights
+    from the ``field^w`` boosts), the document length is the weighted
+    sum of field lengths, ``df`` counts documents containing the term
+    in ANY listed field, and the ordinary BM25 formula runs over
+    those combined statistics.  With integer weights every statistic
+    stays exact; contributions round 6 dp and sum as DECIMAL(38,6)
+    (the engine-portable discipline of ``bm25_topk``).
+
+    Plan shape: one union of per-field token explodes (weights ride
+    as literals), then the same early-filter / hash-agg / broadcast-
+    stats shape as ``_bm25_scored`` — the corpus text never shuffles.
+    Returns ``(id, score, rank)``.
+    """
+    if analyzer is not None:
+        terms = sorted({t for q in query_terms for t in analyzer.analyze(q)})
+    else:
+        terms = sorted({t.lower() for t in query_terms})
+    parts = []
+    for fld, wt in sorted(fields.items()):
+        if analyzer is not None:
+            toks = analyzer.tokens(F.col(fld))
+        else:
+            toks = F.split(F.trim(F.lower(F.col(fld))), r"\s+")
+        parts.append(
+            docs.select(
+                F.col(id_col),
+                F.explode(toks).alias("term"),
+                F.lit(float(wt)).alias("wt"),
+            ).filter(F.col("term") != "")
+        )
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
+    dl = rows.groupBy(id_col).agg(F.sum("wt").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qrows = rows.filter(F.col("term").isin(terms))
+    tf = qrows.groupBy(id_col, "term").agg(F.sum("wt").alias("tf"))
+    df_ = (
+        qrows.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "n_docs",
+        "avgdl",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(idf), "term")
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("w"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.sum("w").cast("decimal(38,6)").cast("double").alias("score")
+    )
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def pinned_topk(
     docs: DataFrame,
     pinned_ids: list,

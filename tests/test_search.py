@@ -1663,3 +1663,30 @@ def test_more_like_this_multi_like_and_unlike(spark):
     b = [(r["doc_id"], r["score"]) for r in
          more_like_this(df, [0], k=3, min_term_len=4).collect()]
     assert a == b
+
+
+def test_combined_fields_term_centric(spark):
+    import math
+
+    from monstache_spark.operators.search import combined_fields_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "alpha"), (2, "alpha alpha", "gamma"),
+         (3, "delta", "beta"), (4, "zz yy", "xx")],
+        "doc_id long, text string, title string",
+    )
+    out = {r["doc_id"]: r["score"] for r in combined_fields_topk(
+        df, ["alpha"], {"text": 1.0, "title": 2.0}, k=4).collect()}
+    # reference computation of the combined statistics
+    tf = {1: 1 + 2.0, 2: 2.0, 4: 0.0}
+    dl = {1: 2 + 2.0, 2: 2 + 2.0, 3: 1 + 2.0, 4: 2 + 2.0}
+    n, avgdl = 4.0, sum(dl.values()) / 4
+    dfreq = 2  # docs 1 and 2 contain 'alpha' in ANY field
+    idf = math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    for d in (1, 2):
+        w = idf * tf[d] * 2.2 / (tf[d] + 1.2 * (1 - 0.75 + 0.75 * dl[d] / avgdl))
+        assert abs(out[d] - round(w, 6)) < 1e-9, (d, out[d], w)
+    assert set(out) == {1, 2}
+    # term-centric: doc1 (one per field) must outscore doc2 (two in
+    # the lighter field) under these weights
+    assert out[1] > out[2]
