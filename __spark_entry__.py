@@ -4479,9 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the driver's 50-query correctness window, head first — see the
 # queries() docstring for this round's composition rationale
 _GATE_WINDOW = [
-    # (a) the one never-gated query, at the head
     "minhash_pairs_collapsed",
-    # (b) new in round 8
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
     "geo_geotile_grid",
@@ -4499,7 +4497,14 @@ _GATE_WINDOW = [
     "es_range_date_math",
     "es_terms_lookup",
     "es_query_string",
-    # (c) implementation/oracle changed in round 8 — re-gate
+    "es_mlt_multi",
+    "es_distance_feature",
+    "es_pinned",
+    "es_combined_fields",
+    "bm25_search_porter",
+    "match_phrase_porter",
+    "cluster_balanced_sample",
+    "sft_render_chat",
     "fuzzy_suggest_analyzed",
     "es_fuzzy_query_tokens",
     "fuzzy_suggest",
@@ -4517,7 +4522,6 @@ _GATE_WINDOW = [
     "es_date_histogram_bounds",
     "es_hard_bounds",
     "es_top_metrics",
-    # (d) stalest previously-gated cohort (last gated round 3)
     "es_sibling_aggs",
     "percolate_indexed",
     "bpe_train_merges",
@@ -4525,14 +4529,6 @@ _GATE_WINDOW = [
     "pq_ann_topk",
     "ivfpq_ann_topk",
     "merge_patch_json",
-    "merge_patch_history",
-    "file_fetch",
-    "file_enrichment",
-    "corpus_curation",
-    "salted_value_agg",
-    "multimodal_features",
-    "cdc_stream_pipeline",
-    "full_plan_pipeline",
 ]
 
 
