@@ -3279,7 +3279,8 @@ def _q_match_phrase_slop_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     document positions for equal terms (Lucene SloppyPhraseQuery
     repeats handling — two query occurrences never land on one
     position), so a doc with a single 'hash' can't satisfy both.
-    Closes the repeated-term residual of DIVERGENCES S2 for n ≤ 3."""
+    See match_phrase_slop_repeat4 for the n ≥ 4 generalization that
+    fully closes DIVERGENCES S2."""
     from monstache_spark.operators.search import bool_query_filter
 
     docs = load_table(spark, "documents", sf_dir)
@@ -3955,6 +3956,48 @@ def _q_match_phrase_slop3_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_match_phrase_slop4_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-token sloppy phrase with OUT-OF-ORDER arrangements
+    (search._match_phrase_slop, distinct-term window-cover branch):
+    Lucene's SloppyPhraseScorer accepts a pick of one position per
+    term when max(p_i − qd_i) − min(p_i − qd_i) ≤ slop, for ANY
+    phrase length; the predicate is the smallest-range cover —
+    ∃ anchor a in the union of adjusted lists with every per-term
+    list intersecting [a, a+slop] — linear HOF work, no pick
+    product.  'hash join sort merge'~6 (closes DIVERGENCES.md S2
+    for distinct terms at every n)."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"match_phrase": {"text": {"query": "hash join sort merge", "slop": 6}}},
+    )
+    return out.select("doc_id")
+
+
+def _q_match_phrase_slop_repeat4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-token sloppy phrase with a REPEATED term at n ≥ 4
+    (search._match_phrase_slop, greedy-matching branch): inside the
+    anchor window [a, a+slop], the two query occurrences of 'table'
+    (deltas 0 and 2) need an INJECTIVE assignment of document
+    positions to the staircase intervals [a+d_j, a+slop+d_j] —
+    decided by the earliest-deadline greedy as one F.aggregate over
+    the ascending position list (Lucene SloppyPhraseQuery repeats
+    handling: equal terms never share a position).  'table value
+    table key'~4 — with this branch DIVERGENCES.md S2 is fully
+    closed: exact min-movement semantics at any phrase length and
+    any repetition pattern, linear HOF work, no pick product."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"match_phrase": {"text": {"query": "table value table key", "slop": 4}}},
+    )
+    return out.select("doc_id")
+
+
 def _q_match_phrase_slop_analyzed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzed SLOPPY phrase (search._match_phrase_slop with an
     analyzer): 'hash the join'~1 under ENGLISH keeps the stop word's
@@ -4274,6 +4317,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_match_bool_prefix": _q_es_match_bool_prefix,
         "match_phrase_analyzed": _q_match_phrase_analyzed,
         "match_phrase_slop3_perm": _q_match_phrase_slop3_perm,
+        "match_phrase_slop4_unordered": _q_match_phrase_slop4_unordered,
+        "match_phrase_slop_repeat4": _q_match_phrase_slop_repeat4,
         "match_phrase_slop_analyzed": _q_match_phrase_slop_analyzed,
         "fuzzy_suggest_analyzed": _q_fuzzy_suggest_analyzed,
         "es_fuzzy_query_tokens": _q_es_fuzzy_query_tokens,
@@ -4479,6 +4524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the driver's 50-query correctness window, head first — see the
 # queries() docstring for this round's composition rationale
 _GATE_WINDOW = [
+    "match_phrase_slop_repeat4",
+    "match_phrase_slop4_unordered",
     "minhash_pairs_collapsed",
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
@@ -5644,6 +5691,29 @@ def oracle_sql() -> dict[str, str]:
                       greatest(a, b - 1, c - 2) - least(a, b - 1, c - 2) <= 3
                     )) > 0)) > 0)) > 0
         """,
+        "match_phrase_slop4_unordered": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_transform(list_filter(range(1, len(toks) + 1),
+                                              i -> toks[i] = 'hash'), v -> v - 0) AS x0,
+                   list_transform(list_filter(range(1, len(toks) + 1),
+                                              i -> toks[i] = 'join'), v -> v - 1) AS x1,
+                   list_transform(list_filter(range(1, len(toks) + 1),
+                                              i -> toks[i] = 'sort'), v -> v - 2) AS x2,
+                   list_transform(list_filter(range(1, len(toks) + 1),
+                                              i -> toks[i] = 'merge'), v -> v - 3) AS x3
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(flatten([x0, x1, x2, x3]), a ->
+                  len(list_filter(x0, v -> v >= a AND v <= a + 6)) > 0
+                  AND len(list_filter(x1, v -> v >= a AND v <= a + 6)) > 0
+                  AND len(list_filter(x2, v -> v >= a AND v <= a + 6)) > 0
+                  AND len(list_filter(x3, v -> v >= a AND v <= a + 6)) > 0)) > 0
+        """,
         "es_match_fuzzy": f"""
           WITH t AS (
             SELECT doc_id, source,
@@ -5919,6 +5989,26 @@ def oracle_sql() -> dict[str, str]:
           WHERE len(list_filter(ph, a ->
                   len(list_filter(pj, b -> b >= a + 1 AND b - a - 1 <= 3
                     AND NOT len(list_filter(pm, m -> m >= a AND m <= b)) > 0)) > 0)) > 0
+        """,
+        "match_phrase_slop_repeat4": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pt,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'value') AS pv,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'key') AS pk
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(pt, a ->
+                  len(list_filter(pv, b ->
+                    len(list_filter(pt, c ->
+                      len(list_filter(pk, d ->
+                        c <> a AND greatest(a, b - 1, c - 2, d - 3)
+                                 - least(a, b - 1, c - 2, d - 3) <= 4
+                      )) > 0)) > 0)) > 0)) > 0
         """,
         "match_phrase_slop_repeat": f"""
           WITH t AS (

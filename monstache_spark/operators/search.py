@@ -891,18 +891,40 @@ def _match_phrase_slop(
     array-exists carrying a running min/max — entirely JVM-side, no
     explode, no shuffle, usable anywhere in a bool tree.
 
-    Orderings: for n ≤ 3 every arrangement is admitted at its
-    movement cost (the adjacent pair swap costs 2, per
-    SloppyPhraseQuery; a full 3-token reversal costs 4) — this
-    closes DIVERGENCES.md S2 for n ≤ 3.  REPEATED query terms share
-    one position list, so the unordered picks carry explicit
-    pairwise ``p_i ≠ p_j`` constraints for equal terms (Lucene's
-    SloppyPhraseQuery "repeats" handling — two query occurrences may
-    never land on the same document position); pairwise ≠ over ≤ 3
-    lists stays a bounded JVM expression.  For n ≥ 4 the contract is
-    in-order-only with the same min/max cost — a doc matching here
-    always matches Lucene at the same slop, not vice-versa, only for
-    those arrangements.
+    Orderings: for DISTINCT-term phrases of ANY length every
+    arrangement is admitted at its movement cost (the adjacent pair
+    swap costs 2, per SloppyPhraseQuery; a full 3-token reversal
+    costs 4) — this closes DIVERGENCES.md S2 for distinct terms.
+    The decision "∃ one pick per term with max(x) − min(x) ≤ slop"
+    is the classic smallest-range-over-k-lists cover: a valid pick
+    set with minimum m puts one element of EVERY adjusted list
+    inside the window ``[m, m + slop]``, and m itself is an element
+    of some list — so the predicate is ``∃ a ∈ ⋃ x_i: ∀ i ∃ v ∈
+    x_i: a ≤ v ≤ a + slop``, one flatten + nested exists, LINEAR in
+    total positions × n instead of the pick-product — entirely
+    JVM-side, no explode, no shuffle, usable anywhere in a bool
+    tree.
+
+    REPEATED query terms share one position list, so unordered picks
+    need explicit pairwise ``p_i ≠ p_j`` constraints for equal terms
+    (Lucene's SloppyPhraseQuery "repeats" handling — two query
+    occurrences may never land on the same document position).  The
+    window cover extends to repeats EXACTLY: inside the window
+    ``[a, a + slop]`` the occurrences of one term (query deltas
+    ``d_1 < … < d_k``) need an INJECTIVE assignment of document
+    positions with ``a + d_j ≤ p ≤ a + slop + d_j`` — a bipartite
+    matching against k same-length staircase intervals, decided by
+    the classic earliest-deadline greedy: scan the term's positions
+    ascending, match each to the lowest-index unmatched interval
+    (skip a position below its start; a position past its end proves
+    global infeasibility because every later position is larger
+    still).  One ``F.aggregate`` per repeated term carries the
+    matched count (−1 = failed); different terms can never collide
+    on a position, so per-term feasibility suffices.  This makes the
+    predicate EXACT Lucene min-movement semantics for any phrase
+    length and any repetition pattern — DIVERGENCES.md S2 is fully
+    closed; the cost stays linear HOF work (anchors × positions),
+    no pick product anywhere.
     """
     if analyzer is not None:
         q = analyzer.analyze_pos(text)
@@ -940,37 +962,64 @@ def _match_phrase_slop(
 
     if len(toks) == 1:
         return F.size(positions_of(toks[0])) > 0
-    pos = [positions_of(t) for t in toks]
-    n = len(toks)
-    unordered = n <= 3
 
-    def nest(
-        i: int, prev: Column | None, picked: list[Column], mn: Column, mx: Column
-    ) -> Column:
-        def body(p: Column) -> Column:
-            x = p - F.lit(qd[i])
-            nmn, nmx = F.least(mn, x), F.greatest(mx, x)
-            c = F.lit(True) if prev is None else (p > prev)
-            if prev is None:
-                # unordered picks: repeated query terms share one
-                # position list — equal terms must land on DISTINCT
-                # document positions (Lucene repeats handling)
-                for j, pj in enumerate(picked):
-                    if toks[j] == toks[i]:
-                        c = c & (p != pj)
-            if i == n - 1:
-                return c & (nmx - nmn <= F.lit(slop))
-            return c & nest(
-                i + 1, None if prev is None else p, picked + [p], nmn, nmx
+    # group the query occurrences by distinct term: deltas sorted
+    # ascending per term (they are distinct query positions)
+    groups: dict[str, list[int]] = {}
+    for t, d in zip(toks, qd):
+        groups.setdefault(t, []).append(d)
+    term_pos = {t: positions_of(t) for t in groups}
+
+    # anchor candidates: every adjusted value p − d over every
+    # (term, occurrence-delta) pair — a valid pick's minimum adjusted
+    # value is always one of these
+    def shift(lst: Column, d: int) -> Column:
+        # factory closure: a 2-arg transform lambda (even via default
+        # args) would receive the array INDEX as its second argument
+        return F.transform(lst, lambda p: p - F.lit(d))
+
+    shifted = [
+        shift(term_pos[t], d) for t, deltas in groups.items() for d in deltas
+    ]
+
+    def feasible(t: str, a: Column) -> Column:
+        deltas = groups[t]
+        if len(deltas) == 1:
+            d = deltas[0]
+            return F.exists(
+                term_pos[t],
+                lambda p: (p - F.lit(d) >= a) & (p - F.lit(d) <= a + F.lit(slop)),
+            )
+        # repeated term: earliest-deadline greedy matching of the
+        # ascending position list against the staircase intervals
+        # [a + d_j, a + slop + d_j]; acc = matched count, −1 = proven
+        # infeasible (a position overshot the next interval's end —
+        # every later position overshoots it too)
+        k = len(deltas)
+        d_arr = F.array(*[F.lit(d) for d in deltas])
+
+        def step(acc: Column, p: Column) -> Column:
+            nxt = F.get(d_arr, acc)  # 0-based, null-safe out of range
+            return (
+                F.when(acc < 0, acc)
+                .when(acc >= F.lit(k), acc)
+                .when(p < a + nxt, acc)
+                .when(p <= a + F.lit(slop) + nxt, acc + F.lit(1))
+                .otherwise(F.lit(-1))
             )
 
-        return F.exists(pos[i], body)
+        return (
+            F.aggregate(F.array_sort(term_pos[t]), F.lit(0), step) == F.lit(k)
+        )
 
-    def start(p0: Column) -> Column:
-        x0 = p0 - F.lit(qd[0])
-        return nest(1, None if unordered else p0, [p0], x0, x0)
+    def covered(a: Column) -> Column:
+        cond = None
+        for t in groups:
+            c = feasible(t, a)
+            cond = c if cond is None else cond & c
+        return cond
 
-    return F.exists(pos[0], start)
+    return F.exists(F.flatten(F.array(*shifted)), covered)
 
 
 def _coerce_msm(raw, n_should: int) -> int:

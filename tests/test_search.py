@@ -229,16 +229,81 @@ def test_match_phrase_slop_three_terms_movement_cost(spark):
     assert ids(4) == [1, 2, 3, 4, 5, 6]
 
 
-def test_match_phrase_slop_four_terms_stays_in_order(spark):
-    # n ≥ 4 keeps the conservative in-order contract
+def test_match_phrase_slop_four_terms_unordered_window_cover(spark):
+    # n ≥ 4 with distinct terms: smallest-range cover admits every
+    # arrangement at its max(x)−min(x) movement cost
     df = spark.createDataFrame(
-        [(1, "a b c d"), (2, "a x b c d"), (3, "a b d c")],
+        [
+            (1, "a b c d"),      # exact, cost 0
+            (2, "a x b c d"),    # x=(0,1,2,2) cost 2
+            (3, "a b d c"),      # tail swap: x=(0,0,1,-1) cost 2
+            (4, "d c b a"),      # full reversal: x=(3,1,-1,-3) cost 6
+            (5, "a b x x x c d"),  # x=(0,0,3,3) cost 3
+        ],
         "id long, text string",
     )
-    got = sorted(r["id"] for r in bool_query_filter(
-        df, {"match_phrase": {"text": {"query": "a b c d", "slop": 2}}}
-    ).collect())
-    assert got == [1, 2]
+
+    def ids(slop):
+        return sorted(r["id"] for r in bool_query_filter(
+            df, {"match_phrase": {"text": {"query": "a b c d", "slop": slop}}}
+        ).collect())
+
+    assert ids(0) == [1]
+    assert ids(2) == [1, 2, 3]
+    assert ids(3) == [1, 2, 3, 5]
+    assert ids(5) == [1, 2, 3, 5]
+    assert ids(6) == [1, 2, 3, 4, 5]
+
+
+def test_match_phrase_slop_window_cover_matches_brute_force(spark):
+    # membership of the HOF window-cover predicate must equal the
+    # brute-force min over all pick products of max(x)−min(x)
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = list("abcde")
+    docs = [
+        (i, " ".join(rng.choice(vocab + ["x"]) for _ in range(rng.randint(4, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    def brute(text, query, slop):
+        toks = text.split()
+        lists = [
+            [p for p, t in enumerate(toks) if t == term] for term in query
+        ]
+        if any(not l for l in lists):
+            return False
+        for pick in itertools.product(*lists):
+            # Lucene repeats handling: equal query terms must land on
+            # pairwise-DISTINCT document positions
+            if any(
+                query[i] == query[j] and pick[i] == pick[j]
+                for i in range(len(query))
+                for j in range(i + 1, len(query))
+            ):
+                continue
+            xs = [p - d for d, p in enumerate(pick)]
+            if max(xs) - min(xs) <= slop:
+                return True
+        return False
+
+    for query in (
+        ["a", "b", "c", "d"],          # distinct, n = 4
+        ["a", "b", "a"],               # repeat, n = 3
+        ["a", "b", "a", "c"],          # repeat, n = 4
+        ["a", "a", "b", "a"],          # triple repeat, n = 4
+        ["b", "a", "c", "a", "b"],     # two repeated terms, n = 5
+    ):
+        for slop in (0, 1, 2, 4):
+            got = sorted(r["id"] for r in bool_query_filter(
+                df,
+                {"match_phrase": {"text": {"query": " ".join(query), "slop": slop}}},
+            ).collect())
+            want = sorted(i for i, text in docs if brute(text, query, slop))
+            assert got == want, (query, slop, got, want)
 
 
 def test_match_phrase_slop_analyzed_position_gaps(spark):
