@@ -3273,6 +3273,126 @@ def _q_es_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def _q_es_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_containing (search._compile_span): return the BIG
+    spans (unordered 'hash'/'join' near, slop 2) that ENCLOSE at
+    least one little span ('table') — Lucene's SpanContainingQuery
+    (big.s <= little.s AND little.e <= big.e)."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"span_containing": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "hash"}},
+            {"span_term": {"text": "join"}},
+        ], "slop": 2, "in_order": False}},
+        "little": {"span_term": {"text": "table"}},
+    }})
+    return out.select("doc_id")
+
+
+def _q_es_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_within — the dual of span_containing: LITTLE spans
+    ('scan') lying inside a big span (unordered 'key'/'value' near,
+    slop 3); membership is per-doc existence of such a pair."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"span_within": {
+        "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "key"}},
+            {"span_term": {"text": "value"}},
+        ], "slop": 3, "in_order": False}},
+        "little": {"span_term": {"text": "scan"}},
+    }})
+    return out.select("doc_id")
+
+
+def _q_es_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_multi (search._compile_span): a multi-term query
+    lifted to spans — 'hash' followed within 2 intervening tokens by
+    ANY token matching wildcard 'jo*' (Lucene's
+    SpanMultiTermQueryWrapper term expansion, expressed as a token
+    predicate with no expansion cap)."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}},
+        {"span_multi": {"match": {"wildcard": {"text": "jo*"}}}},
+    ], "slop": 2, "in_order": True}})
+    return out.select("doc_id")
+
+
+def _q_es_match_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix (search._match_phrase_prefix): 'hash
+    jo' with slop 1 — 'hash' as an exact term, the LAST token as a
+    PREFIX of any document token, under the same min-movement window
+    cover as sloppy phrases.  Our contract admits EVERY completion
+    (ES caps the expansion at max_expansions=50 index-ordered terms
+    and can miss completions past the cap — documented divergence,
+    strictly more complete)."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(
+        docs,
+        {"match_phrase_prefix": {"text": {"query": "hash jo", "slop": 1}}},
+    )
+    return out.select("doc_id")
+
+
+def _q_es_wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wrapper query (search._compile_leaf 'wrapper'): a
+    base64-encoded JSON query decoded and recursed — pure transport
+    convenience, semantics are the wrapped bool's (lang='en' AND
+    n_chars >= 400)."""
+    import base64
+    import json
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    inner = {"bool": {"must": [
+        {"term": {"lang": "en"}},
+        {"range": {"n_chars": {"gte": 400}}},
+    ]}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    out = bool_query_filter(docs, {"wrapper": {"query": b64}})
+    return out.select("doc_id")
+
+
+def _q_es_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature scoring query (search.rank_feature_topk):
+    saturation S(x) = x/(x+pivot) over the positive n_chars feature,
+    pivot 500 (explicit — ES derives a default from index statistics,
+    which a deterministic engine cannot), top 10 by score with
+    doc_id tie-break.  Exact IEEE division rounded at 6 decimals."""
+    from monstache_spark.operators.search import rank_feature_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return rank_feature_topk(docs, "n_chars", k=10, pivot=500.0)
+
+
+def _q_es_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score (search.script_score_topk): docs matching
+    {"match": {"text": "vector"}} re-scored by the script
+    n_chars/(n_chars+500) — the painless->SQL contract shared with
+    bucket_script — with min_score 0.5 dropping the short tail,
+    top 10.  The script is one codegen projection; top-k is
+    TakeOrderedAndProject."""
+    from monstache_spark.operators.search import script_score_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return script_score_topk(
+        docs,
+        {"match": {"text": "vector"}},
+        "n_chars / (n_chars + 500.0)",
+        k=10,
+        min_score=0.5,
+    )
+
+
 def _q_match_phrase_slop_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase with a REPEATED query term ('hash join hash'~4):
     the unordered min-movement branch enforces pairwise-distinct
@@ -4261,6 +4381,141 @@ def _q_geo_centroid_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_centroid(c, "lat", "lon", bucket_col="cell")
 
 
+def _q_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_bounds aggregation (geo.geo_bounds): the smallest
+    bounding box per market-segment bucket — top_left = (max lat,
+    min lon), bottom_right = (min lat, max lon).  Pure min/max
+    comparisons, no arithmetic, no rounding contract; one hash agg."""
+    from monstache_spark.operators.geo import geo_bounds
+
+    c = _geo_customers(spark, sf_dir)
+    return geo_bounds(c, "lat", "lon", bucket_col="c_mktsegment")
+
+
+def _q_es_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate aggregation (aggs.rate_agg): events-value per DAY over
+    weekly date_histogram buckets — the bucket sum (exact decimal
+    accumulation) divided by the bucket's duration in the rate unit
+    (7 days per week bucket; month buckets would divide by their own
+    calendar day count, 29 for Feb 2024).  One hash agg."""
+    from monstache_spark.operators.aggs import rate_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    return rate_agg(ev, "ts", "week", "day", value_col="value")
+
+
+def _q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles pipeline agg (aggs.moving_percentiles):
+    p50/p90 of the RAW values in each day bucket's trailing 3-bucket
+    window — exact interpolated quantiles (the DIVERGENCES S4
+    contract; ES merges t-digests, approximate).  Scale shape: each
+    row replicates to the ≤3 target buckets whose window contains it
+    (sequence + explode, constant factor), then ONE hash-partitioned
+    percentile agg — no per-bucket value collection anywhere."""
+    from monstache_spark.operators.aggs import moving_percentiles
+
+    ev = load_table(spark, "events", sf_dir)
+    return moving_percentiles(ev, "ts", "value", [50.0, 90.0], window=3)
+
+
+def _q_es_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 kNN search API (similarity.knn_search): top-10 nearest the
+    vec_id-0 embedding under the ES score contract (1+cos)/2, with
+    PRE-FILTER semantics — {"range": {"label": {"gte": 1}}} restricts
+    candidates BEFORE the top-k (ES applies the filter during HNSW
+    traversal; post-filtering would return < k).  Exact path: one
+    corpus scan with the query vector as a literal expression (the
+    1-row query fetch is control-plane); the IVF-PQ index path is the
+    100 TB analogue."""
+    from monstache_spark.operators.similarity import knn_search
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return knn_search(
+        emb, [float(x) for x in qv], k=10,
+        filter={"range": {"label": {"gte": 1}}},
+    )
+
+
+def _q_es_script_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script query in FILTER context (search._compile_leaf
+    'script'): the painless predicate's SQL form — the same
+    painless→SQL binding contract as bucket_script / script_score —
+    composed inside a bool with a term leaf."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"bool": {"must": [
+        {"script": {"script": {"source": "n_chars % 7 = 3"}}},
+        {"term": {"lang": "de"}},
+    ]}})
+    return out.select("doc_id")
+
+
+def _q_es_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets aggregation (aggs.frequent_item_sets):
+    market-basket mining over (user, day) baskets of event types —
+    item sets of size <= 2 whose support (fraction of baskets
+    containing EVERY item) reaches 0.3, top 10 by doc_count.  Apriori
+    shape: distinct basket-item pairs, frequent-singleton semi-join
+    prune, pair candidates from a basket-key equi-join — never
+    all-pairs over the corpus."""
+    from monstache_spark.operators.aggs import frequent_item_sets
+
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.withColumn(
+        "basket",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string"),
+        ),
+    )
+    return frequent_item_sets(
+        b, "basket", "event_type", min_support=0.3, max_size=2, size=10
+    )
+
+
+def _q_es_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats aggregation (aggs.matrix_stats): multivariate
+    stats over (l_quantity, l_discount, l_tax) — mean/variance/
+    skewness/kurtosis per field, covariance/correlation per pair —
+    from EXACT decimal raw-moment sums (one hash agg) combined in
+    mirrored double arithmetic (the ES RunningStats estimators:
+    sample n-1 variance/covariance, g1 skewness, plain kurtosis)."""
+    from monstache_spark.operators.aggs import matrix_stats
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return matrix_stats(li, ["l_quantity", "l_discount", "l_tax"])
+
+
+def _q_es_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES categorize_text aggregation (aggs.categorize_text) under
+    the deterministic contract: log-style messages (rendered from the
+    events row: type + user + value) group by their sequence of
+    non-numeric tokens — digit-bearing tokens are variable
+    placeholders and drop from the category key, the first-order
+    behavior of the ES/ML categorizer (its order-dependent 70%%
+    similarity merge has no deterministic analogue — documented).
+    Top categories by doc_count."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.aggs import categorize_text
+
+    ev = load_table(spark, "events", sf_dir)
+    msg = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(" user "),
+            F.col("user_id"),
+            F.lit(" took "),
+            F.col("value"),
+            F.lit(" ms"),
+        ).alias("message")
+    )
+    return categorize_text(msg, "message", size=5)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4304,6 +4559,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_pq": _q_knn_join_pq,
         "geo_geohash_grid": _q_geo_geohash_grid,
         "geo_geotile_grid": _q_geo_geotile_grid,
+        "geo_bounds": _q_geo_bounds,
+        "es_rate": _q_es_rate,
+        "es_moving_percentiles": _q_es_moving_percentiles,
+        "es_categorize_text": _q_es_categorize_text,
+        "es_knn_search": _q_es_knn_search,
+        "es_script_query": _q_es_script_query,
+        "es_frequent_item_sets": _q_es_frequent_item_sets,
+        "es_matrix_stats": _q_es_matrix_stats,
         "es_reverse_nested": _q_es_reverse_nested,
         "fuzzy_suggest_dl2": _q_fuzzy_suggest_dl2,
         "es_hard_bounds": _q_es_hard_bounds,
@@ -4367,6 +4630,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_span_near": _q_es_span_near,
         "es_span_first": _q_es_span_first,
         "es_span_not": _q_es_span_not,
+        "es_span_containing": _q_es_span_containing,
+        "es_span_within": _q_es_span_within,
+        "es_span_multi": _q_es_span_multi,
+        "es_match_phrase_prefix": _q_es_match_phrase_prefix,
+        "es_wrapper": _q_es_wrapper,
+        "es_rank_feature": _q_es_rank_feature,
+        "es_script_score": _q_es_script_score,
         "es_regexp_query": _q_es_regexp_query,
         "es_date_histogram_bounds": _q_es_date_histogram_bounds,
         "match_phrase_slop": _q_match_phrase_slop,
@@ -4526,6 +4796,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _GATE_WINDOW = [
     "match_phrase_slop_repeat4",
     "match_phrase_slop4_unordered",
+    "es_span_containing",
+    "es_span_within",
+    "es_span_multi",
+    "es_match_phrase_prefix",
+    "es_wrapper",
+    "es_rank_feature",
+    "es_script_score",
+    "geo_bounds",
+    "es_rate",
+    "es_moving_percentiles",
+    "es_categorize_text",
+    "es_knn_search",
+    "es_script_query",
+    "es_frequent_item_sets",
+    "es_matrix_stats",
     "minhash_pairs_collapsed",
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
@@ -5950,6 +6235,269 @@ def oracle_sql() -> dict[str, str]:
           WHERE source IN ('src0', 'src1', 'src2')
             AND list_contains(list_filter({_TOKS_LOWER}, w -> w <> ''), 'join')
             AND doc_id < 400
+        """,
+        "es_knn_search": """
+          WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          s AS (
+            SELECT e.vec_id,
+                   CASE WHEN sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+                             * sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y)) > 0
+                        THEN round((1.0 + list_reduce(list_transform(range(1, 65), i -> e.v[i] * qv[i]), (x, y) -> x + y)
+                             / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+                                * sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y)))) / 2.0, 6)
+                        ELSE 0.5 END AS score
+            FROM e CROSS JOIN q
+            WHERE e.label >= 1 AND e.v IS NOT NULL
+          )
+          SELECT vec_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "es_script_query": """
+          SELECT doc_id FROM documents
+          WHERE n_chars % 7 = 3 AND lang = 'de'
+        """,
+        "es_frequent_item_sets": """
+          WITH b AS (
+            SELECT DISTINCT
+                   CAST(user_id AS VARCHAR) || '|' ||
+                   CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS g,
+                   event_type AS i
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+          ),
+          tot AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS t FROM b),
+          s1 AS (
+            SELECT i AS items, CAST(count(*) AS BIGINT) AS doc_count FROM b GROUP BY i
+          ),
+          f1 AS (
+            SELECT items, doc_count, round(doc_count / t, 6) AS support
+            FROM s1, tot WHERE round(doc_count / t, 6) >= 0.3
+          ),
+          kept AS (SELECT * FROM b WHERE i IN (SELECT items FROM f1)),
+          s2 AS (
+            SELECT a.i || ' ' || c.i AS items, CAST(count(*) AS BIGINT) AS doc_count
+            FROM kept a JOIN kept c ON a.g = c.g AND a.i < c.i
+            GROUP BY a.i, c.i
+          ),
+          f2 AS (
+            SELECT items, doc_count, round(doc_count / t, 6) AS support
+            FROM s2, tot WHERE round(doc_count / t, 6) >= 0.3
+          ),
+          u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2)
+          SELECT items, CAST(len(string_split(items, ' ')) AS BIGINT) AS n_items,
+                 doc_count, support
+          FROM u ORDER BY doc_count DESC, items ASC LIMIT 10
+        """,
+        "es_matrix_stats": """
+          WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) AS DOUBLE) AS nd,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS q1,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(16,4))) AS DOUBLE) AS q2,
+                   CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(16,4)) * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(22,6))) AS DOUBLE) AS q3,
+                   CAST(SUM(CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(16,4)) * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(22,6)) * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(33,8))) AS DOUBLE) AS q4,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS d1,
+                   CAST(SUM(CAST(CAST(l_discount AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2)) AS DECIMAL(16,4))) AS DOUBLE) AS d2,
+                   CAST(SUM(CAST(CAST(CAST(l_discount AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2)) AS DECIMAL(16,4)) * CAST(l_discount AS DECIMAL(10,2)) AS DECIMAL(22,6))) AS DOUBLE) AS d3,
+                   CAST(SUM(CAST(CAST(CAST(CAST(l_discount AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2)) AS DECIMAL(16,4)) * CAST(l_discount AS DECIMAL(10,2)) AS DECIMAL(22,6)) * CAST(l_discount AS DECIMAL(10,2)) AS DECIMAL(33,8))) AS DOUBLE) AS d4,
+                   CAST(SUM(CAST(l_tax AS DECIMAL(10,2))) AS DOUBLE) AS t1,
+                   CAST(SUM(CAST(CAST(l_tax AS DECIMAL(10,2)) * CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(16,4))) AS DOUBLE) AS t2,
+                   CAST(SUM(CAST(CAST(CAST(l_tax AS DECIMAL(10,2)) * CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(16,4)) * CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(22,6))) AS DOUBLE) AS t3,
+                   CAST(SUM(CAST(CAST(CAST(CAST(l_tax AS DECIMAL(10,2)) * CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(16,4)) * CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(22,6)) * CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(33,8))) AS DOUBLE) AS t4,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2)) AS DECIMAL(16,4))) AS DOUBLE) AS pqd,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(16,4))) AS DOUBLE) AS pqt,
+                   CAST(SUM(CAST(CAST(l_discount AS DECIMAL(10,2)) * CAST(l_tax AS DECIMAL(10,2)) AS DECIMAL(16,4))) AS DOUBLE) AS pdt
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+          ),
+          pairs AS (
+            SELECT 'l_discount' AS field_a, 'l_tax' AS field_b, n AS doc_count,
+                   d1 AS a1, d2 AS a2, d3 AS a3, d4 AS a4,
+                   t1 AS b1, t2 AS b2, t3 AS b3, t4 AS b4, pdt AS p, nd FROM s
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount', n,
+                   q1, q2, q3, q4, d1, d2, d3, d4, pqd, nd FROM s
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax', n,
+                   q1, q2, q3, q4, t1, t2, t3, t4, pqt, nd FROM s
+          )
+          SELECT field_a, field_b, doc_count,
+                 round(a1 / nd, 6) AS mean_a,
+                 round((a2 - a1 * a1 / nd) / (nd - 1.0), 6) AS variance_a,
+                 round(sqrt(nd) * (a3 - 3.0 * a1 * a2 / nd + 2.0 * a1 * a1 * a1 / (nd * nd))
+                       / ((a2 - a1 * a1 / nd) * sqrt(a2 - a1 * a1 / nd)), 6) AS skewness_a,
+                 round(nd * (a4 - 4.0 * a1 * a3 / nd + 6.0 * a1 * a1 * a2 / (nd * nd)
+                             - 3.0 * a1 * a1 * a1 * a1 / (nd * nd * nd))
+                       / ((a2 - a1 * a1 / nd) * (a2 - a1 * a1 / nd)), 6) AS kurtosis_a,
+                 round(b1 / nd, 6) AS mean_b,
+                 round((b2 - b1 * b1 / nd) / (nd - 1.0), 6) AS variance_b,
+                 round(sqrt(nd) * (b3 - 3.0 * b1 * b2 / nd + 2.0 * b1 * b1 * b1 / (nd * nd))
+                       / ((b2 - b1 * b1 / nd) * sqrt(b2 - b1 * b1 / nd)), 6) AS skewness_b,
+                 round(nd * (b4 - 4.0 * b1 * b3 / nd + 6.0 * b1 * b1 * b2 / (nd * nd)
+                             - 3.0 * b1 * b1 * b1 * b1 / (nd * nd * nd))
+                       / ((b2 - b1 * b1 / nd) * (b2 - b1 * b1 / nd)), 6) AS kurtosis_b,
+                 round((p - a1 * b1 / nd) / (nd - 1.0), 6) AS covariance,
+                 round((p - a1 * b1 / nd)
+                       / (sqrt(a2 - a1 * a1 / nd) * sqrt(b2 - b1 * b1 / nd)), 6) AS correlation
+          FROM pairs ORDER BY field_a, field_b
+        """,
+        "geo_bounds": f"""
+          WITH pts AS (
+            SELECT c_mktsegment,
+                   {_GEO_LAT_SQL} AS lat,
+                   {_GEO_LON_SQL} AS lon
+            FROM customer
+          )
+          SELECT c_mktsegment,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 max(lat) AS top_left_lat,
+                 min(lon) AS top_left_lon,
+                 min(lat) AS bottom_right_lat,
+                 max(lon) AS bottom_right_lon
+          FROM pts
+          WHERE lat IS NOT NULL AND lon IS NOT NULL
+          GROUP BY c_mktsegment
+        """,
+        "es_rate": """
+          WITH b AS (
+            SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS key, value
+            FROM events WHERE ts IS NOT NULL
+          )
+          SELECT key, CAST(count(*) AS BIGINT) AS doc_count,
+                 round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 6) AS rate
+          FROM b GROUP BY key ORDER BY key
+        """,
+        "es_moving_percentiles": """
+          WITH b AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          ), t AS (
+            SELECT DISTINCT unnest([day, day + INTERVAL 1 DAY,
+                                    day + INTERVAL 2 DAY]) AS key
+            FROM b
+          ), mx AS (SELECT max(day) AS last FROM b),
+          keys AS (SELECT key FROM t, mx WHERE key <= last),
+          j AS (
+            SELECT k.key, b.day, b.value
+            FROM keys k JOIN b ON b.day BETWEEN k.key - INTERVAL 2 DAY AND k.key
+          )
+          SELECT key,
+                 CAST(sum(CASE WHEN day = key THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+                 round(quantile_cont(value, 0.5), 6) AS "50",
+                 round(quantile_cont(value, 0.9), 6) AS "90"
+          FROM j GROUP BY key ORDER BY key
+        """,
+        "es_categorize_text": r"""
+          WITH m AS (
+            SELECT event_type || ' user ' || user_id || ' took ' || value
+                   || ' ms' AS message
+            FROM events
+          ), k AS (
+            SELECT array_to_string(list_filter(
+                     string_split_regex(trim(lower(message)), '\s+'),
+                     t -> t <> '' AND NOT regexp_matches(t, '[0-9]')), ' ') AS key
+            FROM m WHERE message IS NOT NULL
+          )
+          SELECT key, CAST(count(*) AS BIGINT) AS doc_count
+          FROM k WHERE key <> ''
+          GROUP BY key ORDER BY doc_count DESC, key LIMIT 5
+        """,
+        "es_span_containing": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pt
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(ph, a ->
+                  len(list_filter(pj, b ->
+                    ((b >= a + 1 AND b - a - 1 <= 2) OR (a >= b + 1 AND a - b - 1 <= 2))
+                    AND len(list_filter(pt, c ->
+                      least(a, b) <= c AND c <= greatest(a, b))) > 0)) > 0)) > 0
+        """,
+        "es_span_within": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'key') AS pk,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'value') AS pv,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'scan') AS ps
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(pk, a ->
+                  len(list_filter(pv, b ->
+                    ((b >= a + 1 AND b - a - 1 <= 3) OR (a >= b + 1 AND a - b - 1 <= 3))
+                    AND len(list_filter(ps, c ->
+                      least(a, b) <= c AND c <= greatest(a, b))) > 0)) > 0)) > 0
+        """,
+        "es_span_multi": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] LIKE 'jo%') AS pw
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(ph, a ->
+                  len(list_filter(pw, b -> b >= a + 1 AND b - a - 1 <= 2)) > 0)) > 0
+        """,
+        "es_match_phrase_prefix": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] LIKE 'jo%') AS pp
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(ph, a ->
+                  len(list_filter(pp, b -> abs(a - (b - 1)) <= 1)) > 0)) > 0
+        """,
+        "es_wrapper": """
+          SELECT doc_id FROM documents
+          WHERE lang = 'en' AND n_chars >= 400
+        """,
+        "es_rank_feature": """
+          WITH s AS (
+            SELECT doc_id, CAST(n_chars AS DOUBLE) AS value,
+                   round(round(n_chars / (n_chars + 500.0), 6), 6) AS score
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+          )
+          SELECT doc_id, value, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          FROM s
+          ORDER BY score DESC, doc_id
+          LIMIT 10
+        """,
+        "es_script_score": f"""
+          WITH m AS (
+            SELECT doc_id, round(n_chars / (n_chars + 500.0), 6) AS score
+            FROM documents
+            WHERE len(list_filter(list_filter({_TOKS_LOWER}, w -> w <> ''),
+                    w -> w = 'vector')) > 0
+          )
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          FROM m
+          WHERE score >= 0.5
+          ORDER BY score DESC, doc_id
+          LIMIT 10
         """,
         "es_span_near": f"""
           WITH t AS (

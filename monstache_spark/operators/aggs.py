@@ -1523,3 +1523,373 @@ def anomaly_flags(
         .withColumn("is_anomaly", flag.cast("long"))
         .drop("_n", "_sx", "_sxx")
     )
+
+
+_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def rate_agg(
+    df: DataFrame,
+    ts_col: str,
+    calendar_interval: str = "month",
+    unit: str = "day",
+    value_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``rate`` aggregation inside a ``date_histogram``: per
+    calendar bucket, the sum of ``value_col`` (or the doc count when
+    no field is given) DIVIDED by the bucket's duration expressed in
+    ``unit`` — "events per day" over monthly buckets, the Kibana
+    normalization panel.  Calendar buckets have calendar durations:
+    a month bucket divides by ITS OWN day count (31 for January, 29
+    for February 2024), quarters and years by their exact day spans —
+    computed from the bucket key with ``last_day``/``add_months``
+    arithmetic, never a 30-day approximation (the ES contract: rate
+    uses the full bucket duration regardless of data coverage).
+
+    ``unit`` must not exceed the bucket interval (the ES validation).
+    The sum is exact decimal accumulation; one division per bucket
+    row, rounded to ``round_to``.  One hash agg over the corpus —
+    the date_histogram plan plus a constant-per-row duration
+    expression.
+    """
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"unsupported rate unit: {unit}")
+    fixed = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+    if calendar_interval in fixed:
+        if _UNIT_SECONDS[unit] > fixed[calendar_interval]:
+            raise ValueError("rate unit must not exceed the bucket interval")
+    key = F.date_trunc(calendar_interval, F.col(ts_col))
+    base = df.filter(F.col(ts_col).isNotNull())
+    total = (
+        F.count("*").cast("double")
+        if value_col is None
+        else F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double")
+    )
+    out = base.groupBy(key.alias("key")).agg(
+        F.count("*").cast("long").alias("doc_count"),
+        total.alias("_total"),
+    )
+    if calendar_interval in fixed:
+        dur_units = F.lit(fixed[calendar_interval] / _UNIT_SECONDS[unit])
+    elif calendar_interval == "month":
+        days = F.dayofmonth(F.last_day(F.col("key")))
+        dur_units = days.cast("double") * F.lit(86400.0 / _UNIT_SECONDS[unit])
+    elif calendar_interval in ("quarter", "year"):
+        months = 3 if calendar_interval == "quarter" else 12
+        days = F.datediff(F.add_months(F.col("key"), months), F.col("key"))
+        dur_units = days.cast("double") * F.lit(86400.0 / _UNIT_SECONDS[unit])
+    else:
+        raise ValueError(f"unsupported calendar_interval: {calendar_interval}")
+    return (
+        out.withColumn("rate", F.round(F.col("_total") / dur_units, round_to))
+        .drop("_total")
+        .orderBy("key")
+    )
+
+
+def moving_percentiles(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    percents: list[float],
+    window: int = 3,
+    interval: str = "day",
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``moving_percentiles`` pipeline agg, under the exact
+    contract of DIVERGENCES S4: per date-histogram bucket, the
+    percentiles of the RAW values in the trailing ``window`` buckets
+    (ES merges the window's t-digest sketches — approximate; here the
+    percentile is the exact interpolated quantile over the window's
+    values, the stronger hash-checkable contract; swap in
+    ``percentile_approx`` at extreme scale).
+
+    Scale shape: never collects a bucket's values — each row is
+    replicated ``window`` times (a small constant) to every target
+    bucket whose trailing window contains it (``sequence`` +
+    ``explode``), then ONE hash-partitioned exact-percentile agg per
+    target bucket.  Target buckets past the last real bucket are
+    dropped with a 1-row max-bucket broadcast (the ES window never
+    extends past the series); leading buckets keep their shrinking
+    window, as in ES.  Returns ``(key, doc_count, p<N>...)``.
+    """
+    if interval not in ("minute", "hour", "day", "week"):
+        raise ValueError(f"unsupported interval: {interval}")
+    step = f"interval 1 {interval}"
+    b = F.date_trunc(interval, F.col(ts_col))
+    base = df.filter(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        b.alias("_b"), F.col(value_col).cast("double").alias("_v")
+    )
+    targets = F.sequence(
+        F.col("_b"),
+        F.col("_b") + F.expr(f"{step} * {window - 1}"),
+        F.expr(step),
+    )
+    exploded = base.select(
+        F.explode(targets).alias("key"), "_b", "_v"
+    )
+    last = base.agg(F.max("_b").alias("_last"))
+    exploded = exploded.crossJoin(F.broadcast(last)).filter(
+        F.col("key") <= F.col("_last")
+    )
+    aggs = [
+        # doc_count counts the TARGET bucket's own rows, as ES keys
+        # pipeline output on the histogram's buckets
+        F.sum((F.col("_b") == F.col("key")).cast("long")).alias("doc_count"),
+    ]
+    for p in percents:
+        aggs.append(
+            F.round(F.percentile(F.col("_v"), F.lit(p / 100.0)), round_to)
+            .alias(_pct_suffix(p))
+        )
+    return exploded.groupBy("key").agg(*aggs).orderBy("key")
+
+
+def categorize_text(
+    df: DataFrame,
+    text_col: str,
+    size: int = 10,
+) -> DataFrame:
+    """ES ``categorize_text`` aggregation (the ML log-categorization
+    agg) under a DETERMINISTIC contract: messages group by their
+    sequence of non-numeric tokens — any whitespace token containing
+    a digit is treated as a variable placeholder and dropped from the
+    category key, which is exactly the first-order behavior of the
+    ES/ML categorizer (it tokenizes, discards numbers, and clusters
+    on the remaining token sequence; its second-order 70%%-similarity
+    merge step is data-order-dependent and has no deterministic
+    analogue, so categories here are exact-key groups — documented
+    divergence, reproducible on any engine).
+
+    Top ``size`` categories by doc_count (key tie-break).  One
+    projection + hash agg + TakeOrderedAndProject; messages with no
+    surviving tokens drop (as in ES).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    key = F.array_join(
+        F.filter(toks, lambda t: (t != "") & ~t.rlike("[0-9]")), " "
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(key.alias("key"))
+    return (
+        base.filter(F.col("key") != "")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
+def frequent_item_sets(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: float = 0.1,
+    max_size: int = 2,
+    size: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``frequent_item_sets`` aggregation (market-basket mining):
+    item sets of size 1..``max_size`` whose SUPPORT — the fraction of
+    baskets (distinct ``group_col`` values) containing EVERY item of
+    the set — reaches ``min_support``; top ``size`` sets by doc_count
+    with the joined-key tie-break.  ES mines closed sets with its ECLAT
+    variant and the same support definition; exact-key enumeration at
+    bounded set size is the deterministic contract here (sets of size
+    ≤ 3 — the sizes the ES UI surfaces — via equi-self-joins).
+
+    Scale shape (Apriori): the basket frame is deduplicated to
+    distinct (basket, item) pairs, items are pruned to FREQUENT
+    singletons first (the Apriori downward-closure property, one
+    broadcast semi-join), then pair/triple candidates come from
+    equi-joins on the basket key — shuffle-partitioned on baskets,
+    never all-pairs over the corpus; the basket total is a 1-row
+    broadcast.  Returns ``(items, n_items, doc_count, support)``.
+    """
+    if max_size not in (1, 2, 3):
+        raise ValueError("max_size must be 1, 2, or 3")
+    b = (
+        df.filter(F.col(group_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
+        .distinct()
+    )
+    tot = b.agg(F.count_distinct("_g").cast("double").alias("_tot"))
+
+    def finish(grouped: DataFrame, items: Column) -> DataFrame:
+        return grouped.crossJoin(F.broadcast(tot)).select(
+            items.alias("items"),
+            F.col("doc_count"),
+            F.round(F.col("doc_count") / F.col("_tot"), round_to).alias(
+                "support"
+            ),
+        )
+
+    # Apriori prune: only items frequent on their own can appear in
+    # any frequent set
+    singles = b.groupBy("_i").agg(F.count("*").cast("long").alias("doc_count"))
+    freq1 = finish(singles, F.col("_i")).filter(
+        F.col("support") >= F.lit(min_support)
+    )
+    levels = [freq1.select("items", "doc_count", "support")]
+    if max_size >= 2:
+        kept = b.join(
+            F.broadcast(freq1.select(F.col("items").alias("_i"))), "_i", "semi"
+        )
+        a, c = kept.alias("a"), kept.alias("c")
+        pairs = (
+            a.join(c, (F.col("a._g") == F.col("c._g")) & (F.col("a._i") < F.col("c._i")))
+            .groupBy(F.col("a._i").alias("_i1"), F.col("c._i").alias("_i2"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+        )
+        freq2 = finish(
+            pairs, F.concat_ws(" ", F.col("_i1"), F.col("_i2"))
+        ).filter(F.col("support") >= F.lit(min_support))
+        levels.append(freq2)
+        if max_size >= 3:
+            d = kept.alias("d")
+            triples = (
+                a.join(c, (F.col("a._g") == F.col("c._g")) & (F.col("a._i") < F.col("c._i")))
+                .join(d, (F.col("a._g") == F.col("d._g")) & (F.col("c._i") < F.col("d._i")))
+                .groupBy(
+                    F.col("a._i").alias("_i1"),
+                    F.col("c._i").alias("_i2"),
+                    F.col("d._i").alias("_i3"),
+                )
+                .agg(F.count("*").cast("long").alias("doc_count"))
+            )
+            freq3 = finish(
+                triples, F.concat_ws(" ", F.col("_i1"), F.col("_i2"), F.col("_i3"))
+            ).filter(F.col("support") >= F.lit(min_support))
+            levels.append(freq3)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return (
+        out.withColumn(
+            "n_items", (F.size(F.split(F.col("items"), " "))).cast("long")
+        )
+        .select("items", "n_items", "doc_count", "support")
+        .orderBy(F.col("doc_count").desc(), F.col("items").asc())
+        .limit(size)
+    )
+
+
+def matrix_stats(
+    df: DataFrame,
+    fields: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``matrix_stats`` aggregation: multivariate statistics over
+    numeric fields — per field mean / variance / skewness / kurtosis
+    and per pair covariance / correlation, computed from EXACT decimal
+    raw-moment sums (Σx, Σx², Σx³, Σx⁴, Σxy) in one hash aggregate,
+    then combined in mirrored double arithmetic and rounded.
+
+    Estimators (the ES RunningStats contract): sample variance and
+    covariance (n−1 denominators); skewness ``√n·M3 / M2^{3/2}`` and
+    kurtosis ``n·M4 / M2²`` over the population central sums
+    ``M_k = Σ(x−x̄)^k`` expanded from the raw sums.  Documents missing
+    ANY of the fields are skipped entirely, as in ES.
+
+    Input contract for exactness: values carry ≤ 2 decimals and
+    |x| < 10⁶ (the per-step decimal downcasts keep x⁴ within
+    decimal(38,8); wider inputs need rescaling).  Output: one row per
+    unordered field pair (field_a < field_b) carrying both fields'
+    univariate stats plus covariance and correlation.
+    """
+    if len(fields) < 2:
+        raise ValueError("matrix_stats needs at least two fields")
+    cond = F.lit(True)
+    for f in fields:
+        cond = cond & F.col(f).isNotNull()
+    base = df.filter(cond)
+    aggs = [F.count("*").cast("long").alias("_n")]
+    for f in fields:
+        x = F.col(f).cast("decimal(10,2)")
+        x2 = (x * x).cast("decimal(16,4)")
+        x3 = (x2 * x).cast("decimal(22,6)")
+        x4 = (x3 * x).cast("decimal(33,8)")
+        aggs += [
+            F.sum(x).cast("double").alias(f"_s1_{f}"),
+            F.sum(x2).cast("double").alias(f"_s2_{f}"),
+            F.sum(x3).cast("double").alias(f"_s3_{f}"),
+            F.sum(x4).cast("double").alias(f"_s4_{f}"),
+        ]
+    pairs = [
+        (fields[i], fields[j])
+        for i in range(len(fields))
+        for j in range(i + 1, len(fields))
+    ]
+    for fa, fb in pairs:
+        xa = F.col(fa).cast("decimal(10,2)")
+        xb = F.col(fb).cast("decimal(10,2)")
+        aggs.append(
+            F.sum((xa * xb).cast("decimal(16,4)"))
+            .cast("double")
+            .alias(f"_p_{fa}_{fb}")
+        )
+    row = base.agg(*aggs)
+    nd = F.col("_n").cast("double")
+
+    def m2(f):
+        return F.col(f"_s2_{f}") - F.col(f"_s1_{f}") * F.col(f"_s1_{f}") / nd
+
+    def stats_of(f, suffix):
+        s1, s2, s3, s4 = (F.col(f"_s{k}_{f}") for k in (1, 2, 3, 4))
+        c2 = m2(f)
+        c3 = s3 - F.lit(3.0) * s1 * s2 / nd + F.lit(2.0) * s1 * s1 * s1 / (nd * nd)
+        c4 = (
+            s4
+            - F.lit(4.0) * s1 * s3 / nd
+            + F.lit(6.0) * s1 * s1 * s2 / (nd * nd)
+            - F.lit(3.0) * s1 * s1 * s1 * s1 / (nd * nd * nd)
+        )
+        # guards: n = 1 has no sample variance (null, as ES reports
+        # for degenerate buckets); zero spread has no skew/kurtosis
+        return [
+            F.round(s1 / nd, round_to).alias(f"mean_{suffix}"),
+            F.round(
+                F.when(nd > 1, c2 / (nd - F.lit(1.0))), round_to
+            ).alias(f"variance_{suffix}"),
+            F.round(
+                F.when(c2 > 0, F.sqrt(nd) * c3 / (c2 * F.sqrt(c2))), round_to
+            ).alias(f"skewness_{suffix}"),
+            F.round(
+                F.when(c2 > 0, nd * c4 / (c2 * c2)), round_to
+            ).alias(f"kurtosis_{suffix}"),
+        ]
+
+    frames = []
+    for fa, fb in pairs:
+        cxy = F.col(f"_p_{fa}_{fb}") - F.col(f"_s1_{fa}") * F.col(f"_s1_{fb}") / nd
+        frames.append(
+            row.select(
+                F.lit(fa).alias("field_a"),
+                F.lit(fb).alias("field_b"),
+                F.col("_n").alias("doc_count"),
+                *stats_of(fa, "a"),
+                *stats_of(fb, "b"),
+                F.round(
+                    F.when(nd > 1, cxy / (nd - F.lit(1.0))), round_to
+                ).alias("covariance"),
+                F.round(
+                    F.when(
+                        (m2(fa) > 0) & (m2(fb) > 0),
+                        cxy / (F.sqrt(m2(fa)) * F.sqrt(m2(fb))),
+                    ),
+                    round_to,
+                ).alias("correlation"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("field_a", "field_b")

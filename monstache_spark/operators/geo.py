@@ -400,6 +400,34 @@ def geo_centroid(
     return base.agg(*aggs)
 
 
+def geo_bounds(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """ES ``geo_bounds`` aggregation: the smallest bounding box
+    enclosing the bucket's points — ``top_left = (max lat, min lon)``,
+    ``bottom_right = (min lat, max lon)``.  EXACT min/max comparisons
+    (no arithmetic at all, so no rounding contract), one hash agg;
+    null coordinates drop.  ``wrap_longitude`` (the ES
+    antimeridian-crossing mode) is not modeled — boxes never wrap,
+    the documented default-adjacent behavior for non-crossing data."""
+    base = df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    aggs = [
+        F.count("*").cast("long").alias("doc_count"),
+        F.max(lat_col).alias("top_left_lat"),
+        F.min(lon_col).alias("top_left_lon"),
+        F.min(lat_col).alias("bottom_right_lat"),
+        F.max(lon_col).alias("bottom_right_lon"),
+    ]
+    if bucket_col is not None:
+        return base.filter(F.col(bucket_col).isNotNull()).groupBy(
+            bucket_col
+        ).agg(*aggs)
+    return base.agg(*aggs)
+
+
 def geo_distance_buckets(
     df: DataFrame,
     lat_col: str,

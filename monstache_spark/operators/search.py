@@ -144,6 +144,30 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         )
     if kind == "exists":
         return _field(body["field"], resolver).isNotNull()
+    if kind == "wrapper":
+        # ES wrapper query: {"wrapper": {"query": "<base64 JSON>"}} —
+        # decode and recurse; purely a transport convenience (SDKs
+        # that can't express nested JSON), so semantics are exactly
+        # the wrapped query's
+        import base64
+        import json as _json
+
+        inner = _json.loads(base64.b64decode(body["query"]))
+        return compile_bool_query(inner, resolver=resolver, analyzer=analyzer)
+    if kind == "rank_feature":
+        # ES rank_feature in FILTER context: matches documents that
+        # HAVE the feature (rank_feature fields index positive values
+        # only); the scoring form is rank_feature_topk
+        c = _field(body["field"], resolver)
+        return c.isNotNull() & (c > F.lit(0))
+    if kind == "script":
+        # ES script query (filter context): the painless predicate's
+        # SQL equivalent — the same painless→SQL binding contract as
+        # bucket_script / script_score_topk (documented divergence:
+        # callers hand the engine the SQL form of their script)
+        spec = body.get("script", body)
+        src = spec["source"] if isinstance(spec, dict) else str(spec)
+        return F.expr(src).cast("boolean")
     if kind == "ids":
         # ES ids query: {"ids": {"values": [...], "field": "doc_id"}}
         # (the field name is explicit here — there is no implicit _id)
@@ -470,6 +494,16 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
                 value.get("operator", "or"),
             )
         return _match_any_token(field, str(value), resolver, analyzer)
+    if kind == "match_phrase_prefix":
+        # {"match_phrase_prefix": {f: "a b"}} or {... {"query": ...,
+        # "slop": n}} — phrase with the LAST analyzed token as a
+        # prefix (autocomplete); every matching completion admitted
+        # (no max_expansions cap — see _match_phrase_prefix)
+        if isinstance(value, dict):
+            text, slop = str(value["query"]), int(value.get("slop", 0))
+        else:
+            text, slop = str(value), 0
+        return _match_phrase_prefix(field, text, slop, resolver, analyzer)
     if kind == "match_phrase":
         # {"match_phrase": {field: "a b"}} or
         # {"match_phrase": {field: {"query": "a b", "slop": 2}}}
@@ -580,7 +614,16 @@ def resolve_date_math(expr: str, now) -> str:
     )
 
 
-_SPAN_KINDS = ("span_term", "span_near", "span_first", "span_or", "span_not")
+_SPAN_KINDS = (
+    "span_term",
+    "span_near",
+    "span_first",
+    "span_or",
+    "span_not",
+    "span_containing",
+    "span_within",
+    "span_multi",
+)
 
 
 def _span_field(body: dict) -> str:
@@ -599,6 +642,12 @@ def _span_field(body: dict) -> str:
         return _span_field(b["match"])
     if kind == "span_not":
         return _span_field(b["include"])
+    if kind in ("span_containing", "span_within"):
+        return _span_field(b["little"])
+    if kind == "span_multi":
+        ((_mk, mb),) = b["match"].items()
+        ((field, _),) = mb.items()
+        return field
     raise ValueError(f"not a span query: {kind}")
 
 
@@ -621,7 +670,21 @@ def _compile_span(body: dict, positions_of) -> Column:
     * ``span_first`` — match spans ending at position ≤ ``end``;
     * ``span_not`` — include spans that OVERLAP no exclude span,
       with the exclude window optionally widened by ``pre``/``post``
-      positions (the ES dis-allowance window).
+      positions (the ES dis-allowance window);
+    * ``span_containing`` — ``big`` spans that ENCLOSE at least one
+      ``little`` span (``big.s ≤ little.s ∧ little.e ≤ big.e`` —
+      Lucene's SpanContainingQuery contract: the returned spans are
+      the big ones);
+    * ``span_within`` — the dual: ``little`` spans that lie inside
+      at least one ``big`` span (SpanWithinQuery returns the little
+      ones);
+    * ``span_multi`` — a multi-term query (``prefix`` / ``wildcard``
+      / ``regexp``) lifted to spans: one span per position of ANY
+      token the wrapped query's term predicate admits (Lucene's
+      SpanMultiTermQueryWrapper term-dictionary expansion, expressed
+      directly as a token predicate — no expansion cap needed, and
+      no ``fuzzy`` form: route fuzzy matching through the
+      vocabulary scale path instead).
 
     Everything is one codegen'd Column per document — no explode, no
     shuffle; span predicates drop into any bool context via the
@@ -653,6 +716,43 @@ def _compile_span(body: dict, positions_of) -> Column:
         end = int(b["end"])
         match = _compile_span(b["match"], positions_of)
         return F.filter(match, lambda sp: sp["e"] <= F.lit(end))
+    if kind == "span_containing":
+        big = _compile_span(b["big"], positions_of)
+        little = _compile_span(b["little"], positions_of)
+        return F.filter(
+            big,
+            lambda sb: F.exists(
+                little, lambda sl: (sb["s"] <= sl["s"]) & (sl["e"] <= sb["e"])
+            ),
+        )
+    if kind == "span_within":
+        big = _compile_span(b["big"], positions_of)
+        little = _compile_span(b["little"], positions_of)
+        return F.filter(
+            little,
+            lambda sl: F.exists(
+                big, lambda sb: (sb["s"] <= sl["s"]) & (sl["e"] <= sb["e"])
+            ),
+        )
+    if kind == "span_multi":
+        ((mk, mb),) = b["match"].items()
+        ((_field_name, mval),) = mb.items()
+        raw = mval["value"] if isinstance(mval, dict) else mval
+        if mk == "prefix":
+            key = ("prefix", str(raw).lower())
+        elif mk == "wildcard":
+            key = ("wildcard", _wildcard_to_like(str(raw).lower()))
+        elif mk == "regexp":
+            key = ("regexp", f"^(?:{raw})$")
+        else:
+            raise ValueError(
+                f"span_multi supports prefix/wildcard/regexp, not {mk!r} "
+                "(fuzzy belongs on the vocabulary scale path)"
+            )
+        return F.transform(
+            positions_of(key),
+            lambda p: F.struct(p.alias("s"), (p + F.lit(1)).alias("e")),
+        )
     if kind == "span_not":
         inc = _compile_span(b["include"], positions_of)
         exc = _compile_span(b["exclude"], positions_of)
@@ -806,27 +906,36 @@ def _span_positions_fn(field: str, resolver=None, analyzer=None):
     at removed stop words) when an analyzer is configured, exactly as
     the sloppy-phrase machinery assigns them.  The returned callable
     also accepts ``("prefix", p)`` for prefix-matched positions (the
-    ``intervals`` prefix rule)."""
+    ``intervals`` prefix rule), ``("wildcard", like)`` (a SQL LIKE
+    pattern) and ``("regexp", pat)`` (an anchored regex) for the
+    ``span_multi`` term predicates."""
+
+    def _token_pred(term):
+        if isinstance(term, tuple):
+            tk, tv = term
+            if tk == "prefix":
+                return lambda x: x.startswith(tv)
+            if tk == "wildcard":
+                return lambda x: x.like(tv)
+            if tk == "regexp":
+                return lambda x: x.rlike(tv)
+            raise ValueError(f"unknown token predicate kind: {tk!r}")
+        return lambda x: x == F.lit(term)
+
     if analyzer is not None:
         arr_pos = analyzer.tokens_pos(_field(field, resolver))
 
         def positions_of(term) -> Column:
-            if isinstance(term, tuple) and term[0] == "prefix":
-                p = term[1]
-                pred = lambda e: e["t"].startswith(p)  # noqa: E731
-            else:
-                pred = lambda e: e["t"] == F.lit(term)  # noqa: E731
-            return F.transform(F.filter(arr_pos, pred), lambda e: e["p"])
+            pred = _token_pred(term)
+            return F.transform(
+                F.filter(arr_pos, lambda e: pred(e["t"])), lambda e: e["p"]
+            )
 
     else:
         arr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
 
         def positions_of(term) -> Column:
-            if isinstance(term, tuple) and term[0] == "prefix":
-                p = term[1]
-                pred = lambda x: x.startswith(p)  # noqa: E731
-            else:
-                pred = lambda x: x == F.lit(term)  # noqa: E731
+            pred = _token_pred(term)
             return F.filter(
                 F.transform(
                     arr,
@@ -969,6 +1078,21 @@ def _match_phrase_slop(
     for t, d in zip(toks, qd):
         groups.setdefault(t, []).append(d)
     term_pos = {t: positions_of(t) for t in groups}
+    return _min_movement_cover(term_pos, groups, slop)
+
+
+def _min_movement_cover(
+    term_pos: dict, groups: dict, slop: int
+) -> Column:
+    """The smallest-range window-cover predicate shared by
+    :func:`_match_phrase_slop` and :func:`_match_phrase_prefix`:
+    ``term_pos`` maps each distinct query-term key to its document
+    position-list Column, ``groups`` maps the same keys to their
+    ascending query-delta lists.  True iff a pick of one position per
+    query occurrence (pairwise-distinct within a repeated term) has
+    ``max(p_i − d_i) − min(p_i − d_i) ≤ slop`` — see the
+    _match_phrase_slop docstring for the cover + greedy-matching
+    proof."""
 
     # anchor candidates: every adjusted value p − d over every
     # (term, occurrence-delta) pair — a valid pick's minimum adjusted
@@ -982,7 +1106,7 @@ def _match_phrase_slop(
         shift(term_pos[t], d) for t, deltas in groups.items() for d in deltas
     ]
 
-    def feasible(t: str, a: Column) -> Column:
+    def feasible(t, a: Column) -> Column:
         deltas = groups[t]
         if len(deltas) == 1:
             d = deltas[0]
@@ -1020,6 +1144,52 @@ def _match_phrase_slop(
         return cond
 
     return F.exists(F.flatten(F.array(*shifted)), covered)
+
+
+def _match_phrase_prefix(
+    field: str,
+    text: str,
+    slop: int = 0,
+    resolver=None,
+    analyzer=None,
+) -> Column:
+    """ES ``match_phrase_prefix`` (autocomplete phrases): the text is
+    analyzed like a phrase, every token but the LAST matches as an
+    exact term at its query position, and the last token matches as a
+    PREFIX of any document token at the final position — under the
+    same min-movement ``slop`` contract as :func:`_match_phrase_slop`
+    (the window cover runs with the prefix's position list standing
+    in for the last term's).
+
+    Divergence from ES, documented: Lucene expands the prefix to at
+    most ``max_expansions`` (default 50) index-ordered terms, so ES
+    can MISS documents whose completion falls past the cap; here the
+    prefix admits EVERY matching token — deterministic and strictly
+    more complete, the contract ES users actually expect.  Repeated
+    EXACT terms keep the injective-matching repeats handling; the
+    prefix's positions may coincide with an exact term's list (also
+    true of Lucene's MultiPhraseQuery — no cross-list distinctness).
+    """
+    positions_of = _span_positions_fn(field, resolver, analyzer)
+    if analyzer is not None:
+        q = analyzer.analyze_pos(text)
+        if not q:
+            return F.lit(False)
+        toks = [t for t, _ in q]
+        qd = [p - q[0][1] for _, p in q]
+    else:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            return F.lit(False)
+        qd = list(range(len(toks)))
+    keys: list = [*toks[:-1], ("prefix", toks[-1])]
+    if len(keys) == 1:
+        return F.size(positions_of(keys[0])) > 0
+    groups: dict = {}
+    for t, d in zip(keys, qd):
+        groups.setdefault(t, []).append(d)
+    term_pos = {t: positions_of(t) for t in groups}
+    return _min_movement_cover(term_pos, groups, slop)
 
 
 def _coerce_msm(raw, n_should: int) -> int:
@@ -1501,6 +1671,117 @@ def function_score_topk(
     else:
         new = F.col("func_value")
     out = joined.withColumn("score", new)
+    ranked = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def rank_feature_topk(
+    docs: DataFrame,
+    field: str,
+    k: int = 10,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float = 1.0,
+    exponent: float = 1.0,
+    boost: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``rank_feature`` query (scoring form): score documents by a
+    positive numeric feature field through one of the three ES
+    functions —
+
+    * ``saturation``: ``S(x) = x / (x + pivot)`` — diminishing
+      returns past the pivot (the default ES shape).  ES derives a
+      missing pivot from index statistics; here ``pivot`` is
+      REQUIRED so the score is deterministic and oracle-checkable.
+    * ``log``: ``ln(scaling_factor · x + 1)``.
+    * ``sigmoid``: ``x^exp / (x^exp + pivot^exp)``.
+
+    Score = ``boost · S(x)``; documents missing the feature (null or
+    ≤ 0) are excluded, as in ES (rank_feature fields only index
+    positive values).  Saturation is exact IEEE division rounded at 6
+    decimals; ``log``/``sigmoid`` go through libm transcendentals and
+    use the DIVERGENCES S11 rounded contract (4 decimals before the
+    boost).  One pruned scan + TakeOrderedAndProject — no shuffle,
+    no join.  Returns ``(id, value, score, rank)``.
+    """
+    if function not in ("saturation", "log", "sigmoid"):
+        raise ValueError(f"unsupported rank_feature function: {function}")
+    if function in ("saturation", "sigmoid") and pivot is None:
+        raise ValueError(
+            "pivot is required (ES derives it from index statistics; "
+            "a deterministic engine cannot)"
+        )
+    x = F.col(field).cast("double")
+    if function == "saturation":
+        s = F.round(x / (x + F.lit(float(pivot))), 6)
+    elif function == "log":
+        s = F.round(F.log(F.lit(float(scaling_factor)) * x + F.lit(1.0)), 4)
+    else:
+        xp = F.pow(x, F.lit(float(exponent)))
+        s = F.round(
+            xp / (xp + F.lit(float(pivot) ** float(exponent))), 4
+        )
+    scored = (
+        docs.where(F.col(field).isNotNull() & (F.col(field) > F.lit(0)))
+        .select(
+            F.col(id_col),
+            x.alias("value"),
+            F.round(F.lit(float(boost)) * s, 6).alias("score"),
+        )
+    )
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def script_score_topk(
+    docs: DataFrame,
+    query: dict,
+    script_sql: str,
+    k: int = 10,
+    min_score: float | None = None,
+    query_terms: list[str] | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``script_score`` query: documents matching ``query`` are
+    re-scored by a script — here a SQL expression over the document's
+    columns plus ``_score`` (the same painless→SQL contract as
+    ``bucket_script``: ES binds a script, we bind the equivalent SQL
+    expression, documented divergence).  ``_score`` is the BM25 score
+    of ``query_terms`` when given (the scoring query's score, exactly
+    as ES passes it into the script) and ``1.0`` otherwise (ES's
+    filter-context constant).
+
+    ``min_score`` drops documents scoring below it, as in ES.
+    Negative script scores are not rejected (ES raises per-document;
+    a per-row raise has no declarative analogue — callers wanting the
+    guard add ``greatest(0, …)``).  The script is one codegen
+    projection; top-k is TakeOrderedAndProject.  Returns
+    ``(id, score, rank)``.
+    """
+    matched = docs.where(compile_bool_query(query, analyzer=analyzer))
+    if query_terms:
+        # corpus statistics (idf, avgdl) come from the FULL frame —
+        # ES scores against the whole index, not the filtered subset
+        scored = _bm25_scored(
+            docs, query_terms, k1, b, text_col, id_col, analyzer
+        ).select(F.col(id_col), F.col("score").alias("_score"))
+        base = matched.join(scored, id_col)
+    else:
+        base = matched.withColumn("_score", F.lit(1.0))
+    out = base.select(
+        F.col(id_col),
+        F.round(F.expr(script_sql).cast("double"), round_to).alias("score"),
+    )
+    if min_score is not None:
+        out = out.where(F.col("score") >= F.lit(float(min_score)))
     ranked = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

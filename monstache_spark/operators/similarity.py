@@ -46,6 +46,79 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_search(
+    docs: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    filter: dict | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    similarity: str = "cosine",
+    num_candidates: int | None = None,
+    analyzer=None,
+) -> DataFrame:
+    """ES 8 kNN search API (the top-level ``knn`` section a consumer
+    of a monstache-synced index issues): top-``k`` documents nearest
+    a LITERAL query vector, with ES's PRE-FILTER semantics — the
+    optional ``filter`` (any bool-DSL dict) restricts the candidate
+    set BEFORE the top-k (ES applies it during HNSW graph traversal;
+    post-filtering k results down would return fewer than k, which ES
+    explicitly does not do).
+
+    ``_score`` follows the ES contract per similarity: ``cosine`` →
+    ``(1 + cos)/2``, ``dot_product`` → ``(1 + dot)/2`` (vectors
+    assumed unit-normalized, as ES requires for dot_product),
+    ``l2_norm`` → ``1/(1 + d²)`` — each rounded at 6 decimals over
+    left-to-right double summation (the vectors.cosine contract).
+
+    This is the exact path: ONE corpus scan with the query vector as
+    a literal expression (no crossJoin, no second frame), a filter
+    predicate, and TakeOrderedAndProject — at 100 TB route through
+    ``ivfpq_topk_indexed`` with the same filter pushed into the cell
+    scan; ``num_candidates`` (an HNSW beam width) is accepted and
+    ignored here because the exact path considers every candidate.
+    Returns ``(id, score, rank)``.
+    """
+    if similarity not in ("cosine", "dot_product", "l2_norm"):
+        raise ValueError(f"unsupported similarity: {similarity}")
+    base = docs
+    if filter is not None:
+        from monstache_spark.operators.search import compile_bool_query
+
+        base = base.filter(compile_bool_query(filter, analyzer=analyzer))
+    qv = F.array(*[F.lit(float(x)) for x in query_vector])
+    v = as_double_array(F.col(vec_col))
+    dot = F.aggregate(
+        F.zip_with(v, qv, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+    )
+    if similarity == "cosine":
+        qn = math.sqrt(sum(float(x) * float(x) for x in query_vector))
+        vn = F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda a: a * a), F.lit(0.0), lambda s, x: s + x
+            )
+        )
+        cos = F.when(vn * F.lit(qn) > 0, dot / (vn * F.lit(qn))).otherwise(
+            F.lit(0.0)
+        )
+        score = F.round((F.lit(1.0) + cos) / F.lit(2.0), 6)
+    elif similarity == "dot_product":
+        score = F.round((F.lit(1.0) + dot) / F.lit(2.0), 6)
+    else:
+        d2 = F.aggregate(
+            F.zip_with(v, qv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + d2), 6)
+    scored = base.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), score.alias("score")
+    )
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: component j of
     plane p is derived from md5(p:j) mapped to [-1, 1). Pure Python at

@@ -1067,3 +1067,132 @@ def test_date_histogram_fixed_interval_epoch_floor(spark):
     ).collect()}
     assert out == {"2024-01-01T00:00:00": 1, "2024-01-01T00:00:30": 1,
                    "2024-01-01T00:01:00": 1}
+
+
+def test_rate_agg_calendar_division(spark):
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.aggs import rate_agg
+
+    df = spark.createDataFrame(
+        [("2024-01-05", 31.0), ("2024-01-20", 31.0),
+         ("2024-02-10", 29.0), ("2024-03-31", 62.0)],
+        "d string, v double",
+    ).select(F.to_timestamp("d").alias("ts"), "v")
+    out = {r["key"].strftime("%Y-%m"): (r["rate"], r["doc_count"])
+           for r in rate_agg(df, "ts", "month", "day", value_col="v").collect()}
+    # January: 62 over 31 days = 2/day; February 2024 is a LEAP month:
+    # 29/29 = 1/day; March: 62/31 = 2/day
+    assert out == {"2024-01": (2.0, 2), "2024-02": (1.0, 1), "2024-03": (2.0, 1)}
+
+    # doc-count rate (no field): events per day over weekly buckets
+    out = rate_agg(df, "ts", "week", "day").collect()
+    assert all(abs(r["rate"] - round(r["doc_count"] / 7.0, 6)) < 1e-9 for r in out)
+
+    import pytest
+    with pytest.raises(ValueError, match="exceed"):
+        rate_agg(df, "ts", "day", "week")
+
+
+def test_moving_percentiles_window(spark):
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.aggs import moving_percentiles
+
+    rows = []
+    for day, vals in [("2024-01-01", [1.0, 3.0]), ("2024-01-02", [5.0]),
+                      ("2024-01-03", [7.0, 9.0]), ("2024-01-05", [11.0])]:
+        rows += [(day, v) for v in vals]
+    df = spark.createDataFrame(rows, "d string, v double").select(
+        F.to_timestamp("d").alias("ts"), F.col("v"))
+    out = {r["key"].strftime("%m-%d"): (r["doc_count"], r["50"])
+           for r in moving_percentiles(df, "ts", "v", [50.0], window=2).collect()}
+    # 01-01: own window {1,3} -> 2.0; 01-02: {1,3,5} -> 3.0;
+    # 01-03: {5,7,9} -> 7.0; 01-04: trailing window of 01-03's rows
+    # {7,9} with ZERO own docs; 01-05: {11}; no 01-06 (past the last
+    # real bucket)
+    assert out == {"01-01": (2, 2.0), "01-02": (1, 3.0), "01-03": (2, 7.0),
+                   "01-04": (0, 8.0), "01-05": (1, 11.0)}
+
+
+def test_categorize_text_digit_placeholders(spark):
+    from monstache_spark.operators.aggs import categorize_text
+
+    df = spark.createDataFrame(
+        [(1, "error user 8 took 12ms"), (2, "error user 44 took 9ms"),
+         (3, "login ok user 3"), (4, "42 1337"), (5, None)],
+        "id long, message string",
+    )
+    out = [(r["key"], r["doc_count"])
+           for r in categorize_text(df, "message", size=5).collect()]
+    # digit-bearing tokens drop from the key; all-digit messages and
+    # nulls produce no category
+    assert out == [("error user took", 2), ("login ok user", 1)]
+
+
+def test_geo_bounds_box(spark):
+    from monstache_spark.operators.geo import geo_bounds
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 20.0), ("a", -5.0, 40.0), ("a", 2.0, None),
+         ("b", 0.0, 0.0)],
+        "k string, lat double, lon double",
+    )
+    out = {r["k"]: r for r in geo_bounds(df, "lat", "lon", bucket_col="k").collect()}
+    assert out["a"]["doc_count"] == 2  # null lon drops
+    assert (out["a"]["top_left_lat"], out["a"]["top_left_lon"]) == (10.0, 20.0)
+    assert (out["a"]["bottom_right_lat"], out["a"]["bottom_right_lon"]) == (-5.0, 40.0)
+    assert out["b"]["doc_count"] == 1
+
+
+def test_frequent_item_sets_supports(spark):
+    from monstache_spark.operators.aggs import frequent_item_sets
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"), (4, "c"), (4, "c"),  # duplicate item in one basket
+    ]
+    df = spark.createDataFrame(rows, "g long, i string")
+    out = {(r["items"], r["n_items"]): (r["doc_count"], r["support"])
+           for r in frequent_item_sets(df, "g", "i", min_support=0.5,
+                                       max_size=2, size=10).collect()}
+    # a:3/4, b:3/4, c:2/4, ab:2/4, bc:2/4, ac:1/4 (below threshold)
+    assert out == {
+        ("a", 1): (3, 0.75), ("b", 1): (3, 0.75), ("c", 1): (2, 0.5),
+        ("a b", 2): (2, 0.5), ("b c", 2): (2, 0.5),
+    }
+    # triples: abc appears once -> only with lower threshold
+    out3 = {r["items"] for r in frequent_item_sets(
+        df, "g", "i", min_support=0.25, max_size=3, size=20).collect()}
+    assert "a b c" in out3
+
+
+def test_matrix_stats_reference_values(spark):
+    import math
+
+    from monstache_spark.operators.aggs import matrix_stats
+
+    xs = [1.0, 2.0, 3.0, 4.0, 10.0]
+    ys = [2.0, 1.0, 5.0, 3.0, 9.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    r = matrix_stats(df, ["x", "y"]).collect()[0]
+    n = len(xs)
+    mx = sum(xs) / n
+    m2 = sum((v - mx) ** 2 for v in xs)
+    m3 = sum((v - mx) ** 3 for v in xs)
+    m4 = sum((v - mx) ** 4 for v in xs)
+    assert r["doc_count"] == n
+    assert abs(r["mean_a"] - round(mx, 6)) < 1e-9
+    assert abs(r["variance_a"] - round(m2 / (n - 1), 6)) < 1e-6
+    assert abs(r["skewness_a"] - round(math.sqrt(n) * m3 / m2 ** 1.5, 6)) < 1e-6
+    assert abs(r["kurtosis_a"] - round(n * m4 / m2 ** 2, 6)) < 1e-6
+    cov = sum((a - mx) * (b - sum(ys) / n) for a, b in zip(xs, ys))
+    assert abs(r["covariance"] - round(cov / (n - 1), 6)) < 1e-6
+    my = sum(ys) / n
+    m2y = sum((v - my) ** 2 for v in ys)
+    assert abs(r["correlation"] - round(cov / math.sqrt(m2 * m2y), 6)) < 1e-6
+    # docs missing any field are skipped entirely
+    df2 = spark.createDataFrame([(1.0, 2.0), (3.0, None)], "x double, y double")
+    assert matrix_stats(df2, ["x", "y"]).collect()[0]["doc_count"] == 1

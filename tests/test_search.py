@@ -1755,3 +1755,154 @@ def test_combined_fields_term_centric(spark):
     # term-centric: doc1 (one per field) must outscore doc2 (two in
     # the lighter field) under these weights
     assert out[1] > out[2]
+
+
+def test_span_containing_and_within(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "hash join sort merge scan"),
+         (2, "sort hash join table"),
+         (3, "the quick brown fox"),
+         (4, "hash table join of sorts")],
+        "doc_id long, text string",
+    )
+    big = {"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}}, {"span_term": {"text": "join"}}],
+        "slop": 2, "in_order": False}}
+    little = {"span_term": {"text": "table"}}
+
+    def ids(q):
+        return sorted(r["doc_id"] for r in bool_query_filter(df, q).collect())
+
+    # doc4: unordered near(hash@0, join@2) span (0,3) contains table@1;
+    # doc2: near(hash@1, join@2) span (1,3) does NOT contain table@3
+    assert ids({"span_containing": {"big": big, "little": little}}) == [4]
+    assert ids({"span_within": {"big": big, "little": little}}) == [4]
+
+
+def test_span_multi_term_predicates(spark):
+    import pytest
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "hash join sort merge"), (2, "hash jolt"), (3, "hash joint leap"),
+         (4, "join hash")],
+        "doc_id long, text string",
+    )
+
+    def ids(q):
+        return sorted(r["doc_id"] for r in bool_query_filter(df, q).collect())
+
+    near = lambda m, slop, order=True: {"span_near": {"clauses": [  # noqa: E731
+        {"span_term": {"text": "hash"}}, {"span_multi": {"match": m}}],
+        "slop": slop, "in_order": order}}
+
+    # wildcard jo*t: jolt, joint — adjacent after hash
+    assert ids(near({"wildcard": {"text": "jo*t"}}, 0)) == [2, 3]
+    # prefix jo: join@1/jolt/joint all adjacent after hash@0
+    assert ids(near({"prefix": {"text": "jo"}}, 0)) == [1, 2, 3]
+    # regexp implicitly anchored: jo.n matches join/jo1n but not joint
+    assert ids(near({"regexp": {"text": "jo.n"}}, 0)) == [1]
+    with pytest.raises(ValueError, match="fuzzy"):
+        bool_query_filter(df, near({"fuzzy": {"text": "join"}}, 0))
+
+
+def test_match_phrase_prefix(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "hash join sort"), (2, "hash joint venture"), (3, "hash sort join"),
+         (4, "join hash"), (5, "nothing jo")],
+        "doc_id long, text string",
+    )
+
+    def ids(q):
+        return sorted(r["doc_id"] for r in bool_query_filter(
+            df, {"match_phrase_prefix": {"text": q}}).collect())
+
+    # consecutive: last token prefix-matches ANY completion (no
+    # max_expansions cap)
+    assert ids("hash jo") == [1, 2]
+    # slop admits movement/swap (min-movement contract)
+    assert ids({"query": "hash jo", "slop": 2}) == [1, 2, 3, 4]
+    # single-token query: plain prefix exists
+    assert ids("jo") == [1, 2, 3, 4, 5]
+
+
+def test_wrapper_query(spark):
+    import base64
+    import json
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "de", 900), (3, "en", 900)],
+        "doc_id long, lang string, n_chars long",
+    )
+    inner = {"bool": {"must": [{"term": {"lang": "en"}},
+                               {"range": {"n_chars": {"gte": 500}}}]}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    got = sorted(r["doc_id"] for r in bool_query_filter(
+        df, {"wrapper": {"query": b64}}).collect())
+    assert got == [3]
+
+
+def test_rank_feature_topk(spark):
+    import math
+
+    import pytest
+
+    from monstache_spark.operators.search import (
+        bool_query_filter,
+        rank_feature_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 400), (3, None), (4, 0), (5, 900)],
+        "doc_id long, pagerank long",
+    )
+    # filter context: positive feature present
+    got = sorted(r["doc_id"] for r in bool_query_filter(
+        df, {"rank_feature": {"field": "pagerank"}}).collect())
+    assert got == [1, 2, 5]
+
+    out = rank_feature_topk(df, "pagerank", k=2, pivot=100).collect()
+    assert [(r["doc_id"], r["score"], r["rank"]) for r in out] == [
+        (5, 0.9, 1), (2, 0.8, 2)]
+
+    logd = {r["doc_id"]: r["score"]
+            for r in rank_feature_topk(df, "pagerank", k=5, function="log",
+                                       scaling_factor=2.0).collect()}
+    assert logd[5] == round(round(math.log(2 * 900 + 1), 4), 6)
+
+    with pytest.raises(ValueError, match="pivot"):
+        rank_feature_topk(df, "pagerank", function="saturation")
+
+
+def test_script_score_topk(spark):
+    from monstache_spark.operators.search import bm25_topk, script_score_topk
+
+    df = spark.createDataFrame(
+        [(1, "hash join", 100), (2, "hash table scan", 900),
+         (3, "no match here", 500), (4, "hash hash hash", 300)],
+        "doc_id long, text string, n_chars long",
+    )
+    out = script_score_topk(
+        df, {"match": {"text": "hash"}}, "n_chars / (n_chars + 100.0)", k=3)
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    assert got == [(2, 0.9), (4, 0.75), (1, 0.5)]
+
+    # min_score drops the tail
+    out = script_score_topk(
+        df, {"match": {"text": "hash"}}, "n_chars / (n_chars + 100.0)",
+        k=3, min_score=0.6)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 4]
+
+    # _score binding: BM25 of the scoring terms feeds the script
+    bm = {r["doc_id"]: r["score"] for r in bm25_topk(df, ["hash"], k=4).collect()}
+    out = script_score_topk(
+        df, {"match": {"text": "hash"}}, "_score * 10", query_terms=["hash"], k=3)
+    for r in out.collect():
+        assert abs(r["score"] - round(bm[r["doc_id"]] * 10, 6)) < 1e-9

@@ -453,3 +453,48 @@ def test_knn_join_pq_code_subsplit_keeps_close_pairs(spark):
     got = {(r["id_q"], r["id_n"]) for r in out}
     want = {(r["query_id"], r["corpus_id"]) for r in exact}
     assert len(got & want) / len(want) >= 0.9
+
+
+def test_knn_search_prefilter_and_similarities(spark):
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from monstache_spark.operators.similarity import knn_search
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.8, 0.6], "b"),
+         (3, [0.0, 1.0], "a"), (4, [-1.0, 0.0], "b"), (5, None, "a")],
+        "vec_id long, embedding array<double>, tag string",
+    )
+    out = knn_search(df, [1.0, 0.0], k=2)
+    got = [(r["vec_id"], r["score"], r["rank"]) for r in out.collect()]
+    # cosine scores: v1 = 1 -> (1+1)/2 = 1.0; v2 = 0.8 -> 0.9
+    assert got == [(1, 1.0, 1), (2, 0.9, 2)]
+
+    # PRE-filter semantics: k results come from the filtered set, not
+    # a post-filtered top-k (a post-filter of top-2 would return only v2)
+    out = knn_search(df, [1.0, 0.0], k=2, filter={"term": {"tag": "b"}})
+    assert [(r["vec_id"], r["score"]) for r in out.collect()] == [
+        (2, 0.9), (4, 0.0)]
+
+    # dot_product and l2_norm contracts
+    out = knn_search(df, [1.0, 0.0], k=1, similarity="dot_product")
+    assert [(r["vec_id"], r["score"]) for r in out.collect()] == [(1, 1.0)]
+    out = knn_search(df, [0.0, 1.0], k=1, similarity="l2_norm")
+    assert [(r["vec_id"], r["score"]) for r in out.collect()] == [(3, 1.0)]
+
+    with pytest.raises(ValueError, match="similarity"):
+        knn_search(df, [1.0, 0.0], similarity="hamming")
+
+
+def test_script_query_leaf(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (3, 40.0)], "id long, v double")
+    got = sorted(r["id"] for r in bool_query_filter(
+        df, {"bool": {"must": [
+            {"script": {"script": {"source": "v * 2 > 30"}}},
+            {"range": {"id": {"lte": 2}}},
+        ]}}).collect())
+    assert got == [2]
