@@ -4418,6 +4418,111 @@ def _q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_percentiles(ev, "ts", "value", [50.0, 90.0], window=3)
 
 
+def _q_es_sig_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms with the chi_square heuristic
+    (search.significant_terms): the 2x2 contingency statistic
+    N*(n11*n00 - n10*n01)^2 / (marginal product), negated for
+    fg-under-represented terms (include_negatives) — exact IEEE
+    arithmetic over the same one-pass counts frame as JLH.  Closes
+    the DIVERGENCES S6 'JLH only' residual."""
+    from monstache_spark.operators.search import significant_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return significant_terms(
+        docs, {"term": {"lang": "de"}}, size=10, heuristic="chi_square"
+    )
+
+
+def _q_es_sig_terms_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms with the mutual_information heuristic:
+    Manning & Schuetze eq. 13.111 over the four contingency cells
+    (empty cells contribute 0), sign-flipped for under-represented
+    terms; transcendental, so the S11 4-dp rounded contract."""
+    from monstache_spark.operators.search import significant_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return significant_terms(
+        docs, {"term": {"lang": "de"}}, size=10, heuristic="mutual_information"
+    )
+
+
+def _q_es_sig_terms_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms with the percentage heuristic:
+    fg_count / bg_count — the documented 'what share of the term's
+    docs are foreground' score; exact division, 6 dp."""
+    from monstache_spark.operators.search import significant_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return significant_terms(
+        docs, {"term": {"lang": "de"}}, size=10, heuristic="percentage"
+    )
+
+
+def _q_es_sig_terms_gnd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms with the gnd heuristic: Google Normalized
+    Distance over doc frequencies, returned as the similarity
+    exp(-gnd) — ES's GND class applies its own monotone decreasing
+    map of the same distance, so top-k membership and order are
+    identical (docstring-documented); 4-dp transcendental contract."""
+    from monstache_spark.operators.search import significant_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return significant_terms(
+        docs, {"term": {"lang": "de"}}, size=10, heuristic="gnd"
+    )
+
+
+def _daily_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared day-bucket frame for the pipeline-agg gates: doc_count
+    and exact-decimal value sum per day of events.ts."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+               "aggs": {"total": {"sum": {"field": "value"}}}}},
+    )
+
+
+def _q_es_bucket_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_correlation pipeline agg (aggs.bucket_correlation):
+    Pearson correlation between the daily doc_count series and a
+    linear ramp indicator — decimal-exact sums (order-stable),
+    combined in mirrored double arithmetic, 6 dp."""
+    from monstache_spark.operators.aggs import bucket_correlation
+
+    buckets = _daily_buckets(spark, sf_dir)
+    return bucket_correlation(
+        buckets, "d", "doc_count", [float(i) for i in range(1, 61)]
+    )
+
+
+def _q_es_bucket_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_count_ks_test pipeline agg (aggs.bucket_count_ks_test):
+    exact KS statistic between the daily doc-count CDF and the uniform
+    expectation (long cumsums, one window pass); p_approx is the
+    one-term asymptotic bound 2*exp(-2*n*D^2) under the S11 contract
+    (monotone in D, so threshold decisions agree with ES's full
+    K-series — documented)."""
+    from monstache_spark.operators.aggs import bucket_count_ks_test
+
+    buckets = _daily_buckets(spark, sf_dir)
+    return bucket_count_ks_test(buckets, "d")
+
+
+def _q_es_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES change_point aggregation (aggs.change_point): the split of
+    the daily value-sum series maximizing binary-segmentation variance
+    reduction SST - (SSE_left + SSE_right), from decimal-exact prefix
+    sums in one window pass; flat series report 'stationary'
+    (documented vs ES's simulation p-values)."""
+    from monstache_spark.operators.aggs import change_point
+
+    buckets = _daily_buckets(spark, sf_dir)
+    return change_point(buckets, "d", "total")
+
+
 def _q_es_knn_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 8 kNN search API (similarity.knn_search): top-10 nearest the
     vec_id-0 embedding under the ES score contract (1+cos)/2, with
@@ -4567,6 +4672,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_script_query": _q_es_script_query,
         "es_frequent_item_sets": _q_es_frequent_item_sets,
         "es_matrix_stats": _q_es_matrix_stats,
+        "es_sig_terms_chi2": _q_es_sig_terms_chi2,
+        "es_sig_terms_mi": _q_es_sig_terms_mi,
+        "es_sig_terms_pct": _q_es_sig_terms_pct,
+        "es_sig_terms_gnd": _q_es_sig_terms_gnd,
+        "es_bucket_correlation": _q_es_bucket_correlation,
+        "es_bucket_ks_test": _q_es_bucket_ks_test,
+        "es_change_point": _q_es_change_point,
         "es_reverse_nested": _q_es_reverse_nested,
         "fuzzy_suggest_dl2": _q_fuzzy_suggest_dl2,
         "es_hard_bounds": _q_es_hard_bounds,
@@ -4811,6 +4923,13 @@ _GATE_WINDOW = [
     "es_script_query",
     "es_frequent_item_sets",
     "es_matrix_stats",
+    "es_sig_terms_chi2",
+    "es_sig_terms_mi",
+    "es_sig_terms_pct",
+    "es_sig_terms_gnd",
+    "es_bucket_correlation",
+    "es_bucket_ks_test",
+    "es_change_point",
     "minhash_pairs_collapsed",
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
@@ -6235,6 +6354,168 @@ def oracle_sql() -> dict[str, str]:
           WHERE source IN ('src0', 'src1', 'src2')
             AND list_contains(list_filter({_TOKS_LOWER}, w -> w <> ''), 'join')
             AND doc_id < 400
+        """,
+        "es_sig_terms_chi2": """
+          WITH base AS (
+            SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg, text
+            FROM documents
+          ),
+          t AS (SELECT doc_id, fg, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term FROM base),
+          tt AS (
+            SELECT term, CAST(sum(fg) AS BIGINT) AS fg_count,
+                   CAST(count(*) AS BIGINT) AS bg_count
+            FROM t WHERE length(term) >= 1 GROUP BY term
+          ),
+          tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS fgt, CAST(count(*) AS DOUBLE) AS bgt FROM base),
+          c AS (
+            SELECT term, fg_count, bg_count,
+                   CAST(fg_count AS DOUBLE) AS n11, CAST(bg_count AS DOUBLE) AS n_1,
+                   fgt, bgt
+            FROM tt, tot WHERE fg_count >= 3
+          ),
+          s AS (SELECT term, fg_count, bg_count, round(CASE WHEN (n11 + (fgt - n11)) * ((n_1 - n11) + (bgt - fgt - (n_1 - n11)))
+                  * (n11 + (n_1 - n11)) * ((fgt - n11) + (bgt - fgt - (n_1 - n11))) > 0
+             THEN (CASE WHEN n11 / fgt < n_1 / bgt THEN -1.0 ELSE 1.0 END)
+                  * bgt * (n11 * (bgt - fgt - (n_1 - n11)) - (fgt - n11) * (n_1 - n11))
+                        * (n11 * (bgt - fgt - (n_1 - n11)) - (fgt - n11) * (n_1 - n11))
+                  / ((n11 + (fgt - n11)) * ((n_1 - n11) + (bgt - fgt - (n_1 - n11)))
+                     * (n11 + (n_1 - n11)) * ((fgt - n11) + (bgt - fgt - (n_1 - n11))))
+             ELSE 0.0 END, 6) AS score FROM c)
+          SELECT term, fg_count, bg_count, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "es_sig_terms_mi": """
+          WITH base AS (
+            SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg, text
+            FROM documents
+          ),
+          t AS (SELECT doc_id, fg, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term FROM base),
+          tt AS (
+            SELECT term, CAST(sum(fg) AS BIGINT) AS fg_count,
+                   CAST(count(*) AS BIGINT) AS bg_count
+            FROM t WHERE length(term) >= 1 GROUP BY term
+          ),
+          tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS fgt, CAST(count(*) AS DOUBLE) AS bgt FROM base),
+          c AS (
+            SELECT term, fg_count, bg_count,
+                   CAST(fg_count AS DOUBLE) AS n11, CAST(bg_count AS DOUBLE) AS n_1,
+                   fgt, bgt
+            FROM tt, tot WHERE fg_count >= 3
+          ),
+          s AS (SELECT term, fg_count, bg_count, round((CASE WHEN n11 / fgt < n_1 / bgt THEN -1.0 ELSE 1.0 END) * (CASE WHEN n11 > 0 THEN (n11 / bgt) * (ln(bgt * n11 / (fgt * n_1)) / ln(2.0)) ELSE 0.0 END + CASE WHEN (fgt - n11) > 0 THEN ((fgt - n11) / bgt) * (ln(bgt * (fgt - n11) / (fgt * (bgt - n_1))) / ln(2.0)) ELSE 0.0 END + CASE WHEN (n_1 - n11) > 0 THEN ((n_1 - n11) / bgt) * (ln(bgt * (n_1 - n11) / ((bgt - fgt) * n_1)) / ln(2.0)) ELSE 0.0 END + CASE WHEN (bgt - fgt - (n_1 - n11)) > 0 THEN ((bgt - fgt - (n_1 - n11)) / bgt) * (ln(bgt * (bgt - fgt - (n_1 - n11)) / ((bgt - fgt) * (bgt - n_1))) / ln(2.0)) ELSE 0.0 END), 4) AS score FROM c)
+          SELECT term, fg_count, bg_count, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "es_sig_terms_pct": """
+          WITH base AS (
+            SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg, text
+            FROM documents
+          ),
+          t AS (SELECT doc_id, fg, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term FROM base),
+          tt AS (
+            SELECT term, CAST(sum(fg) AS BIGINT) AS fg_count,
+                   CAST(count(*) AS BIGINT) AS bg_count
+            FROM t WHERE length(term) >= 1 GROUP BY term
+          ),
+          tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS fgt, CAST(count(*) AS DOUBLE) AS bgt FROM base),
+          c AS (
+            SELECT term, fg_count, bg_count,
+                   CAST(fg_count AS DOUBLE) AS n11, CAST(bg_count AS DOUBLE) AS n_1,
+                   fgt, bgt
+            FROM tt, tot WHERE fg_count >= 3
+          ),
+          s AS (SELECT term, fg_count, bg_count, round(n11 / n_1, 6) AS score FROM c)
+          SELECT term, fg_count, bg_count, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "es_sig_terms_gnd": """
+          WITH base AS (
+            SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg, text
+            FROM documents
+          ),
+          t AS (SELECT doc_id, fg, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term FROM base),
+          tt AS (
+            SELECT term, CAST(sum(fg) AS BIGINT) AS fg_count,
+                   CAST(count(*) AS BIGINT) AS bg_count
+            FROM t WHERE length(term) >= 1 GROUP BY term
+          ),
+          tot AS (SELECT CAST(sum(fg) AS DOUBLE) AS fgt, CAST(count(*) AS DOUBLE) AS bgt FROM base),
+          c AS (
+            SELECT term, fg_count, bg_count,
+                   CAST(fg_count AS DOUBLE) AS n11, CAST(bg_count AS DOUBLE) AS n_1,
+                   fgt, bgt
+            FROM tt, tot WHERE fg_count >= 3
+          ),
+          s AS (SELECT term, fg_count, bg_count, round(CASE WHEN ln(bgt) - least(ln(n_1), ln(fgt)) > 0
+             THEN exp(-((greatest(ln(n_1), ln(fgt)) - ln(n11))
+                        / (ln(bgt) - least(ln(n_1), ln(fgt)))))
+             ELSE 0.0 END, 4) AS score FROM c)
+          SELECT term, fg_count, bg_count, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, term ASC LIMIT 10
+        """,
+        "es_bucket_correlation": """
+          WITH b AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY d
+          ),
+          o AS (SELECT c, row_number() OVER (ORDER BY d) AS i FROM b),
+          v AS (SELECT CAST(c AS DECIMAL(19,6)) AS x, CAST(CAST(i AS DOUBLE) AS DECIMAL(19,6)) AS y
+                FROM o WHERE i <= 60),
+          s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+                       CAST(sum(x * y) AS DOUBLE) AS sxy FROM v)
+          SELECT round(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                       THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                       END, 6) AS correlation,
+                 CAST(n AS BIGINT) AS n
+          FROM s
+        """,
+        "es_bucket_ks_test": """
+          WITH b AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, count(*) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY d
+          ),
+          o AS (SELECT CAST(c AS DOUBLE) AS c,
+                       row_number() OVER (ORDER BY d) AS i,
+                       CAST(sum(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum
+                FROM b),
+          t AS (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS k FROM o),
+          j AS (SELECT abs(cum / tot - i / k) AS dd, tot FROM o, t),
+          s AS (SELECT round(max(dd), 6) AS statistic, max(tot) AS n FROM j)
+          SELECT statistic,
+                 round(least(1.0, 2.0 * exp(-2.0 * n * statistic * statistic)), 4) AS p_approx,
+                 CAST(n AS BIGINT) AS n
+          FROM s
+        """,
+        "es_change_point": """
+          WITH b AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS key,
+                   CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM events WHERE ts IS NOT NULL GROUP BY key
+          ),
+          o AS (SELECT key, row_number() OVER (ORDER BY key) AS i,
+                       CAST(sum(CAST(total AS DECIMAL(19,6))) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s1,
+                       CAST(sum(CAST(total AS DECIMAL(19,6)) * CAST(total AS DECIMAL(19,6))) OVER (ORDER BY key ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s2
+                FROM b),
+          t AS (SELECT CAST(max(i) AS DOUBLE) AS n, arg_max(s1, i) AS t1, arg_max(s2, i) AS t2 FROM o),
+          j AS (
+            SELECT key,
+                   round((t2 - t1 * t1 / n) - ((s2 - s1 * s1 / CAST(i AS DOUBLE))
+                         + ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - CAST(i AS DOUBLE)))), 6) AS score,
+                   round(s1 / CAST(i AS DOUBLE), 6) AS mean_left,
+                   round((t1 - s1) / (n - CAST(i AS DOUBLE)), 6) AS mean_right
+            FROM o, t WHERE i < n
+          ),
+          best AS (SELECT * FROM j ORDER BY score DESC, key ASC LIMIT 1)
+          SELECT key,
+                 CASE WHEN score > 0 THEN 'step_change' ELSE 'stationary' END AS change_type,
+                 score, mean_left, mean_right
+          FROM best
         """,
         "es_knn_search": """
           WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1893,3 +1893,188 @@ def matrix_stats(
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("field_a", "field_b")
+
+
+def bucket_correlation(
+    buckets: DataFrame,
+    sort_col: str,
+    value_col: str,
+    indicator: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``bucket_correlation`` pipeline agg (``count_correlation``
+    function): the Pearson correlation between the bucket metric
+    series (in ``sort_col`` order) and a caller-provided indicator
+    vector of the same length — the "does this metric track my
+    expected pattern" ML helper.
+
+    One window pass assigns positions, the indicator enters as a
+    literal array (``element_at``), and a single 1-row aggregate
+    computes the five sums; exact IEEE arithmetic rounded at
+    ``round_to``.  Returns one row ``(correlation, n)``.
+    """
+    w = Window.orderBy(F.col(sort_col).asc())
+    idx = F.row_number().over(w)
+    ind = F.array(*[F.lit(float(v)) for v in indicator])
+    base = buckets.select(
+        # decimal accumulation: plain double sums are
+        # partition-order-dependent and would break hash parity
+        # (input contract: metric values with <= 6 decimals)
+        F.col(value_col).cast("decimal(19,6)").alias("_x"),
+        F.element_at(ind, idx).cast("decimal(19,6)").alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    agg = base.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("double").alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+    )
+    n = F.col("_n")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return agg.select(
+        F.round(
+            F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))),
+            round_to,
+        ).alias("correlation"),
+        F.col("_n").cast("long").alias("n"),
+    )
+
+
+def bucket_count_ks_test(
+    buckets: DataFrame,
+    sort_col: str,
+    count_col: str = "doc_count",
+    fractions: list[float] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``bucket_count_ks_test`` pipeline agg: the two-sample
+    Kolmogorov-Smirnov statistic between the bucket doc-count
+    distribution (in ``sort_col`` order) and the caller-provided
+    expected ``fractions`` (uniform when omitted, the ES default) —
+    ``D = max_k |CDF_counts(k) − CDF_expected(k)|``, computed exactly
+    from one cumulative-sum window pass over bucket-cardinality rows.
+
+    The statistic is exact; ``p_approx`` is the one-term asymptotic
+    tail bound ``2·exp(−2·n·D²)`` (n = total doc count) under the
+    DIVERGENCES S11 4-dp transcendental contract — ES's ML module
+    evaluates the full K series; the one-term bound is its leading
+    term and monotone in D, so threshold decisions agree (documented
+    divergence).  Returns one row ``(statistic, p_approx, n)``.
+    """
+    w = Window.orderBy(F.col(sort_col).asc())
+    idx = F.row_number().over(w)
+    # counts are integral — long cumsums are exact and order-stable
+    cum = F.sum(F.col(count_col).cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    base = buckets.select(
+        F.col(count_col).cast("double").alias("_c"),
+        idx.alias("_i"),
+        cum.cast("double").alias("_cum"),
+    )
+    if fractions is not None:
+        fr = F.array(*[F.lit(float(v)) for v in fractions])
+        # expected CDF at position i = prefix sum of the literal list
+        exp_cdf = F.aggregate(
+            F.slice(fr, F.lit(1), F.col("_i")), F.lit(0.0), lambda s, x: s + x
+        )
+    else:
+        exp_cdf = None
+    tot = base.agg(
+        F.sum("_c").alias("_tot"), F.count("*").cast("double").alias("_k")
+    )
+    j = base.crossJoin(F.broadcast(tot))
+    ecdf = F.col("_cum") / F.col("_tot")
+    expected = exp_cdf if exp_cdf is not None else F.col("_i") / F.col("_k")
+    d = F.abs(ecdf - expected)
+    out = j.agg(
+        F.round(F.max(d), round_to).alias("statistic"),
+        F.max(F.col("_tot")).alias("_n"),
+    )
+    return out.select(
+        "statistic",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0)
+                * F.exp(F.lit(-2.0) * F.col("_n") * F.col("statistic") * F.col("statistic")),
+            ),
+            4,
+        ).alias("p_approx"),
+        F.col("_n").cast("long").alias("n"),
+    )
+
+
+def change_point(
+    buckets: DataFrame,
+    sort_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``change_point`` aggregation (the ML step-change detector)
+    under a deterministic contract: over the bucket metric series in
+    ``sort_col`` order, the change point is the split k maximizing
+    the variance REDUCTION of binary segmentation —
+    ``R(k) = SST − (SSE[1..k] + SSE[k+1..n])`` — computed exactly
+    from one cumulative-sum window pass (``Σx``, ``Σx²`` prefixes +
+    the 1-row totals broadcast); ties break on the earliest key.
+    ES's detector tests spike/dip/trend/distribution types with
+    p-values from simulation; the step_change type with the variance
+    criterion is its deterministic core (documented divergence: a
+    series whose best split reduces no variance reports
+    ``stationary`` instead of a p-value).
+
+    Window work is bucket-cardinality (the corpus was already
+    reduced); returns one row ``(key, change_type, score, mean_left,
+    mean_right)``.
+    """
+    w = Window.orderBy(F.col(sort_col).asc())
+    # decimal cumsums: windowed double sums are segment-tree in some
+    # engines and sequential in others — exact accumulation is the
+    # order-stable contract (input: metric values with <= 6 decimals)
+    dec = F.col(value_col).cast("decimal(19,6)")
+    cum1 = F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    cum2 = F.sum(dec * dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    idx = F.row_number().over(w)
+    base = buckets.select(
+        F.col(sort_col).alias("key"),
+        idx.alias("_i"),
+        cum1.cast("double").alias("_s1"),
+        cum2.cast("double").alias("_s2"),
+    )
+    tot = base.agg(
+        F.max("_i").cast("double").alias("_n"),
+        # totals = the LAST cumsum (max_by on position): a plain max
+        # of _s1 would be wrong for series with negative values
+        F.max_by("_s1", "_i").alias("_t1"),
+        F.max_by("_s2", "_i").alias("_t2"),
+    )
+    j = base.crossJoin(F.broadcast(tot)).filter(F.col("_i") < F.col("_n"))
+    i = F.col("_i").cast("double")
+    n = F.col("_n")
+    sse_l = F.col("_s2") - F.col("_s1") * F.col("_s1") / i
+    r1 = F.col("_t1") - F.col("_s1")
+    r2 = F.col("_t2") - F.col("_s2")
+    sse_r = r2 - r1 * r1 / (n - i)
+    sst = F.col("_t2") - F.col("_t1") * F.col("_t1") / n
+    red = sst - (sse_l + sse_r)
+    scored = j.select(
+        "key",
+        F.round(red, round_to).alias("score"),
+        F.round(F.col("_s1") / i, round_to).alias("mean_left"),
+        F.round(r1 / (n - i), round_to).alias("mean_right"),
+    )
+    best = scored.orderBy(F.col("score").desc(), F.col("key").asc()).limit(1)
+    return best.select(
+        "key",
+        F.when(F.col("score") > 0, F.lit("step_change"))
+        .otherwise(F.lit("stationary"))
+        .alias("change_type"),
+        "score",
+        "mean_left",
+        "mean_right",
+    )

@@ -2266,12 +2266,39 @@ def significant_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer=None,
+    heuristic: str = "jlh",
 ) -> DataFrame:
     """ES ``significant_terms``: which terms are unusually common in
     the documents matching ``foreground`` (a bool-query dict) versus
     the whole corpus, scored with ES's JLH heuristic
     ``(fg% - bg%) * (fg% / bg%)`` (rounded to 6 decimals with an
     identical expression tree on every engine).
+
+    ``heuristic`` selects among ES's significance heuristics — all
+    formula swaps over the SAME one-pass counts frame, with the ES
+    default flags (``background_is_superset: true``,
+    ``include_negatives: true``).  Writing the 2×2 contingency as
+    ``n11`` (term ∧ fg), ``n10 = fg_total − n11``, ``n01 = bg_count −
+    n11``, ``n00 = N − fg_total − n01``:
+
+    * ``jlh`` — the default above (exact IEEE ops, 6 dp);
+    * ``percentage`` — ``n11 / bg_count`` (exact division, 6 dp);
+    * ``chi_square`` — the 2×2 statistic ``N·(n11·n00 − n10·n01)² /
+      ((n11+n10)(n01+n00)(n11+n01)(n10+n00))`` (exact IEEE ops,
+      6 dp; degenerate marginals score 0), NEGATED when the term is
+      rarer in the foreground (include_negatives — ES keeps
+      under-represented terms rankable below over-represented ones);
+    * ``mutual_information`` — Manning & Schütze eq. 13.111 over the
+      four cells, ``Σ (nxy/N)·log2(N·nxy/(rowsum·colsum))`` (empty
+      cells contribute 0), sign-flipped when the term is rarer in the
+      foreground (the include_negatives convention); transcendental,
+      so the DIVERGENCES S11 4-dp rounded contract;
+    * ``gnd`` — Google Normalized Distance over doc frequencies
+      ``gnd = (max(ln fx, ln fy) − ln fxy)/(ln N − min(ln fx, ln
+      fy))`` with ``fx = bg_count``, ``fy = fg_total``, ``fxy =
+      n11``, returned as the similarity ``exp(−gnd)`` (ES's GND class
+      applies its own monotone decreasing map of the same distance —
+      top-k ranking is identical under any such map); 4-dp rounded.
 
     With ``analyzer`` set this is ES's ``significant_text``: the
     statistic runs over the ANALYZED token stream of a text field
@@ -2308,27 +2335,67 @@ def significant_terms(
         F.sum("_fg").cast("double").alias("fg_total"),
         F.count("*").cast("double").alias("bg_total"),
     )
+    if heuristic not in (
+        "jlh", "percentage", "chi_square", "mutual_information", "gnd"
+    ):
+        raise ValueError(f"unsupported heuristic: {heuristic}")
+    n11 = F.col("fg_count").cast("double")
+    n_1 = F.col("bg_count").cast("double")
+    n1_ = F.col("fg_total")
+    N = F.col("bg_total")
+    if heuristic == "jlh":
+        score = F.round(
+            (n11 / n1_ - n_1 / N) * ((n11 / n1_) / (n_1 / N)), 6
+        )
+    elif heuristic == "percentage":
+        score = F.round(n11 / n_1, 6)
+    elif heuristic == "chi_square":
+        n10 = n1_ - n11
+        n01 = n_1 - n11
+        n00 = N - n1_ - n01
+        num = n11 * n00 - n10 * n01
+        denom = (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+        sign = F.when(n11 / n1_ < n_1 / N, F.lit(-1.0)).otherwise(F.lit(1.0))
+        score = F.round(
+            F.when(denom > 0, sign * N * num * num / denom).otherwise(F.lit(0.0)),
+            6,
+        )
+    elif heuristic == "mutual_information":
+        n10 = n1_ - n11
+        n01 = n_1 - n11
+        n00 = N - n1_ - n01
+        ln2 = F.log(F.lit(2.0))
+
+        def cell(nxy: Column, rowsum: Column, colsum: Column) -> Column:
+            return F.when(
+                nxy > 0,
+                (nxy / N) * (F.log(N * nxy / (rowsum * colsum)) / ln2),
+            ).otherwise(F.lit(0.0))
+
+        mi = (
+            cell(n11, n1_, n_1)
+            + cell(n10, n1_, N - n_1)
+            + cell(n01, N - n1_, n_1)
+            + cell(n00, N - n1_, N - n_1)
+        )
+        sign = F.when(n11 / n1_ < n_1 / N, F.lit(-1.0)).otherwise(F.lit(1.0))
+        score = F.round(sign * mi, 4)
+    else:  # gnd
+        gnd = (
+            F.greatest(F.log(n_1), F.log(n1_)) - F.log(n11)
+        ) / (F.log(N) - F.least(F.log(n_1), F.log(n1_)))
+        score = F.round(
+            F.when(
+                F.log(N) - F.least(F.log(n_1), F.log(n1_)) > 0, F.exp(-gnd)
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
     scored = (
         counts.filter(
             (F.col("fg_count") >= min_doc_count) & (F.col("fg_count") > 0)
         )
         .crossJoin(F.broadcast(totals))
-        .select(
-            "term",
-            "fg_count",
-            "bg_count",
-            F.round(
-                (
-                    F.col("fg_count") / F.col("fg_total")
-                    - F.col("bg_count") / F.col("bg_total")
-                )
-                * (
-                    (F.col("fg_count") / F.col("fg_total"))
-                    / (F.col("bg_count") / F.col("bg_total"))
-                ),
-                6,
-            ).alias("score"),
-        )
+        .select("term", "fg_count", "bg_count", score.alias("score"))
     )
     ranked = scored.orderBy(F.col("score").desc(), F.col("term").asc()).limit(size)
     w = Window.orderBy(F.col("score").desc(), F.col("term").asc())

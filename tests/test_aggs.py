@@ -1196,3 +1196,48 @@ def test_matrix_stats_reference_values(spark):
     # docs missing any field are skipped entirely
     df2 = spark.createDataFrame([(1.0, 2.0), (3.0, None)], "x double, y double")
     assert matrix_stats(df2, ["x", "y"]).collect()[0]["doc_count"] == 1
+
+
+def test_bucket_correlation_perfect_and_inverse(spark):
+    from monstache_spark.operators.aggs import bucket_correlation
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, v double")
+    r = bucket_correlation(df, "k", "v", [1.0, 2.0, 3.0, 4.0]).collect()[0]
+    assert r["correlation"] == 1.0 and r["n"] == 4
+    r = bucket_correlation(df, "k", "v", [4.0, 3.0, 2.0, 1.0]).collect()[0]
+    assert r["correlation"] == -1.0
+    # constant indicator has no variance -> null
+    r = bucket_correlation(df, "k", "v", [5.0, 5.0, 5.0, 5.0]).collect()[0]
+    assert r["correlation"] is None
+
+
+def test_bucket_count_ks_test_statistic(spark):
+    import math
+
+    from monstache_spark.operators.aggs import bucket_count_ks_test
+
+    df = spark.createDataFrame(
+        [(1, 70), (2, 10), (3, 10), (4, 10)], "k long, doc_count long")
+    r = bucket_count_ks_test(df, "k").collect()[0]
+    # ECDF: .7 .8 .9 1.0 vs uniform .25 .5 .75 1.0 -> D = .45 at k=1
+    assert r["statistic"] == 0.45 and r["n"] == 100
+    assert abs(r["p_approx"] - round(min(1.0, 2 * math.exp(-2 * 100 * 0.45 ** 2)), 4)) < 1e-9
+    # explicit expected fractions matching the data -> D = 0
+    r = bucket_count_ks_test(df, "k", fractions=[0.7, 0.1, 0.1, 0.1]).collect()[0]
+    assert r["statistic"] == 0.0 and r["p_approx"] == 1.0
+
+
+def test_change_point_step_series(spark):
+    from monstache_spark.operators.aggs import change_point
+
+    rows = [(i, 10.0) for i in range(1, 6)] + [(i, 50.0) for i in range(6, 11)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    r = change_point(df, "k", "v").collect()[0]
+    # best split after k=5: left mean 10, right mean 50
+    assert (r["key"], r["change_type"]) == (5, "step_change")
+    assert (r["mean_left"], r["mean_right"]) == (10.0, 50.0)
+    # flat series: no variance reduction anywhere -> stationary
+    flat = spark.createDataFrame([(i, 7.0) for i in range(1, 8)], "k long, v double")
+    r = change_point(flat, "k", "v").collect()[0]
+    assert r["change_type"] == "stationary" and r["score"] == 0.0

@@ -1906,3 +1906,48 @@ def test_script_score_topk(spark):
         df, {"match": {"text": "hash"}}, "_score * 10", query_terms=["hash"], k=3)
     for r in out.collect():
         assert abs(r["score"] - round(bm[r["doc_id"]] * 10, 6)) < 1e-9
+
+
+def test_significant_terms_heuristics_reference(spark):
+    import math
+
+    import pytest
+
+    from monstache_spark.operators.search import significant_terms
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y"), (2, "a", "x z"), (3, "a", "x y z"),
+         (4, "b", "z w"), (5, "b", "w y"), (6, "b", "w")],
+        "doc_id long, lang string, text string",
+    )
+    fg = {"term": {"lang": "a"}}
+
+    def scores(h):
+        return {r["term"]: r["score"] for r in significant_terms(
+            df, fg, size=10, min_doc_count=1, heuristic=h).collect()}
+
+    # contingency for 'x': n11=3 n10=0 n01=0 n00=3, fgt=3, bgt=6
+    pct = scores("percentage")
+    assert pct["x"] == 1.0 and pct["y"] == round(2 / 3, 6)
+
+    chi = scores("chi_square")
+    # chi2 for x: N*(3*3-0*0)^2/((3)*(3)*(3)*(3)) = 6*81/81 = 6
+    assert chi["x"] == 6.0
+    # 'w' is fg-absent -> min_doc_count=1 keeps fg_count>=1 only
+    assert "w" not in chi
+
+    mi = scores("mutual_information")
+    ref = 0.0
+    for nxy, row, col in ((3, 3, 3), (0, 3, 3), (0, 3, 3), (3, 3, 3)):
+        if nxy:
+            ref += (nxy / 6) * math.log2(6 * nxy / (row * col))
+    assert mi["x"] == round(ref, 4)
+    # 'y': n11=2/fgt=3 vs bg 3/6 -> over-represented, positive
+    assert mi["y"] > 0
+
+    gnd = scores("gnd")
+    # x: fx=3, fy=3, fxy=3 -> gnd=0 -> exp(0)=1
+    assert gnd["x"] == 1.0
+
+    with pytest.raises(ValueError, match="heuristic"):
+        significant_terms(df, fg, heuristic="bayes")
