@@ -4418,6 +4418,46 @@ def _q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_percentiles(ev, "ts", "value", [50.0, 90.0], window=3)
 
 
+def _q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair construction (curation.dpo_pairs): per
+    source (standing in for the prompt), pair the longest text
+    (chosen) with the shortest (rejected), tie-broken on lowest
+    doc_id.  Two-phase top_metrics shape: pure-numeric hash agg for
+    the extremes, tie-join to fetch the strings — no string ever
+    enters an aggregation buffer (the SortAggregate trap)."""
+    from monstache_spark.operators.curation import dpo_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dpo_pairs(docs, "source", "text", "n_chars", "doc_id")
+
+
+def _q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with stratified interleaving
+    (curation.curriculum_interleave): 4 equal-width difficulty strata
+    over n_chars, global order round-robins across strata so every
+    training window sees the whole difficulty spectrum — the order is
+    a pure function of (difficulty, id), engine-reproducible."""
+    from monstache_spark.operators.curation import curriculum_interleave
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = curriculum_interleave(docs, "n_chars", "doc_id", n_strata=4)
+    return out.select("doc_id", "stratum", "order_idx")
+
+
+def _q_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle (curation.deterministic_shuffle):
+    training order = sort by md5(seed:id) — a keyed hash both engines
+    compute identically (engine-native hashes differ), so epoch
+    permutations are pure functions of (seed, id) on any engine or
+    partitioning; the same key feeds repartitionByRange for
+    order-stable shards at 100 TB."""
+    from monstache_spark.operators.curation import deterministic_shuffle
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = deterministic_shuffle(docs, "doc_id", seed="7")
+    return out.select("doc_id", "shuffle_key", "epoch_pos")
+
+
 def _q_es_sig_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms with the chi_square heuristic
     (search.significant_terms): the 2x2 contingency statistic
@@ -4672,6 +4712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_script_query": _q_es_script_query,
         "es_frequent_item_sets": _q_es_frequent_item_sets,
         "es_matrix_stats": _q_es_matrix_stats,
+        "dpo_pairs": _q_dpo_pairs,
+        "curriculum_interleave": _q_curriculum_interleave,
+        "deterministic_shuffle": _q_deterministic_shuffle,
         "es_sig_terms_chi2": _q_es_sig_terms_chi2,
         "es_sig_terms_mi": _q_es_sig_terms_mi,
         "es_sig_terms_pct": _q_es_sig_terms_pct,
@@ -4930,6 +4973,9 @@ _GATE_WINDOW = [
     "es_bucket_correlation",
     "es_bucket_ks_test",
     "es_change_point",
+    "dpo_pairs",
+    "curriculum_interleave",
+    "deterministic_shuffle",
     "minhash_pairs_collapsed",
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
@@ -6354,6 +6400,55 @@ def oracle_sql() -> dict[str, str]:
           WHERE source IN ('src0', 'src1', 'src2')
             AND list_contains(list_filter({_TOKS_LOWER}, w -> w <> ''), 'join')
             AND doc_id < 400
+        """,
+        "dpo_pairs": """
+          WITH base AS (
+            SELECT source AS prompt, text AS c, CAST(n_chars AS DOUBLE) AS s,
+                   doc_id AS id
+            FROM documents
+            WHERE source IS NOT NULL AND text IS NOT NULL AND n_chars IS NOT NULL
+          ),
+          ext AS (
+            SELECT prompt, max(s) AS hi, min(s) AS lo, count(*) AS n
+            FROM base GROUP BY prompt
+            HAVING count(*) >= 2 AND max(s) - min(s) >= 0.0
+          ),
+          ch AS (
+            SELECT b.prompt, b.c AS chosen, b.s AS chosen_score,
+                   row_number() OVER (PARTITION BY b.prompt ORDER BY b.id) AS rn
+            FROM base b JOIN ext e ON b.prompt = e.prompt AND b.s = e.hi
+          ),
+          rj AS (
+            SELECT b.prompt, b.c AS rejected, b.s AS rejected_score,
+                   row_number() OVER (PARTITION BY b.prompt ORDER BY b.id) AS rn
+            FROM base b JOIN ext e ON b.prompt = e.prompt AND b.s = e.lo
+          )
+          SELECT ch.prompt, chosen, rejected, chosen_score, rejected_score,
+                 round(chosen_score - rejected_score, 6) AS margin
+          FROM ch JOIN rj ON ch.prompt = rj.prompt
+          WHERE ch.rn = 1 AND rj.rn = 1
+        """,
+        "curriculum_interleave": """
+          WITH s AS (
+            SELECT doc_id,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS stratum
+            FROM documents
+            WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+          )
+          SELECT doc_id, stratum,
+                 CAST((row_number() OVER (PARTITION BY stratum
+                        ORDER BY (SELECT n_chars FROM documents d WHERE d.doc_id = s.doc_id), doc_id)
+                       - 1) * 4 + stratum AS BIGINT) AS order_idx
+          FROM s
+        """,
+        "deterministic_shuffle": """
+          WITH k AS (
+            SELECT doc_id, md5('7' || ':' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents WHERE doc_id IS NOT NULL
+          )
+          SELECT doc_id, shuffle_key,
+                 CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS epoch_pos
+          FROM k
         """,
         "es_sig_terms_chi2": """
           WITH base AS (

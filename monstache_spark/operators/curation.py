@@ -1329,3 +1329,135 @@ def data_card(
             .alias("mean_tokens_centi"),
         )
     )
+
+
+def dpo_pairs(
+    df: DataFrame,
+    prompt_col: str,
+    completion_col: str,
+    score_col: str,
+    id_col: str,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF reward modeling:
+    per prompt, pair the highest-scored completion (chosen) with the
+    lowest-scored (rejected), keeping prompts whose score gap reaches
+    ``min_margin`` — the standard best-vs-worst pairing over a scored
+    candidate pool.
+
+    Plan shape (the top_metrics two-phase shape): completion strings
+    NEVER enter an aggregation buffer — one string/struct field in a
+    buffer silently degrades the whole aggregate to SortAggregate —
+    so phase 1 is a pure-numeric hash agg (max/min score per prompt)
+    and phase 2 joins back to fetch the winning rows, breaking score
+    ties on the LOWEST ``id_col`` (deterministic).  Prompts with a
+    single candidate drop (no pair exists).  Returns ``(prompt,
+    chosen, rejected, chosen_score, rejected_score, margin)``.
+    """
+    base = df.filter(
+        F.col(prompt_col).isNotNull()
+        & F.col(completion_col).isNotNull()
+        & F.col(score_col).isNotNull()
+    ).select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(completion_col).alias("_c"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(id_col).alias("_id"),
+    )
+    ext = base.groupBy("prompt").agg(
+        F.max("_s").alias("_hi"),
+        F.min("_s").alias("_lo"),
+        F.count("*").alias("_n"),
+    ).filter(
+        (F.col("_n") >= 2) & (F.col("_hi") - F.col("_lo") >= F.lit(min_margin))
+    )
+
+    def pick(bound: str, out_c: str, out_s: str) -> DataFrame:
+        # tie-join: all rows at the extreme score, keep the lowest id
+        j = base.join(
+            ext.select("prompt", F.col(bound).alias("_b")), "prompt"
+        ).filter(F.col("_s") == F.col("_b"))
+        w = Window.partitionBy("prompt").orderBy(F.col("_id").asc())
+        return (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "prompt",
+                F.col("_c").alias(out_c),
+                F.col("_s").alias(out_s),
+            )
+        )
+
+    chosen = pick("_hi", "chosen", "chosen_score")
+    rejected = pick("_lo", "rejected", "rejected_score")
+    return (
+        chosen.join(rejected, "prompt")
+        .withColumn(
+            "margin", F.round(F.col("chosen_score") - F.col("rejected_score"), 6)
+        )
+        .select(
+            "prompt", "chosen", "rejected",
+            "chosen_score", "rejected_score", "margin",
+        )
+    )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    difficulty_col: str,
+    id_col: str,
+    n_strata: int = 4,
+) -> DataFrame:
+    """Deterministic curriculum ordering with stratified interleaving:
+    rows are cut into ``n_strata`` difficulty strata (equal-width
+    NTILE over ascending difficulty), then the global training order
+    round-robins across strata — position ``rank_within_stratum ·
+    n_strata + stratum`` — so every training window sees the full
+    difficulty spectrum while easier examples still lead within each
+    cycle (the interleaved-curriculum schedule; a pure sort-by-
+    difficulty curriculum is the ``n_strata=1`` special case).
+
+    Two window passes over (difficulty, id) — the order is a pure
+    function of the data, reproducible on any engine and any
+    partitioning.  Returns the input plus ``stratum`` and ``order_idx``
+    (dense 0-based global positions followed by sorting consumers).
+    """
+    w = Window.orderBy(F.col(difficulty_col).asc(), F.col(id_col).asc())
+    strat = F.ntile(n_strata).over(w) - F.lit(1)
+    out = df.filter(
+        F.col(difficulty_col).isNotNull() & F.col(id_col).isNotNull()
+    ).withColumn("stratum", strat.cast("long"))
+    w2 = Window.partitionBy("stratum").orderBy(
+        F.col(difficulty_col).asc(), F.col(id_col).asc()
+    )
+    return out.withColumn(
+        "order_idx",
+        ((F.row_number().over(w2) - F.lit(1)) * F.lit(n_strata)
+         + F.col("stratum")).cast("long"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "0",
+) -> DataFrame:
+    """Reproducible global shuffle for training-order assignment:
+    rows order by ``md5(seed || ':' || id)`` — a keyed hash both
+    engines compute identically (unlike engine-native hash functions,
+    whose values differ between Spark and DuckDB), so epoch N's order
+    is a pure function of (seed, id) on ANY engine, partitioning, or
+    rerun.  Different seeds give independent epoch permutations.
+
+    The sort is one shuffle-range exchange — exactly what a training
+    shard writer needs ahead of ``write_training_shards``; at 100 TB
+    the same key feeds a ``repartitionByRange`` so shard files come
+    out order-stable too.  Returns the input plus ``shuffle_key`` and
+    ``epoch_pos`` (0-based).
+    """
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    out = df.filter(F.col(id_col).isNotNull()).withColumn("shuffle_key", key)
+    w = Window.orderBy(F.col("shuffle_key").asc(), F.col(id_col).asc())
+    return out.withColumn(
+        "epoch_pos", (F.row_number().over(w) - F.lit(1)).cast("long")
+    )

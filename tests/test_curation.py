@@ -539,3 +539,58 @@ def test_render_chat_text_and_loss_mask_spans(spark):
         [(2, [])], "doc_id long, messages array<struct<role string, content string>>")
     r2 = render_chat(df2).collect()[0]
     assert r2["text"] == "" and r2["assistant_spans"] == [] and r2["assistant_chars"] == 0
+
+
+def test_dpo_pairs_best_vs_worst(spark):
+    from monstache_spark.operators.curation import dpo_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "p1", "good", 0.9), (2, "p1", "bad", 0.1), (3, "p1", "mid", 0.5),
+            (4, "p2", "only", 0.7),                       # single candidate drops
+            (5, "p3", "a", 0.6), (6, "p3", "b", 0.6),      # tie: margin 0
+            (7, "p4", "hi", 0.8), (8, "p4", "lo", 0.75),   # margin 0.05
+        ],
+        "id long, prompt string, completion string, score double",
+    )
+    out = {r["prompt"]: r for r in dpo_pairs(
+        df, "prompt", "completion", "score", "id").collect()}
+    assert set(out) == {"p1", "p3", "p4"}
+    assert (out["p1"]["chosen"], out["p1"]["rejected"]) == ("good", "bad")
+    assert out["p1"]["margin"] == 0.8
+    # tie on both extremes: lowest id wins both picks
+    assert (out["p3"]["chosen"], out["p3"]["rejected"]) == ("a", "a")
+    # min_margin filters narrow pairs
+    out = {r["prompt"] for r in dpo_pairs(
+        df, "prompt", "completion", "score", "id", min_margin=0.1).collect()}
+    assert out == {"p1"}
+
+
+def test_curriculum_interleave_round_robin(spark):
+    from monstache_spark.operators.curation import curriculum_interleave
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "id long, difficulty double")
+    out = sorted(
+        ((r["order_idx"], r["id"], r["stratum"]) for r in
+         curriculum_interleave(df, "difficulty", "id", n_strata=2).collect())
+    )
+    # strata: ids 1-4 (easy), 5-8 (hard); order alternates E H E H ...
+    assert [(o, i) for o, i, _ in out] == [
+        (0, 1), (1, 5), (2, 2), (3, 6), (4, 3), (5, 7), (6, 4), (7, 8)]
+
+
+def test_deterministic_shuffle_reproducible(spark):
+    from monstache_spark.operators.curation import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    a = [r["id"] for r in deterministic_shuffle(df, "id", seed="1")
+         .orderBy("epoch_pos").collect()]
+    b = [r["id"] for r in deterministic_shuffle(df, "id", seed="1")
+         .orderBy("epoch_pos").collect()]
+    c = [r["id"] for r in deterministic_shuffle(df, "id", seed="2")
+         .orderBy("epoch_pos").collect()]
+    assert a == b            # same seed -> identical epoch order
+    assert a != c            # different seed -> different permutation
+    assert sorted(a) == list(range(20))
+    assert a != list(range(20))  # actually shuffled
