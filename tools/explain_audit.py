@@ -599,6 +599,52 @@ CHECKS = [
         and "CartesianProduct" not in p
         and "Python" not in p,
     ),
+    (
+        "es_knn_search",
+        "knn search: literal query vector in ONE corpus scan — no "
+        "cartesian, no second-frame join, top-k TakeOrderedAndProject, "
+        "no Python",
+        lambda p: "CartesianProduct" not in p
+        and "TakeOrderedAndProject" in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_matrix_stats",
+        "matrix_stats: ALL raw-moment sums in hash aggregates (decimal "
+        "buffers), no sort aggregate, no Python",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "dpo_pairs",
+        "dpo_pairs: numeric extremes hash agg + tie-join — no string in "
+        "any agg buffer (no SortAggregate), no cartesian, no Python",
+        lambda p: "SortAggregate" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_frequent_item_sets",
+        "frequent_item_sets: Apriori joins are hash equi-joins on the "
+        "basket key with a broadcast singleton prune — no cartesian, "
+        "no Python",
+        lambda p: "CartesianProduct" not in p
+        and "BroadcastHashJoin" in p
+        and "Python" not in p,
+    ),
+    (
+        "match_phrase_slop_repeat4",
+        "repeated-term slop: ONE filter over the scan (the greedy "
+        "matching is a HOF expression — interpreted, so outside "
+        "whole-stage codegen, but fully JVM-side) — no explode, no "
+        "join, no Python",
+        lambda p: "Filter" in p
+        and "Generate" not in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
 ]
 
 
