@@ -4418,6 +4418,96 @@ def _q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_percentiles(ev, "ts", "value", [50.0, 90.0], window=3)
 
 
+def _q_es_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test aggregation (aggs.t_test_agg): Welch's unequal-
+    variance t between the click and error event values — exact
+    decimal moment sums combined in mirrored double arithmetic
+    (t_statistic, Welch-Satterthwaite df); p_value via the A&S
+    26.2.17 normal approximation (|err| < 7.5e-8 in Phi, 4-dp S11
+    contract) — indistinguishable from the exact t tail at
+    corpus-scale df, documented."""
+    from monstache_spark.operators.aggs import t_test_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    return t_test_agg(
+        ev, "value", group_field="event_type", group_values=("click", "error")
+    )
+
+
+def _q_es_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range aggregation (aggs.ip_range_agg): dotted-quad IPv4
+    (derived from event_id by exact integer arithmetic, standing in
+    for a synced client-address field) bucketed into open-ended,
+    bounded, and CIDR-mask ranges — BIGINT address parse, ES
+    multi-membership (a doc lands in EVERY matching range)."""
+    from monstache_spark.operators.aggs import ip_range_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    ips = ev.select(
+        F.concat(
+            F.lit("10."),
+            F.pmod(F.col("event_id"), F.lit(4)).cast("string"),
+            F.lit("."),
+            F.pmod(F.floor(F.col("event_id") / F.lit(4)), F.lit(250)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("event_id"), F.lit(250)).cast("string"),
+        ).alias("ip")
+    )
+    return ip_range_agg(ips, "ip", [
+        {"to": "10.1.0.0"},
+        {"from": "10.1.0.0", "to": "10.3.0.0", "key": "mid"},
+        {"mask": "10.2.0.0/15"},
+    ])
+
+
+def _q_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_line aggregation (geo.geo_line): per market segment,
+    the WKT track connecting the first 5 customers' points in
+    custkey order — the cap applies BEFORE collection (row_number +
+    rank filter compiles to WindowGroupLimit, so the collect buffers
+    at most max_points structs per bucket, the bound ES itself
+    enforces via size<=10000)."""
+    from monstache_spark.operators.geo import geo_line
+
+    c = _geo_customers(spark, sf_dir)
+    return geo_line(
+        c, "lat", "lon", "c_custkey", bucket_col="c_mktsegment", max_points=5
+    )
+
+
+def _q_es_span_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES span_field_masking (search._compile_span): a span over the
+    SOURCE field masked as text, combined with a text span in one
+    unordered span_near — the inner tree runs on its own field,
+    positions are independent token streams (Lucene's documented
+    masking caveat applies verbatim).  Membership: source = 'src3'
+    AND 'hash' within the near window of the masked position."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"span_near": {"clauses": [
+        {"span_field_masking": {
+            "query": {"span_term": {"source": "src3"}}, "field": "text"}},
+        {"span_term": {"text": "hash"}},
+    ], "slop": 4, "in_order": False}})
+    return out.select("doc_id")
+
+
+def _q_es_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector / text_expansion query
+    (search.sparse_vector_topk): dot product of a query term->weight
+    map with the document's derived features (w_d = analyzed tf, the
+    no-stored-model contract) — the ELSER learned-sparse retrieval
+    shape.  Literal weights frame broadcast into one corpus token
+    pass; decimal-exact per-doc sums; top-10."""
+    from monstache_spark.operators.search import sparse_vector_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sparse_vector_topk(
+        docs, {"hash": 1.5, "join": 1.0, "table": 0.5}, k=10
+    )
+
+
 def _q_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPO preference-pair construction (curation.dpo_pairs): per
     source (standing in for the prompt), pair the longest text
@@ -4712,6 +4802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_script_query": _q_es_script_query,
         "es_frequent_item_sets": _q_es_frequent_item_sets,
         "es_matrix_stats": _q_es_matrix_stats,
+        "es_t_test": _q_es_t_test,
+        "es_ip_range": _q_es_ip_range,
+        "geo_line": _q_geo_line,
+        "es_span_masking": _q_es_span_masking,
+        "es_sparse_vector": _q_es_sparse_vector,
         "dpo_pairs": _q_dpo_pairs,
         "curriculum_interleave": _q_curriculum_interleave,
         "deterministic_shuffle": _q_deterministic_shuffle,
@@ -4976,6 +5071,11 @@ _GATE_WINDOW = [
     "dpo_pairs",
     "curriculum_interleave",
     "deterministic_shuffle",
+    "es_t_test",
+    "es_ip_range",
+    "geo_line",
+    "es_span_masking",
+    "es_sparse_vector",
     "minhash_pairs_collapsed",
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
@@ -6400,6 +6500,129 @@ def oracle_sql() -> dict[str, str]:
           WHERE source IN ('src0', 'src1', 'src2')
             AND list_contains(list_filter({_TOKS_LOWER}, w -> w <> ''), 'join')
             AND doc_id < 400
+        """,
+        "es_t_test": """
+          WITH s AS (
+            SELECT CAST(sum(CASE WHEN event_type = 'click' AND value IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+                   CAST(SUM(CASE WHEN event_type = 'click' AND value IS NOT NULL THEN CAST(value AS DECIMAL(19,4)) END) AS DOUBLE) AS sa1,
+                   CAST(SUM(CASE WHEN event_type = 'click' AND value IS NOT NULL THEN CAST(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS sa2,
+                   CAST(sum(CASE WHEN event_type = 'error' AND value IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+                   CAST(SUM(CASE WHEN event_type = 'error' AND value IS NOT NULL THEN CAST(value AS DECIMAL(19,4)) END) AS DOUBLE) AS sb1,
+                   CAST(SUM(CASE WHEN event_type = 'error' AND value IS NOT NULL THEN CAST(CAST(value AS DECIMAL(19,4)) * CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8)) END) AS DOUBLE) AS sb2
+            FROM events
+          ),
+          d AS (
+            SELECT n1, n2,
+                   sa1 / n1 AS m1, sb1 / n2 AS m2,
+                   (sa2 - sa1 * sa1 / n1) / (n1 - 1.0) AS v1,
+                   (sb2 - sb1 * sb1 / n2) / (n2 - 1.0) AS v2
+            FROM s
+          ),
+          t AS (
+            SELECT n1, n2,
+                   (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS tt,
+                   ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+                   / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                      + (v2 / n2) * (v2 / n2) / (n2 - 1.0)) AS dfree
+            FROM d
+          ),
+          p AS (
+            SELECT tt, dfree, n1, n2,
+                   1.0 / (1.0 + 0.2316419 * abs(tt)) AS kk
+            FROM t
+          )
+          SELECT round(tt, 6) AS t_statistic,
+                 round(dfree, 6) AS df,
+                 round(least(1.0,
+                   2.0 * (exp(-0.5 * abs(tt) * abs(tt)) / 2.5066282746310002)
+                       * (0.319381530 * kk + (-0.356563782) * kk * kk
+                          + 1.781477937 * kk * kk * kk
+                          + (-1.821255978) * kk * kk * kk * kk
+                          + 1.330274429 * kk * kk * kk * kk * kk)), 4) AS p_value,
+                 CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b
+          FROM p
+        """,
+        "es_ip_range": """
+          WITH ips AS (
+            SELECT '10.' || CAST(event_id % 4 AS VARCHAR) || '.'
+                   || CAST(CAST(floor(event_id / 4) AS BIGINT) % 250 AS VARCHAR) || '.'
+                   || CAST(event_id % 250 AS VARCHAR) AS ip
+            FROM events
+          ),
+          a AS (
+            SELECT CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                 + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                 + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                 + CAST(string_split(ip, '.')[4] AS BIGINT) AS addr
+            FROM ips WHERE ip IS NOT NULL
+          ),
+          m AS (
+            SELECT unnest(list_filter([
+              CASE WHEN addr < 167837696 THEN '*-10.1.0.0' END,
+              CASE WHEN addr >= 167837696 AND addr < 167968768 THEN 'mid' END,
+              CASE WHEN addr >= 167903232 AND addr < 168034304 THEN '10.2.0.0/15' END
+            ], x -> x IS NOT NULL)) AS key
+            FROM a
+          )
+          SELECT key, CAST(count(*) AS BIGINT) AS doc_count
+          FROM m GROUP BY key ORDER BY key
+        """,
+        "geo_line": f"""
+          WITH pts AS (
+            SELECT c_mktsegment, c_custkey,
+                   {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+            FROM customer
+          ),
+          r AS (
+            SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_custkey) AS rn
+            FROM pts
+            WHERE lat IS NOT NULL AND lon IS NOT NULL AND c_custkey IS NOT NULL
+          ),
+          capped AS (SELECT * FROM r WHERE rn <= 5)
+          SELECT c_mktsegment,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 'LINESTRING(' || string_agg(
+                     printf('%.6f', round(lon, 6)) || ' ' || printf('%.6f', round(lat, 6)),
+                     ', ' ORDER BY rn) || ')' AS line
+          FROM capped GROUP BY c_mktsegment
+        """,
+        "es_span_masking": f"""
+          WITH t AS (
+            SELECT doc_id, source,
+                   list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id, source,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE lower(source) = 'src3'
+            AND len(list_filter(ph, a ->
+                  (a >= 1 + 1 AND a - 1 - 1 <= 4) OR (1 >= a + 1 AND 1 - a - 1 <= 4))) > 0
+        """,
+        "es_sparse_vector": f"""
+          WITH toks AS (
+            SELECT doc_id, unnest(list_filter({_TOKS_LOWER}, w -> w <> '')) AS term
+            FROM documents
+          ),
+          tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks WHERE term IN ('hash', 'join', 'table')
+            GROUP BY doc_id, term
+          ),
+          w(term, w) AS (VALUES ('hash', CAST(1.5 AS DECIMAL(19,6))),
+                                ('join', CAST(1.0 AS DECIMAL(19,6))),
+                                ('table', CAST(0.5 AS DECIMAL(19,6)))),
+          s AS (
+            SELECT doc_id,
+                   round(CAST(SUM(CAST(CAST(tf AS DECIMAL(19,6)) * w AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+            FROM tf JOIN w USING (term) GROUP BY doc_id
+          )
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, doc_id LIMIT 10
         """,
         "dpo_pairs": """
           WITH base AS (

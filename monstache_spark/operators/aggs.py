@@ -2078,3 +2078,193 @@ def change_point(
         "mean_left",
         "mean_right",
     )
+
+
+def _norm_sf(x: Column) -> Column:
+    """Two-sided normal tail 2·(1 − Φ(|x|)) via the Abramowitz &
+    Stegun 26.2.17 polynomial (|error| < 7.5e-8), rendered with the
+    same expression tree on every engine.  Shared by t_test_agg."""
+    ax = F.abs(x)
+    k = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * ax)
+    poly = (
+        F.lit(0.319381530) * k
+        + F.lit(-0.356563782) * k * k
+        + F.lit(1.781477937) * k * k * k
+        + F.lit(-1.821255978) * k * k * k * k
+        + F.lit(1.330274429) * k * k * k * k * k
+    )
+    phi = F.exp(F.lit(-0.5) * ax * ax) / F.lit(2.5066282746310002)
+    return F.lit(2.0) * phi * poly
+
+
+def t_test_agg(
+    df: DataFrame,
+    field_a: str,
+    field_b: str | None = None,
+    group_field: str | None = None,
+    group_values: tuple | None = None,
+    type: str = "heteroscedastic",
+    round_to: int = 6,
+) -> DataFrame:
+    """ES ``t_test`` aggregation: Student's t between two samples —
+    either two FIELDS of the same documents (``field_b``; the
+    ``paired`` type needs this form, as in ES) or one field split by
+    two ``group_values`` of ``group_field`` (the ES filters form).
+    Types: ``paired`` (t over the per-doc differences),
+    ``homoscedastic`` (pooled variance), ``heteroscedastic`` (Welch,
+    the ES default) with the Welch–Satterthwaite df.
+
+    All sums accumulate as exact decimals (order-stable, inputs with
+    ≤ 2 decimals); the statistic and df combine in mirrored double
+    arithmetic rounded at ``round_to``.  ES returns the two-sided
+    p-value from the exact t distribution; here ``p_value`` uses the
+    NORMAL approximation (A&S 26.2.17, |err| < 7.5e-8 in Φ) under the
+    S11 4-dp contract — indistinguishable for the df ≫ 100 regime of
+    corpus-scale buckets, documented divergence below (where the t
+    and normal tails differ at small df, the exact ``t_statistic``
+    and ``df`` columns carry the decision).  Returns one row
+    ``(t_statistic, df, p_value, n_a, n_b)``.
+    """
+    if type not in ("paired", "homoscedastic", "heteroscedastic"):
+        raise ValueError(f"unsupported t_test type: {type}")
+    if (field_b is None) == (group_field is None):
+        raise ValueError("exactly one of field_b / group_field is required")
+    if type == "paired" and field_b is None:
+        raise ValueError("paired t_test needs the two-fields form (field_b)")
+
+    def sums(col: Column, flag: Column):
+        dec = col.cast("decimal(19,4)")
+        return [
+            F.sum(F.when(flag, F.lit(1)).otherwise(F.lit(0)))
+            .cast("double"),
+            F.sum(F.when(flag, dec)).cast("double"),
+            F.sum(F.when(flag, (dec * dec).cast("decimal(38,8)")))
+            .cast("double"),
+        ]
+
+    if type == "paired":
+        both = F.col(field_a).isNotNull() & F.col(field_b).isNotNull()
+        d = (
+            F.col(field_a).cast("decimal(19,4)")
+            - F.col(field_b).cast("decimal(19,4)")
+        ).cast("decimal(19,4)")
+        agg = df.agg(
+            F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("_n"),
+            F.sum(F.when(both, d)).cast("double").alias("_s1"),
+            F.sum(F.when(both, (d * d).cast("decimal(38,8)")))
+            .cast("double")
+            .alias("_s2"),
+        )
+        n = F.col("_n")
+        mean = F.col("_s1") / n
+        var = (F.col("_s2") - F.col("_s1") * F.col("_s1") / n) / (n - F.lit(1.0))
+        t = mean / F.sqrt(var / n)
+        dfree = n - F.lit(1.0)
+        return agg.select(
+            F.round(t, round_to).alias("t_statistic"),
+            F.round(dfree, round_to).alias("df"),
+            F.round(F.least(F.lit(1.0), _norm_sf(t)), 4).alias("p_value"),
+            n.cast("long").alias("n_a"),
+            n.cast("long").alias("n_b"),
+        )
+
+    if field_b is not None:
+        fa = F.col(field_a).isNotNull()
+        fb = F.col(field_b).isNotNull()
+        na, sa1, sa2 = sums(F.col(field_a), fa)
+        nb, sb1, sb2 = sums(F.col(field_b), fb)
+    else:
+        va, vb = group_values
+        fa = (F.col(group_field) == F.lit(va)) & F.col(field_a).isNotNull()
+        fb = (F.col(group_field) == F.lit(vb)) & F.col(field_a).isNotNull()
+        na, sa1, sa2 = sums(F.col(field_a), fa)
+        nb, sb1, sb2 = sums(F.col(field_a), fb)
+    agg = df.agg(
+        na.alias("_na"), sa1.alias("_sa1"), sa2.alias("_sa2"),
+        nb.alias("_nb"), sb1.alias("_sb1"), sb2.alias("_sb2"),
+    )
+    n1, n2 = F.col("_na"), F.col("_nb")
+    m1 = F.col("_sa1") / n1
+    m2 = F.col("_sb1") / n2
+    v1 = (F.col("_sa2") - F.col("_sa1") * F.col("_sa1") / n1) / (n1 - F.lit(1.0))
+    v2 = (F.col("_sb2") - F.col("_sb1") * F.col("_sb1") / n2) / (n2 - F.lit(1.0))
+    if type == "homoscedastic":
+        sp2 = ((n1 - F.lit(1.0)) * v1 + (n2 - F.lit(1.0)) * v2) / (
+            n1 + n2 - F.lit(2.0)
+        )
+        t = (m1 - m2) / F.sqrt(sp2 / n1 + sp2 / n2)
+        dfree = n1 + n2 - F.lit(2.0)
+    else:
+        se2 = v1 / n1 + v2 / n2
+        t = (m1 - m2) / F.sqrt(se2)
+        dfree = (se2 * se2) / (
+            (v1 / n1) * (v1 / n1) / (n1 - F.lit(1.0))
+            + (v2 / n2) * (v2 / n2) / (n2 - F.lit(1.0))
+        )
+    return agg.select(
+        F.round(t, round_to).alias("t_statistic"),
+        F.round(dfree, round_to).alias("df"),
+        F.round(F.least(F.lit(1.0), _norm_sf(t)), 4).alias("p_value"),
+        n1.cast("long").alias("n_a"),
+        n2.cast("long").alias("n_b"),
+    )
+
+
+def ip_range_agg(
+    df: DataFrame,
+    ip_col: str,
+    ranges: list[dict],
+) -> DataFrame:
+    """ES ``ip_range`` aggregation: bucket dotted-quad IPv4 strings
+    into ``[from, to)`` ranges or CIDR ``mask`` blocks.  The address
+    parses to a BIGINT (``a·2²⁴ + b·2¹⁶ + c·2⁸ + d`` — pure integer
+    arithmetic, engine-identical); a document lands in EVERY matching
+    range (ES range-family multi-membership), so membership keys
+    build as an array and explode.  Range keys follow ES: the given
+    ``key``, else ``from-to`` (with ``*`` for open ends), else the
+    mask.  One projection + explode + hash agg; IPv6 is out of scope
+    (documented).  Returns ``(key, doc_count)``.
+    """
+    parts = F.split(F.col(ip_col), r"\.")
+    addr = (
+        F.element_at(parts, 1).cast("long") * F.lit(16777216)
+        + F.element_at(parts, 2).cast("long") * F.lit(65536)
+        + F.element_at(parts, 3).cast("long") * F.lit(256)
+        + F.element_at(parts, 4).cast("long")
+    )
+
+    def ip_to_long(s: str) -> int:
+        a, b, c, d = (int(x) for x in s.split("."))
+        return (a << 24) + (b << 16) + (c << 8) + d
+
+    keys = []
+    for r in ranges:
+        if "mask" in r:
+            base, bits = r["mask"].split("/")
+            lo = ip_to_long(base) & (~((1 << (32 - int(bits))) - 1) & 0xFFFFFFFF)
+            hi = lo + (1 << (32 - int(bits)))
+            key = r.get("key", r["mask"])
+        else:
+            lo = ip_to_long(r["from"]) if "from" in r else None
+            hi = ip_to_long(r["to"]) if "to" in r else None
+            key = r.get(
+                "key",
+                f"{r.get('from', '*')}-{r.get('to', '*')}",
+            )
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (addr >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (addr < F.lit(hi))
+        keys.append(F.when(cond, F.lit(key)))
+    key_arr = F.array_compact(F.array(*keys))
+    base = df.filter(F.col(ip_col).isNotNull()).select(
+        F.explode(key_arr).alias("key")
+    )
+    return (
+        base.groupBy("key")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .orderBy("key")
+    )

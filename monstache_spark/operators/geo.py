@@ -39,6 +39,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 EARTH_RADIUS_M = 6_371_000.0
 
@@ -473,3 +474,64 @@ def geo_distance_buckets(
         .groupBy("ring")
         .agg(*aggs)
     )
+
+
+def geo_line(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    sort_col: str,
+    bucket_col: str | None = None,
+    max_points: int = 10000,
+    digits: int = 6,
+) -> DataFrame:
+    """ES ``geo_line`` aggregation: per bucket, the track connecting
+    the bucket's points in ``sort_col`` order, truncated to the FIRST
+    ``max_points`` (ES's ``size`` cap, default and maximum 10000) and
+    rendered as a WKT ``LINESTRING(lon lat, …)`` with coordinates
+    rounded to ``digits`` decimals (string output keeps the hash
+    engine-portable; consumers needing arrays split the WKT).
+
+    Scale shape: the cap applies BEFORE collection — a per-bucket
+    ``row_number`` window with the rank filter compiles to
+    WindowGroupLimit (top-k per key pushed below the window), so the
+    later ``collect_list`` buffers at most ``max_points`` structs per
+    bucket, never the raw bucket (the same bound ES enforces; an
+    uncapped per-bucket collect would be the one unbounded buffer in
+    the engine).  Returns ``(bucket?, doc_count, line)`` where
+    doc_count counts the points ON the line.
+    """
+    b = bucket_col if bucket_col is not None else None
+    base = df.filter(
+        F.col(lat_col).isNotNull()
+        & F.col(lon_col).isNotNull()
+        & F.col(sort_col).isNotNull()
+    )
+    part = Window.partitionBy(b) if b else Window.partitionBy()
+    w = part.orderBy(F.col(sort_col).asc())
+    ranked = base.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= max_points
+    )
+    pt = F.struct(
+        F.col("_rn").alias("r"),
+        F.concat(
+            F.format_number(F.round(F.col(lon_col), digits), digits),
+            F.lit(" "),
+            F.format_number(F.round(F.col(lat_col), digits), digits),
+        ).alias("s"),
+    )
+    gb = ranked.groupBy(b) if b else ranked.groupBy()
+    out = gb.agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.concat(
+            F.lit("LINESTRING("),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(pt)), lambda e: e["s"]
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        ).alias("line"),
+    )
+    return out

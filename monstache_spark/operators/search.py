@@ -249,7 +249,8 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         # must_not context like every other leaf
         field = _span_field({kind: body})
         pos_fn = _span_positions_fn(field, resolver, analyzer)
-        return F.size(_compile_span({kind: body}, pos_fn)) > 0
+        factory = lambda f: _span_positions_fn(f, resolver, analyzer)  # noqa: E731
+        return F.size(_compile_span({kind: body}, pos_fn, factory)) > 0
     if kind == "intervals":
         # ES intervals query: the interval rules (match / any_of /
         # all_of / prefix) are an algebra over the same position
@@ -263,7 +264,8 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         ((field, rule),) = body.items()
         span = _intervals_to_span(rule, analyzer)
         pos_fn = _span_positions_fn(field, resolver, analyzer)
-        return F.size(_compile_span(span, pos_fn)) > 0
+        factory = lambda f: _span_positions_fn(f, resolver, analyzer)  # noqa: E731
+        return F.size(_compile_span(span, pos_fn, factory)) > 0
     if kind == "__token_wildcard__":
         # internal (query_string wildcards over analyzed fields): a
         # wildcard TERM matches any analyzed token, the Lucene
@@ -623,6 +625,7 @@ _SPAN_KINDS = (
     "span_containing",
     "span_within",
     "span_multi",
+    "span_field_masking",
 )
 
 
@@ -644,6 +647,9 @@ def _span_field(body: dict) -> str:
         return _span_field(b["include"])
     if kind in ("span_containing", "span_within"):
         return _span_field(b["little"])
+    if kind == "span_field_masking":
+        # the mask IS the reported field (Lucene SpanFieldMaskingQuery)
+        return b["field"]
     if kind == "span_multi":
         ((_mk, mb),) = b["match"].items()
         ((field, _),) = mb.items()
@@ -651,7 +657,7 @@ def _span_field(body: dict) -> str:
     raise ValueError(f"not a span query: {kind}")
 
 
-def _compile_span(body: dict, positions_of) -> Column:
+def _compile_span(body: dict, positions_of, pos_factory=None) -> Column:
     """Compile a span-query tree to a per-row ARRAY of spans
     ``struct<s:int, e:int>`` (start inclusive, end exclusive — Lucene's
     Spans contract), built entirely from higher-order functions over
@@ -707,18 +713,18 @@ def _compile_span(body: dict, positions_of) -> Column:
             lambda p: F.struct(p.alias("s"), (p + F.lit(1)).alias("e")),
         )
     if kind == "span_or":
-        arrs = [_compile_span(c, positions_of) for c in b["clauses"]]
+        arrs = [_compile_span(c, positions_of, pos_factory) for c in b["clauses"]]
         out = arrs[0]
         for a in arrs[1:]:
             out = F.concat(out, a)
         return out
     if kind == "span_first":
         end = int(b["end"])
-        match = _compile_span(b["match"], positions_of)
+        match = _compile_span(b["match"], positions_of, pos_factory)
         return F.filter(match, lambda sp: sp["e"] <= F.lit(end))
     if kind == "span_containing":
-        big = _compile_span(b["big"], positions_of)
-        little = _compile_span(b["little"], positions_of)
+        big = _compile_span(b["big"], positions_of, pos_factory)
+        little = _compile_span(b["little"], positions_of, pos_factory)
         return F.filter(
             big,
             lambda sb: F.exists(
@@ -726,8 +732,8 @@ def _compile_span(body: dict, positions_of) -> Column:
             ),
         )
     if kind == "span_within":
-        big = _compile_span(b["big"], positions_of)
-        little = _compile_span(b["little"], positions_of)
+        big = _compile_span(b["big"], positions_of, pos_factory)
+        little = _compile_span(b["little"], positions_of, pos_factory)
         return F.filter(
             little,
             lambda sl: F.exists(
@@ -753,9 +759,24 @@ def _compile_span(body: dict, positions_of) -> Column:
             positions_of(key),
             lambda p: F.struct(p.alias("s"), (p + F.lit(1)).alias("e")),
         )
+    if kind == "span_field_masking":
+        # Lucene SpanFieldMaskingQuery: run the inner span tree on ITS
+        # OWN field but report the spans under the mask field, so
+        # combiners (span_near) accept clauses from mixed fields.
+        # Positions come from independent token streams — Lucene's
+        # documented caveat ("payloads and offsets come from the
+        # masked field") applies verbatim
+        if pos_factory is None:
+            raise ValueError(
+                "span_field_masking requires the field-capable span path"
+            )
+        inner = b["query"]
+        return _compile_span(
+            inner, pos_factory(_span_field(inner)), pos_factory
+        )
     if kind == "span_not":
-        inc = _compile_span(b["include"], positions_of)
-        exc = _compile_span(b["exclude"], positions_of)
+        inc = _compile_span(b["include"], positions_of, pos_factory)
+        exc = _compile_span(b["exclude"], positions_of, pos_factory)
         pre = int(b.get("pre", b.get("dist", 0)))
         post = int(b.get("post", b.get("dist", 0)))
         return F.filter(
@@ -767,7 +788,7 @@ def _compile_span(body: dict, positions_of) -> Column:
             ),
         )
     if kind == "span_near":
-        clauses = [_compile_span(c, positions_of) for c in b["clauses"]]
+        clauses = [_compile_span(c, positions_of, pos_factory) for c in b["clauses"]]
         slop = int(b.get("slop", 0))
         in_order = bool(b.get("in_order", True))
         if len(clauses) == 1:
@@ -1041,11 +1062,11 @@ def _match_phrase_slop(
             return F.lit(False)
         toks = [t for t, _ in q]
         qd = [p - q[0][1] for _, p in q]
-        arr_pos = analyzer.tokens_pos(_field(field, resolver))
+        arr_expr = analyzer.tokens_pos(_field(field, resolver))
 
-        def positions_of(term: str) -> Column:
+        def pos_of(arr: Column, term: str) -> Column:
             return F.transform(
-                F.filter(arr_pos, lambda e: e["t"] == F.lit(term)),
+                F.filter(arr, lambda e: e["t"] == F.lit(term)),
                 lambda e: e["p"],
             )
 
@@ -1054,9 +1075,9 @@ def _match_phrase_slop(
         if not toks:
             return F.lit(False)
         qd = list(range(len(toks)))
-        arr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+        arr_expr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
 
-        def positions_of(term: str) -> Column:
+        def pos_of(arr: Column, term: str) -> Column:
             # index list of `term` in the token array (closure factory
             # — the two-arg F.transform lambda is (element, index))
             return F.filter(
@@ -1070,15 +1091,41 @@ def _match_phrase_slop(
             )
 
     if len(toks) == 1:
-        return F.size(positions_of(toks[0])) > 0
+        return F.size(pos_of(arr_expr, toks[0])) > 0
 
     # group the query occurrences by distinct term: deltas sorted
     # ascending per term (they are distinct query positions)
     groups: dict[str, list[int]] = {}
     for t, d in zip(toks, qd):
         groups.setdefault(t, []).append(d)
-    term_pos = {t: positions_of(t) for t in groups}
-    return _min_movement_cover(term_pos, groups, slop)
+
+    # LET-BIND the analyzed token array, then the per-term position
+    # lists, through 1-element-array HOFs before the cover runs:
+    # interpreted HOFs get no subexpression elimination, so without
+    # the binding every anchor iteration would RE-RUN the position
+    # extraction INCLUDING the whole analyzer chain (the full Porter
+    # cascade costs more than the cover itself — measured 16 s → ~2 s
+    # at sf0.1); bound as lambda variables, the analyzer runs exactly
+    # ONCE per row and each position list materializes once
+    distinct_terms = list(groups)
+
+    def with_arr(arr: Column) -> Column:
+        ctx = F.struct(
+            *[
+                pos_of(arr, t).alias(f"t{i}")
+                for i, t in enumerate(distinct_terms)
+            ]
+        )
+        return F.exists(
+            F.array(ctx),
+            lambda s: _min_movement_cover(
+                {t: s[f"t{i}"] for i, t in enumerate(distinct_terms)},
+                groups,
+                slop,
+            ),
+        )
+
+    return F.exists(F.array(arr_expr), with_arr)
 
 
 def _min_movement_cover(
@@ -1177,19 +1224,63 @@ def _match_phrase_prefix(
             return F.lit(False)
         toks = [t for t, _ in q]
         qd = [p - q[0][1] for _, p in q]
+        arr_expr = analyzer.tokens_pos(_field(field, resolver))
+
+        def pos_of(arr: Column, key) -> Column:
+            if isinstance(key, tuple):
+                p = key[1]
+                return F.transform(
+                    F.filter(arr, lambda e: e["t"].startswith(p)),
+                    lambda e: e["p"],
+                )
+            return F.transform(
+                F.filter(arr, lambda e: e["t"] == F.lit(key)), lambda e: e["p"]
+            )
+
     else:
         toks = [t for t in text.lower().split() if t]
         if not toks:
             return F.lit(False)
         qd = list(range(len(toks)))
+        arr_expr = F.split(F.trim(F.lower(_field(field, resolver))), r"\s+")
+
+        def pos_of(arr: Column, key) -> Column:
+            if isinstance(key, tuple):
+                p = key[1]
+                pred = lambda x: x.startswith(p)  # noqa: E731
+            else:
+                pred = lambda x: x == F.lit(key)  # noqa: E731
+            return F.filter(
+                F.transform(
+                    arr,
+                    lambda x, i: F.when(pred(x), i).otherwise(F.lit(-1)),
+                ),
+                lambda q_: q_ >= 0,
+            )
+
     keys: list = [*toks[:-1], ("prefix", toks[-1])]
     if len(keys) == 1:
         return F.size(positions_of(keys[0])) > 0
     groups: dict = {}
     for t, d in zip(keys, qd):
         groups.setdefault(t, []).append(d)
-    term_pos = {t: positions_of(t) for t in groups}
-    return _min_movement_cover(term_pos, groups, slop)
+    # same let-binding as _match_phrase_slop: analyzer runs once per
+    # row, each position list materializes once (interpreted HOFs
+    # re-evaluate free subexpressions otherwise)
+    ordered = list(groups)
+
+    def with_arr(arr: Column) -> Column:
+        ctx = F.struct(
+            *[pos_of(arr, t).alias(f"t{i}") for i, t in enumerate(ordered)]
+        )
+        return F.exists(
+            F.array(ctx),
+            lambda s: _min_movement_cover(
+                {t: s[f"t{i}"] for i, t in enumerate(ordered)}, groups, slop
+            ),
+        )
+
+    return F.exists(F.array(arr_expr), with_arr)
 
 
 def _coerce_msm(raw, n_should: int) -> int:
@@ -1783,6 +1874,72 @@ def script_score_topk(
     if min_score is not None:
         out = out.where(F.col("score") >= F.lit(float(min_score)))
     ranked = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def sparse_vector_topk(
+    docs: DataFrame,
+    query_weights: dict,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer=None,
+) -> DataFrame:
+    """ES ``sparse_vector`` / ``text_expansion`` query (the ELSER
+    learned-sparse shape): score = ``Σ_t w_q(t) · w_d(t)`` — the dot
+    product of the query's term→weight map with the document's.  ES
+    reads per-document feature weights stored at index time by the
+    expansion model; with no stored features the engine derives
+    ``w_d(t) = tf(t, d)`` (the analyzed term frequency), the
+    documented contract — callers with real model weights join their
+    own (id, term, weight) frame in place of the tf frame.
+
+    Plan shape: the query map enters as a LITERAL frame (LocalRelation
+    via explode of a struct array — fully JVM-side, trips no Python
+    audit), broadcast into the (doc, term, tf) hash agg of ONE corpus
+    token pass; weights multiply tf as exact decimals so the per-doc
+    sum is order-stable; top-k is TakeOrderedAndProject.  Returns
+    ``(id, score, rank)``.
+    """
+    if not query_weights:
+        raise ValueError("query_weights must be non-empty")
+    toks = _term_rows(docs, text_col, id_col, analyzer)
+    terms = list(query_weights)
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    spark = docs.sparkSession
+    wdf = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.lit(float(w)).cast("decimal(19,6)").alias("w"),
+                    )
+                    for t, w in query_weights.items()
+                ]
+            )
+        ).alias("e")
+    ).select("e.term", "e.w")
+    scored = (
+        tf.join(F.broadcast(wdf), "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.col("tf").cast("decimal(19,6)") * F.col("w")).cast(
+                    "decimal(38,12)"
+                )
+            )
+            .cast("double")
+            .alias("_s")
+        )
+        .select(F.col(id_col), F.round(F.col("_s"), 6).alias("score"))
+    )
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 

@@ -1241,3 +1241,50 @@ def test_change_point_step_series(spark):
     flat = spark.createDataFrame([(i, 7.0) for i in range(1, 8)], "k long, v double")
     r = change_point(flat, "k", "v").collect()[0]
     assert r["change_type"] == "stationary" and r["score"] == 0.0
+
+
+def test_t_test_agg_forms(spark):
+    import math
+
+    import pytest
+
+    from monstache_spark.operators.aggs import t_test_agg
+
+    df = spark.createDataFrame(
+        [(10.0, 12.0, "a"), (20.0, 19.0, "a"), (30.0, 31.0, "b"), (40.0, 38.0, "b")],
+        "va double, vb double, g string")
+    # paired: diffs (-2, 1, -1, 2) -> mean 0 -> t = 0, p = 1
+    r = t_test_agg(df, "va", field_b="vb", type="paired").collect()[0]
+    assert (r["t_statistic"], r["df"], r["p_value"]) == (0.0, 3.0, 1.0)
+    # welch on groups: a={10,20} b={30,40} -> t=-2.828427, df=2
+    r = t_test_agg(df, "va", group_field="g", group_values=("a", "b")).collect()[0]
+    m1, m2, v = 15.0, 35.0, 50.0
+    t = (m1 - m2) / math.sqrt(v / 2 + v / 2)
+    assert r["t_statistic"] == round(t, 6) and r["df"] == 2.0
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    # equal variances: pooled == welch here
+    r2 = t_test_agg(df, "va", group_field="g", group_values=("a", "b"),
+                    type="homoscedastic").collect()[0]
+    assert r2["t_statistic"] == r["t_statistic"]
+    with pytest.raises(ValueError, match="paired"):
+        t_test_agg(df, "va", group_field="g", group_values=("a", "b"),
+                   type="paired")
+    with pytest.raises(ValueError, match="exactly one"):
+        t_test_agg(df, "va")
+
+
+def test_ip_range_agg_masks_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from monstache_spark.operators.aggs import ip_range_agg
+
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.1.200",), ("10.0.2.1",), ("10.0.255.255",), (None,)],
+        "ip string")
+    out = {r["key"]: r["doc_count"] for r in ip_range_agg(df, "ip", [
+        {"to": "10.0.2.0"},
+        {"from": "10.0.2.0", "to": "10.0.3.0", "key": "mid"},
+        {"mask": "10.0.0.0/23"},
+    ]).collect()}
+    # /23 covers 10.0.0.0 - 10.0.1.255; multi-membership counts both
+    assert out == {"*-10.0.2.0": 2, "mid": 1, "10.0.0.0/23": 2}

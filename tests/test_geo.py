@@ -280,3 +280,20 @@ def test_geotile_grid_counts_and_truncation(spark):
     assert out == {"10/550/335": 2, "10/163/395": 1}
     top1 = geotile_grid(df, "lat", "lon", zoom=10, size=1).collect()
     assert [(r["geotile"], r["doc_count"]) for r in top1] == [("10/550/335", 2)]
+
+
+def test_geo_line_order_and_cap(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from monstache_spark.operators.geo import geo_line
+
+    df = spark.createDataFrame(
+        [("a", 3, 1.5, 2.5), ("a", 1, 0.0, 0.5), ("a", 2, 1.0, -1.25),
+         ("b", 1, 5.0, 6.0), ("a", 4, 9.0, 9.0)],
+        "g string, ts long, lat double, lon double")
+    out = {r["g"]: r for r in geo_line(
+        df, "lat", "lon", "ts", bucket_col="g", max_points=3, digits=2).collect()}
+    # sorted by ts, capped at the FIRST 3 points, lon lat order (WKT)
+    assert out["a"]["line"] == "LINESTRING(0.50 0.00, -1.25 1.00, 2.50 1.50)"
+    assert out["a"]["doc_count"] == 3
+    assert out["b"]["line"] == "LINESTRING(6.00 5.00)"

@@ -1951,3 +1951,42 @@ def test_significant_terms_heuristics_reference(spark):
 
     with pytest.raises(ValueError, match="heuristic"):
         significant_terms(df, fg, heuristic="bayes")
+
+
+def test_span_field_masking_cross_field_near(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "hash join table", "alt text one"),
+         (2, "sort hash merge", "hash here too"),
+         (3, "scan scan", "hash early")],
+        "doc_id long, text string, alt string",
+    )
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "hash"}},
+        {"span_field_masking": {"query": {"span_term": {"alt": "hash"}},
+                                "field": "text"}}],
+        "slop": 3, "in_order": False}}
+    got = sorted(r["doc_id"] for r in bool_query_filter(df, q).collect())
+    # doc2: text hash@1, alt hash@0 -> near under independent
+    # positions (the documented Lucene masking caveat); doc3 has no
+    # 'hash' in text
+    assert got == [2]
+
+
+def test_sparse_vector_topk_weighted_tf(spark):
+    import pytest
+
+    from monstache_spark.operators.search import sparse_vector_topk
+
+    df = spark.createDataFrame(
+        [(1, "hash join table"), (2, "sort hash merge"),
+         (3, "scan scan scan"), (4, "hash hash")],
+        "doc_id long, text string",
+    )
+    out = sparse_vector_topk(df, {"hash": 2.0, "scan": 0.5}, k=4)
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    # doc4: tf(hash)=2 * 2.0 = 4; doc1/doc2: 2; doc3: 3 * 0.5 = 1.5
+    assert got == [(4, 4.0), (1, 2.0), (2, 2.0), (3, 1.5)]
+    with pytest.raises(ValueError, match="non-empty"):
+        sparse_vector_topk(df, {})
