@@ -4418,6 +4418,80 @@ def _q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_percentiles(ev, "ts", "value", [50.0, 90.0], window=3)
 
 
+def _q_es_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_shape query over geo_point documents
+    (search._compile_leaf 'geo_shape'): an ENVELOPE (GeoJSON
+    lon/lat-ordered [top_left, bottom_right]) with relation
+    intersects — compiles to the exact-arithmetic bbox predicate, so
+    membership is engine-identical with no rounding contract; within
+    and disjoint are containment and its negation for points."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    c = _geo_customers(spark, sf_dir)
+    out = bool_query_filter(c, {"geo_shape": {"loc": {
+        "shape": {"type": "envelope",
+                  "coordinates": [[-60.0, -35.0], [-45.0, -60.0]]},
+        "relation": "intersects"}}})
+    return out.select("c_custkey")
+
+
+def _q_es_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_child over the join field (search.has_child_filter):
+    customers with at least 3 orders matching {urgent priority} —
+    the parent/child shape monstache's relate subsystem syncs
+    relational MongoDB into.  Child frame filters FIRST, one hash agg
+    per parent key, parent semi-join; parent rows return unchanged."""
+    from monstache_spark.operators.search import has_child_filter
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    out = has_child_filter(
+        cust, orders, "c_custkey", "o_custkey",
+        {"term": {"o_orderpriority": "1-URGENT"}}, min_children=3,
+    )
+    return out.select("c_custkey", "c_mktsegment")
+
+
+def _q_es_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES has_parent (search.has_parent_filter): orders whose
+    customer matches {BUILDING segment, balance >= 5000} — the dual
+    semi-join; child rows return unchanged, no parent columns leak."""
+    from monstache_spark.operators.search import has_parent_filter
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    out = has_parent_filter(
+        orders, cust, "c_custkey", "o_custkey",
+        {"bool": {"must": [
+            {"term": {"c_mktsegment": "BUILDING"}},
+            {"range": {"c_acctbal": {"gte": 5000.0}}},
+        ]}},
+    )
+    return out.select("o_orderkey", "o_custkey")
+
+
+def _q_es_runtime_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES runtime fields (bool_query_filter runtime_mappings): a
+    computed price band queried like a mapped field — projected
+    before the filter (the painless->SQL binding), dropped after, so
+    the output schema is the stored document's (queryable, never
+    stored — the ES runtime-field contract)."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = bool_query_filter(
+        orders,
+        {"bool": {"must": [
+            {"term": {"band": "high"}},
+            {"term": {"o_orderstatus": "O"}},
+        ]}},
+        runtime_mappings={
+            "band": "CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END"
+        },
+    )
+    return out.select("o_orderkey")
+
+
 def _q_es_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES t_test aggregation (aggs.t_test_agg): Welch's unequal-
     variance t between the click and error event values — exact
@@ -4802,6 +4876,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_script_query": _q_es_script_query,
         "es_frequent_item_sets": _q_es_frequent_item_sets,
         "es_matrix_stats": _q_es_matrix_stats,
+        "es_geo_shape": _q_es_geo_shape,
+        "es_has_child": _q_es_has_child,
+        "es_has_parent": _q_es_has_parent,
+        "es_runtime_field": _q_es_runtime_field,
         "es_t_test": _q_es_t_test,
         "es_ip_range": _q_es_ip_range,
         "geo_line": _q_geo_line,
@@ -5076,6 +5154,10 @@ _GATE_WINDOW = [
     "geo_line",
     "es_span_masking",
     "es_sparse_vector",
+    "es_geo_shape",
+    "es_has_child",
+    "es_has_parent",
+    "es_runtime_field",
     "minhash_pairs_collapsed",
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
@@ -6500,6 +6582,36 @@ def oracle_sql() -> dict[str, str]:
           WHERE source IN ('src0', 'src1', 'src2')
             AND list_contains(list_filter({_TOKS_LOWER}, w -> w <> ''), 'join')
             AND doc_id < 400
+        """,
+        "es_geo_shape": f"""
+          WITH pts AS (
+            SELECT c_custkey, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+            FROM customer
+          )
+          SELECT c_custkey FROM pts
+          WHERE lat <= -35.0 AND lat >= -60.0 AND lon >= -60.0 AND lon <= -45.0
+        """,
+        "es_has_child": """
+          SELECT c.c_custkey, c.c_mktsegment
+          FROM customer c
+          WHERE c.c_custkey IN (
+            SELECT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY o_custkey HAVING count(*) >= 3
+          )
+        """,
+        "es_has_parent": """
+          SELECT o.o_orderkey, o.o_custkey
+          FROM orders o
+          WHERE o.o_custkey IN (
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal >= 5000.0
+          )
+        """,
+        "es_runtime_field": """
+          SELECT o_orderkey FROM orders
+          WHERE (CASE WHEN o_totalprice > 200000 THEN 'high' ELSE 'low' END) = 'high'
+            AND o_orderstatus = 'O'
         """,
         "es_t_test": """
           WITH s AS (

@@ -231,6 +231,40 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         ((field, spec),) = body.items()
         loc = _field(field, resolver)
         return polygon_predicate(loc["lat"], loc["lon"], spec["points"])
+    if kind == "geo_shape":
+        # {"geo_shape": {field: {"shape": {"type": "envelope"|
+        #  "polygon", "coordinates": ...}, "relation": ...}}} — over
+        # geo_point documents (the shape monstache-synced collections
+        # carry), intersects == within == containment of the point,
+        # and disjoint is its negation; envelope coordinates are
+        # GeoJSON-ordered [lon, lat] pairs [top_left, bottom_right],
+        # polygon coordinates a GeoJSON ring.  Compiles to the same
+        # exact-arithmetic bbox / crossing-rule predicates as the
+        # geo_bounding_box / geo_polygon leaves
+        from monstache_spark.operators.geo import (
+            bbox_predicate,
+            polygon_predicate,
+        )
+
+        ((field, spec),) = body.items()
+        shape = spec["shape"]
+        relation = spec.get("relation", "intersects")
+        if relation not in ("intersects", "within", "disjoint"):
+            raise ValueError(f"unsupported geo_shape relation: {relation}")
+        loc = _field(field, resolver)
+        stype = shape["type"].lower()
+        if stype == "envelope":
+            (tl_lon, tl_lat), (br_lon, br_lat) = shape["coordinates"]
+            inside = bbox_predicate(
+                loc["lat"], loc["lon"], (tl_lat, tl_lon), (br_lat, br_lon)
+            )
+        elif stype == "polygon":
+            ring = shape["coordinates"][0]
+            pts = [(lat, lon) for lon, lat in ring]
+            inside = polygon_predicate(loc["lat"], loc["lon"], pts)
+        else:
+            raise ValueError(f"unsupported geo_shape type: {stype}")
+        return ~inside if relation == "disjoint" else inside
     if kind == "geo_distance":
         # {"geo_distance": {"distance": "200km", loc_field: {"lat":..,
         #  "lon":..}}} — rounded-haversine contract (operators/geo.py)
@@ -984,9 +1018,9 @@ def _match_phrase_analyzed(
     q = analyzer.analyze_pos(text)
     if not q:
         return F.lit(False)
-    arr = analyzer.tokens_pos(_field(field, resolver))
+    arr_expr = analyzer.tokens_pos(_field(field, resolver))
 
-    def positions_of(term: str) -> Column:
+    def pos_of(arr: Column, term: str) -> Column:
         return F.transform(
             F.filter(arr, lambda e: e["t"] == F.lit(term)), lambda e: e["p"]
         )
@@ -994,13 +1028,20 @@ def _match_phrase_analyzed(
     t0, p0q = q[0]
     rest = [(t, p - p0q) for t, p in q[1:]]
 
-    def body(p0: Column) -> Column:
-        c = F.lit(True)
-        for t, delta in rest:
-            c = c & F.array_contains(positions_of(t), p0 + F.lit(delta))
-        return c
+    # let-bind the analyzed array (1-element-array HOF): interpreted
+    # HOFs re-evaluate free subexpressions, so without the binding
+    # every anchor position re-runs the whole analyzer chain per rest
+    # term — ruinous under the Porter cascade
+    def with_arr(arr: Column) -> Column:
+        def body(p0: Column) -> Column:
+            c = F.lit(True)
+            for t, delta in rest:
+                c = c & F.array_contains(pos_of(arr, t), p0 + F.lit(delta))
+            return c
 
-    return F.exists(positions_of(t0), body)
+        return F.exists(pos_of(arr, t0), body)
+
+    return F.exists(F.array(arr_expr), with_arr)
 
 
 def _match_phrase_slop(
@@ -1366,6 +1407,7 @@ def bool_query_filter(
     mappings=None,
     lookups=None,
     now=None,
+    runtime_mappings=None,
 ) -> DataFrame:
     """Rows of ``df`` matching the compiled bool query.  ``analyzer``
     configures the token chain (functions.analyzer.Analyzer) for
@@ -1406,6 +1448,22 @@ def bool_query_filter(
     rewrite walks the FST eagerly) and for terms lookups (one stored
     doc); everything else stays lazy.
     """
+    if runtime_mappings:
+        # ES runtime fields (runtime_mappings): computed fields that
+        # are queryable but never stored — each maps to a SQL
+        # expression (the painless->SQL binding contract shared with
+        # bucket_script / script_score), projected BEFORE the filter
+        # and dropped after, so the output schema is the input's.
+        # One codegen projection; leaves over runtime fields compile
+        # like any scan column (no pushdown, as in ES)
+        out_cols = df.columns
+        for fname, expr in runtime_mappings.items():
+            df = df.withColumn(fname, F.expr(expr))
+        if mappings or lookups or now is not None:
+            query = _route_query(df, query, mappings or {}, analyzer, lookups, now)
+        return df.filter(compile_bool_query(query, analyzer=analyzer)).select(
+            *out_cols
+        )
     if mappings or lookups or now is not None:
         query = _route_query(df, query, mappings or {}, analyzer, lookups, now)
     return df.filter(compile_bool_query(query, analyzer=analyzer))
@@ -1876,6 +1934,65 @@ def script_score_topk(
     ranked = out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def has_child_filter(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+    child_query: dict,
+    min_children: int = 1,
+    max_children: int | None = None,
+    analyzer=None,
+) -> DataFrame:
+    """ES ``has_child`` query over the join field: parents with at
+    least ``min_children`` (and at most ``max_children``) children
+    matching ``child_query`` — monstache deployments sync relational
+    MongoDB into parent/child ES indices exactly for these queries
+    (the reference's relate subsystem builds the join field;
+    monstache.go's parent-child routing).
+
+    Plan shape: the child frame filters FIRST (the predicate prunes
+    before any shuffle), one hash agg counts matches per parent key,
+    and the parent frame semi-joins the surviving key set — an
+    equi-join on the key, broadcastable when the matching-child key
+    set is small, never a fan-out of parent rows.  Returns the parent
+    rows unchanged.
+    """
+    matched = children.filter(
+        compile_bool_query(child_query, analyzer=analyzer)
+    )
+    counts = matched.groupBy(
+        F.col(child_parent_key).alias("_pk")
+    ).agg(F.count("*").alias("_nc"))
+    cond = F.col("_nc") >= F.lit(int(min_children))
+    if max_children is not None:
+        cond = cond & (F.col("_nc") <= F.lit(int(max_children)))
+    keys = counts.filter(cond).select("_pk")
+    return parents.join(
+        keys, parents[parent_key] == keys["_pk"], "leftsemi"
+    )
+
+
+def has_parent_filter(
+    children: DataFrame,
+    parents: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+    parent_query: dict,
+    analyzer=None,
+) -> DataFrame:
+    """ES ``has_parent``: children whose parent document matches
+    ``parent_query`` — the dual of :func:`has_child_filter`, one
+    parent-side filter + key projection + semi-join (child rows
+    return unchanged, no parent columns leak)."""
+    keys = parents.filter(
+        compile_bool_query(parent_query, analyzer=analyzer)
+    ).select(F.col(parent_key).alias("_pk"))
+    return children.join(
+        keys, children[child_parent_key] == keys["_pk"], "leftsemi"
+    )
 
 
 def sparse_vector_topk(

@@ -1990,3 +1990,80 @@ def test_sparse_vector_topk_weighted_tf(spark):
     assert got == [(4, 4.0), (1, 2.0), (2, 2.0), (3, 1.5)]
     with pytest.raises(ValueError, match="non-empty"):
         sparse_vector_topk(df, {})
+
+
+def test_geo_shape_envelope_polygon_relations(spark):
+    import pytest
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, 50.0, 60.0), (3, 0.0, 0.0)],
+        "id long, lat double, lon double",
+    ).withColumn("loc", F.struct("lat", "lon"))
+
+    env = {"geo_shape": {"loc": {"shape": {
+        "type": "envelope", "coordinates": [[15.0, 15.0], [25.0, 5.0]]},
+        "relation": "intersects"}}}
+    assert sorted(r["id"] for r in bool_query_filter(df, env).collect()) == [1]
+    env["geo_shape"]["loc"]["relation"] = "disjoint"
+    assert sorted(r["id"] for r in bool_query_filter(df, env).collect()) == [2, 3]
+
+    poly = {"geo_shape": {"loc": {"shape": {
+        "type": "polygon",
+        "coordinates": [[[15.0, 5.0], [25.0, 5.0], [25.0, 15.0],
+                         [15.0, 15.0], [15.0, 5.0]]]},
+        "relation": "within"}}}
+    assert sorted(r["id"] for r in bool_query_filter(df, poly).collect()) == [1]
+
+    with pytest.raises(ValueError, match="relation"):
+        bool_query_filter(df, {"geo_shape": {"loc": {
+            "shape": {"type": "envelope", "coordinates": [[0, 1], [1, 0]]},
+            "relation": "touches"}}})
+
+
+def test_has_child_and_has_parent(spark):
+    from monstache_spark.operators.search import (
+        has_child_filter,
+        has_parent_filter,
+    )
+
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "AUTO"), (3, "BUILDING"), (4, "AUTO")],
+        "c_custkey long, seg string")
+    orders = spark.createDataFrame(
+        [(10, 1, "F"), (11, 1, "F"), (12, 2, "F"), (13, 3, "O"), (14, 99, "F")],
+        "o_orderkey long, o_custkey long, st string")
+
+    out = has_child_filter(cust, orders, "c_custkey", "o_custkey",
+                           {"term": {"st": "F"}}, min_children=2)
+    assert sorted(r["c_custkey"] for r in out.collect()) == [1]
+    # max_children bounds the band; parent columns unchanged
+    out = has_child_filter(cust, orders, "c_custkey", "o_custkey",
+                           {"term": {"st": "F"}}, min_children=1,
+                           max_children=1)
+    assert sorted(r["c_custkey"] for r in out.collect()) == [2]
+    assert out.columns == cust.columns
+
+    out = has_parent_filter(orders, cust, "c_custkey", "o_custkey",
+                            {"term": {"seg": "BUILDING"}})
+    # order 14's parent does not exist -> drops (as in ES)
+    assert sorted(r["o_orderkey"] for r in out.collect()) == [10, 11, 13]
+    assert out.columns == orders.columns
+
+
+def test_runtime_mappings_queryable_not_stored(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame([(1, 100.0), (2, 300.0), (3, 250.0)],
+                               "id long, price double")
+    out = bool_query_filter(
+        df,
+        {"bool": {"must": [{"term": {"band": "high"}},
+                           {"range": {"price": {"lt": 280.0}}}]}},
+        runtime_mappings={
+            "band": "CASE WHEN price > 200 THEN 'high' ELSE 'low' END"},
+    )
+    assert sorted(r["id"] for r in out.collect()) == [3]
+    # runtime fields are queryable but never stored
+    assert out.columns == ["id", "price"]
