@@ -4418,6 +4418,21 @@ def _q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_percentiles(ev, "ts", "value", [50.0, 90.0], window=3)
 
 
+def _q_es_multi_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match type=phrase (search._compile_leaf
+    'multi_match'): one match_phrase per field under a membership
+    disjunction (ES's DisjunctionMax, scoring-free) — 'hash join'~1
+    across text and source; the slop rides through to the
+    min-movement machinery."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"multi_match": {
+        "query": "hash join", "fields": ["text", "source"],
+        "type": "phrase", "slop": 1}})
+    return out.select("doc_id")
+
+
 def _q_es_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES geo_shape query over geo_point documents
     (search._compile_leaf 'geo_shape'): an ENVELOPE (GeoJSON
@@ -4876,6 +4891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_script_query": _q_es_script_query,
         "es_frequent_item_sets": _q_es_frequent_item_sets,
         "es_matrix_stats": _q_es_matrix_stats,
+        "es_multi_match_phrase": _q_es_multi_match_phrase,
         "es_geo_shape": _q_es_geo_shape,
         "es_has_child": _q_es_has_child,
         "es_has_parent": _q_es_has_parent,
@@ -5158,6 +5174,7 @@ _GATE_WINDOW = [
     "es_has_child",
     "es_has_parent",
     "es_runtime_field",
+    "es_multi_match_phrase",
     "minhash_pairs_collapsed",
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
@@ -6582,6 +6599,27 @@ def oracle_sql() -> dict[str, str]:
           WHERE source IN ('src0', 'src1', 'src2')
             AND list_contains(list_filter({_TOKS_LOWER}, w -> w <> ''), 'join')
             AND doc_id < 400
+        """,
+        "es_multi_match_phrase": f"""
+          WITH t AS (
+            SELECT doc_id,
+                   list_filter({_TOKS_LOWER}, w -> w <> '') AS toks,
+                   list_filter(string_split_regex(trim(lower(source)), '\\s+'),
+                               w -> w <> '') AS stoks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj,
+                   list_filter(range(1, len(stoks) + 1), i -> stoks[i] = 'hash') AS sh,
+                   list_filter(range(1, len(stoks) + 1), i -> stoks[i] = 'join') AS sj
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(ph, a ->
+                  len(list_filter(pj, b -> abs(a - (b - 1)) <= 1)) > 0)) > 0
+             OR len(list_filter(sh, a ->
+                  len(list_filter(sj, b -> abs(a - (b - 1)) <= 1)) > 0)) > 0
         """,
         "es_geo_shape": f"""
           WITH pts AS (

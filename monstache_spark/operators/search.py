@@ -207,6 +207,49 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
                     any_field = any_field | F.array_contains(hays[fld], tok)
                 cond = cond & any_field
             return cond
+        if mm_type == "phrase":
+            # multi_match type=phrase: the match_phrase query runs
+            # per field, any field matching qualifies (ES runs one
+            # MatchPhraseQuery per field under a DisjunctionMax —
+            # scoring-free here, so the disjunction is membership)
+            slop = int(body.get("slop", 0))
+            cond = F.lit(False)
+            for fld in body["fields"]:
+                if analyzer is not None and slop == 0:
+                    c = _match_phrase_analyzed(
+                        fld, str(body["query"]), analyzer, resolver
+                    )
+                elif slop > 0:
+                    c = _match_phrase_slop(
+                        fld, str(body["query"]), slop, resolver, analyzer
+                    )
+                else:
+                    c = _compile_leaf(
+                        "match_phrase", {fld: str(body["query"])},
+                        resolver, analyzer,
+                    )
+                cond = cond | c
+            return cond
+        if mm_type == "phrase_prefix":
+            # multi_match type=phrase_prefix: match_phrase_prefix per
+            # field (last analyzed token as an uncapped prefix)
+            cond = F.lit(False)
+            for fld in body["fields"]:
+                cond = cond | _match_phrase_prefix(
+                    fld, str(body["query"]),
+                    int(body.get("slop", 0)), resolver, analyzer,
+                )
+            return cond
+        if mm_type == "bool_prefix":
+            # multi_match type=bool_prefix: match_bool_prefix per
+            # field (search-as-you-type across fields)
+            cond = F.lit(False)
+            for fld in body["fields"]:
+                cond = cond | _compile_leaf(
+                    "match_bool_prefix", {fld: str(body["query"])},
+                    resolver, analyzer,
+                )
+            return cond
         cond = F.lit(False)
         for fld in body["fields"]:
             cond = cond | _match_any_token(

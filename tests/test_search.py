@@ -2067,3 +2067,32 @@ def test_runtime_mappings_queryable_not_stored(spark):
     assert sorted(r["id"] for r in out.collect()) == [3]
     # runtime fields are queryable but never stored
     assert out.columns == ["id", "price"]
+
+
+def test_multi_match_phrase_types(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "hash join table", "nothing here"),
+         (2, "other words", "hash join now"),
+         (3, "hash x join", "join hash"),
+         (4, "hash joint", "x")],
+        "id long, a string, b string",
+    )
+
+    def ids(body):
+        return sorted(r["id"] for r in bool_query_filter(
+            df, {"multi_match": body}).collect())
+
+    # phrase: consecutive in ANY of the fields
+    assert ids({"query": "hash join", "fields": ["a", "b"],
+                "type": "phrase"}) == [1, 2]
+    # phrase with slop admits the gap/swap
+    assert ids({"query": "hash join", "fields": ["a", "b"],
+                "type": "phrase", "slop": 2}) == [1, 2, 3]
+    # phrase_prefix: last token as a prefix
+    assert ids({"query": "hash jo", "fields": ["a", "b"],
+                "type": "phrase_prefix"}) == [1, 2, 4]
+    # bool_prefix: terms anywhere + last-token prefix
+    assert ids({"query": "join ha", "fields": ["a", "b"],
+                "type": "bool_prefix"}) == [1, 2, 3]
