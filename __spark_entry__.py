@@ -4418,6 +4418,58 @@ def _q_es_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moving_percentiles(ev, "ts", "value", [50.0, 90.0], window=3)
 
 
+def _q_es_intervals_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals rule FILTER (search._wrap_intervals_filter): the
+    unordered 'hash'/'join' window (max_gaps 2) must CONTAIN a token
+    matching wildcard 'so*' — containing maps onto span_containing,
+    the wildcard rule onto the span_multi term predicate; one HOF
+    Column, no explode."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = bool_query_filter(docs, {"intervals": {"text": {
+        "all_of": {
+            "intervals": [{"match": {"query": "hash"}},
+                          {"match": {"query": "join"}}],
+            "max_gaps": 2, "ordered": False,
+            "filter": {"containing": {"wildcard": {"pattern": "so*"}}},
+        }}}})
+    return out.select("doc_id")
+
+
+def _q_es_parent_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent_id query (search._compile_leaf 'parent_id'): the
+    children of one parent over the relate join key — orders of
+    customer 7."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    orders = load_table(spark, "orders", sf_dir)
+    out = bool_query_filter(
+        orders, {"parent_id": {"field": "o_custkey", "id": 7}}
+    )
+    return out.select("o_orderkey", "o_custkey")
+
+
+def _q_es_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_prefix aggregation (aggs.ip_prefix_agg): the derived
+    IPv4 addresses of es_ip_range bucketed by /18 network — BIGINT
+    mask arithmetic rendered back to the dotted network key."""
+    from monstache_spark.operators.aggs import ip_prefix_agg
+
+    ev = load_table(spark, "events", sf_dir)
+    ips = ev.select(
+        F.concat(
+            F.lit("10."),
+            F.pmod(F.col("event_id"), F.lit(4)).cast("string"),
+            F.lit("."),
+            F.pmod(F.floor(F.col("event_id") / F.lit(4)), F.lit(250)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("event_id"), F.lit(250)).cast("string"),
+        ).alias("ip")
+    )
+    return ip_prefix_agg(ips, "ip", 18)
+
+
 def _q_es_multi_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES multi_match type=phrase (search._compile_leaf
     'multi_match'): one match_phrase per field under a membership
@@ -4891,6 +4943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_script_query": _q_es_script_query,
         "es_frequent_item_sets": _q_es_frequent_item_sets,
         "es_matrix_stats": _q_es_matrix_stats,
+        "es_intervals_filter": _q_es_intervals_filter,
+        "es_parent_id": _q_es_parent_id,
+        "es_ip_prefix": _q_es_ip_prefix,
         "es_multi_match_phrase": _q_es_multi_match_phrase,
         "es_geo_shape": _q_es_geo_shape,
         "es_has_child": _q_es_has_child,
@@ -5175,6 +5230,9 @@ _GATE_WINDOW = [
     "es_has_parent",
     "es_runtime_field",
     "es_multi_match_phrase",
+    "es_intervals_filter",
+    "es_parent_id",
+    "es_ip_prefix",
     "minhash_pairs_collapsed",
     "es_fuzzy_query_routed",
     "es_top_metrics_string",
@@ -6599,6 +6657,49 @@ def oracle_sql() -> dict[str, str]:
           WHERE source IN ('src0', 'src1', 'src2')
             AND list_contains(list_filter({_TOKS_LOWER}, w -> w <> ''), 'join')
             AND doc_id < 400
+        """,
+        "es_intervals_filter": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ), p AS (
+            SELECT doc_id,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj,
+                   list_filter(range(1, len(toks) + 1), i -> toks[i] LIKE 'so%') AS pw
+            FROM t
+          )
+          SELECT doc_id FROM p
+          WHERE len(list_filter(ph, a ->
+                  len(list_filter(pj, b ->
+                    ((b >= a + 1 AND b - a - 1 <= 2) OR (a >= b + 1 AND a - b - 1 <= 2))
+                    AND len(list_filter(pw, c ->
+                      least(a, b) <= c AND c <= greatest(a, b))) > 0)) > 0)) > 0
+        """,
+        "es_parent_id": """
+          SELECT o_orderkey, o_custkey FROM orders WHERE o_custkey = 7
+        """,
+        "es_ip_prefix": """
+          WITH ips AS (
+            SELECT '10.' || CAST(event_id % 4 AS VARCHAR) || '.'
+                   || CAST(CAST(floor(event_id / 4) AS BIGINT) % 250 AS VARCHAR) || '.'
+                   || CAST(event_id % 250 AS VARCHAR) AS ip
+            FROM events
+          ),
+          a AS (
+            SELECT (CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                  + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                  + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                  + CAST(string_split(ip, '.')[4] AS BIGINT)) & 4294950912 AS net
+            FROM ips WHERE ip IS NOT NULL
+          )
+          SELECT CAST(net // 16777216 AS VARCHAR) || '.'
+                 || CAST((net // 65536) % 256 AS VARCHAR) || '.'
+                 || CAST((net // 256) % 256 AS VARCHAR) || '.'
+                 || CAST(net % 256 AS VARCHAR) AS key,
+                 CAST(18 AS BIGINT) AS prefix_length,
+                 CAST(count(*) AS BIGINT) AS doc_count
+          FROM a GROUP BY net ORDER BY net
         """,
         "es_multi_match_phrase": f"""
           WITH t AS (

@@ -2268,3 +2268,52 @@ def ip_range_agg(
         .agg(F.count("*").cast("long").alias("doc_count"))
         .orderBy("key")
     )
+
+
+def ip_prefix_agg(
+    df: DataFrame,
+    ip_col: str,
+    prefix_length: int,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``ip_prefix`` aggregation (8.1+): bucket IPv4 addresses by
+    their ``/prefix_length`` network — the BIGINT dotted-quad parse of
+    :func:`ip_range_agg` masked down to the prefix (pure integer
+    shifts, engine-identical) and rendered back as the dotted network
+    address (the ES bucket key).  One projection + hash agg; IPv6 out
+    of scope (documented, as in ip_range_agg).  Returns
+    ``(key, prefix_length, doc_count)`` ordered by the network.
+    """
+    if not 0 < prefix_length <= 32:
+        raise ValueError("prefix_length must be in 1..32")
+    parts = F.split(F.col(ip_col), r"\.")
+    addr = (
+        F.element_at(parts, 1).cast("long") * F.lit(16777216)
+        + F.element_at(parts, 2).cast("long") * F.lit(65536)
+        + F.element_at(parts, 3).cast("long") * F.lit(256)
+        + F.element_at(parts, 4).cast("long")
+    )
+    shift = 32 - prefix_length
+    net = (addr.bitwiseAND(F.lit(0xFFFFFFFF - ((1 << shift) - 1)))).alias("_net")
+    base = df.filter(F.col(ip_col).isNotNull()).select(net)
+    n = F.col("_net")
+    key = F.concat_ws(
+        ".",
+        F.floor(n / F.lit(16777216)).cast("long").cast("string"),
+        F.pmod(F.floor(n / F.lit(65536)), F.lit(256)).cast("long").cast("string"),
+        F.pmod(F.floor(n / F.lit(256)), F.lit(256)).cast("long").cast("string"),
+        F.pmod(n, F.lit(256)).cast("long").cast("string"),
+    )
+    return (
+        base.groupBy("_net")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .filter(F.col("doc_count") >= F.lit(int(min_doc_count)))
+        .select(
+            key.alias("key"),
+            F.lit(prefix_length).cast("long").alias("prefix_length"),
+            "doc_count",
+            "_net",
+        )
+        .orderBy("_net")
+        .drop("_net")
+    )

@@ -160,6 +160,13 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         # only); the scoring form is rank_feature_topk
         c = _field(body["field"], resolver)
         return c.isNotNull() & (c > F.lit(0))
+    if kind == "parent_id":
+        # ES parent_id query: children of ONE parent — over the join
+        # key a monstache relate sync carries this is a plain equality
+        # on the parent-key field ({"parent_id": {"field": ...,
+        # "id": ...}}; ES's type-based form resolves the field from
+        # the join mapping, which the caller does here)
+        return _field(body["field"], resolver) == F.lit(body["id"])
     if kind == "script":
         # ES script query (filter context): the painless predicate's
         # SQL equivalent — the same painless→SQL binding contract as
@@ -851,6 +858,39 @@ def _compile_span(body: dict, positions_of, pos_factory=None) -> Column:
         return _compile_span(
             inner, pos_factory(_span_field(inner)), pos_factory
         )
+    if kind == "__span_rel__":
+        # internal (intervals filters): keep include spans standing in
+        # the given relation to at least one / no other span.
+        # not_containing: spans that enclose NO other span;
+        # not_contained_by: spans inside NO other span;
+        # before / after: spans ending before (starting after) SOME
+        # other span (the ES intervals filter relations)
+        inc = _compile_span(b["include"], positions_of, pos_factory)
+        oth = _compile_span(b["other"], positions_of, pos_factory)
+        rel = b["rel"]
+        if rel == "not_containing":
+            return F.filter(
+                inc,
+                lambda si: ~F.exists(
+                    oth, lambda so: (si["s"] <= so["s"]) & (so["e"] <= si["e"])
+                ),
+            )
+        if rel == "not_contained_by":
+            return F.filter(
+                inc,
+                lambda si: ~F.exists(
+                    oth, lambda so: (so["s"] <= si["s"]) & (si["e"] <= so["e"])
+                ),
+            )
+        if rel == "before":
+            return F.filter(
+                inc, lambda si: F.exists(oth, lambda so: si["e"] <= so["s"])
+            )
+        if rel == "after":
+            return F.filter(
+                inc, lambda si: F.exists(oth, lambda so: si["s"] >= so["e"])
+            )
+        raise ValueError(f"unknown span relation: {rel}")
     if kind == "span_not":
         inc = _compile_span(b["include"], positions_of, pos_factory)
         exc = _compile_span(b["exclude"], positions_of, pos_factory)
@@ -956,6 +996,11 @@ def _intervals_to_span(rule: dict, analyzer=None) -> dict:
     * ``prefix`` — prefix-position spans (``span_prefix``).
     """
     ((kind, b),) = rule.items()
+    if isinstance(b, dict) and "filter" in b:
+        inner = {kind: {k: v for k, v in b.items() if k != "filter"}}
+        return _wrap_intervals_filter(
+            _intervals_to_span(inner, analyzer), b["filter"], analyzer
+        )
     if kind == "match":
         text = str(b["query"])
         if analyzer is not None:
@@ -995,7 +1040,46 @@ def _intervals_to_span(rule: dict, analyzer=None) -> dict:
         }
     if kind == "prefix":
         return {"span_prefix": {"_": str(b["prefix"] if isinstance(b, dict) else b)}}
+    if kind == "wildcard":
+        # intervals `wildcard` rule: one interval per position of any
+        # token the pattern admits (the span_multi term predicate)
+        pat = str(b["pattern"] if isinstance(b, dict) else b)
+        return {"span_multi": {"match": {"wildcard": {"_": pat}}}}
     raise ValueError(f"unsupported intervals rule: {kind}")
+
+
+_INTERVALS_FILTERS = (
+    "containing",
+    "not_containing",
+    "contained_by",
+    "not_contained_by",
+    "before",
+    "after",
+    "not_overlapping",
+)
+
+
+def _wrap_intervals_filter(base: dict, filt: dict, analyzer=None) -> dict:
+    """ES ``intervals`` rule ``filter``: restrict the base rule's
+    intervals by their relation to ANOTHER rule's intervals —
+    ``containing`` / ``contained_by`` map onto the span enclosure
+    combinators, their negations and ``before`` / ``after`` onto the
+    internal relation filters, and ``not_overlapping`` IS
+    ``span_not`` (the same disallowance window)."""
+    for rel, spec in filt.items():
+        if rel not in _INTERVALS_FILTERS:
+            raise ValueError(f"unsupported intervals filter: {rel}")
+        other = _intervals_to_span(spec, analyzer)
+        if rel == "containing":
+            base = {"span_containing": {"big": base, "little": other}}
+        elif rel == "contained_by":
+            base = {"span_within": {"little": base, "big": other}}
+        elif rel == "not_overlapping":
+            base = {"span_not": {"include": base, "exclude": other}}
+        else:
+            base = {"__span_rel__": {"include": base, "other": other,
+                                     "rel": rel}}
+    return base
 
 
 def _span_positions_fn(field: str, resolver=None, analyzer=None):

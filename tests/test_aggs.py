@@ -1288,3 +1288,20 @@ def test_ip_range_agg_masks_and_bounds(spark):
     ]).collect()}
     # /23 covers 10.0.0.0 - 10.0.1.255; multi-membership counts both
     assert out == {"*-10.0.2.0": 2, "mid": 1, "10.0.0.0/23": 2}
+
+
+def test_ip_prefix_agg_networks(spark):
+    import pytest
+
+    from monstache_spark.operators.aggs import ip_prefix_agg
+
+    df = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.0.200",), ("10.0.1.7",), ("10.2.3.4",), (None,)],
+        "ip string")
+    out = [(r["key"], r["prefix_length"], r["doc_count"])
+           for r in ip_prefix_agg(df, "ip", 24).collect()]
+    assert out == [("10.0.0.0", 24, 2), ("10.0.1.0", 24, 1), ("10.2.3.0", 24, 1)]
+    out = [(r["key"], r["doc_count"]) for r in ip_prefix_agg(df, "ip", 15).collect()]
+    assert out == [("10.0.0.0", 3), ("10.2.0.0", 1)]
+    with pytest.raises(ValueError, match="prefix_length"):
+        ip_prefix_agg(df, "ip", 0)

@@ -2096,3 +2096,51 @@ def test_multi_match_phrase_types(spark):
     # bool_prefix: terms anywhere + last-token prefix
     assert ids({"query": "join ha", "fields": ["a", "b"],
                 "type": "bool_prefix"}) == [1, 2, 3]
+
+
+def test_intervals_filters_and_wildcard(spark):
+    import pytest
+
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta alpha delta"),
+         (3, "alpha gamma beta"), (4, "alpha delta")],
+        "id long, text string")
+
+    def ids(rule):
+        return sorted(r["id"] for r in bool_query_filter(
+            df, {"intervals": {"text": rule}}).collect())
+
+    window = {"all_of": {"intervals": [
+        {"match": {"query": "alpha"}}, {"match": {"query": "gamma"}}],
+        "max_gaps": 2, "ordered": False}}
+    # containing: the alpha..gamma window must enclose a beta
+    w = dict(window); w["all_of"] = dict(window["all_of"])
+    w["all_of"]["filter"] = {"containing": {"match": {"query": "beta"}}}
+    assert ids(w) == [1]
+    w["all_of"]["filter"] = {"not_containing": {"match": {"query": "beta"}}}
+    assert ids(w) == [3]
+    # before / after relate the rule's intervals to another rule's
+    assert ids({"match": {"query": "beta",
+                "filter": {"before": {"match": {"query": "delta"}}}}}) == [1, 2]
+    assert ids({"match": {"query": "beta",
+                "filter": {"after": {"match": {"query": "alpha"}}}}}) == [1, 3]
+    # not_overlapping IS span_not (ordered defaults false, so doc2's
+    # 'beta alpha' is an adjacent unordered match too)
+    assert ids({"match": {"query": "alpha beta", "max_gaps": 0,
+                "filter": {"not_overlapping": {"match": {"query": "gamma"}}}}}) == [1, 2]
+    # wildcard rule: one interval per admitted token
+    assert ids({"wildcard": {"pattern": "ga*"}}) == [1, 3]
+    with pytest.raises(ValueError, match="intervals filter"):
+        ids({"match": {"query": "beta", "filter": {"overlapping": {"match": {"query": "x"}}}}})
+
+
+def test_parent_id_leaf(spark):
+    from monstache_spark.operators.search import bool_query_filter
+
+    df = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long")
+    got = sorted(r["o_orderkey"] for r in bool_query_filter(
+        df, {"parent_id": {"field": "o_custkey", "id": 1}}).collect())
+    assert got == [10, 11]
