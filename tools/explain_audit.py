@@ -635,6 +635,33 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_has_child",
+        "has_child: child filter -> hash count per parent key -> "
+        "parent SEMI-join (no parent-row fan-out, no cartesian, no "
+        "Python)",
+        lambda p: "LeftSemi" in p
+        and "* HashAggregate" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_sparse_vector",
+        "sparse_vector: literal weights frame BROADCAST into the "
+        "token-tf hash agg, top-k TakeOrderedAndProject, no Python "
+        "(the literal frame is a LocalRelation, not a Python RDD)",
+        lambda p: "BroadcastHashJoin" in p
+        and "TakeOrderedAndProject" in p
+        and "Python" not in p,
+    ),
+    (
+        "es_ip_prefix",
+        "ip_prefix: one codegen projection (BIGINT mask arithmetic) "
+        "+ hash agg, no sort aggregate, no Python",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
         "match_phrase_slop_repeat4",
         "repeated-term slop: ONE filter over the scan (the greedy "
         "matching is a HOF expression — interpreted, so outside "
