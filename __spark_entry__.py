@@ -117,6 +117,14 @@ def _geo_poly_sql(lat: str, lon: str) -> str:
 
     return polygon_sql(lat, lon, _GEO_POLY)
 
+
+def _shape_triangle_sql(y: str, x: str) -> str:
+    # the cartesian `shape` polygon: (y, x) vertex pairs from the
+    # [x, y]-ordered ring (_SHAPE_TRIANGLE), same crossing-rule tree
+    from monstache_spark.operators.geo import polygon_sql
+
+    return polygon_sql(y, x, [(py, px) for px, py in _SHAPE_TRIANGLE])
+
 # md5-based 32-bit hash of a string expression (functions/text.shingle_hash)
 def _hash_sql(expr: str, seed: int) -> str:
     return (
@@ -2446,6 +2454,83 @@ def _q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return completion_suggest(docs, ["sp", "ta", "wi"], top_n=3)
 
 
+def _q_completion_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester with CATEGORY CONTEXTS
+    (search.completion_suggest context_field/values/boosts): only
+    suggestions from docs whose source matches qualify, src1's
+    contribution boosted 3x — ES's contexts filter + boost under the
+    frequency-weight stand-in (boosted weight = Σ per-context count ·
+    boost).  The context filter prunes the corpus BEFORE
+    tokenization."""
+    from monstache_spark.operators.search import completion_suggest
+
+    docs = load_table(spark, "documents", sf_dir)
+    return completion_suggest(
+        docs, ["sp", "ta"], top_n=3,
+        context_field="source", context_values=["src1", "src2"],
+        context_boosts={"src1": 3},
+    )
+
+
+def _q_es_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after pagination (search.search_after): the page
+    AFTER cursor (o_totalprice 150000.0 desc, o_orderkey 5000 asc) —
+    a strictly-after tuple comparison compiled as a pushdown-eligible
+    predicate + TakeOrderedAndProject of 20 rows.  Page cost is
+    O(size) at any depth — never the O(from+size) sort ES's plain
+    `from` pagination pays."""
+    from monstache_spark.operators.search import search_after
+
+    orders = load_table(spark, "orders", sf_dir)
+    page = search_after(
+        orders.select("o_orderkey", "o_totalprice"),
+        sort=[("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        after=[150000.0, 5000],
+        size=20,
+    )
+    return page
+
+
+def _q_es_children_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES children aggregation over the join field
+    (aggs.children_agg): re-scope from BUILDING-segment customers to
+    their orders — terms over priority with exact-decimal revenue
+    sums.  Parent filter pushes down, child frame semi-joins the
+    parent key set, one hash agg over child rows; doc_count counts
+    CHILD docs as in ES."""
+    from monstache_spark.operators.aggs import children_agg
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return children_agg(
+        cust, orders, "c_custkey", "o_custkey",
+        {"by_prio": {
+            "terms": {"field": "o_orderpriority"},
+            "aggs": {"revenue": {"sum": {"field": "o_totalprice"}}},
+        }},
+        parent_filter={"term": {"c_mktsegment": "BUILDING"}},
+    )
+
+
+def _q_es_parent_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES parent aggregation (aggs.parent_agg): re-scope from urgent
+    orders to their customers — each parent enters ONCE no matter how
+    many matching children it has (hash-distinct on the key before
+    the semi-join, ES's join-field dedup contract)."""
+    from monstache_spark.operators.aggs import parent_agg
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return parent_agg(
+        orders, cust, "c_custkey", "o_custkey",
+        {"by_seg": {
+            "terms": {"field": "c_mktsegment"},
+            "aggs": {"avg_bal": {"avg": {"field": "c_acctbal"}}},
+        }},
+        child_filter={"term": {"o_orderpriority": "1-URGENT"}},
+    )
+
+
 def _q_es_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES range aggregation (aggs.compile_aggs): half-open [from, to)
     price bands that OVERLAP — a doc lands in every matching band, as
@@ -3790,6 +3875,78 @@ def _q_es_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES global aggregation (aggs.global_agg): metrics over the
+    query-scoped docs AND over the whole index in one request —
+    flattened LONG-format with a `scope` column ('query'/'global'),
+    the compile_sibling_aggs contract.  Two independent single-pass
+    plans (each keeps its own pushdown), one bucket-cardinality
+    union."""
+    from monstache_spark.operators.aggs import global_agg
+
+    orders = load_table(spark, "orders", sf_dir)
+    return global_agg(
+        orders,
+        {"term": {"o_orderstatus": "O"}},
+        {"avg_price": {"avg": {"field": "o_totalprice"}}},
+    )
+
+
+def _q_es_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES random_sampler aggregation (aggs.random_sampler_agg): run
+    the sub-aggs over a 25% Bernoulli sample and scale doc_count back
+    by 1/p.  Membership is a deterministic md5-keyed hash of
+    (seed, id) — reproducible across engines/partitionings where ES
+    uses per-shard RNG (documented divergence).  The sample is a pure
+    narrow filter that cuts the rows entering the agg by 1/p — the
+    point of the agg at 100 TB."""
+    from monstache_spark.operators.aggs import random_sampler_agg
+
+    docs = load_table(spark, "documents", sf_dir)
+    return random_sampler_agg(
+        docs, 0.25, {"by_lang": {"terms": {"field": "lang"}}},
+        seed=17, id_col="doc_id",
+    )
+
+
+def _q_es_percentiles_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles_bucket sibling pipeline agg
+    (aggs.percentiles_bucket): exact interpolated percentiles of the
+    DAILY SUMS — S4 exactness contract over the bucket frame.  One
+    date_histogram hash agg, then one hash agg over
+    bucket-cardinality rows."""
+    from monstache_spark.operators.aggs import compile_aggs, percentiles_bucket
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = compile_aggs(
+        ev,
+        {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"total": {"sum": {"field": "value"}}},
+        }},
+    )
+    return percentiles_bucket(daily, "total", percents=(25.0, 50.0, 75.0, 99.0))
+
+
+def _q_es_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric aggregation, deterministic subset
+    (aggs.scripted_metric): map_script emits one numeric per doc via
+    the shared painless→SQL binding (here an exact-decimal affine
+    map), reduce=sum — the map-side-combinable part of
+    init/map/combine/reduce.  One codegen projection + one hash agg
+    with exact decimal sums."""
+    from monstache_spark.operators.aggs import scripted_metric
+
+    ev = load_table(spark, "events", sf_dir)
+    return scripted_metric(
+        ev.filter(F.col("value").isNotNull()),
+        "CAST(value AS DECIMAL(19,4)) * 2 + 1",
+        reduce="sum",
+        group_by=["event_type"],
+        name="mapped_sum",
+    )
+
+
 def _q_es_hard_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """date_histogram hard_bounds (the NARROWING variant of
     extended_bounds): daily buckets strictly inside [Jan 5, Jan 20] —
@@ -4502,6 +4659,50 @@ def _q_es_geo_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey")
 
 
+def _q_es_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_grid query (search._compile_leaf 'geo_grid'): match
+    points whose grid cell AT THE KEY'S OWN PRECISION equals the key,
+    exercised both ways in one should-of-two — a geotile key (zoom 5,
+    rounded-Mercator contract shared with the geotile_grid agg) and a
+    geohash key (precision 2, exact bit-interleave arithmetic).  The
+    cell id is one codegen expression per arm: pure projection +
+    filter, no join, no shuffle."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    c = _geo_customers(spark, sf_dir)
+    out = bool_query_filter(c, {"bool": {"should": [
+        {"geo_grid": {"loc": {"geotile": "5/22/14"}}},
+        {"geo_grid": {"loc": {"geohash": "f1"}}},
+    ]}})
+    return out.select("c_custkey")
+
+
+_SHAPE_TRIANGLE = [[-60.0, -60.0], [0.0, -10.0], [-60.0, -10.0], [-60.0, -60.0]]
+
+
+def _q_es_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES shape query — the CARTESIAN twin of geo_shape over xy point
+    docs (search._compile_leaf 'shape'): a polygon ring of [x, y]
+    vertices decided by the same exact-arithmetic crossing rule as
+    geo_polygon, with plain planar comparisons (no dateline wrap, no
+    latitude clamp).  Membership is engine-identical with no rounding
+    contract because both engines evaluate the identical IEEE
+    expression tree."""
+    from monstache_spark.operators.search import bool_query_filter
+
+    c = _geo_customers(spark, sf_dir)
+    pts = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("lon").alias("x"), F.col("lat").alias("y")
+        ).alias("pt"),
+    )
+    out = bool_query_filter(pts, {"shape": {"pt": {
+        "shape": {"type": "polygon", "coordinates": [_SHAPE_TRIANGLE]},
+        "relation": "intersects"}}})
+    return out.select("c_custkey")
+
+
 def _q_es_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES has_child over the join field (search.has_child_filter):
     customers with at least 3 orders matching {urgent priority} —
@@ -4948,6 +5149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_ip_prefix": _q_es_ip_prefix,
         "es_multi_match_phrase": _q_es_multi_match_phrase,
         "es_geo_shape": _q_es_geo_shape,
+        "es_geo_grid": _q_es_geo_grid,
+        "es_shape": _q_es_shape,
         "es_has_child": _q_es_has_child,
         "es_has_parent": _q_es_has_parent,
         "es_runtime_field": _q_es_runtime_field,
@@ -5005,6 +5208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_extended_stats": _q_es_extended_stats,
         "es_missing_agg": _q_es_missing_agg,
         "es_diversified_sampler": _q_es_diversified_sampler,
+        "es_global": _q_es_global,
+        "es_random_sampler": _q_es_random_sampler,
+        "es_percentiles_bucket": _q_es_percentiles_bucket,
+        "es_scripted_metric": _q_es_scripted_metric,
         "phrase_suggest_lm": _q_phrase_suggest_lm,
         "phrase_suggest_chain": _q_phrase_suggest_chain,
         "es_percentile_ranks": _q_es_percentile_ranks,
@@ -5126,6 +5333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_bucket_script": _q_es_bucket_script,
         "drop_propagation": _q_drop_propagation,
         "completion_suggest": _q_completion_suggest,
+        "completion_contexts": _q_completion_contexts,
+        "es_search_after": _q_es_search_after,
+        "es_children_agg": _q_es_children_agg,
+        "es_parent_agg": _q_es_parent_agg,
         "corpus_overlap": _q_corpus_overlap,
         "search_highlight": _q_highlight,
         "significant_terms": _q_significant_terms,
@@ -6171,6 +6382,53 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT prefix, term AS suggestion, weight, rank FROM r WHERE rank <= 3
         """,
+        "completion_contexts": f"""
+          WITH t AS (
+            SELECT term, CASE WHEN source = 'src1' THEN 3 ELSE 1 END AS b
+            FROM (SELECT source, unnest({_TOKS_LOWER}) AS term FROM documents
+                  WHERE source IN ('src1', 'src2'))
+            WHERE term <> ''
+          ),
+          v AS (SELECT term, CAST(sum(b) AS BIGINT) AS weight FROM t GROUP BY term),
+          p AS (SELECT unnest(['sp', 'ta']) AS prefix),
+          c AS (
+            SELECT prefix, term, weight FROM v JOIN p ON starts_with(term, prefix)
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (PARTITION BY prefix
+                       ORDER BY weight DESC, term ASC) AS BIGINT) AS rank
+            FROM c
+          )
+          SELECT prefix, term AS suggestion, weight, rank FROM r WHERE rank <= 3
+        """,
+        "es_search_after": """
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_totalprice < 150000.0
+             OR (o_totalprice = 150000.0 AND o_orderkey > 5000)
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "es_children_agg": """
+          SELECT o.o_orderpriority AS by_prio,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+          FROM orders o
+          WHERE o.o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+          ) AND o.o_orderpriority IS NOT NULL
+          GROUP BY 1
+        """,
+        "es_parent_agg": """
+          SELECT c.c_mktsegment AS by_seg,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(c.c_acctbal) AS DOUBLE) AS avg_bal
+          FROM customer c
+          WHERE c.c_custkey IN (
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+          ) AND c.c_mktsegment IS NOT NULL
+          GROUP BY 1
+        """,
         "es_range_agg": """
           WITH b AS (
             SELECT 'low' AS price_band, o_totalprice FROM orders
@@ -6729,6 +6987,23 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT c_custkey FROM pts
           WHERE lat <= -35.0 AND lat >= -60.0 AND lon >= -60.0 AND lon <= -45.0
+        """,
+        "es_geo_grid": f"""
+          WITH pts AS (
+            SELECT c_custkey, {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon
+            FROM customer
+          )
+          SELECT c_custkey FROM pts
+          WHERE {_geo_geotile_sql("lat", "lon", 5)} = '5/22/14'
+             OR {_geo_geohash_sql("lat", "lon", 2)} = 'f1'
+        """,
+        "es_shape": f"""
+          WITH pts AS (
+            SELECT c_custkey, {_GEO_LAT_SQL} AS y, {_GEO_LON_SQL} AS x
+            FROM customer
+          )
+          SELECT c_custkey FROM pts
+          WHERE {_shape_triangle_sql("y", "x")}
         """,
         "es_has_child": """
           SELECT c.c_custkey, c.c_mktsegment
@@ -7700,6 +7975,45 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_global": """
+          SELECT 'query' AS scope, CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(o_totalprice) AS DOUBLE) AS avg_price
+          FROM orders WHERE o_orderstatus = 'O'
+          UNION ALL
+          SELECT 'global' AS scope, CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(o_totalprice) AS DOUBLE) AS avg_price
+          FROM orders
+        """,
+        "es_random_sampler": f"""
+          WITH s AS (
+            SELECT lang FROM documents
+            WHERE ({_hash_sql("CAST(doc_id AS VARCHAR)", 17)}) % 1000000 < 250000
+          )
+          SELECT CAST(lang AS VARCHAR) AS by_lang,
+                 CAST(round(CAST(count(*) AS DOUBLE) / 0.25, 0) AS BIGINT) AS doc_count
+          FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_percentiles_bucket": """
+          WITH daily AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+          )
+          SELECT round(quantile_cont(total, 0.25), 6) AS total_p25,
+                 round(quantile_cont(total, 0.50), 6) AS total_p50,
+                 round(quantile_cont(total, 0.75), 6) AS total_p75,
+                 round(quantile_cont(total, 0.99), 6) AS total_p99
+          FROM daily
+        """,
+        "es_scripted_metric": """
+          SELECT event_type,
+                 round(CAST(sum(CAST(CAST(value AS DECIMAL(19,4)) * 2 + 1
+                                     AS DECIMAL(38,6))) AS DOUBLE), 6) AS mapped_sum,
+                 CAST(count(*) AS BIGINT) AS doc_count
+          FROM events WHERE value IS NOT NULL GROUP BY event_type
         """,
         "geo_geohash_grid": f"""
           WITH c AS (SELECT {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM customer),

@@ -883,6 +883,84 @@ def sampler_agg(
     return out.orderBy(F.col(id_col).asc()).limit(shard_size)
 
 
+def global_agg(
+    df: DataFrame, query: dict | None, aggs: dict
+) -> DataFrame:
+    """ES ``global`` aggregation: a bucket that ESCAPES the request's
+    query scope — "average price of the matching docs AND of the whole
+    index, in one request".  ES nests sub-aggs under ``{"global": {}}``
+    next to query-scoped siblings; the flattened DataFrame rendering is
+    one row set per scope, unioned LONG-format with a leading ``scope``
+    column (``'query'`` for the filtered context, ``'global'`` for the
+    whole frame) — the same flattening contract as
+    :func:`compile_sibling_aggs`.
+
+    Plan shape: two independent single-pass plans over the same scan
+    (each keeps its own pushdown — the query-scoped branch filters
+    BEFORE its agg, the global branch scans unfiltered), one union of
+    bucket-cardinality rows.  No shared cache: at 100 TB two pruned
+    column scans beat materializing full rows to share one.
+    """
+    def one_scope(frame: DataFrame) -> DataFrame:
+        kinds = {name: _one(body)[0] for name, body in aggs.items()}
+        if all(k in _METRIC_KINDS for k in kinds.values()):
+            # metric-only tree: ES's single implicit bucket — one
+            # global hash agg row (compile_aggs requires a bucket)
+            metrics: list[Column] = []
+            for name, body in aggs.items():
+                kind, spec = _one(body)
+                metrics.extend(_metric_exprs(name, kind, spec))
+            return frame.groupBy().agg(
+                F.count("*").cast("long").alias("doc_count"), *metrics
+            )
+        return compile_aggs(frame, aggs)
+
+    scoped = df if query is None else df.filter(compile_bool_query(query))
+    q = one_scope(scoped).withColumn("scope", F.lit("query"))
+    g = one_scope(df).withColumn("scope", F.lit("global"))
+    cols = ["scope"] + [c for c in q.columns if c != "scope"]
+    return q.select(*cols).unionByName(g.select(*cols))
+
+
+def random_sampler_agg(
+    df: DataFrame,
+    probability: float,
+    aggs: dict,
+    seed: int = 17,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``random_sampler`` aggregation: run the sub-aggs over a
+    ``probability`` Bernoulli sample of the docs and SCALE ``doc_count``
+    back up by ``1/probability`` (ES's cheap-facets-over-a-sample
+    contract; metric values are computed on the sample, unscaled, as in
+    ES).  Divergence from ES, documented: membership here is a
+    deterministic keyed hash of ``(seed, id)`` — md5-derived bucket in
+    ``[0, 1e6)`` compared to ``probability·1e6`` — never per-shard RNG,
+    so the sample (and therefore every downstream number) is
+    reproducible across engines, partitionings, and retries, and the
+    oracle can rehash it exactly.
+
+    Scale: the sample is a pure narrow filter (no shuffle) that REDUCES
+    the rows entering the agg by ``1/probability`` — the entire point
+    of the agg at 100 TB; everything after is bucket-cardinality-sized.
+    """
+    from monstache_spark.functions.text import shingle_hash
+
+    if not (0.0 < probability <= 1.0):
+        raise ValueError("probability must be in (0, 1]")
+    bucket = F.pmod(
+        shingle_hash(F.col(id_col).cast("string"), seed), F.lit(1_000_000)
+    )
+    sample = df.filter(bucket < F.lit(int(probability * 1_000_000)))
+    out = compile_aggs(sample, aggs)
+    return out.withColumn(
+        "doc_count",
+        F.round(
+            F.col("doc_count").cast("double") / F.lit(float(probability)), 0
+        ).cast("long"),
+    )
+
+
 def nested_aggs(
     df: DataFrame,
     path: str,
@@ -960,6 +1038,68 @@ def nested_aggs(
         .agg(F.count_distinct(F.col("_pid")).cast("long").alias("parent_doc_count"))
     )
     return buckets.join(F.broadcast(parents), name, "left")
+
+
+def children_agg(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+    aggs: dict,
+    parent_filter: dict | None = None,
+) -> DataFrame:
+    """ES ``children`` aggregation over the join field: re-scope the
+    aggregation context from PARENT documents to their CHILD documents
+    — "per market segment, stats over the customers' orders".  The
+    dual of the has_child/has_parent QUERY pair on the read side; the
+    parent/child shape is what monstache's relate subsystem syncs
+    relational data into (monstache.go parent-child routing).
+
+    ``parent_filter`` is the request's query over the parents,
+    compiled as a plain predicate (pushdown-eligible) BEFORE the key
+    projection.  The child frame then semi-joins the surviving parent
+    key set — an equi-join, broadcastable when the matching parent
+    set is small — and the inner tree compiles over child rows via
+    :func:`compile_aggs` (one hash agg).  ``doc_count`` counts CHILD
+    docs, as in ES.  To bucket children BY a parent attribute, carry
+    the attribute on the child frame (denormalized, as a
+    monstache-style sync materializes it) or join it in first.
+    """
+    keys = parents
+    if parent_filter is not None:
+        keys = keys.filter(compile_bool_query(parent_filter))
+    keys = keys.select(F.col(parent_key).alias("_pk"))
+    scoped = children.join(
+        keys, children[child_parent_key] == keys["_pk"], "leftsemi"
+    )
+    return compile_aggs(scoped, aggs)
+
+
+def parent_agg(
+    children: DataFrame,
+    parents: DataFrame,
+    parent_key: str,
+    child_parent_key: str,
+    aggs: dict,
+    child_filter: dict | None = None,
+) -> DataFrame:
+    """ES ``parent`` aggregation: re-scope from CHILD documents to
+    their PARENT documents — each parent enters the inner tree ONCE
+    no matter how many matching children it has (ES's join-field
+    dedup contract).  ``child_filter`` prunes the child frame first
+    (pushdown), the DISTINCT matching parent-key set semi-joins the
+    parent frame, and the inner tree compiles over parent rows.
+    Plan: filter → hash-distinct on the key (map-side combinable) →
+    semi-join → one hash agg.
+    """
+    ch = children
+    if child_filter is not None:
+        ch = ch.filter(compile_bool_query(child_filter))
+    keys = ch.select(F.col(child_parent_key).alias("_pk")).distinct()
+    scoped = parents.join(
+        keys, parents[parent_key] == keys["_pk"], "leftsemi"
+    )
+    return compile_aggs(scoped, aggs)
 
 
 def compile_sibling_aggs(
@@ -1321,6 +1461,77 @@ def stats_bucket(
     ]
     g = buckets.groupBy(*parent_cols) if parent_cols else buckets.groupBy()
     return g.agg(*aggs)
+
+
+def percentiles_bucket(
+    buckets: DataFrame,
+    value_col: str,
+    percents: tuple = (1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0),
+    parent_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES sibling pipeline agg ``percentiles_bucket``: percentiles of a
+    metric ACROSS the sibling buckets ("the p99 of the daily sums").
+    Exact interpolated percentiles rounded to 6 dp — the S4 exactness
+    contract (ES uses t-digest here too); column per percent named with
+    the same ``pNN`` suffix scheme as the ``percentiles`` metric.  One
+    hash agg over bucket-cardinality rows.
+    """
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.round(F.percentile(v, F.lit(p / 100.0)), 6).alias(
+            f"{value_col}_p{_pct_suffix(p)}"
+        )
+        for p in percents
+    ]
+    g = buckets.groupBy(*parent_cols) if parent_cols else buckets.groupBy()
+    return g.agg(*aggs)
+
+
+def scripted_metric(
+    df: DataFrame,
+    map_script: str,
+    reduce: str = "sum",
+    group_by: list[str] | None = None,
+    name: str = "value",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ES ``scripted_metric`` aggregation, the deterministic subset: a
+    ``map_script`` that emits one numeric per document (the shared
+    painless→SQL binding contract — the script's field reads become
+    column references) and an associative ``reduce`` in
+    ``sum`` / ``min`` / ``max`` / ``avg`` / ``count``.  That subset is
+    exactly the map-side-combinable part of ES's init/map/combine/
+    reduce contract — the part that is order-independent and therefore
+    reproducible; scripts carrying mutable cross-document state are
+    order-dependent by construction and refused (raise) rather than
+    silently approximated.
+
+    Plan shape: one codegen projection (the mapped expression) + one
+    hash agg — partial aggregation map-side, exact decimal sums.
+    """
+    reducers = {
+        "sum": lambda c: F.sum(c.cast("decimal(38,6)")).cast("double"),
+        "min": lambda c: F.min(c.cast("double")),
+        "max": lambda c: F.max(c.cast("double")),
+        "avg": lambda c: (
+            F.sum(c.cast("decimal(38,6)")).cast("double")
+            / F.count(c).cast("double")
+        ),
+        "count": lambda c: F.count(c).cast("double"),
+    }
+    if reduce not in reducers:
+        raise ValueError(
+            f"unsupported reduce {reduce!r}: the deterministic subset is "
+            f"{sorted(reducers)} (stateful scripts are order-dependent)"
+        )
+    mapped = df.withColumn("_m", F.expr(map_script))
+    agg = reducers[reduce](F.col("_m"))
+    if round_to is not None:
+        agg = F.round(agg, round_to)
+    g = mapped.groupBy(*group_by) if group_by else mapped.groupBy()
+    return g.agg(
+        agg.alias(name), F.count("*").cast("long").alias("doc_count")
+    )
 
 
 def adjacency_matrix(

@@ -326,6 +326,64 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         }.items()
         loc = _field(field, resolver)
         return distance_predicate(loc["lat"], loc["lon"], origin, distance)
+    if kind == "geo_grid":
+        # {"geo_grid": {loc_field: {"geotile": "6/32/22"}}} or
+        # {"geohash": "u0"} — match every point whose grid cell AT THE
+        # KEY'S OWN PRECISION equals the key (the ES contract: the
+        # query buckets each point exactly as the same-named
+        # aggregation would and compares cell ids).  geohash precision
+        # is the key length (exact bit-interleave arithmetic, no
+        # rounding contract); geotile zoom is the key's z component
+        # (rounded-Mercator contract, operators/geo.py).  Either way
+        # the leaf is one codegen equality over a computed cell id —
+        # pure projection + filter, no join, no shuffle
+        from monstache_spark.operators.geo import geohash_cell, geotile_cell
+
+        ((field, spec),) = body.items()
+        loc = _field(field, resolver)
+        if "geotile" in spec:
+            key = str(spec["geotile"])
+            zoom = int(key.split("/")[0])
+            return geotile_cell(loc["lat"], loc["lon"], zoom) == F.lit(key)
+        if "geohash" in spec:
+            key = str(spec["geohash"]).lower()
+            return geohash_cell(loc["lat"], loc["lon"], len(key)) == F.lit(key)
+        raise ValueError("geo_grid needs a geotile or geohash cell id")
+    if kind == "shape":
+        # {"shape": {field: {"shape": {"type": "envelope"|"polygon",
+        #  "coordinates": ...}, "relation": ...}}} — the CARTESIAN
+        # twin of geo_shape over ES xy point docs (struct<x,y>
+        # fields): plain planar comparisons, no dateline wrap, no
+        # latitude clamp.  Envelope coordinates are ES xy-ordered
+        # [[min_x, max_y], [max_x, min_y]]; polygon is a ring of
+        # [x, y] vertices decided by the same exact-arithmetic
+        # crossing rule as geo_polygon (polygon_predicate treats its
+        # first component as the vertical axis, so y maps to "lat")
+        from monstache_spark.operators.geo import polygon_predicate
+
+        ((field, spec),) = body.items()
+        shape = spec["shape"]
+        relation = spec.get("relation", "intersects")
+        if relation not in ("intersects", "within", "disjoint"):
+            raise ValueError(f"unsupported shape relation: {relation}")
+        pt = _field(field, resolver)
+        x, y = pt["x"], pt["y"]
+        stype = shape["type"].lower()
+        if stype == "envelope":
+            (min_x, max_y), (max_x, min_y) = shape["coordinates"]
+            inside = (
+                (x >= F.lit(float(min_x)))
+                & (x <= F.lit(float(max_x)))
+                & (y >= F.lit(float(min_y)))
+                & (y <= F.lit(float(max_y)))
+            )
+        elif stype == "polygon":
+            ring = shape["coordinates"][0]
+            pts = [(py, px) for px, py in ring]
+            inside = polygon_predicate(y, x, pts)
+        else:
+            raise ValueError(f"unsupported shape type: {stype}")
+        return ~inside if relation == "disjoint" else inside
     if kind in _SPAN_KINDS:
         # ES span family: the span tree compiles to a per-row span
         # ARRAY (_compile_span); as a bool leaf, membership is "at
@@ -2122,6 +2180,48 @@ def has_parent_filter(
     )
 
 
+def search_after(
+    df: DataFrame,
+    sort: list[tuple[str, str]],
+    after: list | None,
+    size: int,
+) -> DataFrame:
+    """ES ``search_after`` pagination: deep paging by sort-key cursor
+    instead of ``from + size`` windows.  ``sort`` is the request's
+    sort spec ``[(field, 'asc'|'desc'), ...]`` whose LAST key must be
+    a unique tiebreaker (ES requires ``_shard_doc`` or the id field
+    for exactly this reason — without it pages can skip or repeat
+    rows); ``after`` is the previous page's last sort-value tuple, or
+    None for the first page.
+
+    The cursor compiles to the strictly-after row comparison in the
+    sort order — ``(k1 <after> a1) OR (k1 = a1 AND k2 <after> a2) OR
+    …`` with each comparison oriented by its key's direction — a pure
+    pushdown-eligible predicate, then ``size`` rows via orderBy +
+    limit (TakeOrderedAndProject: per-partition top-k, never a global
+    sort, never the O(from + size) work ES's plain ``from`` pays at
+    depth).  Page cost is O(size) regardless of how deep the cursor
+    is — the whole point of search_after at 100 TB.
+    """
+    if not sort:
+        raise ValueError("search_after requires a sort spec")
+    if after is not None:
+        if len(after) != len(sort):
+            raise ValueError("after tuple must match the sort spec length")
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for (field, direction), a in zip(sort, after):
+            c = F.col(field)
+            strict = c > F.lit(a) if direction == "asc" else c < F.lit(a)
+            cond = cond | (eq & strict)
+            eq = eq & (c == F.lit(a))
+        df = df.filter(cond)
+    order = [
+        F.col(f).asc() if d == "asc" else F.col(f).desc() for f, d in sort
+    ]
+    return df.orderBy(*order).limit(int(size))
+
+
 def sparse_vector_topk(
     docs: DataFrame,
     query_weights: dict,
@@ -3731,6 +3831,9 @@ def completion_suggest(
     vocab: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    context_field: str | None = None,
+    context_values: list[str] | None = None,
+    context_boosts: dict | None = None,
 ) -> DataFrame:
     """ES completion suggester (search-as-you-type): for each query
     prefix, the ``top_n`` corpus vocabulary terms starting with it,
@@ -3748,22 +3851,51 @@ def completion_suggest(
     Pass ``vocab`` — a ``(term, weight)`` frame — to rank by custom
     weights (ES's indexed completion ``weight``) instead of corpus
     frequency.
+
+    ``context_field`` arms ES's CATEGORY CONTEXTS: only suggestions
+    from documents whose context column is in ``context_values``
+    qualify, and ``context_boosts`` (value → multiplier, default 1)
+    scales their contribution — ES's ``contexts`` filter + boost.
+    Under the frequency-weight stand-in the boosted weight is
+    ``Σ_matching-context count(term in context) · boost(context)``
+    (ES dedupes one indexed suggestion by max boosted weight; with
+    frequency weights the per-context sum IS the deduped total).
+    The context filter prunes the corpus BEFORE tokenization — the
+    vocab pass reads only matching docs.
     """
     if not prefixes:
         raise ValueError("prefixes must be non-empty")
     spark = docs.sparkSession
+    if context_field is not None and vocab is not None:
+        raise ValueError("pass either a prebuilt vocab or contexts, not both")
     if vocab is None:
-        vocab = (
-            docs.select(
-                F.explode(
-                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-                ).alias("term")
+        base = docs
+        if context_field is not None:
+            if not context_values:
+                raise ValueError("context_values must be non-empty")
+            base = docs.filter(F.col(context_field).isin(list(context_values)))
+        terms = base.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+            *([F.col(context_field).alias("_ctx")] if context_field else []),
+        ).filter(F.col("term") != "")
+        if context_field is not None:
+            boosts = context_boosts or {}
+            mult = F.lit(1)
+            for val, b in sorted(boosts.items()):
+                mult = F.when(F.col("_ctx") == val, F.lit(int(b))).otherwise(mult)
+            vocab = (
+                terms.groupBy("term")
+                .agg(F.sum(mult).cast("long").alias("weight"))
+                .filter(F.col("weight") >= min_count)
             )
-            .filter(F.col("term") != "")
-            .groupBy("term")
-            .agg(F.count("*").cast("long").alias("weight"))
-            .filter(F.col("weight") >= min_count)
-        )
+        else:
+            vocab = (
+                terms.groupBy("term")
+                .agg(F.count("*").cast("long").alias("weight"))
+                .filter(F.col("weight") >= min_count)
+            )
     pdf = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(p.lower()) for p in sorted(set(prefixes))])

@@ -1305,3 +1305,110 @@ def test_ip_prefix_agg_networks(spark):
     assert out == [("10.0.0.0", 3), ("10.2.0.0", 1)]
     with pytest.raises(ValueError, match="prefix_length"):
         ip_prefix_agg(df, "ip", 0)
+
+
+def test_global_agg_scopes(ev):
+    from monstache_spark.operators.aggs import global_agg
+
+    out = global_agg(
+        ev,
+        {"term": {"region": "eu"}},
+        {"total": {"sum": {"field": "val"}}},
+    )
+    got = {r["scope"]: (r["doc_count"], r["total"]) for r in out.collect()}
+    # query scope: eu rows (1,2,4,8) sum 150; global: all 8 rows sum 290
+    assert got["query"] == (4, 150.0)
+    assert got["global"] == (8, 290.0)
+
+
+def test_global_agg_with_bucket_tree(ev):
+    from monstache_spark.operators.aggs import global_agg
+
+    out = global_agg(
+        ev, {"term": {"region": "us"}}, {"k": {"terms": {"field": "kind"}}}
+    )
+    got = {(r["scope"], r["k"]): r["doc_count"] for r in out.collect()}
+    assert got[("query", "buy")] == 1 and got[("global", "buy")] == 2
+    assert ("query", "view") in got and got[("global", "click")] == 3
+
+
+def test_random_sampler_scales_and_is_deterministic(ev):
+    from monstache_spark.operators.aggs import random_sampler_agg
+
+    a = random_sampler_agg(
+        ev, 0.5, {"k": {"terms": {"field": "kind", "min_doc_count": 1}}},
+        seed=3, id_col="id",
+    ).collect()
+    b = random_sampler_agg(
+        ev.repartition(7), 0.5,
+        {"k": {"terms": {"field": "kind", "min_doc_count": 1}}},
+        seed=3, id_col="id",
+    ).collect()
+    # membership is (seed, id)-keyed: identical under any partitioning
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # doc_count is scaled by 1/p: every count is the sample count x2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="probability"):
+        random_sampler_agg(ev, 0.0, {"k": {"terms": {"field": "kind"}}})
+
+
+def test_percentiles_bucket_exact(spark):
+    from monstache_spark.operators.aggs import percentiles_bucket
+
+    buckets = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0), ("d", 40.0)], "k string, m double"
+    )
+    row = percentiles_bucket(buckets, "m", percents=(50.0, 99.0)).collect()[0]
+    # exact interpolation over [10,20,30,40]
+    assert row["m_p50"] == 25.0
+    assert row["m_p99"] == 39.7
+
+
+def test_scripted_metric_reduces(ev):
+    import pytest as _pt
+
+    from monstache_spark.operators.aggs import scripted_metric
+
+    out = scripted_metric(
+        ev.filter(F.col("val").isNotNull()),
+        "val * 2",
+        reduce="sum",
+        group_by=["region"],
+        name="doubled",
+    )
+    got = {r["region"]: r["doubled"] for r in out.collect()}
+    assert got["us"] == 280.0  # (30+50+60)*2
+    with _pt.raises(ValueError, match="order-dependent"):
+        scripted_metric(ev, "val", reduce="concat")
+
+
+def test_children_and_parent_aggs(spark):
+    from monstache_spark.operators.aggs import children_agg, parent_agg
+
+    parents = spark.createDataFrame(
+        [(1, "eu"), (2, "us"), (3, "eu")], "pid long, region string"
+    )
+    children = spark.createDataFrame(
+        [(10, 1, "a", 5.0), (11, 1, "b", 7.0), (12, 2, "a", 9.0),
+         (13, 9, "a", 1.0)],
+        "cid long, pid long, kind string, v double",
+    )
+    out = children_agg(
+        parents, children, "pid", "pid",
+        {"k": {"terms": {"field": "kind"},
+               "aggs": {"total": {"sum": {"field": "v"}}}}},
+        parent_filter={"term": {"region": "eu"}},
+    )
+    got = {r["k"]: (r["doc_count"], r["total"]) for r in out.collect()}
+    # only parent 1 is eu; orphan child 13 never matches
+    assert got == {"a": (1, 5.0), "b": (1, 7.0)}
+
+    out = parent_agg(
+        children, parents, "pid", "pid",
+        {"r": {"terms": {"field": "region"}}},
+        child_filter={"term": {"kind": "a"}},
+    )
+    got = {r["r"]: r["doc_count"] for r in out.collect()}
+    # parent 1 has one matching child, parent 2 one; each counts ONCE
+    assert got == {"eu": 1, "us": 1}

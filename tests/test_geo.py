@@ -297,3 +297,46 @@ def test_geo_line_order_and_cap(spark):
     assert out["a"]["line"] == "LINESTRING(0.50 0.00, -1.25 1.00, 2.50 1.50)"
     assert out["a"]["doc_count"] == 3
     assert out["b"]["line"] == "LINESTRING(6.00 5.00)"
+
+
+def test_geo_grid_query_leaf(spark):
+    from monstache_spark.operators.geo import geohash_cell, geotile_cell
+
+    df = spark.createDataFrame(
+        [(1, 52.52, 13.40), (2, 52.50, 13.41), (3, 37.77, -122.42)],
+        "id long, lat double, lon double",
+    ).withColumn("loc", F.struct("lat", "lon"))
+    tile = df.filter(F.col("id") == 1).select(
+        geotile_cell(F.col("lat"), F.col("lon"), 10).alias("t")
+    ).collect()[0]["t"]
+    got = {r["id"] for r in bool_query_filter(
+        df, {"geo_grid": {"loc": {"geotile": tile}}}).collect()}
+    # Berlin pair shares tile 10/550/335; SF does not
+    assert got == {1, 2} and tile == "10/550/335"
+    gh = df.filter(F.col("id") == 3).select(
+        geohash_cell(F.col("lat"), F.col("lon"), 4).alias("g")
+    ).collect()[0]["g"]
+    got = {r["id"] for r in bool_query_filter(
+        df, {"geo_grid": {"loc": {"geohash": gh}}}).collect()}
+    assert got == {3}
+
+
+def test_shape_query_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 5.0, 5.0), (3, -1.0, 0.5)],
+        "id long, x double, y double",
+    ).withColumn("pt", F.struct("x", "y"))
+    env = {"shape": {"pt": {"shape": {
+        "type": "envelope", "coordinates": [[0.0, 2.0], [2.0, 0.0]]}}}}
+    got = {r["id"] for r in bool_query_filter(df, env).collect()}
+    assert got == {1}
+    got = {r["id"] for r in bool_query_filter(
+        df, {"shape": {"pt": {"shape": {
+            "type": "envelope", "coordinates": [[0.0, 2.0], [2.0, 0.0]]},
+            "relation": "disjoint"}}}).collect()}
+    assert got == {2, 3}
+    tri = {"shape": {"pt": {"shape": {
+        "type": "polygon",
+        "coordinates": [[[0.0, 0.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]]}}}}
+    got = {r["id"] for r in bool_query_filter(df, tri).collect()}
+    assert got == {1}

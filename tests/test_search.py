@@ -2144,3 +2144,49 @@ def test_parent_id_leaf(spark):
     got = sorted(r["o_orderkey"] for r in bool_query_filter(
         df, {"parent_id": {"field": "o_custkey", "id": 1}}).collect())
     assert got == [10, 11]
+
+
+def test_search_after_pages_are_disjoint_and_exhaustive(spark):
+    from monstache_spark.operators.search import search_after
+
+    df = spark.createDataFrame(
+        [(i, float(100 - (i % 7))) for i in range(1, 41)], "id long, score double"
+    )
+    sort = [("score", "desc"), ("id", "asc")]
+    seen, after = [], None
+    for _ in range(5):
+        page = search_after(df, sort, after, size=10).collect()
+        if not page:
+            break
+        seen.extend((r["score"], r["id"]) for r in page)
+        after = [page[-1]["score"], page[-1]["id"]]
+    # pages concatenate to the full frame in exact sort order
+    assert len(seen) == 40 and len(set(seen)) == 40
+    assert seen == sorted(seen, key=lambda t: (-t[0], t[1]))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="sort"):
+        search_after(df, [], None, 10)
+    with _pt.raises(ValueError, match="length"):
+        search_after(df, sort, [1.0], 10)
+
+
+def test_completion_contexts_filter_and_boost(spark):
+    from monstache_spark.operators.search import completion_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark", "a"), (2, "spark sprint", "b"), (3, "spark", "c")],
+        "doc_id long, text string, source string",
+    )
+    out = completion_suggest(
+        docs, ["sp"], top_n=3,
+        context_field="source", context_values=["a", "b"],
+        context_boosts={"b": 5},
+    ).collect()
+    got = {r["suggestion"]: r["weight"] for r in out}
+    # doc 3 (source c) is excluded; spark = 2x1 (a) + 1x5 (b) = 7
+    assert got == {"spark": 7, "sprint": 5}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="context_values"):
+        completion_suggest(docs, ["sp"], context_field="source")
