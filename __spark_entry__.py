@@ -3875,6 +3875,52 @@ def _q_es_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors / _mtermvectors API (search.termvectors): for
+    three requested docs, per-term term_freq + sorted positions plus
+    index-wide doc_freq and ttf.  The request side prunes by id
+    before tokenizing; corpus stats are one hash agg to the vocab
+    frame joined via a broadcast of the small request side."""
+    from monstache_spark.operators.search import termvectors
+
+    docs = load_table(spark, "documents", sf_dir)
+    return termvectors(docs, [1, 2, 3])
+
+
+def _q_es_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TSDB downsampling (aggs.downsample — the _downsample API /
+    hypertable rollup): one row per (event_type, 6h bucket) with
+    gauge min/max/sum/count (exact decimal sums) and the counter's
+    last value (latest-timestamp row, ties by max value — ES relies
+    on _tsid doc order there).  One corpus hash agg + the two-phase
+    extreme/tie-join for `last`; bucket edges floor exact epoch
+    micros — the rollup a 100 TB metrics store queries instead of raw
+    points."""
+    from monstache_spark.operators.aggs import downsample
+
+    ev = load_table(spark, "events", sf_dir)
+    return downsample(
+        ev, "ts", ["event_type"], gauges=["value"], counters=["value"],
+        fixed_interval="6h",
+    )
+
+
+def _q_es_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram under the deterministic
+    LARGEST-GAP contract (aggs.variable_width_histogram, DIVERGENCES
+    S23 — ES's own is one-pass arrival-order-dependent clustering):
+    distinct values, cut at the buckets−1 largest neighbor gaps,
+    buckets are the runs between cuts.  One corpus hash agg to the
+    distinct-value frame; the global neighbor gap runs
+    range-partitioned in-partition lags stitched through a
+    partition-count boundary frame — no single-partition sort
+    anywhere; cuts are control-plane-sized by construction."""
+    from monstache_spark.operators.aggs import variable_width_histogram
+
+    ev = load_table(spark, "events", sf_dir)
+    return variable_width_histogram(ev, "value", 5)
+
+
 def _q_es_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES global aggregation (aggs.global_agg): metrics over the
     query-scoped docs AND over the whole index in one request —
@@ -5209,6 +5255,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_missing_agg": _q_es_missing_agg,
         "es_diversified_sampler": _q_es_diversified_sampler,
         "es_global": _q_es_global,
+        "es_variable_width_histogram": _q_es_variable_width_histogram,
+        "es_downsample": _q_es_downsample,
+        "es_termvectors": _q_es_termvectors,
         "es_random_sampler": _q_es_random_sampler,
         "es_percentiles_bucket": _q_es_percentiles_bucket,
         "es_scripted_metric": _q_es_scripted_metric,
@@ -7975,6 +8024,78 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_termvectors": f"""
+          WITH t AS (
+            SELECT doc_id, list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          ),
+          tr AS (
+            SELECT doc_id, toks[CAST(i AS INTEGER)] AS term,
+                   CAST(i - 1 AS BIGINT) AS pos
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+          ),
+          req AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS term_freq,
+                   list_sort(list(pos)) AS positions
+            FROM tr WHERE doc_id IN (1, 2, 3) GROUP BY 1, 2
+          ),
+          st AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+                   CAST(count(*) AS BIGINT) AS ttf
+            FROM tr GROUP BY 1
+          )
+          SELECT req.doc_id, req.term, req.term_freq, req.positions,
+                 st.doc_freq, st.ttf
+          FROM req JOIN st USING (term)
+        """,
+        "es_downsample": """
+          WITH b AS (
+            SELECT event_type,
+                   make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket,
+                   ts, value
+            FROM events WHERE ts IS NOT NULL
+          ),
+          g AS (
+            SELECT event_type, bucket,
+                   CAST(count(*) AS BIGINT) AS doc_count,
+                   min(value) AS value_min, max(value) AS value_max,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+                   CAST(count(value) AS BIGINT) AS value_count,
+                   max(ts) AS lt
+            FROM b GROUP BY 1, 2
+          ),
+          l AS (
+            SELECT b.event_type, b.bucket, max(b.value) AS value_last
+            FROM b JOIN g ON b.event_type = g.event_type
+                         AND b.bucket = g.bucket AND b.ts = g.lt
+            GROUP BY 1, 2
+          )
+          SELECT g.event_type, g.bucket, g.doc_count, g.value_min,
+                 g.value_max, g.value_sum, g.value_count, l.value_last
+          FROM g LEFT JOIN l ON g.event_type = l.event_type
+                            AND g.bucket = l.bucket
+        """,
+        "es_variable_width_histogram": """
+          WITH dv AS (
+            SELECT value AS v, CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+          ),
+          g AS (SELECT v, v - lag(v) OVER (ORDER BY v ASC) AS gap FROM dv),
+          cuts AS (
+            SELECT v FROM g WHERE gap IS NOT NULL
+            ORDER BY gap DESC, v ASC LIMIT 4
+          ),
+          asg AS (
+            SELECT dv.v, dv.n,
+                   (SELECT count(*) FROM cuts WHERE cuts.v <= dv.v) AS b
+            FROM dv
+          )
+          SELECT round(CAST(sum(CAST(v AS DECIMAL(19,4)) * CAST(n AS DECIMAL(19,0))) AS DOUBLE)
+                       / CAST(sum(n) AS DOUBLE), 6) AS key,
+                 min(v) AS min, max(v) AS max,
+                 CAST(sum(n) AS BIGINT) AS doc_count
+          FROM asg GROUP BY b
         """,
         "es_global": """
           SELECT 'query' AS scope, CAST(count(*) AS BIGINT) AS doc_count,

@@ -1040,6 +1040,94 @@ def nested_aggs(
     return buckets.join(F.broadcast(parents), name, "left")
 
 
+def variable_width_histogram(
+    df: DataFrame,
+    field: str,
+    buckets: int,
+    value_decimals: int = 4,
+    range_partitions: int = 32,
+) -> DataFrame:
+    """ES ``variable_width_histogram``: cluster a numeric field into
+    at most ``buckets`` dynamically-sized buckets, returning per
+    bucket ``key`` (the centroid), ``min``, ``max``, ``doc_count``.
+
+    DIVERGENCE, documented (DIVERGENCES S23): ES's implementation is
+    an explicitly-approximate ONE-PASS clustering whose buckets depend
+    on document arrival order; the deterministic contract here is
+    LARGEST-GAP clustering — sort the distinct values, cut at the
+    ``buckets − 1`` largest gaps (ties: larger value-adjacent pair
+    first by gap desc, then smaller right endpoint first), buckets are
+    the maximal runs between cuts.  Same bucket count, same
+    "boundaries fall where the data is sparse" behavior the ES agg
+    exists for, reproducible on any engine and any partitioning.
+
+    Scale shape (100 TB): ONE corpus hash agg collapses to the
+    distinct-value frame (map-side combinable); every later step is
+    O(|V|).  The global neighbor gap is computed WITHOUT a
+    single-partition sort: range-repartition the value frame, take
+    in-partition ``lag`` windows, and stitch partition boundaries
+    through a partition-count-sized min/max frame (driver-bounded,
+    broadcast back) — the standard distributed adjacent-difference
+    shape.  The ``buckets − 1`` cut values are control-plane-sized by
+    construction (one TakeOrderedAndProject), entering the final
+    bucket assignment as a literal CASE chain.  ``key`` is the
+    doc-weighted mean accumulated in exact decimal at
+    ``value_decimals`` source precision, rounded to 6 dp.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    v = F.col(field)
+    dv = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("v"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("vd", F.col("v").cast(f"decimal(19,{value_decimals})"))
+    )
+    cut_vals: list = []
+    if buckets > 1:
+        rv = dv.repartitionByRange(range_partitions, F.col("v").asc())
+        rv = rv.withColumn("_pid", F.spark_partition_id())
+        w = Window.partitionBy("_pid").orderBy(F.col("v").asc())
+        g = rv.withColumn("_prev", F.lag("v").over(w))
+        bounds = rv.groupBy("_pid").agg(F.max("v").alias("_hi"))
+        wb = Window.orderBy(F.col("_pid").asc())  # partition-count rows
+        prev_hi = bounds.withColumn("_prev_hi", F.lag("_hi").over(wb)).select(
+            "_pid", "_prev_hi"
+        )
+        g = g.join(F.broadcast(prev_hi), "_pid", "left").withColumn(
+            "_prev", F.coalesce("_prev", "_prev_hi")
+        )
+        gaps = g.filter(F.col("_prev").isNotNull()).select(
+            "v", (F.col("v") - F.col("_prev")).alias("_gap")
+        )
+        cuts = (
+            gaps.orderBy(F.col("_gap").desc(), F.col("v").asc())
+            .limit(buckets - 1)
+            .collect()
+        )  # control-plane: at most buckets-1 rows by construction
+        cut_vals = sorted(r["v"] for r in cuts)
+    cluster: Column = F.lit(0)
+    for c in cut_vals:
+        cluster = cluster + F.when(F.col("v") >= F.lit(c), 1).otherwise(0)
+    return (
+        dv.withColumn("_b", cluster)
+        .groupBy("_b")
+        .agg(
+            F.round(
+                F.sum(F.col("vd") * F.col("n").cast("decimal(19,0)")).cast(
+                    "double"
+                )
+                / F.sum("n").cast("double"),
+                6,
+            ).alias("key"),
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+            F.sum("n").cast("long").alias("doc_count"),
+        )
+        .drop("_b")
+    )
+
+
 def children_agg(
     parents: DataFrame,
     children: DataFrame,
@@ -1803,6 +1891,75 @@ def rate_agg(
         .drop("_total")
         .orderBy("key")
     )
+
+
+def downsample(
+    df: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    gauges: list[str],
+    counters: list[str] | tuple = (),
+    fixed_interval: str = "1h",
+) -> DataFrame:
+    """ES TSDB downsampling (the ``_downsample`` API — the rollup that
+    makes metrics indexes queryable at long retention): collapse a
+    time-series table to ONE row per (dimension tuple, fixed-interval
+    bucket).  Gauge metrics keep ``_min/_max/_sum/_count`` (sums in
+    exact decimal, so rollup totals are partitioning-independent);
+    counter metrics keep ``_last`` — the value at the LATEST timestamp
+    in the bucket, ties broken by max value (deterministic where ES
+    relies on ``_tsid`` doc order).  Buckets floor exact epoch micros
+    with integer ``pmod`` (the fixed-interval contract — UTC-aligned,
+    engine-exact edges).
+
+    This is the hypertable-rollup shape at 100 TB: one corpus hash agg
+    (map-side combinable) does all gauge stats and the per-bucket max
+    timestamp; counters resolve through the standard two-phase
+    extreme + tie-join (the ``top_metrics`` shape — join back only the
+    rows AT the bucket's max timestamp, a bucket-keyed equi-join whose
+    right side is the rolled-up frame, never a sort, never a struct in
+    an agg buffer).  Downsampled output is ~|buckets| rows: the
+    re-aggregation any later query does over it is cheap by
+    construction.
+    """
+    w = fixed_interval_seconds(fixed_interval)
+    if w is None:
+        raise ValueError(f"unsupported fixed_interval: {fixed_interval}")
+    w_us = w * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    base = df.filter(F.col(ts_col).isNotNull()).withColumn(
+        "bucket", F.timestamp_micros(us - F.pmod(us, F.lit(w_us)))
+    )
+    keys = [*dims, "bucket"]
+    aggs = [
+        F.count("*").cast("long").alias("doc_count"),
+        F.max(ts_col).alias("_last_ts"),
+    ]
+    for g_name in gauges:
+        c = F.col(g_name)
+        aggs += [
+            F.min(c).alias(f"{g_name}_min"),
+            F.max(c).alias(f"{g_name}_max"),
+            F.sum(c.cast("decimal(38,6)")).cast("double").alias(f"{g_name}_sum"),
+            F.count(c).cast("long").alias(f"{g_name}_count"),
+        ]
+    grouped = base.groupBy(*keys).agg(*aggs)
+    if counters:
+        rows = base.select(
+            *keys,
+            F.col(ts_col).alias("_ts"),
+            *[F.col(c).alias(f"_c_{c}") for c in counters],
+        )
+        last = (
+            rows.join(grouped.select(*keys, "_last_ts"), keys)
+            .filter(F.col("_ts") == F.col("_last_ts"))
+            .groupBy(*keys)
+            .agg(
+                *[F.max(f"_c_{c}").alias(f"{c}_last") for c in counters]
+            )
+        )
+        grouped = grouped.join(last, keys, "left")
+    return grouped.drop("_last_ts")
 
 
 def moving_percentiles(

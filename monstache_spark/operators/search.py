@@ -1804,6 +1804,70 @@ def _term_rows(
     return docs.select(F.col(id_col), F.explode(toks).alias("term"))
 
 
+def termvectors(
+    docs: DataFrame,
+    doc_ids: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer=None,
+    term_statistics: bool = True,
+) -> DataFrame:
+    """ES ``_termvectors`` / ``_mtermvectors``: for each requested
+    document, the per-term view of its analyzed field — ``term_freq``,
+    the sorted ``positions`` list (position-increment semantics when an
+    analyzer is configured: stop-word removal leaves gaps, stemming
+    rewrites the token but never the position), and with
+    ``term_statistics`` the INDEX-WIDE ``doc_freq`` and ``ttf`` (total
+    term frequency) — the analysis-debugging / feature-extraction API a
+    monstache-fed index serves through ES.
+
+    Plan shape: the requested doc set prunes by id (pushdown-eligible
+    ``isin``) before any tokenization of the request side; the corpus
+    term statistics are ONE hash agg collapsing the tokenized corpus to
+    the vocabulary frame, joined to the (control-plane-small) request
+    rows via a broadcast of the request side.  The positions list is
+    per-(doc, term) bounded by the document length — the API's own
+    return contract.  Returns ``(id, term, term_freq, positions
+    [, doc_freq, ttf])``.
+    """
+    if not doc_ids:
+        raise ValueError("doc_ids must be non-empty")
+    if analyzer is not None:
+        rows = docs.select(
+            F.col(id_col),
+            F.explode(analyzer.tokens_pos(F.col(text_col))).alias("tp"),
+        ).select(
+            id_col, F.col("tp.t").alias("term"), F.col("tp.p").alias("pos")
+        )
+    else:
+        arr = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+        rows = docs.select(
+            F.col(id_col), F.posexplode(arr).alias("pos", "term")
+        )
+    req = (
+        rows.filter(F.col(id_col).isin(doc_ids))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count("*").cast("long").alias("term_freq"),
+            F.sort_array(
+                F.collect_list(F.col("pos").cast("long"))
+            ).alias("positions"),
+        )
+    )
+    if not term_statistics:
+        return req
+    stats = rows.groupBy("term").agg(
+        F.countDistinct(id_col).cast("long").alias("doc_freq"),
+        F.count("*").cast("long").alias("ttf"),
+    )
+    return stats.join(F.broadcast(req), "term").select(
+        id_col, "term", "term_freq", "positions", "doc_freq", "ttf"
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

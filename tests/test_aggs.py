@@ -1412,3 +1412,61 @@ def test_children_and_parent_aggs(spark):
     got = {r["r"]: r["doc_count"] for r in out.collect()}
     # parent 1 has one matching child, parent 2 one; each counts ONCE
     assert got == {"eu": 1, "us": 1}
+
+
+def test_variable_width_histogram_largest_gaps(spark):
+    from monstache_spark.operators.aggs import variable_width_histogram
+
+    df = spark.createDataFrame(
+        [(1.0,), (1.1,), (1.2,), (5.0,), (5.1,), (9.0,), (9.0,)], "v double"
+    )
+    out = sorted(
+        (r["key"], r["min"], r["max"], r["doc_count"])
+        for r in variable_width_histogram(df, "v", 3).collect()
+    )
+    # cuts at the two largest gaps (1.2->5.0 and 5.1->9.0)
+    assert out == [(1.1, 1.0, 1.2, 3), (5.05, 5.0, 5.1, 2), (9.0, 9.0, 9.0, 2)]
+    # buckets=1: one bucket over everything
+    one = variable_width_histogram(df, "v", 1).collect()
+    assert len(one) == 1 and one[0]["doc_count"] == 7
+    # partitioning independence: gaps stitched across range partitions
+    out2 = sorted(
+        (r["key"], r["min"], r["max"], r["doc_count"])
+        for r in variable_width_histogram(
+            df.repartition(5), "v", 3, range_partitions=3
+        ).collect()
+    )
+    assert out2 == out
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="buckets"):
+        variable_width_histogram(df, "v", 0)
+
+
+def test_downsample_rollup(spark):
+    import datetime
+
+    from monstache_spark.operators.aggs import downsample
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 10)
+    t1 = datetime.datetime(2024, 1, 1, 0, 50)
+    t2 = datetime.datetime(2024, 1, 1, 1, 5)
+    df = spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t1, 5.0), ("a", t1, 3.0), ("a", t2, 7.0),
+         ("b", t0, 2.0)],
+        "dim string, ts timestamp, v double",
+    )
+    out = {(r["dim"], r["bucket"].hour): r for r in downsample(
+        df, "ts", ["dim"], gauges=["v"], counters=["v"], fixed_interval="1h"
+    ).collect()}
+    a0 = out[("a", 0)]
+    # gauge stats over the 00:xx bucket; counter last = max value at
+    # the latest ts (t1 ties 5.0 vs 3.0 -> 5.0)
+    assert (a0["doc_count"], a0["v_min"], a0["v_max"], a0["v_sum"],
+            a0["v_count"], a0["v_last"]) == (3, 1.0, 5.0, 9.0, 3, 5.0)
+    assert out[("a", 1)]["v_last"] == 7.0
+    assert out[("b", 0)]["doc_count"] == 1
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fixed_interval"):
+        downsample(df, "ts", ["dim"], ["v"], fixed_interval="1month")

@@ -2190,3 +2190,19 @@ def test_completion_contexts_filter_and_boost(spark):
 
     with _pt.raises(ValueError, match="context_values"):
         completion_suggest(docs, ["sp"], context_field="source")
+
+
+def test_termvectors_positions_and_stats(spark):
+    from monstache_spark.operators.search import termvectors
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    out = {(r["doc_id"], r["term"]): r for r in termvectors(docs, [1, 2]).collect()}
+    r = out[(1, "a")]
+    assert r["term_freq"] == 2 and r["positions"] == [0, 2]
+    assert r["doc_freq"] == 2 and r["ttf"] == 3  # doc 3 counts in stats
+    assert out[(2, "c")]["positions"] == [1]
+    assert (3, "a") not in out  # doc 3 not requested
+    no_stats = termvectors(docs, [1], term_statistics=False)
+    assert set(no_stats.columns) == {"doc_id", "term", "term_freq", "positions"}
