@@ -106,6 +106,12 @@ def _geo_geohash_sql(lat: str, lon: str, precision: int) -> str:
     return geohash_sql(lat, lon, precision)
 
 
+def _geo_geohex_sql(lat: str, lon: str, precision: int) -> str:
+    from monstache_spark.operators.geo import geohex_sql
+
+    return geohex_sql(lat, lon, precision)
+
+
 def _geo_geotile_sql(lat: str, lon: str, zoom: int) -> str:
     from monstache_spark.operators.geo import geotile_sql
 
@@ -3757,6 +3763,22 @@ def _q_geo_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geotile_grid(c, "lat", "lon", zoom=6, size=15)
 
 
+def _q_geo_geohex_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geohex_grid aggregation under the S26 axial-hex contract
+    (geo.geohex_grid): ES bins into H3 cells whose icosahedral ids
+    have no closed-form cross-engine rendering; this engine bins into
+    pointy-top axial hexagons on the unit Mercator square (edge
+    2^-precision, cube rounding), keeping the agg's purpose —
+    ~uniform hex cells with 6 equidistant neighbors.  Same plan as
+    geotile_grid: one codegen projection + hash agg +
+    TakeOrderedAndProject; y carries the 12-dp rounded-Mercator
+    contract."""
+    from monstache_spark.operators.geo import geohex_grid
+
+    c = _geo_customers(spark, sf_dir)
+    return geohex_grid(c, "lat", "lon", precision=4, size=15)
+
+
 def _q_es_reverse_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES reverse_nested inside a nested aggregation
     (aggs.nested_aggs parent_id_col): per line-item flag bucket, the
@@ -5182,6 +5204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_pq": _q_knn_join_pq,
         "geo_geohash_grid": _q_geo_geohash_grid,
         "geo_geotile_grid": _q_geo_geotile_grid,
+        "geo_geohex_grid": _q_geo_geohex_grid,
         "geo_bounds": _q_geo_bounds,
         "es_rate": _q_es_rate,
         "es_moving_percentiles": _q_es_moving_percentiles,
@@ -8151,6 +8174,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM g GROUP BY geotile)
           SELECT geotile, doc_count FROM a
           ORDER BY doc_count DESC, geotile ASC LIMIT 15
+        """,
+        "geo_geohex_grid": f"""
+          WITH c AS (SELECT {_GEO_LAT_SQL} AS lat, {_GEO_LON_SQL} AS lon FROM customer),
+          g AS (SELECT {_geo_geohex_sql("lat", "lon", 4)} AS geohex FROM c),
+          a AS (SELECT geohex, CAST(count(*) AS BIGINT) AS doc_count
+                FROM g GROUP BY geohex)
+          SELECT geohex, doc_count FROM a
+          ORDER BY doc_count DESC, geohex ASC LIMIT 15
         """,
         "es_reverse_nested": """
           WITH f AS (

@@ -313,6 +313,116 @@ def geotile_grid(
     return out
 
 
+# sqrt(3)/3 as a literal double so both engines multiply by the
+# identical IEEE constant (a live sqrt(3.0) call is engine-libm)
+_SQRT3_3 = 0.5773502691896258
+
+
+def geohex_cell(lat: Column, lon: Column, precision: int = 4) -> Column:
+    """ES ``geohex_grid`` cell key ``"p/q/r"`` — hexagonal grid
+    bucketing under a DOCUMENTED CONTRACT (DIVERGENCES S26): ES bins
+    into Uber H3 cells (icosahedral gnomonic faces, aperture-7
+    subdivision, pentagon seams) whose cell ids have no closed-form
+    arithmetic rendering an independent engine can reproduce; this
+    engine bins into POINTY-TOP AXIAL HEXAGONS on the unit Web-Mercator
+    square — the same "hexagons tile the map with ~uniform projected
+    area and 6 equidistant neighbors" property the agg exists for —
+    with cell edge ``2^-precision`` (edge halves per precision step;
+    H3 steps by aperture 7).  Axial coordinates by the standard cube
+    rounding (round q/r/s, re-derive the component with the largest
+    rounding error from the other two so q+r+s = 0 holds).
+
+    Determinism contract: x is exact arithmetic; the Mercator y
+    fraction carries the same 12-decimal rounded contract as
+    :func:`geotile_cell`; every later step is IEEE multiply/divide/
+    round on the identical expression tree both engines evaluate
+    (``sqrt(3)/3`` enters as a literal), so cell membership is
+    hash-exact cross-engine.  :func:`geohex_sql` renders the mirror.
+    """
+    if not (0 <= precision <= 12):
+        raise ValueError("precision must be in [0, 12]")
+    e = 2.0 ** float(-precision)
+    x = (lon + F.lit(180.0)) / F.lit(360.0)
+    lat_c = F.greatest(
+        F.least(lat, F.lit(MERCATOR_LAT_MAX)), F.lit(-MERCATOR_LAT_MAX)
+    )
+    sinp = F.sin(F.radians(lat_c))
+    yfrac = F.lit(0.5) - F.log(
+        (F.lit(1.0) + sinp) / (F.lit(1.0) - sinp)
+    ) / F.lit(4.0 * math.pi)
+    y = F.round(yfrac, 12)
+    q = (x * F.lit(_SQRT3_3) - y / F.lit(3.0)) / F.lit(e)
+    r = (y * F.lit(2.0) / F.lit(3.0)) / F.lit(e)
+    s = -q - r
+    rq, rr, rs = F.round(q, 0), F.round(r, 0), F.round(s, 0)
+    dq, dr, ds = F.abs(rq - q), F.abs(rr - r), F.abs(rs - s)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    q_f = F.when(fix_q, -rr - rs).otherwise(rq).cast("long")
+    r_f = F.when(fix_r, -rq - rs).otherwise(rr).cast("long")
+    return F.concat_ws(
+        "/", F.lit(str(precision)), q_f.cast("string"), r_f.cast("string")
+    )
+
+
+def geohex_sql(lat: str, lon: str, precision: int = 4) -> str:
+    """DuckDB rendering of :func:`geohex_cell` — same clamp, same
+    literal constants, same 12-decimal rounded-Mercator contract and
+    cube rounding, exact hash parity on every cell key."""
+    e = repr(2.0 ** float(-precision))
+    x = f"((({lon}) + 180.0) / 360.0)"
+    lat_c = f"greatest(least({lat}, {MERCATOR_LAT_MAX}), {-MERCATOR_LAT_MAX})"
+    sinp = f"sin(radians({lat_c}))"
+    y = (
+        f"round(0.5 - ln((1.0 + {sinp}) / (1.0 - {sinp})) / "
+        f"{4.0 * math.pi!r}, 12)"
+    )
+    q = f"(({x} * {_SQRT3_3!r} - {y} / 3.0) / {e})"
+    r = f"(({y} * 2.0 / 3.0) / {e})"
+    s = f"(-{q} - {r})"
+    rq, rr, rs = f"round({q}, 0)", f"round({r}, 0)", f"round({s}, 0)"
+    dq = f"abs({rq} - {q})"
+    dr = f"abs({rr} - {r})"
+    ds = f"abs({rs} - {s})"
+    fix_q = f"({dq} > {dr} AND {dq} > {ds})"
+    fix_r = f"(NOT {fix_q} AND {dr} > {ds})"
+    q_f = f"CAST(CASE WHEN {fix_q} THEN -{rr} - {rs} ELSE {rq} END AS BIGINT)"
+    r_f = f"CAST(CASE WHEN {fix_r} THEN -{rq} - {rs} ELSE {rr} END AS BIGINT)"
+    return (
+        f"('{precision}' || '/' || CAST({q_f} AS VARCHAR) || '/' || "
+        f"CAST({r_f} AS VARCHAR))"
+    )
+
+
+def geohex_grid(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    precision: int = 4,
+    size: int | None = None,
+) -> DataFrame:
+    """ES ``geohex_grid`` aggregation under the S26 axial-hex contract
+    (:func:`geohex_cell`): doc counts per hex cell, count-desc (ties
+    on the cell key) truncated to ``size``.  Same plan as
+    :func:`geotile_grid`: one codegen cell projection + one hash agg +
+    TakeOrderedAndProject; null coordinates drop as in ES."""
+    out = (
+        df.filter(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+        .select(
+            geohex_cell(F.col(lat_col), F.col(lon_col), precision).alias(
+                "geohex"
+            )
+        )
+        .groupBy("geohex")
+        .agg(F.count("*").cast("long").alias("doc_count"))
+    )
+    if size is not None:
+        out = out.orderBy(
+            F.col("doc_count").desc(), F.col("geohex").asc()
+        ).limit(size)
+    return out
+
+
 def polygon_predicate(lat: Column, lon: Column, points) -> Column:
     """ES ``geo_polygon`` query: point-in-polygon by the crossing
     (even-odd) rule — for each edge whose latitude span straddles the

@@ -340,3 +340,49 @@ def test_shape_query_cartesian(spark):
         "coordinates": [[[0.0, 0.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]]]}}}}
     got = {r["id"] for r in bool_query_filter(df, tri).collect()}
     assert got == {1}
+
+
+def test_geohex_cell_matches_python_cube_round(spark):
+    import math as _m
+
+    from monstache_spark.operators.geo import (
+        MERCATOR_LAT_MAX,
+        geohex_cell,
+        geohex_grid,
+    )
+
+    pts = [(1, 52.52, 13.40), (2, -33.87, 151.21), (3, 37.77, -122.42),
+           (4, 84.0, 179.9), (5, -84.0, -179.9), (6, 0.0, 0.0)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {r["id"]: r["h"] for r in df.select(
+        "id", geohex_cell(F.col("lat"), F.col("lon"), 5).alias("h")
+    ).collect()}
+
+    def ref(lat, lon, p):
+        e = 2.0 ** -p
+        x = (lon + 180.0) / 360.0
+        lat_c = max(min(lat, MERCATOR_LAT_MAX), -MERCATOR_LAT_MAX)
+        sinp = _m.sin(_m.radians(lat_c))
+        y = round(0.5 - _m.log((1.0 + sinp) / (1.0 - sinp)) / (4.0 * _m.pi), 12)
+        q = (x * 0.5773502691896258 - y / 3.0) / e
+        r = (y * 2.0 / 3.0) / e
+        s = -q - r
+        # python round is half-even vs engines' half-away; no test point
+        # sits on a .5 boundary so the branch never diverges here
+        rq, rr, rs = round(q), round(r), round(s)
+        dq, dr, ds = abs(rq - q), abs(rr - r), abs(rs - s)
+        if dq > dr and dq > ds:
+            rq = -rr - rs
+        elif dr > ds:
+            rr = -rq - rs
+        return f"5/{int(rq)}/{int(rr)}"
+
+    for i, lat, lon in pts:
+        assert got[i] == ref(lat, lon, 5), (i, got[i], ref(lat, lon, 5))
+
+    out = geohex_grid(df, "lat", "lon", precision=0)
+    assert sum(r["doc_count"] for r in out.collect()) == 6
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="precision"):
+        geohex_cell(F.col("lat"), F.col("lon"), 13)
