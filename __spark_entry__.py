@@ -873,6 +873,109 @@ def _bpe_segment_sql() -> str:
 
 
 
+def _q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed WordPiece merge learning (the BERT trainer —
+    likelihood score count(ab)/(count(a)·count(b)), operators/
+    wordpiece.wordpiece_train): 20 merges over the documents
+    vocabulary; one corpus pass for word counts, then vocab-sized
+    iterations (two hash aggs each: pair + symbol counts).  The
+    training loop is data-dependent (not SQL-expressible) but
+    deterministic at a fixed corpus — the sf0.01 result is frozen as
+    a VALUES oracle; driver/distributed bit-equality and a pure-
+    Python reference are pinned by tests/test_wordpiece.py."""
+    from monstache_spark.operators.wordpiece import wordpiece_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    merges = wordpiece_train(docs, n_merges=20)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left string, right string, token string, "
+        "pair_count long",
+    )
+
+
+# Fixed WordPiece vocabulary for the oracle-checked SEGMENT path: the
+# alphabet + the 20 merge tokens wordpiece_train learns at sf0.01
+# (frozen above — deterministic).  A literal vocab makes MaxMatch a
+# pure function of the corpus, so the per-lang fertility aggregate is
+# freezable; the greedy walk itself has no SQL analogue (data-
+# dependent jumping cursor), hence the VALUES oracle.
+FIXED_WORDPIECE_VOCAB: list[str] = [
+    "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+    "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "y",
+    "##a", "##b", "##c", "##d", "##e", "##f", "##g", "##h", "##i",
+    "##j", "##k", "##l", "##m", "##n", "##o", "##p", "##q", "##r",
+    "##s", "##t", "##u", "##v", "##w", "##y",
+    "qu", "li", "wi", "lin", "win", "wind", "fi", "bi", "##in",
+    "big", "ag", "agg", "th", "##sh", "##ch", "##bl", "fil", "##us",
+    "cus", "##up",
+]
+
+
+def _q_wordpiece_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece MaxMatch segmentation with the FROZEN sf0.01 vocab
+    (wordpiece.wordpiece_segment): per-language token fertility +
+    OOV counts.  Matching work is paid on the distinct-word frame
+    (candidate substrings × broadcast vocab join), the greedy walk is
+    one F.aggregate fold per word, per-doc stats re-join words —
+    corpus touched exactly twice."""
+    from monstache_spark.operators.wordpiece import wordpiece_segment
+
+    docs = load_table(spark, "documents", sf_dir)
+    seg = wordpiece_segment(docs, FIXED_WORDPIECE_VOCAB)
+    return (
+        seg.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            F.sum("n_unk").cast("long").alias("unks"),
+            F.sum("n_words").cast("long").alias("words"),
+        )
+    )
+
+
+_WORDPIECE_TRAIN_ORACLE_SF0_01 = """
+  SELECT CAST(merge_rank AS BIGINT) AS merge_rank, "left", "right",
+         token, CAST(pair_count AS BIGINT) AS pair_count
+  FROM (VALUES
+    (0, 'q', '##u', 'qu', 871),
+    (1, 'l', '##i', 'li', 910),
+    (2, 'w', '##i', 'wi', 886),
+    (3, 'li', '##n', 'lin', 910),
+    (4, 'wi', '##n', 'win', 886),
+    (5, 'win', '##d', 'wind', 886),
+    (6, 'f', '##i', 'fi', 933),
+    (7, 'b', '##i', 'bi', 876),
+    (8, '##i', '##n', '##in', 964),
+    (9, 'bi', '##g', 'big', 876),
+    (10, 'a', '##g', 'ag', 901),
+    (11, 'ag', '##g', 'agg', 901),
+    (12, 't', '##h', 'th', 840),
+    (13, '##s', '##h', '##sh', 947),
+    (14, '##c', '##h', '##ch', 937),
+    (15, '##b', '##l', '##bl', 908),
+    (16, 'fi', '##l', 'fil', 933),
+    (17, '##u', '##s', '##us', 934),
+    (18, 'c', '##us', 'cus', 934),
+    (19, '##u', '##p', '##up', 904)
+  ) AS t(merge_rank, "left", "right", token, pair_count)
+"""
+
+_WORDPIECE_SEGMENT_ORACLE_SF0_01 = """
+  SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(tokens AS BIGINT) AS tokens, CAST(unks AS BIGINT) AS unks,
+         CAST(words AS BIGINT) AS words
+  FROM (VALUES
+    ('de', 70, 13667, 0, 3549),
+    ('en', 218, 44958, 0, 11757),
+    ('es', 73, 15248, 0, 3958),
+    ('fr', 64, 14417, 0, 3758),
+    ('zh', 75, 16082, 0, 4143)
+  ) AS t(lang, n_docs, tokens, unks, words)
+"""
+
+
 # Frozen expected outputs of the two tokenizer TRAINING queries on the
 # /root/testdata/sf0.01 corpus (the driver gate's scale).  Both
 # trainers are deterministic at a fixed corpus (count-desc / pair-asc
@@ -5360,6 +5463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_suggest_dl": _q_fuzzy_suggest_dl,
         "percolate_indexed": _q_percolate_indexed,
         "bpe_train_merges": _q_bpe_train,
+        "wordpiece_train_merges": _q_wordpiece_train,
+        "wordpiece_segment_stats": _q_wordpiece_segment,
         "unigram_train_pieces": _q_unigram_train,
         "pq_ann_topk": _q_pq_ann_topk,
         "ivfpq_ann_topk": _q_ivfpq_ann_topk,
@@ -9094,6 +9199,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_segment_fertility": _bpe_segment_sql(),
         "bpe_train_merges": _BPE_TRAIN_ORACLE_SF0_01,
+        "wordpiece_train_merges": _WORDPIECE_TRAIN_ORACLE_SF0_01,
+        "wordpiece_segment_stats": _WORDPIECE_SEGMENT_ORACLE_SF0_01,
         "unigram_train_pieces": _UNIGRAM_TRAIN_ORACLE_SF0_01,
         "dsir_importance": f"""
           WITH g AS (SELECT doc_id, unnest({_shingles_all_sql(2)}) AS s FROM documents),
