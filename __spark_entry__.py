@@ -185,6 +185,11 @@ def _dot_sql(a: str, b: str) -> str:
     return f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
 
 
+def _vec_sql(vals: list) -> str:
+    # literal DOUBLE[] from the same Python values the Spark gate uses
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
 def _t(sf_dir: str) -> dict[str, str]:
     return {n: os.path.join(sf_dir, f"{n}.parquet") for n in (
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -4000,6 +4005,47 @@ def _q_es_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# two deterministic 64-dim query token vectors for the late-interaction
+# gate — module-level so the Spark literals and the oracle's literal
+# arrays come from the SAME values
+_MAXSIM_Q1 = [1.0 if i < 8 else 0.0 for i in range(64)]
+_MAXSIM_Q2 = [((i * 7) % 5 - 2) / 2.0 for i in range(64)]
+
+
+def _q_es_rank_vectors_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_vectors late-interaction scoring
+    (similarity.maxsim_topk — ColBERT maxSimDotProduct): docs carry
+    multiple vectors (vec_id % 50 groups the embeddings into 50
+    multi-vector docs); score = Σ over query token vectors of the max
+    dot against the doc's vectors.  Q literal dots in one codegen
+    projection, per-query maxes in ONE hash agg per doc, sum rounded
+    6 dp, TakeOrderedAndProject."""
+    from monstache_spark.operators.similarity import maxsim_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    doc_vecs = emb.select(
+        (F.col("vec_id") % 50).alias("doc_id"), F.col("embedding")
+    )
+    return maxsim_topk(doc_vecs, [_MAXSIM_Q1, _MAXSIM_Q2], k=10)
+
+
+def _q_es_linear_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES linear retriever (search.linear_retriever_topk — the 8.16+
+    hybrid alternative to RRF): weighted sum of MINMAX-normalized
+    sub-retriever scores over each list's own top-20 window (BM25 +
+    cosine, weights 2:1).  Both lists arrive truncated; normalization
+    stats are a broadcast 1-row agg; fusion is one full-outer join of
+    control-plane frames."""
+    from monstache_spark.operators.search import linear_retriever_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return linear_retriever_topk(
+        docs, emb, ["vector", "merge", "window"], query_vec_id=0,
+        weights=(2.0, 1.0), k=10, n_each=20,
+    )
+
+
 def _q_es_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _termvectors / _mtermvectors API (search.termvectors): for
     three requested docs, per-term term_freq + sorted positions plus
@@ -5384,6 +5430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_variable_width_histogram": _q_es_variable_width_histogram,
         "es_downsample": _q_es_downsample,
         "es_termvectors": _q_es_termvectors,
+        "es_rank_vectors_maxsim": _q_es_rank_vectors_maxsim,
+        "es_linear_retriever": _q_es_linear_retriever,
         "es_random_sampler": _q_es_random_sampler,
         "es_percentiles_bucket": _q_es_percentiles_bucket,
         "es_scripted_metric": _q_es_scripted_metric,
@@ -8152,6 +8200,67 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_rank_vectors_maxsim": f"""
+          WITH q AS (SELECT {_vec_sql(_MAXSIM_Q1)} AS q1,
+                            {_vec_sql(_MAXSIM_Q2)} AS q2),
+          e AS (SELECT vec_id % 50 AS doc_id, embedding::DOUBLE[] AS v
+                FROM embeddings),
+          d AS (SELECT doc_id, {_dot_sql('v', 'q1')} AS d0,
+                       {_dot_sql('v', 'q2')} AS d1
+                FROM e CROSS JOIN q),
+          m AS (SELECT doc_id, max(d0) AS m0, max(d1) AS m1 FROM d GROUP BY 1),
+          s AS (SELECT doc_id, round(m0 + m1, 6) AS score FROM m)
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "es_linear_retriever": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          lexr AS (
+            SELECT doc_id AS lid, score AS ls,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r
+            FROM scored QUALIFY r <= 20
+          ),
+          lex AS (
+            SELECT lid, CASE WHEN max(ls) OVER () > min(ls) OVER ()
+                   THEN round((ls - min(ls) OVER ())
+                              / (max(ls) OVER () - min(ls) OVER ()), 6)
+                   ELSE 1.0 END AS bm25_norm
+            FROM lexr
+          ),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+          cs AS (
+            SELECT e.vec_id AS corpus_id,
+                   CASE WHEN sqrt({_dot_sql('q', 'q')}) * sqrt({_dot_sql('e.v', 'e.v')}) > 0
+                        THEN round({_dot_sql('q', 'e.v')} /
+                             (sqrt({_dot_sql('q', 'q')}) * sqrt({_dot_sql('e.v', 'e.v')})), 6)
+                        ELSE 0.0 END AS score
+            FROM qv CROSS JOIN e WHERE e.vec_id <> 0
+          ),
+          semr AS (
+            SELECT corpus_id AS sid, score AS ss,
+                   CAST(row_number() OVER (ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS r
+            FROM cs QUALIFY r <= 20
+          ),
+          sem AS (
+            SELECT sid, CASE WHEN max(ss) OVER () > min(ss) OVER ()
+                   THEN round((ss - min(ss) OVER ())
+                              / (max(ss) OVER () - min(ss) OVER ()), 6)
+                   ELSE 1.0 END AS cos_norm
+            FROM semr
+          ),
+          f AS (
+            SELECT COALESCE(lid, sid) AS doc_id, bm25_norm, cos_norm,
+                   round(COALESCE(bm25_norm * 2.0, 0.0)
+                         + COALESCE(cos_norm * 1.0, 0.0), 6) AS score
+            FROM lex FULL OUTER JOIN sem ON lid = sid
+          )
+          SELECT doc_id, bm25_norm, cos_norm, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM f ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "es_termvectors": f"""
           WITH t AS (

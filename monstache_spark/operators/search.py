@@ -3853,6 +3853,92 @@ def hybrid_rrf_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def linear_retriever_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec_id,
+    weights: tuple = (1.0, 1.0),
+    normalizer: str = "minmax",
+    k: int = 10,
+    n_each: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """ES ``linear`` retriever (the 8.16+ hybrid alternative to RRF):
+    ``score = Σ_i weight_i · normalize_i(score_i)`` over the
+    sub-retrievers' top-``n_each`` windows — here the standard
+    lexical+semantic pair (BM25 list + cosine list, the hybrid_rrf
+    twins).  ``normalizer``: ``minmax`` rescales each list's scores to
+    [0, 1] over ITS OWN window — ``(s − min)/(max − min)``, a
+    degenerate window (max = min) mapping to 1.0 — or ``none`` to
+    combine raw scores (ES's default, with its documented
+    incomparable-scale caveat).  Documents missing from a list
+    contribute 0 from it, as in ES.
+
+    Plan shape: both candidate lists arrive already truncated
+    (TakeOrderedAndProject), so normalization stats are a 1-row agg
+    broadcast back over n_each rows (the broadcast-of-1-row-stats
+    shape), the fusion is one full-outer join of two control-plane
+    frames, and every arithmetic step rounds at 6 dp.  Returns
+    ``(id, bm25_norm, cos_norm, score, rank)``.
+    """
+    if normalizer not in ("minmax", "none"):
+        raise ValueError(f"unsupported normalizer: {normalizer}")
+    from monstache_spark.operators.similarity import brute_force_topk
+
+    lex = bm25_topk(
+        docs, query_terms, k=n_each, text_col=text_col, id_col=id_col
+    ).select(F.col(id_col).alias("_id"), F.col("score").alias("_ls"))
+    q = embeddings.filter(F.col(vec_id_col) == F.lit(query_vec_id))
+    sem = brute_force_topk(
+        embeddings, q, k=n_each, vec_col=vec_col, id_col=vec_id_col
+    ).select(
+        F.col("corpus_id").cast("long").alias("_id"),
+        F.col("score").alias("_ss"),
+    )
+
+    def norm(frame: DataFrame, col: str, out: str) -> DataFrame:
+        if normalizer == "none":
+            return frame.withColumn(out, F.round(F.col(col), 6)).drop(col)
+        stats = frame.groupBy().agg(
+            F.min(col).alias("_lo"), F.max(col).alias("_hi")
+        )
+        return (
+            frame.crossJoin(F.broadcast(stats))
+            .withColumn(
+                out,
+                F.when(
+                    F.col("_hi") > F.col("_lo"),
+                    F.round(
+                        (F.col(col) - F.col("_lo"))
+                        / (F.col("_hi") - F.col("_lo")),
+                        6,
+                    ),
+                ).otherwise(F.lit(1.0)),
+            )
+            .drop(col, "_lo", "_hi")
+        )
+
+    lex = norm(lex, "_ls", "bm25_norm")
+    sem = norm(sem, "_ss", "cos_norm")
+    fused = lex.join(sem, "_id", "full_outer").select(
+        F.col("_id").alias(id_col),
+        "bm25_norm",
+        "cos_norm",
+        F.round(
+            F.coalesce(F.col("bm25_norm") * F.lit(float(weights[0])), F.lit(0.0))
+            + F.coalesce(F.col("cos_norm") * F.lit(float(weights[1])), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    ranked = fused.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # percolation (stored queries matched against documents)
 # ---------------------------------------------------------------------------

@@ -46,6 +46,58 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vectors: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``rank_vectors`` late-interaction scoring (the ColBERT
+    ``maxSimDotProduct`` rank-feature): documents carry MULTIPLE
+    vectors — one row per (doc, vector), the exploded storage a
+    multi-vector field syncs into — and
+    ``score(doc) = Σ_q max_v dot(q, v)``: each query token vector
+    picks its best-matching doc vector, scores sum over query tokens.
+
+    Plan shape: the Q query vectors are compile-time literals, so the
+    Q dot products are ONE codegen projection per (doc, vector) row
+    (left-to-right double summation, the vectors contract); the
+    per-query maxes collapse in ONE hash agg per doc (Q max columns,
+    map-side combinable — no explode of queries, no join, no second
+    corpus pass); the sum of maxes rounds at 6 dp and top-k is
+    TakeOrderedAndProject.  Cost is corpus × Q multiplies — the same
+    arithmetic ES pays per candidate, here flat over one scan.
+    Returns ``(id, score, rank)``.
+    """
+    if not query_vectors:
+        raise ValueError("query_vectors must be non-empty")
+    v = as_double_array(F.col(vec_col))
+    dots = []
+    for qi, qvec in enumerate(query_vectors):
+        qv = F.array(*[F.lit(float(x)) for x in qvec])
+        dots.append(
+            F.aggregate(
+                F.zip_with(v, qv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ).alias(f"_d{qi}")
+        )
+    per_vec = doc_vecs.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *dots
+    )
+    maxes = per_vec.groupBy(id_col).agg(
+        *[F.max(f"_d{qi}").alias(f"_m{qi}") for qi in range(len(query_vectors))]
+    )
+    total = F.lit(0.0)
+    for qi in range(len(query_vectors)):
+        total = total + F.col(f"_m{qi}")
+    scored = maxes.select(F.col(id_col), F.round(total, 6).alias("score"))
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def knn_search(
     docs: DataFrame,
     query_vector: list[float],

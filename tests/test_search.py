@@ -2206,3 +2206,33 @@ def test_termvectors_positions_and_stats(spark):
     assert (3, "a") not in out  # doc 3 not requested
     no_stats = termvectors(docs, [1], term_statistics=False)
     assert set(no_stats.columns) == {"doc_id", "term", "term_freq", "positions"}
+
+
+def test_linear_retriever_minmax_and_weights(spark):
+    from monstache_spark.operators.search import linear_retriever_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha beta"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])],
+        "vec_id long, embedding array<double>",
+    )
+    out = linear_retriever_topk(
+        docs, emb, ["alpha"], query_vec_id=0, weights=(2.0, 1.0),
+        k=4, n_each=3,
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # minmax: each list rescaled to [0,1] over its own window; the
+    # best lexical doc gets bm25_norm 1.0, the best semantic cos_norm 1.0
+    assert max(r["bm25_norm"] for r in out if r["bm25_norm"] is not None) == 1.0
+    assert by_id[1]["cos_norm"] == 1.0  # identical vector to the query
+    # doc 3 matches no lexical term: bm25 contribution is 0, not null
+    assert by_id[3]["bm25_norm"] is None and by_id[3]["score"] >= 0
+    # ranks are dense and deterministic
+    assert sorted(r["rank"] for r in out) == list(range(1, len(out) + 1))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="normalizer"):
+        linear_retriever_topk(docs, emb, ["a"], 0, normalizer="zscore")

@@ -498,3 +498,26 @@ def test_script_query_leaf(spark):
             {"range": {"id": {"lte": 2}}},
         ]}}).collect())
     assert got == [2]
+
+
+def test_maxsim_topk_late_interaction(spark):
+    from monstache_spark.operators.similarity import maxsim_topk
+
+    # doc 1: two vectors; doc 2: one. q1 matches doc1's second vector
+    # best, q2 matches doc2's vector best.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (1, [0.0, 2.0, 0.0]),
+        (2, [0.0, 0.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    out = {r["doc_id"]: r for r in maxsim_topk(
+        df, [[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], k=5).collect()}
+    # doc1: max dot q1 = 2 (2nd vec), max dot q2 = 0 -> 2.0
+    # doc2: max dot q1 = 0, max dot q2 = 3 -> 3.0
+    assert out[1]["score"] == 2.0 and out[2]["score"] == 3.0
+    assert out[2]["rank"] == 1 and out[1]["rank"] == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="query_vectors"):
+        maxsim_topk(df, [], k=5)
