@@ -1893,6 +1893,52 @@ def rate_agg(
     )
 
 
+def transform_latest(
+    df: DataFrame,
+    unique_key: list[str],
+    sort_col: str,
+    id_col: str,
+) -> DataFrame:
+    """ES ``_transform`` with a ``latest`` config: materialize the
+    most recent document per ``unique_key`` tuple, ordered by
+    ``sort_col`` (ties broken by max ``id_col`` — ES relies on
+    ingestion order there).  The continuous-transform destination
+    index, as one batch materialization; under CDC the same frame is
+    exactly what ``cdc_materialize`` maintains incrementally.
+
+    Plan shape: the two-phase extreme + tie-join (the ``top_metrics``
+    shape) returning WHOLE ROWS — one hash agg for the per-key max
+    sort value, an equi-join back keeping only tied rows, one more
+    hash agg picking the max id among ties, and a final equi-join
+    recovering the full row.  No struct/string ever enters an agg
+    buffer; the corpus never sorts.
+    """
+    keys = list(unique_key)
+    s = F.col(sort_col)
+    # renamed projections break the self-join lineage so Spark never
+    # sees an ambiguous column (the standard aliased-self-join shape)
+    ext = (
+        df.filter(s.isNotNull())
+        .groupBy(*[F.col(c).alias(f"_k_{c}") for c in keys])
+        .agg(F.max(s).alias("_ext"))
+    )
+    tied = df.join(
+        F.broadcast(ext),
+        [df[c] == ext[f"_k_{c}"] for c in keys]
+        + [df[sort_col] == ext["_ext"]],
+    ).select(*[df[c] for c in df.columns])
+    pick = tied.groupBy(
+        *[F.col(c).alias(f"_k_{c}") for c in keys],
+        F.col(sort_col).alias("_s"),
+    ).agg(F.max(F.col(id_col)).alias("_pid"))
+    out = df.join(
+        F.broadcast(pick),
+        [df[c] == pick[f"_k_{c}"] for c in keys]
+        + [df[sort_col] == pick["_s"], df[id_col] == pick["_pid"]],
+    )
+    return out.select(*[df[c] for c in df.columns])
+
+
 def downsample(
     df: DataFrame,
     ts_col: str,

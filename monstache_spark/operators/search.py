@@ -348,7 +348,14 @@ def _compile_leaf(kind: str, body: dict, resolver=None, analyzer=None) -> Column
         if "geohash" in spec:
             key = str(spec["geohash"]).lower()
             return geohash_cell(loc["lat"], loc["lon"], len(key)) == F.lit(key)
-        raise ValueError("geo_grid needs a geotile or geohash cell id")
+        if "geohex" in spec:
+            # the S26 axial-hex contract key "p/q/r" (geo.geohex_cell)
+            from monstache_spark.operators.geo import geohex_cell
+
+            key = str(spec["geohex"])
+            precision = int(key.split("/")[0])
+            return geohex_cell(loc["lat"], loc["lon"], precision) == F.lit(key)
+        raise ValueError("geo_grid needs a geotile, geohash, or geohex cell id")
     if kind == "shape":
         # {"shape": {field: {"shape": {"type": "envelope"|"polygon",
         #  "coordinates": ...}, "relation": ...}}} — the CARTESIAN
@@ -2294,8 +2301,11 @@ def sparse_vector_topk(
     id_col: str = "doc_id",
     analyzer=None,
 ) -> DataFrame:
-    """ES ``sparse_vector`` / ``text_expansion`` query (the ELSER
-    learned-sparse shape): score = ``Σ_t w_q(t) · w_d(t)`` — the dot
+    """ES ``sparse_vector`` / ``text_expansion`` / ``weighted_tokens``
+    query (the ELSER learned-sparse shape — ``weighted_tokens`` is the
+    same scoring with caller-provided tokens, which is exactly this
+    function's ``query_weights`` contract):
+    score = ``Σ_t w_q(t) · w_d(t)`` — the dot
     product of the query's term→weight map with the document's.  ES
     reads per-document feature weights stored at index time by the
     expansion model; with no stored features the engine derives

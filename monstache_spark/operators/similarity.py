@@ -46,6 +46,57 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    k: int = 5,
+    band: tuple = (0.5, 0.95),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive-training HARD-NEGATIVE mining: for each anchor, the
+    top-``k`` most similar OTHER vectors whose rounded cosine falls in
+    ``[band_lo, band_hi)`` — similar enough to be hard for the model,
+    strictly below the near-duplicate band SemDeDup/embedding-dedup
+    would remove (the complement of that contract: dedup kills
+    ``≥ hi``, negatives train on ``[lo, hi)``).  Returns
+    ``(anchor_id, negative_id, score, rank)``.
+
+    This is the exact all-pairs baseline (the fenced brute-force
+    shape — the band filter prunes before the per-anchor window); at
+    100 TB generate candidates through the IVF-PQ co-bucket kNN join
+    (:func:`knn_join_pq`) and band-filter its output — identical
+    contract, candidate cost O(cell population) instead of N².
+    """
+    lo, hi = float(band[0]), float(band[1])
+    if not (lo < hi):
+        raise ValueError("band must be (lo, hi) with lo < hi")
+    a = F.broadcast(
+        embeddings.select(
+            F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("a_vec")
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("negative_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        a.crossJoin(c)
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            cosine_rounded(F.col("a_vec"), F.col("c_vec")).alias("score"),
+        )
+        .filter((F.col("score") >= F.lit(lo)) & (F.col("score") < F.lit(hi)))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def maxsim_topk(
     doc_vecs: DataFrame,
     query_vectors: list[list[float]],

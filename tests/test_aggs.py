@@ -1470,3 +1470,21 @@ def test_downsample_rollup(spark):
 
     with _pt.raises(ValueError, match="fixed_interval"):
         downsample(df, "ts", ["dim"], ["v"], fixed_interval="1month")
+
+
+def test_transform_latest_whole_rows(spark):
+    import datetime
+
+    from monstache_spark.operators.aggs import transform_latest
+
+    d = lambda day: datetime.datetime(2024, 1, day)  # noqa: E731
+    df = spark.createDataFrame(
+        [(1, "k1", d(1), "old"), (2, "k1", d(5), "new"),
+         (3, "k1", d(5), "tie-high-id"), (4, "k2", d(2), "only")],
+        "id long, key string, ts timestamp, payload string",
+    )
+    out = {r["key"]: r for r in transform_latest(df, ["key"], "ts", "id").collect()}
+    # latest per key; ties on ts break by MAX id
+    assert out["k1"]["id"] == 3 and out["k1"]["payload"] == "tie-high-id"
+    assert out["k2"]["id"] == 4
+    assert set(out["k1"].asDict()) == {"id", "key", "ts", "payload"}

@@ -1,0 +1,74 @@
+"""EQL sequence matching (operators/eql.py): head-greedy earliest
+successor, maxspan pruning, id tie-breaks, overlapping starts."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from monstache_spark.operators.eql import eql_sequence
+
+
+def _t(m, s=0):
+    return datetime.datetime(2024, 1, 1, 0, m, s)
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    rows = [
+        (1, _t(0), "u1", "a"),
+        (2, _t(2), "u1", "b"),
+        (3, _t(3), "u1", "b"),   # later b: not picked (head-greedy)
+        (4, _t(4), "u1", "c"),
+        (5, _t(1), "u2", "a"),
+        (6, _t(40), "u2", "b"),  # outside 30-min maxspan from t=1
+        (7, _t(5), "u3", "b"),   # no step-1 event for u3
+        (8, _t(6), "u1", "a"),   # second start for u1: no b after it
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+
+
+def test_two_step_head_greedy_and_maxspan(ev):
+    out = eql_sequence(
+        ev,
+        [{"term": {"kind": "a"}}, {"term": {"kind": "b"}}],
+        by="user", maxspan_s=1800,
+    ).collect()
+    got = {(r["user"], r["id1"], r["id2"]) for r in out}
+    # u1's first start picks the EARLIEST b (id 2, not 3); u2's b is
+    # outside maxspan; u1's second start has no later b
+    assert got == {("u1", 1, 2)}
+    assert out[0]["span_s"] == 120.0
+
+
+def test_three_step_chains_through_earliest(ev):
+    out = eql_sequence(
+        ev,
+        [{"term": {"kind": "a"}}, {"term": {"kind": "b"}},
+         {"term": {"kind": "c"}}],
+        by="user", maxspan_s=3600,
+    ).collect()
+    assert [(r["id1"], r["id2"], r["id3"]) for r in out] == [(1, 2, 4)]
+
+
+def test_tie_at_equal_timestamp_breaks_by_id(spark):
+    rows = [
+        (10, _t(0), "u", "a"),
+        (12, _t(1), "u", "b"),
+        (11, _t(1), "u", "b"),  # same ts, smaller id wins
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+    out = eql_sequence(
+        ev, [{"term": {"kind": "a"}}, {"term": {"kind": "b"}}], by="user"
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in out] == [(10, 11)]
+
+
+def test_requires_two_steps(ev):
+    with pytest.raises(ValueError, match="2 steps"):
+        eql_sequence(ev, [{"term": {"kind": "a"}}], by="user")

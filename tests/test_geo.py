@@ -386,3 +386,18 @@ def test_geohex_cell_matches_python_cube_round(spark):
 
     with _pt.raises(ValueError, match="precision"):
         geohex_cell(F.col("lat"), F.col("lon"), 13)
+
+
+def test_geo_grid_geohex_key(spark):
+    from monstache_spark.operators.geo import geohex_cell
+
+    df = spark.createDataFrame(
+        [(1, 52.52, 13.40), (2, 52.50, 13.41), (3, -33.87, 151.21)],
+        "id long, lat double, lon double",
+    ).withColumn("loc", F.struct("lat", "lon"))
+    key = df.filter(F.col("id") == 1).select(
+        geohex_cell(F.col("lat"), F.col("lon"), 3).alias("h")
+    ).collect()[0]["h"]
+    got = {r["id"] for r in bool_query_filter(
+        df, {"geo_grid": {"loc": {"geohex": key}}}).collect()}
+    assert 1 in got and 3 not in got

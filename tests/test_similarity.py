@@ -521,3 +521,28 @@ def test_maxsim_topk_late_interaction(spark):
 
     with _pt.raises(ValueError, match="query_vectors"):
         maxsim_topk(df, [], k=5)
+
+
+def test_hard_negatives_band_and_rank(spark):
+    from monstache_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),     # cos 1.0 with 1: above the band (near-dup)
+        (3, [1.0, 0.4]),     # cos ~0.928 with 1: inside the band
+        (4, [0.0, 1.0]),     # cos 0 with 1: below the band
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = [(r["anchor_id"], r["negative_id"], r["rank"]) for r in
+           hard_negatives(df, k=2, band=(0.5, 0.95)).collect()]
+    by_anchor = {}
+    for a, n, rk in out:
+        by_anchor.setdefault(a, []).append((rk, n))
+    # anchor 1: only 3 is in-band (2 too similar, 4 too far)
+    assert sorted(by_anchor[1]) == [(1, 3)]
+    # anchor 3 sees both 1 and 2 at ~0.928
+    assert sorted(n for _, n in by_anchor[3]) == [1, 2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="band"):
+        hard_negatives(df, band=(0.9, 0.5))

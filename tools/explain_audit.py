@@ -672,6 +672,84 @@ CHECKS = [
         and "Join" not in p
         and "Python" not in p,
     ),
+    (
+        "es_search_after",
+        "search_after: the cursor predicate PUSHES to the scan and the "
+        "page is TakeOrderedAndProject — O(size) at any depth, no "
+        "global sort, no window",
+        lambda p: re.search(r"PushedFilters: \[.*o_totalprice", p)
+        and "TakeOrderedAndProject" in p
+        and "Window" not in p,
+    ),
+    (
+        "es_geo_grid",
+        "geo_grid query: one codegen filter over the scan (cell id is "
+        "an expression) — no join, no explode, no Python",
+        lambda p: "* Filter" in p
+        and "Join" not in p
+        and "Generate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_variable_width_histogram",
+        "variable_width_histogram: every aggregate a HashAggregate; "
+        "the gap windows are range-partitioned (never a global "
+        "single-partition corpus sort), cuts enter as literals — no "
+        "cartesian, no Python",
+        lambda p: "HashAggregate" in p
+        and "SortAggregate" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_downsample",
+        "downsample rollup: gauge stats + max-ts in ONE hash agg, "
+        "counter last via equi tie-join — no SortAggregate, no "
+        "cartesian, no Python",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "wordpiece_segment_stats",
+        "WordPiece MaxMatch: vocab joins BROADCAST, the greedy walk "
+        "is a HOF fold (JVM-side), stats are hash aggs — no "
+        "cartesian, no Python, no sort aggregate",
+        lambda p: "BroadcastHashJoin" in p
+        and "SortAggregate" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_rank_vectors_maxsim",
+        "rank_vectors maxsim: Q literal dots in one projection, "
+        "per-query maxes in ONE hash agg, TakeOrderedAndProject — "
+        "no join, no explode, no Python",
+        lambda p: "HashAggregate" in p
+        and "TakeOrderedAndProject" in p
+        and "Join" not in p
+        and "Generate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_children_agg",
+        "children agg: parent filter pushes to the scan, child frame "
+        "SEMI-joins the key set, one hash agg — no fan-out join, no "
+        "Python",
+        lambda p: "LeftSemi" in p
+        and "* HashAggregate" in p
+        and "Python" not in p,
+    ),
+    (
+        "es_random_sampler",
+        "random_sampler: the keyed-hash sample is a pure narrow "
+        "filter BEFORE the agg (no shuffle added), one hash agg",
+        lambda p: "* Filter" in p
+        and "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
 ]
 
 

@@ -109,6 +109,56 @@ def main() -> int:
     cN = t(lambda: corpus_overlap(docsN, n=3))
     print(f"{'corpus_overlap':14s}  1x {c1:6.2f}s   {times}x {cN:7.2f}s   ratio {cN / c1:6.2f}")
 
+    # wordpiece MaxMatch segmentation: matching work is paid on the
+    # DISTINCT-WORD frame; the N×-replicated corpus shares ONE
+    # vocabulary, so a healthy ratio is far under N (only the per-doc
+    # stats join scales with rows)
+    from __spark_entry__ import FIXED_WORDPIECE_VOCAB
+    from monstache_spark.operators.wordpiece import wordpiece_segment
+
+    w1 = t(lambda: wordpiece_segment(docs1, FIXED_WORDPIECE_VOCAB))
+    wN = t(lambda: wordpiece_segment(docsN, FIXED_WORDPIECE_VOCAB))
+    print(f"{'wordpiece_seg':14s}  1x {w1:6.2f}s   {times}x {wN:7.2f}s   ratio {wN / w1:6.2f}")
+
+    # EQL sequence: successor-join candidates are bounded by events per
+    # key per maxspan window. Copies keep their timestamps, so reusing
+    # the SAME keys would densify every window N× (a quadratic artifact
+    # no real corpus has — growth adds keys, not per-key density);
+    # offsetting user_id per copy models the real shape.
+    from monstache_spark.operators.eql import eql_sequence
+
+    evN_keys = spark.read.parquet(evN_path).withColumn(
+        "user_id",
+        F.col("user_id") + (F.col("event_id") // 100_000_000) * 10_000,
+    )
+    steps = [
+        {"term": {"event_type": "view"}},
+        {"term": {"event_type": "click"}},
+        {"term": {"event_type": "purchase"}},
+    ]
+    q1_ = t(lambda: eql_sequence(ev1, steps, by="user_id", maxspan_s=86400))
+    qN_ = t(lambda: eql_sequence(evN_keys, steps, by="user_id", maxspan_s=86400))
+    print(f"{'eql_sequence':14s}  1x {q1_:6.2f}s   {times}x {qN_:7.2f}s   ratio {qN_ / q1_:6.2f}")
+
+    # variable_width_histogram: everything after the first hash agg is
+    # O(distinct values) — perturb each copy's value so the distinct
+    # frame actually grows N× (identical copies would test nothing)
+    from monstache_spark.operators.aggs import downsample, variable_width_histogram
+
+    evN_vals = spark.read.parquet(evN_path).withColumn(
+        "value",
+        F.col("value") + (F.col("event_id") // 100_000_000).cast("double") * 1e-4,
+    )
+    v1 = t(lambda: variable_width_histogram(ev1, "value", 8))
+    vN = t(lambda: variable_width_histogram(evN_vals, "value", 8))
+    print(f"{'var_width_hist':14s}  1x {v1:6.2f}s   {times}x {vN:7.2f}s   ratio {vN / v1:6.2f}")
+
+    # TSDB downsample: one corpus hash agg + bucket-keyed tie join —
+    # rows scale N×, the rolled-up output stays bucket-sized
+    d1 = t(lambda: downsample(ev1, "ts", ["event_type"], gauges=["value"], counters=["value"], fixed_interval="6h"))
+    dN = t(lambda: downsample(evN, "ts", ["event_type"], gauges=["value"], counters=["value"], fixed_interval="6h"))
+    print(f"{'downsample':14s}  1x {d1:6.2f}s   {times}x {dN:7.2f}s   ratio {dN / d1:6.2f}")
+
     # knn_join: bucket width must scale with the corpus (the documented
     # contract — fixed bits at N× would quadratically inflate co-bucket
     # pairs). bits=6 at 1x (2k vecs -> ~31/bucket); +log2(N) bits at Nx
