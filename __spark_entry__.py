@@ -4112,11 +4112,12 @@ def _q_es_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES TSDB downsampling (aggs.downsample — the _downsample API /
     hypertable rollup): one row per (event_type, 6h bucket) with
     gauge min/max/sum/count (exact decimal sums) and the counter's
-    last value (latest-timestamp row, ties by max value — ES relies
-    on _tsid doc order there).  One corpus hash agg + the two-phase
-    extreme/tie-join for `last`; bucket edges floor exact epoch
+    last value at the latest (ts, id) — the top_metrics packing
+    contract, max_by over one exact decimal, numeric-only agg
+    buffers.  ONE corpus hash agg; bucket edges floor exact epoch
     micros — the rollup a 100 TB metrics store queries instead of raw
-    points."""
+    points, maintained continuously by sinks/downsample.
+    DownsampleTable (gate `stream_downsample`)."""
     from monstache_spark.operators.aggs import downsample
 
     ev = load_table(spark, "events", sf_dir)
@@ -4124,6 +4125,55 @@ def _q_es_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", ["event_type"], gauges=["value"], counters=["value"],
         fixed_interval="6h",
     )
+
+
+def _q_stream_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS TSDB downsampling (sinks/downsample.DownsampleTable):
+    the events table streams in as three micro-batches (file source,
+    maxFilesPerTrigger=1, foreachBatch) and the rollup state merges
+    each one associatively — exact-decimal sums, min/max, and the
+    counter last-value by packed (ts, id) max_by.  The returned state
+    must hash-match the ORACLE'S FROM-SCRATCH batch rollup of all
+    events: restatement equality, which also proves arrival-order
+    independence.  Each micro-batch costs one batch hash agg + one
+    bucket-sized state hash agg — the corpus-sized work is only ever
+    the arriving batch."""
+    import shutil
+
+    from monstache_spark.sinks.downsample import DownsampleTable
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="monstache_dstbl_")
+    table = DownsampleTable(
+        spark, os.path.join(base, "state"), "ts", ["event_type"],
+        gauges=["value"], counters=["value"], fixed_interval="6h",
+    )
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in range(3):
+        scratch = os.path.join(base, f"w{i}")
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        shutil.copyfile(
+            os.path.join(scratch, part), os.path.join(src, f"b{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, eid: table.merge_batch(df, eid)
+        )
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read()
 
 
 def _q_es_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5483,6 +5533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_global": _q_es_global,
         "es_variable_width_histogram": _q_es_variable_width_histogram,
         "es_downsample": _q_es_downsample,
+        "stream_downsample": _q_stream_downsample,
         "es_termvectors": _q_es_termvectors,
         "es_rank_vectors_maxsim": _q_es_rank_vectors_maxsim,
         "es_linear_retriever": _q_es_linear_retriever,
@@ -5722,6 +5773,7 @@ _GATE_WINDOW = [
     "es_eql_sequence",
     "hard_negatives",
     "es_transform_latest",
+    "stream_downsample",
     # earlier round-8 waves, never gated — S2-closing slop, Porter,
     # span completion, the modern-ES API cohort; the remainder of
     # the round-8 cohort rotates into the next round's window
@@ -8438,30 +8490,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "es_downsample": """
           WITH b AS (
-            SELECT event_type,
+            SELECT event_type, event_id,
                    make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket,
                    ts, value
             FROM events WHERE ts IS NOT NULL
-          ),
-          g AS (
-            SELECT event_type, bucket,
-                   CAST(count(*) AS BIGINT) AS doc_count,
-                   min(value) AS value_min, max(value) AS value_max,
-                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
-                   CAST(count(value) AS BIGINT) AS value_count,
-                   max(ts) AS lt
-            FROM b GROUP BY 1, 2
-          ),
-          l AS (
-            SELECT b.event_type, b.bucket, max(b.value) AS value_last
-            FROM b JOIN g ON b.event_type = g.event_type
-                         AND b.bucket = g.bucket AND b.ts = g.lt
-            GROUP BY 1, 2
           )
-          SELECT g.event_type, g.bucket, g.doc_count, g.value_min,
-                 g.value_max, g.value_sum, g.value_count, l.value_last
-          FROM g LEFT JOIN l ON g.event_type = l.event_type
-                            AND g.bucket = l.bucket
+          SELECT event_type, bucket,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 min(value) AS value_min, max(value) AS value_max,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+                 CAST(count(value) AS BIGINT) AS value_count,
+                 max_by(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                               + event_id) AS value_last
+          FROM b GROUP BY 1, 2
+        """,
+        "stream_downsample": """
+          WITH b AS (
+            SELECT event_type, event_id,
+                   make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000) AS bucket,
+                   ts, value
+            FROM events WHERE ts IS NOT NULL
+          )
+          SELECT event_type, bucket,
+                 CAST(count(*) AS BIGINT) AS doc_count,
+                 min(value) AS value_min, max(value) AS value_max,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+                 CAST(count(value) AS BIGINT) AS value_count,
+                 max_by(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                               + event_id) AS value_last
+          FROM b GROUP BY 1, 2
         """,
         "es_variable_width_histogram": """
           WITH dv AS (

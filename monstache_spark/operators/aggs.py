@@ -1946,27 +1946,28 @@ def downsample(
     gauges: list[str],
     counters: list[str] | tuple = (),
     fixed_interval: str = "1h",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """ES TSDB downsampling (the ``_downsample`` API — the rollup that
     makes metrics indexes queryable at long retention): collapse a
     time-series table to ONE row per (dimension tuple, fixed-interval
     bucket).  Gauge metrics keep ``_min/_max/_sum/_count`` (sums in
     exact decimal, so rollup totals are partitioning-independent);
-    counter metrics keep ``_last`` — the value at the LATEST timestamp
-    in the bucket, ties broken by max value (deterministic where ES
-    relies on ``_tsid`` doc order).  Buckets floor exact epoch micros
-    with integer ``pmod`` (the fixed-interval contract — UTC-aligned,
-    engine-exact edges).
+    counter metrics keep ``_last`` — the value at the LATEST
+    (timestamp, id) in the bucket (deterministic where ES relies on
+    ``_tsid`` doc order; the id is the doc-order stand-in).  Buckets
+    floor exact epoch micros with integer ``pmod`` (the fixed-interval
+    contract — UTC-aligned, engine-exact edges).
 
-    This is the hypertable-rollup shape at 100 TB: one corpus hash agg
-    (map-side combinable) does all gauge stats and the per-bucket max
-    timestamp; counters resolve through the standard two-phase
-    extreme + tie-join (the ``top_metrics`` shape — join back only the
-    rows AT the bucket's max timestamp, a bucket-keyed equi-join whose
-    right side is the rolled-up frame, never a sort, never a struct in
-    an agg buffer).  Downsampled output is ~|buckets| rows: the
-    re-aggregation any later query does over it is cheap by
-    construction.
+    This is the hypertable-rollup shape at 100 TB: ONE corpus hash agg
+    (map-side combinable) does everything — the counter last-value
+    rides the ``top_metrics`` packing contract, ``unix_micros·10⁹ +
+    id`` as one exact decimal (precondition ``0 ≤ id < 10⁹``), picked
+    with ``max_by(value, pack)`` whose buffer holds only numerics (no
+    struct, no string — stays a HashAggregate).  Downsampled output is
+    ~|buckets| rows; every stat merges ASSOCIATIVELY, which is what
+    lets ``sinks/downsample.DownsampleTable`` maintain the same frame
+    incrementally under a stream with restatement equality.
     """
     w = fixed_interval_seconds(fixed_interval)
     if w is None:
@@ -1977,10 +1978,24 @@ def downsample(
         "bucket", F.timestamp_micros(us - F.pmod(us, F.lit(w_us)))
     )
     keys = [*dims, "bucket"]
-    aggs = [
-        F.count("*").cast("long").alias("doc_count"),
-        F.max(ts_col).alias("_last_ts"),
-    ]
+    return base.groupBy(*keys).agg(*downsample_aggs(ts_col, gauges, counters, id_col))
+
+
+def downsample_aggs(
+    ts_col: str,
+    gauges: list[str],
+    counters: list[str] | tuple = (),
+    id_col: str = "event_id",
+) -> list[Column]:
+    """The per-bucket aggregate expressions of :func:`downsample` —
+    shared with the streaming sink so batch and continuous rollups are
+    the same arithmetic by construction."""
+    pack = (
+        F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
+        * F.lit(1_000_000_000)
+        + F.col(id_col).cast("decimal(38,0)")
+    )
+    aggs: list[Column] = [F.count("*").cast("long").alias("doc_count")]
     for g_name in gauges:
         c = F.col(g_name)
         aggs += [
@@ -1989,23 +2004,11 @@ def downsample(
             F.sum(c.cast("decimal(38,6)")).cast("double").alias(f"{g_name}_sum"),
             F.count(c).cast("long").alias(f"{g_name}_count"),
         ]
-    grouped = base.groupBy(*keys).agg(*aggs)
-    if counters:
-        rows = base.select(
-            *keys,
-            F.col(ts_col).alias("_ts"),
-            *[F.col(c).alias(f"_c_{c}") for c in counters],
-        )
-        last = (
-            rows.join(grouped.select(*keys, "_last_ts"), keys)
-            .filter(F.col("_ts") == F.col("_last_ts"))
-            .groupBy(*keys)
-            .agg(
-                *[F.max(f"_c_{c}").alias(f"{c}_last") for c in counters]
-            )
-        )
-        grouped = grouped.join(last, keys, "left")
-    return grouped.drop("_last_ts")
+    for c_name in counters:
+        aggs += [
+            F.max_by(F.col(c_name), pack).alias(f"{c_name}_last"),
+        ]
+    return aggs
 
 
 def moving_percentiles(

@@ -1,0 +1,206 @@
+"""Continuous TSDB downsampling under a stream.
+
+ES pairs its ``_downsample`` API with continuous transforms so the
+rollup FOLLOWS the live index; the Spark-native equivalent is a
+``foreachBatch`` sink that maintains the rolled-up frame
+incrementally.  Every statistic :func:`operators.aggs.downsample`
+produces merges ASSOCIATIVELY:
+
+* ``doc_count`` / ``{g}_count`` — sum
+* ``{g}_min`` / ``{g}_max`` — min / max
+* ``{g}_sum`` — exact ``decimal(38,6)`` sums (kept as DECIMAL in the
+  persisted state so cross-batch totals stay order-independent; cast
+  to double only at read)
+* ``{c}_last`` — the value at the max packed ``unix_micros·10⁹ + id``
+  decimal (the ``top_metrics`` packing contract), so the winner is
+  picked by ``max_by(value, pack)`` with a numeric-only agg buffer
+
+which makes the merged state BIT-IDENTICAL to a from-scratch batch
+``downsample`` over the union of every batch, in any arrival order —
+restatement equality, the property the gate query hash-checks.
+
+Contract: TSDB documents are immutable measurement points, so the
+stream is APPEND-ONLY — there is no version guard because there are
+no updates or deletes to guard (ES enforces the same: downsample
+sources must be read-only indices).  Additive stats cannot
+distinguish a replay from a new point, so the sink carries its own
+exactly-once guard at the MICRO-BATCH grain: ``merge_batch`` takes
+the ``foreachBatch`` epoch id, records the last applied id with each
+committed state version, and SKIPS a batch it has already folded —
+the standard idempotent-foreachBatch pattern, closing the
+crash-between-commit-and-checkpoint replay window.  Duplicate points
+WITHIN a delivery (at-least-once sources that re-emit rows inside
+new batch ids) still need ``streaming.windows.stream_dedup_keys``
+upstream.
+
+Storage is the pointer-versioned parquet commit of
+``sinks.merge.StateTable`` (write ``v{n+1}``, flip CURRENT): readers
+never see a partial merge.  Scale: each micro-batch costs one hash
+agg over the batch plus one hash agg over (state ∪ batch-rollup) —
+both bucket-cardinality-sized after the first; the corpus-sized work
+is only ever the arriving batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from monstache_spark.operators.aggs import fixed_interval_seconds
+
+
+class DownsampleTable:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        ts_col: str,
+        dims: list[str],
+        gauges: list[str],
+        counters: list[str] | tuple = (),
+        fixed_interval: str = "1h",
+        id_col: str = "event_id",
+    ):
+        w = fixed_interval_seconds(fixed_interval)
+        if w is None:
+            raise ValueError(f"unsupported fixed_interval: {fixed_interval}")
+        self.spark = spark
+        self.path = path
+        self.ts_col = ts_col
+        self.dims = list(dims)
+        self.gauges = list(gauges)
+        self.counters = list(counters)
+        self.id_col = id_col
+        self._w_us = w * 1_000_000
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer-versioned commits (the StateTable shape) -------------
+    def _current_file(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _current_version(self) -> int:
+        try:
+            with open(self._current_file()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _read_raw(self) -> DataFrame | None:
+        v = self._current_version()
+        if v == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def _last_applied(self) -> int:
+        # the applied batch id lives INSIDE the current version dir, so
+        # the CURRENT pointer flip advances state and batch id
+        # ATOMICALLY — a crash on either side of the flip leaves a
+        # consistent (state, last-batch) pair: before it the replayed
+        # batch re-folds against the OLD state (the orphaned v-dir is
+        # simply overwritten), after it the replay is skipped
+        v = self._current_version()
+        if v == 0:
+            return -1
+        try:
+            with open(os.path.join(self.path, f"v{v}", "_BATCH_ID")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _commit(self, df: DataFrame, batch_id: int | None = None) -> None:
+        v = self._current_version()
+        new_dir = os.path.join(self.path, f"v{v + 1}")
+        df.write.mode("overwrite").parquet(new_dir)
+        if batch_id is not None:
+            with open(os.path.join(new_dir, "_BATCH_ID"), "w") as f:
+                f.write(str(batch_id))
+        with open(self._current_file(), "w") as f:
+            f.write(str(v + 1))
+        old_dir = os.path.join(self.path, f"v{v}")
+        if v and os.path.isdir(old_dir):
+            shutil.rmtree(old_dir, ignore_errors=True)
+
+    # -- rollup arithmetic --------------------------------------------
+    def _pack(self):
+        return (
+            F.unix_micros(F.col(self.ts_col)).cast("decimal(38,0)")
+            * F.lit(1_000_000_000)
+            + F.col(self.id_col).cast("decimal(38,0)")
+        )
+
+    def _rollup(self, df: DataFrame) -> DataFrame:
+        us = F.unix_micros(F.col(self.ts_col))
+        base = df.filter(F.col(self.ts_col).isNotNull()).withColumn(
+            "bucket", F.timestamp_micros(us - F.pmod(us, F.lit(self._w_us)))
+        )
+        aggs = [F.count("*").cast("long").alias("doc_count")]
+        for g in self.gauges:
+            c = F.col(g)
+            aggs += [
+                F.min(c).alias(f"{g}_min"),
+                F.max(c).alias(f"{g}_max"),
+                F.sum(c.cast("decimal(38,6)")).alias(f"_sum_{g}"),
+                F.count(c).cast("long").alias(f"{g}_count"),
+            ]
+        pack = self._pack()
+        for c_name in self.counters:
+            aggs += [
+                F.max_by(F.col(c_name), pack).alias(f"{c_name}_last"),
+                F.max(pack).alias(f"_pk_{c_name}"),
+            ]
+        return base.groupBy(*self.dims, "bucket").agg(*aggs)
+
+    def _merge(self, cur: DataFrame, batch: DataFrame) -> DataFrame:
+        both = cur.unionByName(batch)
+        aggs = [F.sum("doc_count").cast("long").alias("doc_count")]
+        for g in self.gauges:
+            aggs += [
+                F.min(f"{g}_min").alias(f"{g}_min"),
+                F.max(f"{g}_max").alias(f"{g}_max"),
+                F.sum(f"_sum_{g}").cast("decimal(38,6)").alias(f"_sum_{g}"),
+                F.sum(f"{g}_count").cast("long").alias(f"{g}_count"),
+            ]
+        for c_name in self.counters:
+            aggs += [
+                F.max_by(F.col(f"{c_name}_last"), F.col(f"_pk_{c_name}")).alias(
+                    f"{c_name}_last"
+                ),
+                F.max(f"_pk_{c_name}").alias(f"_pk_{c_name}"),
+            ]
+        return both.groupBy(*self.dims, "bucket").agg(*aggs)
+
+    # -- public surface -------------------------------------------------
+    def merge_batch(self, df: DataFrame, batch_id: int | None = None) -> None:
+        """Fold one micro-batch of points into the rollup state — one
+        batch-sized hash agg + one state-sized hash agg.  Pass the
+        ``foreachBatch`` epoch id: a batch the table has already
+        folded is SKIPPED (idempotent replay after a crash between the
+        state commit and the stream checkpoint).  Epoch ids must be
+        monotonically increasing, which Structured Streaming
+        guarantees per checkpoint."""
+        if batch_id is not None and batch_id <= self._last_applied():
+            return
+        batch = self._rollup(df)
+        cur = self._read_raw()
+        merged = batch if cur is None else self._merge(cur, batch)
+        self._commit(merged, batch_id)
+
+    def read(self) -> DataFrame | None:
+        """The rollup in :func:`operators.aggs.downsample`'s exact
+        output shape (sums cast to double, pack columns dropped) —
+        restatement-equal to the batch operator over every point the
+        sink has absorbed."""
+        raw = self._read_raw()
+        if raw is None:
+            return None
+        cols = [*self.dims, "bucket", "doc_count"]
+        out = raw
+        for g in self.gauges:
+            out = out.withColumn(f"{g}_sum", F.col(f"_sum_{g}").cast("double"))
+            cols += [f"{g}_min", f"{g}_max", f"{g}_sum", f"{g}_count"]
+        for c_name in self.counters:
+            cols += [f"{c_name}_last"]
+        return out.select(*cols)

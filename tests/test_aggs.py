@@ -1452,18 +1452,18 @@ def test_downsample_rollup(spark):
     t1 = datetime.datetime(2024, 1, 1, 0, 50)
     t2 = datetime.datetime(2024, 1, 1, 1, 5)
     df = spark.createDataFrame(
-        [("a", t0, 1.0), ("a", t1, 5.0), ("a", t1, 3.0), ("a", t2, 7.0),
-         ("b", t0, 2.0)],
-        "dim string, ts timestamp, v double",
+        [(1, "a", t0, 1.0), (2, "a", t1, 5.0), (3, "a", t1, 3.0),
+         (4, "a", t2, 7.0), (5, "b", t0, 2.0)],
+        "event_id long, dim string, ts timestamp, v double",
     )
     out = {(r["dim"], r["bucket"].hour): r for r in downsample(
         df, "ts", ["dim"], gauges=["v"], counters=["v"], fixed_interval="1h"
     ).collect()}
     a0 = out[("a", 0)]
-    # gauge stats over the 00:xx bucket; counter last = max value at
-    # the latest ts (t1 ties 5.0 vs 3.0 -> 5.0)
+    # gauge stats over the 00:xx bucket; counter last = the value at
+    # the latest (ts, id) — t1 ties break by MAX id (id 3 -> 3.0)
     assert (a0["doc_count"], a0["v_min"], a0["v_max"], a0["v_sum"],
-            a0["v_count"], a0["v_last"]) == (3, 1.0, 5.0, 9.0, 3, 5.0)
+            a0["v_count"], a0["v_last"]) == (3, 1.0, 5.0, 9.0, 3, 3.0)
     assert out[("a", 1)]["v_last"] == 7.0
     assert out[("b", 0)]["doc_count"] == 1
     import pytest as _pt

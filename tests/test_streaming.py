@@ -253,3 +253,71 @@ def test_percolate_alerts_matches_batch_registry(spark, tmp_path):
         for r in percolate(spark.read.parquet(path), stored, id_col="event_id").collect()
     }
     assert streamed == batch == {(1, "buy"), (2, "err")}
+
+
+def test_downsample_table_restatement_and_order_independence(spark, tmp_path):
+    import datetime
+
+    from monstache_spark.operators.aggs import downsample
+    from monstache_spark.sinks.downsample import DownsampleTable
+
+    t = lambda m: datetime.datetime(2024, 1, 1, m // 60, m % 60)  # noqa: E731
+    rows = [
+        (1, "a", t(5), 1.5), (2, "a", t(20), 2.5), (3, "b", t(10), 9.0),
+        (4, "a", t(40), 0.5), (5, "a", t(40), 7.0), (6, "b", t(70), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, dim string, ts timestamp, value double"
+    )
+    b1 = df.filter("event_id <= 2")
+    b2 = df.filter("event_id IN (3, 4)")
+    b3 = df.filter("event_id >= 5")
+
+    def run(order, path):
+        tbl = DownsampleTable(
+            spark, str(path), "ts", ["dim"], gauges=["value"],
+            counters=["value"], fixed_interval="1h",
+        )
+        for b in order:
+            tbl.merge_batch(b)
+        return sorted(map(tuple, tbl.read().collect()))
+
+    got = run([b1, b2, b3], tmp_path / "s1")
+    # restatement equality: identical to the batch operator over all rows
+    want = sorted(map(tuple, downsample(
+        df, "ts", ["dim"], gauges=["value"], counters=["value"],
+        fixed_interval="1h",
+    ).collect()))
+    assert got == want
+    # arrival-order independence
+    assert run([b3, b1, b2], tmp_path / "s2") == want
+    # the cross-batch counter last: bucket (a, 00:xx) latest is
+    # (t=40, id=5) -> 7.0 even though id 5 arrived in a later batch
+    by_key = {(r[0], r[1].hour): r for r in (tuple(x) for x in got)}
+    assert by_key[("a", 0)][-1] == 7.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="fixed_interval"):
+        DownsampleTable(spark, str(tmp_path / "bad"), "ts", ["dim"],
+                        ["value"], fixed_interval="2w")
+
+
+def test_downsample_table_skips_replayed_batch(spark, tmp_path):
+    import datetime
+
+    from monstache_spark.sinks.downsample import DownsampleTable
+
+    df = spark.createDataFrame(
+        [(1, "a", datetime.datetime(2024, 1, 1, 0, 5), 2.0)],
+        "event_id long, dim string, ts timestamp, value double",
+    )
+    tbl = DownsampleTable(
+        spark, str(tmp_path / "s"), "ts", ["dim"], gauges=["value"],
+        fixed_interval="1h",
+    )
+    tbl.merge_batch(df, batch_id=0)
+    tbl.merge_batch(df, batch_id=0)  # crash-replay of the same epoch
+    tbl.merge_batch(df, batch_id=1)  # a genuinely new batch folds
+    row = tbl.read().collect()[0]
+    assert (row["doc_count"], row["value_sum"]) == (2, 4.0)

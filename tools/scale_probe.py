@@ -129,7 +129,7 @@ def main() -> int:
 
     evN_keys = spark.read.parquet(evN_path).withColumn(
         "user_id",
-        F.col("user_id") + (F.col("event_id") // 100_000_000) * 10_000,
+        F.col("user_id") + F.floor(F.col("event_id") / F.lit(100_000_000)) * 10_000,
     )
     steps = [
         {"term": {"event_type": "view"}},
@@ -147,14 +147,14 @@ def main() -> int:
 
     evN_vals = spark.read.parquet(evN_path).withColumn(
         "value",
-        F.col("value") + (F.col("event_id") // 100_000_000).cast("double") * 1e-4,
+        F.col("value") + F.floor(F.col("event_id") / F.lit(100_000_000)).cast("double") * 1e-4,
     )
     v1 = t(lambda: variable_width_histogram(ev1, "value", 8))
     vN = t(lambda: variable_width_histogram(evN_vals, "value", 8))
     print(f"{'var_width_hist':14s}  1x {v1:6.2f}s   {times}x {vN:7.2f}s   ratio {vN / v1:6.2f}")
 
-    # TSDB downsample: one corpus hash agg + bucket-keyed tie join —
-    # rows scale N×, the rolled-up output stays bucket-sized
+    # TSDB downsample: ONE corpus hash agg (counter last via packed
+    # max_by) — rows scale N×, the rolled-up output stays bucket-sized
     d1 = t(lambda: downsample(ev1, "ts", ["event_type"], gauges=["value"], counters=["value"], fixed_interval="6h"))
     dN = t(lambda: downsample(evN, "ts", ["event_type"], gauges=["value"], counters=["value"], fixed_interval="6h"))
     print(f"{'downsample':14s}  1x {d1:6.2f}s   {times}x {dN:7.2f}s   ratio {dN / d1:6.2f}")
