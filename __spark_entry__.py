@@ -4127,6 +4127,72 @@ def _q_es_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Graph explore API (operators/graph.graph_explore): one hop
+    over high-value events — top event_type and user_id vertices
+    among the seed docs plus their exact co-occurrence connections
+    (DIVERGENCES S29: count-ranked over the full seed set where ES
+    samples + scores).  Seed predicate prunes at the scan; one hash
+    agg per vertex list, one pair hash agg semi-joined to the
+    broadcast vertex sets — nothing all-pairs."""
+    from monstache_spark.operators.graph import graph_explore
+
+    ev = load_table(spark, "events", sf_dir)
+    return graph_explore(
+        ev,
+        {"range": {"value": {"gte": 100}}},
+        [{"field": "event_type", "size": 5}, {"field": "user_id", "size": 8}],
+    )
+
+
+def _q_es_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_range aggregation (aggs._multi_membership_keys
+    'date_range'): half-open [from, to) buckets whose endpoints are
+    DATE-MATH expressions resolved against an explicit deterministic
+    `now` anchor (now-20d/d etc.), multi-membership like range, with
+    an exact-decimal avg metric per bucket."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {"age": {
+            "date_range": {
+                "field": "ts", "now": "2024-01-31T00:00:00",
+                "ranges": [
+                    {"to": "now-20d/d", "key": "old"},
+                    {"from": "now-20d/d", "to": "now-10d/d", "key": "mid"},
+                    {"from": "now-10d/d", "key": "recent"},
+                ],
+            },
+            "aggs": {"avg_value": {"avg": {"field": "value"}}},
+        }},
+    )
+
+
+def _q_es_filters_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation with other_bucket
+    (aggs._multi_membership_keys 'filters'): named bool-query buckets
+    plus the complement bucket catching docs matching NO filter — one
+    codegen key-array projection, multi-membership preserved."""
+    from monstache_spark.operators.aggs import compile_aggs
+
+    ev = load_table(spark, "events", sf_dir)
+    return compile_aggs(
+        ev,
+        {"kinds": {
+            "filters": {
+                "filters": {
+                    "clicks": {"term": {"event_type": "click"}},
+                    "big": {"range": {"value": {"gte": 300}}},
+                },
+                "other_bucket_key": "rest",
+            },
+            "aggs": {"total": {"sum": {"field": "value"}}},
+        }},
+    )
+
+
 def _q_stream_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS TSDB downsampling (sinks/downsample.DownsampleTable):
     the events table streams in as three micro-batches (file source,
@@ -5534,6 +5600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_variable_width_histogram": _q_es_variable_width_histogram,
         "es_downsample": _q_es_downsample,
         "stream_downsample": _q_stream_downsample,
+        "es_date_range": _q_es_date_range,
+        "es_filters_other": _q_es_filters_other,
+        "es_graph_explore": _q_es_graph_explore,
         "es_termvectors": _q_es_termvectors,
         "es_rank_vectors_maxsim": _q_es_rank_vectors_maxsim,
         "es_linear_retriever": _q_es_linear_retriever,
@@ -5774,6 +5843,9 @@ _GATE_WINDOW = [
     "hard_negatives",
     "es_transform_latest",
     "stream_downsample",
+    "es_date_range",
+    "es_filters_other",
+    "es_graph_explore",
     # earlier round-8 waves, never gated — S2-closing slop, Porter,
     # span completion, the modern-ES API cohort; the remainder of
     # the round-8 cohort rotates into the next round's window
@@ -8503,6 +8575,71 @@ def oracle_sql() -> dict[str, str]:
                  max_by(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
                                + event_id) AS value_last
           FROM b GROUP BY 1, 2
+        """,
+        "es_graph_explore": """
+          WITH seed AS (SELECT event_type, user_id FROM events WHERE value >= 100),
+          vt AS (
+            SELECT CAST(event_type AS VARCHAR) AS term,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM seed WHERE event_type IS NOT NULL GROUP BY 1
+            HAVING count(*) >= 1
+            QUALIFY row_number() OVER (ORDER BY weight DESC, term ASC) <= 5
+          ),
+          vu AS (
+            SELECT CAST(user_id AS VARCHAR) AS term,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM seed WHERE user_id IS NOT NULL GROUP BY 1
+            HAVING count(*) >= 1
+            QUALIFY row_number() OVER (ORDER BY weight DESC, term ASC) <= 8
+          ),
+          conn AS (
+            SELECT CAST(event_type AS VARCHAR) AS term,
+                   CAST(user_id AS VARCHAR) AS term2,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM seed WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+          )
+          SELECT 'vertex' AS kind, 'event_type' AS field, term,
+                 CAST(NULL AS VARCHAR) AS field2, CAST(NULL AS VARCHAR) AS term2,
+                 weight
+          FROM vt
+          UNION ALL
+          SELECT 'vertex', 'user_id', term, NULL, NULL, weight FROM vu
+          UNION ALL
+          SELECT 'connection', 'event_type', c.term, 'user_id', c.term2, c.weight
+          FROM conn c
+          WHERE c.term IN (SELECT term FROM vt)
+            AND c.term2 IN (SELECT term FROM vu)
+        """,
+        "es_date_range": """
+          WITH b AS (
+            SELECT 'old' AS age, value FROM events
+            WHERE ts IS NOT NULL AND ts < TIMESTAMP '2024-01-11 00:00:00'
+            UNION ALL
+            SELECT 'mid', value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+              AND ts < TIMESTAMP '2024-01-21 00:00:00'
+            UNION ALL
+            SELECT 'recent', value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-21 00:00:00'
+          )
+          SELECT age, CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(value) AS DOUBLE) AS avg_value
+          FROM b GROUP BY age
+        """,
+        "es_filters_other": """
+          WITH b AS (
+            SELECT 'clicks' AS kinds, value FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT 'big', value FROM events WHERE value >= 300
+            UNION ALL
+            SELECT 'rest', value FROM events
+            WHERE NOT (event_type = 'click') AND NOT (value >= 300)
+          )
+          SELECT kinds, CAST(count(*) AS BIGINT) AS doc_count,
+                 CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+          FROM b GROUP BY kinds
         """,
         "stream_downsample": """
           WITH b AS (

@@ -80,6 +80,7 @@ _BUCKET_KINDS = {
     "histogram",
     "date_histogram",
     "range",
+    "date_range",
     "filter",
     "filters",
     "missing",
@@ -256,11 +257,45 @@ def _multi_membership_keys(kind: str, spec: dict) -> Column:
                 cond = cond & (field < F.lit(float(hi)))
             keys.append(F.when(cond & field.isNotNull(), F.lit(name)))
         return F.array_compact(F.array(*keys))
+    if kind == "date_range":
+        # ES date_range: half-open [from, to) over a date field, with
+        # DATE-MATH endpoints resolved against an EXPLICIT `now`
+        # anchor (search.resolve_date_math — deterministic, no
+        # wall-clock read); the default bucket key renders the
+        # resolved endpoints
+        from monstache_spark.operators.search import resolve_date_math
+
+        field = F.col(spec["field"]).cast("timestamp")
+        now = spec.get("now")
+        keys = []
+        for r in spec["ranges"]:
+            lo = resolve_date_math(str(r["from"]), now) if "from" in r else None
+            hi = resolve_date_math(str(r["to"]), now) if "to" in r else None
+            name = r.get("key") or f"{lo or '*'}-{hi or '*'}"
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (field >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                cond = cond & (field < F.lit(hi).cast("timestamp"))
+            keys.append(F.when(cond & field.isNotNull(), F.lit(name)))
+        return F.array_compact(F.array(*keys))
     if kind == "filters":
-        keys = [
-            F.when(compile_bool_query(q), F.lit(name))
+        conds = [
+            (name, compile_bool_query(q))
             for name, q in sorted(spec["filters"].items())
         ]
+        keys = [F.when(c, F.lit(name)) for name, c in conds]
+        other = spec.get("other_bucket_key")
+        if other is None and spec.get("other_bucket"):
+            other = "_other_"
+        if other is not None:
+            # ES other_bucket: docs matching NO named filter land in
+            # one extra bucket — the complement predicate, same
+            # single-projection shape
+            none_matched = F.lit(True)
+            for _n, c in conds:
+                none_matched = none_matched & ~c
+            keys.append(F.when(none_matched, F.lit(str(other))))
         return F.array_compact(F.array(*keys))
     raise ValueError(kind)
 
@@ -456,7 +491,7 @@ def compile_aggs(df: DataFrame, aggs: dict) -> DataFrame:
             date_fill = (name, spec)
         if kind == "histogram" and int(spec.get("min_doc_count", 1)) == 0:
             hist_fill = (name, spec)
-        if kind in ("range", "filters"):
+        if kind in ("range", "date_range", "filters"):
             out = out.withColumn(
                 name, F.explode(_multi_membership_keys(kind, spec))
             )

@@ -2236,3 +2236,30 @@ def test_linear_retriever_minmax_and_weights(spark):
 
     with _pt.raises(ValueError, match="normalizer"):
         linear_retriever_topk(docs, emb, ["a"], 0, normalizer="zscore")
+
+
+def test_graph_explore_vertices_and_connections(spark):
+    from monstache_spark.operators.graph import graph_explore
+
+    df = spark.createDataFrame(
+        [(1, "a", "x", 10.0), (2, "a", "x", 10.0), (3, "a", "y", 10.0),
+         (4, "b", "y", 10.0), (5, "c", "z", 1.0)],
+        "id long, f1 string, f2 string, v double",
+    )
+    out = graph_explore(
+        df, {"range": {"v": {"gte": 5}}},
+        [{"field": "f1", "size": 2}, {"field": "f2", "size": 10}],
+    ).collect()
+    vertices = {(r["field"], r["term"]): r["weight"]
+                for r in out if r["kind"] == "vertex"}
+    conns = {(r["term"], r["term2"]): r["weight"]
+             for r in out if r["kind"] == "connection"}
+    # seed excludes id 5; f1 keeps top-2 (a:3, b:1); c never appears
+    assert vertices[("f1", "a")] == 3 and vertices[("f1", "b")] == 1
+    assert ("f1", "c") not in vertices
+    # connections only among kept vertices, exact co-occurrence counts
+    assert conns == {("a", "x"): 2, ("a", "y"): 1, ("b", "y"): 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="2 vertex"):
+        graph_explore(df, None, [{"field": "f1"}])
