@@ -5866,6 +5866,7 @@ _GATE_WINDOW = [
     "es_matrix_stats",
     "es_sig_terms_chi2",
     "es_sig_terms_mi",
+    # --- 50-slot boundary falls here ---
     "es_sig_terms_pct",
     "es_sig_terms_gnd",
     "es_bucket_correlation",
@@ -5873,7 +5874,6 @@ _GATE_WINDOW = [
     "es_change_point",
     "dpo_pairs",
     "es_query_string",
-    # --- 50-slot boundary falls here ---
     "curriculum_interleave",
     "deterministic_shuffle",
     "es_t_test",
