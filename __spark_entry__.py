@@ -4127,6 +4127,31 @@ def _q_es_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL (operators/esql.esql — the piped query language ES 8.14
+    ships as its primary query surface): a 6-stage pipe (FROM | WHERE
+    | EVAL | STATS..BY | SORT | LIMIT) compiled structurally onto the
+    DataFrame API, so Catalyst sees ONE plan — the WHERE reaches the
+    scan, EVAL is a projection, STATS one hash agg, SORT|LIMIT a
+    TakeOrderedAndProject.  ES|QL `==` and double-quoted strings
+    translate through the shared expression contract; sums accumulate
+    in exact decimal (the EVAL casts the 2-dp source price)."""
+    from monstache_spark.operators.esql import esql
+
+    orders = load_table(spark, "orders", sf_dir)
+    return esql(
+        'FROM orders'
+        ' | WHERE o_orderstatus == "O" AND o_totalprice > 100000'
+        ' | EVAL price_d = CAST(o_totalprice AS DECIMAL(19,4)),'
+        '   seg = CASE WHEN o_totalprice > 300000 THEN "big" ELSE "mid" END'
+        ' | STATS n = COUNT(*), total = CAST(SUM(price_d) AS DOUBLE),'
+        '   hi = MAX(o_totalprice) BY o_orderpriority, seg'
+        ' | SORT n DESC, o_orderpriority ASC, seg ASC'
+        ' | LIMIT 5',
+        {"orders": orders},
+    )
+
+
 def _q_es_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES Graph explore API (operators/graph.graph_explore): one hop
     over high-value events — top event_type and user_id vertices
@@ -5603,6 +5628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_range": _q_es_date_range,
         "es_filters_other": _q_es_filters_other,
         "es_graph_explore": _q_es_graph_explore,
+        "es_esql_pipeline": _q_es_esql_pipeline,
         "es_termvectors": _q_es_termvectors,
         "es_rank_vectors_maxsim": _q_es_rank_vectors_maxsim,
         "es_linear_retriever": _q_es_linear_retriever,
@@ -5846,6 +5872,7 @@ _GATE_WINDOW = [
     "es_date_range",
     "es_filters_other",
     "es_graph_explore",
+    "es_esql_pipeline",
     # earlier round-8 waves, never gated — S2-closing slop, Porter,
     # span completion, the modern-ES API cohort; the remainder of
     # the round-8 cohort rotates into the next round's window
@@ -8575,6 +8602,22 @@ def oracle_sql() -> dict[str, str]:
                  max_by(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
                                + event_id) AS value_last
           FROM b GROUP BY 1, 2
+        """,
+        "es_esql_pipeline": """
+          WITH f AS (
+            SELECT o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(19,4)) AS price_d,
+                   CASE WHEN o_totalprice > 300000 THEN 'big' ELSE 'mid' END AS seg,
+                   o_totalprice
+            FROM orders
+            WHERE o_orderstatus = 'O' AND o_totalprice > 100000
+          )
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(price_d) AS DOUBLE) AS total,
+                 max(o_totalprice) AS hi,
+                 o_orderpriority, seg
+          FROM f GROUP BY o_orderpriority, seg
+          ORDER BY n DESC, o_orderpriority ASC, seg ASC LIMIT 5
         """,
         "es_graph_explore": """
           WITH seed AS (SELECT event_type, user_id FROM events WHERE value >= 100),

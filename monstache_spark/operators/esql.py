@@ -1,0 +1,239 @@
+"""ES|QL — Elasticsearch's piped query language — compiled to DataFrame plans.
+
+ES|QL (GA in ES 8.14: ``FROM idx | WHERE ... | STATS ... BY ... |
+SORT ... | LIMIT n``) is the query surface ES now pushes consumers
+toward; a monstache user moving to this engine brings those queries
+along.  This module compiles the documented core command set onto the
+DataFrame API — each pipe stage maps 1:1 onto a declarative operator,
+so Catalyst still sees ONE plan (predicate pushdown through the
+pipes, column pruning from KEEP/STATS, partial aggregation under
+STATS — the pipes are syntax, not materialization barriers).
+
+Supported commands (the ES|QL processing core):
+
+* ``FROM table``            — source (resolved from the passed table map)
+* ``ROW a = 1, b = "x"``    — literal one-row source
+* ``WHERE <expr>``          — filter
+* ``EVAL name = <expr>, …`` — computed columns
+* ``KEEP col, pat*`` / ``DROP col, pat*`` — projection (``*`` wildcards)
+* ``RENAME old AS new, …``  — renames
+* ``STATS a = AGG(x), … [BY k1, k2]`` — grouped aggregation
+* ``SORT f [ASC|DESC] [NULLS FIRST|LAST], …``
+* ``LIMIT n``
+* ``MV_EXPAND col``         — explode a multi-value column
+
+Expressions ride the shared painless→SQL binding contract (the same
+surface ``script``/``script_score``/``bucket_script`` use): ES|QL's
+``==`` / ``!=`` translate to SQL equality, string literals keep double
+quotes (rewritten to SQL singles), and function calls pass through to
+Spark SQL — the documented subset is the set both engines evaluate
+identically (arithmetic, comparisons, CASE, CAST, string functions,
+date_trunc).  Unknown commands RAISE rather than silently skip —
+``DISSECT``/``GROK``/``ENRICH`` need pattern/lookup state that belongs
+to the caller (join the lookup frame and use EVAL, the same advice
+ES gives for ENRICH-less deployments).
+
+Scale note: because compilation is purely structural, every plan
+property the engine guarantees elsewhere holds here automatically —
+a ``WHERE`` ahead of ``STATS`` reaches the parquet scan, ``KEEP``
+prunes the read schema, ``SORT | LIMIT`` becomes
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
+
+
+def _tr_expr(expr: str) -> str:
+    """ES|QL expression → Spark/ANSI SQL: `==` → `=`, double-quoted
+    string literals → single-quoted (escaping embedded singles)."""
+
+    out = []
+    pos = 0
+    for m in _STR_RE.finditer(expr):
+        outside = expr[pos:m.start()]
+        out.append(re.sub(r"(?<![=!<>])==", "=", outside))
+        body = m.group(1).replace("\\\"", '"').replace("'", "''")
+        out.append(f"'{body}'")
+        pos = m.end()
+    out.append(re.sub(r"(?<![=!<>])==", "=", expr[pos:]))
+    return "".join(out)
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside quotes and parentheses."""
+    parts, depth, in_str, cur = [], 0, False, []
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == '"' and s[i - 1] != "\\":
+                in_str = False
+        elif ch == '"':
+            in_str = True
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _expand(patterns: list[str], columns: list[str]) -> list[str]:
+    out: list[str] = []
+    for p in patterns:
+        if "*" in p or "?" in p:
+            matched = [c for c in columns if fnmatch.fnmatch(c, p)]
+            out.extend(m for m in matched if m not in out)
+        elif p in columns and p not in out:
+            out.append(p)
+        elif p not in columns:
+            raise ValueError(f"unknown column in KEEP/DROP: {p}")
+    return out
+
+
+def _named_exprs(clause: str) -> list[tuple[str | None, str]]:
+    """``a = expr, expr2`` → [(name, sql), (None, sql2)] — the name is
+    the part before a TOP-LEVEL `=` that is a bare identifier."""
+    out = []
+    for item in _split_top(clause, ","):
+        item = item.strip()
+        if not item:
+            continue
+        m = re.match(r"^([A-Za-z_][A-Za-z0-9_.]*)\s*=(?!=)\s*(.+)$", item, re.S)
+        if m:
+            out.append((m.group(1), m.group(2).strip()))
+        else:
+            out.append((None, item))
+    return out
+
+
+def esql(
+    query: str,
+    tables: dict[str, DataFrame],
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """Compile one ES|QL query against the given table map."""
+    stages = [s.strip() for s in _split_top(query, "|") if s.strip()]
+    if not stages:
+        raise ValueError("empty ES|QL query")
+    head = stages[0]
+    hm = re.match(r"^(FROM|ROW)\b(.*)$", head, re.I | re.S)
+    if not hm:
+        raise ValueError("ES|QL must start with FROM or ROW")
+    cmd, rest = hm.group(1).upper(), hm.group(2).strip()
+    if cmd == "FROM":
+        name = rest.split(",")[0].strip()
+        if name not in tables:
+            raise ValueError(f"unknown table: {name}")
+        df = tables[name]
+    else:
+        if spark is None:
+            spark = next(iter(tables.values())).sparkSession if tables else None
+        if spark is None:
+            raise ValueError("ROW needs a SparkSession")
+        cols = [
+            F.expr(_tr_expr(sql)).alias(nm or f"c{i}")
+            for i, (nm, sql) in enumerate(_named_exprs(rest))
+        ]
+        df = spark.range(1).select(*cols)
+
+    for stage in stages[1:]:
+        sm = re.match(r"^([A-Za-z_]+)\b(.*)$", stage, re.S)
+        if not sm:
+            raise ValueError(f"unparseable stage: {stage!r}")
+        cmd, body = sm.group(1).upper(), sm.group(2).strip()
+        if cmd == "WHERE":
+            df = df.filter(F.expr(_tr_expr(body)))
+        elif cmd == "EVAL":
+            for nm, sql in _named_exprs(body):
+                if nm is None:
+                    raise ValueError(f"EVAL needs name = expr: {sql!r}")
+                df = df.withColumn(nm, F.expr(_tr_expr(sql)))
+        elif cmd == "KEEP":
+            pats = [p.strip() for p in body.split(",")]
+            df = df.select(*_expand(pats, df.columns))
+        elif cmd == "DROP":
+            pats = [p.strip() for p in body.split(",")]
+            df = df.drop(*_expand(pats, df.columns))
+        elif cmd == "RENAME":
+            for item in _split_top(body, ","):
+                m = re.match(
+                    r"^\s*([A-Za-z_][A-Za-z0-9_.]*)\s+AS\s+"
+                    r"([A-Za-z_][A-Za-z0-9_.]*)\s*$",
+                    item,
+                    re.I,
+                )
+                if not m:
+                    raise ValueError(f"RENAME needs `old AS new`: {item!r}")
+                df = df.withColumnRenamed(m.group(1), m.group(2))
+        elif cmd == "STATS":
+            bm = re.split(r"\bBY\b", body, maxsplit=1, flags=re.I)
+            aggs = []
+            for i, (nm, sql) in enumerate(_named_exprs(bm[0])):
+                aggs.append(
+                    F.expr(_tr_expr(sql)).alias(nm or f"agg{i}")
+                )
+            if len(bm) == 2:
+                keys = [k.strip() for k in bm[1].split(",")]
+                df = df.groupBy(*keys).agg(*aggs)
+            else:
+                df = df.groupBy().agg(*aggs)
+        elif cmd == "SORT":
+            order = []
+            for item in _split_top(body, ","):
+                toks = item.split()
+                if not toks:
+                    continue
+                c = F.expr(_tr_expr(toks[0]))
+                words = [t.upper() for t in toks[1:]]
+                desc = "DESC" in words
+                nulls_first = words[-2:] == ["NULLS", "FIRST"]
+                nulls_last = words[-2:] == ["NULLS", "LAST"]
+                if desc:
+                    c = (
+                        c.desc_nulls_first()
+                        if nulls_first
+                        else c.desc_nulls_last()
+                        if nulls_last
+                        else c.desc()
+                    )
+                else:
+                    c = (
+                        c.asc_nulls_first()
+                        if nulls_first
+                        else c.asc_nulls_last()
+                        if nulls_last
+                        else c.asc()
+                    )
+                order.append(c)
+            df = df.orderBy(*order)
+        elif cmd == "LIMIT":
+            df = df.limit(int(body))
+        elif cmd == "MV_EXPAND":
+            col = body.strip()
+            df = df.withColumn(col, F.explode(col))
+        else:
+            raise ValueError(
+                f"unsupported ES|QL command: {cmd} (DISSECT/GROK/ENRICH "
+                "need caller-side pattern/lookup state — join the lookup "
+                "frame and use EVAL)"
+            )
+    return df

@@ -1,0 +1,69 @@
+"""ES|QL translator (operators/esql.py): command coverage, expression
+dialect translation, wildcards, sort/null semantics, refusals."""
+
+from __future__ import annotations
+
+import pytest
+
+from monstache_spark.operators.esql import _tr_expr, esql
+
+
+def test_expression_dialect_translation():
+    assert _tr_expr('a == "x"') == "a = 'x'"
+    assert _tr_expr("a != 3 AND b >= 2") == "a != 3 AND b >= 2"
+    # == inside a string literal survives; embedded quotes escape
+    assert _tr_expr('a == "x == y" OR c == "it\'s"') == (
+        "a = 'x == y' OR c = 'it''s'"
+    )
+    assert _tr_expr("a <= 1") == "a <= 1"
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0, ["x", "y"]), (2, "a", 20.0, ["z"]),
+         (3, "b", None, [])],
+        "id long, k string, v double, tags array<string>",
+    )
+
+
+def test_pipeline_where_eval_stats_sort_limit(t):
+    out = esql(
+        'FROM t | WHERE v IS NOT NULL | EVAL dv = CAST(v AS DECIMAL(19,4)) * 2'
+        ' | STATS n = COUNT(*), total = CAST(SUM(dv) AS DOUBLE) BY k'
+        ' | SORT total DESC | LIMIT 1',
+        {"t": t},
+    ).collect()
+    assert [tuple(r) for r in out] == [("a", 2, 60.0)]  # group keys first
+
+
+def test_keep_drop_rename_wildcards(t):
+    out = esql("FROM t | KEEP k, v | RENAME v AS val", {"t": t})
+    assert out.columns == ["k", "val"]
+    out = esql("FROM t | DROP ta*", {"t": t})
+    assert out.columns == ["id", "k", "v"]
+    with pytest.raises(ValueError, match="unknown column"):
+        esql("FROM t | KEEP nope", {"t": t})
+
+
+def test_row_and_mv_expand(t, spark):
+    out = esql('ROW a = 1, b = "x"', {}, spark).collect()
+    assert [tuple(r) for r in out] == [(1, "x")]
+    out = esql("FROM t | MV_EXPAND tags | STATS n = COUNT(*)", {"t": t})
+    assert out.collect()[0]["n"] == 3  # empty array rows vanish
+
+
+def test_sort_null_placement(t):
+    out = esql("FROM t | SORT v DESC NULLS LAST | KEEP id", {"t": t}).collect()
+    assert [r["id"] for r in out] == [2, 1, 3]
+    out = esql("FROM t | SORT v ASC NULLS FIRST | KEEP id", {"t": t}).collect()
+    assert [r["id"] for r in out] == [3, 1, 2]
+
+
+def test_refusals(t):
+    with pytest.raises(ValueError, match="unsupported ES\\|QL command"):
+        esql('FROM t | GROK v "%{NUMBER:n}"', {"t": t})
+    with pytest.raises(ValueError, match="must start with FROM"):
+        esql("WHERE v > 1", {"t": t})
+    with pytest.raises(ValueError, match="unknown table"):
+        esql("FROM nope | LIMIT 1", {"t": t})
