@@ -4152,6 +4152,30 @@ def _q_es_esql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL second gate — the lookup/extraction commands: DISSECT
+    pulls the numeric out of the props JSON-ish string (pattern →
+    ONE anchored regex, null on non-match), RENAME aligns the join
+    key, LOOKUP JOIN broadcast-joins the customer segment (the ES
+    8.18 lookup-index join), STATS aggregates per segment with an
+    exact integer sum.  Unmatched users keep a null segment bucket,
+    as a left join implies."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    seg = cust.select("c_custkey", "c_mktsegment")
+    return esql(
+        'FROM events'
+        ' | DISSECT props "{\\"k\\": %{kv}}"'
+        ' | EVAL kvn = CAST(kv AS BIGINT)'
+        ' | RENAME user_id AS c_custkey'
+        ' | LOOKUP JOIN seg ON c_custkey'
+        ' | STATS n = COUNT(*), kv_total = SUM(kvn) BY c_mktsegment',
+        {"events": ev, "seg": seg},
+    )
+
+
 def _q_es_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES Graph explore API (operators/graph.graph_explore): one hop
     over high-value events — top event_type and user_id vertices
@@ -5629,6 +5653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_filters_other": _q_es_filters_other,
         "es_graph_explore": _q_es_graph_explore,
         "es_esql_pipeline": _q_es_esql_pipeline,
+        "es_esql_enrich": _q_es_esql_enrich,
         "es_termvectors": _q_es_termvectors,
         "es_rank_vectors_maxsim": _q_es_rank_vectors_maxsim,
         "es_linear_retriever": _q_es_linear_retriever,
@@ -5873,6 +5898,7 @@ _GATE_WINDOW = [
     "es_filters_other",
     "es_graph_explore",
     "es_esql_pipeline",
+    "es_esql_enrich",
     # earlier round-8 waves, never gated — S2-closing slop, Porter,
     # span completion, the modern-ES API cohort; the remainder of
     # the round-8 cohort rotates into the next round's window
@@ -8602,6 +8628,22 @@ def oracle_sql() -> dict[str, str]:
                  max_by(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
                                + event_id) AS value_last
           FROM b GROUP BY 1, 2
+        """,
+        "es_esql_enrich": """
+          WITH d AS (
+            SELECT user_id,
+                   CASE WHEN regexp_matches(props, '^\\{"k": (.*?)\\}$')
+                        THEN CAST(regexp_extract(props, '^\\{"k": (.*?)\\}$', 1) AS BIGINT)
+                   END AS kvn
+            FROM events
+          ),
+          j AS (
+            SELECT d.kvn, c.c_mktsegment
+            FROM d LEFT JOIN customer c ON d.user_id = c.c_custkey
+          )
+          SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(kvn) AS BIGINT) AS kv_total
+          FROM j GROUP BY c_mktsegment
         """,
         "es_esql_pipeline": """
           WITH f AS (

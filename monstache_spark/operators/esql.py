@@ -21,6 +21,19 @@ Supported commands (the ES|QL processing core):
 * ``SORT f [ASC|DESC] [NULLS FIRST|LAST], …``
 * ``LIMIT n``
 * ``MV_EXPAND col``         — explode a multi-value column
+* ``ENRICH policy ON field [WITH f1, f2]`` — the enrich-policy lookup:
+  the policy's frame (passed in ``enrich_policies`` as
+  ``name -> (frame, match_field)``) BROADCAST left-joins on the match
+  field, appending the requested (or all non-key) policy columns —
+  exactly what ES's enrich processor materializes
+* ``LOOKUP JOIN table ON field`` — the ES 8.18 lookup-index join: a
+  broadcast left join against a table from the table map, joining on
+  the shared field name
+* ``DISSECT col "%{a} %{b}"`` — the dissect processor: the pattern's
+  literal separators compile to ONE anchored regex with a capture
+  group per ``%{key}`` (appended as string columns, null on
+  non-match); ``%{}`` skips a segment.  GROK stays refused — it
+  carries a named pattern library that belongs to the caller
 
 Expressions ride the shared painless→SQL binding contract (the same
 surface ``script``/``script_score``/``bucket_script`` use): ES|QL's
@@ -125,12 +138,38 @@ def _named_exprs(clause: str) -> list[tuple[str | None, str]]:
     return out
 
 
+def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
+    """Dissect pattern → (anchored regex, capture key list).  Each
+    ``%{key}`` becomes a lazy capture; the literal text between keys
+    escapes verbatim; ``%{}`` (empty key) matches without capturing."""
+    keys: list[str] = []
+    out = ["^"]
+    pos = 0
+    for m in re.finditer(r"%\{([^}]*)\}", pattern):
+        out.append(re.escape(pattern[pos:m.start()]))
+        key = m.group(1)
+        if key:
+            keys.append(key)
+            out.append("(.*?)")
+        else:
+            out.append("(?:.*?)")
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    out.append("$")
+    if not keys:
+        raise ValueError("DISSECT pattern has no %{key} captures")
+    return "".join(out), keys
+
+
 def esql(
     query: str,
     tables: dict[str, DataFrame],
     spark: SparkSession | None = None,
+    enrich_policies: dict | None = None,
 ) -> DataFrame:
-    """Compile one ES|QL query against the given table map."""
+    """Compile one ES|QL query against the given table map.
+    ``enrich_policies`` maps a policy name to ``(frame, match_field)``
+    for the ENRICH command."""
     stages = [s.strip() for s in _split_top(query, "|") if s.strip()]
     if not stages:
         raise ValueError("empty ES|QL query")
@@ -230,10 +269,60 @@ def esql(
         elif cmd == "MV_EXPAND":
             col = body.strip()
             df = df.withColumn(col, F.explode(col))
+        elif cmd == "ENRICH":
+            m = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_.-]*)\s+ON\s+"
+                r"([A-Za-z_][A-Za-z0-9_.]*)(?:\s+WITH\s+(.+))?$",
+                body,
+                re.I | re.S,
+            )
+            if not m:
+                raise ValueError(f"ENRICH needs `policy ON field`: {body!r}")
+            policy, on, with_ = m.group(1), m.group(2), m.group(3)
+            if not enrich_policies or policy not in enrich_policies:
+                raise ValueError(f"unknown enrich policy: {policy}")
+            frame, match_field = enrich_policies[policy]
+            cols = (
+                [c.strip() for c in with_.split(",")]
+                if with_
+                else [c for c in frame.columns if c != match_field]
+            )
+            rhs = frame.select(
+                F.col(match_field).alias(on),
+                *[F.col(c) for c in cols],
+            )
+            df = df.join(F.broadcast(rhs), on, "left")
+        elif cmd == "LOOKUP":
+            m = re.match(
+                r"^JOIN\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ON\s+"
+                r"([A-Za-z_][A-Za-z0-9_.]*)$",
+                body,
+                re.I,
+            )
+            if not m:
+                raise ValueError(f"LOOKUP needs `JOIN table ON field`: {body!r}")
+            name, on = m.group(1), m.group(2)
+            if name not in tables:
+                raise ValueError(f"unknown lookup table: {name}")
+            df = df.join(F.broadcast(tables[name]), on, "left")
+        elif cmd == "DISSECT":
+            m = re.match(
+                r'^([A-Za-z_][A-Za-z0-9_.]*)\s+"((?:[^"\\]|\\.)*)"$', body, re.S
+            )
+            if not m:
+                raise ValueError(f'DISSECT needs `col "%{{a}} …"`: {body!r}')
+            col, pattern = m.group(1), m.group(2).replace('\\"', '"')
+            rx, keys = _dissect_regex(pattern)
+            for i, key in enumerate(keys, start=1):
+                piece = F.regexp_extract(F.col(col), rx, i)
+                df = df.withColumn(
+                    key,
+                    F.when(F.col(col).rlike(rx), piece),
+                )
         else:
             raise ValueError(
-                f"unsupported ES|QL command: {cmd} (DISSECT/GROK/ENRICH "
-                "need caller-side pattern/lookup state — join the lookup "
-                "frame and use EVAL)"
+                f"unsupported ES|QL command: {cmd} (GROK carries a named "
+                "pattern library that belongs to the caller — use DISSECT "
+                "or EVAL with regexp_extract)"
             )
     return df

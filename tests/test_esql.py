@@ -67,3 +67,39 @@ def test_refusals(t):
         esql("WHERE v > 1", {"t": t})
     with pytest.raises(ValueError, match="unknown table"):
         esql("FROM nope | LIMIT 1", {"t": t})
+
+
+def test_enrich_lookup_join_dissect(spark, t):
+    policy = spark.createDataFrame(
+        [("a", "Alpha", 1), ("b", "Beta", 2)], "code string, label string, tier long"
+    )
+    out = esql(
+        "FROM t | ENRICH names ON k WITH label | KEEP id, k, label",
+        {"t": t}, enrich_policies={"names": (policy, "code")},
+    ).collect()
+    got = {r["id"]: r["label"] for r in out}
+    assert got == {1: "Alpha", 2: "Alpha", 3: "Beta"}
+
+    lk = spark.createDataFrame([("a", 100)], "k string, bonus long")
+    out = esql("FROM t | LOOKUP JOIN lk ON k | KEEP id, bonus", {"t": t, "lk": lk})
+    got = {r["id"]: r["bonus"] for r in out.collect()}
+    assert got == {1: 100, 2: 100, 3: None}
+
+    logs = spark.createDataFrame(
+        [(1, "GET /a 200"), (2, "POST /b 503"), (3, "garbage")],
+        "id long, line string",
+    )
+    out = esql(
+        'FROM logs | DISSECT line "%{verb} %{path} %{status}" | KEEP id, verb, status',
+        {"logs": logs},
+    ).collect()
+    got = {r["id"]: (r["verb"], r["status"]) for r in out}
+    assert got[1] == ("GET", "200") and got[2] == ("POST", "503")
+    assert got[3] == (None, None)  # non-matching line -> nulls
+
+    with pytest.raises(ValueError, match="unknown enrich policy"):
+        esql("FROM t | ENRICH nope ON k", {"t": t})
+    with pytest.raises(ValueError, match="no %\\{key\\}"):
+        esql('FROM logs | DISSECT line "static"', {"logs": logs})
+    with pytest.raises(ValueError, match="GROK"):
+        esql('FROM logs | GROK line "%{NUMBER:n}"', {"logs": logs})
