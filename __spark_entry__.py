@@ -4152,6 +4152,47 @@ def _q_es_esql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _terms_enum API (search.terms_enum): keyword-field
+    autocomplete — the first 5 distinct sources starting with 'src1'
+    among English docs (index_filter pre-filters as a pushdown
+    predicate).  One hash-DISTINCT to the vocab frame + prefix filter
+    + TakeOrderedAndProject; never counts, never scans twice."""
+    from monstache_spark.operators.search import terms_enum
+
+    docs = load_table(spark, "documents", sf_dir)
+    return terms_enum(
+        docs, "source", "src1", size=5,
+        index_filter={"term": {"lang": "en"}},
+    )
+
+
+def _q_es_field_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _field_caps API (search.field_caps): per (index, field) the
+    mapped ES type and searchable/aggregatable flags derived from the
+    DataFrame schema (string→keyword, timestamp→date, array element
+    types with multi_value, array<struct>→nested).  Pure schema
+    metadata — the literal frame enters as a LocalRelation."""
+    from monstache_spark.operators.search import field_caps
+
+    rows = field_caps({
+        "orders": load_table(spark, "orders", sf_dir),
+        "events": load_table(spark, "events", sf_dir),
+        "embeddings": load_table(spark, "embeddings", sf_dir),
+    })
+    structs = [
+        F.struct(
+            F.lit(ix).alias("index"), F.lit(fld).alias("field"),
+            F.lit(t).alias("type"), F.lit(s).alias("searchable"),
+            F.lit(a).alias("aggregatable"), F.lit(mv).alias("multi_value"),
+        )
+        for ix, fld, t, s, a, mv in rows
+    ]
+    return spark.range(1).select(
+        F.explode(F.array(*structs)).alias("e")
+    ).select("e.*")
+
+
 def _q_es_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL second gate — the lookup/extraction commands: DISSECT
     pulls the numeric out of the props JSON-ish string (pattern →
@@ -5654,6 +5695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_graph_explore": _q_es_graph_explore,
         "es_esql_pipeline": _q_es_esql_pipeline,
         "es_esql_enrich": _q_es_esql_enrich,
+        "es_terms_enum": _q_es_terms_enum,
+        "es_field_caps": _q_es_field_caps,
         "es_termvectors": _q_es_termvectors,
         "es_rank_vectors_maxsim": _q_es_rank_vectors_maxsim,
         "es_linear_retriever": _q_es_linear_retriever,
@@ -5899,6 +5942,8 @@ _GATE_WINDOW = [
     "es_graph_explore",
     "es_esql_pipeline",
     "es_esql_enrich",
+    "es_terms_enum",
+    "es_field_caps",
     # earlier round-8 waves, never gated — S2-closing slop, Porter,
     # span completion, the modern-ES API cohort; the remainder of
     # the round-8 cohort rotates into the next round's window
@@ -8628,6 +8673,32 @@ def oracle_sql() -> dict[str, str]:
                  max_by(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
                                + event_id) AS value_last
           FROM b GROUP BY 1, 2
+        """,
+        "es_terms_enum": """
+          SELECT DISTINCT source AS term FROM documents
+          WHERE lang = 'en' AND source IS NOT NULL
+            AND starts_with(source, 'src1')
+          ORDER BY term ASC LIMIT 5
+        """,
+        "es_field_caps": """
+          SELECT "index", field, type, searchable, aggregatable, multi_value
+          FROM (VALUES
+            ('embeddings', 'embedding', 'float', TRUE, TRUE, TRUE),
+            ('embeddings', 'label', 'integer', TRUE, TRUE, FALSE),
+            ('embeddings', 'vec_id', 'long', TRUE, TRUE, FALSE),
+            ('events', 'event_id', 'long', TRUE, TRUE, FALSE),
+            ('events', 'event_type', 'keyword', TRUE, TRUE, FALSE),
+            ('events', 'props', 'keyword', TRUE, TRUE, FALSE),
+            ('events', 'ts', 'date', TRUE, TRUE, FALSE),
+            ('events', 'user_id', 'long', TRUE, TRUE, FALSE),
+            ('events', 'value', 'double', TRUE, TRUE, FALSE),
+            ('orders', 'o_custkey', 'long', TRUE, TRUE, FALSE),
+            ('orders', 'o_orderdate', 'date', TRUE, TRUE, FALSE),
+            ('orders', 'o_orderkey', 'long', TRUE, TRUE, FALSE),
+            ('orders', 'o_orderpriority', 'keyword', TRUE, TRUE, FALSE),
+            ('orders', 'o_orderstatus', 'keyword', TRUE, TRUE, FALSE),
+            ('orders', 'o_totalprice', 'double', TRUE, TRUE, FALSE)
+          ) AS t("index", field, type, searchable, aggregatable, multi_value)
         """,
         "es_esql_enrich": """
           WITH d AS (

@@ -1811,6 +1811,97 @@ def _term_rows(
     return docs.select(F.col(id_col), F.explode(toks).alias("term"))
 
 
+def terms_enum(
+    df: DataFrame,
+    field: str,
+    string: str = "",
+    size: int = 10,
+    case_insensitive: bool = False,
+    search_after: str | None = None,
+    index_filter: dict | None = None,
+    analyzer=None,
+) -> DataFrame:
+    """ES ``_terms_enum`` API: up to ``size`` DISTINCT values of a
+    keyword field that start with ``string``, in term order — the
+    keyword-field autocomplete endpoint (cheaper than a terms agg
+    because it never counts).  ``index_filter`` pre-filters the docs
+    (the API's shard-skipping filter, here a plain pushdown
+    predicate); ``search_after`` resumes AFTER a previous page's last
+    term (the API's own pagination).
+
+    Plan: optional filter → one hash-DISTINCT on the field (map-side
+    combinable, vocab-sized output) → prefix predicate →
+    TakeOrderedAndProject.  Returns ``(term)`` rows sorted asc.
+    """
+    base = df
+    if index_filter is not None:
+        base = base.filter(compile_bool_query(index_filter, analyzer=analyzer))
+    term = F.col(field).cast("string")
+    out = base.filter(term.isNotNull()).select(term.alias("term")).distinct()
+    if string:
+        probe = F.lower(F.col("term")) if case_insensitive else F.col("term")
+        needle = string.lower() if case_insensitive else string
+        out = out.filter(probe.startswith(F.lit(needle)))
+    if search_after is not None:
+        out = out.filter(F.col("term") > F.lit(search_after))
+    return out.orderBy(F.col("term").asc()).limit(int(size))
+
+
+_FIELD_CAPS_TYPES = {
+    "long": "long",
+    "bigint": "long",
+    "int": "integer",
+    "integer": "integer",
+    "smallint": "short",
+    "short": "short",
+    "tinyint": "byte",
+    "byte": "byte",
+    "double": "double",
+    "float": "float",
+    "string": "keyword",
+    "boolean": "boolean",
+    "timestamp": "date",
+    "timestamp_ntz": "date",
+    "date": "date",
+    "binary": "binary",
+}
+
+
+def field_caps(frames: dict[str, DataFrame]) -> list[tuple]:
+    """ES ``_field_caps`` API: per (field, index) the mapped type and
+    whether it is searchable/aggregatable — the schema-introspection
+    call clients issue before building queries.  Types derive from
+    the DataFrame schema under the documented mapping (Spark string →
+    ES ``keyword``; arrays report their element type with
+    ``multi_value`` set; structs → ``object``; array<struct> →
+    ``nested`` — the shape monstache syncs nested documents into).
+    Everything here is schema metadata — control-plane-sized, no job
+    runs.  Returns ``[(index, field, type, searchable, aggregatable,
+    multi_value), ...]`` sorted for determinism.
+    """
+    rows = []
+    for index, df in frames.items():
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            multi = False
+            if t.startswith("array<"):
+                inner = t[6:-1]
+                multi = True
+                t = inner
+            if t.startswith("struct<"):
+                es_type = "nested" if multi else "object"
+            elif t.startswith("decimal"):
+                es_type = "double"
+            else:
+                es_type = _FIELD_CAPS_TYPES.get(t, "keyword")
+            searchable = es_type != "binary"
+            aggregatable = es_type not in ("binary", "object", "nested")
+            rows.append(
+                (index, f.name, es_type, searchable, aggregatable, multi)
+            )
+    return sorted(rows)
+
+
 def termvectors(
     docs: DataFrame,
     doc_ids: list,

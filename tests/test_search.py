@@ -2263,3 +2263,41 @@ def test_graph_explore_vertices_and_connections(spark):
 
     with _pt.raises(ValueError, match="2 vertex"):
         graph_explore(df, None, [{"field": "f1"}])
+
+
+def test_terms_enum_prefix_pagination(spark):
+    from monstache_spark.operators.search import terms_enum
+
+    df = spark.createDataFrame(
+        [(1, "Apple"), (2, "apricot"), (3, "apex"), (4, "banana"),
+         (5, "apex")],
+        "id long, f string",
+    )
+    out = [r["term"] for r in terms_enum(df, "f", "ap", size=10).collect()]
+    assert out == ["apex", "apricot"]  # distinct, sorted; 'Apple' is case-mismatched
+    out = [r["term"] for r in terms_enum(
+        df, "f", "ap", size=10, case_insensitive=True).collect()]
+    assert out == ["Apple", "apex", "apricot"]
+    # pagination resumes strictly after the cursor
+    out = [r["term"] for r in terms_enum(
+        df, "f", "", size=10, search_after="apex").collect()]
+    assert out == ["apricot", "banana"]
+    out = [r["term"] for r in terms_enum(
+        df, "f", "", size=10, index_filter={"term": {"id": 4}}).collect()]
+    assert out == ["banana"]
+
+
+def test_field_caps_type_mapping(spark):
+    from monstache_spark.operators.search import field_caps
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.0, True, [1.0], [("a",)])],
+        "id long, s string, d double, b boolean, "
+        "arr array<double>, items array<struct<k string>>",
+    )
+    rows = {r[1]: r for r in field_caps({"t": df})}
+    assert rows["id"][2] == "long" and rows["s"][2] == "keyword"
+    assert rows["b"][2] == "boolean"
+    # array element type with multi_value; array<struct> is nested
+    assert rows["arr"][2:] == ("double", True, True, True)
+    assert rows["items"][2] == "nested" and rows["items"][4] is False
