@@ -750,6 +750,70 @@ CHECKS = [
         and "SortAggregate" not in p
         and "Python" not in p,
     ),
+    (
+        "es_eql_sequence",
+        "EQL sequence: step filters push to the scans, every "
+        "earliest-successor pick a HashAggregate over the packed "
+        "decimal (no struct buffers, no sort agg, no cartesian, no "
+        "Python)",
+        lambda p: re.search(r"PushedFilters: \[.*event_type", p)
+        and "HashAggregate" in p
+        and "SortAggregate" not in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_esql_pipeline",
+        "ES|QL pipe compiles to ONE plan: the WHERE reaches the "
+        "parquet scan as PushedFilters, STATS is a codegen hash agg, "
+        "SORT|LIMIT is TakeOrderedAndProject — no Python anywhere",
+        lambda p: re.search(r"PushedFilters: \[.*o_orderstatus", p)
+        and "* HashAggregate" in p
+        and "TakeOrderedAndProject" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_esql_enrich",
+        "ES|QL LOOKUP JOIN broadcasts the lookup frame; DISSECT is a "
+        "codegen regex projection; STATS one hash agg — no sort "
+        "aggregate, no Python",
+        lambda p: "BroadcastHashJoin" in p
+        and "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_transform_latest",
+        "transform latest: two-phase extreme + broadcast tie joins, "
+        "whole-row recovery — every aggregate a HashAggregate, the "
+        "corpus never sorts",
+        lambda p: "BroadcastHashJoin" in p
+        and "HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_graph_explore",
+        "graph explore: seed predicate pushes to the scan, vertex "
+        "lists TakeOrderedAndProject, connections semi-join the "
+        "broadcast vertex sets — no cartesian, no Python",
+        lambda p: re.search(r"PushedFilters: \[.*value", p)
+        and "TakeOrderedAndProject" in p
+        and "LeftSemi" in p
+        and "CartesianProduct" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_terms_enum",
+        "terms_enum: index_filter pushes to the scan, one "
+        "hash-DISTINCT, TakeOrderedAndProject — never a count, never "
+        "a second scan",
+        lambda p: re.search(r"PushedFilters: \[.*lang", p)
+        and "* HashAggregate" in p
+        and "TakeOrderedAndProject" in p
+        and "Python" not in p,
+    ),
 ]
 
 
