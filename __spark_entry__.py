@@ -3336,6 +3336,78 @@ def _q_es_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pinned_topk(docs, [42, 7, 400], ["merge", "vector"], k=12)
 
 
+def _q_es_rule_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rule query — query rules, 8.10+ (search.rule_query_topk):
+    a two-rule ruleset evaluated against the request's match_criteria
+    driver-side (rulesets are control-plane metadata): rule 1 (exact
+    segment match) pins [42, 7]; rule 2 (prefix on the query string)
+    excludes doc 400 even though it ranks organically.  Resolved
+    actions ride the pinned plan: broadcast literal pins, organic
+    anti-join, one TakeOrderedAndProject."""
+    from monstache_spark.operators.search import rule_query_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    ruleset = [
+        {"criteria": [{"type": "exact", "metadata": "user_segment",
+                       "values": ["pro"]}],
+         "actions": {"pinned_ids": [42, 7]}},
+        {"criteria": [{"type": "prefix", "metadata": "query_string",
+                       "values": ["merge"]}],
+         "actions": {"excluded_ids": [400]}},
+        {"criteria": [{"type": "exact", "metadata": "user_segment",
+                       "values": ["free"]}],
+         "actions": {"pinned_ids": [999]}},  # non-matching rule: inert
+    ]
+    return rule_query_topk(
+        docs, ruleset,
+        {"user_segment": "pro", "query_string": "merge vector"},
+        ["merge", "vector"], k=12,
+    )
+
+
+def _q_es_cartesian_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cartesian_bounds + cartesian_centroid (geo.cartesian_bounds
+    / cartesian_centroid — the xy twins of geo_bounds/geo_centroid):
+    per market segment the planar bounding box and the exact-decimal
+    mean point of the synthesized xy coordinates.  Two hash aggs
+    joined on the group key (bucket-cardinality join)."""
+    from monstache_spark.operators.geo import (
+        cartesian_bounds,
+        cartesian_centroid,
+    )
+
+    c = _geo_customers(spark, sf_dir)
+    pts = c.select(
+        "c_mktsegment",
+        F.col("lon").alias("x"), F.col("lat").alias("y"),
+    )
+    b = cartesian_bounds(pts, "x", "y", ["c_mktsegment"])
+    cen = cartesian_centroid(pts, "x", "y", ["c_mktsegment"]).drop("doc_count")
+    return b.join(cen, "c_mktsegment")
+
+
+def _q_es_extended_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats_bucket sibling pipeline agg
+    (aggs.extended_stats_bucket): stats + sum_of_squares / variance /
+    std_deviation ACROSS the daily sums — exact-decimal moment sums,
+    negative-cancellation clamp, correctly-rounded IEEE sqrt (no libm
+    contract)."""
+    from monstache_spark.operators.aggs import (
+        compile_aggs,
+        extended_stats_bucket,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = compile_aggs(
+        ev,
+        {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"total": {"sum": {"field": "value"}}},
+        }},
+    )
+    return extended_stats_bucket(daily, "total")
+
+
 def _q_es_mlt_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-document more-like-this with a negative example
     (search.more_like_this like=[0,1], unlike=[2]): term frequencies
@@ -5697,6 +5769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_enrich": _q_es_esql_enrich,
         "es_terms_enum": _q_es_terms_enum,
         "es_field_caps": _q_es_field_caps,
+        "es_rule_query": _q_es_rule_query,
+        "es_cartesian_stats": _q_es_cartesian_stats,
+        "es_extended_stats_bucket": _q_es_extended_stats_bucket,
         "es_termvectors": _q_es_termvectors,
         "es_rank_vectors_maxsim": _q_es_rank_vectors_maxsim,
         "es_linear_retriever": _q_es_linear_retriever,
@@ -5944,6 +6019,9 @@ _GATE_WINDOW = [
     "es_esql_enrich",
     "es_terms_enum",
     "es_field_caps",
+    "es_rule_query",
+    "es_cartesian_stats",
+    "es_extended_stats_bucket",
     # earlier round-8 waves, never gated — S2-closing slop, Porter,
     # span completion, the modern-ES API cohort; the remainder of
     # the round-8 cohort rotates into the next round's window
@@ -7359,6 +7437,79 @@ def oracle_sql() -> dict[str, str]:
             FROM u
           )
           SELECT doc_id, pinned, score, rank FROM fin WHERE rank <= 12
+        """,
+        "es_rule_query": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector')")},
+          pins(pos, pid) AS (VALUES (0, 42), (1, 7)),
+          p AS (
+            SELECT d.doc_id, TRUE AS pinned, CAST(NULL AS DOUBLE) AS score,
+                   pins.pos AS sort_pos
+            FROM documents d JOIN pins ON d.doc_id = pins.pid
+          ),
+          o AS (
+            SELECT s.doc_id, FALSE AS pinned, s.score,
+                   CAST(NULL AS INTEGER) AS sort_pos
+            FROM scored s
+            WHERE s.doc_id NOT IN (SELECT pid FROM pins)
+              AND s.doc_id <> 400
+          ),
+          u AS (SELECT * FROM p UNION ALL SELECT * FROM o),
+          fin AS (
+            SELECT doc_id, pinned, score,
+                   CAST(row_number() OVER (
+                     ORDER BY pinned DESC, sort_pos ASC NULLS LAST,
+                              score DESC NULLS LAST, doc_id ASC) AS BIGINT) AS rank
+            FROM u
+          )
+          SELECT doc_id, pinned, score, rank FROM fin WHERE rank <= 12
+        """,
+        "es_cartesian_stats": f"""
+          WITH pts AS (
+            SELECT c_mktsegment, {_GEO_LON_SQL} AS x, {_GEO_LAT_SQL} AS y
+            FROM customer
+          )
+          SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS doc_count,
+                 min(x) AS min_x, max(x) AS max_x,
+                 min(y) AS min_y, max(y) AS max_y,
+                 round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS centroid_x,
+                 round(CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS centroid_y
+          FROM pts WHERE c_mktsegment IS NOT NULL GROUP BY 1
+        """,
+        "es_extended_stats_bucket": """
+          WITH daily AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+            FROM events WHERE ts IS NOT NULL GROUP BY 1
+          )
+          SELECT CAST(count(total) AS BIGINT) AS total_bucket_count,
+                 min(total) AS total_bucket_min,
+                 max(total) AS total_bucket_max,
+                 CAST(sum(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+                   / CAST(count(total) AS DOUBLE) AS total_bucket_avg,
+                 CAST(sum(CAST(total AS DECIMAL(38,6))) AS DOUBLE) AS total_bucket_sum,
+                 CAST(sum(CAST(CAST(total AS DECIMAL(38,6))
+                               * CAST(total AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE)
+                   AS total_bucket_sum_of_squares,
+                 round(greatest(
+                   CAST(sum(CAST(CAST(total AS DECIMAL(38,6))
+                                 * CAST(total AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(count(total) AS DOUBLE)
+                   - (CAST(sum(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(count(total) AS DOUBLE))
+                     * (CAST(sum(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+                        / CAST(count(total) AS DOUBLE)), 0.0), 6) AS total_bucket_variance,
+                 round(sqrt(greatest(
+                   CAST(sum(CAST(CAST(total AS DECIMAL(38,6))
+                                 * CAST(total AS DECIMAL(38,6)) AS DECIMAL(38,6))) AS DOUBLE)
+                     / CAST(count(total) AS DOUBLE)
+                   - (CAST(sum(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+                      / CAST(count(total) AS DOUBLE))
+                     * (CAST(sum(CAST(total AS DECIMAL(38,6))) AS DOUBLE)
+                        / CAST(count(total) AS DOUBLE)), 0.0)), 6) AS total_bucket_std_deviation
+          FROM daily
         """,
         "es_mlt_multi": f"""
           WITH all_toks AS (

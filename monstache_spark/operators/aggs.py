@@ -1586,6 +1586,41 @@ def stats_bucket(
     return g.agg(*aggs)
 
 
+def extended_stats_bucket(
+    buckets: DataFrame,
+    value_col: str,
+    parent_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES sibling pipeline agg ``extended_stats_bucket``:
+    :func:`stats_bucket` plus sum_of_squares / variance /
+    std_deviation across the sibling buckets — same exact-decimal
+    moment sums and negative-cancellation clamp as the
+    ``extended_stats`` metric (population variance, correctly-rounded
+    IEEE sqrt — engine-exact, no libm contract).  One hash agg over
+    bucket-cardinality rows.
+    """
+    v = F.col(value_col)
+    dec = v.cast("decimal(38,6)")
+    exact_sum = F.sum(dec).cast("double")
+    sos = F.sum((dec * dec).cast("decimal(38,6)")).cast("double")
+    n = F.count(v).cast("double")
+    mean = exact_sum / n
+    variance = F.greatest(sos / n - mean * mean, F.lit(0.0))
+    p = value_col
+    aggs = [
+        F.count(v).cast("long").alias(f"{p}_bucket_count"),
+        F.min(v.cast("double")).alias(f"{p}_bucket_min"),
+        F.max(v.cast("double")).alias(f"{p}_bucket_max"),
+        mean.alias(f"{p}_bucket_avg"),
+        exact_sum.alias(f"{p}_bucket_sum"),
+        sos.alias(f"{p}_bucket_sum_of_squares"),
+        F.round(variance, 6).alias(f"{p}_bucket_variance"),
+        F.round(F.sqrt(variance), 6).alias(f"{p}_bucket_std_deviation"),
+    ]
+    g = buckets.groupBy(*parent_cols) if parent_cols else buckets.groupBy()
+    return g.agg(*aggs)
+
+
 def percentiles_bucket(
     buckets: DataFrame,
     value_col: str,

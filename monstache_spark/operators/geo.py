@@ -423,6 +423,53 @@ def geohex_grid(
     return out
 
 
+def cartesian_bounds(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES ``cartesian_bounds`` aggregation — the xy twin of
+    :func:`geo_bounds`: the pure min/max bounding box of planar
+    points (no wrap, no rounding contract).  One hash agg."""
+    g = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    gb = g.groupBy(*group_cols) if group_cols else g.groupBy()
+    return gb.agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.min(x_col).alias("min_x"),
+        F.max(x_col).alias("max_x"),
+        F.min(y_col).alias("min_y"),
+        F.max(y_col).alias("max_y"),
+    )
+
+
+def cartesian_centroid(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """ES ``cartesian_centroid`` — the xy twin of :func:`geo_centroid`:
+    per group the arithmetic mean point, accumulated in exact decimal
+    so the centroid is partitioning-independent, rounded at
+    ``decimals``.  One hash agg."""
+    g = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    gb = g.groupBy(*group_cols) if group_cols else g.groupBy()
+    n = F.count("*").cast("double")
+    return gb.agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(
+            F.sum(F.col(x_col).cast("decimal(38,6)")).cast("double") / n,
+            decimals,
+        ).alias("centroid_x"),
+        F.round(
+            F.sum(F.col(y_col).cast("decimal(38,6)")).cast("double") / n,
+            decimals,
+        ).alias("centroid_y"),
+    )
+
+
 def polygon_predicate(lat: Column, lon: Column, points) -> Column:
     """ES ``geo_polygon`` query: point-in-polygon by the crossing
     (even-odd) rule — for each edge whose latitude span straddles the

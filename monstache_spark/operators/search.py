@@ -2561,6 +2561,7 @@ def pinned_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer=None,
+    excluded_ids: list | None = None,
 ) -> DataFrame:
     """ES ``pinned`` query: the listed ids rank FIRST, in the given
     order and regardless of relevance (the curated-results /
@@ -2604,6 +2605,12 @@ def pinned_topk(
         )
     )
     allrows = pinned_rows.unionByName(organic)
+    if excluded_ids:
+        # rule-query exclusion: dropped from RESULTS before the k-cut;
+        # corpus statistics stay index-wide, as in ES
+        allrows = allrows.filter(
+            ~F.col(id_col).isin(list(excluded_ids))
+        )
     order = [
         F.col("pinned").desc(),
         F.col("_sort_pos").asc_nulls_last(),
@@ -2615,6 +2622,89 @@ def pinned_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long")).drop(
         "_sort_pos"
     )
+
+
+_RULE_CRITERIA = {
+    "exact": lambda actual, v: actual == v,
+    "prefix": lambda actual, v: isinstance(actual, str)
+    and actual.startswith(str(v)),
+    "suffix": lambda actual, v: isinstance(actual, str)
+    and actual.endswith(str(v)),
+    "contains": lambda actual, v: isinstance(actual, str) and str(v) in actual,
+    "gt": lambda actual, v: actual is not None and actual > v,
+    "gte": lambda actual, v: actual is not None and actual >= v,
+    "lt": lambda actual, v: actual is not None and actual < v,
+    "lte": lambda actual, v: actual is not None and actual <= v,
+    "always": lambda actual, v: True,
+}
+
+
+def rule_query_topk(
+    docs: DataFrame,
+    ruleset: list[dict],
+    match_criteria: dict,
+    organic_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer=None,
+) -> DataFrame:
+    """ES ``rule`` query (query rules, 8.10+ — the generalization of
+    ``pinned``): a RULESET of rules, each carrying ``criteria``
+    (metadata predicates evaluated against the request's
+    ``match_criteria``) and actions (``pinned_ids`` rank first in rule
+    order, ``excluded_ids`` drop even when organic).  EVERY matching
+    rule applies, in ruleset order; a doc both pinned and excluded is
+    excluded (ES applies exclusion last).  Criteria types: exact /
+    prefix / suffix / contains / gt(e) / lt(e) / always — unknown
+    types RAISE rather than silently not matching.
+
+    The ruleset is control-plane metadata (ES stores it via the query
+    rules API), so criteria evaluate driver-side in plain Python; the
+    resolved pin/exclude lists then ride the ``pinned`` plan — literal
+    broadcast pins, organic anti-join, one TakeOrderedAndProject.
+    """
+    pinned: list = []
+    excluded: set = set()
+    for rule in ruleset:
+        ok = True
+        for c in rule.get("criteria", []):
+            ctype = c.get("type", "exact")
+            if ctype not in _RULE_CRITERIA:
+                raise ValueError(f"unsupported rule criteria type: {ctype}")
+            actual = match_criteria.get(c.get("metadata"))
+            values = c.get("values", [None])
+            if not any(_RULE_CRITERIA[ctype](actual, v) for v in values):
+                ok = False
+                break
+        if not ok:
+            continue
+        acts = rule.get("actions", {})
+        for pid in acts.get("pinned_ids", []) or acts.get("ids", []):
+            if pid not in pinned:
+                pinned.append(pid)
+        excluded.update(acts.get("excluded_ids", []))
+    pinned = [p for p in pinned if p not in excluded]
+    if pinned:
+        return pinned_topk(
+            docs, pinned, organic_terms, k=k,
+            text_col=text_col, id_col=id_col, analyzer=analyzer,
+            excluded_ids=sorted(excluded),
+        )
+    # exclusion-only ruleset: index-wide BM25 stats, excluded ids
+    # dropped from the scored frame BEFORE the k-cut
+    scored = _bm25_scored(
+        docs, organic_terms, 1.2, 0.75, text_col, id_col, analyzer
+    )
+    if excluded:
+        scored = scored.filter(~F.col(id_col).isin(sorted(excluded)))
+    ranked = scored.orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.select(
+        F.col(id_col), F.lit(False).alias("pinned"), "score"
+    ).withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def distance_feature_topk(

@@ -1488,3 +1488,21 @@ def test_transform_latest_whole_rows(spark):
     assert out["k1"]["id"] == 3 and out["k1"]["payload"] == "tie-high-id"
     assert out["k2"]["id"] == 4
     assert set(out["k1"].asDict()) == {"id", "key", "ts", "payload"}
+
+
+def test_extended_stats_bucket_moments(spark):
+    from monstache_spark.operators.aggs import extended_stats_bucket
+
+    buckets = spark.createDataFrame(
+        [("a", 2.0), ("b", 4.0), ("c", 4.0), ("d", 4.0), ("e", 5.0),
+         ("f", 5.0), ("g", 7.0), ("h", 9.0)],
+        "k string, m double",
+    )
+    r = extended_stats_bucket(buckets, "m").collect()[0]
+    # classic example: variance 4, std 2
+    assert (r["m_bucket_count"], r["m_bucket_avg"]) == (8, 5.0)
+    assert r["m_bucket_variance"] == 4.0 and r["m_bucket_std_deviation"] == 2.0
+    # constant buckets clamp to exactly 0, never NaN
+    one = spark.createDataFrame([("a", 3.0), ("b", 3.0)], "k string, m double")
+    r = extended_stats_bucket(one, "m").collect()[0]
+    assert r["m_bucket_variance"] == 0.0 and r["m_bucket_std_deviation"] == 0.0

@@ -401,3 +401,17 @@ def test_geo_grid_geohex_key(spark):
     got = {r["id"] for r in bool_query_filter(
         df, {"geo_grid": {"loc": {"geohex": key}}}).collect()}
     assert 1 in got and 3 not in got
+
+
+def test_cartesian_bounds_and_centroid(spark):
+    from monstache_spark.operators.geo import cartesian_bounds, cartesian_centroid
+
+    df = spark.createDataFrame(
+        [("a", 0.0, 0.0), ("a", 4.0, 2.0), ("b", -1.0, -1.0), ("b", None, 5.0)],
+        "g string, x double, y double",
+    )
+    b = {r["g"]: r for r in cartesian_bounds(df, "x", "y", ["g"]).collect()}
+    assert (b["a"]["min_x"], b["a"]["max_x"], b["a"]["min_y"], b["a"]["max_y"]) == (0.0, 4.0, 0.0, 2.0)
+    assert b["b"]["doc_count"] == 1  # null-x row drops
+    c = {r["g"]: r for r in cartesian_centroid(df, "x", "y", ["g"]).collect()}
+    assert (c["a"]["centroid_x"], c["a"]["centroid_y"]) == (2.0, 1.0)

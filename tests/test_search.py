@@ -2301,3 +2301,47 @@ def test_field_caps_type_mapping(spark):
     # array element type with multi_value; array<struct> is nested
     assert rows["arr"][2:] == ("double", True, True, True)
     assert rows["items"][2] == "nested" and rows["items"][4] is False
+
+
+def test_rule_query_criteria_and_actions(spark):
+    from monstache_spark.operators.search import rule_query_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha"), (3, "beta"), (4, "alpha beta alpha")],
+        "doc_id long, text string",
+    )
+    ruleset = [
+        {"criteria": [{"type": "exact", "metadata": "seg", "values": ["pro"]}],
+         "actions": {"pinned_ids": [3]}},
+        {"criteria": [{"type": "contains", "metadata": "q", "values": ["alp"]}],
+         "actions": {"excluded_ids": [4]}},
+        {"criteria": [{"type": "gt", "metadata": "tier", "values": [5]}],
+         "actions": {"pinned_ids": [999]}},  # tier 3: inert
+    ]
+    out = rule_query_topk(
+        docs, ruleset, {"seg": "pro", "q": "alpha", "tier": 3},
+        ["alpha"], k=10,
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 3 and out[0]["pinned"]           # pinned first
+    assert 4 not in ids                                # excluded organically
+    assert set(ids) == {3, 1, 2}
+    # exclusion-only path keeps index-wide stats and fills to k
+    out2 = rule_query_topk(
+        docs, [{"criteria": [{"type": "always"}],
+                "actions": {"excluded_ids": [2]}}],
+        {}, ["alpha"], k=10,
+    ).collect()
+    assert [r["doc_id"] for r in out2] == [1, 4] or set(
+        r["doc_id"] for r in out2) == {1, 4}
+    # doc both pinned and excluded is excluded (ES applies exclusion last)
+    out3 = rule_query_topk(
+        docs, [{"criteria": [{"type": "always"}],
+                "actions": {"pinned_ids": [2], "excluded_ids": [2]}}],
+        {}, ["alpha"], k=10,
+    ).collect()
+    assert 2 not in [r["doc_id"] for r in out3]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="criteria type"):
+        rule_query_topk(docs, [{"criteria": [{"type": "soundex"}]}], {}, ["a"])
