@@ -4307,6 +4307,24 @@ def _q_es_graph_explore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_graph_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES Graph explore with use_significance — ES's DEFAULT vertex
+    weighting (graph.graph_explore use_significance=True): vertices
+    rank by the JLH score of the value in the seed set vs the whole
+    frame (the significant_terms formula, exact IEEE 6 dp) computed
+    over FULL counts rather than ES's sample (the S29 determinism
+    refinement); connections stay exact co-occurrence."""
+    from monstache_spark.operators.graph import graph_explore
+
+    ev = load_table(spark, "events", sf_dir)
+    return graph_explore(
+        ev,
+        {"range": {"value": {"gte": 100}}},
+        [{"field": "event_type", "size": 3}, {"field": "user_id", "size": 5}],
+        use_significance=True,
+    )
+
+
 def _q_es_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_range aggregation (aggs._multi_membership_keys
     'date_range'): half-open [from, to) buckets whose endpoints are
@@ -5765,6 +5783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_date_range": _q_es_date_range,
         "es_filters_other": _q_es_filters_other,
         "es_graph_explore": _q_es_graph_explore,
+        "es_graph_significance": _q_es_graph_significance,
         "es_esql_pipeline": _q_es_esql_pipeline,
         "es_esql_enrich": _q_es_esql_enrich,
         "es_terms_enum": _q_es_terms_enum,
@@ -6015,6 +6034,7 @@ _GATE_WINDOW = [
     "es_date_range",
     "es_filters_other",
     "es_graph_explore",
+    "es_graph_significance",
     "es_esql_pipeline",
     "es_esql_enrich",
     "es_terms_enum",
@@ -8882,6 +8902,63 @@ def oracle_sql() -> dict[str, str]:
                  o_orderpriority, seg
           FROM f GROUP BY o_orderpriority, seg
           ORDER BY n DESC, o_orderpriority ASC, seg ASC LIMIT 5
+        """,
+        "es_graph_significance": """
+          WITH fl AS (
+            SELECT event_type, user_id,
+                   CASE WHEN value >= 100 THEN 1 ELSE 0 END AS fg
+            FROM events
+          ),
+          tot AS (
+            SELECT CAST(sum(fg) AS DOUBLE) AS fg_total,
+                   CAST(count(*) AS DOUBLE) AS bg_total
+            FROM fl
+          ),
+          vt AS (
+            SELECT term, weight FROM (
+              SELECT CAST(event_type AS VARCHAR) AS term,
+                     round((CAST(sum(fg) AS DOUBLE) / tot.fg_total
+                            - CAST(count(*) AS DOUBLE) / tot.bg_total)
+                           * ((CAST(sum(fg) AS DOUBLE) / tot.fg_total)
+                              / (CAST(count(*) AS DOUBLE) / tot.bg_total)), 6) AS weight
+              FROM fl CROSS JOIN tot
+              WHERE event_type IS NOT NULL
+              GROUP BY event_type, tot.fg_total, tot.bg_total
+              HAVING sum(fg) >= 1
+            ) QUALIFY row_number() OVER (ORDER BY weight DESC, term ASC) <= 3
+          ),
+          vu AS (
+            SELECT term, weight FROM (
+              SELECT CAST(user_id AS VARCHAR) AS term,
+                     round((CAST(sum(fg) AS DOUBLE) / tot.fg_total
+                            - CAST(count(*) AS DOUBLE) / tot.bg_total)
+                           * ((CAST(sum(fg) AS DOUBLE) / tot.fg_total)
+                              / (CAST(count(*) AS DOUBLE) / tot.bg_total)), 6) AS weight
+              FROM fl CROSS JOIN tot
+              WHERE user_id IS NOT NULL
+              GROUP BY user_id, tot.fg_total, tot.bg_total
+              HAVING sum(fg) >= 1
+            ) QUALIFY row_number() OVER (ORDER BY weight DESC, term ASC) <= 5
+          ),
+          conn AS (
+            SELECT CAST(event_type AS VARCHAR) AS term,
+                   CAST(user_id AS VARCHAR) AS term2,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM events
+            WHERE value >= 100 AND event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1, 2
+          )
+          SELECT 'vertex' AS kind, 'event_type' AS field, term,
+                 CAST(NULL AS VARCHAR) AS field2, CAST(NULL AS VARCHAR) AS term2,
+                 weight
+          FROM vt
+          UNION ALL
+          SELECT 'vertex', 'user_id', term, NULL, NULL, weight FROM vu
+          UNION ALL
+          SELECT 'connection', 'event_type', c.term, 'user_id', c.term2, c.weight
+          FROM conn c
+          WHERE c.term IN (SELECT term FROM vt)
+            AND c.term2 IN (SELECT term FROM vu)
         """,
         "es_graph_explore": """
           WITH seed AS (SELECT event_type, user_id FROM events WHERE value >= 100),

@@ -42,27 +42,75 @@ def graph_explore(
     vertices: list[dict],
     min_doc_count: int = 1,
     analyzer=None,
+    use_significance: bool = False,
 ) -> DataFrame:
     """Explore one hop: ``vertices`` is the ES request's vertex spec
     list — ``[{"field": ..., "size": N}, ...]`` (2+ fields; connections
-    are computed for every field pair in list order)."""
+    are computed for every field pair in list order).
+
+    ``use_significance=True`` ranks vertices by the JLH significance
+    score of the value in the seed set versus the whole frame —
+    ``(fg% − bg%)·(fg%/bg%)``, the same exact-IEEE 6-dp formula as
+    ``significant_terms`` — which is ES's DEFAULT vertex weighting
+    (computed here over the FULL seed/background counts rather than
+    ES's sample, the S29 determinism refinement); ``weight`` is then
+    the score (double).  ``False`` ranks by plain seed doc count —
+    ES's ``use_significance: false`` mode, bit for bit.
+    """
     if len(vertices) < 2:
         raise ValueError("graph explore needs at least 2 vertex fields")
-    seed = df
-    if seed_query is not None:
-        seed = seed.filter(compile_bool_query(seed_query, analyzer=analyzer))
+    seed_pred = (
+        compile_bool_query(seed_query, analyzer=analyzer)
+        if seed_query is not None
+        else F.lit(True)
+    )
+    seed = df.filter(seed_pred)
+    flagged = df.withColumn(
+        "_fg", F.when(seed_pred, F.lit(1)).otherwise(F.lit(0))
+    )
+    totals = flagged.agg(
+        F.sum("_fg").cast("double").alias("_fg_total"),
+        F.count("*").cast("double").alias("_bg_total"),
+    )
     vertex_frames = []
     kept = {}
     for spec in vertices:
         field, size = spec["field"], int(spec.get("size", 10))
-        v = (
-            seed.filter(F.col(field).isNotNull())
-            .groupBy(F.col(field).cast("string").alias("term"))
-            .agg(F.count("*").cast("long").alias("weight"))
-            .filter(F.col("weight") >= F.lit(int(min_doc_count)))
-            .orderBy(F.col("weight").desc(), F.col("term").asc())
-            .limit(size)
-        )
+        if use_significance:
+            counts = (
+                flagged.filter(F.col(field).isNotNull())
+                .groupBy(F.col(field).cast("string").alias("term"))
+                .agg(
+                    F.sum("_fg").cast("long").alias("_fg_count"),
+                    F.count("*").cast("long").alias("_bg_count"),
+                )
+                .filter(F.col("_fg_count") >= F.lit(int(min_doc_count)))
+            )
+            n11 = F.col("_fg_count").cast("double")
+            n_1 = F.col("_bg_count").cast("double")
+            n1_ = F.col("_fg_total")
+            N = F.col("_bg_total")
+            v = (
+                counts.crossJoin(F.broadcast(totals))
+                .withColumn(
+                    "weight",
+                    F.round(
+                        (n11 / n1_ - n_1 / N) * ((n11 / n1_) / (n_1 / N)), 6
+                    ),
+                )
+                .select("term", "weight")
+                .orderBy(F.col("weight").desc(), F.col("term").asc())
+                .limit(size)
+            )
+        else:
+            v = (
+                seed.filter(F.col(field).isNotNull())
+                .groupBy(F.col(field).cast("string").alias("term"))
+                .agg(F.count("*").cast("long").alias("weight"))
+                .filter(F.col("weight") >= F.lit(int(min_doc_count)))
+                .orderBy(F.col("weight").desc(), F.col("term").asc())
+                .limit(size)
+            )
         kept[field] = v.select("term")
         vertex_frames.append(
             v.select(
@@ -94,6 +142,11 @@ def graph_explore(
                 "term2",
                 "leftsemi",
             )
+            w = (
+                F.col("weight").cast("double")
+                if use_significance
+                else F.col("weight")
+            )
             conn_frames.append(
                 pairs.select(
                     F.lit("connection").alias("kind"),
@@ -101,7 +154,7 @@ def graph_explore(
                     "term",
                     F.lit(fj).alias("field2"),
                     "term2",
-                    "weight",
+                    w.alias("weight"),
                 )
             )
     out = vertex_frames[0]

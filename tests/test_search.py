@@ -2345,3 +2345,24 @@ def test_rule_query_criteria_and_actions(spark):
 
     with _pt.raises(ValueError, match="criteria type"):
         rule_query_topk(docs, [{"criteria": [{"type": "soundex"}]}], {}, ["a"])
+
+
+def test_graph_explore_significance_mode(spark):
+    from monstache_spark.operators.graph import graph_explore
+
+    # 'rare' appears in 2 of 2 seed docs but only 2 of 10 overall ->
+    # high JLH; 'common' is everywhere -> low
+    rows = [(i, "common" if i > 2 else "rare", "u", 10.0 if i <= 2 else 1.0)
+            for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "id long, f1 string, f2 string, v double")
+    out = graph_explore(
+        df, {"range": {"v": {"gte": 5}}},
+        [{"field": "f1", "size": 2}, {"field": "f2", "size": 2}],
+        use_significance=True,
+    ).collect()
+    vts = {r["term"]: r["weight"] for r in out
+           if r["kind"] == "vertex" and r["field"] == "f1"}
+    # jlh(rare) = (1 - 0.2) * (1 / 0.2) = 4.0; common has fg 0 -> filtered
+    assert vts == {"rare": 4.0}
+    conns = [r for r in out if r["kind"] == "connection"]
+    assert all(isinstance(r["weight"], float) for r in conns)
