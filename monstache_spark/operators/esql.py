@@ -227,6 +227,15 @@ def esql(
             bm = re.split(r"\bBY\b", body, maxsplit=1, flags=re.I)
             aggs = []
             for i, (nm, sql) in enumerate(_named_exprs(bm[0])):
+                # ES|QL 8.16 per-aggregate filters: `AGG(x) WHERE cond`
+                # maps onto the ANSI aggregate FILTER clause both
+                # engines implement
+                parts = re.split(r"\bWHERE\b", sql, maxsplit=1, flags=re.I)
+                if len(parts) == 2:
+                    sql = (
+                        f"{parts[0].strip()} FILTER "
+                        f"(WHERE {parts[1].strip()})"
+                    )
                 aggs.append(
                     F.expr(_tr_expr(sql)).alias(nm or f"agg{i}")
                 )

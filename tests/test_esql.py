@@ -103,3 +103,12 @@ def test_enrich_lookup_join_dissect(spark, t):
         esql('FROM logs | DISSECT line "static"', {"logs": logs})
     with pytest.raises(ValueError, match="GROK"):
         esql('FROM logs | GROK line "%{NUMBER:n}"', {"logs": logs})
+
+
+def test_stats_per_agg_where_filter(t):
+    out = esql(
+        'FROM t | STATS n_a = COUNT(*) WHERE k == "a",'
+        ' hi = MAX(v) WHERE v < 15, n = COUNT(*)',
+        {"t": t},
+    ).collect()[0]
+    assert (out["n_a"], out["hi"], out["n"]) == (2, 10.0, 3)
