@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 from monstache_spark.operators.search import compile_bool_query
 
-_PACK = 1_000_000_000  # id occupies the low 9 decimal digits
+# id occupies the low 9 decimal digits of the packed ordering key —
+# the top_metrics packing contract: 0 <= id < 10^9, else ids bleed
+# into the microsecond digits and can reorder events whose timestamps
+# differ by less than id/10^9 seconds (aggs.top_metrics documents the
+# same precondition; re-key ids into a dense range if yours exceed it)
+_PACK = 1_000_000_000
 
 
 def _pack(ts, id_col):

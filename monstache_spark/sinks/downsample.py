@@ -124,6 +124,8 @@ class DownsampleTable:
             shutil.rmtree(old_dir, ignore_errors=True)
 
     # -- rollup arithmetic --------------------------------------------
+    # the packed ordering key carries the top_metrics precondition:
+    # 0 <= id < 10^9 (ids above that bleed into the microsecond digits)
     def _pack(self):
         return (
             F.unix_micros(F.col(self.ts_col)).cast("decimal(38,0)")
