@@ -4100,16 +4100,19 @@ def _q_es_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard-negative mining
-    (similarity.hard_negatives): per anchor the top-3 most similar
-    other vectors with rounded cosine in [0.25, 0.95) — hard for the
-    model, below the SemDeDup near-duplicate band.  Exact all-pairs
-    baseline with the band filter pruning before the per-anchor
-    window; the 100 TB path band-filters knn_join_pq's co-bucket
-    candidates instead."""
+    (similarity.hard_negatives): for a 25% anchor sample (the
+    realistic shape — negatives are mined for a training-query set),
+    the top-3 most similar other vectors with rounded cosine in
+    [0.25, 0.95) — hard for the model, below the SemDeDup
+    near-duplicate band.  Both sides pre-normalize ONCE (staged
+    through their exchanges so projection collapse can't re-inline
+    the norms), leaving one dot fold per pair; the 100 TB path
+    band-filters knn_join_pq's co-bucket candidates instead."""
     from monstache_spark.operators.similarity import hard_negatives
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return hard_negatives(emb, k=3, band=(0.25, 0.95))
+    anchors = emb.filter(F.col("vec_id") % 4 == 0)
+    return hard_negatives(emb, k=3, band=(0.25, 0.95), anchors=anchors)
 
 
 def _q_es_transform_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8726,10 +8729,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hard_negatives": f"""
           WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          u AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt({_dot_sql('v', 'v')}) > 0
+                        THEN list_transform(v, x -> x / sqrt({_dot_sql('v', 'v')}))
+                        ELSE list_transform(v, x -> x * 0.0) END AS v
+            FROM e
+          ),
           p AS (
             SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
-                   {_cos_sql('a.v', 'b.v')} AS score
-            FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id
+                   round({_dot_sql('a.v', 'b.v')}, 6) AS score
+            FROM u a CROSS JOIN u b
+            WHERE a.vec_id <> b.vec_id AND a.vec_id % 4 = 0
           ),
           f AS (SELECT * FROM p WHERE score >= 0.25 AND score < 0.95)
           SELECT anchor_id, negative_id, score,
