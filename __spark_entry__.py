@@ -4227,6 +4227,25 @@ def _q_es_esql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANALYZE_TEXTS = [
+    "The Quick brown foxes running and the lazy dogs",
+    "a vectorized hash join merges sorted batches",
+]
+
+
+def _q_es_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _analyze API (search.analyze_api): the token stream the
+    configured English analyzer produces for two literal texts —
+    (text_id, token, position) under Lucene position-increment
+    semantics (removed stop words leave gaps).  The tokens come from
+    the SAME Analyzer.tokens_pos expression every search operator
+    compiles, so the result is what match/phrase/BM25 actually see;
+    the oracle inlines the identical chain via sql_tokens_pos."""
+    from monstache_spark.operators.search import analyze_api
+
+    return analyze_api(spark, _ANALYZE_TEXTS, analyzer=_ENGLISH_AN)
+
+
 def _q_es_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _terms_enum API (search.terms_enum): keyword-field
     autocomplete — the first 5 distinct sources starting with 'src1'
@@ -4325,6 +4344,65 @@ def _q_es_graph_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"range": {"value": {"gte": 100}}},
         [{"field": "event_type", "size": 3}, {"field": "user_id", "size": 5}],
         use_significance=True,
+    )
+
+
+def _q_stream_eql_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EQL sequence alerts (streaming/eql.eql_sequence_stream
+    — applyInPandasWithState): the same head-greedy contract as the
+    batch operator, run as a per-key state machine over a REAL
+    3-micro-batch stream (file source split ALONG TIME — the
+    append-log arrival order the detector's contract requires);
+    in-flight chains live in keyed state, completed chains emit as
+    alerts, expired chains prune against the key's frontier.  The
+    collected alert stream must hash-match the batch oracle —
+    restatement equality across the stream/batch boundary."""
+    import shutil
+
+    from monstache_spark.streaming.eql import eql_sequence_stream
+
+    ev = load_table(spark, "events", sf_dir)
+    base = tempfile.mkdtemp(prefix="monstache_seql_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    cuts = [
+        ("b1", F.col("ts") < F.lit("2024-01-11").cast("timestamp")),
+        ("b2", (F.col("ts") >= F.lit("2024-01-11").cast("timestamp"))
+               & (F.col("ts") < F.lit("2024-01-21").cast("timestamp"))),
+        ("b3", F.col("ts") >= F.lit("2024-01-21").cast("timestamp")),
+    ]
+    for name, cond in cuts:
+        scratch = os.path.join(base, f"w{name}")
+        ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        shutil.copyfile(
+            os.path.join(scratch, part), os.path.join(src, f"{name}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    alerts = eql_sequence_stream(
+        stream,
+        [{"term": {"event_type": "view"}},
+         {"term": {"event_type": "click"}},
+         {"term": {"event_type": "purchase"}}],
+        by="user_id", maxspan_s=86400,
+    )
+    sink = os.path.join(base, "alerts")
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.col("k").cast("long").alias("user_id"),
+        "t1", "id1", "t2", "id2", "t3", "id3", "span_s",
     )
 
 
@@ -5791,6 +5869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_enrich": _q_es_esql_enrich,
         "es_terms_enum": _q_es_terms_enum,
         "es_field_caps": _q_es_field_caps,
+        "es_analyze": _q_es_analyze,
         "es_rule_query": _q_es_rule_query,
         "es_cartesian_stats": _q_es_cartesian_stats,
         "es_extended_stats_bucket": _q_es_extended_stats_bucket,
@@ -5798,6 +5877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_rank_vectors_maxsim": _q_es_rank_vectors_maxsim,
         "es_linear_retriever": _q_es_linear_retriever,
         "es_eql_sequence": _q_es_eql_sequence,
+        "stream_eql_alerts": _q_stream_eql_alerts,
         "hard_negatives": _q_hard_negatives,
         "es_transform_latest": _q_es_transform_latest,
         "es_random_sampler": _q_es_random_sampler,
@@ -6032,6 +6112,8 @@ _GATE_WINDOW = [
     "es_linear_retriever",
     "es_eql_sequence",
     "hard_negatives",
+    "stream_eql_alerts",
+    "es_analyze",
     "es_transform_latest",
     "stream_downsample",
     "es_date_range",
@@ -8727,6 +8809,47 @@ def oracle_sql() -> dict[str, str]:
                  round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s
           FROM e3
         """,
+        "stream_eql_alerts": """
+          WITH s1 AS (
+            SELECT user_id AS k, ts AS t1, event_id AS id1,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p1
+            FROM events WHERE event_type = 'view'
+          ),
+          s2 AS (
+            SELECT user_id AS k, ts AS t2, event_id AS id2,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p2
+            FROM events WHERE event_type = 'click'
+          ),
+          s3 AS (
+            SELECT user_id AS k, ts AS t3, event_id AS id3,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p3
+            FROM events WHERE event_type = 'purchase'
+          ),
+          j2 AS (
+            SELECT s1.k, s1.t1, s1.id1, min(s2.p2) AS pe2
+            FROM s1 JOIN s2 ON s1.k = s2.k AND s2.p2 > s1.p1
+                 AND epoch_us(s2.t2) - epoch_us(s1.t1) <= 86400000000
+            GROUP BY 1, 2, 3
+          ),
+          e2 AS (
+            SELECT j2.k, j2.t1, j2.id1, s2.t2, s2.id2, j2.pe2 AS p2
+            FROM j2 JOIN s2 ON j2.k = s2.k AND s2.p2 = j2.pe2
+          ),
+          j3 AS (
+            SELECT e2.k, e2.t1, e2.id1, e2.t2, e2.id2, min(s3.p3) AS pe3
+            FROM e2 JOIN s3 ON e2.k = s3.k AND s3.p3 > e2.p2
+                 AND epoch_us(s3.t3) - epoch_us(e2.t1) <= 86400000000
+            GROUP BY 1, 2, 3, 4, 5
+          ),
+          e3 AS (
+            SELECT j3.k AS user_id, j3.t1, j3.id1, j3.t2, j3.id2,
+                   s3.t3, s3.id3
+            FROM j3 JOIN s3 ON j3.k = s3.k AND s3.p3 = j3.pe3
+          )
+          SELECT user_id, t1, id1, t2, id2, t3, id3,
+                 round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s
+          FROM e3
+        """,
         "hard_negatives": f"""
           WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           u AS (
@@ -8855,6 +8978,19 @@ def oracle_sql() -> dict[str, str]:
                  max_by(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
                                + event_id) AS value_last
           FROM b GROUP BY 1, 2
+        """,
+        "es_analyze": f"""
+          WITH t(text_id, text) AS (VALUES
+            (0, '{_ANALYZE_TEXTS[0]}'),
+            (1, '{_ANALYZE_TEXTS[1]}')
+          ),
+          e AS (
+            SELECT text_id, unnest({_ENGLISH_AN.sql_tokens_pos("text")}) AS e
+            FROM t
+          )
+          SELECT CAST(text_id AS BIGINT) AS text_id, e.t AS token,
+                 CAST(e.p AS BIGINT) AS position
+          FROM e
         """,
         "es_terms_enum": """
           SELECT DISTINCT source AS term FROM documents

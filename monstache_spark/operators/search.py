@@ -1811,6 +1811,51 @@ def _term_rows(
     return docs.select(F.col(id_col), F.explode(toks).alias("term"))
 
 
+def analyze_api(
+    spark,
+    texts: list[str],
+    analyzer=None,
+) -> DataFrame:
+    """ES ``_analyze`` API: the token stream an analyzer produces for
+    the given texts — ``(text_id, token, position)`` with Lucene
+    position-increment semantics (a removed stop word leaves a gap;
+    stemming rewrites the token, never the position) — the analysis
+    debugging call every mapping change gets tested with.  ``analyzer``
+    None runs the simple chain (lowercase + whitespace).
+
+    The texts enter as a literal LocalRelation (control-plane-sized by
+    the API's nature) and the tokens come from the SAME
+    ``Analyzer.tokens_pos`` expression every search operator compiles
+    — so what this returns is by construction what the engine's
+    match/phrase/BM25 paths actually see.
+    """
+    if not texts:
+        raise ValueError("texts must be non-empty")
+    base = spark.range(1).select(
+        F.posexplode(
+            F.array(*[F.lit(t) for t in texts])
+        ).alias("text_id", "text")
+    )
+    if analyzer is not None:
+        tp = analyzer.tokens_pos(F.col("text"))
+        return base.select(
+            F.col("text_id").cast("long"),
+            F.explode(tp).alias("e"),
+        ).select(
+            "text_id",
+            F.col("e.t").alias("token"),
+            F.col("e.p").cast("long").alias("position"),
+        )
+    arr = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda w: w != F.lit(""),
+    )
+    return base.select(
+        F.col("text_id").cast("long"),
+        F.posexplode(arr).alias("position", "token"),
+    ).select("text_id", "token", F.col("position").cast("long"))
+
+
 def terms_enum(
     df: DataFrame,
     field: str,

@@ -321,3 +321,66 @@ def test_downsample_table_skips_replayed_batch(spark, tmp_path):
     tbl.merge_batch(df, batch_id=1)  # a genuinely new batch folds
     row = tbl.read().collect()[0]
     assert (row["doc_count"], row["value_sum"]) == (2, 4.0)
+
+
+def test_streaming_eql_cross_batch_chains(spark, tmp_path):
+    """Chains started in one micro-batch must complete in a later one
+    (keyed state carries in-flight chains), expired chains must not
+    fire, and a second run over the same checkpoint must not re-emit."""
+    import datetime
+    import os as _os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from monstache_spark.streaming.eql import eql_sequence_stream
+
+    t = lambda d, m: datetime.datetime(2024, 1, d, 0, m)  # noqa: E731
+    rows = [
+        (1, t(1, 0), "u1", "a"),
+        (2, t(1, 5), "u2", "a"),
+        # batch 2 (later days): u1's b completes within maxspan of 2
+        # days; u2's b arrives 5 days later -> its chain expired
+        (3, t(2, 0), "u1", "b"),
+        (4, t(6, 0), "u2", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for name, cond in (("b1", F.col("ts") < "2024-01-02"),
+                       ("b2", F.col("ts") >= "2024-01-02")):
+        scratch = str(tmp_path / f"w{name}")
+        df.filter(cond).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(x for x in _os.listdir(scratch) if x.endswith(".parquet"))
+        shutil.copyfile(_os.path.join(scratch, part), str(src / f"{name}.parquet"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1").parquet(str(src))
+    )
+    alerts = eql_sequence_stream(
+        stream,
+        [{"term": {"kind": "a"}}, {"term": {"kind": "b"}}],
+        by="user", ts_col="ts", id_col="event_id",
+        maxspan_s=2 * 86400,
+    )
+    sink, ckpt = str(tmp_path / "alerts"), str(tmp_path / "ckpt")
+    q = (alerts.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = [(r["k"], r["id1"], r["id2"]) for r in spark.read.parquet(sink).collect()]
+    # u1 completes ACROSS batches; u2's start expired before its b
+    assert got == [("u1", 1, 3)]
+    # restart over the same checkpoint with no new input: nothing re-emits
+    q2 = (eql_sequence_stream(
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", "1").parquet(str(src)),
+            [{"term": {"kind": "a"}}, {"term": {"kind": "b"}}],
+            by="user", ts_col="ts", id_col="event_id", maxspan_s=2 * 86400,
+          ).writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert len(spark.read.parquet(sink).collect()) == 1
