@@ -6137,6 +6137,7 @@ _GATE_WINDOW = [
     "es_span_containing",
     "es_span_within",
     "es_span_multi",
+    # --- 50-slot boundary falls here ---
     "es_match_phrase_prefix",
     "es_wrapper",
     "es_rank_feature",
@@ -6147,7 +6148,6 @@ _GATE_WINDOW = [
     "es_matrix_stats",
     "es_sig_terms_chi2",
     "es_sig_terms_mi",
-    # --- 50-slot boundary falls here ---
     "es_sig_terms_pct",
     "es_sig_terms_gnd",
     "es_bucket_correlation",
