@@ -66,7 +66,10 @@ _STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
 
 def _tr_expr(expr: str) -> str:
     """ES|QL expression → Spark/ANSI SQL: `==` → `=`, double-quoted
-    string literals → single-quoted (escaping embedded singles)."""
+    string literals → single-quoted (escaping embedded singles), and
+    a string literal standing as the right operand of ES|QL ``LIKE``
+    rewrites its wildcards to SQL's (`*` → `%`, `?` → `_`, literal
+    `%`/`_` escaped under ``ESCAPE``)."""
 
     out = []
     pos = 0
@@ -74,7 +77,17 @@ def _tr_expr(expr: str) -> str:
         outside = expr[pos:m.start()]
         out.append(re.sub(r"(?<![=!<>])==", "=", outside))
         body = m.group(1).replace("\\\"", '"').replace("'", "''")
-        out.append(f"'{body}'")
+        if re.search(r"\bLIKE\s*$", outside, re.I):
+            body = (
+                body.replace("\\", "\\\\")
+                .replace("%", "\\%")
+                .replace("_", "\\_")
+                .replace("*", "%")
+                .replace("?", "_")
+            )
+            out.append(f"'{body}' ESCAPE '\\\\'")
+        else:
+            out.append(f"'{body}'")
         pos = m.end()
     out.append(re.sub(r"(?<![=!<>])==", "=", expr[pos:]))
     return "".join(out)

@@ -112,3 +112,16 @@ def test_stats_per_agg_where_filter(t):
         {"t": t},
     ).collect()[0]
     assert (out["n_a"], out["hi"], out["n"]) == (2, 10.0, 3)
+
+
+def test_like_wildcard_translation(t, spark):
+    logs = spark.createDataFrame(
+        [(1, "alpha_x"), (2, "alphax"), (3, "beta")], "id long, s string"
+    )
+    # ES|QL * -> SQL %, ? -> _, and a literal underscore stays literal
+    out = esql('FROM logs | WHERE s LIKE "alpha*"', {"logs": logs}).collect()
+    assert {r["id"] for r in out} == {1, 2}
+    out = esql('FROM logs | WHERE s LIKE "alpha_?"', {"logs": logs}).collect()
+    assert {r["id"] for r in out} == {1}  # literal _ then one wildcard char
+    out = esql('FROM logs | WHERE s LIKE "?eta"', {"logs": logs}).collect()
+    assert {r["id"] for r in out} == {3}
