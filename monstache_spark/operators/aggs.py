@@ -291,10 +291,14 @@ def _multi_membership_keys(kind: str, spec: dict) -> Column:
         if other is not None:
             # ES other_bucket: docs matching NO named filter land in
             # one extra bucket — the complement predicate, same
-            # single-projection shape
+            # single-projection shape.  Each condition coalesces to
+            # FALSE first: a NULL predicate (null field in a term/
+            # range) means "did not match", and ES counts such docs
+            # in the other bucket — bare ~NULL stays NULL and would
+            # silently drop them from the agg
             none_matched = F.lit(True)
             for _n, c in conds:
-                none_matched = none_matched & ~c
+                none_matched = none_matched & ~F.coalesce(c, F.lit(False))
             keys.append(F.when(none_matched, F.lit(str(other))))
         return F.array_compact(F.array(*keys))
     raise ValueError(kind)
@@ -1992,8 +1996,13 @@ def transform_latest(
         .groupBy(*[F.col(c).alias(f"_k_{c}") for c in keys])
         .agg(F.max(s).alias("_ext"))
     )
+    # NO broadcast hint on the extreme/pick frames: they are
+    # KEY-CARDINALITY (one row per unique_key tuple — unbounded at the
+    # transform's own scale), so forcing a driver collect would OOM
+    # exactly where the operator matters; Spark/AQE auto-broadcasts
+    # when the key set actually is small
     tied = df.join(
-        F.broadcast(ext),
+        ext,
         [df[c] == ext[f"_k_{c}"] for c in keys]
         + [df[sort_col] == ext["_ext"]],
     ).select(*[df[c] for c in df.columns])
@@ -2002,7 +2011,7 @@ def transform_latest(
         F.col(sort_col).alias("_s"),
     ).agg(F.max(F.col(id_col)).alias("_pid"))
     out = df.join(
-        F.broadcast(pick),
+        pick,
         [df[c] == pick[f"_k_{c}"] for c in keys]
         + [df[sort_col] == pick["_s"], df[id_col] == pick["_pid"]],
     )
@@ -2056,10 +2065,16 @@ def downsample_aggs(
     gauges: list[str],
     counters: list[str] | tuple = (),
     id_col: str = "event_id",
+    state_form: bool = False,
 ) -> list[Column]:
     """The per-bucket aggregate expressions of :func:`downsample` —
-    shared with the streaming sink so batch and continuous rollups are
-    the same arithmetic by construction."""
+    shared with the streaming sink (``sinks/downsample``) so batch and
+    continuous rollups are the same arithmetic BY CONSTRUCTION, not by
+    parallel maintenance.  ``state_form=True`` is the sink's persisted
+    variant: gauge sums stay exact DECIMAL (aliased ``_sum_{g}``, cast
+    to double only at read) and each counter also carries its max pack
+    (``_pk_{c}``) so cross-batch merges can re-pick the latest value.
+    """
     pack = (
         F.unix_micros(F.col(ts_col)).cast("decimal(38,0)")
         * F.lit(1_000_000_000)
@@ -2068,16 +2083,19 @@ def downsample_aggs(
     aggs: list[Column] = [F.count("*").cast("long").alias("doc_count")]
     for g_name in gauges:
         c = F.col(g_name)
+        dec_sum = F.sum(c.cast("decimal(38,6)"))
         aggs += [
             F.min(c).alias(f"{g_name}_min"),
             F.max(c).alias(f"{g_name}_max"),
-            F.sum(c.cast("decimal(38,6)")).cast("double").alias(f"{g_name}_sum"),
+            dec_sum.alias(f"_sum_{g_name}")
+            if state_form
+            else dec_sum.cast("double").alias(f"{g_name}_sum"),
             F.count(c).cast("long").alias(f"{g_name}_count"),
         ]
     for c_name in counters:
-        aggs += [
-            F.max_by(F.col(c_name), pack).alias(f"{c_name}_last"),
-        ]
+        aggs += [F.max_by(F.col(c_name), pack).alias(f"{c_name}_last")]
+        if state_form:
+            aggs += [F.max(pack).alias(f"_pk_{c_name}")]
     return aggs
 
 

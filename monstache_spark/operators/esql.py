@@ -122,6 +122,39 @@ def _split_top(s: str, sep: str) -> list[str]:
     return parts
 
 
+def _split_kw(s: str, word: str) -> list[str]:
+    """Split ONCE on keyword ``word`` appearing outside quotes and
+    parentheses (the quote-aware twin of ``re.split`` for the STATS
+    ``BY`` / per-aggregate ``WHERE`` keywords — a bare regex split
+    would cut inside string literals like ``"WHERE it failed"``)."""
+    depth, in_str = 0, False
+    wl = len(word)
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == '"' and s[i - 1] != "\\":
+                in_str = False
+        elif ch == '"':
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and s[i:i + wl].upper() == word
+            and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+            and (
+                i + wl == len(s)
+                or not (s[i + wl].isalnum() or s[i + wl] == "_")
+            )
+        ):
+            return [s[:i], s[i + wl:]]
+        i += 1
+    return [s]
+
+
 def _expand(patterns: list[str], columns: list[str]) -> list[str]:
     out: list[str] = []
     for p in patterns:
@@ -237,13 +270,13 @@ def esql(
                     raise ValueError(f"RENAME needs `old AS new`: {item!r}")
                 df = df.withColumnRenamed(m.group(1), m.group(2))
         elif cmd == "STATS":
-            bm = re.split(r"\bBY\b", body, maxsplit=1, flags=re.I)
+            bm = _split_kw(body, "BY")
             aggs = []
             for i, (nm, sql) in enumerate(_named_exprs(bm[0])):
                 # ES|QL 8.16 per-aggregate filters: `AGG(x) WHERE cond`
                 # maps onto the ANSI aggregate FILTER clause both
                 # engines implement
-                parts = re.split(r"\bWHERE\b", sql, maxsplit=1, flags=re.I)
+                parts = _split_kw(sql, "WHERE")
                 if len(parts) == 2:
                     sql = (
                         f"{parts[0].strip()} FILTER "
@@ -289,8 +322,11 @@ def esql(
         elif cmd == "LIMIT":
             df = df.limit(int(body))
         elif cmd == "MV_EXPAND":
+            # explode_outer: ES|QL MV_EXPAND KEEPS a row whose column
+            # is null (it expands to one null row) — plain explode
+            # would silently drop it and undercount downstream STATS
             col = body.strip()
-            df = df.withColumn(col, F.explode(col))
+            df = df.withColumn(col, F.explode_outer(col))
         elif cmd == "ENRICH":
             m = re.match(
                 r"^([A-Za-z_][A-Za-z0-9_.-]*)\s+ON\s+"
@@ -335,12 +371,18 @@ def esql(
                 raise ValueError(f'DISSECT needs `col "%{{a}} …"`: {body!r}')
             col, pattern = m.group(1), m.group(2).replace('\\"', '"')
             rx, keys = _dissect_regex(pattern)
+            # extract from a preserved source copy: a capture key that
+            # shares the source column's name would otherwise truncate
+            # it on the first withColumn and corrupt later captures
+            src_col = "_dissect_src"
+            df = df.withColumn(src_col, F.col(col))
             for i, key in enumerate(keys, start=1):
-                piece = F.regexp_extract(F.col(col), rx, i)
+                piece = F.regexp_extract(F.col(src_col), rx, i)
                 df = df.withColumn(
                     key,
-                    F.when(F.col(col).rlike(rx), piece),
+                    F.when(F.col(src_col).rlike(rx), piece),
                 )
+            df = df.drop(src_col)
         else:
             raise ValueError(
                 f"unsupported ES|QL command: {cmd} (GROK carries a named "

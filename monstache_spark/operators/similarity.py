@@ -80,6 +80,11 @@ def hard_negatives(
     lo, hi = float(band[0]), float(band[1])
     if not (lo < hi):
         raise ValueError("band must be (lo, hi) with lo < hi")
+    # the broadcast hint applies only to a CALLER-SUPPLIED anchor set
+    # (presumed query-sized); the anchors=None full-corpus mode is the
+    # fenced exact baseline and must not force-collect the whole
+    # corpus to the driver — Spark picks the join strategy there
+    hint_broadcast = anchors is not None
     if anchors is None:
         anchors = embeddings
 
@@ -97,7 +102,13 @@ def hard_negatives(
             F.col(id_col).alias(out_id), normed.alias(out_vec)
         )
 
-    a = F.broadcast(unit(anchors, "anchor_id", "a_vec"))
+    a = unit(anchors, "anchor_id", "a_vec")
+    if hint_broadcast:
+        a = F.broadcast(a)
+    else:
+        a = a.repartition(
+            embeddings.sparkSession.sparkContext.defaultParallelism
+        )
     c = unit(embeddings, "negative_id", "c_vec").repartition(
         embeddings.sparkSession.sparkContext.defaultParallelism
     )

@@ -86,9 +86,14 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 def _apply_merge(syms: Column, left: str, right: str) -> Column:
     """Merge every adjacent (left, right) in a space-joined symbol
-    string. Non-overlapping left-to-right replacement is exactly the
-    simultaneous-merge convention of the reference algorithm; edge
-    anchoring via the surrounding spaces avoids partial-symbol hits."""
+    string — REPLACE-CHAIN approximation used only by the frozen-table
+    SEGMENT path (:func:`bpe_segment`), where the DuckDB oracle
+    mirrors these exact replace semantics.  CAVEAT: for
+    SELF-OVERLAPPING merges (left == right over a run of 5+ equal
+    symbols, e.g. 'm m m m m') the two-pass replace can pick different
+    pairs than the trainer's left-to-right tuple scan — the TRAIN
+    loops therefore use :func:`_apply_merge_exact`, which reproduces
+    the driver loop bit for bit."""
     padded = F.concat(F.lit(" "), syms, F.lit(" "))
     target = F.lit(f" {left} {right} ")
     merged = F.lit(f" {left}{right} ")
@@ -99,6 +104,52 @@ def _apply_merge(syms: Column, left: str, right: str) -> Column:
     once = F.replace(padded, target, merged)
     twice = F.replace(once, target, merged)
     return F.trim(twice)
+
+
+def _apply_merge_exact(
+    syms: Column, left: str, right: str, merged: str
+) -> Column:
+    """Left-to-right NON-OVERLAPPING merge of adjacent (left, right)
+    into ``merged`` on a space-joined symbol string — the exact tuple
+    scan the driver loops run (``while j: if s[j]==left and
+    s[j+1]==right: emit merged, j+=2 else emit s[j], j+=1``), as one
+    ``F.aggregate`` fold carrying (output array, skip flag).  The
+    replace-chain shortcut diverges from this scan on self-overlapping
+    runs (left == right, 5+ repeats), which is why both distributed
+    TRAIN loops use this fold: driver/distributed bit-equality is a
+    tested contract.  Interpreted HOF, but it runs over the
+    Heaps-small vocab frame, never the corpus."""
+    arr = F.split(syms, " ")
+    n = F.size(arr)
+    folded = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.struct(
+            F.array().cast("array<string>").alias("out"),
+            F.lit(False).alias("skip"),
+        ),
+        lambda acc, i: F.when(
+            acc["skip"],
+            F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+        ).otherwise(
+            F.when(
+                (i < n)
+                & (F.element_at(arr, i) == F.lit(left))
+                & (F.element_at(arr, i + 1) == F.lit(right)),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                    F.lit(True).alias("skip"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(F.element_at(arr, i))).alias(
+                        "out"
+                    ),
+                    F.lit(False).alias("skip"),
+                )
+            )
+        ),
+    )
+    return F.array_join(folded["out"], " ")
 
 
 def _driver_merge_loop(
@@ -227,7 +278,11 @@ def bpe_train(
             left, right, c = top[0]["left"], top[0]["right"], int(top[0]["c"])
             merges.append((rank, left, right, c))
             vocab = vocab.select(
-                "word", "n", _apply_merge(F.col("syms"), left, right).alias("syms")
+                "word",
+                "n",
+                _apply_merge_exact(
+                    F.col("syms"), left, right, left + right
+                ).alias("syms"),
             )
             since_checkpoint += 1
             if since_checkpoint >= checkpoint_every:

@@ -68,16 +68,15 @@ def _apply_merge_token(
     syms: Column, left: str, right: str, token: str
 ) -> Column:
     """Merge every adjacent (left, right) into ``token`` in a
-    space-joined symbol string — same simultaneous non-overlapping
-    left-to-right convention as tokenizer._apply_merge, but the merged
-    symbol is the WordPiece token (continuation ``##`` dropped from
-    the right side), not the verbatim concatenation."""
-    padded = F.concat(F.lit(" "), syms, F.lit(" "))
-    target = F.lit(f" {left} {right} ")
-    merged = F.lit(f" {token} ")
-    once = F.replace(padded, target, merged)
-    twice = F.replace(once, target, merged)
-    return F.trim(twice)
+    space-joined symbol string — the EXACT left-to-right
+    non-overlapping tuple scan of the driver loop
+    (tokenizer._apply_merge_exact; the replace-chain shortcut
+    diverges on self-overlapping runs), with the merged symbol being
+    the WordPiece token (continuation ``##`` dropped from the right
+    side), not the verbatim concatenation."""
+    from monstache_spark.operators.tokenizer import _apply_merge_exact
+
+    return _apply_merge_exact(syms, left, right, token)
 
 
 def _py_symbols(word: str) -> tuple[str, ...]:

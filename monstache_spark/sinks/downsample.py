@@ -124,36 +124,26 @@ class DownsampleTable:
             shutil.rmtree(old_dir, ignore_errors=True)
 
     # -- rollup arithmetic --------------------------------------------
-    # the packed ordering key carries the top_metrics precondition:
-    # 0 <= id < 10^9 (ids above that bleed into the microsecond digits)
-    def _pack(self):
-        return (
-            F.unix_micros(F.col(self.ts_col)).cast("decimal(38,0)")
-            * F.lit(1_000_000_000)
-            + F.col(self.id_col).cast("decimal(38,0)")
-        )
-
+    # the packed ordering key (built inside downsample_aggs) carries
+    # the top_metrics precondition: 0 <= id < 10^9 (ids above that
+    # bleed into the microsecond digits)
     def _rollup(self, df: DataFrame) -> DataFrame:
+        from monstache_spark.operators.aggs import downsample_aggs
+
         us = F.unix_micros(F.col(self.ts_col))
         base = df.filter(F.col(self.ts_col).isNotNull()).withColumn(
             "bucket", F.timestamp_micros(us - F.pmod(us, F.lit(self._w_us)))
         )
-        aggs = [F.count("*").cast("long").alias("doc_count")]
-        for g in self.gauges:
-            c = F.col(g)
-            aggs += [
-                F.min(c).alias(f"{g}_min"),
-                F.max(c).alias(f"{g}_max"),
-                F.sum(c.cast("decimal(38,6)")).alias(f"_sum_{g}"),
-                F.count(c).cast("long").alias(f"{g}_count"),
-            ]
-        pack = self._pack()
-        for c_name in self.counters:
-            aggs += [
-                F.max_by(F.col(c_name), pack).alias(f"{c_name}_last"),
-                F.max(pack).alias(f"_pk_{c_name}"),
-            ]
-        return base.groupBy(*self.dims, "bucket").agg(*aggs)
+        # the SAME aggregate expressions as the batch operator
+        # (state_form keeps decimal sums + max packs for merging) —
+        # restatement equality holds by construction, not by
+        # parallel maintenance
+        return base.groupBy(*self.dims, "bucket").agg(
+            *downsample_aggs(
+                self.ts_col, self.gauges, self.counters,
+                id_col=self.id_col, state_form=True,
+            )
+        )
 
     def _merge(self, cur: DataFrame, batch: DataFrame) -> DataFrame:
         both = cur.unionByName(batch)

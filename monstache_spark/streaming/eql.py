@@ -92,12 +92,21 @@ def _sequence_fn(n_steps: int, maxspan_us: int | None):
                     c for c in pending[i]
                     if c[0][0] + maxspan_us >= frontier
                 ]
-        state.update(
-            tuple(
-                ["|".join(f"{us}:{eid}" for us, eid in c) for c in pending[i]]
-                for i in range(1, n_steps)
+        if any(pending[i] for i in range(1, n_steps)):
+            state.update(
+                tuple(
+                    [
+                        "|".join(f"{us}:{eid}" for us, eid in c)
+                        for c in pending[i]
+                    ]
+                    for i in range(1, n_steps)
+                )
             )
-        )
+        elif state.exists:
+            # every chain completed or expired: drop the key's state
+            # entirely so the store stays O(keys with in-flight
+            # chains), not O(keys ever seen)
+            state.remove()
         if not out:
             yield pd.DataFrame(
                 columns=["k"]
@@ -107,8 +116,12 @@ def _sequence_fn(n_steps: int, maxspan_us: int | None):
             return
         data: dict = {"k": [key[0]] * len(out)}
         for i in range(1, n_steps + 1):
+            # tz-aware UTC: unix_micros produced UTC epoch micros; a
+            # NAIVE pandas timestamp would be reinterpreted in the
+            # session timezone on the Arrow boundary, shifting every
+            # alert when the session is not UTC
             data[f"t{i}"] = [
-                pd.Timestamp(c[i - 1][0], unit="us") for c in out
+                pd.Timestamp(c[i - 1][0], unit="us", tz="UTC") for c in out
             ]
             data[f"id{i}"] = [c[i - 1][1] for c in out]
         data["span_s"] = [

@@ -50,7 +50,9 @@ def test_row_and_mv_expand(t, spark):
     out = esql('ROW a = 1, b = "x"', {}, spark).collect()
     assert [tuple(r) for r in out] == [(1, "x")]
     out = esql("FROM t | MV_EXPAND tags | STATS n = COUNT(*)", {"t": t})
-    assert out.collect()[0]["n"] == 3  # empty array rows vanish
+    # explode_outer: the empty-array row survives as one null row —
+    # ES|QL MV_EXPAND keeps rows whose multi-value is null/empty
+    assert out.collect()[0]["n"] == 4
 
 
 def test_sort_null_placement(t):
@@ -125,3 +127,27 @@ def test_like_wildcard_translation(t, spark):
     assert {r["id"] for r in out} == {1}  # literal _ then one wildcard char
     out = esql('FROM logs | WHERE s LIKE "?eta"', {"logs": logs}).collect()
     assert {r["id"] for r in out} == {3}
+
+
+def test_stats_keywords_inside_string_literals(t):
+    # BY / WHERE inside string literals must not split the clause
+    out = esql(
+        'FROM t | EVAL note = "WHERE it failed BY design"'
+        ' | STATS n = COUNT(*) WHERE note == "WHERE it failed BY design"',
+        {"t": t},
+    ).collect()[0]
+    assert out["n"] == 3
+
+
+def test_dissect_key_shadowing_source_column(spark):
+    logs = spark.createDataFrame(
+        [(1, "GET /a"), (2, "POST /b")], "id long, line string"
+    )
+    # a capture key named like the source column must not corrupt
+    # later captures
+    out = esql(
+        'FROM logs | DISSECT line "%{line} %{path}" | KEEP id, line, path',
+        {"logs": logs},
+    ).collect()
+    got = {r["id"]: (r["line"], r["path"]) for r in out}
+    assert got == {1: ("GET", "/a"), 2: ("POST", "/b")}

@@ -132,3 +132,20 @@ def test_bpe_segment_matches_reference(spark):
 def test_bpe_train_property_matches_reference(spark, texts):
     got = bpe_train(_docs(spark, texts), n_merges=6, checkpoint_every=3)
     assert got == _ref_bpe_train(texts, 6)
+
+
+def test_self_overlapping_merge_driver_distributed_equal(spark):
+    """Regression: the two-pass replace diverged from the driver's
+    left-to-right tuple scan on self-overlapping runs (left == right
+    over 5+ equal symbols); the train loops now share the exact fold."""
+    from monstache_spark.operators.tokenizer import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "hmmmmm hmmmmm hmmmmm zz"), (2, "mmmmm mmmmm zz")],
+        "doc_id long, text string",
+    )
+    a = bpe_train(docs, n_merges=4)
+    b = bpe_train(docs, n_merges=4, driver_vocab_budget=None)
+    assert a == b
+    # the first merge IS the self-pair, so the case is exercised
+    assert (a[0][1], a[0][2]) == ("m", "m")

@@ -103,3 +103,15 @@ def test_segment_unk_whole_word(spark):
     assert (out["n_tokens"], out["n_unk"], out["n_words"]) == (3, 1, 3)
     with pytest.raises(ValueError, match="vocab"):
         wordpiece_segment(docs, [])
+
+
+def test_self_overlapping_merge_paths_equal(spark):
+    """Regression twin of the BPE self-overlap case: (##m, ##m) wins
+    the likelihood argmax and both paths must scan left-to-right."""
+    docs = spark.createDataFrame(
+        [(1, "ammmmm bmmmmm cmmmmm dmmmmm")], "doc_id long, text string"
+    )
+    a = wordpiece_train(docs, n_merges=3)
+    b = wordpiece_train(docs, n_merges=3, driver_vocab_budget=None)
+    assert a == b
+    assert (a[0][1], a[0][2]) == ("##m", "##m")
