@@ -69,7 +69,9 @@ def _tr_expr(expr: str) -> str:
     string literals → single-quoted (escaping embedded singles), and
     a string literal standing as the right operand of ES|QL ``LIKE``
     rewrites its wildcards to SQL's (`*` → `%`, `?` → `_`, literal
-    `%`/`_` escaped under ``ESCAPE``)."""
+    `%`/`_` escaped under ``ESCAPE``).  ES|QL-only function names
+    (MV_*/TO_*) rewrite first via ``_rewrite_fns``."""
+    expr = _rewrite_fns(expr)
 
     out = []
     pos = 0
@@ -120,6 +122,67 @@ def _split_top(s: str, sep: str) -> list[str]:
         i += 1
     parts.append("".join(cur))
     return parts
+
+
+# ES|QL-only function names → Spark/ANSI SQL templates ({0} = the sole
+# argument).  Null semantics follow ES|QL: every template yields NULL
+# on a NULL input (size() alone would return -1 under Spark's legacy
+# sizeOfNull, hence the CASE guard).
+_FN_TEMPLATES = {
+    "MV_COUNT": "(CASE WHEN {0} IS NULL THEN NULL ELSE size({0}) END)",
+    "MV_MIN": "array_min({0})",
+    "MV_MAX": "array_max({0})",
+    "MV_SUM": "aggregate({0}, CAST(0.0 AS DOUBLE), (s, x) -> s + x)",
+    "MV_AVG": (
+        "(aggregate({0}, CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
+        " / size({0}))"
+    ),
+    "TO_LONG": "CAST({0} AS BIGINT)",
+    "TO_INTEGER": "CAST({0} AS INT)",
+    "TO_DOUBLE": "CAST({0} AS DOUBLE)",
+    "TO_STRING": "CAST({0} AS STRING)",
+    "TO_DATETIME": "CAST({0} AS TIMESTAMP)",
+    "TO_BOOLEAN": "CAST({0} AS BOOLEAN)",
+}
+
+
+def _rewrite_fns(expr: str) -> str:
+    """Rewrite known single-argument ES|QL function calls to their SQL
+    templates, innermost-first, respecting quotes and nested parens."""
+    changed = True
+    while changed:
+        changed = False
+        for fn, tpl in _FN_TEMPLATES.items():
+            for m in re.finditer(rf"\b{fn}\s*\(", expr, re.I):
+                start = m.start()
+                open_p = m.end() - 1
+                depth, in_str = 0, False
+                i = open_p
+                while i < len(expr):
+                    ch = expr[i]
+                    if in_str:
+                        if ch == '"' and expr[i - 1] != "\\":
+                            in_str = False
+                    elif ch == '"':
+                        in_str = True
+                    elif ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    i += 1
+                arg = expr[open_p + 1:i]
+                if re.search(
+                    "|".join(rf"\b{f}\s*\(" for f in _FN_TEMPLATES), arg, re.I
+                ):
+                    continue  # rewrite the inner call first
+                expr = expr[:start] + tpl.format(arg) + expr[i + 1:]
+                changed = True
+                break
+            if changed:
+                break
+    return expr
 
 
 def _split_kw(s: str, word: str) -> list[str]:

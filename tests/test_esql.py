@@ -151,3 +151,31 @@ def test_dissect_key_shadowing_source_column(spark):
     ).collect()
     got = {r["id"]: (r["line"], r["path"]) for r in out}
     assert got == {1: ("GET", "/a"), 2: ("POST", "/b")}
+
+
+def test_esql_function_name_mapping(t, spark):
+    out = esql(
+        "FROM t | EVAL n = MV_COUNT(tags), mn = MV_MIN(tags),"
+        " s = TO_STRING(id), d = TO_DOUBLE(id)"
+        " | KEEP id, n, mn, s, d",
+        {"t": t},
+    ).collect()
+    got = {r["id"]: (r["n"], r["mn"], r["s"], r["d"]) for r in out}
+    assert got[1] == (2, "x", "1", 1.0)
+    assert got[3] == (0, None, "3", 3.0)  # empty array: count 0, min null
+    nums = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None)], "id long, v array<double>"
+    )
+    out = esql(
+        "FROM nums | EVAL s = MV_SUM(v), a = MV_AVG(v) | KEEP id, s, a",
+        {"nums": nums},
+    ).collect()
+    got = {r["id"]: (r["s"], r["a"]) for r in out}
+    assert got[1] == (6.0, 2.0)
+    assert got[2] == (None, None)  # null multi-value stays null
+    # nested rewrite: TO_LONG(MV_COUNT(tags)) resolves inner-first
+    out = esql(
+        "FROM t | EVAL c = TO_LONG(MV_COUNT(tags)) | STATS m = MAX(c)",
+        {"t": t},
+    ).collect()[0]
+    assert out["m"] == 2
