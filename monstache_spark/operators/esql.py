@@ -426,6 +426,31 @@ def esql(
             if name not in tables:
                 raise ValueError(f"unknown lookup table: {name}")
             df = df.join(F.broadcast(tables[name]), on, "left")
+        elif cmd == "CHANGE_POINT":
+            # ES|QL 8.16 CHANGE_POINT value ON key: the S22
+            # deterministic step-change detector (aggs.change_point —
+            # binary-segmentation variance reduction over exact
+            # decimal prefix sums) run over the piped frame, which is
+            # bucket-sized post-STATS by construction.  ES|QL
+            # annotates the input rows; the flattened rendering
+            # returns the detector's single verdict row
+            # (key, change_type, score, mean_left, mean_right) —
+            # stationary series report type 'stationary'
+            m = re.match(
+                r"^([A-Za-z_][A-Za-z0-9_.]*)"
+                r"(?:\s+ON\s+([A-Za-z_][A-Za-z0-9_.]*))?$",
+                body,
+                re.I,
+            )
+            if not m:
+                raise ValueError(
+                    f"CHANGE_POINT needs `value [ON key]`: {body!r}"
+                )
+            from monstache_spark.operators.aggs import change_point
+
+            value_col = m.group(1)
+            key_col = m.group(2) or "@timestamp"
+            df = change_point(df, key_col, value_col)
         elif cmd == "DISSECT":
             m = re.match(
                 r'^([A-Za-z_][A-Za-z0-9_.]*)\s+"((?:[^"\\]|\\.)*)"$', body, re.S

@@ -179,3 +179,16 @@ def test_esql_function_name_mapping(t, spark):
         {"t": t},
     ).collect()[0]
     assert out["m"] == 2
+
+
+def test_change_point_command(spark):
+    rows = [(i, 10.0 if i <= 5 else 50.0) for i in range(1, 11)]
+    series = spark.createDataFrame(rows, "k long, v double")
+    out = esql("FROM series | CHANGE_POINT v ON k", {"series": series}).collect()
+    assert len(out) == 1
+    r = out[0]
+    # step change detected at the last low point (k=5)
+    assert r["change_type"] == "step_change" and r["key"] == 5
+    assert r["mean_left"] == 10.0 and r["mean_right"] == 50.0
+    with pytest.raises(ValueError, match="CHANGE_POINT"):
+        esql("FROM series | CHANGE_POINT", {"series": series})
