@@ -11,7 +11,8 @@ lowercase+whitespace "simple analyzer" (DIVERGENCES.md S1); this
 module makes the token pipeline a declared configuration:
 
     lowercase → whitespace split → drop empties
-              → stop-word removal → suffix-strip stemming
+              → ascii folding → stop-word removal
+              → suffix-strip / Porter stemming
 
 ``Analyzer`` renders the SAME pipeline three ways so results stay
 hash-exact across engines:
@@ -74,6 +75,11 @@ class Analyzer:
     # PorterStemFilter the ES `english` analyzer runs; mutually
     # exclusive with the light suffix list
     porter: bool = False
+    # ASCII folding (functions/folding.py — Lucene ASCIIFoldingFilter
+    # / the deterministic subset of icu_folding): runs after
+    # lowercase+split and BEFORE stop-word matching, the ES filter
+    # order, so folded forms meet the stop set and the stemmer
+    ascii_folding: bool = False
 
     # -- Spark rendering ----------------------------------------------------
 
@@ -83,6 +89,10 @@ class Analyzer:
         if self.lowercase:
             base = F.lower(base)
         arr = F.filter(F.split(base, r"\s+"), lambda t: t != F.lit(""))
+        if self.ascii_folding:
+            from monstache_spark.functions.folding import fold_col
+
+            arr = F.transform(arr, fold_col)
         if self.stopwords:
             stops = F.array(*[F.lit(s) for s in self.stopwords])
             arr = F.filter(arr, lambda t: ~F.array_contains(stops, t))
@@ -123,9 +133,17 @@ class Analyzer:
         if self.lowercase:
             base = F.lower(base)
         raw = F.filter(F.split(base, r"\s+"), lambda t: t != F.lit(""))
-        pos = F.transform(
-            raw, lambda t, i: F.struct(t.alias("t"), i.alias("p"))
-        )
+        if self.ascii_folding:
+            from monstache_spark.functions.folding import fold_col
+
+            pos = F.transform(
+                raw,
+                lambda t, i: F.struct(fold_col(t).alias("t"), i.alias("p")),
+            )
+        else:
+            pos = F.transform(
+                raw, lambda t, i: F.struct(t.alias("t"), i.alias("p"))
+            )
         if self.stopwords:
             stops = F.array(*[F.lit(s) for s in self.stopwords])
             pos = F.filter(pos, lambda e: ~F.array_contains(stops, e["t"]))
@@ -155,10 +173,18 @@ class Analyzer:
         toks = (text.lower() if self.lowercase else text).split()
         out: list[tuple[str, int]] = []
         for i, t in enumerate([t for t in toks if t]):
+            t = self._fold_py(t)
             if t in self.stopwords:
                 continue
             out.append((self._stem_py(t), i))
         return out
+
+    def _fold_py(self, t: str) -> str:
+        if not self.ascii_folding:
+            return t
+        from monstache_spark.functions.folding import fold_py
+
+        return fold_py(t)
 
     def _stem_py(self, t: str) -> str:
         if self.porter:
@@ -175,6 +201,7 @@ class Analyzer:
         toks = (text.lower() if self.lowercase else text).split()
         out = []
         for t in toks:
+            t = self._fold_py(t) if t else t
             if not t or t in self.stopwords:
                 continue
             out.append(self._stem_py(t))
@@ -190,6 +217,10 @@ class Analyzer:
         if self.lowercase:
             base = f"trim(lower({expr}))"
         out = f"list_filter(string_split_regex({base}, '\\s+'), t -> t <> '')"
+        if self.ascii_folding:
+            from monstache_spark.functions.folding import fold_sql
+
+            out = f"list_transform({out}, t -> {fold_sql('t')})"
         if self.stopwords:
             lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
             out = f"list_filter({out}, t -> NOT list_contains({lst}, t))"
@@ -218,9 +249,15 @@ class Analyzer:
         if self.lowercase:
             base = f"trim(lower({expr}))"
         raw = f"list_filter(string_split_regex({base}, '\\s+'), t -> t <> '')"
+        if self.ascii_folding:
+            from monstache_spark.functions.folding import fold_sql
+
+            tok = fold_sql(f"({raw})[i]")
+        else:
+            tok = f"({raw})[i]"
         out = (
             f"list_transform(range(1, len({raw}) + 1), "
-            f"i -> {{'t': ({raw})[i], 'p': i - 1}})"
+            f"i -> {{'t': {tok}, 'p': i - 1}})"
         )
         if self.stopwords:
             lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
@@ -258,3 +295,14 @@ ENGLISH = Analyzer(
 # Porter residual (functions/porter.py; all three renderings are one
 # expression tree, parity-tested over the corpus vocabulary)
 ENGLISH_PORTER = Analyzer(stopwords=ENGLISH_STOPWORDS, porter=True)
+
+# `asciifolding`-armed analyzers — the Latin-script subset of ES's ICU
+# analysis (functions/folding.py; DIVERGENCES S1: folding closed,
+# collation/CJK out of scope).  FOLDED is the bare filter; a
+# non-English corpus plugs its own stop list / suffixes around it.
+FOLDED = Analyzer(ascii_folding=True)
+ENGLISH_FOLDED = Analyzer(
+    ascii_folding=True,
+    stopwords=ENGLISH_STOPWORDS,
+    stem_suffixes=LIGHT_ENGLISH_SUFFIXES,
+)

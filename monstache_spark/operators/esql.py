@@ -177,7 +177,10 @@ def _rewrite_fns(expr: str) -> str:
                     "|".join(rf"\b{f}\s*\(" for f in _FN_TEMPLATES), arg, re.I
                 ):
                     continue  # rewrite the inner call first
-                expr = expr[:start] + tpl.format(arg) + expr[i + 1:]
+                # templates only ever reference {0}; str.format would
+                # choke on brace characters inside the user expression
+                # (e.g. a "{" string literal), so substitute literally
+                expr = expr[:start] + tpl.replace("{0}", arg) + expr[i + 1:]
                 changed = True
                 break
             if changed:
@@ -288,10 +291,15 @@ def esql(
         raise ValueError("ES|QL must start with FROM or ROW")
     cmd, rest = hm.group(1).upper(), hm.group(2).strip()
     if cmd == "FROM":
-        name = rest.split(",")[0].strip()
-        if name not in tables:
-            raise ValueError(f"unknown table: {name}")
-        df = tables[name]
+        # ES|QL FROM a, b unions the named indices; missing columns
+        # null-fill the way a sparse multi-index mapping would
+        names = [n.strip() for n in rest.split(",") if n.strip()]
+        for name in names:
+            if name not in tables:
+                raise ValueError(f"unknown table: {name}")
+        df = tables[names[0]]
+        for name in names[1:]:
+            df = df.unionByName(tables[name], allowMissingColumns=True)
     else:
         if spark is None:
             spark = next(iter(tables.values())).sparkSession if tables else None

@@ -4267,13 +4267,29 @@ def completion_suggest(
             *([F.col(context_field).alias("_ctx")] if context_field else []),
         ).filter(F.col("term") != "")
         if context_field is not None:
+            # ES context boosts are floats; integral boosts keep the
+            # long weight contract, fractional ones accumulate in
+            # exact decimal (order-independent, unlike a double sum)
+            # and emit weight as double — int(b) would silently
+            # truncate 2.5 → 2
             boosts = context_boosts or {}
-            mult = F.lit(1)
+            fractional = any(
+                float(b) != int(float(b)) for b in boosts.values()
+            )
+            mult = (
+                F.lit(1).cast("decimal(38,6)") if fractional else F.lit(1)
+            )
             for val, b in sorted(boosts.items()):
-                mult = F.when(F.col("_ctx") == val, F.lit(int(b))).otherwise(mult)
+                bl = (
+                    F.lit(float(b)).cast("decimal(38,6)")
+                    if fractional
+                    else F.lit(int(b))
+                )
+                mult = F.when(F.col("_ctx") == val, bl).otherwise(mult)
+            weight = F.sum(mult).cast("double" if fractional else "long")
             vocab = (
                 terms.groupBy("term")
-                .agg(F.sum(mult).cast("long").alias("weight"))
+                .agg(weight.alias("weight"))
                 .filter(F.col("weight") >= min_count)
             )
         else:

@@ -136,6 +136,33 @@ def test_filters_agg_multi_membership(ev):
     assert got == {"cheap": (3, 60.0), "eu": (4, 150.0)}
 
 
+def test_filters_other_bucket_catches_null_predicates(ev):
+    """ES other_bucket counts a doc whose filter predicates evaluate
+    to NULL (null field in a term/range) as "did not match" — it must
+    land in the other bucket, not silently vanish from the agg.  Both
+    null shapes are exercised: id 7 (val NULL → NULL range predicate)
+    and id 8 (kind NULL → NULL term predicate)."""
+    out = compile_aggs(
+        ev,
+        {
+            "f": {
+                "filters": {
+                    "filters": {
+                        "views": {"term": {"kind": "view"}},
+                        "cheap": {"range": {"val": {"lt": 15.0}}},
+                    },
+                    "other_bucket_key": "rest",
+                }
+            }
+        },
+    )
+    got = {r["f"]: r["doc_count"] for r in out.collect()}
+    # views: ids 4,5; cheap: id 1; rest: ids 2,3,6 (plain non-match),
+    # 7 (NULL val predicate), 8 (NULL kind predicate) — a bare
+    # NOT(NULL) would drop 7 and 8 and report rest=3
+    assert got == {"views": 2, "cheap": 1, "rest": 5}
+
+
 def test_range_boundaries_half_open(ev):
     out = compile_aggs(
         ev,

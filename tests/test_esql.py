@@ -192,3 +192,31 @@ def test_change_point_command(spark):
     assert r["mean_left"] == 10.0 and r["mean_right"] == 50.0
     with pytest.raises(ValueError, match="CHANGE_POINT"):
         esql("FROM series | CHANGE_POINT", {"series": series})
+
+
+def test_from_multi_index_unions(spark):
+    """ES|QL `FROM a, b` unions the named indices; a column present in
+    only one index null-fills (sparse multi-index mapping)."""
+    a = spark.createDataFrame([(1, "x")], "id long, k string")
+    b = spark.createDataFrame([(2, "y", 9.0)], "id long, k string, v double")
+    out = esql("FROM a, b | SORT id ASC", {"a": a, "b": b}).collect()
+    assert [(r["id"], r["k"], r["v"]) for r in out] == [
+        (1, "x", None),
+        (2, "y", 9.0),
+    ]
+    with pytest.raises(ValueError, match="unknown table"):
+        esql("FROM a, missing", {"a": a})
+
+
+def test_fn_rewrite_braces_in_argument(spark):
+    """A brace character inside a rewritten function's argument must
+    pass through literally — str.format on the template would raise
+    KeyError/IndexError on '{' / '}'."""
+    t = spark.createDataFrame([(1, "a{b"), (2, "cd")], "id long, s string")
+    out = esql(
+        'FROM t | EVAL m = TO_STRING("{x}"), n = MV_COUNT(split(s, "d"))'
+        " | KEEP id, m, n",
+        {"t": t},
+    ).collect()
+    got = {r["id"]: (r["m"], r["n"]) for r in out}
+    assert got == {1: ("{x}", 1), 2: ("{x}", 2)}

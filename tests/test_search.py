@@ -2192,6 +2192,27 @@ def test_completion_contexts_filter_and_boost(spark):
         completion_suggest(docs, ["sp"], context_field="source")
 
 
+def test_completion_contexts_fractional_boost(spark):
+    """ES context boosts are floats — a 2.5 boost must contribute 2.5
+    per occurrence (int() truncation would make it 2) and the summed
+    weight comes back as double."""
+    from monstache_spark.operators.search import completion_suggest
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark", "a"), (2, "spark sprint", "b")],
+        "doc_id long, text string, source string",
+    )
+    out = completion_suggest(
+        docs, ["sp"], top_n=3,
+        context_field="source", context_values=["a", "b"],
+        context_boosts={"b": 2.5},
+    )
+    assert dict(out.dtypes)["weight"] == "double"
+    got = {r["suggestion"]: r["weight"] for r in out.collect()}
+    # spark = 2x1 (a) + 1x2.5 (b) = 4.5; sprint = 2.5
+    assert got == {"spark": 4.5, "sprint": 2.5}
+
+
 def test_termvectors_positions_and_stats(spark):
     from monstache_spark.operators.search import termvectors
 

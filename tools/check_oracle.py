@@ -66,6 +66,24 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        # schema lint: the driver's pandas canonicalizer cannot hash
+        # complex-typed cells (round-8 verdict: es_termvectors'
+        # array<long> positions was the one red row) — fail ANY query
+        # whose output schema carries Array/Map/Struct so the class
+        # stays closed registry-wide
+        complex_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            print(
+                f"FAIL {name}: complex-typed output columns {complex_cols} "
+                "(driver canonicalizer cannot hash list/dict cells — "
+                "serialize with array_join/to_json in the gate query)"
+            )
+            failures.append(name)
+            continue
         spark_t = time.time() - t0
         if name not in oracles:
             print(f"OK?  {name}: rows-only ({len(srows)} rows, {spark_t:.1f}s) — no oracle")
