@@ -1821,51 +1821,61 @@ def _q_ann_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     base = tempfile.mkdtemp(prefix="monstache_annidx_")
-    table = IvfPqIndexTable(spark, os.path.join(base, "index"), dim=64)
-    table.bootstrap(emb)
+    # pin the shuffle width to the micro-batch scale for the whole
+    # streamed run (the streaming/windows.py pattern): every merge
+    # groupBy/join handles ~300 vectors, and at 32 partitions the
+    # per-batch stages are dominated by empty-task scheduling — the
+    # hash contract is width-independent
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        table = IvfPqIndexTable(spark, os.path.join(base, "index"), dim=64)
+        table.bootstrap(emb)
 
-    work = emb.filter(F.col("vec_id") < 300)
+        work = emb.filter(F.col("vec_id") < 300)
 
-    def env(df, op, version, vec):
-        return df.select(
-            F.lit(op).alias("op"),
-            F.lit("db.vec").alias("ns"),
-            F.col("vec_id").cast("string").alias("id"),
-            F.lit(version).cast("long").alias("version"),
-            vec.alias("embedding"),
+        def env(df, op, version, vec):
+            return df.select(
+                F.lit(op).alias("op"),
+                F.lit("db.vec").alias("ns"),
+                F.col("vec_id").cast("string").alias("id"),
+                F.lit(version).cast("long").alias("version"),
+                vec.alias("embedding"),
+            )
+
+        b1 = env(work, "i", 10, F.col("embedding"))
+        b2 = env(
+            work.filter(F.col("vec_id") % 7 == 0), "u", 20,
+            F.reverse(F.col("embedding")),
+        ).unionByName(
+            env(work.filter(F.col("vec_id") % 11 == 0), "d", 20, F.col("embedding"))
         )
+        b3 = env(  # stale replay: must lose everywhere
+            work.filter(F.col("vec_id") % 3 == 0), "i", 5,
+            F.transform(F.col("embedding"), lambda x: -x),
+        )
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        for i, b in enumerate((b1, b2, b3), start=1):
+            scratch = os.path.join(base, f"w{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+            shutil.copyfile(os.path.join(scratch, part), os.path.join(src, f"b{i}.parquet"))
 
-    b1 = env(work, "i", 10, F.col("embedding"))
-    b2 = env(
-        work.filter(F.col("vec_id") % 7 == 0), "u", 20,
-        F.reverse(F.col("embedding")),
-    ).unionByName(
-        env(work.filter(F.col("vec_id") % 11 == 0), "d", 20, F.col("embedding"))
-    )
-    b3 = env(  # stale replay: must lose everywhere
-        work.filter(F.col("vec_id") % 3 == 0), "i", 5,
-        F.transform(F.col("embedding"), lambda x: -x),
-    )
-    src = os.path.join(base, "src")
-    os.makedirs(src)
-    for i, b in enumerate((b1, b2, b3), start=1):
-        scratch = os.path.join(base, f"w{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(scratch)
-        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
-        shutil.copyfile(os.path.join(scratch, part), os.path.join(src, f"b{i}.parquet"))
-
-    stream = (
-        spark.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = (
-        stream.writeStream.foreachBatch(lambda df, _eid: table.merge_batch(df))
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(lambda df, _eid: table.merge_batch(df))
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return table.read().select(
         F.col("id").cast("long").alias("vec_id"), "version", "cell", "codes"
     )

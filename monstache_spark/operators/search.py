@@ -2090,18 +2090,78 @@ def _bm25_scored(
     else:
         terms = sorted({t.lower() for t in query_terms})
     toks = _term_rows(docs, text_col, id_col, analyzer)
-    dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    if analyzer is not None:
+        # Analyzer chains (Porter especially) are interpreted HOF
+        # cascades — the plan must tokenize the corpus ONCE, not once
+        # per consumer.  Collapse to the (id, term, cnt) frame behind
+        # ONE exchange (map-side combine shrinks it to distinct
+        # pairs); dl re-aggregates it, and the query-term restriction
+        # is a BROADCAST JOIN rather than a filter — a filter on the
+        # group key would be pushed below the exchange and split it
+        # into a second scan+stem of the corpus, while a join stays
+        # above, so both consumers hit the same ReusedExchange.
+        spark = docs.sparkSession
+        # spread the docs across the full shuffle width BEFORE the
+        # stem cascade runs: the tokenizing explode inherits SCAN
+        # parallelism (one small parquet file = one task doing all
+        # the stemming), and the analyzer is the expensive part of
+        # this plan — the dedup._spread rationale.  The spread key is
+        # crc32(id), NOT the id itself: HashPartitioning(id) would
+        # satisfy the downstream groupBy(id, term) clustering, Catalyst
+        # would elide that aggregation's exchange in EVERY consumer
+        # branch, and with no shared (id, term) exchange left to
+        # reuse, each branch would re-run the stem cascade — the
+        # derived key keeps the (id, term) exchange in the plan as the
+        # single stem-once reuse point
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spread = docs.repartition(
+            nparts, F.crc32(F.col(id_col).cast("string"))
+        )
+        toks = _term_rows(spread, text_col, id_col, analyzer)
+        # the explicit notnull filter makes every consumer branch
+        # canonically IDENTICAL below the exchange — without it the
+        # joined branches carry a join-inferred isnotnull(id) the
+        # stats branch lacks, and the exchanges stop matching
+        tc = (
+            toks.filter(F.col(id_col).isNotNull())
+            .groupBy(id_col, "term")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        dl = tc.groupBy(id_col).agg(F.sum("cnt").cast("long").alias("dl"))
+        terms_df = spark.range(1).select(
+            F.explode(F.array(*[F.lit(t) for t in terms])).alias("term")
+        )
+        tf = (
+            tc.join(F.broadcast(terms_df), "term")
+            .select(id_col, "term", F.col("cnt").alias("tf"))
+        )
+        # df = row count per term (each (id, term) row is distinct),
+        # written as sum(least(tf, 1)) — always 1 per row, but it
+        # genuinely READS tf: a plain count would be rewritten to
+        # count(1), cnt would be pruned from this branch's partial
+        # aggregate, and the branch would stop matching the shared
+        # exchange and re-stem the corpus
+        df_ = tf.groupBy("term").agg(
+            F.sum(F.least(F.col("tf"), F.lit(1))).cast("long").alias("df")
+        )
+    else:
+        # simple tokenization is cheaper than a corpus-wide shuffle of
+        # its token pairs: keep the three column-pruned scans and the
+        # tiny query-term-only shuffles
+        dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+        qtoks = toks.filter(F.col("term").isin(terms))
+        tf = qtoks.groupBy(id_col, "term").agg(
+            F.count("*").cast("long").alias("tf")
+        )
+        df_ = (
+            qtoks.select(id_col, "term")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
-    )
-    qtoks = toks.filter(F.col("term").isin(terms))
-    tf = qtoks.groupBy(id_col, "term").agg(F.count("*").cast("long").alias("tf"))
-    df_ = (
-        qtoks.select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
     )
     idf = df_.crossJoin(F.broadcast(stats)).select(
         "term",

@@ -83,6 +83,12 @@ class IvfPqIndexTable:
             os.path.join(path, "cells_state"),
             payload_cols=(vec_col, "cell", "codes"),
         )
+        # frozen-quantizer cache: centroids/codebooks never change
+        # after bootstrap (the FAISS add() contract), so hold them
+        # persisted instead of re-reading parquet on every micro-batch
+        # — they are control-plane-sized (n_centroids / m*k_sub rows)
+        self._cen_cache: DataFrame | None = None
+        self._cb_cache: DataFrame | None = None
 
     # -- frozen quantizers ------------------------------------------------
     def bootstrap(self, training: DataFrame, id_col: str = "vec_id") -> None:
@@ -100,12 +106,26 @@ class IvfPqIndexTable:
         pq_codebooks(
             training, self.dim, self.m, self.k_sub, self.vec_col, id_col
         ).write.mode("overwrite").parquet(os.path.join(self.path, "codebooks"))
+        # re-bootstrap invalidates the frozen-quantizer cache
+        for c in (self._cen_cache, self._cb_cache):
+            if c is not None:
+                c.unpersist()
+        self._cen_cache = None
+        self._cb_cache = None
 
     def _centroids(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "centroids"))
+        if self._cen_cache is None:
+            self._cen_cache = self.spark.read.parquet(
+                os.path.join(self.path, "centroids")
+            ).persist()
+        return self._cen_cache
 
     def _codebooks(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "codebooks"))
+        if self._cb_cache is None:
+            self._cb_cache = self.spark.read.parquet(
+                os.path.join(self.path, "codebooks")
+            ).persist()
+        return self._cb_cache
 
     # -- per-batch encode --------------------------------------------------
     def encode(self, rows: DataFrame, id_col: str = "id") -> DataFrame:

@@ -466,6 +466,17 @@ CHECKS = [
         and "BroadcastHashJoin" in p,
     ),
     (
+        "bm25_search_porter",
+        "Porter BM25: the stem cascade runs ONCE — dl/df/stats read "
+        "the (id, term, cnt) frame through ReusedExchange instead of "
+        "re-stemming the corpus, and the tokenizing explode is spread "
+        "to full shuffle width before the cascade (final tree: at most "
+        "2 Generate nodes — the stem pass + the literal query terms)",
+        lambda p: p.split("\n\n")[0].count("ReusedExchange") >= 2
+        and len(re.findall(r"Generate \(\d+\)", p.split("\n\n")[0])) <= 2
+        and "Python" not in p,
+    ),
+    (
         "geo_bbox_filter",
         "geo bbox: four exact comparisons as a codegen Filter — no "
         "Python, no join, no shuffle",
