@@ -88,6 +88,37 @@ from monstache_spark.functions.analyzer import ENGLISH as _ENGLISH_AN  # noqa: E
 from monstache_spark.functions.analyzer import ENGLISH_PORTER as _PORTER_AN  # noqa: E402
 from monstache_spark.functions.analyzer import FOLDED as _FOLDED_AN  # noqa: E402
 
+# sign-bit packing mirror of similarity._sign_mask (bit 63 = the
+# two's-complement sign bit; each power enters as an explicit BIGINT
+# cast so DuckDB's literal typing cannot widen the list to HUGEINT)
+_BIT_POWERS_SQL = ", ".join(
+    f"CAST({(1 << i) if i < 63 else -(1 << 63)} AS BIGINT)" for i in range(64)
+)
+_BIN_CODE_SQL = (
+    "list_reduce(list_transform(range(1, 65), i -> "
+    "CASE WHEN embedding[CAST(i AS INT)] > 0 "
+    f"THEN ([{_BIT_POWERS_SQL}])[CAST(i AS INT)] "
+    "ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b)"
+)
+# per-dimension int8 scalar quantization mirror of
+# similarity.int8_quantize (floats cast to DOUBLE before arithmetic so
+# both engines run identical IEEE ops)
+_INT8_CODES_CTE = """
+  d AS (
+    SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+    FROM embeddings, unnest(range(1, 65)) u(i)
+  ),
+  st AS (SELECT i, min(x) AS lo, max(x) - min(x) AS sp FROM d GROUP BY i),
+  codes AS (
+    SELECT vec_id,
+           list(CASE WHEN sp > 0 THEN least(CAST(255 AS BIGINT),
+                  greatest(CAST(0 AS BIGINT),
+                           CAST(floor((x - lo) * 255.0 / sp) AS BIGINT)))
+                ELSE CAST(0 AS BIGINT) END ORDER BY i) AS codes
+    FROM d JOIN st USING (i) GROUP BY vec_id
+  )
+"""
+
 # the deterministic accent injection shared by the ascii_fold_* oracles
 # (mirror of _fold_injected_docs)
 _FOLD_INJECT_SQL = (
@@ -3840,6 +3871,114 @@ def _q_ascii_fold_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("term").agg(F.count("*").cast("long").alias("freq"))
 
 
+def _q_binary_quantize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dense_vector element_type: bit / binary quantization (BBQ)
+    (similarity.binary_quantize): every 64-dim vector packs its sign
+    bits into ONE BIGINT (256x storage cut) + popcount.  One
+    projection, no shuffle, integers only — the first stage of the
+    hamming-shortlist → exact-rerank pipeline a 100 TB vector store
+    runs."""
+    from monstache_spark.operators.similarity import binary_quantize
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return binary_quantize(emb)
+
+
+def _q_hamming_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN by hamming distance over bit-quantized vectors
+    (similarity.hamming_topk — ES knn with element_type: bit /
+    Lucene hamming similarity): xor + popcount per corpus vector
+    against the broadcast query code, TakeOrderedAndProject top-10.
+    All-integer contract."""
+    from monstache_spark.operators.similarity import hamming_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hamming_topk(emb, query_vec_id=0, k=10)
+
+
+def _q_int8_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES element_type: int8 scalar quantization
+    (similarity.int8_quantize): per-dimension corpus min/max (one
+    1-row agg, broadcast) scale each value to [0, 255] integer codes.
+    Gate emits the comma-joined code string + an exact checksum (the
+    no-complex-columns driver contract)."""
+    from monstache_spark.operators.similarity import int8_quantize
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    codes = int8_quantize(emb, dim=64)
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("checksum"),
+    )
+
+
+def _q_int8_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN by integer dot product over int8 codes
+    (similarity.int8_topk — the ES int8-HNSW scoring primitive):
+    exact integer math end to end, broadcast query row, one corpus
+    projection + TakeOrderedAndProject."""
+    from monstache_spark.operators.similarity import int8_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return int8_topk(emb, query_vec_id=0, dim=64, k=10)
+
+
+def _q_es_esql_inlinestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL INLINESTATS (operators/esql — the group aggregates
+    APPENDED to every row): compiles to ONE window aggregate
+    partitioned by the BY keys, no self-join back.  Sums accumulate
+    in exact decimal inside the window (windowed double sums order-
+    diverge across engines); the mean derives by EVAL division."""
+    from monstache_spark.operators.esql import esql
+
+    orders = load_table(spark, "orders", sf_dir)
+    return esql(
+        'FROM orders'
+        ' | WHERE o_orderstatus == "F"'
+        ' | INLINESTATS total = SUM(CAST(o_totalprice AS DECIMAL(19,4))),'
+        ' n = COUNT(*) BY o_orderpriority'
+        ' | EVAL avg_price = ROUND(CAST(total AS DOUBLE) / n, 6),'
+        ' delta = ROUND(o_totalprice - ROUND(CAST(total AS DOUBLE) / n, 6), 6)'
+        ' | KEEP o_orderkey, o_orderpriority, n, avg_price, delta'
+        ' | SORT delta DESC, o_orderkey ASC | LIMIT 20',
+        {"orders": orders},
+    )
+
+
+def _q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-N rejection sampling (curation.best_of_n): per prompt
+    (customer), the highest-reward candidate (order) with lowest-id
+    tie break, plus candidate count, exact-decimal reward mean, and
+    the best-minus-mean margin.  Two-phase extreme + tie-join — no
+    string/struct in any aggregation buffer."""
+    from monstache_spark.operators.curation import best_of_n
+
+    orders = load_table(spark, "orders", sf_dir)
+    return best_of_n(
+        orders,
+        prompt_col="o_custkey",
+        cand_col="o_orderkey",
+        reward_col="o_totalprice",
+    )
+
+
+def _q_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching stats (curation.length_buckets): each
+    document falls in the smallest bucket holding its token count;
+    per bucket doc count, token sum, kept tokens (overflow truncates
+    at the last bucket), capacity, and padding waste in basis points
+    — exact integer arithmetic, ONE projection + ONE hash agg."""
+    from monstache_spark.operators.curation import length_buckets
+
+    docs = load_table(spark, "documents", sf_dir)
+    return length_buckets(docs, [16, 32, 64, 128])
+
+
 def _geo_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with synthesized geo_point coordinates derived from
     the integer key by EXACT arithmetic (int modulo then one double
@@ -6156,6 +6295,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window after cluster_balanced_sample / sft_render_chat) ---
         "ascii_fold_match": _q_ascii_fold_match,
         "ascii_fold_terms": _q_ascii_fold_terms,
+        "binary_quantize_census": _q_binary_quantize_census,
+        "hamming_knn_topk": _q_hamming_knn_topk,
+        "int8_quantize_codes": _q_int8_quantize_codes,
+        "int8_knn_topk": _q_int8_knn_topk,
+        "es_esql_inlinestats": _q_es_esql_inlinestats,
+        "best_of_n_orders": _q_best_of_n,
+        "length_bucket_packing": _q_length_bucket_packing,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9550,6 +9696,115 @@ def oracle_sql() -> dict[str, str]:
           ),
           t AS (SELECT unnest({_FOLDED_AN.sql_tokens("text")}) AS term FROM c)
           SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY term
+        """,
+        "binary_quantize_census": f"""
+          SELECT vec_id, {_BIN_CODE_SQL} AS code,
+                 CAST(bit_count({_BIN_CODE_SQL}) AS BIGINT) AS n_bits
+          FROM embeddings
+        """,
+        "hamming_knn_topk": f"""
+          WITH c AS (SELECT vec_id, {_BIN_CODE_SQL} AS code FROM embeddings),
+          q AS (SELECT code AS q_code FROM c WHERE vec_id = 0),
+          s AS (
+            SELECT vec_id,
+                   CAST(bit_count(xor(code, q_code)) AS BIGINT) AS hamming
+            FROM c, q WHERE vec_id <> 0
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (
+                       ORDER BY hamming ASC, vec_id ASC) AS BIGINT) AS rank
+            FROM s
+          )
+          SELECT vec_id, hamming, rank FROM r WHERE rank <= 10
+        """,
+        "int8_quantize_codes": f"""
+          WITH {_INT8_CODES_CTE}
+          SELECT vec_id, array_to_string(codes, ',') AS codes,
+                 list_reduce(codes, (a, b) -> a + b) AS checksum
+          FROM codes
+        """,
+        "int8_knn_topk": f"""
+          WITH {_INT8_CODES_CTE},
+          q AS (SELECT codes AS q_codes FROM codes WHERE vec_id = 0),
+          s AS (
+            SELECT vec_id,
+                   list_reduce(list_transform(range(1, 65),
+                     i -> codes[CAST(i AS INT)] * q_codes[CAST(i AS INT)]),
+                     (a, b) -> a + b) AS dot
+            FROM codes, q WHERE vec_id <> 0
+          ),
+          r AS (
+            SELECT *, CAST(row_number() OVER (
+                       ORDER BY dot DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM s
+          )
+          SELECT vec_id, dot, rank FROM r WHERE rank <= 10
+        """,
+        "es_esql_inlinestats": """
+          WITH w AS (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   sum(CAST(o_totalprice AS DECIMAL(19,4)))
+                     OVER (PARTITION BY o_orderpriority) AS total,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders WHERE o_orderstatus = 'F'
+          ),
+          e AS (
+            SELECT o_orderkey, o_orderpriority, CAST(n AS BIGINT) AS n,
+                   round(CAST(total AS DOUBLE) / n, 6) AS avg_price,
+                   round(o_totalprice
+                         - round(CAST(total AS DOUBLE) / n, 6), 6) AS delta
+            FROM w
+          )
+          SELECT * FROM e ORDER BY delta DESC, o_orderkey ASC LIMIT 20
+        """,
+        "best_of_n_orders": """
+          WITH s AS (
+            SELECT o_custkey, max(o_totalprice) AS best_reward,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sm
+            FROM orders GROUP BY 1
+          ),
+          w AS (
+            SELECT s.o_custkey, s.best_reward, s.n_candidates, s.sm,
+                   min(o.o_orderkey) AS best_cand
+            FROM orders o
+            JOIN s ON o.o_custkey = s.o_custkey
+                  AND o.o_totalprice = s.best_reward
+            GROUP BY 1, 2, 3, 4
+          )
+          SELECT o_custkey, best_cand, best_reward, n_candidates,
+                 round(CAST(sm AS DOUBLE) / n_candidates, 6) AS reward_mean,
+                 round(best_reward
+                       - CAST(sm AS DOUBLE) / n_candidates, 6) AS margin
+          FROM w
+        """,
+        "length_bucket_packing": """
+          WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+          ),
+          b AS (
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(CASE WHEN n_tokens <= 16 THEN 16
+                             WHEN n_tokens <= 32 THEN 32
+                             WHEN n_tokens <= 64 THEN 64
+                             ELSE 128 END AS BIGINT) AS bucket
+            FROM t
+          ),
+          a AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                   CAST(sum(least(n_tokens, bucket)) AS BIGINT) AS kept_tokens
+            FROM b GROUP BY 1
+          )
+          SELECT bucket, n_docs, sum_tokens, kept_tokens,
+                 n_docs * bucket AS capacity,
+                 CAST(floor((n_docs * bucket - kept_tokens) * 10000
+                            / (n_docs * bucket)) AS BIGINT) AS waste_bp
+          FROM a
         """,
         "function_score_boost": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),

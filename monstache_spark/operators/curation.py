@@ -1461,3 +1461,110 @@ def deterministic_shuffle(
     return out.withColumn(
         "epoch_pos", (F.row_number().over(w) - F.lit(1)).cast("long")
     )
+
+
+def best_of_n(
+    candidates: DataFrame,
+    prompt_col: str = "prompt_id",
+    cand_col: str = "cand_id",
+    reward_col: str = "reward",
+) -> DataFrame:
+    """Best-of-N selection over reward-scored candidates — the
+    rejection-sampling step of an RLHF/RFT pipeline: per prompt, keep
+    the candidate with the highest reward (ties break on the LOWEST
+    candidate id, deterministic).  Also emits the per-prompt candidate
+    count, reward mean (exact-decimal sum / count), and the
+    best-minus-mean margin the pipeline monitors.
+
+    Plan shape: the two-phase extreme + tie-join — ONE hash aggregate
+    computes (max reward, n, sum) per prompt with primitive-only
+    buffers (a ``max_by(id, reward)`` would drag the id into the
+    buffer and degrade to SortAggregate), then a join back on
+    ``(prompt, max_reward)`` picks the winner row and min() resolves
+    reward ties.  Both shuffles key on the prompt — co-partitioned,
+    and at 100 TB the aggregate side is map-combined to one row per
+    prompt before it moves.
+    """
+    # the stats side renames its key pre-join (self-join lineage —
+    # Spark's ambiguous-column check rejects frame-qualified refs here)
+    stats = (
+        candidates.groupBy(prompt_col)
+        .agg(
+            F.max(reward_col).alias("best_reward"),
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.col(reward_col).cast("decimal(38,6)")).alias("_sum"),
+        )
+        .withColumnRenamed(prompt_col, "_prompt")
+    )
+    winners = (
+        candidates.join(
+            stats,
+            (F.col(prompt_col) == F.col("_prompt"))
+            & (F.col(reward_col) == F.col("best_reward")),
+        )
+        .groupBy(prompt_col, "best_reward", "n_candidates", "_sum")
+        .agg(F.min(cand_col).alias("best_cand"))
+    )
+    # cast the exact decimal sum to double BEFORE dividing: decimal
+    # division scale rules differ across engines, double division is
+    # IEEE-identical
+    mean = F.col("_sum").cast("double") / F.col("n_candidates")
+    return winners.select(
+        prompt_col,
+        "best_cand",
+        "best_reward",
+        "n_candidates",
+        F.round(mean, 6).alias("reward_mean"),
+        F.round(F.col("best_reward") - mean, 6).alias("margin"),
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    boundaries: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching stats — the padding-waste planner that
+    decides a training run's bucket boundaries: each document falls in
+    the smallest bucket whose capacity holds its token count (the last
+    bucket also takes overflow, truncation-planned).  Per bucket:
+    document count, token sum, capacity = n_docs x bucket size, and
+    the padding waste in basis points (exact integer arithmetic — no
+    float contract).
+
+    ONE projection (token count + bucket CASE) + ONE hash aggregate.
+    """
+    if boundaries != sorted(boundaries) or len(set(boundaries)) != len(
+        boundaries
+    ):
+        raise ValueError("boundaries must be strictly increasing")
+    from monstache_spark.functions.text import token_count
+
+    nt = token_count(F.col(text_col)).cast("long")
+    bucket = F.lit(boundaries[-1]).cast("long")
+    for b in reversed(boundaries[:-1]):
+        bucket = F.when(nt <= b, F.lit(b).cast("long")).otherwise(bucket)
+    rows = docs.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        bucket.alias("bucket"),
+    )
+    agg = rows.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum(F.least(F.col("n_tokens"), F.col("bucket")))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    capacity = F.col("n_docs") * F.col("bucket")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        "kept_tokens",
+        capacity.alias("capacity"),
+        F.floor((capacity - F.col("kept_tokens")) * 10000 / capacity)
+        .cast("long")
+        .alias("waste_bp"),
+    )

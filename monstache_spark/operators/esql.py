@@ -60,6 +60,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
 
@@ -361,6 +362,34 @@ def esql(
                 df = df.groupBy(*keys).agg(*aggs)
             else:
                 df = df.groupBy().agg(*aggs)
+        elif cmd == "INLINESTATS":
+            # ES|QL INLINESTATS: the STATS aggregates APPENDED to every
+            # row instead of collapsing the frame — a window aggregate
+            # partitioned by the BY keys (Catalyst: one Window exchange
+            # on the keys, no join back).  Per-aggregate WHERE filters
+            # rewrite to AGG(CASE WHEN cond THEN arg END) because
+            # Spark's FILTER clause is not valid on window functions.
+            bm = _split_kw(body, "BY")
+            keys = (
+                [k.strip() for k in bm[1].split(",")] if len(bm) == 2 else []
+            )
+            w = Window.partitionBy(*[F.expr(_tr_expr(k)) for k in keys])
+            for i, (nm, sql) in enumerate(_named_exprs(bm[0])):
+                parts = _split_kw(sql, "WHERE")
+                if len(parts) == 2:
+                    call = parts[0].strip()
+                    cond = parts[1].strip()  # translated with the whole expr
+                    fm = re.match(r"^(\w+)\s*\((.*)\)\s*$", call, re.S)
+                    if not fm:
+                        raise ValueError(
+                            f"INLINESTATS WHERE needs AGG(expr): {call!r}"
+                        )
+                    fn, arg = fm.group(1), fm.group(2).strip()
+                    arg = "1" if arg == "*" else arg
+                    sql = f"{fn}(CASE WHEN {cond} THEN {arg} END)"
+                df = df.withColumn(
+                    nm or f"agg{i}", F.expr(_tr_expr(sql)).over(w)
+                )
         elif cmd == "SORT":
             order = []
             for item in _split_top(body, ","):

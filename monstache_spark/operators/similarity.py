@@ -1550,3 +1550,161 @@ def knn_join(
         dedup.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# quantized vectors: bit (hamming) and int8 — the modern ES
+# dense_vector element_type: bit / int8 surface (and the BBQ-style
+# binary-quantization scale path every production vector index ships)
+# ---------------------------------------------------------------------------
+
+# distinct powers of two as SIGNED 64-bit literals (bit 63 is the sign
+# bit in two's complement — both engines agree on the representation)
+_BIT_POWERS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def _sign_mask(vec: Column) -> Column:
+    """Pack the per-dimension sign bits of a ≤64-dim vector into ONE
+    BIGINT: bit i set iff ``vec[i] > 0``.  A zip against the literal
+    power table + a bitwise-OR fold — pure codegen, no UDF, and the
+    DuckDB mirror is the identical list_transform/list_reduce fold."""
+    powers = F.array(*[F.lit(p).cast("long") for p in _BIT_POWERS])
+    bits = F.zip_with(
+        vec,
+        powers,
+        lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b)
+    )
+
+
+def binary_quantize(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """ES ``element_type: bit`` / binary quantization (BBQ): each
+    ≤64-dim vector becomes one BIGINT sign mask plus its popcount —
+    a 256x storage cut at dim=64 (float32 → 1 bit/dim), the standard
+    first-stage filter of a two-phase (hamming shortlist → exact
+    re-rank) vector pipeline.  One projection, no shuffle.  Returns
+    ``(id, code, n_bits)``."""
+    code = _sign_mask(F.col(vec_col))
+    return emb.select(
+        F.col(id_col),
+        code.alias("code"),
+        F.bit_count(code).cast("long").alias("n_bits"),
+    )
+
+
+def hamming_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kNN by HAMMING distance over binary-quantized vectors — ES's
+    ``knn`` with ``element_type: bit`` (Lucene's hamming similarity):
+    shortlist = bit_count(xor(code, query_code)) ascending, ties on
+    id.  The query row broadcasts; the corpus scan stays a projection
+    + TakeOrderedAndProject — distance is TWO instructions per vector
+    (xor + popcount) on packed words, the whole point of the bit
+    representation at 100 TB.  Returns ``(vec_id, hamming, rank)``,
+    integers only (no float contract needed)."""
+    codes = binary_quantize(emb, vec_col, id_col)
+    q = F.broadcast(
+        codes.filter(F.col(id_col) == query_vec_id).select(
+            F.col("code").alias("q_code")
+        )
+    )
+    scored = (
+        codes.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(q)
+        .select(
+            id_col,
+            F.bit_count(F.col("code").bitwiseXOR(F.col("q_code")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    ranked = scored.orderBy(F.col("hamming").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def int8_quantize(
+    emb: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES ``element_type: int8`` scalar quantization: per-DIMENSION
+    corpus min/max (one 1-row aggregate, broadcast) scale each value
+    to an integer code in [0, 255] — ``floor((x - min_d) * 255 /
+    (max_d - min_d))``, clamped, constant dimensions coding to 0.
+    Codes are exact integers, so every downstream contract
+    (dot products, top-k) is engine-exact with NO rounding clause.
+    Returns ``(id, codes array<long>)``."""
+    v = as_double_array(F.col(vec_col))
+    stats = emb.agg(
+        F.array(*[F.min(v[i]) for i in range(dim)]).alias("mins"),
+        F.array(*[F.max(v[i]) for i in range(dim)]).alias("maxs"),
+    )
+    ranges = stats.select(
+        "mins",
+        F.zip_with("maxs", "mins", lambda hi, lo: hi - lo).alias("spans"),
+    )
+    scaled = emb.crossJoin(F.broadcast(ranges)).select(
+        F.col(id_col),
+        F.zip_with(
+            v,
+            F.zip_with(
+                "mins", "spans", lambda lo, sp: F.struct(lo.alias("lo"), sp.alias("sp"))
+            ),
+            lambda x, s: F.when(
+                s["sp"] > 0,
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        F.floor((x - s["lo"]) * F.lit(255.0) / s["sp"]).cast("long"),
+                    ),
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("codes"),
+    )
+    return scaled
+
+
+def int8_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kNN by integer dot product over int8-quantized codes — the ES
+    int8-HNSW scoring primitive, exact across engines because every
+    term is an integer (quantization already absorbed the float
+    noise).  Query row broadcasts; one corpus projection +
+    TakeOrderedAndProject.  Returns ``(vec_id, dot, rank)``."""
+    codes = int8_quantize(emb, dim, vec_col, id_col)
+    q = F.broadcast(
+        codes.filter(F.col(id_col) == query_vec_id).select(
+            F.col("codes").alias("q_codes")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("q_codes"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(q)
+        .select(id_col, dot.alias("dot"))
+    )
+    ranked = scored.orderBy(F.col("dot").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("dot").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

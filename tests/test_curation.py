@@ -594,3 +594,47 @@ def test_deterministic_shuffle_reproducible(spark):
     assert a != c            # different seed -> different permutation
     assert sorted(a) == list(range(20))
     assert a != list(range(20))  # actually shuffled
+
+
+def test_best_of_n_ties_and_stats(spark):
+    from monstache_spark.operators.curation import best_of_n
+
+    cands = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (1, 11, 9.0), (1, 12, 9.0),  # tie -> min cand 11
+            (2, 20, 4.0),
+        ],
+        "prompt_id long, cand_id long, reward double",
+    )
+    out = {r["prompt_id"]: r for r in best_of_n(cands).collect()}
+    assert out[1]["best_cand"] == 11 and out[1]["best_reward"] == 9.0
+    assert out[1]["n_candidates"] == 3
+    assert abs(out[1]["reward_mean"] - (23.0 / 3)) < 1e-6
+    assert out[2]["best_cand"] == 20 and out[2]["n_candidates"] == 1
+    assert out[2]["margin"] == 0.0
+
+
+def test_length_buckets_edges_and_overflow(spark):
+    from monstache_spark.operators.curation import length_buckets
+
+    import pytest as _pt
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),                    # 2 tokens  -> bucket 4
+            (2, "a b c d"),                # 4 tokens  -> bucket 4 (edge)
+            (3, "a b c d e"),              # 5 tokens  -> bucket 8
+            (4, " ".join(["x"] * 20)),     # 20 tokens -> last bucket 8, truncates
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["bucket"]: r for r in length_buckets(docs, [4, 8]).collect()}
+    assert out[4]["n_docs"] == 2 and out[4]["sum_tokens"] == 6
+    assert out[4]["capacity"] == 8 and out[4]["kept_tokens"] == 6
+    assert out[4]["waste_bp"] == 2500
+    # bucket 8: doc 3 (5 kept) + doc 4 (truncated to 8 of 20)
+    assert out[8]["n_docs"] == 2 and out[8]["sum_tokens"] == 25
+    assert out[8]["kept_tokens"] == 13 and out[8]["capacity"] == 16
+    assert out[8]["waste_bp"] == 1875
+    with _pt.raises(ValueError, match="strictly increasing"):
+        length_buckets(docs, [8, 4])

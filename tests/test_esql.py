@@ -220,3 +220,30 @@ def test_fn_rewrite_braces_in_argument(spark):
     ).collect()
     got = {r["id"]: (r["m"], r["n"]) for r in out}
     assert got == {1: ("{x}", 1), 2: ("{x}", 2)}
+
+
+def test_inlinestats_appends_group_stats(spark):
+    """INLINESTATS keeps every row and appends the group aggregate —
+    one window exchange, no collapse; per-agg WHERE rewrites to a
+    conditional aggregate (FILTER is invalid on window functions)."""
+    t = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 30.0), (3, "b", 5.0), (4, "b", None)],
+        "id long, k string, v double",
+    )
+    out = esql(
+        "FROM t | INLINESTATS n = COUNT(v), total = SUM(CAST(v AS"
+        " DECIMAL(19,4))) BY k | EVAL total_d = CAST(total AS DOUBLE)"
+        " | KEEP id, k, n, total_d | SORT id ASC",
+        {"t": t},
+    ).collect()
+    got = [(r["id"], r["n"], r["total_d"]) for r in out]
+    assert got == [(1, 2, 40.0), (2, 2, 40.0), (3, 1, 5.0), (4, 1, 5.0)]
+    # per-aggregate WHERE + no BY (global window)
+    out2 = esql(
+        "FROM t | INLINESTATS big = COUNT(*) WHERE v >= 10 | KEEP id, big"
+        " | SORT id ASC",
+        {"t": t},
+    ).collect()
+    assert [(r["id"], r["big"]) for r in out2] == [
+        (1, 2), (2, 2), (3, 2), (4, 2),
+    ]

@@ -1,0 +1,94 @@
+"""Quantized-vector operators (operators/similarity.py): bit packing
+(sign masks), hamming kNN, int8 scalar quantization, integer-dot kNN."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from monstache_spark.operators.similarity import (
+    binary_quantize,
+    hamming_topk,
+    int8_quantize,
+    int8_topk,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_binary_quantize_sign_mask(spark):
+    dim = 64
+    # vector A: bits 0 and 2 set; vector B: bit 63 only (the sign bit);
+    # vector C: all positive -> all 64 bits -> code == -1 (all ones)
+    a = [1.0, 0.0, 3.0] + [0.0] * (dim - 3)
+    b = [0.0] * 63 + [0.5]
+    c = [0.1] * dim
+    out = {
+        r["vec_id"]: (r["code"], r["n_bits"])
+        for r in binary_quantize(_emb(spark, [(1, a), (2, b), (3, c)])).collect()
+    }
+    assert out[1] == (0b101, 2)
+    assert out[2] == (-(1 << 63), 1)
+    assert out[3] == (-1, 64)
+
+
+def test_hamming_topk_orders_by_distance_then_id(spark):
+    dim = 64
+    q = [1.0] * 4 + [0.0] * (dim - 4)          # bits 0-3
+    near = [1.0] * 3 + [0.0] * (dim - 3)       # bits 0-2 -> hamming 1
+    far = [0.0] * 60 + [1.0] * 4               # bits 60-63 -> hamming 8
+    same = [2.0] * 4 + [-1.0] * (dim - 4)      # bits 0-3 -> hamming 0
+    out = hamming_topk(
+        _emb(spark, [(0, q), (1, near), (2, far), (3, same)]),
+        query_vec_id=0,
+        k=3,
+    ).collect()
+    assert [(r["vec_id"], r["hamming"], r["rank"]) for r in out] == [
+        (3, 0, 1),
+        (1, 1, 2),
+        (2, 8, 3),
+    ]
+
+
+def test_int8_quantize_boundaries(spark):
+    dim = 4
+    rows = [
+        (1, [0.0, 10.0, -5.0, 7.0]),
+        (2, [1.0, 20.0, -5.0, 7.0]),
+        (3, [2.0, 15.0, -5.0, 7.0]),
+    ]
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in int8_quantize(_emb(spark, rows), dim=dim).collect()
+    }
+    # dim0: min 0 max 2 -> codes 0 / 127 / 255 (mid floors to 127)
+    assert [out[1][0], out[2][0], out[3][0]] == [0, 127, 255]
+    # dim1: min 10 max 20 -> 0 / 255 / 127
+    assert [out[1][1], out[2][1], out[3][1]] == [0, 255, 127]
+    # constant dims code to 0
+    assert {out[i][2] for i in (1, 2, 3)} == {0}
+    assert {out[i][3] for i in (1, 2, 3)} == {0}
+
+
+def test_int8_topk_integer_dot(spark):
+    dim = 4
+    rows = [
+        (0, [0.0, 0.0, 0.0, 2.0]),
+        (1, [0.0, 0.0, 0.0, 2.0]),   # identical to query -> max dot
+        (2, [2.0, 2.0, 2.0, 0.0]),   # orthogonal-ish
+    ]
+    out = int8_topk(_emb(spark, rows), query_vec_id=0, dim=dim, k=2).collect()
+    assert [r["vec_id"] for r in out] == [1, 2]
+    assert out[0]["dot"] > out[1]["dot"]
+    assert all(isinstance(r["dot"], int) for r in out)
+
+
+def test_binary_quantize_rejects_nothing_but_handles_zero(spark):
+    dim = 64
+    z = [0.0] * dim  # no strictly-positive dims -> empty mask
+    out = binary_quantize(_emb(spark, [(9, z)])).collect()[0]
+    assert out["code"] == 0 and out["n_bits"] == 0
