@@ -3967,6 +3967,67 @@ def _q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hamming_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PHASE vector search (similarity.hamming_rerank_topk — the
+    production binary-quantized shape: ES BBQ / FAISS binary+refine):
+    hamming over 1-bit codes shortlists 40 candidates (xor+popcount,
+    1/256th of the vector bytes), exact rounded-cosine re-ranks the
+    shortlist to 10.  Full float vectors move only for the broadcast
+    shortlist ids."""
+    from monstache_spark.operators.similarity import hamming_rerank_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return hamming_rerank_topk(emb, query_vec_id=0, k=10, shortlist=40)
+
+
+def _q_es_retriever_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES retriever tree (search.retriever_topk — the 8.14+ `retriever`
+    search body): an `rrf` node fusing a `standard` match retriever
+    and a `knn` retriever, compiled recursively onto bm25_topk +
+    brute_force_topk; every leaf list arrives truncated so the fusion
+    join is control-plane-sized."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return retriever_topk(
+        docs, emb,
+        {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "merge vector window"}}}},
+                {"knn": {"query_vector_id": 0}},
+            ],
+            "rank_constant": 60,
+            "rank_window_size": 20,
+        }},
+        k=10,
+    )
+
+
+def _q_es_retriever_rescorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rescorer` retriever (search.retriever_topk): the child
+    standard retriever's top-20 re-scored by a second query —
+    qw*child + rw*rescore, the rescore frame semi-restricted by the
+    broadcast child ids before any join."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return retriever_topk(
+        docs, emb,
+        {"rescorer": {
+            "retriever": {
+                "standard": {"query": {"match": {"text": "merge vector window"}}}
+            },
+            "window_size": 20,
+            "query": {"match": {"text": "hash join"}},
+            "query_weight": 1.0,
+            "rescore_query_weight": 2.0,
+        }},
+        k=10,
+    )
+
+
 def _q_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching stats (curation.length_buckets): each
     document falls in the smallest bucket holding its token count;
@@ -6302,6 +6363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_inlinestats": _q_es_esql_inlinestats,
         "best_of_n_orders": _q_best_of_n,
         "length_bucket_packing": _q_length_bucket_packing,
+        "hamming_rerank_topk": _q_hamming_rerank_topk,
+        "es_retriever_rrf": _q_es_retriever_rrf,
+        "es_retriever_rescorer": _q_es_retriever_rescorer,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9777,6 +9841,80 @@ def oracle_sql() -> dict[str, str]:
                  round(best_reward
                        - CAST(sm AS DOUBLE) / n_candidates, 6) AS margin
           FROM w
+        """,
+        "hamming_rerank_topk": f"""
+          WITH c AS (SELECT vec_id, {_BIN_CODE_SQL} AS code FROM embeddings),
+          qc AS (SELECT code AS q_code FROM c WHERE vec_id = 0),
+          h AS (
+            SELECT vec_id,
+                   CAST(bit_count(xor(code, q_code)) AS BIGINT) AS hamming
+            FROM c, qc WHERE vec_id <> 0
+          ),
+          short AS (
+            SELECT vec_id, hamming,
+                   row_number() OVER (ORDER BY hamming ASC, vec_id ASC) AS hr
+            FROM h QUALIFY hr <= 40
+          ),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+          sc AS (
+            SELECT s.vec_id, s.hamming, {_cos_sql('e.v', 'q')} AS score
+            FROM short s JOIN e USING (vec_id), qv
+          ),
+          r AS (
+            SELECT vec_id, hamming, score,
+                   CAST(row_number() OVER (
+                     ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM sc
+          )
+          SELECT vec_id, hamming, score, rank FROM r WHERE rank <= 10
+        """,
+        "es_retriever_rrf": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          lex AS (
+            SELECT doc_id AS lid,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r1
+            FROM scored QUALIFY r1 <= 20
+          ),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+          cs AS (
+            SELECT e.vec_id AS corpus_id, {_cos_sql('q', 'e.v')} AS score
+            FROM qv CROSS JOIN e WHERE e.vec_id <> 0
+          ),
+          sem AS (
+            SELECT corpus_id AS sid,
+                   CAST(row_number() OVER (ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS r2
+            FROM cs QUALIFY r2 <= 20
+          ),
+          f AS (
+            SELECT COALESCE(lid, sid) AS doc_id,
+                   round(COALESCE(1.0 / (60 + r1), 0.0)
+                         + COALESCE(1.0 / (60 + r2), 0.0), 9) AS score
+            FROM lex FULL OUTER JOIN sem ON lid = sid
+          )
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM f ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "es_retriever_rescorer": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          {bm25_scored_sql("term IN ('hash', 'join')", prefix="r_")},
+          child AS (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS cr
+            FROM scored QUALIFY cr <= 20
+          ),
+          o AS (
+            SELECT c.doc_id,
+                   round(c.score * 1.0 + COALESCE(r.score, 0.0) * 2.0, 6) AS score
+            FROM child c LEFT JOIN r_scored r USING (doc_id)
+          )
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM o ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "length_bucket_packing": """
           WITH t AS (

@@ -4733,3 +4733,148 @@ def rank_eval(
         ).alias("ndcg"),
     )
     return out
+
+
+def retriever_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    spec: dict,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    analyzer=None,
+) -> DataFrame:
+    """ES RETRIEVER TREE (the 8.14+ `retriever` search body —
+    reference users drive hybrid search through this API shape, not
+    hand-rolled fusion): compile a nested retriever spec onto the
+    engine's existing operators.
+
+    Supported nodes, mirroring the ES surface:
+
+    * ``{"standard": {"query": {"match": {field: text}}}}`` — BM25
+      over the (optionally analyzed) query terms;
+    * ``{"knn": {"query_vector_id": id [, "k": n]}}`` — exact cosine
+      kNN of a stored vector (the brute-force baseline; swap in the
+      IVF-PQ path for corpus-scale candidate generation);
+    * ``{"rrf": {"retrievers": [...], "rank_constant": c,
+      "rank_window_size": w}}`` — reciprocal-rank fusion of ANY child
+      retrievers (nestable), ``Σ 1/(c + rank)`` rounded at 9 dp;
+    * ``{"rescorer": {"retriever": child, "window_size": n,
+      "query": {...}, "query_weight": qw, "rescore_query_weight":
+      rw}}`` — re-score the child's top-``n`` by a second query,
+      ``qw·child + rw·rescore`` rounded at 6 dp.
+
+    ``linear`` composes through :func:`linear_retriever_topk` (its
+    normalizer contract needs the whole window, documented there).
+
+    Every leaf list arrives truncated (TakeOrderedAndProject /
+    broadcast window), so fusion joins operate on O(window) rows —
+    control-plane-sized at any corpus scale.  Returns
+    ``(doc_id, score, rank)``.
+    """
+    from monstache_spark.operators.similarity import brute_force_topk
+
+    def terms_of(query: dict) -> list[str]:
+        ((kind, body),) = query.items()
+        if kind != "match":
+            raise ValueError(f"standard retriever supports match, got {kind}")
+        ((_field, text),) = body.items()
+        if isinstance(text, dict):
+            text = text["query"]
+        return text.split()
+
+    def eval_node(node: dict, window: int) -> DataFrame:
+        ((kind, body),) = node.items()
+        if kind == "standard":
+            out = bm25_topk(
+                docs,
+                terms_of(body["query"]),
+                k=window,
+                text_col=text_col,
+                id_col=id_col,
+                analyzer=analyzer,
+            )
+            return out.select(id_col, "score", "rank")
+        if kind == "knn":
+            q = embeddings.filter(
+                F.col(vec_id_col) == F.lit(body["query_vector_id"])
+            )
+            out = brute_force_topk(
+                embeddings,
+                q,
+                k=body.get("k", window),
+                vec_col=vec_col,
+                id_col=vec_id_col,
+            )
+            return out.select(
+                F.col("corpus_id").cast("long").alias(id_col),
+                F.col("score"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        if kind == "rrf":
+            c = int(body.get("rank_constant", 60))
+            w_size = int(body.get("rank_window_size", 100))
+            kids = [eval_node(r, w_size) for r in body["retrievers"]]
+            fused = None
+            score = None
+            for i, kid in enumerate(kids):
+                kid = kid.select(
+                    F.col(id_col), F.col("rank").alias(f"_r{i}")
+                )
+                fused = kid if fused is None else fused.join(
+                    kid, id_col, "full_outer"
+                )
+            score = None
+            for i in range(len(kids)):
+                term = F.coalesce(
+                    1.0 / (F.lit(c) + F.col(f"_r{i}")), F.lit(0.0)
+                )
+                score = term if score is None else score + term
+            out = fused.select(id_col, F.round(score, 9).alias("score"))
+            ranked = out.orderBy(
+                F.col("score").desc(), F.col(id_col).asc()
+            ).limit(window)
+            w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            return ranked.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            )
+        if kind == "rescorer":
+            n = int(body.get("window_size", 50))
+            qw = float(body.get("query_weight", 1.0))
+            rw = float(body.get("rescore_query_weight", 1.0))
+            child = eval_node(body["retriever"], n)
+            res = _bm25_scored(
+                docs,
+                terms_of(body["query"]),
+                1.2,
+                0.75,
+                text_col,
+                id_col,
+                analyzer,
+            ).select(F.col(id_col), F.col("score").alias("_rescore"))
+            # semi-restrict the corpus-wide rescore frame by the
+            # (window-sized, broadcast) child ids FIRST — the left
+            # join then runs on two control-plane frames; joining the
+            # raw rescore frame would broadcast corpus-scale data
+            res = res.join(F.broadcast(child.select(id_col)), id_col)
+            out = child.join(F.broadcast(res), id_col, "left").select(
+                id_col,
+                F.round(
+                    F.col("score") * qw
+                    + F.coalesce(F.col("_rescore"), F.lit(0.0)) * rw,
+                    6,
+                ).alias("score"),
+            )
+            ranked = out.orderBy(
+                F.col("score").desc(), F.col(id_col).asc()
+            ).limit(n)
+            w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            return ranked.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            )
+        raise ValueError(f"unsupported retriever kind: {kind}")
+
+    top = eval_node(spec, k)
+    return top.filter(F.col("rank") <= k)

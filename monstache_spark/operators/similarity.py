@@ -1708,3 +1708,46 @@ def int8_topk(
     ranked = scored.orderBy(F.col("dot").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("dot").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def hamming_rerank_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    shortlist: int = 40,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """TWO-PHASE vector search — the production shape of every
+    binary-quantized index (ES BBQ, FAISS binary + refine): phase 1
+    shortlists ``shortlist`` candidates by hamming distance over the
+    1-bit codes (xor + popcount, touches only packed words), phase 2
+    re-ranks ONLY the shortlist by exact cosine against the original
+    float vectors and keeps ``k``.  At 100 TB phase 1 reads 1/256th
+    of the vector bytes and phase 2 is O(shortlist) — the float
+    corpus is joined back BY ID for the shortlist rows only, so full
+    vectors never move for non-candidates.
+
+    Returns ``(vec_id, hamming, score, rank)`` — hamming from the
+    shortlist phase, rounded-cosine score from the re-rank.
+    """
+    short = hamming_topk(emb, query_vec_id, shortlist, vec_col, id_col)
+    vecs = emb.select(F.col(id_col), F.col(vec_col))
+    q = F.broadcast(
+        emb.filter(F.col(id_col) == query_vec_id).select(
+            as_double_array(F.col(vec_col)).alias("q_vec")
+        )
+    )
+    # the shortlist is k-sized (control plane): broadcast it into the
+    # id join so the float corpus is semi-joined, never shuffled
+    cand = vecs.join(F.broadcast(short.select(id_col, "hamming")), id_col)
+    scored = cand.crossJoin(q).select(
+        id_col,
+        "hamming",
+        cosine_rounded(as_double_array(F.col(vec_col)), F.col("q_vec")).alias(
+            "score"
+        ),
+    )
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))

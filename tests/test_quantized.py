@@ -92,3 +92,26 @@ def test_binary_quantize_rejects_nothing_but_handles_zero(spark):
     z = [0.0] * dim  # no strictly-positive dims -> empty mask
     out = binary_quantize(_emb(spark, [(9, z)])).collect()[0]
     assert out["code"] == 0 and out["n_bits"] == 0
+
+
+def test_hamming_rerank_recovers_exact_winner(spark):
+    """A vector with the same sign pattern as the query but a better
+    cosine must win the re-rank even if another candidate ties it on
+    hamming."""
+    from monstache_spark.operators.similarity import hamming_rerank_topk
+
+    dim = 64
+    q = [1.0] * 8 + [0.0] * (dim - 8)
+    aligned = [1.0] * 8 + [0.0] * (dim - 8)     # cosine 1.0
+    skewed = [9.0] + [0.1] * 7 + [0.0] * (dim - 8)  # same bits, lower cosine
+    out = hamming_rerank_topk(
+        spark.createDataFrame(
+            [(0, q), (1, skewed), (2, aligned)],
+            "vec_id long, embedding array<double>",
+        ),
+        query_vec_id=0,
+        k=2,
+        shortlist=2,
+    ).collect()
+    assert [r["vec_id"] for r in out] == [2, 1]
+    assert out[0]["score"] == 1.0 and out[0]["hamming"] == 0

@@ -2387,3 +2387,57 @@ def test_graph_explore_significance_mode(spark):
     assert vts == {"rare": 4.0}
     conns = [r for r in out if r["kind"] == "connection"]
     assert all(isinstance(r["weight"], float) for r in conns)
+
+
+def test_retriever_tree_rrf_and_rescorer(spark):
+    """ES retriever-tree compiler: an rrf node fuses standard + knn
+    children; a rescorer node re-weights the child window; unknown
+    kinds raise."""
+    import pytest as _pt
+
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge window merge"), (2, "vector scan"), (3, "hash join")],
+        "doc_id long, text string",
+    )
+    dim = 8
+    emb = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [1.0] * dim), (2, [-1.0] * dim), (3, [0.5] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    out = retriever_topk(
+        docs, emb,
+        {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "merge vector"}}}},
+            {"knn": {"query_vector_id": 0}},
+        ], "rank_constant": 60, "rank_window_size": 10}},
+        k=3,
+    ).collect()
+    # doc 1: bm25 rank 1 + cosine rank 1 -> top fused
+    assert out[0]["doc_id"] == 1 and out[0]["rank"] == 1
+    assert len(out) == 3
+
+    res = retriever_topk(
+        docs, emb,
+        {"rescorer": {
+            "retriever": {"standard": {"query": {"match": {"text": "merge vector"}}}},
+            "window_size": 5,
+            "query": {"match": {"text": "scan"}},
+            "query_weight": 0.0,
+            "rescore_query_weight": 1.0,
+        }},
+        k=2,
+    ).collect()
+    # with query_weight 0 only the rescore query ('scan') matters:
+    # doc 2 contains it, doc 1 scores 0
+    assert res[0]["doc_id"] == 2 and res[0]["score"] > 0
+    assert res[1]["score"] == 0.0
+
+    with _pt.raises(ValueError, match="unsupported retriever"):
+        retriever_topk(docs, emb, {"mystery": {}}, k=1)
+    with _pt.raises(ValueError, match="supports match"):
+        retriever_topk(
+            docs, emb,
+            {"standard": {"query": {"regexp": {"text": "x"}}}}, k=1,
+        )
