@@ -1535,10 +1535,16 @@ def length_buckets(
 
     ONE projection (token count + bucket CASE) + ONE hash aggregate.
     """
-    if boundaries != sorted(boundaries) or len(set(boundaries)) != len(
-        boundaries
+    if (
+        not boundaries
+        or boundaries != sorted(boundaries)
+        or len(set(boundaries)) != len(boundaries)
     ):
         raise ValueError("boundaries must be strictly increasing")
+    if boundaries[0] <= 0:
+        # a non-positive bucket would have capacity 0 and divide the
+        # waste ratio by zero (empty docs land in the smallest bucket)
+        raise ValueError("boundaries must be positive")
     from monstache_spark.functions.text import token_count
 
     nt = token_count(F.col(text_col)).cast("long")

@@ -374,6 +374,7 @@ def esql(
                 [k.strip() for k in bm[1].split(",")] if len(bm) == 2 else []
             )
             w = Window.partitionBy(*[F.expr(_tr_expr(k)) for k in keys])
+            new_cols: dict[str, Column] = {}
             for i, (nm, sql) in enumerate(_named_exprs(bm[0])):
                 parts = _split_kw(sql, "WHERE")
                 if len(parts) == 2:
@@ -387,9 +388,15 @@ def esql(
                     fn, arg = fm.group(1), fm.group(2).strip()
                     arg = "1" if arg == "*" else arg
                     sql = f"{fn}(CASE WHEN {cond} THEN {arg} END)"
-                df = df.withColumn(
-                    nm or f"agg{i}", F.expr(_tr_expr(sql)).over(w)
-                )
+                new_cols[nm or f"agg{i}"] = F.expr(_tr_expr(sql)).over(w)
+            # ONE select so every aggregate resolves against the INPUT
+            # frame (ES|QL semantics) — sequential withColumn would let
+            # a later aggregate read a column an earlier one shadowed;
+            # a replaced input column moves to the appended position
+            df = df.select(
+                *[c for c in df.columns if c not in new_cols],
+                *[c.alias(n) for n, c in new_cols.items()],
+            )
         elif cmd == "SORT":
             order = []
             for item in _split_top(body, ","):

@@ -2089,7 +2089,6 @@ def _bm25_scored(
         terms = sorted({t for q in query_terms for t in analyzer.analyze(q)})
     else:
         terms = sorted({t.lower() for t in query_terms})
-    toks = _term_rows(docs, text_col, id_col, analyzer)
     if analyzer is not None:
         # Analyzer chains (Porter especially) are interpreted HOF
         # cascades — the plan must tokenize the corpus ONCE, not once
@@ -2148,6 +2147,7 @@ def _bm25_scored(
         # simple tokenization is cheaper than a corpus-wide shuffle of
         # its token pairs: keep the three column-pruned scans and the
         # tiny query-term-only shuffles
+        toks = _term_rows(docs, text_col, id_col, analyzer)
         dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
         qtoks = toks.filter(F.col("term").isin(terms))
         tf = qtoks.groupBy(id_col, "term").agg(
@@ -4776,23 +4776,26 @@ def retriever_topk(
     """
     from monstache_spark.operators.similarity import brute_force_topk
 
-    def terms_of(query: dict) -> list[str]:
+    def terms_of(query: dict) -> tuple[str, list[str]]:
+        """(field, terms) of a match query — the FIELD is honored, so
+        a query against `source` searches `source`."""
         ((kind, body),) = query.items()
         if kind != "match":
             raise ValueError(f"standard retriever supports match, got {kind}")
-        ((_field, text),) = body.items()
+        ((field, text),) = body.items()
         if isinstance(text, dict):
             text = text["query"]
-        return text.split()
+        return field, text.split()
 
     def eval_node(node: dict, window: int) -> DataFrame:
         ((kind, body),) = node.items()
         if kind == "standard":
+            field, terms = terms_of(body["query"])
             out = bm25_topk(
                 docs,
-                terms_of(body["query"]),
+                terms,
                 k=window,
-                text_col=text_col,
+                text_col=field,
                 id_col=id_col,
                 analyzer=analyzer,
             )
@@ -4801,10 +4804,13 @@ def retriever_topk(
             q = embeddings.filter(
                 F.col(vec_id_col) == F.lit(body["query_vector_id"])
             )
+            # a child k larger than the enclosing rank_window_size is
+            # capped — ES scores only the window; ranks past it
+            # contribute nothing to RRF
             out = brute_force_topk(
                 embeddings,
                 q,
-                k=body.get("k", window),
+                k=min(int(body.get("k", window)), window),
                 vec_col=vec_col,
                 id_col=vec_id_col,
             )
@@ -4818,7 +4824,6 @@ def retriever_topk(
             w_size = int(body.get("rank_window_size", 100))
             kids = [eval_node(r, w_size) for r in body["retrievers"]]
             fused = None
-            score = None
             for i, kid in enumerate(kids):
                 kid = kid.select(
                     F.col(id_col), F.col("rank").alias(f"_r{i}")
@@ -4845,12 +4850,13 @@ def retriever_topk(
             qw = float(body.get("query_weight", 1.0))
             rw = float(body.get("rescore_query_weight", 1.0))
             child = eval_node(body["retriever"], n)
+            r_field, r_terms = terms_of(body["query"])
             res = _bm25_scored(
                 docs,
-                terms_of(body["query"]),
+                r_terms,
                 1.2,
                 0.75,
-                text_col,
+                r_field,
                 id_col,
                 analyzer,
             ).select(F.col(id_col), F.col("score").alias("_rescore"))

@@ -247,3 +247,20 @@ def test_inlinestats_appends_group_stats(spark):
     assert [(r["id"], r["big"]) for r in out2] == [
         (1, 2), (2, 2), (3, 2), (4, 2),
     ]
+
+
+def test_inlinestats_aggregates_resolve_against_input(spark):
+    """A later aggregate referencing a column an earlier aggregate
+    shadows must read the INPUT column (ES|QL computes all aggs over
+    the input frame) — sequential withColumn would read the appended
+    window value."""
+    t = spark.createDataFrame(
+        [(1, "a", 2), (2, "a", 3)], "id long, k string, n long"
+    )
+    out = esql(
+        "FROM t | INLINESTATS n = COUNT(*), s = SUM(n) BY k"
+        " | KEEP id, n, s | SORT id ASC",
+        {"t": t},
+    ).collect()
+    # s sums the ORIGINAL n column (2+3=5), not the appended count
+    assert [(r["n"], r["s"]) for r in out] == [(2, 5), (2, 5)]

@@ -2441,3 +2441,36 @@ def test_retriever_tree_rrf_and_rescorer(spark):
             docs, emb,
             {"standard": {"query": {"regexp": {"text": "x"}}}}, k=1,
         )
+
+
+def test_retriever_knn_k_capped_by_window_and_field_honored(spark):
+    """A knn child's k is capped at the enclosing rank_window_size (ES
+    scores only the window), and a standard match query's FIELD is
+    honored rather than silently searching the default text column."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge", "alpha beta"), (2, "vector", "merge merge")],
+        "doc_id long, text string, source string",
+    )
+    dim = 4
+    emb = spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [1.0] * dim), (2, [0.9] * dim), (3, [0.8] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    out = retriever_topk(
+        docs, emb,
+        {"rrf": {"retrievers": [
+            {"knn": {"query_vector_id": 0, "k": 100}},
+        ], "rank_constant": 60, "rank_window_size": 2}},
+        k=5,
+    ).collect()
+    # window 2 caps the child: only 2 fused rows despite k=100
+    assert len(out) == 2
+    # field-honoring: searching `source` finds doc 2 ('merge merge')
+    out2 = retriever_topk(
+        docs, emb,
+        {"standard": {"query": {"match": {"source": "merge"}}}},
+        k=5,
+    ).collect()
+    assert [r["doc_id"] for r in out2] == [2]

@@ -60,17 +60,16 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
-        # schema lint: the driver's pandas canonicalizer cannot hash
-        # complex-typed cells (round-8 verdict: es_termvectors'
-        # array<long> positions was the one red row) — fail ANY query
-        # whose output schema carries Array/Map/Struct so the class
-        # stays closed registry-wide
+        # schema lint BEFORE execution: the driver's pandas
+        # canonicalizer cannot hash complex-typed cells (round-8
+        # verdict: es_termvectors' array<long> positions was the one
+        # red row) — fail ANY query whose output schema carries
+        # Array/Map/Struct so the class stays closed registry-wide,
+        # without paying the query's full run first
         complex_cols = [
             f.name
             for f in sdf.schema.fields
@@ -82,6 +81,13 @@ def main():
                 "(driver canonicalizer cannot hash list/dict cells — "
                 "serialize with array_join/to_json in the gate query)"
             )
+            failures.append(name)
+            continue
+        try:
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         spark_t = time.time() - t0

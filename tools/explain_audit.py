@@ -477,6 +477,39 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "hamming_knn_topk",
+        "bit-vector kNN: sign-mask packing + xor/popcount are pure "
+        "expressions (no Generate, no Python), query row broadcast, "
+        "top-k a TakeOrderedAndProject",
+        lambda p: "Python" not in p
+        and "TakeOrderedAndProject" in p
+        and "SortAggregate" not in p,
+    ),
+    (
+        "int8_quantize_codes",
+        "int8 quantization: ONE corpus hash agg for the per-dim "
+        "min/max (broadcast 1-row), codes a codegen projection — "
+        "no Python, no sort agg",
+        lambda p: "Python" not in p
+        and "HashAggregate" in p
+        and "SortAggregate" not in p,
+    ),
+    (
+        "es_retriever_rrf",
+        "retriever tree: every leaf truncated before fusion "
+        "(TakeOrderedAndProject present), no Python anywhere",
+        lambda p: "Python" not in p and "TakeOrderedAndProject" in p,
+    ),
+    (
+        "es_esql_inlinestats",
+        "ES|QL INLINESTATS: ONE window aggregate on the BY keys (no "
+        "self-join back), WHERE reaches the parquet scan",
+        lambda p: "Window" in p
+        and "PushedFilters: [" in p
+        and "o_orderstatus" in p.split("PushedFilters")[1][:200]
+        and "Python" not in p,
+    ),
+    (
         "geo_bbox_filter",
         "geo bbox: four exact comparisons as a codegen Filter — no "
         "Python, no join, no shuffle",

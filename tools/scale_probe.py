@@ -235,6 +235,27 @@ def main() -> int:
             f"{len(got & want) / max(len(want), 1):.3f}"
         )
 
+    # bit-quantized kNN (hamming) and the two-phase re-rank: phase 1 is
+    # one projection + TakeOrdered over packed words, so the ratio
+    # should track the scan (~linear, usually well under N on
+    # local[32]); the re-rank adds O(shortlist) exact work regardless
+    # of N — the whole point of the shape
+    from monstache_spark.operators.similarity import (
+        hamming_rerank_topk,
+        hamming_topk,
+        int8_topk,
+    )
+
+    h1 = t(lambda: hamming_topk(emb1, query_vec_id=0, k=10))
+    hN = t(lambda: hamming_topk(embN, query_vec_id=0, k=10))
+    print(f"{'hamming_knn':14s}  1x {h1:6.2f}s   {times}x {hN:7.2f}s   ratio {hN / h1:6.2f}")
+    r1 = t(lambda: hamming_rerank_topk(emb1, query_vec_id=0, k=10, shortlist=40))
+    rN = t(lambda: hamming_rerank_topk(embN, query_vec_id=0, k=10, shortlist=40))
+    print(f"{'hamming_rerank':14s}  1x {r1:6.2f}s   {times}x {rN:7.2f}s   ratio {rN / r1:6.2f}")
+    i1 = t(lambda: int8_topk(emb1, query_vec_id=0, dim=64, k=10))
+    iN = t(lambda: int8_topk(embN, query_vec_id=0, dim=64, k=10))
+    print(f"{'int8_knn':14s}  1x {i1:6.2f}s   {times}x {iN:7.2f}s   ratio {iN / i1:6.2f}")
+
     # Adversarial duplicate-heavy corpus: every doc in one copy-set is
     # the SAME boilerplate text, so unbounded LSH puts the whole set in
     # one bucket per band — O(n²) pair explosion on one executor. The
