@@ -4028,6 +4028,43 @@ def _q_es_retriever_rescorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL BUCKET() time-series grouping (operators/esql
+    _rewrite_bucket): BUCKET(ts, 6 hour) rewrites to exact
+    epoch-microsecond floor arithmetic — the same integer bucket-edge
+    contract as the TSDB downsample — and the STATS runs as ONE hash
+    agg over the bucketed projection.  Sums accumulate in exact
+    decimal."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM events"
+        " | WHERE ts IS NOT NULL AND value IS NOT NULL"
+        " | EVAL bucket = BUCKET(ts, 6 hour)"
+        " | STATS n = COUNT(*),"
+        " total = CAST(SUM(CAST(value AS DECIMAL(19,4))) AS DOUBLE)"
+        " BY bucket"
+        " | SORT bucket ASC",
+        {"events": ev},
+    )
+
+
+def _q_es_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn query with PRE-FILTER (search.knn_query_topk): the
+    bool filter restricts candidates BEFORE the vector search (ES
+    semantics — post-filtering would under-fill k), compiled through
+    the shared bool compiler so it reaches the parquet scan as a
+    pushed predicate."""
+    from monstache_spark.operators.search import knn_query_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return knn_query_topk(
+        emb, query_vector_id=0, k=10,
+        filter={"terms": {"label": [1, 3, 5]}},
+    )
+
+
 def _q_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching stats (curation.length_buckets): each
     document falls in the smallest bucket holding its token count;
@@ -6366,6 +6403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_rerank_topk": _q_hamming_rerank_topk,
         "es_retriever_rrf": _q_es_retriever_rrf,
         "es_retriever_rescorer": _q_es_retriever_rescorer,
+        "es_esql_bucket": _q_es_esql_bucket,
+        "es_knn_filtered": _q_es_knn_filtered,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9915,6 +9954,31 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, score,
                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
           FROM o ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "es_esql_bucket": """
+          WITH b AS (
+            SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000)
+                     AS bucket,
+                   value
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          )
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS total
+          FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "es_knn_filtered": f"""
+          WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+          ),
+          qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+          c AS (SELECT vec_id, v FROM e WHERE label IN (1, 3, 5)),
+          s AS (
+            SELECT c.vec_id, {_cos_sql('q', 'c.v')} AS score
+            FROM qv CROSS JOIN c WHERE c.vec_id <> 0
+          )
+          SELECT vec_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
         """,
         "length_bucket_packing": """
           WITH t AS (

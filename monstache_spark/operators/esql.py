@@ -71,7 +71,10 @@ def _tr_expr(expr: str) -> str:
     a string literal standing as the right operand of ES|QL ``LIKE``
     rewrites its wildcards to SQL's (`*` → `%`, `?` → `_`, literal
     `%`/`_` escaped under ``ESCAPE``).  ES|QL-only function names
-    (MV_*/TO_*) rewrite first via ``_rewrite_fns``."""
+    (MV_*/TO_*) rewrite first via ``_rewrite_fns``; the two-argument
+    ``BUCKET(col, N unit)`` time-bucketing function rewrites via
+    ``_rewrite_bucket``."""
+    expr = _rewrite_bucket(expr)
     expr = _rewrite_fns(expr)
 
     out = []
@@ -187,6 +190,62 @@ def _rewrite_fns(expr: str) -> str:
             if changed:
                 break
     return expr
+
+
+# time spans BUCKET understands, in exact epoch microseconds
+_BUCKET_SPAN_US = {
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def _rewrite_bucket(expr: str) -> str:
+    """ES|QL ``BUCKET(col, N unit)`` (the canonical time-series
+    grouping function) → exact epoch-microsecond floor arithmetic:
+    ``timestamp_micros((unix_micros(col) div span) * span)`` — the
+    same integer bucket-edge contract the TSDB downsample operator
+    carries, so buckets are engine-exact.  The span is a time literal
+    (``1 hour``, ``30 minutes``) or the same in quotes; the numeric
+    auto-bucketing form (4 args) is not supported and raises."""
+    while True:
+        m = re.search(r"\bBUCKET\s*\(", expr, re.I)
+        if not m:
+            return expr
+        i, depth, in_str = m.end(), 1, False
+        while i < len(expr) and depth:
+            ch = expr[i]
+            if in_str:
+                if ch == '"' and expr[i - 1] != "\\":
+                    in_str = False
+            elif ch == '"':
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        inner = expr[m.end():i - 1]
+        parts = _split_top(inner, ",")
+        if len(parts) != 2:
+            raise ValueError(
+                "BUCKET takes (column, time span) — the 4-argument "
+                "numeric auto-bucketing form is not supported"
+            )
+        col = parts[0].strip()
+        sm = re.match(
+            r'^\s*"?\s*(\d+)\s+([A-Za-z]+?)s?\s*"?\s*$', parts[1].strip()
+        )
+        if not sm or sm.group(2).lower() not in _BUCKET_SPAN_US:
+            raise ValueError(f"unsupported BUCKET span: {parts[1]!r}")
+        span = int(sm.group(1)) * _BUCKET_SPAN_US[sm.group(2).lower()]
+        repl = (
+            f"timestamp_micros((unix_micros({col}) div {span}) * {span})"
+        )
+        expr = expr[:m.start()] + repl + expr[i:]
 
 
 def _split_kw(s: str, word: str) -> list[str]:

@@ -4884,3 +4884,37 @@ def retriever_topk(
 
     top = eval_node(spec, k)
     return top.filter(F.col("rank") <= k)
+
+
+def knn_query_topk(
+    embeddings: DataFrame,
+    query_vector_id,
+    k: int = 10,
+    filter: dict | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ES ``knn`` query with a PRE-FILTER (the `filter` clause of the
+    knn section): the bool filter restricts the candidate set BEFORE
+    the vector search runs — ES's documented semantics (post-filtering
+    would silently return fewer than k hits).  The filter compiles
+    through the same bool compiler as every other query, so it reaches
+    the parquet scan as a pushed predicate; the cosine scan then reads
+    only qualifying vectors — at 100 TB a selective filter (tenant id,
+    label, date range) is the difference between scanning a shard and
+    scanning the corpus.
+
+    The query vector is looked up UNFILTERED (ES: the query vector is
+    given, not searched).  Returns ``(vec_id, score, rank)``.
+    """
+    from monstache_spark.operators.similarity import brute_force_topk
+
+    q = embeddings.filter(F.col(id_col) == F.lit(query_vector_id))
+    corpus = embeddings
+    if filter is not None:
+        corpus = corpus.filter(compile_bool_query(filter))
+    out = brute_force_topk(corpus, q, k=k, vec_col=vec_col, id_col=id_col)
+    return out.select(
+        F.col("corpus_id").alias(id_col), "score",
+        F.col("rank").cast("long").alias("rank"),
+    )

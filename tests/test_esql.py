@@ -264,3 +264,35 @@ def test_inlinestats_aggregates_resolve_against_input(spark):
     ).collect()
     # s sums the ORIGINAL n column (2+3=5), not the appended count
     assert [(r["n"], r["s"]) for r in out] == [(2, 5), (2, 5)]
+
+
+def test_bucket_time_spans(spark):
+    """BUCKET(col, N unit) floors to exact epoch-microsecond bucket
+    edges; quoted spans and plural units parse; the numeric 4-arg
+    form raises."""
+    import datetime as _dt
+
+    t = spark.createDataFrame(
+        [
+            (1, _dt.datetime(2024, 1, 1, 0, 59)),
+            (2, _dt.datetime(2024, 1, 1, 1, 1)),
+            (3, _dt.datetime(2024, 1, 1, 1, 59)),
+        ],
+        "id long, ts timestamp",
+    )
+    out = esql(
+        'FROM t | EVAL b = BUCKET(ts, 1 hour) | STATS n = COUNT(*) BY b'
+        " | SORT b ASC",
+        {"t": t},
+    ).collect()
+    assert [(r["b"].hour, r["n"]) for r in out] == [(0, 1), (1, 2)]
+    out2 = esql(
+        'FROM t | EVAL b = BUCKET(ts, "30 minutes") | STATS n = COUNT(*) BY b'
+        " | SORT b ASC",
+        {"t": t},
+    ).collect()
+    assert [r["n"] for r in out2] == [1, 1, 1]
+    with pytest.raises(ValueError, match="BUCKET"):
+        esql("FROM t | EVAL b = BUCKET(id, 20, 0, 100)", {"t": t})
+    with pytest.raises(ValueError, match="span"):
+        esql("FROM t | EVAL b = BUCKET(ts, 2 fortnight)", {"t": t})

@@ -2474,3 +2474,28 @@ def test_retriever_knn_k_capped_by_window_and_field_honored(spark):
         k=5,
     ).collect()
     assert [r["doc_id"] for r in out2] == [2]
+
+
+def test_knn_query_prefilter_semantics(spark):
+    """The knn filter restricts candidates BEFORE the search: the
+    globally-nearest vector is excluded when the filter rejects it,
+    and k still fills from qualifying vectors."""
+    from monstache_spark.operators.search import knn_query_topk
+
+    dim = 4
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0], 9),   # query
+            (1, [1.0, 0.0, 0.0, 0.0], 0),   # nearest, label rejected
+            (2, [0.9, 0.1, 0.0, 0.0], 1),   # nearest QUALIFYING
+            (3, [0.0, 1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = knn_query_topk(
+        emb, query_vector_id=0, k=2, filter={"terms": {"label": [1]}}
+    ).collect()
+    assert [r["vec_id"] for r in out] == [2, 3]
+    # unfiltered, vec 1 wins
+    out2 = knn_query_topk(emb, query_vector_id=0, k=1).collect()
+    assert out2[0]["vec_id"] == 1

@@ -510,6 +510,25 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_knn_filtered",
+        "filtered knn: the PRE-filter reaches the parquet scan as a "
+        "pushed predicate (label), no Python, top-k rank-limited "
+        "(WindowGroupLimit — Spark's rank-limit pushdown for the "
+        "per-query window)",
+        lambda p: "Python" not in p
+        and ("WindowGroupLimit" in p or "TakeOrderedAndProject" in p)
+        and "In(label" in p,
+    ),
+    (
+        "es_esql_bucket",
+        "ES|QL BUCKET: ONE hash agg over the bucketed projection, "
+        "notnull filters pushed to the scan, no Python",
+        lambda p: "Python" not in p
+        and "HashAggregate" in p
+        and "SortAggregate" not in p
+        and "PushedFilters: [" in p,
+    ),
+    (
         "geo_bbox_filter",
         "geo bbox: four exact comparisons as a codegen Filter — no "
         "Python, no join, no shuffle",
