@@ -87,6 +87,10 @@ _SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 from monstache_spark.functions.analyzer import ENGLISH as _ENGLISH_AN  # noqa: E402
 from monstache_spark.functions.analyzer import ENGLISH_PORTER as _PORTER_AN  # noqa: E402
 from monstache_spark.functions.analyzer import FOLDED as _FOLDED_AN  # noqa: E402
+from monstache_spark.functions.analyzer import Analyzer as _Analyzer  # noqa: E402
+
+# the synonym-filter analyzer the synonym_bm25 gate pair shares
+_SYN_AN = _Analyzer(synonyms=(("join", "merge"), ("joins", "merges")))
 
 # sign-bit packing mirror of similarity._sign_mask (bit 63 = the
 # two's-complement sign bit; each power enters as an explicit BIGINT
@@ -4065,6 +4069,60 @@ def _q_es_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_synonym_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under a SYNONYM token filter (analyzer.Analyzer synonyms —
+    the Lucene SynonymFilter single-token subset): 'join'/'joins'
+    rewrite to 'merge'/'merges' in BOTH the document stream and the
+    query text, so a 'merge' query scores documents containing either
+    surface form with merged tf/df — exactly how an ES field with a
+    synonym filter behaves.  The map is a compile-time CASE folded
+    into the token projection; same stem-once plan as every analyzed
+    BM25."""
+    from monstache_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, ["merge"], k=20, analyzer=_SYN_AN)
+
+
+def _q_es_esql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL SAMPLE under the S24 deterministic keyed-hash contract
+    (operators/esql — md5 bucket of the frame's first column under
+    p*1e6, reproducible on any engine/partitioning; true RNG could
+    never hash-match an oracle): a 20% sample of orders feeding one
+    STATS hash agg — the narrow-filter row reduction that makes
+    sampled facets cheap at 100 TB."""
+    from monstache_spark.operators.esql import esql
+
+    orders = load_table(spark, "orders", sf_dir)
+    return esql(
+        "FROM orders | SAMPLE 0.2"
+        " | STATS n = COUNT(*),"
+        " total = CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE)"
+        " BY o_orderpriority"
+        " | SORT o_orderpriority ASC",
+        {"orders": orders},
+    )
+
+
+def _q_es_esql_stats_by_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL STATS BY a NAMED EXPRESSION key (`BY b = BUCKET(...)`) —
+    the canonical ES|QL time-series shape without an intermediate
+    EVAL; the expression compiles into the groupBy keys directly, one
+    hash agg."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM events"
+        " | WHERE ts IS NOT NULL AND value IS NOT NULL"
+        " | STATS n = COUNT(*),"
+        " vmax = MAX(value)"
+        " BY b = BUCKET(ts, 12 hour), event_type"
+        " | SORT b ASC, event_type ASC",
+        {"events": ev},
+    )
+
+
 def _q_length_bucket_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching stats (curation.length_buckets): each
     document falls in the smallest bucket holding its token count;
@@ -6405,6 +6463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_retriever_rescorer": _q_es_retriever_rescorer,
         "es_esql_bucket": _q_es_esql_bucket,
         "es_knn_filtered": _q_es_knn_filtered,
+        "synonym_bm25": _q_synonym_bm25,
+        "es_esql_sample": _q_es_esql_sample,
+        "es_esql_stats_by_expr": _q_es_esql_stats_by_expr,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9954,6 +10015,32 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, score,
                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
           FROM o ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "synonym_bm25": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_sql("term IN ('merge')", 20, _SYN_AN.sql_tokens("text"))}
+        """,
+        "es_esql_sample": f"""
+          WITH s AS (
+            SELECT * FROM orders
+            WHERE {_hash_sql("CAST(o_orderkey AS VARCHAR)", 17)} % 1000000
+                  < 200000
+          )
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE)
+                   AS total
+          FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "es_esql_stats_by_expr": """
+          WITH b AS (
+            SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 43200000000)
+                     AS b,
+                   event_type, value
+            FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+          )
+          SELECT b, event_type, CAST(count(*) AS BIGINT) AS n,
+                 max(value) AS vmax
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "es_esql_bucket": """
           WITH b AS (

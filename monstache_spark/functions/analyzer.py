@@ -80,6 +80,13 @@ class Analyzer:
     # lowercase+split and BEFORE stop-word matching, the ES filter
     # order, so folded forms meet the stop set and the stemmer
     ascii_folding: bool = False
+    # synonym token filter (the Lucene SynonymFilter single-token
+    # subset: surface form → canonical form, ordered pairs so the
+    # config stays hashable) — runs after stop removal and BEFORE
+    # stemming, so canonical forms stem like any other token; query
+    # text passes through the same map at search time, exactly as ES
+    # applies a search_analyzer synonym filter
+    synonyms: tuple = ()
 
     # -- Spark rendering ----------------------------------------------------
 
@@ -96,6 +103,8 @@ class Analyzer:
         if self.stopwords:
             stops = F.array(*[F.lit(s) for s in self.stopwords])
             arr = F.filter(arr, lambda t: ~F.array_contains(stops, t))
+        if self.synonyms:
+            arr = F.transform(arr, self._syn_col)
         if self.porter:
             from monstache_spark.functions.porter import porter_tokens_col
 
@@ -104,6 +113,12 @@ class Analyzer:
         elif self.stem_suffixes:
             arr = F.transform(arr, self._stem_col)
         return arr
+
+    def _syn_col(self, t: Column) -> Column:
+        out = t
+        for src, dst in reversed(self.synonyms):
+            out = F.when(t == F.lit(src), F.lit(dst)).otherwise(out)
+        return out
 
     def _check_stemmers(self) -> None:
         if self.porter and self.stem_suffixes:
@@ -147,6 +162,13 @@ class Analyzer:
         if self.stopwords:
             stops = F.array(*[F.lit(s) for s in self.stopwords])
             pos = F.filter(pos, lambda e: ~F.array_contains(stops, e["t"]))
+        if self.synonyms:
+            pos = F.transform(
+                pos,
+                lambda e: F.struct(
+                    self._syn_col(e["t"]).alias("t"), e["p"].alias("p")
+                ),
+            )
         if self.porter:
             from monstache_spark.functions.porter import porter_tokens_col
 
@@ -186,7 +208,14 @@ class Analyzer:
 
         return fold_py(t)
 
+    def _syn_py(self, t: str) -> str:
+        for src, dst in self.synonyms:
+            if t == src:
+                return dst
+        return t
+
     def _stem_py(self, t: str) -> str:
+        t = self._syn_py(t)
         if self.porter:
             from monstache_spark.functions.porter import porter_stem_py
 
@@ -224,6 +253,8 @@ class Analyzer:
         if self.stopwords:
             lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
             out = f"list_filter({out}, t -> NOT list_contains({lst}, t))"
+        if self.synonyms:
+            out = f"list_transform({out}, t -> {self._syn_sql('t')})"
         if self.porter:
             from monstache_spark.functions.porter import porter_tokens_sql
 
@@ -240,6 +271,12 @@ class Analyzer:
             case = "CASE " + " ".join(branches) + " ELSE t END"
             out = f"list_transform({out}, t -> {case})"
         return out
+
+    def _syn_sql(self, var: str) -> str:
+        branches = " ".join(
+            f"WHEN {var} = '{src}' THEN '{dst}'" for src, dst in self.synonyms
+        )
+        return f"CASE {branches} ELSE {var} END"
 
 
     def sql_tokens_pos(self, expr: str = "text") -> str:
@@ -262,6 +299,11 @@ class Analyzer:
         if self.stopwords:
             lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
             out = f"list_filter({out}, e -> NOT list_contains({lst}, e.t))"
+        if self.synonyms:
+            out = (
+                f"list_transform({out}, "
+                f"e -> {{'t': {self._syn_sql('e.t')}, 'p': e.p}})"
+            )
         if self.porter:
             from monstache_spark.functions.porter import porter_tokens_sql
 

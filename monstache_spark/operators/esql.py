@@ -417,7 +417,19 @@ def esql(
                     F.expr(_tr_expr(sql)).alias(nm or f"agg{i}")
                 )
             if len(bm) == 2:
-                keys = [k.strip() for k in bm[1].split(",")]
+                # BY accepts plain columns, expressions, and named
+                # expressions (`BY b = BUCKET(ts, 1 hour)`) — ES|QL
+                # names an unnamed expression key by its source text
+                keys = []
+                for nm, sql in _named_exprs(bm[1]):
+                    if nm is None and re.fullmatch(
+                        r"[A-Za-z_][A-Za-z0-9_.]*", sql.strip()
+                    ):
+                        keys.append(F.col(sql.strip()))
+                    else:
+                        keys.append(
+                            F.expr(_tr_expr(sql)).alias(nm or sql.strip())
+                        )
                 df = df.groupBy(*keys).agg(*aggs)
             else:
                 df = df.groupBy().agg(*aggs)
@@ -456,6 +468,31 @@ def esql(
                 *[c for c in df.columns if c not in new_cols],
                 *[c.alias(n) for n, c in new_cols.items()],
             )
+        elif cmd == "SAMPLE":
+            # ES|QL SAMPLE p draws a true-random subset; random
+            # membership can never hash-match an independent oracle,
+            # so this carries the S24 deterministic keyed-hash
+            # contract the random_sampler agg established: a row is
+            # in the sample iff its md5-derived bucket (seed 17, keyed
+            # on the frame's FIRST column — id-leading frames by
+            # convention) lands under p·1e6.  Same inclusion
+            # probability, reproducible across engines/partitionings/
+            # retries, one codegen narrow filter — the row reduction
+            # is the entire point at 100 TB.
+            from monstache_spark.functions.text import shingle_hash
+
+            sm2 = re.match(r"^([0-9.]+)$", body.strip())
+            if not sm2:
+                raise ValueError(f"SAMPLE needs a probability: {body!r}")
+            p = float(sm2.group(1))
+            if not (0 < p <= 1):
+                raise ValueError("SAMPLE probability must be in (0, 1]")
+            if p < 1:
+                bucket = F.pmod(
+                    shingle_hash(F.col(df.columns[0]).cast("string"), 17),
+                    F.lit(1_000_000),
+                )
+                df = df.filter(bucket < F.lit(int(p * 1_000_000)))
         elif cmd == "SORT":
             order = []
             for item in _split_top(body, ","):

@@ -296,3 +296,43 @@ def test_bucket_time_spans(spark):
         esql("FROM t | EVAL b = BUCKET(id, 20, 0, 100)", {"t": t})
     with pytest.raises(ValueError, match="span"):
         esql("FROM t | EVAL b = BUCKET(ts, 2 fortnight)", {"t": t})
+
+
+def test_sample_deterministic_and_stats_by_expr(spark):
+    """SAMPLE p keeps the keyed-hash subset (reproducible across runs
+    and partitionings, S24 contract); STATS BY accepts named
+    expression keys."""
+    import datetime as _dt
+
+    t = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, v double"
+    )
+    a = {r["id"] for r in esql("FROM t | SAMPLE 0.3", {"t": t}).collect()}
+    b = {
+        r["id"]
+        for r in esql(
+            "FROM t | SAMPLE 0.3", {"t": t.repartition(7)}
+        ).collect()
+    }
+    assert a == b and 200 < len(a) < 400  # ~30%, exactly reproducible
+    assert esql("FROM t | SAMPLE 1", {"t": t}).count() == 1000
+    with pytest.raises(ValueError, match="probability"):
+        esql("FROM t | SAMPLE 1.5", {"t": t})
+
+    ev = spark.createDataFrame(
+        [
+            (1, _dt.datetime(2024, 1, 1, 3), "a"),
+            (2, _dt.datetime(2024, 1, 1, 9), "a"),
+            (3, _dt.datetime(2024, 1, 1, 9, 30), "b"),
+        ],
+        "id long, ts timestamp, k string",
+    )
+    out = esql(
+        "FROM ev | STATS n = COUNT(*) BY b = BUCKET(ts, 6 hour), k"
+        " | SORT b ASC, k ASC",
+        {"ev": ev},
+    ).collect()
+    assert out[0].asDict().keys() == {"b", "k", "n"}
+    assert [(r["b"].hour, r["k"], r["n"]) for r in out] == [
+        (0, "a", 1), (6, "a", 1), (6, "b", 1),
+    ]

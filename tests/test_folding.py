@@ -77,3 +77,40 @@ def test_analyzer_folding_chain_order(spark):
         f"SELECT {a.sql_tokens_pos('t')} FROM (VALUES ('thé café chairs')) v(t)"
     ).fetchone()[0]
     assert [(e["t"], e["p"]) for e in sql_pos] == [("cafe", 1), ("chair", 2)]
+
+
+def test_synonym_filter_three_renderings_and_order(spark):
+    """Synonyms apply after stop removal and before stemming, in all
+    three renderings; positions survive the rewrite."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from monstache_spark.functions.analyzer import Analyzer
+
+    a = Analyzer(
+        stopwords=("the",),
+        synonyms=(("quick", "fast"), ("autos", "cars")),
+        stem_suffixes=("s",),
+    )
+    text = "the quick autos won"
+    # python: stop 'the' removed; quick->fast; autos->cars->stem 'car'
+    assert a.analyze(text) == ["fast", "car", "won"]
+    assert a.analyze_pos(text) == [("fast", 1), ("car", 2), ("won", 3)]
+    df = spark.range(1).select(F.lit(text).alias("t"))
+    got = df.select(a.tokens(F.col("t")).alias("x")).collect()[0]["x"]
+    assert got == ["fast", "car", "won"]
+    got_pos = df.select(a.tokens_pos(F.col("t")).alias("x")).collect()[0]["x"]
+    assert [(e["t"], e["p"]) for e in got_pos] == [
+        ("fast", 1), ("car", 2), ("won", 3),
+    ]
+    con = duckdb.connect()
+    sql = con.execute(
+        f"SELECT {a.sql_tokens('t')} FROM (VALUES ('{text}')) v(t)"
+    ).fetchone()[0]
+    assert sql == ["fast", "car", "won"]
+    sql_pos = con.execute(
+        f"SELECT {a.sql_tokens_pos('t')} FROM (VALUES ('{text}')) v(t)"
+    ).fetchone()[0]
+    assert [(e["t"], e["p"]) for e in sql_pos] == [
+        ("fast", 1), ("car", 2), ("won", 3),
+    ]
