@@ -10023,8 +10023,8 @@ def oracle_sql() -> dict[str, str]:
         "es_esql_sample": f"""
           WITH s AS (
             SELECT * FROM orders
-            WHERE {_hash_sql("CAST(o_orderkey AS VARCHAR)", 17)} % 1000000
-                  < 200000
+            WHERE {_hash_sql("COALESCE(CAST(o_orderkey AS VARCHAR), '')", 17)}
+                  % 1000000 < 200000
           )
           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
                  CAST(sum(CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE)
@@ -10033,8 +10033,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "es_esql_stats_by_expr": """
           WITH b AS (
-            SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 43200000000)
-                     AS b,
+            SELECT make_timestamp(epoch_us(ts)
+                     - ((epoch_us(ts) % 43200000000) + 43200000000)
+                       % 43200000000) AS b,
                    event_type, value
             FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
           )
@@ -10044,8 +10045,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "es_esql_bucket": """
           WITH b AS (
-            SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 21600000000)
-                     AS bucket,
+            SELECT make_timestamp(epoch_us(ts)
+                     - ((epoch_us(ts) % 21600000000) + 21600000000)
+                       % 21600000000) AS bucket,
                    value
             FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
           )

@@ -150,6 +150,52 @@ _FN_TEMPLATES = {
 }
 
 
+def _find_calls(expr: str, name: str) -> list[tuple[int, int, int]]:
+    """Every ``name(`` occurrence OUTSIDE string literals, as
+    ``(match_start, open_paren, close_paren)`` with the close found by
+    a quote-aware balanced scan — the one call-matching routine shared
+    by the function rewriters, so a literal like ``"BUCKET(x)"``
+    inside a WHERE string is never rewritten."""
+    out: list[tuple[int, int, int]] = []
+    pat = re.compile(rf"\b{name}\s*\(", re.I)
+    in_str = False
+    i = 0
+    while i < len(expr):
+        ch = expr[i]
+        if in_str:
+            if ch == '"' and expr[i - 1] != "\\":
+                in_str = False
+            i += 1
+            continue
+        if ch == '"':
+            in_str = True
+            i += 1
+            continue
+        m = pat.match(expr, i)
+        if not m:
+            i += 1
+            continue
+        open_p = m.end() - 1
+        depth, j, inner_str = 0, open_p, False
+        while j < len(expr):
+            cj = expr[j]
+            if inner_str:
+                if cj == '"' and expr[j - 1] != "\\":
+                    inner_str = False
+            elif cj == '"':
+                inner_str = True
+            elif cj == "(":
+                depth += 1
+            elif cj == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        out.append((m.start(), open_p, j))
+        i = m.end()
+    return out
+
+
 def _rewrite_fns(expr: str) -> str:
     """Rewrite known single-argument ES|QL function calls to their SQL
     templates, innermost-first, respecting quotes and nested parens."""
@@ -157,26 +203,8 @@ def _rewrite_fns(expr: str) -> str:
     while changed:
         changed = False
         for fn, tpl in _FN_TEMPLATES.items():
-            for m in re.finditer(rf"\b{fn}\s*\(", expr, re.I):
-                start = m.start()
-                open_p = m.end() - 1
-                depth, in_str = 0, False
-                i = open_p
-                while i < len(expr):
-                    ch = expr[i]
-                    if in_str:
-                        if ch == '"' and expr[i - 1] != "\\":
-                            in_str = False
-                    elif ch == '"':
-                        in_str = True
-                    elif ch == "(":
-                        depth += 1
-                    elif ch == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                    i += 1
-                arg = expr[open_p + 1:i]
+            for start, open_p, close_p in _find_calls(expr, fn):
+                arg = expr[open_p + 1:close_p]
                 if re.search(
                     "|".join(rf"\b{f}\s*\(" for f in _FN_TEMPLATES), arg, re.I
                 ):
@@ -184,7 +212,10 @@ def _rewrite_fns(expr: str) -> str:
                 # templates only ever reference {0}; str.format would
                 # choke on brace characters inside the user expression
                 # (e.g. a "{" string literal), so substitute literally
-                expr = expr[:start] + tpl.replace("{0}", arg) + expr[i + 1:]
+                expr = (
+                    expr[:start] + tpl.replace("{0}", arg)
+                    + expr[close_p + 1:]
+                )
                 changed = True
                 break
             if changed:
@@ -205,30 +236,22 @@ _BUCKET_SPAN_US = {
 
 def _rewrite_bucket(expr: str) -> str:
     """ES|QL ``BUCKET(col, N unit)`` (the canonical time-series
-    grouping function) → exact epoch-microsecond floor arithmetic:
-    ``timestamp_micros((unix_micros(col) div span) * span)`` — the
-    same integer bucket-edge contract the TSDB downsample operator
-    carries, so buckets are engine-exact.  The span is a time literal
+    grouping function) → exact epoch-microsecond FLOOR arithmetic:
+    ``timestamp_micros(unix_micros(col) - pmod(unix_micros(col),
+    span))`` — pmod, not ``div``, because div truncates toward zero
+    and would place a pre-1970 timestamp in the bucket AFTER it; this
+    is the same floor contract the TSDB downsample operator carries
+    (aggs.py), so buckets are engine-exact.  Calls are located with
+    the shared literal-aware scanner, so a ``"BUCKET(...)"`` inside a
+    string literal is never rewritten.  The span is a time literal
     (``1 hour``, ``30 minutes``) or the same in quotes; the numeric
     auto-bucketing form (4 args) is not supported and raises."""
     while True:
-        m = re.search(r"\bBUCKET\s*\(", expr, re.I)
-        if not m:
+        calls = _find_calls(expr, "BUCKET")
+        if not calls:
             return expr
-        i, depth, in_str = m.end(), 1, False
-        while i < len(expr) and depth:
-            ch = expr[i]
-            if in_str:
-                if ch == '"' and expr[i - 1] != "\\":
-                    in_str = False
-            elif ch == '"':
-                in_str = True
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            i += 1
-        inner = expr[m.end():i - 1]
+        start, open_p, close_p = calls[0]
+        inner = expr[open_p + 1:close_p]
         parts = _split_top(inner, ",")
         if len(parts) != 2:
             raise ValueError(
@@ -243,9 +266,10 @@ def _rewrite_bucket(expr: str) -> str:
             raise ValueError(f"unsupported BUCKET span: {parts[1]!r}")
         span = int(sm.group(1)) * _BUCKET_SPAN_US[sm.group(2).lower()]
         repl = (
-            f"timestamp_micros((unix_micros({col}) div {span}) * {span})"
+            f"timestamp_micros(unix_micros({col}) "
+            f"- pmod(unix_micros({col}), {span}))"
         )
-        expr = expr[:m.start()] + repl + expr[i:]
+        expr = expr[:start] + repl + expr[close_p + 1:]
 
 
 def _split_kw(s: str, word: str) -> list[str]:
@@ -308,6 +332,22 @@ def _named_exprs(clause: str) -> list[tuple[str | None, str]]:
         else:
             out.append((None, item))
     return out
+
+
+def _by_keys(clause: str) -> list[Column]:
+    """STATS/INLINESTATS ``BY`` keys: plain columns, expressions, and
+    named expressions (``BY b = BUCKET(ts, 1 hour)``) — ES|QL names an
+    unnamed expression key by its source text.  Shared by both
+    commands so expression keys behave identically."""
+    keys: list[Column] = []
+    for nm, sql in _named_exprs(clause):
+        if nm is None and re.fullmatch(
+            r"[A-Za-z_][A-Za-z0-9_.]*", sql.strip()
+        ):
+            keys.append(F.col(sql.strip()))
+        else:
+            keys.append(F.expr(_tr_expr(sql)).alias(nm or sql.strip()))
+    return keys
 
 
 def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
@@ -417,20 +457,7 @@ def esql(
                     F.expr(_tr_expr(sql)).alias(nm or f"agg{i}")
                 )
             if len(bm) == 2:
-                # BY accepts plain columns, expressions, and named
-                # expressions (`BY b = BUCKET(ts, 1 hour)`) — ES|QL
-                # names an unnamed expression key by its source text
-                keys = []
-                for nm, sql in _named_exprs(bm[1]):
-                    if nm is None and re.fullmatch(
-                        r"[A-Za-z_][A-Za-z0-9_.]*", sql.strip()
-                    ):
-                        keys.append(F.col(sql.strip()))
-                    else:
-                        keys.append(
-                            F.expr(_tr_expr(sql)).alias(nm or sql.strip())
-                        )
-                df = df.groupBy(*keys).agg(*aggs)
+                df = df.groupBy(*_by_keys(bm[1])).agg(*aggs)
             else:
                 df = df.groupBy().agg(*aggs)
         elif cmd == "INLINESTATS":
@@ -441,11 +468,15 @@ def esql(
             # rewrite to AGG(CASE WHEN cond THEN arg END) because
             # Spark's FILTER clause is not valid on window functions.
             bm = _split_kw(body, "BY")
-            keys = (
-                [k.strip() for k in bm[1].split(",")] if len(bm) == 2 else []
-            )
-            w = Window.partitionBy(*[F.expr(_tr_expr(k)) for k in keys])
+            key_cols = _by_keys(bm[1]) if len(bm) == 2 else []
+            w = Window.partitionBy(*key_cols)
             new_cols: dict[str, Column] = {}
+            # a NAMED expression key (`BY b = BUCKET(...)`) binds the
+            # key as a visible column, like the EVAL it abbreviates
+            if len(bm) == 2:
+                for nm, sql in _named_exprs(bm[1]):
+                    if nm is not None:
+                        new_cols[nm] = F.expr(_tr_expr(sql))
             for i, (nm, sql) in enumerate(_named_exprs(bm[0])):
                 parts = _split_kw(sql, "WHERE")
                 if len(parts) == 2:
@@ -488,11 +519,18 @@ def esql(
             if not (0 < p <= 1):
                 raise ValueError("SAMPLE probability must be in (0, 1]")
             if p < 1:
-                bucket = F.pmod(
-                    shingle_hash(F.col(df.columns[0]).cast("string"), 17),
-                    F.lit(1_000_000),
+                # round, don't truncate: int(0.000249 * 1e6) is 248 in
+                # binary floats, silently breaking the `< p*1e6`
+                # contract for ~1.2% of six-decimal probabilities
+                threshold = int(round(p * 1_000_000))
+                # null-safe key: hash(NULL) is NULL and `NULL < t`
+                # filters the row out — a null-keyed row must still
+                # have inclusion probability p, as in ES|QL
+                key = F.coalesce(
+                    F.col(df.columns[0]).cast("string"), F.lit("")
                 )
-                df = df.filter(bucket < F.lit(int(p * 1_000_000)))
+                bucket = F.pmod(shingle_hash(key, 17), F.lit(1_000_000))
+                df = df.filter(bucket < F.lit(threshold))
         elif cmd == "SORT":
             order = []
             for item in _split_top(body, ","):

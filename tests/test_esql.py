@@ -336,3 +336,63 @@ def test_sample_deterministic_and_stats_by_expr(spark):
     assert [(r["b"].hour, r["k"], r["n"]) for r in out] == [
         (0, "a", 1), (6, "a", 1), (6, "b", 1),
     ]
+
+
+def test_bucket_floor_pre_1970_and_literal_safety(spark):
+    """BUCKET floors (pmod), never truncates toward zero — a pre-1970
+    timestamp lands in the bucket BEFORE it; and a 'BUCKET(...)' inside
+    a string literal is never rewritten."""
+    import datetime as _dt
+
+    t = spark.createDataFrame(
+        [(1, _dt.datetime(1969, 12, 31, 18)), (2, _dt.datetime(1970, 1, 1, 6))],
+        "id long, ts timestamp",
+    )
+    out = esql(
+        "FROM t | EVAL b = BUCKET(ts, 12 hour) | KEEP id, b | SORT id ASC",
+        {"t": t},
+    ).collect()
+    assert out[0]["b"] == _dt.datetime(1969, 12, 31, 12)  # floor, not 00:00
+    assert out[1]["b"] == _dt.datetime(1970, 1, 1)
+    lit = spark.createDataFrame(
+        [(1, "BUCKET(ts, 1 hour)"), (2, "other")], "id long, s string"
+    )
+    got = esql(
+        'FROM lit | WHERE s == "BUCKET(ts, 1 hour)" | KEEP id', {"lit": lit}
+    ).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_sample_null_key_and_threshold_rounding(spark):
+    """A null-keyed row keeps inclusion probability p (hash of a
+    coalesced empty string, bucket 788822), and the threshold rounds
+    rather than truncates (0.788823 * 1e6 must include bucket
+    788822)."""
+    t = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0)], "k string, v double"
+    )
+    kept = {r["v"] for r in esql("FROM t | SAMPLE 0.788823", {"t": t}).collect()}
+    assert 1.0 in kept  # null key -> bucket 788822 < 788823
+
+
+def test_inlinestats_by_expression_key(spark):
+    """INLINESTATS BY shares the STATS expression-key parser: a named
+    BUCKET key partitions the window AND binds as a column."""
+    import datetime as _dt
+
+    t = spark.createDataFrame(
+        [
+            (1, _dt.datetime(2024, 1, 1, 1)),
+            (2, _dt.datetime(2024, 1, 1, 2)),
+            (3, _dt.datetime(2024, 1, 1, 13)),
+        ],
+        "id long, ts timestamp",
+    )
+    out = esql(
+        "FROM t | INLINESTATS n = COUNT(*) BY b = BUCKET(ts, 12 hour)"
+        " | KEEP id, b, n | SORT id ASC",
+        {"t": t},
+    ).collect()
+    assert [(r["id"], r["b"].hour, r["n"]) for r in out] == [
+        (1, 0, 2), (2, 0, 2), (3, 12, 1),
+    ]

@@ -526,7 +526,7 @@ CHECKS = [
         lambda p: "Python" not in p
         and "HashAggregate" in p
         and "SortAggregate" not in p
-        and "PushedFilters: [" in p,
+        and "PushedFilters: [IsNotNull" in p,
     ),
     (
         "geo_bbox_filter",
