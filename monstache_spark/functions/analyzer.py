@@ -60,6 +60,13 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 LIGHT_ENGLISH_SUFFIXES: tuple[str, ...] = ("ies", "ing", "ed", "es", "s")
 
 
+def _sq(s: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal
+    (ADVICE r9: an apostrophe in a synonym/stopword otherwise breaks
+    the rendered oracle SQL)."""
+    return s.replace("'", "''")
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """One analyzer configuration, rendered identically for Spark,
@@ -251,7 +258,7 @@ class Analyzer:
 
             out = f"list_transform({out}, t -> {fold_sql('t')})"
         if self.stopwords:
-            lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
+            lst = "[" + ", ".join(f"'{_sq(s)}'" for s in self.stopwords) + "]"
             out = f"list_filter({out}, t -> NOT list_contains({lst}, t))"
         if self.synonyms:
             out = f"list_transform({out}, t -> {self._syn_sql('t')})"
@@ -265,7 +272,7 @@ class Analyzer:
             for suf in self.stem_suffixes:
                 n = len(suf)
                 branches.append(
-                    f"WHEN ends_with(t, '{suf}') AND length(t) - {n} >= "
+                    f"WHEN ends_with(t, '{_sq(suf)}') AND length(t) - {n} >= "
                     f"{self.min_stem} THEN substr(t, 1, length(t) - {n})"
                 )
             case = "CASE " + " ".join(branches) + " ELSE t END"
@@ -274,7 +281,8 @@ class Analyzer:
 
     def _syn_sql(self, var: str) -> str:
         branches = " ".join(
-            f"WHEN {var} = '{src}' THEN '{dst}'" for src, dst in self.synonyms
+            f"WHEN {var} = '{_sq(src)}' THEN '{_sq(dst)}'"
+            for src, dst in self.synonyms
         )
         return f"CASE {branches} ELSE {var} END"
 
@@ -297,7 +305,7 @@ class Analyzer:
             f"i -> {{'t': {tok}, 'p': i - 1}})"
         )
         if self.stopwords:
-            lst = "[" + ", ".join(f"'{s}'" for s in self.stopwords) + "]"
+            lst = "[" + ", ".join(f"'{_sq(s)}'" for s in self.stopwords) + "]"
             out = f"list_filter({out}, e -> NOT list_contains({lst}, e.t))"
         if self.synonyms:
             out = (
@@ -318,7 +326,7 @@ class Analyzer:
             for suf in self.stem_suffixes:
                 n = len(suf)
                 branches.append(
-                    f"WHEN ends_with(e.t, '{suf}') AND length(e.t) - {n} >= "
+                    f"WHEN ends_with(e.t, '{_sq(suf)}') AND length(e.t) - {n} >= "
                     f"{self.min_stem} THEN substr(e.t, 1, length(e.t) - {n})"
                 )
             case = "CASE " + " ".join(branches) + " ELSE e.t END"

@@ -928,10 +928,32 @@ class FingerprintRegistry:
     batch fingerprint count (tools/registry_probe.py measures this).
     ``n_buckets = 0`` keeps the flat single-directory layout."""
 
+    #: membership probes collect at most this many distinct batch
+    #: fingerprints to push an ``In(fp)`` predicate into the history
+    #: scan (row-group skipping INSIDE touched buckets — see
+    #: ``known``); larger batches fall back to bucket pruning alone
+    PROBE_FP_LIMIT = 4096
+
     def __init__(self, spark, path: str, n_buckets: int = 0):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
+        if n_buckets:
+            # Spark pushes an In predicate to parquet only while the
+            # value count is under this threshold (above it the filter
+            # degrades to a [min,max] range — useless for uniformly
+            # distributed digests); raise it to the probe bound so the
+            # fp-sorted row groups compact() writes actually skip
+            cur = int(
+                spark.conf.get(
+                    "spark.sql.parquet.pushdown.inFilterThreshold", "10"
+                )
+            )
+            if cur < self.PROBE_FP_LIMIT:
+                spark.conf.set(
+                    "spark.sql.parquet.pushdown.inFilterThreshold",
+                    str(self.PROBE_FP_LIMIT),
+                )
 
     def _bucket(self, col: Column) -> Column:
         # digest prefix, not a rehash: human-inspectable directories
@@ -957,17 +979,54 @@ class FingerprintRegistry:
         except AnalysisException:
             return None
         if self.n_buckets and touching is not None:
-            buckets = [
-                r[0]
-                for r in touching.select(self._bucket(F.col("fp")).alias("b"))
+            # ONE control-plane pass collects (bucket, fp) pairs,
+            # capped at PROBE_FP_LIMIT+1 rows; past the cap, fall back
+            # to a buckets-only collect (the bucket list must stay
+            # COMPLETE — a truncated one would silently hide history).
+            pairs = (
+                touching.select(
+                    self._bucket(F.col("fp")).alias("b"), "fp"
+                )
                 .distinct()
+                .limit(self.PROBE_FP_LIMIT + 1)
                 .collect()
-            ]
+            )
+            if len(pairs) <= self.PROBE_FP_LIMIT:
+                buckets = sorted({r["b"] for r in pairs})
+            else:
+                buckets = [
+                    r[0]
+                    for r in touching.select(
+                        self._bucket(F.col("fp")).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                ]
             df = df.filter(F.col("bucket").isin(buckets))
+            # second pruning level: push the batch's own fingerprints
+            # as an In predicate so parquet row-group stats skip
+            # INSIDE the touched buckets (compact() writes each bucket
+            # fp-SORTED, so a row group covers a narrow contiguous fp
+            # range and a probe decodes ~1 group per batch fp instead
+            # of the whole bucket). Membership semantics are
+            # preserved: callers anti-join/semi-join on fp, and
+            # history ∩ batch is exactly what the filter keeps. Past
+            # the cap the probe is bucket-dominated anyway and the
+            # fp filter is skipped.
+            if len(pairs) <= self.PROBE_FP_LIMIT:
+                df = df.filter(
+                    F.col("fp").isin([r["fp"] for r in pairs])
+                )
         return df
 
-    def compact(self) -> int:
-        """Rewrite the registry so every bucket holds ONE file.
+    def compact(self, write_options: dict | None = None) -> int:
+        """Rewrite the registry so every bucket holds ONE file,
+        fp-SORTED (row-group stats then skip inside buckets — see
+        ``known``).  ``write_options`` passes parquet writer options
+        through — most usefully ``parquet.block.size`` to match the
+        row-group grain to the probe workload (a row group is the
+        skip granularity: smaller groups skip more precisely, at more
+        footer-stats overhead).
 
         Each admission appends one file per touched bucket, so after B
         batches a bucket lists B files — compaction bounds the
@@ -986,14 +1045,24 @@ class FingerprintRegistry:
         n_before = len(df.inputFiles())
         tmp = self.path.rstrip("/") + "__compacting"
         if self.n_buckets:
-            (
+            # fp-SORTED within each bucket: every parquet row group
+            # then covers a narrow contiguous fp range, so known()'s
+            # pushed In(fp) probe skips row groups inside touched
+            # buckets — the scan decodes ~1 group per batch fp, not
+            # the whole bucket (tools/registry_probe.py measures it)
+            w = (
                 df.repartition(F.col("bucket"))
+                .sortWithinPartitions("bucket", "fp")
                 .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(tmp)
             )
+            for k, v in (write_options or {}).items():
+                w = w.option(k, v)
+            w.partitionBy("bucket").parquet(tmp)
         else:
-            df.write.mode("overwrite").parquet(tmp)
+            w = df.sortWithinPartitions("fp").write.mode("overwrite")
+            for k, v in (write_options or {}).items():
+                w = w.option(k, v)
+            w.parquet(tmp)
         jvm = self.spark._jvm
         conf = self.spark._jsc.hadoopConfiguration()
         HPath = jvm.org.apache.hadoop.fs.Path

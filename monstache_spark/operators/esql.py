@@ -147,6 +147,16 @@ _FN_TEMPLATES = {
     "TO_STRING": "CAST({0} AS STRING)",
     "TO_DATETIME": "CAST({0} AS TIMESTAMP)",
     "TO_BOOLEAN": "CAST({0} AS BOOLEAN)",
+    # ES|QL 8.18 CATEGORIZE(col) — the STATS BY log-categorization
+    # key, same deterministic contract as aggs.categorize_text /
+    # DIVERGENCES S17: the category is the message's sequence of
+    # non-numeric tokens (digit-bearing tokens are variable
+    # placeholders and drop); messages with no surviving tokens key
+    # to NULL (ES's null bucket)
+    "CATEGORIZE": (
+        "nullif(array_join(filter(split(trim(lower({0})), '\\\\s+'), "
+        "_t -> _t != '' AND NOT (_t rlike '[0-9]')), ' '), '')"
+    ),
 }
 
 
@@ -191,6 +201,13 @@ def _find_calls(expr: str, name: str) -> list[tuple[int, int, int]]:
                 if depth == 0:
                     break
             j += 1
+        if depth != 0:
+            # the balanced scan exhausted the string — malformed input
+            # like "BUCKET(ts, 1 hour"; rewriting to end-of-string
+            # would silently mangle the expression (ADVICE r9)
+            raise ValueError(
+                f"unbalanced parentheses in {name}() call: {expr!r}"
+            )
         out.append((m.start(), open_p, j))
         i = m.end()
     return out
@@ -649,6 +666,17 @@ def esql(
                     F.when(F.col(src_col).rlike(rx), piece),
                 )
             df = df.drop(src_col)
+        elif cmd in ("FORK", "COMPLETION", "RERANK"):
+            # DIVERGENCES S31: COMPLETION/RERANK call a deployed
+            # inference model (never hash-verifiable against an
+            # independent oracle); FORK exists to fan those branches
+            # out and its merge order is defined by the ES runtime
+            raise ValueError(
+                f"unsupported ES|QL command: {cmd} — model-dependent "
+                "(DIVERGENCES S31); run branches as separate esql() "
+                "calls and unionByName them, rerank via the retriever "
+                "tree's text_similarity_reranker stand-in"
+            )
         else:
             raise ValueError(
                 f"unsupported ES|QL command: {cmd} (GROK carries a named "

@@ -4745,6 +4745,8 @@ def retriever_topk(
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
     analyzer=None,
+    doc_vecs: DataFrame | None = None,
+    inference_registry: dict | None = None,
 ) -> DataFrame:
     """ES RETRIEVER TREE (the 8.14+ `retriever` search body —
     reference users drive hybrid search through this API shape, not
@@ -4764,7 +4766,21 @@ def retriever_topk(
     * ``{"rescorer": {"retriever": child, "window_size": n,
       "query": {...}, "query_weight": qw, "rescore_query_weight":
       rw}}`` — re-score the child's top-``n`` by a second query,
-      ``qw·child + rw·rescore`` rounded at 6 dp.
+      ``qw·child + rw·rescore`` rounded at 6 dp;
+    * ``{"text_similarity_reranker": {"retriever": child,
+      "inference_id": id [, "rank_window_size": n, "min_score": m,
+      "field": f, "inference_text": t]}}`` — the ES 8.15+ semantic
+      rerank: the child's top-``n`` RE-SCORED (score replaced, per
+      the ES contract) by a similarity model.  The model is stood in
+      deterministically by rank-vectors maxSim (ColBERT
+      ``maxSimDotProduct``, exactly :func:`similarity.maxsim_topk`):
+      ``inference_registry[inference_id]`` supplies the model's
+      query-token vectors, ``doc_vecs`` (default: one vector per doc
+      from ``embeddings``) supplies the per-document vectors;
+      candidates with no stored vectors score 0.0.  ``field`` and
+      ``inference_text`` are accepted for API fidelity but the
+      stand-in scores stored vectors, not live model output
+      (DIVERGENCES S30).
 
     ``linear`` composes through :func:`linear_retriever_topk` (its
     normalizer contract needs the whole window, documented there).
@@ -4821,7 +4837,9 @@ def retriever_topk(
             )
         if kind == "rrf":
             c = int(body.get("rank_constant", 60))
-            w_size = int(body.get("rank_window_size", 100))
+            # ES rrf retriever default rank_window_size is 10
+            # (ADVICE r9: was 100 — spec-default callers diverged)
+            w_size = int(body.get("rank_window_size", 10))
             kids = [eval_node(r, w_size) for r in body["retrievers"]]
             fused = None
             for i, kid in enumerate(kids):
@@ -4846,7 +4864,8 @@ def retriever_topk(
                 "rank", F.row_number().over(w).cast("long")
             )
         if kind == "rescorer":
-            n = int(body.get("window_size", 50))
+            # ES rescore default window_size is 10 (ADVICE r9)
+            n = int(body.get("window_size", 10))
             qw = float(body.get("query_weight", 1.0))
             rw = float(body.get("rescore_query_weight", 1.0))
             child = eval_node(body["retriever"], n)
@@ -4873,6 +4892,52 @@ def retriever_topk(
                     6,
                 ).alias("score"),
             )
+            ranked = out.orderBy(
+                F.col("score").desc(), F.col(id_col).asc()
+            ).limit(n)
+            w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            return ranked.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            )
+        if kind == "text_similarity_reranker":
+            # ES rescore/reranker window default is 10
+            n = int(body.get("rank_window_size", 10))
+            child = eval_node(body["retriever"], n)
+            inf_id = body.get("inference_id")
+            qvecs = (inference_registry or {}).get(inf_id)
+            if qvecs is None:
+                raise ValueError(
+                    "text_similarity_reranker needs inference_registry"
+                    f"[{inf_id!r}] = the model's query-token vectors"
+                    " (the deterministic model stand-in, DIVERGENCES S30)"
+                )
+            dv = doc_vecs if doc_vecs is not None else embeddings.select(
+                F.col(vec_id_col).cast("long").alias(id_col),
+                F.col(vec_col),
+            )
+            # semi-restrict the corpus-scale vector frame by the
+            # (window-sized, broadcast) child ids FIRST — maxSim then
+            # scores O(window · vectors-per-doc) rows, and full
+            # vectors never move for non-candidates
+            from monstache_spark.operators.similarity import maxsim_topk
+
+            cand = dv.join(F.broadcast(child.select(id_col)), id_col)
+            scored = maxsim_topk(
+                cand, qvecs, k=n, vec_col=vec_col, id_col=id_col
+            ).select(F.col(id_col), F.col("score").alias("_rerank"))
+            # score is REPLACED by the model score (ES semantic-rerank
+            # contract — unlike the rescorer's weighted combination);
+            # candidates with no stored vectors score 0.0
+            out = child.select(id_col).join(
+                F.broadcast(scored), id_col, "left"
+            ).select(
+                id_col,
+                F.coalesce(F.col("_rerank"), F.lit(0.0)).alias("score"),
+            )
+            if "min_score" in body:
+                out = out.filter(
+                    F.col("score") >= float(body["min_score"])
+                )
             ranked = out.orderBy(
                 F.col("score").desc(), F.col(id_col).asc()
             ).limit(n)

@@ -1567,15 +1567,29 @@ def _sign_mask(vec: Column) -> Column:
     """Pack the per-dimension sign bits of a ≤64-dim vector into ONE
     BIGINT: bit i set iff ``vec[i] > 0``.  A zip against the literal
     power table + a bitwise-OR fold — pure codegen, no UDF, and the
-    DuckDB mirror is the identical list_transform/list_reduce fold."""
+    DuckDB mirror is the identical list_transform/list_reduce fold.
+
+    Vectors longer than 64 dims raise at execution time (ADVICE r9:
+    zip_with pads the short side with NULLs, so a positive component
+    past index 63 would otherwise silently poison the OR-fold to NULL
+    and downstream hamming kNN would rank on NULL distances)."""
     powers = F.array(*[F.lit(p).cast("long") for p in _BIT_POWERS])
     bits = F.zip_with(
         vec,
         powers,
         lambda x, p: F.when(x > 0, p).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(
+    mask = F.aggregate(
         bits, F.lit(0).cast("long"), lambda a, b: a.bitwiseOR(b)
+    )
+    return F.when(vec.isNull() | (F.size(vec) <= 64), mask).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("_sign_mask: vector has "),
+                F.size(vec).cast("string"),
+                F.lit(" dims; the bit-packed code holds at most 64"),
+            )
+        ).cast("long")
     )
 
 

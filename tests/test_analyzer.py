@@ -144,3 +144,23 @@ def test_tokens_pos_three_renderings_agree(spark):
         ).fetchone()[0]
         sql_out[i] = [(e["t"], e["p"]) for e in rows]
     assert spark_out == py_out == sql_out
+
+
+def test_sql_literal_escaping_apostrophes():
+    """ADVICE r9: synonyms/stopwords containing apostrophes must render
+    valid DuckDB SQL (single quotes doubled)."""
+    import duckdb
+
+    from monstache_spark.functions.analyzer import Analyzer
+
+    an = Analyzer(stopwords=("don't",), synonyms=(("can't", "cannot"),))
+    sql = an.sql_tokens("text")
+    rows = duckdb.sql(
+        f"SELECT {sql} AS t FROM (SELECT 'i don''t can''t go' AS text)"
+    ).fetchall()
+    assert rows[0][0] == ["i", "cannot", "go"]
+    sql_pos = an.sql_tokens_pos("text")
+    rows = duckdb.sql(
+        f"SELECT {sql_pos} AS t FROM (SELECT 'i don''t can''t go' AS text)"
+    ).fetchall()
+    assert [e["t"] for e in rows[0][0]] == ["i", "cannot", "go"]

@@ -455,3 +455,61 @@ def test_minhash_collapsed_connectivity_equivalent(spark):
     assert cc_full == cc_coll
     # id ordering invariant
     assert coll.filter("id_a >= id_b").count() == 0
+
+
+def test_registry_fp_pushdown_and_sorted_compaction(spark, tmp_path):
+    """Round 10: known(touching=...) pushes the batch fingerprints as
+    an In(fp) predicate (PushedFilters) on top of bucket pruning;
+    compact() writes each bucket fp-sorted; membership semantics are
+    unchanged on both the pushdown and the over-limit fallback path."""
+    import re
+
+    from monstache_spark.operators.dedup import (
+        FingerprintRegistry,
+        incremental_dedup_batch,
+    )
+
+    reg = FingerprintRegistry(spark, str(tmp_path / "r"), n_buckets=8)
+    b0 = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(20)], "doc_id long, text string"
+    )
+    assert len(incremental_dedup_batch(reg, b0).collect()) == 20
+    reg.compact(write_options={"parquet.block.size": str(64 * 1024)})
+
+    # compacted buckets are fp-sorted
+    import pyarrow.parquet as pq
+
+    part_dirs = [p for p in (tmp_path / "r").iterdir() if p.name.startswith("bucket=")]
+    assert part_dirs
+    for d in part_dirs:
+        for f in d.glob("*.parquet"):
+            fps = pq.read_table(str(f), columns=["fp"])["fp"].to_pylist()
+            assert fps == sorted(fps)
+
+    # probe: In(fp) reaches the scan as a pushed filter
+    b1 = spark.createDataFrame(
+        [(100, "doc number 3"), (101, "unseen text")], "doc_id long, text string"
+    )
+    from monstache_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    fps1 = b1.select(fingerprint(F.col("text")).alias("fp"))
+    pruned = reg.known(touching=fps1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PushedFilters: \[[^\]]*In\(fp", plan), plan[:2000]
+    # membership result: exactly the one colliding fingerprint
+    assert pruned.count() == 1
+    s = {r["doc_id"] for r in incremental_dedup_batch(reg, b1).collect()}
+    assert s == {101}
+
+    # over-limit fallback: buckets-only pruning, same survivors
+    reg2 = FingerprintRegistry(spark, str(tmp_path / "r2"), n_buckets=8)
+    reg2.PROBE_FP_LIMIT = 2  # instance override forces the fallback
+    assert len(incremental_dedup_batch(reg2, b0).collect()) == 20
+    b2 = spark.createDataFrame(
+        [(200, "doc number 3"), (201, "doc number 4"), (202, "fresh a"),
+         (203, "fresh b")],
+        "doc_id long, text string",
+    )
+    s2 = {r["doc_id"] for r in incremental_dedup_batch(reg2, b2).collect()}
+    assert s2 == {202, 203}

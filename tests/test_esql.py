@@ -396,3 +396,49 @@ def test_inlinestats_by_expression_key(spark):
     assert [(r["id"], r["b"].hour, r["n"]) for r in out] == [
         (1, 0, 2), (2, 0, 2), (3, 12, 1),
     ]
+
+
+def test_find_calls_unbalanced_paren_raises():
+    """ADVICE r9: a malformed call like 'BUCKET(ts, 1 hour' (no close
+    paren) must be rejected, not silently rewritten to end-of-string."""
+    from monstache_spark.operators.esql import _find_calls
+
+    with pytest.raises(ValueError, match="unbalanced"):
+        _find_calls("BUCKET(ts, 1 hour", "BUCKET")
+    # balanced calls still resolve, including quoted parens inside
+    spans = _find_calls('BUCKET(ts, ")" , 1)', "BUCKET")
+    assert spans == [(0, 6, 18)]
+
+
+def test_categorize_in_stats_by(spark):
+    """ES|QL 8.18 CATEGORIZE() as a STATS BY key: digit-bearing
+    tokens drop from the category, tokenless/null messages key to
+    the NULL bucket, and the whole stage is one hash agg."""
+    df = spark.createDataFrame(
+        [
+            ("error user 42 took 1.5",),
+            ("error user 7 took 2.5",),
+            ("ok done",),
+            ("123 456",),
+            (None,),
+        ],
+        "message string",
+    )
+    out = esql(
+        "FROM logs | STATS n = COUNT(*) BY cat = CATEGORIZE(message)"
+        " | SORT cat ASC",
+        {"logs": df},
+    ).collect()
+    got = {r["cat"]: r["n"] for r in out}
+    assert got == {None: 2, "error user took": 2, "ok done": 1}
+
+
+def test_fork_completion_rerank_refused(spark):
+    """DIVERGENCES S31: the model-dependent ES|QL 8.18 commands are
+    refused with an actionable error, not silently misparsed."""
+    df = spark.createDataFrame([(1,)], "x long")
+    for cmd in ("FORK (WHERE x > 0) (WHERE x < 0)",
+                "COMPLETION prompt WITH inference_id",
+                "RERANK \"q\" ON x WITH inference_id"):
+        with pytest.raises(ValueError, match="model-dependent"):
+            esql(f"FROM t | {cmd}", {"t": df})

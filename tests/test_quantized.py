@@ -115,3 +115,24 @@ def test_hamming_rerank_recovers_exact_winner(spark):
     ).collect()
     assert [r["vec_id"] for r in out] == [2, 1]
     assert out[0]["score"] == 1.0 and out[0]["hamming"] == 0
+
+
+def test_binary_quantize_rejects_over_64_dims(spark):
+    """ADVICE r9: a >64-dim vector must raise, not silently emit NULL
+    codes (zip_with pads with NULL powers and poisons the OR-fold)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    out = binary_quantize(_emb(spark, [(1, [1.0] * 70)]))
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)) as ei:
+        out.collect()
+    assert "at most 64" in str(ei.value)
+
+
+def test_binary_quantize_null_vector_passthrough(spark):
+    """The dim guard must not turn a NULL vector into an error — NULL
+    in, NULL code out (pre-guard semantics preserved)."""
+    rows = binary_quantize(_emb(spark, [(1, None), (2, [1.0, -1.0])])).collect()
+    got = {r["vec_id"]: r["code"] for r in rows}
+    assert got[1] is None
+    assert got[2] == 0b1

@@ -2499,3 +2499,70 @@ def test_knn_query_prefilter_semantics(spark):
     # unfiltered, vec 1 wins
     out2 = knn_query_topk(emb, query_vector_id=0, k=1).collect()
     assert out2[0]["vec_id"] == 1
+
+
+def test_retriever_text_similarity_reranker(spark):
+    """ES text_similarity_reranker node (maxSim model stand-in):
+    child scores are REPLACED by the rerank score; multi-vector docs
+    take the per-query max; vectorless candidates score 0.0;
+    min_score drops; a missing inference_id raises."""
+    import pytest as _pt
+
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge window merge"), (2, "merge vector"), (3, "hash join")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    # doc 1 carries TWO vectors (one strong), doc 2 one weak vector,
+    # doc 3 matches nothing; doc ids 1/2 both match 'merge'
+    dv = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [3.0, 0.0]), (2, [0.5, 0.0])],
+        "doc_id long, embedding array<double>",
+    )
+    reg = {"m": [[1.0, 0.0]]}
+    spec = {"text_similarity_reranker": {
+        "retriever": {"standard": {"query": {"match": {"text": "merge"}}}},
+        "inference_id": "m",
+        "rank_window_size": 5,
+    }}
+    out = retriever_topk(
+        docs, emb, spec, k=3, doc_vecs=dv, inference_registry=reg
+    ).collect()
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in out}
+    # maxSim picks doc 1's BEST vector: dot([1,0],[3,0]) = 3.0
+    assert got[1] == (3.0, 1)
+    assert got[2] == (0.5, 2)
+    assert 3 not in got  # never in the child window (no 'merge')
+
+    # min_score drops the weak candidate
+    spec_min = {"text_similarity_reranker": {
+        **spec["text_similarity_reranker"], "min_score": 1.0,
+    }}
+    kept = retriever_topk(
+        docs, emb, spec_min, k=3, doc_vecs=dv, inference_registry=reg
+    ).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+
+    # vectorless candidate -> 0.0 (not dropped) when no min_score
+    dv_only1 = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "doc_id long, embedding array<double>"
+    )
+    z = retriever_topk(
+        docs, emb, spec, k=3, doc_vecs=dv_only1, inference_registry=reg
+    ).collect()
+    assert {r["doc_id"]: r["score"] for r in z}[2] == 0.0
+
+    with _pt.raises(ValueError, match="inference_registry"):
+        retriever_topk(docs, emb, spec, k=3, doc_vecs=dv)
+
+    # default doc_vecs: one vector per doc straight from embeddings
+    d = retriever_topk(
+        docs, emb, spec, k=3, inference_registry=reg
+    ).collect()
+    assert {r["doc_id"]: r["score"] for r in d}[1] == 0.0  # emb[1]=[0,1]
+    assert {r["doc_id"]: r["score"] for r in d}[2] == 2.0

@@ -520,6 +520,18 @@ CHECKS = [
         and "In(label" in p,
     ),
     (
+        "es_text_sim_reranker",
+        "text_similarity_reranker: the vector frame is semi-"
+        "restricted by the BROADCAST child window before any dot "
+        "product (BroadcastHashJoin, no SortMergeJoin, no cartesian), "
+        "maxSim collapses in a hash agg, no Python",
+        lambda p: "Python" not in p
+        and "BroadcastHashJoin" in p
+        and "SortMergeJoin" not in p
+        and "CartesianProduct" not in p
+        and "HashAggregate" in p,
+    ),
+    (
         "es_esql_bucket",
         "ES|QL BUCKET: ONE hash agg over the bucketed projection, "
         "notnull filters pushed to the scan, no Python",
@@ -939,14 +951,19 @@ def main() -> int:
         if not ok:
             failures += 1
             print(plans[name][:4000])
+    total = len(CHECKS)
     for name, desc, pred, frame in extra_checks(spark, sf_dir):
+        total += 1
         p = plan_of(frame)
         ok = bool(pred(p))
         print(f"{'PASS' if ok else 'FAIL'} {name}: {desc}")
         if not ok:
             failures += 1
             print(p[:4000])
-    print(f"\n{failures} failures" if failures else "\nall plans clean")
+    # machine-readable total (VERDICT r9 task #6): round docs must
+    # quote THIS line, never a hand-counted number
+    print(f"\nTOTAL: {total} assertions, {failures} failures")
+    print(f"{failures} failures" if failures else "all plans clean")
     spark.stop()
     return 1 if failures else 0
 

@@ -7,10 +7,19 @@ so admission cost is governed by batch size while batches are smaller
 than the bucket count. The flat layout re-scans ALL of history every
 admission.
 
+Round 10 adds the SECOND pruning level: compact() writes each bucket
+fp-SORTED and known() pushes the batch's fingerprints as an In
+predicate, so parquet row-group stats skip INSIDE touched buckets —
+``history_rows_decoded`` (the scan leaf's numOutputRows after
+row-group skipping) must drop BELOW the bucket fraction.
+
 Method: seed both layouts (untimed bulk admits of synthetic md5
-fingerprints) to three history sizes; at each size record (a) the
-HISTORY ROWS and FILES the probe's pruned scan actually touches —
-the deterministic scan-volume evidence — and (b) wall time of a full
+fingerprints) to three history sizes, compacting the bucketed layout
+(64 KiB row groups — the skip granularity); at each size record
+(a) the HISTORY ROWS the probe's pruned scan actually DECODES (the
+executed scan leaf's numOutputRows — the deterministic scan-volume
+evidence, post row-group skipping), (b) the bucket-fraction rows the
+round-9 layout would have decoded, and (c) wall time of a full
 small-batch admission (warmed; on local[32] constant job/commit
 overhead dominates seconds, which is why (a) is the headline number).
 
@@ -30,6 +39,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from monstache_spark.session import get_spark
+
+
+def scan_decoded_rows(df) -> int:
+    """Execute ``df`` and sum the scan leaves' numOutputRows — the
+    rows the parquet reader actually DECODED after partition pruning
+    and row-group skipping (pushed-filter row-group elimination
+    happens below this metric; the post-scan Filter above it does
+    not).  Executes via collect() — the SAME queryExecution whose
+    metrics we read (a noop write would plan its own execution and
+    leave these metrics untouched); the collected rows are only the
+    probe's matches, control-plane-sized."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return int(total)
 
 
 def run(batch_docs: int, seed_sizes: list[int]) -> dict:
@@ -58,13 +87,27 @@ def run(batch_docs: int, seed_sizes: list[int]) -> dict:
         )
         for reg in regs.values():
             reg.admit(seed)
+        # fp-sorted compaction (small row groups = the skip grain)
+        regs["bucketed"].compact(
+            write_options={"parquet.block.size": str(64 * 1024)}
+        )
         seeded = target
         batch_df = spark.createDataFrame(probe_rows, "doc_id long, text string")
         batch_fps = batch_df.select(fingerprint(F.col("text")).alias("fp"))
         for label, reg in regs.items():
             pruned = reg.known(touching=batch_fps)
+            n_buckets = reg.n_buckets or 1
+            touched = (
+                batch_fps.select(reg._bucket(F.col("fp"))).distinct().count()
+                if reg.n_buckets
+                else 1
+            )
             scan[label].append(
-                {"history": target, "history_rows_scanned": pruned.count()}
+                {
+                    "history": target,
+                    "history_rows_decoded": scan_decoded_rows(pruned),
+                    "bucket_fraction_rows": target * touched // n_buckets,
+                }
             )
             t0 = time.time()
             incremental_dedup_batch(reg, batch_df).write.mode("overwrite").format(
@@ -83,11 +126,15 @@ def run(batch_docs: int, seed_sizes: list[int]) -> dict:
         )
         entry = {"batch_docs": b}
         for label, reg in regs.items():
-            entry[f"{label}_history_rows_scanned"] = reg.known(touching=fps_b).count()
+            entry[f"{label}_history_rows_decoded"] = scan_decoded_rows(
+                reg.known(touching=fps_b)
+            )
         batch_axis.append(entry)
 
     growth = {
-        k: round(v[-1]["history_rows_scanned"] / max(v[0]["history_rows_scanned"], 1), 2)
+        k: round(
+            v[-1]["history_rows_decoded"] / max(v[0]["history_rows_decoded"], 1), 2
+        )
         for k, v in scan.items()
     }
     return {
