@@ -38,7 +38,7 @@ from monstache_spark.operators.dedup import (
 from monstache_spark.operators.materialize import last_state
 from monstache_spark.operators.relate import Relation, relate_once
 from monstache_spark.operators.routing import map_index
-from monstache_spark.operators.similarity import brute_force_topk
+from monstache_spark.operators.similarity import brute_force_topk, query_sign_mask
 from monstache_spark.operators.timemachine import time_machine_rows
 from monstache_spark.sources.testdata import load_table
 
@@ -4066,6 +4066,70 @@ def _q_es_text_sim_reranker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_knn_similarity_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES knn `similarity` threshold (similarity.knn_search
+    min_similarity): candidates below the required RAW similarity
+    (cosine 0.3 → score (1+t)/2 = 0.65) are dropped BEFORE the top-k,
+    so the result under-fills k — the one knn case where ES documents
+    fewer than k hits.  The cut compares 6-dp rounded score against
+    the rounded threshold (S11 contract class); the plan stays the
+    one-scan exact path with the threshold as an extra codegen
+    predicate."""
+    from monstache_spark.operators.similarity import knn_search
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return knn_search(
+        emb, [float(x) for x in qv], k=10, min_similarity=0.3,
+    )
+
+
+def _q_es_retriever_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES linear retriever AS A TREE NODE (search.retriever_topk —
+    nestable, unlike the ready-made pair in es_linear_retriever):
+    weighted minmax-normalized fusion of a standard BM25 child and a
+    knn child over each child's own top-20 window, weights 2:1;
+    normalization stats are broadcast 1-row aggs, fusion one
+    full-outer join of control-plane frames, missing docs contribute
+    0."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return retriever_topk(
+        docs, emb,
+        {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {"query": {"match": {"text": "merge vector window"}}}},
+                 "weight": 2.0, "normalizer": "minmax"},
+                {"retriever": {"knn": {"query_vector_id": 0}},
+                 "weight": 1.0, "normalizer": "minmax"},
+            ],
+            "rank_window_size": 20,
+        }},
+        k=10,
+    )
+
+
+def _q_es_rank_vectors_inv_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_vectors with element_type: bit — maxSimInvHamming
+    (similarity.maxsim_inv_hamming_topk, ES 8.16+): the BBQ analogue
+    of the ColBERT maxSim query — docs carry multiple SIGN-MASK bit
+    vectors (vec_id % 50 groups, one BIGINT per stored vector: phase 1
+    reads 1/256th of the float bytes), per pair similarity is
+    (64 − hamming)/64 (a dyadic rational — exact on both engines, no
+    rounding clause), score = Σ over query masks of the per-doc max.
+    Q codegen xor+popcounts per row, ONE hash agg,
+    TakeOrderedAndProject."""
+    from monstache_spark.operators.similarity import maxsim_inv_hamming_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    doc_vecs = emb.select(
+        (F.col("vec_id") % 50).alias("doc_id"), F.col("embedding")
+    )
+    return maxsim_inv_hamming_topk(doc_vecs, [_MAXSIM_Q1, _MAXSIM_Q2], k=10)
+
+
 def _q_es_esql_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL 8.18 CATEGORIZE() in STATS BY (operators/esql
     _FN_TEMPLATES): log-style messages rendered from events rows
@@ -6534,6 +6598,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window together with the 7 round-3 leftovers) ---
         "es_text_sim_reranker": _q_es_text_sim_reranker,
         "es_esql_categorize": _q_es_esql_categorize,
+        "es_rank_vectors_inv_hamming": _q_es_rank_vectors_inv_hamming,
+        "es_retriever_linear": _q_es_retriever_linear,
+        "es_knn_similarity_cutoff": _q_es_knn_similarity_cutoff,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -10109,6 +10176,86 @@ def oracle_sql() -> dict[str, str]:
         "synonym_bm25": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge')", 20, _SYN_AN.sql_tokens("text"))}
+        """,
+        "es_knn_similarity_cutoff": """
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          s AS (
+            SELECT e.vec_id,
+                   CASE WHEN sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+                             * sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y)) > 0
+                        THEN round((1.0 + list_reduce(list_transform(range(1, 65), i -> e.v[i] * qv[i]), (x, y) -> x + y)
+                             / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y))
+                                * sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y)))) / 2.0, 6)
+                        ELSE 0.5 END AS score
+            FROM e CROSS JOIN q
+            WHERE e.v IS NOT NULL
+          )
+          SELECT vec_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+          FROM s WHERE score >= 0.65
+          ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "es_retriever_linear": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          lexr AS (
+            SELECT doc_id AS lid, score AS ls,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r
+            FROM scored QUALIFY r <= 20
+          ),
+          lex AS (
+            SELECT lid, CASE WHEN max(ls) OVER () > min(ls) OVER ()
+                   THEN round((ls - min(ls) OVER ())
+                              / (max(ls) OVER () - min(ls) OVER ()), 6)
+                   ELSE 1.0 END AS n0
+            FROM lexr
+          ),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+          cs AS (
+            SELECT e.vec_id AS corpus_id, {_cos_sql('q', 'e.v')} AS score
+            FROM qv CROSS JOIN e WHERE e.vec_id <> 0
+          ),
+          semr AS (
+            SELECT corpus_id AS sid, score AS ss,
+                   CAST(row_number() OVER (ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS r
+            FROM cs QUALIFY r <= 20
+          ),
+          sem AS (
+            SELECT sid, CASE WHEN max(ss) OVER () > min(ss) OVER ()
+                   THEN round((ss - min(ss) OVER ())
+                              / (max(ss) OVER () - min(ss) OVER ()), 6)
+                   ELSE 1.0 END AS n1
+            FROM semr
+          ),
+          f AS (
+            SELECT COALESCE(lid, sid) AS doc_id,
+                   round(COALESCE(n0, 0.0) * 2.0
+                         + COALESCE(n1, 0.0) * 1.0, 6) AS score
+            FROM lex FULL OUTER JOIN sem ON lid = sid
+          )
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM f ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "es_rank_vectors_inv_hamming": f"""
+          WITH c AS (SELECT vec_id % 50 AS doc_id, {_BIN_CODE_SQL} AS code
+                     FROM embeddings),
+          s AS (SELECT doc_id,
+                       (64.0 - CAST(bit_count(xor(code,
+                          CAST({query_sign_mask(_MAXSIM_Q1)} AS BIGINT)))
+                          AS DOUBLE)) / 64.0 AS s0,
+                       (64.0 - CAST(bit_count(xor(code,
+                          CAST({query_sign_mask(_MAXSIM_Q2)} AS BIGINT)))
+                          AS DOUBLE)) / 64.0 AS s1
+                FROM c),
+          m AS (SELECT doc_id, max(s0) AS m0, max(s1) AS m1
+                FROM s GROUP BY 1),
+          f AS (SELECT doc_id, m0 + m1 AS score FROM m)
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM f ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "es_esql_categorize": """
           WITH msg AS (

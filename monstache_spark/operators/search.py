@@ -4782,8 +4782,13 @@ def retriever_topk(
       stand-in scores stored vectors, not live model output
       (DIVERGENCES S30).
 
-    ``linear`` composes through :func:`linear_retriever_topk` (its
-    normalizer contract needs the whole window, documented there).
+    * ``{"linear": {"retrievers": [{"retriever": child, "weight": w,
+      "normalizer": "minmax"|"none"}, ...], "rank_window_size": n}}``
+      — the 8.16+ weighted fusion over ANY child retrievers
+      (nestable): each child's window normalizes over ITS OWN top-n
+      (same contract as :func:`linear_retriever_topk`, which remains
+      the ready-made lexical+semantic pair), missing docs contribute
+      0, weighted sum rounds at 6 dp.
 
     Every leaf list arrives truncated (TakeOrderedAndProject /
     broadcast window), so fusion joins operate on O(window) rows —
@@ -4895,6 +4900,61 @@ def retriever_topk(
             ranked = out.orderBy(
                 F.col("score").desc(), F.col(id_col).asc()
             ).limit(n)
+            w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+            return ranked.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            )
+        if kind == "linear":
+            # ES 8.16+ linear retriever AS A TREE NODE (nestable — the
+            # standalone lexical+semantic pair lives in
+            # linear_retriever_topk with the same contract): each
+            # child's top-window scores normalize over ITS OWN window
+            # (minmax → [0,1] at 6 dp, a degenerate window mapping to
+            # 1.0; none → raw), then weighted-sum with missing docs
+            # contributing 0. Stats are 1-row broadcast aggs; fusion
+            # joins control-plane frames.
+            w_size = int(body.get("rank_window_size", 10))
+            fused = None
+            weights = []
+            for i, sub in enumerate(body["retrievers"]):
+                child = eval_node(sub["retriever"], w_size)
+                weights.append(float(sub.get("weight", 1.0)))
+                nz = sub.get("normalizer", "none")
+                c = child.select(F.col(id_col), F.col("score"))
+                if nz == "minmax":
+                    stats = c.groupBy().agg(
+                        F.min("score").alias("_lo"),
+                        F.max("score").alias("_hi"),
+                    )
+                    c = c.crossJoin(F.broadcast(stats)).select(
+                        F.col(id_col),
+                        F.when(
+                            F.col("_hi") > F.col("_lo"),
+                            F.round(
+                                (F.col("score") - F.col("_lo"))
+                                / (F.col("_hi") - F.col("_lo")),
+                                6,
+                            ),
+                        ).otherwise(F.lit(1.0)).alias("score"),
+                    )
+                elif nz != "none":
+                    raise ValueError(f"unsupported normalizer: {nz}")
+                c = c.select(
+                    F.col(id_col), F.col("score").alias(f"_n{i}")
+                )
+                fused = c if fused is None else fused.join(
+                    c, id_col, "full_outer"
+                )
+            total = None
+            for i, w_i in enumerate(weights):
+                term = F.coalesce(F.col(f"_n{i}"), F.lit(0.0)) * F.lit(w_i)
+                total = term if total is None else total + term
+            out = fused.select(
+                F.col(id_col), F.round(total, 6).alias("score")
+            )
+            ranked = out.orderBy(
+                F.col("score").desc(), F.col(id_col).asc()
+            ).limit(w_size)
             w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
             return ranked.withColumn(
                 "rank", F.row_number().over(w).cast("long")

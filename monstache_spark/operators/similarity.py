@@ -198,6 +198,7 @@ def knn_search(
     similarity: str = "cosine",
     num_candidates: int | None = None,
     analyzer=None,
+    min_similarity: float | None = None,
 ) -> DataFrame:
     """ES 8 kNN search API (the top-level ``knn`` section a consumer
     of a monstache-synced index issues): top-``k`` documents nearest
@@ -219,7 +220,18 @@ def knn_search(
     ``ivfpq_topk_indexed`` with the same filter pushed into the cell
     scan; ``num_candidates`` (an HNSW beam width) is accepted and
     ignored here because the exact path considers every candidate.
-    Returns ``(id, score, rank)``.
+
+    ``min_similarity`` is ES's knn ``similarity`` threshold (the
+    request field is literally named ``similarity``; the metric name
+    comes from the field MAPPING, which our ``similarity`` str arg
+    plays): candidates below the required similarity are dropped, so
+    FEWER than ``k`` hits may return — the one knn case where ES
+    documents an under-filled result.  For ``cosine``/``dot_product``
+    it is the minimum RAW similarity (score ≥ (1+t)/2); for
+    ``l2_norm`` it is the maximum DISTANCE (score ≥ 1/(1+t²)).  The
+    cut compares 6-dp ROUNDED score against the 6-dp rounded
+    threshold — the S11 contract class, so membership is
+    engine-exact.  Returns ``(id, score, rank)``.
     """
     if similarity not in ("cosine", "dot_product", "l2_norm"):
         raise ValueError(f"unsupported similarity: {similarity}")
@@ -256,6 +268,13 @@ def knn_search(
     scored = base.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), score.alias("score")
     )
+    if min_similarity is not None:
+        t = float(min_similarity)
+        if similarity == "l2_norm":
+            thr = 1.0 / (1.0 + t * t)
+        else:
+            thr = (1.0 + t) / 2.0
+        scored = scored.filter(F.col("score") >= F.lit(round(thr, 6)))
     ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1643,6 +1662,66 @@ def hamming_topk(
     )
     ranked = scored.orderBy(F.col("hamming").asc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+    return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def query_sign_mask(vec: list[float]) -> int:
+    """Python rendering of :func:`_sign_mask` for a LITERAL query
+    vector: bit i set iff ``vec[i] > 0``, returned as the SIGNED
+    64-bit value both engines store (bit 63 is the sign bit)."""
+    if len(vec) > 64:
+        raise ValueError("query vector exceeds 64 dims")
+    m = 0
+    for i, x in enumerate(vec):
+        if x > 0:
+            m |= 1 << i
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+def maxsim_inv_hamming_topk(
+    doc_vecs: DataFrame,
+    query_vectors: list[list[float]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``rank_vectors`` with ``element_type: bit`` — the
+    ``maxSimInvHamming`` late-interaction rank feature (ES 8.16+,
+    the BBQ analogue of :func:`maxsim_topk`): documents carry
+    MULTIPLE bit vectors (one row per (doc, vector), sign-mask packed
+    by :func:`_sign_mask`); per pair the inverse-hamming similarity is
+    ``(num_bits − hamming) / num_bits`` (ES's bit-vector similarity),
+    ``score(doc) = Σ_q max_v inv_hamming(q, v)``.
+
+    Plan shape mirrors maxsim_topk: the Q query MASKS are Python-side
+    literals (:func:`query_sign_mask`), so the Q xor+popcount
+    similarities are ONE codegen projection per (doc, vector) row; the
+    per-query maxes collapse in ONE hash agg per doc; top-k is
+    TakeOrderedAndProject.  At 100 TB phase 1 reads ONE BIGINT per
+    stored vector — 1/256th of the float bytes — and every similarity
+    is exact binary arithmetic ((64−h)/64 is a dyadic rational), so
+    the contract needs no rounding clause.  Returns
+    ``(id, score, rank)``."""
+    if not query_vectors:
+        raise ValueError("query_vectors must be non-empty")
+    code = _sign_mask(as_double_array(F.col(vec_col)))
+    sims = []
+    for qi, qvec in enumerate(query_vectors):
+        qm = F.lit(query_sign_mask(qvec)).cast("long")
+        h = F.bit_count(code.bitwiseXOR(qm)).cast("double")
+        sims.append(((F.lit(64.0) - h) / F.lit(64.0)).alias(f"_s{qi}"))
+    per_vec = doc_vecs.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *sims
+    )
+    maxes = per_vec.groupBy(id_col).agg(
+        *[F.max(f"_s{qi}").alias(f"_m{qi}") for qi in range(len(query_vectors))]
+    )
+    total = F.lit(0.0)
+    for qi in range(len(query_vectors)):
+        total = total + F.col(f"_m{qi}")
+    scored = maxes.select(F.col(id_col), total.alias("score"))
+    ranked = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 

@@ -136,3 +136,88 @@ def test_binary_quantize_null_vector_passthrough(spark):
     got = {r["vec_id"]: r["code"] for r in rows}
     assert got[1] is None
     assert got[2] == 0b1
+
+
+def test_query_sign_mask_matches_spark_sign_mask(spark):
+    """Python query_sign_mask must equal the Spark _sign_mask packing,
+    including the signed bit 63."""
+    from monstache_spark.operators.similarity import (
+        query_sign_mask,
+    )
+
+    vecs = [
+        [1.0, 0.0, 3.0] + [0.0] * 61,
+        [0.0] * 63 + [0.5],
+        [0.1] * 64,
+        [-1.0] * 64,
+    ]
+    rows = binary_quantize(
+        _emb(spark, [(i, v) for i, v in enumerate(vecs)])
+    ).collect()
+    got = {r["vec_id"]: r["code"] for r in rows}
+    for i, v in enumerate(vecs):
+        assert got[i] == query_sign_mask(v), i
+    with pytest.raises(ValueError, match="64"):
+        query_sign_mask([1.0] * 70)
+
+
+def test_maxsim_inv_hamming_topk(spark):
+    """maxSimInvHamming: per-(doc,vector) inverse-hamming (64-h)/64,
+    max per query vector, summed; multi-vector docs take their best
+    vector per query; ties break on id."""
+    from monstache_spark.operators.similarity import (
+        maxsim_inv_hamming_topk,
+        query_sign_mask,
+    )
+
+    q1 = [1.0] * 8 + [0.0] * 56          # mask = 0xFF
+    # doc 1: one vector identical to q1 (h=0 -> 1.0), one garbage
+    # doc 2: vector with 4 of q1's bits (h=4 -> 60/64)
+    d1a = [1.0] * 8 + [0.0] * 56
+    d1b = [0.0] * 32 + [1.0] * 32
+    d2 = [1.0] * 4 + [0.0] * 60
+    dv = spark.createDataFrame(
+        [(1, d1a), (1, d1b), (2, d2)], "doc_id long, embedding array<double>"
+    )
+    out = maxsim_inv_hamming_topk(dv, [q1], k=5).collect()
+    got = {r["doc_id"]: (r["score"], r["rank"]) for r in out}
+    assert got[1] == (1.0, 1)
+    assert got[2] == ((64 - 4) / 64.0, 2)
+
+    # two query vectors sum their per-doc maxes
+    q2 = [0.0] * 32 + [1.0] * 32
+    out2 = maxsim_inv_hamming_topk(dv, [q1, q2], k=5).collect()
+    got2 = {r["doc_id"]: r["score"] for r in out2}
+    assert got2[1] == 2.0  # d1a matches q1 exactly, d1b matches q2 exactly
+
+    with pytest.raises(ValueError, match="non-empty"):
+        maxsim_inv_hamming_topk(dv, [], k=5)
+
+
+def test_knn_search_min_similarity(spark):
+    """ES knn `similarity` threshold: cosine keeps raw >= t (score
+    >= (1+t)/2) and may under-fill k; l2_norm treats t as a maximum
+    distance (score >= 1/(1+t^2))."""
+    from monstache_spark.operators.similarity import knn_search
+
+    emb = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 1.0]),
+            (3, [-1.0, 0.0]),
+        ],
+    )
+    out = knn_search(
+        emb, [1.0, 0.0], k=10, min_similarity=0.5,
+        vec_col="embedding", id_col="vec_id",
+    ).collect()
+    # cosines: 1 -> 1.0, 2 -> .7071, 3 -> -1; threshold .5 keeps 1, 2
+    assert [r["vec_id"] for r in out] == [1, 2]
+
+    l2 = knn_search(
+        emb, [1.0, 0.0], k=10, similarity="l2_norm", min_similarity=1.5,
+        vec_col="embedding", id_col="vec_id",
+    ).collect()
+    # distances: 1 -> 0, 2 -> 1, 3 -> 2; max distance 1.5 keeps 1, 2
+    assert [r["vec_id"] for r in l2] == [1, 2]

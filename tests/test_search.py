@@ -2566,3 +2566,46 @@ def test_retriever_text_similarity_reranker(spark):
     ).collect()
     assert {r["doc_id"]: r["score"] for r in d}[1] == 0.0  # emb[1]=[0,1]
     assert {r["doc_id"]: r["score"] for r in d}[2] == 2.0
+
+
+def test_retriever_tree_linear_node(spark):
+    """Linear node in the retriever tree: per-child minmax over its
+    own window, weighted sum with missing docs contributing 0,
+    degenerate (single-score) window normalizing to 1.0, unsupported
+    normalizer raising."""
+    import pytest as _pt
+
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge window merge"), (2, "merge vector"), (3, "hash join")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0]), (3, [1.0, 0.05])],
+        "vec_id long, embedding array<double>",
+    )
+    spec = {"linear": {
+        "retrievers": [
+            {"retriever": {"standard": {"query": {"match": {"text": "merge"}}}},
+             "weight": 2.0, "normalizer": "minmax"},
+            {"retriever": {"knn": {"query_vector_id": 0}},
+             "weight": 1.0, "normalizer": "minmax"},
+        ],
+        "rank_window_size": 5,
+    }}
+    out = retriever_topk(docs, emb, spec, k=4).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    # doc 1: bm25 max (norm 1.0) * 2 + knn norm; doc 3 appears only in
+    # knn (bm25 contributes 0)
+    assert got[1] >= 2.0
+    assert 3 in got and got[3] < 2.0
+    # scores sorted desc with rank 1..n
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks)
+
+    bad = {"linear": {"retrievers": [
+        {"retriever": {"knn": {"query_vector_id": 0}}, "normalizer": "zscore"},
+    ]}}
+    with _pt.raises(ValueError, match="normalizer"):
+        retriever_topk(docs, emb, bad, k=2)

@@ -495,6 +495,39 @@ CHECKS = [
         and "SortAggregate" not in p,
     ),
     (
+        "es_rank_vectors_inv_hamming",
+        "bit rank-vectors maxSimInvHamming: Q xor/popcount "
+        "similarities in one codegen projection, per-query maxes in "
+        "ONE hash agg, top-k a TakeOrderedAndProject — no Python, no "
+        "join, no sort agg",
+        lambda p: "Python" not in p
+        and "TakeOrderedAndProject" in p
+        and "HashAggregate" in p
+        and "SortAggregate" not in p
+        and "SortMergeJoin" not in p,
+    ),
+    (
+        "es_knn_similarity_cutoff",
+        "knn similarity threshold: ONE corpus scan, the cutoff an "
+        "extra codegen predicate — no join beyond the control-plane "
+        "query fetch, no Python, top-k a TakeOrderedAndProject",
+        lambda p: "Python" not in p
+        and "TakeOrderedAndProject" in p
+        and "SortMergeJoin" not in p
+        and "CartesianProduct" not in p,
+    ),
+    (
+        "es_retriever_linear",
+        "linear retriever node: every child window truncated BEFORE "
+        "fusion (TakeOrderedAndProject), normalization stats 1-row "
+        "broadcast aggs — no Python (the full-outer fuse may plan as "
+        "a sort-merge join, but over already-truncated window-sized "
+        "frames, same as the rrf node)",
+        lambda p: "Python" not in p
+        and "TakeOrderedAndProject" in p
+        and "BroadcastNestedLoopJoin Cross" in p,
+    ),
+    (
         "es_retriever_rrf",
         "retriever tree: every leaf truncated before fusion "
         "(TakeOrderedAndProject present), no Python anywhere",

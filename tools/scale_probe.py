@@ -256,6 +256,19 @@ def main() -> int:
     iN = t(lambda: int8_topk(embN, query_vec_id=0, dim=64, k=10))
     print(f"{'int8_knn':14s}  1x {i1:6.2f}s   {times}x {iN:7.2f}s   ratio {iN / i1:6.2f}")
 
+    # bit rank_vectors maxSimInvHamming (round 10): Q xor/popcounts
+    # per (doc, vector) row + one hash agg — phase-1 bytes are the
+    # packed words only, so the ratio should track the hamming scan
+    from monstache_spark.operators.similarity import maxsim_inv_hamming_topk
+
+    mq = [[1.0 if (i * 3) % 7 < 3 else -1.0 for i in range(64)],
+          [1.0 if (i * 5) % 11 < 5 else -1.0 for i in range(64)]]
+    mv1 = emb1.select((F.col("vec_id") % 50).alias("doc_id"), "embedding")
+    mvN = embN.select((F.col("vec_id") % 50).alias("doc_id"), "embedding")
+    m1 = t(lambda: maxsim_inv_hamming_topk(mv1, mq, k=10))
+    mN = t(lambda: maxsim_inv_hamming_topk(mvN, mq, k=10))
+    print(f"{'maxsim_invham':14s}  1x {m1:6.2f}s   {times}x {mN:7.2f}s   ratio {mN / m1:6.2f}")
+
     # Adversarial duplicate-heavy corpus: every doc in one copy-set is
     # the SAME boilerplate text, so unbounded LSH puts the whole set in
     # one bucket per band — O(n²) pair explosion on one executor. The
