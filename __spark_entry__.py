@@ -4066,6 +4066,42 @@ def _q_es_text_sim_reranker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.18 QSTR() in WHERE (operators/esql _apply_where): the
+    full Lucene query-bar grammar — OR group, token wildcard, phrase
+    prohibition — compiled through the engine's query_string parser →
+    bool machinery, AND-composed with an ordinary SQL conjunct that
+    still pushes to the scan; the STATS is one hash agg."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        'FROM documents'
+        ' | WHERE QSTR("(hash OR merg*) AND -\\"slow batch\\"")'
+        " AND n_chars > 100"
+        " | STATS n = COUNT(*) BY source"
+        " | SORT source ASC",
+        {"documents": docs},
+    )
+
+
+def _q_es_esql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.18 full-text MATCH() in WHERE (operators/esql
+    _rewrite_match): default OR over the simple-analyzed query tokens,
+    compiled to a pure codegen arrays_overlap against literal tokens
+    — no join, no UDF — feeding a one-hash-agg STATS BY.  AND variant,
+    null fields, and malformed calls are unit-tested."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        'FROM documents | WHERE MATCH(text, "merge vector window")'
+        " | STATS n = COUNT(*), chars = SUM(n_chars) BY lang"
+        " | SORT lang ASC",
+        {"documents": docs},
+    )
+
+
 def _q_es_knn_similarity_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES knn `similarity` threshold (similarity.knn_search
     min_similarity): candidates below the required RAW similarity
@@ -6601,6 +6637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_rank_vectors_inv_hamming": _q_es_rank_vectors_inv_hamming,
         "es_retriever_linear": _q_es_retriever_linear,
         "es_knn_similarity_cutoff": _q_es_knn_similarity_cutoff,
+        "es_esql_match": _q_es_esql_match,
+        "es_esql_qstr": _q_es_esql_qstr,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -10176,6 +10214,34 @@ def oracle_sql() -> dict[str, str]:
         "synonym_bm25": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge')", 20, _SYN_AN.sql_tokens("text"))}
+        """,
+        "es_esql_qstr": f"""
+          WITH t AS (
+            SELECT source, n_chars, text,
+                   list_filter({_TOKS_LOWER}, w -> w <> '') AS toks
+            FROM documents
+          )
+          SELECT source, CAST(count(*) AS BIGINT) AS n FROM t
+          WHERE (list_contains(toks, 'hash')
+                 OR len(list_filter(toks, w -> w LIKE 'merg%')) > 0)
+            AND NOT strpos(' ' || array_to_string(list_filter(
+                  string_split_regex(trim(lower(text)), '\\s+'), w -> true), ' ') || ' ',
+                  ' slow batch ') > 0
+            AND n_chars > 100
+          GROUP BY source ORDER BY source
+        """,
+        "es_esql_match": """
+          WITH t AS (
+            SELECT lang, n_chars,
+                   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               t -> t <> '') AS toks
+            FROM documents
+          )
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM t
+          WHERE list_has_any(toks, ['merge', 'vector', 'window'])
+          GROUP BY lang ORDER BY lang
         """,
         "es_knn_similarity_cutoff": """
           WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -35,6 +35,15 @@ Supported commands (the ES|QL processing core):
   non-match); ``%{}`` skips a segment.  GROK stays refused — it
   carries a named pattern library that belongs to the caller
 
+Round-10 8.18 surface: full-text ``MATCH(field, "q" [, options])``
+(``_rewrite_match`` — OR over simple-analyzed query tokens, operator
+AND supported) and ``QSTR("lucene query")`` (``_apply_where`` — the
+whole query_string grammar through the engine's parser, AND-composable
+with SQL conjuncts) in WHERE; ``CATEGORIZE(col)`` in STATS BY (the
+S17 deterministic log categorizer as a function template).
+``FORK``/``COMPLETION``/``RERANK`` are REFUSED as model-dependent
+(DIVERGENCES S31).
+
 Expressions ride the shared painless→SQL binding contract (the same
 surface ``script``/``script_score``/``bucket_script`` use): ES|QL's
 ``==`` / ``!=`` translate to SQL equality, string literals keep double
@@ -75,6 +84,7 @@ def _tr_expr(expr: str) -> str:
     ``BUCKET(col, N unit)`` time-bucketing function rewrites via
     ``_rewrite_bucket``."""
     expr = _rewrite_bucket(expr)
+    expr = _rewrite_match(expr)
     expr = _rewrite_fns(expr)
 
     out = []
@@ -289,6 +299,109 @@ def _rewrite_bucket(expr: str) -> str:
         expr = expr[:start] + repl + expr[close_p + 1:]
 
 
+def _split_kw_all(s: str, word: str) -> list[str]:
+    """Repeated :func:`_split_kw`: ALL top-level occurrences of the
+    keyword (outside quotes/parens), left to right."""
+    out: list[str] = []
+    rest = s
+    while True:
+        parts = _split_kw(rest, word)
+        if len(parts) == 1:
+            out.append(rest)
+            return out
+        out.append(parts[0])
+        rest = parts[1]
+
+
+def _apply_where(df: DataFrame, body: str):
+    """WHERE stage.  The one non-SQL clause form is ES|QL 8.18's
+    ``QSTR("lucene query")`` — the full Lucene query-bar grammar —
+    which compiles through the engine's query_string parser →
+    bool-query machinery (analyzers, fuzzy vocabulary path, ranges,
+    wildcards all inherited) against the ``text`` default field.
+    QSTR composes with other predicates under top-level AND only
+    (each conjunct applies as its own filter — same result, and the
+    SQL conjuncts still push to the scan); OR/NOT around QSTR raises
+    with guidance, since the bool compiler, not SQL text, owns that
+    tree."""
+    if not _find_calls(body, "QSTR"):
+        return df.filter(F.expr(_tr_expr(body)))
+    from monstache_spark.operators.querystring import query_string_filter
+
+    for part in _split_kw_all(body, "AND"):
+        part = part.strip()
+        calls = _find_calls(part, "QSTR")
+        if not calls:
+            df = df.filter(F.expr(_tr_expr(part)))
+            continue
+        start, open_p, close_p = calls[0]
+        if start != 0 or close_p != len(part) - 1:
+            raise ValueError(
+                "QSTR() composes only under top-level AND — wrap OR/"
+                "NOT logic inside the Lucene query string itself"
+            )
+        qm = re.fullmatch(
+            r'\s*"((?:[^"\\]|\\.)*)"\s*', part[open_p + 1:close_p]
+        )
+        if not qm:
+            raise ValueError("QSTR takes one string literal")
+        df = query_string_filter(df, qm.group(1).replace('\\"', '"'))
+    return df
+
+
+def _rewrite_match(expr: str) -> str:
+    """ES|QL 8.18 full-text ``MATCH(field, "query" [, options])`` →
+    a token-set predicate over the engine's simple analyzer
+    (lowercase whitespace tokens, the same chain `match` uses with no
+    configured analyzer): default OR semantics (any query token
+    present — ES's match default operator), ``{"operator": "and"}``
+    in the options map switching to all-tokens-present.  The query
+    string analyzes at REWRITE time (Python), so the compiled
+    predicate is a pure codegen ``arrays_overlap``/``forall`` against
+    literal tokens — no join, no UDF, and the WHERE it lives in can
+    still push sibling predicates to the scan.  A NULL field yields
+    NULL (row filtered), matching ES's no-match on missing fields."""
+    while True:
+        calls = _find_calls(expr, "MATCH")
+        if not calls:
+            return expr
+        start, open_p, close_p = calls[0]
+        parts = _split_top(expr[open_p + 1:close_p], ",")
+        if len(parts) not in (2, 3):
+            raise ValueError("MATCH takes (field, \"query\"[, options])")
+        col = parts[0].strip()
+        qm = re.fullmatch(r'\s*"((?:[^"\\]|\\.)*)"\s*', parts[1])
+        if not qm:
+            raise ValueError(
+                f"MATCH query must be a string literal: {parts[1]!r}"
+            )
+        toks = [t for t in qm.group(1).replace('\\"', '"').lower().split() if t]
+        if not toks:
+            raise ValueError("MATCH query has no tokens")
+        op = "or"
+        if len(parts) == 3:
+            om = re.search(
+                r'"operator"\s*:\s*"(and|or)"', parts[2], re.I
+            )
+            if om:
+                op = om.group(1).lower()
+        # Spark SQL escapes a quote inside a single-quoted literal
+        # with a backslash ('it\'s'); doubled quotes would parse as
+        # two adjacent literals and silently concatenate
+        lits = ", ".join(
+            "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for t in toks
+        )
+        fld = (
+            f"filter(split(lower(trim({col})), '\\\\s+'), _t -> _t != '')"
+        )
+        if op == "and":
+            repl = f"forall(array({lits}), _q -> array_contains({fld}, _q))"
+        else:
+            repl = f"arrays_overlap({fld}, array({lits}))"
+        expr = expr[:start] + repl + expr[close_p + 1:]
+
+
 def _split_kw(s: str, word: str) -> list[str]:
     """Split ONCE on keyword ``word`` appearing outside quotes and
     parentheses (the quote-aware twin of ``re.split`` for the STATS
@@ -434,7 +547,7 @@ def esql(
             raise ValueError(f"unparseable stage: {stage!r}")
         cmd, body = sm.group(1).upper(), sm.group(2).strip()
         if cmd == "WHERE":
-            df = df.filter(F.expr(_tr_expr(body)))
+            df = _apply_where(df, body)
         elif cmd == "EVAL":
             for nm, sql in _named_exprs(body):
                 if nm is None:

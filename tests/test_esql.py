@@ -442,3 +442,68 @@ def test_fork_completion_rerank_refused(spark):
                 "RERANK \"q\" ON x WITH inference_id"):
         with pytest.raises(ValueError, match="model-dependent"):
             esql(f"FROM t | {cmd}", {"t": df})
+
+
+def test_match_in_where(spark):
+    """ES|QL 8.18 MATCH(): OR semantics by default (any analyzed
+    query token present), {"operator": "and"} requiring all; NULL
+    fields never match; malformed calls raise."""
+    df = spark.createDataFrame(
+        [
+            (1, "Merge Window join"),
+            (2, "vector scan"),
+            (3, "hash only"),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    out = esql(
+        'FROM t | WHERE MATCH(text, "merge vector") | KEEP id | SORT id',
+        {"t": df},
+    ).collect()
+    assert [r["id"] for r in out] == [1, 2]
+
+    both = esql(
+        'FROM t | WHERE MATCH(text, "merge window", {"operator": "and"})'
+        " | KEEP id",
+        {"t": df},
+    ).collect()
+    assert [r["id"] for r in both] == [1]
+
+    with pytest.raises(ValueError, match="string literal"):
+        esql("FROM t | WHERE MATCH(text, other_col)", {"t": df})
+    with pytest.raises(ValueError, match="MATCH takes"):
+        esql("FROM t | WHERE MATCH(text)", {"t": df})
+
+
+def test_qstr_in_where(spark):
+    """ES|QL 8.18 QSTR(): full Lucene grammar through the
+    query_string parser, AND-composable with SQL conjuncts;
+    OR-composition raises with guidance."""
+    df = spark.createDataFrame(
+        [
+            (1, "merge window join", "en", 10),
+            (2, "vector scan", "de", 20),
+            (3, "merging fast", "en", 30),
+            (4, "hash only slow batch", "en", 40),
+        ],
+        "id long, text string, lang string, n long",
+    )
+    out = esql(
+        'FROM t | WHERE QSTR("(merg* OR vector) AND -\\"slow batch\\"")'
+        " | KEEP id | SORT id",
+        {"t": df},
+    ).collect()
+    assert [r["id"] for r in out] == [1, 2, 3]
+
+    # AND-composition with a pushable SQL conjunct
+    both = esql(
+        'FROM t | WHERE QSTR("merg*") AND n >= 30 | KEEP id',
+        {"t": df},
+    ).collect()
+    assert [r["id"] for r in both] == [3]
+
+    with pytest.raises(ValueError, match="top-level AND"):
+        esql('FROM t | WHERE QSTR("x") OR n > 1', {"t": df})
+    with pytest.raises(ValueError, match="string literal|QSTR takes"):
+        esql("FROM t | WHERE QSTR(text)", {"t": df})

@@ -565,6 +565,26 @@ CHECKS = [
         and "HashAggregate" in p,
     ),
     (
+        "es_esql_match",
+        "ES|QL MATCH(): the full-text predicate compiles to a codegen "
+        "arrays_overlap against literal tokens inside the scan stage — "
+        "no Python, no join, ONE hash agg for the STATS",
+        lambda p: "Python" not in p
+        and "Join" not in p
+        and "HashAggregate" in p
+        and "SortAggregate" not in p,
+    ),
+    (
+        "es_esql_qstr",
+        "ES|QL QSTR(): the Lucene tree compiles to codegen predicates "
+        "and the SQL conjunct still reaches the parquet scan "
+        "(PushedFilters on n_chars) — no Python, ONE hash agg",
+        lambda p: "Python" not in p
+        and "HashAggregate" in p
+        and "PushedFilters" in p
+        and "n_chars" in p.split("PushedFilters")[1][:300],
+    ),
+    (
         "es_esql_bucket",
         "ES|QL BUCKET: ONE hash agg over the bucketed projection, "
         "notnull filters pushed to the scan, no Python",
