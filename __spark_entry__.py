@@ -10307,7 +10307,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "es_rank_vectors_inv_hamming": f"""
           WITH c AS (SELECT vec_id % 50 AS doc_id, {_BIN_CODE_SQL} AS code
-                     FROM embeddings),
+                     FROM embeddings WHERE embedding IS NOT NULL),
           s AS (SELECT doc_id,
                        (64.0 - CAST(bit_count(xor(code,
                           CAST({query_sign_mask(_MAXSIM_Q1)} AS BIGINT)))

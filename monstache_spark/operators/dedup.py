@@ -934,16 +934,29 @@ class FingerprintRegistry:
     #: ``known``); larger batches fall back to bucket pruning alone
     PROBE_FP_LIMIT = 4096
 
-    def __init__(self, spark, path: str, n_buckets: int = 0):
+    def __init__(
+        self,
+        spark,
+        path: str,
+        n_buckets: int = 0,
+        tune_in_pushdown: bool = True,
+    ):
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
-        if n_buckets:
-            # Spark pushes an In predicate to parquet only while the
-            # value count is under this threshold (above it the filter
+        if n_buckets and tune_in_pushdown:
+            # SESSION-WIDE, DELIBERATE, and flag-controlled: Spark
+            # pushes an In predicate to parquet only while the value
+            # count is under this threshold (above it the filter
             # degrades to a [min,max] range — useless for uniformly
-            # distributed digests); raise it to the probe bound so the
-            # fp-sorted row groups compact() writes actually skip
+            # distributed digests), and the conf is read at SCAN
+            # execution time, after known() has returned its lazy
+            # frame — so a try/finally around plan construction cannot
+            # scope it. Raising it (never lowering) makes the
+            # fp-sorted row groups compact() writes actually skip;
+            # other scans only see larger In-pushdowns, a sorted-array
+            # row-group check. Pass tune_in_pushdown=False to leave
+            # the session untouched and manage the conf yourself.
             cur = int(
                 spark.conf.get(
                     "spark.sql.parquet.pushdown.inFilterThreshold", "10"

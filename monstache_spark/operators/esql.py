@@ -110,7 +110,10 @@ def _tr_expr(expr: str) -> str:
 
 
 def _split_top(s: str, sep: str) -> list[str]:
-    """Split on ``sep`` outside quotes and parentheses."""
+    """Split on ``sep`` outside quotes and any bracket nesting —
+    ``()``, ``{}``, AND ``[]`` all protect their commas (an ES|QL
+    options map like ``{"operator": "and", "boost": 2.5}`` is one
+    argument, not three)."""
     parts, depth, in_str, cur = [], 0, False, []
     i = 0
     while i < len(s):
@@ -122,10 +125,10 @@ def _split_top(s: str, sep: str) -> list[str]:
         elif ch == '"':
             in_str = True
             cur.append(ch)
-        elif ch == "(":
+        elif ch in "({[":
             depth += 1
             cur.append(ch)
-        elif ch == ")":
+        elif ch in ")}]":
             depth -= 1
             cur.append(ch)
         elif ch == sep and depth == 0:
@@ -328,6 +331,14 @@ def _apply_where(df: DataFrame, body: str):
         return df.filter(F.expr(_tr_expr(body)))
     from monstache_spark.operators.querystring import query_string_filter
 
+    # ANY top-level OR in a QSTR-bearing clause is refused — splitting
+    # on AND alone would silently rebind precedence (QSTR(..) AND x OR
+    # y would compute QSTR AND (x OR y) instead of (QSTR AND x) OR y)
+    if len(_split_kw_all(body, "OR")) > 1:
+        raise ValueError(
+            "QSTR() composes only under top-level AND — wrap OR/"
+            "NOT logic inside the Lucene query string itself"
+        )
     for part in _split_kw_all(body, "AND"):
         part = part.strip()
         calls = _find_calls(part, "QSTR")
@@ -380,11 +391,16 @@ def _rewrite_match(expr: str) -> str:
             raise ValueError("MATCH query has no tokens")
         op = "or"
         if len(parts) == 3:
-            om = re.search(
-                r'"operator"\s*:\s*"(and|or)"', parts[2], re.I
-            )
+            om = re.search(r'"operator"\s*:\s*"([^"]*)"', parts[2], re.I)
             if om:
                 op = om.group(1).lower()
+                if op not in ("and", "or"):
+                    # ES rejects invalid operator values; silently
+                    # falling back to OR would pass rows the caller
+                    # meant to require every token for
+                    raise ValueError(
+                        f"MATCH operator must be and/or, got {om.group(1)!r}"
+                    )
         # Spark SQL escapes a quote inside a single-quoted literal
         # with a backslash ('it\'s'); doubled quotes would parse as
         # two adjacent literals and silently concatenate

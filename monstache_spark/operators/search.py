@@ -4149,6 +4149,34 @@ def hybrid_rrf_topk(
     return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
+def _minmax_norm_01(frame: DataFrame, col: str, out: str) -> DataFrame:
+    """THE linear-retriever minmax contract, shared by
+    :func:`linear_retriever_topk` and the retriever tree's linear
+    node (one definition so the two ES `linear` surfaces cannot
+    drift): rescale ``col`` to [0, 1] over the frame's OWN window —
+    ``round((s − min)/(max − min), 6)``, a degenerate window
+    (max = min) mapping to 1.0. Stats are a broadcast 1-row agg over
+    an already-truncated frame."""
+    stats = frame.groupBy().agg(
+        F.min(col).alias("_lo"), F.max(col).alias("_hi")
+    )
+    return (
+        frame.crossJoin(F.broadcast(stats))
+        .withColumn(
+            out,
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                F.round(
+                    (F.col(col) - F.col("_lo"))
+                    / (F.col("_hi") - F.col("_lo")),
+                    6,
+                ),
+            ).otherwise(F.lit(1.0)),
+        )
+        .drop(col, "_lo", "_hi")
+    )
+
+
 def linear_retriever_topk(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -4199,24 +4227,7 @@ def linear_retriever_topk(
     def norm(frame: DataFrame, col: str, out: str) -> DataFrame:
         if normalizer == "none":
             return frame.withColumn(out, F.round(F.col(col), 6)).drop(col)
-        stats = frame.groupBy().agg(
-            F.min(col).alias("_lo"), F.max(col).alias("_hi")
-        )
-        return (
-            frame.crossJoin(F.broadcast(stats))
-            .withColumn(
-                out,
-                F.when(
-                    F.col("_hi") > F.col("_lo"),
-                    F.round(
-                        (F.col(col) - F.col("_lo"))
-                        / (F.col("_hi") - F.col("_lo")),
-                        6,
-                    ),
-                ).otherwise(F.lit(1.0)),
-            )
-            .drop(col, "_lo", "_hi")
-        )
+        return _minmax_norm_01(frame, col, out)
 
     lex = norm(lex, "_ls", "bm25_norm")
     sem = norm(sem, "_ss", "cos_norm")
@@ -4922,20 +4933,8 @@ def retriever_topk(
                 nz = sub.get("normalizer", "none")
                 c = child.select(F.col(id_col), F.col("score"))
                 if nz == "minmax":
-                    stats = c.groupBy().agg(
-                        F.min("score").alias("_lo"),
-                        F.max("score").alias("_hi"),
-                    )
-                    c = c.crossJoin(F.broadcast(stats)).select(
-                        F.col(id_col),
-                        F.when(
-                            F.col("_hi") > F.col("_lo"),
-                            F.round(
-                                (F.col("score") - F.col("_lo"))
-                                / (F.col("_hi") - F.col("_lo")),
-                                6,
-                            ),
-                        ).otherwise(F.lit(1.0)).alias("score"),
+                    c = _minmax_norm_01(c, "score", "score_n").select(
+                        F.col(id_col), F.col("score_n").alias("score")
                     )
                 elif nz != "none":
                     raise ValueError(f"unsupported normalizer: {nz}")

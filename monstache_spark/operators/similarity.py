@@ -1684,6 +1684,7 @@ def maxsim_inv_hamming_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "doc_id",
+    num_bits: int = 64,
 ) -> DataFrame:
     """ES ``rank_vectors`` with ``element_type: bit`` — the
     ``maxSimInvHamming`` late-interaction rank feature (ES 8.16+,
@@ -1691,7 +1692,9 @@ def maxsim_inv_hamming_topk(
     MULTIPLE bit vectors (one row per (doc, vector), sign-mask packed
     by :func:`_sign_mask`); per pair the inverse-hamming similarity is
     ``(num_bits − hamming) / num_bits`` (ES's bit-vector similarity),
-    ``score(doc) = Σ_q max_v inv_hamming(q, v)``.
+    ``score(doc) = Σ_q max_v inv_hamming(q, v)``; ``num_bits`` is the
+    vector dimensionality (= mask bit width — pass it for sub-64-dim
+    vectors so a full mismatch scores 0.0, not (64−dim)/64).
 
     Plan shape mirrors maxsim_topk: the Q query MASKS are Python-side
     literals (:func:`query_sign_mask`), so the Q xor+popcount
@@ -1704,12 +1707,17 @@ def maxsim_inv_hamming_topk(
     ``(id, score, rank)``."""
     if not query_vectors:
         raise ValueError("query_vectors must be non-empty")
+    if not 0 < num_bits <= 64:
+        raise ValueError("num_bits must be in 1..64")
+    if any(len(q) != num_bits for q in query_vectors):
+        raise ValueError("every query vector must have num_bits dims")
     code = _sign_mask(as_double_array(F.col(vec_col)))
     sims = []
+    nb = float(num_bits)
     for qi, qvec in enumerate(query_vectors):
         qm = F.lit(query_sign_mask(qvec)).cast("long")
         h = F.bit_count(code.bitwiseXOR(qm)).cast("double")
-        sims.append(((F.lit(64.0) - h) / F.lit(64.0)).alias(f"_s{qi}"))
+        sims.append(((F.lit(nb) - h) / F.lit(nb)).alias(f"_s{qi}"))
     per_vec = doc_vecs.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), *sims
     )

@@ -507,3 +507,35 @@ def test_qstr_in_where(spark):
         esql('FROM t | WHERE QSTR("x") OR n > 1', {"t": df})
     with pytest.raises(ValueError, match="string literal|QSTR takes"):
         esql("FROM t | WHERE QSTR(text)", {"t": df})
+
+
+def test_qstr_mixed_and_or_precedence_refused(spark):
+    """Self-review r10 #1: a QSTR clause with a top-level OR anywhere
+    must raise — splitting on AND alone would silently rebind
+    precedence (QSTR(..) AND x OR y computed as QSTR AND (x OR y))."""
+    df = spark.createDataFrame(
+        [(1, "merge fast", 10), (2, "hash slow", 99), (3, "merge slow", 99)],
+        "id long, text string, n long",
+    )
+    with pytest.raises(ValueError, match="top-level AND"):
+        esql('FROM t | WHERE QSTR("merge") AND n < 50 OR id == 2', {"t": df})
+
+
+def test_match_options_map_with_multiple_keys(spark):
+    """Self-review r10 #3: commas inside the options map are argument-
+    internal ({} nesting protected), and an invalid operator value
+    raises instead of silently falling back to OR (#7)."""
+    df = spark.createDataFrame(
+        [(1, "merge window"), (2, "merge only")], "id long, text string"
+    )
+    out = esql(
+        'FROM t | WHERE MATCH(text, "merge window",'
+        ' {"operator": "and", "boost": 2.5}) | KEEP id',
+        {"t": df},
+    ).collect()
+    assert [r["id"] for r in out] == [1]
+    with pytest.raises(ValueError, match="operator must be and/or"):
+        esql(
+            'FROM t | WHERE MATCH(text, "a b", {"operator": "adn"})',
+            {"t": df},
+        )

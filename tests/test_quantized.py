@@ -221,3 +221,26 @@ def test_knn_search_min_similarity(spark):
     ).collect()
     # distances: 1 -> 0, 2 -> 1, 3 -> 2; max distance 1.5 keeps 1, 2
     assert [r["vec_id"] for r in l2] == [1, 2]
+
+
+def test_maxsim_inv_hamming_num_bits(spark):
+    """Self-review r10 #4: sub-64-dim vectors score over THEIR bit
+    width — a full mismatch is 0.0, not (64-dim)/64."""
+    from monstache_spark.operators.similarity import (
+        maxsim_inv_hamming_topk,
+    )
+
+    q = [1.0] * 16 + [0.0] * 16          # 32-dim
+    d_match = [1.0] * 16 + [0.0] * 16    # h = 0 -> 1.0
+    d_anti = [0.0] * 16 + [1.0] * 16     # h = 32 -> 0.0
+    dv = spark.createDataFrame(
+        [(1, d_match), (2, d_anti)], "doc_id long, embedding array<double>"
+    )
+    out = maxsim_inv_hamming_topk(dv, [q], k=5, num_bits=32).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+    with pytest.raises(ValueError, match="num_bits dims"):
+        maxsim_inv_hamming_topk(dv, [[1.0] * 64], k=5, num_bits=32)
+    with pytest.raises(ValueError, match="1..64"):
+        maxsim_inv_hamming_topk(dv, [q], k=5, num_bits=65)

@@ -46,12 +46,14 @@ def scan_decoded_rows(df) -> int:
     rows the parquet reader actually DECODED after partition pruning
     and row-group skipping (pushed-filter row-group elimination
     happens below this metric; the post-scan Filter above it does
-    not).  Executes via collect() — the SAME queryExecution whose
-    metrics we read (a noop write would plan its own execution and
-    leave these metrics untouched); the collected rows are only the
-    probe's matches, control-plane-sized."""
-    df.collect()
+    not).  Executes the frame's OWN physical plan JVM-side
+    (``executedPlan().execute().count()`` — a noop write or
+    df.count() would plan a separate execution and leave these
+    metrics untouched, and collect() would pull the whole unfiltered
+    flat-registry history to the driver), so no row ever crosses into
+    Python."""
     plan = df._jdf.queryExecution().executedPlan()
+    plan.execute().count()
     leaves = plan.collectLeaves()
     total = 0
     for i in range(leaves.size()):
