@@ -4066,6 +4066,66 @@ def _q_es_text_sim_reranker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL TO_IP + CIDR_MATCH (operators/esql): dotted-quad ips
+    derived from event ids (every 97th malformed, exercising TO_IP's
+    NULL-on-invalid gate), CIDR blocks compiled at rewrite time to
+    [lo, hi) integer range tests (the ip_range_agg mask arithmetic)
+    OR-chained — pure codegen comparisons, engine-exact; the STATS
+    groups by the second octet."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    ips = ev.select(
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(97)) == 0, F.lit("999.1.1.1")
+        ).otherwise(
+            F.concat(
+                F.lit("10."),
+                F.pmod(F.col("event_id"), F.lit(4)).cast("string"),
+                F.lit("."),
+                F.pmod(F.floor(F.col("event_id") / F.lit(4)), F.lit(250))
+                .cast("string"),
+                F.lit("."),
+                F.pmod(F.col("event_id"), F.lit(250)).cast("string"),
+            )
+        ).alias("ip")
+    )
+    return esql(
+        "FROM ips"
+        ' | EVAL ip2 = TO_IP(ip)'
+        ' | WHERE CIDR_MATCH(ip2, "10.1.0.0/16", "10.3.0.0/16")'
+        ' | STATS n = COUNT(*) BY octet2 = TO_LONG(split(ip2, "\\\\.")[1])'
+        " | SORT octet2 ASC",
+        {"ips": ips},
+    )
+
+
+def _q_es_retriever_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.18 pinned RETRIEVER (search.retriever_topk — the
+    retriever-tree form of the pinned query): ids [42, 7, 400] rank
+    first in that order regardless of relevance, the standard child's
+    top-12 window follows by its own ranking, pinned docs never
+    appear twice; score is null on pinned rows (the honest column for
+    ES's synthetic sentinel).  Broadcast literal-array explode +
+    anti-join — the pin list is control-plane at any corpus size."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return retriever_topk(
+        docs, emb,
+        {"pinned": {
+            "ids": [42, 7, 400],
+            "retriever": {
+                "standard": {"query": {"match": {"text": "merge vector"}}}
+            },
+            "rank_window_size": 12,
+        }},
+        k=12,
+    )
+
+
 def _q_es_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL 8.18 QSTR() in WHERE (operators/esql _apply_where): the
     full Lucene query-bar grammar — OR group, token wildcard, phrase
@@ -6639,6 +6699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_knn_similarity_cutoff": _q_es_knn_similarity_cutoff,
         "es_esql_match": _q_es_esql_match,
         "es_esql_qstr": _q_es_esql_qstr,
+        "es_retriever_pinned": _q_es_retriever_pinned,
+        "es_esql_cidr": _q_es_esql_cidr,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -10214,6 +10276,67 @@ def oracle_sql() -> dict[str, str]:
         "synonym_bm25": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge')", 20, _SYN_AN.sql_tokens("text"))}
+        """,
+        "es_esql_cidr": """
+          WITH ips AS (
+            SELECT CASE WHEN event_id % 97 = 0 THEN '999.1.1.1'
+                   ELSE '10.' || (event_id % 4) || '.'
+                        || CAST(CAST(floor(event_id / 4) AS BIGINT) % 250 AS VARCHAR)
+                        || '.' || (event_id % 250) END AS ip
+            FROM events
+          ),
+          v AS (
+            SELECT CASE WHEN regexp_matches(ip,
+                     '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+                   THEN ip ELSE NULL END AS ip2
+            FROM ips
+          ),
+          a AS (
+            SELECT ip2,
+                   CAST(string_split(ip2, '.')[1] AS BIGINT) * 16777216
+                   + CAST(string_split(ip2, '.')[2] AS BIGINT) * 65536
+                   + CAST(string_split(ip2, '.')[3] AS BIGINT) * 256
+                   + CAST(string_split(ip2, '.')[4] AS BIGINT) AS addr
+            FROM v
+          ),
+          f AS (
+            SELECT ip2 FROM a
+            WHERE (addr >= 167837696 AND addr < 167903232)
+               OR (addr >= 167968768 AND addr < 168034304)
+          )
+          SELECT CAST(string_split(ip2, '.')[2] AS BIGINT) AS octet2,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "es_retriever_pinned": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector')")},
+          child AS (
+            SELECT doc_id, score FROM (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+              FROM scored) t
+            WHERE r <= 12
+          ),
+          pins(pos, pid) AS (VALUES (0, 42), (1, 7), (2, 400)),
+          p AS (
+            SELECT d.doc_id, CAST(NULL AS DOUBLE) AS score,
+                   pins.pos AS sort_pos
+            FROM documents d JOIN pins ON d.doc_id = pins.pid
+          ),
+          o AS (
+            SELECT c.doc_id, c.score, CAST(NULL AS INTEGER) AS sort_pos
+            FROM child c WHERE c.doc_id NOT IN (SELECT pid FROM pins)
+          ),
+          u AS (SELECT * FROM p UNION ALL SELECT * FROM o),
+          fin AS (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (
+                     ORDER BY sort_pos ASC NULLS LAST,
+                              score DESC NULLS LAST, doc_id ASC) AS BIGINT) AS rank
+            FROM u
+          )
+          SELECT doc_id, score, rank FROM fin WHERE rank <= 12
         """,
         "es_esql_qstr": f"""
           WITH t AS (

@@ -85,6 +85,7 @@ def _tr_expr(expr: str) -> str:
     ``_rewrite_bucket``."""
     expr = _rewrite_bucket(expr)
     expr = _rewrite_match(expr)
+    expr = _rewrite_cidr_match(expr)
     expr = _rewrite_fns(expr)
 
     out = []
@@ -160,6 +161,15 @@ _FN_TEMPLATES = {
     "TO_STRING": "CAST({0} AS STRING)",
     "TO_DATETIME": "CAST({0} AS TIMESTAMP)",
     "TO_BOOLEAN": "CAST({0} AS BOOLEAN)",
+    # ES|QL TO_IP: the engine stores ips as dotted-quad strings, so
+    # the conversion is a validity gate — a malformed address yields
+    # NULL (ES's on-error behavior), a valid one passes through
+    "TO_IP": (
+        "(CASE WHEN {0} RLIKE "
+        "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
+        "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$' "
+        "THEN {0} ELSE NULL END)"
+    ),
     # ES|QL 8.18 CATEGORIZE(col) — the STATS BY log-categorization
     # key, same deterministic contract as aggs.categorize_text /
     # DIVERGENCES S17: the category is the message's sequence of
@@ -358,6 +368,49 @@ def _apply_where(df: DataFrame, body: str):
             raise ValueError("QSTR takes one string literal")
         df = query_string_filter(df, qm.group(1).replace('\\"', '"'))
     return df
+
+
+def _rewrite_cidr_match(expr: str) -> str:
+    """ES|QL ``CIDR_MATCH(ip, "a.b.c.d/n", ...)`` → pure integer
+    range tests: each CIDR block's [lo, hi) bounds compute at REWRITE
+    time (Python — the same mask arithmetic as aggs.ip_range_agg) and
+    the dotted-quad column parses inline to a BIGINT, so membership is
+    engine-exact integer comparisons OR-chained across blocks.  NULL
+    or non-numeric ips yield NULL (row filtered in WHERE).  IPv4
+    only, like the ip aggregations (documented there)."""
+    while True:
+        calls = _find_calls(expr, "CIDR_MATCH")
+        if not calls:
+            return expr
+        start, open_p, close_p = calls[0]
+        parts = _split_top(expr[open_p + 1:close_p], ",")
+        if len(parts) < 2:
+            raise ValueError("CIDR_MATCH takes (ip, \"a.b.c.d/n\", ...)")
+        col = parts[0].strip()
+        addr = (
+            f"(CAST(split({col}, '\\\\.')[0] AS BIGINT) * 16777216"
+            f" + CAST(split({col}, '\\\\.')[1] AS BIGINT) * 65536"
+            f" + CAST(split({col}, '\\\\.')[2] AS BIGINT) * 256"
+            f" + CAST(split({col}, '\\\\.')[3] AS BIGINT))"
+        )
+        conds = []
+        for blk in parts[1:]:
+            bm = re.fullmatch(
+                r'\s*"(\d+)\.(\d+)\.(\d+)\.(\d+)/(\d+)"\s*', blk
+            )
+            if not bm:
+                raise ValueError(
+                    f'CIDR_MATCH block must be a "a.b.c.d/n" literal: {blk!r}'
+                )
+            a, b, c, d, bits = (int(x) for x in bm.groups())
+            if bits > 32 or max(a, b, c, d) > 255:
+                raise ValueError(f"invalid CIDR block: {blk.strip()!r}")
+            base = (a << 24) + (b << 16) + (c << 8) + d
+            lo = base & (~((1 << (32 - bits)) - 1) & 0xFFFFFFFF)
+            hi = lo + (1 << (32 - bits))
+            conds.append(f"({addr} >= {lo} AND {addr} < {hi})")
+        repl = "(" + " OR ".join(conds) + ")"
+        expr = expr[:start] + repl + expr[close_p + 1:]
 
 
 def _rewrite_match(expr: str) -> str:

@@ -4958,6 +4958,52 @@ def retriever_topk(
             return ranked.withColumn(
                 "rank", F.row_number().over(w).cast("long")
             )
+        if kind == "pinned":
+            # ES 8.18 pinned RETRIEVER (the retriever-tree form of the
+            # pinned query): the listed ids rank FIRST in the given
+            # order regardless of relevance, the child's results
+            # follow by their own ranking, a pinned doc never appears
+            # twice, absent pinned ids are skipped. Same plan shape as
+            # pinned_topk: broadcast literal-array explode + anti-join;
+            # score is null on pinned rows (ES reports a synthetic
+            # sentinel; null is the honest column).
+            n = int(body.get("rank_window_size", 10))
+            ids = list(body.get("ids") or [])
+            if not ids:
+                raise ValueError("pinned retriever needs ids")
+            child = eval_node(body["retriever"], n)
+            pins = docs.sparkSession.range(1).select(
+                F.posexplode(
+                    F.array(*[F.lit(i) for i in ids])
+                ).alias("_pos", "_pid")
+            )
+            pinned_rows = docs.join(
+                F.broadcast(pins), docs[id_col] == pins["_pid"]
+            ).select(
+                F.col(id_col),
+                F.lit(None).cast("double").alias("score"),
+                F.col("_pos"),
+            )
+            organic = child.join(
+                F.broadcast(pins),
+                F.col(id_col) == pins["_pid"],
+                "left_anti",
+            ).select(
+                F.col(id_col),
+                F.col("score"),
+                F.lit(None).cast("long").alias("_pos"),
+            )
+            allrows = pinned_rows.unionByName(organic)
+            order = [
+                F.col("_pos").asc_nulls_last(),
+                F.col("score").desc_nulls_last(),
+                F.col(id_col).asc(),
+            ]
+            ranked = allrows.orderBy(*order).limit(n)
+            w = Window.orderBy(*order)
+            return ranked.withColumn(
+                "rank", F.row_number().over(w).cast("long")
+            ).drop("_pos")
         if kind == "text_similarity_reranker":
             # ES rescore/reranker window default is 10
             n = int(body.get("rank_window_size", 10))

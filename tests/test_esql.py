@@ -539,3 +539,37 @@ def test_match_options_map_with_multiple_keys(spark):
             'FROM t | WHERE MATCH(text, "a b", {"operator": "adn"})',
             {"t": df},
         )
+
+
+def test_to_ip_and_cidr_match(spark):
+    """ES|QL TO_IP (NULL on malformed) and CIDR_MATCH (rewrite-time
+    [lo, hi) integer range tests, OR across blocks, NULL ips never
+    match; malformed blocks raise)."""
+    df = spark.createDataFrame(
+        [
+            (1, "10.0.5.9"),
+            (2, "192.168.1.4"),
+            (3, "11.0.0.1"),
+            (4, "999.1.1.1"),
+            (5, None),
+            (6, "10.255.255.255"),
+        ],
+        "id long, ip string",
+    )
+    out = esql(
+        'FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/8", "192.168.0.0/16")'
+        " | KEEP id | SORT id",
+        {"t": df},
+    ).collect()
+    assert [r["id"] for r in out] == [1, 2, 6]
+
+    v = esql("FROM t | EVAL v = TO_IP(ip) | KEEP id, v | SORT id", {"t": df}).collect()
+    got = {r["id"]: r["v"] for r in v}
+    assert got[4] is None and got[5] is None and got[1] == "10.0.5.9"
+
+    with pytest.raises(ValueError, match="CIDR_MATCH block"):
+        esql("FROM t | WHERE CIDR_MATCH(ip, blocks)", {"t": df})
+    with pytest.raises(ValueError, match="invalid CIDR"):
+        esql('FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/40")', {"t": df})
+    with pytest.raises(ValueError, match="CIDR_MATCH takes"):
+        esql("FROM t | WHERE CIDR_MATCH(ip)", {"t": df})

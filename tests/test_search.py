@@ -2609,3 +2609,34 @@ def test_retriever_tree_linear_node(spark):
     ]}}
     with _pt.raises(ValueError, match="normalizer"):
         retriever_topk(docs, emb, bad, k=2)
+
+
+def test_retriever_tree_pinned_node(spark):
+    """Pinned retriever node: pinned ids first in the GIVEN order
+    (null score), child results follow by their own ranking minus the
+    pinned docs, absent pinned ids skipped, empty pin list raises."""
+    import pytest as _pt
+
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge window merge"), (2, "merge vector"), (3, "hash join")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    spec = {"pinned": {
+        "ids": [3, 99, 2],  # 99 absent -> skipped; 2 also a child hit
+        "retriever": {"standard": {"query": {"match": {"text": "merge"}}}},
+        "rank_window_size": 5,
+    }}
+    out = retriever_topk(docs, emb, spec, k=5).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[:2] == [3, 2]          # pin order, not relevance
+    assert out[0]["score"] is None and out[1]["score"] is None
+    assert ids.count(2) == 1          # never twice
+    assert 1 in ids and out[ids.index(1)]["score"] is not None
+
+    with _pt.raises(ValueError, match="needs ids"):
+        retriever_topk(docs, emb, {"pinned": {"ids": [], "retriever": spec["pinned"]["retriever"]}}, k=2)

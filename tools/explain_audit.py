@@ -528,6 +528,15 @@ CHECKS = [
         and "BroadcastNestedLoopJoin Cross" in p,
     ),
     (
+        "es_retriever_pinned",
+        "pinned retriever node: pin list is a broadcast literal "
+        "explode (no shuffle for the pin joins), child window "
+        "truncated, no Python",
+        lambda p: "Python" not in p
+        and "BroadcastHashJoin" in p
+        and "TakeOrderedAndProject" in p,
+    ),
+    (
         "es_retriever_rrf",
         "retriever tree: every leaf truncated before fusion "
         "(TakeOrderedAndProject present), no Python anywhere",
