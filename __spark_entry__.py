@@ -4066,6 +4066,29 @@ def _q_es_text_sim_reranker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_mv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multivalue functions (operators/esql _FN_TEMPLATES):
+    MV_FIRST / MV_LAST (try_element_at — NULL on empty, any ANSI
+    mode), MV_DEDUPE + MV_COUNT, and MV_SORT canonicalizing the
+    dedupe before a cross-engine compare (ES documents no MV_DEDUPE
+    output order; so does Spark vs DuckDB — sort first).  All pure
+    codegen array expressions in ONE projection."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        ' | EVAL toks = split(trim(lower(text)), "\\\\s+")'
+        " | EVAL first_tok = MV_FIRST(toks)"
+        " | EVAL last_tok = MV_LAST(toks)"
+        " | EVAL n_uniq = TO_LONG(MV_COUNT(MV_DEDUPE(toks)))"
+        ' | EVAL uniq5 = array_join(slice(MV_SORT(MV_DEDUPE(toks)), 1, 5), ",")'
+        " | KEEP doc_id, first_tok, last_tok, n_uniq, uniq5"
+        " | SORT doc_id ASC",
+        {"documents": docs},
+    )
+
+
 def _q_es_esql_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL TO_IP + CIDR_MATCH (operators/esql): dotted-quad ips
     derived from event ids (every 97th malformed, exercising TO_IP's
@@ -6701,6 +6724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_qstr": _q_es_esql_qstr,
         "es_retriever_pinned": _q_es_retriever_pinned,
         "es_esql_cidr": _q_es_esql_cidr,
+        "es_esql_mv_funcs": _q_es_esql_mv_funcs,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -10276,6 +10300,20 @@ def oracle_sql() -> dict[str, str]:
         "synonym_bm25": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge')", 20, _SYN_AN.sql_tokens("text"))}
+        """,
+        "es_esql_mv_funcs": """
+          WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(trim(lower(text)), '\s+') AS toks
+            FROM documents
+          )
+          SELECT doc_id,
+                 toks[1] AS first_tok,
+                 toks[-1] AS last_tok,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+                 array_to_string(list_sort(list_distinct(toks))[1:5], ',')
+                   AS uniq5
+          FROM t ORDER BY doc_id
         """,
         "es_esql_cidr": """
           WITH ips AS (

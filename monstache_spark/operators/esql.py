@@ -155,6 +155,15 @@ _FN_TEMPLATES = {
         "(aggregate({0}, CAST(0.0 AS DOUBLE), (s, x) -> s + x)"
         " / size({0}))"
     ),
+    # multivalue helpers (ES|QL mv functions over array columns):
+    # MV_SORT here is the 1-arg ascending form; MV_DEDUPE documents
+    # no output order in ES — Spark's array_distinct keeps first
+    # occurrence, so canonicalize with MV_SORT before comparing
+    # cross-engine (the gate query does)
+    "MV_SORT": "array_sort({0})",
+    "MV_DEDUPE": "array_distinct({0})",
+    "MV_FIRST": "try_element_at({0}, 1)",
+    "MV_LAST": "try_element_at({0}, -1)",
     "TO_LONG": "CAST({0} AS BIGINT)",
     "TO_INTEGER": "CAST({0} AS INT)",
     "TO_DOUBLE": "CAST({0} AS DOUBLE)",

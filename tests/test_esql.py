@@ -573,3 +573,29 @@ def test_to_ip_and_cidr_match(spark):
         esql('FROM t | WHERE CIDR_MATCH(ip, "10.0.0.0/40")', {"t": df})
     with pytest.raises(ValueError, match="CIDR_MATCH takes"):
         esql("FROM t | WHERE CIDR_MATCH(ip)", {"t": df})
+
+
+def test_mv_functions(spark):
+    """MV_SORT / MV_DEDUPE / MV_FIRST / MV_LAST: codegen array
+    expressions with NULL-safe edges (empty arrays -> NULL first/last
+    via try_element_at; NULL input -> NULL through)."""
+    df = spark.createDataFrame(
+        [
+            (1, ["b", "a", "b", "c"]),
+            (2, []),
+            (3, None),
+        ],
+        "id long, xs array<string>",
+    )
+    out = esql(
+        "FROM t"
+        " | EVAL s = MV_SORT(xs), d = MV_SORT(MV_DEDUPE(xs)),"
+        " f = MV_FIRST(xs), l = MV_LAST(xs)"
+        " | KEEP id, s, d, f, l | SORT id",
+        {"t": df},
+    ).collect()
+    r1, r2, r3 = out
+    assert r1["s"] == ["a", "b", "b", "c"] and r1["d"] == ["a", "b", "c"]
+    assert (r1["f"], r1["l"]) == ("b", "c")
+    assert r2["s"] == [] and r2["f"] is None and r2["l"] is None
+    assert r3["s"] is None and r3["f"] is None
