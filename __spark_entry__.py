@@ -4719,6 +4719,26 @@ def _q_es_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_eql_sequence_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL `sequence by user_id [view] [purchase] until [error]`
+    (operators/eql.eql_sequence until=): an error event strictly
+    between a sequence's first and last packed (ts, id) position
+    expires it — the head-greedy S28 contract's until refinement;
+    sequences completed before the error stand, as in ES.  One extra
+    filtered frame + one range anti-join on the key — no extra corpus
+    pass."""
+    from monstache_spark.operators.eql import eql_sequence
+
+    ev = load_table(spark, "events", sf_dir)
+    return eql_sequence(
+        ev,
+        [{"term": {"event_type": "view"}},
+         {"term": {"event_type": "purchase"}}],
+        by="user_id", maxspan_s=86400,
+        until={"term": {"event_type": "error"}},
+    )
+
+
 def _q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training hard-negative mining
     (similarity.hard_negatives): for a 25% anchor sample (the
@@ -6725,6 +6745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_retriever_pinned": _q_es_retriever_pinned,
         "es_esql_cidr": _q_es_esql_cidr,
         "es_esql_mv_funcs": _q_es_esql_mv_funcs,
+        "es_eql_sequence_until": _q_es_eql_sequence_until,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9347,6 +9368,43 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_eql_sequence_until": """
+          WITH s1 AS (
+            SELECT user_id AS k, ts AS t1, event_id AS id1,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p1
+            FROM events WHERE event_type = 'view'
+          ),
+          s2 AS (
+            SELECT user_id AS k, ts AS t2, event_id AS id2,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p2
+            FROM events WHERE event_type = 'purchase'
+          ),
+          u AS (
+            SELECT user_id AS k,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS pu
+            FROM events WHERE event_type = 'error'
+          ),
+          j2 AS (
+            SELECT s1.k, s1.t1, s1.id1, s1.p1, min(s2.p2) AS pe2
+            FROM s1 JOIN s2 ON s1.k = s2.k AND s2.p2 > s1.p1
+                 AND epoch_us(s2.t2) - epoch_us(s1.t1) <= 86400000000
+            GROUP BY 1, 2, 3, 4
+          ),
+          e2 AS (
+            SELECT j2.k, j2.t1, j2.id1, j2.p1, s2.t2, s2.id2, j2.pe2 AS p2
+            FROM j2 JOIN s2 ON j2.k = s2.k AND s2.p2 = j2.pe2
+          ),
+          kept AS (
+            SELECT * FROM e2
+            WHERE NOT EXISTS (
+              SELECT 1 FROM u
+              WHERE u.k = e2.k AND u.pu > e2.p1 AND u.pu < e2.p2
+            )
+          )
+          SELECT k AS user_id, t1, id1, t2, id2,
+                 round((epoch_us(t2) - epoch_us(t1)) / 1000000.0, 6) AS span_s
+          FROM kept
         """,
         "es_eql_sequence": """
           WITH s1 AS (

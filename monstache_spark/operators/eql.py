@@ -60,6 +60,7 @@ def eql_sequence(
     id_col: str = "event_id",
     maxspan_s: float | None = None,
     analyzer=None,
+    until: dict | None = None,
 ) -> DataFrame:
     """Match an EQL ``sequence`` of 2+ ``steps`` (each a bool-DSL dict)
     joined by the ``by`` key, the first→last gap bounded by
@@ -69,6 +70,16 @@ def eql_sequence(
     The earliest-successor pick per step is a hash agg over a packed
     decimal (no struct buffers); the maxspan bound applies to every
     successor join (pruning candidates early, not just at the end).
+
+    ``until`` (the EQL ``sequence ... until [...]`` clause): an event
+    matching it EXPIRES in-flight state for its key — under the
+    head-greedy deterministic contract (DIVERGENCES S28) a completed
+    sequence survives iff NO until-event for the same key falls
+    strictly between its first and last step's packed (ts, id)
+    position; sequences completed before the until-event stand, as in
+    ES.  An event matching both a step and ``until`` still expires
+    (documented determinism).  Cost: one more filtered frame and one
+    broadcast-able range anti-join on the key — no extra corpus pass.
     """
     if len(steps) < 2:
         raise ValueError("a sequence needs at least 2 steps")
@@ -129,6 +140,19 @@ def eql_sequence(
         ).cast("double")
         / 1_000_000.0
     )
+    if until is not None:
+        u = events.filter(compile_bool_query(until, analyzer=analyzer)).select(
+            F.col(by).alias("_ku"),
+            _pack(F.col(ts_col), id_col).alias("_pu"),
+        )
+        n = len(steps)
+        seq = seq.join(
+            u,
+            (seq["_k"] == u["_ku"])
+            & (u["_pu"] > seq["_p1"])
+            & (u["_pu"] < seq[f"_p{n}"]),
+            "left_anti",
+        )
     out_cols = [F.col("_k").alias(by)]
     for i in range(1, len(steps) + 1):
         out_cols += [F.col(f"t{i}"), F.col(f"id{i}")]

@@ -72,3 +72,46 @@ def test_tie_at_equal_timestamp_breaks_by_id(spark):
 def test_requires_two_steps(ev):
     with pytest.raises(ValueError, match="2 steps"):
         eql_sequence(ev, [{"term": {"kind": "a"}}], by="user")
+
+
+def test_sequence_until_expires_inflight(spark):
+    """EQL until: an until-event strictly between a sequence's first
+    and last step expires it; sequences completing BEFORE the
+    until-event stand; other keys unaffected."""
+    from monstache_spark.operators.eql import eql_sequence
+
+    rows = [
+        # key "a": step1 @1, until @2, step2 @3 -> killed
+        (1, "a", "start", 1.0),
+        (2, "a", "abort", 1.0),
+        (3, "a", "finish", 1.0),
+        # key "b": step1 @4, step2 @5, until @6 (after completion) -> stands
+        (4, "b", "start", 1.0),
+        (5, "b", "finish", 1.0),
+        (6, "b", "abort", 1.0),
+        # key "c": no until -> stands
+        (7, "c", "start", 1.0),
+        (8, "c", "finish", 1.0),
+    ]
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, k, t, v, base + dt.timedelta(seconds=i))
+            for (i, k, t, v) in rows
+        ],
+        "event_id long, user string, event_type string, value double, ts timestamp",
+    )
+    steps = [
+        {"term": {"event_type": "start"}},
+        {"term": {"event_type": "finish"}},
+    ]
+    out = eql_sequence(
+        ev, steps, by="user",
+        until={"term": {"event_type": "abort"}},
+    ).collect()
+    assert sorted(r["user"] for r in out) == ["b", "c"]
+    # without until all three complete
+    out2 = eql_sequence(ev, steps, by="user").collect()
+    assert sorted(r["user"] for r in out2) == ["a", "b", "c"]
