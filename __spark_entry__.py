@@ -4719,6 +4719,29 @@ def _q_es_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL date functions (operators/esql): DATE_EXTRACT
+    ("day_of_week" — ISO 1=Monday, Spark weekday()+1 vs DuckDB
+    isodow) and DATE_DIFF ("hour" — exact integer microsecond
+    arithmetic, complete units truncated toward zero; both engines'
+    integral division truncates toward zero, empirically pinned).
+    Calendar DATE_DIFF units raise (no fixed microsecond width).
+    One projection + hash agg."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM events"
+        " | WHERE ts IS NOT NULL"
+        ' | EVAL dow = DATE_EXTRACT("day_of_week", ts)'
+        ' | EVAL age_h = DATE_DIFF("hour", ts,'
+        ' TO_DATETIME("2026-01-01 00:00:00"))'
+        " | STATS n = COUNT(*), max_age = MAX(age_h) BY dow"
+        " | SORT dow ASC",
+        {"events": ev},
+    )
+
+
 def _q_es_eql_sequence_until(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQL `sequence by user_id [view] [purchase] until [error]`
     (operators/eql.eql_sequence until=): an error event strictly
@@ -6746,6 +6769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_cidr": _q_es_esql_cidr,
         "es_esql_mv_funcs": _q_es_esql_mv_funcs,
         "es_eql_sequence_until": _q_es_eql_sequence_until,
+        "es_esql_date_funcs": _q_es_esql_date_funcs,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9368,6 +9392,17 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_esql_date_funcs": """
+          WITH t AS (
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   (epoch_us(CAST('2026-01-01 00:00:00' AS TIMESTAMP))
+                    - epoch_us(ts)) // 3600000000 AS age_h
+            FROM events WHERE ts IS NOT NULL
+          )
+          SELECT dow, CAST(count(*) AS BIGINT) AS n,
+                 CAST(max(age_h) AS BIGINT) AS max_age
+          FROM t GROUP BY 1 ORDER BY 1
         """,
         "es_eql_sequence_until": """
           WITH s1 AS (

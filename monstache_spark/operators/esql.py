@@ -86,6 +86,8 @@ def _tr_expr(expr: str) -> str:
     expr = _rewrite_bucket(expr)
     expr = _rewrite_match(expr)
     expr = _rewrite_cidr_match(expr)
+    expr = _rewrite_date_diff(expr)
+    expr = _rewrite_date_extract(expr)
     expr = _rewrite_fns(expr)
 
     out = []
@@ -170,6 +172,8 @@ _FN_TEMPLATES = {
     "TO_STRING": "CAST({0} AS STRING)",
     "TO_DATETIME": "CAST({0} AS TIMESTAMP)",
     "TO_BOOLEAN": "CAST({0} AS BOOLEAN)",
+    "TO_UPPER": "upper({0})",
+    "TO_LOWER": "lower({0})",
     # ES|QL TO_IP: the engine stores ips as dotted-quad strings, so
     # the conversion is a validity gate — a malformed address yields
     # NULL (ES's on-error behavior), a valid one passes through
@@ -377,6 +381,86 @@ def _apply_where(df: DataFrame, body: str):
             raise ValueError("QSTR takes one string literal")
         df = query_string_filter(df, qm.group(1).replace('\\"', '"'))
     return df
+
+
+_DATE_DIFF_US = {
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+# ES|QL DATE_EXTRACT ChronoField names → Spark SQL functions returning
+# the same integers (day_of_week is ISO: 1=Monday..7=Sunday — Spark's
+# weekday() is 0=Monday, hence the +1)
+_DATE_EXTRACT_SQL = {
+    "year": "year({0})",
+    "month_of_year": "month({0})",
+    "day_of_month": "day({0})",
+    "hour_of_day": "hour({0})",
+    "minute_of_hour": "minute({0})",
+    "second_of_minute": "second({0})",
+    "day_of_week": "(weekday({0}) + 1)",
+    "day_of_year": "dayofyear({0})",
+}
+
+
+def _rewrite_date_diff(expr: str) -> str:
+    """ES|QL ``DATE_DIFF("unit", start, end)`` → exact integer
+    microsecond arithmetic: ``(unix_micros(end) − unix_micros(start))
+    div unit_us`` — ChronoUnit.between's complete-units-truncated-
+    toward-zero semantics (both engines' integral division truncates
+    toward zero, verified).  Time-based units only (millisecond …
+    week); calendar units (month/quarter/year) have no closed-form
+    microsecond width and raise with guidance."""
+    while True:
+        calls = _find_calls(expr, "DATE_DIFF")
+        if not calls:
+            return expr
+        start, open_p, close_p = calls[0]
+        parts = _split_top(expr[open_p + 1:close_p], ",")
+        if len(parts) != 3:
+            raise ValueError('DATE_DIFF takes ("unit", start, end)')
+        um = re.fullmatch(r'\s*"([A-Za-z]+?)s?"\s*', parts[0])
+        unit = um.group(1).lower() if um else None
+        if unit not in _DATE_DIFF_US:
+            raise ValueError(
+                f"DATE_DIFF unit must be one of {sorted(_DATE_DIFF_US)} "
+                f"(calendar units have no fixed microsecond width), "
+                f"got {parts[0].strip()!r}"
+            )
+        a, b = parts[1].strip(), parts[2].strip()
+        repl = (
+            f"((unix_micros({b}) - unix_micros({a})) "
+            f"div {_DATE_DIFF_US[unit]})"
+        )
+        expr = expr[:start] + repl + expr[close_p + 1:]
+
+
+def _rewrite_date_extract(expr: str) -> str:
+    """ES|QL ``DATE_EXTRACT("chrono_field", ts)`` → the matching Spark
+    date function, CAST to BIGINT (ES|QL returns long).  The supported
+    ChronoField subset is the cross-engine-exact one (integer calendar
+    fields); others raise."""
+    while True:
+        calls = _find_calls(expr, "DATE_EXTRACT")
+        if not calls:
+            return expr
+        start, open_p, close_p = calls[0]
+        parts = _split_top(expr[open_p + 1:close_p], ",")
+        if len(parts) != 2:
+            raise ValueError('DATE_EXTRACT takes ("field", ts)')
+        fm = re.fullmatch(r'\s*"([A-Za-z_]+)"\s*', parts[0])
+        field = fm.group(1).lower() if fm else None
+        if field not in _DATE_EXTRACT_SQL:
+            raise ValueError(
+                f"DATE_EXTRACT field must be one of "
+                f"{sorted(_DATE_EXTRACT_SQL)}, got {parts[0].strip()!r}"
+            )
+        body = _DATE_EXTRACT_SQL[field].replace("{0}", parts[1].strip())
+        expr = expr[:start] + f"CAST({body} AS BIGINT)" + expr[close_p + 1:]
 
 
 def _rewrite_cidr_match(expr: str) -> str:

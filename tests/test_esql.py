@@ -599,3 +599,37 @@ def test_mv_functions(spark):
     assert (r1["f"], r1["l"]) == ("b", "c")
     assert r2["s"] == [] and r2["f"] is None and r2["l"] is None
     assert r3["s"] is None and r3["f"] is None
+
+
+def test_date_diff_and_extract(spark):
+    """DATE_DIFF: complete time units truncated toward zero (both
+    directions); calendar units raise. DATE_EXTRACT: ISO day_of_week
+    and friends; unsupported fields raise."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0),   # a Monday
+             dt.datetime(2024, 1, 1, 2, 59, 59)),
+            (2, dt.datetime(2024, 1, 7, 12, 0, 0),  # a Sunday
+             dt.datetime(2024, 1, 7, 11, 0, 1)),
+        ],
+        "id long, a timestamp, b timestamp",
+    )
+    out = esql(
+        "FROM t"
+        ' | EVAL h = DATE_DIFF("hour", a, b), dow = DATE_EXTRACT("day_of_week", a),'
+        ' s = DATE_DIFF("second", a, b)'
+        " | KEEP id, h, dow, s | SORT id",
+        {"t": df},
+    ).collect()
+    r1, r2 = out
+    assert r1["h"] == 2 and r1["s"] == 10799 and r1["dow"] == 1
+    assert r2["h"] == 0 and r2["s"] == -3599 and r2["dow"] == 7
+
+    with pytest.raises(ValueError, match="DATE_DIFF unit"):
+        esql('FROM t | EVAL x = DATE_DIFF("month", a, b)', {"t": df})
+    with pytest.raises(ValueError, match="DATE_EXTRACT field"):
+        esql('FROM t | EVAL x = DATE_EXTRACT("nano_of_day", a)', {"t": df})
+    up = esql('FROM t | EVAL u = TO_UPPER("ab") | KEEP u | LIMIT 1', {"t": df}).collect()
+    assert up[0]["u"] == "AB"
