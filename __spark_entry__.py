@@ -4719,6 +4719,26 @@ def _q_es_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL `sample by user_id [signup] [error] [purchase]`
+    (operators/eql.eql_sample, ES 8.6+): keys where EVERY filter
+    matched at least once — no temporal ordering, no maxspan — with
+    the EARLIEST (packed ts, id) event per (key, filter) as the
+    deterministic sample (S13-class documented total order; ES picks
+    an arbitrary one).  Per-filter min is ONE map-side-combinable
+    hash agg; frames inner-join on the key."""
+    from monstache_spark.operators.eql import eql_sample
+
+    ev = load_table(spark, "events", sf_dir)
+    return eql_sample(
+        ev,
+        [{"term": {"event_type": "signup"}},
+         {"term": {"event_type": "error"}},
+         {"term": {"event_type": "purchase"}}],
+        by="user_id",
+    )
+
+
 def _q_es_esql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL date functions (operators/esql): DATE_EXTRACT
     ("day_of_week" — ISO 1=Monday, Spark weekday()+1 vs DuckDB
@@ -6770,6 +6790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_mv_funcs": _q_es_esql_mv_funcs,
         "es_eql_sequence_until": _q_es_eql_sequence_until,
         "es_esql_date_funcs": _q_es_esql_date_funcs,
+        "es_eql_sample": _q_es_eql_sample,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9392,6 +9413,37 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_eql_sample": """
+          WITH p1 AS (
+            SELECT user_id AS k, ts, event_id,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p
+            FROM events WHERE event_type = 'signup'
+          ),
+          p2 AS (
+            SELECT user_id AS k, ts, event_id,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p
+            FROM events WHERE event_type = 'error'
+          ),
+          p3 AS (
+            SELECT user_id AS k, ts, event_id,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p
+            FROM events WHERE event_type = 'purchase'
+          ),
+          e1 AS (
+            SELECT k, ts AS t1, event_id AS id1 FROM p1
+            QUALIFY row_number() OVER (PARTITION BY k ORDER BY p) = 1
+          ),
+          e2 AS (
+            SELECT k, ts AS t2, event_id AS id2 FROM p2
+            QUALIFY row_number() OVER (PARTITION BY k ORDER BY p) = 1
+          ),
+          e3 AS (
+            SELECT k, ts AS t3, event_id AS id3 FROM p3
+            QUALIFY row_number() OVER (PARTITION BY k ORDER BY p) = 1
+          )
+          SELECT e1.k AS user_id, t1, id1, t2, id2, t3, id3
+          FROM e1 JOIN e2 USING (k) JOIN e3 USING (k)
         """,
         "es_esql_date_funcs": """
           WITH t AS (

@@ -157,3 +157,47 @@ def eql_sequence(
     for i in range(1, len(steps) + 1):
         out_cols += [F.col(f"t{i}"), F.col(f"id{i}")]
     return seq.select(*out_cols, F.round(span, 6).alias("span_s"))
+
+
+def eql_sample(
+    events: DataFrame,
+    filters: list[dict],
+    by: str,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    analyzer=None,
+) -> DataFrame:
+    """EQL ``sample by <key> [f1] [f2] …`` (ES 8.6+): find keys where
+    EVERY filter matched at least once — no temporal ordering, no
+    maxspan (the documented contrast with ``sequence``) — and return
+    one sample combination per key.  ES picks an arbitrary matching
+    event per filter; deterministically here the EARLIEST (packed
+    (ts, id)) event per (key, filter) is the sample — the same
+    S13-class documented total order the samplers use.
+
+    Plan: each filter prunes the corpus first, collapses to one row
+    per key in ONE hash agg over the packed decimal (min — map-side
+    combinable), recovers its columns by a self-join on the packed
+    key, and the per-filter frames inner-join on the key (keys
+    missing any filter drop, as in ES).  Returns
+    ``(by, t1, id1, …, tn, idn)``.
+    """
+    if len(filters) < 2:
+        raise ValueError("a sample needs at least 2 filters")
+    out = None
+    for i, flt in enumerate(filters, start=1):
+        f = events.filter(compile_bool_query(flt, analyzer=analyzer))
+        rows = f.select(
+            F.col(by).alias("_k"),
+            F.col(ts_col).alias(f"t{i}"),
+            F.col(id_col).cast("long").alias(f"id{i}"),
+            _pack(F.col(ts_col), id_col).alias(f"_p{i}"),
+        )
+        earliest = rows.groupBy("_k").agg(F.min(f"_p{i}").alias("_pe"))
+        picked = earliest.join(
+            rows.withColumnRenamed("_k", "_k2"),
+            (earliest["_k"] == F.col("_k2"))
+            & (F.col(f"_p{i}") == earliest["_pe"]),
+        ).select("_k", f"t{i}", f"id{i}")
+        out = picked if out is None else out.join(picked, "_k")
+    return out.withColumnRenamed("_k", by)

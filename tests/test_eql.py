@@ -115,3 +115,35 @@ def test_sequence_until_expires_inflight(spark):
     # without until all three complete
     out2 = eql_sequence(ev, steps, by="user").collect()
     assert sorted(r["user"] for r in out2) == ["a", "b", "c"]
+
+
+def test_sample_requires_all_filters_and_picks_earliest(spark):
+    """EQL sample: keys missing any filter drop; the deterministic
+    sample is the earliest (ts, id) per (key, filter); order between
+    filters is NOT constrained (error before view still matches)."""
+    import datetime as dt
+
+    from monstache_spark.operators.eql import eql_sample
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", "view"), (2, "a", "error"), (5, "a", "view"),
+        (3, "b", "view"),                      # no error -> drops
+        (4, "c", "error"), (6, "c", "view"),   # reversed order -> still matches
+    ]
+    ev = spark.createDataFrame(
+        [(i, k, t, base + dt.timedelta(seconds=i)) for i, k, t in rows],
+        "event_id long, user string, event_type string, ts timestamp",
+    )
+    out = eql_sample(
+        ev,
+        [{"term": {"event_type": "view"}}, {"term": {"event_type": "error"}}],
+        by="user",
+    ).collect()
+    got = sorted((r["user"], r["id1"], r["id2"]) for r in out)
+    assert got == [("a", 1, 2), ("c", 6, 4)]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at least 2"):
+        eql_sample(ev, [{"term": {"event_type": "view"}}], by="user")

@@ -594,6 +594,16 @@ CHECKS = [
         and "n_chars" in p.split("PushedFilters")[1][:300],
     ),
     (
+        "es_eql_sample",
+        "EQL sample: per-filter earliest pick is a hash agg over the "
+        "packed decimal (no sort agg, no Python), key joins stay "
+        "equi-joins (no cartesian)",
+        lambda p: "Python" not in p
+        and "SortAggregate" not in p
+        and "CartesianProduct" not in p
+        and "HashAggregate" in p,
+    ),
+    (
         "es_esql_bucket",
         "ES|QL BUCKET: ONE hash agg over the bucketed projection, "
         "notnull filters pushed to the scan, no Python",
