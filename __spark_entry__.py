@@ -4719,6 +4719,43 @@ def _q_es_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_retriever_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.18 rule RETRIEVER (search.retriever_topk — query rules
+    over any child): the same two-rule ruleset as es_rule_query,
+    resolved driver-side (_resolve_rules, shared with the rule
+    query), pins [42, 7] and excludes doc 400 from the standard
+    child's top-12 window — exclusion last, pinned scores null, the
+    child ranking otherwise preserved."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    ruleset = [
+        {"criteria": [{"type": "exact", "metadata": "user_segment",
+                       "values": ["pro"]}],
+         "actions": {"pinned_ids": [42, 7]}},
+        {"criteria": [{"type": "prefix", "metadata": "query_string",
+                       "values": ["merge"]}],
+         "actions": {"excluded_ids": [400]}},
+        {"criteria": [{"type": "exact", "metadata": "user_segment",
+                       "values": ["free"]}],
+         "actions": {"pinned_ids": [999]}},  # non-matching: inert
+    ]
+    return retriever_topk(
+        docs, emb,
+        {"rule": {
+            "retriever": {
+                "standard": {"query": {"match": {"text": "merge vector"}}}
+            },
+            "ruleset": ruleset,
+            "match_criteria": {"user_segment": "pro",
+                               "query_string": "merge vector"},
+            "rank_window_size": 12,
+        }},
+        k=12,
+    )
+
+
 def _q_es_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQL `sample by user_id [signup] [error] [purchase]`
     (operators/eql.eql_sample, ES 8.6+): keys where EVERY filter
@@ -6791,6 +6828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_eql_sequence_until": _q_es_eql_sequence_until,
         "es_esql_date_funcs": _q_es_esql_date_funcs,
         "es_eql_sample": _q_es_eql_sample,
+        "es_retriever_rule": _q_es_retriever_rule,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9413,6 +9451,37 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_retriever_rule": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector')")},
+          child AS (
+            SELECT doc_id, score FROM (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+              FROM scored) t
+            WHERE r <= 12
+          ),
+          pins(pos, pid) AS (VALUES (0, 42), (1, 7)),
+          p AS (
+            SELECT d.doc_id, CAST(NULL AS DOUBLE) AS score,
+                   pins.pos AS sort_pos
+            FROM documents d JOIN pins ON d.doc_id = pins.pid
+          ),
+          o AS (
+            SELECT c.doc_id, c.score, CAST(NULL AS INTEGER) AS sort_pos
+            FROM child c WHERE c.doc_id NOT IN (SELECT pid FROM pins)
+          ),
+          u AS (SELECT * FROM p UNION ALL SELECT * FROM o),
+          ex AS (SELECT * FROM u WHERE doc_id <> 400),
+          fin AS (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (
+                     ORDER BY sort_pos ASC NULLS LAST,
+                              score DESC NULLS LAST, doc_id ASC) AS BIGINT) AS rank
+            FROM ex
+          )
+          SELECT doc_id, score, rank FROM fin WHERE rank <= 12
         """,
         "es_eql_sample": """
           WITH p1 AS (

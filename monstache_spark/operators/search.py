@@ -2744,6 +2744,37 @@ _RULE_CRITERIA = {
 }
 
 
+def _resolve_rules(ruleset: list, match_criteria: dict) -> tuple:
+    """Evaluate a query-rules RULESET against the request's
+    ``match_criteria`` (control-plane metadata — plain Python, as in
+    ES where rulesets live behind the query rules API): every
+    matching rule applies in ruleset order; returns ``(pinned_ids,
+    excluded_ids)`` with a doc both pinned and excluded EXCLUDED (ES
+    applies exclusion last).  Shared by the ``rule`` query and the
+    ``rule`` retriever node.  Unknown criteria types RAISE."""
+    pinned: list = []
+    excluded: set = set()
+    for rule in ruleset:
+        ok = True
+        for c in rule.get("criteria", []):
+            ctype = c.get("type", "exact")
+            if ctype not in _RULE_CRITERIA:
+                raise ValueError(f"unsupported rule criteria type: {ctype}")
+            actual = match_criteria.get(c.get("metadata"))
+            values = c.get("values", [None])
+            if not any(_RULE_CRITERIA[ctype](actual, v) for v in values):
+                ok = False
+                break
+        if not ok:
+            continue
+        acts = rule.get("actions", {})
+        for pid in acts.get("pinned_ids", []) or acts.get("ids", []):
+            if pid not in pinned:
+                pinned.append(pid)
+        excluded.update(acts.get("excluded_ids", []))
+    return [p for p in pinned if p not in excluded], excluded
+
+
 def rule_query_topk(
     docs: DataFrame,
     ruleset: list[dict],
@@ -2769,27 +2800,7 @@ def rule_query_topk(
     resolved pin/exclude lists then ride the ``pinned`` plan — literal
     broadcast pins, organic anti-join, one TakeOrderedAndProject.
     """
-    pinned: list = []
-    excluded: set = set()
-    for rule in ruleset:
-        ok = True
-        for c in rule.get("criteria", []):
-            ctype = c.get("type", "exact")
-            if ctype not in _RULE_CRITERIA:
-                raise ValueError(f"unsupported rule criteria type: {ctype}")
-            actual = match_criteria.get(c.get("metadata"))
-            values = c.get("values", [None])
-            if not any(_RULE_CRITERIA[ctype](actual, v) for v in values):
-                ok = False
-                break
-        if not ok:
-            continue
-        acts = rule.get("actions", {})
-        for pid in acts.get("pinned_ids", []) or acts.get("ids", []):
-            if pid not in pinned:
-                pinned.append(pid)
-        excluded.update(acts.get("excluded_ids", []))
-    pinned = [p for p in pinned if p not in excluded]
+    pinned, excluded = _resolve_rules(ruleset, match_criteria)
     if pinned:
         return pinned_topk(
             docs, pinned, organic_terms, k=k,
@@ -4819,6 +4830,65 @@ def retriever_topk(
             text = text["query"]
         return field, text.split()
 
+    def pin_over(
+        child: DataFrame,
+        ids: list,
+        window: int,
+        excluded: list | None = None,
+    ) -> DataFrame:
+        """Pin ``ids`` (in order) over a child retriever's window —
+        the shared mechanics of the ``pinned`` and ``rule`` nodes:
+        broadcast literal-array explode for the pins (absent ids
+        skipped — they anti-join nothing), the child's rows anti-join
+        the pin list, ``excluded`` ids drop from BOTH sides before
+        the window cut (ES applies exclusion last), and score is null
+        on pinned rows (ES reports a synthetic sentinel; null is the
+        honest column)."""
+        organic = child.select(
+            F.col(id_col),
+            F.col("score"),
+            F.lit(None).cast("long").alias("_pos"),
+        )
+        if ids:
+            pins = docs.sparkSession.range(1).select(
+                F.posexplode(
+                    F.array(*[F.lit(i) for i in ids])
+                ).alias("_pos", "_pid")
+            )
+            pinned_rows = docs.join(
+                F.broadcast(pins), docs[id_col] == pins["_pid"]
+            ).select(
+                F.col(id_col),
+                F.lit(None).cast("double").alias("score"),
+                F.col("_pos"),
+            )
+            organic = organic.drop("_pos").join(
+                F.broadcast(pins.select("_pid")),
+                F.col(id_col) == F.col("_pid"),
+                "left_anti",
+            ).select(
+                F.col(id_col),
+                F.col("score"),
+                F.lit(None).cast("long").alias("_pos"),
+            )
+            allrows = pinned_rows.unionByName(organic)
+        else:
+            allrows = organic
+        if excluded:
+            allrows = allrows.filter(
+                ~F.col(id_col).isin(list(excluded))
+            )
+        order = [
+            F.col("_pos").asc_nulls_last(),
+            F.col("score").desc_nulls_last(),
+            F.col(id_col).asc(),
+        ]
+        ranked = allrows.orderBy(*order).limit(window)
+        w = Window.orderBy(*order)
+        return ranked.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).drop("_pos")
+
     def eval_node(node: dict, window: int) -> DataFrame:
         ((kind, body),) = node.items()
         if kind == "standard":
@@ -4963,47 +5033,29 @@ def retriever_topk(
             # pinned query): the listed ids rank FIRST in the given
             # order regardless of relevance, the child's results
             # follow by their own ranking, a pinned doc never appears
-            # twice, absent pinned ids are skipped. Same plan shape as
-            # pinned_topk: broadcast literal-array explode + anti-join;
-            # score is null on pinned rows (ES reports a synthetic
-            # sentinel; null is the honest column).
+            # twice, absent pinned ids are skipped.
             n = int(body.get("rank_window_size", 10))
             ids = list(body.get("ids") or [])
             if not ids:
                 raise ValueError("pinned retriever needs ids")
             child = eval_node(body["retriever"], n)
-            pins = docs.sparkSession.range(1).select(
-                F.posexplode(
-                    F.array(*[F.lit(i) for i in ids])
-                ).alias("_pos", "_pid")
+            return pin_over(child, ids, n)
+        if kind == "rule":
+            # ES 8.18 rule RETRIEVER (query rules over any child):
+            # the ruleset is passed INLINE (the same stand-in the
+            # rule query uses — rulesets live behind ES's query-rules
+            # API), criteria evaluate driver-side (_resolve_rules,
+            # shared with rule_query_topk), and the resolved
+            # pin/exclude lists apply over the child window —
+            # exclusion last, as in ES.
+            n = int(body.get("rank_window_size", 10))
+            pinned_ids, excluded = _resolve_rules(
+                body.get("ruleset", []), body.get("match_criteria", {})
             )
-            pinned_rows = docs.join(
-                F.broadcast(pins), docs[id_col] == pins["_pid"]
-            ).select(
-                F.col(id_col),
-                F.lit(None).cast("double").alias("score"),
-                F.col("_pos"),
+            child = eval_node(body["retriever"], n)
+            return pin_over(
+                child, pinned_ids, n, excluded=sorted(excluded)
             )
-            organic = child.join(
-                F.broadcast(pins),
-                F.col(id_col) == pins["_pid"],
-                "left_anti",
-            ).select(
-                F.col(id_col),
-                F.col("score"),
-                F.lit(None).cast("long").alias("_pos"),
-            )
-            allrows = pinned_rows.unionByName(organic)
-            order = [
-                F.col("_pos").asc_nulls_last(),
-                F.col("score").desc_nulls_last(),
-                F.col(id_col).asc(),
-            ]
-            ranked = allrows.orderBy(*order).limit(n)
-            w = Window.orderBy(*order)
-            return ranked.withColumn(
-                "rank", F.row_number().over(w).cast("long")
-            ).drop("_pos")
         if kind == "text_similarity_reranker":
             # ES rescore/reranker window default is 10
             n = int(body.get("rank_window_size", 10))

@@ -2640,3 +2640,53 @@ def test_retriever_tree_pinned_node(spark):
 
     with _pt.raises(ValueError, match="needs ids"):
         retriever_topk(docs, emb, {"pinned": {"ids": [], "retriever": spec["pinned"]["retriever"]}}, k=2)
+
+
+def test_retriever_tree_rule_node(spark):
+    """Rule retriever node: matching rules pin (in order) and
+    exclude over the child window; exclusion wins over pinning AND
+    over organic rank; non-matching rules are inert; exclusion-only
+    rulesets work (no pins)."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge window merge"), (2, "merge vector"), (3, "hash join"),
+         (4, "merge fast")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    child = {"standard": {"query": {"match": {"text": "merge"}}}}
+    spec = {"rule": {
+        "retriever": child,
+        "ruleset": [
+            {"criteria": [{"type": "exact", "metadata": "seg",
+                           "values": ["pro"]}],
+             "actions": {"pinned_ids": [3, 2]}},
+            {"criteria": [{"type": "always"}],
+             "actions": {"excluded_ids": [2, 4]}},
+            {"criteria": [{"type": "exact", "metadata": "seg",
+                           "values": ["free"]}],
+             "actions": {"pinned_ids": [99]}},
+        ],
+        "match_criteria": {"seg": "pro"},
+        "rank_window_size": 5,
+    }}
+    out = retriever_topk(docs, emb, spec, k=5).collect()
+    ids = [r["doc_id"] for r in out]
+    # 2 pinned AND excluded -> excluded wins; 4 excluded from organic;
+    # 3 pinned first (null score); 1 organic
+    assert ids == [3, 1]
+    assert out[0]["score"] is None and out[1]["score"] is not None
+
+    # exclusion-only: no pins, child ranking preserved minus excluded
+    spec2 = {"rule": {
+        "retriever": child,
+        "ruleset": [{"criteria": [{"type": "always"}],
+                     "actions": {"excluded_ids": [1]}}],
+        "match_criteria": {},
+        "rank_window_size": 5,
+    }}
+    out2 = retriever_topk(docs, emb, spec2, k=5).collect()
+    assert [r["doc_id"] for r in out2] == [2, 4]
