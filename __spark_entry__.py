@@ -4719,6 +4719,26 @@ def _q_es_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL aggregate spellings (operators/esql): COUNT_DISTINCT
+    (EXACT count distinct per S3 — ES's is HLL), MEDIAN and
+    PERCENTILE(col, p) (exact interpolated percentiles rounded 6 dp
+    per S4 — ES's is t-digest; the established value_percentiles
+    parity shape).  ONE hash agg; the notnull filter reaches the
+    scan."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM events | WHERE value IS NOT NULL"
+        " | STATS n_users = COUNT_DISTINCT(user_id),"
+        " med = MEDIAN(value), p95 = PERCENTILE(value, 95)"
+        " BY event_type"
+        " | SORT event_type ASC",
+        {"events": ev},
+    )
+
+
 def _q_es_retriever_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES 8.18 rule RETRIEVER (search.retriever_topk — query rules
     over any child): the same two-rule ruleset as es_rule_query,
@@ -6829,6 +6849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_date_funcs": _q_es_esql_date_funcs,
         "es_eql_sample": _q_es_eql_sample,
         "es_retriever_rule": _q_es_retriever_rule,
+        "es_esql_agg_funcs": _q_es_esql_agg_funcs,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9451,6 +9472,14 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_esql_agg_funcs": """
+          SELECT event_type,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                 round(quantile_cont(value, 0.5), 6) AS med,
+                 round(quantile_cont(value, 0.95), 6) AS p95
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1 ORDER BY 1
         """,
         "es_retriever_rule": f"""
           WITH corpus AS (SELECT doc_id, text FROM documents),

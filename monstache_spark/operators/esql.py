@@ -88,6 +88,7 @@ def _tr_expr(expr: str) -> str:
     expr = _rewrite_cidr_match(expr)
     expr = _rewrite_date_diff(expr)
     expr = _rewrite_date_extract(expr)
+    expr = _rewrite_percentile(expr)
     expr = _rewrite_fns(expr)
 
     out = []
@@ -174,6 +175,14 @@ _FN_TEMPLATES = {
     "TO_BOOLEAN": "CAST({0} AS BOOLEAN)",
     "TO_UPPER": "upper({0})",
     "TO_LOWER": "lower({0})",
+    # aggregate-function spellings (usable under STATS/INLINESTATS —
+    # they compile through the same F.expr path): COUNT_DISTINCT is
+    # EXACT count(DISTINCT) per the S3 contract (ES's is HLL-approx);
+    # MEDIAN is the exact interpolated percentile rounded at 6 dp per
+    # the S4 contract (ES's is t-digest) — the established
+    # value_percentiles parity shape
+    "COUNT_DISTINCT": "count(DISTINCT {0})",
+    "MEDIAN": "round(percentile({0}, 0.5), 6)",
     # ES|QL TO_IP: the engine stores ips as dotted-quad strings, so
     # the conversion is a validity gate — a malformed address yields
     # NULL (ES's on-error behavior), a valid one passes through
@@ -405,6 +414,35 @@ _DATE_EXTRACT_SQL = {
     "day_of_week": "(weekday({0}) + 1)",
     "day_of_year": "dayofyear({0})",
 }
+
+
+def _rewrite_percentile(expr: str) -> str:
+    """ES|QL ``PERCENTILE(col, p)`` (p in 0..100) → the S4 exact
+    contract: ``round(percentile(col, p/100), 6)`` — exact
+    interpolated percentiles where ES runs t-digest, the established
+    value_percentiles parity shape.  p must be a numeric literal.
+
+    ONE right-to-left pass (replacements never shift earlier
+    offsets): the emitted text contains the case-insensitively-
+    matching ``percentile(`` itself, so a rescan-until-fixpoint loop
+    would re-enter its own output."""
+    calls = _find_calls(expr, "PERCENTILE")
+    for (s1, _, e1), (s2, _, _) in zip(calls, calls[1:]):
+        if s2 < e1:
+            raise ValueError("nested PERCENTILE calls are unsupported")
+    for start, open_p, close_p in reversed(calls):
+        parts = _split_top(expr[open_p + 1:close_p], ",")
+        if len(parts) != 2:
+            raise ValueError("PERCENTILE takes (column, p)")
+        pm = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*", parts[1])
+        if not pm or not 0 <= float(pm.group(1)) <= 100:
+            raise ValueError(
+                f"PERCENTILE p must be a literal in 0..100: {parts[1]!r}"
+            )
+        frac = repr(float(pm.group(1)) / 100.0)
+        repl = f"round(percentile({parts[0].strip()}, {frac}), 6)"
+        expr = expr[:start] + repl + expr[close_p + 1:]
+    return expr
 
 
 def _rewrite_date_diff(expr: str) -> str:

@@ -633,3 +633,27 @@ def test_date_diff_and_extract(spark):
         esql('FROM t | EVAL x = DATE_EXTRACT("nano_of_day", a)', {"t": df})
     up = esql('FROM t | EVAL u = TO_UPPER("ab") | KEEP u | LIMIT 1', {"t": df}).collect()
     assert up[0]["u"] == "AB"
+
+
+def test_agg_function_spellings(spark):
+    """COUNT_DISTINCT / MEDIAN / PERCENTILE compile through STATS;
+    PERCENTILE validates its literal; nested PERCENTILE raises."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (1, "b", 10.0)],
+        "uid long, g string, v double",
+    )
+    out = esql(
+        "FROM t | STATS n = COUNT_DISTINCT(uid), m = MEDIAN(v),"
+        " p = PERCENTILE(v, 100) BY g | SORT g",
+        {"t": df},
+    ).collect()
+    a, b = out
+    assert (a["g"], a["n"], a["m"], a["p"]) == ("a", 3, 2.0, 3.0)
+    assert (b["g"], b["n"], b["m"], b["p"]) == ("b", 1, 10.0, 10.0)
+
+    with pytest.raises(ValueError, match="0..100"):
+        esql("FROM t | STATS p = PERCENTILE(v, 101)", {"t": df})
+    with pytest.raises(ValueError, match="0..100"):
+        esql("FROM t | STATS p = PERCENTILE(v, x)", {"t": df})
+    with pytest.raises(ValueError, match="nested PERCENTILE"):
+        esql("FROM t | STATS p = PERCENTILE(PERCENTILE(v, 50), 90)", {"t": df})
