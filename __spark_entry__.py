@@ -4719,6 +4719,34 @@ def _q_es_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_retriever_knn_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The knn retriever node's primary ES form — a LITERAL
+    query_vector (search.retriever_topk → similarity.knn_search):
+    scored under the ES contract (1+cos)/2 with a label pre-filter,
+    fused with a standard BM25 child by rrf.  Unlike the stored-id
+    form, the literal form has no self row to exclude — the vector's
+    own source row ranks first with score 1.0."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    return retriever_topk(
+        docs, emb,
+        {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "merge vector window"}}}},
+                {"knn": {"query_vector": qv,
+                         "filter": {"term": {"label": 1}}}},
+            ],
+            "rank_constant": 60,
+            "rank_window_size": 20,
+        }},
+        k=10,
+    )
+
+
 def _q_es_esql_agg_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL aggregate spellings (operators/esql): COUNT_DISTINCT
     (EXACT count distinct per S3 — ES's is HLL), MEDIAN and
@@ -6850,6 +6878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_eql_sample": _q_es_eql_sample,
         "es_retriever_rule": _q_es_retriever_rule,
         "es_esql_agg_funcs": _q_es_esql_agg_funcs,
+        "es_retriever_knn_literal": _q_es_retriever_knn_literal,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -9472,6 +9501,36 @@ def oracle_sql() -> dict[str, str]:
                  CAST(count(*) AS BIGINT) AS doc_count,
                  CAST(sum(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS chars
           FROM s WHERE lang IS NOT NULL GROUP BY 1
+        """,
+        "es_retriever_knn_literal": f"""
+          WITH corpus AS (SELECT doc_id, text FROM documents),
+          {bm25_scored_sql("term IN ('merge', 'vector', 'window')")},
+          lex AS (
+            SELECT doc_id AS lid,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS r1
+            FROM scored QUALIFY r1 <= 20
+          ),
+          e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+          cs AS (
+            SELECT e.vec_id AS corpus_id,
+                   CASE WHEN sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y)) > 0 THEN round((1.0 + list_reduce(list_transform(range(1, 65), i -> e.v[i] * qv[i]), (x, y) -> x + y) / (sqrt(list_reduce(list_transform(range(1, 65), i -> e.v[i] * e.v[i]), (x, y) -> x + y)) * sqrt(list_reduce(list_transform(range(1, 65), i -> qv[i] * qv[i]), (x, y) -> x + y)))) / 2.0, 6) ELSE 0.5 END AS score
+            FROM e CROSS JOIN q WHERE e.label = 1 AND e.v IS NOT NULL
+          ),
+          sem AS (
+            SELECT corpus_id AS sid,
+                   CAST(row_number() OVER (ORDER BY score DESC, corpus_id ASC) AS BIGINT) AS r2
+            FROM cs QUALIFY r2 <= 20
+          ),
+          f AS (
+            SELECT COALESCE(lid, sid) AS doc_id,
+                   round(COALESCE(1.0 / (60 + r1), 0.0)
+                         + COALESCE(1.0 / (60 + r2), 0.0), 9) AS score
+            FROM lex FULL OUTER JOIN sem ON lid = sid
+          )
+          SELECT doc_id, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+          FROM f ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "es_esql_agg_funcs": """
           SELECT event_type,

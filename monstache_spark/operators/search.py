@@ -4903,6 +4903,33 @@ def retriever_topk(
             )
             return out.select(id_col, "score", "rank")
         if kind == "knn":
+            if "query_vector" in body:
+                # the primary ES API form: a LITERAL query vector —
+                # one corpus scan through knn_search under the ES
+                # score contract ((1+cos)/2 etc.), optional pre-filter
+                # and similarity threshold ride along; the stored-
+                # vector form below keeps its historical rounded-
+                # cosine contract (gates pin it)
+                from monstache_spark.operators.similarity import (
+                    knn_search,
+                )
+
+                out = knn_search(
+                    embeddings,
+                    [float(x) for x in body["query_vector"]],
+                    k=min(int(body.get("k", window)), window),
+                    filter=body.get("filter"),
+                    vec_col=vec_col,
+                    id_col=vec_id_col,
+                    similarity=body.get("similarity", "cosine"),
+                    analyzer=analyzer,
+                    min_similarity=body.get("min_similarity"),
+                )
+                return out.select(
+                    F.col(vec_id_col).cast("long").alias(id_col),
+                    F.col("score"),
+                    F.col("rank").cast("long").alias("rank"),
+                )
             q = embeddings.filter(
                 F.col(vec_id_col) == F.lit(body["query_vector_id"])
             )

@@ -2690,3 +2690,36 @@ def test_retriever_tree_rule_node(spark):
     }}
     out2 = retriever_topk(docs, emb, spec2, k=5).collect()
     assert [r["doc_id"] for r in out2] == [2, 4]
+
+
+def test_retriever_knn_literal_query_vector(spark):
+    """The knn node's primary ES form — a literal query_vector —
+    scores under the ES contract ((1+cos)/2), supports the pre-filter
+    and similarity threshold, and fuses in rrf like any child."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = spark.createDataFrame(
+        [(1, "merge window"), (2, "vector scan")], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1), (2, [0.0, 1.0], 2), (3, [1.0, 0.1], 1)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    out = retriever_topk(
+        docs, emb,
+        {"knn": {"query_vector": [1.0, 0.0], "k": 3}},
+        k=3,
+    ).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    assert got[1] == 1.0            # (1 + 1)/2
+    assert got[2] == 0.5            # orthogonal
+    assert out[0]["doc_id"] == 1
+
+    filt = retriever_topk(
+        docs, emb,
+        {"knn": {"query_vector": [1.0, 0.0], "k": 3,
+                 "filter": {"term": {"label": 1}},
+                 "min_similarity": 0.5}},
+        k=3,
+    ).collect()
+    assert sorted(r["doc_id"] for r in filt) == [1, 3]
