@@ -4849,10 +4849,11 @@ def _q_es_esql_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_es_eql_sequence_until(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQL `sequence by user_id [view] [purchase] until [error]`
-    (operators/eql.eql_sequence until=): an error event strictly
-    between a sequence's first and last packed (ts, id) position
-    expires it — the head-greedy S28 contract's until refinement;
-    sequences completed before the error stand, as in ES.  One extra
+    (operators/eql.eql_sequence until=): an error event after a
+    sequence's first and at-or-before its last packed (ts, id)
+    position expires it — the head-greedy S28 contract's until
+    refinement; sequences completed strictly before the error stand,
+    as in ES.  One extra
     filtered frame + one range anti-join on the key — no extra corpus
     pass."""
     from monstache_spark.operators.eql import eql_sequence
@@ -9643,7 +9644,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM e2
             WHERE NOT EXISTS (
               SELECT 1 FROM u
-              WHERE u.k = e2.k AND u.pu > e2.p1 AND u.pu < e2.p2
+              WHERE u.k = e2.k AND u.pu > e2.p1 AND u.pu <= e2.p2
             )
           )
           SELECT k AS user_id, t1, id1, t2, id2,

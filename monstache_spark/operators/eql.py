@@ -75,11 +75,14 @@ def eql_sequence(
     matching it EXPIRES in-flight state for its key — under the
     head-greedy deterministic contract (DIVERGENCES S28) a completed
     sequence survives iff NO until-event for the same key falls
-    strictly between its first and last step's packed (ts, id)
-    position; sequences completed before the until-event stand, as in
-    ES.  An event matching both a step and ``until`` still expires
-    (documented determinism).  Cost: one more filtered frame and one
-    broadcast-able range anti-join on the key — no extra corpus pass.
+    AFTER its first step and AT-OR-BEFORE its completing step's
+    packed (ts, id) position (an until-event coinciding with the
+    completing event processes against the still-in-flight state and
+    kills it; one coinciding with the FIRST event does not — the
+    sequence starts with it); sequences completed strictly before the
+    until-event stand, as in ES.  Cost: one more filtered frame and
+    one broadcast-able range anti-join on the key — no extra corpus
+    pass.
     """
     if len(steps) < 2:
         raise ValueError("a sequence needs at least 2 steps")
@@ -150,7 +153,7 @@ def eql_sequence(
             u,
             (seq["_k"] == u["_ku"])
             & (u["_pu"] > seq["_p1"])
-            & (u["_pu"] < seq[f"_p{n}"]),
+            & (u["_pu"] <= seq[f"_p{n}"]),
             "left_anti",
         )
     out_cols = [F.col("_k").alias(by)]

@@ -89,6 +89,7 @@ def _tr_expr(expr: str) -> str:
     expr = _rewrite_date_diff(expr)
     expr = _rewrite_date_extract(expr)
     expr = _rewrite_percentile(expr)
+    expr = _rewrite_agg_spellings(expr)
     expr = _rewrite_fns(expr)
 
     out = []
@@ -175,14 +176,6 @@ _FN_TEMPLATES = {
     "TO_BOOLEAN": "CAST({0} AS BOOLEAN)",
     "TO_UPPER": "upper({0})",
     "TO_LOWER": "lower({0})",
-    # aggregate-function spellings (usable under STATS/INLINESTATS —
-    # they compile through the same F.expr path): COUNT_DISTINCT is
-    # EXACT count(DISTINCT) per the S3 contract (ES's is HLL-approx);
-    # MEDIAN is the exact interpolated percentile rounded at 6 dp per
-    # the S4 contract (ES's is t-digest) — the established
-    # value_percentiles parity shape
-    "COUNT_DISTINCT": "count(DISTINCT {0})",
-    "MEDIAN": "round(percentile({0}, 0.5), 6)",
     # ES|QL TO_IP: the engine stores ips as dotted-quad strings, so
     # the conversion is a validity gate — a malformed address yields
     # NULL (ES's on-error behavior), a valid one passes through
@@ -205,14 +198,23 @@ _FN_TEMPLATES = {
 }
 
 
-def _find_calls(expr: str, name: str) -> list[tuple[int, int, int]]:
+def _find_calls(
+    expr: str, name: str, case_sensitive: bool = False
+) -> list[tuple[int, int, int]]:
     """Every ``name(`` occurrence OUTSIDE string literals, as
     ``(match_start, open_paren, close_paren)`` with the close found by
     a quote-aware balanced scan — the one call-matching routine shared
     by the function rewriters, so a literal like ``"BUCKET(x)"``
-    inside a WHERE string is never rewritten."""
+    inside a WHERE string is never rewritten.  ``case_sensitive``
+    restricts matching to the exact (uppercase ES|QL) spelling — used
+    by rewriters whose name collides with a Spark builtin of
+    DIFFERENT semantics (percentile's fraction arg, date_diff's 2-arg
+    form, median's unrounded exactness), so the lowercase Spark
+    spelling still passes through untouched."""
     out: list[tuple[int, int, int]] = []
-    pat = re.compile(rf"\b{name}\s*\(", re.I)
+    pat = re.compile(
+        rf"\b{name}\s*\(", 0 if case_sensitive else re.I
+    )
     in_str = False
     i = 0
     while i < len(expr):
@@ -392,15 +394,6 @@ def _apply_where(df: DataFrame, body: str):
     return df
 
 
-_DATE_DIFF_US = {
-    "millisecond": 1_000,
-    "second": 1_000_000,
-    "minute": 60_000_000,
-    "hour": 3_600_000_000,
-    "day": 86_400_000_000,
-    "week": 604_800_000_000,
-}
-
 # ES|QL DATE_EXTRACT ChronoField names → Spark SQL functions returning
 # the same integers (day_of_week is ISO: 1=Monday..7=Sunday — Spark's
 # weekday() is 0=Monday, hence the +1)
@@ -416,6 +409,40 @@ _DATE_EXTRACT_SQL = {
 }
 
 
+def _rewrite_agg_spellings(expr: str) -> str:
+    """ES|QL aggregate spellings, CASE-SENSITIVE (lowercase
+    count/median stay Spark builtins):
+
+    * ``COUNT_DISTINCT(col [, precision_threshold])`` → EXACT
+      ``count(DISTINCT col)`` per the S3 contract (ES runs HLL); the
+      documented 2-arg precision form is accepted and the threshold
+      IGNORED — exactness supersedes it (the knn num_candidates
+      stance);
+    * ``MEDIAN(col)`` → the exact interpolated percentile rounded at
+      6 dp per S4 (ES runs t-digest) — emitted lowercase, so the
+      case-sensitive scan never re-enters its own output."""
+    for name in ("COUNT_DISTINCT", "MEDIAN"):
+        for start, open_p, close_p in reversed(
+            _find_calls(expr, name, case_sensitive=True)
+        ):
+            parts = _split_top(expr[open_p + 1:close_p], ",")
+            if name == "MEDIAN":
+                if len(parts) != 1:
+                    raise ValueError("MEDIAN takes one column")
+                repl = f"round(percentile({parts[0].strip()}, 0.5), 6)"
+            else:
+                if len(parts) not in (1, 2):
+                    raise ValueError(
+                        "COUNT_DISTINCT takes (column"
+                        " [, precision_threshold])"
+                    )
+                # 2-arg: the threshold is HLL tuning — ignored, the
+                # exact count needs none
+                repl = f"count(DISTINCT {parts[0].strip()})"
+            expr = expr[:start] + repl + expr[close_p + 1:]
+    return expr
+
+
 def _rewrite_percentile(expr: str) -> str:
     """ES|QL ``PERCENTILE(col, p)`` (p in 0..100) → the S4 exact
     contract: ``round(percentile(col, p/100), 6)`` — exact
@@ -426,7 +453,7 @@ def _rewrite_percentile(expr: str) -> str:
     offsets): the emitted text contains the case-insensitively-
     matching ``percentile(`` itself, so a rescan-until-fixpoint loop
     would re-enter its own output."""
-    calls = _find_calls(expr, "PERCENTILE")
+    calls = _find_calls(expr, "PERCENTILE", case_sensitive=True)
     for (s1, _, e1), (s2, _, _) in zip(calls, calls[1:]):
         if s2 < e1:
             raise ValueError("nested PERCENTILE calls are unsupported")
@@ -450,11 +477,14 @@ def _rewrite_date_diff(expr: str) -> str:
     microsecond arithmetic: ``(unix_micros(end) − unix_micros(start))
     div unit_us`` — ChronoUnit.between's complete-units-truncated-
     toward-zero semantics (both engines' integral division truncates
-    toward zero, verified).  Time-based units only (millisecond …
-    week); calendar units (month/quarter/year) have no closed-form
-    microsecond width and raise with guidance."""
+    toward zero, verified).  Time-based units only (the shared
+    ``_BUCKET_SPAN_US`` table — one unit→µs map for BUCKET and
+    DATE_DIFF); calendar units (month/quarter/year) have no
+    closed-form microsecond width and raise with guidance.
+    CASE-SENSITIVE (uppercase = the ES|QL spelling): lowercase
+    ``date_diff(end, start)`` stays Spark's 2-arg builtin."""
     while True:
-        calls = _find_calls(expr, "DATE_DIFF")
+        calls = _find_calls(expr, "DATE_DIFF", case_sensitive=True)
         if not calls:
             return expr
         start, open_p, close_p = calls[0]
@@ -463,16 +493,16 @@ def _rewrite_date_diff(expr: str) -> str:
             raise ValueError('DATE_DIFF takes ("unit", start, end)')
         um = re.fullmatch(r'\s*"([A-Za-z]+?)s?"\s*', parts[0])
         unit = um.group(1).lower() if um else None
-        if unit not in _DATE_DIFF_US:
+        if unit not in _BUCKET_SPAN_US:
             raise ValueError(
-                f"DATE_DIFF unit must be one of {sorted(_DATE_DIFF_US)} "
+                f"DATE_DIFF unit must be one of {sorted(_BUCKET_SPAN_US)} "
                 f"(calendar units have no fixed microsecond width), "
                 f"got {parts[0].strip()!r}"
             )
         a, b = parts[1].strip(), parts[2].strip()
         repl = (
             f"((unix_micros({b}) - unix_micros({a})) "
-            f"div {_DATE_DIFF_US[unit]})"
+            f"div {_BUCKET_SPAN_US[unit]})"
         )
         expr = expr[:start] + repl + expr[close_p + 1:]
 

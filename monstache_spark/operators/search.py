@@ -4844,11 +4844,7 @@ def retriever_topk(
         the window cut (ES applies exclusion last), and score is null
         on pinned rows (ES reports a synthetic sentinel; null is the
         honest column)."""
-        organic = child.select(
-            F.col(id_col),
-            F.col("score"),
-            F.lit(None).cast("long").alias("_pos"),
-        )
+        organic = child.select(F.col(id_col), F.col("score"))
         if ids:
             pins = docs.sparkSession.range(1).select(
                 F.posexplode(
@@ -4862,18 +4858,20 @@ def retriever_topk(
                 F.lit(None).cast("double").alias("score"),
                 F.col("_pos"),
             )
-            organic = organic.drop("_pos").join(
+            organic = organic.join(
                 F.broadcast(pins.select("_pid")),
                 F.col(id_col) == F.col("_pid"),
                 "left_anti",
-            ).select(
-                F.col(id_col),
-                F.col("score"),
-                F.lit(None).cast("long").alias("_pos"),
             )
-            allrows = pinned_rows.unionByName(organic)
+            allrows = pinned_rows.unionByName(
+                organic.withColumn(
+                    "_pos", F.lit(None).cast("long")
+                )
+            )
         else:
-            allrows = organic
+            allrows = organic.withColumn(
+                "_pos", F.lit(None).cast("long")
+            )
         if excluded:
             allrows = allrows.filter(
                 ~F.col(id_col).isin(list(excluded))
@@ -4914,6 +4912,19 @@ def retriever_topk(
                     knn_search,
                 )
 
+                # in the ES knn retriever body, `similarity` is the
+                # FLOAT threshold (the metric comes from the field
+                # mapping); a string value selects the metric instead
+                # (our mapping stand-in), and `min_similarity` stays
+                # the explicit spelling
+                sim = body.get("similarity")
+                if isinstance(sim, (int, float)) and not isinstance(
+                    sim, bool
+                ):
+                    metric, min_sim = "cosine", float(sim)
+                else:
+                    metric = sim or "cosine"
+                    min_sim = body.get("min_similarity")
                 out = knn_search(
                     embeddings,
                     [float(x) for x in body["query_vector"]],
@@ -4921,9 +4932,9 @@ def retriever_topk(
                     filter=body.get("filter"),
                     vec_col=vec_col,
                     id_col=vec_id_col,
-                    similarity=body.get("similarity", "cosine"),
+                    similarity=metric,
                     analyzer=analyzer,
-                    min_similarity=body.get("min_similarity"),
+                    min_similarity=min_sim,
                 )
                 return out.select(
                     F.col(vec_id_col).cast("long").alias(id_col),

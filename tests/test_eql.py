@@ -147,3 +147,38 @@ def test_sample_requires_all_filters_and_picks_earliest(spark):
 
     with _pt.raises(ValueError, match="at least 2"):
         eql_sample(ev, [{"term": {"event_type": "view"}}], by="user")
+
+
+def test_sequence_until_kills_at_completion_instant(spark):
+    """Self-review r10 pass 2 #1: an until-event coinciding with the
+    COMPLETING event processes against still-in-flight state and
+    kills the sequence; one coinciding with the FIRST event does
+    not."""
+    import datetime as dt
+
+    from monstache_spark.operators.eql import eql_sequence
+
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            # key d: the finishing event itself matches until -> killed
+            (9, "d", "start", base + dt.timedelta(seconds=9)),
+            (10, "d", "finish", base + dt.timedelta(seconds=10)),
+            # key e: until matches the STARTING event only -> stands
+            (11, "e", "start", base + dt.timedelta(seconds=11)),
+            (12, "e", "finish", base + dt.timedelta(seconds=12)),
+        ],
+        "event_id long, user string, event_type string, ts timestamp",
+    )
+    steps = [
+        {"term": {"event_type": "start"}},
+        {"term": {"event_type": "finish"}},
+    ]
+    killed = eql_sequence(
+        ev, steps, by="user", until={"term": {"event_type": "finish"}}
+    ).collect()
+    assert sorted(r["user"] for r in killed) == []
+    stands = eql_sequence(
+        ev, steps, by="user", until={"term": {"event_type": "start"}}
+    ).collect()
+    assert sorted(r["user"] for r in stands) == ["d", "e"]

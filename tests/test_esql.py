@@ -657,3 +657,24 @@ def test_agg_function_spellings(spark):
         esql("FROM t | STATS p = PERCENTILE(v, x)", {"t": df})
     with pytest.raises(ValueError, match="nested PERCENTILE"):
         esql("FROM t | STATS p = PERCENTILE(PERCENTILE(v, 50), 90)", {"t": df})
+
+
+def test_spark_spellings_pass_through_untouched(spark):
+    """Self-review r10 pass 2 #3: lowercase Spark builtins with
+    colliding names keep their native semantics — percentile's
+    FRACTION arg is not rescaled, median stays unrounded-exact,
+    date_diff keeps its 2-arg form."""
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "v double")
+    out = esql(
+        "FROM t | STATS p = percentile(v, 0.5), m = median(v)",
+        {"t": df},
+    ).collect()
+    assert out[0]["p"] == 2.0 and out[0]["m"] == 2.0
+    # uppercase = ES|QL: p in 0..100
+    up = esql("FROM t | STATS p = PERCENTILE(v, 50)", {"t": df}).collect()
+    assert up[0]["p"] == 2.0
+    with pytest.raises(ValueError, match="COUNT_DISTINCT takes"):
+        esql("FROM t | STATS c = COUNT_DISTINCT(v, 1, 2)", {"t": df})
+    # 2-arg precision form accepted, threshold ignored (exact per S3)
+    two = esql("FROM t | STATS c = COUNT_DISTINCT(v, 3000)", {"t": df}).collect()
+    assert two[0]["c"] == 3

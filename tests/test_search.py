@@ -2723,3 +2723,29 @@ def test_retriever_knn_literal_query_vector(spark):
         k=3,
     ).collect()
     assert sorted(r["doc_id"] for r in filt) == [1, 3]
+
+
+def test_retriever_knn_similarity_float_is_threshold(spark):
+    """Self-review r10 pass 2 #2: in the ES knn retriever body,
+    `similarity` is the FLOAT threshold (metric comes from the
+    mapping); a string still selects the metric."""
+    from monstache_spark.operators.search import retriever_topk
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = retriever_topk(
+        docs, emb,
+        {"knn": {"query_vector": [1.0, 0.0], "k": 5, "similarity": 0.5}},
+        k=5,
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]  # orthogonal vec dropped
+    metric = retriever_topk(
+        docs, emb,
+        {"knn": {"query_vector": [1.0, 0.0], "k": 5,
+                 "similarity": "l2_norm"}},
+        k=5,
+    ).collect()
+    assert len(metric) == 2  # string selects the metric, no threshold
