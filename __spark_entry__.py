@@ -6521,6 +6521,207 @@ def _q_es_categorize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorize_text(msg, "message", size=5)
 
 
+def _q_es_esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL GROK command (operators/esql) over the BUILT-IN grok
+    pattern library, re-rendered in the Java-regex ∩ RE2 portable
+    core (DIVERGENCES S32): log lines rendered from events rows parse
+    back through %{WORD}/%{INT:long}/%{NUMBER:float}; rows rendered
+    WITHOUT the `user=` segment (value <= 5) fail the match and carry
+    NULL in every extracted field — COUNT(v) vs COUNT(*) splits them.
+    The value round-trips string→float exactly because it renders
+    through DECIMAL(18,2) (fixed-scale text on both engines); the sum
+    accumulates in decimal (partition-order exact).  ONE hash agg."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM events"
+        ' | EVAL line = CASE(value > 5.0,'
+        ' concat(event_type, " user=", CAST(user_id AS STRING),'
+        ' " v=", CAST(CAST(value AS DECIMAL(18,2)) AS STRING)),'
+        ' concat(event_type, " anon"))'
+        ' | GROK line'
+        ' "%{WORD:etype} user=%{INT:uid:long} v=%{NUMBER:v:float}"'
+        " | STATS n = COUNT(*), matched = COUNT(v),"
+        " total = round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 2),"
+        " users = COUNT_DISTINCT(uid)"
+        " BY event_type"
+        " | SORT event_type ASC",
+        {"events": ev},
+    )
+
+
+def _q_es_esql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL scalar string functions (operators/esql _VARFNS): the
+    function-form CASE(cond, val, …, default), SPLIT on a LITERAL
+    delimiter (regex-escaped at rewrite time), REPLACE as a REGEX
+    replace (ES|QL semantics — Spark's lowercase replace stays
+    literal), LOCATE with ES|QL's (string, substring) argument order,
+    STARTS_WITH/ENDS_WITH.  Integer sums are exact; ONE hash agg
+    after the scan-pushed lang filter."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        ' | WHERE lang == "en"'
+        ' | EVAL toks = SPLIT(text, " "),'
+        ' tag = CASE(STARTS_WITH(text, "the"), "the-lead",'
+        ' ENDS_WITH(text, "s"), "s-tail", "other"),'
+        ' devoweled = REPLACE(text, "[aeiou]", ""),'
+        ' pos = LOCATE(text, "data")'
+        " | STATS n = COUNT(*), ntoks = sum(size(toks)),"
+        " vowels = sum(length(text) - length(devoweled)),"
+        " maxpos = max(pos) BY tag"
+        " | SORT tag ASC",
+        {"documents": docs},
+    )
+
+
+def _q_es_esql_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DATE_TRUNC / DATE_FORMAT / DATE_PARSE (operators/esql
+    _VARFNS): fixed-width spans floor by exact epoch-microsecond pmod
+    (the BUCKET contract — `3 hours` multiplies, pre-1970 correct),
+    calendar units truncate via date_trunc at multiplier 1 (UTC
+    session); DATE_FORMAT takes ES|QL's format-FIRST argument order;
+    the WHERE round-trips DATE_PARSE(DATE_FORMAT(ts)) == day-floor —
+    tautologically true, exercising both directions.  SORT on the
+    unique bucket key keeps LIMIT deterministic."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM events"
+        " | EVAL h3 = DATE_TRUNC(3 hours, ts),"
+        " mon = DATE_TRUNC(1 month, ts),"
+        ' d = DATE_FORMAT("yyyy-MM-dd", ts)'
+        ' | WHERE DATE_PARSE("yyyy-MM-dd", d) == DATE_TRUNC(1 day, ts)'
+        " | STATS n = COUNT(*) BY mon, h3"
+        " | SORT h3 ASC"
+        " | LIMIT 40",
+        {"events": ev},
+    )
+
+
+def _q_es_esql_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL array/statistics aggregates (operators/esql _VARFNS):
+    TOP(col, 3, "desc") (top values as an array, ties keep every
+    copy), VALUES(col) (distinct values, emitted SORTED — ES
+    documents no order; the MV_DEDUPE canonicalization stance),
+    WEIGHTED_AVG(value, weight) and STD_DEV (POPULATION σ, ES's
+    extended_stats convention) — both from exact-decimal sums
+    (partition-order independent), rounded 6 dp (S11 class)."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM events"
+        " | WHERE value IS NOT NULL"
+        " | STATS wavg = WEIGHTED_AVG(value, user_id + 1),"
+        ' sd = STD_DEV(value), top3 = TOP(value, 3, "desc"),'
+        " kinds = VALUES(event_type)"
+        " BY et = TO_UPPER(event_type)"
+        # serialize the arrays — the driver canonicalizer hashes
+        # scalars only; the 2-dp decimal rendering is lossless for
+        # this column and engine-exact
+        ' | EVAL top3 = array_join(transform(top3,'
+        ' x -> CAST(CAST(x AS DECIMAL(18,2)) AS STRING)), ","),'
+        ' kinds = array_join(kinds, ",")'
+        " | SORT et ASC",
+        {"events": ev},
+    )
+
+
+def _q_es_eql_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL `sequence by user_id [view] with runs=2 [purchase]`
+    (operators/eql _expand_runs): the runs step expands to TWO
+    consecutive view steps per the public EQL equivalence, then the
+    head-greedy chain matches view → next view → next purchase within
+    maxspan — same packed-decimal earliest-successor picks as the
+    base sequence operator, one more equi-join than the 2-step
+    form."""
+    from monstache_spark.operators.eql import eql_sequence
+
+    ev = load_table(spark, "events", sf_dir)
+    return eql_sequence(
+        ev,
+        [{"query": {"term": {"event_type": "view"}}, "runs": 2},
+         {"term": {"event_type": "purchase"}}],
+        by="user_id", maxspan_s=86400,
+    )
+
+
+def _q_es_eql_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL missing events, ES 8.10+ (operators/eql): `sequence by
+    user_id [view] ![error] [purchase] within 1d` — the head-greedy
+    view→purchase chain survives only when NO error event for the
+    key falls strictly between the pair's packed (ts, id) positions.
+    The missing step is ONE anti-join appended to the chain; the
+    error filter prunes at the scan first."""
+    from monstache_spark.operators.eql import eql_sequence
+
+    ev = load_table(spark, "events", sf_dir)
+    return eql_sequence(
+        ev,
+        [{"term": {"event_type": "view"}},
+         {"missing": {"term": {"event_type": "error"}}},
+         {"term": {"event_type": "purchase"}}],
+        by="user_id", maxspan_s=86400,
+    )
+
+
+def _q_es_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ingest-pipeline simulation (operators/ingest.py — the
+    reference routes synced docs through server-side pipelines,
+    monstache.go:222/808): set literal + copy_from, convert→string,
+    gsub, a PER-ROW conditional uppercase (`if: value > 400`), a
+    fingerprint over the MUTATED event_type (processor order is
+    visible downstream — uppercased signup rows then ESCAPE the
+    lowercase-literal drop), and schema-level removes.  The whole
+    pipeline is ONE whole-stage-codegen projection + one filter over
+    the scan."""
+    from monstache_spark.operators.ingest import ingest_pipeline
+
+    ev = load_table(spark, "events", sf_dir)
+    return ingest_pipeline(ev, [
+        {"set": {"field": "src", "value": "events"}},
+        {"set": {"field": "uid", "copy_from": "user_id"}},
+        {"convert": {"field": "value", "type": "string",
+                     "target_field": "value_s"}},
+        {"gsub": {"field": "value_s", "pattern": "\\.",
+                  "replacement": ","}},
+        {"uppercase": {"field": "event_type", "if": "value > 400"}},
+        {"fingerprint": {"fields": ["event_id", "event_type"],
+                         "target_field": "fp"}},
+        {"drop": {"if": "event_type = 'signup'"}},
+        {"remove": {"field": "ts"}},
+        {"remove": {"field": "props"}},
+    ])
+
+
+def _q_es_eql_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL head/tail pipes (operators/eql.eql_events) — the only two
+    pipes ES EQL supports: the 5 OLDEST and 5 NEWEST error events
+    under the packed (ts, id) total order, labeled and unioned.  Each
+    side compiles to TakeOrderedAndProject (per-partition top-N
+    heaps, never a full sort); the filter prunes at the scan."""
+    from monstache_spark.operators.eql import eql_events
+
+    ev = load_table(spark, "events", sf_dir)
+
+    def side(tag: str, **kw) -> DataFrame:
+        return eql_events(
+            ev, {"term": {"event_type": "error"}}, **kw
+        ).select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "ts",
+            F.col("user_id").cast("long").alias("user_id"),
+            F.lit(tag).alias("pipe"),
+        )
+
+    return side("head", head=5).unionByName(side("tail", tail=5))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -6880,6 +7081,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_retriever_rule": _q_es_retriever_rule,
         "es_esql_agg_funcs": _q_es_esql_agg_funcs,
         "es_retriever_knn_literal": _q_es_retriever_knn_literal,
+        "es_esql_grok": _q_es_esql_grok,
+        "es_esql_string_funcs": _q_es_esql_string_funcs,
+        "es_esql_date_trunc": _q_es_esql_date_trunc,
+        "es_esql_top_values": _q_es_esql_top_values,
+        "es_eql_runs": _q_es_eql_runs,
+        "es_eql_pipes": _q_es_eql_pipes,
+        "es_ingest_pipeline": _q_es_ingest_pipeline,
+        "es_eql_missing": _q_es_eql_missing,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -12356,5 +12565,192 @@ def oracle_sql() -> dict[str, str]:
                  CAST(arg_max(doc_id, n_chars * 4294967296 - doc_id) AS BIGINT) AS keep_id,
                  CAST(max(n_chars) AS BIGINT) AS keep_quality
           FROM documents GROUP BY 1
+        """,
+        # the grok regex is the SAME portable-core pattern the Spark
+        # side compiles (esql._GROK_PATTERNS) — one regex, two engines
+        "es_esql_grok": """
+          WITH lined AS (
+            SELECT event_type,
+                   CASE WHEN value > 5.0
+                        THEN event_type || ' user=' || CAST(user_id AS VARCHAR)
+                             || ' v=' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+                        ELSE event_type || ' anon' END AS line
+            FROM events
+          ),
+          g AS (
+            SELECT event_type,
+                   CASE WHEN regexp_matches(line,
+                        '(\\w+) user=([+-]?\\d+) v=([+-]?(?:\\d+(?:\\.\\d+)?|\\.\\d+))')
+                        THEN CAST(regexp_extract(line,
+                        '(\\w+) user=([+-]?\\d+) v=([+-]?(?:\\d+(?:\\.\\d+)?|\\.\\d+))', 2) AS BIGINT) END AS uid,
+                   CASE WHEN regexp_matches(line,
+                        '(\\w+) user=([+-]?\\d+) v=([+-]?(?:\\d+(?:\\.\\d+)?|\\.\\d+))')
+                        THEN CAST(regexp_extract(line,
+                        '(\\w+) user=([+-]?\\d+) v=([+-]?(?:\\d+(?:\\.\\d+)?|\\.\\d+))', 3) AS DOUBLE) END AS v
+            FROM lined
+          )
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(v) AS BIGINT) AS matched,
+                 round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE), 2) AS total,
+                 CAST(count(DISTINCT uid) AS BIGINT) AS users
+          FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "es_esql_string_funcs": """
+          WITH e AS (
+            SELECT text,
+                   string_split(text, ' ') AS toks,
+                   CASE WHEN starts_with(text, 'the') THEN 'the-lead'
+                        WHEN ends_with(text, 's') THEN 's-tail'
+                        ELSE 'other' END AS tag,
+                   regexp_replace(text, '[aeiou]', '', 'g') AS devoweled,
+                   strpos(text, 'data') AS pos
+            FROM documents WHERE lang = 'en'
+          )
+          SELECT tag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(len(toks)) AS BIGINT) AS ntoks,
+                 CAST(sum(length(text) - length(devoweled)) AS BIGINT) AS vowels,
+                 CAST(max(pos) AS INTEGER) AS maxpos
+          FROM e GROUP BY 1 ORDER BY 1
+        """,
+        "es_esql_date_trunc": """
+          WITH e AS (
+            SELECT make_timestamp(epoch_us(ts) - epoch_us(ts) % 10800000000) AS h3,
+                   CAST(date_trunc('month', ts) AS TIMESTAMP) AS mon,
+                   strftime(ts, '%Y-%m-%d') AS d,
+                   ts
+            FROM events
+          )
+          SELECT mon, h3, CAST(count(*) AS BIGINT) AS n
+          FROM e
+          WHERE strptime(d, '%Y-%m-%d')
+                = make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000)
+          GROUP BY 1, 2 ORDER BY h3 ASC LIMIT 40
+        """,
+        "es_esql_top_values": """
+          SELECT upper(event_type) AS et,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,6))
+                                * CAST(user_id + 1 AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(sum(CAST(user_id + 1 AS DECIMAL(18,6))) AS DOUBLE), 6) AS wavg,
+                 round(sqrt(greatest(CAST(0.0 AS DOUBLE),
+                       CAST(sum(CAST(value AS DECIMAL(18,6))
+                                * CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value)
+                       - power(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                               / count(value), 2))), 6) AS sd,
+                 array_to_string(list_transform(
+                   (list_sort(list(value), 'DESC'))[1:3],
+                   x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS top3,
+                 array_to_string(list_sort(list(DISTINCT event_type)), ',') AS kinds
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1 ORDER BY 1
+        """,
+        "es_eql_runs": """
+          WITH s1 AS (
+            SELECT user_id AS k, ts AS t1, event_id AS id1,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p1
+            FROM events WHERE event_type = 'view'
+          ),
+          s2 AS (
+            SELECT user_id AS k, ts AS t2, event_id AS id2,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p2
+            FROM events WHERE event_type = 'view'
+          ),
+          s3 AS (
+            SELECT user_id AS k, ts AS t3, event_id AS id3,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p3
+            FROM events WHERE event_type = 'purchase'
+          ),
+          j2 AS (
+            SELECT s1.k, s1.t1, s1.id1, min(s2.p2) AS pe2
+            FROM s1 JOIN s2 ON s1.k = s2.k AND s2.p2 > s1.p1
+                 AND epoch_us(s2.t2) - epoch_us(s1.t1) <= 86400000000
+            GROUP BY 1, 2, 3
+          ),
+          e2 AS (
+            SELECT j2.k, j2.t1, j2.id1, s2.t2, s2.id2, j2.pe2 AS p2
+            FROM j2 JOIN s2 ON j2.k = s2.k AND s2.p2 = j2.pe2
+          ),
+          j3 AS (
+            SELECT e2.k, e2.t1, e2.id1, e2.t2, e2.id2, min(s3.p3) AS pe3
+            FROM e2 JOIN s3 ON e2.k = s3.k AND s3.p3 > e2.p2
+                 AND epoch_us(s3.t3) - epoch_us(e2.t1) <= 86400000000
+            GROUP BY 1, 2, 3, 4, 5
+          ),
+          e3 AS (
+            SELECT j3.k AS user_id, j3.t1, j3.id1, j3.t2, j3.id2,
+                   s3.t3, s3.id3
+            FROM j3 JOIN s3 ON j3.k = s3.k AND s3.p3 = j3.pe3
+          )
+          SELECT user_id, t1, id1, t2, id2, t3, id3,
+                 round((epoch_us(t3) - epoch_us(t1)) / 1000000.0, 6) AS span_s
+          FROM e3
+        """,
+        "es_eql_pipes": """
+          WITH e AS (
+            SELECT event_id, ts, user_id,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p
+            FROM events WHERE event_type = 'error'
+          ),
+          h AS (SELECT event_id, ts, user_id, 'head' AS pipe
+                FROM e ORDER BY p ASC LIMIT 5),
+          t AS (SELECT event_id, ts, user_id, 'tail' AS pipe
+                FROM e ORDER BY p DESC LIMIT 5)
+          SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+                 CAST(user_id AS BIGINT) AS user_id, pipe FROM h
+          UNION ALL
+          SELECT CAST(event_id AS BIGINT), ts,
+                 CAST(user_id AS BIGINT), pipe FROM t
+        """,
+        "es_ingest_pipeline": """
+          WITH p AS (
+            SELECT event_id, user_id,
+                   CASE WHEN coalesce(value > 400, FALSE)
+                        THEN upper(event_type) ELSE event_type END AS event_type,
+                   value,
+                   'events' AS src,
+                   user_id AS uid,
+                   replace(CAST(value AS VARCHAR), '.', ',') AS value_s
+            FROM events
+          ),
+          f AS (
+            SELECT *, md5('event_id' || '|' || CAST(event_id AS VARCHAR)
+                          || '|' || 'event_type' || '|' || event_type) AS fp
+            FROM p
+          )
+          SELECT event_id, user_id, event_type, value, src, uid, value_s, fp
+          FROM f WHERE NOT coalesce(event_type = 'signup', FALSE)
+        """,
+        "es_eql_missing": """
+          WITH s1 AS (
+            SELECT user_id AS k, ts AS t1, event_id AS id1,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p1
+            FROM events WHERE event_type = 'view'
+          ),
+          s2 AS (
+            SELECT user_id AS k, ts AS t2, event_id AS id2,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p2
+            FROM events WHERE event_type = 'purchase'
+          ),
+          ex AS (
+            SELECT user_id AS k,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS pm
+            FROM events WHERE event_type = 'error'
+          ),
+          j2 AS (
+            SELECT s1.k, s1.t1, s1.id1, s1.p1, min(s2.p2) AS pe2
+            FROM s1 JOIN s2 ON s1.k = s2.k AND s2.p2 > s1.p1
+                 AND epoch_us(s2.t2) - epoch_us(s1.t1) <= 86400000000
+            GROUP BY 1, 2, 3, 4
+          ),
+          e2 AS (
+            SELECT j2.k, j2.t1, j2.id1, j2.p1, s2.t2, s2.id2, j2.pe2 AS p2
+            FROM j2 JOIN s2 ON j2.k = s2.k AND s2.p2 = j2.pe2
+          )
+          SELECT k AS user_id, t1, id1, t2, id2,
+                 round((epoch_us(t2) - epoch_us(t1)) / 1000000.0, 6) AS span_s
+          FROM e2
+          WHERE NOT EXISTS (
+            SELECT 1 FROM ex
+            WHERE ex.k = e2.k AND ex.pm > e2.p1 AND ex.pm < e2.p2
+          )
         """,
     }

@@ -52,6 +52,61 @@ def _pack(ts, id_col):
     )
 
 
+def _expand_runs(steps: list[dict]) -> list[dict]:
+    """EQL ``[ filter ] with runs=N`` — the step must match N times
+    CONSECUTIVELY.  The public EQL docs define it as identical to
+    writing the step N times, which is exactly how it compiles: a
+    ``{"query": ..., "runs": N}`` step expands to N copies of its
+    query before the chain is built (the head-greedy successor pick
+    then enforces the consecutive-match semantics step by step)."""
+    out: list[dict] = []
+    for s in steps:
+        if "runs" in s:
+            if set(s) != {"query", "runs"}:
+                raise ValueError(
+                    'a runs step must be {"query": <bool-DSL>, '
+                    f'"runs": N}}, got keys {sorted(s)}'
+                )
+            n = int(s["runs"])
+            if n < 1:
+                raise ValueError(f"runs must be >= 1, got {n}")
+            out.extend([s["query"]] * n)
+        else:
+            out.append(s)
+    return out
+
+
+def eql_events(
+    events: DataFrame,
+    query: dict,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    head: int | None = None,
+    tail: int | None = None,
+    analyzer=None,
+) -> DataFrame:
+    """EQL simple event query with the ``head`` / ``tail`` pipes —
+    the only two pipes ES EQL supports.  Events order by the packed
+    (ts, id) total order (EQL's timestamp-then-tiebreaker contract,
+    deterministic on any partitioning); ``head N`` keeps the N
+    OLDEST matching events, ``tail N`` the N NEWEST.
+
+    Plan shape (100 TB): the filter prunes at the scan
+    (pushdown-eligible bool-DSL), and orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-N heaps merged at the
+    driver, never a full sort.
+    """
+    if head is not None and tail is not None:
+        raise ValueError("pick ONE of head/tail (EQL accepts one pipe)")
+    df = events.filter(compile_bool_query(query, analyzer=analyzer))
+    p = _pack(F.col(ts_col), id_col)
+    if head is not None:
+        df = df.orderBy(p.asc()).limit(int(head))
+    elif tail is not None:
+        df = df.orderBy(p.desc()).limit(int(tail))
+    return df
+
+
 def eql_sequence(
     events: DataFrame,
     steps: list[dict],
@@ -62,10 +117,17 @@ def eql_sequence(
     analyzer=None,
     until: dict | None = None,
 ) -> DataFrame:
-    """Match an EQL ``sequence`` of 2+ ``steps`` (each a bool-DSL dict)
-    joined by the ``by`` key, the first→last gap bounded by
-    ``maxspan_s`` seconds.  Returns one row per completed sequence:
-    ``(by, t1, id1, t2, id2, ..., span_s)``.
+    """Match an EQL ``sequence`` of 2+ ``steps`` (each a bool-DSL
+    dict, or ``{"query": <bool-DSL>, "runs": N}`` for EQL's
+    ``with runs=N`` repeat — expanded to N copies per the public EQL
+    equivalence — or ``{"missing": <bool-DSL>}`` for an ES 8.10+
+    MISSING-event step: no matching event may fall strictly between
+    its neighboring positive steps, or within the maxspan window
+    before/after the chain for the leading/trailing forms) joined by
+    the ``by`` key, the first→last gap bounded by ``maxspan_s``
+    seconds.  Returns one row per completed sequence:
+    ``(by, t1, id1, t2, id2, ..., span_s)`` — positive steps only
+    carry output columns.
 
     The earliest-successor pick per step is a hash agg over a packed
     decimal (no struct buffers); the maxspan bound applies to every
@@ -84,8 +146,38 @@ def eql_sequence(
     one broadcast-able range anti-join on the key — no extra corpus
     pass.
     """
+    steps = _expand_runs(steps)
+    # EQL missing events (ES 8.10+): `[a] ![b] [c]` — a step written
+    # {"missing": <bool-DSL>} asserts NO matching event for the key
+    # falls strictly between its neighboring positive events'
+    # packed positions (leading/trailing forms window by maxspan —
+    # required there, as in ES).  Positive steps form the join chain;
+    # each missing step is ONE broadcast-able anti-join at the end.
+    positive: list[dict] = []
+    missing: list[dict] = []
+    prev_was_missing = False
+    for s in steps:
+        if isinstance(s, dict) and set(s) == {"missing"}:
+            if prev_was_missing:
+                raise ValueError(
+                    "adjacent missing-event steps are not allowed "
+                    "(the ES restriction)"
+                )
+            missing.append({"query": s["missing"], "after": len(positive)})
+            prev_was_missing = True
+        else:
+            positive.append(s)
+            prev_was_missing = False
+    for m in missing:
+        if m["after"] in (0, len(positive)) and maxspan_s is None:
+            raise ValueError(
+                "a leading/trailing missing-event step needs maxspan "
+                "(ES requires it too — the window is otherwise "
+                "unbounded)"
+            )
+    steps = positive
     if len(steps) < 2:
-        raise ValueError("a sequence needs at least 2 steps")
+        raise ValueError("a sequence needs at least 2 positive steps")
     frames = []
     for i, step in enumerate(steps, start=1):
         f = events.filter(compile_bool_query(step, analyzer=analyzer))
@@ -156,6 +248,39 @@ def eql_sequence(
             & (u["_pu"] <= seq[f"_p{n}"]),
             "left_anti",
         )
+    for m in missing:
+        mf = events.filter(
+            compile_bool_query(m["query"], analyzer=analyzer)
+        ).select(
+            F.col(by).alias("_km"),
+            F.col(ts_col).alias("_tm"),
+            _pack(F.col(ts_col), id_col).alias("_pm"),
+        )
+        n = len(steps)
+        pos = m["after"]
+        cond = seq["_k"] == mf["_km"]
+        if pos == 0:
+            # leading: no matching event in the maxspan window BEFORE
+            # the first step (strictly earlier in the packed order)
+            span_us = int(maxspan_s * 1_000_000)
+            cond = cond & (mf["_pm"] < seq["_p1"]) & (
+                F.unix_micros(seq["t1"]) - F.unix_micros(mf["_tm"])
+                <= F.lit(span_us)
+            )
+        elif pos == n:
+            # trailing: none in the maxspan window AFTER the last step
+            span_us = int(maxspan_s * 1_000_000)
+            cond = cond & (mf["_pm"] > seq[f"_p{n}"]) & (
+                F.unix_micros(mf["_tm"]) - F.unix_micros(seq[f"t{n}"])
+                <= F.lit(span_us)
+            )
+        else:
+            # in between: strictly inside the neighboring positives'
+            # packed positions (the sequence span already bounds it)
+            cond = cond & (mf["_pm"] > seq[f"_p{pos}"]) & (
+                mf["_pm"] < seq[f"_p{pos + 1}"]
+            )
+        seq = seq.join(mf, cond, "left_anti")
     out_cols = [F.col("_k").alias(by)]
     for i in range(1, len(steps) + 1):
         out_cols += [F.col(f"t{i}"), F.col(f"id{i}")]

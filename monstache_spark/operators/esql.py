@@ -32,8 +32,13 @@ Supported commands (the ES|QL processing core):
 * ``DISSECT col "%{a} %{b}"`` — the dissect processor: the pattern's
   literal separators compile to ONE anchored regex with a capture
   group per ``%{key}`` (appended as string columns, null on
-  non-match); ``%{}`` skips a segment.  GROK stays refused — it
-  carries a named pattern library that belongs to the caller
+  non-match); ``%{}`` skips a segment
+* ``GROK col "%{PAT:field[:type]} …"`` — the grok processor over the
+  BUILT-IN pattern library (``_GROK_PATTERNS``), re-rendered in the
+  Java-regex ∩ RE2 portable core so one regex evaluates identically
+  on Spark and any independent oracle; ``:int``/``:long``/``:float``
+  convert; literal text between tokens is raw regex (capturing
+  groups in it are refused — they would shift extraction indices)
 
 Round-10 8.18 surface: full-text ``MATCH(field, "q" [, options])``
 (``_rewrite_match`` — OR over simple-analyzed query tokens, operator
@@ -50,10 +55,12 @@ surface ``script``/``script_score``/``bucket_script`` use): ES|QL's
 quotes (rewritten to SQL singles), and function calls pass through to
 Spark SQL — the documented subset is the set both engines evaluate
 identically (arithmetic, comparisons, CASE, CAST, string functions,
-date_trunc).  Unknown commands RAISE rather than silently skip —
-``DISSECT``/``GROK``/``ENRICH`` need pattern/lookup state that belongs
-to the caller (join the lookup frame and use EVAL, the same advice
-ES gives for ENRICH-less deployments).
+date_trunc).  ES|QL spellings that collide with a Spark builtin of
+different semantics or argument order (SPLIT, REPLACE, LOCATE,
+DATE_FORMAT, DATE_TRUNC, PERCENTILE, …) rewrite CASE-SENSITIVELY —
+only the uppercase ES|QL form; the lowercase Spark form passes
+through untouched.  Unknown commands RAISE rather than silently
+skip.
 
 Scale note: because compilation is purely structural, every plan
 property the engine guarantees elsewhere holds here automatically —
@@ -90,6 +97,7 @@ def _tr_expr(expr: str) -> str:
     expr = _rewrite_date_extract(expr)
     expr = _rewrite_percentile(expr)
     expr = _rewrite_agg_spellings(expr)
+    expr = _rewrite_varfns(expr)
     expr = _rewrite_fns(expr)
 
     out = []
@@ -443,6 +451,253 @@ def _rewrite_agg_spellings(expr: str) -> str:
     return expr
 
 
+def _h_case(args: list[str]) -> str:
+    """ES|QL ``CASE(cond1, val1, [cond2, val2, …][, default])`` —
+    the function-form conditional → SQL ``CASE WHEN`` (no default →
+    NULL, as ES|QL documents)."""
+    if len(args) < 2:
+        raise ValueError("CASE takes (cond, value, ..., [default])")
+    out = ["(CASE"]
+    i = 0
+    while i + 1 < len(args):
+        out.append(f" WHEN {args[i]} THEN {args[i + 1]}")
+        i += 2
+    if i < len(args):
+        out.append(f" ELSE {args[i]}")
+    out.append(" END)")
+    return "".join(out)
+
+
+def _h_split(args: list[str]) -> str:
+    """ES|QL ``SPLIT(string, delimiter)`` splits on a LITERAL
+    delimiter; Spark's ``split`` takes a regex — the literal is
+    regex-escaped at rewrite time, so it must be a string literal
+    (a column-valued delimiter cannot be escaped structurally)."""
+    if len(args) != 2:
+        raise ValueError("SPLIT takes (string, delimiter)")
+    m = re.fullmatch(r'\s*"((?:[^"\\]|\\.)*)"\s*', args[1])
+    if not m:
+        raise ValueError(
+            "SPLIT delimiter must be a string literal (it is regex-"
+            "escaped at rewrite time; use EVAL with split() for a "
+            "regex delimiter)"
+        )
+    raw = m.group(1).replace('\\"', '"')
+    # re.escape → regex metachars neutralized; the Spark SQL string
+    # literal then needs its own backslash doubling + quote escaping
+    lit = re.escape(raw).replace("\\", "\\\\").replace("'", "''")
+    return f"split({args[0].strip()}, '{lit}')"
+
+
+def _h_locate(args: list[str]) -> str:
+    """ES|QL ``LOCATE(string, substring [, start])`` — Spark's
+    ``locate`` takes (substring, string [, pos]): swap."""
+    if len(args) == 2:
+        return f"locate({args[1].strip()}, {args[0].strip()})"
+    if len(args) == 3:
+        return (
+            f"locate({args[1].strip()}, {args[0].strip()},"
+            f" {args[2].strip()})"
+        )
+    raise ValueError("LOCATE takes (string, substring [, start])")
+
+
+def _h_date_format(args: list[str]) -> str:
+    """ES|QL ``DATE_FORMAT(format, date)`` — format FIRST, the
+    reverse of Spark's ``date_format(date, format)``.  The 1-arg
+    default-format form raises: ES's default renders the index
+    mapping's format, state this engine does not carry."""
+    if len(args) != 2:
+        raise ValueError(
+            "DATE_FORMAT takes (format, date) — the 1-arg default-"
+            "format form depends on the ES index mapping; pass the "
+            "format explicitly"
+        )
+    return f"date_format({args[1].strip()}, {args[0].strip()})"
+
+
+def _h_date_parse(args: list[str]) -> str:
+    """ES|QL ``DATE_PARSE(format, string)`` → Spark
+    ``to_timestamp(string, format)`` (both use java.time patterns)."""
+    if len(args) != 2:
+        raise ValueError("DATE_PARSE takes (format, string)")
+    return f"to_timestamp({args[1].strip()}, {args[0].strip()})"
+
+
+# calendar units DATE_TRUNC can only truncate at multiplier 1, via
+# Spark/DuckDB date_trunc (UTC session timezone makes them exact)
+_CAL_TRUNC_UNITS = {"week", "month", "quarter", "year"}
+
+
+def _h_date_trunc(args: list[str]) -> str:
+    """ES|QL ``DATE_TRUNC(interval, date)`` — interval is a time
+    span literal (``1 day``, ``3 hours``, ``1 month``).  Fixed-width
+    units floor by exact epoch-microsecond pmod (the BUCKET
+    contract — UTC, pre-1970 correct, any multiplier); calendar
+    units (week/month/quarter/year) truncate via ``date_trunc`` and
+    admit only multiplier 1 (an "every 3 months" floor is BUCKET's
+    4-arg territory, unsupported)."""
+    if len(args) != 2:
+        raise ValueError("DATE_TRUNC takes (interval, date)")
+    sm = re.fullmatch(
+        r'\s*"?\s*(\d+)\s+([A-Za-z]+?)s?\s*"?\s*', args[0]
+    )
+    if not sm:
+        raise ValueError(f"unsupported DATE_TRUNC interval: {args[0]!r}")
+    n, unit = int(sm.group(1)), sm.group(2).lower()
+    col = args[1].strip()
+    if unit in _BUCKET_SPAN_US and unit != "week":
+        span = n * _BUCKET_SPAN_US[unit]
+        return (
+            f"timestamp_micros(unix_micros({col}) "
+            f"- pmod(unix_micros({col}), {span}))"
+        )
+    if unit in _CAL_TRUNC_UNITS:
+        if n != 1:
+            raise ValueError(
+                f"DATE_TRUNC calendar unit {unit!r} admits only "
+                "multiplier 1 (epoch pmod would misplace calendar "
+                "boundaries)"
+            )
+        return f"date_trunc('{unit}', {col})"
+    raise ValueError(f"unsupported DATE_TRUNC unit: {unit!r}")
+
+
+def _h_top(args: list[str]) -> str:
+    """ES|QL ``TOP(col, limit, "asc"|"desc")`` aggregate — the top
+    ``limit`` values as an array.  Nulls are ignored (collect_list
+    skips them), ties keep every copy — exactly ES's contract."""
+    if len(args) != 3:
+        raise ValueError('TOP takes (column, limit, "asc"|"desc")')
+    col = args[0].strip()
+    lm = re.fullmatch(r"\s*(\d+)\s*", args[1])
+    if not lm:
+        raise ValueError(f"TOP limit must be an integer literal: {args[1]!r}")
+    om = re.fullmatch(r'\s*"(asc|desc)"\s*', args[2], re.I)
+    if not om:
+        raise ValueError(f'TOP order must be "asc" or "desc": {args[2]!r}')
+    body = f"array_sort(collect_list({col}))"
+    if om.group(1).lower() == "desc":
+        body = f"reverse({body})"
+    return f"slice({body}, 1, {int(lm.group(1))})"
+
+
+def _h_values(args: list[str]) -> str:
+    """ES|QL ``VALUES(col)`` aggregate — the distinct values as an
+    array.  ES documents NO output order; emitted SORTED so the
+    result is deterministic on any engine and partitioning (the
+    MV_DEDUPE canonicalization stance)."""
+    if len(args) != 1:
+        raise ValueError("VALUES takes one column")
+    return f"array_sort(collect_set({args[0].strip()}))"
+
+
+def _h_weighted_avg(args: list[str]) -> str:
+    """ES|QL ``WEIGHTED_AVG(value, weight)`` → Σvw/Σw with BOTH sums
+    accumulated in exact decimal (order-independent across any
+    partitioning — a double sum is not), divided as doubles and
+    rounded 6 dp (the S11 contract class)."""
+    if len(args) != 2:
+        raise ValueError("WEIGHTED_AVG takes (value, weight)")
+    v, w = args[0].strip(), args[1].strip()
+    return (
+        f"round(CAST(sum(CAST({v} AS DECIMAL(18,6))"
+        f" * CAST({w} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / CAST(sum(CAST({w} AS DECIMAL(18,6))) AS DOUBLE), 6)"
+    )
+
+
+def _h_std_dev(args: list[str]) -> str:
+    """ES|QL ``STD_DEV(col)`` → POPULATION standard deviation (ES's
+    extended_stats convention) from exact-decimal moment sums:
+    ``sqrt(Σx²/n − (Σx/n)²)`` — the decimal sums are partition-order
+    independent, the double arithmetic after them is one fixed IEEE
+    expression tree on both engines; ``greatest(0)`` guards the
+    rounding-epsilon-negative variance; rounded 6 dp (S11 class)."""
+    if len(args) != 1:
+        raise ValueError("STD_DEV takes one column")
+    c = args[0].strip()
+    return (
+        f"round(sqrt(greatest(CAST(0.0 AS DOUBLE),"
+        f" CAST(sum(CAST({c} AS DECIMAL(18,6))"
+        f" * CAST({c} AS DECIMAL(18,6))) AS DOUBLE) / count({c})"
+        f" - power(CAST(sum(CAST({c} AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / count({c}), 2))), 6)"
+    )
+
+
+# multi-argument ES|QL functions → handlers.  case=True entries
+# collide with a Spark builtin of DIFFERENT semantics or argument
+# order (SPLIT regex-vs-literal delimiter, REPLACE literal-vs-regex,
+# LOCATE/DATE_FORMAT/DATE_TRUNC argument order) — only the uppercase
+# ES|QL spelling rewrites; the lowercase Spark spelling passes
+# through untouched (the PERCENTILE contract).
+_VARFNS: dict[str, tuple[bool, "callable"]] = {
+    "CASE": (False, _h_case),
+    "SPLIT": (True, _h_split),
+    # ES|QL REPLACE(string, regex, new) is a REGEX replace; Spark's
+    # replace is literal — route to regexp_replace
+    "REPLACE": (
+        True,
+        lambda a: (
+            f"regexp_replace({a[0].strip()}, {a[1].strip()},"
+            f" {a[2].strip()})"
+            if len(a) == 3
+            else (_ for _ in ()).throw(
+                ValueError("REPLACE takes (string, regex, new)")
+            )
+        ),
+    ),
+    "LOCATE": (True, _h_locate),
+    "STARTS_WITH": (
+        False,
+        lambda a: f"startswith({a[0].strip()}, {a[1].strip()})"
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("STARTS_WITH takes (string, prefix)")
+        ),
+    ),
+    "ENDS_WITH": (
+        False,
+        lambda a: f"endswith({a[0].strip()}, {a[1].strip()})"
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("ENDS_WITH takes (string, suffix)")
+        ),
+    ),
+    "DATE_FORMAT": (True, _h_date_format),
+    "DATE_PARSE": (False, _h_date_parse),
+    "DATE_TRUNC": (True, _h_date_trunc),
+    "TOP": (False, _h_top),
+    "VALUES": (False, _h_values),
+    "WEIGHTED_AVG": (False, _h_weighted_avg),
+    "STD_DEV": (False, _h_std_dev),
+}
+
+
+def _rewrite_varfns(expr: str) -> str:
+    """Rewrite the multi-argument ES|QL functions in ``_VARFNS``,
+    OUTERMOST-first with a rescan after every rewrite (handlers copy
+    argument text verbatim, so an inner call re-surfaces in the
+    emitted text and the next pass picks it up — nested and
+    same-name-nested calls both converge).  Every handler emits only
+    lowercase Spark spellings / SQL keywords that the scan cannot
+    re-match, so the fixpoint loop terminates."""
+    changed = True
+    while changed:
+        changed = False
+        for fn, (case_sensitive, handler) in _VARFNS.items():
+            calls = _find_calls(expr, fn, case_sensitive=case_sensitive)
+            if not calls:
+                continue
+            start, open_p, close_p = calls[0]
+            args = _split_top(expr[open_p + 1:close_p], ",")
+            expr = expr[:start] + handler(args) + expr[close_p + 1:]
+            changed = True
+            break
+    return expr
+
+
 def _rewrite_percentile(expr: str) -> str:
     """ES|QL ``PERCENTILE(col, p)`` (p in 0..100) → the S4 exact
     contract: ``round(percentile(col, p/100), 6)`` — exact
@@ -733,6 +988,121 @@ def _dissect_regex(pattern: str) -> tuple[str, list[str]]:
     return "".join(out), keys
 
 
+# The built-in grok pattern library, restricted to the Java-regex ∩
+# RE2 portable core (no lookaround, no atomic groups, no backrefs) so
+# the SAME regex evaluates identically on Spark and any independent
+# oracle engine.  Names and intent follow the public Logstash
+# grok-patterns file; definitions that upstream writes with
+# lookbehind/atomic groups (BASE10NUM et al.) are re-rendered in the
+# portable subset — the matched LANGUAGE is the practical one (a
+# leading sign is taken greedily, not context-gated).  IP is the IPv4
+# form (IPv6's upstream definition is lookahead-heavy; pass an
+# explicit portable pattern inline if you need it).
+_GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "POSINT": r"[1-9]\d*",
+    "NONNEGINT": r"\d+",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "BASE16NUM": r"(?:0[xX])?[0-9a-fA-F]+",
+    "IPV4": (
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+        r"(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}"
+    ),
+    "IP": (
+        r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+        r"(?:\.(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}"
+    ),
+    "HOSTNAME": (
+        r"(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+        r"(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?"
+    ),
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "LOGLEVEL": (
+        r"(?:[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|"
+        r"NOTICE|[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|"
+        r"[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|"
+        r"[Ff]atal|FATAL|[Ss]evere|SEVERE|[Ee]merg(?:ency)?|"
+        r"EMERG(?:ENCY)?)"
+    ),
+    "TIMESTAMP_ISO8601": (
+        r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+        r"(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?"
+    ),
+}
+
+_GROK_TOKEN = re.compile(
+    r"%\{(\w+)(?::([A-Za-z_][A-Za-z0-9_.]*))?(?::(int|long|float|double))?\}"
+)
+
+
+def _grok_check_literal(lit: str) -> None:
+    """The text BETWEEN %{...} tokens is raw regex (grok's contract);
+    a CAPTURING group in it would silently shift every extraction
+    index — only non-capturing ``(?:`` groups are admitted, loudly.
+    A leftover ``%{`` means a token the grammar did not parse (bad
+    type suffix, illegal field name) — raise instead of letting it
+    degrade into literal regex text."""
+    if "%{" in lit:
+        raise ValueError(
+            f"malformed grok token in {lit!r} — expected "
+            "%{PATTERN[:field[:int|long|float|double]]}"
+        )
+    i = 0
+    while i < len(lit):
+        if lit[i] == "\\":
+            i += 2
+            continue
+        if lit[i] == "(" and not lit.startswith("(?:", i):
+            raise ValueError(
+                "GROK literal text may only use non-capturing groups "
+                "(?:...) — a capturing group would shift the "
+                f"extraction indices: {lit!r}"
+            )
+        i += 1
+
+
+def _grok_compile(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """Grok pattern → (regex, [(field, type), …]).  ``%{PAT:name}``
+    captures, ``%{PAT:name:int}`` captures with conversion,
+    ``%{PAT}`` matches without capturing; unknown pattern names and
+    duplicate field names raise."""
+    fields: list[tuple[str, str | None]] = []
+    out: list[str] = []
+    pos = 0
+    for m in _GROK_TOKEN.finditer(pattern):
+        lit = pattern[pos:m.start()]
+        _grok_check_literal(lit)
+        out.append(lit)
+        pname, fname, ftype = m.group(1), m.group(2), m.group(3)
+        body = _GROK_PATTERNS.get(pname)
+        if body is None:
+            raise ValueError(
+                f"unknown grok pattern %{{{pname}}} — supported: "
+                f"{sorted(_GROK_PATTERNS)}"
+            )
+        if fname:
+            if any(f == fname for f, _ in fields):
+                raise ValueError(f"duplicate grok field name: {fname!r}")
+            fields.append((fname, ftype))
+            out.append(f"({body})")
+        else:
+            out.append(f"(?:{body})")
+        pos = m.end()
+    _grok_check_literal(pattern[pos:])
+    out.append(pattern[pos:])
+    if not fields:
+        raise ValueError("GROK pattern extracts no fields")
+    return "".join(out), fields
+
+
 def esql(
     query: str,
     tables: dict[str, DataFrame],
@@ -1009,6 +1379,32 @@ def esql(
                     F.when(F.col(src_col).rlike(rx), piece),
                 )
             df = df.drop(src_col)
+        elif cmd == "GROK":
+            m = re.match(
+                r'^([A-Za-z_][A-Za-z0-9_.]*)\s+"((?:[^"\\]|\\.)*)"$', body, re.S
+            )
+            if not m:
+                raise ValueError(f'GROK needs `col "%{{PAT:field}} …"`: {body!r}')
+            col, pattern = m.group(1), m.group(2).replace('\\"', '"')
+            rx, fields = _grok_compile(pattern)
+            # unanchored search semantics (grok's contract — both
+            # rlike and regexp_extract search, not match); a
+            # non-matching row yields NULL in every extracted field,
+            # a matching row yields each group's text (possibly "").
+            # Same preserved-source-copy trick as DISSECT: a field
+            # that shares the input column's name must not corrupt
+            # later extractions.
+            src_col = "_grok_src"
+            df = df.withColumn(src_col, F.col(col))
+            for i, (fname, ftype) in enumerate(fields, start=1):
+                piece = F.regexp_extract(F.col(src_col), rx, i)
+                c = F.when(F.col(src_col).rlike(rx), piece)
+                if ftype in ("int", "long"):
+                    c = c.cast("bigint")
+                elif ftype in ("float", "double"):
+                    c = c.cast("double")
+                df = df.withColumn(fname, c)
+            df = df.drop(src_col)
         elif cmd in ("FORK", "COMPLETION", "RERANK"):
             # DIVERGENCES S31: COMPLETION/RERANK call a deployed
             # inference model (never hash-verifiable against an
@@ -1021,9 +1417,5 @@ def esql(
                 "tree's text_similarity_reranker stand-in"
             )
         else:
-            raise ValueError(
-                f"unsupported ES|QL command: {cmd} (GROK carries a named "
-                "pattern library that belongs to the caller — use DISSECT "
-                "or EVAL with regexp_extract)"
-            )
+            raise ValueError(f"unsupported ES|QL command: {cmd}")
     return df

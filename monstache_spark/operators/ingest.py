@@ -1,0 +1,281 @@
+"""ES ingest-pipeline simulation over DataFrames.
+
+The reference routes every synced document through a server-side ES
+ingest pipeline when configured (monstache.go:222,270 ``Pipeline``
+config, applied per bulk request at monstache.go:808; it even
+installs one itself — the ``attachment`` pipeline, monstache.go:791).
+The processors then run inside ES, invisible to the sync engine.
+This module makes that stage a first-class, testable operator: a
+pipeline definition (the same JSON processor list ES's
+``PUT _ingest/pipeline`` takes) compiles to declarative Column
+transformations — one Catalyst projection chain, no shuffle, no UDF.
+
+Supported processors (the deterministic core): ``set`` (literal or
+``copy_from``, ``override``), ``rename``, ``remove``, ``convert``,
+``gsub``, ``lowercase``/``uppercase``/``trim``, ``split`` (the
+separator is a REGEX, as ES documents), ``join``, ``append``,
+``date`` (first-matching-format parse via try_to_timestamp),
+``fingerprint``, ``grok`` (the built-in portable pattern library —
+DIVERGENCES S32), ``dissect``, and ``drop``.
+
+Per-processor ``if`` conditions take the engine's shared painless→SQL
+binding (a SQL boolean expression over the row, the same contract as
+``script`` queries): value-producing processors apply PER ROW (rows
+failing the condition keep their old value, exactly ES's semantics);
+the two SCHEMA-level processors (``rename``, ``remove``) cannot vary
+per row in a columnar engine and refuse an ``if`` loudly.
+
+Refused processors: ``script`` (arbitrary stateful painless — the S25
+grounds), ``geoip``/``user_agent`` (versioned binary lookup databases
+no independent engine can replicate), ``enrich`` (use the ES|QL
+ENRICH command / a join), ``pipeline`` (compose lists in Python).
+
+Failure contract: ``convert``/``date`` yield NULL on unparseable
+input (ES's ``ignore_failure: true`` shape) — the strict fail-the-doc
+mode has no row-level exception channel in a columnar plan.
+
+Scale: every processor is a Column expression; the whole pipeline is
+ONE whole-stage-codegen projection over the scan (``drop`` adds a
+pushdown-eligible filter).  100 TB cost = the scan itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_REFUSED = {
+    "script": "arbitrary stateful painless (S25 grounds) — use the "
+    "SQL-subset via set/copy_from or a mapper UDF",
+    "geoip": "requires a versioned MaxMind binary database no "
+    "independent engine can replicate",
+    "user_agent": "requires a versioned regexes.yaml parse database",
+    "enrich": "use the ES|QL ENRICH command or join the lookup frame",
+    "pipeline": "compose processor lists in Python before compiling",
+}
+
+_CONVERT_TYPES = {
+    "integer": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+}
+
+
+def _apply_conditional(
+    df: DataFrame, field: str, new_val: Column, cond: str | None
+) -> DataFrame:
+    """Set ``field`` to ``new_val``, per-row gated by the optional
+    ``if`` condition: rows failing it keep their old value (or NULL
+    when the field did not exist — ES leaves the doc untouched, which
+    for a new field is the same as null)."""
+    if cond is None:
+        return df.withColumn(field, new_val)
+    c = F.coalesce(F.expr(cond), F.lit(False))
+    old = F.col(field) if field in df.columns else F.lit(None)
+    return df.withColumn(field, F.when(c, new_val).otherwise(old))
+
+
+def _require(opts: dict, *keys: str) -> None:
+    for k in keys:
+        if k not in opts:
+            raise ValueError(f"processor option {k!r} is required")
+
+
+def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
+    """Compile an ES ingest-pipeline processor list against ``df``.
+    Each element is ``{"<type>": {options}}`` exactly as in the ES
+    pipeline definition JSON; processors apply IN ORDER (a later
+    processor sees every earlier mutation, including conditional
+    ones — the ES execution contract)."""
+    for proc in processors:
+        if len(proc) != 1:
+            raise ValueError(
+                f"each processor is one {{type: options}} dict, got "
+                f"keys {sorted(proc)}"
+            )
+        (ptype, opts), = proc.items()
+        if ptype in _REFUSED:
+            raise ValueError(
+                f"unsupported ingest processor {ptype!r}: "
+                f"{_REFUSED[ptype]}"
+            )
+        cond = opts.get("if")
+
+        if ptype == "set":
+            _require(opts, "field")
+            if "copy_from" in opts:
+                val = F.col(opts["copy_from"])
+            elif "value" in opts:
+                val = F.lit(opts["value"])
+            else:
+                raise ValueError("set needs `value` or `copy_from`")
+            field = opts["field"]
+            if not opts.get("override", True) and field in df.columns:
+                val = F.coalesce(F.col(field), val)
+            df = _apply_conditional(df, field, val, cond)
+
+        elif ptype in ("rename", "remove"):
+            _require(opts, "field")
+            if cond is not None:
+                raise ValueError(
+                    f"{ptype} is schema-level in a columnar engine "
+                    "and cannot apply per-row — drop the `if` or "
+                    "model it as a conditional set + remove"
+                )
+            if ptype == "remove":
+                df = df.drop(opts["field"])
+            else:
+                _require(opts, "target_field")
+                if opts["target_field"] in df.columns:
+                    raise ValueError(
+                        f"rename target {opts['target_field']!r} "
+                        "already exists (ES fails the document too)"
+                    )
+                df = df.withColumnRenamed(
+                    opts["field"], opts["target_field"]
+                )
+
+        elif ptype == "convert":
+            _require(opts, "field", "type")
+            t = _CONVERT_TYPES.get(opts["type"])
+            if t is None:
+                raise ValueError(
+                    f"convert type must be one of "
+                    f"{sorted(_CONVERT_TYPES)}, got {opts['type']!r}"
+                )
+            tgt = opts.get("target_field", opts["field"])
+            df = _apply_conditional(
+                df, tgt, F.col(opts["field"]).try_cast(t), cond
+            )
+
+        elif ptype == "gsub":
+            _require(opts, "field", "pattern", "replacement")
+            tgt = opts.get("target_field", opts["field"])
+            df = _apply_conditional(
+                df,
+                tgt,
+                F.regexp_replace(
+                    F.col(opts["field"]),
+                    opts["pattern"],
+                    opts["replacement"],
+                ),
+                cond,
+            )
+
+        elif ptype in ("lowercase", "uppercase", "trim"):
+            _require(opts, "field")
+            fn = {"lowercase": F.lower, "uppercase": F.upper,
+                  "trim": F.trim}[ptype]
+            tgt = opts.get("target_field", opts["field"])
+            df = _apply_conditional(df, tgt, fn(F.col(opts["field"])), cond)
+
+        elif ptype == "split":
+            _require(opts, "field", "separator")
+            tgt = opts.get("target_field", opts["field"])
+            # the separator is a REGEX — ES documents it as one, and
+            # Spark's split takes the same Java dialect
+            df = _apply_conditional(
+                df, tgt,
+                F.split(F.col(opts["field"]), opts["separator"]), cond,
+            )
+
+        elif ptype == "join":
+            _require(opts, "field", "separator")
+            tgt = opts.get("target_field", opts["field"])
+            df = _apply_conditional(
+                df, tgt,
+                F.array_join(F.col(opts["field"]), opts["separator"]),
+                cond,
+            )
+
+        elif ptype == "append":
+            _require(opts, "field", "value")
+            field = opts["field"]
+            vals = opts["value"]
+            if not isinstance(vals, list):
+                vals = [vals]
+            add = F.array(*[F.lit(v) for v in vals])
+            base = (
+                F.coalesce(F.col(field), F.array())
+                if field in df.columns
+                else F.array()
+            )
+            df = _apply_conditional(df, field, F.concat(base, add), cond)
+
+        elif ptype == "date":
+            _require(opts, "field", "formats")
+            tgt = opts.get("target_field", "@timestamp")
+            tries = [
+                F.try_to_timestamp(F.col(opts["field"]))
+                if fmt in ("ISO8601", "iso8601")
+                else F.try_to_timestamp(F.col(opts["field"]), F.lit(fmt))
+                for fmt in opts["formats"]
+            ]
+            df = _apply_conditional(df, tgt, F.coalesce(*tries), cond)
+
+        elif ptype == "fingerprint":
+            _require(opts, "fields")
+            tgt = opts.get("target_field", "fingerprint")
+            method = opts.get("method", "MD5").upper().replace("-", "")
+            # documented contract (ES's exact byte layout is an
+            # internal salt+separator scheme): names and stringified
+            # values, field-name order, '|'-joined, then hashed
+            parts: list[Column] = []
+            for f in opts["fields"]:
+                parts += [F.lit(f), F.col(f).cast("string")]
+            joined = F.concat_ws("|", *parts)
+            if method == "MD5":
+                h = F.md5(joined)
+            elif method == "SHA1":
+                h = F.sha1(joined)
+            elif method in ("SHA256", "SHA2"):
+                h = F.sha2(joined, 256)
+            else:
+                raise ValueError(
+                    f"fingerprint method must be MD5/SHA-1/SHA-256, "
+                    f"got {opts.get('method')!r}"
+                )
+            df = _apply_conditional(df, tgt, h, cond)
+
+        elif ptype == "grok":
+            from monstache_spark.operators.esql import _grok_compile
+
+            _require(opts, "field", "patterns")
+            pats = opts["patterns"]
+            if not isinstance(pats, list) or len(pats) != 1:
+                raise ValueError(
+                    "grok supports exactly ONE pattern here — ES's "
+                    "try-in-order list would set a different FIELD SET "
+                    "per row, which has no columnar schema"
+                )
+            rx, fields = _grok_compile(pats[0])
+            src = F.col(opts["field"])
+            matched = src.rlike(rx)
+            for i, (fname, ftype) in enumerate(fields, start=1):
+                piece = F.when(matched, F.regexp_extract(src, rx, i))
+                if ftype in ("int", "long"):
+                    piece = piece.cast("bigint")
+                elif ftype in ("float", "double"):
+                    piece = piece.cast("double")
+                df = _apply_conditional(df, fname, piece, cond)
+
+        elif ptype == "dissect":
+            from monstache_spark.operators.esql import _dissect_regex
+
+            _require(opts, "field", "pattern")
+            rx, keys = _dissect_regex(opts["pattern"])
+            src = F.col(opts["field"])
+            for i, key in enumerate(keys, start=1):
+                piece = F.when(src.rlike(rx), F.regexp_extract(src, rx, i))
+                df = _apply_conditional(df, key, piece, cond)
+
+        elif ptype == "drop":
+            _require(opts, "if")
+            df = df.filter(~F.coalesce(F.expr(opts["if"]), F.lit(False)))
+
+        else:
+            raise ValueError(f"unknown ingest processor: {ptype!r}")
+    return df

@@ -70,7 +70,7 @@ def test_tie_at_equal_timestamp_breaks_by_id(spark):
 
 
 def test_requires_two_steps(ev):
-    with pytest.raises(ValueError, match="2 steps"):
+    with pytest.raises(ValueError, match="2 positive steps"):
         eql_sequence(ev, [{"term": {"kind": "a"}}], by="user")
 
 
@@ -182,3 +182,137 @@ def test_sequence_until_kills_at_completion_instant(spark):
         ev, steps, by="user", until={"term": {"event_type": "start"}}
     ).collect()
     assert sorted(r["user"] for r in stands) == ["d", "e"]
+
+
+def test_runs_expansion_semantics(spark):
+    """`[a] with runs=2 [b]` expands to a→a→b (the public EQL
+    equivalence): a key with only ONE `a` before its `b` cannot
+    complete; consecutive picks stay head-greedy."""
+    rows = [
+        (1, _t(0), "u1", "a"),
+        (2, _t(1), "u1", "a"),
+        (3, _t(2), "u1", "b"),
+        (4, _t(0), "u2", "a"),   # only one a: cannot satisfy runs=2
+        (5, _t(1), "u2", "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+    out = eql_sequence(
+        ev,
+        [{"query": {"term": {"kind": "a"}}, "runs": 2},
+         {"term": {"kind": "b"}}],
+        by="user", maxspan_s=3600,
+    ).collect()
+    assert [(r["user"], r["id1"], r["id2"], r["id3"]) for r in out] \
+        == [("u1", 1, 2, 3)]
+
+
+def test_runs_validation():
+    from monstache_spark.operators.eql import _expand_runs
+
+    assert _expand_runs(
+        [{"query": {"term": {"k": "a"}}, "runs": 3}]
+    ) == [{"term": {"k": "a"}}] * 3
+    with pytest.raises(ValueError, match="runs must be >= 1"):
+        _expand_runs([{"query": {}, "runs": 0}])
+    with pytest.raises(ValueError, match="runs step must be"):
+        _expand_runs([{"term": {"k": "a"}, "runs": 2}])
+
+
+def test_eql_events_head_tail_pipes(spark):
+    """head keeps the N OLDEST, tail the N NEWEST matching events
+    under the packed (ts, id) order — ties at equal timestamps break
+    by event id."""
+    from monstache_spark.operators.eql import eql_events
+
+    rows = [
+        (1, _t(0), "u", "x"),
+        (3, _t(1), "u", "x"),
+        (2, _t(1), "u", "x"),   # same ts as id 3: id orders them
+        (4, _t(2), "u", "x"),
+        (5, _t(3), "u", "y"),   # filtered out
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+    q = {"term": {"kind": "x"}}
+    head = eql_events(ev, q, head=3).select("event_id").collect()
+    assert sorted(r[0] for r in head) == [1, 2, 3]
+    tail = eql_events(ev, q, tail=3).select("event_id").collect()
+    assert sorted(r[0] for r in tail) == [2, 3, 4]
+    with pytest.raises(ValueError, match="ONE of head/tail"):
+        eql_events(ev, q, head=1, tail=1)
+
+
+def test_missing_event_between(spark):
+    """`[a] ![x] [b]`: a chain with an x strictly between its a and b
+    dies; one without stands; an x OUTSIDE the pair (before a / after
+    b) is irrelevant."""
+    rows = [
+        (1, _t(0), "u1", "a"),
+        (2, _t(1), "u1", "x"),   # between: kills u1
+        (3, _t(2), "u1", "b"),
+        (4, _t(0), "u2", "a"),
+        (5, _t(2), "u2", "b"),
+        (6, _t(3), "u2", "x"),   # after b: harmless
+        (7, _t(0, 1), "u3", "x"),  # hmm before a? no — after a at t=0
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+    out = eql_sequence(
+        ev,
+        [{"term": {"kind": "a"}},
+         {"missing": {"term": {"kind": "x"}}},
+         {"term": {"kind": "b"}}],
+        by="user", maxspan_s=3600,
+    ).collect()
+    assert sorted(r["user"] for r in out) == ["u2"]
+
+
+def test_missing_event_boundaries(spark):
+    """Leading `![x] [a] [b]` and trailing `[a] [b] ![x]` window by
+    maxspan; both REQUIRE maxspan; adjacent missing steps and
+    all-missing sequences raise."""
+    rows = [
+        (1, _t(0), "u1", "x"),   # 60 s before u1's a: kills leading
+        (2, _t(1), "u1", "a"),
+        (3, _t(2), "u1", "b"),
+        (4, _t(1), "u2", "a"),
+        (5, _t(2), "u2", "b"),
+        (6, _t(30), "u2", "x"),  # 28 min after b: inside 30-min span
+        (7, _t(1), "u3", "a"),
+        (8, _t(2), "u3", "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+    steps = [{"term": {"kind": "a"}}, {"term": {"kind": "b"}}]
+    lead = eql_sequence(
+        ev, [{"missing": {"term": {"kind": "x"}}}] + steps,
+        by="user", maxspan_s=1800,
+    ).collect()
+    assert sorted(r["user"] for r in lead) == ["u2", "u3"]
+    trail = eql_sequence(
+        ev, steps + [{"missing": {"term": {"kind": "x"}}}],
+        by="user", maxspan_s=1800,
+    ).collect()
+    assert sorted(r["user"] for r in trail) == ["u1", "u3"]
+    with pytest.raises(ValueError, match="needs maxspan"):
+        eql_sequence(
+            ev, steps + [{"missing": {"term": {"kind": "x"}}}],
+            by="user",
+        )
+    with pytest.raises(ValueError, match="adjacent missing"):
+        eql_sequence(
+            ev,
+            [steps[0], {"missing": {"term": {"kind": "x"}}},
+             {"missing": {"term": {"kind": "y"}}}, steps[1]],
+            by="user", maxspan_s=1800,
+        )
+    with pytest.raises(ValueError, match="2 positive steps"):
+        eql_sequence(
+            ev, [steps[0], {"missing": {"term": {"kind": "x"}}}],
+            by="user", maxspan_s=1800,
+        )

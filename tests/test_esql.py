@@ -64,7 +64,7 @@ def test_sort_null_placement(t):
 
 def test_refusals(t):
     with pytest.raises(ValueError, match="unsupported ES\\|QL command"):
-        esql('FROM t | GROK v "%{NUMBER:n}"', {"t": t})
+        esql("FROM t | EXPLAIN", {"t": t})
     with pytest.raises(ValueError, match="must start with FROM"):
         esql("WHERE v > 1", {"t": t})
     with pytest.raises(ValueError, match="unknown table"):
@@ -103,8 +103,16 @@ def test_enrich_lookup_join_dissect(spark, t):
         esql("FROM t | ENRICH nope ON k", {"t": t})
     with pytest.raises(ValueError, match="no %\\{key\\}"):
         esql('FROM logs | DISSECT line "static"', {"logs": logs})
-    with pytest.raises(ValueError, match="GROK"):
-        esql('FROM logs | GROK line "%{NUMBER:n}"', {"logs": logs})
+    # GROK (supported since round 10) — the same log lines through
+    # the built-in pattern library, typed status
+    out = esql(
+        'FROM logs | GROK line "%{WORD:verb} %{NOTSPACE:path}'
+        ' %{INT:status:int}" | KEEP id, verb, status',
+        {"logs": logs},
+    ).collect()
+    got = {r["id"]: (r["verb"], r["status"]) for r in out}
+    assert got[1] == ("GET", 200) and got[2] == ("POST", 503)
+    assert got[3] == (None, None)
 
 
 def test_stats_per_agg_where_filter(t):
@@ -678,3 +686,165 @@ def test_spark_spellings_pass_through_untouched(spark):
     # 2-arg precision form accepted, threshold ignored (exact per S3)
     two = esql("FROM t | STATS c = COUNT_DISTINCT(v, 3000)", {"t": df}).collect()
     assert two[0]["c"] == 3
+
+
+def test_case_function_form(spark):
+    """ES|QL CASE(cond, val, …, [default]) — the function-form
+    conditional, including nesting and the no-default → NULL path."""
+    df = spark.createDataFrame([(1,), (5,), (20,)], "v int")
+    out = esql(
+        'FROM t | EVAL tag = CASE(v > 10, "hi", v > 3, "mid", "lo"),'
+        ' nd = CASE(v > 10, "hi")'
+        " | SORT v ASC",
+        {"t": df},
+    ).collect()
+    assert [r["tag"] for r in out] == ["lo", "mid", "hi"]
+    assert [r["nd"] for r in out] == [None, None, "hi"]
+    with pytest.raises(ValueError, match="CASE takes"):
+        esql("FROM t | EVAL x = CASE(v)", {"t": df})
+
+
+def test_split_literal_delimiter(spark):
+    """ES|QL SPLIT splits on a LITERAL delimiter — a regex metachar
+    like '.' is escaped at rewrite time (Spark's lowercase split
+    would treat it as any-char); non-literal delimiters raise."""
+    df = spark.createDataFrame([("a.b.c",)], "s string")
+    out = esql(
+        'FROM t | EVAL n = size(SPLIT(s, ".")), '
+        'first = try_element_at(SPLIT(s, "."), 1)',
+        {"t": df},
+    ).collect()
+    assert out[0]["n"] == 3 and out[0]["first"] == "a"
+    with pytest.raises(ValueError, match="string literal"):
+        esql("FROM t | EVAL x = SPLIT(s, s)", {"t": df})
+
+
+def test_replace_is_regex_lowercase_stays_literal(spark):
+    """Uppercase REPLACE is ES|QL's REGEX replace; lowercase replace
+    keeps Spark's literal semantics (the collision contract)."""
+    df = spark.createDataFrame([("a1b22c",)], "s string")
+    out = esql(
+        'FROM t | EVAL rx = REPLACE(s, "[0-9]+", "#"),'
+        ' lit = replace(s, "1", "#")',
+        {"t": df},
+    ).collect()
+    assert out[0]["rx"] == "a#b#c"
+    assert out[0]["lit"] == "a#b22c"
+
+
+def test_locate_and_affix_functions(spark):
+    """LOCATE takes ES|QL's (string, substring [, start]) order —
+    the REVERSE of Spark's locate; STARTS_WITH/ENDS_WITH map to the
+    Spark builtins."""
+    df = spark.createDataFrame([("hello world",)], "s string")
+    out = esql(
+        'FROM t | EVAL p = LOCATE(s, "world"),'
+        ' p2 = LOCATE(s, "o", 6),'
+        ' missing = LOCATE(s, "zz"),'
+        ' a = STARTS_WITH(s, "hel"), b = ENDS_WITH(s, "rld")',
+        {"t": df},
+    ).collect()
+    assert out[0]["p"] == 7 and out[0]["p2"] == 8
+    assert out[0]["missing"] == 0
+    assert out[0]["a"] is True and out[0]["b"] is True
+
+
+def test_date_trunc_format_parse(spark):
+    """DATE_TRUNC fixed spans floor by epoch pmod (multipliers work,
+    UTC); calendar units admit only multiplier 1; DATE_FORMAT is
+    format-FIRST (ES|QL order) and its 1-arg form raises; DATE_PARSE
+    round-trips."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 15, 14, 47, 31),)], "ts timestamp"
+    )
+    out = esql(
+        "FROM t | EVAL h3 = DATE_TRUNC(3 hours, ts),"
+        " mon = DATE_TRUNC(1 month, ts),"
+        ' d = DATE_FORMAT("yyyy-MM-dd HH:mm", ts),'
+        ' back = DATE_PARSE("yyyy-MM-dd", DATE_FORMAT("yyyy-MM-dd", ts))',
+        {"t": df},
+    ).collect()
+    assert out[0]["h3"] == dt.datetime(2024, 3, 15, 12, 0, 0)
+    assert out[0]["mon"] == dt.datetime(2024, 3, 1, 0, 0, 0)
+    assert out[0]["d"] == "2024-03-15 14:47"
+    assert out[0]["back"] == dt.datetime(2024, 3, 15)
+    with pytest.raises(ValueError, match="multiplier 1"):
+        esql("FROM t | EVAL x = DATE_TRUNC(3 months, ts)", {"t": df})
+    with pytest.raises(ValueError, match="format explicitly"):
+        esql("FROM t | EVAL x = DATE_FORMAT(ts)", {"t": df})
+
+
+def test_top_values_weighted_avg_std_dev(spark):
+    """TOP keeps ties and respects order; VALUES emits sorted
+    distinct; WEIGHTED_AVG and STD_DEV match hand-computed exact
+    values (population σ)."""
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 3.0, 3), ("a", 3.0, 1), ("a", 5.0, 1)],
+        "k string, v double, w int",
+    )
+    out = esql(
+        "FROM t | STATS up = TOP(v, 3, \"asc\"),"
+        ' down = TOP(v, 3, "desc"), vals = VALUES(v),'
+        " wa = WEIGHTED_AVG(v, w), sd = STD_DEV(v) BY k",
+        {"t": df},
+    ).collect()
+    r = out[0]
+    assert r["up"] == [1.0, 3.0, 3.0]
+    assert r["down"] == [5.0, 3.0, 3.0]
+    assert r["vals"] == [1.0, 3.0, 5.0]
+    # Σvw = 1 + 9 + 3 + 5 = 18, Σw = 6 → 3.0
+    assert r["wa"] == 3.0
+    # mean 3, squared dev (4 + 0 + 0 + 4)/4 = 2 → sqrt(2) @ 6dp
+    assert r["sd"] == 1.414214
+    with pytest.raises(ValueError, match='"asc" or "desc"'):
+        esql('FROM t | STATS x = TOP(v, 3, "up") BY k', {"t": df})
+    with pytest.raises(ValueError, match="integer literal"):
+        esql('FROM t | STATS x = TOP(v, k, "asc") BY k', {"t": df})
+
+
+def test_grok_extraction_types_and_nulls(spark):
+    """GROK over the built-in pattern library: typed conversions,
+    NULL fields on non-match, unanchored search semantics."""
+    df = spark.createDataFrame(
+        [(1, "INFO u=alice n=42 v=3.5 at 10.0.0.1"),
+         (2, "weird line"),
+         (3, None)],
+        "id int, line string",
+    )
+    out = esql(
+        "FROM t | GROK line"
+        ' "%{LOGLEVEL:lvl} u=%{USERNAME:u} n=%{INT:n:int}'
+        ' v=%{NUMBER:v:float} at %{IPV4:ip}"'
+        " | SORT id ASC",
+        {"t": df},
+    ).collect()
+    assert (out[0]["lvl"], out[0]["u"], out[0]["n"], out[0]["v"],
+            out[0]["ip"]) == ("INFO", "alice", 42, 3.5, "10.0.0.1")
+    assert out[1]["lvl"] is None and out[1]["n"] is None
+    assert out[2]["lvl"] is None
+
+
+def test_grok_pattern_validation(spark):
+    """Unknown patterns, duplicate fields, capturing groups in
+    literal text, malformed tokens, and zero-field patterns all
+    raise loudly instead of mangling extraction indices."""
+    df = spark.createDataFrame([("x",)], "line string")
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        esql('FROM t | GROK line "%{NOPE:x}"', {"t": df})
+    with pytest.raises(ValueError, match="duplicate grok field"):
+        esql('FROM t | GROK line "%{WORD:a} %{WORD:a}"', {"t": df})
+    with pytest.raises(ValueError, match="non-capturing"):
+        esql('FROM t | GROK line "(x)%{WORD:a}"', {"t": df})
+    with pytest.raises(ValueError, match="malformed grok token"):
+        esql('FROM t | GROK line "%{WORD:a:text}"', {"t": df})
+    with pytest.raises(ValueError, match="extracts no fields"):
+        esql('FROM t | GROK line "%{WORD} %{INT}"', {"t": df})
+    # a field name that shadows the source column must not corrupt
+    # later captures (the preserved-source-copy contract)
+    df2 = spark.createDataFrame([("a 7",)], "line string")
+    out = esql(
+        'FROM t | GROK line "%{WORD:line} %{INT:n:int}"', {"t": df2}
+    ).collect()
+    assert out[0]["line"] == "a" and out[0]["n"] == 7

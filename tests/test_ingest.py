@@ -1,0 +1,148 @@
+"""ES ingest-pipeline simulation (operators/ingest.py): processor
+order, per-row `if` gating, schema-level refusals, failure-as-null
+conversions, and the refused processor set."""
+
+from __future__ import annotations
+
+import pytest
+
+from monstache_spark.operators.ingest import ingest_pipeline
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", "INFO n=42", "7", 100.0),
+            (2, "bob", "garbage", "x", 500.0),
+            (3, None, "WARN n=9", "3", None),
+        ],
+        "id long, name string, line string, nstr string, v double",
+    )
+
+
+def test_set_copy_override_and_rename_remove(docs):
+    out = ingest_pipeline(
+        docs,
+        [
+            {"set": {"field": "src", "value": "t"}},
+            {"set": {"field": "name", "value": "anon", "override": False}},
+            {"set": {"field": "name2", "copy_from": "name"}},
+            {"rename": {"field": "line", "target_field": "msg"}},
+            {"remove": {"field": "v"}},
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["src"] == "t" and rows[1]["name"] == "alice"
+    assert rows[3]["name"] == "anon"          # override=False fills null
+    assert rows[1]["name2"] == "alice"
+    assert "msg" in out.columns and "line" not in out.columns
+    assert "v" not in out.columns
+    with pytest.raises(ValueError, match="already exists"):
+        ingest_pipeline(docs, [{"rename": {"field": "id", "target_field": "name"}}])
+    with pytest.raises(ValueError, match="schema-level"):
+        ingest_pipeline(docs, [{"remove": {"field": "v", "if": "id > 1"}}])
+
+
+def test_convert_null_on_failure_and_conditional(docs):
+    out = ingest_pipeline(
+        docs,
+        [
+            {"convert": {"field": "nstr", "type": "long",
+                         "target_field": "n"}},
+            {"uppercase": {"field": "name", "if": "v > 200"}},
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["n"] == 7 and rows[2]["n"] is None
+    assert rows[1]["name"] == "alice"      # condition false: untouched
+    assert rows[2]["name"] == "BOB"        # condition true
+    assert rows[3]["name"] is None         # null condition: untouched
+
+
+def test_processor_order_is_visible_downstream(docs):
+    """A later processor sees earlier mutations — uppercase THEN drop
+    means rows uppercased first escape a lowercase-literal drop."""
+    out = ingest_pipeline(
+        docs,
+        [
+            {"uppercase": {"field": "name", "if": "id = 2"}},
+            {"drop": {"if": "name = 'bob'"}},
+        ],
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 2, 3]
+    out2 = ingest_pipeline(
+        docs, [{"drop": {"if": "name = 'bob'"}}]
+    )
+    assert sorted(r["id"] for r in out2.collect()) == [1, 3]
+
+
+def test_split_join_append_gsub(docs):
+    out = ingest_pipeline(
+        docs,
+        [
+            {"split": {"field": "line", "separator": "\\s+",
+                       "target_field": "toks"}},
+            {"join": {"field": "toks", "separator": "|",
+                      "target_field": "piped"}},
+            {"append": {"field": "toks", "value": "EOL"}},
+            {"gsub": {"field": "nstr", "pattern": "[0-9]",
+                      "replacement": "#"}},
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["piped"] == "INFO|n=42"
+    assert rows[1]["toks"] == ["INFO", "n=42", "EOL"]
+    assert rows[1]["nstr"] == "#" and rows[2]["nstr"] == "x"
+
+
+def test_date_first_matching_format(spark):
+    df = spark.createDataFrame(
+        [("2024-03-15",), ("15/03/2024",), ("nope",)], "d string"
+    )
+    out = ingest_pipeline(
+        df,
+        [{"date": {"field": "d",
+                   "formats": ["yyyy-MM-dd", "dd/MM/yyyy"],
+                   "target_field": "ts"}}],
+    ).collect()
+    import datetime as dt
+
+    assert out[0]["ts"] == dt.datetime(2024, 3, 15)
+    assert out[1]["ts"] == dt.datetime(2024, 3, 15)
+    assert out[2]["ts"] is None
+
+
+def test_fingerprint_grok_dissect(docs):
+    out = ingest_pipeline(
+        docs,
+        [
+            {"fingerprint": {"fields": ["id", "name"],
+                             "target_field": "fp"}},
+            {"grok": {"field": "line",
+                      "patterns": ["%{LOGLEVEL:lvl} n=%{INT:n:int}"]}},
+            {"dissect": {"field": "line", "pattern": "%{head} %{rest}"}},
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    import hashlib
+
+    assert rows[1]["fp"] == hashlib.md5(b"id|1|name|alice").hexdigest()
+    assert rows[1]["lvl"] == "INFO" and rows[1]["n"] == 42
+    assert rows[2]["lvl"] is None and rows[2]["n"] is None
+    assert rows[1]["head"] == "INFO" and rows[1]["rest"] == "n=42"
+    with pytest.raises(ValueError, match="exactly ONE pattern"):
+        ingest_pipeline(
+            docs, [{"grok": {"field": "line",
+                             "patterns": ["%{WORD:a}", "%{INT:b}"]}}]
+        )
+
+
+def test_refused_processors(docs):
+    for p in ("script", "geoip", "user_agent", "enrich", "pipeline"):
+        with pytest.raises(ValueError, match="unsupported ingest"):
+            ingest_pipeline(docs, [{p: {}}])
+    with pytest.raises(ValueError, match="unknown ingest"):
+        ingest_pipeline(docs, [{"nope": {}}])
+    with pytest.raises(ValueError, match="one .*type: options"):
+        ingest_pipeline(docs, [{"set": {}, "drop": {}}])

@@ -46,6 +46,12 @@ def main():
     # imply green at the gate)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # a typo'd / not-yet-registered name would otherwise be silently
+    # skipped and the run would print a VACUOUS "all green"
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
