@@ -6651,6 +6651,88 @@ def _q_es_eql_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_eql_step_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL per-step join fields (operators/eql): `sequence by user_id
+    [view] by kj [purchase] by kj within 1d` — the key tuple extends
+    to (user_id, props.k), so a purchase chains only to a view of the
+    SAME user AND the same item key.  The struct key carries
+    positional field aliases (struct equality in Spark needs the
+    types to agree name-for-name); the chain plan is unchanged
+    otherwise — filters prune first, one hash agg per successor
+    pick."""
+    from monstache_spark.operators.eql import eql_sequence
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "kj", F.regexp_extract("props", "-?[0-9]+", 0).try_cast("long")
+    )
+    return eql_sequence(
+        ev,
+        [{"query": {"term": {"event_type": "view"}}, "by": "kj"},
+         {"query": {"term": {"event_type": "purchase"}}, "by": "kj"}],
+        by="user_id", maxspan_s=86400,
+    )
+
+
+def _q_es_esql_mv_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL multivalue pack #2 (operators/esql): MV_MEDIAN (exact
+    interpolated median of the array as DOUBLE), MV_SLICE (0-based
+    INCLUSIVE bounds, negatives from the end), MV_ZIP (pairwise join,
+    longer side's leftovers pass through alone via concat_ws's
+    null-skip), MV_APPEND, MV_CONCAT.  All pure codegen array
+    expressions over one projection; the size filter prunes the
+    1-2-token edge where negative slicing is engine-ambiguous
+    (unit-tested Spark-side instead)."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        ' | EVAL toks = SPLIT(text, " ")'
+        " | WHERE size(toks) >= 3"
+        " | EVAL med = MV_MEDIAN(transform(toks, _w -> length(_w))),"
+        ' first3 = MV_CONCAT(MV_SLICE(toks, 0, 2), " "),'
+        ' last2 = MV_CONCAT(MV_SLICE(toks, -2, -1), " "),'
+        ' zipped = MV_CONCAT(MV_ZIP(MV_SLICE(toks, 0, 0),'
+        ' MV_SLICE(toks, -2, -1), "-"), " "),'
+        " nplus = MV_COUNT(MV_APPEND(toks, toks))"
+        " | KEEP doc_id, med, first3, last2, zipped, nplus",
+        {"documents": docs},
+    )
+
+
+def _q_es_esql_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL IP_PREFIX (operators/esql): the /24 network address of
+    each derived dotted-quad ip — the mask compiles at rewrite time
+    to pure integer pmod arithmetic (the CIDR_MATCH machinery),
+    re-rendered as a dotted quad; malformed addresses (every 97th)
+    yield NULL and bucket together.  ONE hash agg over a codegen
+    projection."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    ips = ev.select(
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(97)) == 0, F.lit("999.1.1.1")
+        ).otherwise(
+            F.concat(
+                F.lit("10."),
+                F.pmod(F.col("event_id"), F.lit(4)).cast("string"),
+                F.lit("."),
+                F.pmod(F.floor(F.col("event_id") / F.lit(4)), F.lit(250))
+                .cast("string"),
+                F.lit("."),
+                F.pmod(F.col("event_id"), F.lit(250)).cast("string"),
+            )
+        ).alias("ip")
+    )
+    return esql(
+        "FROM ips"
+        " | EVAL net = IP_PREFIX(ip, 24, 128)"
+        " | STATS n = COUNT(*) BY net",
+        {"ips": ips},
+    )
+
+
 def _q_es_eql_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQL missing events, ES 8.10+ (operators/eql): `sequence by
     user_id [view] ![error] [purchase] within 1d` — the head-greedy
@@ -7089,6 +7171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_eql_pipes": _q_es_eql_pipes,
         "es_ingest_pipeline": _q_es_ingest_pipeline,
         "es_eql_missing": _q_es_eql_missing,
+        "es_esql_mv_pack": _q_es_esql_mv_pack,
+        "es_esql_ip_prefix": _q_es_esql_ip_prefix,
+    "es_eql_step_by": _q_es_eql_step_by,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -12752,5 +12837,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM ex
             WHERE ex.k = e2.k AND ex.pm > e2.p1 AND ex.pm < e2.p2
           )
+        """,
+        "es_esql_mv_pack": """
+          WITH e AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+          ),
+          f AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   list_sort(list_transform(toks, _w -> length(_w))) AS ls
+            FROM e WHERE len(toks) >= 3
+          )
+          SELECT doc_id,
+                 (ls[(n + 1) // 2] + ls[n // 2 + 1]) / 2.0 AS med,
+                 array_to_string(toks[1:3], ' ') AS first3,
+                 array_to_string(toks[n-1:n], ' ') AS last2,
+                 toks[1] || '-' || toks[n-1] || ' ' || toks[n] AS zipped,
+                 CAST(2 * n AS INTEGER) AS nplus
+          FROM f
+        """,
+        "es_esql_ip_prefix": """
+          WITH ips AS (
+            SELECT CASE WHEN event_id % 97 = 0 THEN '999.1.1.1'
+                   ELSE '10.' || CAST(event_id % 4 AS VARCHAR) || '.'
+                        || CAST((event_id // 4) % 250 AS VARCHAR) || '.'
+                        || CAST(event_id % 250 AS VARCHAR) END AS ip
+            FROM events
+          ),
+          p AS (
+            SELECT CASE WHEN regexp_matches(ip,
+                     '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+                   THEN regexp_replace(ip, '\\.[0-9]+$', '.0')
+                   ELSE NULL END AS net
+            FROM ips
+          )
+          SELECT net, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1
+        """,
+        "es_eql_step_by": """
+          WITH s1 AS (
+            SELECT user_id AS k, TRY_CAST(regexp_extract(props, '-?[0-9]+') AS BIGINT) AS kj,
+                   ts AS t1, event_id AS id1,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p1
+            FROM events WHERE event_type = 'view'
+          ),
+          s2 AS (
+            SELECT user_id AS k, TRY_CAST(regexp_extract(props, '-?[0-9]+') AS BIGINT) AS kj,
+                   ts AS t2, event_id AS id2,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p2
+            FROM events WHERE event_type = 'purchase'
+          ),
+          j2 AS (
+            SELECT s1.k, s1.kj, s1.t1, s1.id1, min(s2.p2) AS pe2
+            FROM s1 JOIN s2 ON s1.k = s2.k AND s1.kj = s2.kj
+                 AND s2.p2 > s1.p1
+                 AND epoch_us(s2.t2) - epoch_us(s1.t1) <= 86400000000
+            GROUP BY 1, 2, 3, 4
+          ),
+          e2 AS (
+            SELECT j2.k AS user_id, j2.t1, j2.id1, s2.t2, s2.id2
+            FROM j2 JOIN s2 ON j2.k = s2.k AND j2.kj = s2.kj
+                 AND s2.p2 = j2.pe2
+          )
+          SELECT user_id, t1, id1, t2, id2,
+                 round((epoch_us(t2) - epoch_us(t1)) / 1000000.0, 6) AS span_s
+          FROM e2
         """,
     }

@@ -62,15 +62,19 @@ def _expand_runs(steps: list[dict]) -> list[dict]:
     out: list[dict] = []
     for s in steps:
         if "runs" in s:
-            if set(s) != {"query", "runs"}:
+            if "query" not in s or not set(s) <= {"query", "runs", "by"}:
                 raise ValueError(
                     'a runs step must be {"query": <bool-DSL>, '
-                    f'"runs": N}}, got keys {sorted(s)}'
+                    f'"runs": N [, "by": fields]}}, got keys {sorted(s)}'
                 )
             n = int(s["runs"])
             if n < 1:
                 raise ValueError(f"runs must be >= 1, got {n}")
-            out.extend([s["query"]] * n)
+            item = (
+                {"query": s["query"], "by": s["by"]}
+                if "by" in s else s["query"]
+            )
+            out.extend([item] * n)
         else:
             out.append(s)
     return out
@@ -125,7 +129,11 @@ def eql_sequence(
     its neighboring positive steps, or within the maxspan window
     before/after the chain for the leading/trailing forms) joined by
     the ``by`` key, the first→last gap bounded by ``maxspan_s``
-    seconds.  Returns one row per completed sequence:
+    seconds.  A positive step written ``{"query": …, "by": fields}``
+    extends the join key per step (EQL's ``[a] by f1 [b] by f2`` —
+    the key tuple ``(by, f1)`` on step 1 must equal ``(by, f2)`` on
+    step 2; every step must contribute the same field count).
+    Returns one row per completed sequence:
     ``(by, t1, id1, t2, id2, ..., span_s)`` — positive steps only
     carry output columns.
 
@@ -178,12 +186,49 @@ def eql_sequence(
     steps = positive
     if len(steps) < 2:
         raise ValueError("a sequence needs at least 2 positive steps")
+    # EQL per-step join fields: `sequence by host [a] by f1 [b] by f2`
+    # extends the key TUPLE — (host, f1) on step 1 must equal
+    # (host, f2) on step 2.  A positive step written
+    # {"query": <bool-DSL>, "by": field-or-list} contributes its
+    # fields positionally; every step must contribute the same count.
+    parsed: list[tuple[dict, list[str]]] = []
+    for s in steps:
+        if isinstance(s, dict) and "query" in s and set(s) <= {"query", "by"}:
+            sb = s.get("by", [])
+            sb = [sb] if isinstance(sb, str) else list(sb)
+            parsed.append((s["query"], sb))
+        else:
+            parsed.append((s, []))
+    arities = {len(sb) for _, sb in parsed}
+    if len(arities) != 1:
+        raise ValueError(
+            "every step must carry the same number of per-step `by` "
+            f"fields, got arities {sorted(arities)}"
+        )
+    extra = arities.pop()
+    if extra and (until is not None or missing):
+        raise ValueError(
+            "per-step `by` fields do not combine with until/missing "
+            "steps (their key arity is ambiguous — ES scopes both to "
+            "the global key only when every step agrees)"
+        )
+
+    def _key(sb: list[str]):
+        # positional aliases keep the struct TYPE identical across
+        # steps (struct equality in Spark compares field types by
+        # name+position; f1 vs f2 would not join without the alias)
+        if not extra:
+            return F.col(by).alias("_k")
+        return F.struct(
+            *[F.col(c).alias(f"k{j}") for j, c in enumerate([by] + sb)]
+        ).alias("_k")
+
     frames = []
-    for i, step in enumerate(steps, start=1):
+    for i, (step, sb) in enumerate(parsed, start=1):
         f = events.filter(compile_bool_query(step, analyzer=analyzer))
         frames.append(
             f.select(
-                F.col(by).alias("_k"),
+                _key(sb),
                 F.col(ts_col).alias(f"t{i}"),
                 F.col(id_col).cast("long").alias(f"id{i}"),
                 _pack(F.col(ts_col), id_col).alias(f"_p{i}"),
@@ -281,7 +326,13 @@ def eql_sequence(
                 mf["_pm"] < seq[f"_p{pos + 1}"]
             )
         seq = seq.join(mf, cond, "left_anti")
-    out_cols = [F.col("_k").alias(by)]
+    # with per-step keys only the GLOBAL field is output (the step
+    # fields differ per step; the ids recover them)
+    key_out = (
+        F.col("_k").getField("k0").alias(by) if extra
+        else F.col("_k").alias(by)
+    )
+    out_cols = [key_out]
     for i in range(1, len(steps) + 1):
         out_cols += [F.col(f"t{i}"), F.col(f"id{i}")]
     return seq.select(*out_cols, F.round(span, 6).alias("span_s"))

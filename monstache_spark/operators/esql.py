@@ -176,6 +176,18 @@ _FN_TEMPLATES = {
     "MV_DEDUPE": "array_distinct({0})",
     "MV_FIRST": "try_element_at({0}, 1)",
     "MV_LAST": "try_element_at({0}, -1)",
+    # MV_MEDIAN: exact interpolated median of the array's values as
+    # DOUBLE (ES rounds toward zero for integer inputs — the S4
+    # exactness stance applies: one numeric contract, documented);
+    # empty/NULL arrays yield NULL
+    "MV_MEDIAN": (
+        "(CASE WHEN {0} IS NULL OR size({0}) = 0 THEN NULL ELSE"
+        " (try_element_at(array_sort({0}), CAST((size({0}) + 1) div 2 AS INT))"
+        " + try_element_at(array_sort({0}), CAST(size({0}) div 2 + 1 AS INT)))"
+        # a bare `2.0` would be a DECIMAL literal in Spark SQL and
+        # decimal-type the whole median — divide by a DOUBLE
+        " / CAST(2.0 AS DOUBLE) END)"
+    ),
     "TO_LONG": "CAST({0} AS BIGINT)",
     "TO_INTEGER": "CAST({0} AS INT)",
     "TO_DOUBLE": "CAST({0} AS DOUBLE)",
@@ -193,6 +205,17 @@ _FN_TEMPLATES = {
         "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$' "
         "THEN {0} ELSE NULL END)"
     ),
+}
+
+# the same dotted-quad validity gate TO_IP carries, as a reusable
+# SQL-literal fragment (4 backslashes here = `\\.` in the SQL string
+# = a literal dot in the regex)
+_IPV4_RE_SQL = (
+    "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
+    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'"
+)
+
+_FN_TEMPLATES_TAIL = {
     # ES|QL 8.18 CATEGORIZE(col) — the STATS BY log-categorization
     # key, same deterministic contract as aggs.categorize_text /
     # DIVERGENCES S17: the category is the message's sequence of
@@ -204,6 +227,7 @@ _FN_TEMPLATES = {
         "_t -> _t != '' AND NOT (_t rlike '[0-9]')), ' '), '')"
     ),
 }
+_FN_TEMPLATES.update(_FN_TEMPLATES_TAIL)
 
 
 def _find_calls(
@@ -626,6 +650,97 @@ def _h_std_dev(args: list[str]) -> str:
     )
 
 
+def _str_lit_arg(arg: str, what: str) -> str:
+    """A double-quoted ES|QL string literal argument → a single-quoted
+    SQL literal (raises if not a literal — handlers that must escape
+    or embed the value structurally cannot take a column)."""
+    m = re.fullmatch(r'\s*"((?:[^"\\]|\\.)*)"\s*', arg)
+    if not m:
+        raise ValueError(f"{what} must be a string literal: {arg!r}")
+    raw = m.group(1).replace('\\"', '"')
+    return "'" + raw.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _h_mv_zip(args: list[str]) -> str:
+    """ES|QL ``MV_ZIP(a, b [, delim=","])`` — pairwise join of two
+    multivalues; where one side is longer, the leftover values pass
+    through alone (concat_ws skips the NULL the shorter side pads
+    with — exactly ES's documented behavior)."""
+    if len(args) not in (2, 3):
+        raise ValueError('MV_ZIP takes (mv1, mv2 [, delimiter])')
+    delim = _str_lit_arg(args[2], "MV_ZIP delimiter") if len(args) == 3 \
+        else "','"
+    return (
+        f"zip_with({args[0].strip()}, {args[1].strip()},"
+        f" (_x, _y) -> concat_ws({delim}, _x, _y))"
+    )
+
+
+def _h_mv_slice(args: list[str]) -> str:
+    """ES|QL ``MV_SLICE(col, start [, end])`` — 0-based INCLUSIVE
+    bounds, negatives count from the end.  Bounds must be integer
+    literals of the SAME sign (a mixed-sign slice needs the runtime
+    length; pass size() arithmetic through EVAL instead)."""
+    if len(args) not in (2, 3):
+        raise ValueError("MV_SLICE takes (col, start [, end])")
+    col = args[0].strip()
+    try:
+        s = int(args[1])
+        e = int(args[2]) if len(args) == 3 else s
+    except ValueError:
+        raise ValueError("MV_SLICE bounds must be integer literals")
+    if e < s:
+        raise ValueError(f"MV_SLICE end {e} < start {s}")
+    if (s < 0) != (e < 0):
+        raise ValueError(
+            "MV_SLICE bounds must share a sign (mixed-sign slices "
+            "need the runtime length — use EVAL with slice()/size())"
+        )
+    start = s + 1 if s >= 0 else s  # Spark slice: 1-based, or from end
+    return f"slice({col}, {start}, {e - s + 1})"
+
+
+def _h_ip_prefix(args: list[str]) -> str:
+    """ES|QL ``IP_PREFIX(ip, prefix_v4, prefix_v6)`` — keep the top
+    ``prefix_v4`` bits of a dotted-quad address and zero the rest
+    (the network address, rendered back as dotted quad).  IPv4 only,
+    like every ip operator in the engine (the v6 length is accepted
+    for API parity and ignored — documented); malformed/NULL
+    addresses yield NULL (the TO_IP gate guards the casts, which
+    matters under ANSI mode)."""
+    if len(args) != 3:
+        raise ValueError("IP_PREFIX takes (ip, prefix_v4, prefix_v6)")
+    col = args[0].strip()
+    m4 = re.fullmatch(r"\s*(\d+)\s*", args[1])
+    m6 = re.fullmatch(r"\s*(\d+)\s*", args[2])
+    if not m4 or not m6 or int(m4.group(1)) > 32 or int(m6.group(1)) > 128:
+        raise ValueError(
+            f"IP_PREFIX lengths must be integer literals (v4 <= 32, "
+            f"v6 <= 128): {args[1]!r}, {args[2]!r}"
+        )
+    bits = int(m4.group(1))
+    addr = (
+        f"(CAST(split({col}, '\\\\.')[0] AS BIGINT) * 16777216"
+        f" + CAST(split({col}, '\\\\.')[1] AS BIGINT) * 65536"
+        f" + CAST(split({col}, '\\\\.')[2] AS BIGINT) * 256"
+        f" + CAST(split({col}, '\\\\.')[3] AS BIGINT))"
+    )
+    masked = (
+        addr if bits == 32
+        else f"({addr} - pmod({addr}, {1 << (32 - bits)}))"
+    )
+    quad = (
+        f"concat(CAST({masked} div 16777216 AS STRING), '.',"
+        f" CAST(pmod({masked} div 65536, 256) AS STRING), '.',"
+        f" CAST(pmod({masked} div 256, 256) AS STRING), '.',"
+        f" CAST(pmod({masked}, 256) AS STRING))"
+    )
+    return (
+        f"(CASE WHEN {col} RLIKE {_IPV4_RE_SQL} THEN {quad}"
+        f" ELSE NULL END)"
+    )
+
+
 # multi-argument ES|QL functions → handlers.  case=True entries
 # collide with a Spark builtin of DIFFERENT semantics or argument
 # order (SPLIT regex-vs-literal delimiter, REPLACE literal-vs-regex,
@@ -672,6 +787,28 @@ _VARFNS: dict[str, tuple[bool, "callable"]] = {
     "VALUES": (False, _h_values),
     "WEIGHTED_AVG": (False, _h_weighted_avg),
     "STD_DEV": (False, _h_std_dev),
+    "MV_APPEND": (
+        False,
+        lambda a: f"concat({a[0].strip()}, {a[1].strip()})"
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("MV_APPEND takes (mv1, mv2)")
+        ),
+    ),
+    "MV_CONCAT": (
+        False,
+        lambda a: (
+            f"array_join({a[0].strip()},"
+            f" {_str_lit_arg(a[1], 'MV_CONCAT delimiter')})"
+        )
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("MV_CONCAT takes (mv, delimiter)")
+        ),
+    ),
+    "MV_ZIP": (False, _h_mv_zip),
+    "MV_SLICE": (False, _h_mv_slice),
+    "IP_PREFIX": (False, _h_ip_prefix),
 }
 
 

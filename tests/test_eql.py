@@ -316,3 +316,47 @@ def test_missing_event_boundaries(spark):
             ev, [steps[0], {"missing": {"term": {"kind": "x"}}}],
             by="user", maxspan_s=1800,
         )
+
+
+def test_per_step_by_fields(spark):
+    """`sequence by user [a] by f1 [b] by f2`: the key tuple
+    (user, f1) on step 1 must equal (user, f2) on step 2 — a pair
+    with matching user but different step fields does not chain."""
+    rows = [
+        # u1: a(f1=7) then b(f2=7) -> chains
+        (1, _t(0), "u1", "a", 7, 0),
+        (2, _t(1), "u1", "b", 0, 7),
+        # u2: a(f1=3) then b(f2=4) -> f mismatch, no chain
+        (3, _t(0), "u2", "a", 3, 0),
+        (4, _t(1), "u2", "b", 0, 4),
+        # u3: matching f but different user from u1 -> own chain only
+        (5, _t(0), "u3", "a", 9, 0),
+        (6, _t(1), "u3", "b", 0, 9),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user string, kind string,"
+        " f1 long, f2 long",
+    )
+    out = eql_sequence(
+        ev,
+        [{"query": {"term": {"kind": "a"}}, "by": "f1"},
+         {"query": {"term": {"kind": "b"}}, "by": "f2"}],
+        by="user", maxspan_s=3600,
+    ).collect()
+    assert sorted((r["user"], r["id1"], r["id2"]) for r in out) \
+        == [("u1", 1, 2), ("u3", 5, 6)]
+    with pytest.raises(ValueError, match="same number of per-step"):
+        eql_sequence(
+            ev,
+            [{"query": {"term": {"kind": "a"}}, "by": "f1"},
+             {"term": {"kind": "b"}}],
+            by="user",
+        )
+    with pytest.raises(ValueError, match="until/missing"):
+        eql_sequence(
+            ev,
+            [{"query": {"term": {"kind": "a"}}, "by": "f1"},
+             {"query": {"term": {"kind": "b"}}, "by": "f2"}],
+            by="user", until={"term": {"kind": "x"}},
+        )

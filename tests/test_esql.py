@@ -848,3 +848,58 @@ def test_grok_pattern_validation(spark):
         'FROM t | GROK line "%{WORD:line} %{INT:n:int}"', {"t": df2}
     ).collect()
     assert out[0]["line"] == "a" and out[0]["n"] == 7
+
+
+def test_mv_pack_median_slice_zip_append_concat(spark):
+    """MV_MEDIAN (exact interpolated, DOUBLE, NULL on empty),
+    MV_SLICE (0-based inclusive, negatives from the end, mixed signs
+    refused), MV_ZIP (longer side's leftovers pass through alone),
+    MV_APPEND, MV_CONCAT (literal delimiter)."""
+    df = spark.createDataFrame([(1,)], "id int")
+    out = esql(
+        "FROM t"
+        ' | EVAL a = array(3, 1, 2, 10), b = array("x", "y")'
+        " | EVAL med4 = MV_MEDIAN(a), med1 = MV_MEDIAN(array(7)),"
+        " med0 = MV_MEDIAN(array()),"
+        " s1 = MV_CONCAT(transform(MV_SLICE(a, 1, 2), _x ->"
+        ' CAST(_x AS STRING)), ","),'
+        " s2 = MV_CONCAT(transform(MV_SLICE(a, -2, -1), _x ->"
+        ' CAST(_x AS STRING)), ","),'
+        ' z = MV_CONCAT(MV_ZIP(b, array("1", "2", "3"), "-"), " "),'
+        " app = MV_COUNT(MV_APPEND(a, a))"
+        " | KEEP med4, med1, med0, s1, s2, z, app",
+        {"t": df},
+    ).collect()[0]
+    assert out["med4"] == 2.5 and out["med1"] == 7.0
+    assert out["med0"] is None
+    assert out["s1"] == "1,2" and out["s2"] == "2,10"
+    assert out["z"] == "x-1 y-2 3"
+    assert out["app"] == 8
+    with pytest.raises(ValueError, match="share a sign"):
+        esql("FROM t | EVAL x = MV_SLICE(array(1), -1, 1)", {"t": df})
+    with pytest.raises(ValueError, match="end .* < start"):
+        esql("FROM t | EVAL x = MV_SLICE(array(1), 2, 1)", {"t": df})
+    with pytest.raises(ValueError, match="string literal"):
+        esql("FROM t | EVAL x = MV_CONCAT(array(1), id)", {"t": df})
+
+
+def test_ip_prefix(spark):
+    """IP_PREFIX keeps the top prefix_v4 bits — /24, /16, a
+    non-octet-aligned /12, /32 identity; malformed addresses NULL;
+    length validation raises."""
+    df = spark.createDataFrame(
+        [("10.33.200.7",), ("999.1.1.1",), (None,)], "ip string"
+    )
+    out = esql(
+        "FROM t | EVAL p24 = IP_PREFIX(ip, 24, 128),"
+        " p16 = IP_PREFIX(ip, 16, 128), p12 = IP_PREFIX(ip, 12, 128),"
+        " p32 = IP_PREFIX(ip, 32, 128)",
+        {"t": df},
+    ).collect()
+    assert out[0]["p24"] == "10.33.200.0"
+    assert out[0]["p16"] == "10.33.0.0"
+    assert out[0]["p12"] == "10.32.0.0"    # 33 = 0b100001 -> keep 0b1000xx
+    assert out[0]["p32"] == "10.33.200.7"
+    assert out[1]["p24"] is None and out[2]["p24"] is None
+    with pytest.raises(ValueError, match="IP_PREFIX lengths"):
+        esql("FROM t | EVAL x = IP_PREFIX(ip, 33, 128)", {"t": df})
