@@ -6651,6 +6651,62 @@ def _q_es_eql_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_scalar_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL scalar pack #2 (operators/esql): TO_BASE64/FROM_BASE64
+    round-trip, TO_RADIANS/TO_DEGREES (rounded 6 dp — the two engines
+    multiply by the conversion constants in different orders, the S11
+    boundary class), MV_PERCENTILE (exact interpolation, upper index
+    clamped for integral ranks) and MV_MEDIAN_ABSOLUTE_DEVIATION
+    (composed textually out of MV_MEDIAN by the rewriter loop) over
+    per-document token-length arrays."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        ' | EVAL toks = SPLIT(text, " ")'
+        " | WHERE size(toks) >= 3"
+        " | EVAL lens = transform(toks, _w -> length(_w))"
+        " | EVAL b64 = TO_BASE64(lang),"
+        " back = FROM_BASE64(TO_BASE64(source)),"
+        " p90 = MV_PERCENTILE(lens, 90),"
+        " mad = MV_MEDIAN_ABSOLUTE_DEVIATION(lens),"
+        " deg = round(TO_DEGREES(TO_RADIANS(CAST(n_chars AS DOUBLE))), 6)"
+        " | KEEP doc_id, b64, back, p90, mad, deg",
+        {"documents": docs},
+    )
+
+
+def _q_es_ingest_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest text processors (operators/ingest.py): csv
+    (separator-split into listed target fields, quote dialect
+    refused), urldecode (try_url_decode — malformed %-escapes NULL),
+    html_strip (tag removal), bytes ("Nkb" → bytes).  Inputs are
+    synthesized from document columns so every processor's output is
+    independently recomputable; the whole pipeline stays one codegen
+    projection."""
+    from monstache_spark.operators.ingest import ingest_pipeline
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat_ws(",", "doc_id", "lang", "source").alias("csvrow"),
+        F.concat(F.col("lang"), F.lit("%20"), F.col("source")).alias("enc"),
+        F.concat(F.lit("<p>"), F.col("lang"), F.lit("</p> <b>"),
+                 F.col("source"), F.lit("</b>")).alias("html"),
+        F.concat(F.col("n_chars").cast("string"), F.lit("kb")).alias("sz"),
+    )
+    return ingest_pipeline(docs, [
+        {"csv": {"field": "csvrow",
+                 "target_fields": ["c_id", "c_lang", "c_src"]}},
+        {"convert": {"field": "c_id", "type": "long"}},
+        {"urldecode": {"field": "enc"}},
+        {"html_strip": {"field": "html"}},
+        {"bytes": {"field": "sz", "target_field": "nb"}},
+        {"remove": {"field": "csvrow"}},
+        {"remove": {"field": "sz"}},
+    ])
+
+
 def _q_es_eql_step_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQL per-step join fields (operators/eql): `sequence by user_id
     [view] by kj [purchase] by kj within 1d` — the key tuple extends
@@ -7173,7 +7229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_eql_missing": _q_es_eql_missing,
         "es_esql_mv_pack": _q_es_esql_mv_pack,
         "es_esql_ip_prefix": _q_es_esql_ip_prefix,
-    "es_eql_step_by": _q_es_eql_step_by,
+        "es_eql_step_by": _q_es_eql_step_by,
+        "es_esql_scalar_pack2": _q_es_esql_scalar_pack2,
+        "es_ingest_text_pack": _q_es_ingest_text_pack,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -12902,5 +12960,48 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, t1, id1, t2, id2,
                  round((epoch_us(t2) - epoch_us(t1)) / 1000000.0, 6) AS span_s
           FROM e2
+        """,
+        "es_esql_scalar_pack2": """
+          WITH e AS (
+            SELECT doc_id, lang, source, n_chars,
+                   string_split(text, ' ') AS toks
+            FROM documents
+          ),
+          f AS (
+            SELECT doc_id, lang, source, n_chars, len(toks) AS n,
+                   list_sort(list_transform(toks, _w -> length(_w))) AS ls
+            FROM e WHERE len(toks) >= 3
+          ),
+          g AS (
+            SELECT *, (ls[(n + 1) // 2] + ls[n // 2 + 1]) / 2.0 AS med,
+                   CAST(n - 1 AS DOUBLE) * 0.9 AS pos
+            FROM f
+          ),
+          h AS (
+            SELECT *, list_sort(list_transform(ls,
+                     _v -> abs(CAST(_v AS DOUBLE) - med))) AS devs,
+                   CAST(floor(pos) AS INT) AS lo
+            FROM g
+          )
+          SELECT doc_id,
+                 to_base64(CAST(lang AS BLOB)) AS b64,
+                 source AS back,
+                 round(CAST(ls[lo + 1] AS DOUBLE)
+                       + (CAST(ls[least(lo + 2, n)] AS DOUBLE)
+                          - CAST(ls[lo + 1] AS DOUBLE))
+                         * (pos - floor(pos)), 6) AS p90,
+                 (devs[(n + 1) // 2] + devs[n // 2 + 1]) / 2.0 AS mad,
+                 round(degrees(radians(CAST(n_chars AS DOUBLE))), 6) AS deg
+          FROM h
+        """,
+        "es_ingest_text_pack": """
+          SELECT doc_id,
+                 CAST(doc_id AS BIGINT) AS c_id,
+                 lang AS c_lang,
+                 source AS c_src,
+                 lang || ' ' || source AS enc,
+                 lang || ' ' || source AS html,
+                 CAST(n_chars * 1024 AS BIGINT) AS nb
+          FROM documents
         """,
     }

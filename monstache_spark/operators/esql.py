@@ -196,6 +196,18 @@ _FN_TEMPLATES = {
     "TO_BOOLEAN": "CAST({0} AS BOOLEAN)",
     "TO_UPPER": "upper({0})",
     "TO_LOWER": "lower({0})",
+    "TO_BASE64": "base64(CAST({0} AS BINARY))",
+    "FROM_BASE64": "CAST(unbase64({0}) AS STRING)",
+    "TO_RADIANS": "radians({0})",
+    "TO_DEGREES": "degrees({0})",
+    # MV_MEDIAN_ABSOLUTE_DEVIATION composes textually out of
+    # MV_MEDIAN (the rewriter loop resolves the nested calls) —
+    # median(|x − median(x)|), the robust dispersion ES's MAD agg
+    # computes, exact here
+    "MV_MEDIAN_ABSOLUTE_DEVIATION": (
+        "MV_MEDIAN(transform({0},"
+        " _v -> abs(CAST(_v AS DOUBLE) - MV_MEDIAN({0}))))"
+    ),
     # ES|QL TO_IP: the engine stores ips as dotted-quad strings, so
     # the conversion is a validity gate — a malformed address yields
     # NULL (ES's on-error behavior), a valid one passes through
@@ -700,6 +712,34 @@ def _h_mv_slice(args: list[str]) -> str:
     return f"slice({col}, {start}, {e - s + 1})"
 
 
+def _h_mv_percentile(args: list[str]) -> str:
+    """ES|QL ``MV_PERCENTILE(col, p)`` — the exact interpolated
+    percentile of the array's values (p a literal in 0..100), the S4
+    contract applied to multivalues (ES runs t-digest); rounded 6 dp.
+    The linear-interpolation rank is (n−1)·p/100; the upper index
+    clamps to n so an integral rank's zero-weight term never reads
+    out of bounds."""
+    if len(args) != 2:
+        raise ValueError("MV_PERCENTILE takes (col, p)")
+    pm = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*", args[1])
+    if not pm or not 0 <= float(pm.group(1)) <= 100:
+        raise ValueError(
+            f"MV_PERCENTILE p must be a literal in 0..100: {args[1]!r}"
+        )
+    p = repr(float(pm.group(1)) / 100.0)
+    col = args[0].strip()
+    s = f"array_sort({col})"
+    pos = f"(CAST(size({col}) - 1 AS DOUBLE) * {p})"
+    lo = f"CAST(floor({pos}) AS INT)"
+    return (
+        f"(CASE WHEN {col} IS NULL OR size({col}) = 0 THEN NULL ELSE"
+        f" round(CAST(element_at({s}, {lo} + 1) AS DOUBLE)"
+        f" + (CAST(element_at({s}, least({lo} + 2, size({col}))) AS DOUBLE)"
+        f" - CAST(element_at({s}, {lo} + 1) AS DOUBLE))"
+        f" * ({pos} - floor({pos})), 6) END)"
+    )
+
+
 def _h_ip_prefix(args: list[str]) -> str:
     """ES|QL ``IP_PREFIX(ip, prefix_v4, prefix_v6)`` — keep the top
     ``prefix_v4`` bits of a dotted-quad address and zero the rest
@@ -808,6 +848,7 @@ _VARFNS: dict[str, tuple[bool, "callable"]] = {
     ),
     "MV_ZIP": (False, _h_mv_zip),
     "MV_SLICE": (False, _h_mv_slice),
+    "MV_PERCENTILE": (False, _h_mv_percentile),
     "IP_PREFIX": (False, _h_ip_prefix),
 }
 

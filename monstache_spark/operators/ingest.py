@@ -16,7 +16,10 @@ Supported processors (the deterministic core): ``set`` (literal or
 separator is a REGEX, as ES documents), ``join``, ``append``,
 ``date`` (first-matching-format parse via try_to_timestamp),
 ``fingerprint``, ``grok`` (the built-in portable pattern library —
-DIVERGENCES S32), ``dissect``, and ``drop``.
+DIVERGENCES S32), ``dissect``, ``csv`` (separator-split into listed
+target fields — the RFC-4180 quote dialect is NOT parsed; documented),
+``urldecode``, ``html_strip`` (tag removal; entity decoding is not —
+documented), ``bytes`` ("10kb" → 10240), and ``drop``.
 
 Per-processor ``if`` conditions take the engine's shared painless→SQL
 binding (a SQL boolean expression over the row, the same contract as
@@ -271,6 +274,66 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             for i, key in enumerate(keys, start=1):
                 piece = F.when(src.rlike(rx), F.regexp_extract(src, rx, i))
                 df = _apply_conditional(df, key, piece, cond)
+
+        elif ptype == "csv":
+            _require(opts, "field", "target_fields")
+            sep = opts.get("separator", ",")
+            if len(sep) != 1:
+                raise ValueError("csv separator must be one character")
+            if opts.get("quote"):
+                raise ValueError(
+                    "csv quote handling is not supported — the "
+                    "processor splits on the bare separator (strip "
+                    "quotes upstream or use gsub first)"
+                )
+            import re as _re
+
+            parts = F.split(F.col(opts["field"]), _re.escape(sep))
+            for i, tgt in enumerate(opts["target_fields"], start=1):
+                val = F.try_element_at(parts, F.lit(i))
+                if opts.get("trim", False):
+                    val = F.trim(val)
+                df = _apply_conditional(df, tgt, val, cond)
+
+        elif ptype == "urldecode":
+            _require(opts, "field")
+            tgt = opts.get("target_field", opts["field"])
+            # try_url_decode: a malformed %-escape yields NULL (the
+            # convert/date failure contract) instead of failing the run
+            df = _apply_conditional(
+                df, tgt, F.try_url_decode(F.col(opts["field"])), cond
+            )
+
+        elif ptype == "html_strip":
+            _require(opts, "field")
+            tgt = opts.get("target_field", opts["field"])
+            # tag removal only; HTML ENTITY decoding (&amp; etc.) is
+            # a lookup table ES delegates to Lucene — compose a gsub
+            # chain for the entities you need
+            df = _apply_conditional(
+                df, tgt,
+                F.regexp_replace(F.col(opts["field"]), "<[^>]*>", ""),
+                cond,
+            )
+
+        elif ptype == "bytes":
+            _require(opts, "field")
+            tgt = opts.get("target_field", opts["field"])
+            src = F.lower(F.trim(F.col(opts["field"])))
+            num = F.regexp_extract(src, r"^([0-9]+(?:\.[0-9]+)?)", 1) \
+                .try_cast("double")
+            unit = F.regexp_extract(src, r"([kmgtp]?b)$", 1)
+            factor = (
+                F.when(unit == "b", F.lit(1))
+                .when(unit == "kb", F.lit(1024))
+                .when(unit == "mb", F.lit(1024 ** 2))
+                .when(unit == "gb", F.lit(1024 ** 3))
+                .when(unit == "tb", F.lit(1024 ** 4))
+                .when(unit == "pb", F.lit(1024 ** 5))
+            )
+            df = _apply_conditional(
+                df, tgt, F.floor(num * factor).cast("bigint"), cond
+            )
 
         elif ptype == "drop":
             _require(opts, "if")

@@ -903,3 +903,29 @@ def test_ip_prefix(spark):
     assert out[1]["p24"] is None and out[2]["p24"] is None
     with pytest.raises(ValueError, match="IP_PREFIX lengths"):
         esql("FROM t | EVAL x = IP_PREFIX(ip, 33, 128)", {"t": df})
+
+
+def test_base64_radians_mv_percentile_mad(spark):
+    df = spark.createDataFrame([("spark",)], "s string")
+    out = esql(
+        "FROM t | EVAL b = TO_BASE64(s), back = FROM_BASE64(TO_BASE64(s)),"
+        " deg = round(TO_DEGREES(TO_RADIANS(90.0)), 6),"
+        " p50 = MV_PERCENTILE(array(1, 2, 3, 4), 50),"
+        " p90 = MV_PERCENTILE(array(1, 2, 3, 4), 90),"
+        " p100 = MV_PERCENTILE(array(1, 2, 3, 4), 100),"
+        " mad = MV_MEDIAN_ABSOLUTE_DEVIATION(array(1, 2, 3, 4, 9))"
+        " | KEEP b, back, deg, p50, p90, p100, mad",
+        {"t": df},
+    ).collect()[0]
+    import base64
+
+    assert out["b"] == base64.b64encode(b"spark").decode()
+    assert out["back"] == "spark"
+    assert out["deg"] == 90.0
+    assert out["p50"] == 2.5          # (n-1)*0.5 = 1.5 -> 2 + 0.5*(3-2)
+    assert out["p90"] == 3.7          # pos 2.7 -> 3 + 0.7*(4-3)
+    assert out["p100"] == 4.0         # integral rank at the end clamps
+    # median 3; |devs| sorted [0,1,1,2,6] -> median 1
+    assert out["mad"] == 1.0
+    with pytest.raises(ValueError, match="MV_PERCENTILE p"):
+        esql("FROM t | EVAL x = MV_PERCENTILE(array(1), 101)", {"t": df})

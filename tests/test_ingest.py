@@ -146,3 +146,41 @@ def test_refused_processors(docs):
         ingest_pipeline(docs, [{"nope": {}}])
     with pytest.raises(ValueError, match="one .*type: options"):
         ingest_pipeline(docs, [{"set": {}, "drop": {}}])
+
+
+def test_csv_urldecode_htmlstrip_bytes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a,b,c", "x%20y%2F", "<b>hi</b> there<br/>", "10kb"),
+            (2, "only", "%zz", "plain", "1.5mb"),
+            (3, None, None, None, "nope"),
+        ],
+        "id long, row string, enc string, html string, sz string",
+    )
+    out = ingest_pipeline(
+        df,
+        [
+            {"csv": {"field": "row", "target_fields": ["c1", "c2"],
+                     "trim": True}},
+            {"urldecode": {"field": "enc"}},
+            {"html_strip": {"field": "html"}},
+            {"bytes": {"field": "sz", "target_field": "nbytes"}},
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert (rows[1]["c1"], rows[1]["c2"]) == ("a", "b")
+    assert (rows[2]["c1"], rows[2]["c2"]) == ("only", None)
+    assert rows[1]["enc"] == "x y/"
+    assert rows[2]["enc"] is None          # malformed %-escape -> null
+    assert rows[1]["html"] == "hi there"
+    assert rows[1]["nbytes"] == 10240
+    assert rows[2]["nbytes"] == 1572864
+    assert rows[3]["nbytes"] is None
+    with pytest.raises(ValueError, match="quote handling"):
+        ingest_pipeline(df, [{"csv": {"field": "row",
+                                      "target_fields": ["a"],
+                                      "quote": '"'}}])
+    with pytest.raises(ValueError, match="one character"):
+        ingest_pipeline(df, [{"csv": {"field": "row",
+                                      "target_fields": ["a"],
+                                      "separator": ", "}}])
