@@ -78,7 +78,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"')
+# double-quoted ES|QL literal OR single-quoted SQL literal (emitted
+# by earlier rewrite passes; '' is the embedded-quote escape)
+_LIT_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\']|\'\')*\'')
 
 
 def _tr_expr(expr: str) -> str:
@@ -102,10 +104,19 @@ def _tr_expr(expr: str) -> str:
 
     out = []
     pos = 0
-    for m in _STR_RE.finditer(expr):
+    # SINGLE-quoted spans are SQL literals emitted by the rewriters
+    # above (TO_IP's regex, SPLIT's escaped delimiter, …) and must
+    # pass through VERBATIM — the ==→= substitution used to reach
+    # inside them (self-review r10: SPLIT(s, "==") silently became
+    # split on '=')
+    for m in _LIT_RE.finditer(expr):
         outside = expr[pos:m.start()]
         out.append(re.sub(r"(?<![=!<>])==", "=", outside))
-        body = m.group(1).replace("\\\"", '"').replace("'", "''")
+        if m.group(0).startswith("'"):
+            out.append(m.group(0))
+            pos = m.end()
+            continue
+        body = m.group(0)[1:-1].replace("\\\"", '"').replace("'", "''")
         if re.search(r"\bLIKE\s*$", outside, re.I):
             body = (
                 body.replace("\\", "\\\\")
@@ -127,16 +138,17 @@ def _split_top(s: str, sep: str) -> list[str]:
     ``()``, ``{}``, AND ``[]`` all protect their commas (an ES|QL
     options map like ``{"operator": "and", "boost": 2.5}`` is one
     argument, not three)."""
-    parts, depth, in_str, cur = [], 0, False, []
+    parts, depth, cur = [], 0, []
+    in_str: str | None = None  # the active quote char (" or ')
     i = 0
     while i < len(s):
         ch = s[i]
-        if in_str:
+        if in_str is not None:
             cur.append(ch)
-            if ch == '"' and s[i - 1] != "\\":
-                in_str = False
-        elif ch == '"':
-            in_str = True
+            if ch == in_str and (in_str == "'" or s[i - 1] != "\\"):
+                in_str = None
+        elif ch in ('"', "'"):
+            in_str = ch
             cur.append(ch)
         elif ch in "({[":
             depth += 1
@@ -153,6 +165,14 @@ def _split_top(s: str, sep: str) -> list[str]:
     parts.append("".join(cur))
     return parts
 
+
+# the dotted-quad validity gate TO_IP/IP_PREFIX share, as a reusable
+# SQL-literal fragment (4 backslashes here = `\\.` in the SQL string
+# = a literal dot in the regex)
+_IPV4_RE_SQL = (
+    "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
+    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'"
+)
 
 # ES|QL-only function names → Spark/ANSI SQL templates ({0} = the sole
 # argument).  Null semantics follow ES|QL: every template yields NULL
@@ -203,31 +223,23 @@ _FN_TEMPLATES = {
     # MV_MEDIAN_ABSOLUTE_DEVIATION composes textually out of
     # MV_MEDIAN (the rewriter loop resolves the nested calls) —
     # median(|x − median(x)|), the robust dispersion ES's MAD agg
-    # computes, exact here
+    # computes, exact here.  The inner median BINDS ONCE as a lambda
+    # variable (transform over a 1-element array): HOF lambdas are
+    # interpreted and excluded from subexpression elimination, so
+    # inlining it into the per-element deviation would recompute a
+    # sort PER ELEMENT — O(n² log n) per row, measured 25 s on the
+    # sf0.1 gate before the binding (now 1 s)
     "MV_MEDIAN_ABSOLUTE_DEVIATION": (
-        "MV_MEDIAN(transform({0},"
-        " _v -> abs(CAST(_v AS DOUBLE) - MV_MEDIAN({0}))))"
+        "try_element_at(transform(array(MV_MEDIAN({0})),"
+        " _m -> MV_MEDIAN(transform({0},"
+        " _v -> abs(CAST(_v AS DOUBLE) - _m)))), 1)"
     ),
     # ES|QL TO_IP: the engine stores ips as dotted-quad strings, so
     # the conversion is a validity gate — a malformed address yields
     # NULL (ES's on-error behavior), a valid one passes through
     "TO_IP": (
-        "(CASE WHEN {0} RLIKE "
-        "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
-        "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$' "
-        "THEN {0} ELSE NULL END)"
+        "(CASE WHEN {0} RLIKE " + _IPV4_RE_SQL + " THEN {0} ELSE NULL END)"
     ),
-}
-
-# the same dotted-quad validity gate TO_IP carries, as a reusable
-# SQL-literal fragment (4 backslashes here = `\\.` in the SQL string
-# = a literal dot in the regex)
-_IPV4_RE_SQL = (
-    "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
-    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$'"
-)
-
-_FN_TEMPLATES_TAIL = {
     # ES|QL 8.18 CATEGORIZE(col) — the STATS BY log-categorization
     # key, same deterministic contract as aggs.categorize_text /
     # DIVERGENCES S17: the category is the message's sequence of
@@ -239,7 +251,6 @@ _FN_TEMPLATES_TAIL = {
         "_t -> _t != '' AND NOT (_t rlike '[0-9]')), ' '), '')"
     ),
 }
-_FN_TEMPLATES.update(_FN_TEMPLATES_TAIL)
 
 
 def _find_calls(
@@ -254,22 +265,28 @@ def _find_calls(
     by rewriters whose name collides with a Spark builtin of
     DIFFERENT semantics (percentile's fraction arg, date_diff's 2-arg
     form, median's unrounded exactness), so the lowercase Spark
-    spelling still passes through untouched."""
+    spelling still passes through untouched.
+
+    BOTH quote kinds are literal: user text carries double-quoted
+    ES|QL strings, while earlier rewrite passes emit SINGLE-quoted
+    SQL literals — a function name inside either must never match
+    (self-review r10: MV_CONCAT(arr, "VALUES(x)") used to rewrite
+    its own delimiter)."""
     out: list[tuple[int, int, int]] = []
     pat = re.compile(
         rf"\b{name}\s*\(", 0 if case_sensitive else re.I
     )
-    in_str = False
+    in_str: str | None = None  # the active quote char, if any
     i = 0
     while i < len(expr):
         ch = expr[i]
-        if in_str:
-            if ch == '"' and expr[i - 1] != "\\":
-                in_str = False
+        if in_str is not None:
+            if ch == in_str and (in_str == "'" or expr[i - 1] != "\\"):
+                in_str = None
             i += 1
             continue
-        if ch == '"':
-            in_str = True
+        if ch in ('"', "'"):
+            in_str = ch
             i += 1
             continue
         m = pat.match(expr, i)
@@ -277,14 +294,17 @@ def _find_calls(
             i += 1
             continue
         open_p = m.end() - 1
-        depth, j, inner_str = 0, open_p, False
+        depth, j = 0, open_p
+        inner_str: str | None = None
         while j < len(expr):
             cj = expr[j]
-            if inner_str:
-                if cj == '"' and expr[j - 1] != "\\":
-                    inner_str = False
-            elif cj == '"':
-                inner_str = True
+            if inner_str is not None:
+                if cj == inner_str and (
+                    inner_str == "'" or expr[j - 1] != "\\"
+                ):
+                    inner_str = None
+            elif cj in ('"', "'"):
+                inner_str = cj
             elif cj == "(":
                 depth += 1
             elif cj == ")":
@@ -313,9 +333,9 @@ def _rewrite_fns(expr: str) -> str:
         for fn, tpl in _FN_TEMPLATES.items():
             for start, open_p, close_p in _find_calls(expr, fn):
                 arg = expr[open_p + 1:close_p]
-                if re.search(
-                    "|".join(rf"\b{f}\s*\(" for f in _FN_TEMPLATES), arg, re.I
-                ):
+                # quote-aware inner-call detection (a template name
+                # inside a string literal is NOT an inner call)
+                if any(_find_calls(arg, f) for f in _FN_TEMPLATES):
                     continue  # rewrite the inner call first
                 # templates only ever reference {0}; str.format would
                 # choke on brace characters inside the user expression
@@ -632,14 +652,18 @@ def _h_weighted_avg(args: list[str]) -> str:
     """ES|QL ``WEIGHTED_AVG(value, weight)`` → Σvw/Σw with BOTH sums
     accumulated in exact decimal (order-independent across any
     partitioning — a double sum is not), divided as doubles and
-    rounded 6 dp (the S11 contract class)."""
+    rounded 6 dp (the S11 contract class).  The weight sum is gated
+    on the VALUE being non-null — ES skips documents missing the
+    value entirely (self-review r10: an ungated Σw silently diluted
+    the average)."""
     if len(args) != 2:
         raise ValueError("WEIGHTED_AVG takes (value, weight)")
     v, w = args[0].strip(), args[1].strip()
     return (
         f"round(CAST(sum(CAST({v} AS DECIMAL(18,6))"
         f" * CAST({w} AS DECIMAL(18,6))) AS DOUBLE)"
-        f" / CAST(sum(CAST({w} AS DECIMAL(18,6))) AS DOUBLE), 6)"
+        f" / CAST(sum(CASE WHEN {v} IS NOT NULL"
+        f" THEN CAST({w} AS DECIMAL(18,6)) END) AS DOUBLE), 6)"
     )
 
 
@@ -862,17 +886,30 @@ def _rewrite_varfns(expr: str) -> str:
     lowercase Spark spellings / SQL keywords that the scan cannot
     re-match, so the fixpoint loop terminates."""
     changed = True
+    done: set[tuple[str, int]] = set()
     while changed:
         changed = False
         for fn, (case_sensitive, handler) in _VARFNS.items():
             calls = _find_calls(expr, fn, case_sensitive=case_sensitive)
-            if not calls:
-                continue
-            start, open_p, close_p = calls[0]
-            args = _split_top(expr[open_p + 1:close_p], ",")
-            expr = expr[:start] + handler(args) + expr[close_p + 1:]
-            changed = True
-            break
+            for start, open_p, close_p in calls:
+                if (fn, start) in done:
+                    continue
+                # Spark's simple-CASE form with a parenthesized
+                # operand — `CASE (v) WHEN 1 THEN …` — is documented
+                # pass-through SQL, not the ES|QL CASE function
+                # (self-review r10); leave it untouched
+                if fn == "CASE" and re.match(
+                    r"\s*WHEN\b", expr[close_p + 1:], re.I
+                ):
+                    done.add((fn, start))
+                    continue
+                args = _split_top(expr[open_p + 1:close_p], ",")
+                expr = expr[:start] + handler(args) + expr[close_p + 1:]
+                changed = True
+                done.clear()  # offsets shifted; skip-keys are stale
+                break
+            if changed:
+                break
     return expr
 
 
@@ -1233,12 +1270,20 @@ def _grok_check_literal(lit: str) -> None:
             f"malformed grok token in {lit!r} — expected "
             "%{PATTERN[:field[:int|long|float|double]]}"
         )
-    i = 0
+    i, in_class = 0, False
     while i < len(lit):
-        if lit[i] == "\\":
+        ch = lit[i]
+        if ch == "\\":
             i += 2
             continue
-        if lit[i] == "(" and not lit.startswith("(?:", i):
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(" and not lit.startswith("(?:", i):
+            # a '(' inside a character class ([(]) is a literal, not
+            # a group (self-review r10)
             raise ValueError(
                 "GROK literal text may only use non-capturing groups "
                 "(?:...) — a capturing group would shift the "

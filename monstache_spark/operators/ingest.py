@@ -128,6 +128,16 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                     "and cannot apply per-row — drop the `if` or "
                     "model it as a conditional set + remove"
                 )
+            if opts["field"] not in df.columns:
+                # Spark's drop/withColumnRenamed silently ignore a
+                # missing column; ES fails the document — refuse
+                # loudly unless ignore_missing (the ES option) is set
+                if opts.get("ignore_missing", False):
+                    continue
+                raise ValueError(
+                    f"{ptype}: field {opts['field']!r} does not exist "
+                    "(pass ignore_missing=True for ES's lenient mode)"
+                )
             if ptype == "remove":
                 df = df.drop(opts["field"])
             else:
@@ -201,11 +211,21 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             if not isinstance(vals, list):
                 vals = [vals]
             add = F.array(*[F.lit(v) for v in vals])
-            base = (
-                F.coalesce(F.col(field), F.array())
-                if field in df.columns
-                else F.array()
-            )
+            if field not in df.columns:
+                base = F.array()
+            else:
+                from pyspark.sql.types import ArrayType
+
+                if isinstance(df.schema[field].dataType, ArrayType):
+                    base = F.coalesce(F.col(field), F.array())
+                else:
+                    # ES coerces a scalar field to a one-element
+                    # array before appending (self-review r10 — a
+                    # bare concat(scalar, array) fails analysis);
+                    # a NULL scalar counts as missing, not [NULL]
+                    base = F.when(
+                        F.col(field).isNull(), F.array()
+                    ).otherwise(F.array(F.col(field)))
             df = _apply_conditional(df, field, F.concat(base, add), cond)
 
         elif ptype == "date":
@@ -255,7 +275,14 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                     "per row, which has no columnar schema"
                 )
             rx, fields = _grok_compile(pats[0])
-            src = F.col(opts["field"])
+            # extract from a preserved source COPY — a field that
+            # shares the source column's name would otherwise
+            # truncate it on the first withColumn and corrupt every
+            # later extraction (self-review r10; same contract as
+            # the esql GROK/DISSECT commands)
+            src_col = "_ingest_grok_src"
+            df = df.withColumn(src_col, F.col(opts["field"]))
+            src = F.col(src_col)
             matched = src.rlike(rx)
             for i, (fname, ftype) in enumerate(fields, start=1):
                 piece = F.when(matched, F.regexp_extract(src, rx, i))
@@ -264,16 +291,20 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                 elif ftype in ("float", "double"):
                     piece = piece.cast("double")
                 df = _apply_conditional(df, fname, piece, cond)
+            df = df.drop(src_col)
 
         elif ptype == "dissect":
             from monstache_spark.operators.esql import _dissect_regex
 
             _require(opts, "field", "pattern")
             rx, keys = _dissect_regex(opts["pattern"])
-            src = F.col(opts["field"])
+            src_col = "_ingest_dissect_src"
+            df = df.withColumn(src_col, F.col(opts["field"]))
+            src = F.col(src_col)
             for i, key in enumerate(keys, start=1):
                 piece = F.when(src.rlike(rx), F.regexp_extract(src, rx, i))
                 df = _apply_conditional(df, key, piece, cond)
+            df = df.drop(src_col)
 
         elif ptype == "csv":
             _require(opts, "field", "target_fields")

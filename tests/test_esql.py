@@ -929,3 +929,56 @@ def test_base64_radians_mv_percentile_mad(spark):
     assert out["mad"] == 1.0
     with pytest.raises(ValueError, match="MV_PERCENTILE p"):
         esql("FROM t | EVAL x = MV_PERCENTILE(array(1), 101)", {"t": df})
+
+
+def test_handler_literals_survive_later_passes(spark):
+    """Self-review r10: single-quoted SQL literals emitted by
+    rewriters must pass VERBATIM through every later pass — the ==→=
+    substitution and the call scanners used to reach inside them."""
+    df = spark.createDataFrame([("a==b==c", ["x", "y"])],
+                               "s string, arr array<string>")
+    out = esql(
+        'FROM t | EVAL n = size(SPLIT(s, "==")),'
+        ' d = MV_CONCAT(arr, "VALUES(x)"),'
+        ' c = MV_CONCAT(arr, "CASE(q)")'
+        " | KEEP n, d, c",
+        {"t": df},
+    ).collect()[0]
+    assert out["n"] == 3                      # split on literal ==
+    assert out["d"] == "xVALUES(x)y"          # delimiter untouched
+    assert out["c"] == "xCASE(q)y"
+
+
+def test_simple_case_form_passes_through(spark):
+    """`CASE (v) WHEN … END` is Spark's simple-CASE pass-through
+    syntax, not the ES|QL CASE function (self-review r10)."""
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    out = esql(
+        'FROM t | EVAL lbl = CASE (v) WHEN 1 THEN "one" ELSE "other" END'
+        " | SORT v ASC | KEEP lbl",
+        {"t": df},
+    ).collect()
+    assert [r["lbl"] for r in out] == ["one", "other"]
+
+
+def test_grok_char_class_paren_is_literal(spark):
+    """A '(' inside a regex character class is literal text, not a
+    capturing group (self-review r10)."""
+    df = spark.createDataFrame([("(foo 7",)], "line string")
+    out = esql(
+        'FROM t | GROK line "[(]%{WORD:a} %{INT:n:int}"', {"t": df}
+    ).collect()[0]
+    assert out["a"] == "foo" and out["n"] == 7
+
+
+def test_weighted_avg_skips_null_value_weights(spark):
+    """ES WEIGHTED_AVG skips documents missing the VALUE entirely —
+    their weights must not dilute the denominator (self-review
+    r10)."""
+    df = spark.createDataFrame(
+        [(10.0, 1), (None, 1), (20.0, 3)], "v double, w int"
+    )
+    out = esql(
+        "FROM t | STATS wa = WEIGHTED_AVG(v, w)", {"t": df}
+    ).collect()[0]
+    assert out["wa"] == 17.5                  # (10 + 60) / 4, not / 5

@@ -184,3 +184,48 @@ def test_csv_urldecode_htmlstrip_bytes(spark):
         ingest_pipeline(df, [{"csv": {"field": "row",
                                       "target_fields": ["a"],
                                       "separator": ", "}}])
+
+
+def test_grok_field_shadowing_source(spark):
+    """Self-review r10: grok/dissect extract from a preserved source
+    copy — a field named like the source column must not corrupt
+    later captures."""
+    df = spark.createDataFrame([("a 7",)], "line string")
+    out = ingest_pipeline(
+        df, [{"grok": {"field": "line",
+                       "patterns": ["%{WORD:line} %{INT:n:int}"]}}]
+    ).collect()[0]
+    assert out["line"] == "a" and out["n"] == 7
+    out = ingest_pipeline(
+        df, [{"dissect": {"field": "line", "pattern": "%{line} %{n}"}}]
+    ).collect()[0]
+    assert out["line"] == "a" and out["n"] == "7"
+
+
+def test_rename_remove_missing_field(docs):
+    """Self-review r10: Spark silently ignores a missing column on
+    drop/rename; ES fails the document — refuse loudly, with ES's
+    ignore_missing opt-out."""
+    with pytest.raises(ValueError, match="does not exist"):
+        ingest_pipeline(docs, [{"rename": {"field": "typo",
+                                           "target_field": "msg"}}])
+    with pytest.raises(ValueError, match="does not exist"):
+        ingest_pipeline(docs, [{"remove": {"field": "typo"}}])
+    out = ingest_pipeline(
+        docs, [{"remove": {"field": "typo", "ignore_missing": True}}]
+    )
+    assert out.columns == docs.columns
+
+
+def test_append_coerces_scalar(spark):
+    """Self-review r10: append on a scalar field coerces it to a
+    one-element array (ES semantics); a NULL scalar counts as
+    missing, not [NULL]."""
+    df = spark.createDataFrame([(1, "old"), (2, None)],
+                               "id long, tag string")
+    out = ingest_pipeline(
+        df, [{"append": {"field": "tag", "value": "new"}}]
+    )
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    assert rows[1] == ["old", "new"]
+    assert rows[2] == ["new"]

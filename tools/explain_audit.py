@@ -961,6 +961,38 @@ CHECKS = [
         and "TakeOrderedAndProject" in p
         and "Python" not in p,
     ),
+    (
+        "es_eql_pipes",
+        "EQL head/tail pipes compile to TakeOrderedAndProject "
+        "(per-partition top-N heaps, never a full sort) with the "
+        "event_type filter pushed to the scan",
+        lambda p: "TakeOrderedAndProject" in p
+        and re.search(r"PushedFilters: \[.*event_type", p)
+        and "Python" not in p,
+    ),
+    (
+        "es_ingest_pipeline",
+        "ingest pipeline is map-only: ZERO exchanges (the whole "
+        "processor chain is one codegen projection + filter over "
+        "the scan), no Python",
+        lambda p: "Exchange" not in p and "Python" not in p,
+    ),
+    (
+        "es_esql_grok",
+        "GROK extraction stays JVM-side codegen feeding one hash "
+        "agg — no Python, no sort aggregate",
+        lambda p: "Python" not in p
+        and "HashAggregate" in p
+        and "SortAggregate" not in p,
+    ),
+    (
+        "es_eql_missing",
+        "the missing-event step is ONE left-anti join on the packed "
+        "order — no cartesian product, no Python",
+        lambda p: "LeftAnti" in p
+        and "Cartesian" not in p
+        and "Python" not in p,
+    ),
 ]
 
 
