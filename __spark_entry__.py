@@ -6651,6 +6651,27 @@ def _q_es_eql_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_eql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TEXT EQL endpoint (operators/eql.eql): the actual Event
+    Query Language parsed end-to-end — global by + maxspan header, a
+    value condition through the shared dialect translation, a
+    missing-event step, and the head pipe ordering by the packed
+    (t1, id1) position of each sequence's first event.  Compiles to
+    the same chain plan as the dict API; the parse is driver-side
+    string work only."""
+    from monstache_spark.operators.eql import eql
+
+    ev = load_table(spark, "events", sf_dir)
+    return eql(
+        "sequence by user_id with maxspan=1d"
+        " [view where value > 5]"
+        " ![error where true]"
+        " [purchase where true]"
+        " | head 25",
+        ev, category_col="event_type",
+    )
+
+
 def _q_es_esql_scalar_pack2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL scalar pack #2 (operators/esql): TO_BASE64/FROM_BASE64
     round-trip, TO_RADIANS/TO_DEGREES (rounded 6 dp — the two engines
@@ -7232,6 +7253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_eql_step_by": _q_es_eql_step_by,
         "es_esql_scalar_pack2": _q_es_esql_scalar_pack2,
         "es_ingest_text_pack": _q_es_ingest_text_pack,
+    "es_eql_text": _q_es_eql_text,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13003,5 +13025,40 @@ def oracle_sql() -> dict[str, str]:
                  lang || ' ' || source AS html,
                  CAST(n_chars * 1024 AS BIGINT) AS nb
           FROM documents
+        """,
+        "es_eql_text": """
+          WITH s1 AS (
+            SELECT user_id AS k, ts AS t1, event_id AS id1,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p1
+            FROM events WHERE event_type = 'view' AND value > 5
+          ),
+          s2 AS (
+            SELECT user_id AS k, ts AS t2, event_id AS id2,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p2
+            FROM events WHERE event_type = 'purchase'
+          ),
+          ex AS (
+            SELECT user_id AS k,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS pm
+            FROM events WHERE event_type = 'error'
+          ),
+          j2 AS (
+            SELECT s1.k, s1.t1, s1.id1, s1.p1, min(s2.p2) AS pe2
+            FROM s1 JOIN s2 ON s1.k = s2.k AND s2.p2 > s1.p1
+                 AND epoch_us(s2.t2) - epoch_us(s1.t1) <= 86400000000
+            GROUP BY 1, 2, 3, 4
+          ),
+          e2 AS (
+            SELECT j2.k, j2.t1, j2.id1, j2.p1, s2.t2, s2.id2, j2.pe2 AS p2
+            FROM j2 JOIN s2 ON j2.k = s2.k AND s2.p2 = j2.pe2
+          )
+          SELECT k AS user_id, t1, id1, t2, id2,
+                 round((epoch_us(t2) - epoch_us(t1)) / 1000000.0, 6) AS span_s
+          FROM e2
+          WHERE NOT EXISTS (
+            SELECT 1 FROM ex
+            WHERE ex.k = e2.k AND ex.pm > e2.p1 AND ex.pm < e2.p2
+          )
+          ORDER BY p1 ASC LIMIT 25
         """,
     }

@@ -3,9 +3,13 @@
 EQL is the ES surface security/observability consumers run over synced
 event collections (``sequence by host.id [process where ...] [network
 where ...] within 10m``) — exactly the event shape monstache's change
-stream materializes.  This module implements the ``sequence`` core:
+stream materializes.  This module implements the ``sequence`` core —
 an ORDERED chain of step filters joined by a ``by`` key, the whole
-sequence bounded by ``maxspan``.
+sequence bounded by ``maxspan`` — plus ``sample``, simple event
+queries with the head/tail pipes, ``with runs=N``, missing-event
+steps (``![...]``), per-step ``by`` fields, ``until``, and a TEXT
+endpoint (:func:`eql`) that parses the actual Event Query Language
+into these operators.
 
 Matching contract (deterministic; ES's own engine is a per-key state
 machine over shard-ordered events): each step extends the sequence
@@ -32,10 +36,21 @@ the sequence semantics follow the public EQL docs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from monstache_spark.operators.search import compile_bool_query
+
+
+def _step_pred(query, analyzer=None):
+    """A step/filter predicate: a bool-DSL dict compiles through the
+    shared search machinery; a STRING is a SQL boolean expression
+    (the text EQL endpoint passes translated conditions)."""
+    if isinstance(query, str):
+        return F.expr(query)
+    return compile_bool_query(query, analyzer=analyzer)
 
 # id occupies the low 9 decimal digits of the packed ordering key —
 # the top_metrics packing contract: 0 <= id < 10^9, else ids bleed
@@ -102,7 +117,7 @@ def eql_events(
     """
     if head is not None and tail is not None:
         raise ValueError("pick ONE of head/tail (EQL accepts one pipe)")
-    df = events.filter(compile_bool_query(query, analyzer=analyzer))
+    df = events.filter(_step_pred(query, analyzer))
     p = _pack(F.col(ts_col), id_col)
     if head is not None:
         df = df.orderBy(p.asc()).limit(int(head))
@@ -225,7 +240,7 @@ def eql_sequence(
 
     frames = []
     for i, (step, sb) in enumerate(parsed, start=1):
-        f = events.filter(compile_bool_query(step, analyzer=analyzer))
+        f = events.filter(_step_pred(step, analyzer))
         frames.append(
             f.select(
                 _key(sb),
@@ -281,7 +296,7 @@ def eql_sequence(
         / 1_000_000.0
     )
     if until is not None:
-        u = events.filter(compile_bool_query(until, analyzer=analyzer)).select(
+        u = events.filter(_step_pred(until, analyzer)).select(
             F.col(by).alias("_ku"),
             _pack(F.col(ts_col), id_col).alias("_pu"),
         )
@@ -294,9 +309,7 @@ def eql_sequence(
             "left_anti",
         )
     for m in missing:
-        mf = events.filter(
-            compile_bool_query(m["query"], analyzer=analyzer)
-        ).select(
+        mf = events.filter(_step_pred(m["query"], analyzer)).select(
             F.col(by).alias("_km"),
             F.col(ts_col).alias("_tm"),
             _pack(F.col(ts_col), id_col).alias("_pm"),
@@ -365,7 +378,7 @@ def eql_sample(
         raise ValueError("a sample needs at least 2 filters")
     out = None
     for i, flt in enumerate(filters, start=1):
-        f = events.filter(compile_bool_query(flt, analyzer=analyzer))
+        f = events.filter(_step_pred(flt, analyzer))
         rows = f.select(
             F.col(by).alias("_k"),
             F.col(ts_col).alias(f"t{i}"),
@@ -380,3 +393,277 @@ def eql_sample(
         ).select("_k", f"t{i}", f"id{i}")
         out = picked if out is None else out.join(picked, "_k")
     return out.withColumnRenamed("_k", by)
+
+
+# ---------------------------------------------------------------------------
+# the text EQL endpoint
+# ---------------------------------------------------------------------------
+
+_SPAN_UNITS_S = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+
+
+def _eql_expr(cond: str) -> str:
+    """An EQL condition → a Spark SQL boolean expression, through the
+    shared ES|QL dialect translation (`==`/string-literal/LIKE
+    wildcard handling are identical between the two languages), plus
+    the EQL-only spellings: ``== null`` / ``!= null`` → ``IS [NOT]
+    NULL`` and ``field regex "..."`` → ``RLIKE``."""
+    from monstache_spark.operators.esql import _tr_expr
+
+    cond = re.sub(r"!=\s*null\b", " IS NOT NULL ", cond, flags=re.I)
+    cond = re.sub(r"==\s*null\b", " IS NULL ", cond, flags=re.I)
+    cond = re.sub(r'\bregex\s*(~?)\s*(?=")', "RLIKE ", cond, flags=re.I)
+    return _tr_expr(cond)
+
+
+def _split_outside(s: str, sep: str) -> list[str]:
+    """Split on a single-char separator outside double quotes and
+    outside ``[...]`` groups."""
+    parts, cur, depth, in_str = [], [], 0, False
+    for i, ch in enumerate(s):
+        if in_str:
+            cur.append(ch)
+            if ch == '"' and s[i - 1] != "\\":
+                in_str = False
+        elif ch == '"':
+            in_str = True
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def _parse_step_body(body: str, category_col: str) -> str:
+    """``<category> where <condition>`` → one SQL predicate string.
+    ``any`` matches every category (no category conjunct)."""
+    m = re.match(r"^\s*([A-Za-z_][\w.]*|\*)\s+where\b(.*)$", body, re.S | re.I)
+    if not m:
+        raise ValueError(f"expected `<category> where <condition>`: {body!r}")
+    cat, cond = m.group(1), m.group(2).strip()
+    pred = f"({_eql_expr(cond)})"
+    if cat.lower() not in ("any", "*"):
+        esc = cat.replace("'", "''")
+        pred = f"({category_col} = '{esc}') AND {pred}"
+    return pred
+
+
+def _find_groups(text: str):
+    """Yield ``(negated, inner, modifier_text)`` per bracketed step,
+    quote-aware — ``modifier_text`` is the raw text between this
+    group's ``]`` and the next ``[``/``!``/end (step-level ``by`` and
+    ``with runs=N`` live there)."""
+    groups = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in " \t\n":
+            i += 1
+            continue
+        neg = False
+        if ch == "!":
+            neg = True
+            i += 1
+            while i < n and text[i] in " \t\n":
+                i += 1
+            if i >= n or text[i] != "[":
+                raise ValueError("`!` must prefix a [ ... ] step")
+            ch = text[i]
+        if ch != "[":
+            raise ValueError(f"expected `[` at: {text[i:i+30]!r}")
+        depth, j, in_str = 0, i, False
+        while j < n:
+            cj = text[j]
+            if in_str:
+                if cj == '"' and text[j - 1] != "\\":
+                    in_str = False
+            elif cj == '"':
+                in_str = True
+            elif cj == "[":
+                depth += 1
+            elif cj == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced [ ] in: {text!r}")
+        inner = text[i + 1:j]
+        k = j + 1
+        nxt = k
+        while nxt < n and text[nxt] not in "[!":
+            nxt += 1
+        groups.append((neg, inner, text[k:nxt]))
+        i = nxt
+    return groups
+
+
+def _parse_by_with(text: str):
+    """Parse ``by f1[, f2]`` and ``with maxspan=Ns`` / ``with runs=N``
+    modifiers out of header/step-trailer text."""
+    by_fields: list[str] = []
+    maxspan_s = None
+    runs = None
+    bm = re.search(r"\bby\s+([A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)",
+                   text, re.I)
+    if bm:
+        by_fields = [f.strip() for f in bm.group(1).split(",")]
+    for wm in re.finditer(r"\bwith\s+(\w+)\s*=\s*(\w+)", text, re.I):
+        key, val = wm.group(1).lower(), wm.group(2)
+        if key == "maxspan":
+            sm = re.fullmatch(r"(\d+)([smhd])", val)
+            if not sm:
+                raise ValueError(f"bad maxspan (use Ns/Nm/Nh/Nd): {val!r}")
+            maxspan_s = int(sm.group(1)) * _SPAN_UNITS_S[sm.group(2)]
+        elif key == "runs":
+            runs = int(val)
+        else:
+            raise ValueError(f"unsupported `with` option: {key!r}")
+    leftover = re.sub(r"\bby\s+[A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*",
+                      "", text, flags=re.I)
+    leftover = re.sub(r"\bwith\s+\w+\s*=\s*\w+", "", leftover, flags=re.I)
+    if leftover.strip():
+        raise ValueError(f"unparsed sequence modifier text: {leftover.strip()!r}")
+    return by_fields, maxspan_s, runs
+
+
+def eql(
+    query: str,
+    events: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    category_col: str = "event_type",
+    analyzer=None,
+) -> DataFrame:
+    """Run a TEXT EQL query — the actual ES Event Query Language —
+    against an event frame.  Supported grammar (the surface the dict
+    operators below implement, now reachable as the language):
+
+    * ``<category> where <cond> [| head N | tail N]`` — simple event
+      query; ``any where …`` skips the category conjunct
+    * ``sequence [by f] [with maxspan=Nu] [cat where …] [by g]
+      [with runs=N] ![cat where …] … [until [cat where …]]`` —
+      per-step ``by``/``runs`` modifiers, missing-event steps, until
+    * ``sample by f [cat where …] [cat where …] …``
+    * pipes ``| head N`` / ``| tail N`` (the only two ES supports) —
+      on sequences they order by the packed (t1, id1) position of the
+      sequence's FIRST event (deterministic; documented refinement of
+      ES's response order)
+
+    Conditions ride the shared ES|QL dialect translation (``==``,
+    double-quoted strings, ``LIKE`` wildcards) plus EQL's ``== null``
+    and ``regex`` spellings.  The category is an equality on
+    ``category_col`` (ES's event.category routing).  One global
+    ``by`` field; write per-step ``by`` on every step for composite
+    keys (the same key-tuple semantics).
+    """
+    segs = _split_outside(query.strip(), "|")
+    head_txt = segs[0].strip()
+    head = tail = None
+    for pipe in segs[1:]:
+        pm = re.fullmatch(r"\s*(head|tail)\s+(\d+)\s*", pipe, re.I)
+        if not pm:
+            raise ValueError(
+                f"unsupported pipe: {pipe.strip()!r} (ES EQL supports "
+                "head/tail only)"
+            )
+        if pm.group(1).lower() == "head":
+            head = int(pm.group(2))
+        else:
+            tail = int(pm.group(2))
+
+    kind = head_txt.split(None, 1)[0].lower() if head_txt else ""
+    if kind not in ("sequence", "sample"):
+        # simple event query
+        df = eql_events(
+            events, _parse_step_body(head_txt, category_col),
+            ts_col=ts_col, id_col=id_col, head=head, tail=tail,
+            analyzer=analyzer,
+        )
+        return df
+
+    rest = head_txt.split(None, 1)[1] if " " in head_txt else ""
+    # split off `until [ ... ]` (top level, outside brackets)
+    until_q = None
+    parts = re.split(r"\buntil\b", rest, maxsplit=1, flags=re.I)
+    if len(parts) == 2:
+        rest = parts[0]
+        ugroups = _find_groups(parts[1].strip())
+        if len(ugroups) != 1 or ugroups[0][0]:
+            raise ValueError("until takes exactly one positive [ ... ] step")
+        until_q = _parse_step_body(ugroups[0][1], category_col)
+
+    first_bracket = rest.find("[")
+    bang = rest.find("!")
+    if bang != -1 and (first_bracket == -1 or bang < first_bracket):
+        first_bracket = bang
+    if first_bracket == -1:
+        raise ValueError(f"{kind} needs [ ... ] steps")
+    header, body = rest[:first_bracket], rest[first_bracket:]
+    g_by, maxspan_s, g_runs = _parse_by_with(header)
+    if g_runs is not None:
+        raise ValueError("`with runs` is a step modifier, not a header one")
+    if len(g_by) > 1:
+        raise ValueError(
+            "one global `by` field here — write per-step `by` on every "
+            "step for composite keys (same key-tuple semantics)"
+        )
+
+    steps: list = []
+    filters: list = []
+    for neg, inner, mods in _find_groups(body):
+        pred = _parse_step_body(inner, category_col)
+        s_by, s_span, s_runs = _parse_by_with(mods)
+        if s_span is not None:
+            raise ValueError("maxspan is a sequence header modifier")
+        if kind == "sample":
+            if neg or s_by or s_runs:
+                raise ValueError("sample steps take no !/by/runs modifiers")
+            filters.append(pred)
+            continue
+        if neg:
+            if s_by or s_runs:
+                raise ValueError("a missing step takes no by/runs modifiers")
+            steps.append({"missing": pred})
+        else:
+            step: dict = {"query": pred}
+            if s_by:
+                step["by"] = s_by
+            if s_runs:
+                step["runs"] = s_runs
+            steps.append(step if len(step) > 1 else pred)
+
+    if kind == "sample":
+        if not g_by:
+            raise ValueError("sample needs `by <field>`")
+        if head is not None or tail is not None:
+            raise ValueError("pipes are not defined over sample results")
+        return eql_sample(
+            events, filters, by=g_by[0], ts_col=ts_col, id_col=id_col,
+            analyzer=analyzer,
+        )
+
+    if not g_by:
+        raise ValueError("sequence needs `by <field>`")
+    df = eql_sequence(
+        events, steps, by=g_by[0], ts_col=ts_col, id_col=id_col,
+        maxspan_s=maxspan_s, analyzer=analyzer, until=until_q,
+    )
+    if head is not None or tail is not None:
+        p = _pack(F.col("t1"), "id1")
+        if head is not None and tail is not None:
+            raise ValueError("pick ONE of head/tail")
+        if head is not None:
+            df = df.orderBy(p.asc()).limit(head)
+        else:
+            df = df.orderBy(p.desc()).limit(tail)
+    return df

@@ -360,3 +360,104 @@ def test_per_step_by_fields(spark):
              {"query": {"term": {"kind": "b"}}, "by": "f2"}],
             by="user", until={"term": {"kind": "x"}},
         )
+
+
+def test_text_eql_event_query_and_pipes(spark):
+    """The text EQL endpoint: `<category> where <cond>` with the
+    head/tail pipes, `any` category, == null spelling, LIKE
+    wildcards, and the regex spelling."""
+    from monstache_spark.operators.eql import eql
+
+    rows = [
+        (1, _t(0), "u1", "login", "alice"),
+        (2, _t(1), "u1", "login", None),
+        (3, _t(2), "u2", "logout", "bob"),
+        (4, _t(3), "u3", "login", "alphonse"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user string, event_type string,"
+        " name string",
+    )
+    out = eql('login where name == "alice"', ev,
+              category_col="event_type").collect()
+    assert [r["event_id"] for r in out] == [1]
+    out = eql("any where name == null", ev,
+              category_col="event_type").collect()
+    assert [r["event_id"] for r in out] == [2]
+    out = eql('login where name like "al*" | head 1', ev,
+              category_col="event_type").collect()
+    assert [r["event_id"] for r in out] == [1]
+    out = eql('any where name regex "a.*e" | tail 1', ev,
+              category_col="event_type").collect()
+    assert [r["event_id"] for r in out] == [4]
+    with pytest.raises(ValueError, match="unsupported pipe"):
+        eql("any where true | count", ev)
+
+
+def test_text_eql_sequence_full_grammar(spark):
+    """sequence with global by, maxspan, per-step runs, a missing
+    step, until, and a head pipe — the whole grammar in one query,
+    equal to the dict-API result."""
+    from monstache_spark.operators.eql import eql, eql_sequence
+
+    rows = [
+        (1, _t(0), "u1", "a", 9.0),
+        (2, _t(1), "u1", "a", 9.0),
+        (3, _t(2), "u1", "b", 1.0),
+        (4, _t(0), "u2", "a", 9.0),
+        (5, _t(1), "u2", "a", 9.0),
+        (6, _t(1, 30), "u2", "x", 0.0),   # between: kills u2
+        (7, _t(2), "u2", "b", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user string, event_type string,"
+        " value double",
+    )
+    text = (
+        "sequence by user with maxspan=1h"
+        ' [a where value > 5] with runs=2'
+        " ![x where true]"
+        " [b where true]"
+        " | head 10"
+    )
+    got = eql(text, ev, category_col="event_type").collect()
+    want = eql_sequence(
+        ev,
+        [{"query": "(event_type = 'a') AND (value > 5)", "runs": 2},
+         {"missing": "(event_type = 'x') AND (true)"},
+         "(event_type = 'b') AND (true)"],
+        by="user", maxspan_s=3600,
+    ).collect()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
+    assert [r["user"] for r in got] == ["u1"]
+
+    until_out = eql(
+        "sequence by user with maxspan=1h [a where true] [b where true]"
+        " until [x where true]",
+        ev, category_col="event_type",
+    ).collect()
+    assert sorted({r["user"] for r in until_out}) == ["u1"]
+
+
+def test_text_eql_sample_and_errors(spark):
+    from monstache_spark.operators.eql import eql
+
+    rows = [
+        (1, _t(0), "u1", "a"), (2, _t(1), "u1", "b"),
+        (3, _t(0), "u2", "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, event_type string"
+    )
+    out = eql("sample by user [a where true] [b where true]", ev,
+              category_col="event_type").collect()
+    assert [r["user"] for r in out] == ["u1"]
+    with pytest.raises(ValueError, match="needs `by"):
+        eql("sequence [a where true] [b where true]", ev)
+    with pytest.raises(ValueError, match="header modifier"):
+        eql("sequence by user [a where true] with maxspan=1h [b where true]",
+            ev)
+    with pytest.raises(ValueError, match="expected .*category.* where"):
+        eql("sequence by user [nonsense] [b where true]", ev)
