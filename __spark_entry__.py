@@ -6651,6 +6651,26 @@ def _q_es_eql_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 9.x TS + RATE() (operators/esql._ts_rate_stats): the
+    TSDS counter-rate reduction with user_id as the series dimension —
+    per (user, week) the positive value deltas (decreases are counter
+    resets) over the observed span, then max/avg across series per
+    week.  One window ordered by the packed (ts, id) decimal feeding
+    two hash aggregations; avg re-accumulates the rounded rates in
+    exact decimal."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "TS events"
+        " | STATS mr = max(RATE(value)), ar = avg(RATE(value))"
+        " BY wk = BUCKET(ts, 1 week)"
+        " | SORT wk ASC",
+        {"events": ev}, dimensions=["user_id"],
+    )
+
+
 def _q_es_eql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TEXT EQL endpoint (operators/eql.eql): the actual Event
     Query Language parsed end-to-end — global by + maxspan header, a
@@ -7253,7 +7273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_eql_step_by": _q_es_eql_step_by,
         "es_esql_scalar_pack2": _q_es_esql_scalar_pack2,
         "es_ingest_text_pack": _q_es_ingest_text_pack,
-    "es_eql_text": _q_es_eql_text,
+        "es_eql_text": _q_es_eql_text,
+        "es_esql_ts_rate": _q_es_esql_ts_rate,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13060,5 +13081,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE ex.k = e2.k AND ex.pm > e2.p1 AND ex.pm < e2.p2
           )
           ORDER BY p1 ASC LIMIT 25
+        """,
+        "es_esql_ts_rate": """
+          WITH r AS (
+            SELECT user_id,
+                   make_timestamp(epoch_us(ts) - epoch_us(ts) % 604800000000) AS wk,
+                   epoch_us(ts) AS tus, value,
+                   lag(value) OVER (
+                     PARTITION BY user_id,
+                       (epoch_us(ts) - epoch_us(ts) % 604800000000)
+                     ORDER BY CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                              + event_id) AS prev
+            FROM events
+          ),
+          i AS (
+            SELECT user_id, wk, tus,
+                   CASE WHEN prev IS NULL THEN 0.0
+                        WHEN value > prev THEN value - prev
+                        ELSE 0.0 END AS inc
+            FROM r
+          ),
+          s AS (
+            SELECT user_id, wk,
+                   CASE WHEN (max(tus) - min(tus)) > 0
+                        THEN round(CAST(sum(CAST(inc AS DECIMAL(18,6))) AS DOUBLE)
+                                   / (CAST(max(tus) - min(tus) AS DOUBLE) / 1000000.0), 6)
+                   END AS rate
+            FROM i GROUP BY 1, 2
+          )
+          SELECT wk, max(rate) AS mr,
+                 round(CAST(sum(CAST(rate AS DECIMAL(28,6))) AS DOUBLE)
+                       / count(rate), 6) AS ar
+          FROM s GROUP BY 1 ORDER BY 1
         """,
     }

@@ -1326,23 +1326,158 @@ def _grok_compile(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
     return "".join(out), fields
 
 
+def _ts_rate_stats(
+    df: DataFrame,
+    aggs_txt: str,
+    by_txt: str | None,
+    dimensions: list[str],
+    time_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """ES|QL 9.x ``TS … | STATS outer(RATE(counter)) BY keys`` — the
+    TSDS counter-rate reduction.  Per SERIES (the dimension tuple)
+    within each group: order events by the packed (ts, id) contract,
+    sum the POSITIVE deltas (a decrease is a counter reset — its drop
+    is not an increase; ES's rate compensates resets the same way),
+    divide by the series' observed time span in seconds, round 6 dp
+    (the S11 class); a single-event series has no span and yields
+    NULL.  The outer function (max/min/avg/sum) then aggregates the
+    per-series rates within each BY group — avg/sum re-accumulate in
+    exact decimal.
+
+    Plan: one Window (partitioned by dimensions + keys, ordered by
+    the packed decimal) feeding TWO hash aggregations — series
+    collapse, then group collapse.  Nothing corpus-sized sorts
+    globally; every aggregate is a HashAggregate.  Every aggregate in
+    the STATS must wrap RATE (mixing row-level and series-level
+    aggregates in one STATS would silently conflate grains)."""
+    key_cols: list[str] = []
+    if by_txt:
+        for nm, sql in _named_exprs(by_txt):
+            name = nm or sql.strip()
+            df = df.withColumn(name, F.expr(_tr_expr(sql)))
+            key_cols.append(name)
+    specs: list[tuple[str, str, str]] = []
+    for i, (nm, sql) in enumerate(_named_exprs(aggs_txt)):
+        m = re.fullmatch(
+            r"\s*(\w+)\s*\(\s*RATE\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*\)\s*",
+            sql,
+        )
+        if not m:
+            raise ValueError(
+                "in a TS STATS every aggregate must be "
+                f"outer(RATE(column)): {sql!r}"
+            )
+        outer = m.group(1).lower()
+        if outer not in ("max", "min", "avg", "sum"):
+            raise ValueError(
+                f"RATE outer aggregate must be max/min/avg/sum, "
+                f"got {outer!r}"
+            )
+        specs.append((nm or f"agg{i}", outer, m.group(2)))
+
+    pk = (
+        F.unix_micros(F.col(time_col)).cast("decimal(38,0)")
+        * F.lit(1_000_000_000)
+        + F.col(seq_col).cast("decimal(38,0)")
+    )
+    w = Window.partitionBy(
+        *[F.col(c) for c in list(dimensions) + key_cols]
+    ).orderBy(pk)
+    inc_cols = {}
+    for name, _outer, col in specs:
+        prev = F.lag(F.col(col)).over(w)
+        # explicit CASE, not greatest(): greatest's NULL handling
+        # differs across engines — the contract must be one tree
+        inc_cols[f"_inc_{name}"] = (
+            F.when(prev.isNull(), F.lit(0.0))
+            .when(F.col(col) > prev, F.col(col) - prev)
+            .otherwise(F.lit(0.0))
+        )
+    rows = df.select(
+        *[F.col(c) for c in list(dimensions) + key_cols],
+        F.unix_micros(F.col(time_col)).alias("_tus"),
+        *[c.alias(n) for n, c in inc_cols.items()],
+    )
+    span = (F.max("_tus") - F.min("_tus")).cast("double") / 1_000_000.0
+    series = rows.groupBy(
+        *[F.col(c) for c in list(dimensions) + key_cols]
+    ).agg(
+        *[
+            F.when(
+                span > 0,
+                F.round(
+                    F.sum(F.col(f"_inc_{n}").cast("decimal(18,6)"))
+                    .cast("double") / span,
+                    6,
+                ),
+            ).alias(f"_rate_{n}")
+            for n, _o, _c in specs
+        ]
+    )
+    outs = []
+    for n, outer, _c in specs:
+        r = F.col(f"_rate_{n}")
+        if outer == "max":
+            outs.append(F.max(r).alias(n))
+        elif outer == "min":
+            outs.append(F.min(r).alias(n))
+        elif outer == "sum":
+            outs.append(
+                F.round(F.sum(r.cast("decimal(28,6)")).cast("double"), 6)
+                .alias(n)
+            )
+        else:  # avg — decimal sum over count of non-null rates
+            outs.append(
+                F.round(
+                    F.sum(r.cast("decimal(28,6)")).cast("double")
+                    / F.count(r),
+                    6,
+                ).alias(n)
+            )
+    if key_cols:
+        return series.groupBy(*key_cols).agg(*outs)
+    return series.groupBy().agg(*outs)
+
+
 def esql(
     query: str,
     tables: dict[str, DataFrame],
     spark: SparkSession | None = None,
     enrich_policies: dict | None = None,
+    dimensions: list[str] | None = None,
+    time_col: str = "ts",
+    seq_col: str = "event_id",
 ) -> DataFrame:
     """Compile one ES|QL query against the given table map.
     ``enrich_policies`` maps a policy name to ``(frame, match_field)``
-    for the ENRICH command."""
+    for the ENRICH command.
+
+    ``TS <index>`` (the 9.x time-series source command) needs the
+    series metadata an ES TSDS index mapping would carry:
+    ``dimensions`` (the fields identifying one series — ES's
+    ``time_series_dimension``), ``time_col`` and ``seq_col`` (the
+    deterministic within-series order, the engine's packed (ts, id)
+    contract).  RATE() is then legal inside STATS — see
+    ``_ts_rate_stats``."""
     stages = [s.strip() for s in _split_top(query, "|") if s.strip()]
     if not stages:
         raise ValueError("empty ES|QL query")
     head = stages[0]
-    hm = re.match(r"^(FROM|ROW)\b(.*)$", head, re.I | re.S)
+    hm = re.match(r"^(FROM|ROW|TS)\b(.*)$", head, re.I | re.S)
     if not hm:
-        raise ValueError("ES|QL must start with FROM or ROW")
+        raise ValueError("ES|QL must start with FROM, ROW, or TS")
     cmd, rest = hm.group(1).upper(), hm.group(2).strip()
+    ts_mode = False
+    if cmd == "TS":
+        if dimensions is None:
+            raise ValueError(
+                "TS needs the series metadata an ES TSDS mapping "
+                "carries — pass dimensions=[...] (and time_col/"
+                "seq_col if not ts/event_id)"
+            )
+        ts_mode = True
+        cmd = "FROM"
     if cmd == "FROM":
         # ES|QL FROM a, b unions the named indices; missing columns
         # null-fill the way a sparse multi-index mapping would
@@ -1395,6 +1530,17 @@ def esql(
                 df = df.withColumnRenamed(m.group(1), m.group(2))
         elif cmd == "STATS":
             bm = _split_kw(body, "BY")
+            if _find_calls(bm[0], "RATE", case_sensitive=True):
+                if not ts_mode:
+                    raise ValueError(
+                        "RATE() is only legal over the TS source "
+                        "command (it needs the series dimensions)"
+                    )
+                df = _ts_rate_stats(
+                    df, bm[0], bm[1] if len(bm) == 2 else None,
+                    dimensions, time_col, seq_col,
+                )
+                continue
             aggs = []
             for i, (nm, sql) in enumerate(_named_exprs(bm[0])):
                 # ES|QL 8.16 per-aggregate filters: `AGG(x) WHERE cond`

@@ -982,3 +982,40 @@ def test_weighted_avg_skips_null_value_weights(spark):
         "FROM t | STATS wa = WEIGHTED_AVG(v, w)", {"t": df}
     ).collect()[0]
     assert out["wa"] == 17.5                  # (10 + 60) / 4, not / 5
+
+
+def test_ts_rate_counter_semantics(spark):
+    """TS + RATE(): positive deltas sum (a decrease is a counter
+    reset, its drop never counts), divided by the series' observed
+    span; single-event series yield NULL; outer max/avg aggregate the
+    per-series rates; RATE outside TS refuses."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "u1", 0.0),
+        (2, base + dt.timedelta(seconds=10), "u1", 10.0),
+        (3, base + dt.timedelta(seconds=20), "u1", 5.0),   # reset
+        (4, base + dt.timedelta(seconds=30), "u1", 8.0),
+        (5, base, "u2", 100.0),                            # singleton
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, host string, c double"
+    )
+    out = esql(
+        "TS t | STATS m = max(RATE(c)), a = avg(RATE(c)), s = sum(RATE(c))",
+        {"t": df}, dimensions=["host"],
+    ).collect()[0]
+    # u1: increases 10 + 3 = 13 over 30 s; u2: NULL (no span)
+    assert out["m"] == 0.433333
+    assert out["a"] == 0.433333 and out["s"] == 0.433333
+    with pytest.raises(ValueError, match="only legal over the TS"):
+        esql("FROM t | STATS m = max(RATE(c))", {"t": df})
+    with pytest.raises(ValueError, match="needs the series metadata"):
+        esql("TS t | STATS m = max(RATE(c))", {"t": df})
+    with pytest.raises(ValueError, match="must wrap RATE|must be"):
+        esql("TS t | STATS m = max(c), r = max(RATE(c))",
+             {"t": df}, dimensions=["host"])
+    with pytest.raises(ValueError, match="max/min/avg/sum"):
+        esql("TS t | STATS m = count(RATE(c))", {"t": df},
+             dimensions=["host"])
