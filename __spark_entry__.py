@@ -6671,6 +6671,27 @@ def _q_es_esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 9.x *_OVER_TIME family (operators/esql._ts_rate_stats):
+    per-(user, week) series statistics — max, exact-decimal sum, the
+    packed-order LAST endpoint (primitive max_by buffers, stays a
+    HashAggregate), count — then aggregated across series per week.
+    No window needed for this family: two hash aggs total."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "TS events"
+        " | STATS mx = max(MAX_OVER_TIME(value)),"
+        " s = sum(SUM_OVER_TIME(value)),"
+        " l = max(LAST_OVER_TIME(value)),"
+        " n = sum(COUNT_OVER_TIME(value))"
+        " BY wk = BUCKET(ts, 1 week)"
+        " | SORT wk ASC",
+        {"events": ev}, dimensions=["user_id"],
+    )
+
+
 def _q_es_eql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TEXT EQL endpoint (operators/eql.eql): the actual Event
     Query Language parsed end-to-end — global by + maxspan header, a
@@ -7275,6 +7296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_ingest_text_pack": _q_es_ingest_text_pack,
         "es_eql_text": _q_es_eql_text,
         "es_esql_ts_rate": _q_es_esql_ts_rate,
+        "es_esql_over_time": _q_es_esql_over_time,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13112,6 +13134,23 @@ def oracle_sql() -> dict[str, str]:
           SELECT wk, max(rate) AS mr,
                  round(CAST(sum(CAST(rate AS DECIMAL(28,6))) AS DOUBLE)
                        / count(rate), 6) AS ar
+          FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "es_esql_over_time": """
+          WITH s AS (
+            SELECT user_id,
+                   make_timestamp(epoch_us(ts) - epoch_us(ts) % 604800000000) AS wk,
+                   max(value) AS mx,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sv,
+                   arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                                  + event_id) AS lv,
+                   count(value) AS cnt
+            FROM events GROUP BY 1, 2
+          )
+          SELECT wk, max(mx) AS mx,
+                 round(CAST(sum(CAST(sv AS DECIMAL(28,6))) AS DOUBLE), 6) AS s,
+                 max(lv) AS l,
+                 round(CAST(sum(CAST(cnt AS DECIMAL(28,6))) AS DOUBLE), 6) AS n
           FROM s GROUP BY 1 ORDER BY 1
         """,
     }

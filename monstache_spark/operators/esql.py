@@ -1326,6 +1326,20 @@ def _grok_compile(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
     return "".join(out), fields
 
 
+# the per-SERIES inner functions legal inside a TS STATS — ES|QL 9.x's
+# time-series aggregation family
+_TS_INNER_FNS = (
+    "RATE",
+    "MAX_OVER_TIME",
+    "MIN_OVER_TIME",
+    "SUM_OVER_TIME",
+    "AVG_OVER_TIME",
+    "COUNT_OVER_TIME",
+    "FIRST_OVER_TIME",
+    "LAST_OVER_TIME",
+)
+
+
 def _ts_rate_stats(
     df: DataFrame,
     aggs_txt: str,
@@ -1334,47 +1348,58 @@ def _ts_rate_stats(
     time_col: str,
     seq_col: str,
 ) -> DataFrame:
-    """ES|QL 9.x ``TS … | STATS outer(RATE(counter)) BY keys`` — the
-    TSDS counter-rate reduction.  Per SERIES (the dimension tuple)
-    within each group: order events by the packed (ts, id) contract,
-    sum the POSITIVE deltas (a decrease is a counter reset — its drop
-    is not an increase; ES's rate compensates resets the same way),
-    divide by the series' observed time span in seconds, round 6 dp
-    (the S11 class); a single-event series has no span and yields
-    NULL.  The outer function (max/min/avg/sum) then aggregates the
-    per-series rates within each BY group — avg/sum re-accumulate in
+    """ES|QL 9.x ``TS … | STATS outer(inner(col)) BY keys`` — the
+    TSDS per-series aggregation family.  Per SERIES (the dimension
+    tuple) within each group the INNER function computes:
+
+    * ``RATE(counter)`` — order events by the packed (ts, id)
+      contract, sum the POSITIVE deltas (a decrease is a counter
+      reset — its drop is not an increase; ES's rate compensates
+      resets the same way), divide by the series' observed time span
+      in seconds, round 6 dp (the S11 class); a single-event series
+      has no span and yields NULL;
+    * ``MAX/MIN/SUM/AVG/COUNT_OVER_TIME`` — the plain per-series
+      statistics (sum/avg in exact decimal, 6-dp round);
+    * ``FIRST/LAST_OVER_TIME`` — the packed-order endpoints via
+      primitive min_by/max_by buffers (stays a HashAggregate).
+
+    The OUTER function (max/min/avg/sum) then aggregates the
+    per-series values within each BY group — avg/sum re-accumulate in
     exact decimal.
 
-    Plan: one Window (partitioned by dimensions + keys, ordered by
-    the packed decimal) feeding TWO hash aggregations — series
-    collapse, then group collapse.  Nothing corpus-sized sorts
-    globally; every aggregate is a HashAggregate.  Every aggregate in
-    the STATS must wrap RATE (mixing row-level and series-level
-    aggregates in one STATS would silently conflate grains)."""
+    Plan: at most one Window (RATE's lag, partitioned by dimensions +
+    keys, ordered by the packed decimal) feeding TWO hash
+    aggregations — series collapse, then group collapse.  Nothing
+    corpus-sized sorts globally.  Every aggregate in the STATS must
+    wrap an inner time-series function (mixing row-level and
+    series-level aggregates in one STATS would silently conflate
+    grains)."""
     key_cols: list[str] = []
     if by_txt:
         for nm, sql in _named_exprs(by_txt):
             name = nm or sql.strip()
             df = df.withColumn(name, F.expr(_tr_expr(sql)))
             key_cols.append(name)
-    specs: list[tuple[str, str, str]] = []
+    fn_alt = "|".join(_TS_INNER_FNS)
+    specs: list[tuple[str, str, str, str]] = []
     for i, (nm, sql) in enumerate(_named_exprs(aggs_txt)):
         m = re.fullmatch(
-            r"\s*(\w+)\s*\(\s*RATE\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*\)\s*",
+            rf"\s*(\w+)\s*\(\s*({fn_alt})\s*\(\s*([A-Za-z_][\w.]*)\s*\)"
+            r"\s*\)\s*",
             sql,
         )
         if not m:
             raise ValueError(
                 "in a TS STATS every aggregate must be "
-                f"outer(RATE(column)): {sql!r}"
+                f"outer(RATE(col)) or outer(<fn>_OVER_TIME(col)): {sql!r}"
             )
         outer = m.group(1).lower()
         if outer not in ("max", "min", "avg", "sum"):
             raise ValueError(
-                f"RATE outer aggregate must be max/min/avg/sum, "
+                f"the outer aggregate must be max/min/avg/sum, "
                 f"got {outer!r}"
             )
-        specs.append((nm or f"agg{i}", outer, m.group(2)))
+        specs.append((nm or f"agg{i}", outer, m.group(2), m.group(3)))
 
     pk = (
         F.unix_micros(F.col(time_col)).cast("decimal(38,0)")
@@ -1385,38 +1410,77 @@ def _ts_rate_stats(
         *[F.col(c) for c in list(dimensions) + key_cols]
     ).orderBy(pk)
     inc_cols = {}
-    for name, _outer, col in specs:
-        prev = F.lag(F.col(col)).over(w)
-        # explicit CASE, not greatest(): greatest's NULL handling
-        # differs across engines — the contract must be one tree
-        inc_cols[f"_inc_{name}"] = (
-            F.when(prev.isNull(), F.lit(0.0))
-            .when(F.col(col) > prev, F.col(col) - prev)
-            .otherwise(F.lit(0.0))
-        )
+    raw_cols: set[str] = set()
+    need_pk = False
+    for name, _outer, inner, col in specs:
+        if inner == "RATE":
+            prev = F.lag(F.col(col)).over(w)
+            # explicit CASE, not greatest(): greatest's NULL handling
+            # differs across engines — the contract must be one tree
+            inc_cols[f"_inc_{name}"] = (
+                F.when(prev.isNull(), F.lit(0.0))
+                .when(F.col(col) > prev, F.col(col) - prev)
+                .otherwise(F.lit(0.0))
+            )
+        else:
+            raw_cols.add(col)
+            if inner in ("FIRST_OVER_TIME", "LAST_OVER_TIME"):
+                need_pk = True
     rows = df.select(
         *[F.col(c) for c in list(dimensions) + key_cols],
         F.unix_micros(F.col(time_col)).alias("_tus"),
+        *([pk.alias("_pk")] if need_pk else []),
+        *[
+            F.col(c)
+            for c in sorted(raw_cols - set(dimensions) - set(key_cols))
+        ],
         *[c.alias(n) for n, c in inc_cols.items()],
     )
     span = (F.max("_tus") - F.min("_tus")).cast("double") / 1_000_000.0
+
+    def _series_agg(name: str, inner: str, col: str):
+        c = F.col(col)
+        if inner == "RATE":
+            return F.when(
+                span > 0,
+                F.round(
+                    F.sum(F.col(f"_inc_{name}").cast("decimal(18,6)"))
+                    .cast("double") / span,
+                    6,
+                ),
+            )
+        if inner == "MAX_OVER_TIME":
+            return F.max(c)
+        if inner == "MIN_OVER_TIME":
+            return F.min(c)
+        if inner == "SUM_OVER_TIME":
+            return F.round(
+                F.sum(c.cast("decimal(18,6)")).cast("double"), 6
+            )
+        if inner == "AVG_OVER_TIME":
+            return F.round(
+                F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c),
+                6,
+            )
+        if inner == "COUNT_OVER_TIME":
+            return F.count(c)
+        # FIRST/LAST: the packed (ts, id) order decides — primitive
+        # min_by/max_by buffers (double payload, decimal key), stays
+        # a HashAggregate
+        if inner == "FIRST_OVER_TIME":
+            return F.min_by(c, F.col("_pk"))
+        return F.max_by(c, F.col("_pk"))
+
     series = rows.groupBy(
         *[F.col(c) for c in list(dimensions) + key_cols]
     ).agg(
         *[
-            F.when(
-                span > 0,
-                F.round(
-                    F.sum(F.col(f"_inc_{n}").cast("decimal(18,6)"))
-                    .cast("double") / span,
-                    6,
-                ),
-            ).alias(f"_rate_{n}")
-            for n, _o, _c in specs
+            _series_agg(n, inner, c).alias(f"_rate_{n}")
+            for n, _o, inner, c in specs
         ]
     )
     outs = []
-    for n, outer, _c in specs:
+    for n, outer, _inner, _c in specs:
         r = F.col(f"_rate_{n}")
         if outer == "max":
             outs.append(F.max(r).alias(n))
@@ -1530,11 +1594,15 @@ def esql(
                 df = df.withColumnRenamed(m.group(1), m.group(2))
         elif cmd == "STATS":
             bm = _split_kw(body, "BY")
-            if _find_calls(bm[0], "RATE", case_sensitive=True):
+            if any(
+                _find_calls(bm[0], fn, case_sensitive=True)
+                for fn in _TS_INNER_FNS
+            ):
                 if not ts_mode:
                     raise ValueError(
-                        "RATE() is only legal over the TS source "
-                        "command (it needs the series dimensions)"
+                        "RATE()/*_OVER_TIME() are only legal over the "
+                        "TS source command (they need the series "
+                        "dimensions)"
                     )
                 df = _ts_rate_stats(
                     df, bm[0], bm[1] if len(bm) == 2 else None,

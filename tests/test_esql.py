@@ -1019,3 +1019,35 @@ def test_ts_rate_counter_semantics(spark):
     with pytest.raises(ValueError, match="max/min/avg/sum"):
         esql("TS t | STATS m = count(RATE(c))", {"t": df},
              dimensions=["host"])
+
+
+def test_ts_over_time_family(spark):
+    """The *_OVER_TIME per-series functions: endpoints by packed
+    order, exact-decimal sums, outer aggregation across series."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "u1", 4.0),
+        (2, base + dt.timedelta(seconds=10), "u1", 1.0),
+        (3, base + dt.timedelta(seconds=20), "u1", 7.0),
+        (4, base, "u2", 10.0),
+        (5, base + dt.timedelta(seconds=5), "u2", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, host string, c double"
+    )
+    out = esql(
+        "TS t | STATS mx = max(MAX_OVER_TIME(c)),"
+        " mn = min(MIN_OVER_TIME(c)),"
+        " s = sum(SUM_OVER_TIME(c)), a = avg(AVG_OVER_TIME(c)),"
+        " n = sum(COUNT_OVER_TIME(c)),"
+        " f = min(FIRST_OVER_TIME(c)), l = max(LAST_OVER_TIME(c))",
+        {"t": df}, dimensions=["host"],
+    ).collect()[0]
+    assert out["mx"] == 10.0 and out["mn"] == 1.0
+    assert out["s"] == 24.0                 # (4+1+7) + (10+2)
+    assert out["a"] == 5.0                  # avg(4.0, 6.0)
+    assert out["n"] == 5
+    assert out["f"] == 4.0                  # min(first u1=4, first u2=10)
+    assert out["l"] == 7.0                  # max(last u1=7, last u2=2)
