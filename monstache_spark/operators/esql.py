@@ -216,6 +216,9 @@ _FN_TEMPLATES = {
     "TO_BOOLEAN": "CAST({0} AS BOOLEAN)",
     "TO_UPPER": "upper({0})",
     "TO_LOWER": "lower({0})",
+    # zero-arg constant: the template never references {0}; E() and
+    # PI() pass through to the Spark builtins of the same name
+    "TAU": "(CAST(2.0 AS DOUBLE) * pi())",
     "TO_BASE64": "base64(CAST({0} AS BINARY))",
     "FROM_BASE64": "CAST(unbase64({0}) AS STRING)",
     "TO_RADIANS": "radians({0})",
@@ -764,6 +767,31 @@ def _h_mv_percentile(args: list[str]) -> str:
     )
 
 
+def _h_mv_pseries(args: list[str]) -> str:
+    """ES|QL ``MV_PSERIES_WEIGHTED_SUM(col, p)`` — Σ vᵢ/(i+1)ᵖ over
+    the multivalue sorted DESCENDING (the rank-weighted score ES
+    computes for converting a multivalue into a relevance signal); p
+    a numeric literal; rounded 6 dp (S11 class).  One indexed
+    transform + one fold — linear HOF work."""
+    if len(args) != 2:
+        raise ValueError("MV_PSERIES_WEIGHTED_SUM takes (col, p)")
+    pm = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*", args[1])
+    if not pm:
+        raise ValueError(
+            f"MV_PSERIES_WEIGHTED_SUM p must be a numeric literal: "
+            f"{args[1]!r}"
+        )
+    p = repr(float(pm.group(1)))
+    col = args[0].strip()
+    return (
+        f"(CASE WHEN {col} IS NULL THEN NULL ELSE"
+        f" round(aggregate(transform(reverse(array_sort({col})),"
+        f" (_v, _i) -> CAST(_v AS DOUBLE)"
+        f" / power(CAST(_i + 1 AS DOUBLE), {p})),"
+        f" CAST(0.0 AS DOUBLE), (_a, _x) -> _a + _x), 6) END)"
+    )
+
+
 def _h_ip_prefix(args: list[str]) -> str:
     """ES|QL ``IP_PREFIX(ip, prefix_v4, prefix_v6)`` — keep the top
     ``prefix_v4`` bits of a dotted-quad address and zero the rest
@@ -873,6 +901,7 @@ _VARFNS: dict[str, tuple[bool, "callable"]] = {
     "MV_ZIP": (False, _h_mv_zip),
     "MV_SLICE": (False, _h_mv_slice),
     "MV_PERCENTILE": (False, _h_mv_percentile),
+    "MV_PSERIES_WEIGHTED_SUM": (False, _h_mv_pseries),
     "IP_PREFIX": (False, _h_ip_prefix),
 }
 

@@ -1051,3 +1051,21 @@ def test_ts_over_time_family(spark):
     assert out["n"] == 5
     assert out["f"] == 4.0                  # min(first u1=4, first u2=10)
     assert out["l"] == 7.0                  # max(last u1=7, last u2=2)
+
+
+def test_tau_and_pseries_weighted_sum(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = esql(
+        "FROM t | EVAL tau = round(TAU(), 6),"
+        " w = MV_PSERIES_WEIGHTED_SUM(array(2.0, 8.0, 4.0), 2)"
+        " | KEEP tau, w",
+        {"t": df},
+    ).collect()[0]
+    import math
+
+    assert out["tau"] == round(2 * math.pi, 6)
+    # sorted desc [8, 4, 2]: 8/1 + 4/4 + 2/9 = 9.222222
+    assert out["w"] == 9.222222
+    with pytest.raises(ValueError, match="numeric literal"):
+        esql("FROM t | EVAL w = MV_PSERIES_WEIGHTED_SUM(array(1.0), id)",
+             {"t": df})

@@ -229,3 +229,32 @@ def test_append_coerces_scalar(spark):
     rows = {r["id"]: r["tag"] for r in out.collect()}
     assert rows[1] == ["old", "new"]
     assert rows[2] == ["new"]
+
+
+def test_ingest_pipeline_is_streaming_legal(spark, tmp_path):
+    """The whole processor chain is stateless (projection + filter),
+    so it applies unchanged to a STREAMING frame — the shape a
+    change-stream ingest stage runs in production."""
+    src = spark.createDataFrame(
+        [(1, "alice", "10kb"), (2, "bob", "2kb")],
+        "id long, name string, sz string",
+    )
+    d = str(tmp_path / "in")
+    src.write.parquet(d)
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    out = ingest_pipeline(
+        stream,
+        [
+            {"uppercase": {"field": "name"}},
+            {"bytes": {"field": "sz", "target_field": "nb"}},
+            {"drop": {"if": "nb < 5000"}},
+        ],
+    )
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("ingest_stream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM ingest_stream").collect()
+    assert [(r["id"], r["name"], r["nb"]) for r in rows] == \
+        [(1, "ALICE", 10240)]
