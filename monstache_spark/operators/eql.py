@@ -76,7 +76,11 @@ def _expand_runs(steps: list[dict]) -> list[dict]:
     then enforces the consecutive-match semantics step by step)."""
     out: list[dict] = []
     for s in steps:
-        if "runs" in s:
+        # string steps (SQL predicates from the text endpoint) pass
+        # through — `"runs" in s` on a string is substring membership
+        # and would false-trigger on any predicate mentioning a field
+        # named `runs` (self-review r10)
+        if isinstance(s, dict) and "runs" in s:
             if "query" not in s or not set(s) <= {"query", "runs", "by"}:
                 raise ValueError(
                     'a runs step must be {"query": <bool-DSL>, '
@@ -402,23 +406,60 @@ def eql_sample(
 _SPAN_UNITS_S = {"s": 1, "m": 60, "h": 3600, "d": 86400}
 
 
+_EQL_STR_RE = re.compile(r'"(?:[^"\\]|\\.)*"')
+
+
+def _sub_outside_strings(pattern: str, repl, text: str) -> str:
+    """re.sub applied ONLY outside double-quoted literals — the EQL
+    pre-rewrites must never reach inside quoted text (self-review
+    r10: ``msg == "x == null"`` used to become ``msg = 'x  IS NULL '``)."""
+    out, pos = [], 0
+    for m in _EQL_STR_RE.finditer(text):
+        out.append(re.sub(pattern, repl, text[pos:m.start()], flags=re.I))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(re.sub(pattern, repl, text[pos:], flags=re.I))
+    return "".join(out)
+
+
 def _eql_expr(cond: str) -> str:
     """An EQL condition → a Spark SQL boolean expression, through the
     shared ES|QL dialect translation (`==`/string-literal/LIKE
     wildcard handling are identical between the two languages), plus
     the EQL-only spellings: ``== null`` / ``!= null`` → ``IS [NOT]
-    NULL`` and ``field regex "..."`` → ``RLIKE``."""
+    NULL``, ``field regex "..."`` → ``RLIKE``, and the
+    case-INsensitive ``regex~`` → ``RLIKE "(?i)…"`` (both regex
+    dialects honor the inline flag).  All pre-rewrites are
+    string-literal-aware."""
     from monstache_spark.operators.esql import _tr_expr
 
-    cond = re.sub(r"!=\s*null\b", " IS NOT NULL ", cond, flags=re.I)
-    cond = re.sub(r"==\s*null\b", " IS NULL ", cond, flags=re.I)
-    cond = re.sub(r'\bregex\s*(~?)\s*(?=")', "RLIKE ", cond, flags=re.I)
-    return _tr_expr(cond)
+    cond = _sub_outside_strings(r"!=\s*null\b", " IS NOT NULL ", cond)
+    cond = _sub_outside_strings(r"==\s*null\b", " IS NULL ", cond)
+    # regex / regex~: the operator sits right BEFORE a pattern
+    # literal; ~ injects the case-insensitivity flag INTO the literal
+    # ((?i) — both regex dialects honor the inline flag), which a
+    # plain outside-substitution could never do
+    out, pos = [], 0
+    for m in _EQL_STR_RE.finditer(cond):
+        outside, lit = cond[pos:m.start()], m.group(0)
+        m2 = re.search(r"\bregex\s*(~?)\s*$", outside, re.I)
+        if m2:
+            outside = outside[:m2.start()] + " RLIKE "
+            if m2.group(1):
+                lit = '"(?i)' + lit[1:]
+        out.append(outside)
+        out.append(lit)
+        pos = m.end()
+    out.append(cond[pos:])
+    return _tr_expr("".join(out))
 
 
 def _split_outside(s: str, sep: str) -> list[str]:
     """Split on a single-char separator outside double quotes and
-    outside ``[...]`` groups."""
+    outside ``[...]`` groups.  Double quotes only, deliberately:
+    the EQL grammar has no single-quoted strings (unlike the SQL
+    the esql scanners must also handle), so a quote here is always
+    a string delimiter."""
     parts, cur, depth, in_str = [], [], 0, False
     for i, ch in enumerate(s):
         if in_str:
@@ -568,7 +609,10 @@ def eql(
     """
     segs = _split_outside(query.strip(), "|")
     head_txt = segs[0].strip()
-    head = tail = None
+    # pipes are an ORDERED chain (ES applies them sequentially —
+    # `head 10 | tail 3` = the last 3 of the first 10; self-review
+    # r10: last-wins assignment returned wrong row counts)
+    pipes: list[tuple[str, int]] = []
     for pipe in segs[1:]:
         pm = re.fullmatch(r"\s*(head|tail)\s+(\d+)\s*", pipe, re.I)
         if not pm:
@@ -576,30 +620,60 @@ def eql(
                 f"unsupported pipe: {pipe.strip()!r} (ES EQL supports "
                 "head/tail only)"
             )
-        if pm.group(1).lower() == "head":
-            head = int(pm.group(2))
-        else:
-            tail = int(pm.group(2))
+        pipes.append((pm.group(1).lower(), int(pm.group(2))))
+
+    def _apply_pipes(df: DataFrame, order_pack) -> DataFrame:
+        for kind_, n in pipes:
+            if kind_ == "head":
+                df = df.orderBy(order_pack.asc()).limit(n)
+            else:
+                df = df.orderBy(order_pack.desc()).limit(n)
+        return df
 
     kind = head_txt.split(None, 1)[0].lower() if head_txt else ""
     if kind not in ("sequence", "sample"):
         # simple event query
-        df = eql_events(
-            events, _parse_step_body(head_txt, category_col),
-            ts_col=ts_col, id_col=id_col, head=head, tail=tail,
-            analyzer=analyzer,
+        df = events.filter(
+            _step_pred(_parse_step_body(head_txt, category_col), analyzer)
         )
-        return df
+        return _apply_pipes(df, _pack(F.col(ts_col), id_col))
 
     rest = head_txt.split(None, 1)[1] if " " in head_txt else ""
-    # split off `until [ ... ]` (top level, outside brackets)
+    # split off `until [ ... ]` — a quote/bracket-aware scan (a plain
+    # re.split would match a `until` inside a string literal or a
+    # step condition; self-review r10)
     until_q = None
-    parts = re.split(r"\buntil\b", rest, maxsplit=1, flags=re.I)
-    if len(parts) == 2:
-        rest = parts[0]
-        ugroups = _find_groups(parts[1].strip())
+    upos = None
+    depth, in_str = 0, False
+    for m in re.finditer(r"\buntil\b", rest, re.I):
+        seg = rest[:m.start()]
+        depth = in_str = 0
+        i = 0
+        while i < len(seg):
+            ch = seg[i]
+            if in_str:
+                if ch == '"' and seg[i - 1] != "\\":
+                    in_str = False
+            elif ch == '"':
+                in_str = True
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            i += 1
+        if depth == 0 and not in_str:
+            upos = m.start()
+            break
+    if upos is not None:
+        ugroups = _find_groups(rest[upos + len("until"):].strip())
+        rest = rest[:upos]
         if len(ugroups) != 1 or ugroups[0][0]:
             raise ValueError("until takes exactly one positive [ ... ] step")
+        if ugroups[0][2].strip():
+            raise ValueError(
+                f"unparsed text after the until step: "
+                f"{ugroups[0][2].strip()!r}"
+            )
         until_q = _parse_step_body(ugroups[0][1], category_col)
 
     first_bracket = rest.find("[")
@@ -645,7 +719,12 @@ def eql(
     if kind == "sample":
         if not g_by:
             raise ValueError("sample needs `by <field>`")
-        if head is not None or tail is not None:
+        if until_q is not None:
+            raise ValueError(
+                "until is not defined over sample (no temporal state "
+                "to expire) — ES rejects it too"
+            )
+        if pipes:
             raise ValueError("pipes are not defined over sample results")
         return eql_sample(
             events, filters, by=g_by[0], ts_col=ts_col, id_col=id_col,
@@ -658,12 +737,4 @@ def eql(
         events, steps, by=g_by[0], ts_col=ts_col, id_col=id_col,
         maxspan_s=maxspan_s, analyzer=analyzer, until=until_q,
     )
-    if head is not None or tail is not None:
-        p = _pack(F.col("t1"), "id1")
-        if head is not None and tail is not None:
-            raise ValueError("pick ONE of head/tail")
-        if head is not None:
-            df = df.orderBy(p.asc()).limit(head)
-        else:
-            df = df.orderBy(p.desc()).limit(tail)
-    return df
+    return _apply_pipes(df, _pack(F.col("t1"), "id1"))

@@ -340,6 +340,11 @@ def _rewrite_fns(expr: str) -> str:
                 # inside a string literal is NOT an inner call)
                 if any(_find_calls(arg, f) for f in _FN_TEMPLATES):
                     continue  # rewrite the inner call first
+                if "{0}" not in tpl and arg.strip():
+                    # a zero-arg constant (TAU()) must not silently
+                    # SWALLOW an argument — a typo'd TAU(price) would
+                    # otherwise become a constant, not an error
+                    raise ValueError(f"{fn} takes no arguments")
                 # templates only ever reference {0}; str.format would
                 # choke on brace characters inside the user expression
                 # (e.g. a "{" string literal), so substitute literally

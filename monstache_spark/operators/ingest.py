@@ -211,6 +211,7 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             if not isinstance(vals, list):
                 vals = [vals]
             add = F.array(*[F.lit(v) for v in vals])
+            scalar_base = None
             if field not in df.columns:
                 base = F.array()
             else:
@@ -226,7 +227,25 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                     base = F.when(
                         F.col(field).isNull(), F.array()
                     ).otherwise(F.array(F.col(field)))
-            df = _apply_conditional(df, field, F.concat(base, add), cond)
+                    # under a per-row `if`, condition-false rows keep
+                    # their value but the COLUMN must still become an
+                    # array type (one column, one type — the coerced
+                    # scalar, null-preserving); _apply_conditional's
+                    # otherwise(F.col(field)) would mix array/scalar
+                    # branches and fail analysis (self-review r10 #2)
+                    scalar_base = F.when(
+                        F.col(field).isNull(), F.lit(None)
+                    ).otherwise(F.array(F.col(field)))
+            if cond is not None and scalar_base is not None:
+                c = F.coalesce(F.expr(cond), F.lit(False))
+                df = df.withColumn(
+                    field,
+                    F.when(c, F.concat(base, add)).otherwise(scalar_base),
+                )
+            else:
+                df = _apply_conditional(
+                    df, field, F.concat(base, add), cond
+                )
 
         elif ptype == "date":
             _require(opts, "field", "formats")

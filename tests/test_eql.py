@@ -461,3 +461,66 @@ def test_text_eql_sample_and_errors(spark):
             ev)
     with pytest.raises(ValueError, match="expected .*category.* where"):
         eql("sequence by user [nonsense] [b where true]", ev)
+
+
+def test_text_eql_review_fixes(spark):
+    """Self-review r10 pass 2 over the text endpoint: literal-aware
+    pre-rewrites, regex~ case-insensitivity, sequential pipes,
+    runs-substring false trigger, quoted `until`, sample+until
+    refusal."""
+    from monstache_spark.operators.eql import eql
+
+    rows = [
+        (1, _t(0), "u1", "log", "x == null", 1),
+        (2, _t(1), "u1", "log", "Alice", 2),
+        (3, _t(2), "u1", "log", "other", 9),
+        (4, _t(3), "u1", "log", "sleep until x", 1),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user string, event_type string,"
+        " msg string, runs long",
+    )
+    # a string literal containing `== null` must match literally
+    out = eql('any where msg == "x == null"', ev).collect()
+    assert [r["event_id"] for r in out] == [1]
+    # regex~ is case-INsensitive
+    out = eql('any where msg regex~ "alice"', ev).collect()
+    assert [r["event_id"] for r in out] == [2]
+    out = eql('any where msg regex "alice"', ev).collect()
+    assert out == []
+    # pipes chain sequentially: last 2 of the first 3
+    out = eql("any where true | head 3 | tail 2", ev).collect()
+    assert sorted(r["event_id"] for r in out) == [2, 3]
+    # a field named `runs` in a condition must not trip the runs
+    # step-expansion check
+    seq = eql(
+        "sequence by user with maxspan=1h"
+        " [log where runs > 3] [log where runs == 1]",
+        ev,
+    ).collect()
+    assert [(r["id1"], r["id2"]) for r in seq] == [(3, 4)]
+    # `until` inside a string literal is not the until clause
+    out = eql('any where msg == "sleep until x"', ev).collect()
+    assert [r["event_id"] for r in out] == [4]
+    with pytest.raises(ValueError, match="not defined over sample"):
+        eql("sample by user [log where true] [log where true]"
+            " until [log where true]", ev)
+    with pytest.raises(ValueError, match="unparsed text after the until"):
+        eql("sequence by user [log where true] [log where true]"
+            " until [log where true] by msg", ev)
+
+
+def test_append_conditional_on_scalar(spark):
+    from monstache_spark.operators.ingest import ingest_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "old"), (2, "keep"), (3, None)], "id long, tag string"
+    )
+    out = ingest_pipeline(
+        df, [{"append": {"field": "tag", "value": "new", "if": "id = 1"}}]
+    )
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    assert rows[1] == ["old", "new"]
+    assert rows[2] == ["keep"]          # coerced but untouched
+    assert rows[3] is None              # null scalar stays null

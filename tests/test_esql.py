@@ -1069,3 +1069,9 @@ def test_tau_and_pseries_weighted_sum(spark):
     with pytest.raises(ValueError, match="numeric literal"):
         esql("FROM t | EVAL w = MV_PSERIES_WEIGHTED_SUM(array(1.0), id)",
              {"t": df})
+
+
+def test_tau_rejects_arguments(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="TAU takes no arguments"):
+        esql("FROM t | EVAL x = TAU(id)", {"t": df})
