@@ -6671,6 +6671,25 @@ def _q_es_esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_like_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.16 pattern LISTS (operators/esql._rewrite_like_lists):
+    LIKE ("p1", "p2") = any pattern, NOT LIKE list = none — expanded
+    at rewrite time to an OR chain riding the normal wildcard
+    translation; the whole predicate is pushdown-eligible
+    StartsWith/Contains conjuncts at the scan."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        ' | WHERE text LIKE ("*merge*", "*vector*")'
+        ' AND source NOT LIKE ("src1*")'
+        " | STATS n = COUNT(*) BY lang"
+        " | SORT lang ASC",
+        {"documents": docs},
+    )
+
+
 def _q_es_esql_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL 9.x *_OVER_TIME family (operators/esql._ts_rate_stats):
     per-(user, week) series statistics — max, exact-decimal sum, the
@@ -7297,6 +7316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_eql_text": _q_es_eql_text,
         "es_esql_ts_rate": _q_es_esql_ts_rate,
         "es_esql_over_time": _q_es_esql_over_time,
+        "es_esql_like_list": _q_es_esql_like_list,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13152,5 +13172,12 @@ def oracle_sql() -> dict[str, str]:
                  max(lv) AS l,
                  round(CAST(sum(CAST(cnt AS DECIMAL(28,6))) AS DOUBLE), 6) AS n
           FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "es_esql_like_list": """
+          SELECT lang, CAST(count(*) AS BIGINT) AS n
+          FROM documents
+          WHERE (text LIKE '%merge%' OR text LIKE '%vector%')
+            AND NOT (source LIKE 'src1%')
+          GROUP BY 1 ORDER BY 1
         """,
     }

@@ -101,6 +101,7 @@ def _tr_expr(expr: str) -> str:
     expr = _rewrite_agg_spellings(expr)
     expr = _rewrite_varfns(expr)
     expr = _rewrite_fns(expr)
+    expr = _rewrite_like_lists(expr)
 
     out = []
     pos = 0
@@ -909,6 +910,45 @@ _VARFNS: dict[str, tuple[bool, "callable"]] = {
     "MV_PSERIES_WEIGHTED_SUM": (False, _h_mv_pseries),
     "IP_PREFIX": (False, _h_ip_prefix),
 }
+
+
+_LIKE_LIST_RE = re.compile(
+    r'([A-Za-z_][\w.]*)\s+(NOT\s+)?(R?LIKE)\s*\(\s*'
+    r'("(?:[^"\\]|\\.)*"(?:\s*,\s*"(?:[^"\\]|\\.)*")*)\s*\)',
+    re.I,
+)
+
+
+def _outside_literal(expr: str, pos: int) -> bool:
+    """True when ``pos`` sits outside every double-quoted literal —
+    unescaped-quote parity up to the position."""
+    in_str = False
+    for i in range(pos):
+        if expr[i] == '"' and (i == 0 or expr[i - 1] != "\\"):
+            in_str = not in_str
+    return not in_str
+
+
+def _rewrite_like_lists(expr: str) -> str:
+    """ES|QL 8.16+ pattern LISTS: ``field LIKE ("a*", "b*")`` matches
+    ANY pattern (``NOT LIKE`` list = none of them); same for RLIKE.
+    Expanded to an OR chain of single-pattern predicates, each then
+    riding the normal LIKE wildcard translation.  The left operand
+    must be a bare field name — bind a complex operand with EVAL
+    first."""
+    while True:
+        m = None
+        for cand in _LIKE_LIST_RE.finditer(expr):
+            if _outside_literal(expr, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return expr
+        operand, neg, op = m.group(1), m.group(2), m.group(3).upper()
+        pats = re.findall(r'"(?:[^"\\]|\\.)*"', m.group(4))
+        chain = " OR ".join(f"{operand} {op} {p}" for p in pats)
+        repl = f"(NOT ({chain}))" if neg else f"({chain})"
+        expr = expr[:m.start()] + repl + expr[m.end():]
 
 
 def _rewrite_varfns(expr: str) -> str:

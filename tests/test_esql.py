@@ -1075,3 +1075,23 @@ def test_tau_rejects_arguments(spark):
     df = spark.createDataFrame([(1,)], "id int")
     with pytest.raises(ValueError, match="TAU takes no arguments"):
         esql("FROM t | EVAL x = TAU(id)", {"t": df})
+
+
+def test_like_pattern_lists(spark):
+    """ES|QL 8.16 pattern lists: LIKE ("a*", "b*") matches ANY
+    pattern, NOT LIKE none; RLIKE lists too; literal text containing
+    the construct is untouched."""
+    df = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "s string"
+    )
+    out = esql('FROM t | WHERE s LIKE ("al*", "be*")', {"t": df}).collect()
+    assert sorted(r["s"] for r in out) == ["alpha", "beta"]
+    out = esql('FROM t | WHERE s NOT LIKE ("al*", "be*")', {"t": df}).collect()
+    assert [r["s"] for r in out] == ["gamma"]
+    out = esql('FROM t | WHERE s RLIKE ("^a", "a$")', {"t": df}).collect()
+    assert sorted(r["s"] for r in out) == ["alpha", "beta", "gamma"]
+    lit = esql(
+        'FROM t | EVAL note = "s LIKE (\\"x\\")" | KEEP note | LIMIT 1',
+        {"t": df},
+    ).collect()[0]
+    assert lit["note"] == 's LIKE ("x")'
