@@ -622,12 +622,15 @@ def eql(
             )
         pipes.append((pm.group(1).lower(), int(pm.group(2))))
 
-    def _apply_pipes(df: DataFrame, order_pack) -> DataFrame:
+    def _apply_pipes(df: DataFrame, order_pack_fn) -> DataFrame:
+        if not pipes:
+            return df
+        p = order_pack_fn()  # lazy: only built when a pipe needs it
         for kind_, n in pipes:
             if kind_ == "head":
-                df = df.orderBy(order_pack.asc()).limit(n)
+                df = df.orderBy(p.asc()).limit(n)
             else:
-                df = df.orderBy(order_pack.desc()).limit(n)
+                df = df.orderBy(p.desc()).limit(n)
         return df
 
     kind = head_txt.split(None, 1)[0].lower() if head_txt else ""
@@ -636,7 +639,7 @@ def eql(
         df = events.filter(
             _step_pred(_parse_step_body(head_txt, category_col), analyzer)
         )
-        return _apply_pipes(df, _pack(F.col(ts_col), id_col))
+        return _apply_pipes(df, lambda: _pack(F.col(ts_col), id_col))
 
     rest = head_txt.split(None, 1)[1] if " " in head_txt else ""
     # split off `until [ ... ]` — a quote/bracket-aware scan (a plain
@@ -737,4 +740,4 @@ def eql(
         events, steps, by=g_by[0], ts_col=ts_col, id_col=id_col,
         maxspan_s=maxspan_s, analyzer=analyzer, until=until_q,
     )
-    return _apply_pipes(df, _pack(F.col("t1"), "id1"))
+    return _apply_pipes(df, lambda: _pack(F.col("t1"), "id1"))
