@@ -140,6 +140,20 @@ def main() -> int:
     qN_ = t(lambda: eql_sequence(evN_keys, steps, by="user_id", maxspan_s=86400))
     print(f"{'eql_sequence':14s}  1x {q1_:6.2f}s   {times}x {qN_:7.2f}s   ratio {qN_ / q1_:6.2f}")
 
+    # TS RATE: user_id keys NOT offset here — the realistic TSDS shape
+    # is a fixed series population with N× LONGER history per series,
+    # so the lag window's partitions grow N× rows each (the harder
+    # direction for a window; more keys would trivially parallelize)
+    from monstache_spark.operators.esql import esql
+
+    _ts_q = (
+        "TS events | STATS mr = max(RATE(value)), ar = avg(RATE(value))"
+        " BY wk = BUCKET(ts, 1 week)"
+    )
+    ts1 = t(lambda: esql(_ts_q, {"events": ev1}, dimensions=["user_id"]))
+    tsN = t(lambda: esql(_ts_q, {"events": evN}, dimensions=["user_id"]))
+    print(f"{'ts_rate':14s}  1x {ts1:6.2f}s   {times}x {tsN:7.2f}s   ratio {tsN / ts1:6.2f}")
+
     # variable_width_histogram: everything after the first hash agg is
     # O(distinct values) — perturb each copy's value so the distinct
     # frame actually grows N× (identical copies would test nothing)
