@@ -6671,6 +6671,36 @@ def _q_es_esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_ingest_url_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest uri_parts + kv processors (operators/ingest.py):
+    synthesized URLs and key=value lines from document columns —
+    uri_parts flattens to <target>_<part> columns (an ES object field
+    has no columnar schema), kv extracts the EXPLICIT include_keys
+    (ES's dynamic field set likewise); the oracle derives every part
+    algebraically from the source columns, independent of the regex
+    machinery.  Map-only plan."""
+    from monstache_spark.operators.ingest import ingest_pipeline
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/d"), F.col("doc_id").cast("string"),
+            F.lit(".txt?x="), F.col("n_chars").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("lang="), F.col("lang"), F.lit(" src="),
+                 F.col("source")).alias("line"),
+    )
+    return ingest_pipeline(docs, [
+        {"uri_parts": {"field": "url"}},
+        {"kv": {"field": "line", "field_split": "\\s+",
+                "value_split": "=", "include_keys": ["lang", "src"],
+                "prefix": "kv_"}},
+        {"remove": {"field": "url"}},
+        {"remove": {"field": "line"}},
+    ])
+
+
 def _q_es_esql_like_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL 8.16 pattern LISTS (operators/esql._rewrite_like_lists):
     LIKE ("p1", "p2") = any pattern, NOT LIKE list = none — expanded
@@ -7317,6 +7347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_ts_rate": _q_es_esql_ts_rate,
         "es_esql_over_time": _q_es_esql_over_time,
         "es_esql_like_list": _q_es_esql_like_list,
+        "es_ingest_url_kv": _q_es_ingest_url_kv,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13179,5 +13210,19 @@ def oracle_sql() -> dict[str, str]:
           WHERE (text LIKE '%merge%' OR text LIKE '%vector%')
             AND NOT (source LIKE 'src1%')
           GROUP BY 1 ORDER BY 1
+        """,
+        "es_ingest_url_kv": """
+          SELECT doc_id,
+                 'https' AS url_scheme,
+                 CAST(NULL AS VARCHAR) AS url_user_info,
+                 source || '.example.com' AS url_domain,
+                 CAST(NULL AS BIGINT) AS url_port,
+                 '/' || lang || '/d' || CAST(doc_id AS VARCHAR) || '.txt' AS url_path,
+                 'x=' || CAST(n_chars AS VARCHAR) AS url_query,
+                 CAST(NULL AS VARCHAR) AS url_fragment,
+                 'txt' AS url_extension,
+                 lang AS kv_lang,
+                 source AS kv_src
+          FROM documents
         """,
     }

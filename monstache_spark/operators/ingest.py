@@ -19,7 +19,11 @@ separator is a REGEX, as ES documents), ``join``, ``append``,
 DIVERGENCES S32), ``dissect``, ``csv`` (separator-split into listed
 target fields — the RFC-4180 quote dialect is NOT parsed; documented),
 ``urldecode``, ``html_strip`` (tag removal; entity decoding is not —
-documented), ``bytes`` ("10kb" → 10240), and ``drop``.
+documented), ``bytes`` ("10kb" → 10240), ``uri_parts`` (flattened to
+``<target>_<part>`` columns — an object field has no columnar
+schema), ``sort``, ``kv`` (the explicit ``include_keys`` form —
+ES's dynamic per-document field set has no columnar schema), and
+``drop``.
 
 Per-processor ``if`` conditions take the engine's shared painless→SQL
 binding (a SQL boolean expression over the row, the same contract as
@@ -384,6 +388,70 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             df = _apply_conditional(
                 df, tgt, F.floor(num * factor).cast("bigint"), cond
             )
+
+        elif ptype == "uri_parts":
+            _require(opts, "field")
+            tf = opts.get("target_field", "url")
+            src = F.col(opts["field"])
+            # one portable regex (no lookaround): scheme://[user@]
+            # host[:port][path][?query][#fragment]; ES nests these
+            # under an object field — a columnar schema flattens to
+            # <target>_<part> columns; non-URIs yield NULL parts
+            rx = (
+                r"^([a-z][a-z0-9+.-]*)://(?:([^@/?#]+)@)?([^:/?#]*)"
+                r"(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+            )
+            matched = src.rlike(rx)
+            parts = [
+                ("scheme", 1, "string"), ("user_info", 2, "string"),
+                ("domain", 3, "string"), ("port", 4, "bigint"),
+                ("path", 5, "string"), ("query", 6, "string"),
+                ("fragment", 7, "string"),
+            ]
+            for pname, gi, typ in parts:
+                c = F.when(matched, F.regexp_extract(src, rx, gi))
+                c = F.when(c == "", F.lit(None)).otherwise(c)
+                if typ != "string":
+                    c = c.cast(typ)
+                df = _apply_conditional(df, f"{tf}_{pname}", c, cond)
+            ext = F.when(
+                matched,
+                F.regexp_extract(
+                    F.regexp_extract(src, rx, 5), r"\.([^./]+)$", 1
+                ),
+            )
+            ext = F.when(ext == "", F.lit(None)).otherwise(ext)
+            df = _apply_conditional(df, f"{tf}_extension", ext, cond)
+
+        elif ptype == "sort":
+            _require(opts, "field")
+            order = opts.get("order", "asc")
+            if order not in ("asc", "desc"):
+                raise ValueError(f"sort order must be asc/desc: {order!r}")
+            tgt = opts.get("target_field", opts["field"])
+            val = F.array_sort(F.col(opts["field"]))
+            if order == "desc":
+                val = F.reverse(val)
+            df = _apply_conditional(df, tgt, val, cond)
+
+        elif ptype == "kv":
+            _require(opts, "field", "field_split", "value_split",
+                     "include_keys")
+            fs, vs = opts["field_split"], opts["value_split"]
+            # ES's kv without include_keys creates a DYNAMIC field
+            # set per document — no columnar schema; the explicit
+            # include_keys form is the deterministic subset
+            prefix = opts.get("prefix", "")
+            import re as _re
+
+            for key in opts["include_keys"]:
+                rx = (
+                    f"(?:^|{fs}){_re.escape(key)}{vs}"
+                    f"(.*?)(?:{fs}|$)"
+                )
+                src = F.col(opts["field"])
+                c = F.when(src.rlike(rx), F.regexp_extract(src, rx, 1))
+                df = _apply_conditional(df, f"{prefix}{key}", c, cond)
 
         elif ptype == "drop":
             _require(opts, "if")

@@ -258,3 +258,41 @@ def test_ingest_pipeline_is_streaming_legal(spark, tmp_path):
     rows = spark.sql("SELECT * FROM ingest_stream").collect()
     assert [(r["id"], r["name"], r["nb"]) for r in rows] == \
         [(1, "ALICE", 10240)]
+
+
+def test_uri_parts_sort_kv(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://user@example.com:8443/a/b.html?q=1#frag",
+             [3, 1, 2], "k1=a k2=b extra"),
+            (2, "http://plain.org/path", [9], "k2=only"),
+            (3, "not a uri", None, "nothing here"),
+        ],
+        "id long, u string, arr array<int>, line string",
+    )
+    out = ingest_pipeline(
+        df,
+        [
+            {"uri_parts": {"field": "u"}},
+            {"sort": {"field": "arr", "order": "desc"}},
+            {"kv": {"field": "line", "field_split": "\\s+",
+                    "value_split": "=", "include_keys": ["k1", "k2"],
+                    "prefix": "kv_"}},
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    r1 = rows[1]
+    assert (r1["url_scheme"], r1["url_user_info"], r1["url_domain"],
+            r1["url_port"]) == ("https", "user", "example.com", 8443)
+    assert (r1["url_path"], r1["url_query"], r1["url_fragment"],
+            r1["url_extension"]) == ("/a/b.html", "q=1", "frag", "html")
+    r2 = rows[2]
+    assert (r2["url_scheme"], r2["url_port"], r2["url_query"]) == \
+        ("http", None, None)
+    assert rows[3]["url_scheme"] is None
+    assert r1["arr"] == [3, 2, 1] and rows[2]["arr"] == [9]
+    assert (r1["kv_k1"], r1["kv_k2"]) == ("a", "b")
+    assert (r2["kv_k1"], r2["kv_k2"]) == (None, "only")
+    assert rows[3]["kv_k1"] is None
+    with pytest.raises(ValueError, match="asc/desc"):
+        ingest_pipeline(df, [{"sort": {"field": "arr", "order": "up"}}])
