@@ -13212,17 +13212,30 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY 1 ORDER BY 1
         """,
         "es_ingest_url_kv": """
+          -- ok = the synthesized url/line are non-null; a NULL source
+          -- column would null the concat and every extracted part on
+          -- the engine side (shape-robust if future testdata gains
+          -- NULLs)
+          WITH g AS (
+            SELECT *,
+                   (source IS NOT NULL AND lang IS NOT NULL
+                    AND n_chars IS NOT NULL) AS ok
+            FROM documents
+          )
           SELECT doc_id,
-                 'https' AS url_scheme,
+                 CASE WHEN ok THEN 'https' END AS url_scheme,
                  CAST(NULL AS VARCHAR) AS url_user_info,
-                 source || '.example.com' AS url_domain,
+                 CASE WHEN ok THEN source || '.example.com' END AS url_domain,
                  CAST(NULL AS BIGINT) AS url_port,
-                 '/' || lang || '/d' || CAST(doc_id AS VARCHAR) || '.txt' AS url_path,
-                 'x=' || CAST(n_chars AS VARCHAR) AS url_query,
+                 CASE WHEN ok THEN '/' || lang || '/d'
+                      || CAST(doc_id AS VARCHAR) || '.txt' END AS url_path,
+                 CASE WHEN ok THEN 'x=' || CAST(n_chars AS VARCHAR) END AS url_query,
                  CAST(NULL AS VARCHAR) AS url_fragment,
-                 'txt' AS url_extension,
-                 lang AS kv_lang,
-                 source AS kv_src
-          FROM documents
+                 CASE WHEN ok THEN 'txt' END AS url_extension,
+                 CASE WHEN source IS NOT NULL AND lang IS NOT NULL
+                      THEN lang END AS kv_lang,
+                 CASE WHEN source IS NOT NULL AND lang IS NOT NULL
+                      THEN source END AS kv_src
+          FROM g
         """,
     }

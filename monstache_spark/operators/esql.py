@@ -92,6 +92,12 @@ def _tr_expr(expr: str) -> str:
     (MV_*/TO_*) rewrite first via ``_rewrite_fns``; the two-argument
     ``BUCKET(col, N unit)`` time-bucketing function rewrites via
     ``_rewrite_bucket``."""
+    # pattern lists FIRST: at this point the only literals are the
+    # user's double-quoted ES|QL strings — later rewriters emit
+    # single-quoted SQL literals (possibly containing bare double
+    # quotes) that would break the quote-parity check (self-review
+    # r10 pass 3)
+    expr = _rewrite_like_lists(expr)
     expr = _rewrite_bucket(expr)
     expr = _rewrite_match(expr)
     expr = _rewrite_cidr_match(expr)
@@ -101,7 +107,6 @@ def _tr_expr(expr: str) -> str:
     expr = _rewrite_agg_spellings(expr)
     expr = _rewrite_varfns(expr)
     expr = _rewrite_fns(expr)
-    expr = _rewrite_like_lists(expr)
 
     out = []
     pos = 0
@@ -920,13 +925,17 @@ _LIKE_LIST_RE = re.compile(
 
 
 def _outside_literal(expr: str, pos: int) -> bool:
-    """True when ``pos`` sits outside every double-quoted literal —
-    unescaped-quote parity up to the position."""
-    in_str = False
-    for i in range(pos):
-        if expr[i] == '"' and (i == 0 or expr[i - 1] != "\\"):
-            in_str = not in_str
-    return not in_str
+    """True when ``pos`` sits outside every double-quoted literal.
+    Spans come from the proper literal regex (escape-correct — a
+    quote-parity walk would miscount ``\\\\"``); the caller runs
+    BEFORE any rewriter emits single-quoted SQL, so double-quoted
+    user literals are the only kind in play."""
+    for m in re.finditer(r'"(?:[^"\\]|\\.)*"', expr):
+        if m.start() <= pos < m.end():
+            return False
+        if m.start() > pos:
+            break
+    return True
 
 
 def _rewrite_like_lists(expr: str) -> str:

@@ -397,9 +397,13 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             # host[:port][path][?query][#fragment]; ES nests these
             # under an object field — a columnar schema flattens to
             # <target>_<part> columns; non-URIs yield NULL parts
+            # RFC-3986 schemes are case-insensitive (ES parses
+            # HTTPS:// fine) — match both cases, no (?i) so the
+            # captured text stays exactly as written
             rx = (
-                r"^([a-z][a-z0-9+.-]*)://(?:([^@/?#]+)@)?([^:/?#]*)"
-                r"(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+                r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:([^@/?#]+)@)?"
+                r"([^:/?#]*)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?"
+                r"(?:#(.*))?$"
             )
             matched = src.rlike(rx)
             parts = [
@@ -429,10 +433,14 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             if order not in ("asc", "desc"):
                 raise ValueError(f"sort order must be asc/desc: {order!r}")
             tgt = opts.get("target_field", opts["field"])
-            val = F.array_sort(F.col(opts["field"]))
-            if order == "desc":
-                val = F.reverse(val)
-            df = _apply_conditional(df, tgt, val, cond)
+            # sort_array's desc puts NULL elements LAST (the
+            # documented ordering); reverse(array_sort) would put
+            # them first
+            df = _apply_conditional(
+                df, tgt,
+                F.sort_array(F.col(opts["field"]), asc=(order == "asc")),
+                cond,
+            )
 
         elif ptype == "kv":
             _require(opts, "field", "field_split", "value_split",
@@ -444,13 +452,18 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             prefix = opts.get("prefix", "")
             import re as _re
 
+            # user-supplied split regexes may carry CAPTURING groups
+            # (ES accepts them) — the value's group index shifts past
+            # every group inside the leading field_split and the
+            # value_split (self-review r10 pass 3)
+            gidx = 1 + _re.compile(fs).groups + _re.compile(vs).groups
             for key in opts["include_keys"]:
                 rx = (
                     f"(?:^|{fs}){_re.escape(key)}{vs}"
                     f"(.*?)(?:{fs}|$)"
                 )
                 src = F.col(opts["field"])
-                c = F.when(src.rlike(rx), F.regexp_extract(src, rx, 1))
+                c = F.when(src.rlike(rx), F.regexp_extract(src, rx, gidx))
                 df = _apply_conditional(df, f"{prefix}{key}", c, cond)
 
         elif ptype == "drop":

@@ -140,18 +140,32 @@ def main() -> int:
     qN_ = t(lambda: eql_sequence(evN_keys, steps, by="user_id", maxspan_s=86400))
     print(f"{'eql_sequence':14s}  1x {q1_:6.2f}s   {times}x {qN_:7.2f}s   ratio {qN_ / q1_:6.2f}")
 
-    # TS RATE: user_id keys NOT offset here — the realistic TSDS shape
-    # is a fixed series population with N× LONGER history per series,
-    # so the lag window's partitions grow N× rows each (the harder
-    # direction for a window; more keys would trivially parallelize)
+    # TS RATE: user_id keys NOT offset — the realistic TSDS shape is
+    # a fixed series population with N× LONGER history per series.
+    # Each copy's timestamps shift by 40 days (so the history really
+    # lengthens instead of densifying on duplicate instants) and ids
+    # re-key densely (the packed (ts, id) order needs id < 10⁹; the
+    # raw copy offsets would breach it at 10×).
     from monstache_spark.operators.esql import esql
 
+    n_ev1 = ev1.count()
+    evN_ts = spark.read.parquet(evN_path).withColumn(
+        "_copy", F.floor(F.col("event_id") / F.lit(100_000_000))
+    ).select(
+        (F.pmod(F.col("event_id"), F.lit(100_000_000))
+         + F.col("_copy") * F.lit(2 * n_ev1)).alias("event_id"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts"))
+            + F.col("_copy") * F.lit(40 * 86_400_000_000)
+        ).alias("ts"),
+        "user_id", "event_type", "value",
+    )
     _ts_q = (
         "TS events | STATS mr = max(RATE(value)), ar = avg(RATE(value))"
         " BY wk = BUCKET(ts, 1 week)"
     )
     ts1 = t(lambda: esql(_ts_q, {"events": ev1}, dimensions=["user_id"]))
-    tsN = t(lambda: esql(_ts_q, {"events": evN}, dimensions=["user_id"]))
+    tsN = t(lambda: esql(_ts_q, {"events": evN_ts}, dimensions=["user_id"]))
     print(f"{'ts_rate':14s}  1x {ts1:6.2f}s   {times}x {tsN:7.2f}s   ratio {tsN / ts1:6.2f}")
 
     # variable_width_histogram: everything after the first hash agg is
