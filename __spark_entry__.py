@@ -6654,9 +6654,9 @@ def _q_es_eql_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_es_esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL 9.x TS + RATE() (operators/esql._ts_rate_stats): the
     TSDS counter-rate reduction with user_id as the series dimension —
-    per (user, week) the positive value deltas (decreases are counter
-    resets) over the observed span, then max/avg across series per
-    week.  One window ordered by the packed (ts, id) decimal feeding
+    per (user, week) the reset-compensated increases (a decrease is a
+    counter reset; the post-reset sample counts from zero) over the
+    observed span, then max/avg across series per week.  One window ordered by the packed (ts, id) decimal feeding
     two hash aggregations; avg re-accumulates the rounded rates in
     exact decimal."""
     from monstache_spark.operators.esql import esql
@@ -6984,22 +6984,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window (the first
     50 entries, insertion order) rotates coverage each round.  The
-    round-10 window (see ``_GATE_WINDOW``) holds (a) the 19 queries
-    that had never had a driver-gate row (VERDICT r9 task #1):
-    ``cluster_balanced_sample`` and ``sft_render_chat`` first (two
-    rounds without a row), then the 17 round-9 additions
-    (``ascii_fold_match`` … ``es_esql_stats_by_expr``), and (b) 31 of
-    the 38 stalest queries (all last gated in round 3, ties broken
-    alphabetically — the remaining 7 round-3 queries plus any round-10
-    additions lead the round-11 window).  The judge's full
-    ``tools/check_oracle.py`` sweep covers every registry query each
-    round.  Every query has a hash-checkable oracle."""
+    round-11 window (see ``_GATE_WINDOW``) holds (a) the 34 round-10
+    additions that had never had a driver-gate row (VERDICT r10
+    task #1 — EQL runs/pipes/missing/sample/until/step-by/text,
+    ES|QL GROK/CATEGORIZE/MATCH/QSTR/TS-RATE/*_OVER_TIME/CIDR/MV/
+    LIKE-list/scalar/agg/date/string packs, ingest pipelines +
+    text/url-kv packs, retrievers pinned/rule/linear/knn-literal/
+    text-sim-reranker, rank-vectors inv-hamming, knn similarity
+    cutoff), (b) the 7 remaining queries last gated in round 3
+    (``stream_stream_join`` … ``worker_shard``), and (c) 9 of the
+    round-4 cohort as next-stalest fill (``anomaly_flags_daily`` …
+    ``data_card``; the remaining round-4 queries lead the round-12
+    window).  The judge's full ``tools/check_oracle.py`` sweep covers
+    every registry query each round.  Every query has a
+    hash-checkable oracle."""
 
     all_q = {
-        # --- driver correctness window (50): the 14 round-6 operators,
-        # the 3 whose semantics/oracles changed this round (transposed
-        # slop, distinct-id adjacency, null-bucket top_metrics), and the
-        # 33 stalest queries (last gated r3) ---
+        # Historical insertion order (round added); the driver-facing
+        # order is imposed below from _GATE_WINDOW, so this dict's own
+        # ordering is not load-bearing.
         "es_nested_query": _q_es_nested_query,
         "es_nested_agg": _q_es_nested_agg,
         "match_stopword_analyzed": _q_match_stopword_analyzed,
@@ -7357,64 +7360,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the driver's 50-query correctness window, head first — see the
 # queries() docstring for this round's composition rationale
 _GATE_WINDOW = [
-    # VERDICT r9 task #1a: the two round-8 stragglers, two rounds
-    # without a driver row — gated FIRST
-    "cluster_balanced_sample",
-    "sft_render_chat",
-    # VERDICT r9 task #1b: the 17 round-9 additions, never gated
-    "ascii_fold_match",
-    "ascii_fold_terms",
-    "binary_quantize_census",
-    "hamming_knn_topk",
-    "int8_quantize_codes",
-    "int8_knn_topk",
-    "es_esql_inlinestats",
-    "best_of_n_orders",
-    "length_bucket_packing",
-    "hamming_rerank_topk",
-    "es_retriever_rrf",
-    "es_retriever_rescorer",
-    "es_esql_bucket",
-    "es_knn_filtered",
-    "synonym_bm25",
-    "es_esql_sample",
-    "es_esql_stats_by_expr",
-    # stalest-first fill: 31 of the 38 queries last gated in round 3
-    # (all tied; alphabetical). The 7 left over (stream_stream_join,
-    # system_guards, text_quality, time_machine, top_users_by_value,
-    # window_rank_lag, worker_shard) plus round-10 additions lead the
-    # round-11 window.
-    "ann_cosine_topk",
-    "ann_lsh_multiprobe",
-    "ann_lsh_topk",
-    "asof_prior_purchase",
-    "backfill_plus_stream",
-    "big_spender_orders",
-    "bpe_token_stats",
-    "cube_lineitem_flags",
-    "customers_without_orders",
-    "dedup_exact_clusters",
-    "dedup_exact_keep",
-    "delete_via_sink_lookup",
-    "direct_read_union",
-    "distinct_users_per_type",
-    "doc_normalize",
-    "events_hourly_rollup",
-    "index_routing",
-    "interval_containment",
-    "lang_id",
-    "lsh_bucket_stats",
-    "ns_exclude_filter",
-    "ns_include_filter",
-    "pivot_status_priority",
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "relate_identity_delete",
-    "rollup_orders",
-    "simhash_signatures",
-    "stream_dedup_keys",
-    "stream_hourly_windows",
-    "stream_session_windows",
+    # VERDICT r10 task #1: the 34 round-10 additions (EQL/ES|QL/ingest/
+    # retriever packs), never driver-gated — judge-verified green at the
+    # r10 HEAD, rotated in first
+    "es_text_sim_reranker",
+    "es_esql_categorize",
+    "es_rank_vectors_inv_hamming",
+    "es_retriever_linear",
+    "es_knn_similarity_cutoff",
+    "es_esql_match",
+    "es_esql_qstr",
+    "es_retriever_pinned",
+    "es_esql_cidr",
+    "es_esql_mv_funcs",
+    "es_eql_sequence_until",
+    "es_esql_date_funcs",
+    "es_eql_sample",
+    "es_retriever_rule",
+    "es_esql_agg_funcs",
+    "es_retriever_knn_literal",
+    "es_esql_grok",
+    "es_esql_string_funcs",
+    "es_esql_date_trunc",
+    "es_esql_top_values",
+    "es_eql_runs",
+    "es_eql_pipes",
+    "es_ingest_pipeline",
+    "es_eql_missing",
+    "es_esql_mv_pack",
+    "es_esql_ip_prefix",
+    "es_eql_step_by",
+    "es_esql_scalar_pack2",
+    "es_ingest_text_pack",
+    "es_eql_text",
+    "es_esql_ts_rate",
+    "es_esql_over_time",
+    "es_esql_like_list",
+    "es_ingest_url_kv",
+    # the 7 remaining queries last gated in round 3 (pre-announced
+    # in the round-10 window comment)
+    "stream_stream_join",
+    "system_guards",
+    "text_quality",
+    "time_machine",
+    "top_users_by_value",
+    "window_rank_lag",
+    "worker_shard",
+    # next-stalest fill: 9 of the round-4 cohort, alphabetical
+    "anomaly_flags_daily",
+    "bigram_lm_quality",
+    "bm25_search",
+    "boilerplate_ngrams",
+    "bpe_segment_fertility",
+    "chunk_documents",
+    "collapse_topk",
+    "corpus_overlap",
+    "data_card",
     # --- 50-slot boundary falls here ---
 ]
 
@@ -13170,8 +13171,8 @@ def oracle_sql() -> dict[str, str]:
           i AS (
             SELECT user_id, wk, tus,
                    CASE WHEN prev IS NULL THEN 0.0
-                        WHEN value > prev THEN value - prev
-                        ELSE 0.0 END AS inc
+                        WHEN value >= prev THEN value - prev
+                        ELSE value END AS inc
             FROM r
           ),
           s AS (

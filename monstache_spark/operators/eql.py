@@ -554,18 +554,35 @@ def _parse_by_with(text: str):
     by_fields: list[str] = []
     maxspan_s = None
     runs = None
-    bm = re.search(r"\bby\s+([A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)",
-                   text, re.I)
-    if bm:
-        by_fields = [f.strip() for f in bm.group(1).split(",")]
+    # finditer + duplicate checks, not search: the leftover sweep
+    # below strips EVERY `by`/`with` occurrence, so a duplicated
+    # modifier (`by a by b`, `with runs=2 with runs=3`) must refuse
+    # here or it would be silently swallowed (round-11 ADVICE)
+    by_matches = list(re.finditer(
+        r"\bby\s+([A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)",
+        text, re.I))
+    if len(by_matches) > 1:
+        raise ValueError(
+            f"duplicated `by` modifier in: {text.strip()!r}"
+        )
+    if by_matches:
+        by_fields = [f.strip() for f in by_matches[0].group(1).split(",")]
     for wm in re.finditer(r"\bwith\s+(\w+)\s*=\s*(\w+)", text, re.I):
         key, val = wm.group(1).lower(), wm.group(2)
         if key == "maxspan":
+            if maxspan_s is not None:
+                raise ValueError(
+                    f"duplicated `with maxspan` in: {text.strip()!r}"
+                )
             sm = re.fullmatch(r"(\d+)([smhd])", val)
             if not sm:
                 raise ValueError(f"bad maxspan (use Ns/Nm/Nh/Nd): {val!r}")
             maxspan_s = int(sm.group(1)) * _SPAN_UNITS_S[sm.group(2)]
         elif key == "runs":
+            if runs is not None:
+                raise ValueError(
+                    f"duplicated `with runs` in: {text.strip()!r}"
+                )
             runs = int(val)
         else:
             raise ValueError(f"unsupported `with` option: {key!r}")

@@ -1436,11 +1436,12 @@ def _ts_rate_stats(
     tuple) within each group the INNER function computes:
 
     * ``RATE(counter)`` — order events by the packed (ts, id)
-      contract, sum the POSITIVE deltas (a decrease is a counter
-      reset — its drop is not an increase; ES's rate compensates
-      resets the same way), divide by the series' observed time span
-      in seconds, round 6 dp (the S11 class); a single-event series
-      has no span and yields NULL;
+      contract, sum the increases with Prometheus/ES reset
+      compensation (a decrease is a counter reset: the post-reset
+      sample counts as an increase from zero, so 1,5,2,7 yields
+      4+2+5 = 11), divide by the series' observed time span in
+      seconds, round 6 dp (the S11 class); a single-event series has
+      no span and yields NULL;
     * ``MAX/MIN/SUM/AVG/COUNT_OVER_TIME`` — the plain per-series
       statistics (sum/avg in exact decimal, 6-dp round);
     * ``FIRST/LAST_OVER_TIME`` — the packed-order endpoints via
@@ -1499,11 +1500,14 @@ def _ts_rate_stats(
         if inner == "RATE":
             prev = F.lag(F.col(col)).over(w)
             # explicit CASE, not greatest(): greatest's NULL handling
-            # differs across engines — the contract must be one tree
+            # differs across engines — the contract must be one tree.
+            # A decrease is a counter reset: the post-reset sample is
+            # credited as an increase FROM ZERO (value itself), the
+            # Prometheus/ES reset compensation (1,5,2,7 -> 4+2+5=11).
             inc_cols[f"_inc_{name}"] = (
                 F.when(prev.isNull(), F.lit(0.0))
-                .when(F.col(col) > prev, F.col(col) - prev)
-                .otherwise(F.lit(0.0))
+                .when(F.col(col) >= prev, F.col(col) - prev)
+                .otherwise(F.col(col))
             )
         else:
             raw_cols.add(col)

@@ -61,6 +61,41 @@ _REFUSED = {
     "pipeline": "compose processor lists in Python before compiling",
 }
 
+# Options each processor actually honors.  ES-common metadata options
+# (`tag`, `description`) are accepted-and-ignored everywhere;
+# `ignore_failure` is accepted because NULL-on-failure is already this
+# module's only failure mode (the module docstring's contract).
+# Anything else — including a typo'd `ignore_missing`, or ES's
+# `on_failure` processor lists — refuses loudly, matching the module's
+# loud-refusal stance (round-11 ADVICE).
+_COMMON_OPTS = {"if", "tag", "description", "ignore_failure"}
+_PROC_OPTS = {
+    "set": {"field", "value", "copy_from", "override"},
+    "rename": {"field", "target_field", "ignore_missing"},
+    "remove": {"field", "ignore_missing"},
+    "convert": {"field", "type", "target_field"},
+    "gsub": {"field", "pattern", "replacement", "target_field"},
+    "lowercase": {"field", "target_field"},
+    "uppercase": {"field", "target_field"},
+    "trim": {"field", "target_field"},
+    "split": {"field", "separator", "target_field"},
+    "join": {"field", "separator", "target_field"},
+    "append": {"field", "value"},
+    "date": {"field", "formats", "target_field"},
+    "fingerprint": {"fields", "target_field", "method"},
+    "grok": {"field", "patterns"},
+    "dissect": {"field", "pattern"},
+    "csv": {"field", "target_fields", "separator", "quote", "trim"},
+    "urldecode": {"field", "target_field"},
+    "html_strip": {"field", "target_field"},
+    "bytes": {"field", "target_field"},
+    "uri_parts": {"field", "target_field"},
+    "sort": {"field", "order", "target_field"},
+    "kv": {"field", "field_split", "value_split", "include_keys",
+           "prefix"},
+    "drop": {"if"},
+}
+
 _CONVERT_TYPES = {
     "integer": "int",
     "long": "bigint",
@@ -72,16 +107,30 @@ _CONVERT_TYPES = {
 
 
 def _apply_conditional(
-    df: DataFrame, field: str, new_val: Column, cond: str | None
+    df: DataFrame,
+    field: str,
+    new_val: Column,
+    cond: str | None,
+    cast_to: str | None = None,
 ) -> DataFrame:
     """Set ``field`` to ``new_val``, per-row gated by the optional
     ``if`` condition: rows failing it keep their old value (or NULL
     when the field did not exist — ES leaves the doc untouched, which
-    for a new field is the same as null)."""
+    for a new field is the same as null).
+
+    ``cast_to``: for TYPE-CHANGING processors (convert/date) under a
+    per-row ``if``, Spark would coerce both CASE branches to a common
+    type (usually string), silently defeating the conversion — the
+    keep-old branch is therefore ``try_cast`` to the target type (one
+    column, one type; a condition-false value the target type cannot
+    represent becomes NULL, the processor's documented failure
+    shape)."""
     if cond is None:
         return df.withColumn(field, new_val)
     c = F.coalesce(F.expr(cond), F.lit(False))
     old = F.col(field) if field in df.columns else F.lit(None)
+    if cast_to is not None:
+        old = old.try_cast(cast_to)
     return df.withColumn(field, F.when(c, new_val).otherwise(old))
 
 
@@ -108,6 +157,14 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             raise ValueError(
                 f"unsupported ingest processor {ptype!r}: "
                 f"{_REFUSED[ptype]}"
+            )
+        unknown = set(opts) - _PROC_OPTS.get(ptype, set()) - _COMMON_OPTS
+        if ptype in _PROC_OPTS and unknown:
+            raise ValueError(
+                f"{ptype}: unrecognized option(s) {sorted(unknown)} — "
+                f"supported: {sorted(_PROC_OPTS[ptype] | _COMMON_OPTS)} "
+                "(on_failure handler lists are not supported; "
+                "NULL-on-failure is the engine's failure contract)"
             )
         cond = opts.get("if")
 
@@ -165,7 +222,8 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                 )
             tgt = opts.get("target_field", opts["field"])
             df = _apply_conditional(
-                df, tgt, F.col(opts["field"]).try_cast(t), cond
+                df, tgt, F.col(opts["field"]).try_cast(t), cond,
+                cast_to=t,
             )
 
         elif ptype == "gsub":
@@ -260,7 +318,9 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                 else F.try_to_timestamp(F.col(opts["field"]), F.lit(fmt))
                 for fmt in opts["formats"]
             ]
-            df = _apply_conditional(df, tgt, F.coalesce(*tries), cond)
+            df = _apply_conditional(
+                df, tgt, F.coalesce(*tries), cond, cast_to="timestamp"
+            )
 
         elif ptype == "fingerprint":
             _require(opts, "fields")
@@ -374,11 +434,19 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             _require(opts, "field")
             tgt = opts.get("target_field", opts["field"])
             src = F.lower(F.trim(F.col(opts["field"])))
-            num = F.regexp_extract(src, r"^([0-9]+(?:\.[0-9]+)?)", 1) \
+            # ONE full-string regex: a bare number is bytes (ES
+            # accepts "123" = 123 b); a string that is not exactly
+            # number[+unit] ("12xb") yields NULL — the convert/date
+            # failure contract, where a partial-prefix parse would
+            # silently accept garbage
+            rx = r"^([0-9]+(?:\.[0-9]+)?)\s*([kmgtp]?b)?$"
+            matched = src.rlike(rx)
+            num = F.when(matched, F.regexp_extract(src, rx, 1)) \
                 .try_cast("double")
-            unit = F.regexp_extract(src, r"([kmgtp]?b)$", 1)
+            unit = F.regexp_extract(src, rx, 2)
             factor = (
-                F.when(unit == "b", F.lit(1))
+                F.when(unit == "", F.lit(1))
+                .when(unit == "b", F.lit(1))
                 .when(unit == "kb", F.lit(1024))
                 .when(unit == "mb", F.lit(1024 ** 2))
                 .when(unit == "gb", F.lit(1024 ** 3))

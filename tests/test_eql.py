@@ -524,3 +524,32 @@ def test_append_conditional_on_scalar(spark):
     assert rows[1] == ["old", "new"]
     assert rows[2] == ["keep"]          # coerced but untouched
     assert rows[3] is None              # null scalar stays null
+
+
+def test_text_eql_duplicate_modifiers_refuse(spark):
+    """Round-11 ADVICE: duplicated `by`/`with` modifiers used to be
+    silently swallowed (the parser read the FIRST, the leftover sweep
+    stripped ALL) — now each duplicate refuses loudly."""
+    from monstache_spark.operators.eql import eql
+
+    ev = spark.createDataFrame(
+        [(1, _t(0), "u1", "x", "a")],
+        "event_id long, ts timestamp, user string, msg string,"
+        " event_type string",
+    )
+    with pytest.raises(ValueError, match="duplicated `by`"):
+        eql("sequence by user by msg [a where true] [a where true]",
+            ev, category_col="event_type")
+    with pytest.raises(ValueError, match="duplicated `with maxspan`"):
+        eql("sequence by user with maxspan=1h with maxspan=2h"
+            " [a where true] [a where true]",
+            ev, category_col="event_type")
+    with pytest.raises(ValueError, match="duplicated `with runs`"):
+        eql("sequence by user [a where true] with runs=2 with runs=3"
+            " [a where true]",
+            ev, category_col="event_type")
+    # composite keys: global by + ONE per-step by on every step still
+    # parses (the documented composite-key form)
+    out = eql("sequence by user with maxspan=1h [a where true] by msg"
+              " [a where true] by msg", ev, category_col="event_type")
+    assert out.count() == 0

@@ -985,10 +985,11 @@ def test_weighted_avg_skips_null_value_weights(spark):
 
 
 def test_ts_rate_counter_semantics(spark):
-    """TS + RATE(): positive deltas sum (a decrease is a counter
-    reset, its drop never counts), divided by the series' observed
-    span; single-event series yield NULL; outer max/avg aggregate the
-    per-series rates; RATE outside TS refuses."""
+    """TS + RATE(): reset-compensated increases (a decrease is a
+    counter reset — the post-reset sample counts as an increase from
+    zero, the Prometheus/ES compensation), divided by the series'
+    observed span; single-event series yield NULL; outer max/avg
+    aggregate the per-series rates; RATE outside TS refuses."""
     import datetime as dt
 
     base = dt.datetime(2024, 1, 1)
@@ -1006,9 +1007,10 @@ def test_ts_rate_counter_semantics(spark):
         "TS t | STATS m = max(RATE(c)), a = avg(RATE(c)), s = sum(RATE(c))",
         {"t": df}, dimensions=["host"],
     ).collect()[0]
-    # u1: increases 10 + 3 = 13 over 30 s; u2: NULL (no span)
-    assert out["m"] == 0.433333
-    assert out["a"] == 0.433333 and out["s"] == 0.433333
+    # u1: increases 10 + 5 (post-reset sample from zero) + 3 = 18
+    # over 30 s; u2: NULL (no span)
+    assert out["m"] == 0.6
+    assert out["a"] == 0.6 and out["s"] == 0.6
     with pytest.raises(ValueError, match="only legal over the TS"):
         esql("FROM t | STATS m = max(RATE(c))", {"t": df})
     with pytest.raises(ValueError, match="needs the series metadata"):

@@ -296,3 +296,72 @@ def test_uri_parts_sort_kv(spark):
     assert rows[3]["kv_k1"] is None
     with pytest.raises(ValueError, match="asc/desc"):
         ingest_pipeline(df, [{"sort": {"field": "arr", "order": "up"}}])
+
+
+def test_conditional_convert_keeps_target_type(docs):
+    """Round-11 ADVICE: a per-row `if` on a type-changing processor
+    must not coerce the CASE branches back to the source type — the
+    keep-old branch is try_cast to the target, so the column type
+    matches the unconditional form (a condition-false value the type
+    can't represent becomes NULL, the documented failure shape)."""
+    out = ingest_pipeline(
+        docs,
+        [{"convert": {"field": "nstr", "type": "long",
+                      "target_field": "n", "if": "v > 200"}}],
+    )
+    assert dict(out.dtypes)["n"] == "bigint"
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[2]["n"] is None            # cond true, 'x' unparseable
+    assert rows[1]["n"] is None            # cond false, no prior target
+    # in-place conditional convert: condition-false rows' values go
+    # through the same try_cast representation change
+    out2 = ingest_pipeline(
+        docs,
+        [{"convert": {"field": "nstr", "type": "long", "if": "v > 200"}}],
+    )
+    assert dict(out2.dtypes)["nstr"] == "bigint"
+    rows2 = {r["id"]: r for r in out2.collect()}
+    assert rows2[1]["nstr"] == 7           # cond false: old value, cast
+    assert rows2[2]["nstr"] is None
+    # conditional date: target column is TIMESTAMP in both branches
+    out3 = ingest_pipeline(
+        docs,
+        [{"set": {"field": "d", "value": "2024-01-02 03:04:05"}},
+         {"date": {"field": "d", "formats": ["ISO8601"],
+                   "target_field": "@timestamp", "if": "v > 200"}}],
+    )
+    assert dict(out3.dtypes)["@timestamp"] == "timestamp"
+
+
+def test_bytes_bare_number_and_garbage(spark):
+    """Round-11 ADVICE: ES's bytes processor accepts a unit-less
+    number as bytes; a partial parse ("12xb") must NOT silently strip
+    the garbage — it yields NULL like any unparseable input."""
+    df = spark.createDataFrame(
+        [(1, "123"), (2, "12xb"), (3, " 2.5 kb "), (4, "1b")],
+        "id long, sz string",
+    )
+    out = ingest_pipeline(df, [{"bytes": {"field": "sz"}}])
+    rows = {r["id"]: r["sz"] for r in out.collect()}
+    assert rows[1] == 123
+    assert rows[2] is None
+    assert rows[3] == 2560
+    assert rows[4] == 1
+
+
+def test_unknown_processor_options_refuse(docs):
+    """Round-11 ADVICE: unrecognized options refuse loudly (the typo'd
+    ignore_missing class); ES-common metadata options pass through."""
+    with pytest.raises(ValueError, match="unrecognized option"):
+        ingest_pipeline(docs, [{"convert": {"field": "nstr",
+                                            "type": "long",
+                                            "ignore_missing": True}}])
+    with pytest.raises(ValueError, match="unrecognized option"):
+        ingest_pipeline(docs, [{"set": {"field": "x", "value": 1,
+                                        "on_failure": []}}])
+    out = ingest_pipeline(
+        docs,
+        [{"set": {"field": "x", "value": 1, "tag": "t1",
+                  "description": "d", "ignore_failure": True}}],
+    )
+    assert out.collect()[0]["x"] == 1
