@@ -27,6 +27,19 @@ from monstache_spark.session import get_spark
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # BENCH_PROTOCOL.md: SPARK_GRAFT_BENCH_ONLY selects a subset —
+    # either a comma-separated name list or @path to a JSON name array
+    # (tools/pinned_bench.json is the pinned drift-bracketing subset);
+    # SPARK_GRAFT_BENCH_OUT overrides the BENCH.json artifact path so
+    # protocol runs don't clobber the sealed full-registry artifact.
+    only_spec = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only: set[str] | None = None
+    if only_spec:
+        if only_spec.startswith("@"):
+            with open(only_spec[1:]) as f:
+                only = set(json.load(f))
+        else:
+            only = {s.strip() for s in only_spec.split(",") if s.strip()}
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     spark = get_spark("monstache_spark_bench")
@@ -44,6 +57,8 @@ def main() -> None:
     spreads: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
+        if only is not None and name not in only:
+            continue
         runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -79,7 +94,9 @@ def main() -> None:
     # full payload to BENCH.json on disk, print the full line first, and end
     # stdout with a short line (slowest queries only) that always fits a
     # bounded tail capture and parses on its own.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.json"
+    )
     with open(out_path, "w") as f:
         f.write(line + "\n")
     print(line)

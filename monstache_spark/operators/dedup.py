@@ -755,33 +755,60 @@ def winnow_fingerprints(
     the production choice (one JVM hash per gram; the hash count is
     the whole cost of winnowing, ~n_chars per doc). Pass the md5-based
     ``shingle_hash`` family for cross-engine-reproducible output (the
-    DuckDB oracle does) at ~2x the runtime."""
+    DuckDB oracle does) at ~2x the runtime.
+
+    Clone-collapsed (round 11, the minhash_candidate_pairs_collapsed
+    lesson): the fingerprint set is a PURE FUNCTION of the canonical
+    text, so the gram-hash/window work runs once per DISTINCT text —
+    one hash agg to the distinct-text frame, winnowing there, then an
+    equi-join maps each doc id to its text class's fingerprints.  A
+    duplicate-heavy corpus (mirrors, re-fetches — the shape dedup
+    exists for) pays for its distinct texts only; a clone-free corpus
+    pays one extra md5 per doc and a cheap agg+join.  Output is
+    row-for-row identical to the per-doc formulation."""
     if hash_fn is None:
         hash_fn = F.xxhash64
     canon = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    base = _spread(docs, id_col).select(F.col(id_col), canon.alias("_canon"))
+    # coalesce: a NULL text must still join back to its class row
+    # (group keys keep NULLs; equi-joins drop them)
+    ck = F.coalesce(F.md5(canon), F.lit("\x00null"))
+    keyed = docs.select(F.col(id_col), ck.alias("_ck"))
+    # distinct texts: BOTH columns as group keys (md5 determines the
+    # text, and a string in the agg BUFFER — first(_canon) — would
+    # degrade the agg to SortAggregate); then an explicit-width
+    # repartition on _ck alone so the row-amplifying explode below
+    # runs at full shuffle width (AQE would coalesce this exchange
+    # based on the small pre-explode bytes) and the per-class window
+    # reuses the partitioning
+    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    base = (
+        docs.select(ck.alias("_ck"), canon.alias("_canon"))
+        .distinct()
+        .repartition(nparts, F.col("_ck"))
+    )
     n = F.length(F.col("_canon"))
     positions = base.select(
-        id_col,
+        "_ck",
         "_canon",
         F.explode(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))).alias("i"),
     )
     grams = positions.select(
-        id_col,
+        "_ck",
         "i",
         hash_fn(F.col("_canon").substr(F.col("i"), F.lit(k))).alias("h"),
         (F.greatest(F.length("_canon") - F.lit(k) + 1, F.lit(1)) - w + 1).alias("_last_win"),
     )
-    win = Window.partitionBy(id_col).orderBy("i").rowsBetween(0, w - 1)
+    win = Window.partitionBy("_ck").orderBy("i").rowsBetween(0, w - 1)
     mins = grams.select(
-        id_col,
+        "_ck",
         "i",
         "_last_win",
         F.min("h").over(win).alias("win_min"),
     ).filter(F.col("i") <= F.greatest(F.col("_last_win"), F.lit(1)))
-    return mins.groupBy(id_col).agg(
+    fps_by_text = mins.groupBy("_ck").agg(
         F.array_sort(F.collect_set("win_min")).alias("fps")
     )
+    return keyed.join(fps_by_text, "_ck").select(id_col, "fps")
 
 
 def embedding_near_dup_pairs(

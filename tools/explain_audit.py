@@ -144,9 +144,14 @@ CHECKS = [
     ),
     (
         "winnow_fingerprints",
-        "winnowing: the pre-explode text spread is the ONLY exchange "
-        "(the window reuses its partitioning; gram rows never shuffle)",
-        lambda p: p.count("Exchange (") == 1,
+        "clone-collapsed winnowing (r11): distinct-text agg + explicit "
+        "spread are the only exchanges before the join-back; the "
+        "per-class window and fps agg reuse the spread partitioning; "
+        "ONE Generate (grams hash once per distinct text); no sort agg",
+        lambda p: p.count("Exchange (") <= 3
+        and p.count("Generate (") == 1
+        and "SortAggregate" not in p
+        and "CartesianProduct" not in p,
     ),
     (
         "domain_cap",

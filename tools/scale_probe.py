@@ -84,7 +84,22 @@ def main() -> int:
         # equivalent output at linear (not quadratic) pair volume
         "minhash_cands_collapsed": lambda d: minhash_candidate_pairs_collapsed(d, num_hashes=16, num_bands=4, shingle_k=2),
         "simhash": lambda d: simhash_signatures(d, shingle_k=2),
+        # winnow is clone-collapsed (r11): on the N×-replicated corpus
+        # (exact text clones — the duplicate-heavy shape the collapse
+        # targets, same rationale as minhash_cands_collapsed) the gram
+        # work stays 1×-sized.  The _distinct row is the honest other
+        # end: a per-id text suffix makes EVERY text unique, so the
+        # collapse buys nothing and the row measures the raw
+        # gram-hash/window scaling.
         "winnow": lambda d: winnow_fingerprints(d, k=8, w=4),
+        "winnow_distinct": lambda d: winnow_fingerprints(
+            d.withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" "),
+                         F.col("doc_id").cast("string")),
+            ),
+            k=8, w=4,
+        ),
         # curation ops on the production (xxhash64) hash path; the
         # decontamination benchmark stays 1x while the corpus scales —
         # the realistic shape (benchmarks don't grow with the crawl)
