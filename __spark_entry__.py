@@ -6976,6 +6976,59 @@ def _q_es_eql_pipes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _q_es_esql_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.18 math-function conformance pack (operators/esql,
+    DIVERGENCES S36): CBRT, HYPOT, SIGNUM, two-arg LOG, LOG10, ATAN2,
+    SINH/TANH, E(), PI(), TAU() — the Spark-passthrough family, each
+    rounded 6 dp (transcendentals are the S11 last-bit class; the
+    oracle recomputes sinh/tanh/hypot from exp/sqrt identities since
+    DuckDB lacks them).  Pure codegen projection over the scan."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        " | EVAL x = CAST(n_chars AS DOUBLE),"
+        " y = CAST(doc_id AS DOUBLE) + 1.0"
+        " | EVAL cb = round(CBRT(x), 6),"
+        " hy = round(HYPOT(x, y), 6),"
+        " sg = CAST(SIGNUM(x - 2000.0) AS DOUBLE),"
+        " lg = round(LOG(2, x), 6),"
+        " l10 = round(LOG10(x), 6),"
+        " at2 = round(ATAN2(y, x), 6),"
+        " sh = round(SINH(y / 1000.0), 6),"
+        " th = round(TANH(y / 1000.0), 6),"
+        " cst = round(E() + PI() + TAU(), 6)"
+        " | KEEP doc_id, cb, hy, sg, lg, l10, at2, sh, th, cst",
+        {"documents": docs},
+    )
+
+
+def _q_es_esql_hash_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.18 HASH(alg, v) dispatch (literal algorithm → one
+    Catalyst expression; a per-row algorithm column refuses), the
+    MD5/SHA256 spellings, BYTE_LENGTH (UTF-8 octets — exercised on
+    multibyte zh text), BIT_LENGTH, REPEAT/REVERSE/LEFT/RIGHT, and
+    the 8.17 TERM() exact-term filter.  SHA1 is supported in the
+    engine but unit-tested against fixed vectors instead (DuckDB has
+    no sha1 to oracle against).  Map-only plan."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        ' | WHERE TERM(lang, "zh") OR TERM(lang, "de")'
+        ' | EVAL hm = HASH("md5", source),'
+        ' hs = HASH("sha256", lang),'
+        " md = MD5(lang), s2 = SHA256(source),"
+        " byl = BYTE_LENGTH(text), bl = BIT_LENGTH(lang),"
+        " rp = REPEAT(lang, 2), rv = REVERSE(source),"
+        " lf = LEFT(text, 5), rt = RIGHT(text, 4)"
+        " | KEEP doc_id, hm, hs, md, s2, byl, bl, rp, rv, lf, rt",
+        {"documents": docs},
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_cdc_materialize(spark, "/root/testdata/sf0.001")
@@ -7351,6 +7404,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_over_time": _q_es_esql_over_time,
         "es_esql_like_list": _q_es_esql_like_list,
         "es_ingest_url_kv": _q_es_ingest_url_kv,
+        # --- round-11 additions (lead the round-12 window) ---
+        "es_esql_math_pack": _q_es_esql_math_pack,
+        "es_esql_hash_pack": _q_es_esql_hash_pack,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13238,5 +13294,40 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN source IS NOT NULL AND lang IS NOT NULL
                       THEN source END AS kv_src
           FROM g
+        """,
+        "es_esql_math_pack": """
+          WITH b AS (
+            SELECT doc_id,
+                   CAST(n_chars AS DOUBLE) AS x,
+                   CAST(doc_id AS DOUBLE) + 1.0 AS y
+            FROM documents
+          )
+          SELECT doc_id,
+                 round(cbrt(x), 6) AS cb,
+                 round(sqrt(x * x + y * y), 6) AS hy,
+                 CAST(sign(x - 2000.0) AS DOUBLE) AS sg,
+                 round(log(2, x), 6) AS lg,
+                 round(log(x), 6) AS l10,
+                 round(atan2(y, x), 6) AS at2,
+                 round((exp(y / 1000.0) - exp(-y / 1000.0)) / 2.0, 6) AS sh,
+                 round((exp(y / 1000.0) - exp(-y / 1000.0))
+                       / (exp(y / 1000.0) + exp(-y / 1000.0)), 6) AS th,
+                 round(exp(1.0) + pi() + 2.0 * pi(), 6) AS cst
+          FROM b
+        """,
+        "es_esql_hash_pack": """
+          SELECT doc_id,
+                 md5(source) AS hm,
+                 sha256(lang) AS hs,
+                 md5(lang) AS md,
+                 sha256(source) AS s2,
+                 octet_length(encode(text)) AS byl,
+                 bit_length(lang) AS bl,
+                 repeat(lang, 2) AS rp,
+                 reverse(source) AS rv,
+                 left(text, 5) AS lf,
+                 right(text, 4) AS rt
+          FROM documents
+          WHERE lang = 'zh' OR lang = 'de'
         """,
     }

@@ -83,6 +83,58 @@ from pyspark.sql.window import Window
 _LIT_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\']|\'\')*\'')
 
 
+# ES|QL functions REFUSED by contract (S36) — each would otherwise
+# fall through to Spark SQL and die with an opaque "undefined
+# function"; name the reason instead.  The ST_* spatial family is
+# matched by prefix below.
+_REFUSED_FNS = {
+    "KQL": "a query-language-in-a-function; use MATCH()/QSTR() or "
+    "the search operators",
+    "MATCH_PHRASE": "analyzed phrase matching needs the analyzer "
+    "chain — use the search operator match_phrase (search.py)",
+    "TO_VERSION": "the ES version type's ordering is a Lucene "
+    "comparator with no cross-engine arithmetic",
+    "TO_UNSIGNED_LONG": "no unsigned 64-bit integer exists on the "
+    "JVM/Arrow path; use TO_LONG",
+    "TO_DATE_NANOS": "Spark timestamps are microsecond precision; "
+    "use TO_DATETIME (documented truncation)",
+    "TO_DATEPERIOD": "interval literals — express date math via "
+    "DATE_DIFF / BUCKET spans",
+    "TO_TIMEDURATION": "interval literals — express date math via "
+    "DATE_DIFF / BUCKET spans",
+    "TO_GEOPOINT": "geo values are (lat, lon) double columns here — "
+    "use operators.geo",
+    "TO_GEOSHAPE": "geo values are WKT-free (lat, lon) columns here — "
+    "use operators.geo",
+    "TO_CARTESIANPOINT": "no cartesian spatial type — use plain "
+    "double columns",
+    "TO_CARTESIANSHAPE": "no cartesian spatial type — use plain "
+    "double columns",
+}
+
+
+def _check_refused_fns(expr: str) -> None:
+    for fn, why in _REFUSED_FNS.items():
+        if _find_calls(expr, fn):
+            raise ValueError(
+                f"unsupported ES|QL function: {fn} — {why} "
+                "(DIVERGENCES S36)"
+            )
+    # the ST_* spatial family (ST_X/ST_Y/ST_DISTANCE/ST_CONTAINS/…
+    # and the ST_CENTROID_AGG/ST_EXTENT_AGG aggregates): geo points
+    # here are (lat, lon) double columns, not a geo_point type —
+    # operators.geo implements the equivalent ops (geo_bounds,
+    # geo_centroid_by_cell, geo_shape relations) over them
+    for st in re.finditer(r"\b(ST_[A-Z_]+)\s*\(", expr):
+        if _find_calls(expr, st.group(1), case_sensitive=True):
+            raise ValueError(
+                f"unsupported ES|QL function: {st.group(1)} — geo "
+                "points are (lat, lon) double columns here; use "
+                "operators.geo (geo_bounds / geo_centroid_by_cell / "
+                "geo_shape) (DIVERGENCES S36)"
+            )
+
+
 def _tr_expr(expr: str) -> str:
     """ES|QL expression → Spark/ANSI SQL: `==` → `=`, double-quoted
     string literals → single-quoted (escaping embedded singles), and
@@ -97,6 +149,7 @@ def _tr_expr(expr: str) -> str:
     # single-quoted SQL literals (possibly containing bare double
     # quotes) that would break the quote-parity check (self-review
     # r10 pass 3)
+    _check_refused_fns(expr)
     expr = _rewrite_like_lists(expr)
     expr = _rewrite_bucket(expr)
     expr = _rewrite_match(expr)
@@ -227,6 +280,14 @@ _FN_TEMPLATES = {
     "TAU": "(CAST(2.0 AS DOUBLE) * pi())",
     "TO_BASE64": "base64(CAST({0} AS BINARY))",
     "FROM_BASE64": "CAST(unbase64({0}) AS STRING)",
+    # 8.17/8.18 string additions: BYTE_LENGTH is UTF-8 bytes (Spark's
+    # octet_length); SHA256 spells Spark's two-arg sha2.  BIT_LENGTH /
+    # MD5 / SHA1 / REPEAT / REVERSE / LEFT / RIGHT / LTRIM / RTRIM /
+    # SPACE and the math family (ABS…TANH, CBRT, HYPOT, SIGNUM, LOG,
+    # LOG10, EXP, POW, E, PI) pass through — Spark builtins of the
+    # same name and semantics (S36 enumerates the full sweep)
+    "BYTE_LENGTH": "octet_length({0})",
+    "SHA256": "sha2({0}, 256)",
     "TO_RADIANS": "radians({0})",
     "TO_DEGREES": "degrees({0})",
     # MV_MEDIAN_ABSOLUTE_DEVIATION composes textually out of
@@ -850,6 +911,24 @@ def _h_ip_prefix(args: list[str]) -> str:
 # LOCATE/DATE_FORMAT/DATE_TRUNC argument order) — only the uppercase
 # ES|QL spelling rewrites; the lowercase Spark spelling passes
 # through untouched (the PERCENTILE contract).
+def _h_hash(args: list[str]) -> str:
+    if len(args) != 2:
+        raise ValueError("HASH takes (algorithm, input)")
+    alg_lit = _str_lit_arg(args[0], "HASH algorithm")
+    alg = alg_lit[1:-1].lower()
+    inp = args[1].strip()
+    if alg == "md5":
+        return f"md5({inp})"
+    if alg == "sha1":
+        return f"sha1({inp})"
+    if alg in ("sha256", "sha-256"):
+        return f"sha2({inp}, 256)"
+    raise ValueError(
+        f"HASH algorithm must be md5/sha1/sha256, got {alg!r} "
+        "(ES's full MessageDigest set is JVM-deployment-dependent)"
+    )
+
+
 _VARFNS: dict[str, tuple[bool, "callable"]] = {
     "CASE": (False, _h_case),
     "SPLIT": (True, _h_split),
@@ -914,6 +993,22 @@ _VARFNS: dict[str, tuple[bool, "callable"]] = {
     "MV_PERCENTILE": (False, _h_mv_percentile),
     "MV_PSERIES_WEIGHTED_SUM": (False, _h_mv_pseries),
     "IP_PREFIX": (False, _h_ip_prefix),
+    # ES|QL 8.18 HASH(alg, input): the algorithm must be a string
+    # LITERAL (a per-row algorithm column would select a different
+    # function per row — no columnar plan); md5/sha1/sha256 are the
+    # cross-engine-stable subset
+    "HASH": (False, _h_hash),
+    # 8.17 TERM(field, value): the non-scoring exact-term filter —
+    # an equality on the keyword value (the engine's keyword columns
+    # are unanalyzed, exactly the term-query contract)
+    "TERM": (
+        True,
+        lambda a: f"({a[0].strip()} = {a[1].strip()})"
+        if len(a) == 2
+        else (_ for _ in ()).throw(
+            ValueError("TERM takes (field, value)")
+        ),
+    ),
 }
 
 
@@ -1617,6 +1712,21 @@ def esql(
     head = stages[0]
     hm = re.match(r"^(FROM|ROW|TS)\b(.*)$", head, re.I | re.S)
     if not hm:
+        # name the refused source commands explicitly (S36): a typo'd
+        # FROM and a deliberate SHOW deserve different errors
+        if re.match(r"^SHOW\b", head, re.I):
+            raise ValueError(
+                "unsupported ES|QL command: SHOW — it reports the ES "
+                "deployment's version/build metadata, which has no "
+                "equivalent in an engine without an ES deployment "
+                "(DIVERGENCES S36)"
+            )
+        if re.match(r"^METRICS\b", head, re.I):
+            raise ValueError(
+                "unsupported ES|QL command: METRICS — the 8.x preview "
+                "spelling was renamed in 9.x; use TS with "
+                "dimensions=[...] (DIVERGENCES S35/S36)"
+            )
         raise ValueError("ES|QL must start with FROM, ROW, or TS")
     cmd, rest = hm.group(1).upper(), hm.group(2).strip()
     ts_mode = False
@@ -1939,6 +2049,15 @@ def esql(
                 "(DIVERGENCES S31); run branches as separate esql() "
                 "calls and unionByName them, rerank via the retriever "
                 "tree's text_similarity_reranker stand-in"
+            )
+        elif cmd == "RRF":
+            # 9.x preview: RRF fuses the _score/_fork columns FORK
+            # branches emit — it is defined only over FORK output
+            raise ValueError(
+                "unsupported ES|QL command: RRF — defined only over "
+                "FORK branch output (refused, S31); fuse ranked "
+                "frames with the retriever tree's rrf node or "
+                "search.hybrid_rrf instead (DIVERGENCES S36)"
             )
         else:
             raise ValueError(f"unsupported ES|QL command: {cmd}")

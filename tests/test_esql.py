@@ -1097,3 +1097,50 @@ def test_like_pattern_lists(spark):
         {"t": df},
     ).collect()[0]
     assert lit["note"] == 's LIKE ("x")'
+
+
+def test_esql_8_18_conformance_sweep(spark):
+    """Round-11 S36 sweep: HASH literal-algorithm dispatch (+ SHA1
+    against fixed public vectors — DuckDB has no sha1 to oracle
+    against), TERM exact-term filter, BYTE_LENGTH on multibyte text,
+    and the named refusals (SHOW/METRICS/RRF commands; KQL, TO_*
+    type-system, ST_* spatial functions)."""
+    df = spark.createDataFrame(
+        [(1, "abc", "héllo"), (2, "xyz", "plain")],
+        "id long, s string, t string",
+    )
+    out = {r["id"]: r for r in esql(
+        'FROM t | EVAL h1 = HASH("sha1", s), h2 = HASH("SHA-256", s),'
+        " m = MD5(s), b = BYTE_LENGTH(t), r = RIGHT(s, 2)"
+        ' | WHERE TERM(s, "abc")',
+        {"t": df},
+    ).collect()}
+    assert list(out) == [1]
+    # public SHA-1/MD5 test vectors for "abc"
+    assert out[1]["h1"] == "a9993e364706816aba3e25717850c26c9cd0d89d"
+    assert out[1]["m"] == "900150983cd24fb0d6963f7d28e17f72"
+    assert out[1]["h2"] == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    assert out[1]["b"] == 6          # é is two UTF-8 bytes
+    assert out[1]["r"] == "bc"
+    with pytest.raises(ValueError, match="HASH algorithm must be"):
+        esql('FROM t | EVAL h = HASH("crc32", s)', {"t": df})
+    with pytest.raises(ValueError, match="HASH algorithm"):
+        esql('FROM t | EVAL h = HASH(s, s)', {"t": df})  # non-literal
+    for cmd, msg in [
+        ("SHOW INFO", "SHOW"),
+        ("METRICS events max(v)", "METRICS"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            esql(cmd, {"t": df})
+    with pytest.raises(ValueError, match="RRF"):
+        esql("FROM t | RRF", {"t": df})
+    for fn in ('KQL("s:abc")', "TO_VERSION(s)", "TO_UNSIGNED_LONG(id)",
+               "TO_GEOPOINT(s)", "ST_X(s)", "ST_CENTROID_AGG(s)",
+               "TO_DATE_NANOS(id)", "MATCH_PHRASE(s, \"a b\")"):
+        with pytest.raises(ValueError, match="unsupported ES\\|QL function"):
+            esql(f"FROM t | EVAL z = {fn}", {"t": df})
+    # a refused name INSIDE a string literal must NOT trip the gate
+    ok = esql('FROM t | EVAL z = concat(s, "ST_X(q)")', {"t": df})
+    assert ok.count() == 2
