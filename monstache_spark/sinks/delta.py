@@ -37,6 +37,36 @@ from monstache_spark.operators.materialize import last_state
 from monstache_spark.sinks.merge import TOMB_COL, _stage_batch
 
 
+# The cross-batch MERGE update predicate — the ONE piece of semantics
+# this backend adds over the shared ``_stage_batch``: a staged row
+# replaces a stored row iff strictly newer, or tied with a
+# non-tombstone stored row (the exact complement of
+# merge.py:_merge_apply's keep rule).  Module-level so the
+# delta-less equivalence test (test_delta_state.py's simulated
+# transactional backend) exercises THIS string, not a re-typed copy.
+MERGE_UPDATE_CONDITION = (
+    "s.version > t.version OR "
+    f"(s.version = t.version AND NOT t.{TOMB_COL})"
+)
+
+
+def drop_condition(op: str, ns: str, version: int):
+    """The Delta DELETE condition a drop/dropDatabase op compiles to
+    (version-scoped: rows re-created after the drop survive)."""
+    if op == OP_DROP_DB:
+        db = ns.split(".", 1)[0]
+        return (ns_database(F.col("ns")) == db) & (
+            F.col("version") <= F.lit(version)
+        )
+    return (F.col("ns") == ns) & (F.col("version") <= F.lit(version))
+
+
+def retention_condition(hwm: int, retention: int):
+    """The tombstone-retention DELETE sweep below the batch
+    high-water mark."""
+    return F.col(TOMB_COL) & (F.col("version") < F.lit(hwm - retention))
+
+
 def _require_delta():
     try:
         from delta.tables import DeltaTable  # noqa: F401
@@ -121,29 +151,19 @@ class DeltaStateTable:
                     staged.alias("s"),
                     "t.ns = s.ns AND t.id = s.id",
                 )
-                .whenMatchedUpdateAll(
-                    condition=(
-                        "s.version > t.version OR "
-                        f"(s.version = t.version AND NOT t.{TOMB_COL})"
-                    )
-                )
+                .whenMatchedUpdateAll(condition=MERGE_UPDATE_CONDITION)
                 .whenNotMatchedInsertAll()
                 .execute()
             )
 
         for op, ns, v in drop_rows:
-            if op == OP_DROP_DB:
-                db = ns.split(".", 1)[0]
-                cond = (ns_database(F.col("ns")) == db) & (F.col("version") <= F.lit(v))
-            else:
-                cond = (F.col("ns") == ns) & (F.col("version") <= F.lit(v))
-            self._table().delete(cond)
+            self._table().delete(drop_condition(op, ns, v))
 
         if self.tombstone_retention is not None:
             hwm = data_ops.agg(F.max("version")).first()[0]
             if hwm is not None:
                 self._table().delete(
-                    F.col(TOMB_COL) & (F.col("version") < F.lit(hwm - self.tombstone_retention))
+                    retention_condition(hwm, self.tombstone_retention)
                 )
 
     def prune_tombstones(self, before_version: int) -> None:
