@@ -56,7 +56,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     total = 0.0
-    for name, fn in entrymod.queries().items():
+    all_queries = entrymod.queries()
+    if only is not None:
+        unknown = only - set(all_queries)
+        if unknown:
+            # a typo'd pinned name would silently shrink the subset
+            # and fake an improvement in the bracketed totals
+            print(
+                f"bench: unknown subset name(s): {sorted(unknown)}",
+                file=sys.stderr,
+            )
+    for name, fn in all_queries.items():
         if only is not None and name not in only:
             continue
         runs: list[float] = []

@@ -996,8 +996,10 @@ _VARFNS: dict[str, tuple[bool, "callable"]] = {
     # ES|QL 8.18 HASH(alg, input): the algorithm must be a string
     # LITERAL (a per-row algorithm column would select a different
     # function per row — no columnar plan); md5/sha1/sha256 are the
-    # cross-engine-stable subset
-    "HASH": (False, _h_hash),
+    # cross-engine-stable subset.  CASE-SENSITIVE: Spark's lowercase
+    # hash() builtin (murmur3, variadic) must keep passing through
+    # (self-review r11 pass 1)
+    "HASH": (True, _h_hash),
     # 8.17 TERM(field, value): the non-scoring exact-term filter —
     # an equality on the keyword value (the engine's keyword columns
     # are unanalyzed, exactly the term-query contract)

@@ -1144,3 +1144,7 @@ def test_esql_8_18_conformance_sweep(spark):
     # a refused name INSIDE a string literal must NOT trip the gate
     ok = esql('FROM t | EVAL z = concat(s, "ST_X(q)")', {"t": df})
     assert ok.count() == 2
+    # Spark's lowercase hash() builtin (murmur3, variadic) still
+    # passes through — HASH dispatch is case-sensitive (r11 pass 1)
+    low = esql("FROM t | EVAL z = hash(s, id) | KEEP id, z", {"t": df})
+    assert low.count() == 2 and dict(low.dtypes)["z"] == "int"

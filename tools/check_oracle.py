@@ -89,6 +89,16 @@ def _module_closure_hashes() -> tuple[dict[str, str], dict[str, set]]:
 
 def _query_change_keys(qs, oracles, sf_dir: str) -> dict[str, str]:
     mod_hashes, mod_deps = _module_closure_hashes()
+    # the driver REGENERATES the testdata parquet between rounds — a
+    # stale-green cache over different data would be a silent lie;
+    # fold each table file's (mtime, size) into every key
+    # (self-review r11 pass 1)
+    data_sig = ";".join(
+        f"{t}:{os.path.getmtime(p)}:{os.path.getsize(p)}"
+        if os.path.exists(p := os.path.join(sf_dir, f"{t}.parquet"))
+        else f"{t}:absent"
+        for t in TABLES
+    )
     entry_src = inspect.getsource(entrymod)
     # entry-module top-level helper names a builder may call
     helper_srcs: dict[str, str] = {}
@@ -108,7 +118,7 @@ def _query_change_keys(qs, oracles, sf_dir: str) -> dict[str, str]:
         # one level of entry-helper closure (helpers referencing other
         # helpers are rare; the module closure below catches package
         # changes regardless)
-        parts = [sf_dir, src, oracles.get(name, "")]
+        parts = [sf_dir, data_sig, src, oracles.get(name, "")]
         seen_helpers = set()
         frontier = [src]
         while frontier:
