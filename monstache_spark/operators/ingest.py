@@ -30,7 +30,20 @@ binding (a SQL boolean expression over the row, the same contract as
 ``script`` queries): value-producing processors apply PER ROW (rows
 failing the condition keep their old value, exactly ES's semantics);
 the two SCHEMA-level processors (``rename``, ``remove``) cannot vary
-per row in a columnar engine and refuse an ``if`` loudly.
+per row in a columnar engine and refuse an ``if`` loudly.  For
+TYPE-CHANGING processors under ``if``: ``convert``/``date`` try_cast
+the keep-old branch to the target type (one column, one type — a
+condition-false value the type cannot represent becomes NULL, the
+failure contract below); ``split``/``join`` have no lossless cast
+between string and array, so applying them in place with ``if``
+refuses — write to a distinct ``target_field``.
+
+Option hygiene: each processor validates its option keys against an
+allowlist and refuses unrecognized ones loudly (the typo'd
+``ignore_missing`` class); ES's ``tag``/``description`` metadata and
+``ignore_failure`` are accepted everywhere (NULL-on-failure is
+already this module's only failure mode); ``on_failure`` handler
+lists are named in the refusal.
 
 Refused processors: ``script`` (arbitrary stateful painless — the S25
 grounds), ``geoip``/``user_agent`` (versioned binary lookup databases
@@ -247,24 +260,28 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             tgt = opts.get("target_field", opts["field"])
             df = _apply_conditional(df, tgt, fn(F.col(opts["field"])), cond)
 
-        elif ptype == "split":
+        elif ptype in ("split", "join"):
             _require(opts, "field", "separator")
             tgt = opts.get("target_field", opts["field"])
-            # the separator is a REGEX — ES documents it as one, and
-            # Spark's split takes the same Java dialect
-            df = _apply_conditional(
-                df, tgt,
-                F.split(F.col(opts["field"]), opts["separator"]), cond,
-            )
-
-        elif ptype == "join":
-            _require(opts, "field", "separator")
-            tgt = opts.get("target_field", opts["field"])
-            df = _apply_conditional(
-                df, tgt,
-                F.array_join(F.col(opts["field"]), opts["separator"]),
-                cond,
-            )
+            # split string→array / join array→string CHANGE the column
+            # type; under a per-row `if` the keep-old CASE branch would
+            # carry the source type and fail analysis with an opaque
+            # DATATYPE_MISMATCH (and unlike convert there is no lossless
+            # try_cast between string and array) — refuse with guidance
+            # (self-review r11 pass 2)
+            if cond is not None and tgt == opts["field"]:
+                raise ValueError(
+                    f"{ptype} with `if` changes the column's type and "
+                    "cannot apply in place per row (one column, one "
+                    "type) — write to a distinct target_field"
+                )
+            if ptype == "split":
+                # the separator is a REGEX — ES documents it as one,
+                # and Spark's split takes the same Java dialect
+                val = F.split(F.col(opts["field"]), opts["separator"])
+            else:
+                val = F.array_join(F.col(opts["field"]), opts["separator"])
+            df = _apply_conditional(df, tgt, val, cond)
 
         elif ptype == "append":
             _require(opts, "field", "value")

@@ -365,3 +365,25 @@ def test_unknown_processor_options_refuse(docs):
                   "description": "d", "ignore_failure": True}}],
     )
     assert out.collect()[0]["x"] == 1
+
+
+def test_conditional_split_join_in_place_refuse(spark):
+    """Self-review r11 pass 2: split/join under a per-row `if` change
+    the column type — in place they would die with an opaque Spark
+    DATATYPE_MISMATCH; now they refuse with guidance, and a distinct
+    target_field works."""
+    df = spark.createDataFrame(
+        [(1, "a b", 300.0), (2, "c d", 100.0)], "id long, s string, v double"
+    )
+    with pytest.raises(ValueError, match="distinct target_field"):
+        ingest_pipeline(df, [{"split": {"field": "s", "separator": " ",
+                                        "if": "v > 200"}}])
+    with pytest.raises(ValueError, match="distinct target_field"):
+        ingest_pipeline(df, [{"join": {"field": "s", "separator": "-",
+                                       "if": "v > 200"}}])
+    out = ingest_pipeline(
+        df, [{"split": {"field": "s", "separator": " ",
+                        "target_field": "parts", "if": "v > 200"}}]
+    )
+    rows = {r["id"]: r["parts"] for r in out.collect()}
+    assert rows[1] == ["a", "b"] and rows[2] is None
