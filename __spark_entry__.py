@@ -7004,6 +7004,27 @@ def _q_es_esql_math_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL temporal literals in date arithmetic (operators/esql
+    ``_rewrite_durations``): ``ts + 1 day``, ``- 1 week``,
+    ``+ 3 hours``, ``+ 1 month`` (calendar, month-end clamped in both
+    engines), ``+ 1 quarter`` (→ 3 months — Spark's INTERVAL grammar
+    has no QUARTER), and a duration-literal WHERE bound.  A duration
+    inside a string literal must NOT rewrite (the EVAL'd note column
+    pins that).  Map-only plan."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM events"
+        ' | WHERE ts >= TO_DATETIME("2024-01-01T00:00:00") - 3650 days'
+        " | EVAL nd = ts + 1 day, lw = ts - 1 week, nh = ts + 3 hours,"
+        ' nm = ts + 1 month, qy = ts + 1 quarter, note = "wait 1 day"'
+        " | KEEP event_id, nd, lw, nh, nm, qy, note",
+        {"events": ev},
+    )
+
+
 def _q_es_esql_hash_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL 8.18 HASH(alg, v) dispatch (literal algorithm → one
     Catalyst expression; a per-row algorithm column refuses), the
@@ -7407,6 +7428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-11 additions (lead the round-12 window) ---
         "es_esql_math_pack": _q_es_esql_math_pack,
         "es_esql_hash_pack": _q_es_esql_hash_pack,
+        "es_esql_date_math": _q_es_esql_date_math,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13314,6 +13336,17 @@ def oracle_sql() -> dict[str, str]:
                        / (exp(y / 1000.0) + exp(-y / 1000.0)), 6) AS th,
                  round(exp(1.0) + pi() + 2.0 * pi(), 6) AS cst
           FROM b
+        """,
+        "es_esql_date_math": """
+          SELECT event_id,
+                 ts + INTERVAL 1 DAY AS nd,
+                 ts - INTERVAL 1 WEEK AS lw,
+                 ts + INTERVAL 3 HOUR AS nh,
+                 ts + INTERVAL 1 MONTH AS nm,
+                 ts + INTERVAL 3 MONTH AS qy,
+                 'wait 1 day' AS note
+          FROM events
+          WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' - INTERVAL 3650 DAY
         """,
         "es_esql_hash_pack": """
           SELECT doc_id,

@@ -82,6 +82,36 @@ from pyspark.sql.window import Window
 # by earlier rewrite passes; '' is the embedded-quote escape)
 _LIT_RE = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\']|\'\')*\'')
 
+# ES|QL temporal literals in date ARITHMETIC (`ts - 1 day`,
+# `NOW() + 2 hours`): without a rewrite Spark parses `- 1 day` as
+# `- 1` with `day` dangling — an opaque mismatch, or worse a silent
+# alias.  Rewritten to ANSI `INTERVAL N UNIT` (quarter → 3N months:
+# Spark's INTERVAL grammar has no QUARTER unit).  The +/- anchor
+# keeps BUCKET/DATE_TRUNC span arguments (consumed by their own
+# rewriters earlier) and bare column names out of scope.
+_DURATION_RE = re.compile(
+    r"([+\-]\s*)(\d+)\s+"
+    r"(millisecond|second|minute|hour|day|week|month|quarter|year)s?\b",
+    re.I,
+)
+
+
+def _duration_sub(m: "re.Match") -> str:
+    sign, n, unit = m.group(1), int(m.group(2)), m.group(3).lower()
+    if unit == "quarter":
+        return f"{sign}INTERVAL {3 * n} MONTH"
+    return f"{sign}INTERVAL {n} {unit.upper()}"
+
+
+def _rewrite_durations(expr: str) -> str:
+    out, pos = [], 0
+    for m in _LIT_RE.finditer(expr):
+        out.append(_DURATION_RE.sub(_duration_sub, expr[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_DURATION_RE.sub(_duration_sub, expr[pos:]))
+    return "".join(out)
+
 
 # ES|QL functions REFUSED by contract (S36) — each would otherwise
 # fall through to Spark SQL and die with an opaque "undefined
@@ -160,6 +190,9 @@ def _tr_expr(expr: str) -> str:
     expr = _rewrite_agg_spellings(expr)
     expr = _rewrite_varfns(expr)
     expr = _rewrite_fns(expr)
+    # AFTER varfns/fns: DATE_TRUNC(1 day, ts) / DATE_DIFF span args
+    # must be consumed by their handlers before the arithmetic pass
+    expr = _rewrite_durations(expr)
 
     out = []
     pos = 0

@@ -1148,3 +1148,27 @@ def test_esql_8_18_conformance_sweep(spark):
     # passes through — HASH dispatch is case-sensitive (r11 pass 1)
     low = esql("FROM t | EVAL z = hash(s, id) | KEEP id, z", {"t": df})
     assert low.count() == 2 and dict(low.dtypes)["z"] == "int"
+
+
+def test_esql_temporal_literal_arithmetic(spark):
+    """ES|QL date math (`ts - 1 day`, `+ 2 quarters`): rewritten to
+    ANSI INTERVAL after the function rewriters run (DATE_TRUNC's span
+    argument is untouched), quarters map to 3N months, month-end
+    arithmetic clamps, string literals are protected."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 31, 12, 0))], "id long, ts timestamp"
+    )
+    r = esql(
+        "FROM t | EVAL nm = ts + 1 month, q = ts + 2 quarters,"
+        " d = ts - 1 day, tr = DATE_TRUNC(1 day, ts),"
+        ' s = "in 3 days"'
+        " | KEEP nm, q, d, tr, s",
+        {"t": df},
+    ).collect()[0]
+    assert r["nm"] == dt.datetime(2024, 2, 29, 12, 0)   # clamped
+    assert r["q"] == dt.datetime(2024, 7, 31, 12, 0)    # 2 quarters = 6 months
+    assert r["d"] == dt.datetime(2024, 1, 30, 12, 0)
+    assert r["tr"] == dt.datetime(2024, 1, 31, 0, 0)
+    assert r["s"] == "in 3 days"
