@@ -7025,6 +7025,26 @@ def _q_es_esql_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe split (curation.train_val_test_split):
+    iid by doc_id (90/5/5) and group-keyed by source (80/10/10 — all
+    docs of a domain land on one side, the near-dup-contamination
+    guard).  Hash-cut at 15-hex-digit string literals: lexicographic
+    hex compare == integer compare, so the oracle reproduces the
+    assignment bit-for-bit; pure narrow projection, no shuffle, stable
+    under corpus growth (unlike randomSplit's per-partition RNG)."""
+    from monstache_spark.operators.curation import train_val_test_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    iid = train_val_test_split(docs, "doc_id").withColumnRenamed(
+        "split", "split_iid"
+    )
+    both = train_val_test_split(
+        iid, key_col="source", fractions=(0.8, 0.1, 0.1), seed=13
+    ).withColumnRenamed("split", "split_src")
+    return both.select("doc_id", "source", "split_iid", "split_src")
+
+
 def _q_es_esql_hash_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL 8.18 HASH(alg, v) dispatch (literal algorithm → one
     Catalyst expression; a per-row algorithm column refuses), the
@@ -7429,6 +7449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_math_pack": _q_es_esql_math_pack,
         "es_esql_hash_pack": _q_es_esql_hash_pack,
         "es_esql_date_math": _q_es_esql_date_math,
+        "train_val_test_split": _q_train_val_test_split,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13336,6 +13357,23 @@ def oracle_sql() -> dict[str, str]:
                        / (exp(y / 1000.0) + exp(-y / 1000.0)), 6) AS th,
                  round(exp(1.0) + pi() + 2.0 * pi(), 6) AS cst
           FROM b
+        """,
+        "train_val_test_split": f"""
+          -- cut literals computed by the SAME Python expression the
+          -- operator uses (double rounding included), so the hex
+          -- string compare is bit-identical
+          SELECT doc_id, source,
+                 CASE WHEN substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        < '{format(int(0.9 * 16 ** 15), "015x")}' THEN 'train'
+                      WHEN substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                        < '{format(int((0.9 + 0.05) * 16 ** 15), "015x")}' THEN 'val'
+                      ELSE 'test' END AS split_iid,
+                 CASE WHEN substring(md5('13:' || source), 1, 15)
+                        < '{format(int(0.8 * 16 ** 15), "015x")}' THEN 'train'
+                      WHEN substring(md5('13:' || source), 1, 15)
+                        < '{format(int((0.8 + 0.1) * 16 ** 15), "015x")}' THEN 'val'
+                      ELSE 'test' END AS split_src
+          FROM documents
         """,
         "es_esql_date_math": """
           SELECT event_id,

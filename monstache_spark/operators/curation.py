@@ -1574,3 +1574,53 @@ def length_buckets(
         .cast("long")
         .alias("waste_bp"),
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+    fractions: tuple = (0.9, 0.05, 0.05),
+    names: tuple = ("train", "val", "test"),
+    seed: int | str = 7,
+) -> DataFrame:
+    """Deterministic, leakage-safe train/val/test assignment.
+
+    The unit of assignment is ``key_col`` — pass a near-dup cluster id
+    (``dedup.near_dup_cluster``) or a domain so CORRELATED documents
+    land on ONE side (test-set contamination through near-duplicates
+    is the canonical eval failure at web scale); the default (the doc
+    id) is a plain iid split.
+
+    Assignment = the seed-keyed md5 of the key, mapped to [0, 1) by
+    its 60-bit hex prefix and cut at the cumulative fractions.  The
+    cut points are 15-digit hex STRING literals and the comparison is
+    lexicographic — fixed-width lowercase hex orders exactly like the
+    integer it spells, so Spark and an independent engine agree
+    bit-for-bit with no integer conversion.  Properties a 100 TB
+    pipeline needs: a pure narrow projection (no shuffle, no RNG
+    state, whole-stage codegen); reproducible under ``seed``; STABLE
+    under corpus growth — a document's side never changes when other
+    documents arrive or partitioning changes, unlike
+    ``DataFrame.randomSplit`` (per-partition RNG).
+
+    Returns ``docs`` + a ``split`` column.  Fractions must be
+    positive and sum to 1 (±1e-9); one name per fraction.
+    """
+    if len(fractions) != len(names) or len(fractions) < 2:
+        raise ValueError("need >= 2 fractions with one name each")
+    if min(fractions) <= 0 or abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be positive and sum to 1: {fractions}")
+    key = F.col(key_col if key_col is not None else id_col)
+    hx = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string"))), 1, 15
+    )
+    cuts = []
+    acc = 0.0
+    for frac in fractions[:-1]:
+        acc += frac
+        cuts.append(format(int(acc * (16 ** 15)), "015x"))
+    expr = F.lit(names[-1])
+    for cut, name in zip(reversed(cuts), reversed(names[:-1])):
+        expr = F.when(hx < F.lit(cut), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)

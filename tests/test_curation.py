@@ -638,3 +638,42 @@ def test_length_buckets_edges_and_overflow(spark):
     assert out[8]["waste_bp"] == 1875
     with _pt.raises(ValueError, match="strictly increasing"):
         length_buckets(docs, [8, 4])
+
+
+def test_train_val_test_split_stability_and_grouping(spark):
+    """Leakage-safe split: same key -> same side regardless of the
+    rest of the corpus (stable under growth, unlike randomSplit);
+    group keying puts every doc of a key on one side; fractions are
+    roughly honored; bad fractions refuse."""
+    import pytest as _pytest
+
+    from monstache_spark.operators.curation import train_val_test_split
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 20).cast("string").alias("domain"),
+    )
+    out = train_val_test_split(docs, "doc_id").collect()
+    sides = {r["doc_id"]: r["split"] for r in out}
+    counts = {}
+    for s in sides.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert 0.85 < counts["train"] / 2000 < 0.95
+    assert counts["val"] > 0 and counts["test"] > 0
+    # stability: the same ids in a DIFFERENT corpus keep their side
+    sub = train_val_test_split(
+        docs.filter(F.col("doc_id") < 100), "doc_id"
+    ).collect()
+    assert all(sides[r["doc_id"]] == r["split"] for r in sub)
+    # group keying: one side per domain
+    grouped = train_val_test_split(docs, key_col="domain",
+                                   fractions=(0.5, 0.25, 0.25))
+    per_dom = grouped.groupBy("domain").agg(
+        F.countDistinct("split").alias("n")
+    ).collect()
+    assert all(r["n"] == 1 for r in per_dom)
+    with _pytest.raises(ValueError, match="sum to 1"):
+        train_val_test_split(docs, fractions=(0.9, 0.05), names=("a", "b"))
+    with _pytest.raises(ValueError, match="one name each"):
+        train_val_test_split(docs, fractions=(0.5, 0.5),
+                             names=("a", "b", "c"))

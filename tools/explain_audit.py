@@ -179,6 +179,12 @@ CHECKS = [
         lambda p: "Exchange (" not in p and "Python" not in p,
     ),
     (
+        "train_val_test_split",
+        "leakage-safe split assignment is a pure narrow projection "
+        "(hash-cut per row: no exchange, no Python, codegen end to end)",
+        lambda p: "Exchange (" not in p and "Python" not in p,
+    ),
+    (
         "fuzzy_decontaminate",
         "benchmark band-key set broadcasts; no sort agg anywhere",
         lambda p: "BroadcastHashJoin" in p and "SortAggregate" not in p,
