@@ -1172,3 +1172,48 @@ def test_esql_temporal_literal_arithmetic(spark):
     assert r["d"] == dt.datetime(2024, 1, 30, 12, 0)
     assert r["tr"] == dt.datetime(2024, 1, 31, 0, 0)
     assert r["s"] == "in 3 days"
+
+
+def test_duration_rewrite_properties():
+    """Spark-free invariants of _rewrite_durations (hypothesis):
+    double-quoted literals are untouched; every `[+-] N unit` outside
+    literals becomes INTERVAL (quarters ×3 months); the rewrite is
+    idempotent (INTERVAL output never re-matches)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from monstache_spark.operators.esql import _rewrite_durations
+
+    units = ["millisecond", "second", "minute", "hour", "day",
+             "week", "month", "quarter", "year"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=10**6),
+        unit=st.sampled_from(units),
+        plural=st.booleans(),
+        sign=st.sampled_from(["+", "-", "+ ", "-  "]),
+        lit=st.text(
+            alphabet=st.characters(
+                blacklist_characters='"\\', min_codepoint=32,
+                max_codepoint=126,
+            ),
+            max_size=20,
+        ),
+    )
+    def check(n, unit, plural, sign, lit):
+        dur = f"{n} {unit}{'s' if plural else ''}"
+        expr = f'ts {sign}{dur} > x AND note == "{lit} {dur}"'
+        out = _rewrite_durations(expr)
+        # the literal span survives verbatim
+        assert f'"{lit} {dur}"' in out
+        # the arithmetic span became an INTERVAL
+        if unit == "quarter":
+            assert f"INTERVAL {3 * n} MONTH" in out
+        else:
+            assert f"INTERVAL {n} {unit.upper()}" in out
+        assert dur not in out.replace(f'"{lit} {dur}"', "")
+        # idempotent: a second pass changes nothing
+        assert _rewrite_durations(out) == out
+
+    check()

@@ -114,6 +114,17 @@ def main() -> int:
         tN = t(lambda: fn(docsN))
         print(f"{name:14s}  1x {t1:6.2f}s   {times}x {tN:7.2f}s   ratio {tN / t1:6.2f}")
 
+    # seq_packing's documented scale knob: shard count grows with the
+    # corpus (window width = corpus / (strata × shards) stays
+    # constant), so the per-group cumsum sort never grows — the fixed-
+    # shards row above measures the knob UNUSED
+    sp1 = t(lambda: pack_sequences(docs1, seq_len=256, n_shards=32))
+    spN = t(lambda: pack_sequences(docsN, seq_len=256, n_shards=32 * times))
+    print(
+        f"{'seq_pack_shards':14s}  1x {sp1:6.2f}s   {times}x {spN:7.2f}s   "
+        f"ratio {spN / sp1:6.2f}  (n_shards scaled with corpus)"
+    )
+
     e1 = t(lambda: last_state(events_to_envelope(ev1)))
     eN = t(lambda: last_state(events_to_envelope(evN)))
     print(f"{'materialize':14s}  1x {e1:6.2f}s   {times}x {eN:7.2f}s   ratio {eN / e1:6.2f}")
