@@ -7025,6 +7025,44 @@ def _q_es_esql_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest foreach processor (operators/ingest.py): split a line
+    into an array, gsub then uppercase EVERY element through the
+    ``_ingest._value`` contract (one F.transform lambda per step — no
+    explode), convert a numeric array element-wise, then join back to
+    scalars (the gate hashes no complex types).  The oracle walks the
+    same elements with DuckDB list_transform.  Map-only plan."""
+    from monstache_spark.operators.ingest import ingest_pipeline
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit(" "), F.col("source")).alias("line"),
+        F.concat(F.col("doc_id").cast("string"), F.lit(","),
+                 F.col("n_chars").cast("string")).alias("nums"),
+    )
+    out = ingest_pipeline(docs, [
+        {"split": {"field": "line", "separator": " "}},
+        {"foreach": {"field": "line",
+                     "processor": {"gsub": {"field": "_ingest._value",
+                                            "pattern": "o",
+                                            "replacement": "0"}}}},
+        {"foreach": {"field": "line",
+                     "processor": {"uppercase":
+                                   {"field": "_ingest._value"}}}},
+        {"join": {"field": "line", "separator": "|"}},
+        {"split": {"field": "nums", "separator": ","}},
+        {"foreach": {"field": "nums",
+                     "processor": {"convert": {"field": "_ingest._value",
+                                               "type": "long"}}}},
+    ])
+    return out.select(
+        "doc_id",
+        F.col("line").alias("shouted"),
+        F.element_at("nums", 1).alias("n1"),
+        F.element_at("nums", 2).alias("n2"),
+    )
+
+
 def _q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-safe split (curation.train_val_test_split):
     iid by doc_id (90/5/5) and group-keyed by source (80/10/10 — all
@@ -7450,6 +7488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_hash_pack": _q_es_esql_hash_pack,
         "es_esql_date_math": _q_es_esql_date_math,
         "train_val_test_split": _q_train_val_test_split,
+        "es_ingest_foreach": _q_es_ingest_foreach,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13356,6 +13395,23 @@ def oracle_sql() -> dict[str, str]:
                  round((exp(y / 1000.0) - exp(-y / 1000.0))
                        / (exp(y / 1000.0) + exp(-y / 1000.0)), 6) AS th,
                  round(exp(1.0) + pi() + 2.0 * pi(), 6) AS cst
+          FROM b
+        """,
+        "es_ingest_foreach": """
+          WITH b AS (
+            SELECT doc_id,
+                   string_split(lang || ' ' || source, ' ') AS parts,
+                   string_split(CAST(doc_id AS VARCHAR) || ','
+                                || CAST(n_chars AS VARCHAR), ',') AS nums
+            FROM documents
+          )
+          SELECT doc_id,
+                 array_to_string(
+                   list_transform(parts,
+                     x -> upper(regexp_replace(x, 'o', '0', 'g'))),
+                   '|') AS shouted,
+                 CAST(nums[1] AS BIGINT) AS n1,
+                 CAST(nums[2] AS BIGINT) AS n2
           FROM b
         """,
         "train_val_test_split": f"""

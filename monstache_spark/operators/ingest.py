@@ -22,8 +22,11 @@ target fields — the RFC-4180 quote dialect is NOT parsed; documented),
 documented), ``bytes`` ("10kb" → 10240), ``uri_parts`` (flattened to
 ``<target>_<part>`` columns — an object field has no columnar
 schema), ``sort``, ``kv`` (the explicit ``include_keys`` form —
-ES's dynamic per-document field set has no columnar schema), and
-``drop``.
+ES's dynamic per-document field set has no columnar schema),
+``foreach`` (element-wise sub-processors over an array field via ONE
+``F.transform`` lambda — convert/case/trim/gsub/urldecode; the
+sub-processor addresses the element as ``_ingest._value``, the ES
+contract), and ``drop``.
 
 Per-processor ``if`` conditions take the engine's shared painless→SQL
 binding (a SQL boolean expression over the row, the same contract as
@@ -106,6 +109,7 @@ _PROC_OPTS = {
     "sort": {"field", "order", "target_field"},
     "kv": {"field", "field_split", "value_split", "include_keys",
            "prefix"},
+    "foreach": {"field", "processor", "ignore_missing"},
     "drop": {"if"},
 }
 
@@ -550,6 +554,81 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                 src = F.col(opts["field"])
                 c = F.when(src.rlike(rx), F.regexp_extract(src, rx, gidx))
                 df = _apply_conditional(df, f"{prefix}{key}", c, cond)
+
+        elif ptype == "foreach":
+            _require(opts, "field", "processor")
+            sub = opts["processor"]
+            if len(sub) != 1:
+                raise ValueError(
+                    "foreach takes one {type: options} sub-processor"
+                )
+            (stype, sopts), = sub.items()
+            # ES contract: the sub-processor addresses the current
+            # element as `_ingest._value`
+            if sopts.get("field") != "_ingest._value":
+                raise ValueError(
+                    "foreach sub-processor must target _ingest._value "
+                    "(the ES element reference)"
+                )
+            if "if" in sopts:
+                raise ValueError(
+                    "a per-ELEMENT `if` has no ES equivalent — put "
+                    "the condition on the foreach processor itself"
+                )
+            # element-wise transforms expressible as ONE lambda over
+            # the array (F.transform — codegen, no explode); the
+            # sub-processor set is the string/scalar core.  A
+            # type-changing `convert` under a per-row `if` would mix
+            # array element types across CASE branches — same refusal
+            # class as in-place split/join.
+            if stype == "convert":
+                t = _CONVERT_TYPES.get(sopts.get("type"))
+                if t is None:
+                    raise ValueError(
+                        f"convert type must be one of "
+                        f"{sorted(_CONVERT_TYPES)}, got {sopts.get('type')!r}"
+                    )
+                if cond is not None:
+                    raise ValueError(
+                        "foreach+convert changes the element type and "
+                        "cannot vary per row — drop the `if`"
+                    )
+                elem = lambda x: x.try_cast(t)  # noqa: E731
+            elif stype in ("lowercase", "uppercase", "trim"):
+                fn = {"lowercase": F.lower, "uppercase": F.upper,
+                      "trim": F.trim}[stype]
+                # explicit 1-arg lambda: F.transform probes the
+                # callable's arity and a 2-arg-capable builtin
+                # (F.trim(col, trimstr)) would be called as
+                # (element, INDEX) — trimming the characters of "0",
+                # not whitespace (self-review r11 pass 4)
+                elem = lambda x: fn(x)  # noqa: E731
+            elif stype == "gsub":
+                if "pattern" not in sopts or "replacement" not in sopts:
+                    raise ValueError("foreach gsub needs pattern/replacement")
+                pat, rep = sopts["pattern"], sopts["replacement"]
+                elem = lambda x: F.regexp_replace(x, pat, rep)  # noqa: E731
+            elif stype == "urldecode":
+                elem = F.try_url_decode
+            else:
+                raise ValueError(
+                    f"unsupported foreach sub-processor {stype!r} — "
+                    "supported: convert/lowercase/uppercase/trim/"
+                    "gsub/urldecode (element-wise Column transforms; "
+                    "schema-level or multi-field sub-processors have "
+                    "no per-element form)"
+                )
+            field = opts["field"]
+            if field not in df.columns:
+                if opts.get("ignore_missing", False):
+                    continue
+                raise ValueError(
+                    f"foreach: field {field!r} does not exist "
+                    "(pass ignore_missing=True for ES's lenient mode)"
+                )
+            df = _apply_conditional(
+                df, field, F.transform(F.col(field), elem), cond
+            )
 
         elif ptype == "drop":
             _require(opts, "if")

@@ -387,3 +387,54 @@ def test_conditional_split_join_in_place_refuse(spark):
     )
     rows = {r["id"]: r["parts"] for r in out.collect()}
     assert rows[1] == ["a", "b"] and rows[2] is None
+
+
+def test_foreach_element_transforms(spark):
+    """foreach: element-wise sub-processors through the
+    _ingest._value contract — one F.transform per step, per-row `if`
+    gates the whole array, convert+if refuses (element-type change
+    cannot vary per row), unsupported sub-processors and wrong
+    element references refuse loudly, ignore_missing honored."""
+    df = spark.createDataFrame(
+        [(1, ["a ", "Bo"], ["7", "x"], 300.0),
+         (2, ["c"], ["1", "2"], 100.0),
+         (3, None, None, None)],
+        "id long, tags array<string>, nums array<string>, v double",
+    )
+    out = ingest_pipeline(df, [
+        {"foreach": {"field": "tags",
+                     "processor": {"trim": {"field": "_ingest._value"}}}},
+        {"foreach": {"field": "tags",
+                     "processor": {"uppercase": {"field": "_ingest._value"}},
+                     "if": "v > 200"}},
+        {"foreach": {"field": "nums",
+                     "processor": {"convert": {"field": "_ingest._value",
+                                               "type": "long"}}}},
+    ])
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["tags"] == ["A", "BO"]          # trimmed then shouted
+    assert rows[2]["tags"] == ["c"]                # cond false: trimmed only
+    assert rows[3]["tags"] is None                 # null array stays null
+    assert rows[1]["nums"] == [7, None]            # unparseable -> NULL elem
+    assert dict(out.dtypes)["nums"] == "array<bigint>"
+    with pytest.raises(ValueError, match="_ingest._value"):
+        ingest_pipeline(df, [{"foreach": {
+            "field": "tags", "processor": {"trim": {"field": "tags"}}}}])
+    with pytest.raises(ValueError, match="cannot vary per row"):
+        ingest_pipeline(df, [{"foreach": {
+            "field": "nums", "if": "v > 200",
+            "processor": {"convert": {"field": "_ingest._value",
+                                      "type": "long"}}}}])
+    with pytest.raises(ValueError, match="unsupported foreach sub"):
+        ingest_pipeline(df, [{"foreach": {
+            "field": "tags",
+            "processor": {"rename": {"field": "_ingest._value",
+                                     "target_field": "z"}}}}])
+    with pytest.raises(ValueError, match="does not exist"):
+        ingest_pipeline(df, [{"foreach": {
+            "field": "nope",
+            "processor": {"trim": {"field": "_ingest._value"}}}}])
+    out2 = ingest_pipeline(df, [{"foreach": {
+        "field": "nope", "ignore_missing": True,
+        "processor": {"trim": {"field": "_ingest._value"}}}}])
+    assert out2.columns == df.columns
