@@ -339,3 +339,25 @@ def test_toml_key_spellings_match_reference():
     assert not drifted, (
         f"config keys not spelled as the reference accepts them: {drifted}"
     )
+
+
+@_pytest.mark.skipif(
+    not _os.path.exists(_REF_GO),
+    reason="reference checkout not present (parity check only runs "
+    "where /root/reference is mounted)",
+)
+def test_relate_mapping_subkey_spellings_match_reference():
+    """Sub-table key spellings: the [[relate]] entries' keys must be
+    the reference relation struct's toml tags (+ untagged Namespace),
+    and [[mapping]] uses the untagged indexMapping fields
+    (namespace/index).  Extracted from the parsing code paths in
+    config.load_config (config.py:127-160)."""
+    src = open(_REF_GO).read()
+    rel = _re.search(r"type relation struct \{(.*?)\}", src, _re.S).group(1)
+    rel_tags = set(_re.findall(r'toml:"([^",]+)', rel)) | {"namespace"}
+    ours = {"namespace", "with-namespace", "src-field", "match-field",
+            "match-field-type", "keep-src", "max-depth", "dot-notation"}
+    assert ours <= rel_tags, sorted(ours - rel_tags)
+    im = _re.search(r"type indexMapping struct \{(.*?)\}", src, _re.S).group(1)
+    assert _re.search(r"^\tNamespace\s", im, _re.M)
+    assert _re.search(r"^\tIndex\s", im, _re.M)
