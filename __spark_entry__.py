@@ -7063,6 +7063,24 @@ def _q_es_ingest_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget slice (curation.token_budget_sample): per-language
+    5000-token prefixes in deterministic md5-shuffle order.  The cut
+    needs the per-stratum GLOBAL running sum; a single window would
+    serialize, so the md5 key range-buckets by its leading hex digits
+    (bucket order == key order), the cumsum windows per (lang,
+    bucket), and bucket offsets come from a prefix sum over the tiny
+    totals frame broadcast back — the two-pass distributed prefix
+    sum.  The oracle computes the straight per-stratum running sum,
+    pinning the decomposition exactly."""
+    from monstache_spark.operators.curation import token_budget_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_budget_sample(
+        docs, 5000, stratum_col="lang", seed="7", n_buckets=64
+    )
+
+
 def _q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leakage-safe split (curation.train_val_test_split):
     iid by doc_id (90/5/5) and group-keyed by source (80/10/10 — all
@@ -7489,6 +7507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_date_math": _q_es_esql_date_math,
         "train_val_test_split": _q_train_val_test_split,
         "es_ingest_foreach": _q_es_ingest_foreach,
+        "token_budget_sample": _q_token_budget_sample,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13396,6 +13415,26 @@ def oracle_sql() -> dict[str, str]:
                        / (exp(y / 1000.0) + exp(-y / 1000.0)), 6) AS th,
                  round(exp(1.0) + pi() + 2.0 * pi(), 6) AS cst
           FROM b
+        """,
+        "token_budget_sample": r"""
+          WITH r AS (
+            SELECT doc_id, lang,
+                   md5('7:' || CAST(doc_id AS VARCHAR)) AS k,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents WHERE doc_id IS NOT NULL
+          ), c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY k, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS cum_before
+            FROM r
+          )
+          SELECT doc_id, lang,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(cum_before AS BIGINT) AS cum_before,
+                 cum_before < 5000 AS keep
+          FROM c
         """,
         "es_ingest_foreach": """
           WITH b AS (

@@ -1624,3 +1624,94 @@ def train_val_test_split(
     for cut, name in zip(reversed(cuts), reversed(names[:-1])):
         expr = F.when(hx < F.lit(cut), F.lit(name)).otherwise(expr)
     return docs.withColumn("split", expr)
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str | None = None,
+    seed: str = "0",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Take documents in deterministic-shuffle order until a global
+    token budget is met — the "give me a 1B-token slice" primitive.
+    With ``stratum_col``, the budget applies PER STRATUM (a per-
+    language eval slice).
+
+    Scale design: the cut needs the global running token sum in
+    shuffle-key order, and a single global window serializes on one
+    partition.  Instead, the md5 shuffle key is RANGE-bucketed by its
+    leading hex digits (buckets are ordered intervals of the key
+    space, so bucket order IS global order — a hash-sharded prefix
+    sum would interleave and break the cut), the running sum windows
+    within each (stratum, bucket), and each bucket's offset is the
+    prefix sum of the bucket TOTALS — an O(strata × n_buckets)-row
+    aggregate collected to the driver (control-plane) and broadcast
+    back as a literal lookup.  No global sort, no driver data path;
+    the classic two-pass distributed prefix sum.
+
+    A document is kept while the tokens BEFORE it are under the
+    budget, so the straddling document is included and the slice is
+    the shortest prefix reaching the budget (ES-style "at least N").
+    Deterministic under (seed, ids) on any partitioning; documents
+    with NULL id drop (the deterministic_shuffle contract).  Returns
+    ``(id, [stratum], n_tokens, cum_before, keep)``.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive: {budget_tokens}")
+    if not 1 <= n_buckets <= 4096:
+        raise ValueError(f"n_buckets out of range: {n_buckets}")
+    from monstache_spark.functions.text import token_count
+
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
+                         F.col(id_col).cast("string")))
+    # leading 3 hex digits (4096 intervals) scaled down to n_buckets —
+    # an ORDERED range bucketing of the key space
+    bucket = F.floor(
+        F.conv(F.substring(key, 1, 3), 16, 10).cast("long")
+        * n_buckets / 4096
+    ).cast("long")
+    strata = [stratum_col] if stratum_col else []
+    rows = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col),
+        *[F.col(c) for c in strata],
+        key.alias("shuffle_key"),
+        bucket.alias("_bkt"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(*strata, "_bkt")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "_cum_in_bkt"
+    )
+    totals = (
+        rows.groupBy(*strata, "_bkt")
+        .agg(F.sum("n_tokens").alias("_tot"))
+    )
+    # bucket offsets: prefix sum over the TOTALS frame (tiny — one row
+    # per (stratum, bucket)); windowing per stratum over <= n_buckets
+    # rows is control-plane-sized by construction
+    wo = (
+        Window.partitionBy(*strata)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *strata,
+        "_bkt",
+        F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off"),
+    )
+    joined = rows.select(
+        id_col, *strata, "shuffle_key", "_bkt", "n_tokens", in_bucket
+    ).join(F.broadcast(offsets), strata + ["_bkt"])
+    cum_before = (F.col("_off") + F.col("_cum_in_bkt")).alias("cum_before")
+    return joined.select(
+        id_col, *strata, "n_tokens", cum_before,
+        ((F.col("_off") + F.col("_cum_in_bkt"))
+         < F.lit(int(budget_tokens))).alias("keep"),
+    )

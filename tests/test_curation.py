@@ -677,3 +677,47 @@ def test_train_val_test_split_stability_and_grouping(spark):
     with _pytest.raises(ValueError, match="one name each"):
         train_val_test_split(docs, fractions=(0.5, 0.5),
                              names=("a", "b", "c"))
+
+
+def test_token_budget_sample_semantics(spark):
+    """Token-budget slice: the kept set is the shortest prefix (in
+    md5-shuffle order) whose tokens reach the budget — including the
+    straddling doc; per-stratum budgets are independent; the result
+    is a pure function of (seed, ids) regardless of partitioning;
+    bad budgets refuse."""
+    import pytest as _pytest
+
+    from monstache_spark.operators.curation import token_budget_sample
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        # 5 tokens per doc
+        F.lit("a b c d e").alias("text"),
+    )
+    out = token_budget_sample(docs, 50, stratum_col="lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        kept = [r for r in rows if r["keep"]]
+        # 5 tokens/doc, budget 50 -> exactly 10 docs per stratum
+        assert len(kept) == 10, (lang, len(kept))
+        assert max(r["cum_before"] for r in kept) == 45
+        dropped = [r for r in rows if not r["keep"]]
+        assert min(r["cum_before"] for r in dropped) == 50
+    # partitioning must not change the slice
+    out2 = token_budget_sample(
+        docs.repartition(7), 50, stratum_col="lang"
+    ).collect()
+    assert {(r["doc_id"], r["keep"]) for r in out2} == {
+        (r["doc_id"], r["keep"]) for r in out
+    }
+    # unstratified: one global budget; straddling doc included
+    g = token_budget_sample(docs, 7).collect()
+    kept = sorted(r["cum_before"] for r in g if r["keep"])
+    assert kept == [0, 5]          # 0 < 7 and 5 < 7; next is 10
+    with _pytest.raises(ValueError, match="positive"):
+        token_budget_sample(docs, 0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        token_budget_sample(docs, 10, n_buckets=0)

@@ -179,6 +179,15 @@ CHECKS = [
         lambda p: "Exchange (" not in p and "Python" not in p,
     ),
     (
+        "token_budget_sample",
+        "token-budget slice: the two-pass distributed prefix sum — no "
+        "single-partition exchange anywhere (the global-order cumsum "
+        "decomposes over range buckets), offsets broadcast back",
+        lambda p: "SinglePartition" not in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p,
+    ),
+    (
         "train_val_test_split",
         "leakage-safe split assignment is a pure narrow projection "
         "(hash-cut per row: no exchange, no Python, codegen end to end)",
