@@ -42,6 +42,26 @@ def main() -> None:
             only = {s.strip() for s in only_spec.split(",") if s.strip()}
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    all_queries = entrymod.queries()
+    if only is not None:
+        unknown = only - set(all_queries)
+        if unknown:
+            # a typo'd pinned name would silently shrink the subset
+            # and fake an improvement in the bracketed totals
+            print(
+                f"bench: unknown subset name(s): {sorted(unknown)}",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        if not os.environ.get("SPARK_GRAFT_BENCH_OUT"):
+            # a subset run must never overwrite the sealed
+            # full-registry BENCH.json with partial totals
+            print(
+                "bench: SPARK_GRAFT_BENCH_ONLY requires SPARK_GRAFT_BENCH_OUT"
+                " (refusing to clobber BENCH.json with a partial run)",
+                file=sys.stderr,
+            )
+            sys.exit(1)
     spark = get_spark("monstache_spark_bench")
 
     # Warm up the JVM/session once (codegen compiler, parquet footer
@@ -56,16 +76,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     total = 0.0
-    all_queries = entrymod.queries()
-    if only is not None:
-        unknown = only - set(all_queries)
-        if unknown:
-            # a typo'd pinned name would silently shrink the subset
-            # and fake an improvement in the bracketed totals
-            print(
-                f"bench: unknown subset name(s): {sorted(unknown)}",
-                file=sys.stderr,
-            )
     for name, fn in all_queries.items():
         if only is not None and name not in only:
             continue

@@ -1656,7 +1656,11 @@ def token_budget_sample(
     budget, so the straddling document is included and the slice is
     the shortest prefix reaching the budget (ES-style "at least N").
     Deterministic under (seed, ids) on any partitioning; documents
-    with NULL id drop (the deterministic_shuffle contract).  Returns
+    with NULL id drop (the deterministic_shuffle contract).  A NULL
+    ``stratum_col`` value is its own stratum with its own budget —
+    the bucket-offset join is null-safe (``eqNullSafe``), matching
+    the window/groupBy semantics (and SQL ``PARTITION BY``), so NULL-
+    stratum documents are never silently dropped.  Returns
     ``(id, [stratum], n_tokens, cum_before, keep)``.
     """
     if budget_tokens <= 0:
@@ -1706,9 +1710,20 @@ def token_budget_sample(
         "_bkt",
         F.coalesce(F.sum("_tot").over(wo), F.lit(0)).alias("_off"),
     )
+    # null-safe on the stratum key: window partitions treat NULL as a
+    # real stratum, so the offset join must too (a bare name-list
+    # equi-join would drop every NULL-stratum row)
+    off = offsets.select(
+        *[F.col(c).alias(f"_o_{c}") for c in strata],
+        F.col("_bkt").alias("_o_bkt"),
+        "_off",
+    )
+    cond = F.col("_bkt") == F.col("_o_bkt")
+    for c in strata:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_o_{c}"))
     joined = rows.select(
         id_col, *strata, "shuffle_key", "_bkt", "n_tokens", in_bucket
-    ).join(F.broadcast(offsets), strata + ["_bkt"])
+    ).join(F.broadcast(off), cond)
     cum_before = (F.col("_off") + F.col("_cum_in_bkt")).alias("cum_before")
     return joined.select(
         id_col, *strata, "n_tokens", cum_before,

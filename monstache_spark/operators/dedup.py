@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from monstache_spark.functions.text import fingerprint, shingle_hash, word_shingles
+from monstache_spark.session import shuffle_partitions
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -117,7 +118,7 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     the much larger post-explode exchange rather than adding one
     (measured at 50x sf0.1: 117 s -> 60 s cold, one Exchange in the
     plan instead of two)."""
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(docs.sparkSession)
     return docs.repartition(nparts, F.col(id_col))
 
 
@@ -780,7 +781,7 @@ def winnow_fingerprints(
     # runs at full shuffle width (AQE would coalesce this exchange
     # based on the small pre-explode bytes) and the per-class window
     # reuses the partitioning
-    nparts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(docs.sparkSession)
     base = (
         docs.select(ck.alias("_ck"), canon.alias("_canon"))
         .distinct()

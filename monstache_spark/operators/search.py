@@ -41,6 +41,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from monstache_spark.session import shuffle_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -2112,7 +2113,7 @@ def _bm25_scored(
         # reuse, each branch would re-run the stem cascade — the
         # derived key keeps the (id, term) exchange in the plan as the
         # single stem-once reuse point
-        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        nparts = shuffle_partitions(spark)
         spread = docs.repartition(
             nparts, F.crc32(F.col(id_col).cast("string"))
         )

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from monstache_spark.functions.vectors import as_double_array, cosine_rounded
+from monstache_spark.session import shuffle_partitions
 
 
 def brute_force_topk(
@@ -349,7 +350,7 @@ def ivf_assign(
     # before the join instead of once per pair, leaving one
     # interpreted dot per pair. sqrt(a*a)*sqrt(b*b) keeps the exact op
     # order of functions.vectors.cosine, so scores stay bit-identical.
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(corpus.sparkSession)
     base = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .repartition(nparts, F.col(id_col))
@@ -1024,7 +1025,7 @@ def semantic_dedup(
     # join down to one task sized by input bytes (the explode-
     # parallelism trap); the explicit width pins one task per cell hash
     # and both join sides inherit the partitioning (single exchange).
-    nparts = int(corpus.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(corpus.sparkSession)
     sided = eligible.repartition(nparts, F.col("cell")).select(
         "cell", F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
     )
@@ -1365,7 +1366,7 @@ def knn_join_pq(
     # load-bearing: the encode join amplifies rows m·k_sub× and a
     # small-bytes input scan would otherwise run it on 2 tasks
     # (the _spread lesson — AQE sizes on pre-explode bytes).
-    nparts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    nparts = shuffle_partitions(emb.sparkSession)
     codes = pq_encode(
         emb.repartition(nparts, F.col(id_col)), codebooks, dim, m, vec_col, id_col
     )

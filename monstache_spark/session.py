@@ -39,6 +39,17 @@ def state_store_provider(state_store: str | None = None) -> str | None:
     raise ValueError(f"unknown state store backend: {choice!r}")
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the
+    ``"auto"`` spelling some AQE/managed deployments set (where a bare
+    ``int(conf.get(...))`` raises) by falling back to the cluster
+    default parallelism."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def get_spark(app_name: str = "monstache_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

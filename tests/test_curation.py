@@ -721,3 +721,13 @@ def test_token_budget_sample_semantics(spark):
         token_budget_sample(docs, 0)
     with _pytest.raises(ValueError, match="n_buckets"):
         token_budget_sample(docs, 10, n_buckets=0)
+    # NULL stratum is a real stratum with its own budget — the offset
+    # join is null-safe, so NULL-lang docs must NOT vanish (r11 advice)
+    nullable = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 3 == 0, F.col("lang"))
+    )
+    n_out = token_budget_sample(nullable, 50, stratum_col="lang")
+    rows = n_out.collect()
+    assert len(rows) == 200  # every doc gets a row, NULL stratum included
+    null_kept = [r for r in rows if r["lang"] is None and r["keep"]]
+    assert len(null_kept) == 10  # 5 tokens/doc, budget 50
