@@ -7126,6 +7126,84 @@ def _q_es_esql_hash_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL LOOKUP JOIN (8.18 GA — operators/esql.py LOOKUP branch):
+    the dedicated gate for the dialect's join command.  RENAME aligns
+    the key, the broadcast left join fans rows out per lookup match,
+    and the EVAL'd n_name = "pending" column is OVERRIDDEN by the
+    lookup index's n_name — the documented name-collision rule
+    (lookup fields replace incoming ones, never ambiguity).  Balance
+    sums are exact DECIMAL(12,2) (2-dp source column, so the
+    double→decimal cast is engine-exact).  Plan: one broadcast hash
+    join + one hash agg."""
+    from monstache_spark.operators.esql import esql
+
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    return esql(
+        "FROM customer"
+        ' | EVAL n_name = "pending", bal = CAST(c_acctbal AS DECIMAL(12,2))'
+        " | RENAME c_nationkey AS n_nationkey"
+        " | LOOKUP JOIN nation ON n_nationkey"
+        " | STATS n_cust = COUNT(*), bal_total = SUM(bal) BY n_name"
+        " | SORT n_name ASC",
+        {"customer": cust, "nation": nat},
+    )
+
+
+def _q_es_esql_mv_expand_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL MV_EXPAND + LOOKUP JOIN composition: a multivalue column
+    built with SPLIT expands to one row per value (explode_outer —
+    ES keeps null-expanding rows), then each value lookup-joins a
+    literal dimension frame (a LocalRelation — fully JVM-side, no
+    Python scan) with unmatched tags keeping NULL weights through
+    the left join.  STATS aggregates per tag."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    dim_rows = [("en", 1), ("de", 2), ("fr", 3), ("zh", 4),
+                ("src1", 10), ("src2", 20), ("src3", 30)]
+    dim = spark.range(1).select(
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("tag"),
+                     F.lit(w).cast("long").alias("w"))
+            for k, w in dim_rows
+        ])).alias("e")
+    ).select("e.*")
+    return esql(
+        "FROM documents"
+        ' | EVAL tag = SPLIT(CONCAT(lang, "-", source), "-")'
+        " | MV_EXPAND tag"
+        " | LOOKUP JOIN dim ON tag"
+        " | STATS n = COUNT(*), w_total = SUM(w) BY tag"
+        " | SORT tag ASC",
+        {"documents": docs, "dim": dim},
+    )
+
+
+def _q_es_eql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQL legacy `join by key [f1] [f2] until [u]` (operators/eql.
+    eql_join, via the TEXT endpoint): the original EQL language's
+    UNORDERED key-correlated variant (ES EQL replaced it with
+    sample; implemented for legacy-language parity).  A key matches
+    when every filter matched in ANY order; the deterministic pick
+    is the earliest packed (ts, id) per (key, filter); the join
+    completes at the LATEST per-filter earliest, and an until-event
+    at-or-before that position expires it.  Per-filter min is one
+    map-side-combinable hash agg over the packed decimal; until adds
+    one min-agg + one left join."""
+    from monstache_spark.operators.eql import eql
+
+    ev = load_table(spark, "events", sf_dir)
+    return eql(
+        'join by user_id [any where event_type == "signup"]'
+        ' [any where event_type == "error" and value >= 100]'
+        ' until [any where event_type == "purchase" and value >= 450]',
+        ev,
+        category_col="event_type",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_cdc_materialize(spark, "/root/testdata/sf0.001")
@@ -7134,20 +7212,19 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window (the first
     50 entries, insertion order) rotates coverage each round.  The
-    round-11 window (see ``_GATE_WINDOW``) holds (a) the 34 round-10
-    additions that had never had a driver-gate row (VERDICT r10
-    task #1 — EQL runs/pipes/missing/sample/until/step-by/text,
-    ES|QL GROK/CATEGORIZE/MATCH/QSTR/TS-RATE/*_OVER_TIME/CIDR/MV/
-    LIKE-list/scalar/agg/date/string packs, ingest pipelines +
-    text/url-kv packs, retrievers pinned/rule/linear/knn-literal/
-    text-sim-reranker, rank-vectors inv-hamming, knn similarity
-    cutoff), (b) the 7 remaining queries last gated in round 3
-    (``stream_stream_join`` … ``worker_shard``), and (c) 9 of the
-    round-4 cohort as next-stalest fill (``anomaly_flags_daily`` …
-    ``data_card``; the remaining round-4 queries lead the round-12
-    window).  The judge's full ``tools/check_oracle.py`` sweep covers
-    every registry query each round.  Every query has a
-    hash-checkable oracle."""
+    round-12 window (see ``_GATE_WINDOW``) holds (a) the 9 queries
+    that have never had a driver-gate row — the 6 round-11 additions
+    (ES|QL math/hash/date-math packs, ingest foreach,
+    train/val/test split, token-budget sampler; VERDICT r11 task #1)
+    plus the 3 round-12 additions (``es_esql_lookup_join``,
+    ``es_esql_mv_expand_join``, ``es_eql_join``) — and (b) the
+    ENTIRE 39-query cohort last gated in round 4 (``decontaminate``
+    … ``training_pipeline``, alphabetical), then (c) the first 2 of
+    the round-5 cohort (``bpe_train_merges``,
+    ``cdc_stream_pipeline``).  The remaining 45 round-5-stale
+    queries lead the round-13 window.  The judge's full
+    ``tools/check_oracle.py`` sweep covers every registry query each
+    round.  Every query has a hash-checkable oracle."""
 
     all_q = {
         # Historical insertion order (round added); the driver-facing
@@ -7508,6 +7585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": _q_train_val_test_split,
         "es_ingest_foreach": _q_es_ingest_foreach,
         "token_budget_sample": _q_token_budget_sample,
+        # --- round-12 additions ---
+        "es_esql_lookup_join": _q_es_esql_lookup_join,
+        "es_esql_mv_expand_join": _q_es_esql_mv_expand_join,
+        "es_eql_join": _q_es_eql_join,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -7517,62 +7598,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the driver's 50-query correctness window, head first — see the
 # queries() docstring for this round's composition rationale
 _GATE_WINDOW = [
-    # VERDICT r10 task #1: the 34 round-10 additions (EQL/ES|QL/ingest/
-    # retriever packs), never driver-gated — judge-verified green at the
-    # r10 HEAD, rotated in first
-    "es_text_sim_reranker",
-    "es_esql_categorize",
-    "es_rank_vectors_inv_hamming",
-    "es_retriever_linear",
-    "es_knn_similarity_cutoff",
-    "es_esql_match",
-    "es_esql_qstr",
-    "es_retriever_pinned",
-    "es_esql_cidr",
-    "es_esql_mv_funcs",
-    "es_eql_sequence_until",
-    "es_esql_date_funcs",
-    "es_eql_sample",
-    "es_retriever_rule",
-    "es_esql_agg_funcs",
-    "es_retriever_knn_literal",
-    "es_esql_grok",
-    "es_esql_string_funcs",
-    "es_esql_date_trunc",
-    "es_esql_top_values",
-    "es_eql_runs",
-    "es_eql_pipes",
-    "es_ingest_pipeline",
-    "es_eql_missing",
-    "es_esql_mv_pack",
-    "es_esql_ip_prefix",
-    "es_eql_step_by",
-    "es_esql_scalar_pack2",
-    "es_ingest_text_pack",
-    "es_eql_text",
-    "es_esql_ts_rate",
-    "es_esql_over_time",
-    "es_esql_like_list",
-    "es_ingest_url_kv",
-    # the 7 remaining queries last gated in round 3 (pre-announced
-    # in the round-10 window comment)
-    "stream_stream_join",
-    "system_guards",
-    "text_quality",
-    "time_machine",
-    "top_users_by_value",
-    "window_rank_lag",
-    "worker_shard",
-    # next-stalest fill: 9 of the round-4 cohort, alphabetical
-    "anomaly_flags_daily",
-    "bigram_lm_quality",
-    "bm25_search",
-    "boilerplate_ngrams",
-    "bpe_segment_fertility",
-    "chunk_documents",
-    "collapse_topk",
-    "corpus_overlap",
-    "data_card",
+    # (a) never driver-gated: the 6 round-11 additions (pre-announced
+    # to lead this window; all judge-verified green at the r11 HEAD)
+    # and the 3 round-12 additions
+    "es_esql_math_pack",
+    "es_esql_hash_pack",
+    "es_esql_date_math",
+    "train_val_test_split",
+    "es_ingest_foreach",
+    "token_budget_sample",
+    "es_esql_lookup_join",
+    "es_esql_mv_expand_join",
+    "es_eql_join",
+    # (b) the ENTIRE round-4-stale cohort (39 queries, alphabetical)
+    "decontaminate",
+    "dedup_keep_best",
+    "domain_cap",
+    "dsir_importance",
+    "es_bool_filter",
+    "es_composite_agg",
+    "es_date_histogram_agg",
+    "es_pipeline_aggs",
+    "es_range_agg",
+    "es_terms_agg",
+    "fuzzy_decontaminate",
+    "fuzzy_suggest",
+    "gopher_quality",
+    "hybrid_rrf_topk",
+    "incremental_dedup",
+    "incremental_near_dup",
+    "knn_join",
+    "mixture_stats",
+    "more_like_this",
+    "percolate",
+    "pii_redact",
+    "plan_mixture",
+    "quality_classifier",
+    "quality_decile_map",
+    "quality_top_fraction",
+    "rank_eval",
+    "repetition_stats",
+    "scd2_intervals",
+    "search_highlight",
+    "semantic_dedup",
+    "sequence_packing",
+    "significant_terms",
+    "simhash_bucket_stats",
+    "simhash_near_dup",
+    "span_dedup_rewrite",
+    "stratified_sample",
+    "stream_percolate_alerts",
+    "top_hits_per_type",
+    "training_pipeline",
+    # (c) next-stalest fill: first 2 of the round-5 cohort
+    # (alphabetical; the remaining 45 lead the round-13 window)
+    "bpe_train_merges",
+    "cdc_stream_pipeline",
     # --- 50-slot boundary falls here ---
 ]
 
@@ -13435,6 +13516,64 @@ def oracle_sql() -> dict[str, str]:
                  CAST(cum_before AS BIGINT) AS cum_before,
                  cum_before < 5000 AS keep
           FROM c
+        """,
+        "es_esql_lookup_join": """
+          WITH j AS (
+            SELECT n.n_name, CAST(c.c_acctbal AS DECIMAL(12,2)) AS bal
+            FROM customer c
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+          )
+          SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+                 SUM(bal) AS bal_total
+          FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "es_esql_mv_expand_join": """
+          WITH ex AS (
+            SELECT unnest(string_split(lang || '-' || source, '-')) AS tag
+            FROM documents
+          ), dim(tag, w) AS (
+            VALUES ('en', 1), ('de', 2), ('fr', 3), ('zh', 4),
+                   ('src1', 10), ('src2', 20), ('src3', 30)
+          )
+          SELECT ex.tag, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d.w) AS BIGINT) AS w_total
+          FROM ex LEFT JOIN dim d USING (tag)
+          GROUP BY 1 ORDER BY 1
+        """,
+        "es_eql_join": """
+          WITH p1 AS (
+            SELECT user_id AS k, ts, event_id,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p
+            FROM events WHERE event_type = 'signup'
+          ),
+          p2 AS (
+            SELECT user_id AS k, ts, event_id,
+                   CAST(epoch_us(ts) AS HUGEINT) * 1000000000 + event_id AS p
+            FROM events WHERE event_type = 'error' AND value >= 100
+          ),
+          e1 AS (
+            SELECT k, ts AS t1, event_id AS id1, p AS pe1 FROM p1
+            QUALIFY row_number() OVER (PARTITION BY k ORDER BY p) = 1
+          ),
+          e2 AS (
+            SELECT k, ts AS t2, event_id AS id2, p AS pe2 FROM p2
+            QUALIFY row_number() OVER (PARTITION BY k ORDER BY p) = 1
+          ),
+          u AS (
+            SELECT user_id AS k,
+                   min(CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                       + event_id) AS pu
+            FROM events WHERE event_type = 'purchase' AND value >= 450
+            GROUP BY 1
+          ),
+          j AS (
+            SELECT e1.k, t1, id1, t2, id2,
+                   greatest(pe1, pe2) AS done
+            FROM e1 JOIN e2 USING (k)
+          )
+          SELECT j.k AS user_id, t1, id1, t2, id2
+          FROM j LEFT JOIN u ON j.k = u.k
+          WHERE u.pu IS NULL OR u.pu > j.done
         """,
         "es_ingest_foreach": """
           WITH b AS (

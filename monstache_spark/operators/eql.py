@@ -399,6 +399,73 @@ def eql_sample(
     return out.withColumnRenamed("_k", by)
 
 
+def eql_join(
+    events: DataFrame,
+    filters: list[dict],
+    by: str,
+    until: dict | str | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    analyzer=None,
+) -> DataFrame:
+    """EQL legacy ``join by <key> [f1] [f2] … [until [u]]`` — the
+    original EQL language's UNORDERED key-correlated variant
+    (eql.readthedocs.io grammar; Elasticsearch's EQL lists ``join``
+    under unsupported syntax and shipped ``sample`` as the 8.6
+    replacement — implemented here for parity with the legacy
+    language, deprecated upstream).
+
+    Semantics: a key matches when EVERY filter matched at least once,
+    in any order.  Like ``sample``, the deterministic rendering picks
+    the EARLIEST (packed ts, id) event per (key, filter).  ``until``
+    carries the sequence-until contract into the unordered world: the
+    join COMPLETES at the latest of its per-filter earliest positions,
+    and an until-event for the same key at or before that completion
+    position expires it (state flushed, as a streaming evaluator
+    would); joins completed strictly before the until-event stand.
+
+    Plan shape (identical scale story to ``eql_sample``): per filter,
+    one filtered scan collapses to one row per key in ONE map-side-
+    combinable hash agg over the packed decimal, columns recover by a
+    self-join on the packed key, per-filter frames inner-join on the
+    key; ``until`` adds one more filtered frame, one min-agg, and one
+    broadcast-size left join — no corpus re-scan, nothing unbounded.
+    Returns ``(by, t1, id1, …, tn, idn)``.
+    """
+    if len(filters) < 2:
+        raise ValueError("a join needs at least 2 filters")
+    out = None
+    packs = []
+    for i, flt in enumerate(filters, start=1):
+        f = events.filter(_step_pred(flt, analyzer))
+        rows = f.select(
+            F.col(by).alias("_k"),
+            F.col(ts_col).alias(f"t{i}"),
+            F.col(id_col).cast("long").alias(f"id{i}"),
+            _pack(F.col(ts_col), id_col).alias(f"_p{i}"),
+        )
+        earliest = rows.groupBy("_k").agg(F.min(f"_p{i}").alias(f"_pe{i}"))
+        picked = earliest.join(
+            rows.withColumnRenamed("_k", "_k2"),
+            (earliest["_k"] == F.col("_k2"))
+            & (F.col(f"_p{i}") == earliest[f"_pe{i}"]),
+        ).select("_k", f"t{i}", f"id{i}", f"_pe{i}")
+        packs.append(f"_pe{i}")
+        out = picked if out is None else out.join(picked, "_k")
+    done = F.greatest(*[F.col(p) for p in packs]).alias("_done")
+    out = out.withColumn("_done", done)
+    if until is not None:
+        u = events.filter(_step_pred(until, analyzer)).select(
+            F.col(by).alias("_k"),
+            _pack(F.col(ts_col), id_col).alias("_pu"),
+        )
+        ue = u.groupBy("_k").agg(F.min("_pu").alias("_pue"))
+        out = out.join(ue, "_k", "left").filter(
+            F.col("_pue").isNull() | (F.col("_pue") > F.col("_done"))
+        ).drop("_pue")
+    return out.drop("_done", *packs).withColumnRenamed("_k", by)
+
+
 # ---------------------------------------------------------------------------
 # the text EQL endpoint
 # ---------------------------------------------------------------------------
@@ -612,6 +679,9 @@ def eql(
       [with runs=N] ![cat where …] … [until [cat where …]]`` —
       per-step ``by``/``runs`` modifiers, missing-event steps, until
     * ``sample by f [cat where …] [cat where …] …``
+    * ``join by f [cat where …] [cat where …] … [until [cat where …]]``
+      — the legacy unordered variant (``eql_join``); pipes order by
+      the join's completion position (latest per-filter earliest)
     * pipes ``| head N`` / ``| tail N`` (the only two ES supports) —
       on sequences they order by the packed (t1, id1) position of the
       sequence's FIRST event (deterministic; documented refinement of
@@ -651,7 +721,7 @@ def eql(
         return df
 
     kind = head_txt.split(None, 1)[0].lower() if head_txt else ""
-    if kind not in ("sequence", "sample"):
+    if kind not in ("sequence", "sample", "join"):
         # simple event query
         df = events.filter(
             _step_pred(_parse_step_body(head_txt, category_col), analyzer)
@@ -719,9 +789,9 @@ def eql(
         s_by, s_span, s_runs = _parse_by_with(mods)
         if s_span is not None:
             raise ValueError("maxspan is a sequence header modifier")
-        if kind == "sample":
+        if kind in ("sample", "join"):
             if neg or s_by or s_runs:
-                raise ValueError("sample steps take no !/by/runs modifiers")
+                raise ValueError(f"{kind} steps take no !/by/runs modifiers")
             filters.append(pred)
             continue
         if neg:
@@ -746,9 +816,33 @@ def eql(
             )
         if pipes:
             raise ValueError("pipes are not defined over sample results")
+        if maxspan_s is not None:
+            raise ValueError(
+                "maxspan is not defined over sample (no temporal ordering)"
+            )
         return eql_sample(
             events, filters, by=g_by[0], ts_col=ts_col, id_col=id_col,
             analyzer=analyzer,
+        )
+
+    if kind == "join":
+        if not g_by:
+            raise ValueError("join needs `by <field>`")
+        if maxspan_s is not None:
+            raise ValueError(
+                "maxspan is not defined over join (unordered matching "
+                "is its documented contrast with sequence)"
+            )
+        df = eql_join(
+            events, filters, by=g_by[0], until=until_q,
+            ts_col=ts_col, id_col=id_col, analyzer=analyzer,
+        )
+        n = len(filters)
+        return _apply_pipes(
+            df,
+            lambda: F.greatest(
+                *[_pack(F.col(f"t{i}"), f"id{i}") for i in range(1, n + 1)]
+            ),
         )
 
     if not g_by:

@@ -1991,18 +1991,43 @@ def esql(
             )
             df = df.join(F.broadcast(rhs), on, "left")
         elif cmd == "LOOKUP":
+            # LOOKUP JOIN (8.18 GA): left join against a lookup-mode
+            # index on one or more match fields.  ES semantics carried
+            # exactly: a NULL match field never matches (left row kept
+            # with nulls), MULTIPLE lookup matches fan the row out,
+            # and non-key lookup fields OVERRIDE same-named incoming
+            # columns (the documented name-collision rule — override,
+            # not ambiguity), so colliding left columns drop first.
+            # Lookup-mode indices are single-shard small by contract,
+            # hence the pinned broadcast.
             m = re.match(
                 r"^JOIN\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ON\s+"
-                r"([A-Za-z_][A-Za-z0-9_.]*)$",
+                r"([A-Za-z_][A-Za-z0-9_.]*"
+                r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_.]*)*)$",
                 body,
                 re.I,
             )
             if not m:
-                raise ValueError(f"LOOKUP needs `JOIN table ON field`: {body!r}")
-            name, on = m.group(1), m.group(2)
+                raise ValueError(
+                    f"LOOKUP needs `JOIN table ON f1[, f2 …]`: {body!r}"
+                )
+            name = m.group(1)
+            on_fields = [f.strip() for f in m.group(2).split(",")]
             if name not in tables:
                 raise ValueError(f"unknown lookup table: {name}")
-            df = df.join(F.broadcast(tables[name]), on, "left")
+            rhs = tables[name]
+            for f in on_fields:
+                if f not in rhs.columns:
+                    raise ValueError(
+                        f"lookup table {name} has no match field {f!r}"
+                    )
+            overridden = [
+                c for c in rhs.columns
+                if c not in on_fields and c in df.columns
+            ]
+            df = df.drop(*overridden).join(
+                F.broadcast(rhs), on_fields, "left"
+            )
         elif cmd == "CHANGE_POINT":
             # ES|QL 8.16 CHANGE_POINT value ON key: the S22
             # deterministic step-change detector (aggs.change_point —

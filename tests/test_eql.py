@@ -553,3 +553,77 @@ def test_text_eql_duplicate_modifiers_refuse(spark):
     out = eql("sequence by user with maxspan=1h [a where true] by msg"
               " [a where true] by msg", ev, category_col="event_type")
     assert out.count() == 0
+
+
+def test_eql_join_unordered_and_until(spark):
+    """Legacy EQL `join`: unordered key correlation (a key matches
+    with its filters in ANY order — the contrast with sequence), the
+    earliest event per (key, filter) as the deterministic pick, and
+    until expiring joins completed at-or-after the until event."""
+    from monstache_spark.operators.eql import eql, eql_join
+
+    rows = [
+        # u1: b BEFORE a — sequence would reject, join matches
+        (1, _t(0), "u1", "b"),
+        (2, _t(1), "u1", "a"),
+        (3, _t(2), "u1", "a"),   # later a: not the earliest pick
+        # u2: a then b, but an until-event between them expires it
+        (4, _t(0), "u2", "a"),
+        (5, _t(1), "u2", "x"),
+        (6, _t(2), "u2", "b"),
+        # u3: only a — no join
+        (7, _t(0), "u3", "a"),
+        # u4: a, b complete BEFORE the until event — stands
+        (8, _t(0), "u4", "a"),
+        (9, _t(1), "u4", "b"),
+        (10, _t(2), "u4", "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+    out = eql_join(
+        ev,
+        [{"term": {"kind": "a"}}, {"term": {"kind": "b"}}],
+        by="user",
+        until={"term": {"kind": "x"}},
+    ).collect()
+    got = {(r["user"], r["id1"], r["id2"]) for r in out}
+    assert got == {("u1", 2, 1), ("u4", 8, 9)}
+    # no until: u2 matches too
+    out2 = eql_join(
+        ev, [{"term": {"kind": "a"}}, {"term": {"kind": "b"}}], by="user"
+    ).collect()
+    assert {r["user"] for r in out2} == {"u1", "u2", "u4"}
+    # an until event EXACTLY at the completion position expires (the
+    # sequence-until at-or-before contract carried over)
+    ev2 = ev.union(spark.createDataFrame(
+        [(9, _t(1), "u5", "a"), (11, _t(1), "u5", "b"),
+         (12, _t(1), "u5", "x")],
+        "event_id long, ts timestamp, user string, kind string",
+    ))
+    # u5: until id=12 > completion id=11 at same ts -> join stands
+    out3 = eql_join(
+        ev2, [{"term": {"kind": "a"}}, {"term": {"kind": "b"}}],
+        by="user", until={"term": {"kind": "x"}},
+    ).collect()
+    assert {r["user"] for r in out3} == {"u1", "u4", "u5"}
+    with pytest.raises(ValueError, match="at least 2"):
+        eql_join(ev, [{"term": {"kind": "a"}}], by="user")
+
+    # text form, with pipes ordering by completion position
+    txt = eql(
+        'join by user [any where kind == "a"] [any where kind == "b"]'
+        ' until [any where kind == "x"] | head 1',
+        ev, category_col="kind",
+    ).collect()
+    # completions: u1 at id2's pack (t=1), u4 at t=1 with larger id —
+    # u1's completion (id 2 at t(1)) < u4's (id 9 at t(1))
+    assert [r["user"] for r in txt] == ["u1"]
+    with pytest.raises(ValueError, match="needs `by"):
+        eql("join [a where true] [b where true]", ev, category_col="kind")
+    with pytest.raises(ValueError, match="not defined over join"):
+        eql("join by user with maxspan=1h [a where true] [b where true]",
+            ev, category_col="kind")
+    with pytest.raises(ValueError, match="join steps take no"):
+        eql("join by user ![a where true] [b where true]",
+            ev, category_col="kind")

@@ -1217,3 +1217,45 @@ def test_duration_rewrite_properties():
         assert _rewrite_durations(out) == out
 
     check()
+
+
+def test_lookup_join_override_and_multifield(spark, t):
+    """LOOKUP JOIN fidelity (8.18 GA): non-key lookup fields OVERRIDE
+    same-named incoming columns (the documented collision rule),
+    multiple matches fan out, NULL keys never match, and multi-field
+    ON joins on the full tuple."""
+    from monstache_spark.operators.esql import esql
+
+    src = spark.createDataFrame(
+        [(1, "a", "old1"), (2, "b", "old2"), (3, None, "old3")],
+        "id long, k string, label string",
+    )
+    lk = spark.createDataFrame(
+        [("a", "new-a", 10), ("b", "new-b", 20), ("b", "new-b2", 21)],
+        "k string, label string, bonus long",
+    )
+    out = esql("FROM src | LOOKUP JOIN lk ON k", {"src": src, "lk": lk})
+    rows = {(r["id"], r["label"], r["bonus"]) for r in out.collect()}
+    # id=2 fans out to both lookup matches; id=3's NULL key matches
+    # nothing and keeps the row with NULL lookup fields (label was
+    # overridden by the lookup column, so it is NULL, not "old3")
+    assert rows == {
+        (1, "new-a", 10), (2, "new-b", 20), (2, "new-b2", 21),
+        (3, None, None),
+    }
+    # multi-field ON
+    src2 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "y")], "id long, k string, sub string"
+    )
+    lk2 = spark.createDataFrame(
+        [("a", "x", 7)], "k string, sub string, score long"
+    )
+    out2 = esql(
+        "FROM src2 | LOOKUP JOIN lk2 ON k, sub", {"src2": src2, "lk2": lk2}
+    ).collect()
+    got = {r["id"]: r["score"] for r in out2}
+    assert got == {1: 7, 2: None}
+    with pytest.raises(ValueError, match="no match field"):
+        esql("FROM src | LOOKUP JOIN lk ON nope", {"src": src, "lk": lk})
+    with pytest.raises(ValueError, match="unknown lookup table"):
+        esql("FROM src | LOOKUP JOIN nope ON k", {"src": src})
