@@ -138,7 +138,16 @@ def main() -> int:
     # wordpiece MaxMatch segmentation: matching work is paid on the
     # DISTINCT-WORD frame; the N×-replicated corpus shares ONE
     # vocabulary, so a healthy ratio is far under N (only the per-doc
-    # stats join scales with rows)
+    # stats join scales with rows).  r12 decomposition (warm,
+    # best-of-3, 100×): 12.7s total vs a 5.4s floor for ONE corpus
+    # tokenize-explode + per-doc agg — the operator's two linear
+    # corpus passes (distinct-word counts, per-doc stats) are ~2×
+    # that floor and both map-side-combine before any exchange; the
+    # ratio reads high only because the 1× run (~1s) is
+    # job-overhead-bound.  Sub-linear in rows = the inherent bound;
+    # staging one shared explode through a word-keyed exchange was
+    # measured WORSE (+5.6s: it shuffles the 27M exploded rows that
+    # the second explode re-derives for free in codegen).
     from __spark_entry__ import FIXED_WORDPIECE_VOCAB
     from monstache_spark.operators.wordpiece import wordpiece_segment
 
@@ -208,7 +217,18 @@ def main() -> int:
     print(f"{'var_width_hist':14s}  1x {v1:6.2f}s   {times}x {vN:7.2f}s   ratio {vN / v1:6.2f}")
 
     # TSDB downsample: ONE corpus hash agg (counter last via packed
-    # max_by) — rows scale N×, the rolled-up output stays bucket-sized
+    # max_by) — rows scale N×, the rolled-up output stays bucket-sized.
+    # r12 decomposition (warm, best-of-3, 100× = 10M rows): 10.0s
+    # total = 0.5s scan+count floor + ~4s exact-decimal gauge sums +
+    # ~5.5s decimal-packed counter max_by — every component constant
+    # work per row, map-side combinable; the 22× warm ratio is the
+    # overhead-bound 0.43s denominator, not super-linearity (per-row
+    # throughput IMPROVES at 100×).  The decimal arithmetic is the
+    # price of the partitioning-independent exactness contract:
+    # sum(decimal(18,6)) measured no faster (4.5s), scaled-long sums
+    # overflow at extreme scale, and max_by over struct(us, id)
+    # (3.3s) silently degrades the whole agg to SortAggregate — the
+    # explain_audit-pinned HashAggregate is worth the decimal cost.
     d1 = t(lambda: downsample(ev1, "ts", ["event_type"], gauges=["value"], counters=["value"], fixed_interval="6h"))
     dN = t(lambda: downsample(evN, "ts", ["event_type"], gauges=["value"], counters=["value"], fixed_interval="6h"))
     print(f"{'downsample':14s}  1x {d1:6.2f}s   {times}x {dN:7.2f}s   ratio {dN / d1:6.2f}")
