@@ -75,6 +75,23 @@ _REFUSED = {
     "user_agent": "requires a versioned regexes.yaml parse database",
     "enrich": "use the ES|QL ENRICH command or join the lookup frame",
     "pipeline": "compose processor lists in Python before compiling",
+    "registered_domain": "requires the versioned Mozilla Public "
+    "Suffix List (the same class as geoip's binary database); "
+    "uri_parts extracts the raw host",
+    "fail": "per-document exception control flow (aborts the doc "
+    "with on_failure routing) — express the condition as a drop/"
+    "filter or validate before compiling",
+    "terminate": "per-document early-exit re-sequences the remaining "
+    "processor chain per row; gate each later processor with `if` "
+    "instead",
+    "attachment": "Tika content extraction is the K8 file-enrichment "
+    "hook (operators/files.py), not a columnar expression",
+    "inference": "calls a deployed ML model (S31 grounds — never "
+    "hash-verifiable against an independent oracle)",
+    "circle": "geo-shape polygonization needs the geo type; the geo "
+    "operators work over (lat, lon) columns (S26 grounds)",
+    "redact": "requires the licensed Grok-redact pattern semantics; "
+    "curation.pii_redact is the engine's redaction operator",
 }
 
 # Options each processor actually honors.  ES-common metadata options
@@ -111,6 +128,15 @@ _PROC_OPTS = {
            "prefix"},
     "foreach": {"field", "processor", "ignore_missing"},
     "drop": {"if"},
+    "json": {"field", "target_field"},
+    "dot_expander": {"field", "override"},
+    "date_index_name": {"field", "index_name_prefix", "date_rounding",
+                        "index_name_format"},
+    "network_direction": {"source_ip", "destination_ip",
+                          "internal_networks", "target_field"},
+    "community_id": {"source_ip", "destination_ip", "source_port",
+                     "destination_port", "transport", "iana_number",
+                     "seed", "target_field"},
 }
 
 _CONVERT_TYPES = {
@@ -155,6 +181,66 @@ def _require(opts: dict, *keys: str) -> None:
     for k in keys:
         if k not in opts:
             raise ValueError(f"processor option {k!r} is required")
+
+
+# the special-purpose IPv4 registries network_direction accepts by
+# name (the concrete, enumerable subset of ES's named ranges; "public"
+# needs the full special-registry complement and refuses)
+_NAMED_NETWORKS = {
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"],
+    "loopback": ["127.0.0.0/8"],
+    "link_local": ["169.254.0.0/16"],
+    "multicast": ["224.0.0.0/4"],
+    "unspecified": ["0.0.0.0/32"],
+    "broadcast": ["255.255.255.255/32"],
+}
+
+
+def _ipv4_long(col: Column) -> Column:
+    """Dotted-quad string → BIGINT (the aggs.ip_range_agg parse);
+    NULL/malformed yields NULL — the module's failure contract."""
+    parts = F.split(col, r"\.")
+    return (
+        F.element_at(parts, 1).cast("long") * F.lit(16777216)
+        + F.element_at(parts, 2).cast("long") * F.lit(65536)
+        + F.element_at(parts, 3).cast("long") * F.lit(256)
+        + F.element_at(parts, 4).cast("long")
+    )
+
+
+def _cidr_lo_hi(block: str) -> tuple[int, int]:
+    base, bits = block.split("/")
+    a, b, c, d = (int(x) for x in base.split("."))
+    if int(bits) > 32 or max(a, b, c, d) > 255:
+        raise ValueError(f"invalid CIDR block: {block!r}")
+    v = (a << 24) + (b << 16) + (c << 8) + d
+    lo = v & (~((1 << (32 - int(bits))) - 1) & 0xFFFFFFFF)
+    return lo, lo + (1 << (32 - int(bits)))
+
+
+def _in_networks(ip_col: Column, networks: list[str]) -> Column:
+    """Membership of an IPv4 column in named ranges / CIDR literals —
+    pure integer range tests computed at compile time (engine-exact,
+    the CIDR_MATCH contract); NULL ip → NULL."""
+    blocks: list[str] = []
+    for n in networks:
+        if "/" in n:
+            blocks.append(n)
+        elif n in _NAMED_NETWORKS:
+            blocks.extend(_NAMED_NETWORKS[n])
+        else:
+            raise ValueError(
+                f"unsupported named network {n!r} — supported names: "
+                f"{sorted(_NAMED_NETWORKS)} or CIDR literals "
+                "(\"public\" needs the full special-registry "
+                "complement; test the specific ranges instead)"
+            )
+    addr = _ipv4_long(ip_col)
+    cond = F.lit(False)
+    for blk in blocks:
+        lo, hi = _cidr_lo_hi(blk)
+        cond = cond | ((addr >= F.lit(lo)) & (addr < F.lit(hi)))
+    return cond
 
 
 def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
@@ -633,6 +719,163 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
         elif ptype == "drop":
             _require(opts, "if")
             df = df.filter(~F.coalesce(F.expr(opts["if"]), F.lit(False)))
+
+        elif ptype == "json":
+            # ES json processor: parse a JSON string field.  Columnar
+            # rendering: Spark 4 VARIANT (try_parse_json — malformed
+            # JSON yields NULL, the failure contract); extract typed
+            # values downstream with variant_get.  add_to_root is a
+            # schema-changing per-row operation and refuses via the
+            # option allowlist.
+            _require(opts, "field")
+            df = df.withColumn(
+                opts.get("target_field", opts["field"]),
+                F.try_parse_json(F.col(opts["field"])),
+            )
+
+        elif ptype == "dot_expander":
+            # "a.b.c" (a literal dotted column name) → nested struct
+            # a.b.c.  Fields land via withField when the root struct
+            # exists (override semantics, ES's default); override:
+            # false has no cheap columnar rendering (needs per-row
+            # nested-existence tests) and refuses.
+            _require(opts, "field")
+            if not opts.get("override", True):
+                raise ValueError(
+                    "dot_expander override: false is not supported — "
+                    "the columnar rendering always overrides (ES "
+                    "default); restructure with set/copy_from first"
+                )
+            fld = opts["field"]
+            if "." not in fld:
+                raise ValueError(f"dot_expander field has no dot: {fld!r}")
+            if fld not in df.columns:
+                raise ValueError(f"dot_expander: no column {fld!r}")
+            root, _, path = fld.partition(".")
+            src = F.col("`" + fld + "`")
+            if root in df.columns:
+                base = df.schema[root].dataType.typeName()
+                if base != "struct":
+                    raise ValueError(
+                        f"dot_expander: {root!r} exists and is not a "
+                        "struct — rename it first"
+                    )
+                val = F.col(root).withField(path, src)
+            else:
+                val = src
+                for part in reversed(path.split(".")):
+                    val = F.struct(val.alias(part))
+            df = df.withColumn(root, val).drop(fld)
+
+        elif ptype == "date_index_name":
+            # Computes the rollover target index per document.  ES
+            # emits an unresolved date-math expression
+            # (<prefix{ts||/d{fmt}}>) that the index API resolves;
+            # this engine emits the RESOLVED name directly into
+            # `_index` (the routing column the sink ops consume) —
+            # same destination index, no deferred resolution step.
+            _require(opts, "field", "date_rounding")
+            units = {"y": "year", "M": "month", "w": "week", "d": "day",
+                     "h": "hour", "m": "minute", "s": "second"}
+            r = opts["date_rounding"]
+            if r not in units:
+                raise ValueError(
+                    f"date_rounding must be one of {sorted(units)}: {r!r}"
+                )
+            fmt = opts.get("index_name_format", "yyyy-MM-dd")
+            name = F.concat(
+                F.lit(opts.get("index_name_prefix", "")),
+                F.date_format(F.date_trunc(units[r], F.col(opts["field"])), fmt),
+            )
+            df = _apply_conditional(df, "_index", name, cond)
+
+        elif ptype == "network_direction":
+            # inbound/outbound/internal/external from the two
+            # endpoint IPs vs the internal-network set — compile-time
+            # integer CIDR bounds (the CIDR_MATCH contract), one
+            # codegen CASE.  NULL/malformed IPs yield NULL.
+            _require(opts, "source_ip", "destination_ip",
+                     "internal_networks")
+            nets = opts["internal_networks"]
+            if not isinstance(nets, list) or not nets:
+                raise ValueError(
+                    "internal_networks must be a non-empty list of "
+                    "CIDR literals / named ranges"
+                )
+            src_in = _in_networks(F.col(opts["source_ip"]), nets)
+            dst_in = _in_networks(F.col(opts["destination_ip"]), nets)
+            direction = (
+                F.when(src_in & dst_in, F.lit("internal"))
+                .when(src_in & ~dst_in, F.lit("outbound"))
+                .when(~src_in & dst_in, F.lit("inbound"))
+                .when(~src_in & ~dst_in, F.lit("external"))
+            )
+            df = _apply_conditional(
+                df, opts.get("target_field", "network.direction"),
+                direction, cond,
+            )
+
+        elif ptype == "community_id":
+            # Community ID v1 (the published Corelight flow-hash
+            # spec): endpoints ordered so the smaller (address, then
+            # port) comes first, then
+            # sha1(seed·u16 | saddr | daddr | proto·u8 | 0·u8 |
+            # sport·u16 | dport·u16) base64'd under a "1:" prefix.
+            # Byte assembly is hex-string concat + unhex — one
+            # codegen projection, IPv4 + port transports (tcp/udp/
+            # sctp or an explicit iana_number column); ICMP's
+            # type/code→pseudo-port mapping table is out of scope
+            # (refused via the option allowlist).  Any NULL input →
+            # NULL id (failure contract).
+            _require(opts, "source_ip", "destination_ip",
+                     "source_port", "destination_port")
+            if "transport" in opts and "iana_number" in opts:
+                raise ValueError(
+                    "community_id takes transport OR iana_number"
+                )
+            if "iana_number" in opts:
+                proto = F.col(opts["iana_number"]).cast("long")
+            elif "transport" in opts:
+                t = F.lower(F.col(opts["transport"]))
+                proto = (
+                    F.when(t == "tcp", F.lit(6))
+                    .when(t == "udp", F.lit(17))
+                    .when(t == "sctp", F.lit(132))
+                    .cast("long")
+                )
+            else:
+                raise ValueError(
+                    "community_id needs transport or iana_number"
+                )
+            seed = int(opts.get("seed", 0))
+            if not 0 <= seed <= 0xFFFF:
+                raise ValueError(f"seed must be a u16: {seed}")
+            sa = _ipv4_long(F.col(opts["source_ip"]))
+            da = _ipv4_long(F.col(opts["destination_ip"]))
+            sp = F.col(opts["source_port"]).cast("long")
+            dp = F.col(opts["destination_port"]).cast("long")
+            flip = (sa > da) | ((sa == da) & (sp > dp))
+            a1 = F.when(flip, da).otherwise(sa)
+            a2 = F.when(flip, sa).otherwise(da)
+            p1 = F.when(flip, dp).otherwise(sp)
+            p2 = F.when(flip, sp).otherwise(dp)
+
+            def _hexn(c: Column, n: int) -> Column:
+                return F.lpad(F.lower(F.hex(c)), n, "0")
+
+            payload = F.concat(
+                F.lit(format(seed, "04x")),
+                _hexn(a1, 8), _hexn(a2, 8),
+                _hexn(proto, 2), F.lit("00"),
+                _hexn(p1, 4), _hexn(p2, 4),
+            )
+            cid = F.concat(
+                F.lit("1:"), F.base64(F.unhex(F.sha1(F.unhex(payload))))
+            )
+            df = _apply_conditional(
+                df, opts.get("target_field", "network.community_id"),
+                cid, cond,
+            )
 
         else:
             raise ValueError(f"unknown ingest processor: {ptype!r}")

@@ -627,3 +627,23 @@ def test_eql_join_unordered_and_until(spark):
     with pytest.raises(ValueError, match="join steps take no"):
         eql("join by user ![a where true] [b where true]",
             ev, category_col="kind")
+
+
+def test_eql_join_without_until_equals_sample(spark):
+    """join with no until is sample's unordered semantics exactly
+    (same earliest-per-(key, filter) pick) — the documented
+    relationship between the legacy command and its ES replacement."""
+    from monstache_spark.operators.eql import eql_join, eql_sample
+
+    rows = [
+        (i, _t(i % 7, i % 13), f"u{i % 5}", ["a", "b", "c"][i % 3])
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user string, kind string"
+    )
+    filters = [{"term": {"kind": "a"}}, {"term": {"kind": "b"}},
+               {"term": {"kind": "c"}}]
+    j = {tuple(r) for r in eql_join(ev, filters, by="user").collect()}
+    s = {tuple(r) for r in eql_sample(ev, filters, by="user").collect()}
+    assert j == s and len(j) > 0

@@ -438,3 +438,136 @@ def test_foreach_element_transforms(spark):
         "field": "nope", "ignore_missing": True,
         "processor": {"trim": {"field": "_ingest._value"}}}}])
     assert out2.columns == df.columns
+
+
+def test_network_direction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "10.1.2.3", "10.9.9.9"),        # internal/internal
+            (2, "10.1.2.3", "8.8.8.8"),         # outbound
+            (3, "8.8.8.8", "192.168.1.5"),      # inbound
+            (4, "8.8.8.8", "1.1.1.1"),          # external
+            (5, None, "10.0.0.1"),              # null ip -> null
+            (6, "172.16.0.1", "172.31.255.254"),  # /12 edge inside
+            (7, "172.32.0.1", "10.0.0.1"),      # past the /12 -> inbound
+        ],
+        "id long, sip string, dip string",
+    )
+    out = ingest_pipeline(df, [{"network_direction": {
+        "source_ip": "sip", "destination_ip": "dip",
+        "internal_networks": ["private"],
+        "target_field": "dir",
+    }}]).collect()
+    got = {r["id"]: r["dir"] for r in out}
+    assert got == {1: "internal", 2: "outbound", 3: "inbound",
+                   4: "external", 5: None, 6: "internal", 7: "inbound"}
+    with pytest.raises(ValueError, match="unsupported named network"):
+        ingest_pipeline(df, [{"network_direction": {
+            "source_ip": "sip", "destination_ip": "dip",
+            "internal_networks": ["public"],
+        }}])
+
+
+def test_community_id_matches_independent_python(spark):
+    """The Spark community_id column must equal an INDEPENDENT pure-
+    Python rendering of the published v1 spec (hashlib + struct —
+    a third implementation, not shared code)."""
+    import base64 as b64
+    import hashlib
+    import struct as st
+
+    rows = [
+        (1, "66.35.250.204", "128.232.110.120", 80, 34855, "tcp"),
+        (2, "128.232.110.120", "66.35.250.204", 34855, 80, "tcp"),  # flipped = same id
+        (3, "10.0.0.1", "10.0.0.2", 53, 5353, "udp"),
+        (4, "10.0.0.1", "10.0.0.1", 9, 7, "sctp"),  # same addr: port orders
+        (5, "10.0.0.1", "10.0.0.2", 1, 2, "icmp"),  # unsupported -> null
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, sip string, dip string, sp long, dp long, tr string"
+    )
+    out = ingest_pipeline(df, [{"community_id": {
+        "source_ip": "sip", "destination_ip": "dip",
+        "source_port": "sp", "destination_port": "dp",
+        "transport": "tr", "target_field": "cid",
+    }}]).collect()
+    got = {r["id"]: r["cid"] for r in out}
+
+    def expect(sip, dip, sp, dp, proto, seed=0):
+        import socket
+        sa, da = socket.inet_aton(sip), socket.inet_aton(dip)
+        if sa > da or (sa == da and sp > dp):
+            sa, da, sp, dp = da, sa, dp, sp
+        payload = st.pack("!H", seed) + sa + da + st.pack("!BBHH", proto, 0, sp, dp)
+        return "1:" + b64.b64encode(hashlib.sha1(payload).digest()).decode()
+
+    assert got[1] == expect("66.35.250.204", "128.232.110.120", 80, 34855, 6)
+    assert got[2] == got[1]  # direction-independent
+    assert got[3] == expect("10.0.0.1", "10.0.0.2", 53, 5353, 17)
+    assert got[4] == expect("10.0.0.1", "10.0.0.1", 9, 7, 132)
+    assert got[5] is None
+    # seed changes the id
+    out2 = ingest_pipeline(df.filter("id = 1"), [{"community_id": {
+        "source_ip": "sip", "destination_ip": "dip",
+        "source_port": "sp", "destination_port": "dp",
+        "transport": "tr", "seed": 1, "target_field": "cid",
+    }}]).collect()
+    assert out2[0]["cid"] == expect("66.35.250.204", "128.232.110.120", 80, 34855, 6, seed=1)
+    assert out2[0]["cid"] != got[1]
+    with pytest.raises(ValueError, match="transport OR iana_number"):
+        ingest_pipeline(df, [{"community_id": {
+            "source_ip": "sip", "destination_ip": "dip",
+            "source_port": "sp", "destination_port": "dp",
+            "transport": "tr", "iana_number": "sp",
+        }}])
+
+
+def test_json_dot_expander_date_index_name(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tag": "x"}',
+          datetime.datetime(2024, 3, 17, 10, 44), 5),
+         (2, "not json",
+          datetime.datetime(2024, 12, 31, 23, 59, 59), 6)],
+        "id long, payload string, ts timestamp, `geo.score` long",
+    )
+    out = ingest_pipeline(df, [
+        {"json": {"field": "payload", "target_field": "doc"}},
+        {"dot_expander": {"field": "geo.score"}},
+        {"date_index_name": {
+            "field": "ts", "index_name_prefix": "logs-",
+            "date_rounding": "M", "index_name_format": "yyyy-MM",
+        }},
+    ])
+    rows = {r["id"]: r for r in
+            out.selectExpr("id", "CAST(variant_get(doc, '$.k') AS BIGINT) AS k",
+                           "geo.score AS gs", "_index").collect()}
+    assert rows[1]["k"] == 7 and rows[1]["gs"] == 5
+    assert rows[2]["k"] is None  # malformed JSON -> null variant
+    assert rows[1]["_index"] == "logs-2024-03"
+    assert rows[2]["_index"] == "logs-2024-12"
+    # dot_expander into an EXISTING struct root
+    df2 = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "named_struct('a', 1) AS n", "id AS `n.b`"
+    )
+    out2 = ingest_pipeline(df2, [{"dot_expander": {"field": "n.b"}}])
+    r = out2.selectExpr("n.a AS a", "n.b AS b").collect()[0]
+    assert (r["a"], r["b"]) == (1, 1)
+    with pytest.raises(ValueError, match="is not a struct"):
+        ingest_pipeline(df2.withColumn("x", df2.id).selectExpr(
+            "id", "id AS x", "id AS `x.y`"
+        ), [{"dot_expander": {"field": "x.y"}}])
+    with pytest.raises(ValueError, match="date_rounding"):
+        ingest_pipeline(df, [{"date_index_name": {
+            "field": "ts", "date_rounding": "q"}}])
+
+
+def test_new_refusals_enumerate_reasons(docs):
+    for p, frag in [("registered_domain", "Suffix List"),
+                    ("fail", "exception control flow"),
+                    ("terminate", "early-exit"),
+                    ("inference", "deployed ML model"),
+                    ("redact", "pii_redact")]:
+        with pytest.raises(ValueError, match=frag):
+            ingest_pipeline(docs, [{p: {"field": "name"}}])

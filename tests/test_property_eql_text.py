@@ -128,3 +128,45 @@ def test_parsed_event_query_predicate(cat, cond):
         eqlmod._step_pred = real
     assert out == "FILTERED"
     assert captured["pred"] == _expected_pred(cat, cond_sql)
+
+
+@st.composite
+def _joins(draw):
+    n = draw(st.integers(min_value=2, max_value=4))
+    parts, expected = [], []
+    for _ in range(n):
+        cat = draw(_cat)
+        cond_txt, cond_sql = draw(_cond)
+        parts.append(f"[{cat} where {cond_txt}]")
+        expected.append(_expected_pred(cat, cond_sql))
+    until_txt, until_expected = "", None
+    if draw(st.booleans()):
+        ucat = draw(_cat)
+        utxt, usql = draw(_cond)
+        until_txt = f" until [{ucat} where {utxt}]"
+        until_expected = _expected_pred(ucat, usql)
+    text = "join by user " + " ".join(parts) + until_txt
+    return text, expected, until_expected
+
+
+@settings(max_examples=80, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_joins())
+def test_parsed_join_equals_direct_construction(case):
+    text, expected_filters, expected_until = case
+    captured = {}
+
+    def fake_join(events, filters, by, until, ts_col, id_col, analyzer):
+        captured.update(filters=filters, by=by, until=until)
+        return "SENTINEL"
+
+    real = eqlmod.eql_join
+    eqlmod.eql_join = fake_join
+    try:
+        out = eqlmod.eql(text, events=None, category_col="event_type")
+    finally:
+        eqlmod.eql_join = real
+    assert out == "SENTINEL"
+    assert captured["filters"] == expected_filters
+    assert captured["by"] == "user"
+    assert captured["until"] == expected_until

@@ -1013,6 +1013,33 @@ CHECKS = [
         and "Cartesian" not in p
         and "Python" not in p,
     ),
+    (
+        "es_esql_lookup_join",
+        "LOOKUP JOIN pins a broadcast hash join (lookup indices are "
+        "single-shard small by contract); the STATS stays a codegen "
+        "hash agg — no sort aggregate, no Python",
+        lambda p: "BroadcastHashJoin" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_esql_mv_expand_join",
+        "MV_EXPAND + LOOKUP JOIN: the dim side broadcasts, no "
+        "cartesian product, no Python in the plan",
+        lambda p: "BroadcastHashJoin" in p
+        and "Cartesian" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_eql_join",
+        "EQL join: per-filter earliest picks are codegen hash aggs "
+        "over the packed decimal — no sort aggregate, no cartesian "
+        "product, no Python",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Cartesian" not in p
+        and "Python" not in p,
+    ),
 ]
 
 
