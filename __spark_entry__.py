@@ -7297,6 +7297,26 @@ def _q_es_ingest_expand_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _q_es_esql_metadata_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL `FROM a, b METADATA _index` (operators/esql.py FROM
+    branch): the source index name binds per union branch as a
+    LITERAL before the union — zero per-row work — and flows through
+    the pipe like any column; the other metadata fields (_id,
+    _version, _score, _ignored) refuse with named reasons (an
+    arbitrary frame has no ES doc identity / relevance context).
+    Union of two scans + one hash agg."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    return esql(
+        "FROM documents, events METADATA _index"
+        " | STATS n = COUNT(*) BY _index"
+        " | SORT _index ASC",
+        {"documents": docs, "events": ev},
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_cdc_materialize(spark, "/root/testdata/sf0.001")
@@ -7683,6 +7703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_eql_join": _q_es_eql_join,
         "es_ingest_net_pack": _q_es_ingest_net_pack,
         "es_ingest_expand_pack": _q_es_ingest_expand_pack,
+        "es_esql_metadata_index": _q_es_esql_metadata_index,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13667,6 +13688,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT j.k AS user_id, t1, id1, t2, id2
           FROM j LEFT JOIN u ON j.k = u.k
           WHERE u.pu IS NULL OR u.pu > j.done
+        """,
+        "es_esql_metadata_index": """
+          SELECT _index, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT 'documents' AS _index FROM documents
+            UNION ALL
+            SELECT 'events' AS _index FROM events
+          ) GROUP BY 1 ORDER BY 1
         """,
         "es_ingest_net_pack": """
           WITH f AS (

@@ -1776,14 +1776,42 @@ def esql(
         cmd = "FROM"
     if cmd == "FROM":
         # ES|QL FROM a, b unions the named indices; missing columns
-        # null-fill the way a sparse multi-index mapping would
+        # null-fill the way a sparse multi-index mapping would.
+        # `METADATA _index` binds the source index name per branch
+        # BEFORE the union (each branch's name is a literal — no
+        # per-row work); the other metadata fields are refused with
+        # reasons: an arbitrary frame has no ES doc identity (_id /
+        # _version are the sink's merge keys — map your id column
+        # explicitly) and no relevance context (_score).
+        meta_fields: list[str] = []
+        mm = re.search(r"\bMETADATA\b(.*)$", rest, re.I | re.S)
+        if mm:
+            meta_fields = [f.strip() for f in mm.group(1).split(",") if f.strip()]
+            rest = rest[: mm.start()]
+            for f in meta_fields:
+                if f != "_index":
+                    raise ValueError(
+                        f"unsupported METADATA field: {f} — _index is "
+                        "supported; _id/_version are the document "
+                        "sink's merge keys (select your id column "
+                        "explicitly), _score needs a scoring query "
+                        "(use the search operators), _ignored needs "
+                        "the index mapping's ignore_* state"
+                    )
         names = [n.strip() for n in rest.split(",") if n.strip()]
         for name in names:
             if name not in tables:
                 raise ValueError(f"unknown table: {name}")
-        df = tables[names[0]]
+
+        def _branch(name: str) -> DataFrame:
+            b = tables[name]
+            if "_index" in meta_fields:
+                b = b.withColumn("_index", F.lit(name))
+            return b
+
+        df = _branch(names[0])
         for name in names[1:]:
-            df = df.unionByName(tables[name], allowMissingColumns=True)
+            df = df.unionByName(_branch(name), allowMissingColumns=True)
     else:
         if spark is None:
             spark = next(iter(tables.values())).sparkSession if tables else None

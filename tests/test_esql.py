@@ -1259,3 +1259,17 @@ def test_lookup_join_override_and_multifield(spark, t):
         esql("FROM src | LOOKUP JOIN lk ON nope", {"src": src, "lk": lk})
     with pytest.raises(ValueError, match="unknown lookup table"):
         esql("FROM src | LOOKUP JOIN nope ON k", {"src": src})
+
+
+def test_from_metadata_index(spark, t):
+    from monstache_spark.operators.esql import esql
+
+    u = spark.createDataFrame([(9, "z", 1.0)], "id long, k string, v double")
+    out = esql(
+        "FROM t, u METADATA _index | STATS n = COUNT(*) BY _index"
+        " | SORT _index ASC",
+        {"t": t, "u": u},
+    ).collect()
+    assert [(r["_index"], r["n"]) for r in out] == [("t", 3), ("u", 1)]
+    with pytest.raises(ValueError, match="unsupported METADATA field"):
+        esql("FROM t METADATA _id", {"t": t})
