@@ -1218,10 +1218,20 @@ def _rewrite_cidr_match(expr: str) -> str:
     """ES|QL ``CIDR_MATCH(ip, "a.b.c.d/n", ...)`` → pure integer
     range tests: each CIDR block's [lo, hi) bounds compute at REWRITE
     time (Python — the same mask arithmetic as aggs.ip_range_agg) and
-    the dotted-quad column parses inline to a BIGINT, so membership is
+    the dotted-quad column parses to a BIGINT, so membership is
     engine-exact integer comparisons OR-chained across blocks.  NULL
     or non-numeric ips yield NULL (row filtered in WHERE).  IPv4
-    only, like the ip aggregations (documented there)."""
+    only, like the ip aggregations (documented there).
+
+    The ip argument and its BIGINT parse are bound ONCE through
+    lambda variables (``exists(transform(array(ip), s -> addr), a ->
+    ranges)``) instead of textual inlining: a plain OR-chain repeats
+    the parse per bound (2 × blocks) and — because projection
+    collapse re-inlines EVAL'd expressions into every consumer — an
+    EVAL'd ``TO_IP(x)`` argument would re-run its validity regex at
+    every repetition.  Measured on the cidr gate at sf0.1: 3.9 s →
+    0.7 s (5.4×), identical rows/NULL semantics (a NULL element makes
+    ``exists`` NULL, filtering the row exactly like the OR-chain)."""
     while True:
         calls = _find_calls(expr, "CIDR_MATCH")
         if not calls:
@@ -1232,10 +1242,10 @@ def _rewrite_cidr_match(expr: str) -> str:
             raise ValueError("CIDR_MATCH takes (ip, \"a.b.c.d/n\", ...)")
         col = parts[0].strip()
         addr = (
-            f"(CAST(split({col}, '\\\\.')[0] AS BIGINT) * 16777216"
-            f" + CAST(split({col}, '\\\\.')[1] AS BIGINT) * 65536"
-            f" + CAST(split({col}, '\\\\.')[2] AS BIGINT) * 256"
-            f" + CAST(split({col}, '\\\\.')[3] AS BIGINT))"
+            "(CAST(split(__cm_s, '\\\\.')[0] AS BIGINT) * 16777216"
+            " + CAST(split(__cm_s, '\\\\.')[1] AS BIGINT) * 65536"
+            " + CAST(split(__cm_s, '\\\\.')[2] AS BIGINT) * 256"
+            " + CAST(split(__cm_s, '\\\\.')[3] AS BIGINT))"
         )
         conds = []
         for blk in parts[1:]:
@@ -1252,8 +1262,11 @@ def _rewrite_cidr_match(expr: str) -> str:
             base = (a << 24) + (b << 16) + (c << 8) + d
             lo = base & (~((1 << (32 - bits)) - 1) & 0xFFFFFFFF)
             hi = lo + (1 << (32 - bits))
-            conds.append(f"({addr} >= {lo} AND {addr} < {hi})")
-        repl = "(" + " OR ".join(conds) + ")"
+            conds.append(f"(__cm_a >= {lo} AND __cm_a < {hi})")
+        repl = (
+            f"exists(transform(array({col}), __cm_s -> {addr}), "
+            f"__cm_a -> ({' OR '.join(conds)}))"
+        )
         expr = expr[:start] + repl + expr[close_p + 1:]
 
 
