@@ -916,25 +916,34 @@ def _h_ip_prefix(args: list[str]) -> str:
             f"v6 <= 128): {args[1]!r}, {args[2]!r}"
         )
     bits = int(m4.group(1))
+    # lambda-bound like CIDR_MATCH: a textual expansion would repeat
+    # the dotted-quad split parse at every reference (masked uses
+    # addr twice, the quad rendering uses masked four times — ~32
+    # split calls per row, each re-inlining an EVAL'd argument);
+    # binding through nested single-element transforms evaluates the
+    # string, the parse, and the mask exactly once
     addr = (
-        f"(CAST(split({col}, '\\\\.')[0] AS BIGINT) * 16777216"
-        f" + CAST(split({col}, '\\\\.')[1] AS BIGINT) * 65536"
-        f" + CAST(split({col}, '\\\\.')[2] AS BIGINT) * 256"
-        f" + CAST(split({col}, '\\\\.')[3] AS BIGINT))"
+        "(CAST(split(__ip_s, '\\\\.')[0] AS BIGINT) * 16777216"
+        " + CAST(split(__ip_s, '\\\\.')[1] AS BIGINT) * 65536"
+        " + CAST(split(__ip_s, '\\\\.')[2] AS BIGINT) * 256"
+        " + CAST(split(__ip_s, '\\\\.')[3] AS BIGINT))"
     )
     masked = (
-        addr if bits == 32
-        else f"({addr} - pmod({addr}, {1 << (32 - bits)}))"
+        "__ip_a" if bits == 32
+        else f"(__ip_a - pmod(__ip_a, {1 << (32 - bits)}))"
     )
     quad = (
-        f"concat(CAST({masked} div 16777216 AS STRING), '.',"
-        f" CAST(pmod({masked} div 65536, 256) AS STRING), '.',"
-        f" CAST(pmod({masked} div 256, 256) AS STRING), '.',"
-        f" CAST(pmod({masked}, 256) AS STRING))"
+        "concat(CAST(__ip_m div 16777216 AS STRING), '.',"
+        " CAST(pmod(__ip_m div 65536, 256) AS STRING), '.',"
+        " CAST(pmod(__ip_m div 256, 256) AS STRING), '.',"
+        " CAST(pmod(__ip_m, 256) AS STRING))"
     )
     return (
-        f"(CASE WHEN {col} RLIKE {_IPV4_RE_SQL} THEN {quad}"
-        f" ELSE NULL END)"
+        f"element_at(transform(array({col}), __ip_s -> "
+        f"CASE WHEN __ip_s RLIKE {_IPV4_RE_SQL} THEN "
+        f"element_at(transform(array({addr}), __ip_a -> "
+        f"element_at(transform(array({masked}), __ip_m -> {quad}), 1)"
+        f"), 1) ELSE NULL END), 1)"
     )
 
 
