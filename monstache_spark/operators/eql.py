@@ -424,6 +424,17 @@ def eql_join(
     position expires it (state flushed, as a streaming evaluator
     would); joins completed strictly before the until-event stand.
 
+    Documented refinement (same class as the sequence docs' S28
+    notes): the until test is applied to the GLOBAL earliest pick per
+    (key, filter) only.  An event-by-event streaming evaluator whose
+    state is flushed by the until could RE-complete the join from
+    events after the flush — e.g. f1@t1, until@t2, f2@t3, f1@t5
+    yields no match here (the global join completes at t3 and the
+    t2 until expires it) but would match (t5, t3) downstream of the
+    flush in a live evaluator.  This rendering therefore
+    UNDER-reports relative to a replaying evaluator; the oracle
+    mirrors the same deterministic contract.
+
     Plan shape (identical scale story to ``eql_sample``): per filter,
     one filtered scan collapses to one row per key in ONE map-side-
     combinable hash agg over the packed decimal, columns recover by a

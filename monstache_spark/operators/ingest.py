@@ -196,16 +196,33 @@ _NAMED_NETWORKS = {
 }
 
 
+# octet-exact dotted-quad validity gate (the esql._IPV4_RE_SQL regex
+# as a Python-side pattern) — rejects short quads ('1.2.3'),
+# non-numeric octets, and out-of-range octets ('300.1.2.3') up front
+_IPV4_RE = (
+    "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}"
+    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+
+
 def _ipv4_long(col: Column) -> Column:
     """Dotted-quad string → BIGINT (the aggs.ip_range_agg parse);
-    NULL/malformed yields NULL — the module's failure contract."""
+    NULL/malformed yields NULL — the module's failure contract.
+
+    The regex gate + try_* accessors make that contract hold under
+    Spark 4's default ANSI mode too (ADVICE r12): without them a
+    short quad ('1.2.3') aborted the job with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT, a non-numeric octet threw on
+    CAST, and an out-of-range octet ('300.1.2.3') silently
+    misclassified instead of yielding NULL."""
     parts = F.split(col, r"\.")
-    return (
-        F.element_at(parts, 1).cast("long") * F.lit(16777216)
-        + F.element_at(parts, 2).cast("long") * F.lit(65536)
-        + F.element_at(parts, 3).cast("long") * F.lit(256)
-        + F.element_at(parts, 4).cast("long")
+    raw = (
+        F.try_element_at(parts, F.lit(1)).try_cast("long") * F.lit(16777216)
+        + F.try_element_at(parts, F.lit(2)).try_cast("long") * F.lit(65536)
+        + F.try_element_at(parts, F.lit(3)).try_cast("long") * F.lit(256)
+        + F.try_element_at(parts, F.lit(4)).try_cast("long")
     )
+    return F.when(col.rlike(_IPV4_RE), raw)
 
 
 def _cidr_lo_hi(block: str) -> tuple[int, int]:
@@ -726,11 +743,16 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             # JSON yields NULL, the failure contract); extract typed
             # values downstream with variant_get.  add_to_root is a
             # schema-changing per-row operation and refuses via the
-            # option allowlist.
+            # option allowlist.  `if` routes through
+            # _apply_conditional like every value-level processor
+            # (ADVICE r12: it was silently ignored); condition-false
+            # rows keep the old value — for a fresh target_field the
+            # keep-old branch is NULL-typed and try_casts to VARIANT.
             _require(opts, "field")
-            df = df.withColumn(
-                opts.get("target_field", opts["field"]),
-                F.try_parse_json(F.col(opts["field"])),
+            tgt = opts.get("target_field", opts["field"])
+            df = _apply_conditional(
+                df, tgt, F.try_parse_json(F.col(opts["field"])), cond,
+                cast_to="variant",
             )
 
         elif ptype == "dot_expander":
@@ -738,8 +760,16 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             # a.b.c.  Fields land via withField when the root struct
             # exists (override semantics, ES's default); override:
             # false has no cheap columnar rendering (needs per-row
-            # nested-existence tests) and refuses.
+            # nested-existence tests) and refuses.  Schema-level like
+            # rename/remove, so a per-row `if` refuses loudly
+            # (ADVICE r12: it was silently ignored).
             _require(opts, "field")
+            if cond is not None:
+                raise ValueError(
+                    "dot_expander is schema-level in a columnar "
+                    "engine and cannot apply per-row — drop the `if` "
+                    "or model it as a conditional set + remove"
+                )
             if not opts.get("override", True):
                 raise ValueError(
                     "dot_expander override: false is not supported — "
@@ -754,13 +784,39 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             root, _, path = fld.partition(".")
             src = F.col("`" + fld + "`")
             if root in df.columns:
-                base = df.schema[root].dataType.typeName()
-                if base != "struct":
+                base = df.schema[root].dataType
+                if base.typeName() != "struct":
                     raise ValueError(
                         f"dot_expander: {root!r} exists and is not a "
                         "struct — rename it first"
                     )
-                val = F.col(root).withField(path, src)
+                # withField creates only the LAST path segment; for a
+                # multi-level path ('n.b.c' into existing root n) any
+                # missing intermediate struct must be built first or
+                # Spark fails with FIELD_NOT_FOUND (ADVICE r12 — ES
+                # creates intermediate objects).  Walk down the
+                # existing schema; wrap src in structs for the
+                # missing tail, then withField at the deepest
+                # EXISTING struct level.
+                parts = path.split(".")
+                dt = base
+                depth = 0  # how many leading parts exist as structs
+                for part in parts[:-1]:
+                    names = {f.name: f.dataType for f in dt.fields}
+                    if part in names and names[part].typeName() == "struct":
+                        dt = names[part]
+                        depth += 1
+                    else:
+                        break
+                val = src
+                for part in reversed(parts[depth:][1:] or []):
+                    val = F.struct(val.alias(part))
+                # alias of the field written at the withField level:
+                # parts[depth] (the first missing / leaf segment)
+                target_path = ".".join(
+                    "`" + p + "`" for p in parts[: depth + 1]
+                )
+                val = F.col(root).withField(target_path, val)
             else:
                 val = src
                 for part in reversed(path.split(".")):

@@ -571,3 +571,109 @@ def test_new_refusals_enumerate_reasons(docs):
                     ("redact", "pii_redact")]:
         with pytest.raises(ValueError, match=frag):
             ingest_pipeline(docs, [{p: {"field": "name"}}])
+
+
+def test_malformed_ips_yield_null(spark):
+    """ADVICE r12: under Spark 4's default ANSI mode a short quad
+    aborted the job (INVALID_ARRAY_INDEX_IN_ELEMENT_AT), non-numeric
+    octets threw on CAST, and out-of-range octets silently
+    misclassified.  The regex gate + try_* accessors in _ipv4_long
+    restore the 'NULL/malformed yields NULL' contract for both
+    network_direction and community_id."""
+    df = spark.createDataFrame(
+        [
+            (1, "1.2.3", "10.0.0.1"),          # short quad
+            (2, "abc.def.ghi.jkl", "10.0.0.1"),  # non-numeric
+            (3, "300.1.2.3", "10.0.0.1"),      # out-of-range octet
+            (4, "1.2.3.4.5", "10.0.0.1"),      # too many octets
+            (5, "10.1.2.3", "10.9.9.9"),       # valid control row
+            (6, "", "10.0.0.1"),               # empty string
+        ],
+        "id long, sip string, dip string",
+    )
+    out = ingest_pipeline(df, [{"network_direction": {
+        "source_ip": "sip", "destination_ip": "dip",
+        "internal_networks": ["private"],
+        "target_field": "dir",
+    }}]).collect()
+    got = {r["id"]: r["dir"] for r in out}
+    assert got == {1: None, 2: None, 3: None, 4: None,
+                   5: "internal", 6: None}
+    df2 = spark.createDataFrame(
+        [(1, "1.2.3", "10.0.0.1", 80, 443, "tcp"),
+         (2, "300.1.2.3", "10.0.0.1", 80, 443, "tcp"),
+         (3, "10.0.0.1", "10.0.0.2", 80, 443, "tcp")],
+        "id long, sip string, dip string, sp long, dp long, tr string",
+    )
+    out2 = ingest_pipeline(df2, [{"community_id": {
+        "source_ip": "sip", "destination_ip": "dip",
+        "source_port": "sp", "destination_port": "dp",
+        "transport": "tr", "target_field": "cid",
+    }}]).collect()
+    got2 = {r["id"]: r["cid"] for r in out2}
+    assert got2[1] is None and got2[2] is None
+    assert got2[3] is not None and got2[3].startswith("1:")
+
+
+def test_json_processor_honors_if(spark):
+    """ADVICE r12: `if` on the json processor was accepted via
+    _COMMON_OPTS but silently ignored — it now routes through
+    _apply_conditional (condition-false rows keep the old value:
+    NULL for a fresh target_field, the original string re-wrapped as
+    a variant string when parsing in place)."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 7}'), (2, '{"k": 9}')], "id long, payload string"
+    )
+    out = ingest_pipeline(df, [{"json": {
+        "field": "payload", "target_field": "doc", "if": "id = 1",
+    }}])
+    rows = {r["id"]: r for r in out.selectExpr(
+        "id", "CAST(variant_get(doc, '$.k') AS BIGINT) AS k").collect()}
+    assert rows[1]["k"] == 7
+    assert rows[2]["k"] is None  # condition false -> untouched (NULL)
+    # in-place parse: condition-false rows keep the raw string value
+    out2 = ingest_pipeline(df, [{"json": {
+        "field": "payload", "if": "id = 1",
+    }}])
+    vals = {r["id"]: r["s"] for r in out2.selectExpr(
+        "id", "CAST(variant_get(payload, '$.k') AS BIGINT) AS s").collect()}
+    assert vals[1] == 7 and vals[2] is None
+    raw = {r["id"]: r["s"] for r in out2.selectExpr(
+        "id", "CAST(payload AS STRING) AS s").collect()}
+    assert raw[2] == '{"k": 9}'  # value preserved, just unparsed
+
+
+def test_dot_expander_refuses_if(spark):
+    df = spark.createDataFrame([(1, 2)], "id long, `g.s` long")
+    with pytest.raises(ValueError, match="schema-level"):
+        ingest_pipeline(df, [{"dot_expander": {
+            "field": "g.s", "if": "id = 1"}}])
+
+
+def test_dot_expander_multilevel_into_existing_root(spark):
+    """ADVICE r12: 'n.b.c' into an existing root struct n that lacks
+    the intermediate b failed with FIELD_NOT_FOUND — ES creates
+    intermediate objects; the walk now builds the missing structs."""
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "named_struct('a', 11) AS n", "id + 41 AS `n.b.c`"
+    )
+    out = ingest_pipeline(df, [{"dot_expander": {"field": "n.b.c"}}])
+    r = out.selectExpr("n.a AS a", "n.b.c AS c").collect()[0]
+    assert (r["a"], r["c"]) == (11, 42)
+    assert "n.b.c" not in out.columns
+    # intermediate EXISTS as struct: lands via nested withField,
+    # preserving b's other fields
+    df2 = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "named_struct('b', named_struct('x', 7)) AS m",
+        "id + 1 AS `m.b.c`"
+    )
+    out2 = ingest_pipeline(df2, [{"dot_expander": {"field": "m.b.c"}}])
+    r2 = out2.selectExpr("m.b.x AS x", "m.b.c AS c").collect()[0]
+    assert (r2["x"], r2["c"]) == (7, 2)
+    # three-deep missing tail
+    df3 = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "named_struct('a', 1) AS p", "id AS `p.q.r.s`"
+    )
+    out3 = ingest_pipeline(df3, [{"dot_expander": {"field": "p.q.r.s"}}])
+    r3 = out3.selectExpr("p.a AS a", "p.q.r.s AS s").collect()[0]
+    assert (r3["a"], r3["s"]) == (1, 1)
