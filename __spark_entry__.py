@@ -7322,6 +7322,104 @@ def _q_es_esql_metadata_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_es_esql_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 8.18 MATCH_PHRASE (operators/esql._rewrite_match_phrase):
+    exact consecutive-token predicate over the simple analyzer,
+    compiled to ONE codegen `exists` over start positions with the
+    token array lambda-bound once per row.  Order-sensitive by
+    construction ("hash join" 27 docs vs "sort merge" 29 at sf0.01 —
+    different sets); the oracle renders the same contract as a
+    space-bounded substring test over the single-space-joined token
+    stream (consecutive tokens ⟺ ' t1 t2 ' appears in
+    ' tok1 tok2 … ').  Map-only plan + one hash agg."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        ' | EVAL hit = CASE(MATCH_PHRASE(text, "hash join"), "hj",'
+        ' MATCH_PHRASE(text, "sort merge"), "sm", "none")'
+        ' | WHERE hit != "none" OR MATCH_PHRASE(lang, "en")'
+        " | STATS n = COUNT(*) BY hit, lang"
+        " | SORT hit ASC, lang ASC",
+        {"documents": docs},
+    )
+
+
+def _q_es_esql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL 9.1 FORK (operators/esql.py FORK branch): two full
+    sub-pipes over one incoming frame — a filtered per-source
+    aggregate and a different-shaped per-tag aggregate — union by
+    name with null-fill and the `_fork` discriminator ES emits.
+    Plan: two aggregate subtrees over a shared scan, Union on top;
+    no per-row Python anywhere.  The oracle is the same two SELECTs
+    UNION ALL'd with typed NULL padding."""
+    from monstache_spark.operators.esql import esql
+
+    docs = load_table(spark, "documents", sf_dir)
+    return esql(
+        "FROM documents"
+        ' | FORK ( WHERE lang == "en"'
+        " | STATS n_docs = COUNT(*), chars = SUM(n_chars) BY source )"
+        " ( WHERE n_chars > 900"
+        ' | EVAL tag = CONCAT(lang, "-", source)'
+        " | STATS n_docs = COUNT(*) BY tag )"
+        " | SORT _fork ASC, source ASC, tag ASC",
+        {"documents": docs},
+    )
+
+
+def _q_es_ingest_reroute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest reroute processor (operators/ingest.py): data-stream
+    composition `<type>-<dataset>-<namespace>` from `{{field}}`
+    mustache references, then a CONDITIONAL destination override
+    (short docs quarantine) — the ES data-stream routing pattern.
+    `_index` is the engine's routing column (same contract as
+    date_index_name / M4 rollover).  Map-only plan + one hash agg."""
+    from monstache_spark.operators.ingest import ingest_pipeline
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    routed = ingest_pipeline(docs, [
+        {"reroute": {"dataset": "{{source}}", "namespace": "{{lang}}"}},
+        {"reroute": {"destination": "quarantine",
+                     "if": "n_chars < 200"}},
+    ])
+    return routed.groupBy("_index").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("chars"),
+    ).orderBy("_index")
+
+
+def _q_es_sliced_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sliced scroll (search.sliced_scroll): 6 disjoint,
+    collectively exhaustive md5-keyed slices of the corpus, each
+    drained independently and tagged — the parallel-consumer scan
+    contract (slice membership is the documented md5 divergence from
+    ES's murmur3, the hash_sample family).  The union of per-slice
+    aggregates totals the whole corpus, pinning disjointness AND
+    exhaustiveness in one hash-checked frame."""
+    from monstache_spark.operators.search import sliced_scroll
+
+    docs = load_table(spark, "documents", sf_dir)
+    parts = []
+    for i in range(6):
+        s = sliced_scroll(docs, i, 6)
+        parts.append(
+            s.groupBy(F.lit(i).cast("long").alias("slice")).agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars"),
+                F.min("doc_id").alias("first_id"),
+                F.max("doc_id").alias("last_id"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("slice")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_cdc_materialize(spark, "/root/testdata/sf0.001")
@@ -7344,7 +7442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-6-stale cohort that leads the round-14 window (the
     remaining six: ``es_adjacency_matrix``, ``es_top_metrics``,
     ``match_phrase_slop``, ``q3_top_orders``,
-    ``relate_orders_customer``, ``relate_two_hop``).  The judge's
+    ``relate_orders_customer``, ``relate_two_hop``; the 4 round-13
+    additions — ``es_esql_match_phrase``, ``es_esql_fork``,
+    ``es_ingest_reroute``, ``es_sliced_scroll`` — join them at the
+    head of that window as the never-gated set).  The judge's
     full ``tools/check_oracle.py`` sweep covers every registry query
     each round.  Every query has a hash-checkable oracle."""
 
@@ -7714,6 +7815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_ingest_net_pack": _q_es_ingest_net_pack,
         "es_ingest_expand_pack": _q_es_ingest_expand_pack,
         "es_esql_metadata_index": _q_es_esql_metadata_index,
+        # --- round-13 additions (lead the round-14 window, after the
+        # round-6-stale cohort head) ---
+        "es_esql_match_phrase": _q_es_esql_match_phrase,
+        "es_esql_fork": _q_es_esql_fork,
+        "es_ingest_reroute": _q_es_ingest_reroute,
+        "es_sliced_scroll": _q_es_sliced_scroll,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -13902,5 +14009,61 @@ def oracle_sql() -> dict[str, str]:
                  right(text, 4) AS rt
           FROM documents
           WHERE lang = 'zh' OR lang = 'de'
+        """,
+        "es_esql_match_phrase": """
+          WITH t AS (
+            SELECT doc_id, lang,
+                   ' ' || array_to_string(
+                     list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> ''), ' ') || ' ' AS s
+            FROM documents
+          ), tagged AS (
+            SELECT lang,
+                   CASE WHEN strpos(s, ' hash join ') > 0 THEN 'hj'
+                        WHEN strpos(s, ' sort merge ') > 0 THEN 'sm'
+                        ELSE 'none' END AS hit
+            FROM t
+          )
+          SELECT hit, lang, CAST(count(*) AS BIGINT) AS n
+          FROM tagged
+          WHERE hit <> 'none' OR lang = 'en'
+          GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "es_esql_fork": """
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS chars,
+                 CAST(NULL AS VARCHAR) AS tag, 'fork1' AS _fork
+          FROM documents WHERE lang = 'en' GROUP BY source
+          UNION ALL
+          SELECT CAST(NULL AS VARCHAR), CAST(count(*) AS BIGINT),
+                 CAST(NULL AS BIGINT), lang || '-' || source, 'fork2'
+          FROM documents WHERE n_chars > 900 GROUP BY lang || '-' || source
+          ORDER BY _fork, source, tag
+        """,
+        "es_ingest_reroute": """
+          WITH r AS (
+            SELECT n_chars,
+                   CASE WHEN n_chars < 200 THEN 'quarantine'
+                        ELSE 'logs-' || source || '-' || lang
+                   END AS _index
+            FROM documents
+          )
+          SELECT _index, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS chars
+          FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "es_sliced_scroll": f"""
+          WITH s AS (
+            SELECT ({_hash_sql("CAST(doc_id AS VARCHAR)", 0)} % 6 + 6) % 6
+                     AS slice,
+                   doc_id, n_chars
+            FROM documents
+          )
+          SELECT CAST(slice AS BIGINT) AS slice,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS chars,
+                 min(doc_id) AS first_id, max(doc_id) AS last_id
+          FROM s GROUP BY 1 ORDER BY 1
         """,
     }

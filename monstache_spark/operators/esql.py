@@ -46,8 +46,18 @@ AND supported) and ``QSTR("lucene query")`` (``_apply_where`` — the
 whole query_string grammar through the engine's parser, AND-composable
 with SQL conjuncts) in WHERE; ``CATEGORIZE(col)`` in STATS BY (the
 S17 deterministic log categorizer as a function template).
-``FORK``/``COMPLETION``/``RERANK`` are REFUSED as model-dependent
-(DIVERGENCES S31).
+
+Round-13 additions: ``MATCH_PHRASE(field, "phrase")``
+(``_rewrite_match_phrase`` — exact consecutive-token predicate over
+the simple analyzer, one codegen ``exists`` scan; slop/analyzer
+options refuse toward search.match_phrase) and the 9.1 ``FORK``
+command — each parenthesized branch is a full sub-pipe applied to the
+incoming frame (compiled through a recursive ``esql()`` call), results
+``unionByName`` with the ``_fork`` discriminator ES emits; branch
+count 2-8, nesting refused (as in ES).  ``COMPLETION``/``RERANK``
+remain REFUSED as model-dependent (DIVERGENCES S31), and ``RRF``
+stays refused because it fuses the ``_score`` relevance column this
+engine's frames don't carry (use the retriever tree's rrf node).
 
 Expressions ride the shared painless→SQL binding contract (the same
 surface ``script``/``script_score``/``bucket_script`` use): ES|QL's
@@ -120,8 +130,6 @@ def _rewrite_durations(expr: str) -> str:
 _REFUSED_FNS = {
     "KQL": "a query-language-in-a-function; use MATCH()/QSTR() or "
     "the search operators",
-    "MATCH_PHRASE": "analyzed phrase matching needs the analyzer "
-    "chain — use the search operator match_phrase (search.py)",
     "TO_VERSION": "the ES version type's ordering is a Lucene "
     "comparator with no cross-engine arithmetic",
     "TO_UNSIGNED_LONG": "no unsigned 64-bit integer exists on the "
@@ -182,6 +190,7 @@ def _tr_expr(expr: str) -> str:
     _check_refused_fns(expr)
     expr = _rewrite_like_lists(expr)
     expr = _rewrite_bucket(expr)
+    expr = _rewrite_match_phrase(expr)
     expr = _rewrite_match(expr)
     expr = _rewrite_cidr_match(expr)
     expr = _rewrite_date_diff(expr)
@@ -1279,6 +1288,76 @@ def _rewrite_cidr_match(expr: str) -> str:
         expr = expr[:start] + repl + expr[close_p + 1:]
 
 
+def _rewrite_match_phrase(expr: str) -> str:
+    """ES|QL 8.18 ``MATCH_PHRASE(field, "phrase")`` → an exact
+    consecutive-token predicate over the engine's simple analyzer
+    (lowercase whitespace tokens — the same chain ``MATCH`` and the
+    no-analyzer ``match_phrase`` search operator use).  The phrase
+    analyzes at REWRITE time, so the compiled predicate is one
+    codegen ``exists`` over start positions with the token array
+    bound ONCE via the transform-array trick (the `_h_ip_prefix`
+    lambda-binding pattern — one tokenize per row, not one per
+    position probe).  A NULL field yields NULL (row filtered),
+    matching ES.
+
+    The ES options map (slop / analyzer / zero_terms_query) is
+    refused: sloppy phrase matching is a permutation-distance
+    contract owned by search.match_phrase (slop, analyzed variants,
+    S14 ordering rules) — a WHERE-level Column rendering would
+    duplicate it divergently."""
+    while True:
+        calls = _find_calls(expr, "MATCH_PHRASE")
+        if not calls:
+            return expr
+        start, open_p, close_p = calls[0]
+        parts = _split_top(expr[open_p + 1:close_p], ",")
+        if len(parts) == 3:
+            raise ValueError(
+                "MATCH_PHRASE options (slop/analyzer/zero_terms_query)"
+                " are not supported here — use the search operator "
+                "match_phrase (search.py) for sloppy/analyzed phrases"
+            )
+        if len(parts) != 2:
+            raise ValueError('MATCH_PHRASE takes (field, "phrase")')
+        col = parts[0].strip()
+        qm = re.fullmatch(r'\s*"((?:[^"\\]|\\.)*)"\s*', parts[1])
+        if not qm:
+            raise ValueError(
+                f"MATCH_PHRASE phrase must be a string literal: "
+                f"{parts[1]!r}"
+            )
+        toks = [
+            t for t in qm.group(1).replace('\\"', '"').lower().split() if t
+        ]
+        if not toks:
+            raise ValueError("MATCH_PHRASE phrase has no tokens")
+        lits = [
+            "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for t in toks
+        ]
+        fld = f"filter(split(lower(trim({col})), '\\\\s+'), _t -> _t != '')"
+        n = len(toks)
+        if n == 1:
+            repl = f"array_contains({fld}, {lits[0]})"
+        else:
+            conds = " AND ".join(
+                f"try_element_at(__mp, _i + {j}) = {lit}"
+                for j, lit in enumerate(lits)
+            )
+            # the greatest(..., 1) floor keeps sequence() ascending on
+            # short docs (sequence(1, 0) would generate a DESCENDING
+            # [1, 0] range — Spark infers step -1 — and a 0 index
+            # throws even through try_element_at); the size >= n
+            # conjunct then rejects those rows
+            repl = (
+                f"element_at(transform(array({fld}), __mp -> "
+                f"size(__mp) >= {n} AND "
+                f"exists(sequence(1, greatest(size(__mp) - {n - 1}, 1)), "
+                f"_i -> {conds})), 1)"
+            )
+        expr = expr[:start] + repl + expr[close_p + 1:]
+
+
 def _rewrite_match(expr: str) -> str:
     """ES|QL 8.18 full-text ``MATCH(field, "query" [, options])`` →
     a token-set predicate over the engine's simple analyzer
@@ -1335,6 +1414,49 @@ def _rewrite_match(expr: str) -> str:
         else:
             repl = f"arrays_overlap({fld}, array({lits}))"
         expr = expr[:start] + repl + expr[close_p + 1:]
+
+
+def _fork_branches(body: str) -> list[str]:
+    """Parse a FORK body into its top-level parenthesized branch
+    pipes — quote-aware balanced scan, refusing text outside the
+    groups (a bare command between branches is a syntax error in ES
+    too)."""
+    branches: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch != "(":
+            raise ValueError(
+                f"FORK branches must be parenthesized pipes: "
+                f"unexpected {body[i:i + 20]!r}"
+            )
+        depth, j = 0, i
+        in_str: str | None = None
+        while j < n:
+            c = body[j]
+            if in_str is not None:
+                if c == in_str and (in_str == "'" or body[j - 1] != "\\"):
+                    in_str = None
+            elif c in ('"', "'"):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError("FORK branch has unbalanced parentheses")
+        br = body[i + 1:j].strip()
+        if not br:
+            raise ValueError("empty FORK branch")
+        branches.append(br)
+        i = j + 1
+    return branches
 
 
 def _split_kw(s: str, word: str) -> list[str]:
@@ -2149,25 +2271,60 @@ def esql(
                     c = c.cast("double")
                 df = df.withColumn(fname, c)
             df = df.drop(src_col)
-        elif cmd in ("FORK", "COMPLETION", "RERANK"):
+        elif cmd == "FORK":
+            # ES|QL 9.1 FORK: each parenthesized branch is a full
+            # sub-pipe applied to the INCOMING frame; outputs carry
+            # the `_fork` discriminator ("fork1", "fork2", … in
+            # branch order — the ES contract) and union by name with
+            # null-fill for branch-local columns.  Each branch
+            # compiles through a recursive esql() call on a
+            # single-entry table map, so every stage command (STATS,
+            # SORT, LOOKUP JOIN, …) is legal inside a branch exactly
+            # as in ES.  Declarative plan: N filtered/aggregated
+            # subtrees over one shared scan, Union on top — no
+            # per-row work, and Catalyst reuses the scan across
+            # branches.
+            branches = _fork_branches(body)
+            if not 2 <= len(branches) <= 8:
+                raise ValueError(
+                    f"FORK takes 2-8 parenthesized branches, got "
+                    f"{len(branches)} (the ES limit)"
+                )
+            outs = []
+            for i, br in enumerate(branches, start=1):
+                for st in _split_top(br, "|"):
+                    if re.match(r"\s*FORK\b", st, re.I):
+                        raise ValueError(
+                            "nested FORK is unsupported (as in ES)"
+                        )
+                sub = esql(
+                    "FROM __fork_input__ | " + br,
+                    {"__fork_input__": df},
+                    spark=spark,
+                    enrich_policies=enrich_policies,
+                )
+                outs.append(sub.withColumn("_fork", F.lit(f"fork{i}")))
+            df = outs[0]
+            for o in outs[1:]:
+                df = df.unionByName(o, allowMissingColumns=True)
+        elif cmd in ("COMPLETION", "RERANK"):
             # DIVERGENCES S31: COMPLETION/RERANK call a deployed
             # inference model (never hash-verifiable against an
-            # independent oracle); FORK exists to fan those branches
-            # out and its merge order is defined by the ES runtime
+            # independent oracle)
             raise ValueError(
                 f"unsupported ES|QL command: {cmd} — model-dependent "
-                "(DIVERGENCES S31); run branches as separate esql() "
-                "calls and unionByName them, rerank via the retriever "
+                "(DIVERGENCES S31); rerank via the retriever "
                 "tree's text_similarity_reranker stand-in"
             )
         elif cmd == "RRF":
-            # 9.x preview: RRF fuses the _score/_fork columns FORK
-            # branches emit — it is defined only over FORK output
+            # 9.x preview: RRF fuses the _score relevance column FORK
+            # branches emit under ES scoring — frames here carry no
+            # _score (the same grounds METADATA _score refuses on)
             raise ValueError(
-                "unsupported ES|QL command: RRF — defined only over "
-                "FORK branch output (refused, S31); fuse ranked "
-                "frames with the retriever tree's rrf node or "
-                "search.hybrid_rrf instead (DIVERGENCES S36)"
+                "unsupported ES|QL command: RRF — it fuses the _score "
+                "relevance column this engine's frames don't carry; "
+                "fuse ranked frames with the retriever tree's rrf "
+                "node or search.hybrid_rrf instead (DIVERGENCES S36)"
             )
         else:
             raise ValueError(f"unsupported ES|QL command: {cmd}")

@@ -64,6 +64,8 @@ pushdown-eligible filter).  100 TB cost = the scan itself.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,6 +134,7 @@ _PROC_OPTS = {
     "dot_expander": {"field", "override"},
     "date_index_name": {"field", "index_name_prefix", "date_rounding",
                         "index_name_format"},
+    "reroute": {"destination", "dataset", "namespace", "type"},
     "network_direction": {"source_ip", "destination_ip",
                           "internal_networks", "target_field"},
     "community_id": {"source_ip", "destination_ip", "source_port",
@@ -844,6 +847,42 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                 F.date_format(F.date_trunc(units[r], F.col(opts["field"])), fmt),
             )
             df = _apply_conditional(df, "_index", name, cond)
+
+        elif ptype == "reroute":
+            # ES reroute processor: redirect the document to another
+            # index / data stream.  `destination` sets `_index`
+            # directly; otherwise the data-stream naming scheme
+            # `<type>-<dataset>-<namespace>` composes it (ES keeps
+            # the stream type — `type` defaults to "logs", the
+            # documented reroute target family).  Every value is a
+            # literal or a `{{field}}` mustache reference (ES's
+            # field-templating form — a column read, one codegen
+            # concat).  `_index` is the routing column the sink ops
+            # consume, same destination contract as date_index_name.
+            def _tmpl(v: str) -> Column:
+                m = re.fullmatch(r"\{\{\s*([\w.]+)\s*\}\}", v)
+                return F.col(m.group(1)) if m else F.lit(v)
+
+            if "destination" in opts:
+                if "dataset" in opts or "namespace" in opts:
+                    raise ValueError(
+                        "reroute takes destination OR dataset/"
+                        "namespace, not both (the ES contract)"
+                    )
+                target = _tmpl(opts["destination"])
+            else:
+                if "dataset" not in opts and "namespace" not in opts:
+                    raise ValueError(
+                        "reroute needs destination or dataset/"
+                        "namespace"
+                    )
+                target = F.concat_ws(
+                    "-",
+                    _tmpl(opts.get("type", "logs")),
+                    _tmpl(opts.get("dataset", "generic")),
+                    _tmpl(opts.get("namespace", "default")),
+                )
+            df = _apply_conditional(df, "_index", target, cond)
 
         elif ptype == "network_direction":
             # inbound/outbound/internal/external from the two

@@ -2490,6 +2490,44 @@ def search_after(
     return df.orderBy(*order).limit(int(size))
 
 
+def sliced_scroll(
+    df: DataFrame,
+    slice_id: int,
+    max_slices: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES sliced scroll (``"slice": {"id": i, "field": "_id", "max":
+    m}``): partition a scan into ``max_slices`` disjoint, collectively
+    exhaustive slices so independent consumers can drain one corpus in
+    parallel — the scroll-era ancestor of search_after's
+    ``_shard_doc`` slicing.
+
+    Deterministic rendering: ``slice = md5-hash(id) % max`` via the
+    engine's ``shingle_hash`` (first 8 md5 hex chars as a BIGINT — the
+    hash_sample / deterministic_shuffle family, DuckDB-replicable
+    bit-for-bit).  ES hashes ``_id`` with murmur3, so slice MEMBERSHIP
+    differs per engine while the contract — disjoint, exhaustive,
+    stable across runs and partitionings — is identical (the same
+    documented divergence class as hash_sample).
+
+    One pushdown-ineligible but codegen'd filter over the scan; no
+    shuffle.  At 100 TB each slice consumer reads the full scan and
+    keeps 1/m of it — exactly ES's behavior (slicing saves no read
+    I/O, it partitions the WORK); partition-pruned slicing belongs to
+    the source layout, not this operator.
+    """
+    from monstache_spark.functions.text import shingle_hash
+
+    if not 0 <= slice_id < max_slices:
+        raise ValueError(
+            f"slice id must be in [0, {max_slices}): {slice_id}"
+        )
+    if max_slices < 2:
+        raise ValueError("max must be >= 2 (ES rejects max <= 1)")
+    h = shingle_hash(F.col(id_col).cast("string"), 0)
+    return df.filter(F.pmod(h, F.lit(max_slices)) == F.lit(slice_id))
+
+
 def sparse_vector_topk(
     docs: DataFrame,
     query_weights: dict,

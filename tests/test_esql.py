@@ -441,15 +441,19 @@ def test_categorize_in_stats_by(spark):
     assert got == {None: 2, "error user took": 2, "ok done": 1}
 
 
-def test_fork_completion_rerank_refused(spark):
-    """DIVERGENCES S31: the model-dependent ES|QL 8.18 commands are
-    refused with an actionable error, not silently misparsed."""
+def test_completion_rerank_refused(spark):
+    """DIVERGENCES S31: the model-dependent ES|QL commands are
+    refused with an actionable error, not silently misparsed.
+    (FORK graduated to a real union-of-sub-pipes in round 13 —
+    test_fork — since its semantics are declarative, not
+    model-dependent; RRF stays refused on _score grounds.)"""
     df = spark.createDataFrame([(1,)], "x long")
-    for cmd in ("FORK (WHERE x > 0) (WHERE x < 0)",
-                "COMPLETION prompt WITH inference_id",
+    for cmd in ("COMPLETION prompt WITH inference_id",
                 "RERANK \"q\" ON x WITH inference_id"):
         with pytest.raises(ValueError, match="model-dependent"):
             esql(f"FROM t | {cmd}", {"t": df})
+    with pytest.raises(ValueError, match="_score"):
+        esql("FROM t | RRF", {"t": df})
 
 
 def test_match_in_where(spark):
@@ -1138,9 +1142,13 @@ def test_esql_8_18_conformance_sweep(spark):
         esql("FROM t | RRF", {"t": df})
     for fn in ('KQL("s:abc")', "TO_VERSION(s)", "TO_UNSIGNED_LONG(id)",
                "TO_GEOPOINT(s)", "ST_X(s)", "ST_CENTROID_AGG(s)",
-               "TO_DATE_NANOS(id)", "MATCH_PHRASE(s, \"a b\")"):
+               "TO_DATE_NANOS(id)"):
         with pytest.raises(ValueError, match="unsupported ES\\|QL function"):
             esql(f"FROM t | EVAL z = {fn}", {"t": df})
+    # MATCH_PHRASE graduated from the refusal list in round 13
+    mp = esql('FROM t | EVAL z = MATCH_PHRASE(s, "a b") | KEEP id, z',
+              {"t": df})
+    assert dict(mp.dtypes)["z"] == "boolean"
     # a refused name INSIDE a string literal must NOT trip the gate
     ok = esql('FROM t | EVAL z = concat(s, "ST_X(q)")', {"t": df})
     assert ok.count() == 2
@@ -1273,3 +1281,72 @@ def test_from_metadata_index(spark, t):
     assert [(r["_index"], r["n"]) for r in out] == [("t", 3), ("u", 1)]
     with pytest.raises(ValueError, match="unsupported METADATA field"):
         esql("FROM t METADATA _id", {"t": t})
+
+
+def test_match_phrase(spark):
+    from monstache_spark.operators.esql import esql
+
+    docs = spark.createDataFrame(
+        [(1, "fast Hash  Join beats sort"),   # matches (case/extra ws)
+         (2, "join hash order swapped"),      # reversed -> no match
+         (3, "hash joins plural"),            # 'joins' != 'join'
+         (4, "prefix hash join suffix"),      # mid-text match
+         (5, None),                           # NULL text -> filtered
+         (6, "hash"),                         # shorter than phrase
+         (7, "a hash b join c")],             # non-consecutive
+        "id long, text string",
+    )
+    out = esql(
+        'FROM docs | WHERE MATCH_PHRASE(text, "hash join") | KEEP id',
+        {"docs": docs},
+    ).collect()
+    assert sorted(r["id"] for r in out) == [1, 4]
+    one = esql(
+        'FROM docs | WHERE MATCH_PHRASE(text, "HASH") | KEEP id',
+        {"docs": docs},
+    ).collect()
+    assert sorted(r["id"] for r in one) == [1, 2, 3, 4, 6, 7]
+    with pytest.raises(ValueError, match="slop"):
+        esql('FROM docs | WHERE MATCH_PHRASE(text, "a b", {"slop": 1})',
+             {"docs": docs})
+    with pytest.raises(ValueError, match="string literal"):
+        esql("FROM docs | WHERE MATCH_PHRASE(text, id)", {"docs": docs})
+    with pytest.raises(ValueError, match="no tokens"):
+        esql('FROM docs | WHERE MATCH_PHRASE(text, "  ")', {"docs": docs})
+
+
+def test_fork(spark, t):
+    from monstache_spark.operators.esql import esql
+
+    out = esql(
+        'FROM t | FORK ( WHERE k == "a" | STATS n = COUNT(*) BY k )'
+        " ( WHERE v IS NOT NULL | EVAL w = v * 2 | KEEP id, w )"
+        " | SORT _fork ASC, id ASC",
+        {"t": t},
+    ).collect()
+    # branch columns union by name; missing null-fill
+    assert [r["_fork"] for r in out] == ["fork1", "fork2", "fork2"]
+    assert out[0]["k"] == "a" and out[0]["n"] == 2 and out[0]["id"] is None
+    assert (out[1]["id"], out[1]["w"]) == (1, 20.0)
+    assert (out[2]["id"], out[2]["w"]) == (2, 40.0)
+    assert out[1]["k"] is None and out[1]["n"] is None
+    # a later stage sees the unioned frame
+    agg = esql(
+        'FROM t | FORK ( WHERE k == "a" ) ( WHERE k == "b" )'
+        " | STATS n = COUNT(*) BY _fork | SORT _fork ASC",
+        {"t": t},
+    ).collect()
+    assert [(r["_fork"], r["n"]) for r in agg] == [("fork1", 2), ("fork2", 1)]
+    with pytest.raises(ValueError, match="2-8"):
+        esql('FROM t | FORK ( WHERE k == "a" )', {"t": t})
+    with pytest.raises(ValueError, match="nested FORK"):
+        esql('FROM t | FORK ( FORK ( WHERE k == "a" ) ( WHERE k == "b" ) )'
+             ' ( WHERE k == "b" )', {"t": t})
+    with pytest.raises(ValueError, match="empty FORK branch"):
+        esql("FROM t | FORK ( ) ( WHERE k == \"b\" )", {"t": t})
+    with pytest.raises(ValueError, match="parenthesized"):
+        esql('FROM t | FORK ( WHERE k == "a" ) WHERE', {"t": t})
+    with pytest.raises(ValueError, match="model-dependent"):
+        esql('FROM t | COMPLETION x = "prompt"', {"t": t})
+    with pytest.raises(ValueError, match="_score"):
+        esql("FROM t | RRF", {"t": t})

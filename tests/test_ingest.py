@@ -677,3 +677,31 @@ def test_dot_expander_multilevel_into_existing_root(spark):
     out3 = ingest_pipeline(df3, [{"dot_expander": {"field": "p.q.r.s"}}])
     r3 = out3.selectExpr("p.a AS a", "p.q.r.s AS s").collect()[0]
     assert (r3["a"], r3["s"]) == (1, 1)
+
+
+def test_reroute(spark):
+    df = spark.createDataFrame(
+        [(1, "web", "prod", 50), (2, "api", "dev", 500)],
+        "id long, svc string, env string, sz long",
+    )
+    # destination literal
+    out = ingest_pipeline(df, [{"reroute": {"destination": "quarantine"}}])
+    assert {r["_index"] for r in out.collect()} == {"quarantine"}
+    # data-stream composition from {{field}} mustache refs
+    out2 = ingest_pipeline(df, [{"reroute": {
+        "dataset": "{{svc}}", "namespace": "{{ env }}"}}])
+    got = {r["id"]: r["_index"] for r in out2.collect()}
+    assert got == {1: "logs-web-prod", 2: "logs-api-dev"}
+    # explicit type + literal dataset, conditional override chain
+    out3 = ingest_pipeline(df, [
+        {"reroute": {"type": "metrics", "dataset": "ops",
+                     "namespace": "{{env}}"}},
+        {"reroute": {"destination": "small", "if": "sz < 100"}},
+    ])
+    got3 = {r["id"]: r["_index"] for r in out3.collect()}
+    assert got3 == {1: "small", 2: "metrics-ops-dev"}
+    with pytest.raises(ValueError, match="destination OR dataset"):
+        ingest_pipeline(df, [{"reroute": {
+            "destination": "x", "dataset": "y"}}])
+    with pytest.raises(ValueError, match="needs destination"):
+        ingest_pipeline(df, [{"reroute": {}}])

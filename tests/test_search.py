@@ -2749,3 +2749,30 @@ def test_retriever_knn_similarity_float_is_threshold(spark):
         k=5,
     ).collect()
     assert len(metric) == 2  # string selects the metric, no threshold
+
+
+def test_sliced_scroll(spark):
+    import pytest
+
+    from monstache_spark.operators.search import sliced_scroll
+    from monstache_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    total = docs.count()
+    slices = [sliced_scroll(docs, i, 4) for i in range(4)]
+    ids = [sorted(r["doc_id"] for r in s.select("doc_id").collect())
+           for s in slices]
+    # disjoint and collectively exhaustive
+    flat = [i for part in ids for i in part]
+    assert len(flat) == total == len(set(flat))
+    # stable across repartitionings (the scroll-consumer contract)
+    re_ids = sorted(
+        r["doc_id"]
+        for r in sliced_scroll(docs.repartition(7), 2, 4)
+        .select("doc_id").collect()
+    )
+    assert re_ids == ids[2]
+    with pytest.raises(ValueError, match="slice id"):
+        sliced_scroll(docs, 4, 4)
+    with pytest.raises(ValueError, match="max"):
+        sliced_scroll(docs, 0, 1)

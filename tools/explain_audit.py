@@ -1040,6 +1040,40 @@ CHECKS = [
         and "Cartesian" not in p
         and "Python" not in p,
     ),
+    # --- round-13 additions ---
+    (
+        "es_esql_fork",
+        "FORK is a Union of aggregate subtrees — codegen hash aggs, "
+        "no per-row Python, no cartesian product",
+        lambda p: "Union" in p
+        and "* HashAggregate" in p
+        and "Cartesian" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_esql_match_phrase",
+        "MATCH_PHRASE compiles to a codegen filter + hash agg — one "
+        "tokenize per row (lambda-bound array), no join, no Python",
+        lambda p: "* HashAggregate" in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_ingest_reroute",
+        "reroute is a map-only projection + ONE codegen hash agg — "
+        "no sort aggregate, no Python",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_sliced_scroll",
+        "each slice is a codegen filter over the scan — no shuffle "
+        "beyond the per-slice agg exchanges, no Python, no sort agg",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
 ]
 
 
