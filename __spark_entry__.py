@@ -7420,6 +7420,32 @@ def _q_es_sliced_scroll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("slice")
 
 
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed source sampling
+    (curation.temperature_sample): the multilingual-LM mixing rule
+    p_s ∝ n_s^(1/T) (exponent smoothing per the mBERT/XLM-R/mT5
+    line) over the SKEWED lang column (en holds ~39% of the corpus),
+    T=2 upweighting the low-resource languages; keep fractions
+    against a 200-doc budget with the over-asked-source cap.  Every
+    step is either exact (decimal sums, 60-bit md5 cut compared as
+    integers — keep_frac·2⁶⁰ is an EXACT mantissa scale) or under
+    the documented 12/6-dp rounded-transcendental contract (pow).
+    One corpus hash agg + broadcast join + codegen filter."""
+    from monstache_spark.operators.curation import temperature_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = temperature_sample(
+        docs, temperature=2.0, doc_budget=200, group_col="lang"
+    )
+    return out.groupBy("lang").agg(
+        F.max("p").alias("p"),
+        F.max("keep_frac").alias("keep_frac"),
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    ).orderBy("lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_cdc_materialize(spark, "/root/testdata/sf0.001")
@@ -7442,10 +7468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-6-stale cohort that leads the round-14 window (the
     remaining six: ``es_adjacency_matrix``, ``es_top_metrics``,
     ``match_phrase_slop``, ``q3_top_orders``,
-    ``relate_orders_customer``, ``relate_two_hop``; the 4 round-13
+    ``relate_orders_customer``, ``relate_two_hop``; the 5 round-13
     additions — ``es_esql_match_phrase``, ``es_esql_fork``,
-    ``es_ingest_reroute``, ``es_sliced_scroll`` — join them at the
-    head of that window as the never-gated set).  The judge's
+    ``es_ingest_reroute``, ``es_sliced_scroll``,
+    ``temperature_mixture`` — join them at the head of that window
+    as the never-gated set).  The judge's
     full ``tools/check_oracle.py`` sweep covers every registry query
     each round.  Every query has a hash-checkable oracle."""
 
@@ -7821,6 +7848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_esql_fork": _q_es_esql_fork,
         "es_ingest_reroute": _q_es_ingest_reroute,
         "es_sliced_scroll": _q_es_sliced_scroll,
+        "temperature_mixture": _q_temperature_mixture,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -14065,5 +14093,47 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(n_chars) AS BIGINT) AS chars,
                  min(doc_id) AS first_id, max(doc_id) AS last_id
           FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "temperature_mixture": """
+          WITH c AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+          ), w AS (
+            SELECT lang, n,
+                   CAST(round(pow(n, 0.5), 12) AS DECIMAL(38,12)) AS w
+            FROM c
+          ), t AS (
+            SELECT CAST(sum(w) AS DECIMAL(38,12)) AS tw FROM w
+          ), p AS (
+            SELECT lang, n,
+                   round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS p
+            FROM w, t
+          ), kf AS (
+            SELECT lang, n, p,
+                   least(1.0, round(p * 200.0 / n, 6)) AS keep_frac
+            FROM p
+          ), cut AS (
+            -- keep_frac * 2^60 is an exact mantissa scale; the 60-bit
+            -- md5 prefix compares as an INTEGER (a hex-string compare
+            -- would break at keep_frac = 1.0, whose cut is 16 digits)
+            SELECT lang, p, keep_frac,
+                   CAST(floor(keep_frac * 1152921504606846976.0)
+                        AS BIGINT) AS cutv
+            FROM kf
+          ), kept AS (
+            SELECT d.doc_id, d.lang, c.p, c.keep_frac
+            FROM documents d JOIN cut c USING (lang)
+            WHERE list_reduce(
+                    list_transform(
+                      string_split_regex(
+                        substr(md5('t:' || CAST(d.doc_id AS VARCHAR)),
+                               1, 15), ''),
+                      ch -> CAST(strpos('0123456789abcdef', ch) - 1
+                                 AS BIGINT)),
+                    (a, b) -> a * 16 + b) < c.cutv
+          )
+          SELECT lang, p, keep_frac, CAST(count(*) AS BIGINT) AS n_kept,
+                 min(doc_id) AS min_id, max(doc_id) AS max_id
+          FROM kept GROUP BY 1, 2, 3 ORDER BY 1
         """,
     }

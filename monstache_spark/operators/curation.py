@@ -1730,3 +1730,99 @@ def token_budget_sample(
         ((F.col("_off") + F.col("_cum_in_bkt"))
          < F.lit(int(budget_tokens))).alias("keep"),
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    temperature: float,
+    doc_budget: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "t",
+) -> DataFrame:
+    """Temperature-smoothed source sampling — the multilingual-LM
+    mixing rule (sample source ``s`` with probability
+    ``p_s ∝ n_s^(1/T)``; published as exponent-smoothed sampling in
+    the mBERT/XLM-R/mT5 line, where T>1 upweights low-resource
+    sources and T=1 is proportional).  Converts the draw
+    probabilities into per-document keep fractions against a total
+    ``doc_budget``: ``keep_s = min(1, p_s · budget / n_s)`` — an
+    over-asked source caps at keep-everything (no upsampling; the
+    report shows the shortfall), exactly plan_mixture's stance.
+
+    Determinism discipline (every step either exact or under a
+    documented rounded contract):
+
+    * ``w_s = pow(n_s, 1/T)`` is libm — rounded to 12 dp and summed
+      as exact ``decimal(38,12)`` (order-independent; the S11
+      rounded-transcendental contract).
+    * ``p_s = round(w_s / Σw, 6)``.
+    * membership: the first 15 md5 hex digits of ``seed:id`` as a
+      60-bit integer, kept iff ``< floor(keep_s · 2^60)`` —
+      multiplying a double by 2^60 scales the mantissa EXACTLY (a
+      power of two), so the cut integer is engine-identical and the
+      comparison is pure integer ordering (the hash_sample /
+      train_val_test_split family).
+
+    Plan: one hash agg over the corpus for ``n_s`` (map-side
+    combine), the O(#sources) stats frame broadcast back onto the
+    scan, one codegen filter — no shuffle of the corpus, no
+    driver-side collect.  Returns the kept docs with their group's
+    ``p`` and ``keep_frac`` attached (callers aggregate or join as
+    needed).
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0: {temperature}")
+    if doc_budget <= 0:
+        raise ValueError(f"doc_budget must be > 0: {doc_budget}")
+    counts = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    w = F.round(
+        F.pow(F.col("_n").cast("double"), F.lit(1.0 / float(temperature))),
+        12,
+    ).cast("decimal(38,12)")
+    weighted = counts.withColumn("_w", w)
+    tot = weighted.agg(F.sum("_w").cast("decimal(38,12)").alias("_tw"))
+    probs = (
+        weighted.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p",
+            F.round(
+                F.col("_w").cast("double") / F.col("_tw").cast("double"), 6
+            ),
+        )
+        .withColumn(
+            "keep_frac",
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    F.col("p") * F.lit(float(doc_budget))
+                    / F.col("_n").cast("double"),
+                    6,
+                ),
+            ),
+        )
+        .select(group_col, "_n", "p", "keep_frac")
+    )
+    cut = F.floor(
+        F.col("keep_frac") * F.lit(float(1 << 60))
+    ).cast("long")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(seed) + ":"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    joined = docs.join(F.broadcast(probs.withColumn("_cut", cut)), group_col)
+    return (
+        joined.filter(h < F.col("_cut"))
+        .drop("_cut", "_n")
+    )

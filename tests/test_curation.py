@@ -731,3 +731,48 @@ def test_token_budget_sample_semantics(spark):
     assert len(rows) == 200  # every doc gets a row, NULL stratum included
     null_kept = [r for r in rows if r["lang"] is None and r["keep"]]
     assert len(null_kept) == 10  # 5 tokens/doc, budget 50
+
+
+def test_temperature_sample(spark):
+    import pytest
+
+    from monstache_spark.operators.curation import temperature_sample
+
+    # skewed corpus: 64 'big' docs, 8 'small'
+    rows = [(i, "big" if i < 64 else "small") for i in range(72)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    def probs(t):
+        out = temperature_sample(
+            df, temperature=t, doc_budget=40, group_col="src"
+        )
+        return {r["src"]: (r["p"], r["keep_frac"])
+                for r in out.select("src", "p", "keep_frac")
+                .distinct().collect()}
+
+    p1 = probs(1.0)
+    p4 = probs(4.0)
+    # T=1 is proportional: p ratio equals the 8:1 count ratio (up to
+    # the 6-dp rounding of each probability)
+    assert abs(p1["big"][0] / p1["small"][0] - 8.0) < 1e-3
+    # higher temperature flattens the mixture toward uniform
+    assert p4["big"][0] / p4["small"][0] < p1["big"][0] / p1["small"][0]
+    # a source asked for more than it has caps at keep-everything
+    outcap = temperature_sample(
+        df, temperature=1.0, doc_budget=10_000, group_col="src"
+    )
+    kf = {r["src"]: r["keep_frac"]
+          for r in outcap.select("src", "keep_frac").distinct().collect()}
+    assert kf == {"big": 1.0, "small": 1.0}
+    assert outcap.count() == 72  # keep_frac 1.0 keeps every doc
+    # membership is deterministic and partitioning-invariant
+    a = sorted(r["doc_id"] for r in temperature_sample(
+        df, 2.0, 40, group_col="src").select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in temperature_sample(
+        df.repartition(7), 2.0, 40, group_col="src")
+        .select("doc_id").collect())
+    assert a == b and 0 < len(a) < 72
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_sample(df, 0.0, 40, group_col="src")
+    with pytest.raises(ValueError, match="doc_budget"):
+        temperature_sample(df, 1.0, 0, group_col="src")

@@ -1074,6 +1074,17 @@ CHECKS = [
         and "SortAggregate" not in p
         and "Python" not in p,
     ),
+    (
+        "temperature_mixture",
+        "temperature sampling: the O(#sources) stats frame broadcasts "
+        "back onto the scan (no corpus shuffle for membership), hash "
+        "aggs throughout, no Python, no cartesian product",
+        lambda p: "BroadcastHashJoin" in p
+        and "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Cartesian" not in p
+        and "Python" not in p,
+    ),
 ]
 
 
