@@ -8351,7 +8351,7 @@ def oracle_sql() -> dict[str, str]:
                  round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
           FROM perq p LEFT JOIN idl USING (query_id)
         """,
-        "quality_decile_map": """
+        "quality_decile_map": r"""
           WITH c AS (
             SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
             FROM documents),
@@ -9694,7 +9694,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS epoch_pos
           FROM k
         """,
-        "es_sig_terms_chi2": """
+        "es_sig_terms_chi2": r"""
           WITH base AS (
             SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg, text
             FROM documents
@@ -9724,7 +9724,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
           FROM s ORDER BY score DESC, term ASC LIMIT 10
         """,
-        "es_sig_terms_mi": """
+        "es_sig_terms_mi": r"""
           WITH base AS (
             SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg, text
             FROM documents
@@ -9747,7 +9747,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
           FROM s ORDER BY score DESC, term ASC LIMIT 10
         """,
-        "es_sig_terms_pct": """
+        "es_sig_terms_pct": r"""
           WITH base AS (
             SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg, text
             FROM documents
@@ -9770,7 +9770,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY score DESC, term ASC) AS BIGINT) AS rank
           FROM s ORDER BY score DESC, term ASC LIMIT 10
         """,
-        "es_sig_terms_gnd": """
+        "es_sig_terms_gnd": r"""
           WITH base AS (
             SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg, text
             FROM documents
@@ -11572,7 +11572,7 @@ def oracle_sql() -> dict[str, str]:
           WITH corpus AS (SELECT doc_id, text FROM documents),
           {bm25_sql("term IN ('merge')", 20, _SYN_AN.sql_tokens("text"))}
         """,
-        "es_esql_mv_funcs": """
+        "es_esql_mv_funcs": r"""
           WITH t AS (
             SELECT doc_id,
                    string_split_regex(trim(lower(text)), '\s+') AS toks
@@ -11662,7 +11662,7 @@ def oracle_sql() -> dict[str, str]:
             AND n_chars > 100
           GROUP BY source ORDER BY source
         """,
-        "es_esql_match": """
+        "es_esql_match": r"""
           WITH t AS (
             SELECT lang, n_chars,
                    list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -13195,7 +13195,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN q ON sc.lang = q.lang)
           WHERE rk <= k
         """,
-        "bigram_lm_quality": """
+        "bigram_lm_quality": r"""
           WITH c AS (
             SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
             FROM documents),
@@ -14096,8 +14096,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "temperature_mixture": """
           WITH c AS (
+            -- NULL-group contract: a NULL lang is excluded BEFORE
+            -- the count (it can never match the equi-join back, so
+            -- counting it would skew every p_s) — mirrors
+            -- temperature_sample's explicit isNotNull gate
             SELECT lang, CAST(count(*) AS BIGINT) AS n
-            FROM documents GROUP BY 1
+            FROM documents WHERE lang IS NOT NULL GROUP BY 1
           ), w AS (
             SELECT lang, n,
                    CAST(round(pow(n, 0.5), 12) AS DECIMAL(38,12)) AS w

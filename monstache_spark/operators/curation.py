@@ -1775,6 +1775,14 @@ def temperature_sample(
         raise ValueError(f"temperature must be > 0: {temperature}")
     if doc_budget <= 0:
         raise ValueError(f"doc_budget must be > 0: {doc_budget}")
+    # NULL-group contract (ADVICE r13): docs with a NULL group_col
+    # are excluded BEFORE the count agg — groupBy would keep the
+    # NULL stratum (inflating the weight denominator and skewing
+    # every p_s) while the equi-join back can never match NULL keys,
+    # so its budget mass would be silently unspendable.  A source
+    # label is required to participate in the mixture; sibling
+    # token_budget_sample spells the same stratum out explicitly.
+    docs = docs.filter(F.col(group_col).isNotNull())
     counts = docs.groupBy(group_col).agg(
         F.count("*").cast("long").alias("_n")
     )

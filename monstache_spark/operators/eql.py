@@ -539,10 +539,15 @@ def _split_outside(s: str, sep: str) -> list[str]:
     the esql scanners must also handle), so a quote here is always
     a string delimiter."""
     parts, cur, depth, in_str = [], [], 0, False
+    escaped = False  # toggling flag: "…\\\\" closes, "…\\"" doesn't
     for i, ch in enumerate(s):
         if in_str:
             cur.append(ch)
-            if ch == '"' and s[i - 1] != "\\":
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
                 in_str = False
         elif ch == '"':
             in_str = True
@@ -600,10 +605,15 @@ def _find_groups(text: str):
         if ch != "[":
             raise ValueError(f"expected `[` at: {text[i:i+30]!r}")
         depth, j, in_str = 0, i, False
+        escaped = False
         while j < n:
             cj = text[j]
             if in_str:
-                if cj == '"' and text[j - 1] != "\\":
+                if escaped:
+                    escaped = False
+                elif cj == "\\":
+                    escaped = True
+                elif cj == '"':
                     in_str = False
             elif cj == '"':
                 in_str = True
@@ -749,11 +759,16 @@ def eql(
     for m in re.finditer(r"\buntil\b", rest, re.I):
         seg = rest[:m.start()]
         depth = in_str = 0
+        escaped = False
         i = 0
         while i < len(seg):
             ch = seg[i]
             if in_str:
-                if ch == '"' and seg[i - 1] != "\\":
+                if escaped:
+                    escaped = False
+                elif ch == "\\":
+                    escaped = True
+                elif ch == '"':
                     in_str = False
             elif ch == '"':
                 in_str = True

@@ -241,12 +241,17 @@ def _split_top(s: str, sep: str) -> list[str]:
     argument, not three)."""
     parts, depth, cur = [], 0, []
     in_str: str | None = None  # the active quote char (" or ')
+    escaped = False  # toggling flag: "…\\\\" closes, "…\\"" doesn't
     i = 0
     while i < len(s):
         ch = s[i]
         if in_str is not None:
             cur.append(ch)
-            if ch == in_str and (in_str == "'" or s[i - 1] != "\\"):
+            if escaped:
+                escaped = False
+            elif ch == "\\" and in_str == '"':
+                escaped = True
+            elif ch == in_str:
                 in_str = None
         elif ch in ('"', "'"):
             in_str = ch
@@ -1435,10 +1440,18 @@ def _fork_branches(body: str) -> list[str]:
             )
         depth, j = 0, i
         in_str: str | None = None
+        escaped = False
         while j < n:
             c = body[j]
             if in_str is not None:
-                if c == in_str and (in_str == "'" or body[j - 1] != "\\"):
+                # toggling escape flag: "…\\\\" is a closed string
+                # (the pair consumes itself), "…\\"" is not — a
+                # single look-behind at body[j-1] gets both wrong
+                if escaped:
+                    escaped = False
+                elif c == "\\" and in_str == '"':
+                    escaped = True
+                elif c == in_str:
                     in_str = None
             elif c in ('"', "'"):
                 in_str = c
@@ -1464,13 +1477,18 @@ def _split_kw(s: str, word: str) -> list[str]:
     parentheses (the quote-aware twin of ``re.split`` for the STATS
     ``BY`` / per-aggregate ``WHERE`` keywords — a bare regex split
     would cut inside string literals like ``"WHERE it failed"``)."""
-    depth, in_str = 0, False
+    depth, in_str, escaped = 0, False, False
     wl = len(word)
     i = 0
     while i < len(s):
         ch = s[i]
         if in_str:
-            if ch == '"' and s[i - 1] != "\\":
+            # toggling escape flag, same contract as _split_top
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
                 in_str = False
         elif ch == '"':
             in_str = True
@@ -1873,6 +1891,7 @@ def esql(
     dimensions: list[str] | None = None,
     time_col: str = "ts",
     seq_col: str = "event_id",
+    fork_persist: bool = False,
 ) -> DataFrame:
     """Compile one ES|QL query against the given table map.
     ``enrich_policies`` maps a policy name to ``(frame, match_field)``
@@ -1884,7 +1903,13 @@ def esql(
     ``time_series_dimension``), ``time_col`` and ``seq_col`` (the
     deterministic within-series order, the engine's packed (ts, id)
     contract).  RATE() is then legal inside STATS — see
-    ``_ts_rate_stats``."""
+    ``_ts_rate_stats``.
+
+    ``fork_persist``: FORK plans one independent subtree per branch
+    and Spark does not dedupe identical subtrees, so a FORK whose
+    input is an expensive computed pipe re-executes that pipe per
+    branch (up to 8×).  True persists the branch input once before
+    compilation; the caller owns the cache lifetime."""
     stages = [s.strip() for s in _split_top(query, "|") if s.strip()]
     if not stages:
         raise ValueError("empty ES|QL query")
@@ -2277,19 +2302,36 @@ def esql(
             # the `_fork` discriminator ("fork1", "fork2", … in
             # branch order — the ES contract) and union by name with
             # null-fill for branch-local columns.  Each branch
-            # compiles through a recursive esql() call on a
-            # single-entry table map, so every stage command (STATS,
-            # SORT, LOOKUP JOIN, …) is legal inside a branch exactly
-            # as in ES.  Declarative plan: N filtered/aggregated
-            # subtrees over one shared scan, Union on top — no
-            # per-row work, and Catalyst reuses the scan across
-            # branches.
+            # compiles through a recursive esql() call whose table
+            # map is the OUTER map plus the incoming frame under
+            # `__fork_input__`, so every stage command (STATS, SORT,
+            # LOOKUP JOIN against an outer lookup table, …) is legal
+            # inside a branch exactly as in ES.  Declarative plan:
+            # N independent subtrees over the same input, Union on
+            # top — no per-row work.  Honesty note: Spark does NOT
+            # dedupe identical scan subtrees without exchange reuse,
+            # so an N-branch FORK plans N scans of the input; over a
+            # raw parquet scan that exactly mirrors ES's per-branch
+            # execution (each branch re-reads the shards), but over
+            # an expensive COMPUTED upstream the subtree re-executes
+            # per branch — pass fork_persist=True to cache the
+            # input once across branches in that case.
             branches = _fork_branches(body)
+            if "__fork_input__" in tables:
+                raise ValueError(
+                    "table name __fork_input__ is reserved for the "
+                    "FORK branch input"
+                )
             if not 2 <= len(branches) <= 8:
                 raise ValueError(
                     f"FORK takes 2-8 parenthesized branches, got "
                     f"{len(branches)} (the ES limit)"
                 )
+            if fork_persist:
+                # one materialization shared by all branch subtrees;
+                # caller owns the lifetime (unpersist after the
+                # result is consumed, or let the LRU evict it)
+                df = df.persist()
             outs = []
             for i, br in enumerate(branches, start=1):
                 for st in _split_top(br, "|"):
@@ -2299,7 +2341,7 @@ def esql(
                         )
                 sub = esql(
                     "FROM __fork_input__ | " + br,
-                    {"__fork_input__": df},
+                    {**tables, "__fork_input__": df},
                     spark=spark,
                     enrich_policies=enrich_policies,
                 )

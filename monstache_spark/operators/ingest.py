@@ -809,6 +809,17 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                     if part in names and names[part].typeName() == "struct":
                         dt = names[part]
                         depth += 1
+                    elif part in names:
+                        # an intermediate that exists as a SCALAR
+                        # would be silently replaced by withField
+                        # (data loss) — refuse exactly like the
+                        # root-level non-struct case (ADVICE r13)
+                        raise ValueError(
+                            "dot_expander: "
+                            f"{'.'.join([root] + parts[:depth + 1])!r}"
+                            " exists and is not a struct — rename it "
+                            "first"
+                        )
                     else:
                         break
                 val = src
@@ -876,10 +887,17 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
                         "reroute needs destination or dataset/"
                         "namespace"
                     )
-                target = F.concat_ws(
-                    "-",
+                # F.concat, not concat_ws: concat_ws SKIPS a NULL
+                # mustache-resolved field and collapses the segment
+                # ("logs-web" from a NULL namespace) — ES fails the
+                # document on a missing field, and this module's
+                # failure contract is NULL propagation, so a NULL
+                # field must yield a NULL _index (ADVICE r13)
+                target = F.concat(
                     _tmpl(opts.get("type", "logs")),
+                    F.lit("-"),
                     _tmpl(opts.get("dataset", "generic")),
+                    F.lit("-"),
                     _tmpl(opts.get("namespace", "default")),
                 )
             df = _apply_conditional(df, "_index", target, cond)

@@ -776,3 +776,33 @@ def test_temperature_sample(spark):
         temperature_sample(df, 0.0, 40, group_col="src")
     with pytest.raises(ValueError, match="doc_budget"):
         temperature_sample(df, 1.0, 0, group_col="src")
+
+
+def test_temperature_sample_null_group_excluded(spark):
+    """ADVICE r13: docs with a NULL group_col are excluded BEFORE the
+    count agg — a NULL stratum would inflate the weight denominator
+    (skewing every p_s) while the equi-join back can never match it,
+    so its budget mass was silently unspendable."""
+    from monstache_spark.operators.curation import temperature_sample
+
+    rows = [(i, "big" if i < 64 else "small") for i in range(72)]
+    clean = spark.createDataFrame(rows, "doc_id long, src string")
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(100 + i, None) for i in range(500)], "doc_id long, src string"
+    ))
+    # the NULL stratum must not perturb the mixture: p and keep_frac
+    # per labeled source are identical with and without NULL docs
+    def stats(df):
+        return {
+            r["src"]: (r["p"], r["keep_frac"])
+            for r in temperature_sample(
+                df, temperature=2.0, doc_budget=40, group_col="src"
+            ).select("src", "p", "keep_frac").distinct().collect()
+        }
+    assert stats(dirty) == stats(clean)
+    # and NULL-group docs never appear in the output
+    out = temperature_sample(
+        dirty, temperature=1.0, doc_budget=10_000, group_col="src"
+    )
+    assert out.filter("src IS NULL").count() == 0
+    assert out.count() == 72

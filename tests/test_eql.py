@@ -647,3 +647,20 @@ def test_eql_join_without_until_equals_sample(spark):
     j = {tuple(r) for r in eql_join(ev, filters, by="user").collect()}
     s = {tuple(r) for r in eql_sample(ev, filters, by="user").collect()}
     assert j == s and len(j) > 0
+
+
+def test_scanner_escaped_backslash_closes_string():
+    """ADVICE-r13 class fix: a string literal ending in an escaped
+    backslash ("…\\\\") closes the string — the single look-behind
+    treated the quote as escaped and mis-bracketed everything after
+    it in all three eql scanners."""
+    from monstache_spark.operators.eql import _split_outside
+
+    # the comma AFTER the closed string must split
+    assert _split_outside('a == "x\\\\", b == 2', ",") == (
+        ['a == "x\\\\"', ' b == 2']
+    )
+    # a genuinely escaped quote must NOT close the string
+    assert _split_outside('a == "x\\",y", b', ",") == (
+        ['a == "x\\",y"', ' b']
+    )

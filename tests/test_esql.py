@@ -1350,3 +1350,62 @@ def test_fork(spark, t):
         esql('FROM t | COMPLETION x = "prompt"', {"t": t})
     with pytest.raises(ValueError, match="_score"):
         esql("FROM t | RRF", {"t": t})
+
+
+def test_fork_outer_tables_visible_in_branch(spark, t):
+    """ADVICE r13: the recursive branch compile must carry the OUTER
+    table map, so a LOOKUP JOIN against an outer lookup table is
+    legal inside a FORK branch (as the FORK docstring promises)."""
+    from monstache_spark.operators.esql import esql
+
+    lk = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "k string, label string"
+    )
+    out = esql(
+        "FROM t | FORK ( LOOKUP JOIN lk ON k | KEEP id, label )"
+        " ( WHERE k == \"b\" | KEEP id )"
+        " | SORT _fork ASC, id ASC",
+        {"t": t, "lk": lk},
+    ).collect()
+    assert [(r["_fork"], r["id"], r["label"]) for r in out] == [
+        ("fork1", 1, "alpha"), ("fork1", 2, "alpha"),
+        ("fork1", 3, "beta"), ("fork2", 3, None),
+    ]
+    # the branch-input name is reserved
+    with pytest.raises(ValueError, match="reserved"):
+        esql(
+            'FROM t | FORK ( WHERE k == "a" ) ( WHERE k == "b" )',
+            {"t": t, "__fork_input__": lk},
+        )
+
+
+def test_fork_branch_escaped_backslash_string(spark, t):
+    """ADVICE r13: a branch string literal ending in an escaped
+    backslash ("…\\\\") must close the string — the old single
+    look-behind left the parser thinking it was still open and
+    mis-bracketed the branch."""
+    from monstache_spark.operators.esql import esql
+
+    df = spark.createDataFrame(
+        [(1, "x\\"), (2, "y")], "id long, path string"
+    )
+    out = esql(
+        'FROM d | FORK ( WHERE path == "x\\\\" | KEEP id )'
+        " ( WHERE id == 2 | KEEP id ) | SORT _fork ASC",
+        {"d": df},
+    ).collect()
+    assert [(r["_fork"], r["id"]) for r in out] == [("fork1", 1), ("fork2", 2)]
+
+
+def test_fork_persist_knob(spark, t):
+    """fork_persist=True caches the branch input once; results are
+    identical to the uncached plan."""
+    from monstache_spark.operators.esql import esql
+
+    q = ('FROM t | EVAL v2 = v * 3 | FORK ( WHERE k == "a" )'
+         ' ( WHERE k == "b" ) | SORT _fork ASC, id ASC')
+    plain = [tuple(r) for r in esql(q, {"t": t}).collect()]
+    cached_df = esql(q, {"t": t}, fork_persist=True)
+    cached = [tuple(r) for r in cached_df.collect()]
+    assert plain == cached
+    spark.catalog.clearCache()

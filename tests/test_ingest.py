@@ -705,3 +705,37 @@ def test_reroute(spark):
             "destination": "x", "dataset": "y"}}])
     with pytest.raises(ValueError, match="needs destination"):
         ingest_pipeline(df, [{"reroute": {}}])
+
+
+def test_dot_expander_intermediate_scalar_refuses(spark):
+    """ADVICE r13: an intermediate path segment that exists as a
+    SCALAR must refuse like the root-level non-struct case —
+    withField would silently replace the scalar with a new struct
+    (data loss)."""
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "named_struct('b', 7) AS n", "id AS `n.b.c`"
+    )
+    with pytest.raises(ValueError, match="is not a struct"):
+        ingest_pipeline(df, [{"dot_expander": {"field": "n.b.c"}}])
+    # deeper: n.b is a struct but n.b.q is a scalar blocking n.b.q.r
+    df2 = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "id", "named_struct('b', named_struct('q', 5)) AS n",
+        "id AS `n.b.q.r`"
+    )
+    with pytest.raises(ValueError, match="'n.b.q' exists and is not"):
+        ingest_pipeline(df2, [{"dot_expander": {"field": "n.b.q.r"}}])
+
+
+def test_reroute_null_field_propagates(spark):
+    """ADVICE r13: a NULL mustache-resolved field must yield a NULL
+    _index (the module's NULL-propagating failure contract) — the
+    old concat_ws SKIPPED the NULL and collapsed the segment to
+    'logs-web'."""
+    df = spark.createDataFrame(
+        [(1, "web", "prod"), (2, "api", None)],
+        "id long, svc string, env string",
+    )
+    out = ingest_pipeline(df, [{"reroute": {
+        "dataset": "{{svc}}", "namespace": "{{env}}"}}])
+    got = {r["id"]: r["_index"] for r in out.collect()}
+    assert got == {1: "logs-web-prod", 2: None}

@@ -1132,6 +1132,50 @@ def extra_checks(spark, sf_dir):
         tm,
     )
 
+    from monstache_spark.operators.esql import esql
+
+    # r14 (VERDICT r13 task #3): pin FORK's CURRENT execution
+    # contract — Spark does NOT dedupe identical subtrees, so an
+    # N-branch FORK over a raw scan plans N scans of the input
+    # (mirroring ES's per-branch shard reads).  If a future Spark
+    # starts reusing the scan this assertion flags the (welcome)
+    # contract change rather than letting the docstring drift.
+    fk = esql(
+        "FROM documents | FORK ( WHERE lang == \"en\" | STATS n = "
+        "COUNT(*) ) ( STATS m = COUNT(*) BY lang )",
+        {"documents": docs},
+    )
+    yield (
+        "esql_fork[branch scan count]",
+        "2-branch FORK over a raw scan = Union of exactly TWO parquet "
+        "scans (no cross-branch subtree reuse — the documented "
+        "contract), hash aggs, no Python",
+        lambda p: "Union" in p
+        and p.count("Scan parquet") == 2
+        and "* HashAggregate" in p
+        and "Python" not in p,
+        fk,
+    )
+    # fork_persist=True replaces the N scans with InMemoryTableScans
+    # over ONE materialization — the documented knob for computed
+    # upstreams
+    fkp = esql(
+        "FROM documents | FORK ( WHERE lang == \"en\" | STATS n = "
+        "COUNT(*) ) ( STATS m = COUNT(*) BY lang )",
+        {"documents": docs},
+        fork_persist=True,
+    )
+    yield (
+        "esql_fork[persist knob]",
+        "fork_persist=True: both branches read the ONE cached input "
+        "(InMemoryTableScan), zero raw re-scans above the cache",
+        lambda p: "Union" in p
+        and p.count("InMemoryTableScan") == 2
+        and "Python" not in p,
+        fkp,
+    )
+    spark.catalog.clearCache()
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
