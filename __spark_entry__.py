@@ -7446,6 +7446,75 @@ def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _q_es_esql_to_date_nanos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL TO_DATE_NANOS — graduated from the S36 refusal list in
+    r14 under a DOCUMENTED TRUNCATION (ES date_nanos is ns, the
+    Spark/Arrow path is µs): a long is NANOS since epoch truncated
+    with integer div 1000, a string date-parses with its fraction
+    regexp-trimmed to 6 digits first (Spark rejects 7+ fractional
+    digits where DuckDB silently truncates — the explicit trim makes
+    both engines truncate identically), a datetime passes through.
+    The gate fabricates 9-digit-fraction inputs from ts + sub-µs
+    junk digits; truncation must land every form back on ts."""
+    from monstache_spark.operators.esql import esql
+
+    ev = load_table(spark, "events", sf_dir)
+    prepared = ev.select(
+        "event_type",
+        "ts",
+        (F.unix_micros(F.col("ts")) * F.lit(1000)
+         + F.pmod(F.col("event_id"), F.lit(997))).alias("ns_long"),
+        F.concat(
+            F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.lpad(F.pmod(F.col("event_id"), F.lit(997)).cast("string"),
+                   3, "0"),
+        ).alias("ns_str"),
+    )
+    return esql(
+        "FROM e"
+        " | EVAL t_long = TO_DATE_NANOS(ns_long),"
+        " t_str = TO_DATE_NANOS(ns_str), t_ts = TO_DATE_NANOS(ts)"
+        " | STATS n = COUNT(*),"
+        " n_eq_long = SUM(CASE(t_long == t_ts, 1, 0)),"
+        " n_eq_str = SUM(CASE(t_str == t_ts, 1, 0)),"
+        " mn = MIN(t_long), mx = MAX(t_str)"
+        " BY event_type"
+        " | SORT event_type ASC",
+        {"e": prepared},
+    )
+
+
+def _q_es_ingest_uri_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uri_parts' two remaining ES options (S34 re-scan, r14):
+    keep_original copies the unparsed value to <target>_original
+    (default FALSE here — the flattened rendering keeps the source
+    column, so the ES-default copy is pure duplication; documented
+    divergence), remove_if_successful clears the source where the
+    URI parsed (NULL is the columnar 'absent') and keeps it on
+    non-URI rows, as ES does.  Every tenth doc carries a non-URI
+    value to pin the matched/unmatched split.  Map-only plan; the
+    oracle derives every column algebraically."""
+    from monstache_spark.operators.ingest import ingest_pipeline
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) == 0, F.lit("not a uri")
+        ).otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+                F.col("lang"), F.lit("/d"), F.col("doc_id").cast("string"),
+                F.lit(".txt?x="), F.col("n_chars").cast("string"),
+            )
+        ).alias("url"),
+    )
+    return ingest_pipeline(docs, [
+        {"uri_parts": {"field": "url", "target_field": "u",
+                       "keep_original": True,
+                       "remove_if_successful": True}},
+    ])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_cdc_materialize(spark, "/root/testdata/sf0.001")
@@ -7849,6 +7918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "es_ingest_reroute": _q_es_ingest_reroute,
         "es_sliced_scroll": _q_es_sliced_scroll,
         "temperature_mixture": _q_temperature_mixture,
+        # --- round-14 additions (inside the round-14 window, so no
+        # registry query is ever left un-gated) ---
+        "es_esql_to_date_nanos": _q_es_esql_to_date_nanos,
+        "es_ingest_uri_full": _q_es_ingest_uri_full,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -14139,5 +14212,58 @@ def oracle_sql() -> dict[str, str]:
           SELECT lang, p, keep_frac, CAST(count(*) AS BIGINT) AS n_kept,
                  min(doc_id) AS min_id, max(doc_id) AS max_id
           FROM kept GROUP BY 1, 2, 3 ORDER BY 1
+        """,
+        "es_esql_to_date_nanos": """
+          WITH e AS (
+            SELECT event_type, ts,
+                   epoch_us(ts) * 1000 + (event_id % 997) AS ns_long,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                     || lpad(CAST(event_id % 997 AS VARCHAR), 3, '0')
+                     AS ns_str
+            FROM events),
+          t AS (
+            -- the documented truncation: long nanos integer-div to
+            -- micros; DuckDB's string->timestamp cast already
+            -- truncates 7+ fraction digits to micros (the engine
+            -- regexp-trims to 6 first -- same result by contract)
+            SELECT event_type, ts,
+                   make_timestamp(ns_long // 1000) AS t_long,
+                   CAST(ns_str AS TIMESTAMP) AS t_str
+            FROM e)
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN t_long = ts THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_eq_long,
+                 CAST(sum(CASE WHEN t_str = ts THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_eq_str,
+                 min(t_long) AS mn, max(t_str) AS mx
+          FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "es_ingest_uri_full": """
+          WITH src AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'not a uri'
+                        ELSE 'https://' || source || '.example.com/'
+                             || lang || '/d' || CAST(doc_id AS VARCHAR)
+                             || '.txt?x=' || CAST(n_chars AS VARCHAR)
+                   END AS url,
+                   (doc_id % 10 <> 0) AS ok,
+                   source, lang, n_chars
+            FROM documents)
+          SELECT doc_id,
+                 CASE WHEN ok THEN NULL ELSE url END AS url,
+                 CASE WHEN ok THEN 'https' END AS u_scheme,
+                 CAST(NULL AS VARCHAR) AS u_user_info,
+                 CASE WHEN ok THEN source || '.example.com' END
+                   AS u_domain,
+                 CAST(NULL AS BIGINT) AS u_port,
+                 CASE WHEN ok THEN '/' || lang || '/d'
+                      || CAST(doc_id AS VARCHAR) || '.txt' END AS u_path,
+                 CASE WHEN ok THEN 'x=' || CAST(n_chars AS VARCHAR) END
+                   AS u_query,
+                 CAST(NULL AS VARCHAR) AS u_fragment,
+                 CASE WHEN ok THEN 'txt' END AS u_extension,
+                 url AS u_original
+          FROM src
         """,
     }

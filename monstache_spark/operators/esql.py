@@ -134,8 +134,6 @@ _REFUSED_FNS = {
     "comparator with no cross-engine arithmetic",
     "TO_UNSIGNED_LONG": "no unsigned 64-bit integer exists on the "
     "JVM/Arrow path; use TO_LONG",
-    "TO_DATE_NANOS": "Spark timestamps are microsecond precision; "
-    "use TO_DATETIME (documented truncation)",
     "TO_DATEPERIOD": "interval literals — express date math via "
     "DATE_DIFF / BUCKET spans",
     "TO_TIMEDURATION": "interval literals — express date math via "
@@ -350,6 +348,26 @@ _FN_TEMPLATES = {
         "try_element_at(transform(array(MV_MEDIAN({0})),"
         " _m -> MV_MEDIAN(transform({0},"
         " _v -> abs(CAST(_v AS DOUBLE) - _m)))), 1)"
+    ),
+    # ES|QL TO_DATE_NANOS — graduated from the S36 refusal list in
+    # r14 under a DOCUMENTED TRUNCATION: ES's date_nanos is ns
+    # precision, Spark/Arrow timestamps are µs, so every rendering
+    # truncates sub-µs digits (toward zero; the gated corpus is
+    # post-epoch where trunc == floor).  Type dispatch is a typeof()
+    # CASE — constant-foldable per column, and the untaken branches
+    # never evaluate, so the ANSI casts cannot throw cross-type:
+    # a datetime passes through (ES parity), an integral is NANOS
+    # since epoch div 1000, anything else parses as a date string
+    # with the fraction regexp-trimmed to 6 digits first (Spark
+    # rejects 7+ fractional digits where DuckDB would truncate —
+    # the explicit trim makes both engines truncate identically).
+    "TO_DATE_NANOS": (
+        "(CASE WHEN typeof({0}) IN ('timestamp', 'timestamp_ntz')"
+        " THEN CAST({0} AS TIMESTAMP)"
+        " WHEN typeof({0}) IN ('bigint', 'int', 'smallint', 'tinyint')"
+        " THEN timestamp_micros(CAST({0} AS BIGINT) div 1000)"
+        " ELSE try_cast(regexp_replace(CAST({0} AS STRING),"
+        " '(\\\\.[0-9]{6})[0-9]+', '$1') AS TIMESTAMP) END)"
     ),
     # ES|QL TO_IP: the engine stores ips as dotted-quad strings, so
     # the conversion is a validity gate — a malformed address yields

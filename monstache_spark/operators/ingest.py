@@ -124,7 +124,8 @@ _PROC_OPTS = {
     "urldecode": {"field", "target_field"},
     "html_strip": {"field", "target_field"},
     "bytes": {"field", "target_field"},
-    "uri_parts": {"field", "target_field"},
+    "uri_parts": {"field", "target_field", "keep_original",
+                  "remove_if_successful"},
     "sort": {"field", "order", "target_field"},
     "kv": {"field", "field_split", "value_split", "include_keys",
            "prefix"},
@@ -621,6 +622,25 @@ def ingest_pipeline(df: DataFrame, processors: list[dict]) -> DataFrame:
             )
             ext = F.when(ext == "", F.lit(None)).otherwise(ext)
             df = _apply_conditional(df, f"{tf}_extension", ext, cond)
+            # r14 (S34 re-scan): the two remaining ES uri_parts
+            # options, both deterministic.  keep_original copies the
+            # unparsed value to <tf>_original — ES defaults it TRUE
+            # because it REMOVES nothing by default and nests parts
+            # under an object; in this flattened rendering the source
+            # column already persists, so the copy defaults FALSE
+            # (documented divergence — opt in for the ES column).
+            if opts.get("keep_original", False):
+                df = _apply_conditional(df, f"{tf}_original", src, cond)
+            # remove_if_successful clears the source where the URI
+            # parsed (ES removes the field per document; NULL is the
+            # columnar "absent", the module's standing rendering) —
+            # non-URI rows keep their value, as in ES
+            if opts.get("remove_if_successful", False):
+                df = _apply_conditional(
+                    df, opts["field"],
+                    F.when(matched, F.lit(None).cast("string")).otherwise(src),
+                    cond,
+                )
 
         elif ptype == "sort":
             _require(opts, "field")

@@ -1409,3 +1409,31 @@ def test_fork_persist_knob(spark, t):
     cached = [tuple(r) for r in cached_df.collect()]
     assert plain == cached
     spark.catalog.clearCache()
+
+
+def test_to_date_nanos(spark):
+    """S36 graduation (r14): TO_DATE_NANOS under the documented µs
+    truncation — long input is NANOS since epoch div 1000, string
+    input date-parses with the fraction trimmed to 6 digits,
+    datetime passes through."""
+    from monstache_spark.operators.esql import esql
+
+    df = spark.sql(
+        "SELECT timestamp'2024-03-05 10:20:30.123456' AS ts,"
+        " CAST(1709634030123456789 AS BIGINT) AS ns,"
+        " '2024-03-05 10:20:30.123456789' AS s,"
+        " 'garbage' AS bad"
+    )
+    out = esql(
+        "FROM t | EVAL a = TO_DATE_NANOS(ns), b = TO_DATE_NANOS(s),"
+        " c = TO_DATE_NANOS(ts), d = TO_DATE_NANOS(bad)"
+        " | KEEP a, b, c, d",
+        {"t": df},
+    ).collect()[0]
+    import datetime
+
+    expect = datetime.datetime(2024, 3, 5, 10, 20, 30, 123456)
+    assert out["a"] == expect  # 1709634030123456789 ns == that µs
+    assert out["b"] == expect
+    assert out["c"] == expect
+    assert out["d"] is None  # unparseable -> NULL (the ES on-error shape)

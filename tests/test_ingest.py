@@ -739,3 +739,33 @@ def test_reroute_null_field_propagates(spark):
         "dataset": "{{svc}}", "namespace": "{{env}}"}}])
     got = {r["id"]: r["_index"] for r in out.collect()}
     assert got == {1: "logs-web-prod", 2: None}
+
+
+def test_uri_parts_keep_original_remove_if_successful(spark):
+    """S34 re-scan (r14): the two remaining uri_parts options.
+    keep_original copies the unparsed value to <target>_original;
+    remove_if_successful clears the source only where the URI parsed
+    (NULL is the columnar 'absent'), keeping it on non-URI rows."""
+    df = spark.createDataFrame(
+        [(1, "https://h.example.com/a/b.txt?q=1"), (2, "not a uri")],
+        "id long, url string",
+    )
+    out = ingest_pipeline(df, [
+        {"uri_parts": {"field": "url", "target_field": "u",
+                       "keep_original": True,
+                       "remove_if_successful": True}},
+    ])
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["u_scheme"] == "https"
+    assert rows[1]["u_domain"] == "h.example.com"
+    assert rows[1]["u_path"] == "/a/b.txt"
+    assert rows[1]["u_extension"] == "txt"
+    assert rows[1]["u_original"] == "https://h.example.com/a/b.txt?q=1"
+    assert rows[1]["url"] is None  # removed: parse succeeded
+    assert rows[2]["u_scheme"] is None
+    assert rows[2]["u_original"] == "not a uri"
+    assert rows[2]["url"] == "not a uri"  # kept: parse failed
+    # unknown option still refuses loudly
+    with pytest.raises(ValueError, match="option"):
+        ingest_pipeline(df, [{"uri_parts": {"field": "url",
+                                            "bogus": True}}])

@@ -1074,6 +1074,23 @@ CHECKS = [
         and "SortAggregate" not in p
         and "Python" not in p,
     ),
+    # --- round-14 additions ---
+    (
+        "es_esql_to_date_nanos",
+        "TO_DATE_NANOS: codegen projection + ONE hash agg — the "
+        "typeof() dispatch folds, no Python, no sort agg",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Python" not in p,
+    ),
+    (
+        "es_ingest_uri_full",
+        "uri_parts with keep_original/remove_if_successful stays a "
+        "map-only projection — no shuffle, no join, no Python",
+        lambda p: "Exchange" not in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
     (
         "temperature_mixture",
         "temperature sampling: the O(#sources) stats frame broadcasts "
@@ -1150,8 +1167,10 @@ def extra_checks(spark, sf_dir):
         "2-branch FORK over a raw scan = Union of exactly TWO parquet "
         "scans (no cross-branch subtree reuse — the documented "
         "contract), hash aggs, no Python",
+        # count TREE nodes ("- Scan parquet"), not the detail
+        # sections that repeat each node header
         lambda p: "Union" in p
-        and p.count("Scan parquet") == 2
+        and p.count("- Scan parquet") == 2
         and "* HashAggregate" in p
         and "Python" not in p,
         fk,
@@ -1168,9 +1187,12 @@ def extra_checks(spark, sf_dir):
     yield (
         "esql_fork[persist knob]",
         "fork_persist=True: both branches read the ONE cached input "
-        "(InMemoryTableScan), zero raw re-scans above the cache",
+        "(two InMemoryTableScans over one InMemoryRelation; the raw "
+        "scan appears only inside the cache-build definition, "
+        "executed once at fill)",
         lambda p: "Union" in p
-        and p.count("InMemoryTableScan") == 2
+        and p.count("- InMemoryTableScan") == 2
+        and "InMemoryRelation" in p
         and "Python" not in p,
         fkp,
     )
