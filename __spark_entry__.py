@@ -7515,6 +7515,44 @@ def _q_es_ingest_uri_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def _q_es_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn pipeline agg (aggs.moving_fn, r14): ewma,
+    linearWeightedAvg and population stdDev over a 7-bucket window of
+    PRIOR daily doc counts per event_type (shift=0 — the ES window
+    excludes the current bucket; first bucket yields NULL).  Integer
+    metrics keep every fold exact; ewma is the exact ES oldest-seeded
+    left fold in doubles, identical order in both engines.  One
+    corpus hash agg to daily buckets, then window passes over
+    bucket-cardinality rows."""
+    from monstache_spark.operators.aggs import moving_fn
+
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    b = moving_fn(b, "day", "n", 7, "ewma",
+                  parent_cols=["event_type"]).withColumnRenamed(
+        "n_mfn", "n_ewma")
+    b = moving_fn(b, "day", "n", 7, "linearWeightedAvg",
+                  parent_cols=["event_type"]).withColumnRenamed(
+        "n_mfn", "n_lwa")
+    b = moving_fn(b, "day", "n", 7, "stdDev",
+                  parent_cols=["event_type"]).withColumnRenamed(
+        "n_mfn", "n_std")
+    return b.select("event_type", "day", "n", "n_ewma", "n_lwa", "n_std")
+
+
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment dedup (dedup.containment_pairs,
+    r14): directed shingle-set containments over the inverted-index
+    key join (60-bit md5 shingle keys, df_cap=50 stop-gram guard) —
+    the quote/inclusion-detection complement to Jaccard near-dup."""
+    from monstache_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return containment_pairs(docs, k=3, threshold=0.5, df_cap=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_cdc_materialize(spark, "/root/testdata/sf0.001")
@@ -7922,6 +7960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registry query is ever left un-gated) ---
         "es_esql_to_date_nanos": _q_es_esql_to_date_nanos,
         "es_ingest_uri_full": _q_es_ingest_uri_full,
+        "es_moving_fn": _q_es_moving_fn,
+        "containment_pairs": _q_containment_pairs,
     }
     ordered = {n: all_q[n] for n in _GATE_WINDOW}
     ordered.update({n: f for n, f in all_q.items() if n not in ordered})
@@ -14265,5 +14305,78 @@ def oracle_sql() -> dict[str, str]:
                  CASE WHEN ok THEN 'txt' END AS u_extension,
                  url AS u_original
           FROM src
+        """,
+        "es_moving_fn": """
+          WITH b AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+          w AS (
+            -- the ES window: 7 buckets strictly BEFORE the current
+            SELECT event_type, day, n,
+                   list(n) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS l
+            FROM b)
+          SELECT event_type, day, n,
+                 CASE WHEN l IS NULL OR len(l) = 0 THEN NULL ELSE
+                   round(list_reduce(
+                     list_transform(l, x -> CAST(x AS DOUBLE)),
+                     (a, x) -> x * CAST(0.3 AS DOUBLE)
+                               + a * CAST(0.7 AS DOUBLE)), 6)
+                 END AS n_ewma,
+                 CASE WHEN l IS NULL OR len(l) = 0 THEN NULL ELSE
+                   round(CAST(list_sum(list_transform(l,
+                           (x, i) -> x * i)) AS DOUBLE)
+                         / (CAST(len(l) AS DOUBLE)
+                            * (len(l) + 1) / 2), 6)
+                 END AS n_lwa,
+                 CASE WHEN l IS NULL OR len(l) = 0 THEN NULL ELSE
+                   round(sqrt(greatest(
+                     CAST(list_sum(list_transform(l, x -> x * x))
+                          AS DOUBLE) / len(l)
+                     - pow(CAST(list_sum(l) AS DOUBLE) / len(l), 2),
+                     0)), 6)
+                 END AS n_std
+          FROM w
+        """,
+        "containment_pairs": f"""
+          WITH sh AS (
+            SELECT doc_id, unnest({_shingles_sql(3)}) AS s
+            FROM documents),
+          keyed AS (
+            SELECT DISTINCT doc_id,
+                   list_reduce(list_transform(
+                     string_split_regex(substr(md5(s), 1, 15), ''),
+                     ch -> CAST(strpos('0123456789abcdef', ch) - 1
+                                AS BIGINT)),
+                     (a, b) -> a * 16 + b) AS h
+            FROM sh),
+          capped AS (
+            SELECT doc_id, h FROM keyed
+            WHERE h NOT IN (
+              SELECT h FROM keyed GROUP BY h HAVING count(*) > 50)),
+          sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+            FROM capped GROUP BY 1),
+          inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_inter
+            FROM capped a JOIN capped b USING (h)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT id_a, id_b, n_inter,
+                 sa.n_sh AS n_a, sb.n_sh AS n_b,
+                 round(CAST(n_inter AS DOUBLE)
+                       / CAST(sa.n_sh AS DOUBLE), 6) AS c_ab,
+                 round(CAST(n_inter AS DOUBLE)
+                       / CAST(sb.n_sh AS DOUBLE), 6) AS c_ba
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE greatest(
+                  round(CAST(n_inter AS DOUBLE)
+                        / CAST(sa.n_sh AS DOUBLE), 6),
+                  round(CAST(n_inter AS DOUBLE)
+                        / CAST(sb.n_sh AS DOUBLE), 6)) >= 0.5
         """,
     }

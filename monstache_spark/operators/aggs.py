@@ -1427,6 +1427,148 @@ def pipeline_aggs(
     return out
 
 
+def moving_fn(
+    buckets: DataFrame,
+    sort_col: str,
+    value_col: str,
+    window: int,
+    fn: str = "unweightedAvg",
+    shift: int = 0,
+    alpha: float = 0.3,
+    parent_cols: list[str] | None = None,
+) -> DataFrame:
+    """ES ``moving_fn`` pipeline aggregation (r14): a builtin
+    ``MovingFunctions`` evaluation over a sliding window of PRIOR
+    bucket metric values along ``sort_col``, per parent bucket.
+
+    Window convention (the ES contract): with ``shift=0`` the window
+    is the ``window`` buckets strictly BEFORE the current one —
+    ``[i-window, i-1]`` — so the first bucket sees an empty window
+    and yields NULL (ES's NaN renders as null); ``shift=1`` slides
+    the window right to include the current bucket.
+
+    Functions (each deterministic and engine-exact under the S11
+    disciplines): ``max``/``min``; ``sum`` and ``unweightedAvg``
+    (exact ``decimal(38,6)`` accumulation, double at the division,
+    rounded to 6 dp); ``stdDev`` (population, ES's form —
+    ``sqrt(E[v²] − E[v]²)`` with both expectations from exact
+    decimal sums of 6-dp-rounded squares); ``linearWeightedAvg``
+    (weight = 1-based position from the OLDEST window value, the ES
+    newest-weighs-most ramp, exact integer weights over decimal
+    values); ``ewma`` (the exact ES left fold oldest→newest —
+    ``avg = v·α + avg·(1−α)``, seeded with the oldest value — in
+    double arithmetic, identical fold order in every engine, rounded
+    to 6 dp).  ``holt``/``holtWinters`` are REFUSED: their
+    double-exponential state recursions have published parameters
+    but unpublished seeding edge cases in ES — no independent
+    oracle could disagree meaningfully.
+
+    The ordered window values materialize as a sorted
+    ``(sort_key, value)`` struct array — ``sort_array`` of a framed
+    ``collect_list``, deterministic regardless of collection order —
+    and fold through ``F.aggregate``; the frame is one window pass
+    over bucket-cardinality rows.  Adds ``<value_col>_mfn``.
+    """
+    fns = ("max", "min", "sum", "unweightedAvg", "stdDev",
+           "linearWeightedAvg", "ewma")
+    if fn in ("holt", "holtWinters"):
+        raise ValueError(
+            f"moving_fn {fn} is refused: the ES double-exponential "
+            "state recursion has unpublished seeding edge cases — "
+            "use ewma / linearWeightedAvg (DIVERGENCES S4)"
+        )
+    if fn not in fns:
+        raise ValueError(f"moving_fn fn must be one of {fns}: {fn!r}")
+    if window <= 0:
+        raise ValueError(f"window must be > 0: {window}")
+    part = (
+        Window.partitionBy(*parent_cols) if parent_cols else Window.partitionBy()
+    )
+    w = part.orderBy(F.col(sort_col).asc())
+    frame = w.rowsBetween(shift - window, shift - 1)
+    v = F.col(value_col)
+    out_col = f"{value_col}_mfn"
+    if fn == "max":
+        return buckets.withColumn(out_col, F.max(v).over(frame))
+    if fn == "min":
+        return buckets.withColumn(out_col, F.min(v).over(frame))
+    if fn == "sum":
+        return buckets.withColumn(
+            out_col,
+            F.round(
+                F.sum(v.cast("decimal(38,6)")).over(frame).cast("double"), 6
+            ),
+        )
+    if fn == "unweightedAvg":
+        return buckets.withColumn(
+            out_col,
+            F.round(
+                F.sum(v.cast("decimal(38,6)")).over(frame).cast("double")
+                / F.count(v).over(frame).cast("double"),
+                6,
+            ),
+        )
+    if fn == "stdDev":
+        n = F.count(v).over(frame).cast("double")
+        ev = F.sum(v.cast("decimal(38,6)")).over(frame).cast("double") / n
+        ev2 = (
+            F.sum(F.round(v * v, 6).cast("decimal(38,6)")).over(frame)
+            .cast("double") / n
+        )
+        # the empty-window guard must be explicit: F.greatest SKIPS
+        # nulls, so greatest(NULL variance, 0.0) would yield 0.0 for
+        # the first bucket instead of ES's null
+        return buckets.withColumn(
+            out_col,
+            F.when(
+                n > 0,
+                F.round(F.sqrt(F.greatest(ev2 - ev * ev, F.lit(0.0))), 6),
+            ),
+        )
+    # ordered-fold functions: deterministic ordered values via
+    # sort_array over the framed collect_list of (key, value) structs
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(F.col(sort_col).alias("k"), v.alias("v"))
+        ).over(frame)
+    )
+    # ES MovingFunctions skip NaN/missing values inside the window
+    vals = F.filter(
+        F.transform(arr, lambda s: s["v"]), lambda x: x.isNotNull()
+    )
+    if fn == "linearWeightedAvg":
+        num = F.aggregate(
+            F.transform(
+                vals,
+                lambda x, i: (
+                    x.cast("decimal(38,6)")
+                    * (i + 1).cast("decimal(18,0)")
+                ).cast("decimal(38,6)"),
+            ),
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, x: (acc + x).cast("decimal(38,6)"),
+        )
+        nn = F.size(vals)
+        den = (nn * (nn + 1) / F.lit(2)).cast("double")
+        res = F.when(
+            nn > 0, F.round(num.cast("double") / den, 6)
+        )
+    else:  # ewma — the exact ES fold, doubles, oldest seeds
+        res = F.when(
+            F.size(vals) > 0,
+            F.round(
+                F.aggregate(
+                    F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+                    F.element_at(vals, 1).cast("double"),
+                    lambda acc, x: x * F.lit(float(alpha))
+                    + acc * F.lit(1.0 - float(alpha)),
+                ),
+                6,
+            ),
+        )
+    return buckets.withColumn(out_col, res)
+
+
 def normalize_agg(
     buckets: DataFrame,
     value_col: str,

@@ -885,6 +885,87 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT detection (r14): for candidate
+    pairs, both directed containments ``c_ab = |S(a)∩S(b)| / |S(a)|``
+    and ``c_ba`` over distinct k-word shingle sets — the
+    quote/inclusion-detection complement to symmetric Jaccard dedup
+    (a short doc fully quoted inside a long one has high containment
+    but low Jaccard; the RefinedWeb/Dolma-style pipelines run both).
+    Keeps pairs with ``max(c_ab, c_ba) ≥ threshold``; returns
+    ``(id_a, id_b, n_inter, n_a, n_b, c_ab, c_ba)`` with id_a < id_b.
+
+    Scale shape: shingles key on the first 15 md5 hex digits as a
+    60-bit integer (the temperature_sample / hash_sample family —
+    cross-engine-exact, and the inverted-index self-join shuffles
+    8-byte keys instead of shingle text; collision odds ~n²/2⁶¹ are
+    negligible and the same for every engine).  The join is the
+    inverted index on the shingle key — never an all-pairs cross
+    join; ``df_cap`` drops shingles appearing in more than that many
+    docs BEFORE the join (the stop-gram guard every containment
+    pipeline needs — a corpus-wide boilerplate shingle would
+    otherwise fan out |df|² pair rows).  Set sizes are computed
+    AFTER the cap so both containment denominators live in the same
+    capped shingle space (the metric stays internally consistent).
+    One shingle pass (the ``shingle_rows`` spread), one hash-agg per
+    doc for sizes, one key equi-join with map-side-combined pair
+    counts."""
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1]: {threshold}")
+    sh = shingle_rows(docs, text_col, id_col, k, distinct=True)
+    key = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    keyed = sh.select(F.col(id_col), key.alias("h")).distinct()
+    if df_cap is not None:
+        hot = (
+            keyed.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("h")
+        )
+        keyed = keyed.join(hot, "h", "left_anti")
+    sizes = keyed.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_sh")
+    )
+    a = keyed.select(F.col(id_col).alias("id_a"), "h")
+    b = keyed.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"),
+                         F.col("n_sh").alias("n_a")), "id_a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"),
+                         F.col("n_sh").alias("n_b")), "id_b"
+        )
+        .withColumn(
+            "c_ab",
+            F.round(F.col("n_inter").cast("double")
+                    / F.col("n_a").cast("double"), 6),
+        )
+        .withColumn(
+            "c_ba",
+            F.round(F.col("n_inter").cast("double")
+                    / F.col("n_b").cast("double"), 6),
+        )
+    )
+    return out.filter(
+        F.greatest(F.col("c_ab"), F.col("c_ba")) >= threshold
+    ).select("id_a", "id_b", "n_inter", "n_a", "n_b", "c_ab", "c_ba")
+
+
 def simhash(text: Column, bits: int = 32, shingle_k: int = 3) -> Column:
     """SimHash: per-bit majority vote over shingle hashes, packed into a
     long. bit_b(doc) = 1 iff sum over shingles of ±1 (sign of hash bit

@@ -1533,3 +1533,47 @@ def test_extended_stats_bucket_moments(spark):
     one = spark.createDataFrame([("a", 3.0), ("b", 3.0)], "k string, m double")
     r = extended_stats_bucket(one, "m").collect()[0]
     assert r["m_bucket_variance"] == 0.0 and r["m_bucket_std_deviation"] == 0.0
+
+
+def test_moving_fn(spark):
+    """ES moving_fn (r14): window = prior `window` buckets (shift=0
+    excludes the current; first bucket NULL), ewma = the exact ES
+    oldest-seeded fold, linearWeightedAvg ramps toward the newest,
+    stdDev is population over the window."""
+    import pytest
+
+    from monstache_spark.operators.aggs import moving_fn
+
+    b = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 40.0), ("a", 4, 30.0),
+         ("b", 1, 5.0)],
+        "k string, t long, v double",
+    )
+    out = {(r["k"], r["t"]): r for r in moving_fn(
+        b, "t", "v", 3, "ewma", parent_cols=["k"]).collect()}
+    assert out[("a", 1)]["v_mfn"] is None  # empty prior window
+    assert out[("a", 2)]["v_mfn"] == 10.0  # seed = oldest
+    # fold [10, 20]: 20*0.3 + 10*0.7 = 13.0
+    assert out[("a", 3)]["v_mfn"] == 13.0
+    # fold [10,20,40]: 13.0 then 40*0.3 + 13*0.7 = 21.1
+    assert out[("a", 4)]["v_mfn"] == 21.1
+    assert out[("b", 1)]["v_mfn"] is None  # partitions isolate
+    lwa = {(r["k"], r["t"]): r["v_mfn"] for r in moving_fn(
+        b, "t", "v", 3, "linearWeightedAvg", parent_cols=["k"]).collect()}
+    # window [10,20,40] weights 1,2,3: (10+40+120)/6
+    assert lwa[("a", 4)] == round(170 / 6, 6)
+    sd = {(r["k"], r["t"]): r["v_mfn"] for r in moving_fn(
+        b, "t", "v", 3, "stdDev", parent_cols=["k"]).collect()}
+    assert sd[("a", 1)] is None
+    assert sd[("a", 2)] == 0.0  # single value
+    mx = {(r["k"], r["t"]): r["v_mfn"] for r in moving_fn(
+        b, "t", "v", 2, "max", parent_cols=["k"]).collect()}
+    assert mx[("a", 4)] == 40.0  # window [20, 40]
+    # shift=1 includes the current bucket
+    s1 = {(r["k"], r["t"]): r["v_mfn"] for r in moving_fn(
+        b, "t", "v", 2, "max", shift=1, parent_cols=["k"]).collect()}
+    assert s1[("a", 1)] == 10.0
+    with pytest.raises(ValueError, match="refused"):
+        moving_fn(b, "t", "v", 3, "holt")
+    with pytest.raises(ValueError, match="one of"):
+        moving_fn(b, "t", "v", 3, "nope")

@@ -513,3 +513,40 @@ def test_registry_fp_pushdown_and_sorted_compaction(spark, tmp_path):
     )
     s2 = {r["doc_id"] for r in incremental_dedup_batch(reg2, b2).collect()}
     assert s2 == {202, 203}
+
+
+def test_containment_pairs(spark):
+    """Asymmetric containment (r14): a short doc fully inside a long
+    one scores c=1.0 in the contained direction even when Jaccard is
+    low; the df_cap drops corpus-wide boilerplate shingles BEFORE the
+    join and the sizes stay in the capped space."""
+    import pytest
+
+    from monstache_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 20))  # contained
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(
+        docs, k=3, threshold=0.5).collect()}
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # 8 shingles of the short doc, all present in the long doc
+    assert r["n_b"] == 8 and r["n_inter"] == 8 and r["c_ba"] == 1.0
+    assert r["c_ab"] < 0.25  # Jaccard-style symmetric view is low
+    # df_cap: a boilerplate shingle shared by every doc must not
+    # create pairs once capped below the corpus df
+    boiler = "the same footer text"
+    docs2 = spark.createDataFrame(
+        [(i, f"u{i} v{i} x{i} " + boiler) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(docs2, k=3, threshold=0.3).count() > 0
+    assert containment_pairs(docs2, k=3, threshold=0.3,
+                             df_cap=3).count() == 0
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, threshold=1.5)

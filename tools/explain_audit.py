@@ -1092,6 +1092,26 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_moving_fn",
+        "moving_fn: ONE corpus hash agg to buckets, then Window "
+        "passes over bucket-cardinality rows — no Python, no "
+        "cartesian product",
+        lambda p: "* HashAggregate" in p
+        and "Window" in p
+        and "Cartesian" not in p
+        and "Python" not in p,
+    ),
+    (
+        "containment_pairs",
+        "containment: inverted-index equi-join on the 60-bit shingle "
+        "key (SortMergeJoin/ShuffledHashJoin, never cartesian), "
+        "map-side-combined pair counts, no Python",
+        lambda p: "Cartesian" not in p
+        and "BroadcastNestedLoop" not in p
+        and "* HashAggregate" in p
+        and "Python" not in p,
+    ),
+    (
         "temperature_mixture",
         "temperature sampling: the O(#sources) stats frame broadcasts "
         "back onto the scan (no corpus shuffle for membership), hash "

@@ -343,6 +343,69 @@ def main() -> int:
     mN = t(lambda: maxsim_inv_hamming_topk(mvN, mq, k=10))
     print(f"{'maxsim_invham':14s}  1x {m1:6.2f}s   {times}x {mN:7.2f}s   ratio {mN / m1:6.2f}")
 
+    # --- post-r12 operators (VERDICT r13 task #7 + the r14 pair) ---
+    # temperature_sample: ONE corpus hash agg for n_s + broadcast +
+    # codegen membership filter — rows scale N×, the stats frame
+    # stays O(#sources)
+    from monstache_spark.operators.curation import temperature_sample
+
+    tp1 = t(lambda: temperature_sample(docs1, 2.0, 200, group_col="lang"))
+    tpN = t(lambda: temperature_sample(docsN, 2.0, 200 * times, group_col="lang"))
+    print(f"{'temp_sample':14s}  1x {tp1:6.2f}s   {times}x {tpN:7.2f}s   ratio {tpN / tp1:6.2f}")
+
+    # sliced_scroll: one codegen md5 filter over the scan
+    from monstache_spark.operators.search import sliced_scroll
+
+    sl1 = t(lambda: sliced_scroll(docs1, 2, 6))
+    slN = t(lambda: sliced_scroll(docsN, 2, 6))
+    print(f"{'sliced_scroll':14s}  1x {sl1:6.2f}s   {times}x {slN:7.2f}s   ratio {slN / sl1:6.2f}")
+
+    # ES|QL MATCH_PHRASE: one tokenize per row (lambda-bound array)
+    # + codegen exists — pure map work over the corpus
+    _mp_q = (
+        'FROM d | WHERE MATCH_PHRASE(text, "hash join")'
+        " | STATS n = COUNT(*) BY lang"
+    )
+    mp1 = t(lambda: esql(_mp_q, {"d": docs1}))
+    mpN = t(lambda: esql(_mp_q, {"d": docsN}))
+    print(f"{'match_phrase':14s}  1x {mp1:6.2f}s   {times}x {mpN:7.2f}s   ratio {mpN / mp1:6.2f}")
+
+    # moving_fn (r14): corpus hash agg to daily buckets + window
+    # passes over bucket-cardinality rows — bucket count is fixed, so
+    # only the first agg scales
+    from monstache_spark.operators.aggs import moving_fn
+
+    def _mfn(df):
+        b = df.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(F.count("*").cast("long").alias("n"))
+        return moving_fn(b, "day", "n", 7, "ewma", parent_cols=["event_type"])
+
+    mf1 = t(lambda: _mfn(ev1))
+    mfN = t(lambda: _mfn(evN))
+    print(f"{'moving_fn':14s}  1x {mf1:6.2f}s   {times}x {mfN:7.2f}s   ratio {mfN / mf1:6.2f}")
+
+    # containment_pairs (r14): N× EXACT clones would measure a
+    # quadratic clone-pair artifact no real corpus has (every cross-
+    # copy pair has containment 1.0) — per-copy word tagging keeps
+    # each copy's internal containment structure while making copies
+    # disjoint, the realistic growth shape (containment clusters stay
+    # local; the inverted-index join volume grows ~N)
+    from monstache_spark.operators.dedup import containment_pairs
+
+    docsN_tag = spark.read.parquet(docsN_path).withColumn(
+        "_copy", F.floor(F.col("doc_id") / F.lit(1_000_000))
+    ).withColumn(
+        "text",
+        F.expr(
+            "regexp_replace(text, '(\\\\S+)',"
+            " concat('$1#', CAST(_copy AS STRING)))"
+        ),
+    ).drop("_copy")
+    cp1 = t(lambda: containment_pairs(docs1, k=3, threshold=0.5, df_cap=50))
+    cpN = t(lambda: containment_pairs(docsN_tag, k=3, threshold=0.5, df_cap=50))
+    print(f"{'containment':14s}  1x {cp1:6.2f}s   {times}x {cpN:7.2f}s   ratio {cpN / cp1:6.2f}")
+
     # Adversarial duplicate-heavy corpus: every doc in one copy-set is
     # the SAME boilerplate text, so unbounded LSH puts the whole set in
     # one bucket per band — O(n²) pair explosion on one executor. The
