@@ -1003,8 +1003,32 @@ def _h_hash(args: list[str]) -> str:
     )
 
 
+def _h_round_to(args: list[str]) -> str:
+    """ES|QL 9.x ROUND_TO(field, p1 [, p2, …]) — rounds DOWN to the
+    greatest of the fixed points that is ≤ the value (the custom-
+    histogram bucketing the ES docs describe); a value below every
+    point clamps to the SMALLEST point, NULL propagates.  The field
+    expression BINDS ONCE as a lambda variable (the MV_MAD trick —
+    an expensive arg would otherwise re-evaluate per reference), the
+    points sort at runtime so non-literal point expressions are
+    legal, and everything stays one codegen-free but JVM-side HOF
+    projection — no UDF, engine-exact."""
+    if len(args) < 2:
+        raise ValueError("ROUND_TO takes (field, p1 [, p2, ...])")
+    v = args[0].strip()
+    pts = ", ".join(a.strip() for a in args[1:])
+    return (
+        f"try_element_at(transform(array({v}), _v ->"
+        " CASE WHEN _v IS NULL THEN NULL ELSE coalesce("
+        f"try_element_at(filter(array_sort(array({pts})),"
+        " _p -> _p <= _v), -1),"
+        f" array_min(array({pts}))) END), 1)"
+    )
+
+
 _VARFNS: dict[str, tuple[bool, "callable"]] = {
     "CASE": (False, _h_case),
+    "ROUND_TO": (False, _h_round_to),
     "SPLIT": (True, _h_split),
     # ES|QL REPLACE(string, regex, new) is a REGEX replace; Spark's
     # replace is literal — route to regexp_replace

@@ -1437,3 +1437,22 @@ def test_to_date_nanos(spark):
     assert out["b"] == expect
     assert out["c"] == expect
     assert out["d"] is None  # unparseable -> NULL (the ES on-error shape)
+
+
+def test_round_to(spark):
+    """ES|QL 9.x ROUND_TO (r14): rounds DOWN to the greatest point
+    <= value; below-min clamps to the smallest point; NULL
+    propagates; points need not be pre-sorted."""
+    from monstache_spark.operators.esql import esql
+
+    df = spark.createDataFrame(
+        [(1, 7.0), (2, 100.0), (3, 0.5), (4, 10.0), (5, None)],
+        "id long, v double",
+    )
+    out = {r["id"]: r["b"] for r in esql(
+        "FROM t | EVAL b = ROUND_TO(v, 10.0, 1.0, 50.0) | KEEP id, b",
+        {"t": df},
+    ).collect()}
+    assert out == {1: 1.0, 2: 50.0, 3: 1.0, 4: 10.0, 5: None}
+    with pytest.raises(ValueError, match="ROUND_TO takes"):
+        esql("FROM t | EVAL b = ROUND_TO(v)", {"t": df})

@@ -1112,6 +1112,15 @@ CHECKS = [
         and "Python" not in p,
     ),
     (
+        "es_esql_round_to",
+        "ROUND_TO: one projection + ONE hash agg — no Python, no "
+        "sort aggregate, no join",
+        lambda p: "* HashAggregate" in p
+        and "SortAggregate" not in p
+        and "Join" not in p
+        and "Python" not in p,
+    ),
+    (
         "temperature_mixture",
         "temperature sampling: the O(#sources) stats frame broadcasts "
         "back onto the scan (no corpus shuffle for membership), hash "
