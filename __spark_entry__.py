@@ -7564,7 +7564,11 @@ def _q_es_esql_round_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     return esql(
         "FROM events"
-        " | EVAL vb = ROUND_TO(value, 100.0, 10.0, 1000.0, 500.0)"
+        # TO_DOUBLE around ROUND_TO: the decimal point literals would
+        # otherwise decimal-type vb — the driver-hash-unsafe class
+        # tools/type_audit.py sweeps for (caught there first, r14)
+        " | EVAL vb = TO_DOUBLE(ROUND_TO(value, 100.0, 10.0, 1000.0,"
+        " 500.0))"
         " | STATS n = COUNT(*), mnv = ROUND(MIN(value), 2),"
         " mxv = ROUND(MAX(value), 2) BY event_type, vb"
         " | SORT event_type ASC, vb ASC",

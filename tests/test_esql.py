@@ -1141,14 +1141,18 @@ def test_esql_8_18_conformance_sweep(spark):
     with pytest.raises(ValueError, match="RRF"):
         esql("FROM t | RRF", {"t": df})
     for fn in ('KQL("s:abc")', "TO_VERSION(s)", "TO_UNSIGNED_LONG(id)",
-               "TO_GEOPOINT(s)", "ST_X(s)", "ST_CENTROID_AGG(s)",
-               "TO_DATE_NANOS(id)"):
+               "TO_GEOPOINT(s)", "ST_X(s)", "ST_CENTROID_AGG(s)"):
         with pytest.raises(ValueError, match="unsupported ES\\|QL function"):
             esql(f"FROM t | EVAL z = {fn}", {"t": df})
     # MATCH_PHRASE graduated from the refusal list in round 13
     mp = esql('FROM t | EVAL z = MATCH_PHRASE(s, "a b") | KEEP id, z',
               {"t": df})
     assert dict(mp.dtypes)["z"] == "boolean"
+    # TO_DATE_NANOS graduated in round 14 (documented µs truncation:
+    # a long is NANOS since epoch div 1000)
+    tdn = esql("FROM t | EVAL z = TO_DATE_NANOS(id * 1000000000)"
+               " | KEEP id, z", {"t": df})
+    assert dict(tdn.dtypes)["z"] == "timestamp"
     # a refused name INSIDE a string literal must NOT trip the gate
     ok = esql('FROM t | EVAL z = concat(s, "ST_X(q)")', {"t": df})
     assert ok.count() == 2
