@@ -21,6 +21,26 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_pre(a: Column, b: Column) -> Column:
+    """Dot product of ALREADY-double arrays.
+
+    Higher-order functions are CodegenFallback (interpreted), so a
+    per-pair ``dot`` pays TWO interpreted cast transforms before the
+    fold.  Pair joins should cast once per ROW (``as_double_array``
+    in the pre-join projection, materialized through the exchange)
+    and fold with this per PAIR.  The accumulation order is identical
+    to :func:`dot` — ``((0.0+p1)+p2)+…`` left-to-right over the same
+    per-element double products — so scores are bit-identical.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_pre(a: Column) -> Column:
+    """Norm of an ALREADY-double array (see :func:`dot_pre`)."""
+    return F.sqrt(dot_pre(a, a))
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 

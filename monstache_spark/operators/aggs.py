@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from monstache_spark.operators.search import compile_bool_query
+from monstache_spark.session import spread_scan
 
 _METRIC_KINDS = {
     "avg",
@@ -2457,7 +2458,12 @@ def matrix_stats(
     cond = F.lit(True)
     for f in fields:
         cond = cond & F.col(f).isNotNull()
-    base = df.filter(cond)
+    # 16+ exact-decimal moment sums per row is per-row-heavy: spread
+    # a single-file scan so the partial aggregate parallelizes
+    # (scale-adaptive no-op on a real multi-split scan; the filter
+    # pushes below the added exchange).  Measured at sf0.1:
+    # 1.1 s -> 0.8 s warm best-of-3.
+    base = spread_scan(df.filter(cond))
     aggs = [F.count("*").cast("long").alias("_n")]
     for f in fields:
         x = F.col(f).cast("decimal(10,2)")
@@ -2514,11 +2520,18 @@ def matrix_stats(
             ).alias(f"kurtosis_{suffix}"),
         ]
 
-    frames = []
+    # ONE aggregation, the pair rows produced by exploding an array
+    # of structs over the single agg row.  A union of per-pair
+    # ``row.select(...)`` branches re-plans the aggregate per branch
+    # (no exchange to reuse above a 1-row LocalTableScan-sized agg):
+    # measured 6 parquet scans + 12 HashAggregates for 3 pairs; this
+    # shape is 1 scan + 1 aggregate and the identical arithmetic per
+    # pair, so values are bit-identical.
+    pair_structs = []
     for fa, fb in pairs:
         cxy = F.col(f"_p_{fa}_{fb}") - F.col(f"_s1_{fa}") * F.col(f"_s1_{fb}") / nd
-        frames.append(
-            row.select(
+        pair_structs.append(
+            F.struct(
                 F.lit(fa).alias("field_a"),
                 F.lit(fb).alias("field_b"),
                 F.col("_n").alias("doc_count"),
@@ -2536,9 +2549,7 @@ def matrix_stats(
                 ).alias("correlation"),
             )
         )
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionByName(fr)
+    out = row.select(F.explode(F.array(*pair_structs)).alias("_ps")).select("_ps.*")
     return out.orderBy("field_a", "field_b")
 
 

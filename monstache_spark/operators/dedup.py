@@ -831,24 +831,43 @@ def embedding_near_dup_pairs(
     result is deterministic and oracle-reproducible. Recall misses
     pairs whose sketches differ; raise recall with fewer bits or
     multi-probe — the standard LSH trade."""
-    from monstache_spark.functions.vectors import cosine_rounded
+    from monstache_spark.functions.vectors import as_double_array, dot_pre, norm_pre
     from monstache_spark.operators.similarity import lsh_bucket
 
+    # Pre-cast to double and pre-compute the norm ONCE PER VECTOR
+    # before the pair join (the semantic_dedup/knn_join pattern):
+    # cosine_rounded per PAIR pays three interpreted HOF folds plus
+    # six cast transforms; with both staged through the exchange the
+    # per-pair work is a single fold.  sqrt(v·v)·sqrt(w·w) keeps the
+    # exact op order of functions.vectors.cosine, so scores stay
+    # bit-identical.  The explicit-width exchange on the bucket also
+    # spreads the quadratic in-bucket pair work across the shuffle
+    # width (the pre-join bytes are tiny, so AQE would coalesce the
+    # join to tasks sized by input bytes — the explode-parallelism
+    # trap).
+    v = as_double_array(F.col(vec_col))
+    nparts = shuffle_partitions(embeddings.sparkSession)
     sk = embeddings.select(
         F.col(id_col),
-        F.col(vec_col),
+        v.alias("_v"),
+        norm_pre(v).alias("_n"),
         lsh_bucket(F.col(vec_col), dim, bits).alias("bucket"),
-    )
+    ).repartition(nparts, F.col("bucket"))
     a = sk.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("_v").alias("v_a"),
+        F.col("_n").alias("n_a"), "bucket",
     )
     b = sk.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("_v").alias("v_b"),
+        F.col("_n").alias("n_b"), "bucket",
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", cosine_rounded(F.col("v_a"), F.col("v_b")).alias("cosine")
+    den = F.col("n_a") * F.col("n_b")
+    cos = F.round(
+        F.when(den > 0, dot_pre(F.col("v_a"), F.col("v_b")) / den).otherwise(F.lit(0.0)),
+        6,
     )
+    scored = pairs.select("id_a", "id_b", cos.alias("cosine"))
     return scored.filter(F.col("cosine") >= threshold)
 
 

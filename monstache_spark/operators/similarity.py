@@ -33,15 +33,39 @@ def brute_force_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k per query. ``queries`` is broadcast; ties
-    break on corpus id for determinism."""
+    break on corpus id for determinism.
+
+    Both sides pre-cast to double and pre-compute their norms ONCE
+    PER ROW (query norms at broadcast build, corpus norms in the scan
+    projection), so per-pair work is a single interpreted fold
+    instead of three folds plus six cast transforms —
+    ``sqrt(q·q)·sqrt(c·c)`` keeps the exact op order of
+    ``functions.vectors.cosine``, so scores stay bit-identical."""
+    from monstache_spark.functions.vectors import dot_pre, norm_pre
+
+    qv = as_double_array(F.col(vec_col))
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            qv.alias("q_vec"),
+            norm_pre(qv).alias("_qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        qv.alias("c_vec"),
+        norm_pre(qv).alias("_cn"),
+    )
+    den = F.col("_qn") * F.col("_cn")
     scored = q.crossJoin(c).filter(F.col("query_id") != F.col("corpus_id")).select(
         "query_id",
         "corpus_id",
-        cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        F.round(
+            F.when(den > 0, dot_pre(F.col("q_vec"), F.col("c_vec")) / den).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -331,12 +355,15 @@ def ivf_assign(
     cosine (rank 1 = cell assignment; >1 = multi-probe list). The
     centroid set broadcasts — it is index-metadata-sized (hundreds to
     thousands of rows) at any corpus scale."""
-    from monstache_spark.functions.vectors import dot, norm
+    from monstache_spark.functions.vectors import as_double_array, dot_pre, norm
 
     c = F.broadcast(
         centroids.select(
             F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("c_vec"),
+            # pre-cast to double at broadcast build: HOFs are
+            # interpreted, so a per-pair cast transform costs more
+            # than the dot fold itself
+            as_double_array(F.col(vec_col)).alias("_cvd"),
             # centroid norms computed once at broadcast build, not per
             # (vector, centroid) pair
             norm(F.col(vec_col)).alias("_nc"),
@@ -354,11 +381,12 @@ def ivf_assign(
     base = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .repartition(nparts, F.col(id_col))
+        .withColumn("_vd", as_double_array(F.col(vec_col)))
         .withColumn("_na", norm(F.col(vec_col)))
     )
     den = F.col("_na") * F.col("_nc")
     score = F.round(
-        F.when(den > 0, dot(F.col(vec_col), F.col("c_vec")) / den).otherwise(F.lit(0.0)),
+        F.when(den > 0, dot_pre(F.col("_vd"), F.col("_cvd")) / den).otherwise(F.lit(0.0)),
         6,
     )
     scored = base.crossJoin(c).select(id_col, vec_col, "cid", score.alias("c_score"))
@@ -441,18 +469,34 @@ def ivf_topk(
     at the scan: cost ~ (n_probe / n_centroids) of the corpus per
     query, and the cell equi-join replaces the brute-force cross
     join."""
+    from monstache_spark.functions.vectors import dot_pre, norm_pre
+
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids)
+    # pre-cast + pre-norm once per row on BOTH join sides so the
+    # per-pair work after the cell equi-join is a single interpreted
+    # fold (same op order as cosine_rounded — scores bit-identical)
+    vd = as_double_array(F.col(vec_col))
     cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"), F.col("cid").alias("cell")
+        F.col(id_col).alias("corpus_id"), vd.alias("c_vec"),
+        norm_pre(vd).alias("_cn"), F.col("cid").alias("cell"),
     )
     probes = ivf_assign(queries, centroids, vec_col, id_col, rank_limit=n_probe).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), F.col("cid").alias("cell")
+        F.col(id_col).alias("query_id"), vd.alias("q_vec"),
+        norm_pre(vd).alias("_qn"), F.col("cid").alias("cell"),
     )
+    den = F.col("_qn") * F.col("_cn")
     scored = probes.join(cells, "cell").filter(
         F.col("query_id") != F.col("corpus_id")
     ).select(
-        "query_id", "corpus_id", cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score")
+        "query_id",
+        "corpus_id",
+        F.round(
+            F.when(den > 0, dot_pre(F.col("q_vec"), F.col("c_vec")) / den).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("score"),
     )
     # a corpus vector can surface via several probed cells only if
     # duplicated — cell assignment is unique, so no dedup needed
@@ -494,10 +538,17 @@ def lsh_topk(
     single-probe .060 → H1 .257 → H2 .579; 4 tables .222, and
     4 tables × H1 .735 — probe-volume-for-recall trades with the
     index layout unchanged within each table."""
+    from monstache_spark.functions.vectors import dot_pre, norm_pre
+
     tables = list(range(n_tables))
+    # pre-cast + pre-norm once per row on both sides: per-pair work
+    # after the bucket join is a single interpreted fold (same op
+    # order as cosine_rounded — scores bit-identical)
+    vd = as_double_array(F.col(vec_col))
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("c_vec"),
+        vd.alias("c_vec"),
+        norm_pre(vd).alias("_cn"),
         F.explode(
             F.array(
                 *[
@@ -509,10 +560,13 @@ def lsh_topk(
                 ]
             )
         ).alias("tb"),
-    ).select("corpus_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket"))
+    ).select(
+        "corpus_id", "c_vec", "_cn", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
+    )
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        vd.alias("q_vec"),
+        norm_pre(vd).alias("_qn"),
         *[lsh_bucket(F.col(vec_col), dim, bits, table=t).alias(f"b{t}") for t in tables],
     )
     probe_structs = []
@@ -529,12 +583,22 @@ def lsh_topk(
             ]
         probe_structs += [F.struct(F.lit(t).alias("t"), b.alias("b")) for b in probes]
     q = F.broadcast(
-        q0.select("query_id", "q_vec", F.explode(F.array(*probe_structs)).alias("tb")).select(
-            "query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
+        q0.select(
+            "query_id", "q_vec", "_qn", F.explode(F.array(*probe_structs)).alias("tb")
+        ).select(
+            "query_id", "q_vec", "_qn", F.col("tb.t").alias("t"), F.col("tb.b").alias("bucket")
         )
     )
+    den = F.col("_qn") * F.col("_cn")
     cand = q.join(c, ["t", "bucket"]).filter(F.col("query_id") != F.col("corpus_id")).select(
-        "query_id", "corpus_id", cosine_rounded(F.col("q_vec"), F.col("c_vec")).alias("score")
+        "query_id",
+        "corpus_id",
+        F.round(
+            F.when(den > 0, dot_pre(F.col("q_vec"), F.col("c_vec")) / den).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("score"),
     )
     # same pair may surface from several tables (never within one);
     # dedup carries only (ids, score) — vectors stay out of the shuffle
@@ -1001,7 +1065,7 @@ def semantic_dedup(
 
     Returns (id_col, cell, cell_size) for each surviving vector.
     """
-    from monstache_spark.functions.vectors import dot, norm
+    from monstache_spark.functions.vectors import norm
 
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids)
@@ -1025,25 +1089,33 @@ def semantic_dedup(
     # join down to one task sized by input bytes (the explode-
     # parallelism trap); the explicit width pins one task per cell hash
     # and both join sides inherit the partitioning (single exchange).
+    from monstache_spark.functions.vectors import as_double_array, dot_pre
+
     nparts = shuffle_partitions(corpus.sparkSession)
+    # the arrays are ALSO pre-cast to double here (not just the
+    # norms): the per-pair ``dot`` otherwise pays two interpreted
+    # cast transforms per pair, which cost more than the fold itself
     sided = eligible.repartition(nparts, F.col("cell")).select(
-        "cell", F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nrm")
+        "cell",
+        F.col(id_col),
+        as_double_array(F.col(vec_col)).alias("_vd"),
+        norm(F.col(vec_col)).alias("_nrm"),
     )
     a = sided.select(
         F.col("cell"),
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("v_a"),
+        F.col("_vd").alias("v_a"),
         F.col("_nrm").alias("n_a"),
     )
     b = sided.select(
         F.col("cell"),
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("v_b"),
+        F.col("_vd").alias("v_b"),
         F.col("_nrm").alias("n_b"),
     )
     den = F.col("n_a") * F.col("n_b")
     cos = F.round(
-        F.when(den > 0, dot(F.col("v_a"), F.col("v_b")) / den).otherwise(F.lit(0.0)), 6
+        F.when(den > 0, dot_pre(F.col("v_a"), F.col("v_b")) / den).otherwise(F.lit(0.0)), 6
     )
     losers = (
         a.join(b, "cell")

@@ -50,6 +50,28 @@ def shuffle_partitions(spark: SparkSession) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+def spread_scan(df, factor: int = 2):
+    """Scale-adaptive scan spread (optimization guide §2.5, "input
+    skew: one huge unsplittable file ... repartition immediately
+    after the read"): when a frame's current partitioning yields
+    materially fewer partitions than the session's shuffle width
+    (single small parquet file, single row group — every scan task
+    bottlenecks per-row work on one core), round-robin repartition to
+    the shuffle width so the per-row stage parallelizes.
+
+    At production scale a scan yields >= width partitions and this is
+    a NO-OP — the check reads the frame's planned partition count
+    (driver-side metadata, no job).  Apply it only in front of
+    per-row-heavy stages (moment aggregations, tokenizing, regex
+    scoring): the spread is a real exchange of the input rows, paid
+    back only when the downstream per-row work dominates it.
+    """
+    width = shuffle_partitions(df.sparkSession)
+    if df.rdd.getNumPartitions() * factor <= width:
+        return df.repartition(width)
+    return df
+
+
 def get_spark(app_name: str = "monstache_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
