@@ -880,25 +880,59 @@ def ngram_jaccard_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard; keep
-    pairs with similarity ≥ threshold. Jaccard on array_distinct sets
-    via array_intersect/array_union — JVM-side.
+    pairs with similarity ≥ threshold.
 
     Shingle sets are computed only for docs that appear in a candidate
     pair (semi-join first): at corpus scale the candidate set is
-    orders of magnitude smaller than the corpus, and the interpreted
-    array-HOF shingle computation is the expensive part."""
+    orders of magnitude smaller than the corpus.
+
+    Optimization round r14, two changes (results bit-identical):
+
+    * ``pairs`` is referenced three times in this plan (two member
+      projections + the verify join) and the shingle rows twice (one
+      join per side); Spark re-plans — and can re-execute — a subtree
+      per reference, so when ``pairs`` is the tail of the LSH
+      pipeline the whole signature/banding stage would run 3x
+      (measured: 10 Window / 24 HashAggregate nodes in minhash_pairs'
+      static plan).  Both frames are lazily ``localCheckpoint``-ed —
+      materialized once at first action, shared by every reference,
+      recomputed per run (nothing persists across separate calls).
+      Both are the post-prune small frames (id pairs; member shingle
+      rows), never the corpus.
+    * The shingle sets are computed in the ROWS formulation
+      (:func:`shingle_rows` — codegen'd window, documented-identical
+      shingle contract) rather than per-doc
+      ``array_distinct(word_shingles(...))``: the array HOF is
+      interpreted per element (CodegenFallback) and dominated the
+      verify phase.  |A∩B| is a count over the shingle-row equi-join
+      routed THROUGH the candidate pairs, and |A∪B| = |A| + |B| −
+      |A∩B| — integer-identical to the former
+      array_intersect/array_union sizes, so the rounded jaccard is
+      bit-identical."""
+    pairs = pairs.localCheckpoint(eager=False)
     members = pairs.select(F.col("id_a").alias(id_col)).unionByName(
         pairs.select(F.col("id_b").alias(id_col))
     ).distinct()
     needed = docs.join(members, id_col, "left_semi")
-    sh = needed.select(F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"))
+    rows = shingle_rows(
+        needed, text_col, id_col, shingle_k, distinct=True
+    ).localCheckpoint(eager=False)
+    sizes = rows.groupBy(id_col).agg(F.count("*").alias("_nsh"))
+    inter = (
+        pairs.join(rows.select(F.col(id_col).alias("id_a"), "s"), "id_a")
+        .join(rows.select(F.col(id_col).alias("id_b"), "s"), ["id_b", "s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_ni"))
+    )
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("_nsh").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_nsh").alias("_nb")), "id_b")
+        .withColumn("_ni", F.coalesce(F.col("_ni"), F.lit(0)))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+            F.col("_ni").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_ni")).cast("double"),
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -1300,35 +1334,58 @@ def incremental_near_dup_batch(
     transitive answer when the corpus is static.
 
     Plan per batch: signature/banding (the shared
-    :func:`minhash_band_rows` stage) → registry anti-join on the band
-    key → within-batch min-id claim (one band-key shuffle).  Only
+    :func:`minhash_band_rows` stage) → ONE band-key exchange carrying
+    the within-batch min-id claim (window min, no self-join) and the
+    registry membership flag (left join on the band key, the same
+    partitioning — exchange reused) → one eager checkpoint of the
+    verdict-flagged band rows, from which BOTH consumers read without
+    recomputing the signature stage: the survivor set (per-doc
+    any-loser aggregate) and the fresh claims the registry admits
+    (rows where the doc IS the claim holder and the band is
+    unregistered).  Before the r14 optimization round this was a
+    claims self-join + two loser joins + union + distinct, and —
+    because the keep checkpoint and the admit write are separate
+    actions with no cross-job reuse — the whole MinHash stage
+    executed twice per batch.  Verdicts are pointwise identical
+    (min-over-band and membership are the same predicates), so
+    survivor sets and admitted claims are unchanged.  Only
     (band-key, id) pairs shuffle; history text is never read.
     """
     bands = minhash_band_rows(
         batch_docs, text_col, id_col, num_hashes, num_bands, shingle_k
     ).select(F.col("band").alias("fp"), F.col(id_col))
     seen = registry.known(touching=bands)
-    claims = bands.groupBy("fp").agg(F.min(id_col).alias("_claim"))
-    losers_batch = (
-        bands.join(claims, "fp")
-        .filter(F.col("_claim") != F.col(id_col))
+    w = Window.partitionBy("fp")
+    flagged = bands.withColumn("_claim", F.min(id_col).over(w))
+    if seen is None:
+        flagged = flagged.withColumn("_prior", F.lit(False))
+    else:
+        prior = seen.select("fp").distinct().withColumn("_p", F.lit(True))
+        flagged = flagged.join(prior, "fp", "left").withColumn(
+            "_prior", F.coalesce(F.col("_p"), F.lit(False))
+        )
+    # ONE materialization (eager checkpoint) of the verdict rows —
+    # O(num_bands x batch) narrow columns — shared by the keep
+    # derivation, the admit write, and the returned semi-join; also
+    # pins the survivor set BEFORE admit(), which appends to the very
+    # path the membership flag was read from (same re-read hazard as
+    # incremental_dedup_batch).
+    flagged = flagged.select(
+        "fp", F.col(id_col), "_claim", "_prior"
+    ).localCheckpoint(eager=True)
+    keep = (
+        flagged.groupBy(id_col)
+        .agg(
+            F.max(
+                (F.col("_claim") != F.col(id_col)) | F.col("_prior")
+            ).alias("_loser")
+        )
+        .filter(~F.col("_loser"))
         .select(id_col)
     )
-    if seen is None:
-        losers = losers_batch.distinct()
-        fresh_claims = claims
-    else:
-        prior = seen.select("fp").distinct()
-        losers_prior = bands.join(prior, "fp", "left_semi").select(id_col)
-        losers = losers_batch.unionByName(losers_prior).distinct()
-        fresh_claims = claims.join(prior, "fp", "left_anti")
-    # pin survivors BEFORE admit: the anti-joins above read the very
-    # path admit() appends to (same re-read hazard as
-    # incremental_dedup_batch)
-    keep = (
-        batch_docs.select(id_col)
-        .join(losers, id_col, "left_anti")
-        .localCheckpoint(eager=True)
+    fresh_claims = (
+        flagged.filter((F.col("_claim") == F.col(id_col)) & ~F.col("_prior"))
+        .select("fp", id_col)
     )
-    registry.admit(fresh_claims.select("fp", F.col("_claim").alias(id_col)))
+    registry.admit(fresh_claims)
     return batch_docs.join(keep, id_col, "left_semi")
