@@ -5194,14 +5194,25 @@ def _q_stream_eql_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         by="user_id", maxspan_s=86400,
     )
     sink = os.path.join(base, "alerts")
-    q = (
-        alerts.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # pin the shuffle width for the stateful stream (the
+    # streaming/windows.py pattern): state stores allocate per
+    # shuffle partition and AQE cannot coalesce stateful exchanges,
+    # so at 32 partitions each micro-batch pays 32 state-store
+    # instances + empty-task scheduling for a key space this size.
+    # The alert set is per-key deterministic — width-independent.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.read.parquet(sink)
     return out.select(
         F.col("k").cast("long").alias("user_id"),

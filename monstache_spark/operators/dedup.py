@@ -526,7 +526,12 @@ def connected_components(
     # Materialize the edge list ONCE: ``pairs`` is typically the tail
     # of an expensive pipeline (LSH + verification) and every loop
     # round below re-reads it — without this checkpoint each iteration
-    # would recompute the whole upstream plan.
+    # would recompute the whole upstream plan.  (A persist()-based
+    # variant — InMemoryRelation keeps statistics, enabling broadcast
+    # rounds — was tried in the r14 optimization round and measured
+    # 4x SLOWER: the un-truncated lineage makes per-round analysis
+    # and cache lookup grow with iteration depth.  localCheckpoint's
+    # lineage cut is the point, not just the caching.)
     edges = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     ).localCheckpoint()
@@ -542,27 +547,29 @@ def connected_components(
             .agg(F.min("l.lab").alias("nlab"))
         )
         step = labels.join(nbr, "id", "left").select(
-            "id", F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab")
+            "id",
+            F.col("lab").alias("lab0"),
+            F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
         )
         ptr = step.select(F.col("id").alias("pid"), F.col("lab").alias("plab"))
+        newlab = F.least(F.col("s.lab"), F.coalesce(F.col("p.plab"), F.col("s.lab")))
         step = (
             step.alias("s")
             .join(ptr.alias("p"), F.col("s.lab") == F.col("p.pid"), "left")
             .select(
                 F.col("s.id").alias("id"),
-                F.least(
-                    F.col("s.lab"), F.coalesce(F.col("p.plab"), F.col("s.lab"))
-                ).alias("lab"),
+                newlab.alias("lab"),
+                # convergence flag carried THROUGH the checkpoint: the
+                # probe below reads cached blocks instead of planning
+                # a step-vs-old-labels join per round (one fewer join
+                # job per iteration; r14 optimization round).  Labels
+                # only decrease, so new != old is exactly the old
+                # probe's inequality.
+                (newlab != F.col("s.lab0")).alias("_chg"),
             )
         ).localCheckpoint()
-        changed = (
-            step.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = step
+        changed = step.filter(F.col("_chg")).limit(1).count()
+        labels = step.select("id", "lab")
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("lab").alias("cluster_id"))
