@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from monstache_spark.envelope import OP_DELETE
 from monstache_spark.sinks.merge import StateTable, _merge_apply
-from monstache_spark.operators.similarity import ivf_assign, pq_codebooks, pq_encode
+from monstache_spark.operators.similarity import pq_codebooks
 
 
 class IvfPqIndexTable:
@@ -84,11 +84,15 @@ class IvfPqIndexTable:
             payload_cols=(vec_col, "cell", "codes"),
         )
         # frozen-quantizer cache: centroids/codebooks never change
-        # after bootstrap (the FAISS add() contract), so hold them
-        # persisted instead of re-reading parquet on every micro-batch
-        # — they are control-plane-sized (n_centroids / m*k_sub rows)
-        self._cen_cache: DataFrame | None = None
-        self._cb_cache: DataFrame | None = None
+        # after bootstrap (the FAISS add() contract), so collect them
+        # ONCE into literal expression fragments instead of running
+        # two broadcast joins + three shuffle aggregates per
+        # micro-batch — they are control-plane-sized (n_centroids /
+        # m*k_sub rows), the same bounded-collect class as the ADC
+        # lookup tables (optimization guide §2.4: remove shuffles
+        # outright; §3.1: the "join" side is index metadata)
+        self._quant_cache: tuple[list, dict] | None = None
+        self._expr_cache: tuple | None = None
 
     # -- frozen quantizers ------------------------------------------------
     def bootstrap(self, training: DataFrame, id_col: str = "vec_id") -> None:
@@ -106,26 +110,45 @@ class IvfPqIndexTable:
         pq_codebooks(
             training, self.dim, self.m, self.k_sub, self.vec_col, id_col
         ).write.mode("overwrite").parquet(os.path.join(self.path, "codebooks"))
-        # re-bootstrap invalidates the frozen-quantizer cache
-        for c in (self._cen_cache, self._cb_cache):
-            if c is not None:
-                c.unpersist()
-        self._cen_cache = None
-        self._cb_cache = None
+        # re-bootstrap invalidates the frozen-quantizer cache and the
+        # compiled encode expressions
+        self._quant_cache = None
+        self._expr_cache = None
 
-    def _centroids(self) -> DataFrame:
-        if self._cen_cache is None:
-            self._cen_cache = self.spark.read.parquet(
-                os.path.join(self.path, "centroids")
-            ).persist()
-        return self._cen_cache
+    def _quantizers(self) -> tuple[list, dict]:
+        """Frozen quantizers as PLAIN VALUES: ``(centroids,
+        codebooks)`` with ``centroids = [(cid, [double...], norm)]``
+        and ``codebooks = {mi: [(code, [double...])]}``.
 
-    def _codebooks(self) -> DataFrame:
-        if self._cb_cache is None:
-            self._cb_cache = self.spark.read.parquet(
+        The derived values (double-cast centroid components, centroid
+        norms, double-cast codeword subvectors) are computed by the
+        SAME Spark expressions the join-based encode used
+        (``as_double_array``/``norm``), then collected — a bounded
+        control-plane collect of ``n_centroids + m*k_sub`` rows — so
+        every float that re-enters the plan as a literal is the
+        bit-identical IEEE double the old broadcast build produced
+        (py4j round-trips doubles exactly)."""
+        if self._quant_cache is None:
+            from monstache_spark.functions.vectors import as_double_array, norm
+
+            cen_rows = (
+                self.spark.read.parquet(os.path.join(self.path, "centroids"))
+                .select(
+                    "cid",
+                    as_double_array(F.col("c_vec")).alias("cvd"),
+                    norm(F.col("c_vec")).alias("nc"),
+                )
+                .collect()
+            )
+            cen = [(r["cid"], list(r["cvd"]), r["nc"]) for r in cen_rows]
+            cb_rows = self.spark.read.parquet(
                 os.path.join(self.path, "codebooks")
-            ).persist()
-        return self._cb_cache
+            ).collect()
+            cbs: dict[int, list] = {}
+            for r in cb_rows:
+                cbs.setdefault(int(r["m"]), []).append((int(r["code"]), list(r["sub"])))
+            self._quant_cache = (cen, cbs)
+        return self._quant_cache
 
     # -- per-batch encode --------------------------------------------------
     def encode(self, rows: DataFrame, id_col: str = "id") -> DataFrame:
@@ -133,51 +156,130 @@ class IvfPqIndexTable:
         with ``cell`` (nearest-centroid argmax, rounded-cosine
         contract) and ``codes`` (packed BIGINT of the ``m`` subspace
         argmins).  Used for every batch AND for from-scratch
-        restatements in tests — one code path, no drift."""
-        cen = self._centroids().select(
-            F.col("cid").alias(id_col), F.col("c_vec").alias(self.vec_col)
-        )
-        cells = ivf_assign(
-            rows.select(id_col, self.vec_col), cen, self.vec_col, id_col,
-            rank_limit=1,
-        ).select(id_col, F.col("cid").alias("cell"))
-        packed = (
-            pq_encode(
-                rows.select(id_col, self.vec_col),
-                self._codebooks(),
-                self.dim,
-                self.m,
-                self.vec_col,
-                id_col,
+        restatements in tests — one code path, no drift.
+
+        ONE map-only projection against quantizer LITERALS (guide
+        §2.4).  The join-based formulation (``ivf_assign`` +
+        ``pq_encode`` + two join-backs) cost 4 exchanges, 2 broadcast
+        builds and an m-way explode PER MICRO-BATCH for quantizers
+        that are frozen index metadata; here the same arithmetic runs
+        per row with zero shuffles.  Bit-equivalence to the old path
+        (pinned by tests/test_annindex.py::test_encode_matches_join_formulation):
+
+        * cell — per centroid, ``score = round(when(na*nc > 0,
+          dot_pre(vd, cvd)/(na*nc)).otherwise(0.0), 6)`` over the SAME
+          pre-cast doubles in the same fold order, packed by the same
+          ``_pack_score_id`` arithmetic; ``greatest`` over the
+          n_centroids packs is exactly ``max`` over the
+          crossJoin+HashAggregate rows (packs are distinct — cid
+          occupies the low bits).
+        * codes — per subspace ``mi``, ``least`` over
+          ``dist_micro*1024 + code`` replicates ``pq_encode``'s packed
+          ``min`` (codes are distinct), and the ``m`` shiftlefts sum
+          the identical packed BIGINT the old per-row aggregate built.
+
+        The two expressions are compiled ONCE per table instance
+        (unresolved Columns are frame-independent) from SQL text —
+        float literals re-enter as ``CAST('<repr>' AS DOUBLE)``;
+        Python ``repr`` is shortest-round-trip and Spark's parser is
+        correctly rounded, so each literal is the bit-identical
+        double the old broadcast build carried."""
+        cell, codes = self._encode_exprs()
+        return (
+            rows.withColumn(
+                "_vd", F.expr(f"transform({self.vec_col}, x -> CAST(x AS DOUBLE))")
             )
-            .groupBy(id_col)
-            .agg(
-                # 8 bits per subspace packed into ONE BIGINT buffer
-                # (PySpark's shiftleft wrapper wants a literal bit
-                # count — the SQL function takes the column)
-                F.sum(
-                    F.expr("shiftleft(CAST(code AS BIGINT), CAST(m AS INT) * 8)")
-                ).alias("codes")
+            .withColumn(
+                "_na",
+                F.expr(
+                    "sqrt(aggregate(zip_with(_vd, _vd, (x, y) -> x * y),"
+                    " 0.0D, (acc, x) -> acc + x))"
+                ),
             )
+            .withColumn("cell", cell)
+            .withColumn("codes", codes)
+            .drop("_vd", "_na")
         )
-        return rows.join(cells, id_col).join(packed, id_col)
+
+    def _encode_exprs(self):
+        """Build (cell, codes) Columns from the frozen quantizers —
+        two ``F.expr`` calls total, cached on the instance so the
+        construction cost is paid once, not per micro-batch."""
+        if getattr(self, "_expr_cache", None) is not None:
+            return self._expr_cache
+
+        def d(x: float) -> str:
+            return f"CAST('{x!r}' AS DOUBLE)"
+
+        def arr(xs: list) -> str:
+            return "array(" + ", ".join(d(x) for x in xs) + ")"
+
+        def dot(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+                " 0.0D, (acc, x) -> acc + x)"
+            )
+
+        cen, cbs = self._quantizers()
+        d_sub = self.dim // self.m
+        packs = []
+        for cid, cvd, nc in cen:
+            den = f"(_na * {d(nc)})"
+            score = (
+                f"round(CASE WHEN {den} > 0 THEN {dot('_vd', arr(cvd))} / {den}"
+                f" ELSE 0.0D END, 6)"
+            )
+            # _pack_score_id: round(score*1e6) as BIGINT * 2^21 + (2^21-1 - cid)
+            packs.append(
+                f"(CAST(round({score} * 1000000.0D) AS BIGINT) * {1 << 21}"
+                f" + ({(1 << 21) - 1} - {cid}))"
+            )
+        best = f"greatest({', '.join(packs)})" if len(packs) > 1 else packs[0]
+        cell_sql = f"CAST({(1 << 21) - 1} - pmod({best}, {1 << 21}) AS BIGINT)"
+
+        code_terms = []
+        for mi in range(self.m):
+            sub = f"slice(_vd, {mi * d_sub + 1}, {d_sub})"
+            pks = []
+            for code, c_sub in sorted(cbs.get(mi, [])):
+                sq = (
+                    f"aggregate(zip_with({sub}, {arr(c_sub)},"
+                    " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+                )
+                dist = f"CAST(round({sq} * 1000000.0D) AS BIGINT)"
+                pks.append(f"({dist} * 1024 + {code})")
+            least = f"least({', '.join(pks)})" if len(pks) > 1 else pks[0]
+            code_mi = f"CAST(pmod({least}, 1024) AS BIGINT)"
+            code_terms.append(f"shiftleft({code_mi}, {mi * 8})")
+        codes_sql = "CAST(" + " + ".join(code_terms) + " AS BIGINT)"
+        self._expr_cache = (F.expr(cell_sql), F.expr(codes_sql))
+        return self._expr_cache
 
     # -- CDC merge ----------------------------------------------------------
     def merge_batch(self, ops: DataFrame) -> None:
         """Apply one micro-batch of envelope ops ``(op, ns, id,
         version, <vec_col>)`` under the document sink's version guard.
 
-        Compaction is all-hash: ``max(version)`` per key (primitive
-        buffer only), join back on ``(ns, id, version)`` for the
-        winning vector (versions are unique per event — envelope
-        contract), then assign+encode the winners against the frozen
-        quantizers.  Deletes compact to ``(ns, id, max version)``
-        tombstones.  The cross-batch rules are
-        :func:`sinks.merge._merge_apply` verbatim."""
+        Compaction is ONE keyed window pass: ``row_number`` over
+        ``(ns, id)`` descending by version keeps the winning vector
+        row without a join back (versions are unique per event —
+        envelope contract, so the winner is deterministic); the r14
+        optimization round replaced the ``max(version)``-then-equi-join
+        shape, which cost a second exchange per micro-batch for the
+        same rows (guide §2.4 — the window needs only the one
+        partitioning the aggregate already established).  The winners
+        then assign+encode against the frozen quantizers.  Deletes
+        compact to ``(ns, id, max version)`` tombstones.  The
+        cross-batch rules are :func:`sinks.merge._merge_apply`
+        verbatim."""
+        from pyspark.sql import Window
+
         ups = ops.filter(F.col("op") != OP_DELETE)
-        winners = ups.groupBy("ns", "id").agg(F.max("version").alias("version"))
-        up_rows = ups.join(winners, ["ns", "id", "version"]).select(
-            "ns", "id", "version", self.vec_col
+        w = Window.partitionBy("ns", "id").orderBy(F.col("version").desc())
+        up_rows = (
+            ups.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("ns", "id", "version", self.vec_col)
         )
         enriched = self.encode(up_rows, id_col="id").select(
             "ns", "id", "version", self.vec_col, "cell", "codes"

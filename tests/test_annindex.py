@@ -57,6 +57,51 @@ def _state(t: IvfPqIndexTable) -> dict:
     }
 
 
+def test_encode_matches_join_formulation(spark, tmp_path):
+    """The r14 fused literal-quantizer encode must be bit-identical to
+    the join-based formulation it replaced (ivf_assign rank-1 cell +
+    pq_encode packed codes against the same frozen parquet
+    quantizers) — same cells, same packed codes, for every row."""
+    from monstache_spark.operators.similarity import ivf_assign, pq_encode
+
+    t = _table(spark, str(tmp_path / "idx"))
+    rows = _ops(spark, [("i", i, 1, i * 3 + 1) for i in range(25)]).select(
+        "id", "embedding"
+    )
+
+    cen = spark.read.parquet(os.path.join(t.path, "centroids")).select(
+        F.col("cid").alias("id"), F.col("c_vec").alias("embedding")
+    )
+    cells = ivf_assign(rows, cen, "embedding", "id", rank_limit=1).select(
+        "id", F.col("cid").alias("cell")
+    )
+    packed = (
+        pq_encode(
+            rows,
+            spark.read.parquet(os.path.join(t.path, "codebooks")),
+            t.dim,
+            t.m,
+            "embedding",
+            "id",
+        )
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.expr("shiftleft(CAST(code AS BIGINT), CAST(m AS INT) * 8)")
+            ).alias("codes")
+        )
+    )
+    ref = {
+        r["id"]: (r["cell"], r["codes"])
+        for r in rows.join(cells, "id").join(packed, "id").collect()
+    }
+    got = {
+        r["id"]: (r["cell"], r["codes"])
+        for r in t.encode(rows, id_col="id").collect()
+    }
+    assert got == ref
+
+
 def test_incremental_matches_from_scratch_encode(spark, tmp_path):
     t = _table(spark, str(tmp_path / "idx"))
     t.merge_batch(_ops(spark, [("i", i, 10, None) for i in range(20)]))
