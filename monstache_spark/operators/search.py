@@ -41,7 +41,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from monstache_spark.session import shuffle_partitions
+from monstache_spark.session import shuffle_partitions, spread_scan
 
 
 # ---------------------------------------------------------------------------
@@ -1641,6 +1641,24 @@ def bool_query_filter(
     rewrite walks the FST eagerly) and for terms lookups (one stored
     doc); everything else stays lazy.
     """
+    if analyzer is not None:
+        # An explicit analyzer chain (stop sets, Porter cascade) makes
+        # this filter per-row-HEAVY: tokenize+stem every document
+        # inside the Filter.  Over a single small parquet file that
+        # work lands on ONE scan task (guide §2.5 input skew); spread
+        # the scan to the shuffle width so the cascade parallelizes —
+        # a no-op at production scale where the scan is already wide.
+        # PushDownPredicates pushes a deterministic Filter straight
+        # through the Repartition (measured: the spread alone left the
+        # cascade on the single scan task below the Exchange), so the
+        # narrow-scan branch needs a lazy localCheckpoint barrier; it
+        # is gated on the spread actually firing, so a production-width
+        # scan gets neither exchange nor materialization.
+        # Default-analyzer leaves (whitespace split) stay narrow
+        # filters over the scan (the match_phrase_slop plan contract).
+        wide = spread_scan(df)
+        if wide is not df:
+            df = wide.localCheckpoint(eager=False)
     if runtime_mappings:
         # ES runtime fields (runtime_mappings): computed fields that
         # are queryable but never stored — each maps to a SQL
