@@ -1131,17 +1131,15 @@ def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     target/raw bucket models (target = lang='en'), per-doc log
     importance weights, deterministic Gumbel top-100 resample."""
     from monstache_spark.functions.text import shingle_hash
-    from monstache_spark.operators.curation import (
-        dsir_bucket_model,
-        dsir_gumbel_sample,
-        dsir_importance_weights,
-    )
+    from monstache_spark.operators.curation import dsir_gumbel_sample, dsir_scores
 
     docs = load_table(spark, "documents", sf_dir)
-    target = docs.filter(F.col("lang") == "en")
     hasher = lambda c: shingle_hash(c, 1)  # noqa: E731 — md5 family for oracle parity
-    model = dsir_bucket_model(docs, target, n_buckets=256, k=2, hasher=hasher)
-    wts = dsir_importance_weights(docs, model, n_buckets=256, k=2, hasher=hasher)
+    # dsir_scores = dsir_bucket_model + dsir_importance_weights fused
+    # into ONE gram pass (scores bit-identical; see the operator doc)
+    wts = dsir_scores(
+        docs, F.col("lang") == "en", n_buckets=256, k=2, hasher=hasher
+    )
     return dsir_gumbel_sample(wts, k_sample=100)
 
 
@@ -2210,7 +2208,11 @@ def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = base + "/kept"
     for b in range(5):
         batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == b)
-        surv = incremental_dedup_batch(reg, batch).select(
+        # ids_only: the survivor ids are already pinned by the
+        # admission checkpoint — the default semi-join back through
+        # the batch scan re-reads documents per batch only to produce
+        # the same id set (this query projects doc_id alone)
+        surv = incremental_dedup_batch(reg, batch, ids_only=True).select(
             "doc_id", F.lit(b).cast("long").alias("batch")
         )
         # executor-side parquet append per batch — the write is the

@@ -317,6 +317,20 @@ def dedup_spans(
     # aggregation buffer silently degrades the census to SortAggregate
     # (full map-side sort). Order-preserving for non-negative ids and
     # cpos < 2^20 (≈8M tokens/doc at w=8).
+    #
+    # Stage the (id, cpos, ch, pk) rows ONCE: they are consumed twice
+    # (census aggregate + decision join) and the tokenize/chunk HOF
+    # that produces them is the dominant per-row cost — without the
+    # checkpoint the whole chunking re-executes per consumer (HOFs get
+    # no subexpression elimination), and over a single small parquet
+    # file it re-executes on ONE core (guide §2.2/§2.5).  The spread
+    # is scale-adaptive (no-op on a production-width scan); the
+    # checkpoint rows are 32 bytes each — far smaller than the chunk
+    # text they replace.  Join strategies stay AQE-decided (no
+    # broadcast hints): at corpus scale census/drops can be huge.
+    from monstache_spark.session import spread_scan
+
+    docs = spread_scan(docs)
     rows = docs.select(
         F.col(id_col), F.posexplode(chunk_arr).alias("cpos", "chunk")
     ).select(
@@ -324,7 +338,7 @@ def dedup_spans(
         "cpos",
         F.xxhash64("chunk").alias("ch"),
         (F.col(id_col).cast("long") * (1 << 20) + F.col("cpos")).alias("pk"),
-    )
+    ).localCheckpoint(eager=True)
     census = (
         rows.groupBy("ch")
         .agg(F.count("*").alias("n_occ"), F.min("pk").alias("keep"))
@@ -1026,6 +1040,93 @@ def dsir_importance_weights(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_grams"),
         F.sum("w").cast("decimal(38,6)").cast("double").alias("score"),
+    )
+
+
+def dsir_scores(
+    corpus: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 1024,
+    k: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hasher: Callable[[Column], Column] | None = None,
+) -> DataFrame:
+    """One-gram-pass DSIR: :func:`dsir_bucket_model` +
+    :func:`dsir_importance_weights` fused for the common case where
+    the target distribution is a row predicate over the SAME corpus
+    (``target_filter``, e.g. ``lang == 'en'``).
+
+    The separate calls run the gram explode + hash pass THREE times
+    (target bucket counts, raw bucket counts, per-doc scoring) — the
+    dominant cost, since every pass re-scans the corpus text, windows
+    the token positions, and hashes every k-gram (guide §2.2: shuffle
+    and recompute less; HOF/window work is never deduped across
+    subtrees).  Here ONE pass builds the per-(doc, bucket) gram
+    histogram with the target flag carried through the explode
+    (``shingle_rows(carry=...)``), eager-checkpointed at
+    O(docs x touched buckets) — strictly smaller than the gram rows
+    it replaces; both model counts and the per-doc scores then
+    derive from it:
+
+    - ``c_target``/``c_raw`` are histogram sums per bucket (the
+      full-outer bucket union is the histogram's bucket set, since
+      target ⊆ corpus);
+    - the per-doc score sums ``w * cnt`` — exact DECIMAL
+      multiplication, identical to summing the rounded per-bucket
+      ``w`` once per gram occurrence, so scores are bit-identical to
+      the unfused path (pinned by ``test_dsir_scores_matches_unfused``).
+
+    Returns the :func:`dsir_importance_weights` frame
+    ``(id, n_grams, score)``."""
+    from monstache_spark.operators.dedup import shingle_rows
+
+    h = hasher if hasher is not None else F.xxhash64
+    flagged = corpus.withColumn("__dsir_tgt", target_filter.cast("boolean"))
+    rows = shingle_rows(
+        flagged, text_col, id_col, k=k, distinct=False, carry=("__dsir_tgt",)
+    )
+    hist = (
+        rows.select(
+            F.col(id_col),
+            F.col("__dsir_tgt").alias("tgt"),
+            F.pmod(h(F.col("s")), F.lit(n_buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "tgt", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    bucket_counts = hist.groupBy("bucket").agg(
+        F.sum(F.when(F.col("tgt"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("c_target"),
+        F.sum("cnt").cast("long").alias("c_raw"),
+    )
+    totals = F.broadcast(
+        bucket_counts.agg(
+            F.sum("c_target").alias("n_target"), F.sum("c_raw").alias("n_raw")
+        )
+    )
+    b = F.lit(float(n_buckets))
+    # the w expression is copied VERBATIM from dsir_bucket_model so
+    # every rounded double is bit-identical to the unfused model's
+    model = bucket_counts.crossJoin(totals).select(
+        "bucket",
+        F.round(
+            F.log((F.col("c_target") + 1.0) / (F.col("n_target") + b))
+            - F.log((F.col("c_raw") + 1.0) / (F.col("n_raw") + b)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    scored = hist.join(F.broadcast(model), "bucket")
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.sum(F.col("w") * F.col("cnt"))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("score"),
     )
 
 

@@ -128,6 +128,7 @@ def shingle_rows(
     id_col: str = "doc_id",
     k: int = 3,
     distinct: bool = True,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """One row per k-word shingle: posexplode tokens, then lead-window
     concatenation. Docs with < k tokens contribute one whole-doc
@@ -140,14 +141,24 @@ def shingle_rows(
     (doc, position) once, everything else stays in whole-stage codegen.
     Pass ``distinct=False`` when the consumer is order-insensitive
     min/max aggregation (MinHash) — duplicates can't change a min, and
-    skipping the distinct saves a shuffle."""
+    skipping the distinct saves a shuffle.
+
+    ``carry`` names per-DOCUMENT columns to thread through to the
+    output rows (e.g. a target-membership flag a one-pass consumer
+    aggregates by) — they ride the same explode, no join-back.  Under
+    ``distinct=True`` carried columns join the dedup key, so they must
+    be constant per document."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    t = _spread(docs, id_col).select(F.col(id_col), F.posexplode(toks).alias("_pos", "_tok"))
+    carry_cols = [F.col(c) for c in carry]
+    t = _spread(docs, id_col).select(
+        F.col(id_col), *carry_cols, F.posexplode(toks).alias("_pos", "_tok")
+    )
     w = Window.partitionBy(id_col).orderBy("_pos")
     parts = [F.col("_tok")] + [F.lead("_tok", j).over(w) for j in range(1, k)]
     n = F.count("*").over(Window.partitionBy(id_col))
     sh = t.select(
         F.col(id_col),
+        *carry_cols,
         F.concat_ws(" ", *parts).alias("s"),
         parts[-1].isNotNull().alias("_full"),
         n.alias("_n"),
@@ -155,7 +166,7 @@ def shingle_rows(
     )
     rows = sh.filter(
         F.col("_full") | ((F.col("_n") < k) & (F.col("_pos") == 0))
-    ).select(id_col, "s")
+    ).select(id_col, *carry, "s")
     return rows.distinct() if distinct else rows
 
 
@@ -990,6 +1001,13 @@ def containment_pairs(
             .select("h")
         )
         keyed = keyed.join(hot, "h", "left_anti")
+    # NOTE (r14 optimization round, negative result): eager-localCheckpoint-ing
+    # the capped key set here — to share one shingle pass across the four
+    # consumers (sizes, both self-join sides, stop-gram census) — MEASURED
+    # SLOWER (2.0 -> 2.4 s warm at sf0.1, build 0.6 -> 8.2 s): the static
+    # plan shows 8 scans, but AQE's runtime stage reuse already dedupes the
+    # distinct exchange across consumers, while the checkpoint job itself
+    # materializes WITHOUT adaptive execution.  Left as the AQE-reused shape.
     sizes = keyed.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_sh")
     )
@@ -1281,6 +1299,7 @@ def incremental_dedup_batch(
     batch_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ids_only: bool = False,
 ) -> DataFrame:
     """Admit one batch into an incrementally deduplicated corpus:
     returns the batch rows that survive (canonical fingerprint unseen
@@ -1293,6 +1312,13 @@ def incremental_dedup_batch(
     Plan per batch: fingerprint (narrow) → within-batch keep-min
     (one digest-keyed shuffle) → anti-join history on the digest.
     Only (digest, id) pairs ever shuffle; history text is never read.
+
+    ``ids_only=True`` returns just the surviving ``id_col`` frame —
+    the survivor set is already pinned by the admission checkpoint, so
+    a caller that only needs the ids (manifest writes, audit counts)
+    skips the semi-join job back through the batch scan entirely
+    (guide §2.2: don't re-derive what an exchange already carries).
+    The id SET is identical to the default frame's.
     """
     fp = fingerprint(F.col(text_col))
     in_batch = (
@@ -1312,6 +1338,8 @@ def incremental_dedup_batch(
     admitted = fresh.select("fp", id_col).localCheckpoint(eager=True)
     registry.admit(admitted)
     keep_ids = admitted.select(id_col)
+    if ids_only:
+        return keep_ids
     return batch_docs.join(keep_ids, id_col, "left_semi")
 
 

@@ -45,6 +45,7 @@ def run_stream_to_parquet(
     out_dir: str | None = None,
     checkpoint_dir: str | None = None,
     state_store: str | None = None,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Drain a (bounded) streaming frame through a ``foreachBatch``
     parquet sink and read the result back — the scale-correct harness:
@@ -79,9 +80,21 @@ def run_stream_to_parquet(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     provider = state_store_provider(state_store)
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
+    _NODATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(_NODATA_CONF, None)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     if provider:
         spark.conf.set(_PROVIDER_CONF, provider)
+    if not no_data_batches:
+        # The zero-row finalize micro-batch exists to advance the
+        # watermark so APPEND-mode aggregations flush and state evicts.
+        # An operator whose OUTPUT never depends on watermark advance
+        # (inner stream-stream join: matches emit in the batch where
+        # both sides arrive; eviction is cleanup only) may skip it —
+        # measured 1.7-1.9 s of pure state-store iteration per drain.
+        # NEVER set this for windowed aggregations / dropDuplicates
+        # in append mode: their final windows would not emit.
+        spark.conf.set(_NODATA_CONF, "false")
     try:
         writer = (
             df.writeStream.foreachBatch(sink)
@@ -99,6 +112,11 @@ def run_stream_to_parquet(
                 spark.conf.unset(_PROVIDER_CONF)
             else:
                 spark.conf.set(_PROVIDER_CONF, prev_provider)
+        if not no_data_batches:
+            if prev_nodata is None:
+                spark.conf.unset(_NODATA_CONF)
+            else:
+                spark.conf.set(_NODATA_CONF, prev_nodata)
     return spark.read.parquet(out_dir)
 
 
@@ -199,7 +217,11 @@ def stream_stream_join(
         "inner",
     )
     out = run_stream_to_parquet(
-        joined, spark, "append", out_dir, checkpoint_dir, state_store
+        joined, spark, "append", out_dir, checkpoint_dir, state_store,
+        # inner join: every match emits in the batch where both sides
+        # arrive; the zero-row finalize batch would only evict state
+        # (no output), so skip it — see run_stream_to_parquet
+        no_data_batches=False,
     )
     return out.select(
         F.col("s_user").alias("user_id"),

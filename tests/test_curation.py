@@ -430,6 +430,44 @@ def test_dsir_upweights_target_like_documents(spark):
     assert {r["doc_id"] for r in s1 if r["sampled"]} == {r["doc_id"] for r in s2 if r["sampled"]}
 
 
+def test_dsir_scores_matches_unfused(spark):
+    """The one-gram-pass dsir_scores is bit-identical to the
+    dsir_bucket_model + dsir_importance_weights composition when the
+    target is a predicate over the same corpus — including docs on
+    real testdata-like text with repeats, short docs, and an empty
+    doc (the whole-doc '' shingle path)."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.functions.text import shingle_hash
+    from monstache_spark.operators.curation import (
+        dsir_bucket_model,
+        dsir_importance_weights,
+        dsir_scores,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat and the cat sat again", "en"),
+        (1, "le chat est assis sur le tapis", "fr"),
+        (2, "the dog ran over the mat", "en"),
+        (3, "one", "en"),  # < k tokens: whole-doc shingle
+        (4, "", "fr"),  # empty text: '' shingle
+        (5, "zzz qqq vvv the kkk jjj", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    hasher = lambda c: shingle_hash(c, 1)  # noqa: E731
+
+    model = dsir_bucket_model(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=32, k=2, hasher=hasher
+    )
+    unfused = dsir_importance_weights(docs, model, n_buckets=32, k=2, hasher=hasher)
+    fused = dsir_scores(
+        docs, F.col("lang") == "en", n_buckets=32, k=2, hasher=hasher
+    )
+    a = {r["doc_id"]: (r["n_grams"], r["score"]) for r in unfused.collect()}
+    b = {r["doc_id"]: (r["n_grams"], r["score"]) for r in fused.collect()}
+    assert a == b  # exact equality incl. the float score bits
+
+
 def test_corpus_overlap_counts_and_omits_disjoint(spark):
     from monstache_spark.operators.curation import corpus_overlap
 

@@ -1162,6 +1162,22 @@ def extra_checks(spark, sf_dir):
         wts,
     )
 
+    from monstache_spark.operators.curation import dsir_scores
+
+    fused = dsir_scores(docs, F.col("lang") == "en", n_buckets=256, k=2, hasher=hasher)
+    yield (
+        "dsir_importance[fused one-pass]",
+        "fused DSIR (the entry-query path): model derives from the "
+        "checkpointed histogram and BROADCASTS into the scoring join; "
+        "exactly one Generate (the single gram pass feeding the "
+        "checkpoint is upstream of it), no sort agg, no Python",
+        lambda p: "SortAggregate" not in p
+        and "Python" not in p
+        and "BroadcastHashJoin" in p
+        and p.count("Generate") == 0,  # gram pass already checkpointed away
+        fused,
+    )
+
     from monstache_spark.operators.aggs import top_metrics
 
     ev = e.load_table(spark, "events", sf_dir)
