@@ -1620,14 +1620,16 @@ def _q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-language stopword scorer: per-language ratios + argmax
     guess with deterministic tiebreak (functions/text.lang_guess)."""
-    from monstache_spark.functions.text import lang_guess
+    from monstache_spark.functions.text import LANG_ORDER, lang_guess_staged
 
     docs = load_table(spark, "documents", sf_dir)
-    ratios, guess = lang_guess(F.col("text"))
-    return docs.select(
+    # staged variant: token stream projected once per row instead of
+    # re-inlined into every argmax comparison (~40x) — values identical
+    staged = lang_guess_staged(docs)
+    return staged.select(
         "doc_id",
-        *[F.round(r, 6).alias(f"r_{lang}") for lang, r in ratios.items()],
-        guess.alias("lang_guess"),
+        *[F.round(F.col(f"_lr_{lang}"), 6).alias(f"r_{lang}") for lang in LANG_ORDER],
+        "lang_guess",
     )
 
 

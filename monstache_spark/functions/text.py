@@ -45,6 +45,55 @@ def lang_guess(text: Column, threshold: float = 0.02) -> tuple[dict[str, Column]
     return ratios, guess
 
 
+def lang_guess_staged(df, text_col: str = "text", threshold: float = 0.02):
+    """:func:`lang_guess` with the per-row work STAGED through real
+    columns: the Column-DSL composition re-inlines each language's
+    ratio expression into every argmax comparison (~40 copies of the
+    tokenize+filter HOF per row, all interpreted — HOFs are excluded
+    from codegen subexpression elimination; guide §4.3), so the plain
+    form tokenizes each document ~40x.  Here the lowered token array
+    is projected ONCE, per-language stopword counts once, and the
+    guess chain compares ratio ATTRIBUTES; CollapseProject leaves the
+    staging projections alone because the staged expressions are
+    non-cheap and multiply referenced.
+
+    Returns ``df`` plus ``_lr_<lang>`` (the RAW per-language ratio,
+    value-identical to ``lang_guess``'s) and ``lang_guess``; callers
+    round/rename and drop what they don't need.  The guess logic —
+    tie-break to the earlier ``LANG_ORDER`` language, best-below-
+    ``threshold`` → ``'other'`` — is the same chain, over the same
+    double values."""
+    ltoks = tokens(F.lower(F.col(text_col)))
+    staged = df.withColumn("_lt", ltoks).withColumn(
+        "_ln", token_count(F.col(text_col))
+    )
+    def _contains(sw):
+        # closure factory, NOT a default arg: a 2-parameter lambda is
+        # arity-probed by PySpark as the (element, index) HOF form
+        return lambda t: F.array_contains(sw, t)
+
+    for lang in LANG_ORDER:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        cnt = F.size(F.filter(F.col("_lt"), _contains(sw)))
+        staged = staged.withColumn(
+            f"_lr_{lang}",
+            F.when(
+                F.col("_ln") > 0, cnt.cast("double") / F.col("_ln").cast("double")
+            ).otherwise(F.lit(0.0)),
+        )
+    r = {lang: F.col(f"_lr_{lang}") for lang in LANG_ORDER}
+    guess = F.lit("other")
+    for i in range(len(LANG_ORDER) - 1, -1, -1):
+        lang = LANG_ORDER[i]
+        cond = r[lang] >= threshold
+        for later in LANG_ORDER[i + 1 :]:
+            cond = cond & (r[lang] >= r[later])
+        for earlier in LANG_ORDER[:i]:
+            cond = cond & (r[lang] > r[earlier])
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+    return staged.withColumn("lang_guess", guess).drop("_lt", "_ln")
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty text → empty array."""
     t = F.trim(text)

@@ -2369,6 +2369,13 @@ def frequent_item_sets(
         .select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i"))
         .distinct()
     )
+    # the distinct pair frame feeds 4+ consumers (basket total,
+    # singleton census, and each self-join side per level) and AQE's
+    # stage reuse does NOT dedupe it (the consumers aggregate on
+    # different keys, so nothing above the distinct is canonical-equal);
+    # one eager checkpoint of the two-column pairs runs the scan +
+    # distinct once (guide §2.2) — A/B'd: 1.8-5.9 -> 1.4-2.5 s at sf0.1
+    b = b.localCheckpoint(eager=True)
     tot = b.agg(F.count_distinct("_g").cast("double").alias("_tot"))
 
     def finish(grouped: DataFrame, items: Column) -> DataFrame:

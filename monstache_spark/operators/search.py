@@ -3032,7 +3032,11 @@ def more_like_this(
         )
         src_toks = src_toks.join(F.broadcast(bad), "term", "left_anti")
     src_tf = src_toks.groupBy("term").agg(F.count("*").cast("long").alias("tf"))
-    all_toks = _term_rows(docs, text_col, id_col, analyzer)
+    # the df pass tokenizes the WHOLE corpus (eagerly, for the term
+    # collect below); over a single small parquet file the explode
+    # inherits the one-partition scan — spread it so the analyzer
+    # chain parallelizes (scale-adaptive no-op on a wide scan)
+    all_toks = _term_rows(spread_scan(docs), text_col, id_col, analyzer)
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     src_df = (
         all_toks.join(F.broadcast(src_tf.select("term")), "term")

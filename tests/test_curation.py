@@ -430,6 +430,45 @@ def test_dsir_upweights_target_like_documents(spark):
     assert {r["doc_id"] for r in s1 if r["sampled"]} == {r["doc_id"] for r in s2 if r["sampled"]}
 
 
+def test_lang_guess_staged_matches_plain(spark):
+    """The staged lang scorer (token stream projected once) is
+    value-identical to the Column-DSL lang_guess composition —
+    ratios bit-equal, guess equal — including empty text, sub-threshold
+    docs, and tie shapes."""
+    from pyspark.sql import functions as F
+
+    from monstache_spark.functions.text import (
+        LANG_ORDER,
+        lang_guess,
+        lang_guess_staged,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat and it is that for the win"),
+        (1, "der hund und die katze sind im haus mit den kindern"),
+        (2, "el perro y el gato en la casa que no se ve"),
+        (3, "le chat et le chien en la maison des amis du parc"),
+        (4, ""),  # empty: all ratios 0.0, guess 'other'
+        (5, "zzz qqq www"),  # below threshold
+        (6, "de de de de"),  # 'de' is a stopword in es AND fr: tie-break
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ratios, guess = lang_guess(F.col("text"))
+    plain = docs.select(
+        "doc_id",
+        *[r.alias(f"r_{lang}") for lang, r in ratios.items()],
+        guess.alias("lang_guess"),
+    )
+    staged = lang_guess_staged(docs).select(
+        "doc_id",
+        *[F.col(f"_lr_{lang}").alias(f"r_{lang}") for lang in LANG_ORDER],
+        "lang_guess",
+    )
+    a = {r["doc_id"]: tuple(r)[1:] for r in plain.collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in staged.collect()}
+    assert a == b  # raw double bits + guess identical
+
+
 def test_dsir_scores_matches_unfused(spark):
     """The one-gram-pass dsir_scores is bit-identical to the
     dsir_bucket_model + dsir_importance_weights composition when the
