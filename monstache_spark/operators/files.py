@@ -60,8 +60,16 @@ def fetch_file_content(
     omits the content; an unreadable/missing file yields null content
     AND null size. Fetch parallelism is partitions × ``concurrency``
     — the stage scales horizontally with the corpus, no driver I/O.
+    A narrow input (single small parquet file locally) is spread to
+    the shuffle width first so that product holds — otherwise ONE
+    Python worker fetches and base64s everything (guide §2.5/§4); the
+    spread is a no-op on a production-width input.
     """
     import pandas as pd
+
+    from monstache_spark.session import spread_scan
+
+    df = spread_scan(df)
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", {out_col} string, {size_col} long"
