@@ -85,14 +85,15 @@ class IvfPqIndexTable:
         )
         # frozen-quantizer cache: centroids/codebooks never change
         # after bootstrap (the FAISS add() contract), so collect them
-        # ONCE into literal expression fragments instead of running
-        # two broadcast joins + three shuffle aggregates per
-        # micro-batch — they are control-plane-sized (n_centroids /
-        # m*k_sub rows), the same bounded-collect class as the ADC
+        # ONCE into a single-row checkpointed quantizer frame instead
+        # of running two broadcast joins + three shuffle aggregates
+        # per micro-batch — they are control-plane-sized (n_centroids
+        # / m*k_sub rows), the same bounded-collect class as the ADC
         # lookup tables (optimization guide §2.4: remove shuffles
         # outright; §3.1: the "join" side is index metadata)
         self._quant_cache: tuple[list, dict] | None = None
         self._expr_cache: tuple | None = None
+        self._qf: DataFrame | None = None
 
     # -- frozen quantizers ------------------------------------------------
     def bootstrap(self, training: DataFrame, id_col: str = "vec_id") -> None:
@@ -110,10 +111,11 @@ class IvfPqIndexTable:
         pq_codebooks(
             training, self.dim, self.m, self.k_sub, self.vec_col, id_col
         ).write.mode("overwrite").parquet(os.path.join(self.path, "codebooks"))
-        # re-bootstrap invalidates the frozen-quantizer cache and the
-        # compiled encode expressions
+        # re-bootstrap invalidates the frozen-quantizer cache, the
+        # compiled encode expressions, and the quantizer frame
         self._quant_cache = None
         self._expr_cache = None
+        self._qf = None
 
     def _quantizers(self) -> tuple[list, dict]:
         """Frozen quantizers as PLAIN VALUES: ``(centroids,
@@ -151,6 +153,64 @@ class IvfPqIndexTable:
         return self._quant_cache
 
     # -- per-batch encode --------------------------------------------------
+    def _quant_frame(self) -> DataFrame:
+        """The frozen quantizers as ONE eagerly-checkpointed 1-row
+        frame ``(_q_cids, _q_cvecs, _q_cnorms, _q_cbcodes,
+        _q_cbvecs)``.
+
+        Why a frame and not inline literals: the literal form put
+        ~2k doubles (n_centroids·dim + m·k_sub·d_sub) plus their
+        arithmetic into EVERY per-batch plan, and each analyzer /
+        optimizer pass walks that tree again — per micro-batch the
+        driver burned ~1 s building and ~1-2 s optimizing plans whose
+        data work is 300 rows (and ``_merge_apply`` references the
+        encode subtree twice, doubling the walks).  The checkpoint
+        collapses the constants into a single-row ``LogicalRDD`` —
+        the mega-literal plan is analyzed ONCE per table instance,
+        and every batch plan just broadcast-cross-joins one tiny
+        node (guide §7.3 "very large plans: planning time itself
+        becomes the bottleneck"; §5 ``localCheckpoint`` truncates
+        lineage).  The doubles come from the same
+        :meth:`_quantizers` collect and re-enter via ``F.lit`` —
+        py4j round-trips IEEE doubles exactly, and the checkpoint
+        stores them binary, so every value the expressions see is
+        bit-identical to the old literal/broadcast builds."""
+        if self._qf is None:
+            cen, cbs = self._quantizers()
+
+            # one selectExpr per column — a single py4j call each with
+            # the literals as SQL text (2k element-wise F.lit calls
+            # cost seconds of py4j round-trips); floats re-enter as
+            # CAST('<repr>' AS DOUBLE): Python repr is
+            # shortest-round-trip and Spark's parser is correctly
+            # rounded, so each double is bit-identical to the
+            # collected value (the old literal form's proven
+            # mechanism)
+            def d(x: float) -> str:
+                return f"CAST('{x!r}' AS DOUBLE)"
+
+            def arr(xs: list) -> str:
+                return "array(" + ", ".join(d(x) for x in xs) + ")"
+
+            books = [sorted(cbs.get(mi, [])) for mi in range(self.m)]
+            qf = self.spark.range(1).selectExpr(
+                "array(" + ", ".join(str(int(cid)) for cid, _, _ in cen)
+                + ") AS _q_cids",
+                "array(" + ", ".join(arr(cvd) for _, cvd, _ in cen)
+                + ") AS _q_cvecs",
+                arr([nc for _, _, nc in cen]) + " AS _q_cnorms",
+                "array(" + ", ".join(
+                    "array(" + ", ".join(str(int(c)) for c, _ in book) + ")"
+                    for book in books
+                ) + ") AS _q_cbcodes",
+                "array(" + ", ".join(
+                    "array(" + ", ".join(arr(sub) for _, sub in book) + ")"
+                    for book in books
+                ) + ") AS _q_cbvecs",
+            )
+            self._qf = qf.localCheckpoint(eager=True)
+        return self._qf
+
     def encode(self, rows: DataFrame, id_col: str = "id") -> DataFrame:
         """``rows`` (…, id, vector) + frozen quantizers → the same rows
         with ``cell`` (nearest-centroid argmax, rounded-cosine
@@ -158,35 +218,36 @@ class IvfPqIndexTable:
         argmins).  Used for every batch AND for from-scratch
         restatements in tests — one code path, no drift.
 
-        ONE map-only projection against quantizer LITERALS (guide
-        §2.4).  The join-based formulation (``ivf_assign`` +
-        ``pq_encode`` + two join-backs) cost 4 exchanges, 2 broadcast
-        builds and an m-way explode PER MICRO-BATCH for quantizers
-        that are frozen index metadata; here the same arithmetic runs
-        per row with zero shuffles.  Bit-equivalence to the old path
-        (pinned by tests/test_annindex.py::test_encode_matches_join_formulation):
+        ONE map-only projection over a broadcast 1-row quantizer
+        frame (guide §2.4).  The join-based formulation
+        (``ivf_assign`` + ``pq_encode`` + two join-backs) cost 4
+        exchanges, 2 broadcast builds and an m-way explode PER
+        MICRO-BATCH for quantizers that are frozen index metadata;
+        here the same arithmetic runs per row with no shuffle — the
+        only join is a broadcast cross join against one checkpointed
+        row (:meth:`_quant_frame`), which keeps the per-batch plan
+        TINY.  Bit-equivalence to the join path (pinned by
+        tests/test_annindex.py::test_encode_matches_join_formulation):
 
-        * cell — per centroid, ``score = round(when(na*nc > 0,
+        * cell — per centroid ``i``, ``score = round(when(na*nc > 0,
           dot_pre(vd, cvd)/(na*nc)).otherwise(0.0), 6)`` over the SAME
           pre-cast doubles in the same fold order, packed by the same
-          ``_pack_score_id`` arithmetic; ``greatest`` over the
+          ``_pack_score_id`` arithmetic; ``array_max`` over the
           n_centroids packs is exactly ``max`` over the
           crossJoin+HashAggregate rows (packs are distinct — cid
           occupies the low bits).
-        * codes — per subspace ``mi``, ``least`` over
+        * codes — per subspace ``mi``, ``array_min`` over
           ``dist_micro*1024 + code`` replicates ``pq_encode``'s packed
-          ``min`` (codes are distinct), and the ``m`` shiftlefts sum
-          the identical packed BIGINT the old per-row aggregate built.
+          ``min`` (codes are distinct), and the fold of ``m``
+          shiftlefts sums the identical packed BIGINT the old per-row
+          aggregate built (integer addition, order-exact).
 
         The two expressions are compiled ONCE per table instance
-        (unresolved Columns are frame-independent) from SQL text —
-        float literals re-enter as ``CAST('<repr>' AS DOUBLE)``;
-        Python ``repr`` is shortest-round-trip and Spark's parser is
-        correctly rounded, so each literal is the bit-identical
-        double the old broadcast build carried."""
+        (unresolved Columns are frame-independent)."""
         cell, codes = self._encode_exprs()
         return (
-            rows.withColumn(
+            rows.crossJoin(F.broadcast(self._quant_frame()))
+            .withColumn(
                 "_vd", F.expr(f"transform({self.vec_col}, x -> CAST(x AS DOUBLE))")
             )
             .withColumn(
@@ -198,60 +259,49 @@ class IvfPqIndexTable:
             )
             .withColumn("cell", cell)
             .withColumn("codes", codes)
-            .drop("_vd", "_na")
+            .drop(
+                "_vd", "_na",
+                "_q_cids", "_q_cvecs", "_q_cnorms", "_q_cbcodes", "_q_cbvecs",
+            )
         )
 
     def _encode_exprs(self):
-        """Build (cell, codes) Columns from the frozen quantizers —
-        two ``F.expr`` calls total, cached on the instance so the
-        construction cost is paid once, not per micro-batch."""
+        """Build (cell, codes) Columns over the quantizer-frame
+        columns — two ``F.expr`` calls total, cached on the instance.
+        The arithmetic is the literal form's, verbatim, with each
+        per-centroid / per-code copy replaced by a ``transform`` over
+        ``sequence`` indexing the frame's arrays (same dot/sq fold
+        order, same rounding, same packing)."""
         if getattr(self, "_expr_cache", None) is not None:
             return self._expr_cache
 
-        def d(x: float) -> str:
-            return f"CAST('{x!r}' AS DOUBLE)"
-
-        def arr(xs: list) -> str:
-            return "array(" + ", ".join(d(x) for x in xs) + ")"
-
-        def dot(a: str, b: str) -> str:
-            return (
-                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
-                " 0.0D, (acc, x) -> acc + x)"
-            )
-
-        cen, cbs = self._quantizers()
+        mask = (1 << 21) - 1
         d_sub = self.dim // self.m
-        packs = []
-        for cid, cvd, nc in cen:
-            den = f"(_na * {d(nc)})"
-            score = (
-                f"round(CASE WHEN {den} > 0 THEN {dot('_vd', arr(cvd))} / {den}"
-                f" ELSE 0.0D END, 6)"
-            )
-            # _pack_score_id: round(score*1e6) as BIGINT * 2^21 + (2^21-1 - cid)
-            packs.append(
-                f"(CAST(round({score} * 1000000.0D) AS BIGINT) * {1 << 21}"
-                f" + ({(1 << 21) - 1} - {cid}))"
-            )
-        best = f"greatest({', '.join(packs)})" if len(packs) > 1 else packs[0]
-        cell_sql = f"CAST({(1 << 21) - 1} - pmod({best}, {1 << 21}) AS BIGINT)"
-
-        code_terms = []
-        for mi in range(self.m):
-            sub = f"slice(_vd, {mi * d_sub + 1}, {d_sub})"
-            pks = []
-            for code, c_sub in sorted(cbs.get(mi, [])):
-                sq = (
-                    f"aggregate(zip_with({sub}, {arr(c_sub)},"
-                    " (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-                )
-                dist = f"CAST(round({sq} * 1000000.0D) AS BIGINT)"
-                pks.append(f"({dist} * 1024 + {code})")
-            least = f"least({', '.join(pks)})" if len(pks) > 1 else pks[0]
-            code_mi = f"CAST(pmod({least}, 1024) AS BIGINT)"
-            code_terms.append(f"shiftleft({code_mi}, {mi * 8})")
-        codes_sql = "CAST(" + " + ".join(code_terms) + " AS BIGINT)"
+        # per centroid i: pack(round(score, 6)) with score the
+        # rounded-cosine; array_max == greatest == crossJoin max
+        cell_sql = (
+            f"CAST({mask} - pmod(array_max(transform("
+            "sequence(0, size(_q_cids) - 1), i -> "
+            "CAST(round(round(CASE WHEN (_na * element_at(_q_cnorms, i + 1)) > 0 "
+            "THEN aggregate(zip_with(_vd, element_at(_q_cvecs, i + 1), "
+            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+            " / (_na * element_at(_q_cnorms, i + 1)) "
+            f"ELSE 0.0D END, 6) * 1000000.0D) AS BIGINT) * {1 << 21}"
+            f" + ({mask} - element_at(_q_cids, i + 1)))), {1 << 21}) AS BIGINT)"
+        )
+        # per subspace mi: argmin codeword by packed squared distance,
+        # then fold the m shiftlefts into the packed BIGINT
+        codes_sql = (
+            f"CAST(aggregate(sequence(0, {self.m - 1}), 0L, (acc, mi) -> acc + "
+            "shiftleft(CAST(pmod(array_min(transform("
+            "sequence(0, size(element_at(_q_cbcodes, mi + 1)) - 1), j -> "
+            f"CAST(round(aggregate(zip_with(slice(_vd, mi * {d_sub} + 1, {d_sub}), "
+            "element_at(element_at(_q_cbvecs, mi + 1), j + 1), "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (a2, x) -> a2 + x)"
+            " * 1000000.0D) AS BIGINT) * 1024"
+            " + element_at(element_at(_q_cbcodes, mi + 1), j + 1))), "
+            "1024) AS BIGINT), mi * 8)) AS BIGINT)"
+        )
         self._expr_cache = (F.expr(cell_sql), F.expr(codes_sql))
         return self._expr_cache
 
@@ -284,15 +334,28 @@ class IvfPqIndexTable:
         enriched = self.encode(up_rows, id_col="id").select(
             "ns", "id", "version", self.vec_col, "cell", "codes"
         )
-        tombs = (
-            ops.filter(F.col("op") == OP_DELETE)
-            .groupBy("ns", "id")
-            .agg(F.max("version").alias("version"))
-        )
-        merged = _merge_apply(
-            self._state.read(include_tombstones=True), enriched, tombs
-        )
-        self._state._commit(merged)
+        # _merge_apply references the batch twice (the keep branch's
+        # version probe and the win branch), which re-executes the
+        # window compaction + encode subtree per reference; persist +
+        # materialize runs it ONCE per batch and the merge reads the
+        # cached micro-batch-sized block (guide §5 — persist when a
+        # frame is reused AND recomputing costs more; persist keeps
+        # the plan's statistics, unlike localCheckpoint, so the merge
+        # joins keep their broadcast-side choice at scale)
+        enriched = enriched.persist()
+        try:
+            enriched.count()
+            tombs = (
+                ops.filter(F.col("op") == OP_DELETE)
+                .groupBy("ns", "id")
+                .agg(F.max("version").alias("version"))
+            )
+            merged = _merge_apply(
+                self._state.read(include_tombstones=True), enriched, tombs
+            )
+            self._state._commit(merged)
+        finally:
+            enriched.unpersist(False)
 
     # -- read side -----------------------------------------------------------
     def read(self) -> DataFrame | None:

@@ -35,10 +35,11 @@ upstream.
 
 Storage is the pointer-versioned parquet commit of
 ``sinks.merge.StateTable`` (write ``v{n+1}``, flip CURRENT): readers
-never see a partial merge.  Scale: each micro-batch costs one hash
-agg over the batch plus one hash agg over (state ∪ batch-rollup) —
-both bucket-cardinality-sized after the first; the corpus-sized work
-is only ever the arriving batch.
+never see a partial merge.  Scale: each micro-batch costs ONE hash
+agg over (state ∪ state-shaped batch points) — the groupBy's
+map-side partial aggregation rolls the batch up before the exchange,
+so the shuffle carries bucket-cardinality-sized partials; the
+corpus-sized work is only ever the arriving batch.
 """
 
 from __future__ import annotations
@@ -145,6 +146,44 @@ class DownsampleTable:
             )
         )
 
+    def _state_shaped(self, df: DataFrame) -> DataFrame:
+        """Raw points projected to STATE-ROW shape (each point = a
+        1-point rollup row), so ``state ∪ points`` folds in ONE hash
+        aggregate: the groupBy's map-side partial aggregation IS the
+        per-batch rollup (guide §2.4 — two operations keyed the same
+        way share one exchange; previously each micro-batch paid a
+        batch-rollup exchange AND a merge exchange).  Exactness vs
+        the two-phase shape, column by column: ``sum(1L) = count(*)``;
+        ``min``/``max`` associate; the gauge sums are exact
+        ``decimal(38,6)`` (order-independent); ``sum(is-not-null) =
+        count(g)``; ``max_by(c, pack)`` picks the value at the global
+        max pack either way (packs are unique per event — envelope
+        contract)."""
+        us = F.unix_micros(F.col(self.ts_col))
+        pack = (
+            us.cast("decimal(38,0)") * F.lit(1_000_000_000)
+            + F.col(self.id_col).cast("decimal(38,0)")
+        )
+        cols = [
+            *[F.col(d) for d in self.dims],
+            F.timestamp_micros(us - F.pmod(us, F.lit(self._w_us))).alias("bucket"),
+            F.lit(1).cast("long").alias("doc_count"),
+        ]
+        for g in self.gauges:
+            c = F.col(g)
+            cols += [
+                c.alias(f"{g}_min"),
+                c.alias(f"{g}_max"),
+                c.cast("decimal(38,6)").alias(f"_sum_{g}"),
+                F.when(c.isNotNull(), 1).otherwise(0).cast("long").alias(f"{g}_count"),
+            ]
+        for c_name in self.counters:
+            cols += [
+                F.col(c_name).alias(f"{c_name}_last"),
+                pack.alias(f"_pk_{c_name}"),
+            ]
+        return df.filter(F.col(self.ts_col).isNotNull()).select(*cols)
+
     def _merge(self, cur: DataFrame, batch: DataFrame) -> DataFrame:
         both = cur.unionByName(batch)
         aggs = [F.sum("doc_count").cast("long").alias("doc_count")]
@@ -166,8 +205,10 @@ class DownsampleTable:
 
     # -- public surface -------------------------------------------------
     def merge_batch(self, df: DataFrame, batch_id: int | None = None) -> None:
-        """Fold one micro-batch of points into the rollup state — one
-        batch-sized hash agg + one state-sized hash agg.  Pass the
+        """Fold one micro-batch of points into the rollup state — ONE
+        batch-sized hash agg (whose map-side partial aggregation is
+        the per-batch rollup, state rows riding the same exchange).
+        Pass the
         ``foreachBatch`` epoch id: a batch the table has already
         folded is SKIPPED (idempotent replay after a crash between the
         state commit and the stream checkpoint).  Epoch ids must be
@@ -175,9 +216,15 @@ class DownsampleTable:
         guarantees per checkpoint."""
         if batch_id is not None and batch_id <= self._last_applied():
             return
-        batch = self._rollup(df)
         cur = self._read_raw()
-        merged = batch if cur is None else self._merge(cur, batch)
+        # first batch: the plain rollup; thereafter: ONE hash agg over
+        # state ∪ state-shaped points (map-side partial aggregation
+        # rolls the batch up inside the same exchange — see
+        # _state_shaped)
+        merged = (
+            self._rollup(df) if cur is None
+            else self._merge(cur, self._state_shaped(df))
+        )
         self._commit(merged, batch_id)
 
     def read(self) -> DataFrame | None:
