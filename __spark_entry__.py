@@ -2256,12 +2256,13 @@ def _q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_bigram_lm + bigram_lm_score) — the CCNet-style model-based
     quality signal, trained and applied in one engine pass: model =
     one hash aggregate broadcast back; score = mean bigram probability
-    in exact integer micro-units."""
-    from monstache_spark.functions.text import bigram_lm_score, train_bigram_lm
+    in exact integer micro-units.  Fused single-gram-pass form
+    (bigram_lm_scored): train + score share one staged per-(doc,
+    bigram) histogram."""
+    from monstache_spark.functions.text import bigram_lm_scored
 
     docs = load_table(spark, "documents", sf_dir)
-    model = train_bigram_lm(docs)
-    return bigram_lm_score(docs, model)
+    return bigram_lm_scored(docs)
 
 
 def _q_simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2847,9 +2848,13 @@ def _q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = base + "/kept"
     for b in range(3):
         batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == b)
-        surv = incremental_near_dup_batch(reg, batch, shingle_k=2).select(
-            "doc_id", F.lit(b).cast("long").alias("batch")
-        )
+        # ids_only: the survivor set is already pinned by the verdict
+        # checkpoint; the query projects doc_id alone, so the default
+        # frame's semi-join back through the batch scan is a per-batch
+        # job for nothing (guide §2.2)
+        surv = incremental_near_dup_batch(
+            reg, batch, shingle_k=2, ids_only=True
+        ).select("doc_id", F.lit(b).cast("long").alias("batch"))
         surv.write.mode("append").parquet(out_dir)
     return spark.read.parquet(out_dir).select("doc_id", "batch")
 
@@ -3080,11 +3085,11 @@ def _q_quality_decile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram-LM score): exact interpolated decile boundaries from
     ONE aggregate row broadcast back, bucket assignment as a codegen
     comparison sum — no global sort, no ntile window."""
-    from monstache_spark.functions.text import bigram_lm_score, train_bigram_lm
+    from monstache_spark.functions.text import bigram_lm_scored
     from monstache_spark.operators.curation import score_decile_map
 
     docs = load_table(spark, "documents", sf_dir)
-    scored = bigram_lm_score(docs, train_bigram_lm(docs))
+    scored = bigram_lm_scored(docs)
     return score_decile_map(scored, "avg_prob_micro", n_buckets=10)
 
 

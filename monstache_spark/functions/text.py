@@ -259,3 +259,59 @@ def bigram_lm_score(docs, model, text_col: str = "text", id_col: str = "doc_id")
             F.coalesce("avg_prob_micro", F.lit(0).cast("long")).alias("avg_prob_micro"),
         )
     )
+
+
+def bigram_lm_scored(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """:func:`train_bigram_lm` + :func:`bigram_lm_score` over the SAME
+    corpus, in ONE gram pass (r14 optimization round; guide §2.2 —
+    the two-call composition ran the canonicalize + explode
+    amplification twice, since explode/HOF subtrees are never deduped
+    across consumers).  The per-(doc, bigram) histogram is staged
+    once (eager checkpoint, ~len→distinct-bigram compression per
+    doc); the model's corpus counts and the per-doc scores both
+    derive from it:
+
+    * ``cnt(bigram) = Σ_doc _dc`` — same integer the direct count
+      computed;
+    * ``n_bigrams = Σ _dc = count(*)`` over gram rows;
+    * ``_s = Σ _dc·coalesce(prob_micro, 0)`` — summing the per-bigram
+      probability once per occurrence, exact integer arithmetic.
+
+    Output is row-identical to the unfused composition
+    (``test_bigram_lm_scored_matches_unfused`` pins it)."""
+    rows = char_bigram_rows(docs, text_col, id_col)
+    hist = (
+        rows.groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("_dc"))
+        .localCheckpoint(eager=True)
+    )
+    counts = hist.groupBy("bigram").agg(F.sum("_dc").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_tot"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "bigram",
+        F.expr("cnt * 1000000 div _tot").cast("long").alias("prob_micro"),
+    )
+    scored = (
+        hist.join(F.broadcast(model), "bigram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_dc").cast("long").alias("n_bigrams"),
+            F.sum(F.col("_dc") * F.coalesce(F.col("prob_micro"), F.lit(0)))
+            .cast("long")
+            .alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("_s div n_bigrams").cast("long").alias("avg_prob_micro"),
+        )
+    )
+    ids = docs.select(id_col)
+    return (
+        ids.join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0).cast("long")).alias("n_bigrams"),
+            F.coalesce("avg_prob_micro", F.lit(0).cast("long")).alias("avg_prob_micro"),
+        )
+    )

@@ -1351,6 +1351,7 @@ def incremental_near_dup_batch(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    ids_only: bool = False,
 ) -> DataFrame:
     """Admit one batch into an incrementally NEAR-deduplicated corpus:
     first-writer-claims-the-band, the parallel-safe crawl rule.
@@ -1385,6 +1386,14 @@ def incremental_near_dup_batch(
     (min-over-band and membership are the same predicates), so
     survivor sets and admitted claims are unchanged.  Only
     (band-key, id) pairs shuffle; history text is never read.
+
+    ``ids_only=True`` returns just the surviving ``id_col`` frame —
+    the verdicts are already pinned by the eager checkpoint, so a
+    caller that only needs the ids skips the semi-join job back
+    through the batch scan entirely (guide §2.2; the same knob as
+    :func:`incremental_dedup_batch`).  The id SET is identical to the
+    default frame's (``keep``'s ids are a subset of the batch's by
+    construction).
     """
     bands = minhash_band_rows(
         batch_docs, text_col, id_col, num_hashes, num_bands, shingle_k
@@ -1423,4 +1432,6 @@ def incremental_near_dup_batch(
         .select("fp", id_col)
     )
     registry.admit(fresh_claims)
+    if ids_only:
+        return keep
     return batch_docs.join(keep, id_col, "left_semi")

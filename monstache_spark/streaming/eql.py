@@ -45,6 +45,8 @@ _PACK = 1_000_000_000
 def _sequence_fn(n_steps: int, maxspan_us: int | None):
     import pandas as pd
 
+    import numpy as np
+
     def fn(key, pdfs, state):
         pending = [[] for _ in range(n_steps + 1)]  # 1-based by step
         if state.exists:
@@ -56,14 +58,26 @@ def _sequence_fn(n_steps: int, maxspan_us: int | None):
                         for p in enc.split("|")
                     ]
                     pending[i].append(chain)
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["_us", "_id", "_step"])[
-            ["_us", "_id", "_step"]
-        ].itertuples(index=False, name=None)
+        # numpy sort + tolist instead of pd.concat + sort_values +
+        # itertuples: the fn runs once per (key, micro-batch) — at
+        # thousands of key groups the per-call pandas overhead was
+        # comparable to the actual state-machine work (guide §4.2 —
+        # vectorize the boundary).  (_us, _id, _step) is a total
+        # order ((_us, _id) unique per event, _step in the key for
+        # multi-step events), so any stable/unstable sort agrees
+        # with the old sort_values.
+        frames = list(pdfs)
+        pdf = frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+        us_a = pdf["_us"].to_numpy()
+        id_a = pdf["_id"].to_numpy()
+        st_a = pdf["_step"].to_numpy()
+        order = np.lexsort((st_a, id_a, us_a))
+        rows = zip(
+            us_a[order].tolist(), id_a[order].tolist(), st_a[order].tolist()
+        )
         out = []
         frontier = 0
         for us, eid, step in rows:
-            us, eid, step = int(us), int(eid), int(step)
             frontier = max(frontier, us)
             pack = us * _PACK + eid
             if step > 1:
@@ -150,17 +164,25 @@ def eql_sequence_stream(
     """
     if len(steps) < 2:
         raise ValueError("a sequence needs at least 2 steps")
-    tagged = None
-    for i, step in enumerate(steps, start=1):
-        f = events_stream.filter(
-            compile_bool_query(step, analyzer=analyzer)
-        ).select(
-            F.col(by).cast("string").alias("k"),
-            F.unix_micros(F.col(ts_col)).alias("_us"),
-            F.col(id_col).cast("long").alias("_id"),
-            F.lit(i).alias("_step"),
+    # ONE scan per micro-batch: each event explodes into one row per
+    # step it matches (NULL-compacted array of matched step tags) —
+    # the union-of-filters form scanned the batch once PER STEP for
+    # the same multiset of (k, _us, _id, _step) rows (guide §2.4;
+    # the state fn re-sorts, so emission order is immaterial)
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(compile_bool_query(step, analyzer=analyzer), F.lit(i))
+                for i, step in enumerate(steps, start=1)
+            ]
         )
-        tagged = f if tagged is None else tagged.unionByName(f)
+    )
+    tagged = events_stream.select(
+        F.col(by).cast("string").alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(id_col).cast("long").alias("_id"),
+        F.explode(tags).alias("_step"),
+    )
     n = len(steps)
     out_schema = (
         "k string, "

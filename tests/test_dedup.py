@@ -420,6 +420,17 @@ def test_incremental_near_dup_invariant_and_batch_split_independence(spark, tmp_
     # doc 3 (exact dup, later admission order) must never survive
     assert 3 not in run(2)
 
+    # ids_only returns the identical survivor id SET without the
+    # semi-join back through the batch (r14 optimization knob)
+    reg = FingerprintRegistry(spark, str(tmp_path / "reg_ids_only"))
+    kept_ids = set()
+    for b in range(2):
+        batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == b)
+        out = incremental_near_dup_batch(reg, batch, shingle_k=2, ids_only=True)
+        assert out.columns == ["doc_id"]
+        kept_ids |= {r["doc_id"] for r in out.collect()}
+    assert kept_ids == expected(2)
+
 
 def test_minhash_collapsed_connectivity_equivalent(spark):
     from monstache_spark.operators.dedup import (

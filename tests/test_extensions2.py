@@ -138,6 +138,32 @@ def test_bigram_lm_train_and_score_integer_contract(spark):
     # sub-2-char docs: zero bigrams, zero score, still present
     assert out[4]["n_bigrams"] == 0 and out[4]["avg_prob_micro"] == 0
     assert out[5]["n_bigrams"] == 0
+
+
+def test_bigram_lm_scored_matches_unfused(spark):
+    """The fused single-gram-pass train+score (r14 optimization) must
+    be row-identical to the train_bigram_lm + bigram_lm_score
+    composition — including unseen-bigram zeros and sub-2-char docs."""
+    from monstache_spark.functions.text import (
+        bigram_lm_score,
+        bigram_lm_scored,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "ab"), (3, "zz"), (4, "x"), (5, ""),
+         (6, "the  quick  Brown fox"), (7, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    unfused = sorted(
+        (r["doc_id"], r["n_bigrams"], r["avg_prob_micro"])
+        for r in bigram_lm_score(docs, train_bigram_lm(docs)).collect()
+    )
+    fused = sorted(
+        (r["doc_id"], r["n_bigrams"], r["avg_prob_micro"])
+        for r in bigram_lm_scored(docs).collect()
+    )
+    assert fused == unfused
     # scoring a foreign doc: unseen bigrams count zero
     foreign = spark.createDataFrame([(9, "qq")], "doc_id long, text string")
     f = bigram_lm_score(foreign, train_bigram_lm(docs)).collect()[0]
