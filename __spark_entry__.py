@@ -1890,13 +1890,18 @@ def _q_ann_index_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     base = tempfile.mkdtemp(prefix="monstache_annidx_")
-    # pin the shuffle width to the micro-batch scale for the whole
+    # derive the shuffle width at the micro-batch scale for the whole
     # streamed run (the streaming/windows.py pattern): every merge
     # groupBy/join handles ~300 vectors, and at 32 partitions the
     # per-batch stages are dominated by empty-task scheduling — the
-    # hash contract is width-independent
+    # hash contract is width-independent; $SPARK_GRAFT_STATE_PARTITIONS
+    # sizes it for production batch volumes
+    from monstache_spark.session import stateful_shuffle_width
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stateful_shuffle_width(spark))
+    )
     try:
         table = IvfPqIndexTable(spark, os.path.join(base, "index"), dim=64)
         table.bootstrap(emb)
@@ -5203,14 +5208,20 @@ def _q_stream_eql_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         by="user_id", maxspan_s=86400,
     )
     sink = os.path.join(base, "alerts")
-    # pin the shuffle width for the stateful stream (the
+    # derive the shuffle width for the stateful stream (the
     # streaming/windows.py pattern): state stores allocate per
     # shuffle partition and AQE cannot coalesce stateful exchanges,
     # so at 32 partitions each micro-batch pays 32 state-store
     # instances + empty-task scheduling for a key space this size.
-    # The alert set is per-key deterministic — width-independent.
+    # The alert set is per-key deterministic — width-independent;
+    # $SPARK_GRAFT_STATE_PARTITIONS sizes it for production key
+    # cardinalities (session.stateful_shuffle_width).
+    from monstache_spark.session import stateful_shuffle_width
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stateful_shuffle_width(spark))
+    )
     try:
         q = (
             alerts.writeStream.format("parquet")

@@ -280,10 +280,19 @@ def bigram_lm_scored(docs, text_col: str = "text", id_col: str = "doc_id"):
     Output is row-identical to the unfused composition
     (``test_bigram_lm_scored_matches_unfused`` pins it)."""
     rows = char_bigram_rows(docs, text_col, id_col)
+    # LAZY checkpoint (r15; guide §2.2): the eager variant ran the
+    # gram pass as its own job at frame-construction time — a flat
+    # per-query constant that a small corpus never pays back
+    # (measured r14: both gate queries regressed ~0.3-0.5 s at sf0.1
+    # while the fused shape won ~40% at 50×).  Lazy materializes the
+    # histogram inside the FIRST consuming job (the model broadcast
+    # build) and the scoring pass reads the cached blocks — same
+    # single gram pass, no extra job.  Statistics loss is harmless
+    # here: every join below carries an explicit broadcast hint.
     hist = (
         rows.groupBy(id_col, "bigram")
         .agg(F.count("*").alias("_dc"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     counts = hist.groupBy("bigram").agg(F.sum("_dc").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("_tot"))

@@ -990,7 +990,19 @@ def containment_pairs(
     counts."""
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1]: {threshold}")
-    sh = shingle_rows(docs, text_col, id_col, k, distinct=True)
+    # The (id, h) distinct SUBSUMES shingle_rows' text-level distinct
+    # (h is a function of s), so take the rows non-distinct and dedup
+    # once on the 8-byte key instead of twice — one dedup pass on
+    # hashes instead of one on shingle TEXT plus one on keys (r15;
+    # guide §2.3 narrower types).  Both distincts plan exchange-free
+    # on shingle_rows' id-spread partitioning, so the plan shape is
+    # unchanged; only the per-row dedup work shrinks.  (An explicit
+    # repartition(h) here — to also elide the consumers' h-exchanges —
+    # measured as a NON-win: the four ENSURE_REQUIREMENTS h-exchanges
+    # below are canonically identical and runtime-reused into one,
+    # while the repartition would shuffle the pre-dedup rows and cost
+    # sizes its free id-clustering.)
+    sh = shingle_rows(docs, text_col, id_col, k, distinct=False)
     key = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
     keyed = sh.select(F.col(id_col), key.alias("h")).distinct()
     if df_cap is not None:

@@ -2041,8 +2041,17 @@ def bm25_topk(
     search_after: tuple | None = None,
     analyzer=None,
     analyze_query: bool = True,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 for a bag of query terms.
+
+    ``token_counts`` (analyzer paths only) takes a PRE-TOKENIZED
+    ``(id, term, cnt)`` frame — one row per distinct (document, term)
+    of exactly the documents to score — in place of tokenizing
+    ``docs``; callers that already tokenized the corpus for their own
+    term selection (more_like_this) stage the frame once instead of
+    running the analyzer cascade twice (r15 optimization round,
+    guide §2.2).
 
     Formula (Lucene/ES practical BM25): per matched term,
     ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))`` and
@@ -2066,7 +2075,8 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     scored = _bm25_scored(
-        docs, query_terms, k1, b, text_col, id_col, analyzer, analyze_query
+        docs, query_terms, k1, b, text_col, id_col, analyzer, analyze_query,
+        token_counts,
     )
     if search_after is not None:
         s_a, id_a = search_after
@@ -2090,6 +2100,7 @@ def _bm25_scored(
     id_col: str,
     analyzer=None,
     analyze_query: bool = True,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score) for every document matching ≥1 query term — the
     unranked scoring frame shared by :func:`bm25_topk` and
@@ -2097,7 +2108,9 @@ def _bm25_scored(
     truncation, so it cannot reuse the top-k path).
     ``analyze_query=False`` takes ``query_terms`` as ALREADY-analyzed
     tokens (callers like more_like_this draw them from the analyzed
-    stream — re-analysis would stem twice)."""
+    stream — re-analysis would stem twice).  ``token_counts`` (see
+    :func:`bm25_topk`) supplies the analyzed ``(id, term, cnt)`` frame
+    pre-staged, replacing the corpus tokenize."""
     if analyzer is not None and not analyze_query:
         terms = sorted(set(query_terms))
     elif analyzer is not None:
@@ -2119,32 +2132,37 @@ def _bm25_scored(
         # into a second scan+stem of the corpus, while a join stays
         # above, so both consumers hit the same ReusedExchange.
         spark = docs.sparkSession
-        # spread the docs across the full shuffle width BEFORE the
-        # stem cascade runs: the tokenizing explode inherits SCAN
-        # parallelism (one small parquet file = one task doing all
-        # the stemming), and the analyzer is the expensive part of
-        # this plan — the dedup._spread rationale.  The spread key is
-        # crc32(id), NOT the id itself: HashPartitioning(id) would
-        # satisfy the downstream groupBy(id, term) clustering, Catalyst
-        # would elide that aggregation's exchange in EVERY consumer
-        # branch, and with no shared (id, term) exchange left to
-        # reuse, each branch would re-run the stem cascade — the
-        # derived key keeps the (id, term) exchange in the plan as the
-        # single stem-once reuse point
-        nparts = shuffle_partitions(spark)
-        spread = docs.repartition(
-            nparts, F.crc32(F.col(id_col).cast("string"))
-        )
-        toks = _term_rows(spread, text_col, id_col, analyzer)
-        # the explicit notnull filter makes every consumer branch
-        # canonically IDENTICAL below the exchange — without it the
-        # joined branches carry a join-inferred isnotnull(id) the
-        # stats branch lacks, and the exchanges stop matching
-        tc = (
-            toks.filter(F.col(id_col).isNotNull())
-            .groupBy(id_col, "term")
-            .agg(F.count("*").cast("long").alias("cnt"))
-        )
+        if token_counts is not None:
+            # the caller already tokenized (and typically staged) the
+            # corpus — every consumer reads the supplied frame
+            tc = token_counts
+        else:
+            # spread the docs across the full shuffle width BEFORE the
+            # stem cascade runs: the tokenizing explode inherits SCAN
+            # parallelism (one small parquet file = one task doing all
+            # the stemming), and the analyzer is the expensive part of
+            # this plan — the dedup._spread rationale.  The spread key is
+            # crc32(id), NOT the id itself: HashPartitioning(id) would
+            # satisfy the downstream groupBy(id, term) clustering, Catalyst
+            # would elide that aggregation's exchange in EVERY consumer
+            # branch, and with no shared (id, term) exchange left to
+            # reuse, each branch would re-run the stem cascade — the
+            # derived key keeps the (id, term) exchange in the plan as the
+            # single stem-once reuse point
+            nparts = shuffle_partitions(spark)
+            spread = docs.repartition(
+                nparts, F.crc32(F.col(id_col).cast("string"))
+            )
+            toks = _term_rows(spread, text_col, id_col, analyzer)
+            # the explicit notnull filter makes every consumer branch
+            # canonically IDENTICAL below the exchange — without it the
+            # joined branches carry a join-inferred isnotnull(id) the
+            # stats branch lacks, and the exchanges stop matching
+            tc = (
+                toks.filter(F.col(id_col).isNotNull())
+                .groupBy(id_col, "term")
+                .agg(F.count("*").cast("long").alias("cnt"))
+            )
         dl = tc.groupBy(id_col).agg(F.sum("cnt").cast("long").alias("dl"))
         terms_df = spark.range(1).select(
             F.explode(F.array(*[F.lit(t) for t in terms])).alias("term")
@@ -3015,36 +3033,79 @@ def more_like_this(
     filter. Returns ``(id, score, rank)`` without the source docs.
     """
     like_ids = list(like_id) if isinstance(like_id, (list, tuple, set)) else [like_id]
-    src = docs.filter(F.col(id_col).isin(like_ids))
-    src_toks = _term_rows(src, text_col, id_col, analyzer).filter(
-        F.length("term") >= min_term_len
-    )
-    if unlike_ids:
-        bad = (
-            _term_rows(
-                docs.filter(F.col(id_col).isin(list(unlike_ids))),
-                text_col,
-                id_col,
-                analyzer,
-            )
-            .select("term")
-            .distinct()
+    tc_all = None
+    if analyzer is not None:
+        # Fused tokenize (r15 optimization round, guide §2.2): the
+        # term-selection df pass is EAGER (the term collect below) and
+        # the BM25 rescoring is a separate action, so without a
+        # materialization the analyzer cascade tokenizes the corpus
+        # TWICE per query.  Stage the distinct (id, term, cnt) frame
+        # once — the same staging shape _bm25_scored builds internally
+        # (crc32 spread so the stem cascade parallelizes off a narrow
+        # scan, map-side combine collapses occurrences) — eagerly
+        # checkpointed; term selection reads it here and the scoring
+        # pass re-enters it through bm25_topk(token_counts=...).
+        nparts = shuffle_partitions(docs.sparkSession)
+        spread = docs.repartition(nparts, F.crc32(F.col(id_col).cast("string")))
+        toks = _term_rows(spread, text_col, id_col, analyzer)
+        tc_all = (
+            toks.filter(F.col(id_col).isNotNull())
+            .groupBy(id_col, "term")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .localCheckpoint(eager=True)
         )
-        src_toks = src_toks.join(F.broadcast(bad), "term", "left_anti")
-    src_tf = src_toks.groupBy("term").agg(F.count("*").cast("long").alias("tf"))
-    # the df pass tokenizes the WHOLE corpus (eagerly, for the term
-    # collect below); over a single small parquet file the explode
-    # inherits the one-partition scan — spread it so the analyzer
-    # chain parallelizes (scale-adaptive no-op on a wide scan)
-    all_toks = _term_rows(spread_scan(docs), text_col, id_col, analyzer)
-    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    src_df = (
-        all_toks.join(F.broadcast(src_tf.select("term")), "term")
-        .select(id_col, "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").cast("long").alias("df"))
-    )
+        src_toks_c = tc_all.filter(F.col(id_col).isin(like_ids)).filter(
+            F.length("term") >= min_term_len
+        )
+        if unlike_ids:
+            bad = (
+                tc_all.filter(F.col(id_col).isin(list(unlike_ids)))
+                .select("term")
+                .distinct()
+            )
+            src_toks_c = src_toks_c.join(F.broadcast(bad), "term", "left_anti")
+        # sum of per-doc counts == count of occurrence rows
+        src_tf = src_toks_c.groupBy("term").agg(
+            F.sum("cnt").cast("long").alias("tf")
+        )
+        n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+        # tc_all rows are already distinct per (id, term)
+        src_df = (
+            tc_all.join(F.broadcast(src_tf.select("term")), "term")
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+    else:
+        src = docs.filter(F.col(id_col).isin(like_ids))
+        src_toks = _term_rows(src, text_col, id_col, analyzer).filter(
+            F.length("term") >= min_term_len
+        )
+        if unlike_ids:
+            bad = (
+                _term_rows(
+                    docs.filter(F.col(id_col).isin(list(unlike_ids))),
+                    text_col,
+                    id_col,
+                    analyzer,
+                )
+                .select("term")
+                .distinct()
+            )
+            src_toks = src_toks.join(F.broadcast(bad), "term", "left_anti")
+        src_tf = src_toks.groupBy("term").agg(F.count("*").cast("long").alias("tf"))
+        # the df pass tokenizes the WHOLE corpus (eagerly, for the term
+        # collect below); over a single small parquet file the explode
+        # inherits the one-partition scan — spread it so the simple
+        # tokenize parallelizes (scale-adaptive no-op on a wide scan)
+        all_toks = _term_rows(spread_scan(docs), text_col, id_col, analyzer)
+        n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+        src_df = (
+            all_toks.join(F.broadcast(src_tf.select("term")), "term")
+            .select(id_col, "term")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
     scored_terms = (
         src_tf.join(src_df, "term")
         .crossJoin(F.broadcast(n_docs))
@@ -3071,6 +3132,13 @@ def more_like_this(
     return bm25_topk(
         others, terms, k=k, k1=k1, b=b, text_col=text_col, id_col=id_col,
         analyzer=analyzer, analyze_query=False,
+        # the staged token frame restricted to the docs being scored —
+        # the cascade never runs a second time
+        token_counts=(
+            tc_all.filter(~F.col(id_col).isin(like_ids))
+            if tc_all is not None
+            else None
+        ),
     )
 
 

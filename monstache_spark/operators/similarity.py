@@ -1291,6 +1291,82 @@ def knn_join_ivf(
     )
 
 
+def _literal_pq_stage_sql(
+    cen: list, books: list, dim: int, m: int, bits: int
+) -> tuple[str, str]:
+    """SQL for the per-row (cell, packed-codes) stage over columns
+    ``v`` (pre-cast double array) and ``nrm``, with the frozen
+    quantizers inlined as literal arrays — the annindex encode
+    expressions (sinks/annindex.py, pinned bit-identical to the
+    ``ivf_assign`` + ``pq_encode`` join formulation by
+    tests/test_annindex.py) parameterized for knn_join_pq's packing
+    (``bits`` per code instead of 8).
+
+    * cell — per centroid ``i``: ``round(round(score, 6)·1e6)`` over
+      the same pre-cast doubles in the same left-to-right fold order
+      as ``ivf_assign``, packed by ``_pack_score_id``'s arithmetic;
+      ``array_max`` over distinct packs ≡ the crossJoin argmax.
+    * codes — per subspace ``mi``: ``array_min`` over
+      ``dist_micro·1024 + code`` replicates ``pq_encode``'s packed
+      ``min`` (``_sub_dist_micro``'s round-then-cast, verbatim), and
+      the fold of shiftlefts sums the identical packed BIGINT the old
+      ``sum(code · 2^(mi·bits))`` aggregate built (non-overlapping
+      bit ranges — order-exact integer addition).  Subspaces with an
+      empty codebook are skipped, exactly as the encode join produced
+      no row for them.
+
+    ``cen``: [(cid, [double...], norm)]; ``books``: per-subspace
+    sorted [(code, [double...])]."""
+
+    def d(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    def arr(xs: list) -> str:
+        return "array(" + ", ".join(d(float(x)) for x in xs) + ")"
+
+    mask21 = (1 << 21) - 1
+    cids_sql = "array(" + ", ".join(str(c) for c, _, _ in cen) + ")"
+    cvecs_sql = "array(" + ", ".join(arr(v) for _, v, _ in cen) + ")"
+    cnorms_sql = arr([n for _, _, n in cen])
+    cell_sql = (
+        f"CAST({mask21} - pmod(array_max(transform("
+        f"sequence(0, {len(cen) - 1}), i -> "
+        f"CAST(round(round(CASE WHEN (nrm * element_at({cnorms_sql}, i + 1)) > 0 "
+        f"THEN aggregate(zip_with(v, element_at({cvecs_sql}, i + 1), "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        f" / (nrm * element_at({cnorms_sql}, i + 1)) "
+        f"ELSE 0.0D END, 6) * 1000000.0D) AS BIGINT) * {1 << 21}"
+        f" + ({mask21} - element_at({cids_sql}, i + 1)))), {1 << 21}) AS BIGINT)"
+    )
+
+    d_sub = dim // m
+    cbcodes_sql = "array(" + ", ".join(
+        "array(" + ", ".join(str(int(c)) for c, _ in bk) + ")" if bk else "array()"
+        for bk in books
+    ) + ")"
+    cbvecs_sql = "array(" + ", ".join(
+        "array(" + ", ".join(arr(s) for _, s in bk) + ")"
+        if bk
+        else "array(array(CAST(0.0 AS DOUBLE)))"
+        for bk in books
+    ) + ")"
+    mis_sql = "array(" + ", ".join(
+        str(mi) for mi in range(m) if books[mi]
+    ) + ")"
+    pk_sql = (
+        f"CAST(aggregate({mis_sql}, 0L, (acc, mi) -> acc + "
+        f"shiftleft(CAST(pmod(array_min(transform("
+        f"sequence(0, size(element_at({cbcodes_sql}, mi + 1)) - 1), j -> "
+        f"CAST(round(aggregate(zip_with(slice(v, mi * {d_sub} + 1, {d_sub}), "
+        f"element_at(element_at({cbvecs_sql}, mi + 1), j + 1), "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (a2, x) -> a2 + x)"
+        " * 1000000.0D) AS BIGINT) * 1024"
+        f" + element_at(element_at({cbcodes_sql}, mi + 1), j + 1))), "
+        f"1024) AS BIGINT), {bits} * mi)) AS BIGINT)"
+    )
+    return cell_sql, pk_sql
+
+
 def knn_join_pq(
     emb: DataFrame,
     dim: int,
@@ -1359,17 +1435,52 @@ def knn_join_pq(
     """
     rerank = rerank or 4 * k
     bits = max(1, (k_sub - 1).bit_length())
-    if centroids is None:
-        centroids = emb.filter(F.col(id_col) < n_centroids)
-    if codebooks is None:
-        codebooks = pq_codebooks(emb, dim, m, k_sub, vec_col, id_col)
+    d_sub = dim // m
+    cen: list | None = None
+    cb: dict = {}
+    if centroids is None and codebooks is None:
+        # Default quantizers (lowest-id vectors / their subvectors):
+        # both derive from the SAME `id < max(n_centroids, k_sub)`
+        # rows, so ONE bounded collect feeds both — the separate
+        # centroid and codebook collects each cost a full
+        # analyze+plan+job round (measured: the two jobs were half the
+        # warm query at sf0.1).  Derivations are bit-exact to the
+        # frame expressions: the doubles come from the same Spark-side
+        # as_double_array cast; the norm fold `acc = acc + x*x` then
+        # sqrt is IEEE-identical to functions.vectors.norm's
+        # left-to-right aggregate; codeword subvectors are plain
+        # slices of the same doubles (_subspace_rows).
+        base_rows = (
+            emb.filter(F.col(id_col) < max(n_centroids, k_sub))
+            .select(
+                F.col(id_col).alias("id"),
+                as_double_array(F.col(vec_col)).alias("vd"),
+            )
+            .collect()
+        )
+        cen = []
+        for r in sorted(base_rows, key=lambda r: r["id"]):
+            vid = int(r["id"])
+            vd = list(r["vd"])
+            if vid < n_centroids:
+                acc = 0.0
+                for x in vd:
+                    acc = acc + x * x
+                cen.append((vid, vd, math.sqrt(acc)))
+            if vid < k_sub:
+                for mi in range(m):
+                    cb[(mi, vid)] = vd[mi * d_sub : (mi + 1) * d_sub]
+    else:
+        if centroids is None:
+            centroids = emb.filter(F.col(id_col) < n_centroids)
+        if codebooks is None:
+            codebooks = pq_codebooks(emb, dim, m, k_sub, vec_col, id_col)
+        # SDC inputs: ONE control-plane collect of the codebook frame.
+        for r in codebooks.collect():
+            cb[(int(r["m"]), int(r["code"]))] = list(r["sub"])
 
     # SDC table: squared-L2 micro-distance between every codeword pair
     # per subspace — m * k_sub^2 ints, literal arrays in the plan.
-    # Built from ONE control-plane collect of the codebook frame.
-    cb = {}
-    for r in codebooks.collect():
-        cb[(int(r["m"]), int(r["code"]))] = list(r["sub"])
     sdc: list[list[int]] = []
     for mi in range(m):
         flat = []
@@ -1388,17 +1499,66 @@ def knn_join_pq(
                 flat.append(int(math.floor(acc * 1_000_000.0 + 0.5)))
         sdc.append(flat)
 
-    # two-level cell assignment — vectors NEVER enter a shuffle here:
-    # the argmax groups by (id, ccell) with a fixed-width buffer, and
-    # probes window over (id, ccell, fcell, fs) scalar rows
-    coarse = ivf_assign(emb, centroids, vec_col, id_col, rank_limit=1).select(
-        F.col(id_col).alias("id"),
-        as_double_array(F.col(vec_col)).alias("v"),
-        F.col("cid").alias("ccell"),
-    ).withColumn("nrm", _norm_col(F.col("v")))
+    # Frozen quantizers as PLAIN VALUES (r15 optimization round, the
+    # annindex literal-encode pattern — guide §2.4/§7.3): centroids
+    # and codebooks are index metadata (n_centroids / m·k_sub rows,
+    # bounded at any corpus scale), and the SDC table above already
+    # collects the codebooks.  The join-based formulation paid, PER
+    # QUERY, two crossJoin+HashAggregate executions of the coarse
+    # assignment, an m-way subspace explode + broadcast join + two
+    # aggregates for the PQ encode, and two shuffle joins attaching
+    # the packed codes back to the cell index — 8 Exchange / 11
+    # BroadcastExchange / 2 SortMergeJoin / 14 scans in the plan.
+    # Here cell + packed codes are computed in ONE map-side projection
+    # whose literals re-enter via CAST('<repr>' AS DOUBLE) — Python
+    # repr is shortest-round-trip and Spark's parser is correctly
+    # rounded, so every double is bit-identical to the collected value
+    # (sinks/annindex.py's proven mechanism; equality to the join
+    # formulation pinned by test_knn_join_pq_literal_stage_matches_
+    # join_formulation).
+    if cen is None:
+        from monstache_spark.functions.vectors import norm
+
+        cen_rows = centroids.select(
+            F.col(id_col).alias("cid"),
+            as_double_array(F.col(vec_col)).alias("cvd"),
+            norm(F.col(vec_col)).alias("nc"),
+        ).collect()
+        cen = [(int(r["cid"]), list(r["cvd"]), float(r["nc"])) for r in cen_rows]
+    books: list[list] = [
+        sorted((c, sub) for (mj, c), sub in cb.items() if mj == mi)
+        for mi in range(m)
+    ]
+    if not cen or not any(books):
+        # degenerate quantizers (empty centroid or codebook frame):
+        # the join formulation produced zero rows everywhere
+        empty = emb.select(
+            F.col(id_col).alias("id_q"), F.col(id_col).alias("id_n")
+        ).filter(F.lit(False))
+        return empty.withColumn("score", F.lit(0.0)).withColumn(
+            "rank", F.lit(0).cast("long")
+        )
+    cell_sql, pk_sql = _literal_pq_stage_sql(cen, books, dim, m, bits)
+
+    # staged corpus frame: ONE explicit-width exchange (hash on id —
+    # the partitioning every downstream consumer needs: the cell
+    # argmax keys, the probe window, and the pair window are all
+    # id-clustered, so no further corpus exchange plans), then cell +
+    # packed codes per row in one codegen'd-schedule projection.
+    nparts = shuffle_partitions(emb.sparkSession)
+    staged = (
+        emb.repartition(nparts, F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("nrm", _norm_col(F.col("v")))
+        .withColumn("ccell", F.expr(cell_sql))
+        .withColumn("pk", F.expr(pk_sql))
+    )
     wf = Window.partitionBy("ccell").orderBy(F.col("id").asc())
     fine_c = (
-        coarse.withColumn("_fr", F.row_number().over(wf))
+        staged.withColumn("_fr", F.row_number().over(wf))
         .filter(F.col("_fr") <= n_fine)
         .select(
             "ccell", F.col("_fr").alias("fcell"),
@@ -1411,48 +1571,35 @@ def knn_join_pq(
         lambda acc, x: acc + x,
     )
     fden = F.col("nrm") * F.col("fn")
-    fscored = coarse.join(F.broadcast(fine_c), "ccell").select(
-        "id", "ccell", "fcell",
+    # pk rides the fine-scoring rows: it is functionally dependent on
+    # id, so adding it to the argmax grouping keys keeps the SAME
+    # groups (and the buffer stays primitive — HashAggregate), while
+    # the old shape joined a separately-aggregated packed frame back
+    # on id (a SortMergeJoin per side)
+    fscored = staged.join(F.broadcast(fine_c), "ccell").select(
+        "id", "ccell", "pk", "fcell",
         F.round(F.when(fden > 0, fd / fden).otherwise(F.lit(0.0)), 6).alias("fs"),
     )
     # packed-scalar argmax — struct ordering keys degrade to
     # SortAggregate (plan audit guards this)
     fpack = _pack_score_id(F.col("fs"), F.col("fcell"))
-    cells = fscored.groupBy("id", "ccell").agg(
+    cells_c = fscored.groupBy("id", "ccell", "pk").agg(
         F.max(fpack).alias("_fpk")
     ).select(
-        "id",
+        F.col("id").alias("id_n"),
         "ccell",
         (F.lit((1 << 21) - 1) - F.pmod(F.col("_fpk"), F.lit(1 << 21)))
         .cast("int").alias("fcell"),
+        F.col("pk").alias("pk_n"),
     )
     wp = Window.partitionBy("id").orderBy(F.col("fs").desc(), F.col("fcell").asc())
-    probes = (
+    probes_c = (
         fscored.withColumn("_pr", F.row_number().over(wp))
         .filter(F.col("_pr") <= n_probe)
-        .select("id", "ccell", "fcell")
-    )
-
-    # packed PQ codes: one long per vector (bits per code, m codes).
-    # The explicit-width repartition before the subspace explode is
-    # load-bearing: the encode join amplifies rows m·k_sub× and a
-    # small-bytes input scan would otherwise run it on 2 tasks
-    # (the _spread lesson — AQE sizes on pre-explode bytes).
-    nparts = shuffle_partitions(emb.sparkSession)
-    codes = pq_encode(
-        emb.repartition(nparts, F.col(id_col)), codebooks, dim, m, vec_col, id_col
-    )
-    packed = codes.groupBy(id_col).agg(
-        F.sum(
-            (F.col("code") * F.pow(F.lit(2.0), F.col("m") * bits)).cast("long")
-        ).alias("pk")
-    ).select(F.col(id_col).alias("id"), "pk")
-
-    cells_c = cells.join(packed, "id").select(
-        F.col("id").alias("id_n"), "ccell", "fcell", F.col("pk").alias("pk_n")
-    )
-    probes_c = probes.join(packed, "id").select(
-        F.col("id").alias("id_q"), "ccell", "fcell", F.col("pk").alias("pk_q")
+        .select(
+            F.col("id").alias("id_q"), "ccell", "fcell",
+            F.col("pk").alias("pk_q"),
+        )
     )
     if max_cell is not None:
         keep = (
@@ -1494,14 +1641,15 @@ def knn_join_pq(
         probes_c = probe_side
 
     # the packed cell index is ~16 bytes/vector — BROADCAST it, so
-    # pair generation is map-side over the id-partitioned probe side:
-    # no shuffle, no skew hotspot however fat a cell is, and the
-    # downstream shortlist window finds each query's pairs already
-    # co-partitioned by id_q (its partial group-limit then cuts the
-    # window shuffle to ≤ rerank rows per query).  At corpora where
-    # 16·N outgrows the broadcast budget, drop the hint: the same
-    # equi-join shuffles on the cell key instead.
-    pairs = probes_c.repartition(nparts, F.col("id_q")).join(
+    # pair generation is map-side over the id-partitioned probe side
+    # (probes_c inherits the staged frame's hash(id) partitioning —
+    # no further exchange): no shuffle, no skew hotspot however fat a
+    # cell is, and the downstream shortlist window finds each query's
+    # pairs already co-partitioned by id_q (its partial group-limit
+    # then cuts the window shuffle to ≤ rerank rows per query).  At
+    # corpora where 16·N outgrows the broadcast budget, drop the
+    # hint: the same equi-join shuffles on the cell key instead.
+    pairs = probes_c.join(
         F.broadcast(cells_c), join_keys
     ).filter(F.col("id_q") != F.col("id_n"))
     mask = F.lit((1 << bits) - 1)

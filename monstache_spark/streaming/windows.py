@@ -67,7 +67,11 @@ def run_stream_to_parquet(
     not just offsets.  ``state_store`` (or $SPARK_GRAFT_STATE_STORE)
     selects the state-store backend; ``"rocksdb"`` switches to the
     RocksDB provider for state that outgrows executor memory."""
-    from monstache_spark.session import _PROVIDER_CONF, state_store_provider
+    from monstache_spark.session import (
+        _PROVIDER_CONF,
+        state_store_provider,
+        stateful_shuffle_width,
+    )
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="stream_sink_")
     write_mode = "overwrite" if mode == "complete" else "append"
@@ -76,13 +80,17 @@ def run_stream_to_parquet(
         batch_df.write.mode(write_mode).parquet(out_dir)
 
     # streaming state stores are allocated per shuffle partition and AQE
-    # cannot coalesce stateful exchanges; size to the (small) key space
+    # cannot coalesce stateful exchanges; derive the width (env-
+    # overridable for production key cardinalities) instead of the
+    # session's full batch width
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     provider = state_store_provider(state_store)
     prev_provider = spark.conf.get(_PROVIDER_CONF, None)
     _NODATA_CONF = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev_nodata = spark.conf.get(_NODATA_CONF, None)
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stateful_shuffle_width(spark))
+    )
     if provider:
         spark.conf.set(_PROVIDER_CONF, provider)
     if not no_data_batches:

@@ -546,3 +546,107 @@ def test_hard_negatives_band_and_rank(spark):
 
     with _pt.raises(ValueError, match="band"):
         hard_negatives(df, band=(0.9, 0.5))
+
+
+def test_knn_join_pq_literal_stage_matches_join_formulation(spark):
+    """The r15 literal-quantizer stage (cell argmax + packed PQ codes
+    as one projection over inlined CAST('<repr>' AS DOUBLE) literals)
+    must be BIT-IDENTICAL to the ivf_assign + pq_encode join
+    formulation it replaced inside knn_join_pq — same argmax packing,
+    same argmin codes, same shift packing."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from monstache_spark.functions.vectors import as_double_array, norm
+    from monstache_spark.operators.similarity import (
+        _literal_pq_stage_sql,
+        _norm_col,
+        ivf_assign,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    random.seed(31)
+    dim, m, k_sub, n_centroids = 16, 4, 8, 3
+    bits = max(1, (k_sub - 1).bit_length())
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = emb.filter(F.col("vec_id") < n_centroids)
+    codebooks = pq_codebooks(emb, dim, m, k_sub)
+
+    # old formulation: crossJoin argmax cell + explode/join/agg codes
+    coarse = ivf_assign(emb, centroids, rank_limit=1).select(
+        F.col("vec_id").alias("id"), F.col("cid").alias("ccell")
+    )
+    codes = pq_encode(emb, codebooks, dim, m)
+    packed = codes.groupBy("vec_id").agg(
+        F.sum(
+            (F.col("code") * F.pow(F.lit(2.0), F.col("m") * bits)).cast("long")
+        ).alias("pk")
+    ).select(F.col("vec_id").alias("id"), "pk")
+    old = {(r["id"], r["ccell"], r["pk"]) for r in coarse.join(packed, "id").collect()}
+
+    # new formulation: one literal projection
+    cen_rows = centroids.select(
+        F.col("vec_id").alias("cid"),
+        as_double_array(F.col("embedding")).alias("cvd"),
+        norm(F.col("embedding")).alias("nc"),
+    ).collect()
+    cen = [(int(r["cid"]), list(r["cvd"]), float(r["nc"])) for r in cen_rows]
+    cb = {}
+    for r in codebooks.collect():
+        cb[(int(r["m"]), int(r["code"]))] = list(r["sub"])
+    books = [
+        sorted((c, sub) for (mj, c), sub in cb.items() if mj == mi)
+        for mi in range(m)
+    ]
+    cell_sql, pk_sql = _literal_pq_stage_sql(cen, books, dim, m, bits)
+    staged = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            as_double_array(F.col("embedding")).alias("v"),
+        )
+        .withColumn("nrm", _norm_col(F.col("v")))
+        .withColumn("ccell", F.expr(cell_sql))
+        .withColumn("pk", F.expr(pk_sql))
+    )
+    new = {(r["id"], r["ccell"], r["pk"]) for r in staged.collect()}
+    assert new == old
+
+    # knn_join_pq's single-collect DEFAULT path derives both quantizer
+    # sets driver-side from the same `id < max(n_centroids, k_sub)`
+    # rows: the Python norm fold and subvector slices must be
+    # BIT-IDENTICAL to the Spark-expression derivations above
+    import math
+
+    d_sub = dim // m
+    base_rows = (
+        emb.filter(F.col("vec_id") < max(n_centroids, k_sub))
+        .select(
+            F.col("vec_id").alias("id"),
+            as_double_array(F.col("embedding")).alias("vd"),
+        )
+        .collect()
+    )
+    cen_py, cb_py = [], {}
+    for r in sorted(base_rows, key=lambda r: r["id"]):
+        vid, vd = int(r["id"]), list(r["vd"])
+        if vid < n_centroids:
+            acc = 0.0
+            for x in vd:
+                acc = acc + x * x
+            cen_py.append((vid, vd, math.sqrt(acc)))
+        if vid < k_sub:
+            for mi in range(m):
+                cb_py[(mi, vid)] = vd[mi * d_sub : (mi + 1) * d_sub]
+    books_py = [
+        sorted((c, sub) for (mj, c), sub in cb_py.items() if mj == mi)
+        for mi in range(m)
+    ]
+    # string equality of the generated SQL == bit equality of every
+    # literal double (repr is shortest-round-trip)
+    assert _literal_pq_stage_sql(cen_py, books_py, dim, m, bits) == (
+        cell_sql,
+        pk_sql,
+    )
