@@ -2107,7 +2107,16 @@ def _q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("source") == "src0")
     pool = docs.filter(F.col("source") != "src0")
     sampled = stratified_sample(pool, rates={"en": 0.5, "zh": 0.25}, seed=11).select("doc_id")
-    s = pool.join(sampled, "doc_id", "left_semi")
+    # stage the sampled pool ONCE (r15; guide §2.2/§5): five consumers
+    # (exact-dedup keep set, repetition/boilerplate/decontamination
+    # filters, and the survivor probe side) each re-executed the
+    # scan + src0 filter + sample semi-join subtree — 13 scans in the
+    # static plan.  The eager checkpoint materializes it once and
+    # keeps size statistics, so the downstream survivor semi-joins
+    # retain their broadcast build sides (the r14 lazy-checkpoint
+    # lesson).  This is also what a production pipeline does between
+    # stages: materialize the sampled pool, then run the filters.
+    s = pool.join(sampled, "doc_id", "left_semi").localCheckpoint(eager=True)
 
     keep = (
         s.select("doc_id", fingerprint(F.col("text")).alias("fp"))

@@ -796,8 +796,58 @@ def ivfpq_adc_topk(
     never scanned."""
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids)
+
+    # Literal PQ codes for the default deterministic codebooks (r15,
+    # the knn_join_pq pattern — guide §2.4): ``pq_encode`` paid an
+    # m-way subspace explode + broadcast codebook join + packed-argmin
+    # aggregate over the whole corpus PER QUERY, for codewords that
+    # are index metadata.  One bounded collect inlines them; each
+    # vector's m codes come out of a single projection over an
+    # explicit-width exchange (the encode work parallelizes off a
+    # narrow scan, and the codes side of the candidate join inherits
+    # the hash(id) partitioning).  Arithmetic is ``pq_encode``'s
+    # verbatim (_literal_code_sql); the codebook frame for the query
+    # LUT is rebuilt from the same collected doubles.
+    d_sub = dim // m
+    books: list | None = None
     if codebooks is None:
-        codebooks = pq_codebooks(corpus, dim, m, k_sub, vec_col, id_col)
+        base_rows = (
+            corpus.filter(F.col(id_col) < k_sub)
+            .select(
+                F.col(id_col).alias("id"),
+                as_double_array(F.col(vec_col)).alias("vd"),
+            )
+            .collect()
+        )
+        cb_vals: dict = {}
+        for r in sorted(base_rows, key=lambda r: r["id"]):
+            vd = list(r["vd"])
+            for mi in range(m):
+                cb_vals[(mi, int(r["id"]))] = vd[mi * d_sub : (mi + 1) * d_sub]
+        books = [
+            sorted((c, sub) for (mj, c), sub in cb_vals.items() if mj == mi)
+            for mi in range(m)
+        ]
+        if not any(books):
+            books = None
+        else:
+            spark = corpus.sparkSession
+            codebooks = (
+                spark.range(1)
+                .selectExpr(
+                    "inline(array("
+                    + ", ".join(
+                        f"struct(CAST({mi} AS BIGINT) AS m,"
+                        f" CAST({int(c)} AS BIGINT) AS code,"
+                        f" {_lit_double_array_sql(sub)} AS sub)"
+                        for mi in range(m)
+                        for c, sub in books[mi]
+                    )
+                    + "))"
+                )
+            )
+        if codebooks is None:
+            codebooks = pq_codebooks(corpus, dim, m, k_sub, vec_col, id_col)
 
     cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
         F.col(id_col).alias("corpus_id"), F.col("cid").alias("cell")
@@ -811,9 +861,30 @@ def ivfpq_adc_topk(
         .select("query_id", "corpus_id")
     )
 
-    codes = pq_encode(corpus, codebooks, dim, m, vec_col, id_col).select(
-        F.col(id_col).alias("corpus_id"), "m", "code"
-    )
+    if books is not None:
+        nparts = shuffle_partitions(corpus.sparkSession)
+        codes = (
+            corpus.repartition(nparts, F.col(id_col))
+            .select(
+                F.col(id_col).alias("corpus_id"),
+                as_double_array(F.col(vec_col)).alias("v"),
+            )
+            .selectExpr(
+                "corpus_id",
+                "inline(array("
+                + ", ".join(
+                    f"struct(CAST({mi} AS BIGINT) AS m,"
+                    f" {_literal_code_sql(books[mi], mi, d_sub)} AS code)"
+                    for mi in range(m)
+                    if books[mi]
+                )
+                + "))",
+            )
+        )
+    else:
+        codes = pq_encode(corpus, codebooks, dim, m, vec_col, id_col).select(
+            F.col(id_col).alias("corpus_id"), "m", "code"
+        )
     q_subs = _subspace_rows(queries, dim, m, vec_col, id_col)
     cb = F.broadcast(codebooks.select("m", "code", F.col("sub").alias("c_sub")))
     lut = F.broadcast(
@@ -976,11 +1047,73 @@ def ivfpq_topk_indexed(
     centroids = spark.read.parquet(path + "/centroids")
     codebooks = spark.read.parquet(path + "/codebooks")
 
-    probes = ivf_assign(queries, centroids, vec_col, id_col, rank_limit=n_probe).select(
-        F.col(id_col).alias("query_id"), F.col("cid").alias("cell")
+    # Literal-centroid probe (r15; guide §2.4/§7.3): centroids are
+    # index metadata, and the probe LIST is collected driver-side
+    # anyway (the IN-list that prunes the cells scan) — so the old
+    # shape ran the full ivf_assign subtree (an explicit-width
+    # exchange of the query rows + broadcast crossJoin + multi-probe
+    # window) TWICE per query: once under the eager cell collect,
+    # once as the candidate join's broadcast build.  Here one
+    # projection job computes each query's n_probe cells as a
+    # descending sort of the literal centroid packs (pack order ==
+    # (score desc, cid asc) — exactly ivf_assign's multi-probe window
+    # order, same rounded-cosine arithmetic, pinned by
+    # test_ivfpq_indexed_matches_unindexed), and the collected
+    # (query_id, cell) pairs re-enter as a LocalRelation.
+    from monstache_spark.functions.vectors import norm
+
+    cen_rows = centroids.select(
+        F.col(id_col).alias("cid"),
+        as_double_array(F.col(vec_col)).alias("cvd"),
+        norm(F.col(vec_col)).alias("nc"),
+    ).collect()
+    cen = [(int(r["cid"]), list(r["cvd"]), float(r["nc"])) for r in cen_rows]
+    mask21 = (1 << 21) - 1
+    probe_sql = (
+        f"transform(slice(reverse(array_sort({_literal_cell_packs_sql(cen)})), "
+        f"1, {n_probe}), p -> CAST({mask21} - pmod(p, {1 << 21}) AS BIGINT))"
     )
-    probe_cells = sorted({int(r["cell"]) for r in probes.select("cell").distinct().collect()})
+    probe_rows = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .withColumn("nrm", _norm_col(F.col("v")))
+        .select("query_id", F.expr(probe_sql).alias("cells"))
+        .collect()
+    )
+    pairs = [(r["query_id"], int(c)) for r in probe_rows for c in r["cells"]]
+    probe_cells = sorted({c for _, c in pairs})
     pruned = cells_all.filter(F.col("cell").isin(probe_cells))
+    qid_sql = queries.schema[id_col].dataType.simpleString()
+    if pairs:
+        # one selectExpr with the pairs as SQL text — element-wise
+        # F.lit/F.struct Columns cost hundreds of py4j round-trips
+        # (the sinks/annindex._quant_frame lesson)
+        def q_lit(q) -> str:
+            if isinstance(q, str):
+                return "'" + q.replace("'", "''") + "'"
+            return repr(q)
+
+        probes = (
+            spark.range(1)
+            .selectExpr(
+                "explode(array("
+                + ", ".join(
+                    f"struct(CAST({q_lit(q)} AS {qid_sql}) AS query_id,"
+                    f" CAST({c} AS BIGINT) AS cell)"
+                    for q, c in pairs
+                )
+                + ")) AS _p"
+            )
+            .select("_p.query_id", "_p.cell")
+        )
+    else:
+        probes = (
+            queries.select(F.col(id_col).alias("query_id"))
+            .withColumn("cell", F.lit(0).cast("long"))
+            .filter(F.lit(False))
+        )
 
     cand = (
         F.broadcast(probes)
@@ -1065,10 +1198,22 @@ def semantic_dedup(
 
     Returns (id_col, cell, cell_size) for each surviving vector.
     """
-    from monstache_spark.functions.vectors import norm
+    from monstache_spark.functions.vectors import as_double_array, dot_pre, norm
 
     if centroids is None:
         centroids = corpus.filter(F.col(id_col) < n_centroids)
+    # NOTE (r15 optimization round, negative result): replacing this
+    # ivf_assign call with the knn_join_pq-style literal-centroid
+    # argmax projection MEASURED ~2x SLOWER here (ABBA best-of-3:
+    # 1.98/2.65 s join formulation vs 3.5-5.2 s literal, stable
+    # sentinel) — at n_centroids=16 the nested interpreted
+    # transform-over-sequence(aggregate(zip_with(...))) evaluation
+    # costs more per row than 16 crossJoin pair rows each paying one
+    # flat dot fold plus the map-side-combined argmax.  knn_join_pq
+    # keeps the literal form because it also eliminates the encode
+    # explode/join/aggregates and two code-attach joins; here the
+    # crossJoin+argmax was the whole cost.  Left as the join
+    # formulation.
     cells = ivf_assign(corpus, centroids, vec_col, id_col, rank_limit=1).select(
         F.col(id_col), F.col(vec_col), F.col("cid").alias("cell")
     )
@@ -1089,8 +1234,6 @@ def semantic_dedup(
     # join down to one task sized by input bytes (the explode-
     # parallelism trap); the explicit width pins one task per cell hash
     # and both join sides inherit the partitioning (single exchange).
-    from monstache_spark.functions.vectors import as_double_array, dot_pre
-
     nparts = shuffle_partitions(corpus.sparkSession)
     # the arrays are ALSO pre-cast to double here (not just the
     # norms): the per-pair ``dot`` otherwise pays two interpreted
@@ -1291,6 +1434,61 @@ def knn_join_ivf(
     )
 
 
+def _lit_double_sql(x: float) -> str:
+    """A double literal as ``CAST('<repr>' AS DOUBLE)`` — Python repr
+    is shortest-round-trip and Spark's parser is correctly rounded, so
+    the plan sees the bit-identical IEEE double (the
+    sinks/annindex.py mechanism)."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _lit_double_array_sql(xs: list) -> str:
+    return "array(" + ", ".join(_lit_double_sql(float(x)) for x in xs) + ")"
+
+
+def _literal_cell_packs_sql(cen: list) -> str:
+    """SQL producing, over columns ``v`` (pre-cast double array) and
+    ``nrm``, the ARRAY of ``_pack_score_id(round(cosine, 6), cid)``
+    packs against the literal centroid set ``cen`` ([(cid,
+    [double...], norm)]) — the exact per-centroid arithmetic of
+    ``ivf_assign``'s broadcast crossJoin (same fold order, same
+    rounding, same packing), one pack per centroid.  ``array_max``
+    over it is the rank-1 cell argmax; a descending sort of it is the
+    multi-probe order (score desc, cid asc — cid occupies the low
+    bits inverted)."""
+    mask21 = (1 << 21) - 1
+    cids_sql = "array(" + ", ".join(str(c) for c, _, _ in cen) + ")"
+    cvecs_sql = "array(" + ", ".join(_lit_double_array_sql(v) for _, v, _ in cen) + ")"
+    cnorms_sql = _lit_double_array_sql([n for _, _, n in cen])
+    return (
+        f"transform(sequence(0, {len(cen) - 1}), i -> "
+        f"CAST(round(round(CASE WHEN (nrm * element_at({cnorms_sql}, i + 1)) > 0 "
+        f"THEN aggregate(zip_with(v, element_at({cvecs_sql}, i + 1), "
+        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+        f" / (nrm * element_at({cnorms_sql}, i + 1)) "
+        f"ELSE 0.0D END, 6) * 1000000.0D) AS BIGINT) * {1 << 21}"
+        f" + ({mask21} - element_at({cids_sql}, i + 1)))"
+    )
+
+
+def _literal_code_sql(book: list, mi: int, d_sub: int) -> str:
+    """SQL for subspace ``mi``'s PQ code over column ``v`` (pre-cast
+    double array) against the literal codeword list ``book``
+    ([(code, [double...])], sorted) — ``pq_encode``'s packed argmin
+    verbatim: ``pmod(min(dist_micro·1024 + code), 1024)`` with
+    ``_sub_dist_micro``'s round-then-cast arithmetic."""
+    codes_sql = "array(" + ", ".join(str(int(c)) for c, _ in book) + ")"
+    vecs_sql = "array(" + ", ".join(_lit_double_array_sql(s) for _, s in book) + ")"
+    return (
+        f"CAST(pmod(array_min(transform(sequence(0, {len(book) - 1}), j -> "
+        f"CAST(round(aggregate(zip_with(slice(v, {mi * d_sub + 1}, {d_sub}), "
+        f"element_at({vecs_sql}, j + 1), "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (a2, x) -> a2 + x)"
+        " * 1000000.0D) AS BIGINT) * 1024"
+        f" + element_at({codes_sql}, j + 1))), 1024) AS BIGINT)"
+    )
+
+
 def _literal_pq_stage_sql(
     cen: list, books: list, dim: int, m: int, bits: int
 ) -> tuple[str, str]:
@@ -1318,25 +1516,11 @@ def _literal_pq_stage_sql(
     ``cen``: [(cid, [double...], norm)]; ``books``: per-subspace
     sorted [(code, [double...])]."""
 
-    def d(x: float) -> str:
-        return f"CAST('{x!r}' AS DOUBLE)"
-
-    def arr(xs: list) -> str:
-        return "array(" + ", ".join(d(float(x)) for x in xs) + ")"
-
+    arr = _lit_double_array_sql
     mask21 = (1 << 21) - 1
-    cids_sql = "array(" + ", ".join(str(c) for c, _, _ in cen) + ")"
-    cvecs_sql = "array(" + ", ".join(arr(v) for _, v, _ in cen) + ")"
-    cnorms_sql = arr([n for _, _, n in cen])
     cell_sql = (
-        f"CAST({mask21} - pmod(array_max(transform("
-        f"sequence(0, {len(cen) - 1}), i -> "
-        f"CAST(round(round(CASE WHEN (nrm * element_at({cnorms_sql}, i + 1)) > 0 "
-        f"THEN aggregate(zip_with(v, element_at({cvecs_sql}, i + 1), "
-        "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
-        f" / (nrm * element_at({cnorms_sql}, i + 1)) "
-        f"ELSE 0.0D END, 6) * 1000000.0D) AS BIGINT) * {1 << 21}"
-        f" + ({mask21} - element_at({cids_sql}, i + 1)))), {1 << 21}) AS BIGINT)"
+        f"CAST({mask21} - pmod(array_max({_literal_cell_packs_sql(cen)}), "
+        f"{1 << 21}) AS BIGINT)"
     )
 
     d_sub = dim // m

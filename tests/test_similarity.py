@@ -650,3 +650,74 @@ def test_knn_join_pq_literal_stage_matches_join_formulation(spark):
         cell_sql,
         pk_sql,
     )
+
+
+def test_pq_adc_literal_codes_match_pq_encode(spark):
+    """pq_adc_topk's literal-codebook code projection must produce the
+    exact (corpus_id, m, code) rows of the pq_encode join formulation,
+    and the full query must equal a run with explicitly-supplied
+    (join-built) codebooks."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from monstache_spark.functions.vectors import as_double_array
+    from monstache_spark.operators.similarity import (
+        _literal_code_sql,
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    random.seed(37)
+    dim, m, k_sub = 16, 4, 8
+    d_sub = dim // m
+    rows = [(i, [random.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codebooks = pq_codebooks(emb, dim, m, k_sub)
+    old = {
+        (r["vec_id"], r["m"], r["code"])
+        for r in pq_encode(emb, codebooks, dim, m).collect()
+    }
+    base_rows = (
+        emb.filter(F.col("vec_id") < k_sub)
+        .select(F.col("vec_id").alias("id"), as_double_array("embedding").alias("vd"))
+        .collect()
+    )
+    cb_vals = {}
+    for r in sorted(base_rows, key=lambda r: r["id"]):
+        vd = list(r["vd"])
+        for mi in range(m):
+            cb_vals[(mi, int(r["id"]))] = vd[mi * d_sub : (mi + 1) * d_sub]
+    books = [
+        sorted((c, s) for (mj, c), s in cb_vals.items() if mj == mi)
+        for mi in range(m)
+    ]
+    lit = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        as_double_array("embedding").alias("v"),
+    ).selectExpr(
+        "corpus_id",
+        "inline(array("
+        + ", ".join(
+            f"struct(CAST({mi} AS BIGINT) AS m,"
+            f" {_literal_code_sql(books[mi], mi, d_sub)} AS code)"
+            for mi in range(m)
+        )
+        + "))",
+    )
+    new = {(r["corpus_id"], r["m"], r["code"]) for r in lit.collect()}
+    assert new == old
+
+    queries = emb.filter("vec_id >= 10 and vec_id < 14")
+    a = {
+        (r["query_id"], r["corpus_id"], r["rank"], r["dist_micro"])
+        for r in pq_adc_topk(emb, queries, dim, k=3, m=m, k_sub=k_sub).collect()
+    }
+    b = {
+        (r["query_id"], r["corpus_id"], r["rank"], r["dist_micro"])
+        for r in pq_adc_topk(
+            emb, queries, dim, k=3, m=m, k_sub=k_sub, codebooks=codebooks
+        ).collect()
+    }
+    assert a == b and len(a) > 0
