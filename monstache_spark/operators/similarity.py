@@ -731,11 +731,23 @@ def pq_adc_topk(
     shuffled; full-precision re-ranking of the top candidates, or an
     IVF cell restriction in front (join the probe list before the
     LUT join), composes without changing this plan."""
+    books = None
     if codebooks is None:
-        codebooks = pq_codebooks(corpus, dim, m, k_sub, vec_col, id_col)
-    codes = pq_encode(corpus, codebooks, dim, m, vec_col, id_col).select(
-        F.col(id_col).alias("corpus_id"), "m", "code"
-    )
+        # literal PQ codes for the default deterministic codebooks
+        # (r15, the knn_join_pq pattern — see _literal_codes_frame)
+        books, codebooks = _literal_default_codebooks(
+            corpus, dim, m, k_sub, vec_col, id_col
+        )
+        if codebooks is None:
+            codebooks = pq_codebooks(corpus, dim, m, k_sub, vec_col, id_col)
+    if books is not None:
+        codes = _literal_codes_frame(corpus, books, dim, m, vec_col, id_col).select(
+            F.col(id_col).alias("corpus_id"), "m", "code"
+        )
+    else:
+        codes = pq_encode(corpus, codebooks, dim, m, vec_col, id_col).select(
+            F.col(id_col).alias("corpus_id"), "m", "code"
+        )
     q_subs = _subspace_rows(queries, dim, m, vec_col, id_col)
     cb = F.broadcast(codebooks.select("m", "code", F.col("sub").alias("c_sub")))
     lut = F.broadcast(
@@ -798,54 +810,12 @@ def ivfpq_adc_topk(
         centroids = corpus.filter(F.col(id_col) < n_centroids)
 
     # Literal PQ codes for the default deterministic codebooks (r15,
-    # the knn_join_pq pattern — guide §2.4): ``pq_encode`` paid an
-    # m-way subspace explode + broadcast codebook join + packed-argmin
-    # aggregate over the whole corpus PER QUERY, for codewords that
-    # are index metadata.  One bounded collect inlines them; each
-    # vector's m codes come out of a single projection over an
-    # explicit-width exchange (the encode work parallelizes off a
-    # narrow scan, and the codes side of the candidate join inherits
-    # the hash(id) partitioning).  Arithmetic is ``pq_encode``'s
-    # verbatim (_literal_code_sql); the codebook frame for the query
-    # LUT is rebuilt from the same collected doubles.
-    d_sub = dim // m
-    books: list | None = None
+    # the knn_join_pq pattern — see _literal_codes_frame).
+    books = None
     if codebooks is None:
-        base_rows = (
-            corpus.filter(F.col(id_col) < k_sub)
-            .select(
-                F.col(id_col).alias("id"),
-                as_double_array(F.col(vec_col)).alias("vd"),
-            )
-            .collect()
+        books, codebooks = _literal_default_codebooks(
+            corpus, dim, m, k_sub, vec_col, id_col
         )
-        cb_vals: dict = {}
-        for r in sorted(base_rows, key=lambda r: r["id"]):
-            vd = list(r["vd"])
-            for mi in range(m):
-                cb_vals[(mi, int(r["id"]))] = vd[mi * d_sub : (mi + 1) * d_sub]
-        books = [
-            sorted((c, sub) for (mj, c), sub in cb_vals.items() if mj == mi)
-            for mi in range(m)
-        ]
-        if not any(books):
-            books = None
-        else:
-            spark = corpus.sparkSession
-            codebooks = (
-                spark.range(1)
-                .selectExpr(
-                    "inline(array("
-                    + ", ".join(
-                        f"struct(CAST({mi} AS BIGINT) AS m,"
-                        f" CAST({int(c)} AS BIGINT) AS code,"
-                        f" {_lit_double_array_sql(sub)} AS sub)"
-                        for mi in range(m)
-                        for c, sub in books[mi]
-                    )
-                    + "))"
-                )
-            )
         if codebooks is None:
             codebooks = pq_codebooks(corpus, dim, m, k_sub, vec_col, id_col)
 
@@ -862,24 +832,8 @@ def ivfpq_adc_topk(
     )
 
     if books is not None:
-        nparts = shuffle_partitions(corpus.sparkSession)
-        codes = (
-            corpus.repartition(nparts, F.col(id_col))
-            .select(
-                F.col(id_col).alias("corpus_id"),
-                as_double_array(F.col(vec_col)).alias("v"),
-            )
-            .selectExpr(
-                "corpus_id",
-                "inline(array("
-                + ", ".join(
-                    f"struct(CAST({mi} AS BIGINT) AS m,"
-                    f" {_literal_code_sql(books[mi], mi, d_sub)} AS code)"
-                    for mi in range(m)
-                    if books[mi]
-                )
-                + "))",
-            )
+        codes = _literal_codes_frame(corpus, books, dim, m, vec_col, id_col).select(
+            F.col(id_col).alias("corpus_id"), "m", "code"
         )
     else:
         codes = pq_encode(corpus, codebooks, dim, m, vec_col, id_col).select(
@@ -1486,6 +1440,89 @@ def _literal_code_sql(book: list, mi: int, d_sub: int) -> str:
         "(x, y) -> (x - y) * (x - y)), 0.0D, (a2, x) -> a2 + x)"
         " * 1000000.0D) AS BIGINT) * 1024"
         f" + element_at({codes_sql}, j + 1))), 1024) AS BIGINT)"
+    )
+
+
+def _literal_default_codebooks(
+    corpus: DataFrame, dim: int, m: int, k_sub: int, vec_col: str, id_col: str
+):
+    """Collect the DEFAULT deterministic codebooks (subvectors of the
+    ``k_sub`` lowest-id vectors) as plain values in ONE bounded job
+    and rebuild the (m, code, sub) codebook frame as a LocalRelation
+    from the same doubles.  Returns ``(books, codebooks_frame)`` —
+    ``books`` is the per-subspace sorted [(code, [double...])] list —
+    or ``(None, None)`` when the corpus has no codebook rows (callers
+    fall back to the join formulation).  The doubles come from the
+    same Spark-side ``as_double_array`` cast ``pq_codebooks`` applies;
+    subvectors are plain slices (_subspace_rows)."""
+    d_sub = dim // m
+    base_rows = (
+        corpus.filter(F.col(id_col) < k_sub)
+        .select(
+            F.col(id_col).alias("id"),
+            as_double_array(F.col(vec_col)).alias("vd"),
+        )
+        .collect()
+    )
+    cb_vals: dict = {}
+    for r in sorted(base_rows, key=lambda r: r["id"]):
+        vd = list(r["vd"])
+        for mi in range(m):
+            cb_vals[(mi, int(r["id"]))] = vd[mi * d_sub : (mi + 1) * d_sub]
+    books = [
+        sorted((c, sub) for (mj, c), sub in cb_vals.items() if mj == mi)
+        for mi in range(m)
+    ]
+    if not any(books):
+        return None, None
+    frame = (
+        corpus.sparkSession.range(1)
+        .selectExpr(
+            "inline(array("
+            + ", ".join(
+                f"struct(CAST({mi} AS BIGINT) AS m,"
+                f" CAST({int(c)} AS BIGINT) AS code,"
+                f" {_lit_double_array_sql(sub)} AS sub)"
+                for mi in range(m)
+                for c, sub in books[mi]
+            )
+            + "))"
+        )
+    )
+    return books, frame
+
+
+def _literal_codes_frame(
+    corpus: DataFrame, books: list, dim: int, m: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """``pq_encode``-identical ``(id, m, code)`` rows computed in a
+    single literal projection over an explicit-width exchange (r15,
+    the knn_join_pq pattern — guide §2.4): the join formulation paid
+    an m-way subspace explode + broadcast codebook join + packed
+    argmin aggregate over the whole corpus for codewords that are
+    index metadata.  The explicit repartition both parallelizes the
+    per-row encode off a narrow scan and gives downstream id-keyed
+    joins their partitioning.  Row identity is pinned by
+    test_pq_adc_literal_codes_match_pq_encode."""
+    d_sub = dim // m
+    nparts = shuffle_partitions(corpus.sparkSession)
+    return (
+        corpus.repartition(nparts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            as_double_array(F.col(vec_col)).alias("v"),
+        )
+        .selectExpr(
+            id_col,
+            "inline(array("
+            + ", ".join(
+                f"struct(CAST({mi} AS BIGINT) AS m,"
+                f" {_literal_code_sql(books[mi], mi, d_sub)} AS code)"
+                for mi in range(m)
+                if books[mi]
+            )
+            + "))",
+        )
     )
 
 
