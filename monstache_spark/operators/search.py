@@ -4295,26 +4295,29 @@ def _minmax_norm_01(frame: DataFrame, col: str, out: str) -> DataFrame:
     node (one definition so the two ES `linear` surfaces cannot
     drift): rescale ``col`` to [0, 1] over the frame's OWN window —
     ``round((s − min)/(max − min), 6)``, a degenerate window
-    (max = min) mapping to 1.0. Stats are a broadcast 1-row agg over
-    an already-truncated frame."""
-    stats = frame.groupBy().agg(
-        F.min(col).alias("_lo"), F.max(col).alias("_hi")
+    (max = min) mapping to 1.0.
+
+    Stats are GLOBAL WINDOW aggregates over the frame, not a separate
+    1-row agg crossJoined back: the agg+crossJoin formulation consumed
+    the frame TWICE, and each consumer re-executed the corpus-scale
+    scoring subtree below the truncation (verified:
+    es_retriever_linear planned 12 parquet scans, zero reuse; a
+    checkpoint barrier fixes the re-execution but its materialization
+    constant measurably regressed the sf0.1 gate).  The frame arrives
+    truncated to the retriever window (O(10-50) rows), so the
+    single-partition window is control-plane work at any corpus scale
+    and the scoring subtree executes exactly once."""
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    return (
-        frame.crossJoin(F.broadcast(stats))
-        .withColumn(
-            out,
-            F.when(
-                F.col("_hi") > F.col("_lo"),
-                F.round(
-                    (F.col(col) - F.col("_lo"))
-                    / (F.col("_hi") - F.col("_lo")),
-                    6,
-                ),
-            ).otherwise(F.lit(1.0)),
-        )
-        .drop(col, "_lo", "_hi")
-    )
+    lo, hi = F.min(col).over(w), F.max(col).over(w)
+    return frame.withColumn(
+        out,
+        F.when(
+            hi > lo,
+            F.round((F.col(col) - lo) / (hi - lo), 6),
+        ).otherwise(F.lit(1.0)),
+    ).drop(col)
 
 
 def linear_retriever_topk(
@@ -5121,7 +5124,13 @@ def retriever_topk(
             n = int(body.get("window_size", 10))
             qw = float(body.get("query_weight", 1.0))
             rw = float(body.get("rescore_query_weight", 1.0))
-            child = eval_node(body["retriever"], n)
+            # the child window is consumed twice (the rescore frame's
+            # semi-restriction and the join-back) — stage its O(n)
+            # rows once so the child's scoring subtree runs once;
+            # lazy: both consumers sit under explicit broadcast hints
+            child = eval_node(body["retriever"], n).localCheckpoint(
+                eager=False
+            )
             r_field, r_terms = terms_of(body["query"])
             res = _bm25_scored(
                 docs,
@@ -5226,7 +5235,11 @@ def retriever_topk(
         if kind == "text_similarity_reranker":
             # ES rescore/reranker window default is 10
             n = int(body.get("rank_window_size", 10))
-            child = eval_node(body["retriever"], n)
+            # consumed twice (candidate semi-restriction + join-back);
+            # lazy: both consumers sit under explicit broadcast hints
+            child = eval_node(body["retriever"], n).localCheckpoint(
+                eager=False
+            )
             inf_id = body.get("inference_id")
             qvecs = (inference_registry or {}).get(inf_id)
             if qvecs is None:

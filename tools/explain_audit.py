@@ -539,12 +539,16 @@ CHECKS = [
     (
         "es_retriever_linear",
         "linear retriever node: every child window truncated BEFORE "
-        "fusion (TakeOrderedAndProject), normalization stats 1-row "
-        "broadcast aggs — no Python (the full-outer fuse may plan as "
-        "a sort-merge join, but over already-truncated window-sized "
-        "frames, same as the rrf node)",
+        "fusion (TakeOrderedAndProject), minmax normalization a "
+        "global WINDOW over the truncated frame (one consumption of "
+        "each child's scoring subtree — the agg+crossJoin form "
+        "re-executed it per consumer), no Python (the full-outer "
+        "fuse may plan as a sort-merge join, but over already-"
+        "truncated window-sized frames, same as the rrf node; the "
+        "remaining cross join is the knn child's 1-row query fetch)",
         lambda p: "Python" not in p
         and "TakeOrderedAndProject" in p
+        and "Window" in p
         and "BroadcastNestedLoopJoin Cross" in p,
     ),
     (
