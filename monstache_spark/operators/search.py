@@ -4115,7 +4115,14 @@ def phrase_suggest(
         .agg(F.count("*").cast("long").alias("count"))
         .filter(F.col("count") >= min_count)
     )
-    # adjacent bigrams: zip the token array with its own tail
+    # adjacent bigrams: zip the token array with its own tail.
+    # The bigram spine is consumed once PER VITERBI STEP (and the
+    # vocab deletion-key frame once per query token) — without a
+    # barrier each consumer re-runs the corpus tokenize+agg subtree.
+    # LAZY localCheckpoints materialize each frame inside its first
+    # consuming job (no separate job constant); every consumer below
+    # sits against an explicit broadcast hint, so the statistics loss
+    # cannot flip a join strategy (the r14 eager-vs-lazy criterion).
     bigrams = (
         toks_df.select(
             F.explode(
@@ -4131,15 +4138,20 @@ def phrase_suggest(
         .groupBy("w1", "w2")
         .agg(F.count("*").cast("long").alias("bigram_count"))
     )
+    if len(toks) > 2:
+        bigrams = bigrams.localCheckpoint(eager=False)
+
+    # the vocabulary deletion-key frame is QUERY-INDEPENDENT — build
+    # it once for every token's candidate lookup
+    vk = vocab.select(
+        "term", F.explode(_deletion_keys(F.col("term"))).alias("dk")
+    ).localCheckpoint(eager=False)
 
     def candidates(token: str, out_col: str) -> DataFrame:
         qk = (
             spark.range(1)
             .select(F.lit(token).alias("query"))
             .select("query", F.explode(_deletion_keys(F.col("query"))).alias("dk"))
-        )
-        vk = vocab.select(
-            "term", F.explode(_deletion_keys(F.col("term"))).alias("dk")
         )
         return (
             vk.join(F.broadcast(qk), "dk")
@@ -4176,9 +4188,14 @@ def phrase_suggest(
         ).limit(top_n)
         return ranked.withColumn("rank", F.row_number().over(w).cast("long"))
 
-    # n >= 3: exact n-best Viterbi chain over the bigram frame
+    # n >= 3: exact n-best Viterbi chain over the bigram frame.
+    # Interior candidate lists feed TWO edges (as w2 then as w1) —
+    # staged lazily so the dk-join subtree runs once per token.
     cands = [
-        candidates(t, "w1").select(F.col("w1").alias("term")) for t in toks
+        candidates(t, "w1")
+        .select(F.col("w1").alias("term"))
+        .localCheckpoint(eager=False)
+        for t in toks
     ]
     paths = None
     for i in range(len(toks) - 1):
